@@ -1,0 +1,232 @@
+"""Deterministic synthetic source-code corpus (FIXTURES.md F1 / BASELINE.json
+input_hint): columns (repo, path, commit, lang, content) plus a precomputed
+``content_sha256`` used for the per-row invariant check.
+
+Every row is a pure function of (seed, row_id): batch composition, block
+boundaries and parallelism do NOT change the data. Per-row randomness comes
+from counter-based hashing (pandas hash64 of structured keys) -> uniforms ->
+Box-Muller normals, so generation is fully vectorized and reproducible across
+processes — a requirement for the bench's two-parallelism runs on identical
+input.
+
+Injected anomalies at fixed row positions (exactly enumerable expectations):
+* ``id % 211 == 0``   -> lang "zz" (not in registry -> referential violation)
+* ``id % 307 == 0``   -> path contains a space (pattern violation)
+* ``id % 401 == 0``   -> oversized content (maxLength violation)
+* ``id % 503 == 0``   -> null content; ``id % 97 == 0`` -> empty content
+* ``id % 997 == 0`` (id>0) -> duplicate (repo,path,commit) of row id-1
+* one hot repo ("org0/mono") owns ~20% of rows (skew / salting exercise)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from rayschema.sketches import hash64
+
+LANGS = ["go", "py", "js", "rs", "java", "c", "md"]
+LANG_WEIGHTS = np.array([0.22, 0.25, 0.2, 0.08, 0.12, 0.08, 0.05])
+LANG_EXT = {"go": "go", "py": "py", "js": "js", "rs": "rs", "java": "java", "c": "c", "md": "md"}
+
+# The engine's F1 validation schema (FIXTURES.md) — used by the flagship
+# pipeline and mirrored by the DuckDB oracle.
+CORPUS_SCHEMA_JSON = """{
+ "type": "object",
+ "required": ["repo", "path", "commit", "lang", "content"],
+ "properties": {
+   "repo":   {"type": "string", "minLength": 3, "maxLength": 120,
+              "pattern": "^[A-Za-z0-9_.-]+/[A-Za-z0-9_.-]+$"},
+   "path":   {"type": "string", "minLength": 1, "maxLength": 4096,
+              "pattern": "^[^ ]+$"},
+   "commit": {"type": "string", "minLength": 40, "maxLength": 40,
+              "pattern": "^[0-9a-f]{40}$"},
+   "lang":   {"type": "string", "enum": ["go", "py", "js", "rs", "java", "c", "md"]},
+   "content": {"type": ["string", "null"], "maxLength": 10000}
+ }
+}"""
+
+MAX_CONTENT = 10_000       # maxLength in the schema above
+OVERSIZE = 12_000          # injected oversized content length
+_POOL_SIZE = 1 << 20
+
+_HEX = np.frombuffer(b"0123456789abcdef", dtype=np.uint8)
+
+
+def _pool(seed: int) -> bytes:
+    """1 MiB deterministic pseudo-source text pool."""
+    rng = np.random.default_rng(seed)
+    words = [
+        b"func ", b"def ", b"return ", b"if ", b"else ", b"for ", b"while ",
+        b"import ", b"package ", b"class ", b"struct ", b"let ", b"const ",
+        b"x", b"y", b"i", b"n", b"err", b"val", b"buf", b"ctx", b"// note\n",
+        b"# todo\n", b"{\n", b"}\n", b"(", b")", b" = ", b" + ", b" == ", b";\n",
+    ]
+    idx = rng.integers(0, len(words), _POOL_SIZE // 2)  # avg word ~4B -> ~2x oversampled
+    out = b"".join(words[i] for i in idx)
+    assert len(out) >= _POOL_SIZE, "pool undersized"
+    return out[:_POOL_SIZE]
+
+
+def _uniform(ids: np.ndarray, tag: int, seed: int) -> np.ndarray:
+    """Deterministic per-row uniform in [0,1): counter-based hash."""
+    h = hash64(ids * np.int64(1_000_003) + np.int64(tag * 7_777_777 + seed))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _hashes(ids: np.ndarray, tag: int, seed: int) -> np.ndarray:
+    return hash64(ids * np.int64(1_000_003) + np.int64(tag * 7_777_777 + seed))
+
+
+def _hex40(ids: np.ndarray, seed: int) -> np.ndarray:
+    """Vectorized 40-char lowercase hex 'commit' from three 64-bit hashes."""
+    n = len(ids)
+    h = np.stack([_hashes(ids, t, seed) for t in (101, 102, 103)], axis=1)
+    nibbles = np.zeros((n, 48), dtype=np.uint8)
+    for j in range(16):
+        shift = np.uint64(60 - 4 * j)
+        nibbles[:, j] = ((h[:, 0] >> shift) & np.uint64(15)).astype(np.uint8)
+        nibbles[:, 16 + j] = ((h[:, 1] >> shift) & np.uint64(15)).astype(np.uint8)
+        nibbles[:, 32 + j] = ((h[:, 2] >> shift) & np.uint64(15)).astype(np.uint8)
+    chars = _HEX[nibbles[:, :40]]
+    flat = chars.tobytes()
+    return np.frombuffer(flat, dtype="S40").astype("U40")
+
+
+def _mk_path(d1: np.ndarray, fnum: np.ndarray, ext: np.ndarray, ids: np.ndarray) -> np.ndarray:
+    """Vectorized path strings: src/dir{d}/file_{n}.{ext} (+ injected space)."""
+    path = np.char.add(np.char.add("src/dir", d1.astype("U3")),
+                       np.char.add("/file_", fnum.astype("U6")))
+    path = np.char.add(np.char.add(path.astype("U64"), "."), ext.astype("U6"))
+    path = np.where(ids % 307 == 0, np.char.add("bad dir/", path.astype("U72")), path)
+    return path.astype(object)
+
+
+_POOL_CACHE: Dict[int, bytes] = {}
+
+
+def corpus_batch(ids: np.ndarray, seed: int = 42) -> pa.Table:
+    """Generate the corpus rows for the given row ids (vectorized)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    n = len(ids)
+    if seed not in _POOL_CACHE:
+        _POOL_CACHE[seed] = _pool(seed)
+    pool = _POOL_CACHE[seed]
+
+    # ---- repo (hot-key skew: ~20% to org0/mono)
+    u_hot = _uniform(ids, 1, seed)
+    org = ids % 97
+    rnum = ids % 1009
+    repo = np.where(
+        u_hot < 0.2,
+        "org0/mono",
+        np.char.add(np.char.add("org", org.astype("U3")), np.char.add("/repo", rnum.astype("U5"))),
+    )
+
+    # ---- lang (weighted; 'zz' injected at id % 211 == 0)
+    cum = np.cumsum(LANG_WEIGHTS) / LANG_WEIGHTS.sum()
+    li = np.searchsorted(cum, _uniform(ids, 2, seed), side="right").clip(0, len(LANGS) - 1)
+    lang = np.array(LANGS, dtype=object)[li]
+    lang = np.where(ids % 211 == 0, "zz", lang)
+
+    # ---- path (dir depth 1-3; space injected at id % 307 == 0)
+    d1 = (ids // 7) % 23
+    fnum = ids % 10_000
+    ext = np.array([LANG_EXT.get(l, "txt") for l in lang.tolist()], dtype=object)
+    path = _mk_path(d1, fnum, ext, ids)
+
+    # ---- commit
+    commit = _hex40(ids, seed)
+
+    # ---- content lengths: log-normal, clipped; injected anomalies
+    u1 = np.clip(_uniform(ids, 3, seed), 1e-12, 1 - 1e-12)
+    u2 = _uniform(ids, 4, seed)
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)
+    length = np.exp(5.5 + 1.0 * z).astype(np.int64).clip(16, 8000)
+    length = np.where(ids % 401 == 0, OVERSIZE, length)
+    length = np.where(ids % 97 == 0, 0, length)
+    offset = (_hashes(ids, 5, seed) % np.uint64(_POOL_SIZE - OVERSIZE - 1)).astype(np.int64)
+    null_mask = (ids % 503 == 0)
+
+    contents: List[Optional[str]] = [None] * n
+    shas: List[Optional[str]] = [None] * n
+    for i in range(n):
+        if null_mask[i]:
+            continue
+        c = pool[offset[i]: offset[i] + length[i]]
+        contents[i] = c.decode("ascii", "replace")
+        shas[i] = hashlib.sha256(c).hexdigest()
+
+    # ---- duplicates: row id (id%997==0, id>0) copies keys of id-1
+    dup = (ids % 997 == 0) & (ids > 0)
+    if dup.any():
+        prev = ids - 1
+        repo_prev = corpus_keys_only(prev[dup], seed)
+        repo = repo.astype(object)
+        path = path.astype(object)
+        commit = commit.astype(object)
+        di = np.nonzero(dup)[0]
+        repo[di] = repo_prev["repo"]
+        path[di] = repo_prev["path"]
+        commit[di] = repo_prev["commit"]
+
+    return pa.table({
+        "id": pa.array(ids, type=pa.int64()),
+        "repo": pa.array(repo.astype(object), type=pa.string()),
+        "path": pa.array(path.astype(object), type=pa.string()),
+        "commit": pa.array(commit.astype(object), type=pa.string()),
+        "lang": pa.array(lang.astype(object), type=pa.string()),
+        "content": pa.array(contents, type=pa.large_string()),
+        "content_sha256": pa.array(shas, type=pa.string()),
+    })
+
+
+def corpus_keys_only(ids: np.ndarray, seed: int = 42) -> Dict[str, np.ndarray]:
+    """(repo, path, commit) for given ids — used for duplicate injection;
+    MUST mirror corpus_batch's key construction exactly."""
+    ids = np.asarray(ids, dtype=np.int64)
+    u_hot = _uniform(ids, 1, seed)
+    org = ids % 97
+    rnum = ids % 1009
+    repo = np.where(
+        u_hot < 0.2, "org0/mono",
+        np.char.add(np.char.add("org", org.astype("U3")), np.char.add("/repo", rnum.astype("U5"))))
+    cum = np.cumsum(LANG_WEIGHTS) / LANG_WEIGHTS.sum()
+    li = np.searchsorted(cum, _uniform(ids, 2, seed), side="right").clip(0, len(LANGS) - 1)
+    lang = np.array(LANGS, dtype=object)[li]
+    lang = np.where(ids % 211 == 0, "zz", lang)
+    d1 = (ids // 7) % 23
+    fnum = ids % 10_000
+    ext = np.array([LANG_EXT.get(l, "txt") for l in lang.tolist()], dtype=object)
+    path = _mk_path(d1, fnum, ext, ids)
+    return {"repo": repo.astype(object), "path": path.astype(object),
+            "commit": _hex40(ids, seed).astype(object)}
+
+
+def lang_registry_table() -> pa.Table:
+    """FIXTURES.md F2: the broadcast-join small side."""
+    names = {"go": "Go", "py": "Python", "js": "JavaScript", "rs": "Rust",
+             "java": "Java", "c": "C", "md": "Markdown"}
+    return pa.table({"lang": LANGS, "display_name": [names[l] for l in LANGS]})
+
+
+def generate_corpus(out_dir: str, num_rows: int, seed: int = 42,
+                    num_blocks: Optional[int] = None) -> str:
+    """Materialize the corpus to partitioned Parquet via a Ray Data pipeline
+    (ray.data.range -> map_batches -> write_parquet). Resumable layout: many
+    part files, deterministic content."""
+    import ray.data as rd
+
+    if num_blocks is None:
+        num_blocks = max(8, num_rows // 250_000)
+    ds = rd.range(num_rows, override_num_blocks=num_blocks)
+    ds = ds.map_batches(
+        lambda b: corpus_batch(np.asarray(b["id"]), seed),
+        batch_format="numpy", batch_size=65536, zero_copy_batch=True)
+    rows_per_file = max(1, -(-num_rows // num_blocks))
+    ds.write_parquet(out_dir, max_rows_per_file=rows_per_file,
+                     min_rows_per_file=min(rows_per_file, 10_000))
+    return out_dir

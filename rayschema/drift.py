@@ -1,0 +1,80 @@
+"""Distribution-drift checks vs a baseline snapshot.
+
+North rule: compare per-partition KLL-sketch quantiles of content length and
+lang frequency vectors against a baseline snapshot (SURVEY.md §2.E). The
+baseline is a tiny JSON artifact (quantiles + frequencies) written by a
+previous run; drift is flagged when
+
+* any tracked quantile of the length distribution moved by more than
+  ``rel_tol`` relative, or
+* the L1 distance between normalized frequency vectors exceeds ``freq_tol``
+  (total variation distance * 2).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional, Sequence
+
+from rayschema.sketches import KLL
+
+# tail quantiles beyond 0.9 are excluded: KLL tail-estimate variance across
+# merge orders would flag false drift on identical data (k=400 keeps inner
+# quantiles well under the 20% default tolerance)
+QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+
+
+def snapshot_from_stats(stats: Dict[str, dict], length_col: str,
+                        freq_col: str) -> Dict:
+    """Build a drift baseline from a dataset_stats() result."""
+    qcol = stats.get(length_col, {})
+    quant = qcol.get("quantiles") or {}
+    freq = (stats.get(freq_col, {}) or {}).get("freq") or {}
+    total = sum(freq.values()) or 1
+    return {
+        "length_col": length_col,
+        "freq_col": freq_col,
+        "quantiles": {str(q): quant.get(str(q)) for q in QS if quant.get(str(q)) is not None},
+        "freq": {k: v / total for k, v in freq.items()},
+        "count": qcol.get("count", 0),
+    }
+
+
+def compare(baseline: Dict, current: Dict, rel_tol: float = 0.2,
+            freq_tol: float = 0.1) -> Dict:
+    """Drift verdict comparing two snapshots (same schema as
+    snapshot_from_stats output)."""
+    flags = []
+    qdrift = {}
+    for q, b in (baseline.get("quantiles") or {}).items():
+        c = (current.get("quantiles") or {}).get(q)
+        if b is None or c is None or b == 0:
+            continue
+        rel = abs(c - b) / abs(b)
+        qdrift[q] = round(rel, 4)
+        if rel > rel_tol:
+            flags.append(f"quantile {q}: {b:.1f} -> {c:.1f} ({rel:+.1%})")
+    bf = baseline.get("freq") or {}
+    cf = current.get("freq") or {}
+    keys = set(bf) | set(cf)
+    l1 = sum(abs(bf.get(k, 0.0) - cf.get(k, 0.0)) for k in keys)
+    if l1 > freq_tol:
+        flags.append(f"freq L1 distance {l1:.3f} > {freq_tol}")
+    return {"drifted": bool(flags), "flags": flags,
+            "quantile_rel_change": qdrift, "freq_l1": round(l1, 4)}
+
+
+def load_baseline(path: str) -> Optional[Dict]:
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    return None
+
+
+def save_baseline(path: str, snap: Dict) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(snap, f, indent=1)
+    os.replace(tmp, path)

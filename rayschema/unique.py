@@ -1,0 +1,128 @@
+"""Uniqueness / exact-dedup and referential-integrity checks.
+
+North-rule engine checks (SURVEY.md §2.E, §7.3):
+
+* Uniqueness on a composite key, e.g. ``(repo, path, commit)``: vectorized
+  64-bit key hash added per batch, then a hash-partitioned
+  ``groupby(key_hash)`` — only the key columns move through the shuffle, never
+  the payload. Duplicate groups emit violation rows.
+* Referential check (``lang`` -> registry): BROADCAST semi/anti join — the
+  registry is tiny, shipped once via ``ray.put`` and read per actor, evaluated
+  with ``pc.is_in`` inside ``map_batches``; no shuffle at all
+  (the engine analog of the reference's $ref->definition lookup,
+  /root/reference/context.go:331-339 — a compile-time dictionary, not a join).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayschema.sketches import hash64
+
+
+def key_hash(batch: pa.Table, cols: Sequence[str]) -> np.ndarray:
+    """Vectorized composite-key hash (uint64): combine per-column hashes."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for i, c in enumerate(cols):
+        arr = batch.column(c)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vals = arr.to_numpy(zero_copy_only=False)
+        hc = hash64(vals)
+        h = (h * np.uint64(1_000_000_007)) ^ (hc + np.uint64(0x9E3779B97F4A7C15 + i))
+    return h
+
+
+def add_key_hash(batch: pa.Table, cols: Sequence[str], out: str = "uk") -> pa.Table:
+    return batch.append_column(out, pa.array(key_hash(batch, cols), type=pa.uint64()))
+
+
+def find_duplicates(ds, cols: Sequence[str], keep_cols: Optional[Sequence[str]] = None):
+    """Rows whose composite key occurs more than once (all occurrences beyond
+    the first, in arbitrary order — duplicates are violation rows).
+
+    groupby on the 64-bit key hash: near-unique keys -> no skew; only
+    ``keep_cols`` travel through the shuffle."""
+    cols = list(cols)
+    keep = list(keep_cols) if keep_cols is not None else cols
+
+    def emit_dupes(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) <= 1:
+            return g.iloc[0:0]
+        return g.iloc[1:]
+
+    return (ds.map_batches(lambda b: add_key_hash(b, cols).select(keep + ["uk"]),
+                           batch_format="pyarrow")
+              .groupby("uk")
+              .map_groups(emit_dupes, batch_format="pandas")
+              .drop_columns(["uk"]))
+
+
+def duplicate_key_counts(ds, cols: Sequence[str]):
+    """(key cols..., n) for keys with n > 1 — partial-aggregated: per-batch
+    combine first, then the groupby shuffle moves only (key, partial_count)."""
+    cols = list(cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select(cols).to_pandas()
+        g = df.groupby(cols, sort=False, dropna=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(cols).aggregate(Sum("n", alias_name="n")))
+    return out.filter(expr="n > 1")
+
+
+def distinct_rows(ds, cols: Sequence[str]):
+    """Exact dedup: first row per composite key (hash-partitioned)."""
+    cols = list(cols)
+    return (ds.map_batches(lambda b: add_key_hash(b, cols), batch_format="pyarrow")
+              .groupby("uk")
+              .map_groups(lambda g: g.iloc[:1], batch_format="pandas")
+              .drop_columns(["uk"]))
+
+
+# --------------------------------------------------------------------------- broadcast joins
+class BroadcastMembership:
+    """Actor-pool stage: semi/anti join against a broadcast key set.
+
+    The set is put in the object store ONCE (ray.put on the driver); each actor
+    resolves it in __init__ (zero-copy read), and per batch it's one pc.is_in.
+    """
+
+    def __init__(self, ref, column: str, mode: str = "semi", flag: Optional[str] = None):
+        import ray
+
+        values = ray.get(ref) if not isinstance(ref, (list, set, tuple)) else ref
+        self.value_set = pa.array(sorted(set(values)))
+        self.column = column
+        self.mode = mode
+        self.flag = flag
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.column)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        member = pc.is_in(col, value_set=self.value_set)
+        member = pc.fill_null(member, False)
+        if self.flag is not None:
+            return batch.append_column(self.flag, member)
+        keep = member if self.mode == "semi" else pc.invert(member)
+        return batch.filter(keep)
+
+
+def referential_violations(ds, column: str, allowed_ref, keep_cols: Optional[Sequence[str]] = None):
+    """Anti-join: rows whose ``column`` value is not in the broadcast registry
+    (violation keyword ``referential``, FIXTURES.md F2)."""
+    out = ds.map_batches(BroadcastMembership, fn_constructor_args=(allowed_ref, column, "anti"),
+                         batch_format="pyarrow", concurrency=(1, 8))
+    if keep_cols:
+        out = out.select_columns(list(keep_cols))
+    return out

@@ -1,0 +1,127 @@
+"""Corpus generator determinism + flagship pipeline end-to-end (small scale):
+exact expected violation counts from the injected anomalies, resume semantics,
+uniqueness, stats and drift artifacts."""
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from rayschema.corpus import OVERSIZE, corpus_batch, generate_corpus, lang_registry_table
+from rayschema.drift import compare
+from rayschema.manifest import Manifest
+
+N = 8_000
+CORPUS = "/tmp/rayschema_test/corpus"
+OUT = "/tmp/rayschema_test/out"
+
+
+def expected_counts(n: int) -> dict:
+    ids = np.arange(n)
+    null_c = ids % 503 == 0
+    empty_c = ids % 97 == 0
+    over = (ids % 401 == 0) & ~null_c & ~empty_c
+    return {
+        "referential": int((ids % 211 == 0).sum()),
+        "pattern_path": int((ids % 307 == 0).sum()),
+        "maxLength": int(over.sum()),
+        "required_content": int(null_c.sum()),
+        "dup_rows": int(((ids % 997 == 0) & (ids > 0)).sum()),
+    }
+
+
+def test_corpus_determinism():
+    a = corpus_batch(np.arange(100, 200))
+    b = corpus_batch(np.arange(150, 160))
+    assert a.slice(50, 10).equals(b)
+
+
+def test_corpus_anomalies():
+    t = corpus_batch(np.arange(N))
+    exp = expected_counts(N)
+    langs = np.asarray(t["lang"])
+    assert int((langs == "zz").sum()) == exp["referential"]
+    assert t["content"].null_count == exp["required_content"]
+    lens = [len(x) if x is not None else -1 for x in t["content"].to_pylist()]
+    assert sum(1 for l in lens if l > 10_000) == exp["maxLength"]
+    assert all(l == OVERSIZE or l <= 8000 for l in lens if l >= 0)
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(ray_session):
+    shutil.rmtree("/tmp/rayschema_test", ignore_errors=True)
+    generate_corpus(CORPUS, N, num_blocks=4)
+    from rayschema.pipeline import run_validation
+
+    summary = run_validation(CORPUS, OUT, shard_files=1, concurrency=(1, 2))
+    return summary
+
+
+def test_pipeline_verdicts(pipeline_run):
+    s = pipeline_run
+    assert s["rows"] == N
+    assert s["sha_mismatch"] == 0
+    exp = expected_counts(N)
+    assert s["duplicate_rows"] == exp["dup_rows"]
+    # failed rows = union of anomaly rows (overlaps possible)
+    ids = np.arange(N)
+    bad = ((ids % 211 == 0) | (ids % 307 == 0) | (ids % 503 == 0)
+           | ((ids % 401 == 0) & ~(ids % 503 == 0) & ~(ids % 97 == 0)))
+    assert s["failed"] == int(bad.sum())
+
+
+def test_pipeline_violation_rows(pipeline_run):
+    import duckdb
+
+    exp = expected_counts(N)
+    got = dict(duckdb.sql(
+        f"select keyword, count(*) from read_parquet('{OUT}/violations/*.parquet') "
+        "group by 1").fetchall())
+    assert got["referential"] == exp["referential"]
+    assert got["enum"] == exp["referential"]          # zz also violates enum
+    assert got["pattern"] == exp["pattern_path"]
+    assert got["maxLength"] == exp["maxLength"]
+    assert got["required"] == exp["required_content"]
+
+
+def test_pipeline_stats(pipeline_run):
+    stats = json.load(open(os.path.join(OUT, "stats.json")))
+    assert stats["lang"]["nulls"] == 0
+    assert stats["content_len"]["nulls"] == expected_counts(N)["required_content"]
+    # HLL distinct of commit ~ N - duplicated commits, within 2%
+    est = stats["commit"]["distinct_hll"]
+    true = N - expected_counts(N)["dup_rows"]
+    assert abs(est - true) / true < 0.05
+    assert stats["lang"]["freq"]["zz"] == expected_counts(N)["referential"]
+
+
+def test_pipeline_manifest_and_resume(pipeline_run, ray_session):
+    m = Manifest(os.path.join(OUT, "manifest.json"))
+    assert all(r.status == "done" for r in m.partitions.values())
+    files = sorted(glob.glob(os.path.join(CORPUS, "*.parquet")))
+    assert m.pending_files(";".join([f]) for f in files) is not None
+    # resume: nothing re-runs; summary identical
+    from rayschema.pipeline import run_validation
+
+    s2 = run_validation(CORPUS, OUT, shard_files=1, concurrency=(1, 2))
+    assert s2["rows"] == N and s2["failed"] == pipeline_run["failed"]
+    # drift vs baseline from first run: same data -> no drift
+    assert s2["drift"] is not None and s2["drift"]["drifted"] is False
+
+
+def test_drift_detects_shift():
+    base = {"quantiles": {"0.5": 100.0, "0.9": 500.0}, "freq": {"go": 0.5, "py": 0.5}}
+    cur = {"quantiles": {"0.5": 140.0, "0.9": 510.0}, "freq": {"go": 0.2, "py": 0.8}}
+    r = compare(base, cur)
+    assert r["drifted"] and any("0.5" in f for f in r["flags"])
+    same = compare(base, base)
+    assert not same["drifted"]
+
+
+def test_registry_table():
+    t = lang_registry_table()
+    assert t.num_rows == 7 and "zz" not in t["lang"].to_pylist()
