@@ -1,16 +1,10 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the rayschema engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship validation pipeline over
+/root/testdata/sf0.001/documents.parquet; ``queries()`` exposes every
+implemented operator family (SURVEY.md §2); ``oracle_sql()`` mirrors the
+SQL-expressible ones in DuckDB with IDENTICAL column names. Ray is initialised
+by the driver — nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +12,163 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from rayschema import queries as Q
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full constraint suite over documents -> per-lang verdicts."""
+    return Q.validate_documents_verdicts(SF0001)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        # -- validation (north-star core)
+        "validate_documents_verdicts": Q.validate_documents_verdicts,
+        "validate_documents_violations": Q.validate_documents_violations,
+        "referential_docs_lang": Q.referential_docs_lang,
+        # -- column statistics
+        "column_stats_lang": Q.column_stats_lang,
+        "column_stats_quantity": Q.column_stats_quantity,
+        "stats_documents_sketch": Q.stats_documents_sketch,       # rows-only
+        # -- uniqueness / dedup
+        "duplicate_events": Q.duplicate_events,
+        "exact_dedup_documents": Q.exact_dedup_documents,
+        "minhash_near_dup_documents": Q.minhash_near_dup_documents,  # rows-only
+        "simhash_near_dup_documents": Q.simhash_near_dup_documents,  # rows-only
+        "embedding_near_dup": Q.embedding_near_dup,                   # rows-only
+        # -- similarity search
+        "knn_bruteforce": Q.knn_bruteforce,                           # rows-only
+        "knn_ivf": Q.knn_ivf,                                         # rows-only
+        # -- text analysis
+        "token_counts_documents": Q.token_counts_documents,
+        "langid_documents": Q.langid_documents,                       # rows-only
+        "quality_documents": Q.quality_documents,                     # rows-only
+        "fingerprint_documents": Q.fingerprint_documents,             # rows-only
+        # -- relational engine coverage
+        "pricing_summary": Q.pricing_summary,
+        "top_revenue_customers": Q.top_revenue_customers,
+        "events_hourly_window": Q.events_hourly_window,
+        "part_brand_stats": Q.part_brand_stats,
+        "nation_region_join": Q.nation_region_join,
+        "lineitem_topk": Q.lineitem_topk,
+        "distinct_mktsegment": Q.distinct_mktsegment,
+        "orders_priority_count": Q.orders_priority_count,
+        # -- multimodal plumbing
+        "multimodal_features": Q.multimodal_features,                 # rows-only
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_PASS_COND = (
+    "doc_id IS NOT NULL AND doc_id >= 0 "
+    "AND text IS NOT NULL AND length(text) >= 50 "
+    "AND lang IS NOT NULL AND lang IN ('en','de','fr','es','zh') "
+    "AND source IS NOT NULL AND regexp_matches(source, '^src[0-9]+$') "
+    "AND n_chars IS NOT NULL AND n_chars >= 0 AND n_chars <= 100000"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "validate_documents_verdicts": f"""
+            SELECT lang,
+                   count(*)::BIGINT AS n_rows,
+                   sum(CASE WHEN {_PASS_COND} THEN 1 ELSE 0 END)::BIGINT AS passed,
+                   sum(CASE WHEN {_PASS_COND} THEN 0 ELSE 1 END)::BIGINT AS failed
+            FROM documents GROUP BY lang""",
+        "validate_documents_violations": """
+            SELECT doc_id, 'minimum' AS keyword, 'doc_id' AS column_name
+              FROM documents WHERE doc_id IS NOT NULL AND doc_id < 0
+            UNION ALL
+            SELECT doc_id, 'minLength', 'text' FROM documents
+              WHERE text IS NOT NULL AND length(text) < 50
+            UNION ALL
+            SELECT doc_id, 'enum', 'lang' FROM documents
+              WHERE lang IS NOT NULL AND lang NOT IN ('en','de','fr','es','zh')
+            UNION ALL
+            SELECT doc_id, 'pattern', 'source' FROM documents
+              WHERE source IS NOT NULL AND NOT regexp_matches(source, '^src[0-9]+$')
+            UNION ALL
+            SELECT doc_id, 'minimum', 'n_chars' FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars < 0
+            UNION ALL
+            SELECT doc_id, 'maximum', 'n_chars' FROM documents
+              WHERE n_chars IS NOT NULL AND n_chars > 100000
+            UNION ALL
+            SELECT doc_id, 'required', col FROM (
+              SELECT doc_id, 'doc_id' AS col FROM documents WHERE doc_id IS NULL
+              UNION ALL SELECT doc_id, 'text' FROM documents WHERE text IS NULL
+              UNION ALL SELECT doc_id, 'lang' FROM documents WHERE lang IS NULL
+              UNION ALL SELECT doc_id, 'source' FROM documents WHERE source IS NULL
+              UNION ALL SELECT doc_id, 'n_chars' FROM documents WHERE n_chars IS NULL
+            )""",
+        "referential_docs_lang": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang IS NULL OR lang NOT IN ('en','de','fr','es')""",
+        "column_stats_lang": """
+            SELECT count(*)::BIGINT AS n,
+                   sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+                   count(DISTINCT lang)::BIGINT AS n_distinct,
+                   min(lang) AS min_v, max(lang) AS max_v
+            FROM documents""",
+        "column_stats_quantity": """
+            SELECT count(*)::BIGINT AS n,
+                   sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+                   min(l_quantity) AS min_v, max(l_quantity) AS max_v,
+                   sum(CAST(round(l_quantity * 10) AS BIGINT)) AS sum_deci
+            FROM lineitem""",
+        "duplicate_events": """
+            SELECT user_id, event_type, count(*)::BIGINT AS n
+            FROM events GROUP BY user_id, event_type HAVING count(*) > 1""",
+        "exact_dedup_documents": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "token_counts_documents": """
+            SELECT doc_id,
+                   CASE WHEN text IS NULL THEN NULL
+                        WHEN length(text) = 0 THEN 0
+                        ELSE length(text) - length(replace(text, ' ', '')) + 1
+                   END::BIGINT AS token_count
+            FROM documents""",
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
+                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_e4,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus""",
+        "top_revenue_customers": """
+            SELECT t.o_custkey AS c_custkey, c.c_name AS c_name, t.revenue_cents
+            FROM (SELECT o_custkey,
+                         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+                  FROM orders GROUP BY o_custkey
+                  ORDER BY revenue_cents DESC, o_custkey LIMIT 10) t
+            LEFT JOIN customer c ON c.c_custkey = t.o_custkey""",
+        "events_hourly_window": """
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+            FROM events GROUP BY user_id, hour_bucket""",
+        "part_brand_stats": """
+            SELECT p_brand, count(p_size)::BIGINT AS n,
+                   min(p_size)::BIGINT AS min_size, max(p_size)::BIGINT AS max_size,
+                   sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sum_price_cents
+            FROM part GROUP BY p_brand""",
+        "nation_region_join": """
+            SELECT n.n_name, r.r_name
+            FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey""",
+        "lineitem_topk": """
+            SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents
+            FROM lineitem
+            ORDER BY price_cents DESC, l_orderkey, l_linenumber LIMIT 10""",
+        "distinct_mktsegment": """
+            SELECT DISTINCT c_mktsegment FROM customer""",
+        "orders_priority_count": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n
+            FROM orders WHERE o_totalprice > 100000.0 GROUP BY o_orderpriority""",
+    }

@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-pipeline seconds...}, "sf": ..., "num_cpus": N,
+   "rows_per_sec": ...}
+
+Headline = the north-star metric: wall time of the flagship validation
+pipeline (full draft-07 constraint suite + sha256 invariant + referential +
+stats + uniqueness + drift + manifest) over the deterministic synthetic
+corpus sized to the sf tier. Corpus generation is cached on disk (content is
+a pure function of (seed, row_id)) and excluded from timing; one untimed
+warm-read precedes measurement so page-cache state is comparable.
+
+--scaling: runs the same job in TWO FRESH PROCESSES at num_cpus=8 and 32 on
+identical input and reports both throughputs + scaling efficiency
+(BASELINE.md criterion: >= 0.8 from N to 4N).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ROOT = os.environ.get("RAYSCHEMA_BENCH_DIR", "/tmp/rayschema_bench")
+
+CORPUS_ROWS = {"sf0.001": 20_000, "sf0.01": 200_000, "sf0.1": 2_000_000}
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sf0.1"
+
+
+def run_bench() -> dict:
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from rayschema import queries as Q
+    from rayschema.corpus import generate_corpus
+    from rayschema.pipeline import run_validation
+
+    tag = _sf_tag(SF_DIR)
+    n_rows = CORPUS_ROWS.get(tag, 2_000_000)
+    corpus_dir = os.path.join(BENCH_ROOT, f"corpus_{tag}_{n_rows}")
+    marker = os.path.join(corpus_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        generate_corpus(corpus_dir, n_rows, num_blocks=max(16, NUM_CPUS))
+        open(marker, "w").write("ok")
+
+    # warm the page cache (untimed): one pruned read of the corpus
+    import ray.data as rd
+
+    rd.read_parquet(corpus_dir, columns=["repo"]).count()
+
+    out_dir = os.path.join(BENCH_ROOT, f"out_{tag}_{NUM_CPUS}_{int(time.time())}")
+    timings: dict = {}
+
+    t0 = time.time()
+    summary = run_validation(corpus_dir, out_dir, shard_files=1000000,
+                             batch_size=16384, resume=False)
+    headline = time.time() - t0
+    timings["flagship_validation"] = round(headline, 3)
+
+    # representative per-operator pipelines over the driver testdata
+    for name, fn in [
+        ("pricing_summary", Q.pricing_summary),
+        ("events_hourly_window", Q.events_hourly_window),
+        ("validate_documents_verdicts", Q.validate_documents_verdicts),
+        ("exact_dedup_documents", Q.exact_dedup_documents),
+        ("minhash_near_dup_documents", Q.minhash_near_dup_documents),
+        ("knn_bruteforce", Q.knn_bruteforce),
+        ("token_counts_documents", Q.token_counts_documents),
+    ]:
+        t0 = time.time()
+        res = fn(SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "flagship corpus validation wall time (full constraint suite "
+                  "+ stats + uniqueness + referential + drift + manifest)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": tag,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": n_rows,
+        "rows_per_sec": round(n_rows / headline, 1),
+        "failed_rows": summary.get("failed"),
+        "violations": summary.get("violations"),
+    }
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, two parallelism levels, fresh processes (BASELINE.md plan)."""
+    here = os.path.abspath(__file__)
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   PYTHONPATH=os.path.dirname(here))
+        out = subprocess.run([sys.executable, here], env=env, capture_output=True,
+                             text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpu, hi_cpu = 8, 32
+    lo = one(lo_cpu)   # also warms the corpus cache for the second run
+    hi = one(hi_cpu)
+    tput_lo = lo["rows_per_sec"]
+    tput_hi = hi["rows_per_sec"]
+    eff = (tput_hi / tput_lo) / (hi_cpu / lo_cpu)
+    return {
+        "metric": "scaling efficiency (rows/sec at 32 cpus vs 4x rows/sec at 8 cpus)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": lo["value"], "sec_32": hi["value"],
+        "rows_per_sec_8": tput_lo, "rows_per_sec_32": tput_hi,
+        "sf": lo["sf"], "corpus_rows": lo["corpus_rows"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,509 @@
+"""Driver-contract query pipelines over the /root/testdata tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / DataFrame / Table;
+``__ray_entry__.queries()`` maps names to these, and
+``__ray_entry__.oracle_sql()`` holds the DuckDB mirror for the SQL-expressible
+ones. Conventions that make the driver's value-hash comparison exact:
+
+* Money sums use integer cents: ``sum(round(x*100)::bigint)`` on both sides —
+  float summation order can never perturb the result.
+* Top-k sorts always carry a deterministic tie-break key.
+* Column names match the oracle SQL exactly (aliased on both sides).
+
+Scale notes: aggregations pre-combine per batch before the groupby shuffle;
+joins with a small side broadcast it; sorts are limited to top-k results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayschema.compile import compile_validator
+from rayschema.serde import schema_from_json
+
+DOCS_SCHEMA_JSON = """{
+ "type": "object",
+ "required": ["doc_id", "text", "lang", "source", "n_chars"],
+ "properties": {
+   "doc_id": {"type": "integer", "minimum": 0},
+   "text":   {"type": "string", "minLength": 50},
+   "lang":   {"type": "string", "enum": ["en", "de", "fr", "es", "zh"]},
+   "source": {"type": "string", "pattern": "^src[0-9]+$"},
+   "n_chars": {"type": "integer", "minimum": 0, "maximum": 100000}
+ }
+}"""
+
+LANG_REGISTRY = ["en", "de", "fr", "es"]  # zh intentionally absent -> violations
+
+
+def _read(sf_dir: str, table: str, columns: List[str] = None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _cents(x) -> np.ndarray:
+    return np.round(np.asarray(x, dtype=np.float64) * 100).astype(np.int64)
+
+
+# --------------------------------------------------------------------------- validation
+class _DocsValidator:
+    """Actor: compiled draft-07 validator for the documents table."""
+
+    def __init__(self):
+        self.v = compile_validator(schema_from_json(DOCS_SCHEMA_JSON))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mask, viols = self.v.validate(batch)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "valid": pa.array(mask),
+        })
+
+
+def validate_documents_verdicts(sf_dir: str):
+    """Per-lang pass/fail counts through the full constraint suite."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents")
+    verdicts = ds.map_batches(_DocsValidator, batch_format="pyarrow",
+                              concurrency=(1, 4))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"lang": b.column("lang").to_pandas(),
+                           "valid": b.column("valid").to_pandas()})
+        g = df.groupby("lang").agg(n_rows=("valid", "size"),
+                                   passed=("valid", "sum")).reset_index()
+        g["passed"] = g["passed"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (verdicts.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_rows", alias_name="n_rows"),
+                      Sum("passed", alias_name="passed")))
+
+    def finish(b: pa.Table) -> pa.Table:
+        rows = b.column("n_rows").to_numpy(zero_copy_only=False)
+        passed = b.column("passed").to_numpy(zero_copy_only=False)
+        return b.append_column("failed", pa.array(rows - passed))
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+class _DocsViolations:
+    """Actor: flatten per-keyword violations to (doc_id, keyword) rows
+    (leaf keywords only; the 'properties'/'required' wrapper rows of the
+    flagship pipeline are aggregated differently here to stay SQL-mirrorable)."""
+
+    LEAF = {"minimum", "maximum", "minLength", "enum", "pattern", "required"}
+
+    def __init__(self):
+        self.v = compile_validator(schema_from_json(DOCS_SCHEMA_JSON))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _, viols = self.v.validate(batch)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        out_ids, out_kw, out_col = [], [], []
+        for v in viols:
+            if v.keyword not in self.LEAF:
+                continue
+            idx = np.nonzero(v.fail_mask)[0]
+            if not idx.size:
+                continue
+            column = v.path.split("/")[-1] if "/" in v.path else v.path
+            out_ids.append(ids[idx])
+            out_kw.append(np.full(idx.size, v.keyword, dtype=object))
+            out_col.append(np.full(idx.size, column, dtype=object))
+        if not out_ids:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "keyword": pa.array([], type=pa.string()),
+                             "column_name": pa.array([], type=pa.string())})
+        return pa.table({
+            "doc_id": pa.array(np.concatenate(out_ids)),
+            "keyword": pa.array(np.concatenate(out_kw), type=pa.string()),
+            "column_name": pa.array(np.concatenate(out_col), type=pa.string()),
+        })
+
+
+def validate_documents_violations(sf_dir: str):
+    """Violation rows (doc_id, keyword, column_name)."""
+    return _read(sf_dir, "documents").map_batches(
+        _DocsViolations, batch_format="pyarrow", concurrency=(1, 4))
+
+
+def referential_docs_lang(sf_dir: str):
+    """Anti-join vs the broadcast lang registry (zh not registered)."""
+    import ray
+
+    from rayschema.unique import referential_violations
+
+    ref = ray.put(LANG_REGISTRY)
+    return referential_violations(
+        _read(sf_dir, "documents", columns=["doc_id", "lang"]),
+        "lang", ref, keep_cols=["doc_id", "lang"])
+
+
+# --------------------------------------------------------------------------- stats
+def column_stats_lang(sf_dir: str):
+    """Exact single-column profile of documents.lang."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    n = ds.count()
+    nulls = ds.aggregate(Count("lang", alias_name="nn", ignore_nulls=True))
+    n_nonnull = int(nulls["nn"])
+    distinct = ds.unique("lang")
+    mm = ds.aggregate(Min("lang", alias_name="min_v"), Max("lang", alias_name="max_v"))
+    return pd.DataFrame([{
+        "n": int(n), "nulls": int(n - n_nonnull),
+        "n_distinct": int(len(distinct)),
+        "min_v": mm["min_v"], "max_v": mm["max_v"],
+    }])
+
+
+def column_stats_quantity(sf_dir: str):
+    """Exact numeric profile of lineitem.l_quantity (sum in deci-units)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([len(q)], type=pa.int64()),
+            "nulls": pa.array([int(np.isnan(q).sum())], type=pa.int64()),
+            "min_v": pa.array([np.nanmin(q) if len(q) else None]),
+            "max_v": pa.array([np.nanmax(q) if len(q) else None]),
+            "sum_deci": pa.array([int(np.round(np.nansum(q) * 10))], type=pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .aggregate(Sum("n", alias_name="n"), Sum("nulls", alias_name="nulls"),
+                        Min("min_v", alias_name="min_v"), Max("max_v", alias_name="max_v"),
+                        Sum("sum_deci", alias_name="sum_deci")))
+    return pd.DataFrame([agg])
+
+
+def stats_documents_sketch(sf_dir: str):
+    """Approximate profile via HLL + KLL sketches (rows-only check: sketch
+    estimates are not SQL-reproducible)."""
+    from rayschema.stats import dataset_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source", "n_chars"])
+    stats = dataset_stats(ds, ["doc_id", "text", "lang", "source", "n_chars"],
+                          freq_columns=["lang"])
+    rows = []
+    for col, s in stats.items():
+        rows.append({
+            "column_name": col, "n": s["count"], "nulls": s["nulls"],
+            "distinct_hll": s["distinct_hll"],
+            "q50": (s["quantiles"] or {}).get("0.5"),
+            "q90": (s["quantiles"] or {}).get("0.9"),
+        })
+    return pd.DataFrame(sorted(rows, key=lambda r: r["column_name"]))
+
+
+# --------------------------------------------------------------------------- dedup / uniqueness
+def duplicate_events(sf_dir: str):
+    """(user_id, event_type, n) keys occurring more than once."""
+    from rayschema.unique import duplicate_key_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return duplicate_key_counts(ds, ["user_id", "event_type"])
+
+
+def exact_dedup_documents(sf_dir: str):
+    """Exact dedup on text: keep min doc_id per distinct text; returns kept ids."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": b.column("doc_id").to_pandas(),
+                           "text": b.column("text").to_pandas()})
+        g = df.groupby("text", sort=False, dropna=False)["doc_id"].min().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Min
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("text").aggregate(Min("doc_id", alias_name="doc_id")))
+    return out.select_columns(["doc_id"])
+
+
+def minhash_near_dup_documents(sf_dir: str):
+    """MinHash-LSH candidate pairs + exact-Jaccard verification (>= 0.5)."""
+    from rayschema.dedup import minhash_candidate_pairs, verify_pairs_jaccard
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds, num_perm=64, bands=16).to_pandas()
+    if not len(pairs):
+        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
+    wanted = set(pairs["id_a"]) | set(pairs["id_b"])
+    texts = {int(r["doc_id"]): r["text"]
+             for r in _read(sf_dir, "documents", columns=["doc_id", "text"])
+             .filter(expr=f"doc_id in {sorted(wanted)}").take_all()}
+    return verify_pairs_jaccard(pairs, texts, threshold=0.5)
+
+
+def simhash_near_dup_documents(sf_dir: str):
+    from rayschema.dedup import simhash_near_dups
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_near_dups(ds, max_hamming=3)
+
+
+def embedding_near_dup(sf_dir: str):
+    from rayschema.dedup import embedding_near_dups
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, cos_threshold=0.9, bits=10)
+
+
+# --------------------------------------------------------------------------- similarity
+def knn_bruteforce(sf_dir: str):
+    """Exact cosine top-10 for 3 fixed query vectors (vec_id 0,1,2)."""
+    from rayschema.similarity import brute_force_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = (ds.filter(expr="vec_id in [0, 1, 2]").to_pandas()
+         .sort_values("vec_id"))
+    queries = np.stack(q["embedding"].to_numpy())
+    return brute_force_topk(ds, queries, k=10)
+
+
+def knn_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-10 (recall checked against brute force
+    in tests; rows-only for the driver)."""
+    from rayschema.similarity import ivf_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = (ds.filter(expr="vec_id in [0, 1, 2]").to_pandas().sort_values("vec_id"))
+    queries = np.stack(q["embedding"].to_numpy())
+    return ivf_topk(ds, queries, k=10, n_clusters=8, nprobe=3)
+
+
+# --------------------------------------------------------------------------- text ops
+def token_counts_documents(sf_dir: str):
+    from rayschema.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(token_count_batch, batch_format="pyarrow")
+              .select_columns(["doc_id", "token_count"]))
+
+
+def langid_documents(sf_dir: str):
+    from rayschema.text import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return (ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+              .select_columns(["doc_id", "lang", "lang_pred", "lang_conf"]))
+
+
+def quality_documents(sf_dir: str):
+    from rayschema.text import quality_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(quality_batch, batch_format="pyarrow")
+              .select_columns(["doc_id", "q_len", "alpha_ratio", "quality"]))
+
+
+def fingerprint_documents(sf_dir: str):
+    from rayschema.text import Fingerprinter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
+              .select_columns(["doc_id", "fingerprint"]))
+
+
+# --------------------------------------------------------------------------- relational coverage
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1 analog with exact integer-cents sums; partial agg per batch
+    before the (6-group) shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-01")]
+        if not len(df):
+            return pa.table({"l_returnflag": pa.array([], type=pa.string()),
+                             "l_linestatus": pa.array([], type=pa.string()),
+                             "sum_qty": pa.array([], type=pa.int64()),
+                             "sum_base_price_cents": pa.array([], type=pa.int64()),
+                             "sum_disc_price_e4": pa.array([], type=pa.int64()),
+                             "count_order": pa.array([], type=pa.int64())})
+        df["sum_qty"] = df["l_quantity"].astype(np.int64)
+        df["sum_base_price_cents"] = _cents(df["l_extendedprice"])
+        disc = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64) * \
+            np.round((1 - df["l_discount"].to_numpy()) * 100).astype(np.int64)
+        df["sum_disc_price_e4"] = disc
+        g = (df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+               .agg(sum_qty=("sum_qty", "sum"),
+                    sum_base_price_cents=("sum_base_price_cents", "sum"),
+                    sum_disc_price_e4=("sum_disc_price_e4", "sum"),
+                    count_order=("l_returnflag", "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["l_returnflag", "l_linestatus"])
+              .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                         Sum("sum_base_price_cents", alias_name="sum_base_price_cents"),
+                         Sum("sum_disc_price_e4", alias_name="sum_disc_price_e4"),
+                         Sum("count_order", alias_name="count_order")))
+
+
+def top_revenue_customers(sf_dir: str):
+    """Orders aggregated per customer (integer cents), customer names joined
+    from the BROADCAST small side, top 10 by revenue (tie-break c_custkey)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_custkey": b.column("o_custkey").to_pandas()})
+        df["revenue_cents"] = _cents(b.column("o_totalprice").to_pandas())
+        g = df.groupby("o_custkey", as_index=False)["revenue_cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+    top = per_cust.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(10)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+
+    def attach(b: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = b.column("o_custkey").to_pylist()
+        names = [lookup.get(k) for k in keys]
+        return (b.rename_columns(["c_custkey", "revenue_cents"])
+                 .append_column("c_name", pa.array(names, type=pa.string())))
+
+    return top.map_batches(attach, batch_format="pyarrow")
+
+
+def events_hourly_window(sf_dir: str):
+    """Tumbling 1-hour window per user: event count + integer-cents value sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        df = pd.DataFrame({
+            "user_id": b.column("user_id").to_pandas(),
+            "hour_bucket": hour,
+            "value_cents": _cents(b.column("value").to_pandas()),
+        })
+        g = (df.groupby(["user_id", "hour_bucket"], as_index=False)
+               .agg(n_events=("value_cents", "size"),
+                    sum_value_cents=("value_cents", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["user_id", "hour_bucket"])
+              .aggregate(Sum("n_events", alias_name="n_events"),
+                         Sum("sum_value_cents", alias_name="sum_value_cents")))
+
+
+def part_brand_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_size", "p_retailprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": b.column("p_brand"),
+            "p_size": b.column("p_size").cast(pa.int64()),
+            "price_cents": pa.array(_cents(b.column("p_retailprice").to_pandas())),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby("p_brand")
+              .aggregate(Count("p_size", alias_name="n"),
+                         Min("p_size", alias_name="min_size"),
+                         Max("p_size", alias_name="max_size"),
+                         Sum("price_cents", alias_name="sum_price_cents")))
+
+
+def nation_region_join(sf_dir: str):
+    """Broadcast hash join: every nation with its region name."""
+    import ray
+
+    region = _read(sf_dir, "region").to_pandas()
+    ref = ray.put(dict(zip(region["r_regionkey"], region["r_name"])))
+
+    def attach(b: pa.Table) -> pa.Table:
+        lookup = ray.get(ref)
+        rk = b.column("n_regionkey").to_pylist()
+        return pa.table({
+            "n_name": b.column("n_name"),
+            "r_name": pa.array([lookup.get(k) for k in rk], type=pa.string()),
+        })
+
+    return _read(sf_dir, "nation").map_batches(attach, batch_format="pyarrow")
+
+
+def lineitem_topk(sf_dir: str):
+    """Top 10 line items by extended price (deterministic tie-break)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "l_linenumber": b.column("l_linenumber").cast(pa.int64()),
+            "price_cents": pa.array(_cents(b.column("l_extendedprice").to_pandas())),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+              .sort(["price_cents", "l_orderkey", "l_linenumber"],
+                    descending=[True, False, False])
+              .limit(10))
+
+
+def distinct_mktsegment(sf_dir: str):
+    import ray.data as rd
+
+    vals = _read(sf_dir, "customer", columns=["c_mktsegment"]).unique("c_mktsegment")
+    return pd.DataFrame({"c_mktsegment": sorted(vals)})
+
+
+def orders_priority_count(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    return (ds.filter(expr="o_totalprice > 100000.0")
+              .groupby("o_orderpriority")
+              .aggregate(Count("o_totalprice", alias_name="n")))
+
+
+def multimodal_features(sf_dir: str):
+    """Binary media plumbing demo: synthetic media table -> actor-pool decode
+    (deterministic fake codec) -> feature columns (rows-only check)."""
+    import ray.data as rd
+
+    from rayschema.multimodal import MediaFeatureStage, fake_decode, synth_media_table
+
+    t = synth_media_table(256)
+    ds = rd.from_arrow(t)
+    return ds.map_batches(MediaFeatureStage,
+                          fn_constructor_kwargs=dict(decode_fn=fake_decode),
+                          batch_format="pyarrow", batch_size=64,
+                          concurrency=(1, 2)) \
+             .select_columns(["media_id", "kind", "payload_sha256",
+                              "payload_bytes", "feat_mean", "feat_dim"])

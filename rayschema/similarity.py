@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (list<float>).
+
+* ``brute_force_topk``: the exactness baseline — the query matrix is broadcast
+  via ``ray.put`` ONCE; each batch computes a numpy matmul of its vectors
+  against all queries and emits only its local top-k candidates (k rows per
+  query per batch); the driver merges candidate sets (O(batches * k), tiny).
+  No shuffle, reads stream.
+* ``ivf_topk``: the scale path — a coarse k-means codebook trained on a small
+  sample (driver-side), vectors assigned to their nearest centroid in a
+  map_batches pass (written bucketed); queries probe only the ``nprobe``
+  nearest centroid buckets. At 100 TB the bucket assignment is a one-off
+  partitioned write and each query touches a fraction of the data.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+class BatchTopK:
+    """Actor stage: per-batch cosine top-k against the broadcast query matrix."""
+
+    def __init__(self, queries_ref, k: int = 10, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        import ray
+
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+        mat = _normalize(mat)
+        ids = np.asarray(batch.column(self.id_col).to_pylist())
+        sims = mat @ self.q.T                      # (n, nq)
+        n, nq = sims.shape
+        k = min(self.k, n)
+        top = np.argpartition(-sims, k - 1, axis=0)[:k]   # (k, nq)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(nq):
+            sel = top[:, qi]
+            out_q.append(np.full(k, qi, dtype=np.int64))
+            out_id.append(ids[sel])
+            out_sim.append(sims[sel, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            self.id_col: pa.array(np.concatenate(out_id)),
+            "cosine": pa.array(np.concatenate(out_sim)),
+        })
+
+
+def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     concurrency=(1, 8)) -> pd.DataFrame:
+    """Exact cosine top-k for each query row; returns a DataFrame
+    (query_id, vec_id, cosine, rank) with deterministic tie-break on id."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    cand = ds.map_batches(BatchTopK,
+                          fn_constructor_kwargs=dict(queries_ref=qref, k=k,
+                                                     id_col=id_col, vec_col=vec_col),
+                          batch_format="pyarrow", concurrency=concurrency)
+    df = cand.to_pandas()                        # O(batches * k * nq) — small
+    df = df.sort_values(["query_id", "cosine", id_col],
+                        ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df["cosine"] = np.round(df["cosine"], 6)
+    return df
+
+
+# --------------------------------------------------------------------------- IVF
+def train_codebook(sample: np.ndarray, n_clusters: int = 16, iters: int = 10,
+                   seed: int = 99) -> np.ndarray:
+    """Tiny Lloyd's k-means on a driver-side sample (cosine space)."""
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        sim = x @ cent.T
+        assign = sim.argmax(axis=1)
+        for c in range(len(cent)):
+            sel = x[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfAssign:
+    """Actor stage: nearest-centroid bucket id per vector."""
+
+    def __init__(self, codebook_ref, vec_col: str = "embedding", out: str = "ivf_bucket"):
+        import ray
+
+        cb = ray.get(codebook_ref) if not isinstance(codebook_ref, np.ndarray) else codebook_ref
+        self.cent = _normalize(np.asarray(cb, dtype=np.float64))
+        self.vec_col = vec_col
+        self.out = out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = _normalize(np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64))
+        assign = (mat @ self.cent.T).argmax(axis=1).astype(np.int32)
+        return batch.append_column(self.out, pa.array(assign))
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_size: int = 2048, concurrency=(1, 8), seed: int = 99) -> pd.DataFrame:
+    """Approximate top-k: probe only the nprobe nearest IVF buckets per query.
+
+    Returns (query_id, vec_id, cosine, rank). Recall < 1 by design; the
+    brute-force path is the correctness baseline."""
+    import ray
+
+    sample = ds.limit(sample_size).to_pandas()[vec_col]
+    cb = train_codebook(np.stack(sample.to_numpy()), n_clusters, seed=seed)
+    cbref = ray.put(cb)
+    assigned = ds.map_batches(IvfAssign,
+                              fn_constructor_kwargs=dict(codebook_ref=cbref, vec_col=vec_col),
+                              batch_format="pyarrow", concurrency=concurrency)
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ cb.T), axis=1)[:, :nprobe]        # (nq, nprobe)
+    wanted = sorted({int(b) for row in probe for b in row})
+    flt = assigned.filter(expr=f"ivf_bucket in {wanted}" if len(wanted) > 1
+                          else f"ivf_bucket == {wanted[0]}")
+    df = brute_force_topk(flt, queries, k=k, id_col=id_col, vec_col=vec_col,
+                          concurrency=concurrency)
+    # drop hits from buckets a given query did not probe
+    bucket_of = {}
+    probe_sets = {qi: set(map(int, probe[qi])) for qi in range(len(q))}
+    keep_rows = []
+    id_bucket = assigned.select_columns([id_col, "ivf_bucket"]).to_pandas()
+    id2b = dict(zip(id_bucket[id_col], id_bucket["ivf_bucket"]))
+    for _, r in df.iterrows():
+        if int(id2b.get(r[id_col], -1)) in probe_sets[int(r["query_id"])]:
+            keep_rows.append(r)
+    out = pd.DataFrame(keep_rows).reset_index(drop=True)
+    if len(out):
+        out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out

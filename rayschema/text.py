@@ -1,0 +1,186 @@
+"""Text analysis stages for large-scale training-data pipelines:
+language-ID (n-gram/stopword heuristic), quality scoring, token counting,
+document fingerprinting (rolling hash). All vectorized or actor-pool
+map_batches stages over the `documents` table shape
+(doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from rayschema.sketches import hash64
+
+# --------------------------------------------------------------------------- token counting
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text",
+                      out: str = "token_count") -> pa.Table:
+    """Whitespace token count = count(' ') + 1 (0 for empty/null).
+
+    Exactly mirrors SQL ``len(string_split(text, ' '))`` so the DuckDB oracle
+    matches value-for-value."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    spaces = pc.count_substring(col, " ")
+    n = pc.add(spaces, 1)
+    empty = pc.equal(pc.utf8_length(col), 0)
+    n = pc.if_else(empty, pa.scalar(0, type=n.type), n)
+    return batch.append_column(out, n.cast(pa.int64()))
+
+
+_BPE_ISH = re.compile(r"\w+|[^\w\s]")
+
+
+class BpeishTokenCounter:
+    """Actor stage: regex token count (word + punctuation tokens), the
+    BPE-ish approximation; regex compiled once per actor."""
+
+    def __init__(self, text_col: str = "text", out: str = "bpeish_tokens"):
+        self.rx = _BPE_ISH
+        self.text_col = text_col
+        self.out = out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        counts = np.fromiter(
+            (0 if t is None else len(self.rx.findall(t)) for t in texts),
+            dtype=np.int64, count=len(texts))
+        return batch.append_column(self.out, pa.array(counts))
+
+
+# --------------------------------------------------------------------------- language ID
+
+# Tiny per-language stopword lists (public knowledge, high-frequency words).
+STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "von"],
+    "fr": ["le", "la", "les", "et", "est", "pour", "que", "une", "dans", "des"],
+    "es": ["el", "la", "los", "que", "de", "es", "por", "una", "con", "para"],
+    "zh": [],  # CJK handled by codepoint-range ratio
+}
+
+
+class LangId:
+    """Actor stage: heuristic language ID.
+
+    Scoring: stopword hit-rate per language over lowercased word tokens; a
+    CJK-codepoint ratio shortcut for zh. Deterministic; emits
+    ``lang_pred`` and ``lang_conf``."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.word = re.compile(r"[a-zA-Z]+")
+        self.sets = {k: frozenset(v) for k, v in STOPWORDS.items() if v}
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_col].fillna("")
+        preds, confs = [], []
+        for t in texts:
+            t_head = t[:2000]
+            if t_head:
+                cjk = sum(1 for ch in t_head[:400] if "一" <= ch <= "鿿")
+                if cjk / max(1, min(len(t_head), 400)) > 0.2:
+                    preds.append("zh")
+                    confs.append(round(cjk / max(1, min(len(t_head), 400)), 4))
+                    continue
+            words = [w.lower() for w in self.word.findall(t_head)]
+            nw = max(1, len(words))
+            scores = {lang: sum(w in sw for w in words) / nw
+                      for lang, sw in self.sets.items()}
+            best = max(scores, key=lambda k: (scores[k], k)) if scores else "en"
+            if scores.get(best, 0.0) == 0.0:
+                best = "unknown"
+            preds.append(best)
+            confs.append(round(scores.get(best, 0.0), 4))
+        batch["lang_pred"] = preds
+        batch["lang_conf"] = confs
+        return batch
+
+
+# --------------------------------------------------------------------------- quality scoring
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Vectorized quality signals: length, alpha ratio, digit ratio,
+    punct ratio, mean token length, and a composite [0,1] quality score.
+    Heuristics in the style of C4/Gopher text-quality filters (public)."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    length = pc.fill_null(pc.utf8_length(col), 0).cast(pa.float64())
+    n = len(col)
+
+    def count_rx(pattern: str) -> pa.Array:
+        return pc.fill_null(pc.count_substring_regex(col, pattern), 0).cast(pa.float64())
+
+    alpha = count_rx(r"[A-Za-z]")
+    digit = count_rx(r"[0-9]")
+    punct = count_rx(r"[^\w\s]")
+    spaces = count_rx(r" ")
+    denom = pc.max_element_wise(length, pa.scalar(1.0))
+    alpha_ratio = pc.divide(alpha, denom)
+    digit_ratio = pc.divide(digit, denom)
+    punct_ratio = pc.divide(punct, denom)
+    tokens = pc.add(spaces, 1.0)
+    mean_tok = pc.divide(length, tokens)
+    ln = length.to_numpy(zero_copy_only=False)
+    len_score = np.clip(np.log1p(ln) / np.log(1000.0), 0.0, 1.0)
+    a = alpha_ratio.to_numpy(zero_copy_only=False)
+    d = digit_ratio.to_numpy(zero_copy_only=False)
+    p = punct_ratio.to_numpy(zero_copy_only=False)
+    score = np.clip(0.4 * len_score + 0.5 * a - 0.2 * d - 0.1 * np.maximum(p - 0.2, 0), 0.0, 1.0)
+    return (batch
+            .append_column("q_len", length.cast(pa.int64()))
+            .append_column("alpha_ratio", alpha_ratio)
+            .append_column("digit_ratio", digit_ratio)
+            .append_column("punct_ratio", punct_ratio)
+            .append_column("mean_token_len", mean_tok)
+            .append_column("quality", pa.array(score)))
+
+
+# --------------------------------------------------------------------------- fingerprinting
+class Fingerprinter:
+    """Actor stage: document fingerprint = the k smallest 64-bit rolling-hash
+    values over word w-shingles (winnowing-style min-sampling; Schleimer et
+    al., "Winnowing: Local Algorithms for Document Fingerprinting", 2003).
+    Emits ``fingerprint`` (uint64 = min shingle hash) and ``fp_minhashes``
+    (list of k mins) usable for containment estimation."""
+
+    def __init__(self, text_col: str = "text", w: int = 3, k: int = 8):
+        self.text_col = text_col
+        self.w = w
+        self.k = k
+        self.word = re.compile(r"\S+")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        fps = np.zeros(len(texts), dtype=np.uint64)
+        mins_list: List[List[int]] = []
+        for i, t in enumerate(texts):
+            if not t:
+                mins_list.append([])
+                continue
+            toks = self.word.findall(t)
+            if len(toks) < self.w:
+                sh = [" ".join(toks)] if toks else []
+            else:
+                sh = [" ".join(toks[j:j + self.w]) for j in range(len(toks) - self.w + 1)]
+            if not sh:
+                mins_list.append([])
+                continue
+            hs = hash64(np.array(sh, dtype=object))
+            k = min(self.k, len(hs))
+            smallest = np.sort(hs)[:k]
+            fps[i] = smallest[0]
+            mins_list.append([int(x) for x in smallest])
+        return (batch
+                .append_column("fingerprint", pa.array(fps, type=pa.uint64()))
+                .append_column("fp_minhashes", pa.array(mins_list, type=pa.list_(pa.uint64()))))
