@@ -1,0 +1,427 @@
+"""Schema inference: Arrow schema / virtual record -> Schema IR.
+
+The engine analog of the reference's ``Reflector`` (SURVEY.md §2.B,
+/root/reference/reflect.go): where the reference walks Go types with
+``reflect``, this walks ``pyarrow`` types — the rules are the same mapping
+table re-expressed for Arrow (kindSwitch reflect.go:839-973, well-knowns
+reflect.go:742-776, nullability reflect.go:1332-1393). Inference is a
+DRIVER-side operation (runs once per pipeline, never per row); the resulting
+IR compiles to the vectorized validator (compile.py).
+
+Mapping rules:
+* struct -> object + properties; non-nullable field -> ``required`` (our
+  analog of the required tag reflect.go:1144-1154); nullable field ->
+  ``type: [..., "null"]`` (pointer nullability, reflect.go:439-441, 1372-1376)
+* list/large_list/fixed_size_list -> array + items recursion
+  (reflect.go:856-901; fixed_size_list also sets min/maxItems)
+* map -> object + additionalProperties recursion (reflect.go:903-949)
+* int types -> integer; UNSIGNED ints also get ``minimum: 0`` and keep
+  ``reflect_type`` so the is_trivial uint quirk holds (reflect.go:955-957,
+  helper.go:200-212)
+* float/decimal -> number; bool -> boolean; string -> string
+* well-knowns (reflect.go:742-776): binary -> string format base64;
+  fixed_size_binary(16) -> string format uuid (+ example);
+  timestamp -> string format date-time; date32/64 -> string format date;
+  time32/64 -> string format time
+* dictionary -> its value type; null -> type "null"
+
+Extension surface (§2.E): options mirror the reference's Reflect options —
+property-name mapping, interceptors (schema/property/def-name), inline refs,
+root ref/nullable, definitions collection — plus per-field metadata (the
+Arrow analog of Go struct tags: Arrow Field.metadata keys or an explicit
+``field_meta`` dict) carrying title/description/format/pattern/minimum/
+enum/default/examples/required/nullable.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+
+import pyarrow as pa
+
+from rayschema.ir import ABSENT, Schema
+
+# ----------------------------------------------------------------------- toCamel
+
+
+_NUM_SEQ = re.compile(r"([a-zA-Z])(\d+)([a-zA-Z]?)")
+
+
+def to_camel(s: str) -> str:
+    """CamelCase normalizer, porting the reference's digit-splitting rules
+    (camelcase.go:9-50): 'org_unit' -> 'OrgUnit', 'abc2d' -> 'Abc2D'."""
+    s = _NUM_SEQ.sub(r"\1 \2 \3", s).strip()
+    out = []
+    cap_next = True
+    for ch in s:
+        if "A" <= ch <= "Z":
+            out.append(ch)
+        if "0" <= ch <= "9":
+            out.append(ch)
+        if ch in "[]":
+            out.append(ch)
+        if "a" <= ch <= "z":
+            out.append(ch.upper() if cap_next else ch)
+        cap_next = ch in "_ -.[]·"
+    return "".join(out)
+
+
+# ----------------------------------------------------------------------- virtual records
+@dataclass
+class VirtualField:
+    """Field of a virtual record (Field analog, /root/reference/struct.go:22-29)."""
+
+    name: str
+    type: Any                      # pa.DataType | VirtualStruct
+    required: bool = False
+    nullable: bool = False
+    meta: Dict[str, Any] = dc_field(default_factory=dict)
+
+
+@dataclass
+class VirtualStruct:
+    """Runtime-defined record treated like a static struct
+    (Struct analog, /root/reference/struct.go:13-20)."""
+
+    fields: List[VirtualField]
+    title: Optional[str] = None
+    description: Optional[str] = None
+    def_name: Optional[str] = None
+    nullable: bool = False
+
+
+# ----------------------------------------------------------------------- options
+class SkipProperty(Exception):
+    """Raised by an intercept_prop hook to drop a property
+    (ErrSkipProperty analog, reflect.go:33-35)."""
+
+
+@dataclass
+class InferOptions:
+    """Mirror of the reference's reflection options (context.go:12-244)."""
+
+    definitions_prefix: str = "#/definitions/"
+    property_name_mapping: Dict[str, str] = dc_field(default_factory=dict)
+    required_from_nullability: bool = True     # non-nullable arrow field -> required
+    nullable_from_arrow: bool = True           # nullable field type += "null"
+    envelop_nullability: bool = False          # $ref nullability via anyOf envelope
+    root_ref: bool = False
+    root_nullable: bool = False
+    inline_refs: bool = False
+    strip_definition_name_prefix: List[str] = dc_field(default_factory=list)
+    skip_non_constraints: bool = False         # drop title/description/examples
+    field_meta: Dict[str, Dict[str, Any]] = dc_field(default_factory=dict)
+    # interceptors (context.go:124-188); called (path, subject, schema)
+    intercept_schema: Optional[Callable[[List[str], Any, Schema], Optional[bool]]] = None
+    intercept_prop: Optional[Callable[[str, Any, Schema], None]] = None
+    intercept_def_name: Optional[Callable[[Any, str], str]] = None
+    intercept_nullability: Optional[Callable[[Any, Schema], None]] = None
+    collect_definitions: Optional[Callable[[str, Schema], None]] = None
+
+
+_META_KEYWORDS = {
+    "title": "title", "description": "description", "format": "format",
+    "pattern": "pattern", "minimum": "minimum", "maximum": "maximum",
+    "exclusiveMinimum": "exclusive_minimum", "exclusiveMaximum": "exclusive_maximum",
+    "multipleOf": "multiple_of", "minLength": "min_length", "maxLength": "max_length",
+    "minItems": "min_items", "maxItems": "max_items", "uniqueItems": "unique_items",
+    "const": "const",
+}
+
+
+class Inferrer:
+    """Driver-side schema inferrer with cross-call definition caches
+    (Reflector state analog, reflect.go:93-98)."""
+
+    def __init__(self, options: Optional[InferOptions] = None):
+        self.options = options or InferOptions()
+        self._definitions: Dict[str, Schema] = {}
+        self._def_of_type: Dict[str, str] = {}
+        self._def_index: Dict[str, int] = {}
+
+    # ------------------------------------------------------------------ naming
+    def _def_name(self, subject: Any, fallback: str) -> str:
+        name = None
+        if isinstance(subject, VirtualStruct) and subject.def_name:
+            name = subject.def_name
+        if name is None:
+            name = to_camel(fallback)
+        for pref in self.options.strip_definition_name_prefix:
+            if name.startswith(pref):
+                name = name[len(pref):]
+        if self.options.intercept_def_name:
+            name = self.options.intercept_def_name(subject, name)
+        base, i = name, self._def_index.get(name, 0)
+        # conflict suffix TypeN (reflect.go:816-836)
+        while name in self._definitions and self._def_of_type.get(self._fingerprint(subject)) != name:
+            i += 1
+            name = f"{base}Type{i}"
+        self._def_index[base] = i
+        return name
+
+    @staticmethod
+    def _fingerprint(subject: Any) -> str:
+        if isinstance(subject, VirtualStruct):
+            return "virtual:" + (subject.def_name or str(id(subject)))
+        return "arrow:" + str(subject)
+
+    # ------------------------------------------------------------------ entry
+    def infer(self, subject: Union[pa.Schema, pa.DataType, VirtualStruct],
+              root_def_name: str = "Root") -> Schema:
+        """Reflect entry point (reflect.go:269-306): recurse, then merge
+        collected definitions into the root (or stream to collect_definitions)."""
+        self._definitions = {}
+        if isinstance(subject, pa.Schema):
+            subject = pa.struct(list(subject))
+        path: List[str] = ["#"]
+        schema = self._node(subject, path, root_def_name, top=True)
+        if self.options.root_nullable:
+            schema.add_type("null")
+        if self.options.root_ref and not self.options.inline_refs:
+            name = self._def_name(subject, root_def_name)
+            self._definitions[name] = schema
+            ref = Schema()
+            ref.ref = self.options.definitions_prefix + _escape_ref(name)
+            schema = ref
+        if self._definitions:
+            if self.options.collect_definitions:
+                for k, v in self._definitions.items():
+                    self.options.collect_definitions(k, v)
+            else:
+                schema.definitions = dict(self._definitions)
+        return schema
+
+    # ------------------------------------------------------------------ recursion
+    def _node(self, t: Any, path: List[str], hint: str, top: bool = False,
+              meta: Optional[Dict[str, Any]] = None) -> Schema:
+        s = Schema()
+        s.reflect_type = t if isinstance(t, pa.DataType) else None
+
+        if self.options.intercept_schema is not None:
+            stop = self.options.intercept_schema(list(path), t, s)
+            if stop:
+                return s
+
+        if isinstance(t, VirtualStruct):
+            if not self.options.skip_non_constraints:
+                s.title, s.description = t.title, t.description
+            self._struct_fields(s, t.fields, path)
+            if t.nullable:
+                s.add_type("null")
+            s.add_type("object")
+            # re-order: object first, null second
+            s.type = ["object", "null"] if t.nullable else "object"
+            return self._maybe_define(t, s, hint, top)
+
+        t = _undict(t)
+
+        if self._well_known(t, s):
+            return self._apply_meta(s, meta)
+
+        if pa.types.is_struct(t):
+            fields = [VirtualField(f.name, f.type, required=not f.nullable,
+                                   nullable=f.nullable,
+                                   meta=_arrow_field_meta(f)) for f in t]
+            self._struct_fields(s, fields, path)
+            s.type = "object"
+            return self._apply_meta(self._maybe_define(t, s, hint, top), meta)
+
+        if pa.types.is_map(t):
+            s.type = "object"
+            sub = self._node(t.item_type, path + ["additionalProperties"], hint + "Value")
+            if not _is_empty_schema(sub):
+                s.additional_properties = sub
+            return self._apply_meta(s, meta)
+
+        if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+            s.type = "array"
+            sub = self._node(t.value_type, path + ["items"], hint + "Items")
+            if not _is_empty_schema(sub):
+                s.items = sub
+            if pa.types.is_fixed_size_list(t):
+                s.min_items = t.list_size
+                s.max_items = t.list_size
+            return self._apply_meta(s, meta)
+
+        # scalar kinds (kindSwitch reflect.go:951-969)
+        if pa.types.is_boolean(t):
+            s.type = "boolean"
+        elif pa.types.is_unsigned_integer(t):
+            s.type = "integer"
+            s.minimum = 0              # reflect.go:955-957
+        elif pa.types.is_integer(t):
+            s.type = "integer"
+        elif pa.types.is_floating(t) or pa.types.is_decimal(t):
+            s.type = "number"
+        elif pa.types.is_string(t) or pa.types.is_large_string(t):
+            s.type = "string"
+        elif pa.types.is_null(t):
+            s.type = "null"
+        # unknown types -> no type constraint (interface{} analog reflect.go:962)
+        return self._apply_meta(s, meta)
+
+    def _well_known(self, t: pa.DataType, s: Schema) -> bool:
+        """reflect.go:742-776 re-expressed for Arrow physical types."""
+        if pa.types.is_fixed_size_binary(t) and t.byte_width == 16:
+            s.type = "string"
+            s.format = "uuid"
+            if not self.options.skip_non_constraints:
+                s.examples = ["248df4b7-aa70-47b8-a036-33ac447e668d"]
+            return True
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t) or pa.types.is_fixed_size_binary(t):
+            s.type = "string"
+            s.format = "base64"
+            return True
+        if pa.types.is_timestamp(t):
+            s.type = "string"
+            s.format = "date-time"
+            return True
+        if pa.types.is_date(t):
+            s.type = "string"
+            s.format = "date"
+            return True
+        if pa.types.is_time(t):
+            s.type = "string"
+            s.format = "time"
+            return True
+        return False
+
+    def _struct_fields(self, s: Schema, fields: Sequence[VirtualField],
+                       path: List[str]) -> None:
+        """walkProperties analog (reflect.go:1065-1254)."""
+        props: Dict[str, Any] = {}
+        required: List[str] = []
+        for f in fields:
+            name = self.options.property_name_mapping.get(f.name, f.name)
+            if name == "-":                       # skip marker (reflect.go:1073)
+                continue
+            meta = dict(f.meta or {})
+            meta.update(self.options.field_meta.get(f.name, {}))
+            sub = self._node(f.type, path + [name], name, meta=meta)
+            if self.options.intercept_prop is not None:
+                try:
+                    self.options.intercept_prop(name, f, sub)
+                except SkipProperty:
+                    continue
+            nullable = meta.get("nullable", f.nullable and self.options.nullable_from_arrow)
+            if nullable:
+                self._check_nullability(sub, f)
+            req = meta.get("required",
+                           f.required and self.options.required_from_nullability)
+            if req:
+                required.append(name)
+            props[name] = sub
+        if props:
+            s.properties = props
+        if required:
+            s.required = required
+
+    def _check_nullability(self, sub: Schema, f: VirtualField) -> None:
+        """checkNullability analog (reflect.go:1332-1393)."""
+        if self.options.intercept_nullability is not None:
+            self.options.intercept_nullability(f, sub)
+            return
+        if sub.ref is not None and self.options.envelop_nullability:
+            ref = Schema()
+            ref.ref = sub.ref
+            null_s = Schema()
+            null_s.type = "null"
+            sub.ref = None
+            sub.any_of = [null_s, ref]
+            return
+        if sub.type is not None and not sub.has_type("null"):
+            sub.add_type("null")
+
+    def _maybe_define(self, t: Any, s: Schema, hint: str, top: bool) -> Schema:
+        """reflectDefer analog (reflect.go:327-381): the root stays inline;
+        repeated nested struct types are hoisted into definitions + $ref."""
+        if top or self.options.inline_refs:
+            return s
+        fp = self._fingerprint(t)
+        if fp in self._def_of_type:
+            name = self._def_of_type[fp]
+        else:
+            name = self._def_name(t, hint)
+            self._def_of_type[fp] = name
+            self._definitions[name] = s
+        ref = Schema()
+        ref.ref = self.options.definitions_prefix + _escape_ref(name)
+        return ref
+
+    def _apply_meta(self, s: Schema, meta: Optional[Dict[str, Any]]) -> Schema:
+        """Field-metadata -> keywords (the Arrow analog of the reference's
+        tag parsing, reflect.go:1140-1220 + checkInlineValue 1256-1318)."""
+        if not meta:
+            return s
+        for key, attr in _META_KEYWORDS.items():
+            if key in meta:
+                v = meta[key]
+                if self.options.skip_non_constraints and attr in ("title", "description"):
+                    continue
+                setattr(s, attr, v)
+        if "enum" in meta:
+            v = meta["enum"]
+            s.enum = list(v) if isinstance(v, (list, tuple)) else _parse_list(v)
+        if "enum_names" in meta:
+            s.extra_properties["x-enum-names"] = list(meta["enum_names"])
+        if "default" in meta:
+            s.default = meta["default"]
+        if "examples" in meta and not self.options.skip_non_constraints:
+            v = meta["examples"]
+            s.examples = list(v) if isinstance(v, (list, tuple)) else _parse_list(v)
+        return s
+
+
+def _parse_list(v: Any) -> List[Any]:
+    """Tag-text fallback parsing (checkInlineValue reflect.go:1256-1318):
+    JSON array first, then comma-separated list."""
+    if isinstance(v, str):
+        try:
+            out = json.loads(v)
+            if isinstance(out, list):
+                return out
+        except ValueError:
+            pass
+        return [x.strip() for x in v.split(",")]
+    return [v]
+
+
+def _arrow_field_meta(f: pa.Field) -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    if f.metadata:
+        for k, v in f.metadata.items():
+            key = k.decode() if isinstance(k, bytes) else k
+            val = v.decode() if isinstance(v, bytes) else v
+            try:
+                val = json.loads(val)
+            except (ValueError, TypeError):
+                pass
+            out[key] = val
+    return out
+
+
+def _undict(t: Any) -> Any:
+    if isinstance(t, pa.DataType) and pa.types.is_dictionary(t):
+        return t.value_type
+    return t
+
+
+def _is_empty_schema(s: Schema) -> bool:
+    from rayschema.serde import schema_to_dict
+
+    return not schema_to_dict(s)
+
+
+def _escape_ref(name: str) -> str:
+    """JSON-pointer escaping (Ref.Schema + defNameEscaper, reflect.go:72-90)."""
+    return name.replace("~", "~0").replace("/", "~1").replace("%", "%25")
+
+
+def infer_schema(subject: Union[pa.Schema, pa.DataType, VirtualStruct],
+                 options: Optional[InferOptions] = None,
+                 root_def_name: str = "Root") -> Schema:
+    """One-shot inference (Reflector.Reflect analog, reflect.go:269-306)."""
+    return Inferrer(options).infer(subject, root_def_name)
