@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_topk": Q.lineitem_topk,
         "distinct_mktsegment": Q.distinct_mktsegment,
         "orders_priority_count": Q.orders_priority_count,
+        # -- dynamic JSON column validation
+        "validate_events_props": Q.validate_events_props,
         # -- multimodal plumbing
         "multimodal_features": Q.multimodal_features,                 # rows-only
     }
@@ -171,4 +173,11 @@ def oracle_sql() -> dict[str, str]:
         "orders_priority_count": """
             SELECT o_orderpriority, count(*)::BIGINT AS n
             FROM orders WHERE o_totalprice > 100000.0 GROUP BY o_orderpriority""",
+        "validate_events_props": """
+            SELECT event_id,
+                   (json_valid(props)
+                    AND json_extract(props, '$.k') IS NOT NULL
+                    AND json_type(json_extract(props, '$.k')) IN ('INTEGER','UBIGINT','BIGINT')
+                    AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50) AS valid
+            FROM events""",
     }

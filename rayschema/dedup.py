@@ -35,12 +35,39 @@ from rayschema.sketches import hash64
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
+_FNV = np.uint64(1099511628211)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — decorrelates the polynomial rolling hash."""
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingle hash set of one document."""
+    """Character k-shingle hash set of one document — vectorized polynomial
+    rolling hash over the raw bytes (no substring objects): k shifted adds
+    with wrap-around uint64 arithmetic, then a splitmix64 mix."""
     if not text or len(text) < k:
-        return hash64(np.array([text or ""], dtype=object))
-    sh = [text[i:i + k] for i in range(len(text) - k + 1)]
-    return np.unique(hash64(np.array(sh, dtype=object)))
+        return _mix64(hash64(np.array([text or ""], dtype=object)))
+    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.uint64)
+    if len(b) < k:
+        return _mix64(hash64(np.array([text], dtype=object)))
+    n = len(b) - k + 1
+    with np.errstate(over="ignore"):   # wrap-around is the hash arithmetic
+        pw = np.empty(k, dtype=np.uint64)
+        pw[k - 1] = 1
+        for j in range(k - 2, -1, -1):
+            pw[j] = pw[j + 1] * _FNV
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        acc += b[j:j + n] * pw[j]
+    return np.unique(_mix64(acc))
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -77,10 +104,34 @@ class MinHasher:
         self.explode = explode
 
     def signature(self, text: Optional[str]) -> np.ndarray:
+        """One-permutation hashing (Shrivastava & Li, ICML 2014): bin the
+        shingle hashes into num_perm buckets by modulus, take the min per
+        bucket, densify empty buckets from the next non-empty one — O(n)
+        per doc instead of the O(n * num_perm) permutation matrix."""
         sh = char_shingles(text or "", self.shingle_k)
-        # (a * h + b) mod p, min over shingles, per permutation
-        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+        p = self.num_perm
+        bins = (sh % np.uint64(p)).astype(np.int64)
+        sig = np.full(p, np.iinfo(np.uint64).max, dtype=np.uint64)
+        np.minimum.at(sig, bins, sh)
+        empty = sig == np.iinfo(np.uint64).max
+        if empty.any():
+            if empty.all():
+                return np.zeros(p, dtype=np.uint64)
+            # rotational densification: borrow from the next filled bucket
+            idx = np.arange(p)
+            filled = ~empty
+            nxt = np.where(filled, idx, -1)
+            # forward fill in rotated order
+            last = -1
+            order = np.concatenate([idx, idx])
+            fill_from = np.empty(p, dtype=np.int64)
+            for i in order[::-1]:
+                if filled[i]:
+                    last = i
+                fill_from[i] = last
+            sig = sig.copy()
+            sig[empty] = _mix64(sig[fill_from[empty]] + np.uint64(1))
+        return sig
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()

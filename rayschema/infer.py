@@ -120,6 +120,11 @@ class InferOptions:
     intercept_def_name: Optional[Callable[[Any, str], str]] = None
     intercept_nullability: Optional[Callable[[Any, Schema], None]] = None
     collect_definitions: Optional[Callable[[str, Schema], None]] = None
+    # AddTypeMapping analog (reflect.go:103-112): substitute one Arrow type
+    # (keyed by str(type)) with another type or a fixed Schema before mapping
+    type_mapping: Dict[str, Any] = dc_field(default_factory=dict)
+    # InlineDefinition analog (reflect.go:115-120): per-type inline forcing
+    inline_definitions: List[str] = dc_field(default_factory=list)
 
 
 _META_KEYWORDS = {
@@ -197,6 +202,13 @@ class Inferrer:
     # ------------------------------------------------------------------ recursion
     def _node(self, t: Any, path: List[str], hint: str, top: bool = False,
               meta: Optional[Dict[str, Any]] = None) -> Schema:
+        # type-mapping substitution (reflect.go:458-466)
+        mapped = self.options.type_mapping.get(str(t))
+        if mapped is not None:
+            if isinstance(mapped, Schema):
+                return mapped.clone()
+            t = mapped
+
         s = Schema()
         s.reflect_type = t if isinstance(t, pa.DataType) else None
 
@@ -339,6 +351,8 @@ class Inferrer:
         """reflectDefer analog (reflect.go:327-381): the root stays inline;
         repeated nested struct types are hoisted into definitions + $ref."""
         if top or self.options.inline_refs:
+            return s
+        if isinstance(t, pa.DataType) and str(t) in self.options.inline_definitions:
             return s
         fp = self._fingerprint(t)
         if fp in self._def_of_type:

@@ -1,0 +1,83 @@
+"""Validation of dynamic JSON string columns (SURVEY.md §2.D "for dynamic
+JSON columns: per-row type tag compare").
+
+A column like ``events.props`` holds one JSON document per row. The stage
+parses the batch's documents once (the only per-row Python in the engine —
+inherent to JSON decoding), converts them to an Arrow array (struct/map/list
+inference), and then reuses the SAME compiled vectorized validator as every
+other column — so all keyword semantics stay in one implementation.
+
+Runs as an actor pool: the validator is compiled once per worker.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+from rayschema.compile import compile_validator
+from rayschema.serde import schema_from_json
+
+
+class JsonColumnValidator:
+    """map_batches stage: validate a JSON-text column against a schema.
+
+    Emits ``json_ok`` (parse success), ``valid`` (parse + schema pass) and
+    ``n_violations``. Pass ``keep_cols`` to project the output."""
+
+    def __init__(self, schema_json: str, json_col: str = "props",
+                 keep_cols: Optional[List[str]] = None):
+        self.v = compile_validator(schema_from_json(schema_json))
+        self.json_col = json_col
+        self.keep_cols = keep_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.json_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        texts = col.to_pylist()
+        parsed: List[Any] = []
+        ok = np.ones(len(texts), dtype=bool)
+        for i, t in enumerate(texts):
+            if t is None:
+                parsed.append(None)
+                continue
+            try:
+                parsed.append(json.loads(t))
+            except ValueError:
+                parsed.append(None)
+                ok[i] = False
+        try:
+            arr = pa.array(parsed)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            # heterogeneous documents: validate per partitionable subset by
+            # falling back to an all-strings representation
+            arr = pa.array([json.dumps(p) if p is not None else None for p in parsed])
+        mask, viols = self.v.validate(arr)
+        mask = mask & ok
+        n_viol = np.zeros(len(texts), dtype=np.int32)
+        for v in viols:
+            n_viol += v.fail_mask.astype(np.int32)
+        n_viol += (~ok).astype(np.int32)
+        out_cols = {}
+        names = self.keep_cols or [n for n in batch.schema.names if n != self.json_col]
+        for n in names:
+            if n in batch.schema.names:
+                out_cols[n] = batch.column(n)
+        out_cols["json_ok"] = pa.array(ok)
+        out_cols["valid"] = pa.array(mask)
+        out_cols["n_violations"] = pa.array(n_viol)
+        return pa.table(out_cols)
+
+
+def validate_json_column(ds, schema_json: str, json_col: str = "props",
+                         keep_cols: Optional[List[str]] = None,
+                         concurrency=(1, 8)):
+    return ds.map_batches(
+        JsonColumnValidator,
+        fn_constructor_kwargs=dict(schema_json=schema_json, json_col=json_col,
+                                   keep_cols=keep_cols),
+        batch_format="pyarrow", concurrency=concurrency)

@@ -33,6 +33,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from rayschema import validate as V
+
 from rayschema.compile import compile_validator
 from rayschema.corpus import CORPUS_SCHEMA_JSON, LANGS
 from rayschema.drift import compare, load_baseline, save_baseline, snapshot_from_stats
@@ -80,26 +82,33 @@ class ValidateStage:
                 viols = viols + [Violation(f"$.{self.ref_col}", "referential", ~ref_ok,
                                            f"{self.ref_col} not in registry")]
 
-        # per-row invariant: sha256(content) equality (BASELINE.json input_hint)
+        # per-row invariant: sha256(content) equality (BASELINE.json input_hint).
+        # Hashing walks the Arrow data buffer directly via memoryview slices —
+        # no per-row bytes allocation; the digest compare is a vectorized
+        # pc.equal against the expected column.
         content = _arr(batch, self.content_col) if self.content_col in batch.schema.names else None
-        sha_hex: List[Optional[str]] = [None] * n
+        sha_arr: Optional[pa.Array] = None
         if content is not None:
-            buf = content.cast(pa.large_binary())
-            for i in range(n):
-                v = buf[i].as_py()
-                if v is not None:
-                    sha_hex[i] = hashlib.sha256(v).hexdigest()
+            sha_arr = _sha256_column(content)
         sha_ok = np.ones(n, dtype=bool)
-        if self.sha_col in batch.schema.names:
-            expected = _arr(batch, self.sha_col).to_pylist()
-            sha_ok = np.asarray([e == g for e, g in zip(expected, sha_hex)], dtype=bool)
+        if self.sha_col in batch.schema.names and sha_arr is not None:
+            eq = pc.equal(sha_arr, _arr(batch, self.sha_col))
+            # null == null counts as ok
+            both_null = pc.and_(pc.is_null(sha_arr), pc.is_null(_arr(batch, self.sha_col)))
+            sha_ok = (pc.fill_null(eq, False).to_numpy(zero_copy_only=False)
+                      | both_null.to_numpy(zero_copy_only=False)).astype(bool)
 
         content_len = (pc.utf8_length(content).cast(pa.int64())
                        if content is not None
                        else pa.nulls(n, type=pa.int64()))
 
         viol_col, n_viol = _violations_list_column(viols, n)
+        from rayschema.unique import key_hash
+
+        uk = key_hash(batch, [c for c in KEY_COLS if c in batch.schema.names]) \
+            if any(c in batch.schema.names for c in KEY_COLS) else np.zeros(n, dtype=np.uint64)
         out = {
+            "uk": pa.array(uk.view(np.int64), type=pa.int64()),
             "shard": pa.array([self.shard] * n, type=pa.string()),
             "schema_valid": pa.array(mask),
             "ref_valid": pa.array(ref_ok),
@@ -108,7 +117,8 @@ class ValidateStage:
             "n_violations": pa.array(n_viol, type=pa.int32()),
             "violations": viol_col,
             "content_len": content_len,
-            "content_sha256": pa.array(sha_hex, type=pa.string()),
+            "content_sha256": sha_arr if sha_arr is not None
+            else pa.nulls(n, type=pa.string()),
         }
         cols = {}
         for name in batch.schema.names:
@@ -119,9 +129,55 @@ class ValidateStage:
         return pa.table(cols)
 
 
+# Worker-process-global compiled-stage cache: a STATELESS task function with
+# per-process memoized state compiles the validator once per worker process
+# (Ray reuses workers across tasks) while keeping the stage task-based — so
+# Ray Data fuses read -> validate -> write into ONE task per input file: no
+# actor-pool spawn latency, no object-store handoff between stages. Use the
+# ValidateStage actor class instead when per-worker state is heavy (models).
+_STAGE_CACHE: Dict[tuple, ValidateStage] = {}
+
+
+def validate_stage_fn(batch: pa.Table, *, schema_json: str,
+                      registry: Optional[tuple] = None,
+                      shard: str = "all") -> pa.Table:
+    key = (schema_json, registry, shard)
+    stage = _STAGE_CACHE.get(key)
+    if stage is None:
+        stage = ValidateStage(schema_json=schema_json,
+                              registry=list(registry) if registry else None,
+                              shard=shard)
+        _STAGE_CACHE[key] = stage
+    return stage(batch)
+
+
 def _arr(batch: pa.Table, name: str) -> pa.Array:
     col = batch.column(name)
     return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _sha256_column(content: pa.Array) -> pa.Array:
+    """Vectorized-as-possible sha256 hex of a (large_)string/binary column:
+    one pass over the raw Arrow data buffer with memoryview slices."""
+    arr = content.cast(pa.large_binary())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    buffers = arr.buffers()
+    offsets = np.frombuffer(buffers[1], dtype=np.int64,
+                            count=n + 1, offset=arr.offset * 8)
+    data = memoryview(buffers[2]) if buffers[2] is not None else memoryview(b"")
+    valid = V.valid_mask(arr) if arr.null_count else None
+    sha = hashlib.sha256
+    out: List[Optional[str]] = [None] * n
+    if valid is None:
+        for i in range(n):
+            out[i] = sha(data[offsets[i]:offsets[i + 1]]).hexdigest()
+    else:
+        for i in range(n):
+            if valid[i]:
+                out[i] = sha(data[offsets[i]:offsets[i + 1]]).hexdigest()
+    return pa.array(out, type=pa.string())
 
 
 _VIOL_TYPE = pa.list_(pa.struct([("json_path", pa.string()),
@@ -180,7 +236,8 @@ def run_validation(corpus_path: str, out_dir: str,
                    concurrency=None,
                    resume: bool = True,
                    drift_baseline: Optional[str] = None,
-                   check_unique: bool = True) -> Dict:
+                   check_unique: bool = True,
+                   stage2: bool = True) -> Dict:
     """Run the full flagship pipeline. Returns a summary dict; artifacts:
 
     out/validated/<shard>/   keys+verdict flags+violations (parquet)
@@ -209,19 +266,28 @@ def run_validation(corpus_path: str, out_dir: str,
         ncpu = int(ray.cluster_resources().get("CPU", 8))
         concurrency = (1, max(2, ncpu - 2))
 
+    phase_s: Dict[str, float] = {}
+
     # ---- stage 1: per-shard validation (resume skips done shards)
+    t_stage1 = time.time()
     for sid, shard_fs in shards.items():
         rec = manifest.partitions.get(sid)
         if resume and rec is not None and rec.status == "done":
             continue
         t0 = time.time()
-        ds = rd.read_parquet(shard_fs)
+        # one read task per file: our corpus files are written ~40-250MB so
+        # Ray's split heuristic (which re-plans each file into sub-reads)
+        # only adds overhead (measured 4x on an 8M-row corpus)
+        ds = rd.read_parquet(shard_fs, override_num_blocks=len(shard_fs))
+        # stateless-task stage (worker-global compiled validator) -> Ray Data
+        # fuses read -> validate -> write into one task per file
         aug = ds.map_batches(
-            ValidateStage,
-            fn_constructor_kwargs={"schema_json": schema_json, "registry": registry,
-                                   "shard": sid},
+            validate_stage_fn,
+            fn_kwargs={"schema_json": schema_json,
+                       "registry": tuple(registry) if registry else None,
+                       "shard": sid},
             batch_format="pyarrow", batch_size=batch_size,
-            concurrency=concurrency, zero_copy_batch=True)
+            zero_copy_batch=True)
         shard_out = os.path.join(out_dir, "validated", sid)
         aug.write_parquet(shard_out)
         manifest.record(PartitionRecord(
@@ -229,46 +295,78 @@ def run_validation(corpus_path: str, out_dir: str,
             status="written", wall_s=round(time.time() - t0, 3)))
         manifest.save()
 
+    phase_s["validate"] = round(time.time() - t_stage1, 2)
+
+    if not stage2:
+        # stage-1-only mode (scaling bench measures the north-star metric:
+        # validated rows/sec through the full constraint suite)
+        manifest.save()
+        return {**manifest.summary(), "out_dir": out_dir, "phase_s": phase_s}
+
     # ---- stage 2: verdicts / violations / stats / uniqueness / drift over the
-    # small validated dataset (content excluded by design)
-    validated = rd.read_parquet(os.path.join(out_dir, "validated"))
+    # small validated dataset (content excluded by design). The three passes
+    # below are independent reads of the (small) validated dataset — they run
+    # CONCURRENTLY on driver threads so wall time is max(), not sum().
+    vfiles = sorted(glob.glob(os.path.join(out_dir, "validated", "*", "*.parquet")))
+    validated = rd.read_parquet(vfiles or os.path.join(out_dir, "validated"),
+                                override_num_blocks=max(1, len(vfiles)) if vfiles else None)
 
-    from ray.data.aggregate import Count, Sum
+    import pandas as pd
+    from concurrent.futures import ThreadPoolExecutor
 
-    per_shard = (validated
-                 .map_batches(_verdict_partial, batch_format="pyarrow")
-                 .groupby("shard")
-                 .aggregate(Sum("rows", alias_name="rows"),
-                            Sum("passed", alias_name="passed"),
-                            Sum("failed", alias_name="failed"),
-                            Sum("sha_mismatch", alias_name="sha_mismatch"),
-                            Sum("violations", alias_name="violations"))
-                 .to_pandas())
-    for _, r in per_shard.iterrows():
-        manifest.mark_done(str(r["shard"]), row_count=int(r["rows"]),
-                           pass_count=int(r["passed"]), fail_count=int(r["failed"]),
-                           sha_mismatch=int(r["sha_mismatch"]),
-                           violations=int(r["violations"]))
-    manifest.save()
-    per_shard.to_parquet(os.path.join(out_dir, "verdicts.parquet"), index=False)
+    def run_stats_verdicts():
+        # ONE aggregate pass computes column stats AND per-shard verdict
+        # counters (partial/combiner tree merge; single read)
+        t0 = time.time()
+        stats, verdicts = dataset_stats(
+            validated, columns=["repo", "path", "commit", "lang", "content_len"],
+            freq_columns=["lang"], with_verdicts=True)
+        with open(os.path.join(out_dir, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=1, default=str)
+        phase_s["stats_verdicts"] = round(time.time() - t0, 2)
+        return stats, verdicts
 
-    (validated
-     .filter(expr="n_violations > 0")
-     .map_batches(_flatten_violations, batch_format="pyarrow")
-     .write_parquet(os.path.join(out_dir, "violations"), mode="overwrite"))
+    def run_violations():
+        t0 = time.time()
+        (validated
+         .filter(expr="n_violations > 0")
+         .map_batches(_flatten_violations, batch_format="pyarrow")
+         .write_parquet(os.path.join(out_dir, "violations"), mode="overwrite"))
+        phase_s["violations"] = round(time.time() - t0, 2)
 
-    stats = dataset_stats(validated,
-                          columns=["repo", "path", "commit", "lang", "content_len"],
-                          freq_columns=["lang"])
-    with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=1, default=str)
+    def run_unique():
+        if not check_unique:
+            return {}
+        t0 = time.time()
+        from rayschema.unique import duplicate_key_counts_sorted
 
-    dup_summary = {}
-    if check_unique:
-        dups = duplicate_key_counts(validated, list(KEY_COLS)).to_pandas()
+        dups = duplicate_key_counts_sorted(validated, list(KEY_COLS), uk_col="uk")
         dups.to_parquet(os.path.join(out_dir, "duplicates.parquet"), index=False)
-        dup_summary = {"duplicate_keys": int(len(dups)),
-                       "duplicate_rows": int((dups["n"] - 1).sum()) if len(dups) else 0}
+        phase_s["unique"] = round(time.time() - t0, 2)
+        return {"duplicate_keys": int(len(dups)),
+                "duplicate_rows": int((dups["n"] - 1).sum()) if len(dups) else 0}
+
+    t_stage2 = time.time()
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        f_sv = ex.submit(run_stats_verdicts)
+        f_vi = ex.submit(run_violations)
+        f_un = ex.submit(run_unique)
+        stats, verdicts = f_sv.result()
+        f_vi.result()
+        dup_summary = f_un.result()
+    phase_s["stage2_wall"] = round(time.time() - t_stage2, 2)
+
+    rows_v = []
+    for shard, rec in sorted(verdicts.items()):
+        failed = rec["rows"] - rec["passed"]
+        manifest.mark_done(str(shard), row_count=rec["rows"], pass_count=rec["passed"],
+                           fail_count=failed, sha_mismatch=rec["sha_mismatch"],
+                           violations=rec["violations"])
+        rows_v.append({"shard": shard, "rows": rec["rows"], "passed": rec["passed"],
+                       "failed": failed, "sha_mismatch": rec["sha_mismatch"],
+                       "violations": rec["violations"]})
+    manifest.save()
+    pd.DataFrame(rows_v).to_parquet(os.path.join(out_dir, "verdicts.parquet"), index=False)
 
     snap = snapshot_from_stats(stats, "content_len", "lang")
     drift_res = None
@@ -282,7 +380,7 @@ def run_validation(corpus_path: str, out_dir: str,
         save_baseline(baseline_path, snap)
 
     summary = {**manifest.summary(), **dup_summary,
-               "drift": drift_res, "out_dir": out_dir}
+               "drift": drift_res, "out_dir": out_dir, "phase_s": phase_s}
     return summary
 
 

@@ -492,6 +492,23 @@ def orders_priority_count(sf_dir: str):
               .aggregate(Count("o_totalprice", alias_name="n")))
 
 
+PROPS_SCHEMA_JSON = """{
+ "type": "object", "required": ["k"],
+ "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}}
+}"""
+
+
+def validate_events_props(sf_dir: str):
+    """Dynamic JSON column validation: events.props parsed per row, then the
+    same compiled vectorized validator as every static column."""
+    from rayschema.jsoncol import validate_json_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    return validate_json_column(ds, PROPS_SCHEMA_JSON, json_col="props",
+                                keep_cols=["event_id"], concurrency=(1, 4)) \
+        .select_columns(["event_id", "valid"])
+
+
 def multimodal_features(sf_dir: str):
     """Binary media plumbing demo: synthetic media table -> actor-pool decode
     (deterministic fake codec) -> feature columns (rows-only check)."""

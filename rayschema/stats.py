@@ -127,7 +127,42 @@ def table_stats_update(acc: Dict[str, ColumnStats], block: pa.Table,
     return acc
 
 
-def make_stats_aggregate(columns: Sequence[str], freq_columns: Sequence[str] = ()):
+def verdict_update(acc: Dict, block: pa.Table, shard_col: str = "shard") -> Dict:
+    """Per-shard verdict counters folded into the same aggregate pass as the
+    column stats (one read of the validated dataset instead of two)."""
+    import pandas as pd
+
+    need = {shard_col, "valid", "sha_ok", "n_violations"}
+    if not need.issubset(block.schema.names):
+        return acc
+    df = pd.DataFrame({
+        "shard": block.column(shard_col).to_pandas(),
+        "valid": block.column("valid").to_pandas(),
+        "sha_ok": block.column("sha_ok").to_pandas(),
+        "nv": block.column("n_violations").to_pandas(),
+    })
+    g = df.groupby("shard")
+    for shard, sub in g:
+        rec = acc.setdefault(shard, {"rows": 0, "passed": 0, "sha_mismatch": 0,
+                                     "violations": 0})
+        rec["rows"] += int(len(sub))
+        rec["passed"] += int(sub["valid"].sum())
+        rec["sha_mismatch"] += int((~sub["sha_ok"]).sum())
+        rec["violations"] += int(sub["nv"].sum())
+    return acc
+
+
+def merge_verdicts(a: Dict, b: Dict) -> Dict:
+    for shard, rec in b.items():
+        dst = a.setdefault(shard, {"rows": 0, "passed": 0, "sha_mismatch": 0,
+                                   "violations": 0})
+        for k, v in rec.items():
+            dst[k] += v
+    return a
+
+
+def make_stats_aggregate(columns: Sequence[str], freq_columns: Sequence[str] = (),
+                         with_verdicts: bool = False):
     """A ray.data AggregateFn computing all column stats in one pass.
 
     The accumulator crosses task boundaries as pickled bytes: Ray Data
@@ -144,10 +179,17 @@ def make_stats_aggregate(columns: Sequence[str], freq_columns: Sequence[str] = (
         state = pickle.loads(acc)
         if not isinstance(block, pa.Table):
             block = pa.Table.from_pandas(block)
-        return pickle.dumps(table_stats_update(state, block, cols, freq))
+        state["cols"] = table_stats_update(state.get("cols", {}), block, cols, freq)
+        if with_verdicts:
+            state["verdicts"] = verdict_update(state.get("verdicts", {}), block)
+        return pickle.dumps(state)
 
     def merge(a: bytes, b: bytes) -> bytes:
-        return pickle.dumps(_merge_acc(pickle.loads(a), pickle.loads(b)))
+        sa, sb = pickle.loads(a), pickle.loads(b)
+        out = {"cols": _merge_acc(sa.get("cols", {}), sb.get("cols", {}))}
+        if with_verdicts:
+            out["verdicts"] = merge_verdicts(sa.get("verdicts", {}), sb.get("verdicts", {}))
+        return pickle.dumps(out)
 
     return AggregateFn(
         init=lambda k: pickle.dumps({}),
@@ -166,13 +208,18 @@ def _merge_acc(a: Dict[str, ColumnStats], b: Dict[str, ColumnStats]) -> Dict[str
     return a
 
 
-def dataset_stats(ds, columns: Sequence[str], freq_columns: Sequence[str] = ()) -> Dict[str, dict]:
-    """Compute column stats for a Ray Dataset in one streaming pass."""
+def dataset_stats(ds, columns: Sequence[str], freq_columns: Sequence[str] = (),
+                  with_verdicts: bool = False):
+    """Compute column stats (and optionally per-shard verdict counters) for a
+    Ray Dataset in ONE streaming pass."""
     import pickle
 
-    agg = make_stats_aggregate(columns, freq_columns)
+    agg = make_stats_aggregate(columns, freq_columns, with_verdicts=with_verdicts)
     res = ds.aggregate(agg)
     acc = res["column_stats"] if isinstance(res, dict) else res
     if isinstance(acc, bytes):
         acc = pickle.loads(acc)
-    return {k: v.summary() for k, v in acc.items()}
+    summaries = {k: v.summary() for k, v in acc.get("cols", {}).items()}
+    if with_verdicts:
+        return summaries, acc.get("verdicts", {})
+    return summaries

