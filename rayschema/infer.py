@@ -202,6 +202,16 @@ class Inferrer:
     # ------------------------------------------------------------------ recursion
     def _node(self, t: Any, path: List[str], hint: str, top: bool = False,
               meta: Optional[Dict[str, Any]] = None) -> Schema:
+        s = self._node_inner(t, path, hint, top, meta)
+        # Preparer analog (helper.go:26-28, reflect.go:533-541): subject may
+        # post-process the mapped schema
+        prepare = getattr(t, "prepare_json_schema", None)
+        if callable(prepare):
+            prepare(s)
+        return s
+
+    def _node_inner(self, t: Any, path: List[str], hint: str, top: bool = False,
+                    meta: Optional[Dict[str, Any]] = None) -> Schema:
         # type-mapping substitution (reflect.go:458-466)
         mapped = self.options.type_mapping.get(str(t))
         if mapped is not None:
@@ -211,6 +221,18 @@ class Inferrer:
 
         s = Schema()
         s.reflect_type = t if isinstance(t, pa.DataType) else None
+
+        # Exposer / RawExposer analogs (helper.go:26-38, applied at
+        # reflect.go:129-182): a subject exposing its own schema short-circuits
+        # inference entirely.
+        expose = getattr(t, "json_schema", None)
+        if callable(expose):
+            exposed = expose()
+            if isinstance(exposed, (str, bytes)):
+                from rayschema.serde import schema_from_json
+
+                exposed = schema_from_json(exposed)
+            return exposed
 
         if self.options.intercept_schema is not None:
             stop = self.options.intercept_schema(list(path), t, s)

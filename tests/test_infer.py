@@ -235,3 +235,40 @@ def test_collect_definitions_callback():
     d = infer_dict(sch, InferOptions(collect_definitions=lambda k, v: got.__setitem__(k, v)))
     assert "definitions" not in d
     assert list(got) == ["First"]
+
+
+def test_exposer_and_preparer_analogs():
+    # Exposer / Preparer (helper.go:26-38, reflect.go:129-182, 533-541)
+    class Exposed:
+        def json_schema(self):
+            return '{"type":"string","format":"custom-exposed"}'
+
+    class Prepared(VirtualStruct):
+        def prepare_json_schema(self, s):
+            s.title = "prepared!"
+
+    d = infer_dict(pa.schema([]), InferOptions())  # smoke empty
+    sch = infer_schema(Exposed())
+    assert schema_to_dict(sch)["format"] == "custom-exposed"
+    vs = Prepared(fields=[VirtualField("a", pa.int64(), required=True)])
+    d2 = infer_dict(vs)
+    assert d2["title"] == "prepared!" and d2["required"] == ["a"]
+
+
+def test_type_mapping_and_inline_definition_options():
+    # AddTypeMapping / InlineDefinition analogs (reflect.go:103-120)
+    from rayschema.serde import schema_from_json
+
+    opts = InferOptions(type_mapping={
+        str(pa.int8()): pa.string(),
+        str(pa.float16()): schema_from_json('{"type":"number","title":"half"}'),
+    })
+    d = infer_dict(pa.schema([pa.field("a", pa.int8(), nullable=False),
+                              pa.field("b", pa.float16(), nullable=False)]), opts)
+    assert d["properties"]["a"] == {"type": "string"}
+    assert d["properties"]["b"]["title"] == "half"
+    inner = pa.struct([pa.field("x", pa.int64(), nullable=False)])
+    d2 = infer_dict(pa.schema([pa.field("first", inner)]),
+                    InferOptions(inline_definitions=[str(inner)]))
+    assert "definitions" not in d2
+    assert "properties" in d2["properties"]["first"]
