@@ -100,6 +100,9 @@ def duplicate_key_counts_hashed(ds, cols: Sequence[str], uk_col: str = "uk"):
         arr = b.column(uk_col)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
+        if pa.types.is_unsigned_integer(arr.type):
+            arr = pa.Array.from_buffers(pa.int64(), len(arr),
+                                        arr.buffers())  # bit-identical view
         vc = arr.value_counts()
         return pa.table({uk_col: vc.field("values"), "n": vc.field("counts")})
 
@@ -107,15 +110,21 @@ def duplicate_key_counts_hashed(ds, cols: Sequence[str], uk_col: str = "uk"):
                 .map_batches(partial, batch_format="pyarrow")
                 .groupby(uk_col).aggregate(Sum("n", alias_name="n"))
                 .filter(expr="n > 1"))
-    dup_uks = counts.to_pandas()[uk_col].to_numpy()
+    counts_df = counts.to_pandas()
+    dup_uks = counts_df[uk_col].to_numpy() if uk_col in counts_df.columns \
+        else np.empty(0, dtype=np.int64)
     if len(dup_uks) == 0:
         import pandas as _pd
 
         return _pd.DataFrame({**{c: [] for c in cols}, "n": []})
+    if dup_uks.dtype == np.uint64:
+        dup_uks = dup_uks.view(np.int64)
     ref = ray.put(np.sort(dup_uks))
 
     def pick(b: pa.Table) -> pa.Table:
         uks = b.column(uk_col).to_numpy(zero_copy_only=False)
+        if uks.dtype == np.uint64:
+            uks = uks.view(np.int64)
         dset = ray.get(ref)
         sel = np.searchsorted(dset, uks)
         sel = (sel < len(dset)) & (dset[np.minimum(sel, len(dset) - 1)] == uks)
@@ -146,6 +155,8 @@ def duplicate_key_counts_sorted(ds, cols: Sequence[str], uk_col: str = "uk"):
         if isinstance(u, pa.ChunkedArray):
             u = u.combine_chunks()
         un = u.to_numpy(zero_copy_only=False)
+        if un.dtype == np.uint64:
+            un = un.view(np.int64)   # bit-identical, arrow-int64-safe
         if len(un) == 0:
             return pa.table({"v": pa.array([], type=pa.int64()),
                              "kind": pa.array([], type=pa.int8())})
@@ -169,6 +180,8 @@ def duplicate_key_counts_sorted(ds, cols: Sequence[str], uk_col: str = "uk"):
 
     def pick(b: pa.Table) -> pa.Table:
         uks = b.column(uk_col).to_numpy(zero_copy_only=False)
+        if uks.dtype == np.uint64:
+            uks = uks.view(np.int64)
         dset = ray.get(ref)
         pos = np.searchsorted(dset, uks)
         sel = (pos < len(dset)) & (dset[np.minimum(pos, len(dset) - 1)] == uks)

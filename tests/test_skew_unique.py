@@ -1,0 +1,98 @@
+"""Skew handling (hot-key discovery + salted groupby) and the three
+uniqueness strategies agreeing with each other."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def skewed_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    n = 20_000
+    keys = np.where(rng.random(n) < 0.4, "hot/repo",
+                    np.char.add("repo", (rng.integers(0, 50, n)).astype("U3")))
+    t = pa.table({
+        "repo": pa.array(keys.astype(object), type=pa.string()),
+        "path": pa.array([f"p{i}" for i in range(n)]),
+        "commit": pa.array([f"c{i % 5000}" for i in range(n)]),
+        "x": pa.array(rng.integers(0, 100, n), type=pa.int64()),
+    })
+    return rd.from_arrow(t), t
+
+
+def test_hot_keys_discovery(skewed_ds):
+    from rayschema.skew import hot_keys
+
+    ds, _ = skewed_ds
+    hot = hot_keys(ds, "repo", frac_threshold=0.1)
+    assert "hot/repo" in hot
+    assert all(v / 20_000 >= 0.1 for v in hot.values())
+
+
+def test_salted_groupby_matches_plain(skewed_ds):
+    from rayschema.skew import salted_groupby_sum
+
+    ds, t = skewed_ds
+    got = salted_groupby_sum(ds, "repo", "path", ["x"], hot={"hot/repo"}, k=8)
+    exp = (t.to_pandas().groupby("repo", as_index=False)["x"].sum())
+    merged = got.merge(exp, on="repo", suffixes=("_got", "_exp"))
+    assert len(merged) == len(exp)
+    assert (merged["x_got"] == merged["x_exp"]).all()
+
+
+def test_unique_strategies_agree(skewed_ds):
+    from rayschema.unique import (
+        add_key_hash,
+        duplicate_key_counts,
+        duplicate_key_counts_hashed,
+        duplicate_key_counts_sorted,
+    )
+
+    ds, t = skewed_ds
+    cols = ["repo", "path", "commit"]
+    a = duplicate_key_counts(ds, cols).to_pandas()
+
+    ds_uk = ds.map_batches(lambda b: add_key_hash(b, cols), batch_format="pyarrow")
+    # uk comes back as uint64; the pipeline stores int64 — both work
+    b = duplicate_key_counts_hashed(ds_uk, cols, uk_col="uk")
+    c = duplicate_key_counts_sorted(ds_uk, cols, uk_col="uk")
+
+    def norm(df):
+        return (df.sort_values(cols).reset_index(drop=True)[cols + ["n"]]
+                if len(df) else pd.DataFrame({k: [] for k in cols + ["n"]}))
+
+    na, nb, nc = norm(a), norm(b), norm(c)
+    # paths are unique in this fixture -> no duplicate triples anywhere
+    assert len(na) == len(nb) == len(nc)
+    if len(na):
+        assert na.equals(nb) and na.equals(nc)
+
+
+def test_unique_strategies_find_real_dupes(ray_session):
+    import ray.data as rd
+
+    from rayschema.unique import add_key_hash, duplicate_key_counts_sorted
+
+    rows = [{"repo": "r", "path": f"p{i}", "commit": "c"} for i in range(1000)]
+    rows += [{"repo": "r", "path": "p7", "commit": "c"}] * 3  # p7 appears 4x
+    ds = rd.from_items(rows).map_batches(
+        lambda b: add_key_hash(b, ["repo", "path", "commit"]), batch_format="pyarrow")
+    got = duplicate_key_counts_sorted(ds, ["repo", "path", "commit"], uk_col="uk")
+    assert len(got) == 1
+    assert got.iloc[0]["path"] == "p7" and got.iloc[0]["n"] == 4
+
+
+def test_distinct_rows(ray_session):
+    import ray.data as rd
+
+    from rayschema.unique import distinct_rows
+
+    rows = [{"k": i % 10, "v": i} for i in range(100)]
+    ds = rd.from_items(rows)
+    out = distinct_rows(ds, ["k"]).to_pandas()
+    assert len(out) == 10
+    assert sorted(out["k"]) == list(range(10))
