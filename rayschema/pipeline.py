@@ -232,7 +232,7 @@ def run_validation(corpus_path: str, out_dir: str,
                    schema_json: str = CORPUS_SCHEMA_JSON,
                    registry: Optional[Sequence[str]] = None,
                    shard_files: Optional[int] = None,
-                   batch_size: int = 16384,
+                   batch_size: Optional[int] = None,
                    concurrency=None,
                    resume: bool = True,
                    drift_baseline: Optional[str] = None,
