@@ -55,6 +55,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_topk": Q.lineitem_topk,
         "distinct_mktsegment": Q.distinct_mktsegment,
         "orders_priority_count": Q.orders_priority_count,
+        # -- joins / windows / skew
+        "order_revenue_join": Q.order_revenue_join,
+        "events_sessionization": Q.events_sessionization,
+        "customer_running_totals": Q.customer_running_totals,
+        "salted_lang_chars": Q.salted_lang_chars,
         # -- dynamic JSON column validation
         "validate_events_props": Q.validate_events_props,
         # -- multimodal plumbing
@@ -173,6 +178,36 @@ def oracle_sql() -> dict[str, str]:
         "orders_priority_count": """
             SELECT o_orderpriority, count(*)::BIGINT AS n
             FROM orders WHERE o_totalprice > 100000.0 GROUP BY o_orderpriority""",
+        "order_revenue_join": """
+            SELECT o.o_orderpriority,
+                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderpriority""",
+        "events_sessionization": """
+            WITH g AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g
+            )
+            SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+            FROM s GROUP BY user_id, sid""",
+        "customer_running_totals": """
+            SELECT o_custkey, o_orderkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                     OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                           ROWS UNBOUNDED PRECEDING) AS running_cents
+            FROM orders""",
+        "salted_lang_chars": """
+            SELECT lang, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY lang""",
         "validate_events_props": """
             SELECT event_id,
                    (json_valid(props)

@@ -492,6 +492,107 @@ def orders_priority_count(sf_dir: str):
               .aggregate(Count("o_totalprice", alias_name="n")))
 
 
+def order_revenue_join(sf_dir: str):
+    """Large-large HASH JOIN: lineitem ⋈ orders on o_orderkey (both sides
+    shuffle-partitioned by Ray's Dataset.join), then revenue per order
+    priority. At 100 TB this is the hash-partitioned exchange path; small
+    dimension tables use the broadcast path instead (nation_region_join)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey"),
+            "price_cents": pa.array(_cents(b.column("l_extendedprice").to_pandas())),
+        })
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.map_batches(li_prep, batch_format="pyarrow").join(
+        orders, join_type="inner", num_partitions=16,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"o_orderpriority": b.column("o_orderpriority").to_pandas(),
+                           "revenue_cents": b.column("price_cents").to_pandas()})
+        g = (df.groupby("o_orderpriority", as_index=False)
+               .agg(revenue_cents=("revenue_cents", "sum"), n_items=("revenue_cents", "size")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (joined.map_batches(partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("revenue_cents", alias_name="revenue_cents"),
+                       Sum("n_items", alias_name="n_items")))
+
+
+def events_sessionization(sf_dir: str):
+    """Session windows per user (gap > 30 min closes a session): sort within
+    each user group, cumulative gap-split, one output row per session.
+    Ordering assumption: per-user rows fit one group (groupby shuffle
+    co-locates them); oracle mirrors with lag()/sum() window functions."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff().dt.total_seconds().fillna(0.0)
+        sid = (gap > 1800).cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("ts", "size"),
+            sum_value_cents=("value", lambda s: int(np.round(s * 100).astype(np.int64).sum())),
+        ).reset_index(drop=True)
+        return out
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id"),
+            "session_start": b.column("session_start"),
+            "n_events": b.column("n_events").cast(pa.int64()),
+            "sum_value_cents": b.column("sum_value_cents").cast(pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def customer_running_totals(sf_dir: str):
+    """Per-customer running order totals (window function analog):
+    groupby(custkey).map_groups with a sorted cumulative sum."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"]).copy()
+        g["price_cents"] = np.round(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        g["running_cents"] = g["price_cents"].cumsum()
+        return g[["o_custkey", "o_orderkey", "running_cents"]]
+
+    return ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+
+
+def salted_lang_chars(sf_dir: str):
+    """Salted-shuffle aggregation demo: every lang treated as a hot key,
+    salted into 4 sub-groups before the groupby, partials re-merged —
+    result must equal the plain groupby (and the SQL oracle)."""
+    from rayschema.skew import salted_groupby_sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": b.column("lang"),
+            "doc_id": b.column("doc_id").cast(pa.string()),
+            "n_chars": b.column("n_chars").cast(pa.int64()),
+        })
+
+    ds2 = ds.map_batches(prep, batch_format="pyarrow")
+    hot = {"en", "de", "fr", "es", "zh"}
+    out = salted_groupby_sum(ds2, "lang", "doc_id", ["n_chars"], hot=hot, k=4)
+    out = out.rename(columns={"n_chars": "sum_chars"})
+    return out[["lang", "sum_chars"]]
+
+
 PROPS_SCHEMA_JSON = """{
  "type": "object", "required": ["k"],
  "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}}
