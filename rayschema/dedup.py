@@ -172,8 +172,14 @@ def _pairs_from_groups(g: pd.DataFrame, id_col: str, max_group: int = 64) -> pd.
 
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             num_perm: int = 64, bands: int = 16,
-                            shingle_k: int = 5, concurrency=(1, 8)):
-    """documents -> distinct candidate pairs (id_a < id_b) from LSH buckets."""
+                            shingle_k: int = 5, concurrency=(1, 8),
+                            distinct_on_driver: bool = True):
+    """documents -> distinct candidate pairs (id_a < id_b) from LSH buckets.
+
+    One shuffle total: the (band_id, band_hash) bucket groupby. Candidate
+    pairs are orders of magnitude fewer than documents, so pair-dedup runs on
+    the driver by default; pass distinct_on_driver=False for a distributed
+    pair-dedup groupby when the candidate set itself is huge."""
     exploded = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
@@ -184,6 +190,9 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
              .groupby(["band_id", "band_hash"])
              .map_groups(lambda g: _pairs_from_groups(g, id_col),
                          batch_format="pandas"))
+    if distinct_on_driver:
+        df = pairs.to_pandas()
+        return df.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
     # distinct pairs (a pair can match in several bands)
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.iloc[:1], batch_format="pandas")

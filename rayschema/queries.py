@@ -244,13 +244,23 @@ def minhash_near_dup_documents(sf_dir: str):
     from rayschema.dedup import minhash_candidate_pairs, verify_pairs_jaccard
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_candidate_pairs(ds, num_perm=64, bands=16).to_pandas()
+    pairs = minhash_candidate_pairs(ds, num_perm=64, bands=16)
     if not len(pairs):
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     wanted = set(pairs["id_a"]) | set(pairs["id_b"])
+    wref = __import__("ray").put(np.array(sorted(wanted), dtype=np.int64))
+
+    def pick(b: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        ws = _ray.get(wref)
+        pos = np.searchsorted(ws, ids)
+        sel = (pos < len(ws)) & (ws[np.minimum(pos, len(ws) - 1)] == ids)
+        return b.filter(pa.array(sel))
+
     texts = {int(r["doc_id"]): r["text"]
-             for r in _read(sf_dir, "documents", columns=["doc_id", "text"])
-             .filter(expr=f"doc_id in {sorted(wanted)}").take_all()}
+             for r in ds.map_batches(pick, batch_format="pyarrow").take_all()}
     return verify_pairs_jaccard(pairs, texts, threshold=0.5)
 
 

@@ -72,7 +72,7 @@ def near_dup_docs(ray_session):
 def test_minhash_lsh_pipeline(near_dup_docs):
     from rayschema.dedup import minhash_candidate_pairs, verify_pairs_jaccard
 
-    pairs = minhash_candidate_pairs(near_dup_docs, concurrency=(1, 2)).to_pandas()
+    pairs = minhash_candidate_pairs(near_dup_docs, concurrency=(1, 2))
     assert len(pairs)
     cand = set(zip(pairs["id_a"], pairs["id_b"]))
     assert (100, 101) in cand
