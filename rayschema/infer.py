@@ -84,13 +84,36 @@ class VirtualField:
 @dataclass
 class VirtualStruct:
     """Runtime-defined record treated like a static struct
-    (Struct analog, /root/reference/struct.go:13-20)."""
+    (Struct analog, /root/reference/struct.go:13-20). ``meta`` carries
+    parent-schema keywords — the analog of the reference's unnamed `_` config
+    fields (reflect.go:1101-1122), e.g. {"additionalProperties": False}."""
 
     fields: List[VirtualField]
     title: Optional[str] = None
     description: Optional[str] = None
     def_name: Optional[str] = None
     nullable: bool = False
+    meta: Dict[str, Any] = dc_field(default_factory=dict)
+
+
+@dataclass
+class VirtualList:
+    """A list-of-<virtual subject> type for virtual records (the analog of a
+    Go slice field, reflect.go:856-901)."""
+
+    element: Any                   # pa.DataType | VirtualStruct | NamedType
+    meta: Dict[str, Any] = dc_field(default_factory=dict)
+
+
+@dataclass
+class NamedType:
+    """A named scalar/derived type hoisted into definitions — the analog of a
+    Go named type like `type Enumed string` with an Enum() implementation
+    (reflect_test.go:55-61; defName reflect.go:780-837)."""
+
+    def_name: str
+    type: Any                      # pa.DataType
+    meta: Dict[str, Any] = dc_field(default_factory=dict)
 
 
 # ----------------------------------------------------------------------- options
@@ -150,7 +173,7 @@ class Inferrer:
     # ------------------------------------------------------------------ naming
     def _def_name(self, subject: Any, fallback: str) -> str:
         name = None
-        if isinstance(subject, VirtualStruct) and subject.def_name:
+        if isinstance(subject, (VirtualStruct, NamedType)) and subject.def_name:
             name = subject.def_name
         if name is None:
             name = to_camel(fallback)
@@ -171,6 +194,8 @@ class Inferrer:
     def _fingerprint(subject: Any) -> str:
         if isinstance(subject, VirtualStruct):
             return "virtual:" + (subject.def_name or str(id(subject)))
+        if isinstance(subject, NamedType):
+            return "named:" + subject.def_name
         return "arrow:" + str(subject)
 
     # ------------------------------------------------------------------ entry
@@ -201,17 +226,23 @@ class Inferrer:
 
     # ------------------------------------------------------------------ recursion
     def _node(self, t: Any, path: List[str], hint: str, top: bool = False,
-              meta: Optional[Dict[str, Any]] = None) -> Schema:
-        s = self._node_inner(t, path, hint, top, meta)
+              meta: Optional[Dict[str, Any]] = None,
+              nullable: bool = False) -> Schema:
+        s = self._node_inner(t, path, hint, top, meta, nullable)
         # Preparer analog (helper.go:26-28, reflect.go:533-541): subject may
-        # post-process the mapped schema
-        prepare = getattr(t, "prepare_json_schema", None)
-        if callable(prepare):
-            prepare(s)
+        # post-process the mapped schema. Definable subjects are prepared
+        # inside _maybe_define (the definition BODY is prepared; a
+        # registry-hit $ref stub is returned untouched, mirroring the early
+        # return at reflect.go:498-500).
+        if not isinstance(t, (VirtualStruct, NamedType)):
+            prepare = getattr(t, "prepare_json_schema", None)
+            if callable(prepare):
+                prepare(s)
         return s
 
     def _node_inner(self, t: Any, path: List[str], hint: str, top: bool = False,
-                    meta: Optional[Dict[str, Any]] = None) -> Schema:
+                    meta: Optional[Dict[str, Any]] = None,
+                    nullable: bool = False) -> Schema:
         # type-mapping substitution (reflect.go:458-466)
         mapped = self.options.type_mapping.get(str(t))
         if mapped is not None:
@@ -243,12 +274,32 @@ class Inferrer:
             if not self.options.skip_non_constraints:
                 s.title, s.description = t.title, t.description
             self._struct_fields(s, t.fields, path)
+            if nullable and self._fingerprint(t) not in self._def_of_type:
+                s.add_type("null")
             if t.nullable:
                 s.add_type("null")
             s.add_type("object")
             # re-order: object first, null second
             s.type = ["object", "null"] if t.nullable else "object"
+            if t.meta:
+                if "additionalProperties" in t.meta:
+                    s.additional_properties = t.meta["additionalProperties"]
+                self._apply_meta(s, {k: v for k, v in t.meta.items()
+                                     if k != "additionalProperties"})
             return self._maybe_define(t, s, hint, top)
+
+        if isinstance(t, VirtualList):
+            s.type = "array"
+            sub = self._node(t.element, path + ["items"], hint + "Items")
+            if not _is_empty_schema(sub):
+                s.items = sub
+            return self._apply_meta(self._apply_meta(s, t.meta), meta)
+
+        if isinstance(t, NamedType):
+            s = self._node_inner(t.type, path, hint, top=True, meta=t.meta)
+            if nullable and self._fingerprint(t) not in self._def_of_type:
+                s.add_type("null")
+            return self._maybe_define(t, s, t.def_name, top)
 
         t = _undict(t)
 
@@ -334,14 +385,17 @@ class Inferrer:
                 continue
             meta = dict(f.meta or {})
             meta.update(self.options.field_meta.get(f.name, {}))
-            sub = self._node(f.type, path + [name], name, meta=meta)
+            nullable = meta.get("nullable", f.nullable and self.options.nullable_from_arrow)
+            sub = self._node(f.type, path + [name], name, meta=meta,
+                             nullable=bool(nullable))
             if self.options.intercept_prop is not None:
                 try:
                     self.options.intercept_prop(name, f, sub)
                 except SkipProperty:
                     continue
-            nullable = meta.get("nullable", f.nullable and self.options.nullable_from_arrow)
-            if nullable:
+            if nullable and sub.ref is None:
+                self._check_nullability(sub, f)
+            elif nullable and sub.ref is not None and self.options.envelop_nullability:
                 self._check_nullability(sub, f)
             req = meta.get("required",
                            f.required and self.options.required_from_nullability)
@@ -372,6 +426,10 @@ class Inferrer:
     def _maybe_define(self, t: Any, s: Schema, hint: str, top: bool) -> Schema:
         """reflectDefer analog (reflect.go:327-381): the root stays inline;
         repeated nested struct types are hoisted into definitions + $ref."""
+        prepare = getattr(t, "prepare_json_schema", None)
+        first_definition = self._fingerprint(t) not in self._def_of_type
+        if callable(prepare) and first_definition:
+            prepare(s)
         if top or self.options.inline_refs:
             return s
         if isinstance(t, pa.DataType) and str(t) in self.options.inline_definitions:

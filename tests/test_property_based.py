@@ -1,0 +1,198 @@
+"""Property-based tests (hypothesis):
+
+1. Serde round-trip: random draft-07 documents (drawn from a keyword grammar,
+   including unknown keys and boolean/union forms) survive
+   from_json -> to_json -> from_json with JSON equality, and the second trip
+   is byte-stable.
+2. Validator consistency: for random flat schemas and random tables, the
+   vectorized masks equal a row-at-a-time pure-Python draft-07 oracle.
+"""
+
+import json
+import math
+import re
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from rayschema.compile import compile_validator
+from rayschema.serde import json_equal, schema_from_json, schema_to_json
+
+# --------------------------------------------------------------------------- serde
+
+json_scalars = st.one_of(st.none(), st.booleans(),
+                         st.integers(-1000, 1000),
+                         st.floats(-1e6, 1e6, allow_nan=False),
+                         st.text(max_size=8))
+json_values = st.recursive(
+    json_scalars,
+    lambda inner: st.one_of(st.lists(inner, max_size=3),
+                            st.dictionaries(st.text(max_size=6), inner, max_size=3)),
+    max_leaves=8)
+
+
+@st.composite
+def schema_docs(draw, depth=2):
+    doc = {}
+    if draw(st.booleans()):
+        doc["type"] = draw(st.sampled_from(
+            ["string", "integer", "number", "boolean", "array", "object", "null",
+             ["string", "null"], ["integer", "number"]]))
+    for key, strat in [
+        ("title", st.text(max_size=6)),
+        ("minimum", st.integers(-10, 10)),
+        ("maximum", st.floats(-10, 10, allow_nan=False)),
+        ("minLength", st.integers(0, 5)),
+        ("maxLength", st.integers(0, 99)),
+        ("pattern", st.sampled_from(["^a", "[abc]", "x+$"])),
+        ("required", st.lists(st.text(min_size=1, max_size=4), max_size=3, unique=True)),
+        ("enum", st.lists(json_scalars, min_size=1, max_size=3)),
+        ("default", json_values),
+        ("const", json_values),
+        ("examples", st.lists(json_scalars, max_size=2)),
+        ("format", st.sampled_from(["date", "email", "uuid"])),
+        ("uniqueItems", st.booleans()),
+        ("minItems", st.integers(0, 3)),
+        ("multipleOf", st.sampled_from([1, 2, 0.5])),
+    ]:
+        if draw(st.booleans()):
+            doc[key] = draw(strat)
+    # unknown keys (ExtraProperties round trip)
+    for _ in range(draw(st.integers(0, 2))):
+        k = "x-" + draw(st.text(min_size=1, max_size=5))
+        doc[k] = draw(json_values)
+    if depth > 0:
+        if draw(st.booleans()):
+            doc["items"] = draw(st.one_of(st.booleans(), schema_docs(depth=depth - 1)))
+        if draw(st.booleans()):
+            doc["properties"] = {
+                draw(st.text(min_size=1, max_size=4)): draw(schema_docs(depth=depth - 1))}
+        if draw(st.booleans()):
+            doc["anyOf"] = [draw(schema_docs(depth=depth - 1))]
+        if draw(st.booleans()):
+            doc["dependencies"] = {"a": draw(st.one_of(
+                st.lists(st.text(min_size=1, max_size=3), max_size=2),
+                schema_docs(depth=depth - 1)))}
+    return doc
+
+
+def drop_zero_mins(v):
+    """minLength/minItems/minProperties are zero-default non-pointers in the
+    reference (entities.go:34,39,43): an explicit 0 is identical to absent and
+    is NOT re-serialized (Go omitempty). Normalize before JSON compare."""
+    if isinstance(v, dict):
+        return {k: drop_zero_mins(x) for k, x in v.items()
+                if not (k in ("minLength", "minItems", "minProperties") and x == 0)}
+    if isinstance(v, list):
+        return [drop_zero_mins(x) for x in v]
+    return v
+
+
+@settings(max_examples=150, deadline=None)
+@given(schema_docs())
+def test_serde_roundtrip_random_documents(doc):
+    text = json.dumps(doc)
+    s = schema_from_json(text)
+    out = schema_to_json(s)
+    assert json_equal(json.dumps(drop_zero_mins(doc)), out)
+    assert schema_to_json(schema_from_json(out)) == out  # canonical fixpoint
+
+
+# --------------------------------------------------------------------------- oracle
+
+def py_validate(schema: dict, value) -> bool:
+    """Minimal row-at-a-time draft-07 oracle for flat scalar schemas, using
+    the engine's null-as-absent convention (null passes everything)."""
+    if value is None:
+        return True
+    if "type" in schema:
+        ts = schema["type"] if isinstance(schema["type"], list) else [schema["type"]]
+        ok = False
+        for t in ts:
+            if t == "string" and isinstance(value, str):
+                ok = True
+            if t == "integer" and isinstance(value, (int, float)) and not isinstance(value, bool) \
+                    and float(value).is_integer():
+                ok = True
+            if t == "number" and isinstance(value, (int, float)) and not isinstance(value, bool):
+                ok = True
+            if t == "boolean" and isinstance(value, bool):
+                ok = True
+        if not ok:
+            return False
+    if isinstance(value, (int, float)) and not isinstance(value, bool):
+        if "minimum" in schema and value < schema["minimum"]:
+            return False
+        if "maximum" in schema and value > schema["maximum"]:
+            return False
+        if "exclusiveMinimum" in schema and value <= schema["exclusiveMinimum"]:
+            return False
+        if "exclusiveMaximum" in schema and value >= schema["exclusiveMaximum"]:
+            return False
+        if "multipleOf" in schema:
+            q = value / schema["multipleOf"]
+            if abs(q - round(q)) > 1e-9 * max(1.0, abs(q)):
+                return False
+    if isinstance(value, str):
+        if "minLength" in schema and len(value) < schema["minLength"]:
+            return False
+        if "maxLength" in schema and len(value) > schema["maxLength"]:
+            return False
+        if "pattern" in schema and not re.search(schema["pattern"], value):
+            return False
+    if "enum" in schema:
+        def key(v):
+            if isinstance(v, bool):
+                return ("b", v)
+            if isinstance(v, (int, float)):
+                return ("n", float(v))
+            return ("o", json.dumps(v, sort_keys=True))
+        if key(value) not in {key(v) for v in schema["enum"]}:
+            return False
+    if "const" in schema:
+        c = schema["const"]
+        if isinstance(c, bool) != isinstance(value, bool):
+            return False
+        if isinstance(c, (int, float)) and isinstance(value, (int, float)):
+            if float(c) != float(value):
+                return False
+        elif c != value:
+            return False
+    return True
+
+
+flat_schemas = st.fixed_dictionaries({}, optional={
+    "type": st.sampled_from(["string", "integer", "number", ["string", "null"],
+                             ["integer", "null"]]),
+    "minimum": st.integers(-5, 5),
+    "maximum": st.integers(-5, 5),
+    "exclusiveMinimum": st.integers(-5, 5),
+    "exclusiveMaximum": st.integers(-5, 5),
+    "multipleOf": st.sampled_from([1, 2, 3, 0.5]),
+    "minLength": st.integers(0, 4),
+    "maxLength": st.integers(0, 6),
+    "pattern": st.sampled_from(["^a", "[abc]", "b$", "^[0-9]+$"]),
+    "enum": st.lists(st.one_of(st.integers(-3, 3), st.text(max_size=3)),
+                     min_size=1, max_size=4),
+    "const": st.one_of(st.integers(-3, 3), st.text(max_size=3)),
+})
+
+str_values = st.lists(st.one_of(st.none(), st.text(max_size=5)), min_size=1, max_size=20)
+num_values = st.lists(st.one_of(st.none(), st.integers(-10, 10),
+                                st.floats(-10, 10, allow_nan=False)),
+                      min_size=1, max_size=20)
+
+
+@settings(max_examples=200, deadline=None)
+@given(flat_schemas, st.one_of(str_values, num_values))
+def test_vectorized_masks_match_python_oracle(schema, values):
+    if all(isinstance(v, str) or v is None for v in values):
+        arr = pa.array(values, type=pa.string())
+    else:
+        vals = [float(v) if v is not None else None for v in values]
+        arr = pa.array(vals, type=pa.float64())
+    v = compile_validator(schema_from_json(json.dumps(schema)))
+    mask = v.probe(arr)
+    expected = [py_validate(schema, x) for x in arr.to_pylist()]
+    assert mask.tolist() == expected, (schema, values)
