@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_lang_chars": Q.salted_lang_chars,
         # -- dynamic JSON column validation
         "validate_events_props": Q.validate_events_props,
+        # -- schema documents as data (distributed serde + analysis)
+        "schema_docs_analysis": Q.schema_docs_analysis,               # rows-only
         # -- multimodal plumbing
         "multimodal_features": Q.multimodal_features,                 # rows-only
     }

@@ -620,6 +620,18 @@ def validate_events_props(sf_dir: str):
         .select_columns(["event_id", "valid"])
 
 
+def schema_docs_analysis(sf_dir: str):
+    """Schema documents as rows: distributed parse + triviality + round-trip
+    stability over a deterministic corpus of draft-07 documents (rows-only:
+    result is a pure function of the seed)."""
+    import ray.data as rd
+
+    from rayschema.schemadocs import analyze_schema_docs, synth_schema_docs
+
+    ds = rd.from_arrow(synth_schema_docs(2000))
+    return analyze_schema_docs(ds)
+
+
 def multimodal_features(sf_dir: str):
     """Binary media plumbing demo: synthetic media table -> actor-pool decode
     (deterministic fake codec) -> feature columns (rows-only check)."""

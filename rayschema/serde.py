@@ -263,6 +263,18 @@ def schema_to_json(s: SchemaOrBool, indent: Any = None) -> str:
     return json.dumps(schema_to_dict(s), indent=indent, separators=(",", ":") if indent is None else None)
 
 
+def drop_zero_mins(v: Any) -> Any:
+    """Normalize the zero-default non-pointer semantic (entities.go:34,39,43):
+    an explicit ``"minLength": 0`` (minItems/minProperties likewise) is
+    identical to absent and is not re-serialized — drop before JSON compare."""
+    if isinstance(v, dict):
+        return {k: drop_zero_mins(x) for k, x in v.items()
+                if not (k in ("minLength", "minItems", "minProperties") and x == 0)}
+    if isinstance(v, list):
+        return [drop_zero_mins(x) for x in v]
+    return v
+
+
 def json_equal(a: Any, b: Any) -> bool:
     """Order/format-insensitive JSON equality (assertjson.Equal analog)."""
     if isinstance(a, (str, bytes)):

@@ -17,7 +17,7 @@ import pyarrow as pa
 from hypothesis import given, settings, strategies as st
 
 from rayschema.compile import compile_validator
-from rayschema.serde import json_equal, schema_from_json, schema_to_json
+from rayschema.serde import drop_zero_mins, json_equal, schema_from_json, schema_to_json
 
 # --------------------------------------------------------------------------- serde
 
@@ -75,18 +75,6 @@ def schema_docs(draw, depth=2):
                 st.lists(st.text(min_size=1, max_size=3), max_size=2),
                 schema_docs(depth=depth - 1)))}
     return doc
-
-
-def drop_zero_mins(v):
-    """minLength/minItems/minProperties are zero-default non-pointers in the
-    reference (entities.go:34,39,43): an explicit 0 is identical to absent and
-    is NOT re-serialized (Go omitempty). Normalize before JSON compare."""
-    if isinstance(v, dict):
-        return {k: drop_zero_mins(x) for k, x in v.items()
-                if not (k in ("minLength", "minItems", "minProperties") and x == 0)}
-    if isinstance(v, list):
-        return [drop_zero_mins(x) for x in v]
-    return v
 
 
 @settings(max_examples=150, deadline=None)

@@ -122,3 +122,23 @@ def test_schema_to_dict_ordering_stable():
     d = schema_to_dict(schema_from_json('{"zzz":1,"aaa":2,"type":"string","title":"t"}'))
     keys = list(d)
     assert keys == ["title", "type", "aaa", "zzz"]
+
+
+def test_schema_docs_analysis_batch():
+    # schema-documents-as-rows operator (rayschema.schemadocs)
+    import pyarrow as pa
+
+    from rayschema.schemadocs import analyze_schema_docs_batch, synth_schema_docs
+
+    t = synth_schema_docs(500)
+    out = analyze_schema_docs_batch(t)
+    assert out.num_rows == 500
+    assert all(out["parse_ok"].to_pylist())
+    assert all(out["roundtrip_stable"].to_pylist())
+    assert any(out["is_bool_schema"].to_pylist())
+    assert any(out["trivial"].to_pylist()) and not all(out["trivial"].to_pylist())
+    # determinism
+    assert out.equals(analyze_schema_docs_batch(synth_schema_docs(500)))
+    bad = pa.table({"schema_id": pa.array([0]),
+                    "schema_json": pa.array(['{"type":"zzz"}'])})
+    assert analyze_schema_docs_batch(bad)["parse_ok"].to_pylist() == [False]
