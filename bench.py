@@ -86,6 +86,9 @@ def run_bench() -> dict:
         ("minhash_near_dup_documents", Q.minhash_near_dup_documents),
         ("knn_bruteforce", Q.knn_bruteforce),
         ("token_counts_documents", Q.token_counts_documents),
+        ("order_revenue_join", Q.order_revenue_join),
+        ("events_sessionization", Q.events_sessionization),
+        ("validate_events_props", Q.validate_events_props),
     ]:
         t0 = time.time()
         res = fn(SF_DIR)

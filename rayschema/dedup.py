@@ -83,18 +83,15 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
 class MinHasher:
     """Actor stage: per-doc MinHash signature + LSH band keys.
 
-    __init__ draws the (a, b) permutation coefficients ONCE per actor from a
-    fixed seed (all actors identical), so signatures are globally consistent.
-    __call__ explodes each doc into ``bands`` rows (band_id, band_hash,
-    doc_id) ready for the bucket groupby."""
+    Signatures use one-permutation hashing with fixed bin modulus, so they are
+    globally consistent across actors with no shared state. __call__ explodes
+    each doc into ``bands`` rows (band_id, band_hash, doc_id) ready for the
+    bucket groupby."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text",
                  num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                  seed: int = 4242, explode: bool = True):
         assert num_perm % bands == 0
-        rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
         self.num_perm = num_perm
         self.bands = bands
         self.rows_per_band = num_perm // bands
