@@ -198,9 +198,22 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts: Dict[int, str],
                          threshold: float = 0.8, shingle_k: int = 5) -> pd.DataFrame:
     """Exact-Jaccard verification of candidate pairs (driver-side or
-    per-bucket; ``texts`` is a lookup of the candidate docs only)."""
-    sims = [ngram_jaccard(texts.get(int(a), ""), texts.get(int(b), ""), shingle_k)
-            for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])]
+    per-bucket; ``texts`` is a lookup of the candidate docs only). Shingle
+    sets are computed once per doc, not once per pair."""
+    cache: Dict[int, np.ndarray] = {}
+
+    def sh(i: int) -> np.ndarray:
+        if i not in cache:
+            cache[i] = char_shingles(texts.get(i, ""), shingle_k)
+        return cache[i]
+
+    def jac(a: int, b: int) -> float:
+        ha, hb = sh(int(a)), sh(int(b))
+        inter = np.intersect1d(ha, hb, assume_unique=True).size
+        union = ha.size + hb.size - inter
+        return inter / union if union else 1.0
+
+    sims = [jac(a, b) for a, b in zip(pairs_df["id_a"], pairs_df["id_b"])]
     out = pairs_df.copy()
     out["jaccard"] = np.round(sims, 6)
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
