@@ -91,7 +91,8 @@ class CompileContext:
             return self.root
         if ref.startswith(self.definitions_prefix) and isinstance(self.root, Schema) \
                 and self.root.definitions:
-            return self.root.definitions.get(ref[len(self.definitions_prefix):])
+            name = _unescape_ref(ref[len(self.definitions_prefix):])
+            return self.root.definitions.get(name)
         return None
 
     def resolve_compiled(self, ref: str) -> NodeFn:
@@ -108,6 +109,11 @@ class CompileContext:
             raise KeyError(f"unresolvable $ref: {ref}")
         cell["fn"] = compile_sob(target, self, path=ref)
         return forwarder
+
+
+def _unescape_ref(name: str) -> str:
+    """Inverse of infer._escape_ref (JSON-pointer ~0/~1 + %25, RFC 6901)."""
+    return name.replace("%25", "%").replace("~1", "/").replace("~0", "~")
 
 
 def _n(subject: Subject) -> int:
@@ -581,6 +587,27 @@ def _apply_map(arr: pa.Array, add, want, prop_fns, pat_prop_fns, add_props_false
         m, _ = prop_names_fn(keys, False)
         add("propertyNames", V.segment_all(m, off) | parent_absent,
             "a property name fails propertyNames")
+
+    # dependencies over a dynamic key set (entities.go:49): presence of key k
+    # implies presence of its dep keys (string arm) / the whole-map subschema
+    # (schema arm)
+    if dep_fns:
+        def present_of(name: str) -> np.ndarray:
+            has = np.asarray([kk == name for kk in key_np], dtype=bool)
+            return V.segment_any(has, off)
+
+        for dkey, dep in dep_fns.items():
+            pk = present_of(dkey)
+            if isinstance(dep, list):
+                m = np.ones(n, dtype=bool)
+                for d in dep:
+                    m &= present_of(d)
+                add("dependencies", ~pk | m | parent_absent,
+                    f"dependencies of {dkey!r} missing", f"{path}/dependencies/{dkey}")
+            else:
+                m, _ = dep(arr, False)
+                add("dependencies", ~pk | m | parent_absent,
+                    f"schema dependency of {dkey!r} failed", f"{path}/dependencies/{dkey}")
 
 
 # --------------------------------------------------------------------------- public API

@@ -117,8 +117,6 @@ class MinHasher:
             # rotational densification: borrow from the next filled bucket
             idx = np.arange(p)
             filled = ~empty
-            nxt = np.where(filled, idx, -1)
-            # forward fill in rotated order
             last = -1
             order = np.concatenate([idx, idx])
             fill_from = np.empty(p, dtype=np.int64)

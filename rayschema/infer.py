@@ -274,13 +274,10 @@ class Inferrer:
             if not self.options.skip_non_constraints:
                 s.title, s.description = t.title, t.description
             self._struct_fields(s, t.fields, path)
-            if nullable and self._fingerprint(t) not in self._def_of_type:
-                s.add_type("null")
-            if t.nullable:
-                s.add_type("null")
-            s.add_type("object")
-            # re-order: object first, null second
-            s.type = ["object", "null"] if t.nullable else "object"
+            want_null = t.nullable or (
+                nullable and self._fingerprint(t) not in self._def_of_type)
+            # object first, null second
+            s.type = ["object", "null"] if want_null else "object"
             if t.meta:
                 if "additionalProperties" in t.meta:
                     s.additional_properties = t.meta["additionalProperties"]

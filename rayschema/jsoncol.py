@@ -50,17 +50,30 @@ class JsonColumnValidator:
             except ValueError:
                 parsed.append(None)
                 ok[i] = False
+        mask = np.zeros(len(texts), dtype=bool)
+        n_viol = np.zeros(len(texts), dtype=np.int32)
         try:
             arr = pa.array(parsed)
+            m, viols = self.v.validate(arr)
+            mask = m & ok
+            for v in viols:
+                n_viol += v.fail_mask.astype(np.int32)
         except (pa.ArrowInvalid, pa.ArrowTypeError):
-            # heterogeneous documents: validate per partitionable subset by
-            # falling back to an all-strings representation
-            arr = pa.array([json.dumps(p) if p is not None else None for p in parsed])
-        mask, viols = self.v.validate(arr)
-        mask = mask & ok
-        n_viol = np.zeros(len(texts), dtype=np.int32)
-        for v in viols:
-            n_viol += v.fail_mask.astype(np.int32)
+            # heterogeneous document shapes in one batch: validate each row
+            # against its own single-row Arrow array so one odd document
+            # cannot poison the verdicts of the others
+            for i, p in enumerate(parsed):
+                if not ok[i]:
+                    continue
+                try:
+                    one = pa.array([p])
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    ok[i] = False
+                    continue
+                m, viols = self.v.validate(one)
+                mask[i] = bool(m[0])
+                n_viol[i] = sum(int(v.fail_mask[0]) for v in viols)
+            mask &= ok
         n_viol += (~ok).astype(np.int32)
         out_cols = {}
         names = self.keep_cols or [n for n in batch.schema.names if n != self.json_col]

@@ -41,7 +41,6 @@ from rayschema.drift import compare, load_baseline, save_baseline, snapshot_from
 from rayschema.manifest import Manifest, PartitionRecord
 from rayschema.serde import schema_from_json
 from rayschema.stats import dataset_stats
-from rayschema.unique import duplicate_key_counts
 
 KEY_COLS = ("repo", "path", "commit")
 
@@ -233,7 +232,7 @@ def run_validation(corpus_path: str, out_dir: str,
                    registry: Optional[Sequence[str]] = None,
                    shard_files: Optional[int] = None,
                    batch_size: Optional[int] = None,
-                   concurrency=None,
+                   concurrency=None,   # unused: stage 1 is stateless fused tasks
                    resume: bool = True,
                    drift_baseline: Optional[str] = None,
                    check_unique: bool = True,
@@ -259,20 +258,15 @@ def run_validation(corpus_path: str, out_dir: str,
     manifest = Manifest(os.path.join(out_dir, "manifest.json"))
     manifest.meta.update({"corpus": corpus_path, "schema": json.loads(schema_json)})
 
-    if concurrency is None:
-        # actor pool sized to the cluster: leave headroom for read/write tasks
-        import ray
-
-        ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(2, ncpu - 2))
-
     phase_s: Dict[str, float] = {}
 
     # ---- stage 1: per-shard validation (resume skips done shards)
     t_stage1 = time.time()
     for sid, shard_fs in shards.items():
         rec = manifest.partitions.get(sid)
-        if resume and rec is not None and rec.status == "done":
+        # "written" = stage-1 output complete (recorded AFTER the write);
+        # "done" additionally has stage-2 verdicts. Both are safe to skip.
+        if resume and rec is not None and rec.status in ("written", "done"):
             continue
         t0 = time.time()
         # one read task per file: our corpus files are written ~40-250MB so
@@ -289,7 +283,9 @@ def run_validation(corpus_path: str, out_dir: str,
             batch_format="pyarrow", batch_size=batch_size,
             zero_copy_batch=True)
         shard_out = os.path.join(out_dir, "validated", sid)
-        aug.write_parquet(shard_out)
+        # overwrite: a half-written shard (crash before the manifest record)
+        # is replaced, never appended to — reruns stay idempotent
+        aug.write_parquet(shard_out, mode="overwrite")
         manifest.record(PartitionRecord(
             partition_id=sid, input_file=";".join(shard_fs),
             status="written", wall_s=round(time.time() - t0, 3)))
@@ -382,26 +378,6 @@ def run_validation(corpus_path: str, out_dir: str,
     summary = {**manifest.summary(), **dup_summary,
                "drift": drift_res, "out_dir": out_dir, "phase_s": phase_s}
     return summary
-
-
-def _verdict_partial(b: pa.Table) -> pa.Table:
-    """Per-batch verdict partials (combine before the tiny shard groupby)."""
-    import pandas as pd
-
-    df = pd.DataFrame({
-        "shard": b.column("shard").to_pandas(),
-        "valid": b.column("valid").to_pandas(),
-        "sha_ok": b.column("sha_ok").to_pandas(),
-        "n_violations": b.column("n_violations").to_pandas(),
-    })
-    g = df.groupby("shard").agg(
-        rows=("valid", "size"), passed=("valid", "sum"),
-        sha_mismatch=("sha_ok", lambda s: int((~s).sum())),
-        violations=("n_violations", "sum")).reset_index()
-    g["failed"] = g["rows"] - g["passed"]
-    g["passed"] = g["passed"].astype("int64")
-    g["violations"] = g["violations"].astype("int64")
-    return pa.Table.from_pandas(g, preserve_index=False)
 
 
 def _flatten_violations(b: pa.Table) -> pa.Table:

@@ -139,20 +139,23 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     q = _normalize(np.asarray(queries, dtype=np.float64))
     probe = np.argsort(-(q @ cb.T), axis=1)[:, :nprobe]        # (nq, nprobe)
     wanted = sorted({int(b) for row in probe for b in row})
+    # materialize ONLY the probed-bucket subset: both the top-k pass and the
+    # per-hit bucket lookup below read it without re-executing assignment,
+    # and nothing larger than the probed fraction ever reaches the driver
     flt = assigned.filter(expr=f"ivf_bucket in {wanted}" if len(wanted) > 1
-                          else f"ivf_bucket == {wanted[0]}")
+                          else f"ivf_bucket == {wanted[0]}").materialize()
     df = brute_force_topk(flt, queries, k=k, id_col=id_col, vec_col=vec_col,
                           concurrency=concurrency)
-    # drop hits from buckets a given query did not probe
-    bucket_of = {}
+    # drop hits from buckets a given query did not probe (lookup covers only
+    # the candidate ids, fetched from the probed subset)
     probe_sets = {qi: set(map(int, probe[qi])) for qi in range(len(q))}
-    keep_rows = []
-    id_bucket = assigned.select_columns([id_col, "ivf_bucket"]).to_pandas()
-    id2b = dict(zip(id_bucket[id_col], id_bucket["ivf_bucket"]))
-    for _, r in df.iterrows():
-        if int(id2b.get(r[id_col], -1)) in probe_sets[int(r["query_id"])]:
-            keep_rows.append(r)
-    out = pd.DataFrame(keep_rows).reset_index(drop=True)
+    cand_ids = set(df[id_col])
+    id_bucket = (flt.select_columns([id_col, "ivf_bucket"]).to_pandas())
+    id2b = {i: b for i, b in zip(id_bucket[id_col], id_bucket["ivf_bucket"])
+            if i in cand_ids}
+    keep = [int(id2b.get(r[id_col], -1)) in probe_sets[int(r["query_id"])]
+            for _, r in df.iterrows()]
+    out = df[np.asarray(keep, dtype=bool)].reset_index(drop=True)
     if len(out):
         out["rank"] = out.groupby("query_id").cumcount() + 1
     return out

@@ -2,10 +2,12 @@
 
 SURVEY.md §4: the corpus has a hot repo (~20% of rows). A bare
 ``groupby("repo")`` would put a fifth of the dataset in one reduce task.
-``salted_key`` derives ``key_salted = key + '#' + (hash(salt_col) % k)`` for
-keys in a (small, broadcast) hot set, so the hot group splits into k
-sub-groups; ``unsalt`` merges the k partial aggregates afterwards — a
-two-stage aggregation whose second stage is O(#hot_keys * k).
+``SaltedKey`` derives an INTEGER salt column (``hash(salt_col) % k`` for keys
+in a small broadcast hot set, 0 otherwise); aggregations group by
+``[key, salt]`` so the hot group splits into k sub-groups, and the tiny
+per-(key, salt) partials are re-merged by key afterwards — a two-stage
+aggregation whose second stage is O(#keys * k). Grouping on (key, int salt)
+instead of a mangled string key keeps keys of any length/content safe.
 
 Hot keys are discovered cheaply from a per-batch partial count (no shuffle of
 row data): ``hot_keys(ds, col, threshold)``.
@@ -13,12 +15,11 @@ row data): ``hot_keys(ds, col, threshold)``.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Set
+from typing import Dict, Sequence, Set
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from rayschema.sketches import hash64
 
@@ -50,15 +51,16 @@ def hot_keys(ds, col: str, frac_threshold: float = 0.01, top: int = 64) -> Dict[
 
 
 class SaltedKey:
-    """map_batches stage: append a salted key column for hot keys."""
+    """map_batches stage: append an integer salt column (``hash(salt_col) % k``
+    for hot keys, 0 otherwise). Group by ``[key, out]`` downstream."""
 
     def __init__(self, hot: Set[str], col: str, salt_col: str, k: int = 16,
-                 out: str = None):
+                 out: str = "_salt"):
         self.hot = set(hot)
         self.col = col
         self.salt_col = salt_col
         self.k = k
-        self.out = out or f"{col}_salted"
+        self.out = out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         keys = batch.column(self.col)
@@ -68,31 +70,22 @@ class SaltedKey:
         salt_src = batch.column(self.salt_col)
         if isinstance(salt_src, pa.ChunkedArray):
             salt_src = salt_src.combine_chunks()
-        salts = (hash64(salt_src.to_numpy(zero_copy_only=False)) % np.uint64(self.k)).astype(np.int64)
-        is_hot = np.asarray([k in self.hot for k in keys_np], dtype=bool)
-        salted = np.where(
-            is_hot,
-            np.char.add(np.char.add(keys_np.astype("U120"), "#"), salts.astype("U3")),
-            keys_np.astype("U124"))
-        return batch.append_column(self.out, pa.array(salted.astype(object), type=pa.string()))
-
-
-def unsalt(df: pd.DataFrame, salted_col: str, out_col: str) -> pd.DataFrame:
-    """Strip the '#<salt>' suffix so the k partial aggregates can be re-merged."""
-    df[out_col] = df[salted_col].str.replace(r"#\d+$", "", regex=True)
-    return df
+        salts = (hash64(salt_src.to_numpy(zero_copy_only=False))
+                 % np.uint64(self.k)).astype(np.int64)
+        is_hot = np.asarray([key in self.hot for key in keys_np], dtype=bool)
+        salts = np.where(is_hot, salts, 0)
+        return batch.append_column(self.out, pa.array(salts, type=pa.int64()))
 
 
 def salted_groupby_sum(ds, key_col: str, salt_col: str, value_cols: Sequence[str],
-                       hot: Set[str], k: int = 16):
-    """groupby(key).sum(values) with hot keys salted into k sub-groups and
-    re-merged: stage 1 shuffles on the salted key, stage 2 is a driver-light
-    pandas merge of only the hot rows."""
+                       hot: Set[str], k: int = 16) -> pd.DataFrame:
+    """groupby(key).sum(values) with hot keys salted into k sub-groups: the
+    shuffle is on (key, salt) so no reduce group exceeds ~1/k of a hot key;
+    the per-(key, salt) partials are tiny and re-merge by key on the driver."""
     from ray.data.aggregate import Sum
 
     salted = ds.map_batches(SaltedKey, fn_constructor_args=(hot, key_col, salt_col, k),
                             batch_format="pyarrow", concurrency=(1, 8))
     aggs = [Sum(c, alias_name=c) for c in value_cols]
-    part = salted.groupby(f"{key_col}_salted").aggregate(*aggs).to_pandas()
-    part = unsalt(part, f"{key_col}_salted", key_col)
+    part = salted.groupby([key_col, "_salt"]).aggregate(*aggs).to_pandas()
     return part.groupby(key_col, as_index=False)[list(value_cols)].sum()

@@ -101,7 +101,7 @@ class ColumnStats:
 
     # -------------------------------------------------------------- report
     def summary(self) -> dict:
-        qs = [0.0, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+        qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
         return {
             "count": self.count,
             "nulls": self.nulls,

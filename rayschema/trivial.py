@@ -125,7 +125,8 @@ def definitions_resolver(root: Schema, prefix: str = "#/definitions/") -> RefRes
         if ref == "#":
             return root, True
         if ref.startswith(prefix) and root.definitions:
-            name = ref[len(prefix):]
+            name = (ref[len(prefix):].replace("%25", "%")
+                    .replace("~1", "/").replace("~0", "~"))
             if name in root.definitions:
                 return root.definitions[name], True
         return None, False

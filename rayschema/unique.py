@@ -50,11 +50,14 @@ def find_duplicates(ds, cols: Sequence[str], keep_cols: Optional[Sequence[str]] 
     ``keep_cols`` travel through the shuffle."""
     cols = list(cols)
     keep = list(keep_cols) if keep_cols is not None else cols
+    keep = list(dict.fromkeys(keep + cols))  # key cols needed for exact verify
 
     def emit_dupes(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) <= 1:
             return g.iloc[0:0]
-        return g.iloc[1:]
+        # exact string-key verification within the hash group: a 64-bit
+        # collision between distinct keys must not produce a false duplicate
+        return g[g.duplicated(subset=cols, keep="first")]
 
     return (ds.map_batches(lambda b: add_key_hash(b, cols).select(keep + ["uk"]),
                            batch_format="pyarrow")

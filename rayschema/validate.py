@@ -82,7 +82,11 @@ def list_offsets(arr: pa.Array) -> np.ndarray:
 def list_flatten(arr: pa.Array) -> pa.Array:
     """Child values aligned with list_offsets (NOT dropping null-row gaps)."""
     if isinstance(arr, pa.FixedSizeListArray):
-        return ensure_array(arr.flatten())
+        # .values keeps slots for null rows (len n*size), matching the
+        # synthesized offsets; .flatten() would DROP null-row slots and
+        # misalign every following segment
+        size = arr.type.list_size
+        return ensure_array(arr.values.slice(arr.offset * size, len(arr) * size))
     # .values honors offsets window alignment for List/LargeList/Map
     values = arr.values
     off = arr.offsets
