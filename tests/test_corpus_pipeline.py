@@ -125,3 +125,19 @@ def test_drift_detects_shift():
 def test_registry_table():
     t = lang_registry_table()
     assert t.num_rows == 7 and "zz" not in t["lang"].to_pylist()
+
+
+def test_stage1_only_then_full_run_is_idempotent(pipeline_run, ray_session):
+    """Regression: Ray write_parquet defaults to APPEND; a stage1-only run
+    followed by a full run (or any rerun) must not duplicate rows."""
+    import shutil
+
+    from rayschema.pipeline import run_validation
+
+    out = "/tmp/rayschema_test/out_resume"
+    shutil.rmtree(out, ignore_errors=True)
+    run_validation(CORPUS, out, shard_files=1, stage2=False)
+    s2 = run_validation(CORPUS, out, shard_files=1)
+    assert s2["rows"] == N
+    s3 = run_validation(CORPUS, out, shard_files=1, resume=False)
+    assert s3["rows"] == N
