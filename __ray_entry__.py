@@ -141,7 +141,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+                   sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
                    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
                    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                        * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_e4,
@@ -212,9 +212,17 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang""",
         "validate_events_props": """
             SELECT event_id,
-                   (json_valid(props)
-                    AND json_extract(props, '$.k') IS NOT NULL
-                    AND json_type(json_extract(props, '$.k')) IN ('INTEGER','UBIGINT','BIGINT')
-                    AND CAST(json_extract(props, '$.k') AS BIGINT) BETWEEN 0 AND 50) AS valid
+                   CASE WHEN props IS NULL THEN TRUE  -- null doc = absent (engine convention)
+                        ELSE COALESCE(
+                          json_valid(props)
+                          AND json_extract(props, '$.k') IS NOT NULL
+                          AND (json_type(json_extract(props, '$.k'))
+                                 IN ('INTEGER','UBIGINT','BIGINT')
+                               OR (json_type(json_extract(props, '$.k')) = 'DOUBLE'
+                                   AND CAST(json_extract(props, '$.k') AS DOUBLE)
+                                       = floor(CAST(json_extract(props, '$.k') AS DOUBLE))))
+                          AND CAST(json_extract(props, '$.k') AS DOUBLE) BETWEEN 0 AND 50,
+                          FALSE)
+                   END AS valid
             FROM events""",
     }

@@ -169,9 +169,13 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    PYTHONPATH=os.path.dirname(here))
-        out = subprocess.run([sys.executable, here, "--stage1"], env=env,
-                             capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        proc = subprocess.run([sys.executable, here, "--stage1"], env=env,
+                              capture_output=True, text=True)
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(f"stage1 bench failed at num_cpus={ncpu} "
+                               f"(exit {proc.returncode}); stderr above")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # N=2 vs 4N=8: a CPU-burn probe of this sandbox shows the box exposes 32
     # hyperthreads over ~17 effective cores — pure-ALU scaling tops out at

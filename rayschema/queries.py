@@ -61,7 +61,7 @@ class _DocsValidator:
         self.v = compile_validator(schema_from_json(DOCS_SCHEMA_JSON))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        mask, viols = self.v.validate(batch)
+        mask = self.v.probe(batch)   # mask only; no violation attribution cost
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "lang": batch.column("lang"),
@@ -80,10 +80,17 @@ def validate_documents_verdicts(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({"lang": b.column("lang").to_pandas(),
                            "valid": b.column("valid").to_pandas()})
-        g = df.groupby("lang").agg(n_rows=("valid", "size"),
-                                   passed=("valid", "sum")).reset_index()
-        g["passed"] = g["passed"].astype("int64")
-        return pa.Table.from_pandas(g, preserve_index=False)
+        g = df.groupby("lang", dropna=False).agg(
+            n_rows=("valid", "size"), passed=("valid", "sum")).reset_index()
+        # null lang rows must keep their group (oracle GROUP BY keeps a NULL
+        # group) but Ray's sort-based groupby cannot order null keys — carry
+        # them through the shuffle as a sentinel string, restored in finish()
+        return pa.table({
+            "lang": pa.array(["__null__" if pd.isna(x) else x for x in g["lang"]],
+                             type=pa.string()),
+            "n_rows": pa.array(g["n_rows"].astype("int64")),
+            "passed": pa.array(g["passed"].astype("int64")),
+        })
 
     out = (verdicts.map_batches(partial, batch_format="pyarrow")
            .groupby("lang")
@@ -93,7 +100,14 @@ def validate_documents_verdicts(sf_dir: str):
     def finish(b: pa.Table) -> pa.Table:
         rows = b.column("n_rows").to_numpy(zero_copy_only=False)
         passed = b.column("passed").to_numpy(zero_copy_only=False)
-        return b.append_column("failed", pa.array(rows - passed))
+        langs = [None if x == "__null__" else x
+                 for x in b.column("lang").to_pylist()]
+        return pa.table({
+            "lang": pa.array(langs, type=pa.string()),
+            "n_rows": b.column("n_rows"),
+            "passed": b.column("passed"),
+            "failed": pa.array(rows - passed),
+        })
 
     return out.map_batches(finish, batch_format="pyarrow")
 
@@ -110,7 +124,11 @@ class _DocsViolations:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         _, viols = self.v.validate(batch)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids_arr = batch.column("doc_id")
+        if isinstance(ids_arr, pa.ChunkedArray):
+            ids_arr = ids_arr.combine_chunks()
+        # arrow take preserves the int64 type and nulls (numpy would degrade
+        # null-bearing batches to float64/NaN and split the output schema)
         out_ids, out_kw, out_col = [], [], []
         for v in viols:
             if v.keyword not in self.LEAF:
@@ -119,15 +137,15 @@ class _DocsViolations:
             if not idx.size:
                 continue
             column = v.path.split("/")[-1] if "/" in v.path else v.path
-            out_ids.append(ids[idx])
+            out_ids.append(ids_arr.take(pa.array(idx)))
             out_kw.append(np.full(idx.size, v.keyword, dtype=object))
             out_col.append(np.full(idx.size, column, dtype=object))
         if not out_ids:
-            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+            return pa.table({"doc_id": pa.array([], type=ids_arr.type),
                              "keyword": pa.array([], type=pa.string()),
                              "column_name": pa.array([], type=pa.string())})
         return pa.table({
-            "doc_id": pa.array(np.concatenate(out_ids)),
+            "doc_id": pa.concat_arrays(out_ids),
             "keyword": pa.array(np.concatenate(out_kw), type=pa.string()),
             "column_name": pa.array(np.concatenate(out_col), type=pa.string()),
         })
@@ -157,15 +175,15 @@ def column_stats_lang(sf_dir: str):
     from ray.data.aggregate import Count, Max, Min
 
     ds = _read(sf_dir, "documents", columns=["lang"])
-    n = ds.count()
-    nulls = ds.aggregate(Count("lang", alias_name="nn", ignore_nulls=True))
-    n_nonnull = int(nulls["nn"])
+    agg = ds.aggregate(Count("lang", alias_name="n", ignore_nulls=False),
+                       Count("lang", alias_name="nn", ignore_nulls=True),
+                       Min("lang", alias_name="min_v"),
+                       Max("lang", alias_name="max_v"))
     distinct = ds.unique("lang")
-    mm = ds.aggregate(Min("lang", alias_name="min_v"), Max("lang", alias_name="max_v"))
     return pd.DataFrame([{
-        "n": int(n), "nulls": int(n - n_nonnull),
+        "n": int(agg["n"]), "nulls": int(agg["n"] - agg["nn"]),
         "n_distinct": int(len(distinct)),
-        "min_v": mm["min_v"], "max_v": mm["max_v"],
+        "min_v": agg["min_v"], "max_v": agg["max_v"],
     }])
 
 
@@ -182,7 +200,9 @@ def column_stats_quantity(sf_dir: str):
             "nulls": pa.array([int(np.isnan(q).sum())], type=pa.int64()),
             "min_v": pa.array([np.nanmin(q) if len(q) else None]),
             "max_v": pa.array([np.nanmax(q) if len(q) else None]),
-            "sum_deci": pa.array([int(np.round(np.nansum(q) * 10))], type=pa.int64()),
+            "sum_deci": pa.array(
+                [int(np.round(q[~np.isnan(q)] * 10).astype(np.int64).sum())],
+                type=pa.int64()),
         })
 
     from ray.data.aggregate import Sum
@@ -354,7 +374,7 @@ def pricing_summary(sf_dir: str):
                              "sum_base_price_cents": pa.array([], type=pa.int64()),
                              "sum_disc_price_e4": pa.array([], type=pa.int64()),
                              "count_order": pa.array([], type=pa.int64())})
-        df["sum_qty"] = df["l_quantity"].astype(np.int64)
+        df["sum_qty"] = np.floor(df["l_quantity"].to_numpy()).astype(np.int64)
         df["sum_base_price_cents"] = _cents(df["l_extendedprice"])
         disc = np.round(df["l_extendedprice"].to_numpy() * 100).astype(np.int64) * \
             np.round((1 - df["l_discount"].to_numpy()) * 100).astype(np.int64)
@@ -444,7 +464,7 @@ def part_brand_stats(sf_dir: str):
 
     return (ds.map_batches(prep, batch_format="pyarrow")
               .groupby("p_brand")
-              .aggregate(Count("p_size", alias_name="n"),
+              .aggregate(Count("p_size", alias_name="n", ignore_nulls=True),
                          Min("p_size", alias_name="min_size"),
                          Max("p_size", alias_name="max_size"),
                          Sum("price_cents", alias_name="sum_price_cents")))

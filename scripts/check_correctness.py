@@ -86,6 +86,7 @@ def main() -> int:
         ok_rows = len(mine) == len(ref)
         ok_cols = list(mine.columns) == list(ref.columns)
         ok_vals = False
+        msg = f"row-count mismatch {len(mine)} vs {len(ref)}" if not ok_rows else ""
         if ok_rows and ok_cols:
             try:
                 pd.testing.assert_frame_equal(mine, ref, check_dtype=False,
