@@ -1,0 +1,191 @@
+"""Draft-07 semantics cases in the style of the public JSON-Schema-Test-Suite
+(json-schema-org/JSON-Schema-Test-Suite), adapted to columnar subjects and the
+engine's null-as-absent convention. Each case: (schema, column values,
+expected pass mask)."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from rayschema.compile import compile_validator
+from rayschema.serde import schema_from_json
+
+
+def check(schema: str, arr, expected):
+    v = compile_validator(schema_from_json(schema))
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(arr)
+    assert v.probe(arr).tolist() == expected, (schema, arr)
+
+
+# ---- applicator interactions ------------------------------------------------
+def test_allof_with_base_schema():
+    # base keywords AND allOf branches all apply
+    check('{"minLength":2,"allOf":[{"pattern":"^a"},{"maxLength":4}]}',
+          ["abc", "a", "axxxx", "zbc"],
+          [True, False, False, False])
+
+
+def test_nested_anyof_oneof():
+    check('{"anyOf":[{"oneOf":[{"multipleOf":2},{"multipleOf":3}]},{"minimum":100}]}',
+          [2.0, 3.0, 6.0, 7.0, 150.0],
+          [True, True, False, False, True])  # 6 matches both oneOf arms -> oneOf fails; 150 via minimum
+
+
+def test_not_with_applicator():
+    check('{"not":{"anyOf":[{"pattern":"^a"},{"pattern":"z$"}]}}',
+          ["abc", "xyz", "mid"],
+          [False, False, True])
+
+
+def test_if_without_then_else():
+    # lone if has no effect
+    check('{"if":{"pattern":"^a"}}', ["abc", "zzz"], [True, True])
+    # then without if has no effect
+    check('{"then":{"minLength":100}}', ["abc"], [True])
+
+
+def test_oneof_with_boolean_branches():
+    # true matches everything; [true,true] -> everything matches 2 -> all fail
+    check('{"oneOf":[true,true]}', ["x"], [False])
+    check('{"oneOf":[true,false]}', ["x"], [True])
+
+
+# ---- object keywords --------------------------------------------------------
+def test_additional_properties_schema_and_pattern_interaction():
+    mp = pa.array([{"foo": "ok", "xbar": "1"}, {"other": "long-value"}],
+                  type=pa.map_(pa.string(), pa.string()))
+    sch = ('{"properties":{"foo":{}},"patternProperties":{"^x":{"pattern":"^[0-9]+$"}},'
+           '"additionalProperties":{"maxLength":3}}')
+    check(sch, mp, [True, False])
+
+
+def test_property_names_with_maxlength():
+    mp = pa.array([{"ab": "1"}, {"toolongkey": "1"}],
+                  type=pa.map_(pa.string(), pa.string()))
+    check('{"propertyNames":{"maxLength":3}}', mp, [True, False])
+
+
+def test_required_without_properties():
+    t = pa.table({"foo": [1, None]})
+    v = compile_validator(schema_from_json('{"required":["foo"]}'))
+    assert v.probe(t).tolist() == [True, False]
+
+
+def test_dependencies_schema_form_on_table():
+    t = pa.table({"a": [1, None, 3], "b": [1, 2, None]})
+    # presence of a requires b present AND a >= 2
+    sch = '{"dependencies":{"a":{"required":["b"],"properties":{"a":{"minimum":2}}}}}'
+    v = compile_validator(schema_from_json(sch))
+    assert v.probe(t).tolist() == [False, True, False]
+
+
+# ---- array keywords ---------------------------------------------------------
+def test_tuple_items_shorter_rows_pass():
+    arr = pa.array([[1.0], [], [1.0, 2.0, 3.0]], type=pa.list_(pa.float64()))
+    sch = '{"items":[{"type":"number"},{"maximum":5}],"additionalItems":false}'
+    check(sch, arr, [True, True, False])
+
+
+def test_contains_interaction_with_items():
+    arr = pa.array([[2, 4, 5], [2, 4], [5]], type=pa.list_(pa.int64()))
+    # every item <= 10 AND at least one item == 5
+    check('{"items":{"maximum":10},"contains":{"const":5}}',
+          arr, [True, False, True])
+
+
+def test_unique_items_nested_lists():
+    arr = pa.array([[[1], [2]], [[1], [1]]], type=pa.list_(pa.list_(pa.int64())))
+    check('{"uniqueItems":true}', arr, [True, False])
+
+
+def test_min_max_items_with_nulls_inside():
+    arr = pa.array([[1, None], [None], []], type=pa.list_(pa.int64()))
+    check('{"minItems":1}', arr, [True, True, False])
+    # null ELEMENTS vacuously pass item subschemas (engine convention)
+    check('{"items":{"minimum":0}}', arr, [True, True, True])
+
+
+# ---- numeric edge cases -----------------------------------------------------
+def test_exclusive_bounds_edges():
+    check('{"exclusiveMinimum":0,"exclusiveMaximum":10}',
+          [0.0, 0.0001, 9.9999, 10.0],
+          [False, True, True, False])
+
+
+def test_multiple_of_fractional():
+    check('{"multipleOf":0.01}', [0.07, 0.075], [True, False])
+
+
+def test_integer_rejects_fractional_accepts_negative_whole():
+    check('{"type":"integer"}', [-2.0, -2.5, 0.0], [True, False, True])
+
+
+# ---- enum / const edge cases ------------------------------------------------
+def test_enum_heterogeneous_members():
+    # string column against mixed-type enum: only string members can match
+    check('{"enum":[1,"1",true]}', ["1", "2"], [True, False])
+    check('{"enum":[1,"1"]}', [1.0, 2.0], [True, False])
+
+
+def test_const_number_equality_across_int_float():
+    check('{"const":1}', [1.0, 1.5], [True, False])
+
+
+# ---- $ref edge cases --------------------------------------------------------
+def test_ref_to_root():
+    sch = ('{"type":"object","properties":{"child":{"$ref":"#"}},'
+           '"required":["v"],"properties":{"v":{"type":"integer"},'
+           '"child":{"$ref":"#"}}}')
+    typ = pa.struct([("v", pa.int64()),
+                     ("child", pa.struct([("v", pa.int64())]))])
+    arr = pa.array([{"v": 1, "child": {"v": 2}},
+                    {"v": 1, "child": {"v": None}},
+                    {"v": None, "child": None}], type=typ)
+    t = pa.table({"v": pa.array([1, 1, None]), "child": arr})
+    v = compile_validator(schema_from_json(sch))
+    # row0: ok; row1: child.v missing -> child fails required; row2: v missing
+    assert v.probe(t).tolist() == [True, False, False]
+
+
+def test_ref_chain_through_definitions():
+    sch = ('{"definitions":{"a":{"$ref":"#/definitions/b"},'
+           '"b":{"minimum":5}},'
+           '"properties":{"n":{"$ref":"#/definitions/a"}}}')
+    t = pa.table({"n": [10.0, 1.0]})
+    v = compile_validator(schema_from_json(sch))
+    assert v.probe(t).tolist() == [True, False]
+
+
+# ---- format opt-out ---------------------------------------------------------
+def test_format_annotation_only_mode():
+    v = compile_validator(schema_from_json('{"format":"date"}'),
+                          validate_formats=False)
+    assert v.probe(pa.array(["not-a-date"])).tolist() == [True]
+
+
+def test_custom_format_checker():
+    import numpy as np
+
+    def even_len(arr):
+        import pyarrow.compute as pc
+
+        return (pc.utf8_length(arr).to_numpy(zero_copy_only=False) % 2 == 0)
+
+    v = compile_validator(schema_from_json('{"format":"even"}'),
+                          custom_formats={"even": even_len})
+    assert v.probe(pa.array(["ab", "abc"])).tolist() == [True, False]
+
+
+def test_custom_keyword_handler():
+    def handler(schema, arr):
+        import numpy as np
+
+        limit = schema.extra_properties["x-max-words"]
+        return np.asarray([len(x.split()) <= limit if x else True
+                           for x in arr.to_pylist()])
+
+    v = compile_validator(schema_from_json('{"x-max-words":2}'),
+                          custom_keywords={"x-max-words": handler})
+    assert v.probe(pa.array(["one two", "one two three"])).tolist() == [True, False]
