@@ -380,6 +380,33 @@ def run_validation(corpus_path: str, out_dir: str,
     return summary
 
 
+def top_violating_repos(out_dir: str, k: int = 20):
+    """Reporting helper (SURVEY.md §2.E sorts/top-k): repos ranked by
+    violation count from the validated output — per-batch partials ->
+    small groupby -> sort desc with deterministic tie-break -> limit(k)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    validated = rd.read_parquet(os.path.join(out_dir, "validated"))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"repo": b.column("repo").to_pandas(),
+                           "n_violations": b.column("n_violations").to_pandas()})
+        g = (df.groupby("repo", as_index=False)
+               .agg(violations=("n_violations", "sum"), rows=("n_violations", "size")))
+        g["violations"] = g["violations"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (validated.select_columns(["repo", "n_violations"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("repo")
+            .aggregate(Sum("violations", alias_name="violations"),
+                       Sum("rows", alias_name="rows"))
+            .sort(["violations", "repo"], descending=[True, False])
+            .limit(k))
+
+
 def _flatten_violations(b: pa.Table) -> pa.Table:
     """validated rows -> one output row per violation (repo, path, commit,
     json_path, keyword, message)."""

@@ -141,3 +141,13 @@ def test_stage1_only_then_full_run_is_idempotent(pipeline_run, ray_session):
     assert s2["rows"] == N
     s3 = run_validation(CORPUS, out, shard_files=1, resume=False)
     assert s3["rows"] == N
+
+
+def test_top_violating_repos(pipeline_run, ray_session):
+    from rayschema.pipeline import top_violating_repos
+
+    top = top_violating_repos(OUT, k=5).to_pandas()
+    assert len(top) == 5
+    # the hot repo owns ~20% of rows, so it accumulates the most violations
+    assert top.iloc[0]["repo"] == "org0/mono"
+    assert (top["violations"].diff().dropna() <= 0).all()  # sorted desc
