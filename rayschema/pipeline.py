@@ -388,7 +388,11 @@ def top_violating_repos(out_dir: str, k: int = 20):
     import ray.data as rd
     from ray.data.aggregate import Sum
 
-    validated = rd.read_parquet(os.path.join(out_dir, "validated"))
+    vfiles = sorted(glob.glob(os.path.join(out_dir, "validated", "*", "*.parquet")))
+    validated = rd.read_parquet(
+        vfiles or os.path.join(out_dir, "validated"),
+        columns=["repo", "n_violations"],          # prune at the read
+        override_num_blocks=max(1, len(vfiles)) if vfiles else None)
 
     def partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({"repo": b.column("repo").to_pandas(),
@@ -396,15 +400,29 @@ def top_violating_repos(out_dir: str, k: int = 20):
         g = (df.groupby("repo", as_index=False)
                .agg(violations=("n_violations", "sum"), rows=("n_violations", "size")))
         g["violations"] = g["violations"].astype("int64")
+        g["rows"] = g["rows"].astype("int64")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    return (validated.select_columns(["repo", "n_violations"])
-            .map_batches(partial, batch_format="pyarrow")
-            .groupby("repo")
-            .aggregate(Sum("violations", alias_name="violations"),
-                       Sum("rows", alias_name="rows"))
-            .sort(["violations", "repo"], descending=[True, False])
-            .limit(k))
+    # TREE combine instead of a keyed shuffle: with ~N_distinct keys PER BLOCK
+    # the per-block partials barely compress, and Ray's sort-based aggregate
+    # over blocks*N_distinct rows is minutes of work. Summation is
+    # associative, so coalescing blocks and re-aggregating (fanout stage) then
+    # merging the few remaining blocks on the driver gives the same result in seconds.
+    def merge_stage(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"repo": b.column("repo").to_pandas(),
+                           "violations": b.column("violations").to_pandas(),
+                           "rows": b.column("rows").to_pandas()})
+        g = df.groupby("repo", as_index=False)[["violations", "rows"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = (validated.map_batches(partial, batch_format="pyarrow")
+                .repartition(8)
+                .map_batches(merge_stage, batch_format="pyarrow"))
+    df = partials.to_pandas()
+    top = (df.groupby("repo", as_index=False)[["violations", "rows"]].sum()
+             .sort_values(["violations", "repo"], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+    return top
 
 
 def _flatten_violations(b: pa.Table) -> pa.Table:

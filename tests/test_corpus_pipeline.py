@@ -146,7 +146,7 @@ def test_stage1_only_then_full_run_is_idempotent(pipeline_run, ray_session):
 def test_top_violating_repos(pipeline_run, ray_session):
     from rayschema.pipeline import top_violating_repos
 
-    top = top_violating_repos(OUT, k=5).to_pandas()
+    top = top_violating_repos(OUT, k=5)
     assert len(top) == 5
     # the hot repo owns ~20% of rows, so it accumulates the most violations
     assert top.iloc[0]["repo"] == "org0/mono"
