@@ -44,7 +44,8 @@ def run_bench() -> dict:
     os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)   # keep stdout to exactly one JSON line
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -127,7 +128,8 @@ def run_stage1_bench() -> dict:
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
-             ignore_reinit_error=True, logging_level="ERROR")
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)   # keep stdout to exactly one JSON line
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
