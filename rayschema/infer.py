@@ -516,3 +516,28 @@ def infer_schema(subject: Union[pa.Schema, pa.DataType, VirtualStruct],
                  root_def_name: str = "Root") -> Schema:
     """One-shot inference (Reflector.Reflect analog, reflect.go:269-306)."""
     return Inferrer(options).infer(subject, root_def_name)
+
+
+# ----------------------------------------------------------------------- subschema helpers
+def one_of(*subjects: Any) -> Schema:
+    """Combine subjects into a oneOf schema (OneOf helper analog,
+    /root/reference/reflect.go:1535-1553): each subject is inferred inline."""
+    return _combine("one_of", subjects)
+
+
+def any_of(*subjects: Any) -> Schema:
+    """AnyOf helper analog (reflect.go:1555-1573)."""
+    return _combine("any_of", subjects)
+
+
+def all_of(*subjects: Any) -> Schema:
+    """AllOf helper analog (reflect.go:1575-1595)."""
+    return _combine("all_of", subjects)
+
+
+def _combine(attr: str, subjects) -> Schema:
+    inf = Inferrer(InferOptions(inline_refs=True))
+    out = Schema()
+    setattr(out, attr, [inf.infer(s) if not isinstance(s, Schema) else s
+                        for s in subjects])
+    return out

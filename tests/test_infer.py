@@ -272,3 +272,24 @@ def test_type_mapping_and_inline_definition_options():
                     InferOptions(inline_definitions=[str(inner)]))
     assert "definitions" not in d2
     assert "properties" in d2["properties"]["first"]
+
+
+def test_oneof_anyof_allof_helpers():
+    # OneOf/AnyOf/AllOf helpers (reflect.go:1535-1595)
+    from rayschema.infer import all_of, any_of, one_of
+
+    s = one_of(pa.string(), pa.int64())
+    d = schema_to_dict(s)
+    assert d == {"oneOf": [{"type": "string"}, {"type": "integer"}]}
+    d2 = schema_to_dict(any_of(pa.schema([pa.field("a", pa.int64(), nullable=False)]),
+                               pa.bool_()))
+    assert d2["anyOf"][0]["properties"]["a"] == {"type": "integer"}
+    assert d2["anyOf"][1] == {"type": "boolean"}
+    d3 = schema_to_dict(all_of(pa.float64()))
+    assert d3 == {"allOf": [{"type": "number"}]}
+    # combined schema compiles and validates
+    from rayschema.compile import compile_validator
+
+    v = compile_validator(one_of(pa.string(), pa.int64()))
+    arr = pa.array([1.0, 1.5])
+    assert v.probe(arr).tolist() == [True, False]
