@@ -109,11 +109,13 @@ class VirtualList:
 class NamedType:
     """A named scalar/derived type hoisted into definitions — the analog of a
     Go named type like `type Enumed string` with an Enum() implementation
-    (reflect_test.go:55-61; defName reflect.go:780-837)."""
+    (reflect_test.go:55-61; defName reflect.go:780-837). ``inline=True`` is
+    the SchemaInliner marker analog (reflect.go:49-51): never hoisted."""
 
     def_name: str
     type: Any                      # pa.DataType
     meta: Dict[str, Any] = dc_field(default_factory=dict)
+    inline: bool = False
 
 
 # ----------------------------------------------------------------------- options
@@ -377,6 +379,22 @@ class Inferrer:
         props: Dict[str, Any] = {}
         required: List[str] = []
         for f in fields:
+            # anonymous embed (name ""): flatten the embedded struct's fields
+            # into the parent (reflect.go:1079-1098); meta {"refer": True} is
+            # the EmbedReferencer analog — reference it via allOf instead
+            if f.name == "" and isinstance(f.type, VirtualStruct):
+                if (f.meta or {}).get("refer"):
+                    ref_schema = self._node(f.type, path, f.type.def_name or "Embedded")
+                    s.all_of = (s.all_of or []) + [ref_schema]
+                else:
+                    self._struct_fields(s, f.type.fields, path)
+                    if s.properties:
+                        props.update(s.properties)
+                    if s.required:
+                        for r in s.required:
+                            if r not in required:
+                                required.append(r)
+                continue
             name = self.options.property_name_mapping.get(f.name, f.name)
             if name == "-":                       # skip marker (reflect.go:1073)
                 continue
@@ -428,6 +446,8 @@ class Inferrer:
         if callable(prepare) and first_definition:
             prepare(s)
         if top or self.options.inline_refs:
+            return s
+        if getattr(t, "inline", False):            # SchemaInliner marker
             return s
         if isinstance(t, pa.DataType) and str(t) in self.options.inline_definitions:
             return s

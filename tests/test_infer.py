@@ -10,6 +10,7 @@ import pytest
 from rayschema.infer import (
     Inferrer,
     InferOptions,
+    NamedType,
     SkipProperty,
     VirtualField,
     VirtualStruct,
@@ -293,3 +294,28 @@ def test_oneof_anyof_allof_helpers():
     v = compile_validator(one_of(pa.string(), pa.int64()))
     arr = pa.array([1.0, 1.5])
     assert v.probe(arr).tolist() == [True, False]
+
+
+def test_anonymous_embed_flatten_and_refer():
+    # embedded structs: flattened by default, allOf-referenced with
+    # refer=True (reflect.go:1079-1098, EmbedReferencer)
+    base = VirtualStruct(def_name="Base",
+                         fields=[VirtualField("id", pa.int64(), required=True)])
+    flat = VirtualStruct(fields=[VirtualField("", base),
+                                 VirtualField("x", pa.string())])
+    d = infer_dict(flat)
+    assert d["properties"]["id"] == {"type": "integer"}
+    assert d["required"] == ["id"]
+    referred = VirtualStruct(fields=[VirtualField("", base, meta={"refer": True}),
+                                     VirtualField("x", pa.string())])
+    d2 = infer_dict(referred)
+    assert d2["allOf"][0]["$ref"] == "#/definitions/Base"
+    assert "id" not in d2.get("properties", {})
+
+
+def test_named_type_inline_marker():
+    # SchemaInliner analog (reflect.go:49-51)
+    t = NamedType("Inlined", pa.string(), meta={"minLength": 1}, inline=True)
+    d = infer_dict(VirtualStruct(fields=[VirtualField("v", t, required=True)]))
+    assert "definitions" not in d
+    assert d["properties"]["v"]["minLength"] == 1
