@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_events": Q.duplicate_events,
         "exact_dedup_documents": Q.exact_dedup_documents,
         "minhash_near_dup_documents": Q.minhash_near_dup_documents,  # rows-only
+        "near_dup_clusters_documents": Q.near_dup_clusters_documents,  # rows-only
         "simhash_near_dup_documents": Q.simhash_near_dup_documents,  # rows-only
         "embedding_near_dup": Q.embedding_near_dup,                   # rows-only
         # -- similarity search

@@ -347,3 +347,62 @@ def embedding_near_dups(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                              "cosine": np.round(cs[keep], 6)})
 
     return bucketed.groupby("lsh_bucket").map_groups(verify, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------- clusters
+def connected_components(pairs: pd.DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b") -> pd.DataFrame:
+    """Near-duplicate clusters from verified pairs: union-find on the driver
+    (sound because candidate pairs are orders of magnitude fewer than docs —
+    the ray_guide pattern; for a huge pair set run a few rounds of min-label
+    propagation with groupby instead). Returns (doc_id, cluster_id) where
+    cluster_id = min doc id of the component."""
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]   # path halving
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-id root keeps cluster_id deterministic
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs[id_a], pairs[id_b]):
+        union(int(a), int(b))
+    rows = sorted({x: find(x) for x in parent}.items())
+    return pd.DataFrame({"doc_id": [r[0] for r in rows],
+                         "cluster_id": [r[1] for r in rows]})
+
+
+def near_dup_clusters(ds, id_col: str = "doc_id", text_col: str = "text",
+                      jaccard_threshold: float = 0.8, num_perm: int = 64,
+                      bands: int = 16, concurrency=(1, 8)) -> pd.DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidates -> exact-Jaccard
+    verify -> connected components. Returns (doc_id, cluster_id) for every doc
+    in a multi-doc cluster; docs absent from the result are unique."""
+    pairs = minhash_candidate_pairs(ds, id_col=id_col, text_col=text_col,
+                                    num_perm=num_perm, bands=bands,
+                                    concurrency=concurrency)
+    if not len(pairs):
+        return pd.DataFrame({"doc_id": [], "cluster_id": []})
+    import ray
+
+    wanted = np.array(sorted(set(pairs["id_a"]) | set(pairs["id_b"])), dtype=np.int64)
+    wref = ray.put(wanted)
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        ws = ray.get(wref)
+        pos = np.searchsorted(ws, ids)
+        sel = (pos < len(ws)) & (ws[np.minimum(pos, len(ws) - 1)] == ids)
+        return b.filter(pa.array(sel))
+
+    texts = {int(r[id_col]): r[text_col]
+             for r in ds.map_batches(pick, batch_format="pyarrow").take_all()}
+    verified = verify_pairs_jaccard(pairs, texts, threshold=jaccard_threshold)
+    return connected_components(verified)

@@ -284,6 +284,15 @@ def minhash_near_dup_documents(sf_dir: str):
     return verify_pairs_jaccard(pairs, texts, threshold=0.5)
 
 
+def near_dup_clusters_documents(sf_dir: str):
+    """Full near-dup clustering: LSH candidates -> Jaccard verify ->
+    connected components (doc_id, cluster_id); rows-only."""
+    from rayschema.dedup import near_dup_clusters
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return near_dup_clusters(ds, jaccard_threshold=0.5)
+
+
 def simhash_near_dup_documents(sf_dir: str):
     from rayschema.dedup import simhash_near_dups
 

@@ -144,3 +144,24 @@ def test_ivf_topk_recall(embedding_ds):
     bset = set(bf["vec_id"])
     iset = set(ivf["vec_id"])
     assert len(bset & iset) / len(bset) >= 0.6  # probing 3/4 clusters
+
+
+def test_connected_components():
+    from rayschema.dedup import connected_components
+
+    pairs = pd.DataFrame({"id_a": [1, 2, 10, 20], "id_b": [2, 3, 11, 10]})
+    cc = connected_components(pairs)
+    got = dict(zip(cc["doc_id"], cc["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 10}
+
+
+def test_near_dup_clusters_pipeline(near_dup_docs):
+    from rayschema.dedup import near_dup_clusters
+
+    cc = near_dup_clusters(near_dup_docs, jaccard_threshold=0.85,
+                           concurrency=(1, 2))
+    got = dict(zip(cc["doc_id"], cc["cluster_id"]))
+    # the 100/101 near-dup pair forms one cluster rooted at 100
+    assert got.get(100) == 100 and got.get(101) == 100
+    # standalone docs (40-79) never appear
+    assert not any(40 <= d < 80 for d in cc["doc_id"])
