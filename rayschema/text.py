@@ -40,20 +40,20 @@ _BPE_ISH = re.compile(r"\w+|[^\w\s]")
 
 
 class BpeishTokenCounter:
-    """Actor stage: regex token count (word + punctuation tokens), the
-    BPE-ish approximation; regex compiled once per actor."""
+    """Stage: regex token count (word + punctuation tokens), the BPE-ish
+    approximation — vectorized with Arrow's RE2 count kernel."""
 
     def __init__(self, text_col: str = "text", out: str = "bpeish_tokens"):
-        self.rx = _BPE_ISH
         self.text_col = text_col
         self.out = out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column(self.text_col).to_pylist()
-        counts = np.fromiter(
-            (0 if t is None else len(self.rx.findall(t)) for t in texts),
-            dtype=np.int64, count=len(texts))
-        return batch.append_column(self.out, pa.array(counts))
+        col = batch.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        counts = pc.fill_null(
+            pc.count_substring_regex(col, r"\w+|[^\w\s]"), 0).cast(pa.int64())
+        return batch.append_column(self.out, counts)
 
 
 # --------------------------------------------------------------------------- language ID
