@@ -184,3 +184,37 @@ def test_vectorized_masks_match_python_oracle(schema, values):
     mask = v.probe(arr)
     expected = [py_validate(schema, x) for x in arr.to_pylist()]
     assert mask.tolist() == expected, (schema, values)
+
+
+list_schemas = st.fixed_dictionaries(
+    {"items": flat_schemas},
+    optional={
+        "minItems": st.integers(0, 3),
+        "maxItems": st.integers(0, 5),
+    })
+
+
+@settings(max_examples=120, deadline=None)
+@given(list_schemas,
+       st.lists(st.one_of(st.none(),
+                          st.lists(st.one_of(st.none(), st.integers(-10, 10)),
+                                   max_size=5)),
+                min_size=1, max_size=12))
+def test_list_schemas_match_python_oracle(schema, rows):
+    arr = pa.array([[float(x) if x is not None else None for x in r]
+                    if r is not None else None for r in rows],
+                   type=pa.list_(pa.float64()))
+    v = compile_validator(schema_from_json(json.dumps(schema)))
+    mask = v.probe(arr)
+
+    def oracle(row):
+        if row is None:
+            return True          # null list = absent
+        if "minItems" in schema and len(row) < schema["minItems"]:
+            return False
+        if "maxItems" in schema and len(row) > schema["maxItems"]:
+            return False
+        return all(py_validate(schema["items"], x) for x in row)
+
+    expected = [oracle(r) for r in arr.to_pylist()]
+    assert mask.tolist() == expected, (schema, rows)
