@@ -44,6 +44,16 @@ from rayschema.stats import dataset_stats
 
 KEY_COLS = ("repo", "path", "commit")
 
+# Content-scan patterns (vectorized RE2 over the content column): the
+# canonical source-code-corpus checks — credentials/keys must not appear.
+# Public pattern shapes (AWS key id, private key PEM headers, bearer-ish
+# tokens); extend via ValidateStage(content_patterns={...}).
+CONTENT_SCAN_PATTERNS = {
+    "private-key": r"-----BEGIN [A-Z ]*PRIVATE KEY-----",
+    "aws-key-id": r"AKIA[0-9A-Z]{16}",
+    "bearer-token": r"[Bb]earer [A-Za-z0-9_\-\.=]{30,}",
+}
+
 
 class ValidateStage:
     """Actor-pool map_batches stage: compiled validator + referential set +
@@ -58,13 +68,16 @@ class ValidateStage:
                  content_col: str = "content",
                  sha_col: str = "content_sha256",
                  ref_col: str = "lang",
-                 shard: str = "all"):
+                 shard: str = "all",
+                 content_patterns: Optional[Dict[str, str]] = None):
         self.validator = compile_validator(schema_from_json(schema_json))
         self.registry = pa.array(sorted(registry)) if registry is not None else None
         self.content_col = content_col
         self.sha_col = sha_col
         self.ref_col = ref_col
         self.shard = shard
+        self.content_patterns = (CONTENT_SCAN_PATTERNS if content_patterns is None
+                                 else content_patterns)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -101,6 +114,20 @@ class ValidateStage:
                        if content is not None
                        else pa.nulls(n, type=pa.int64()))
 
+        # content scan: vectorized RE2 search per pattern; a hit is a
+        # violation (keyword "content-scan", message names the pattern)
+        scan_ok = np.ones(n, dtype=bool)
+        if content is not None and self.content_patterns:
+            from rayschema.compile import Violation
+
+            for pname, pat in self.content_patterns.items():
+                hit = pc.fill_null(pc.match_substring_regex(content, pat), False)
+                hit_np = hit.to_numpy(zero_copy_only=False).astype(bool)
+                if hit_np.any():
+                    viols = viols + [Violation("$.content", "content-scan", hit_np,
+                                               f"content matches {pname}")]
+                    scan_ok &= ~hit_np
+
         viol_col, n_viol = _violations_list_column(viols, n)
         from rayschema.unique import key_hash
 
@@ -112,7 +139,8 @@ class ValidateStage:
             "schema_valid": pa.array(mask),
             "ref_valid": pa.array(ref_ok),
             "sha_ok": pa.array(sha_ok),
-            "valid": pa.array(mask & ref_ok & sha_ok),
+            "scan_ok": pa.array(scan_ok),
+            "valid": pa.array(mask & ref_ok & sha_ok & scan_ok),
             "n_violations": pa.array(n_viol, type=pa.int32()),
             "violations": viol_col,
             "content_len": content_len,

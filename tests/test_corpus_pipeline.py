@@ -31,6 +31,7 @@ def expected_counts(n: int) -> dict:
         "maxLength": int(over.sum()),
         "required_content": int(null_c.sum()),
         "dup_rows": int(((ids % 997 == 0) & (ids > 0)).sum()),
+        "secrets": int(((ids % 701 == 0) & ~null_c).sum()),
     }
 
 
@@ -70,7 +71,8 @@ def test_pipeline_verdicts(pipeline_run):
     # failed rows = union of anomaly rows (overlaps possible)
     ids = np.arange(N)
     bad = ((ids % 211 == 0) | (ids % 307 == 0) | (ids % 503 == 0)
-           | ((ids % 401 == 0) & ~(ids % 503 == 0) & ~(ids % 97 == 0)))
+           | ((ids % 401 == 0) & ~(ids % 503 == 0) & ~(ids % 97 == 0))
+           | ((ids % 701 == 0) & ~(ids % 503 == 0)))
     assert s["failed"] == int(bad.sum())
 
 
@@ -86,6 +88,7 @@ def test_pipeline_violation_rows(pipeline_run):
     assert got["pattern"] == exp["pattern_path"]
     assert got["maxLength"] == exp["maxLength"]
     assert got["required"] == exp["required_content"]
+    assert got["content-scan"] == exp["secrets"]
 
 
 def test_pipeline_stats(pipeline_run):
