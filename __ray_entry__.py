@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": Q.knn_ivf,                                         # rows-only
         # -- text analysis
         "token_counts_documents": Q.token_counts_documents,
+        "char_class_counts": Q.char_class_counts,
         "langid_documents": Q.langid_documents,                       # rows-only
         "quality_documents": Q.quality_documents,                     # rows-only
         "fingerprint_documents": Q.fingerprint_documents,             # rows-only
@@ -133,6 +134,12 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, event_type HAVING count(*) > 1""",
         "exact_dedup_documents": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "char_class_counts": """
+            SELECT doc_id,
+                   length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+                   length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                   length(text) - length(replace(text, ' ', '')) AS n_space
+            FROM documents""",
         "token_counts_documents": """
             SELECT doc_id,
                    CASE WHEN text IS NULL THEN NULL

@@ -314,6 +314,11 @@ def run_validation(corpus_path: str, out_dir: str,
         # overwrite: a half-written shard (crash before the manifest record)
         # is replaced, never appended to — reruns stay idempotent
         aug.write_parquet(shard_out, mode="overwrite")
+        try:  # per-stage wall/cpu/memory breakdown for tuning (ds.stats())
+            with open(os.path.join(out_dir, f"ray_stats_{sid}.txt"), "w") as f:
+                f.write(aug.stats())
+        except Exception:
+            pass
         manifest.record(PartitionRecord(
             partition_id=sid, input_file=";".join(shard_fs),
             status="written", wall_s=round(time.time() - t0, 3)))

@@ -347,6 +347,30 @@ def langid_documents(sf_dir: str):
               .select_columns(["doc_id", "lang", "lang_pred", "lang_conf"]))
 
 
+def char_class_counts(sf_dir: str):
+    """Per-document character-class counts (alpha/digit/punct) — the exact
+    integer core of the quality signals, SQL-mirrorable via regexp_replace."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def counts(b: pa.Table) -> pa.Table:
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+
+        def c(pattern: str):
+            # null text -> null counts (matches the SQL NULL arithmetic)
+            return pc.count_substring_regex(col, pattern).cast(pa.int64())
+
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_alpha": c(r"[A-Za-z]"),
+            "n_digit": c(r"[0-9]"),
+            "n_space": c(r" "),
+        })
+
+    return ds.map_batches(counts, batch_format="pyarrow")
+
+
 def quality_documents(sf_dir: str):
     from rayschema.text import quality_batch
 

@@ -69,37 +69,47 @@ STOPWORDS: Dict[str, List[str]] = {
 
 
 class LangId:
-    """Actor stage: heuristic language ID.
+    """Actor stage: heuristic language ID — fully vectorized.
 
-    Scoring: stopword hit-rate per language over lowercased word tokens; a
-    CJK-codepoint ratio shortcut for zh. Deterministic; emits
-    ``lang_pred`` and ``lang_conf``."""
+    Scoring: per-language stopword OCCURRENCE rate over word tokens (one
+    RE2 count kernel per language, compiled once per actor) with a
+    CJK-codepoint-ratio shortcut for zh. Deterministic; emits ``lang_pred``
+    and ``lang_conf``."""
 
-    def __init__(self, text_col: str = "text"):
+    def __init__(self, text_col: str = "text", head: int = 2000):
         self.text_col = text_col
-        self.word = re.compile(r"[a-zA-Z]+")
-        self.sets = {k: frozenset(v) for k, v in STOPWORDS.items() if v}
+        self.head = head
+        # one alternation per language, word-bounded, case-insensitive
+        self.lang_patterns = {
+            lang: r"(?i)\b(" + "|".join(words) + r")\b"
+            for lang, words in STOPWORDS.items() if words
+        }
+        self.cjk = r"[\x{4e00}-\x{9fff}]"
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[self.text_col].fillna("")
-        preds, confs = [], []
-        for t in texts:
-            t_head = t[:2000]
-            if t_head:
-                cjk = sum(1 for ch in t_head[:400] if "一" <= ch <= "鿿")
-                if cjk / max(1, min(len(t_head), 400)) > 0.2:
-                    preds.append("zh")
-                    confs.append(round(cjk / max(1, min(len(t_head), 400)), 4))
-                    continue
-            words = [w.lower() for w in self.word.findall(t_head)]
-            nw = max(1, len(words))
-            scores = {lang: sum(w in sw for w in words) / nw
-                      for lang, sw in self.sets.items()}
-            best = max(scores, key=lambda k: (scores[k], k)) if scores else "en"
-            if scores.get(best, 0.0) == 0.0:
-                best = "unknown"
-            preds.append(best)
-            confs.append(round(scores.get(best, 0.0), 4))
+        texts = batch[self.text_col].fillna("").str.slice(0, self.head)
+        col = pa.array(texts.tolist(), type=pa.string())
+        n = len(texts)
+        n_words = pc.count_substring_regex(col, r"[A-Za-z]+").to_numpy(zero_copy_only=False)
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        langs = list(self.lang_patterns)
+        scores = np.zeros((n, len(langs)))
+        for j, lang in enumerate(langs):
+            hits = pc.count_substring_regex(col, self.lang_patterns[lang])
+            scores[:, j] = hits.to_numpy(zero_copy_only=False) / denom
+        best_j = scores.argmax(axis=1)
+        best_score = scores[np.arange(n), best_j]
+        preds = np.array(langs, dtype=object)[best_j]
+        preds = np.where(best_score == 0.0, "unknown", preds)
+        confs = np.round(best_score, 4)
+        # CJK shortcut: ratio of CJK codepoints in the head
+        cjk_counts = pc.count_substring_regex(
+            col, self.cjk).to_numpy(zero_copy_only=False)
+        head_len = np.maximum(texts.str.len().to_numpy(), 1)
+        cjk_ratio = cjk_counts / np.minimum(head_len, 400)
+        is_zh = cjk_ratio > 0.2
+        preds = np.where(is_zh, "zh", preds)
+        confs = np.where(is_zh, np.round(cjk_ratio, 4), confs)
         batch["lang_pred"] = preds
         batch["lang_conf"] = confs
         return batch
