@@ -159,18 +159,20 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 # --------------------------------------------------------------------------- fingerprinting
 class Fingerprinter:
     """Actor stage: document fingerprint = the k smallest 64-bit rolling-hash
-    values over word w-shingles (winnowing-style min-sampling; Schleimer et
-    al., "Winnowing: Local Algorithms for Document Fingerprinting", 2003).
+    values over character w-shingles (winnowing-style min-sampling; Schleimer
+    et al., "Winnowing: Local Algorithms for Document Fingerprinting", 2003).
     Emits ``fingerprint`` (uint64 = min shingle hash) and ``fp_minhashes``
-    (list of k mins) usable for containment estimation."""
+    (list of k mins) usable for containment estimation. Per-doc work is the
+    vectorized rolling hash from rayschema.dedup (no substring objects)."""
 
-    def __init__(self, text_col: str = "text", w: int = 3, k: int = 8):
+    def __init__(self, text_col: str = "text", w: int = 16, k: int = 8):
         self.text_col = text_col
         self.w = w
         self.k = k
-        self.word = re.compile(r"\S+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from rayschema.dedup import char_shingles
+
         texts = batch.column(self.text_col).to_pylist()
         fps = np.zeros(len(texts), dtype=np.uint64)
         mins_list: List[List[int]] = []
@@ -178,17 +180,10 @@ class Fingerprinter:
             if not t:
                 mins_list.append([])
                 continue
-            toks = self.word.findall(t)
-            if len(toks) < self.w:
-                sh = [" ".join(toks)] if toks else []
-            else:
-                sh = [" ".join(toks[j:j + self.w]) for j in range(len(toks) - self.w + 1)]
-            if not sh:
-                mins_list.append([])
-                continue
-            hs = hash64(np.array(sh, dtype=object))
+            hs = char_shingles(t, self.w)
             k = min(self.k, len(hs))
-            smallest = np.sort(hs)[:k]
+            smallest = np.partition(hs, k - 1)[:k] if k < len(hs) else hs
+            smallest = np.sort(smallest)
             fps[i] = smallest[0]
             mins_list.append([int(x) for x in smallest])
         return (batch

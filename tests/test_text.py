@@ -66,4 +66,5 @@ def test_fingerprinter_deterministic_and_sensitive():
     assert fp[0] != fp[2]
     assert fp[3] == 0
     mins = out["fp_minhashes"].to_pylist()
-    assert len(mins[0]) == 7 and mins[0] == sorted(mins[0])  # 9 tokens, w=3 -> 7 shingles
+    # 43-char doc, w=16 -> 28 shingles -> k=8 mins, sorted
+    assert len(mins[0]) == 8 and mins[0] == sorted(mins[0])
