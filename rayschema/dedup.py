@@ -24,7 +24,7 @@ algorithms" (2002).
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 import pandas as pd

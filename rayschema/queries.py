@@ -16,7 +16,6 @@ joins with a small side broadcast it; sorts are limited to top-k results.
 
 from __future__ import annotations
 
-import json
 import os
 from typing import List
 

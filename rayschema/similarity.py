@@ -14,7 +14,6 @@
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 import pandas as pd

@@ -8,14 +8,12 @@ map_batches stages over the `documents` table shape
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-
-from rayschema.sketches import hash64
 
 # --------------------------------------------------------------------------- token counting
 

@@ -15,7 +15,7 @@ North-rule engine checks (SURVEY.md §2.E, §7.3):
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 import pandas as pd
