@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 from rayschema.sketches import KLL
 
@@ -26,19 +26,28 @@ QS = (0.1, 0.25, 0.5, 0.75, 0.9)
 
 
 def snapshot_from_stats(stats: Dict[str, dict], length_col: str,
-                        freq_col: str) -> Dict:
-    """Build a drift baseline from a dataset_stats() result."""
+                        freq_col: str,
+                        per_partition: Optional[Dict] = None) -> Dict:
+    """Build a drift baseline from a dataset_stats() result; ``per_partition``
+    optionally maps partition_id -> KLL (or object with .quantile) for the
+    north rule's per-partition quantile comparison."""
     qcol = stats.get(length_col, {})
     quant = qcol.get("quantiles") or {}
     freq = (stats.get(freq_col, {}) or {}).get("freq") or {}
     total = sum(freq.values()) or 1
-    return {
+    snap = {
         "length_col": length_col,
         "freq_col": freq_col,
         "quantiles": {str(q): quant.get(str(q)) for q in QS if quant.get(str(q)) is not None},
         "freq": {k: v / total for k, v in freq.items()},
         "count": qcol.get("count", 0),
     }
+    if per_partition:
+        snap["per_partition"] = {
+            str(pid): {str(q): kll.quantile(q) for q in QS}
+            for pid, kll in per_partition.items() if getattr(kll, "n", 0) > 0
+        }
+    return snap
 
 
 def compare(baseline: Dict, current: Dict, rel_tol: float = 0.2,
@@ -61,8 +70,23 @@ def compare(baseline: Dict, current: Dict, rel_tol: float = 0.2,
     l1 = sum(abs(bf.get(k, 0.0) - cf.get(k, 0.0)) for k in keys)
     if l1 > freq_tol:
         flags.append(f"freq L1 distance {l1:.3f} > {freq_tol}")
+    # per-partition quantiles (only partitions present in BOTH snapshots)
+    pp_drift = {}
+    bpp = baseline.get("per_partition") or {}
+    cpp = current.get("per_partition") or {}
+    for pid in sorted(set(bpp) & set(cpp)):
+        for q, bvq in bpp[pid].items():
+            cvq = cpp[pid].get(q)
+            if bvq in (None, 0) or cvq is None:
+                continue
+            rel = abs(cvq - bvq) / abs(bvq)
+            if rel > rel_tol:
+                pp_drift.setdefault(pid, []).append(f"q{q}: {bvq:.1f}->{cvq:.1f}")
+    if pp_drift:
+        flags.append(f"per-partition drift in {len(pp_drift)} partition(s)")
     return {"drifted": bool(flags), "flags": flags,
-            "quantile_rel_change": qdrift, "freq_l1": round(l1, 4)}
+            "quantile_rel_change": qdrift, "freq_l1": round(l1, 4),
+            "per_partition_drift": pp_drift}
 
 
 def load_baseline(path: str) -> Optional[Dict]:

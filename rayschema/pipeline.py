@@ -397,7 +397,10 @@ def run_validation(corpus_path: str, out_dir: str,
     manifest.save()
     pd.DataFrame(rows_v).to_parquet(os.path.join(out_dir, "verdicts.parquet"), index=False)
 
-    snap = snapshot_from_stats(stats, "content_len", "lang")
+    snap = snapshot_from_stats(
+        stats, "content_len", "lang",
+        per_partition={shard: rec["len_kll"] for shard, rec in verdicts.items()
+                       if "len_kll" in rec})
     drift_res = None
     baseline_path = drift_baseline or os.path.join(out_dir, "drift_baseline.json")
     base = load_baseline(baseline_path)

@@ -128,36 +128,46 @@ def table_stats_update(acc: Dict[str, ColumnStats], block: pa.Table,
 
 
 def verdict_update(acc: Dict, block: pa.Table, shard_col: str = "shard") -> Dict:
-    """Per-shard verdict counters folded into the same aggregate pass as the
-    column stats (one read of the validated dataset instead of two)."""
+    """Per-shard verdict counters + a per-shard content-length KLL sketch
+    (north rule: PER-PARTITION quantiles for the drift check), folded into
+    the same aggregate pass as the column stats."""
     import pandas as pd
 
     need = {shard_col, "valid", "sha_ok", "n_violations"}
     if not need.issubset(block.schema.names):
         return acc
+    has_len = "content_len" in block.schema.names
     df = pd.DataFrame({
         "shard": block.column(shard_col).to_pandas(),
         "valid": block.column("valid").to_pandas(),
         "sha_ok": block.column("sha_ok").to_pandas(),
         "nv": block.column("n_violations").to_pandas(),
     })
+    if has_len:
+        df["clen"] = block.column("content_len").to_pandas()
     g = df.groupby("shard")
     for shard, sub in g:
         rec = acc.setdefault(shard, {"rows": 0, "passed": 0, "sha_mismatch": 0,
-                                     "violations": 0})
+                                     "violations": 0,
+                                     "len_kll": KLL(200, seed=777)})
         rec["rows"] += int(len(sub))
         rec["passed"] += int(sub["valid"].sum())
         rec["sha_mismatch"] += int((~sub["sha_ok"]).sum())
         rec["violations"] += int(sub["nv"].sum())
+        if has_len:
+            rec["len_kll"].update(sub["clen"].dropna().to_numpy(dtype=float))
     return acc
 
 
 def merge_verdicts(a: Dict, b: Dict) -> Dict:
     for shard, rec in b.items():
         dst = a.setdefault(shard, {"rows": 0, "passed": 0, "sha_mismatch": 0,
-                                   "violations": 0})
+                                   "violations": 0, "len_kll": KLL(200, seed=777)})
         for k, v in rec.items():
-            dst[k] += v
+            if k == "len_kll":
+                dst["len_kll"].merge(v)
+            else:
+                dst[k] += v
     return a
 
 

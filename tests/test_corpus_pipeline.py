@@ -154,3 +154,23 @@ def test_top_violating_repos(pipeline_run, ray_session):
     # the hot repo owns ~20% of rows, so it accumulates the most violations
     assert top.iloc[0]["repo"] == "org0/mono"
     assert (top["violations"].diff().dropna() <= 0).all()  # sorted desc
+
+
+def test_per_partition_drift_snapshot(pipeline_run):
+    """North rule: per-partition KLL quantiles recorded in the drift baseline
+    and compared when partition ids match."""
+    baseline = json.load(open(os.path.join(OUT, "drift_baseline.json")))
+    pp = baseline.get("per_partition")
+    assert pp and all(k.startswith("shard-") for k in pp)
+    for quants in pp.values():
+        assert quants["0.5"] > 0
+    # identical per-partition snapshots -> no drift; perturbed -> flagged
+    same = compare(baseline, baseline)
+    assert not same["drifted"]
+    import copy
+
+    cur = copy.deepcopy(baseline)
+    sid = next(iter(cur["per_partition"]))
+    cur["per_partition"][sid] = {q: v * 2 for q, v in cur["per_partition"][sid].items()}
+    r = compare(baseline, cur)
+    assert r["drifted"] and sid in r["per_partition_drift"]
