@@ -296,6 +296,9 @@ def _compile_schema(s: Schema, ctx: CompileContext, path: str) -> NodeFn:
             if pa.types.is_struct(t):
                 _apply_struct(subject, add, want, prop_fns, required, add_props_false,
                               add_props_fn, pat_prop_fns, dep_fns, min_props, max_props, path)
+                if prop_names_fn is not None:
+                    _apply_static_property_names(subject, [f.name for f in t], add,
+                                                 prop_names_fn, path)
             elif pa.types.is_map(t):
                 _apply_map(subject, add, want, prop_fns, pat_prop_fns, add_props_false,
                            add_props_fn, prop_names_fn, dep_fns, required, min_props, max_props, path)
@@ -304,6 +307,9 @@ def _compile_schema(s: Schema, ctx: CompileContext, path: str) -> NodeFn:
         else:
             _apply_table(subject, add, want, prop_fns, required, add_props_false,
                          add_props_fn, pat_prop_fns, dep_fns, min_props, max_props, path)
+            if prop_names_fn is not None:
+                _apply_static_property_names(subject, subject.names, add,
+                                             prop_names_fn, path)
 
         if ref_fn is not None:
             m, sub = ref_fn(subject, want)
@@ -396,6 +402,30 @@ def _apply_list(arr: pa.Array, add, want: bool, items_fn, tuple_fns, add_items_f
             row = V.all_false(n)
         row |= ~V.valid_mask(arr)  # null rows pass
         add("contains", row, "no item matches 'contains'")
+
+
+def _apply_static_property_names(subject, names, add, prop_names_fn, path) -> None:
+    """``propertyNames`` over a STATIC property set (struct/table subjects):
+    names are fixed, so the name check is evaluated once; a PRESENT value
+    under a failing name violates (null = absent passes, as elsewhere)."""
+    if not names:
+        return
+    name_arr = pa.array(list(names), type=pa.string())
+    name_ok, _ = prop_names_fn(name_arr, False)
+    for name, ok in zip(names, name_ok):
+        if ok:
+            continue
+        if isinstance(subject, TableSubject):
+            col = subject.column(name)
+        else:
+            col = V.ensure_array(subject.field(name))
+        present = V.valid_mask(col) if col is not None else None
+        if present is None:
+            continue
+        if not isinstance(subject, TableSubject):
+            present = present & V.valid_mask(subject)
+        add("propertyNames", ~present, f"property name {name!r} fails propertyNames",
+            f"{path}/propertyNames/{name}")
 
 
 def _presence_table(subject: TableSubject, name: str) -> np.ndarray:

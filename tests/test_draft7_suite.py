@@ -189,3 +189,14 @@ def test_custom_keyword_handler():
     v = compile_validator(schema_from_json('{"x-max-words":2}'),
                           custom_keywords={"x-max-words": handler})
     assert v.probe(pa.array(["one two", "one two three"])).tolist() == [True, False]
+
+
+def test_property_names_static_subjects():
+    # propertyNames over STATIC property sets (struct/table), not just maps
+    t = pa.table({"ok_col": [1, 2], "BAD": ["x", None]})
+    v = compile_validator(schema_from_json('{"propertyNames":{"pattern":"^[a-z_]+$"}}'))
+    assert v.probe(t).tolist() == [False, True]   # null under a bad name = absent
+    typ = pa.struct([("good", pa.int64()), ("Bad", pa.int64())])
+    arr = pa.array([{"good": 1, "Bad": 2}, {"good": 1, "Bad": None}, None], type=typ)
+    # 'Bad' fails the lowercase pattern only where its value is present
+    check('{"propertyNames":{"pattern":"^[a-z]+$"}}', arr, [False, True, True])
