@@ -127,7 +127,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*)::BIGINT AS n,
                    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
                    min(l_quantity) AS min_v, max(l_quantity) AS max_v,
-                   sum(CAST(round(l_quantity * 10) AS BIGINT)) AS sum_deci
+                   CAST(sum(CAST(round(l_quantity * 10) AS BIGINT)) AS BIGINT) AS sum_deci
             FROM lineitem""",
         "duplicate_events": """
             SELECT user_id, event_type, count(*)::BIGINT AS n
@@ -149,10 +149,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_cents,
-                   sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS sum_disc_price_e4,
+                   CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_base_price_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_disc_price_e4,
                    count(*)::BIGINT AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -160,7 +162,8 @@ def oracle_sql() -> dict[str, str]:
         "top_revenue_customers": """
             SELECT t.o_custkey AS c_custkey, c.c_name AS c_name, t.revenue_cents
             FROM (SELECT o_custkey,
-                         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+                         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                           AS revenue_cents
                   FROM orders GROUP BY o_custkey
                   ORDER BY revenue_cents DESC, o_custkey LIMIT 10) t
             LEFT JOIN customer c ON c.c_custkey = t.o_custkey""",
@@ -168,12 +171,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id,
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
                    count(*)::BIGINT AS n_events,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
             FROM events GROUP BY user_id, hour_bucket""",
         "part_brand_stats": """
             SELECT p_brand, count(p_size)::BIGINT AS n,
                    min(p_size)::BIGINT AS min_size, max(p_size)::BIGINT AS max_size,
-                   sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS sum_price_cents
+                   CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_price_cents
             FROM part GROUP BY p_brand""",
         "nation_region_join": """
             SELECT n.n_name, r.r_name
@@ -190,7 +195,8 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_totalprice > 100000.0 GROUP BY o_orderpriority""",
         "order_revenue_join": """
             SELECT o.o_orderpriority,
-                   sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS revenue_cents,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents,
                    count(*)::BIGINT AS n_items
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
             GROUP BY o.o_orderpriority""",
@@ -206,14 +212,15 @@ def oracle_sql() -> dict[str, str]:
               FROM g
             )
             SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events,
-                   sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
             FROM s GROUP BY user_id, sid""",
         "customer_running_totals": """
             SELECT o_custkey, o_orderkey,
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
                      OVER (PARTITION BY o_custkey
                            ORDER BY o_orderdate, o_orderkey
-                           ROWS UNBOUNDED PRECEDING) AS running_cents
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
             FROM orders""",
         "salted_lang_chars": """
             SELECT lang, sum(n_chars)::BIGINT AS sum_chars
