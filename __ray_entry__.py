@@ -36,11 +36,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_events": Q.duplicate_events,
         "exact_dedup_documents": Q.exact_dedup_documents,
         "minhash_near_dup_documents": Q.minhash_near_dup_documents,  # rows-only
+        "minhash_near_dup_exact": Q.minhash_near_dup_exact,
         "near_dup_clusters_documents": Q.near_dup_clusters_documents,  # rows-only
         "simhash_near_dup_documents": Q.simhash_near_dup_documents,  # rows-only
-        "embedding_near_dup": Q.embedding_near_dup,                   # rows-only
+        "embedding_near_dup": Q.embedding_near_dup,
+        "embedding_near_dup_lsh": Q.embedding_near_dup_lsh,           # rows-only
         # -- similarity search
-        "knn_bruteforce": Q.knn_bruteforce,                           # rows-only
+        "knn_bruteforce": Q.knn_bruteforce,
         "knn_ivf": Q.knn_ivf,                                         # rows-only
         # -- text analysis
         "token_counts_documents": Q.token_counts_documents,
@@ -134,6 +136,47 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, event_type HAVING count(*) > 1""",
         "exact_dedup_documents": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "minhash_near_dup_exact": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 300 AND text IS NOT NULL AND length(text) >= 5),
+            sh AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 4)) AS i
+                    FROM docs)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.id_a, i.id_b,
+                   round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                         JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5""",
+        "embedding_near_dup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.4""",
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                       WHERE vec_id IN (0, 1, 2)),
+            s AS (SELECT q.query_id, e.vec_id,
+                         list_cosine_similarity(q.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]) AS cs
+                  FROM q, embeddings e),
+            r AS (SELECT query_id, vec_id, cs,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cs DESC, vec_id) AS rk
+                  FROM s)
+            SELECT query_id, vec_id, round(cs, 6) AS cosine,
+                   CAST(rk AS BIGINT) AS "rank"
+            FROM r WHERE rk <= 10""",
         "char_class_counts": """
             SELECT doc_id,
                    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,

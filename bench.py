@@ -214,10 +214,46 @@ def run_scaling() -> dict:
     }
 
 
+def run_serde_bench(reps: int = 200) -> dict:
+    """Serde micro-bench, the mirror of the reference's typed-vs-raw
+    un/marshal benchmarks over the draft-07 meta-schema
+    (/root/reference/entities_extra_test.go:30-89). Driver-side only
+    (no Ray): reports per-op microseconds for typed unmarshal (two-pass
+    keyword + raw capture), marshal, and a raw json baseline."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from rayschema.serde import schema_from_json, schema_to_json
+
+    meta_path = "/root/reference/resources/schema/draft-07.json"
+    raw = open(meta_path, "rb").read()
+    schema = schema_from_json(raw)
+
+    def best_of(fn, n=reps) -> float:
+        t_best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                fn()
+            t_best = min(t_best, (time.perf_counter() - t0) / n)
+        return t_best * 1e6
+
+    return {
+        "metric": "serde micro-bench on the draft-07 meta-schema (us/op)",
+        "unit": "us",
+        "unmarshal_typed_us": round(best_of(lambda: schema_from_json(raw)), 1),
+        "marshal_typed_us": round(best_of(lambda: schema_to_json(schema)), 1),
+        "unmarshal_raw_json_us": round(best_of(lambda: json.loads(raw)), 1),
+        "marshal_raw_json_us": round(
+            best_of(lambda: json.dumps(json.loads(raw))), 1),
+        "doc_bytes": len(raw),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     elif "--stage1" in sys.argv:
         print(json.dumps(run_stage1_bench()))
+    elif "--serde" in sys.argv:
+        print(json.dumps(run_serde_bench()))
     else:
         print(json.dumps(run_bench()))

@@ -566,8 +566,10 @@ def _apply_map(arr: pa.Array, add, want, prop_fns, pat_prop_fns, add_props_false
     keys = V.ensure_array(arr.keys.slice(lo, hi - lo))
     vals = V.ensure_array(arr.items.slice(lo, hi - lo))
     nkeys = len(keys)
-
-    key_np = keys.to_pylist()
+    # null-as-absent convention (matches the struct/table paths, compile.py
+    # _apply_object_common): an entry whose VALUE is null is treated as
+    # absent by additionalProperties / propertyNames
+    vvalid = V.valid_mask(vals)
 
     if min_props or max_props is not None:
         cnt = np.diff(off)
@@ -584,28 +586,30 @@ def _apply_map(arr: pa.Array, add, want, prop_fns, pat_prop_fns, add_props_false
             add("required", V.segment_any(has, off) | parent_absent,
                 f"required property {name!r} is missing", f"{path}/required/{name}")
 
-    # properties: sub-validate values whose key matches exactly
+    # properties: sub-validate values whose key matches exactly — all key
+    # matching stays on Arrow kernels (pc.equal / is_in /
+    # match_substring_regex), never per-key Python
     for name, f in prop_fns.items():
-        sel = np.asarray([k == name for k in key_np], dtype=bool)
+        sel = V.bool_mask(pc.equal(keys, name), nkeys, null_fill=False)
         if not sel.any():
             continue
         m, _ = f(vals, False)
         add("properties", V.segment_all(np.where(sel, m, True), off) | parent_absent,
             f"property {name!r} fails its schema", f"{path}/properties/{name}")
 
-    import re as _re
     matched = np.zeros(nkeys, dtype=bool)
     if prop_fns:
-        matched |= np.asarray([k in prop_fns for k in key_np], dtype=bool)
+        matched |= V.bool_mask(
+            pc.is_in(keys, value_set=pa.array(list(prop_fns), type=pa.string())),
+            nkeys, null_fill=False)
     for pat, f in pat_prop_fns:
-        rx = _re.compile(pat)
-        sel = np.asarray([bool(rx.search(k)) for k in key_np], dtype=bool)
+        sel = V.bool_mask(pc.match_substring_regex(keys, pat), nkeys, null_fill=False)
         matched |= sel
         if sel.any():
             m, _ = f(vals, False)
             add("patternProperties", V.segment_all(np.where(sel, m, True), off) | parent_absent,
                 f"a property fails patternProperties {pat!r}", f"{path}/patternProperties/{pat}")
-    leftover = ~matched
+    leftover = ~matched & vvalid        # null-valued entries are absent
     if add_props_false:
         add("additionalProperties", V.segment_all(~leftover, off) | parent_absent,
             "additional properties not allowed")
@@ -615,7 +619,7 @@ def _apply_map(arr: pa.Array, add, want, prop_fns, pat_prop_fns, add_props_false
             "an additional property fails additionalProperties")
     if prop_names_fn is not None and nkeys:
         m, _ = prop_names_fn(keys, False)
-        add("propertyNames", V.segment_all(m, off) | parent_absent,
+        add("propertyNames", V.segment_all(m | ~vvalid, off) | parent_absent,
             "a property name fails propertyNames")
 
     # dependencies over a dynamic key set (entities.go:49): presence of key k
@@ -623,7 +627,7 @@ def _apply_map(arr: pa.Array, add, want, prop_fns, pat_prop_fns, add_props_false
     # (schema arm)
     if dep_fns:
         def present_of(name: str) -> np.ndarray:
-            has = np.asarray([kk == name for kk in key_np], dtype=bool)
+            has = V.bool_mask(pc.equal(keys, name), nkeys, null_fill=False)
             return V.segment_any(has, off)
 
         for dkey, dep in dep_fns.items():

@@ -6,36 +6,44 @@
 * SimHash near-dup       — 64-bit weighted-bit signature, Hamming buckets
 * n-gram Jaccard         — exact verify kernel (used by the LSH verify stage)
 * embedding near-dup     — cosine over normalized vectors, hyperplane-LSH
-                           bucketed
+                           bucketed (scale path) + exact all-pairs baseline
 
 Pipelines follow the canonical Ray Data shape (ray_guide): signatures are
-computed vectorized per batch in an ACTOR POOL (permutation matrices / random
-hyperplanes built once per actor), then exploded to (bucket_key, doc_id) rows,
-and the only shuffle is a groupby on bucket keys whose groups are tiny;
-candidate pairs are verified per group. Union-find/connected components run on
-the driver only over the (small) candidate-pair set.
+computed vectorized per batch in an ACTOR POOL (one rolling-hash pass over the
+batch's raw Arrow string buffer — no per-doc Python), then exploded to
+(bucket_key, doc_id) rows, and the narrow shuffles are groupbys on bucket keys
+/ pair ids. Pair verification is DISTRIBUTED: candidate texts are co-located
+with their pairs via hash joins, never materialized on the driver.
+Union-find/connected components run on the driver only over the (small)
+VERIFIED-pair set.
 
 MinHash/LSH: Broder, "On the resemblance and containment of documents" (1997);
 Leskovec-Rajaraman-Ullman, "Mining of Massive Datasets" ch.3 (public).
+One-permutation hashing: Shrivastava & Li (ICML 2014).
 SimHash: Charikar, "Similarity estimation techniques from rounding
 algorithms" (2002).
 """
 
 from __future__ import annotations
 
+import logging
 import re
 from typing import Dict, Optional
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from rayschema.sketches import hash64
 
+_log = logging.getLogger("rayschema.dedup")
+
 _MERSENNE = np.uint64((1 << 61) - 1)
 
-
 _FNV = np.uint64(1099511628211)
+
+_U64MAX = np.iinfo(np.uint64).max
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -49,25 +57,39 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
-def char_shingles(text: str, k: int = 5) -> np.ndarray:
-    """Character k-shingle hash set of one document — vectorized polynomial
-    rolling hash over the raw bytes (no substring objects): k shifted adds
-    with wrap-around uint64 arithmetic, then a splitmix64 mix."""
-    if not text or len(text) < k:
-        return _mix64(hash64(np.array([text or ""], dtype=object)))
-    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8).astype(np.uint64)
-    if len(b) < k:
-        return _mix64(hash64(np.array([text], dtype=object)))
-    n = len(b) - k + 1
+def _shingle_powers(k: int) -> np.ndarray:
     with np.errstate(over="ignore"):   # wrap-around is the hash arithmetic
         pw = np.empty(k, dtype=np.uint64)
         pw[k - 1] = 1
         for j in range(k - 2, -1, -1):
             pw[j] = pw[j + 1] * _FNV
-    acc = np.zeros(n, dtype=np.uint64)
-    for j in range(k):
-        acc += b[j:j + n] * pw[j]
-    return np.unique(_mix64(acc))
+    return pw
+
+
+def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """Mixed polynomial rolling hash of every length-k byte window of
+    ``data`` — one vectorized pass, identical values to char_shingles."""
+    n = len(data) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    pw = _shingle_powers(k)
+    b = data.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            acc += b[j:j + n] * pw[j]
+    return _mix64(acc)
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Character k-shingle hash set of one document — vectorized polynomial
+    rolling hash over the raw bytes (no substring objects)."""
+    if not text or len(text) < k:
+        return _mix64(hash64(np.array([text or ""], dtype=object)))
+    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    if len(b) < k:
+        return _mix64(hash64(np.array([text], dtype=object)))
+    return np.unique(_rolling_hashes(b, k))
 
 
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
@@ -80,13 +102,97 @@ def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     return inter / union if union else 1.0
 
 
+# --------------------------------------------------------------------------- batch-level shingling
+def _string_parts(arr):
+    """(combined arrow array, offsets int64, data uint8, valid bool) of a
+    string column — the zero-copy pieces for one rolling-hash pass over the
+    whole batch."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    odt = np.int64 if (pa.types.is_large_string(arr.type)
+                       or pa.types.is_large_binary(arr.type)) else np.int32
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=odt)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.zeros(0, dtype=np.uint8))
+    if arr.null_count:
+        valid = arr.is_valid().to_numpy(zero_copy_only=False)
+    else:
+        valid = np.ones(len(arr), dtype=bool)
+    return arr, off, data, valid
+
+
+def _densify_oph(sig: np.ndarray) -> np.ndarray:
+    """Vectorized rotational densification of a (n_docs, p) OPH matrix:
+    each empty bin borrows from the cyclically-next filled bin (mixed with a
+    +1 salt); all-empty rows become zeros. Bit-identical to the per-doc loop
+    in MinHasher.signature."""
+    empty = sig == _U64MAX
+    if not empty.any():
+        return sig
+    n, p = sig.shape
+    filled = ~empty
+    big = 3 * p
+    a = np.where(filled, np.arange(p, dtype=np.int64)[None, :], big)
+    # second copy offset by +p so the suffix-min respects CYCLIC order (the
+    # nearest filled bin at-or-after j, wrapping) instead of the global min
+    twice = np.concatenate([a, np.where(filled, a + p, big)], axis=1)
+    nxt = np.minimum.accumulate(twice[:, ::-1], axis=1)[:, ::-1][:, :p]
+    fill_from = nxt % p
+    rows = np.arange(n, dtype=np.int64)[:, None]
+    with np.errstate(over="ignore"):
+        borrowed = _mix64(sig[rows, fill_from] + np.uint64(1))
+    out = sig.copy()
+    out[empty] = borrowed[empty]
+    out[~filled.any(axis=1)] = 0
+    return out
+
+
+def oph_signatures(arr, k: int, p: int) -> np.ndarray:
+    """(n_docs, p) one-permutation-hashing MinHash signatures for a whole
+    Arrow string column in ONE rolling-hash pass over the raw data buffer:
+    per-position doc assignment via searchsorted on the offsets, then a
+    single scatter-min into (doc, bin) cells. Per-doc results are identical
+    to MinHasher.signature (tested); docs shorter than k characters (or
+    null) fall back to a whole-text hash, as in char_shingles."""
+    arr, off, data, valid = _string_parts(arr)
+    n = len(arr)
+    sig = np.full((n, p), _U64MAX, dtype=np.uint64)
+    if n == 0:
+        return sig
+    clen = pc.fill_null(pc.utf8_length(arr), 0).to_numpy(zero_copy_only=False)
+    short = (~valid) | (clen < k)
+    flat = sig.reshape(-1)
+    if (~short).any() and len(data) >= k:
+        h = _rolling_hashes(data, k)
+        pos = np.arange(len(h), dtype=np.int64)
+        # sliced arrays share the parent's data buffer: keep only positions
+        # inside [off[0], off[-1]) before assigning windows to docs
+        inside = (pos >= off[0]) & (pos + k <= off[-1])
+        h, pos = h[inside], pos[inside]
+        doc = np.searchsorted(off, pos, side="right") - 1
+        ok = (pos + k <= off[doc + 1]) & (~short[doc])
+        h, doc = h[ok], doc[ok]
+        key = doc * p + (h % np.uint64(p)).astype(np.int64)
+        np.minimum.at(flat, key, h)
+    if short.any():
+        idx = np.nonzero(short)[0]
+        texts = np.array([arr[int(i)].as_py() or "" for i in idx], dtype=object)
+        hs = _mix64(hash64(texts))
+        key = idx * p + (hs % np.uint64(p)).astype(np.int64)
+        np.minimum.at(flat, key, hs)
+    return _densify_oph(sig)
+
+
 class MinHasher:
     """Actor stage: per-doc MinHash signature + LSH band keys.
 
     Signatures use one-permutation hashing with fixed bin modulus, so they are
     globally consistent across actors with no shared state. __call__ explodes
     each doc into ``bands`` rows (band_id, band_hash, doc_id) ready for the
-    bucket groupby."""
+    bucket groupby; signature computation is one vectorized pass per batch
+    (oph_signatures), not a per-doc loop."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text",
                  num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
@@ -101,80 +207,109 @@ class MinHasher:
         self.explode = explode
 
     def signature(self, text: Optional[str]) -> np.ndarray:
-        """One-permutation hashing (Shrivastava & Li, ICML 2014): bin the
-        shingle hashes into num_perm buckets by modulus, take the min per
-        bucket, densify empty buckets from the next non-empty one — O(n)
-        per doc instead of the O(n * num_perm) permutation matrix."""
+        """Single-doc reference path (one-permutation hashing + rotational
+        densification) — oph_signatures is the batch equivalent."""
         sh = char_shingles(text or "", self.shingle_k)
         p = self.num_perm
         bins = (sh % np.uint64(p)).astype(np.int64)
-        sig = np.full(p, np.iinfo(np.uint64).max, dtype=np.uint64)
+        sig = np.full(p, _U64MAX, dtype=np.uint64)
         np.minimum.at(sig, bins, sh)
-        empty = sig == np.iinfo(np.uint64).max
-        if empty.any():
-            if empty.all():
-                return np.zeros(p, dtype=np.uint64)
-            # rotational densification: borrow from the next filled bucket
-            idx = np.arange(p)
-            filled = ~empty
-            last = -1
-            order = np.concatenate([idx, idx])
-            fill_from = np.empty(p, dtype=np.int64)
-            for i in order[::-1]:
-                if filled[i]:
-                    last = i
-                fill_from[i] = last
-            sig = sig.copy()
-            sig[empty] = _mix64(sig[fill_from[empty]] + np.uint64(1))
-        return sig
+        return _densify_oph(sig[None, :])[0]
+
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(n * bands,) uint64 band hashes, band-major interleaved."""
+        n = len(sigs)
+        bh = np.empty(n * self.bands, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(self.bands):
+                seg = sigs[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
+                h = np.zeros(n, dtype=np.uint64)
+                for c in range(seg.shape[1]):
+                    h = h * np.uint64(1_000_000_007) + seg[:, c]
+                bh[b::self.bands] = h
+        return bh
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column(self.id_col).to_pylist()
-        texts = batch.column(self.text_col).to_pylist()
-        sigs = np.stack([self.signature(t) for t in texts]) if ids else \
+        ids = batch.column(self.id_col)
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        n = len(ids)
+        sigs = oph_signatures(batch.column(self.text_col), self.shingle_k,
+                              self.num_perm) if n else \
             np.empty((0, self.num_perm), dtype=np.uint64)
         if not self.explode:
             return pa.table({
-                self.id_col: pa.array(ids),
+                self.id_col: ids,
                 "minhash": pa.array([s.tolist() for s in sigs],
                                     type=pa.list_(pa.uint64())),
             })
-        n = len(ids)
         band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
-        doc_ids = np.repeat(np.asarray(ids), self.bands)
-        bh = np.empty(n * self.bands, dtype=np.uint64)
-        for b in range(self.bands):
-            seg = sigs[:, b * self.rows_per_band:(b + 1) * self.rows_per_band]
-            h = np.zeros(n, dtype=np.uint64)
-            for c in range(seg.shape[1]):
-                h = h * np.uint64(1_000_000_007) + seg[:, c]
-            bh[b::self.bands] = h
+        doc_ids = ids.take(pa.array(np.repeat(np.arange(n), self.bands)))
         return pa.table({
             "band_id": pa.array(band_ids),
-            "band_hash": pa.array(bh, type=pa.uint64()),
-            self.id_col: pa.array(doc_ids),
+            "band_hash": pa.array(self.band_hashes(sigs), type=pa.uint64()),
+            self.id_col: doc_ids,
         })
 
 
-def _pairs_from_groups(g: pd.DataFrame, id_col: str, max_group: int = 64) -> pd.DataFrame:
-    """All candidate pairs within one LSH bucket (cap pathological buckets)."""
-    ids = np.sort(np.unique(g[id_col].to_numpy()))[:max_group]
+def _pairs_from_groups(g: pd.DataFrame, id_col: str, max_group: int = 256) -> pd.DataFrame:
+    """All candidate pairs within one LSH bucket.
+
+    Oversized buckets are SALT-SPLIT, not truncated: full pairs within each
+    <=max_group chunk plus a star link from the global min id to each chunk's
+    min keep every doc attached to the bucket (no silently dropped docs —
+    logged). Cross-chunk pairs are left to the other bands."""
+    ids = np.unique(np.asarray(g[id_col].to_numpy(), dtype=np.int64))
     if len(ids) < 2:
-        return pd.DataFrame({"id_a": [], "id_b": []})
-    ia, ib = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                             "id_b": np.array([], dtype=np.int64)})
+    if len(ids) <= max_group:
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    n_chunks = int(np.ceil(len(ids) / max_group))
+    _log.warning(
+        "LSH bucket of %d docs salt-split into %d chunks of <=%d "
+        "(cross-chunk pairs deferred to the other bands)",
+        len(ids), n_chunks, max_group)
+    frames = []
+    for c in range(n_chunks):
+        chunk = ids[c * max_group:(c + 1) * max_group]
+        ia, ib = np.triu_indices(len(chunk), k=1)
+        frames.append(pd.DataFrame({"id_a": chunk[ia], "id_b": chunk[ib]}))
+        if c > 0:
+            frames.append(pd.DataFrame({"id_a": ids[:1], "id_b": chunk[:1]}))
+    return pd.concat(frames, ignore_index=True)
+
+
+def _distinct_pairs(pairs_ds):
+    """Distributed pair-dedup: per-batch drop_duplicates (removes the bulk —
+    a near-dup pair matches in MANY bands) then one narrow groupby shuffle of
+    the 16-byte pair keys. The distinct itself is a native Count aggregate
+    (sort-based, no per-group Python — map_groups would pay a Python call per
+    pair)."""
+    from ray.data.aggregate import Count
+
+    def local(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (pairs_ds.map_batches(local, batch_format="pyarrow")
+            .groupby(["id_a", "id_b"])
+            .aggregate(Count("id_a", alias_name="_n"))
+            .drop_columns(["_n"]))
 
 
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             num_perm: int = 64, bands: int = 16,
                             shingle_k: int = 5, concurrency=(1, 8),
-                            distinct_on_driver: bool = True):
+                            distinct_on_driver: bool = False):
     """documents -> distinct candidate pairs (id_a < id_b) from LSH buckets.
 
-    One shuffle total: the (band_id, band_hash) bucket groupby. Candidate
-    pairs are orders of magnitude fewer than documents, so pair-dedup runs on
-    the driver by default; pass distinct_on_driver=False for a distributed
-    pair-dedup groupby when the candidate set itself is huge."""
+    Narrow shuffles only: the (band_id, band_hash) bucket groupby and the
+    pair-dedup groupby — document text never moves. Returns a DATASET of
+    (id_a, id_b); ``distinct_on_driver=True`` is a small-input fast path that
+    returns a pandas DataFrame instead (never use it on a dup-heavy corpus —
+    the candidate set itself can be huge)."""
     exploded = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
@@ -188,16 +323,14 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     if distinct_on_driver:
         df = pairs.to_pandas()
         return df.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
-    # distinct pairs (a pair can match in several bands)
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.iloc[:1], batch_format="pandas")
+    return _distinct_pairs(pairs)
 
 
 def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts: Dict[int, str],
                          threshold: float = 0.8, shingle_k: int = 5) -> pd.DataFrame:
-    """Exact-Jaccard verification of candidate pairs (driver-side or
-    per-bucket; ``texts`` is a lookup of the candidate docs only). Shingle
-    sets are computed once per doc, not once per pair."""
+    """Exact-Jaccard verification of candidate pairs against an in-memory
+    text lookup (small-input fast path; the scale path is
+    verify_pairs_jaccard_ds). Shingle sets are computed once per doc."""
     cache: Dict[int, np.ndarray] = {}
 
     def sh(i: int) -> np.ndarray:
@@ -215,6 +348,122 @@ def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts: Dict[int, str],
     out = pairs_df.copy()
     out["jaccard"] = np.round(sims, 6)
     return out[out["jaccard"] >= threshold].reset_index(drop=True)
+
+
+class _PairJaccard:
+    """Actor stage: exact Jaccard over (text_a, text_b) pair rows; shingle
+    sets cached per doc id within a batch."""
+
+    def __init__(self, threshold: float = 0.8, shingle_k: int = 5):
+        self.threshold = threshold
+        self.k = shingle_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_a = batch.column("id_a").to_numpy(zero_copy_only=False)
+        ids_b = batch.column("id_b").to_numpy(zero_copy_only=False)
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        cache: Dict[int, np.ndarray] = {}
+
+        def sh(i: int, t: Optional[str]) -> np.ndarray:
+            got = cache.get(i)
+            if got is None:
+                got = cache[i] = char_shingles(t or "", self.k)
+            return got
+
+        sims = np.empty(len(ids_a), dtype=np.float64)
+        for r in range(len(ids_a)):
+            ha = sh(int(ids_a[r]), ta[r])
+            hb = sh(int(ids_b[r]), tb[r])
+            inter = np.intersect1d(ha, hb, assume_unique=True).size
+            union = ha.size + hb.size - inter
+            sims[r] = inter / union if union else 1.0
+        keep = sims >= self.threshold
+        return pa.table({
+            "id_a": pa.array(ids_a[keep]),
+            "id_b": pa.array(ids_b[keep]),
+            "jaccard": pa.array(np.round(sims[keep], 6)),
+        })
+
+
+def _proj(ds, mapping):
+    """Arrow-native projection/rename (robust across pandas/arrow blocks —
+    Dataset.rename_columns chokes on pandas blocks from map_groups)."""
+    items = list(mapping.items())
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({dst: b.column(src) for src, dst in items})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def verify_pairs_jaccard_ds(pairs_ds, docs_ds, id_col: str = "doc_id",
+                            text_col: str = "text", threshold: float = 0.8,
+                            shingle_k: int = 5, num_partitions: int = 8,
+                            concurrency=(1, 8)):
+    """DISTRIBUTED exact-Jaccard verification — no candidate text ever
+    reaches the driver:
+
+    1. distinct candidate ids (narrow union + groupby of 8-byte ids)
+    2. docs ⋈ candidate-ids hash join — the ONE shuffle that moves text,
+       and only candidate docs survive it
+    3. pairs ⋈ texts on id_a, then on id_b (both sides candidate-sized)
+    4. vectorized-per-doc Jaccard inside map_batches, filter >= threshold
+
+    Returns a Dataset (id_a, id_b, jaccard).
+
+    Stage boundaries: the NARROW intermediates (candidate ids, candidate
+    docs, pairs+text_a) are materialized — each is candidate-sized, and the
+    boundaries keep each hash join a separate short execution instead of one
+    giant streaming DAG (Ray's executor thrashes workers when several
+    shuffle operators contend for a small CPU pool)."""
+    from ray.data.aggregate import Count
+
+    pairs_arrow = _proj(pairs_ds, {"id_a": "id_a", "id_b": "id_b"})
+    cand = (_proj(pairs_ds, {"id_a": "cid"})
+            .union(_proj(pairs_ds, {"id_b": "cid"}))
+            .groupby("cid").aggregate(Count("cid", alias_name="_n"))
+            .drop_columns(["_n"])
+            .materialize())
+    cand_docs = (docs_ds.select_columns([id_col, text_col])
+                 .join(cand, join_type="inner", num_partitions=num_partitions,
+                       on=(id_col,), right_on=("cid",))
+                 .materialize())
+    docs_a = _proj(cand_docs, {id_col: "id_a", text_col: "text_a"})
+    docs_b = _proj(cand_docs, {id_col: "id_b", text_col: "text_b"})
+    j = pairs_arrow.join(docs_a, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("id_a",)).materialize()
+    jj = j.join(docs_b, join_type="inner",
+                num_partitions=num_partitions, on=("id_b",))
+    return jj.map_batches(_PairJaccard,
+                          fn_constructor_kwargs=dict(threshold=threshold,
+                                                     shingle_k=shingle_k),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+def minhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                      threshold: float = 0.8, concurrency=(1, 8),
+                      num_partitions: int = 8):
+    """End-to-end distributed MinHash-LSH near-dup pairs: LSH candidates ->
+    distributed pair-dedup -> distributed exact-Jaccard verify. Every stage
+    streams; the driver never holds texts or the un-verified pair set."""
+    pairs = minhash_candidate_pairs(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, concurrency=concurrency,
+        distinct_on_driver=False).materialize()
+    if pairs.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
+    return verify_pairs_jaccard_ds(pairs, ds, id_col=id_col, text_col=text_col,
+                                   threshold=threshold, shingle_k=shingle_k,
+                                   num_partitions=num_partitions,
+                                   concurrency=concurrency)
 
 
 # --------------------------------------------------------------------------- SimHash
@@ -257,8 +506,10 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
-                      max_hamming: int = 3, concurrency=(1, 8)):
-    """SimHash near-dup pairs: band buckets -> per-bucket Hamming verify."""
+                      max_hamming: int = 3, concurrency=(1, 8),
+                      max_bucket: int = 1024):
+    """SimHash near-dup pairs: band buckets -> per-bucket Hamming verify.
+    Oversized buckets are salt-split on id order (logged), not dropped."""
     sigs = ds.map_batches(SimHasher,
                           fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
                           batch_format="pyarrow", concurrency=concurrency) \
@@ -270,21 +521,34 @@ def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
         hs = g["simhash"].to_numpy()
         order = np.argsort(ids)
         ids, hs = ids[order], hs[order]
-        if len(ids) < 2 or len(ids) > 256:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        hd = hamming64(hs[ia], hs[ib])
-        keep = hd <= max_hamming
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-                             "hamming": hd[keep]})
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64),
+                                 "hamming": np.array([], dtype=np.int64)})
+        frames = []
+        n_chunks = int(np.ceil(len(ids) / max_bucket))
+        if n_chunks > 1:
+            _log.warning("SimHash bucket of %d docs salt-split into %d chunks",
+                         len(ids), n_chunks)
+        for c in range(n_chunks):
+            cid = ids[c * max_bucket:(c + 1) * max_bucket]
+            chs = hs[c * max_bucket:(c + 1) * max_bucket]
+            ia, ib = np.triu_indices(len(cid), k=1)
+            hd = hamming64(chs[ia], chs[ib])
+            keep = hd <= max_hamming
+            frames.append(pd.DataFrame({"id_a": cid[ia][keep], "id_b": cid[ib][keep],
+                                        "hamming": hd[keep]}))
+        return pd.concat(frames, ignore_index=True)
 
     parts = []
     for i in range(4):
         parts.append(sigs.groupby(f"sim_bucket_{i}")
                      .map_groups(bucket_pairs, batch_format="pandas"))
+    from ray.data.aggregate import Min
+
     allp = parts[0].union(*parts[1:])
-    return allp.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.iloc[:1], batch_format="pandas")
+    return (allp.groupby(["id_a", "id_b"])
+            .aggregate(Min("hamming", alias_name="hamming")))
 
 
 # --------------------------------------------------------------------------- embedding near-dup
@@ -322,38 +586,173 @@ class HyperplaneLSH:
 
 def embedding_near_dups(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                         cos_threshold: float = 0.95, bits: int = 12,
-                        concurrency=(1, 8)):
+                        concurrency=(1, 8), max_bucket: int = 2048):
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets + exact
-    cosine verify inside each bucket."""
+    cosine verify inside each bucket (the 100-TB scale path: one narrow
+    bucket groupby; recall is governed by ``bits``). Oversized buckets are
+    salt-split on id order (logged), not dropped."""
     bucketed = ds.map_batches(HyperplaneLSH,
                               fn_constructor_kwargs=dict(vec_col=vec_col, bits=bits),
                               batch_format="pyarrow", concurrency=concurrency)
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2 or len(g) > 512:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                              "id_b": np.array([], dtype=np.int64),
+                              "cosine": np.array([], dtype=np.float64)})
+        if len(g) < 2:
+            return empty
         ids = g[id_col].to_numpy()
         order = np.argsort(ids)
         g = g.iloc[order]
         ids = ids[order]
-        mat = np.stack(g[vec_col].to_numpy())
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        mat = mat / np.maximum(norms, 1e-12)
-        sim = mat @ mat.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        cs = sim[ia, ib]
-        keep = cs >= cos_threshold
-        return pd.DataFrame({"id_a": ids[ia][keep], "id_b": ids[ib][keep],
-                             "cosine": np.round(cs[keep], 6)})
+        n_chunks = int(np.ceil(len(ids) / max_bucket))
+        if n_chunks > 1:
+            _log.warning("LSH embedding bucket of %d vecs salt-split into %d chunks",
+                         len(ids), n_chunks)
+        frames = []
+        for c in range(n_chunks):
+            sl = slice(c * max_bucket, (c + 1) * max_bucket)
+            cid = ids[sl]
+            mat = np.stack(g[vec_col].to_numpy()[sl]).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            mat = mat / np.maximum(norms, 1e-12)
+            sim = mat @ mat.T
+            ia, ib = np.triu_indices(len(cid), k=1)
+            cs = sim[ia, ib]
+            keep = cs >= cos_threshold
+            frames.append(pd.DataFrame({"id_a": cid[ia][keep], "id_b": cid[ib][keep],
+                                        "cosine": np.round(cs[keep], 6)}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
 
     return bucketed.groupby("lsh_bucket").map_groups(verify, batch_format="pandas")
+
+
+class _CosinePairScan:
+    """Actor stage: batch rows x broadcast corpus matrix; emits exact cosine
+    pairs (id_a < id_b) at or above the threshold."""
+
+    def __init__(self, corpus_ref, id_col: str, vec_col: str, threshold: float):
+        import ray
+
+        ids, mat = ray.get(corpus_ref) if not isinstance(corpus_ref, tuple) else corpus_ref
+        self.ids = np.asarray(ids, dtype=np.int64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        self.mat = mat / np.maximum(norms, 1e-12)
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        rows = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+        rows = rows / np.maximum(np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
+        rid = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = rows @ self.mat.T                         # (b, N)
+        ri, cj = np.nonzero(sims >= self.threshold)
+        keep = rid[ri] < self.ids[cj]                    # id_a < id_b, no self
+        ri, cj = ri[keep], cj[keep]
+        return pa.table({
+            "id_a": pa.array(rid[ri]),
+            "id_b": pa.array(self.ids[cj]),
+            "cosine": pa.array(np.round(sims[ri, cj], 6)),
+        })
+
+
+def embedding_cosine_pairs_exact(ds, id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 threshold: float = 0.4, concurrency=(1, 8)):
+    """EXACT all-pairs cosine >= threshold — the correctness baseline for the
+    LSH variant (and the DuckDB-oracle-checked query). The normalized corpus
+    matrix is broadcast ONCE via ray.put and each batch streams a block-row
+    of the similarity matrix; requires the embedding matrix to fit in worker
+    memory (fine up to ~10^7 x 10^2 dims — beyond that use
+    embedding_near_dups)."""
+    import ray
+
+    full = ds.select_columns([id_col, vec_col]).to_pandas()
+    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    ref = ray.put((full[id_col].to_numpy().astype(np.int64), mat))
+    return ds.map_batches(_CosinePairScan,
+                          fn_constructor_kwargs=dict(corpus_ref=ref, id_col=id_col,
+                                                     vec_col=vec_col,
+                                                     threshold=threshold),
+                          batch_format="pyarrow", concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------- exact char-gram Jaccard
+class _ExactJaccardPairs:
+    """Actor stage over a pair-index range: decodes upper-triangle linear
+    indices to (i, j), computes exact character-k-gram Jaccard from the
+    broadcast (small) doc subset. Character substrings (not bytes) so the
+    DuckDB substr() oracle mirrors it exactly."""
+
+    def __init__(self, docs_ref, k: int, threshold: float):
+        import ray
+
+        ids, texts = ray.get(docs_ref) if not isinstance(docs_ref, tuple) else docs_ref
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.sets = [frozenset(t[i:i + k] for i in range(len(t) - k + 1))
+                     for t in texts]
+        self.n = len(ids)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lin = batch.column("id").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = self.n
+        i = np.floor((2 * n - 1 - np.sqrt((2 * n - 1) ** 2 - 8 * lin)) / 2).astype(np.int64)
+        j = (lin.astype(np.int64) - i * (2 * n - i - 1) // 2 + i + 1)
+        out_a, out_b, out_j = [], [], []
+        for a, b in zip(i, j):
+            sa, sb = self.sets[a], self.sets[b]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 1.0
+            if jac >= self.threshold:
+                out_a.append(self.ids[a])
+                out_b.append(self.ids[b])
+                out_j.append(jac)
+        return pa.table({
+            "id_a": pa.array(np.asarray(out_a, dtype=np.int64)),
+            "id_b": pa.array(np.asarray(out_b, dtype=np.int64)),
+            "jaccard": pa.array(np.round(np.asarray(out_j, dtype=np.float64), 6)),
+        })
+
+
+def exact_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                        id_limit: int = 300, k: int = 5, threshold: float = 0.5,
+                        concurrency=(1, 8)):
+    """Exact all-pairs character-k-gram Jaccard over the deterministic doc
+    subset ``id < id_limit`` (the ground truth the LSH recall is measured
+    against, and the DuckDB-mirrorable query). The bounded subset is
+    broadcast once; the O(n^2) pair grid is streamed as a range dataset."""
+    import ray
+    import ray.data as rd
+
+    sub = (ds.select_columns([id_col, text_col])
+           .filter(expr=f"{id_col} < {id_limit}")
+           .to_pandas())
+    sub = sub[sub[text_col].notna() & (sub[text_col].str.len() >= k)]
+    sub = sub.sort_values(id_col).reset_index(drop=True)
+    n = len(sub)
+    if n < 2:
+        return rd.from_arrow(pa.table({"id_a": pa.array([], type=pa.int64()),
+                                       "id_b": pa.array([], type=pa.int64()),
+                                       "jaccard": pa.array([], type=pa.float64())}))
+    ref = ray.put((sub[id_col].to_numpy(), list(sub[text_col])))
+    n_pairs = n * (n - 1) // 2
+    return rd.range(n_pairs).map_batches(
+        _ExactJaccardPairs,
+        fn_constructor_kwargs=dict(docs_ref=ref, k=k, threshold=threshold),
+        batch_format="pyarrow", batch_size=8192, concurrency=concurrency)
 
 
 # --------------------------------------------------------------------------- clusters
 def connected_components(pairs: pd.DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b") -> pd.DataFrame:
     """Near-duplicate clusters from verified pairs: union-find on the driver
-    (sound because candidate pairs are orders of magnitude fewer than docs —
+    (sound because VERIFIED pairs are orders of magnitude fewer than docs —
     the ray_guide pattern; for a huge pair set run a few rounds of min-label
     propagation with groupby instead). Returns (doc_id, cluster_id) where
     cluster_id = min doc id of the component."""
@@ -382,27 +781,15 @@ def connected_components(pairs: pd.DataFrame, id_a: str = "id_a",
 def near_dup_clusters(ds, id_col: str = "doc_id", text_col: str = "text",
                       jaccard_threshold: float = 0.8, num_perm: int = 64,
                       bands: int = 16, concurrency=(1, 8)) -> pd.DataFrame:
-    """End-to-end near-dup clustering: MinHash-LSH candidates -> exact-Jaccard
-    verify -> connected components. Returns (doc_id, cluster_id) for every doc
-    in a multi-doc cluster; docs absent from the result are unique."""
-    pairs = minhash_candidate_pairs(ds, id_col=id_col, text_col=text_col,
-                                    num_perm=num_perm, bands=bands,
-                                    concurrency=concurrency)
-    if not len(pairs):
+    """End-to-end near-dup clustering: MinHash-LSH candidates -> DISTRIBUTED
+    exact-Jaccard verify -> connected components over the verified pairs
+    (the only driver-side step, and it sees verified TRUE near-dup pairs
+    only — never candidate texts). Returns (doc_id, cluster_id) for every
+    doc in a multi-doc cluster; docs absent from the result are unique."""
+    verified = minhash_near_dups(ds, id_col=id_col, text_col=text_col,
+                                 num_perm=num_perm, bands=bands,
+                                 threshold=jaccard_threshold,
+                                 concurrency=concurrency).to_pandas()
+    if not len(verified):
         return pd.DataFrame({"doc_id": [], "cluster_id": []})
-    import ray
-
-    wanted = np.array(sorted(set(pairs["id_a"]) | set(pairs["id_b"])), dtype=np.int64)
-    wref = ray.put(wanted)
-
-    def pick(b: pa.Table) -> pa.Table:
-        ids = b.column(id_col).to_numpy(zero_copy_only=False)
-        ws = ray.get(wref)
-        pos = np.searchsorted(ws, ids)
-        sel = (pos < len(ws)) & (ws[np.minimum(pos, len(ws) - 1)] == ids)
-        return b.filter(pa.array(sel))
-
-    texts = {int(r[id_col]): r[text_col]
-             for r in ds.map_batches(pick, batch_format="pyarrow").take_all()}
-    verified = verify_pairs_jaccard(pairs, texts, threshold=jaccard_threshold)
     return connected_components(verified)

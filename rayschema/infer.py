@@ -124,6 +124,13 @@ class SkipProperty(Exception):
     (ErrSkipProperty analog, reflect.go:33-35)."""
 
 
+class UnsupportedType(Exception):
+    """An Arrow type with no JSON mapping (union/duration/interval — the
+    func/chan analog). Raised during inference unless
+    InferOptions.skip_unsupported_properties drops the property instead
+    (context.go:242-244)."""
+
+
 @dataclass
 class InferOptions:
     """Mirror of the reference's reflection options (context.go:12-244)."""
@@ -136,6 +143,18 @@ class InferOptions:
     root_ref: bool = False
     root_nullable: bool = False
     inline_refs: bool = False
+    # context.go:232-234 — the reference default SKIPS untagged Go fields;
+    # Arrow fields are self-describing, so the engine default processes all.
+    # False = only fields carrying an explicit meta "name" tag are reflected.
+    process_without_tags: bool = True
+    # context.go:237-239 — ignore anonymous map/list embeds instead of
+    # shortcutting the parent schema into their additionalProperties/items
+    skip_embedded_maps_slices: bool = False
+    # context.go:242-244 — drop properties whose Arrow type has no JSON
+    # mapping (union/duration/interval) instead of raising UnsupportedType
+    skip_unsupported_properties: bool = False
+    # context.go:273-278 — parent-config "_" fields require a meta "name" tag
+    unnamed_field_with_tag: bool = False
     strip_definition_name_prefix: List[str] = dc_field(default_factory=list)
     skip_non_constraints: bool = False         # drop title/description/examples
     field_meta: Dict[str, Dict[str, Any]] = dc_field(default_factory=dict)
@@ -278,8 +297,11 @@ class Inferrer:
             self._struct_fields(s, t.fields, path)
             want_null = t.nullable or (
                 nullable and self._fingerprint(t) not in self._def_of_type)
-            # object first, null second
-            s.type = ["object", "null"] if want_null else "object"
+            if s.type is None:
+                # object first, null second
+                s.type = ["object", "null"] if want_null else "object"
+            elif want_null:
+                s.add_type("null")
             if t.meta:
                 if "additionalProperties" in t.meta:
                     s.additional_properties = t.meta["additionalProperties"]
@@ -344,6 +366,12 @@ class Inferrer:
             s.type = "string"
         elif pa.types.is_null(t):
             s.type = "null"
+        elif isinstance(t, pa.DataType) and (
+                pa.types.is_union(t) or pa.types.is_duration(t)
+                or pa.types.is_interval(t)):
+            # no JSON mapping — the func/chan analog (reflect.go:962-967);
+            # skip_unsupported_properties drops the property at the caller
+            raise UnsupportedType(str(t))
         # unknown types -> no type constraint (interface{} analog reflect.go:962)
         return self._apply_meta(s, meta)
 
@@ -379,6 +407,34 @@ class Inferrer:
         props: Dict[str, Any] = {}
         required: List[str] = []
         for f in fields:
+            # parent-config field "_" (reflect.go:1101-1122): its meta applies
+            # to the PARENT schema; with unnamed_field_with_tag it must carry
+            # an explicit "name" tag to be honored (context.go:273-278)
+            if f.name == "_":
+                cfg = dict(f.meta or {})
+                if self.options.unnamed_field_with_tag and "name" not in cfg:
+                    continue
+                cfg.pop("name", None)
+                if "additionalProperties" in cfg:
+                    s.additional_properties = cfg.pop("additionalProperties")
+                self._apply_meta(s, cfg)
+                continue
+            # anonymous map/list embed (reflect.go:865-901): shortcut the
+            # parent into the embed's additionalProperties/items — or ignore
+            # it entirely with skip_embedded_maps_slices (context.go:237-239)
+            if f.name == "" and (isinstance(f.type, VirtualList) or (
+                    isinstance(f.type, pa.DataType) and (
+                        pa.types.is_map(f.type) or pa.types.is_list(f.type)
+                        or pa.types.is_large_list(f.type)))):
+                if self.options.skip_embedded_maps_slices:
+                    continue
+                sub = self._node(f.type, path, "Embedded")
+                if sub.additional_properties is not None:
+                    s.additional_properties = sub.additional_properties
+                if sub.items is not None:
+                    s.items = sub.items
+                    s.type = "array"
+                continue
             # anonymous embed (name ""): flatten the embedded struct's fields
             # into the parent (reflect.go:1079-1098); meta {"refer": True} is
             # the EmbedReferencer analog — reference it via allOf instead
@@ -395,14 +451,25 @@ class Inferrer:
                             if r not in required:
                                 required.append(r)
                 continue
-            name = self.options.property_name_mapping.get(f.name, f.name)
-            if name == "-":                       # skip marker (reflect.go:1073)
-                continue
             meta = dict(f.meta or {})
             meta.update(self.options.field_meta.get(f.name, {}))
+            # tag-provided name wins over the mapping (PropertyNameTag analog,
+            # context.go:210-222); with process_without_tags=False, untagged
+            # fields are skipped entirely (context.go:232-234)
+            if not self.options.process_without_tags and "name" not in meta:
+                continue
+            name = meta.pop(
+                "name", self.options.property_name_mapping.get(f.name, f.name))
+            if name == "-":                       # skip marker (reflect.go:1073)
+                continue
             nullable = meta.get("nullable", f.nullable and self.options.nullable_from_arrow)
-            sub = self._node(f.type, path + [name], name, meta=meta,
-                             nullable=bool(nullable))
+            try:
+                sub = self._node(f.type, path + [name], name, meta=meta,
+                                 nullable=bool(nullable))
+            except UnsupportedType:
+                if self.options.skip_unsupported_properties:
+                    continue
+                raise
             if self.options.intercept_prop is not None:
                 try:
                     self.options.intercept_prop(name, f, sub)

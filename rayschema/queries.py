@@ -242,45 +242,76 @@ def duplicate_events(sf_dir: str):
 
 
 def exact_dedup_documents(sf_dir: str):
-    """Exact dedup on text: keep min doc_id per distinct text; returns kept ids."""
+    """Exact dedup on text: keep min doc_id per distinct text; returns kept ids.
+
+    Scale path: the shuffle moves ONLY (text_hash, min_id, n) — 24 bytes/row,
+    never the text. Hash groups with more than one row (same text seen in
+    several batches, or a 64-bit collision between different texts) are
+    exactly re-verified on their fetched text; at realistic dup rates that
+    candidate set is tiny. Result is identical to a full GROUP BY text."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    from rayschema.sketches import hash64
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({"doc_id": b.column("doc_id").to_pandas(),
                            "text": b.column("text").to_pandas()})
-        g = df.groupby("text", sort=False, dropna=False)["doc_id"].min().reset_index()
+        df["uk"] = hash64(df["text"].to_numpy()).view(np.int64)
+        g = (df.groupby("uk", as_index=False)
+               .agg(doc_id=("doc_id", "min"), n=("doc_id", "size")))
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Min
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("uk")
+             .aggregate(Min("doc_id", alias_name="doc_id"),
+                        Sum("n", alias_name="n"))
+             .materialize())
+    singles = agg.filter(expr="n == 1").select_columns(["doc_id"])
+    cand = agg.filter(expr="n > 1").select_columns(["uk"]).to_pandas()
+    if not len(cand):
+        return singles
+    ref = ray.put(np.sort(cand["uk"].to_numpy()))
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("text").aggregate(Min("doc_id", alias_name="doc_id")))
-    return out.select_columns(["doc_id"])
+    def pick(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"doc_id": b.column("doc_id").to_pandas(),
+                           "text": b.column("text").to_pandas()})
+        uks = hash64(df["text"].to_numpy()).view(np.int64)
+        cset = ray.get(ref)
+        pos = np.searchsorted(cset, uks)
+        sel = (pos < len(cset)) & (cset[np.minimum(pos, len(cset) - 1)] == uks)
+        return pa.Table.from_pandas(df[sel], preserve_index=False)
+
+    dup_rows = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    verified = (dup_rows.groupby("text", dropna=False, as_index=False)["doc_id"]
+                .min()[["doc_id"]])
+    import ray.data as rd
+
+    return singles.union(rd.from_arrow(
+        pa.table({"doc_id": pa.array(verified["doc_id"].to_numpy(),
+                                     type=pa.int64())})))
 
 
 def minhash_near_dup_documents(sf_dir: str):
-    """MinHash-LSH candidate pairs + exact-Jaccard verification (>= 0.5)."""
-    from rayschema.dedup import minhash_candidate_pairs, verify_pairs_jaccard
+    """MinHash-LSH candidate pairs + DISTRIBUTED exact-Jaccard verification
+    (>= 0.5): candidate texts are joined to their pairs, never materialized
+    on the driver (rayschema.dedup.minhash_near_dups)."""
+    from rayschema.dedup import minhash_near_dups
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = minhash_candidate_pairs(ds, num_perm=64, bands=16)
-    if not len(pairs):
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
-    wanted = set(pairs["id_a"]) | set(pairs["id_b"])
-    wref = __import__("ray").put(np.array(sorted(wanted), dtype=np.int64))
+    return minhash_near_dups(ds, num_perm=64, bands=16, threshold=0.5)
 
-    def pick(b: pa.Table) -> pa.Table:
-        import ray as _ray
 
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        ws = _ray.get(wref)
-        pos = np.searchsorted(ws, ids)
-        sel = (pos < len(ws)) & (ws[np.minimum(pos, len(ws) - 1)] == ids)
-        return b.filter(pa.array(sel))
+def minhash_near_dup_exact(sf_dir: str):
+    """Ground truth for the LSH family: exact all-pairs character-5-gram
+    Jaccard (>= 0.5) over the deterministic doc_id < 300 subset — mirrored
+    exactly by a DuckDB substr/self-join oracle."""
+    from rayschema.dedup import exact_jaccard_pairs
 
-    texts = {int(r["doc_id"]): r["text"]
-             for r in ds.map_batches(pick, batch_format="pyarrow").take_all()}
-    return verify_pairs_jaccard(pairs, texts, threshold=0.5)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_jaccard_pairs(ds, id_limit=300, k=5, threshold=0.5)
 
 
 def near_dup_clusters_documents(sf_dir: str):
@@ -300,10 +331,23 @@ def simhash_near_dup_documents(sf_dir: str):
 
 
 def embedding_near_dup(sf_dir: str):
+    """EXACT all-pairs cosine >= 0.4 (the synthetic embeddings hold no pairs
+    above ~0.52, so a usable threshold sits below that) — broadcast-matrix
+    block scan, mirrored by a DuckDB list_cosine_similarity self-join."""
+    from rayschema.dedup import embedding_cosine_pairs_exact
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_cosine_pairs_exact(ds, threshold=0.4)
+
+
+def embedding_near_dup_lsh(sf_dir: str):
+    """Hyperplane-LSH bucketed near-dup pairs — the 100-TB scale path
+    (recall < 1 by design; rows-only for the driver, recall vs the exact
+    query is unit-tested on planted near-identical vectors)."""
     from rayschema.dedup import embedding_near_dups
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_near_dups(ds, cos_threshold=0.9, bits=10)
+    return embedding_near_dups(ds, cos_threshold=0.4, bits=4)
 
 
 # --------------------------------------------------------------------------- similarity
@@ -342,7 +386,7 @@ def langid_documents(sf_dir: str):
     from rayschema.text import LangId
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    return (ds.map_batches(LangId, batch_format="pandas", concurrency=(1, 4))
+    return (ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
               .select_columns(["doc_id", "lang", "lang_pred", "lang_conf"]))
 
 

@@ -129,7 +129,14 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     brute-force path is the correctness baseline."""
     import ray
 
-    sample = ds.limit(sample_size).to_pandas()[vec_col]
+    # UNIFORM random sample for the codebook (a head sample is biased on
+    # sorted / clustered-by-file corpora and wrecks tail recall)
+    n_total = ds.count()
+    frac = min(1.0, (sample_size * 1.25) / max(n_total, 1))
+    sample = (ds.select_columns([vec_col]).random_sample(frac, seed=seed)
+              .limit(sample_size).to_pandas()[vec_col])
+    if len(sample) < n_clusters:
+        sample = ds.limit(max(n_clusters, sample_size)).to_pandas()[vec_col]
     cb = train_codebook(np.stack(sample.to_numpy()), n_clusters, seed=seed)
     cbref = ray.put(cb)
     assigned = ds.map_batches(IvfAssign,
@@ -143,18 +150,22 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     # and nothing larger than the probed fraction ever reaches the driver
     flt = assigned.filter(expr=f"ivf_bucket in {wanted}" if len(wanted) > 1
                           else f"ivf_bucket == {wanted[0]}").materialize()
-    df = brute_force_topk(flt, queries, k=k, id_col=id_col, vec_col=vec_col,
+    # over-fetch: the subset union covers ALL queries' probed buckets, so a
+    # query's strict top-k there can sit in buckets it did not probe and be
+    # filtered below — fetch 4k candidates, trim to k after the probe filter
+    df = brute_force_topk(flt, queries, k=4 * k, id_col=id_col, vec_col=vec_col,
                           concurrency=concurrency)
-    # drop hits from buckets a given query did not probe (lookup covers only
-    # the candidate ids, fetched from the probed subset)
-    probe_sets = {qi: set(map(int, probe[qi])) for qi in range(len(q))}
-    cand_ids = set(df[id_col])
-    id_bucket = (flt.select_columns([id_col, "ivf_bucket"]).to_pandas())
-    id2b = {i: b for i, b in zip(id_bucket[id_col], id_bucket["ivf_bucket"])
-            if i in cand_ids}
-    keep = [int(id2b.get(r[id_col], -1)) in probe_sets[int(r["query_id"])]
-            for _, r in df.iterrows()]
-    out = df[np.asarray(keep, dtype=bool)].reset_index(drop=True)
+    # drop hits from buckets a given query did not probe — vectorized:
+    # a (nq, n_clusters) probe mask indexed by (query_id, bucket) per hit
+    probe_mask = np.zeros((len(q), len(cb)), dtype=bool)
+    for qi in range(len(q)):
+        probe_mask[qi, probe[qi]] = True
+    id_bucket = flt.select_columns([id_col, "ivf_bucket"]).to_pandas()
+    merged = df.merge(id_bucket, on=id_col, how="left")
+    buckets = merged["ivf_bucket"].fillna(-1).to_numpy().astype(np.int64)
+    qids = merged["query_id"].to_numpy().astype(np.int64)
+    keep = (buckets >= 0) & probe_mask[qids, np.maximum(buckets, 0)]
+    out = df[keep].groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     if len(out):
         out["rank"] = out.groupby("query_id").cumcount() + 1
     return out

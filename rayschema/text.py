@@ -84,10 +84,14 @@ class LangId:
         }
         self.cjk = r"[\x{4e00}-\x{9fff}]"
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        texts = batch[self.text_col].fillna("").str.slice(0, self.head)
-        col = pa.array(texts.tolist(), type=pa.string())
-        n = len(texts)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # Arrow-native head slice (codepoints) — no pandas round-trip
+        col = pc.utf8_slice_codeunits(pc.fill_null(col.cast(pa.string()), ""),
+                                      0, self.head)
+        n = len(col)
         n_words = pc.count_substring_regex(col, r"[A-Za-z]+").to_numpy(zero_copy_only=False)
         denom = np.maximum(n_words, 1).astype(np.float64)
         langs = list(self.lang_patterns)
@@ -103,14 +107,15 @@ class LangId:
         # CJK shortcut: ratio of CJK codepoints in the head
         cjk_counts = pc.count_substring_regex(
             col, self.cjk).to_numpy(zero_copy_only=False)
-        head_len = np.maximum(texts.str.len().to_numpy(), 1)
+        head_len = np.maximum(
+            pc.utf8_length(col).to_numpy(zero_copy_only=False), 1)
         cjk_ratio = cjk_counts / np.minimum(head_len, 400)
         is_zh = cjk_ratio > 0.2
         preds = np.where(is_zh, "zh", preds)
         confs = np.where(is_zh, np.round(cjk_ratio, 4), confs)
-        batch["lang_pred"] = preds
-        batch["lang_conf"] = confs
-        return batch
+        return (batch
+                .append_column("lang_pred", pa.array(preds, type=pa.string()))
+                .append_column("lang_conf", pa.array(confs, type=pa.float64())))
 
 
 # --------------------------------------------------------------------------- quality scoring
@@ -169,21 +174,55 @@ class Fingerprinter:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from rayschema.dedup import char_shingles
+        from rayschema.dedup import (
+            _rolling_hashes,
+            _string_parts,
+            char_shingles,
+        )
 
-        texts = batch.column(self.text_col).to_pylist()
-        fps = np.zeros(len(texts), dtype=np.uint64)
-        mins_list: List[List[int]] = []
-        for i, t in enumerate(texts):
-            if not t:
-                mins_list.append([])
-                continue
-            hs = char_shingles(t, self.w)
-            k = min(self.k, len(hs))
-            smallest = np.partition(hs, k - 1)[:k] if k < len(hs) else hs
-            smallest = np.sort(smallest)
-            fps[i] = smallest[0]
-            mins_list.append([int(x) for x in smallest])
+        col = batch.column(self.text_col)
+        arr, off, data, valid = _string_parts(col)
+        n = len(arr)
+        import pyarrow.compute as pc
+
+        clen = pc.fill_null(pc.utf8_length(arr), 0).to_numpy(zero_copy_only=False)
+        empty = (~valid) | (clen == 0)
+        short = (~empty) & (clen < self.w)
+        # one rolling-hash pass over the batch's raw buffer; per-position doc
+        # assignment, then per-doc unique + first-k via ONE lexsort — no
+        # per-doc Python in the common path
+        doc = np.empty(0, dtype=np.int64)
+        h = np.empty(0, dtype=np.uint64)
+        if (~(empty | short)).any() and len(data) >= self.w:
+            hh = _rolling_hashes(data, self.w)
+            pos = np.arange(len(hh), dtype=np.int64)
+            inside = (pos >= off[0]) & (pos + self.w <= off[-1])
+            hh, pos = hh[inside], pos[inside]
+            dd = np.searchsorted(off, pos, side="right") - 1
+            ok = (pos + self.w <= off[dd + 1]) & ~(empty | short)[dd]
+            doc, h = dd[ok], hh[ok]
+        if short.any():
+            idx = np.nonzero(short)[0]
+            sh = np.concatenate([char_shingles(arr[int(i)].as_py(), self.w)
+                                 for i in idx])
+            doc = np.concatenate([doc, idx])
+            h = np.concatenate([h, sh])
+        order = np.lexsort((h, doc))
+        d, hh = doc[order], h[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+        d, hh = d[keep], hh[keep]
+        starts = np.searchsorted(d, np.arange(n))
+        rank = np.arange(len(d)) - starts[d] if len(d) else np.empty(0, np.int64)
+        sel = rank < self.k
+        d, hh = d[sel], hh[sel]
+        counts = np.bincount(d, minlength=n)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+        mins = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
+                                        pa.array(hh, type=pa.uint64()))
+        fps = np.zeros(n, dtype=np.uint64)
+        first = counts > 0
+        fps[first] = hh[offsets[:-1][first]]
         return (batch
                 .append_column("fingerprint", pa.array(fps, type=pa.uint64()))
-                .append_column("fp_minhashes", pa.array(mins_list, type=pa.list_(pa.uint64()))))
+                .append_column("fp_minhashes", mins))

@@ -126,6 +126,20 @@ def test_map_pattern_properties_and_required():
     assert m.tolist() == [True, False]
 
 
+def test_map_null_value_is_absent():
+    """Null-valued map entries follow the engine's null-as-absent convention
+    (as on struct/table subjects): an unmatched or bad-name KEY whose value
+    is null does not violate additionalProperties / propertyNames."""
+    mp = pa.array([{"BAD": None}, {"BAD": "x"}, {"ok": "v", "ZZ": None}],
+                  type=pa.map_(pa.string(), pa.string()))
+    sch = ('{"type":"object","properties":{"m":{'
+           '"propertyNames":{"pattern":"^[a-z]+$"},'
+           '"properties":{"ok":{"type":"string"}},'
+           '"additionalProperties":false}}}')
+    m, _ = masks(sch, pa.table({"m": mp}))
+    assert m.tolist() == [True, False, True]
+
+
 def test_applicators():
     t = pa.table({"n": [3.0, 5.0, 15.0, 7.0, None]})
     m, _ = masks('{"properties":{"n":{"oneOf":[{"multipleOf":3},{"multipleOf":5}]}}}', t)

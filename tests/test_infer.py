@@ -319,3 +319,65 @@ def test_named_type_inline_marker():
     d = infer_dict(VirtualStruct(fields=[VirtualField("v", t, required=True)]))
     assert "definitions" not in d
     assert d["properties"]["v"]["minLength"] == 1
+
+
+def test_process_without_tags_option():
+    # context.go:232-234: with process_without_tags=False, only fields
+    # carrying an explicit meta "name" tag are reflected; the tag also names
+    # the property (PropertyNameTag analog)
+    vs = VirtualStruct(fields=[
+        VirtualField("a", pa.int64(), meta={"name": "renamed_a"}),
+        VirtualField("b", pa.string()),
+    ])
+    d = infer_dict(vs, InferOptions(process_without_tags=False))
+    assert list(d["properties"]) == ["renamed_a"]
+    d2 = infer_dict(vs)
+    assert set(d2["properties"]) == {"renamed_a", "b"}
+
+
+def test_skip_embedded_maps_slices_option():
+    # context.go:237-239: anonymous map embeds shortcut the parent's
+    # additionalProperties unless skipped
+    vs = VirtualStruct(fields=[
+        VirtualField("", pa.map_(pa.string(), pa.int64())),
+        VirtualField("x", pa.string()),
+    ])
+    d = infer_dict(vs)
+    assert d["additionalProperties"] == {"type": "integer"}
+    d2 = infer_dict(vs, InferOptions(skip_embedded_maps_slices=True))
+    assert "additionalProperties" not in d2
+
+
+def test_skip_unsupported_properties_option():
+    # context.go:242-244: duration (no JSON mapping) raises UnsupportedType
+    # by default, is dropped with the option
+    from rayschema.infer import UnsupportedType
+
+    vs = VirtualStruct(fields=[
+        VirtualField("ok", pa.int64()),
+        VirtualField("bad", pa.duration("s")),
+    ])
+    with pytest.raises(UnsupportedType):
+        infer_dict(vs)
+    d = infer_dict(vs, InferOptions(skip_unsupported_properties=True))
+    assert list(d["properties"]) == ["ok"]
+
+
+def test_unnamed_field_with_tag_option():
+    # reflect.go:1101-1122 + context.go:273-278: "_" fields configure the
+    # parent schema; with unnamed_field_with_tag they need a "name" tag
+    vs = VirtualStruct(fields=[
+        VirtualField("_", pa.struct([]), meta={"additionalProperties": False,
+                                               "title": "Parent"}),
+        VirtualField("x", pa.string()),
+    ])
+    d = infer_dict(vs)
+    assert d["additionalProperties"] is False and d["title"] == "Parent"
+    d2 = infer_dict(vs, InferOptions(unnamed_field_with_tag=True))
+    assert "additionalProperties" not in d2
+    vs2 = VirtualStruct(fields=[
+        VirtualField("_", pa.struct([]), meta={"name": "_",
+                                               "additionalProperties": False}),
+    ])
+    d3 = infer_dict(vs2, InferOptions(unnamed_field_with_tag=True))
+    assert d3["additionalProperties"] is False

@@ -28,7 +28,7 @@ def test_bpeish_counter():
 
 
 def test_langid_heuristic():
-    df = pd.DataFrame({"text": [
+    t = pa.table({"text": [
         "the cat and the dog went to the house of the king",
         "der Hund und die Katze sind nicht auf der Strasse",
         "le chat est dans la maison pour les vacances",
@@ -36,9 +36,9 @@ def test_langid_heuristic():
         "你好世界这是一个中文文本的例子用来测试语言识别",
         "zzz qqq xxx",
     ]})
-    out = LangId()(df.copy())
-    assert out["lang_pred"].tolist()[:5] == ["en", "de", "fr", "es", "zh"]
-    assert out["lang_pred"].tolist()[5] == "unknown"
+    out = LangId()(t)
+    assert out["lang_pred"].to_pylist()[:5] == ["en", "de", "fr", "es", "zh"]
+    assert out["lang_pred"].to_pylist()[5] == "unknown"
 
 
 def test_quality_batch():
