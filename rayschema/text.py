@@ -103,7 +103,9 @@ class LangId:
         best_score = scores[np.arange(n), best_j]
         preds = np.array(langs, dtype=object)[best_j]
         preds = np.where(best_score == 0.0, "unknown", preds)
-        confs = np.round(best_score, 4)
+        from rayschema.dedup import round_half_away
+
+        confs = round_half_away(best_score, 4)   # DuckDB round() semantics
         # CJK shortcut: ratio of CJK codepoints in the head
         cjk_counts = pc.count_substring_regex(
             col, self.cjk).to_numpy(zero_copy_only=False)
@@ -112,7 +114,7 @@ class LangId:
         cjk_ratio = cjk_counts / np.minimum(head_len, 400)
         is_zh = cjk_ratio > 0.2
         preds = np.where(is_zh, "zh", preds)
-        confs = np.where(is_zh, np.round(cjk_ratio, 4), confs)
+        confs = np.where(is_zh, round_half_away(cjk_ratio, 4), confs)
         return (batch
                 .append_column("lang_pred", pa.array(preds, type=pa.string()))
                 .append_column("lang_conf", pa.array(confs, type=pa.float64())))
@@ -145,7 +147,9 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     tokens = pc.add(spaces, 1.0)
     mean_tok = pc.divide(length, tokens)
     ln = length.to_numpy(zero_copy_only=False)
-    len_score = np.clip(np.log1p(ln) / np.log(1000.0), 0.0, 1.0)
+    # ln(1+x) (not log1p) so the DuckDB oracle's ln(1 + length) mirrors the
+    # same float64 ops; 1+len is integer-exact so precision is identical
+    len_score = np.clip(np.log(1.0 + ln) / np.log(1000.0), 0.0, 1.0)
     a = alpha_ratio.to_numpy(zero_copy_only=False)
     d = digit_ratio.to_numpy(zero_copy_only=False)
     p = punct_ratio.to_numpy(zero_copy_only=False)
