@@ -618,45 +618,125 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
                       max_hamming: int = 3, concurrency=(1, 8),
                       max_bucket: int = 1024):
-    """SimHash near-dup pairs: band buckets -> per-bucket Hamming verify.
+    """SimHash near-dup pairs: the 4 x 16-bit band buckets are folded into
+    ONE 8-byte bucket-key SORT (band id mixed into the key) and scanned per
+    sorted block — the same sort-scan shape as the MinHash bucket stage, so
+    one narrow all-to-all replaces four groupby+per-group-Python passes.
+    Block-edge buckets are stitched exactly on the driver (ids+sigs only).
     Oversized buckets are salt-split on id order (logged), not dropped."""
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
     sigs = ds.map_batches(SimHasher,
                           fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
-                          batch_format="pyarrow", concurrency=concurrency) \
-             .select_columns([id_col, "simhash", "sim_bucket_0", "sim_bucket_1",
-                              "sim_bucket_2", "sim_bucket_3"])
+                          batch_format="pyarrow", concurrency=concurrency)
+    gold = np.uint64(0x9E3779B97F4A7C15)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        hs = g["simhash"].to_numpy()
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sh = b.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        keys, oid, osh = [], [], []
+        with np.errstate(over="ignore"):
+            for i in range(4):
+                bucket = b.column(f"sim_bucket_{i}").to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+                keys.append(_mix64(bucket + np.uint64(i + 1) * gold))
+                oid.append(ids)
+                osh.append(sh)
+        return pa.table({
+            "bkey": pa.array(np.concatenate(keys).view(np.int64)),
+            id_col: pa.array(np.concatenate(oid)),
+            "sh": pa.array(np.concatenate(osh).view(np.int64)),
+        })
+
+    srt = sigs.map_batches(explode, batch_format="pyarrow").sort("bkey")
+
+    def bucket_pairs(ids: np.ndarray, hs: np.ndarray):
         order = np.argsort(ids)
         ids, hs = ids[order], hs[order]
+        keep = np.ones(len(ids), dtype=bool)
+        keep[1:] = ids[1:] != ids[:-1]
+        ids, hs = ids[keep], hs[keep]
         if len(ids) < 2:
-            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
-                                 "id_b": np.array([], dtype=np.int64),
-                                 "hamming": np.array([], dtype=np.int64)})
-        frames = []
+            return None
         n_chunks = int(np.ceil(len(ids) / max_bucket))
         if n_chunks > 1:
             _log.warning("SimHash bucket of %d docs salt-split into %d chunks",
                          len(ids), n_chunks)
+        fa, fb, fh = [], [], []
         for c in range(n_chunks):
-            cid = ids[c * max_bucket:(c + 1) * max_bucket]
-            chs = hs[c * max_bucket:(c + 1) * max_bucket]
+            sl = slice(c * max_bucket, (c + 1) * max_bucket)
+            cid, chs = ids[sl], hs[sl]
             ia, ib = np.triu_indices(len(cid), k=1)
-            hd = hamming64(chs[ia], chs[ib])
-            keep = hd <= max_hamming
-            frames.append(pd.DataFrame({"id_a": cid[ia][keep], "id_b": cid[ib][keep],
-                                        "hamming": hd[keep]}))
-        return pd.concat(frames, ignore_index=True)
+            hd = hamming64(chs[ia].view(np.uint64), chs[ib].view(np.uint64))
+            k = hd <= max_hamming
+            fa.append(cid[ia][k])
+            fb.append(cid[ib][k])
+            fh.append(hd[k])
+        return np.concatenate(fa), np.concatenate(fb), np.concatenate(fh)
 
-    parts = []
-    for i in range(4):
-        parts.append(sigs.groupby(f"sim_bucket_{i}")
-                     .map_groups(bucket_pairs, batch_format="pandas"))
-    from ray.data.aggregate import Min
+    def block_scan(b: pa.Table) -> pa.Table:
+        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
+                          "id_b": pa.array([], type=pa.int64()),
+                          "hamming": pa.array([], type=pa.int64()),
+                          "kind": pa.array([], type=pa.int8())})
+        n = b.num_rows
+        if n == 0:
+            return empty
+        keys = b.column("bkey").to_numpy(zero_copy_only=False)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        shs = b.column("sh").to_numpy(zero_copy_only=False)
+        first, last = keys[0], keys[-1]
+        cuts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [n]])
+        pa_, pb_, ph_ = [], [], []
+        ra, rk, rs = [], [], []
+        for s, e in zip(starts, ends):
+            if keys[s] == first or keys[s] == last:
+                ra.append(ids[s:e])
+                rk.append(np.full(e - s, keys[s], dtype=np.int64))
+                rs.append(shs[s:e])
+                continue
+            if e - s < 2:
+                continue
+            got = bucket_pairs(ids[s:e], shs[s:e])
+            if got is not None:
+                pa_.append(got[0])
+                pb_.append(got[1])
+                ph_.append(got[2])
+        parts = []
+        if pa_:
+            a = np.concatenate(pa_)
+            parts.append(pa.table({
+                "id_a": pa.array(a), "id_b": pa.array(np.concatenate(pb_)),
+                "hamming": pa.array(np.concatenate(ph_)),
+                "kind": pa.array(np.zeros(len(a), dtype=np.int8))}))
+        if ra:
+            # residual rows smuggle (doc_id, bucket_key, simhash) through the
+            # pair schema: id_b carries the key, hamming carries the sig bits
+            r = np.concatenate(ra)
+            parts.append(pa.table({
+                "id_a": pa.array(r), "id_b": pa.array(np.concatenate(rk)),
+                "hamming": pa.array(np.concatenate(rs)),
+                "kind": pa.array(np.ones(len(r), dtype=np.int8))}))
+        return pa.concat_tables(parts) if parts else empty
 
-    allp = parts[0].union(*parts[1:])
+    mixed = srt.map_batches(block_scan, batch_format="pyarrow").materialize()
+    allp = mixed.filter(expr="kind == 0").drop_columns(["kind"])
+    resid = mixed.filter(expr="kind == 1").to_pandas()
+    if len(resid):
+        frames = []
+        for _, g in resid.groupby("id_b"):
+            got = bucket_pairs(g["id_a"].to_numpy(),
+                               g["hamming"].to_numpy())
+            if got is not None:
+                frames.append(pd.DataFrame({"id_a": got[0], "id_b": got[1],
+                                            "hamming": got[2]}))
+        if frames:
+            extra = pd.concat(frames, ignore_index=True)
+            allp = allp.union(rd.from_arrow(pa.Table.from_pandas(
+                extra, preserve_index=False)))
     return (allp.groupby(["id_a", "id_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
 

@@ -645,8 +645,12 @@ def order_revenue_join(sf_dir: str):
         })
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    # partition count scales with input size (~128 MB of build+probe bytes
+    # per partition, parquet metadata only — no read), not a fixed knob
+    est_bytes = (li.size_bytes() or 0) + (orders.size_bytes() or 0)
+    n_parts = int(min(256, max(8, est_bytes // (128 << 20) + 8)))
     joined = li.map_batches(li_prep, batch_format="pyarrow").join(
-        orders, join_type="inner", num_partitions=16,
+        orders, join_type="inner", num_partitions=n_parts,
         on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(b: pa.Table) -> pa.Table:
