@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": Q.knn_ivf,                                         # rows-only
         # -- text analysis
         "token_counts_documents": Q.token_counts_documents,
+        "bpeish_token_counts": Q.bpeish_token_counts,
         "char_class_counts": Q.char_class_counts,
         "langid_documents": Q.langid_documents,
         "quality_documents": Q.quality_documents,
@@ -55,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": Q.pricing_summary,
         "top_revenue_customers": Q.top_revenue_customers,
         "events_hourly_window": Q.events_hourly_window,
+        "events_sliding_window": Q.events_sliding_window,
         "part_brand_stats": Q.part_brand_stats,
         "nation_region_join": Q.nation_region_join,
         "lineitem_topk": Q.lineitem_topk,
@@ -298,6 +300,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
                      AS sum_value_cents
             FROM events GROUP BY user_id, hour_bucket""",
+        "bpeish_token_counts": """
+            SELECT doc_id,
+                   CAST(COALESCE(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')), 0)
+                        AS BIGINT) AS bpeish_tokens
+            FROM documents""",
+        "events_sliding_window": """
+            WITH e AS (
+              SELECT user_id,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events),
+            w AS (SELECT user_id, h AS window_start, cents FROM e
+                  UNION ALL
+                  SELECT user_id, h - 1, cents FROM e)
+            SELECT user_id, window_start,
+                   count(*)::BIGINT AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM w GROUP BY user_id, window_start""",
         "part_brand_stats": """
             SELECT p_brand, count(p_size)::BIGINT AS n,
                    min(p_size)::BIGINT AS min_size, max(p_size)::BIGINT AS max_size,

@@ -405,6 +405,17 @@ def langid_documents(sf_dir: str):
               .select_columns(["doc_id", "lang", "lang_pred", "lang_conf"]))
 
 
+def bpeish_token_counts(sf_dir: str):
+    """Regex (word + punctuation) token count — the BPE-ish approximation,
+    SQL-mirrored via len(regexp_extract_all(...)) on the same RE2 pattern."""
+    from rayschema.text import BpeishTokenCounter
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return (ds.map_batches(BpeishTokenCounter, batch_format="pyarrow",
+                           concurrency=(1, 4))
+              .select_columns(["doc_id", "bpeish_tokens"]))
+
+
 def char_class_counts(sf_dir: str):
     """Per-document character-class counts (alpha/digit/punct) — the exact
     integer core of the quality signals, SQL-mirrorable via regexp_replace."""
@@ -553,6 +564,35 @@ def events_hourly_window(sf_dir: str):
 
     return (ds.map_batches(partial, batch_format="pyarrow")
               .groupby(["user_id", "hour_bucket"])
+              .aggregate(Sum("n_events", alias_name="n_events"),
+                         Sum("sum_value_cents", alias_name="sum_value_cents")))
+
+
+def events_sliding_window(sf_dir: str):
+    """SLIDING window per user: 2-hour windows advancing 1 hour — each event
+    lands in two windows (start = its hour, and the hour before). Implemented
+    as a per-batch window explode + partial aggregate before the one
+    (user_id, window_start) shuffle; SQL mirror is a UNION ALL self-append."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        cents = _cents(b.column("value").to_pandas())
+        df = pd.DataFrame({
+            "user_id": np.concatenate([uid, uid]),
+            "window_start": np.concatenate([hour, hour - 1]),
+            "cents": np.concatenate([cents, cents]),
+        })
+        g = (df.groupby(["user_id", "window_start"], as_index=False)
+               .agg(n_events=("cents", "size"), sum_value_cents=("cents", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["user_id", "window_start"])
               .aggregate(Sum("n_events", alias_name="n_events"),
                          Sum("sum_value_cents", alias_name="sum_value_cents")))
 
