@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_docs_analysis": Q.schema_docs_analysis,               # rows-only
         # -- multimodal plumbing
         "multimodal_features": Q.multimodal_features,                 # rows-only
+        "multimodal_pipeline": Q.multimodal_pipeline,                 # rows-only
     }
 
 

@@ -98,6 +98,177 @@ class MediaFeatureStage:
                 .append_column("feat_dim", pa.array(dim)))
 
 
+def resize_nearest(t: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized nearest-neighbor resize of a 2-D tensor (codec-agnostic —
+    operates on whatever the decode stage produced)."""
+    h, w = t.shape
+    yi = np.arange(out_h) * h // out_h
+    xi = np.arange(out_w) * w // out_w
+    return t[yi][:, xi]
+
+
+class ImageResizeStage:
+    """Actor-pool stage: decode -> nearest-neighbor resize -> flat pixel
+    column. Emits ``pixels`` (fixed-size list<float> of out_h*out_w) plus
+    ``out_h``/``out_w`` — the layout a downstream embedding model consumes.
+    Non-image rows pass through with null pixels."""
+
+    def __init__(self, decode_fn: Optional[Callable] = None,
+                 out_h: int = 4, out_w: int = 4,
+                 payload_col: str = "payload", kind_col: str = "kind"):
+        self.decode = decode_fn
+        self.out_h = out_h
+        self.out_w = out_w
+        self.payload_col = payload_col
+        self.kind_col = kind_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode is None:
+            raise NotImplementedError(
+                "image decode kernel not available: pass decode_fn")
+        payloads = batch.column(self.payload_col).to_pylist()
+        kinds = batch.column(self.kind_col).to_pylist()
+        pix = []
+        for p, k in zip(payloads, kinds):
+            if p is None or k != "image":
+                pix.append(None)
+                continue
+            t = self.decode(p, k)["tensor"]
+            if t.ndim == 1:
+                t = t.reshape(1, -1)
+            pix.append(resize_nearest(t, self.out_h, self.out_w)
+                       .astype(np.float32).ravel())
+        return (batch.drop_columns([self.payload_col])
+                .append_column("pixels", pa.array(
+                    [None if x is None else x.tolist() for x in pix],
+                    type=pa.list_(pa.float32(), self.out_h * self.out_w)))
+                .append_column("out_h", pa.array(
+                    np.full(len(pix), self.out_h, dtype=np.int32)))
+                .append_column("out_w", pa.array(
+                    np.full(len(pix), self.out_w, dtype=np.int32))))
+
+
+class AudioFrameStage:
+    """Actor-pool stage: decode -> fixed-hop framing -> per-frame RMS energy
+    (list<float>) + frame count. Non-audio rows pass through with nulls."""
+
+    def __init__(self, decode_fn: Optional[Callable] = None,
+                 frame_len: int = 8, hop: int = 4,
+                 payload_col: str = "payload", kind_col: str = "kind"):
+        self.decode = decode_fn
+        self.frame_len = frame_len
+        self.hop = hop
+        self.payload_col = payload_col
+        self.kind_col = kind_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode is None:
+            raise NotImplementedError(
+                "audio decode kernel not available: pass decode_fn")
+        payloads = batch.column(self.payload_col).to_pylist()
+        kinds = batch.column(self.kind_col).to_pylist()
+        energies, counts = [], np.zeros(len(payloads), dtype=np.int32)
+        for i, (p, k) in enumerate(zip(payloads, kinds)):
+            if p is None or k != "audio":
+                energies.append(None)
+                continue
+            x = self.decode(p, k)["tensor"].ravel().astype(np.float64)
+            if len(x) < self.frame_len:
+                x = np.pad(x, (0, self.frame_len - len(x)))
+            frames = np.lib.stride_tricks.sliding_window_view(
+                x, self.frame_len)[::self.hop]
+            rms = np.sqrt((frames ** 2).mean(axis=1))
+            energies.append(rms.astype(np.float32).tolist())
+            counts[i] = len(rms)
+        return (batch.drop_columns([self.payload_col])
+                .append_column("frame_rms", pa.array(
+                    energies, type=pa.list_(pa.float32())))
+                .append_column("n_audio_frames", pa.array(counts)))
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: decode -> every-``stride``-th frame sample ->
+    per-sampled-frame mean feature. The decoded tensor is treated as
+    ``n_frames`` equal chunks (the fake codec's contract; a real libav
+    decoder yields frames directly). Non-video rows pass through."""
+
+    def __init__(self, decode_fn: Optional[Callable] = None, stride: int = 2,
+                 payload_col: str = "payload", kind_col: str = "kind"):
+        self.decode = decode_fn
+        self.stride = stride
+        self.payload_col = payload_col
+        self.kind_col = kind_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.decode is None:
+            raise NotImplementedError(
+                "video decode kernel not available: pass decode_fn")
+        payloads = batch.column(self.payload_col).to_pylist()
+        kinds = batch.column(self.kind_col).to_pylist()
+        feats, idxs = [], []
+        for p, k in zip(payloads, kinds):
+            if p is None or k != "video":
+                feats.append(None)
+                idxs.append(None)
+                continue
+            d = self.decode(p, k)
+            t = d["tensor"].ravel()
+            nf = max(1, int(d.get("n_frames", 1)))
+            chunks = np.array_split(t, nf)
+            sel = np.arange(0, nf, self.stride)
+            feats.append([float(chunks[j].mean()) for j in sel])
+            idxs.append(sel.astype(np.int32).tolist())
+        return (batch.drop_columns([self.payload_col])
+                .append_column("frame_idx", pa.array(idxs, type=pa.list_(pa.int32())))
+                .append_column("frame_mean", pa.array(feats, type=pa.list_(pa.float64()))))
+
+
+def media_feature_pipeline(ds, decode_fn: Optional[Callable] = None,
+                           batch_size: Optional[int] = None,
+                           concurrency=(1, 4)):
+    """Kind-routed media pipeline: images -> resize, audio -> framing,
+    video -> frame sampling, each an actor-pool stage over small batches
+    (binary payloads are large), results unioned. Returns a Dataset whose
+    rows carry the per-kind feature columns."""
+    bs = batch_size or suggest_batch_size(4096, concurrency=concurrency[1])
+    common = dict(batch_format="pyarrow", batch_size=bs, concurrency=concurrency)
+    img = (ds.filter(expr="kind == 'image'")
+           .map_batches(ImageResizeStage,
+                        fn_constructor_kwargs=dict(decode_fn=decode_fn), **common)
+           .select_columns(["media_id", "kind", "pixels"]))
+    aud = (ds.filter(expr="kind == 'audio'")
+           .map_batches(AudioFrameStage,
+                        fn_constructor_kwargs=dict(decode_fn=decode_fn), **common)
+           .select_columns(["media_id", "kind", "n_audio_frames"]))
+    vid = (ds.filter(expr="kind == 'video'")
+           .map_batches(VideoFrameSampleStage,
+                        fn_constructor_kwargs=dict(decode_fn=decode_fn), **common)
+           .select_columns(["media_id", "kind", "frame_idx"]))
+
+    def label(name):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "media_id": b.column("media_id"),
+                "kind": b.column("kind"),
+                "n_features": pa.array(
+                    [0 if v is None else (len(v) if hasattr(v, "__len__") else int(v))
+                     for v in b.column(b.schema.names[2]).to_pylist()],
+                    type=pa.int32()),
+            })
+        return f
+
+    return (img.map_batches(label("pixels"), batch_format="pyarrow")
+            .union(aud.map_batches(label("n_audio_frames"), batch_format="pyarrow"))
+            .union(vid.map_batches(label("frame_idx"), batch_format="pyarrow")))
+
+
+def write_media_features(ds, out_dir: str):
+    """Partitioned, idempotent feature sink: one directory per media kind
+    (failed runs skip finished partitions by re-running per kind)."""
+    ds.write_parquet(out_dir, partition_cols=["kind"], mode="overwrite")
+    return out_dir
+
+
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic fake media table matching MEDIA_SCHEMA (tests/bench)."""
     rng = np.random.default_rng(seed)

@@ -818,3 +818,18 @@ def multimodal_features(sf_dir: str):
                           concurrency=(1, 2)) \
              .select_columns(["media_id", "kind", "payload_sha256",
                               "payload_bytes", "feat_mean", "feat_dim"])
+
+
+def multimodal_pipeline(sf_dir: str):
+    """Kind-routed media pipeline: image resize / audio framing / video frame
+    sampling as separate actor-pool stages, unioned (rows-only check)."""
+    import ray.data as rd
+
+    from rayschema.multimodal import (
+        fake_decode,
+        media_feature_pipeline,
+        synth_media_table,
+    )
+
+    ds = rd.from_arrow(synth_media_table(256))
+    return media_feature_pipeline(ds, decode_fn=fake_decode, concurrency=(1, 2))
