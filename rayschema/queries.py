@@ -478,9 +478,17 @@ def pricing_summary(sf_dir: str):
     before the (6-group) shuffle."""
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "lineitem",
-               columns=["l_returnflag", "l_linestatus", "l_quantity",
-                        "l_extendedprice", "l_discount", "l_shipdate"])
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    # row filter pushed to the parquet read: only matching row groups/rows
+    # are decoded (the date cut prunes at the scan, not in a later stage)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") <= pa.scalar(
+            pd.Timestamp("1998-09-01"), type=pa.timestamp("us")))
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
@@ -661,9 +669,14 @@ def distinct_mktsegment(sf_dir: str):
 
 
 def orders_priority_count(sf_dir: str):
+    import pyarrow.dataset as pads
+    import ray.data as rd
     from ray.data.aggregate import Count
 
-    ds = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+    # predicate pushed into the parquet scan (row-group pruning at the read)
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderpriority", "o_totalprice"],
+                         filter=pads.field("o_totalprice") > 100000.0)
     return (ds.filter(expr="o_totalprice > 100000.0")
               .groupby("o_orderpriority")
               .aggregate(Count("o_totalprice", alias_name="n")))
