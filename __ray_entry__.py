@@ -39,6 +39,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup_exact": Q.minhash_near_dup_exact,
         "near_dup_clusters_documents": Q.near_dup_clusters_documents,  # rows-only
         "near_dup_clusters_exact": Q.near_dup_clusters_exact,
+        "dedup_corpus_exact": Q.dedup_corpus_exact,
+        "stratified_sample_documents": Q.stratified_sample_documents,
         "simhash_near_dup_documents": Q.simhash_near_dup_documents,  # rows-only
         "embedding_near_dup": Q.embedding_near_dup,
         "embedding_near_dup_lsh": Q.embedding_near_dup_lsh,           # rows-only
@@ -187,6 +189,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS doc_id,
                    CAST(min(label) AS BIGINT) AS cluster_id
             FROM lab GROUP BY node""",
+        "dedup_corpus_exact": """
+            WITH RECURSIVE docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 300 AND text IS NOT NULL AND length(text) >= 5),
+            sh AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 4)) AS i
+                    FROM docs)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                           JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            lab(node, label) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT e.a, l.label FROM edges e JOIN lab l ON l.node = e.b),
+            clusters AS (SELECT node, min(label) AS cl FROM lab GROUP BY node)
+            SELECT doc_id FROM docs
+            WHERE doc_id NOT IN (SELECT node FROM clusters WHERE cl < node)""",
+        "stratified_sample_documents": """
+            SELECT doc_id, lang FROM documents
+            WHERE lang IS NOT NULL
+              AND (doc_id % 100003) * 2654435761 % 100 <
+                  CASE lang WHEN 'en' THEN 47 WHEN 'de' THEN 31
+                            WHEN 'fr' THEN 23 WHEN 'es' THEN 61
+                            WHEN 'zh' THEN 13 ELSE 0 END""",
         "quality_documents": """
             WITH t AS (
               SELECT doc_id,

@@ -338,6 +338,64 @@ def near_dup_clusters_exact(sf_dir: str):
     return cc.astype({"doc_id": "int64", "cluster_id": "int64"})
 
 
+def dedup_corpus_exact(sf_dir: str):
+    """The user-facing dedup operator: the KEPT corpus after near-dup removal
+    (one representative — the min id — per exact-Jaccard cluster) over the
+    deterministic doc_id < 300 subset. Removal set is broadcast (tiny: only
+    docs losing to a smaller cluster id); the corpus itself streams."""
+    import ray
+
+    from rayschema.dedup import connected_components, exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, id_limit=300, k=5, threshold=0.5).to_pandas()
+    removed = np.array([], dtype=np.int64)
+    if len(pairs):
+        cc = connected_components(pairs)
+        removed = cc.loc[cc["cluster_id"] < cc["doc_id"], "doc_id"] \
+            .to_numpy().astype(np.int64)
+    rref = ray.put(np.sort(removed))
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        tl = pc.fill_null(pc.utf8_length(txt), 0).to_numpy(zero_copy_only=False)
+        ok = (ids < 300) & (tl >= 5)
+        rem = ray.get(rref)
+        pos = np.searchsorted(rem, ids)
+        hit = (pos < len(rem)) & (rem[np.minimum(pos, len(rem) - 1)] == ids)
+        return pa.table({"doc_id": pa.array(ids[ok & ~hit])})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SAMPLE_RATES = {"en": 47, "de": 31, "fr": 23, "es": 61, "zh": 13}  # % kept
+
+
+def stratified_sample_documents(sf_dir: str):
+    """Deterministic per-language stratified sampling — the training-mixture
+    weighting primitive: keep a row iff
+    ``(doc_id % 100003) * 2654435761 % 100 < rate[lang]``. Pure arithmetic on
+    BIGINTs (never overflows, no hash library), so the DuckDB oracle computes
+    the identical keep set; no shuffle — a stateless map_batches filter."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = b.column("lang").to_pylist()
+        rate = np.array([SAMPLE_RATES.get(l, 0) for l in langs], dtype=np.int64)
+        bucket = (ids % 100003) * 2654435761 % 100
+        sel = bucket < rate
+        return pa.table({
+            "doc_id": pa.array(ids[sel]),
+            "lang": pa.array(np.array(langs, dtype=object)[sel], type=pa.string()),
+        })
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def simhash_near_dup_documents(sf_dir: str):
     from rayschema.dedup import simhash_near_dups
 
