@@ -396,6 +396,45 @@ def stratified_sample_documents(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def split_by_cluster(sf_dir: str):
+    """Leakage-safe train/val/test split: the split of a document follows its
+    near-dup CLUSTER representative (min id), so near-duplicates can never
+    straddle splits. Deterministic modular rule on the representative
+    (80/10/10); clusters broadcast; mirrored exactly in SQL via the recursive
+    cluster CTE + CASE. Scope: the doc_id < 300 exact-pair subset."""
+    import ray
+
+    from rayschema.dedup import connected_components, exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, id_limit=300, k=5, threshold=0.5).to_pandas()
+    lut = {}
+    if len(pairs):
+        cc = connected_components(pairs)
+        lut = dict(zip(cc["doc_id"].astype(np.int64),
+                       cc["cluster_id"].astype(np.int64)))
+    ref = ray.put(lut)
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        tl = pc.fill_null(pc.utf8_length(txt), 0).to_numpy(zero_copy_only=False)
+        ok = (ids < 300) & (tl >= 5)
+        table = ray.get(ref)
+        rep = np.array([table.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        bucket = (rep % 100003) * 2654435761 % 10
+        split = np.where(bucket < 8, "train", np.where(bucket == 8, "val", "test"))
+        return pa.table({
+            "doc_id": pa.array(ids[ok]),
+            "cluster_rep": pa.array(rep[ok]),
+            "split": pa.array(split[ok], type=pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def simhash_near_dup_documents(sf_dir: str):
     from rayschema.dedup import simhash_near_dups
 

