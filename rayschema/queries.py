@@ -241,6 +241,20 @@ def duplicate_events(sf_dir: str):
     return duplicate_key_counts(ds, ["user_id", "event_type"])
 
 
+def _dedup_partial(b: pa.Table) -> pa.Table:
+    """Pre-shuffle projection of the exact-dedup pipeline: per-batch
+    (text_hash, min_id, n) partials — 24 bytes/row into the shuffle, never
+    the text (narrowness asserted by test_dedup_shuffle_is_narrow)."""
+    from rayschema.sketches import hash64
+
+    df = pd.DataFrame({"doc_id": b.column("doc_id").to_pandas(),
+                       "text": b.column("text").to_pandas()})
+    df["uk"] = hash64(df["text"].to_numpy()).view(np.int64)
+    g = (df.groupby("uk", as_index=False)
+           .agg(doc_id=("doc_id", "min"), n=("doc_id", "size")))
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
 def exact_dedup_documents(sf_dir: str):
     """Exact dedup on text: keep min doc_id per distinct text; returns kept ids.
 
@@ -255,16 +269,7 @@ def exact_dedup_documents(sf_dir: str):
     from rayschema.sketches import hash64
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"doc_id": b.column("doc_id").to_pandas(),
-                           "text": b.column("text").to_pandas()})
-        df["uk"] = hash64(df["text"].to_numpy()).view(np.int64)
-        g = (df.groupby("uk", as_index=False)
-               .agg(doc_id=("doc_id", "min"), n=("doc_id", "size")))
-        return pa.Table.from_pandas(g, preserve_index=False)
-
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
+    agg = (ds.map_batches(_dedup_partial, batch_format="pyarrow")
              .groupby("uk")
              .aggregate(Min("doc_id", alias_name="doc_id"),
                         Sum("n", alias_name="n"))

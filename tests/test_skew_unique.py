@@ -96,3 +96,18 @@ def test_distinct_rows(ray_session):
     out = distinct_rows(ds, ["k"]).to_pandas()
     assert len(out) == 10
     assert sorted(out["k"]) == list(range(10))
+
+
+def test_dedup_shuffle_is_narrow(ray_session):
+    """Scale evidence for exact dedup: the bytes entering the groupby shuffle
+    (hash, min_id, n partials) are a small fraction of the corpus bytes —
+    document text never crosses the exchange."""
+    import ray.data as rd
+
+    from rayschema.queries import _dedup_partial
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).materialize()
+    input_bytes = ds.size_bytes()
+    pre = ds.map_batches(_dedup_partial, batch_format="pyarrow").materialize()
+    assert pre.size_bytes() < 0.35 * input_bytes, (pre.size_bytes(), input_bytes)
