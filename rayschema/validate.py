@@ -178,6 +178,10 @@ def type_check_mask(arr: pa.Array, allowed: list) -> np.ndarray:
         return all_false(n) | ~valid_mask(arr)
     if tag in allowed:
         return all_true(n)
+    # JSON has ONE number type: "number" accepts integer values
+    # (draft-07 §6.1.1; caught by the meta-schema self-conformance gate)
+    if tag == "integer" and "number" in allowed:
+        return all_true(n)
     if tag == "number" and "integer" in allowed and (
         pa.types.is_floating(arr.type) or pa.types.is_decimal(arr.type)
     ):

@@ -216,3 +216,32 @@ def test_trivial_pruning_compiles_to_const_true():
     # without pruning the type keyword is enforced
     v2 = compile_validator(schema_from_json('{"type":"string"}'))
     assert v2.probe(arr).tolist() == [False, False]
+
+
+def test_integer_value_satisfies_number_type():
+    # JSON has one number type: integers ARE numbers (draft-07 §6.1.1)
+    t = pa.table({"n": pa.array([1, 2, None], type=pa.int64())})
+    m, _ = masks('{"properties":{"n":{"type":"number"}}}', t)
+    assert m.tolist() == [True, True, True]
+
+
+def test_meta_schema_self_conformance():
+    """The engine analog of the reference's self-conformance gate
+    (/root/reference/entities_extra_test.go:14-28): the draft-07 meta-schema
+    validates ITSELF, well-formed schema documents pass, malformed ones fail."""
+    from rayschema.jsoncol import JsonColumnValidator
+
+    meta = open("/root/reference/resources/schema/draft-07.json").read()
+    v = JsonColumnValidator(meta, json_col="doc")
+    docs = [meta,                                  # itself
+            '{"type": "string", "minLength": 3}',
+            'true',                                # boolean schema form
+            '{"type": 123}',                       # type must be (array of) string
+            '{"multipleOf": 0}',                   # exclusiveMinimum 0
+            '{"maxLength": -1}',                   # nonNegativeInteger
+            '{"required": "nope"}']                # must be an array
+    t = pa.table({"i": list(range(len(docs))),
+                  "doc": pa.array(docs, type=pa.string())})
+    out = v(t)
+    assert out["valid"].to_pylist() == [True, True, True,
+                                        False, False, False, False]
