@@ -39,8 +39,6 @@ from rayschema.sketches import hash64
 
 _log = logging.getLogger("rayschema.dedup")
 
-_MERSENNE = np.uint64((1 << 61) - 1)
-
 _FNV = np.uint64(1099511628211)
 
 _U64MAX = np.iinfo(np.uint64).max
