@@ -74,7 +74,7 @@ def validate_documents_verdicts(sf_dir: str):
 
     ds = _read(sf_dir, "documents")
     verdicts = ds.map_batches(_DocsValidator, batch_format="pyarrow",
-                              concurrency=(1, 4))
+                              concurrency=(1, 16))
 
     def partial(b: pa.Table) -> pa.Table:
         df = pd.DataFrame({"lang": b.column("lang").to_pandas(),
@@ -153,7 +153,7 @@ class _DocsViolations:
 def validate_documents_violations(sf_dir: str):
     """Violation rows (doc_id, keyword, column_name)."""
     return _read(sf_dir, "documents").map_batches(
-        _DocsViolations, batch_format="pyarrow", concurrency=(1, 4))
+        _DocsViolations, batch_format="pyarrow", concurrency=(1, 16))
 
 
 def referential_docs_lang(sf_dir: str):
@@ -503,7 +503,7 @@ def langid_documents(sf_dir: str):
     from rayschema.text import LangId
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    return (ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+    return (ds.map_batches(LangId, batch_format="pyarrow", concurrency=(1, 16))
               .select_columns(["doc_id", "lang", "lang_pred", "lang_conf"]))
 
 
@@ -514,7 +514,7 @@ def bpeish_token_counts(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return (ds.map_batches(BpeishTokenCounter, batch_format="pyarrow",
-                           concurrency=(1, 4))
+                           concurrency=(1, 16))
               .select_columns(["doc_id", "bpeish_tokens"]))
 
 
@@ -570,7 +570,7 @@ def fingerprint_documents(sf_dir: str):
     from rayschema.text import Fingerprinter
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return (ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 4))
+    return (ds.map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 16))
               .select_columns(["doc_id", "fingerprint"]))
 
 
@@ -902,7 +902,7 @@ def validate_events_props(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["event_id", "props"])
     return validate_json_column(ds, PROPS_SCHEMA_JSON, json_col="props",
-                                keep_cols=["event_id"], concurrency=(1, 4)) \
+                                keep_cols=["event_id"], concurrency=(1, 16)) \
         .select_columns(["event_id", "valid"])
 
 
