@@ -19,10 +19,12 @@ from typing import Dict, Optional
 
 from rayschema.sketches import KLL
 
-# tail quantiles beyond 0.9 are excluded: KLL tail-estimate variance across
-# merge orders would flag false drift on identical data (k=400 keeps inner
-# quantiles well under the 20% default tolerance)
+# inner quantiles use the tight tolerance; the TAIL (q0.99) is compared too,
+# but against its own wider tolerance — KLL tail-estimate variance across
+# merge orders (k=400) would otherwise flag false drift on identical data,
+# while a gross tail shift (e.g. a truncation-cap change) still trips it
 QS = (0.1, 0.25, 0.5, 0.75, 0.9)
+QS_TAIL = (0.99,)
 
 
 def snapshot_from_stats(stats: Dict[str, dict], length_col: str,
@@ -38,22 +40,32 @@ def snapshot_from_stats(stats: Dict[str, dict], length_col: str,
     snap = {
         "length_col": length_col,
         "freq_col": freq_col,
-        "quantiles": {str(q): quant.get(str(q)) for q in QS if quant.get(str(q)) is not None},
+        "quantiles": {str(q): quant.get(str(q)) for q in QS + QS_TAIL
+                      if quant.get(str(q)) is not None},
         "freq": {k: v / total for k, v in freq.items()},
         "count": qcol.get("count", 0),
     }
     if per_partition:
         snap["per_partition"] = {
-            str(pid): {str(q): kll.quantile(q) for q in QS}
+            str(pid): {str(q): kll.quantile(q) for q in QS + QS_TAIL}
             for pid, kll in per_partition.items() if getattr(kll, "n", 0) > 0
         }
     return snap
 
 
+def _tol_for(q: str, rel_tol: float, tail_rel_tol: float) -> float:
+    try:
+        return tail_rel_tol if float(q) > 0.9 else rel_tol
+    except ValueError:
+        return rel_tol
+
+
 def compare(baseline: Dict, current: Dict, rel_tol: float = 0.2,
-            freq_tol: float = 0.1) -> Dict:
+            freq_tol: float = 0.1, tail_rel_tol: float = 0.5) -> Dict:
     """Drift verdict comparing two snapshots (same schema as
-    snapshot_from_stats output)."""
+    snapshot_from_stats output). Tail quantiles (> 0.9) are held to
+    ``tail_rel_tol`` — wide enough for KLL merge-order variance, tight
+    enough to catch gross tail shifts."""
     flags = []
     qdrift = {}
     for q, b in (baseline.get("quantiles") or {}).items():
@@ -62,7 +74,7 @@ def compare(baseline: Dict, current: Dict, rel_tol: float = 0.2,
             continue
         rel = abs(c - b) / abs(b)
         qdrift[q] = round(rel, 4)
-        if rel > rel_tol:
+        if rel > _tol_for(q, rel_tol, tail_rel_tol):
             flags.append(f"quantile {q}: {b:.1f} -> {c:.1f} ({rel:+.1%})")
     bf = baseline.get("freq") or {}
     cf = current.get("freq") or {}
@@ -80,7 +92,7 @@ def compare(baseline: Dict, current: Dict, rel_tol: float = 0.2,
             if bvq in (None, 0) or cvq is None:
                 continue
             rel = abs(cvq - bvq) / abs(bvq)
-            if rel > rel_tol:
+            if rel > _tol_for(q, rel_tol, tail_rel_tol):
                 pp_drift.setdefault(pid, []).append(f"q{q}: {bvq:.1f}->{cvq:.1f}")
     if pp_drift:
         flags.append(f"per-partition drift in {len(pp_drift)} partition(s)")

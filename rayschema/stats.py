@@ -36,7 +36,8 @@ class ColumnStats:
         self.hll = HyperLogLog(hll_p)
         # fixed seed: reproducible quantiles for identical single-stream runs
         # (merge order across actors can still perturb tail estimates — drift
-        # comparison therefore stops at q0.9, see drift.QS)
+        # comparison holds inner quantiles to rel_tol and q0.99 to the
+        # wider tail tolerance, see drift.QS / QS_TAIL)
         self.kll = KLL(kll_k, seed=12345)
         self.freq: Optional[Counter] = Counter() if track_freq else None
         self.len_edges = np.asarray(

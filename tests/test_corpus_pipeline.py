@@ -125,6 +125,20 @@ def test_drift_detects_shift():
     assert not same["drifted"]
 
 
+def test_drift_tail_quantile_has_wider_tolerance():
+    # q0.99 within KLL merge-order variance (35%) does NOT flag; a gross
+    # tail shift (2x — e.g. a truncation-cap change) does
+    base = {"quantiles": {"0.5": 100.0, "0.99": 1000.0}, "freq": {}}
+    noisy = {"quantiles": {"0.5": 100.0, "0.99": 1350.0}, "freq": {}}
+    assert not compare(base, noisy)["drifted"]
+    shifted = {"quantiles": {"0.5": 100.0, "0.99": 2000.0}, "freq": {}}
+    r = compare(base, shifted)
+    assert r["drifted"] and any("0.99" in f for f in r["flags"])
+    # an inner quantile at the same 35% relative change DOES flag
+    inner = {"quantiles": {"0.5": 135.0, "0.99": 1000.0}, "freq": {}}
+    assert compare(base, inner)["drifted"]
+
+
 def test_registry_table():
     t = lang_registry_table()
     assert t.num_rows == 7 and "zz" not in t["lang"].to_pylist()
