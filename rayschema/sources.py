@@ -60,3 +60,27 @@ def read_corpus(path: str, fmt: Optional[str] = None,
     if columns:
         ds = ds.select_columns(columns)
     return ds
+
+
+def write_corpus(ds, path: str, fmt: str = "parquet",
+                 partition_cols: Optional[List[str]] = None) -> str:
+    """Sink counterpart of read_corpus. Parquet is the scale path
+    (idempotent overwrite + optional hive partitioning for resumable
+    layouts); JSONL/CSV are interchange sinks. The target directory is
+    replaced atomically-enough for reruns (fresh write into a clean dir)."""
+    import shutil
+
+    if fmt == "parquet":
+        kwargs = {"mode": "overwrite"}
+        if partition_cols:
+            kwargs["partition_cols"] = list(partition_cols)
+        ds.write_parquet(path, **kwargs)
+        return path
+    shutil.rmtree(path, ignore_errors=True)
+    if fmt == "json":
+        ds.write_json(path)
+    elif fmt == "csv":
+        ds.write_csv(path)
+    else:
+        raise ValueError(f"unsupported corpus format {fmt!r} (one of {FORMATS})")
+    return path

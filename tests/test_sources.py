@@ -61,3 +61,28 @@ def test_same_verdicts_across_formats(tri_format_corpus):
     # the injected anomalies actually fail (content excluded -> only
     # pattern/enum/commit checks fire here)
     assert not results["parquet"]["valid"].all()
+
+
+def test_write_corpus_roundtrip(tri_format_corpus, tmp_path):
+    """write_corpus -> read_corpus round-trips identical rows per format."""
+    from rayschema.sources import write_corpus
+
+    src = read_corpus(f"{tri_format_corpus}/parquet",
+                      columns=["id", "repo", "lang"])
+    want = src.to_pandas().sort_values("id").reset_index(drop=True)
+    for fmt in ("parquet", "json", "csv"):
+        out = write_corpus(src, str(tmp_path / fmt), fmt=fmt)
+        got = (read_corpus(out, fmt=fmt).to_pandas()
+               .sort_values("id").reset_index(drop=True)[want.columns.tolist()])
+        assert got.equals(want), fmt
+
+
+def test_write_corpus_partitioned(tri_format_corpus, tmp_path):
+    import os
+
+    from rayschema.sources import write_corpus
+
+    src = read_corpus(f"{tri_format_corpus}/parquet", columns=["id", "lang"])
+    out = write_corpus(src, str(tmp_path / "by_lang"), fmt="parquet",
+                       partition_cols=["lang"])
+    assert any(d.startswith("lang=") for d in os.listdir(out))
