@@ -24,7 +24,11 @@ Layout (SURVEY.md §7.0):
   dedup.py     MinHash-LSH / SimHash / n-gram Jaccard / embedding near-dup
   similarity.py brute-force + LSH-bucketed ANN over embedding columns
   text.py      language-ID, quality scoring, token counting, fingerprinting
-  multimodal.py binary-column decode/feature plumbing (decode kernels stubbed)
+  multimodal.py kind-routed binary-column stages (decode kernels stubbed)
+  jsoncol.py   dynamic JSON-string-column validation (shape-grouped fallback)
+  sources.py   multi-format corpus sources + sinks (parquet/jsonl/csv)
+  schemadocs.py schema documents as data (distributed parse/analyze)
+  queries.py   driver-contract query pipelines (__ray_entry__ surface)
 """
 
 from rayschema.ir import Schema, ABSENT
