@@ -35,6 +35,26 @@ from rayschema.ir import ABSENT, Schema, SchemaOrBool
 from rayschema.trivial import definitions_resolver, sob_is_trivial
 
 
+def _regex_search_mask(keys: pa.Array, pat: str):
+    """Unanchored regex match over a string array. Arrow/RE2 kernel when the
+    pattern compiles under RE2; Python-``re`` fallback otherwise, so
+    RE2-rejected syntax (lookahead, backrefs) behaves identically on the map
+    path and the struct/table path instead of raising ArrowInvalid at
+    validation time. (Patterns valid in BOTH engines are evaluated by RE2
+    here and by Python re on the static-property path; for the rare construct
+    where the two engines disagree semantically, the Python-re result is the
+    documented reference behavior.)"""
+    try:
+        return pc.match_substring_regex(keys, pat)
+    except pa.ArrowInvalid:
+        import re as _re
+
+        rx = _re.compile(pat)   # re module caches compiled patterns
+        return pa.array(
+            [None if k is None else bool(rx.search(k)) for k in keys.to_pylist()],
+            type=pa.bool_())
+
+
 # --------------------------------------------------------------------------- subjects
 class TableSubject:
     """Presents a pyarrow Table / RecordBatch as one object-typed 'array'
@@ -603,7 +623,7 @@ def _apply_map(arr: pa.Array, add, want, prop_fns, pat_prop_fns, add_props_false
             pc.is_in(keys, value_set=pa.array(list(prop_fns), type=pa.string())),
             nkeys, null_fill=False)
     for pat, f in pat_prop_fns:
-        sel = V.bool_mask(pc.match_substring_regex(keys, pat), nkeys, null_fill=False)
+        sel = V.bool_mask(_regex_search_mask(keys, pat), nkeys, null_fill=False)
         matched |= sel
         if sel.any():
             m, _ = f(vals, False)

@@ -389,8 +389,9 @@ def _distinct_pairs(pairs_ds):
     from ray.data.aggregate import Count
 
     def local(b: pa.Table) -> pa.Table:
-        df = b.to_pandas().drop_duplicates(["id_a", "id_b"])
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native distinct (no pandas round-trip): group_by with no
+        # aggregates yields one row per (id_a, id_b)
+        return b.group_by(["id_a", "id_b"]).aggregate([])
 
     return (pairs_ds.map_batches(local, batch_format="pyarrow")
             .groupby(["id_a", "id_b"])

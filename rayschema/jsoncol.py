@@ -78,7 +78,10 @@ class JsonColumnValidator:
             mask = m & ok
             for v in viols:
                 n_viol += v.fail_mask.astype(np.int32)
-        except (pa.ArrowInvalid, pa.ArrowTypeError):
+        except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
+            # OverflowError: a VALID json document can hold an integer
+            # > 2^63-1 that pa.array() cannot represent — treat it like any
+            # other unconvertible shape, never crash the task
             # heterogeneous document shapes in one batch: group rows by
             # type-shape signature and validate each group as ONE vectorized
             # array — one odd document cannot poison the others, and the
@@ -91,9 +94,10 @@ class JsonColumnValidator:
                 ii = np.asarray(idxs)
                 try:
                     arr = pa.array([parsed[i] for i in idxs])
-                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                except (pa.ArrowInvalid, pa.ArrowTypeError, OverflowError):
                     # irregular even within one signature (e.g. a
-                    # mixed-element list): unrepresentable -> parse-fail
+                    # mixed-element list) or an out-of-int64-range integer:
+                    # unrepresentable -> parse-fail
                     ok[ii] = False
                     continue
                 m, viols = self.v.validate(arr)

@@ -70,11 +70,19 @@ class MediaFeatureStage:
                 "media decode kernel not available in this environment: "
                 "pass decode_fn (e.g. PIL/libav-backed) or use "
                 "rayschema.multimodal.fake_decode for plumbing tests")
-        payloads = batch.column(self.payload_col).to_pylist()
+        pcol = batch.column(self.payload_col)
+        if isinstance(pcol, pa.ChunkedArray):
+            pcol = pcol.combine_chunks()
+        import pyarrow.compute as _pc
+
+        # byte lengths vectorized up front (Arrow kernel); only the decode —
+        # inherently one codec call per payload — loops
+        nbytes = _pc.fill_null(_pc.binary_length(pcol), 0) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        payloads = pcol.to_pylist()
         kinds = batch.column(self.kind_col).to_pylist()
         n = len(payloads)
         sha = np.empty(n, dtype=object)
-        nbytes = np.zeros(n, dtype=np.int64)
         mean = np.zeros(n, dtype=np.float64)
         std = np.zeros(n, dtype=np.float64)
         dim = np.zeros(n, dtype=np.int32)
@@ -83,7 +91,6 @@ class MediaFeatureStage:
                 sha[i] = None
                 continue
             sha[i] = hashlib.sha256(p).hexdigest()
-            nbytes[i] = len(p)
             feat = self.decode(p, k)
             t = feat["tensor"]
             mean[i] = float(t.mean())

@@ -389,13 +389,21 @@ def stratified_sample_documents(sf_dir: str):
 
     def keep(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        langs = b.column("lang").to_pylist()
-        rate = np.array([SAMPLE_RATES.get(l, 0) for l in langs], dtype=np.int64)
+        langs = b.column("lang")
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        # dictionary-encode: one rate lookup per DISTINCT lang, not per row
+        enc = langs.dictionary_encode()
+        lut = np.array([SAMPLE_RATES.get(v, 0) for v in enc.dictionary.to_pylist()]
+                       + [0], dtype=np.int64)     # sentinel slot for null lang
+        codes = pc.fill_null(enc.indices, len(lut) - 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = lut[codes]
         bucket = (ids % 100003) * 2654435761 % 100
-        sel = bucket < rate
+        sel = pa.array(bucket < rate)
         return pa.table({
-            "doc_id": pa.array(ids[sel]),
-            "lang": pa.array(np.array(langs, dtype=object)[sel], type=pa.string()),
+            "doc_id": pa.array(ids).filter(sel),
+            "lang": langs.filter(sel),
         })
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -413,12 +421,15 @@ def split_by_cluster(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     pairs = exact_jaccard_pairs(ds, id_limit=300, k=5, threshold=0.5).to_pandas()
-    lut = {}
+    # broadcast the rep map as PARALLEL SORTED ARRAYS: the per-batch lookup is
+    # one vectorized searchsorted, never a per-row dict.get
     if len(pairs):
-        cc = connected_components(pairs)
-        lut = dict(zip(cc["doc_id"].astype(np.int64),
-                       cc["cluster_id"].astype(np.int64)))
-    ref = ray.put(lut)
+        cc = connected_components(pairs).sort_values("doc_id")
+        rep_keys = cc["doc_id"].to_numpy().astype(np.int64)
+        rep_vals = cc["cluster_id"].to_numpy().astype(np.int64)
+    else:
+        rep_keys = rep_vals = np.array([], dtype=np.int64)
+    ref = ray.put((rep_keys, rep_vals))
 
     def assign(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -427,8 +438,14 @@ def split_by_cluster(sf_dir: str):
             txt = txt.combine_chunks()
         tl = pc.fill_null(pc.utf8_length(txt), 0).to_numpy(zero_copy_only=False)
         ok = (ids < 300) & (tl >= 5)
-        table = ray.get(ref)
-        rep = np.array([table.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        keys, vals = ray.get(ref)
+        if len(keys):
+            pos = np.searchsorted(keys, ids)
+            posc = np.minimum(pos, len(keys) - 1)
+            hit = (pos < len(keys)) & (keys[posc] == ids)
+            rep = np.where(hit, vals[posc], ids)
+        else:
+            rep = ids
         bucket = (rep % 100003) * 2654435761 % 10
         split = np.where(bucket < 8, "train", np.where(bucket == 8, "val", "test"))
         return pa.table({
@@ -584,17 +601,38 @@ def pricing_summary(sf_dir: str):
     import ray.data as rd
 
     # row filter pushed to the parquet read: only matching row groups/rows
-    # are decoded (the date cut prunes at the scan, not in a later stage)
+    # are decoded (the date cut prunes at the scan, not in a later stage).
+    # The cutoff scalar is built FROM THE FILE SCHEMA so the pushdown adapts
+    # to however l_shipdate was written (timestamp[us/ns], date32, tz-aware)
+    # instead of pinning timestamp[us] and failing the read on other units.
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    ship_t = pq.read_schema(path).field("l_shipdate").type
+    if pa.types.is_date(ship_t):
+        import datetime as _dt
+
+        cutoff_scalar = pa.scalar(_dt.date(1998, 9, 1), type=ship_t)
+    elif pa.types.is_timestamp(ship_t):
+        cutoff_scalar = pa.scalar(
+            pd.Timestamp("1998-09-01", tz=ship_t.tz), type=ship_t)
+    else:   # stored as string or something exotic: no pushdown, filter later
+        cutoff_scalar = None
+    kw = {} if cutoff_scalar is None else dict(
+        filter=pads.field("l_shipdate") <= cutoff_scalar)
     ds = rd.read_parquet(
-        os.path.join(sf_dir, "lineitem.parquet"),
+        path,
         columns=["l_returnflag", "l_linestatus", "l_quantity",
-                 "l_extendedprice", "l_discount", "l_shipdate"],
-        filter=pads.field("l_shipdate") <= pa.scalar(
-            pd.Timestamp("1998-09-01"), type=pa.timestamp("us")))
+                 "l_extendedprice", "l_discount", "l_shipdate"], **kw)
 
     def partial(b: pa.Table) -> pa.Table:
         df = b.to_pandas()
-        df = df[df["l_shipdate"] <= pd.Timestamp("1998-09-01")]
+        ship = pd.to_datetime(df["l_shipdate"])
+        cutoff = pd.Timestamp("1998-09-01")
+        tz = getattr(ship.dt, "tz", None)
+        if tz is not None:
+            cutoff = cutoff.tz_localize(tz)
+        df = df[ship <= cutoff]
         if not len(df):
             return pa.table({"l_returnflag": pa.array([], type=pa.string()),
                              "l_linestatus": pa.array([], type=pa.string()),
