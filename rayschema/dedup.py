@@ -92,12 +92,16 @@ def _rolling_hashes(data: np.ndarray, k: int) -> np.ndarray:
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
     """Character k-shingle hash set of one document — vectorized polynomial
-    rolling hash over the raw bytes (no substring objects)."""
+    rolling hash over the CODEPOINT sequence (no substring objects).
+
+    Shingling by codepoints (utf-32 view), not utf-8 bytes, keeps every
+    Jaccard path in the engine on the SAME unit as the exact ground truth
+    (_ExactJaccardPairs' Python-str slices) and the DuckDB substr() oracle —
+    multi-byte text gets identical jaccard values everywhere. On ASCII the
+    codepoint values equal the byte values, so hashes are unchanged there."""
     if not text or len(text) < k:
         return _mix64(hash64(np.array([text or ""], dtype=object)))
-    b = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-    if len(b) < k:
-        return _mix64(hash64(np.array([text], dtype=object)))
+    b = np.frombuffer(text.encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
     return np.unique(_rolling_hashes(b, k))
 
 
@@ -132,6 +136,25 @@ def _string_parts(arr):
     return arr, off, data, valid
 
 
+def _codepoint_parts(arr):
+    """(combined arrow array, codepoint offsets int64, codepoints uint32,
+    valid bool): the batch's whole text buffer decoded ONCE into a flat
+    codepoint array (two C-speed transcoding passes), so the rolling hash
+    shingles by CODEPOINTS — the same unit as char_shingles and the DuckDB
+    substr() oracle. Byte offsets are mapped to codepoint offsets by a prefix
+    count of utf-8 start bytes."""
+    arr, off, data, valid = _string_parts(arr)
+    if len(data) == 0:
+        return arr, np.zeros(len(off), dtype=np.int64), \
+            np.empty(0, dtype=np.uint32), valid
+    is_start = (data & np.uint8(0xC0)) != np.uint8(0x80)
+    pref = np.concatenate([[0], np.cumsum(is_start)]).astype(np.int64)
+    cps = np.frombuffer(
+        data.tobytes().decode("utf-8", "surrogatepass")
+        .encode("utf-32-le", "surrogatepass"), dtype=np.uint32)
+    return arr, pref[off], cps, valid
+
+
 def _densify_oph(sig: np.ndarray) -> np.ndarray:
     """Vectorized rotational densification of a (n_docs, p) OPH matrix:
     each empty bin borrows from the cyclically-next filled bin (mixed with a
@@ -162,10 +185,12 @@ def oph_signatures(arr, k: int, p: int) -> np.ndarray:
     """(n_docs, p) one-permutation-hashing MinHash signatures for a whole
     Arrow string column in ONE rolling-hash pass over the raw data buffer:
     per-position doc assignment via searchsorted on the offsets, then a
-    single scatter-min into (doc, bin) cells. Per-doc results are identical
-    to MinHasher.signature (tested); docs shorter than k characters (or
-    null) fall back to a whole-text hash, as in char_shingles."""
-    arr, off, data, valid = _string_parts(arr)
+    single scatter-min into (doc, bin) cells. Shingle windows are CODEPOINT
+    k-grams (see _codepoint_parts) so batch signatures agree with
+    char_shingles on multi-byte text. Per-doc results are identical to
+    MinHasher.signature (tested); docs shorter than k characters (or null)
+    fall back to a whole-text hash, as in char_shingles."""
+    arr, off, data, valid = _codepoint_parts(arr)
     n = len(arr)
     sig = np.full((n, p), _U64MAX, dtype=np.uint64)
     if n == 0:
@@ -579,14 +604,23 @@ def minhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
 class SimHasher:
     """Actor stage: 64-bit SimHash over word tokens; emits ``simhash`` plus
     ``sim_bucket_{i}`` columns (4 x 16-bit bands) so near signatures (<=3
-    differing bits typically) collide in at least one band."""
+    differing bits typically) collide in at least one band.
+
+    Signatures are computed BATCH-LEVEL: one regex pass over the batch's
+    concatenated text (token -> owning doc via searchsorted on doc start
+    offsets), one vectorized hash64 over all tokens, and a single
+    scatter-add of per-token ±1 bit contributions into the (doc, bit)
+    accumulator — no per-document Python loop. ``sim64`` is the per-doc
+    reference path; batch_sim64 is bit-identical to it (tested)."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
         self.text_col = text_col
         self.word = re.compile(r"\w+")
+        self._shifts = np.arange(64, dtype=np.uint64)
 
     def sim64(self, text: Optional[str]) -> int:
+        """Single-doc reference path — batch_sim64 is the batch equivalent."""
         toks = self.word.findall(text or "")
         if not toks:
             return 0
@@ -595,9 +629,42 @@ class SimHasher:
         acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
         return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
 
+    def batch_sim64(self, texts) -> np.ndarray:
+        """(n,) uint64 SimHash signatures for a whole batch in one tokenizer
+        pass. Texts are joined with '\\n' (never inside a \\w+ token, so the
+        token stream is identical to per-doc findall); token positions map to
+        docs via searchsorted on the cumulative start offsets. Sum order per
+        (doc, bit) differs from the per-doc path but ±1 integer addition is
+        associative — results are bit-identical."""
+        n = len(texts)
+        safe = [t or "" for t in texts]
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        joined = "\n".join(safe)
+        starts = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            lens = np.fromiter((len(s) + 1 for s in safe), dtype=np.int64, count=n)
+            starts[1:] = np.cumsum(lens)[:-1]
+        toks, pos = [], []
+        for m in self.word.finditer(joined):
+            toks.append(m.group(0))
+            pos.append(m.start())
+        if not toks:
+            return np.zeros(n, dtype=np.uint64)
+        doc = np.searchsorted(starts, np.asarray(pos, dtype=np.int64),
+                              side="right") - 1
+        hs = hash64(np.array(toks, dtype=object))
+        # (tokens, 64) ±1 contributions in int8 (memory-lean), scatter-added
+        # into the per-doc accumulator in one ufunc.at call
+        bits = ((hs[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(np.int8)
+        contrib = (2 * bits - 1).astype(np.int8)
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, doc, contrib)
+        return ((acc > 0).astype(np.uint64) << self._shifts[None, :]).sum(axis=1)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_col).to_pylist()
-        sh = np.array([self.sim64(t) for t in texts], dtype=np.uint64)
+        sh = self.batch_sim64(texts)
         out = batch.append_column("simhash", pa.array(sh, type=pa.uint64()))
         for i in range(4):
             band = (sh >> np.uint64(16 * i)) & np.uint64(0xFFFF)
@@ -874,8 +941,11 @@ def embedding_cosine_pairs_exact(ds, id_col: str = "vec_id",
 class _ExactJaccardPairs:
     """Actor stage over a pair-index range: decodes upper-triangle linear
     indices to (i, j), computes exact character-k-gram Jaccard from the
-    broadcast (small) doc subset. Character substrings (not bytes) so the
-    DuckDB substr() oracle mirrors it exactly."""
+    broadcast (small) doc subset. Character substrings (codepoints, not
+    bytes) so the DuckDB substr() oracle mirrors it exactly — and since
+    char_shingles also shingles by codepoints, the LSH verify kernel agrees
+    with this ground truth on multi-byte text too (recall measured against
+    it is pure LSH loss, not a shingle-unit mismatch)."""
 
     def __init__(self, docs_ref, k: int, threshold: float):
         import ray

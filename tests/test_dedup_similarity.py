@@ -52,6 +52,36 @@ def test_simhash_hamming():
     assert s.sim64("") == 0
 
 
+def test_batch_sim64_matches_per_doc():
+    """The one-tokenizer-pass batch SimHash must be bit-identical to the
+    per-doc reference path (incl. empty, None, unicode, punctuation-only)."""
+    s = SimHasher()
+    texts = ["the quick brown fox " * 9, "", None, "!!! ... ???",
+             "日本語 テキスト の 単語", "words other entirely " * 7,
+             "a", "mixed 日本語 and english words"]
+    got = s.batch_sim64(texts)
+    for i, t in enumerate(texts):
+        assert got[i] == np.uint64(s.sim64(t)), (i, t)
+
+
+def test_char_shingles_codepoint_unit():
+    """Shingles are codepoint k-grams: two multi-byte texts sharing codepoint
+    5-grams must get the jaccard the Python-str / DuckDB substr ground truth
+    computes (byte-level shingling would differ)."""
+    a = "日本語のテキストです"
+    b = "日本語のテキストだよ"
+    k = 5
+
+    def str_jac(x, y):
+        sx = {x[i:i + k] for i in range(len(x) - k + 1)}
+        sy = {y[i:i + k] for i in range(len(y) - k + 1)}
+        return len(sx & sy) / len(sx | sy)
+
+    assert abs(ngram_jaccard(a, b, k) - str_jac(a, b)) < 1e-12
+    # ASCII hashes unchanged vs codepoint view (codepoint == byte value)
+    assert len(char_shingles("abcdef", k)) == 2
+
+
 @pytest.fixture(scope="module")
 def near_dup_docs(ray_session):
     import ray.data as rd
