@@ -302,9 +302,18 @@ def _pairs_from_groups(g: pd.DataFrame, id_col: str, max_group: int = 256) -> pd
     return pd.DataFrame({"id_a": got[0], "id_b": got[1]})
 
 
-def _emit_group_pairs(ids: np.ndarray, max_group: int = 256):
+def _emit_group_pairs(ids: np.ndarray, max_group: int = 256,
+                      salt: int = 0):
     """(ia, ib) index-free pair arrays for one bucket's UNIQUE sorted ids,
-    salt-split beyond max_group (same policy as _pairs_from_groups)."""
+    salt-split beyond max_group.
+
+    ``salt`` (pass the bucket/band key) PERMUTES the chunk assignment before
+    splitting: with a band-specific salt, each band splits a giant
+    near-identical cluster differently, so cross-chunk pairs missed by one
+    band are recovered by the others instead of being lost by every band
+    identically (deterministic id-order chunking would repeat the same split
+    16 times). Connectivity is additionally guaranteed by a star link from
+    the global min id into every chunk."""
     if len(ids) < 2:
         return None
     if len(ids) <= max_group:
@@ -313,32 +322,134 @@ def _emit_group_pairs(ids: np.ndarray, max_group: int = 256):
     n_chunks = int(np.ceil(len(ids) / max_group))
     _log.warning(
         "LSH bucket of %d docs salt-split into %d chunks of <=%d "
-        "(cross-chunk pairs deferred to the other bands)",
+        "(band-salted split: other bands recover different cross-chunk pairs)",
         len(ids), n_chunks, max_group)
+    with np.errstate(over="ignore"):
+        order = np.argsort(_mix64(ids.astype(np.uint64) + np.uint64(salt)),
+                           kind="stable")
+    perm = ids[order]
+    gmin = ids[0]                      # ids are sorted unique -> global min
     outs_a, outs_b = [], []
     for c in range(n_chunks):
-        chunk = ids[c * max_group:(c + 1) * max_group]
+        chunk = np.sort(perm[c * max_group:(c + 1) * max_group])
         ia, ib = np.triu_indices(len(chunk), k=1)
         outs_a.append(chunk[ia])
         outs_b.append(chunk[ib])
-        if c > 0:
-            outs_a.append(ids[:1])
+        if chunk[0] != gmin:           # star link keeps the cluster connected
+            outs_a.append(np.array([gmin], dtype=ids.dtype))
             outs_b.append(chunk[:1])
     return np.concatenate(outs_a), np.concatenate(outs_b)
 
 
+def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema):
+    """The engine's shared bucketed-scan primitive: ONE global sort of ``ds``
+    by ``key_cols`` (numeric columns — the cheapest all-to-all for narrow
+    rows, measured ~4x faster than Ray's sort-based groupby + per-group
+    Python at 2M rows), then ``group_fn`` applied to every COMPLETE key-group
+    inside each sorted block. The first and last group of every block (the
+    only groups that can straddle a block boundary) are re-grouped exactly on
+    the driver and fed through the same ``group_fn`` — a bounded residual of
+    <= 2 groups per block, independent of dataset size.
+
+    ``group_fn(pa.Table) -> Optional[pa.Table]`` receives one group's rows
+    (all key/payload columns) and returns rows matching ``out_schema``.
+
+    Used by the MinHash band buckets, SimHash bands, embedding-LSH buckets,
+    and both co-location stages of the fused near-dup verify."""
+    import ray.data as rd
+
+    key_cols = list(key_cols)
+    out_names = [f.name for f in out_schema]
+
+    def _empty_mixed(in_schema: pa.Schema) -> pa.Table:
+        cols = {f.name: pa.array([], type=f.type) for f in out_schema}
+        for f in in_schema:
+            cols["_in_" + f.name] = pa.array([], type=f.type)
+        cols["_kind"] = pa.array([], type=pa.int8())
+        return pa.table(cols)
+
+    def block_scan(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return _empty_mixed(b.schema)
+        keys = [b.column(k).to_numpy(zero_copy_only=False) for k in key_cols]
+        neq = np.zeros(n - 1, dtype=bool)
+        for kc in keys:
+            neq |= kc[1:] != kc[:-1]
+        cuts = np.flatnonzero(neq) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [n]])
+        outs, resid = [], []
+        for s, e in zip(starts, ends):
+            if s == 0 or e == n:       # possibly straddles a block boundary
+                resid.append((s, e))
+                continue
+            t = group_fn(b.slice(s, e - s))
+            if t is not None and t.num_rows:
+                outs.append(t)
+        parts = []
+        if outs:
+            o = pa.concat_tables(outs)
+            cols = {name: o.column(name) for name in out_names}
+            for f in b.schema:
+                cols["_in_" + f.name] = pa.nulls(o.num_rows, f.type)
+            cols["_kind"] = pa.array(np.zeros(o.num_rows, dtype=np.int8))
+            parts.append(pa.table(cols))
+        if resid:
+            rt = pa.concat_tables([b.slice(s, e - s) for s, e in resid])
+            cols = {f.name: pa.nulls(rt.num_rows, f.type) for f in out_schema}
+            for f in b.schema:
+                cols["_in_" + f.name] = rt.column(f.name)
+            cols["_kind"] = pa.array(np.ones(rt.num_rows, dtype=np.int8))
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts) if parts else _empty_mixed(b.schema)
+
+    mixed = (ds.sort(key_cols)
+             .map_batches(block_scan, batch_format="pyarrow")
+             .materialize())
+    out = _proj(mixed.filter(expr="_kind == 0"),
+                {name: name for name in out_names})
+    # residual rows come back as ARROW batches (no pandas round-trip — it
+    # would degrade int64-with-null and list columns); bounded volume:
+    # <= 2 key-groups per sorted block
+    rbatches = [pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
+                for rb in mixed.filter(expr="_kind == 1")
+                .iter_batches(batch_format="pyarrow")]
+    resid_tbl = (pa.concat_tables(rbatches) if rbatches
+                 else _empty_mixed(pa.schema([])))
+    if resid_tbl.num_rows:
+        rt = pa.table({n[4:]: resid_tbl.column(n).combine_chunks()
+                       for n in resid_tbl.schema.names if n.startswith("_in_")})
+        karrs = [rt.column(k).to_numpy(zero_copy_only=False) for k in key_cols]
+        order = np.lexsort(karrs[::-1])
+        rt = rt.take(pa.array(order))
+        karrs = [rt.column(k).to_numpy(zero_copy_only=False) for k in key_cols]
+        m = rt.num_rows
+        neq = np.zeros(m - 1, dtype=bool)
+        for kc in karrs:
+            neq |= kc[1:] != kc[:-1]
+        cuts = np.flatnonzero(neq) + 1
+        starts = np.concatenate([[0], cuts])
+        ends = np.concatenate([cuts, [m]])
+        extra = []
+        for s, e in zip(starts, ends):
+            t = group_fn(rt.slice(s, e - s))
+            if t is not None and t.num_rows:
+                extra.append(t)
+        if extra:
+            out = out.union(rd.from_arrow(pa.concat_tables(extra)))
+    return out
+
+
 def _bucket_pairs_sorted(exploded, id_col: str, max_group: int = 256):
     """Candidate pairs from LSH buckets WITHOUT a groupby: combine
-    (band_id, band_hash) into one 8-byte bucket key, global SORT of
-    (key, id) — the cheapest all-to-all for narrow rows (measured ~4x faster
-    than Ray's sort-based groupby + per-group map_groups Python) — then one
-    vectorized scan per sorted block. Each block's edge groups (possibly
-    split across blocks) are stitched exactly on the driver from their
-    (key, id) rows — ids only, bounded by 2 groups per block.
+    (band_id, band_hash) into one 8-byte bucket key, then the shared
+    sorted_group_scan (one narrow (key, id) sort; bounded driver residual of
+    ids only). The chunk split of oversized buckets is salted by the bucket
+    key, so each band splits a giant cluster differently.
 
     A mixed-key collision merging two buckets only ADDS candidate pairs,
     which exact verification then discards — never drops one."""
-    import ray.data as rd
 
     def keyed(b: pa.Table) -> pa.Table:
         bh = b.column("band_hash").to_numpy(zero_copy_only=False)
@@ -348,61 +459,19 @@ def _bucket_pairs_sorted(exploded, id_col: str, max_group: int = 256):
         return pa.table({"bkey": pa.array(key.view(np.int64)),
                          id_col: b.column(id_col)})
 
-    srt = exploded.map_batches(keyed, batch_format="pyarrow").sort("bkey")
+    def group_fn(t: pa.Table) -> Optional[pa.Table]:
+        ids = np.unique(t.column(id_col).to_numpy(zero_copy_only=False)
+                        .astype(np.int64))
+        salt = int(t.column("bkey")[0].as_py()) & 0xFFFFFFFFFFFFFFFF
+        got = _emit_group_pairs(ids, max_group, salt=salt)
+        if got is None:
+            return None
+        return pa.table({"id_a": pa.array(got[0]), "id_b": pa.array(got[1])})
 
-    def block_scan(b: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
-                          "id_b": pa.array([], type=pa.int64()),
-                          "kind": pa.array([], type=pa.int8())})
-        n = b.num_rows
-        if n == 0:
-            return empty
-        keys = b.column("bkey").to_numpy(zero_copy_only=False)
-        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        first, last = keys[0], keys[-1]
-        cuts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
-        starts = np.concatenate([[0], cuts])
-        ends = np.concatenate([cuts, [n]])
-        out_a, out_b = [], []
-        res_a, res_k = [], []
-        for s, e in zip(starts, ends):
-            if keys[s] == first or keys[s] == last:
-                res_a.append(ids[s:e])
-                res_k.append(np.full(e - s, keys[s], dtype=np.int64))
-                continue
-            if e - s < 2:
-                continue
-            got = _emit_group_pairs(np.unique(ids[s:e]), max_group)
-            if got is not None:
-                out_a.append(got[0])
-                out_b.append(got[1])
-        parts = []
-        if out_a:
-            a = np.concatenate(out_a)
-            bb = np.concatenate(out_b)
-            parts.append(pa.table({"id_a": pa.array(a), "id_b": pa.array(bb),
-                                   "kind": pa.array(np.zeros(len(a), dtype=np.int8))}))
-        if res_a:
-            ra = np.concatenate(res_a)
-            rk = np.concatenate(res_k)
-            parts.append(pa.table({"id_a": pa.array(ra), "id_b": pa.array(rk),
-                                   "kind": pa.array(np.ones(len(ra), dtype=np.int8))}))
-        return pa.concat_tables(parts) if parts else empty
-
-    mixed = srt.map_batches(block_scan, batch_format="pyarrow").materialize()
-    pairs = mixed.filter(expr="kind == 0").drop_columns(["kind"])
-    resid = mixed.filter(expr="kind == 1").to_pandas()
-    if len(resid):
-        frames = []
-        for _, g in resid.groupby("id_b"):     # id_b carries the bucket key
-            got = _emit_group_pairs(np.unique(g["id_a"].to_numpy()), max_group)
-            if got is not None:
-                frames.append(pd.DataFrame({"id_a": got[0], "id_b": got[1]}))
-        if frames:
-            extra = pd.concat(frames, ignore_index=True)
-            pairs = pairs.union(rd.from_arrow(pa.Table.from_pandas(
-                extra, preserve_index=False)))
-    return pairs
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    return sorted_group_scan(
+        exploded.map_batches(keyed, batch_format="pyarrow"),
+        ["bkey"], group_fn, out_schema)
 
 
 def _distinct_pairs(pairs_ds):
@@ -685,12 +754,12 @@ def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
                       max_hamming: int = 3, concurrency=(1, 8),
                       max_bucket: int = 1024):
     """SimHash near-dup pairs: the 4 x 16-bit band buckets are folded into
-    ONE 8-byte bucket-key SORT (band id mixed into the key) and scanned per
-    sorted block — the same sort-scan shape as the MinHash bucket stage, so
-    one narrow all-to-all replaces four groupby+per-group-Python passes.
-    Block-edge buckets are stitched exactly on the driver (ids+sigs only).
-    Oversized buckets are salt-split on id order (logged), not dropped."""
-    import ray.data as rd
+    ONE 8-byte bucket-key sort (band id mixed into the key) scanned by the
+    shared sorted_group_scan — one narrow all-to-all replaces four
+    groupby+per-group-Python passes; block-edge buckets are stitched exactly
+    on the driver (ids+sigs only). Oversized buckets are salt-split with a
+    band-keyed permutation (other bands recover different cross-chunk
+    pairs), not dropped."""
     from ray.data.aggregate import Min
 
     sigs = ds.map_batches(SimHasher,
@@ -715,9 +784,7 @@ def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
             "sh": pa.array(np.concatenate(osh).view(np.int64)),
         })
 
-    srt = sigs.map_batches(explode, batch_format="pyarrow").sort("bkey")
-
-    def bucket_pairs(ids: np.ndarray, hs: np.ndarray):
+    def bucket_pairs(ids: np.ndarray, hs: np.ndarray, salt: int = 0):
         order = np.argsort(ids)
         ids, hs = ids[order], hs[order]
         keep = np.ones(len(ids), dtype=bool)
@@ -729,10 +796,18 @@ def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
         if n_chunks > 1:
             _log.warning("SimHash bucket of %d docs salt-split into %d chunks",
                          len(ids), n_chunks)
+            # band-salted permutation: each band chunks a giant bucket
+            # differently, recovering cross-chunk pairs the others miss
+            with np.errstate(over="ignore"):
+                order = np.argsort(_mix64(ids.astype(np.uint64) + np.uint64(salt)),
+                                   kind="stable")
+            ids, hs = ids[order], hs[order]
         fa, fb, fh = [], [], []
         for c in range(n_chunks):
             sl = slice(c * max_bucket, (c + 1) * max_bucket)
             cid, chs = ids[sl], hs[sl]
+            co = np.argsort(cid)
+            cid, chs = cid[co], chs[co]
             ia, ib = np.triu_indices(len(cid), k=1)
             hd = hamming64(chs[ia].view(np.uint64), chs[ib].view(np.uint64))
             k = hd <= max_hamming
@@ -741,68 +816,21 @@ def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
             fh.append(hd[k])
         return np.concatenate(fa), np.concatenate(fb), np.concatenate(fh)
 
-    def block_scan(b: pa.Table) -> pa.Table:
-        empty = pa.table({"id_a": pa.array([], type=pa.int64()),
-                          "id_b": pa.array([], type=pa.int64()),
-                          "hamming": pa.array([], type=pa.int64()),
-                          "kind": pa.array([], type=pa.int8())})
-        n = b.num_rows
-        if n == 0:
-            return empty
-        keys = b.column("bkey").to_numpy(zero_copy_only=False)
-        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        shs = b.column("sh").to_numpy(zero_copy_only=False)
-        first, last = keys[0], keys[-1]
-        cuts = np.flatnonzero(keys[1:] != keys[:-1]) + 1
-        starts = np.concatenate([[0], cuts])
-        ends = np.concatenate([cuts, [n]])
-        pa_, pb_, ph_ = [], [], []
-        ra, rk, rs = [], [], []
-        for s, e in zip(starts, ends):
-            if keys[s] == first or keys[s] == last:
-                ra.append(ids[s:e])
-                rk.append(np.full(e - s, keys[s], dtype=np.int64))
-                rs.append(shs[s:e])
-                continue
-            if e - s < 2:
-                continue
-            got = bucket_pairs(ids[s:e], shs[s:e])
-            if got is not None:
-                pa_.append(got[0])
-                pb_.append(got[1])
-                ph_.append(got[2])
-        parts = []
-        if pa_:
-            a = np.concatenate(pa_)
-            parts.append(pa.table({
-                "id_a": pa.array(a), "id_b": pa.array(np.concatenate(pb_)),
-                "hamming": pa.array(np.concatenate(ph_)),
-                "kind": pa.array(np.zeros(len(a), dtype=np.int8))}))
-        if ra:
-            # residual rows smuggle (doc_id, bucket_key, simhash) through the
-            # pair schema: id_b carries the key, hamming carries the sig bits
-            r = np.concatenate(ra)
-            parts.append(pa.table({
-                "id_a": pa.array(r), "id_b": pa.array(np.concatenate(rk)),
-                "hamming": pa.array(np.concatenate(rs)),
-                "kind": pa.array(np.ones(len(r), dtype=np.int8))}))
-        return pa.concat_tables(parts) if parts else empty
+    def group_fn(t: pa.Table) -> Optional[pa.Table]:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        shs = t.column("sh").to_numpy(zero_copy_only=False)
+        salt = int(t.column("bkey")[0].as_py()) & 0xFFFFFFFFFFFFFFFF
+        got = bucket_pairs(ids, shs, salt=salt)
+        if got is None:
+            return None
+        return pa.table({"id_a": pa.array(got[0]), "id_b": pa.array(got[1]),
+                         "hamming": pa.array(got[2])})
 
-    mixed = srt.map_batches(block_scan, batch_format="pyarrow").materialize()
-    allp = mixed.filter(expr="kind == 0").drop_columns(["kind"])
-    resid = mixed.filter(expr="kind == 1").to_pandas()
-    if len(resid):
-        frames = []
-        for _, g in resid.groupby("id_b"):
-            got = bucket_pairs(g["id_a"].to_numpy(),
-                               g["hamming"].to_numpy())
-            if got is not None:
-                frames.append(pd.DataFrame({"id_a": got[0], "id_b": got[1],
-                                            "hamming": got[2]}))
-        if frames:
-            extra = pd.concat(frames, ignore_index=True)
-            allp = allp.union(rd.from_arrow(pa.Table.from_pandas(
-                extra, preserve_index=False)))
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("hamming", pa.int64())])
+    allp = sorted_group_scan(
+        sigs.map_batches(explode, batch_format="pyarrow"),
+        ["bkey"], group_fn, out_schema)
     return (allp.groupby(["id_a", "id_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
 
@@ -844,43 +872,59 @@ def embedding_near_dups(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                         cos_threshold: float = 0.95, bits: int = 12,
                         concurrency=(1, 8), max_bucket: int = 2048):
     """Embedding-cosine near-dup pairs via hyperplane-LSH buckets + exact
-    cosine verify inside each bucket (the 100-TB scale path: one narrow
-    bucket groupby; recall is governed by ``bits``). Oversized buckets are
-    salt-split on id order (logged), not dropped."""
+    cosine verify inside each bucket — the 100-TB scale path, now on the
+    same shared sorted_group_scan as the MinHash/SimHash buckets (one narrow
+    (bucket, id, vec) sort; recall is governed by ``bits``). Oversized
+    buckets are split on id order (single banding — a salted permutation has
+    no second band to recover cross-chunk pairs), not dropped."""
     bucketed = ds.map_batches(HyperplaneLSH,
                               fn_constructor_kwargs=dict(vec_col=vec_col, bits=bits),
                               batch_format="pyarrow", concurrency=concurrency)
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64),
-                              "id_b": np.array([], dtype=np.int64),
-                              "cosine": np.array([], dtype=np.float64)})
-        if len(g) < 2:
-            return empty
-        ids = g[id_col].to_numpy()
+    def keyed(b: pa.Table) -> pa.Table:
+        bk = b.column("lsh_bucket").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return pa.table({"bkey": pa.array(bk.view(np.int64)),
+                         id_col: b.column(id_col),
+                         vec_col: b.column(vec_col)})
+
+    def group_fn(t: pa.Table) -> Optional[pa.Table]:
+        if t.num_rows < 2:
+            return None
+        ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        vcol = t.column(vec_col)
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        vecs = vcol.to_numpy(zero_copy_only=False)
         order = np.argsort(ids)
-        g = g.iloc[order]
-        ids = ids[order]
+        ids, vecs = ids[order], vecs[order]
         n_chunks = int(np.ceil(len(ids) / max_bucket))
         if n_chunks > 1:
             _log.warning("LSH embedding bucket of %d vecs salt-split into %d chunks",
                          len(ids), n_chunks)
-        frames = []
+        fa, fb, fc = [], [], []
         for c in range(n_chunks):
             sl = slice(c * max_bucket, (c + 1) * max_bucket)
             cid = ids[sl]
-            mat = np.stack(g[vec_col].to_numpy()[sl]).astype(np.float64)
+            mat = np.stack(vecs[sl]).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             mat = mat / np.maximum(norms, 1e-12)
             sim = mat @ mat.T
             ia, ib = np.triu_indices(len(cid), k=1)
             cs = sim[ia, ib]
             keep = cs >= cos_threshold
-            frames.append(pd.DataFrame({"id_a": cid[ia][keep], "id_b": cid[ib][keep],
-                                        "cosine": np.round(cs[keep], 6)}))
-        return pd.concat(frames, ignore_index=True) if frames else empty
+            fa.append(cid[ia][keep])
+            fb.append(cid[ib][keep])
+            fc.append(np.round(cs[keep], 6))
+        return pa.table({"id_a": pa.array(np.concatenate(fa)),
+                         "id_b": pa.array(np.concatenate(fb)),
+                         "cosine": pa.array(np.concatenate(fc))})
 
-    return bucketed.groupby("lsh_bucket").map_groups(verify, batch_format="pandas")
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                            ("cosine", pa.float64())])
+    return sorted_group_scan(
+        bucketed.map_batches(keyed, batch_format="pyarrow"),
+        ["bkey"], group_fn, out_schema)
 
 
 class _CosinePairScan:

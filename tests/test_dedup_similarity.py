@@ -305,6 +305,53 @@ def test_ivf_recall_target_and_full_k(big_embedding_ds):
     assert np.mean(recalls) >= 0.9, recalls
 
 
+def test_sorted_group_scan_exact_groups(ray_session):
+    """The shared bucketed-scan primitive: group sums over a key whose groups
+    straddle block boundaries must equal an exact pandas groupby (residual
+    stitching included)."""
+    import ray.data as rd
+
+    from rayschema.dedup import sorted_group_scan
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 37, 5000).astype(np.int64)
+    vals = rng.integers(0, 1000, 5000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(8)
+
+    def group_fn(t):
+        k = t.column("k")[0].as_py()
+        v = int(np.sum(t.column("v").to_numpy(zero_copy_only=False)))
+        return pa.table({"k": pa.array([k], type=pa.int64()),
+                         "s": pa.array([v], type=pa.int64())})
+
+    out = sorted_group_scan(
+        ds, ["k"], group_fn,
+        pa.schema([("k", pa.int64()), ("s", pa.int64())])).to_pandas()
+    exp = pd.DataFrame({"k": keys, "v": vals}).groupby("k", as_index=False)["v"] \
+        .sum().rename(columns={"v": "s"})
+    got = out.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp.astype("int64"), check_dtype=False)
+
+
+def test_emit_group_pairs_band_salt_varies_split():
+    """Different salts chunk an oversized bucket differently (the cross-chunk
+    recovery property), every pair keeps id_a < id_b, and the star links keep
+    the group connected under any salt."""
+    from rayschema.dedup import _emit_group_pairs, connected_components
+
+    ids = np.arange(1000, dtype=np.int64) * 3 + 7
+    a1, b1 = _emit_group_pairs(ids, max_group=256, salt=1)
+    a2, b2 = _emit_group_pairs(ids, max_group=256, salt=2)
+    assert (a1 < b1).all() and (a2 < b2).all()
+    s1 = set(zip(a1.tolist(), b1.tolist()))
+    s2 = set(zip(a2.tolist(), b2.tolist()))
+    assert s1 != s2, "salt must vary the chunk split"
+    for aa, bb in ((a1, b1), (a2, b2)):
+        cc = connected_components(pd.DataFrame({"id_a": aa, "id_b": bb}))
+        assert set(cc["doc_id"]) == set(ids.tolist())
+        assert set(cc["cluster_id"]) == {7}
+
+
 def test_connected_components():
     from rayschema.dedup import connected_components
 
