@@ -105,6 +105,19 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     return np.unique(_rolling_hashes(b, k))
 
 
+def _sorted_intersect_count(ha: np.ndarray, hb: np.ndarray) -> int:
+    """|ha ∩ hb| for SORTED UNIQUE uint64 arrays — O(m log n) searchsorted
+    membership, ~4x faster than np.intersect1d's sort-merge for the shingle
+    set sizes the verify stage sees."""
+    if len(ha) == 0 or len(hb) == 0:
+        return 0
+    if len(hb) < len(ha):
+        ha, hb = hb, ha
+    pos = np.searchsorted(hb, ha)
+    pos = np.minimum(pos, len(hb) - 1)
+    return int(np.count_nonzero(hb[pos] == ha))
+
+
 def ngram_jaccard(a: str, b: str, k: int = 5) -> float:
     """Exact n-gram Jaccard similarity between two documents."""
     ha, hb = char_shingles(a, k), char_shingles(b, k)
@@ -230,7 +243,8 @@ class MinHasher:
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text",
                  num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
-                 seed: int = 4242, explode: bool = True):
+                 seed: int = 4242, explode: bool = True,
+                 emit_bkey: bool = False):
         assert num_perm % bands == 0
         self.num_perm = num_perm
         self.bands = bands
@@ -239,6 +253,7 @@ class MinHasher:
         self.id_col = id_col
         self.text_col = text_col
         self.explode = explode
+        self.emit_bkey = emit_bkey     # emit the mixed sort key directly
 
     def signature(self, text: Optional[str]) -> np.ndarray:
         """Single-doc reference path (one-permutation hashing + rotational
@@ -279,9 +294,18 @@ class MinHasher:
             })
         band_ids = np.tile(np.arange(self.bands, dtype=np.int32), n)
         doc_ids = ids.take(pa.array(np.repeat(np.arange(n), self.bands)))
+        bh = self.band_hashes(sigs)
+        if self.emit_bkey:
+            # fold the bucket-key mix into the signature stage: one fewer
+            # operator pass over the (docs x bands) exploded rows
+            with np.errstate(over="ignore"):
+                key = _mix64(bh + (band_ids.astype(np.uint64) + np.uint64(1))
+                             * np.uint64(0x9E3779B97F4A7C15))
+            return pa.table({"bkey": pa.array(key.view(np.int64)),
+                             self.id_col: doc_ids})
         return pa.table({
             "band_id": pa.array(band_ids),
-            "band_hash": pa.array(self.band_hashes(sigs), type=pa.uint64()),
+            "band_hash": pa.array(bh, type=pa.uint64()),
             self.id_col: doc_ids,
         })
 
@@ -341,7 +365,9 @@ def _emit_group_pairs(ids: np.ndarray, max_group: int = 256,
     return np.concatenate(outs_a), np.concatenate(outs_b)
 
 
-def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema):
+def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema,
+                      group_filter=None, block_fn=None, extra_emit=None,
+                      sort_blocks: Optional[int] = None):
     """The engine's shared bucketed-scan primitive: ONE global sort of ``ds``
     by ``key_cols`` (numeric columns — the cheapest all-to-all for narrow
     rows, measured ~4x faster than Ray's sort-based groupby + per-group
@@ -354,9 +380,30 @@ def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema):
     ``group_fn(pa.Table) -> Optional[pa.Table]`` receives one group's rows
     (all key/payload columns) and returns rows matching ``out_schema``.
 
+    ``group_filter(block, starts, ends) -> bool mask`` is the VECTORIZED
+    pre-filter that keeps the per-group Python cost off the fast path: with
+    billions of singleton groups (most LSH buckets hold one doc), group_fn
+    must only be invoked for the rare interesting groups — e.g.
+    ``lambda b, s, e: (e - s) >= 2``. Residual (boundary) groups bypass the
+    filter and are re-checked by group_fn itself on the driver (bounded).
+
+    ``block_fn(block, starts, ends, want) -> Optional[pa.Table]``, when
+    given, replaces the per-group loop entirely: ONE vectorized call per
+    block handling every group where ``want`` is True (boundary groups are
+    already masked out of ``want``). Use it when groups are numerous and
+    small — per-group pa.Table slicing costs ~50 µs/group, which dominates
+    wall time at 10^5+ groups per block. group_fn is still required: it
+    verifies the driver-side boundary residuals.
+
+    ``extra_emit(block, starts, ends) -> Optional[bytes]``, when given, lets
+    each block ship one opaque side-channel payload (e.g. a packed candidate
+    bitmap chunk) back to the driver ON the existing residual pull — no extra
+    Dataset execution. The return value becomes (out, [payload, ...]).
+
     Used by the MinHash band buckets, SimHash bands, embedding-LSH buckets,
     and both co-location stages of the fused near-dup verify."""
     import ray.data as rd
+    from ray.data import DataContext
 
     key_cols = list(key_cols)
     out_names = [f.name for f in out_schema]
@@ -366,6 +413,8 @@ def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema):
         for f in in_schema:
             cols["_in_" + f.name] = pa.array([], type=f.type)
         cols["_kind"] = pa.array([], type=pa.int8())
+        if extra_emit is not None:
+            cols["_extra"] = pa.array([], type=pa.large_binary())
         return pa.table(cols)
 
     def block_scan(b: pa.Table) -> pa.Table:
@@ -379,14 +428,23 @@ def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema):
         cuts = np.flatnonzero(neq) + 1
         starts = np.concatenate([[0], cuts])
         ends = np.concatenate([cuts, [n]])
+        want = (group_filter(b, starts, ends) if group_filter is not None
+                else np.ones(len(starts), dtype=bool))
         outs, resid = [], []
-        for s, e in zip(starts, ends):
-            if s == 0 or e == n:       # possibly straddles a block boundary
-                resid.append((s, e))
-                continue
-            t = group_fn(b.slice(s, e - s))
+        boundary = (starts == 0) | (ends == n)
+        for s, e in zip(starts[boundary], ends[boundary]):
+            resid.append((s, e))       # possibly straddles a block boundary
+        if block_fn is not None:
+            t = block_fn(b, starts, ends, want & ~boundary)
             if t is not None and t.num_rows:
                 outs.append(t)
+        else:
+            for gi, (s, e) in enumerate(zip(starts, ends)):
+                if boundary[gi] or not want[gi]:
+                    continue
+                t = group_fn(b.slice(s, e - s))
+                if t is not None and t.num_rows:
+                    outs.append(t)
         parts = []
         if outs:
             o = pa.concat_tables(outs)
@@ -394,6 +452,8 @@ def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema):
             for f in b.schema:
                 cols["_in_" + f.name] = pa.nulls(o.num_rows, f.type)
             cols["_kind"] = pa.array(np.zeros(o.num_rows, dtype=np.int8))
+            if extra_emit is not None:
+                cols["_extra"] = pa.nulls(o.num_rows, pa.large_binary())
             parts.append(pa.table(cols))
         if resid:
             rt = pa.concat_tables([b.slice(s, e - s) for s, e in resid])
@@ -401,22 +461,53 @@ def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema):
             for f in b.schema:
                 cols["_in_" + f.name] = rt.column(f.name)
             cols["_kind"] = pa.array(np.ones(rt.num_rows, dtype=np.int8))
+            if extra_emit is not None:
+                cols["_extra"] = pa.nulls(rt.num_rows, pa.large_binary())
             parts.append(pa.table(cols))
+        if extra_emit is not None:
+            payload = extra_emit(b, starts, ends)
+            if payload is not None:
+                cols = {f.name: pa.nulls(1, f.type) for f in out_schema}
+                for f in b.schema:
+                    cols["_in_" + f.name] = pa.nulls(1, f.type)
+                cols["_kind"] = pa.array(np.full(1, 2, dtype=np.int8))
+                cols["_extra"] = pa.array([payload], type=pa.large_binary())
+                parts.append(pa.table(cols))
         return pa.concat_tables(parts) if parts else _empty_mixed(b.schema)
 
-    mixed = (ds.sort(key_cols)
-             .map_batches(block_scan, batch_format="pyarrow")
-             .materialize())
+    # polars-backed block sort: measured 3x faster than the default on the
+    # 32M-row band-key sort, bit-identical ordering for these numeric keys
+    ctx = DataContext.get_current()
+    prev_polars = getattr(ctx, "use_polars_sort", False)
+    ctx.use_polars_sort = True
+    try:
+        srt = ds.sort(key_cols)
+        if sort_blocks:
+            # Ray's sort emits as many blocks as its input had; a small input
+            # (one block) would make the scan SERIAL. The order-preserving
+            # repartition (verified: global order survives) restores scan
+            # parallelism without a shuffle.
+            srt = srt.repartition(sort_blocks)
+        mixed = (srt.map_batches(block_scan, batch_format="pyarrow")
+                 .materialize())
+    finally:
+        ctx.use_polars_sort = prev_polars
     out = _proj(mixed.filter(expr="_kind == 0"),
                 {name: name for name in out_names})
     # residual rows come back as ARROW batches (no pandas round-trip — it
     # would degrade int64-with-null and list columns); bounded volume:
-    # <= 2 key-groups per sorted block
+    # <= 2 key-groups per sorted block (+ one _extra side-channel row each)
     rbatches = [pa.Table.from_batches([rb]) if isinstance(rb, pa.RecordBatch) else rb
-                for rb in mixed.filter(expr="_kind == 1")
+                for rb in mixed.filter(expr="_kind > 0")
                 .iter_batches(batch_format="pyarrow")]
     resid_tbl = (pa.concat_tables(rbatches) if rbatches
                  else _empty_mixed(pa.schema([])))
+    extras = []
+    if extra_emit is not None and resid_tbl.num_rows:
+        kind = resid_tbl.column("_kind").to_numpy(zero_copy_only=False)
+        extras = [v for v in resid_tbl.column("_extra")
+                  .take(pa.array(np.flatnonzero(kind == 2))).to_pylist()]
+        resid_tbl = resid_tbl.take(pa.array(np.flatnonzero(kind == 1)))
     if resid_tbl.num_rows:
         rt = pa.table({n[4:]: resid_tbl.column(n).combine_chunks()
                        for n in resid_tbl.schema.names if n.startswith("_in_")})
@@ -438,18 +529,41 @@ def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema):
                 extra.append(t)
         if extra:
             out = out.union(rd.from_arrow(pa.concat_tables(extra)))
+    if extra_emit is not None:
+        return out, extras
     return out
 
 
-def _bucket_pairs_sorted(exploded, id_col: str, max_group: int = 256):
+def _bitmap_hash(ids: np.ndarray, bits: int) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return (_mix64(ids.astype(np.uint64))
+                >> np.uint64(64 - bits)).astype(np.int64)
+
+
+def _bitmap_member(ids: np.ndarray, packed: np.ndarray, bits: int) -> np.ndarray:
+    """Vectorized membership test against a np.packbits bitmap."""
+    h = _bitmap_hash(ids, bits)
+    return ((packed[h >> 3] >> (7 - (h & 7))) & 1).astype(bool)
+
+
+def _bucket_pairs_sorted(exploded, id_col: str, max_group: int = 256,
+                         bitmap_bits: Optional[int] = None,
+                         has_bkey: bool = False):
     """Candidate pairs from LSH buckets WITHOUT a groupby: combine
     (band_id, band_hash) into one 8-byte bucket key, then the shared
     sorted_group_scan (one narrow (key, id) sort; bounded driver residual of
     ids only). The chunk split of oversized buckets is salted by the bucket
     key, so each band splits a giant cluster differently.
 
+    With ``bitmap_bits``, each scanned block also ships a packed hashed
+    bitmap of its multi-member-group ids (a SUPERSET of candidate pair
+    endpoints — boundary-group ids included so driver-residual pairs are
+    covered) through the side channel, and the return value becomes
+    (pairs, n_interior_pair_ids, OR-reduced bitmap bytes).
+
     A mixed-key collision merging two buckets only ADDS candidate pairs,
     which exact verification then discards — never drops one."""
+    import struct
 
     def keyed(b: pa.Table) -> pa.Table:
         bh = b.column("band_hash").to_numpy(zero_copy_only=False)
@@ -468,10 +582,38 @@ def _bucket_pairs_sorted(exploded, id_col: str, max_group: int = 256):
             return None
         return pa.table({"id_a": pa.array(got[0]), "id_b": pa.array(got[1])})
 
+    def bm_emit(b: pa.Table, starts, ends) -> Optional[bytes]:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = ends - starts
+        boundary = (starts == 0) | (ends == len(ids))
+        keep_g = (sizes >= 2) | boundary
+        grp = np.repeat(np.arange(len(starts)), sizes)
+        sel = ids[keep_g[grp]]
+        interior = ids[((sizes >= 2) & ~boundary)[grp]]
+        if not len(sel):
+            return None
+        m = np.zeros(1 << bitmap_bits, dtype=bool)
+        m[_bitmap_hash(sel, bitmap_bits)] = True
+        return struct.pack("<q", len(interior)) + np.packbits(m).tobytes()
+
     out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
-    return sorted_group_scan(
-        exploded.map_batches(keyed, batch_format="pyarrow"),
-        ["bkey"], group_fn, out_schema)
+    if has_bkey:
+        exploded_keyed = exploded      # MinHasher(emit_bkey=True) upstream
+    else:
+        exploded_keyed = exploded.map_batches(keyed, batch_format="pyarrow")
+    size2 = lambda b, s, e: (e - s) >= 2   # noqa: E731
+    if bitmap_bits is None:
+        return sorted_group_scan(exploded_keyed, ["bkey"], group_fn,
+                                 out_schema, group_filter=size2)
+    pairs, chunks = sorted_group_scan(exploded_keyed, ["bkey"], group_fn,
+                                      out_schema, group_filter=size2,
+                                      extra_emit=bm_emit)
+    acc = np.zeros((1 << bitmap_bits) // 8, dtype=np.uint8)
+    n_interior = 0
+    for chunk in chunks:
+        n_interior += struct.unpack("<q", chunk[:8])[0]
+        acc |= np.frombuffer(chunk[8:], dtype=np.uint8)
+    return pairs, n_interior, acc
 
 
 def _distinct_pairs(pairs_ds):
@@ -497,7 +639,8 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                             num_perm: int = 64, bands: int = 16,
                             shingle_k: int = 5, concurrency=(1, 8),
                             distinct_on_driver: bool = False,
-                            distinct: bool = True):
+                            distinct: bool = True,
+                            bitmap_bits: Optional[int] = None):
     """documents -> candidate pairs (id_a < id_b) from LSH buckets.
 
     Narrow shuffles only: one 8-byte-key SORT for the bucket scan (and one
@@ -507,13 +650,20 @@ def minhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     dup-heavy corpus — the candidate set itself can be huge).
     ``distinct=False`` skips the pair-dedup shuffle: LSH candidates are
     ~97% unique already (dup-band pairs are exactly the rare true near-dups),
-    so callers that verify anyway dedup the far smaller verified set."""
+    so callers that verify anyway dedup the far smaller verified set.
+    ``bitmap_bits`` (implies the raw non-distinct path) additionally returns
+    the stage's candidate-id bitmap side channel:
+    (pairs, n_interior_pair_ids, packed bitmap)."""
     exploded = ds.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col,
                                    num_perm=num_perm, bands=bands,
-                                   shingle_k=shingle_k),
+                                   shingle_k=shingle_k,
+                                   emit_bkey=bitmap_bits is not None),
         batch_format="pyarrow", concurrency=concurrency)
+    if bitmap_bits is not None:
+        return _bucket_pairs_sorted(exploded, id_col, bitmap_bits=bitmap_bits,
+                                    has_bkey=True)
     pairs = _bucket_pairs_sorted(exploded, id_col)
     if distinct_on_driver:
         df = pairs.to_pandas()
@@ -572,7 +722,7 @@ class _PairJaccard:
         for r in range(len(ids_a)):
             ha = sh(int(ids_a[r]), ta[r])
             hb = sh(int(ids_b[r]), tb[r])
-            inter = np.intersect1d(ha, hb, assume_unique=True).size
+            inter = _sorted_intersect_count(ha, hb)
             union = ha.size + hb.size - inter
             sims[r] = inter / union if union else 1.0
         keep = sims >= self.threshold
@@ -638,16 +788,15 @@ def verify_pairs_jaccard_ds(pairs_ds, docs_ds, id_col: str = "doc_id",
                           batch_format="pyarrow", concurrency=concurrency)
 
 
-def minhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
-                      num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
-                      threshold: float = 0.8, concurrency=(1, 8),
-                      num_partitions: int = 8):
-    """End-to-end distributed MinHash-LSH near-dup pairs: LSH candidates ->
-    distributed exact-Jaccard verify -> pair-dedup of the (tiny) verified
-    set. Every stage streams; the driver never holds texts or the
-    un-verified pair set. Candidate pairs are NOT deduped before verify —
-    they are ~97% unique (see minhash_candidate_pairs), so deduping the
-    verified output instead saves a full narrow shuffle."""
+def minhash_near_dups_joined(ds, id_col: str = "doc_id", text_col: str = "text",
+                             num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                             threshold: float = 0.8, concurrency=(1, 8),
+                             num_partitions: int = 8):
+    """Join-based distributed MinHash-LSH near-dup pairs (the round-2 path,
+    kept as the equality reference for the fused default): LSH candidates ->
+    hash-join text co-location -> exact-Jaccard verify -> pair-dedup of the
+    verified set. ~6 shuffle executions; minhash_near_dups (fused) computes
+    the identical result in 3."""
     from ray.data.aggregate import Min
 
     pairs = minhash_candidate_pairs(
@@ -667,6 +816,252 @@ def minhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
         concurrency=concurrency)
     return (verified.groupby(["id_a", "id_b"])
             .aggregate(Min("jaccard", alias_name="jaccard")))
+
+
+def minhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
+                      num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
+                      threshold: float = 0.8, concurrency=(1, 8),
+                      num_partitions: int = 8):
+    """End-to-end distributed MinHash-LSH near-dup pairs in THREE shuffle
+    executions (the fused path; equality-tested against the join path and
+    the driver path):
+
+    1. band-bucket sort-scan -> candidate pairs (8-byte keys only move)
+    2. text co-location sort on doc id: docs ∪ exploded pair ENDPOINTS,
+       one group per doc id — the group's doc row carries the text, its
+       endpoint rows say which pairs need it. Emits (id_a, id_b, side,
+       text); duplicate candidates (a pair hit in many bands) are deduped
+       HERE for free, so no final pair groupby is needed.
+    3. pair co-location sort on (id_a, id_b): each group holds the pair's
+       two texts; exact char-k-gram Jaccard, filter >= threshold.
+
+    Per-stage text movement is the optimum for a verify that must read both
+    texts of every candidate pair: corpus text moves once (stage 2) and
+    candidate text twice (stage 3) — the join path moved the same bytes
+    across ~6 executions. The driver only ever sees the bounded
+    sorted_group_scan boundary residuals (<= 2 groups per block)."""
+    import os
+    import time as _time
+
+    import ray.data as rd
+
+    _dbg = os.environ.get("RAYSCHEMA_TIMING")
+    _t0 = _time.time()
+
+    def _tick(label):
+        nonlocal _t0
+        if _dbg:
+            print(f"[minhash] {label}: {_time.time() - _t0:.2f}s", flush=True)
+        _t0 = _time.time()
+
+    # Stage 1 also ships a fixed-size (2 MB) hashed BITMAP of the candidate
+    # endpoint ids through the scan's side channel (no extra execution). The
+    # stage-2 sort then moves only candidate texts (+ ~1-2% false positives,
+    # which attach to zero endpoints and are dropped by the group filter)
+    # instead of the whole corpus. Unlike a driver id-set, the bitmap stays
+    # 2 MB no matter how dup-heavy the crawl.
+    import ray
+
+    BM_BITS = 24
+    pairs, n_interior, acc = minhash_candidate_pairs(
+        ds, id_col=id_col, text_col=text_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, concurrency=concurrency,
+        distinct_on_driver=False, distinct=False, bitmap_bits=BM_BITS)
+    _tick("stage1 candidates+bitmap")
+
+    empty = pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        "jaccard": pa.array([], type=pa.float64())})
+
+    # emptiness: no interior pair ids anywhere, and (rare: every group was a
+    # block-boundary group) no driver-residual pairs either
+    if n_interior == 0 and pairs.count() == 0:
+        return rd.from_arrow(empty)
+    bm_ref = ray.put(acc)
+
+    # ---- stage 2: co-locate each candidate doc's text with its pair endpoints
+    def docrows(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = _bitmap_member(ids, ray.get(bm_ref), BM_BITS)
+        b = b.filter(pa.array(hit))
+        n = b.num_rows
+        return pa.table({
+            "sid": b.column(id_col).cast(pa.int64()),
+            "id_a": pa.array(np.full(n, -1, dtype=np.int64)),
+            "id_b": pa.array(np.full(n, -1, dtype=np.int64)),
+            "side": pa.array(np.full(n, -1, dtype=np.int8)),
+            "text": b.column(text_col).cast(pa.large_string()),
+        })
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        ia = b.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        ib = b.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ia)
+        return pa.table({
+            "sid": pa.array(np.concatenate([ia, ib])),
+            "id_a": pa.array(np.concatenate([ia, ia])),
+            "id_b": pa.array(np.concatenate([ib, ib])),
+            "side": pa.array(np.concatenate([np.zeros(n, dtype=np.int8),
+                                             np.ones(n, dtype=np.int8)])),
+            "text": pa.nulls(2 * n, pa.large_string()),
+        })
+
+    tagged = ds.map_batches(docrows, batch_format="pyarrow").union(
+        pairs.map_batches(endpoints, batch_format="pyarrow"))
+
+    def attach_text(t: pa.Table) -> Optional[pa.Table]:
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        doc_idx = np.flatnonzero(side == -1)
+        if len(doc_idx) == 0:          # endpoint of an id absent from docs
+            return None
+        ep = np.flatnonzero(side >= 0)
+        if len(ep) == 0:
+            return None
+        ia = t.column("id_a").to_numpy(zero_copy_only=False)[ep]
+        ib = t.column("id_b").to_numpy(zero_copy_only=False)[ep]
+        sd = side[ep]
+        # dedup (pair, side): the same candidate arrives once per matching band
+        order = np.lexsort((sd, ib, ia))
+        ia, ib, sd = ia[order], ib[order], sd[order]
+        keep = np.ones(len(ia), dtype=bool)
+        keep[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1]) | (sd[1:] != sd[:-1])
+        ia, ib, sd = ia[keep], ib[keep], sd[keep]
+        text = t.column("text")[int(doc_idx[0])].as_py()
+        return pa.table({
+            "id_a": pa.array(ia), "id_b": pa.array(ib),
+            "side": pa.array(sd),
+            "text": pa.array([text] * len(ia), type=pa.large_string()),
+        })
+
+    def has_endpoints(b: pa.Table, starts, ends) -> np.ndarray:
+        # vectorized: only doc-id groups that received endpoint rows are
+        # interesting — candidate docs, a tiny fraction of the corpus
+        is_ep = (b.column("side").to_numpy(zero_copy_only=False) >= 0) \
+            .astype(np.int64)
+        return np.add.reduceat(is_ep, starts) > 0
+
+    def attach_block(b: pa.Table, starts, ends, want) -> Optional[pa.Table]:
+        """Whole-block vectorized attach: no per-group Python. Each kept
+        endpoint row learns the index of its group's doc row via a scatter,
+        texts come out in ONE arrow take."""
+        side = b.column("side").to_numpy(zero_copy_only=False)
+        grp = np.repeat(np.arange(len(starts)), ends - starts)
+        doc_of = np.full(len(starts), -1, dtype=np.int64)
+        dmask = side == -1
+        doc_of[grp[dmask]] = np.flatnonzero(dmask)
+        sel = np.flatnonzero((side >= 0) & want[grp] & (doc_of[grp] >= 0))
+        if not len(sel):
+            return None
+        ia = b.column("id_a").to_numpy(zero_copy_only=False)[sel]
+        ib = b.column("id_b").to_numpy(zero_copy_only=False)[sel]
+        sd = side[sel]
+        # dedup (pair, side): (id_a, id_b, side) determines sid, so a global
+        # lexsort-dedup equals the per-group dedup
+        order = np.lexsort((sd, ib, ia))
+        ia, ib, sd, sel = ia[order], ib[order], sd[order], sel[order]
+        keep = np.ones(len(ia), dtype=bool)
+        keep[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1]) | (sd[1:] != sd[:-1])
+        ia, ib, sd, sel = ia[keep], ib[keep], sd[keep], sel[keep]
+        tcol = b.column("text")
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        texts = tcol.take(pa.array(doc_of[grp[sel]]))
+        return pa.table({"id_a": pa.array(ia), "id_b": pa.array(ib),
+                         "side": pa.array(sd), "text": texts})
+
+    stage2_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
+                               ("side", pa.int8()), ("text", pa.large_string())])
+    located = sorted_group_scan(tagged, ["sid"], attach_text, stage2_schema,
+                                group_filter=has_endpoints,
+                                block_fn=attach_block, sort_blocks=32)
+    _tick("stage2 locate")
+
+    # ---- stage 3: both texts of a pair are now in one (id_a, id_b) group
+    shingle_cache: Dict[int, np.ndarray] = {}
+
+    def verify(t: pa.Table) -> Optional[pa.Table]:
+        side = t.column("side").to_numpy(zero_copy_only=False)
+        i0 = np.flatnonzero(side == 0)
+        i1 = np.flatnonzero(side == 1)
+        if len(i0) == 0 or len(i1) == 0:
+            return None
+        ia = int(t.column("id_a")[0].as_py())
+        ib = int(t.column("id_b")[0].as_py())
+        if len(shingle_cache) > 100_000:   # bound worker memory
+            shingle_cache.clear()
+        ha = shingle_cache.get(ia)
+        if ha is None:
+            ha = shingle_cache[ia] = char_shingles(
+                t.column("text")[int(i0[0])].as_py() or "", shingle_k)
+        hb = shingle_cache.get(ib)
+        if hb is None:
+            hb = shingle_cache[ib] = char_shingles(
+                t.column("text")[int(i1[0])].as_py() or "", shingle_k)
+        inter = _sorted_intersect_count(ha, hb)
+        union = ha.size + hb.size - inter
+        jac = inter / union if union else 1.0
+        if jac < threshold:
+            return None
+        return pa.table({
+            "id_a": pa.array([ia], type=pa.int64()),
+            "id_b": pa.array([ib], type=pa.int64()),
+            "jaccard": pa.array(round_half_away(np.array([jac]), 6)),
+        })
+
+    def verify_block(b: pa.Table, starts, ends, want) -> Optional[pa.Table]:
+        """Whole-block verify: texts pulled once per block, shingle sets
+        cached per doc id, one output table. Only the unavoidable per-pair
+        set intersection loops."""
+        side = b.column("side").to_numpy(zero_copy_only=False)
+        ids_a = b.column("id_a").to_numpy(zero_copy_only=False)
+        ids_b = b.column("id_b").to_numpy(zero_copy_only=False)
+        sizes = ends - starts
+        g = np.flatnonzero(want & (sizes == 2))
+        s = starts[g]
+        first0 = side[s] == 0
+        i0 = np.where(first0, s, s + 1)
+        i1 = np.where(first0, s + 1, s)
+        ok = (side[i0] == 0) & (side[i1] == 1)
+        i0, i1 = i0[ok], i1[ok]
+        # any group of size != 2 (a lost endpoint) has no partner text: skip,
+        # same as the per-group path
+        texts = b.column("text").to_pylist()
+        cache: Dict[int, np.ndarray] = {}
+
+        def sh(i: int, row: int) -> np.ndarray:
+            got = cache.get(i)
+            if got is None:
+                got = cache[i] = char_shingles(texts[row] or "", shingle_k)
+            return got
+
+        out_a, out_b, out_j = [], [], []
+        for r0, r1 in zip(i0, i1):
+            ha = sh(int(ids_a[r0]), int(r0))
+            hb = sh(int(ids_b[r1]), int(r1))
+            inter = _sorted_intersect_count(ha, hb)
+            union = ha.size + hb.size - inter
+            jac = inter / union if union else 1.0
+            if jac >= threshold:
+                out_a.append(ids_a[r0])
+                out_b.append(ids_b[r1])
+                out_j.append(jac)
+        if not out_a:
+            return None
+        return pa.table({
+            "id_a": pa.array(np.asarray(out_a, dtype=np.int64)),
+            "id_b": pa.array(np.asarray(out_b, dtype=np.int64)),
+            "jaccard": pa.array(round_half_away(
+                np.asarray(out_j, dtype=np.float64), 6)),
+        })
+
+    out = sorted_group_scan(located, ["id_a", "id_b"], verify,
+                            pa.schema([("id_a", pa.int64()),
+                                       ("id_b", pa.int64()),
+                                       ("jaccard", pa.float64())]),
+                            block_fn=verify_block, sort_blocks=32)
+    _tick("stage3 verify")
+    return out
 
 
 # --------------------------------------------------------------------------- SimHash
@@ -830,7 +1225,8 @@ def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
                             ("hamming", pa.int64())])
     allp = sorted_group_scan(
         sigs.map_batches(explode, batch_format="pyarrow"),
-        ["bkey"], group_fn, out_schema)
+        ["bkey"], group_fn, out_schema,
+        group_filter=lambda b, s, e: (e - s) >= 2)
     return (allp.groupby(["id_a", "id_b"])
             .aggregate(Min("hamming", alias_name="hamming")))
 
@@ -924,7 +1320,8 @@ def embedding_near_dups(ds, id_col: str = "vec_id", vec_col: str = "embedding",
                             ("cosine", pa.float64())])
     return sorted_group_scan(
         bucketed.map_batches(keyed, batch_format="pyarrow"),
-        ["bkey"], group_fn, out_schema)
+        ["bkey"], group_fn, out_schema,
+        group_filter=lambda b, s, e: (e - s) >= 2)
 
 
 class _CosinePairScan:

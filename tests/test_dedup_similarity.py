@@ -115,11 +115,12 @@ def test_minhash_lsh_pipeline(near_dup_docs):
 
 
 def test_minhash_distributed_verify_equals_driver_path(near_dup_docs):
-    """The distributed join-based verify (zero driver-side text) must equal
-    the small-input driver path exactly."""
+    """The fused 3-shuffle verify (the default) and the join-based verify
+    must BOTH equal the small-input driver path exactly."""
     from rayschema.dedup import (
         minhash_candidate_pairs,
         minhash_near_dups,
+        minhash_near_dups_joined,
         verify_pairs_jaccard,
     )
 
@@ -127,12 +128,12 @@ def test_minhash_distributed_verify_equals_driver_path(near_dup_docs):
                                     distinct_on_driver=True)
     texts = {r["doc_id"]: r["text"] for r in near_dup_docs.take_all()}
     driver = verify_pairs_jaccard(pairs, texts, threshold=0.7)
-    dist = minhash_near_dups(near_dup_docs, threshold=0.7,
-                             concurrency=(1, 2)).to_pandas()
     key = ["id_a", "id_b"]
     d1 = driver.sort_values(key).reset_index(drop=True)
-    d2 = dist.sort_values(key).reset_index(drop=True)[driver.columns.tolist()]
-    pd.testing.assert_frame_equal(d1, d2, check_dtype=False)
+    for fn in (minhash_near_dups, minhash_near_dups_joined):
+        dist = fn(near_dup_docs, threshold=0.7, concurrency=(1, 2)).to_pandas()
+        d2 = dist.sort_values(key).reset_index(drop=True)[driver.columns.tolist()]
+        pd.testing.assert_frame_equal(d1, d2, check_dtype=False)
 
 
 def test_oph_signatures_batch_matches_per_doc():
