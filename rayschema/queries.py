@@ -258,16 +258,22 @@ def _dedup_partial(b: pa.Table) -> pa.Table:
 def exact_dedup_documents(sf_dir: str):
     """Exact dedup on text: keep min doc_id per distinct text; returns kept ids.
 
-    Scale path: the shuffle moves ONLY (text_hash, min_id, n) — 24 bytes/row,
-    never the text. Hash groups with more than one row (same text seen in
-    several batches, or a 64-bit collision between different texts) are
-    exactly re-verified on their fetched text; at realistic dup rates that
-    candidate set is tiny. Result is identical to a full GROUP BY text."""
+    Scale path: the groupby shuffle moves ONLY (text_hash, min_id, n) —
+    24 bytes/row, never the text. Hash groups with more than one row (same
+    text seen in several batches, or a 64-bit collision between different
+    texts) are exactly re-verified DISTRIBUTED: the dup-hash set is
+    broadcast as a fixed-size hashed BITMAP (2 MB no matter how dup-heavy
+    the corpus — no driver key set), matching rows are sort-grouped by hash,
+    and each group picks min doc_id per distinct text inside the scan. The
+    driver never materializes candidate texts (bounded block-boundary
+    residuals aside). Result is identical to a full GROUP BY text."""
     import ray
     from ray.data.aggregate import Min, Sum
 
+    from rayschema.dedup import _bitmap_member, sorted_group_scan
     from rayschema.sketches import hash64
 
+    BM_BITS = 24
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     agg = (ds.map_batches(_dedup_partial, batch_format="pyarrow")
              .groupby("uk")
@@ -275,28 +281,69 @@ def exact_dedup_documents(sf_dir: str):
                         Sum("n", alias_name="n"))
              .materialize())
     singles = agg.filter(expr="n == 1").select_columns(["doc_id"])
-    cand = agg.filter(expr="n > 1").select_columns(["uk"]).to_pandas()
-    if not len(cand):
+
+    from rayschema.dedup import _bitmap_hash
+
+    def bm_partial(b: pa.Table) -> pa.Table:
+        uks = b.column("uk").to_numpy(zero_copy_only=False)
+        m = np.zeros(1 << BM_BITS, dtype=bool)
+        m[_bitmap_hash(uks, BM_BITS)] = True
+        return pa.table({"chunk": pa.array([np.packbits(m).tobytes()],
+                                           type=pa.large_binary())})
+
+    acc = np.zeros((1 << BM_BITS) // 8, dtype=np.uint8)
+    chunks = (agg.filter(expr="n > 1").select_columns(["uk"])
+              .map_batches(bm_partial, batch_format="pyarrow").to_pandas())
+    # an empty upstream produces zero batches -> a schema-less empty frame
+    for chunk in (chunks["chunk"] if "chunk" in chunks.columns else ()):
+        acc |= np.frombuffer(chunk, dtype=np.uint8)
+    if not acc.any():
         return singles
-    ref = ray.put(np.sort(cand["uk"].to_numpy()))
+    ref = ray.put(acc)
 
     def pick(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({"doc_id": b.column("doc_id").to_pandas(),
-                           "text": b.column("text").to_pandas()})
-        uks = hash64(df["text"].to_numpy()).view(np.int64)
-        cset = ray.get(ref)
-        pos = np.searchsorted(cset, uks)
-        sel = (pos < len(cset)) & (cset[np.minimum(pos, len(cset) - 1)] == uks)
-        return pa.Table.from_pandas(df[sel], preserve_index=False)
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        uks = hash64(txt.to_numpy(zero_copy_only=False)).view(np.int64)
+        sel = _bitmap_member(uks, ray.get(ref), BM_BITS)
+        return pa.table({"uk": pa.array(uks[sel]),
+                         "doc_id": b.column("doc_id").filter(pa.array(sel)),
+                         "text": txt.filter(pa.array(sel))})
 
-    dup_rows = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    verified = (dup_rows.groupby("text", dropna=False, as_index=False)["doc_id"]
-                .min()[["doc_id"]])
-    import ray.data as rd
+    def verify_group(t: pa.Table) -> pa.Table:
+        # a 1-row group is a bitmap false positive: its hash group was
+        # unique, so its doc_id is already in `singles`
+        if t.num_rows < 2:
+            return None
+        df = pd.DataFrame({"doc_id": t.column("doc_id").to_pandas(),
+                           "text": t.column("text").to_pandas()})
+        kept = (df.groupby("text", dropna=False, as_index=False)["doc_id"]
+                .min()["doc_id"].to_numpy())
+        return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
 
-    return singles.union(rd.from_arrow(
-        pa.table({"doc_id": pa.array(verified["doc_id"].to_numpy(),
-                                     type=pa.int64())})))
+    def verify_block(b: pa.Table, starts, ends, want) -> pa.Table:
+        # whole-block vectorized verify: ONE grouped min over (uk, text) for
+        # every complete hash group with >= 2 rows (dup-heavy corpora put
+        # most of the corpus here — per-group pandas would pay ms per group)
+        grp = np.repeat(np.arange(len(starts)), ends - starts)
+        sel = want[grp] & ((ends - starts) >= 2)[grp]
+        if not sel.any():
+            return None
+        t = b.filter(pa.array(sel))
+        df = pd.DataFrame({"uk": t.column("uk").to_pandas(),
+                           "doc_id": t.column("doc_id").to_pandas(),
+                           "text": t.column("text").to_pandas()})
+        kept = (df.groupby(["uk", "text"], dropna=False, as_index=False)
+                ["doc_id"].min()["doc_id"].to_numpy())
+        return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+
+    verified = sorted_group_scan(
+        ds.map_batches(pick, batch_format="pyarrow"),
+        ["uk"], verify_group, pa.schema([("doc_id", pa.int64())]),
+        group_filter=lambda b, s, e: (e - s) >= 2,
+        block_fn=verify_block, sort_blocks=32)
+    return singles.union(verified)
 
 
 def minhash_near_dup_documents(sf_dir: str):

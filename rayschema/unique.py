@@ -131,11 +131,33 @@ def duplicate_key_counts_hashed(ds, cols: Sequence[str], uk_col: str = "uk"):
         dset = ray.get(ref)
         sel = np.searchsorted(dset, uks)
         sel = (sel < len(dset)) & (dset[np.minimum(sel, len(dset) - 1)] == uks)
-        return b.select(cols).filter(pa.array(sel))
+        keep = b.select(cols).filter(pa.array(sel))
+        return keep.append_column(uk_col, pa.array(uks[sel], type=pa.int64()))
 
-    rows = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    g = rows.groupby(cols, as_index=False, dropna=False).size().rename(columns={"size": "n"})
-    return g[g["n"] > 1].reset_index(drop=True)
+    return _exact_counts_by_hash_group(
+        ds.map_batches(pick, batch_format="pyarrow"), cols, uk_col)
+
+
+def _exact_counts_by_hash_group(picked, cols: Sequence[str], uk_col: str):
+    """DISTRIBUTED exact verification of duplicate candidates: the
+    candidate-filtered rows are grouped by their 64-bit key hash (narrow —
+    only candidate rows shuffle), each group does the exact string-key count
+    (which also resolves any hash collision), and only the final
+    (key cols..., n>1) result rows reach the driver — never the candidate
+    rows themselves."""
+    cols = list(cols)
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = (g.groupby(cols, as_index=False, dropna=False)
+               .size().rename(columns={"size": "n"}))
+        return cnt[cnt["n"] > 1]
+
+    out = (picked.groupby(uk_col)
+           .map_groups(count_group, batch_format="pandas")
+           .to_pandas())
+    if not len(out):
+        return pd.DataFrame({**{c: [] for c in cols}, "n": []})
+    return out[cols + ["n"]].reset_index(drop=True)
 
 
 def duplicate_key_counts_sorted(ds, cols: Sequence[str], uk_col: str = "uk"):
@@ -188,11 +210,11 @@ def duplicate_key_counts_sorted(ds, cols: Sequence[str], uk_col: str = "uk"):
         dset = ray.get(ref)
         pos = np.searchsorted(dset, uks)
         sel = (pos < len(dset)) & (dset[np.minimum(pos, len(dset) - 1)] == uks)
-        return b.select(cols).filter(pa.array(sel))
+        keep = b.select(cols).filter(pa.array(sel))
+        return keep.append_column(uk_col, pa.array(uks[sel], type=pa.int64()))
 
-    rows = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
-    g = rows.groupby(cols, as_index=False, dropna=False).size().rename(columns={"size": "n"})
-    return g[g["n"] > 1].reset_index(drop=True)
+    return _exact_counts_by_hash_group(
+        ds.map_batches(pick, batch_format="pyarrow"), cols, uk_col)
 
 
 def distinct_rows(ds, cols: Sequence[str]):

@@ -111,3 +111,21 @@ def test_dedup_shuffle_is_narrow(ray_session):
     input_bytes = ds.size_bytes()
     pre = ds.map_batches(_dedup_partial, batch_format="pyarrow").materialize()
     assert pre.size_bytes() < 0.35 * input_bytes, (pre.size_bytes(), input_bytes)
+
+
+def test_exact_dedup_distributed_verify_matches_groupby(ray_session):
+    """The distributed collision verify (bitmap broadcast + hash-grouped
+    min-per-text, no driver text) must equal a plain GROUP BY text on a
+    dup-heavy corpus — including 1-row bitmap false-positive groups, which
+    must not double-emit ids already kept as singles."""
+    import pyarrow.parquet as pq
+
+    from rayschema.queries import exact_dedup_documents
+
+    sf = "/root/testdata/sf0.001"
+    got = exact_dedup_documents(sf).to_pandas()["doc_id"].sort_values()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    exp = (docs.groupby("text", dropna=False)["doc_id"].min().sort_values())
+    assert list(got) == sorted(exp.tolist())
+    assert got.is_unique
