@@ -1449,6 +1449,52 @@ def exact_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 # --------------------------------------------------------------------------- clusters
+def connected_components_ds(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
+                            max_iter: int = 64, num_partitions: int = 8):
+    """DISTRIBUTED connected components over a verified-pair Dataset by
+    iterated MIN-LABEL PROPAGATION — the scale fallback for pair sets too
+    large for the driver union-find (billions of pairs on a dup-heavy
+    crawl). Each round: every node's current label flows across every edge
+    (hash join), then each node keeps the min of its own and all received
+    labels (groupby-min). The total label sum is strictly decreasing until
+    fixpoint, so convergence is detected with one cheap aggregate per round;
+    rounds needed = graph diameter (near-dup clusters are shallow).
+
+    Returns a Dataset (doc_id, cluster_id), cluster_id = min doc id of the
+    component — identical rows to connected_components (equality-tested).
+    Mirrors the recursive min-label CTE oracle used by
+    near_dup_clusters_exact (__ray_entry__.oracle_sql)."""
+    from ray.data.aggregate import Min, Sum
+
+    edges = (_proj(pairs_ds, {id_a: "src", id_b: "dst"})
+             .union(_proj(pairs_ds, {id_b: "src", id_a: "dst"}))
+             .materialize())
+
+    def self_rows(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column("src"), "dst": b.column("src")})
+
+    labels = _proj(
+        edges.union(edges.map_batches(self_rows, batch_format="pyarrow"))
+        .groupby("src").aggregate(Min("dst", alias_name="label")),
+        {"src": "node", "label": "label"}).materialize()
+    prev = labels.aggregate(Sum("label", alias_name="s")).get("s")
+    for it in range(max_iter):
+        msgs = edges.join(labels, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("src",), right_on=("node",))
+        cand = labels.union(_proj(msgs, {"dst": "node", "label": "label"}))
+        labels = cand.groupby("node") \
+            .aggregate(Min("label", alias_name="label")).materialize()
+        cur = labels.aggregate(Sum("label", alias_name="s")).get("s")
+        if cur == prev:                # labels monotone: fixpoint reached
+            break
+        prev = cur
+    else:
+        _log.warning("connected_components_ds: no fixpoint after %d rounds",
+                     max_iter)
+    return _proj(labels, {"node": "doc_id", "label": "cluster_id"})
+
+
 def connected_components(pairs: pd.DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b") -> pd.DataFrame:
     """Near-duplicate clusters from verified pairs: union-find on the driver
@@ -1480,16 +1526,24 @@ def connected_components(pairs: pd.DataFrame, id_a: str = "id_a",
 
 def near_dup_clusters(ds, id_col: str = "doc_id", text_col: str = "text",
                       jaccard_threshold: float = 0.8, num_perm: int = 64,
-                      bands: int = 16, concurrency=(1, 8)) -> pd.DataFrame:
+                      bands: int = 16, concurrency=(1, 8),
+                      driver_pair_cap: int = 2_000_000) -> pd.DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH candidates -> DISTRIBUTED
-    exact-Jaccard verify -> connected components over the verified pairs
-    (the only driver-side step, and it sees verified TRUE near-dup pairs
-    only — never candidate texts). Returns (doc_id, cluster_id) for every
-    doc in a multi-doc cluster; docs absent from the result are unique."""
+    exact-Jaccard verify -> connected components over the verified pairs.
+    Up to ``driver_pair_cap`` verified pairs the components run as driver
+    union-find (verified TRUE near-dup pairs only — never candidate texts);
+    beyond the cap they run fully distributed via min-label propagation
+    (connected_components_ds, equality-tested against the driver path).
+    Returns (doc_id, cluster_id) for every doc in a multi-doc cluster; docs
+    absent from the result are unique."""
     verified = minhash_near_dups(ds, id_col=id_col, text_col=text_col,
                                  num_perm=num_perm, bands=bands,
                                  threshold=jaccard_threshold,
-                                 concurrency=concurrency).to_pandas()
-    if not len(verified):
+                                 concurrency=concurrency).materialize()
+    n_pairs = verified.count()
+    if n_pairs == 0:
         return pd.DataFrame({"doc_id": [], "cluster_id": []})
-    return connected_components(verified)
+    if n_pairs > driver_pair_cap:
+        return (connected_components_ds(verified).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+    return connected_components(verified.to_pandas())

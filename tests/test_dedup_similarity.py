@@ -362,6 +362,47 @@ def test_connected_components():
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 10}
 
 
+def test_connected_components_ds_matches_driver(ray_session):
+    """The distributed min-label-propagation components must equal the
+    driver union-find exactly on a graph with chains (multi-hop label
+    propagation), stars, and isolated pairs."""
+    import ray.data as rd
+
+    from rayschema.dedup import connected_components, connected_components_ds
+
+    rng = np.random.default_rng(13)
+    # chains of length 8 (forces >= 8 propagation rounds worst case),
+    # plus random star edges
+    edges = []
+    for c in range(40):
+        base = c * 100
+        edges += [(base + i, base + i + 1) for i in range(7)]
+    hub = 9000
+    edges += [(hub, int(x)) for x in rng.integers(9100, 9200, 30)]
+    pairs = pd.DataFrame({"id_a": [min(a, b) for a, b in edges],
+                          "id_b": [max(a, b) for a, b in edges]})
+    exp = connected_components(pairs).sort_values("doc_id").reset_index(drop=True)
+    ds = rd.from_arrow(pa.Table.from_pandas(pairs, preserve_index=False))
+    got = (connected_components_ds(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True)[["doc_id", "cluster_id"]])
+    pd.testing.assert_frame_equal(got.astype("int64"), exp.astype("int64"))
+
+
+def test_near_dup_clusters_distributed_path_equals_driver(near_dup_docs):
+    """Forcing the pair-count cap to 0 routes clustering through the
+    distributed components; the result must be identical to the driver
+    union-find path."""
+    from rayschema.dedup import near_dup_clusters
+
+    a = near_dup_clusters(near_dup_docs, jaccard_threshold=0.85,
+                          concurrency=(1, 2))
+    b = near_dup_clusters(near_dup_docs, jaccard_threshold=0.85,
+                          concurrency=(1, 2), driver_pair_cap=0)
+    na = a.sort_values("doc_id").reset_index(drop=True)
+    nb = b.sort_values("doc_id").reset_index(drop=True)[list(a.columns)]
+    pd.testing.assert_frame_equal(na.astype("int64"), nb.astype("int64"))
+
+
 def test_near_dup_clusters_pipeline(near_dup_docs):
     from rayschema.dedup import near_dup_clusters
 
