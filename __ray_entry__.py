@@ -48,6 +48,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- similarity search
         "knn_bruteforce": Q.knn_bruteforce,
         "knn_ivf": Q.knn_ivf,                                         # rows-only
+        # -- approximate-path recall, driver-checked
+        "lsh_recall_report": Q.lsh_recall_report,     # exact DuckDB oracle
+        "ann_recall_report": Q.ann_recall_report,                     # rows-only
         # -- text analysis
         "token_counts_documents": Q.token_counts_documents,
         "bpeish_token_counts": Q.bpeish_token_counts,
@@ -322,6 +325,40 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < b.vec_id
               AND list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.4""",
+        "lsh_recall_report": """
+            WITH expl AS (
+              SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                     unnest(list_transform(embedding,
+                            e -> CAST(round(e*1000000) AS BIGINT))) AS q
+              FROM embeddings),
+            dots AS (
+              SELECT e.vec_id, j.j,
+                     sum(CASE WHEN ((e.i * (j.j+1) * 2654435761) % 97) % 2 = 0
+                              THEN e.q ELSE -e.q END) AS dot
+              FROM expl e CROSS JOIN
+                   (SELECT unnest(generate_series(0, 15)) AS j) j
+              GROUP BY e.vec_id, j.j),
+            bands AS (
+              SELECT vec_id, (j // 4) AS band,
+                     sum(CASE WHEN dot >= 0 THEN (1::BIGINT << (j % 4))
+                              ELSE 0 END)::BIGINT AS bb
+              FROM dots GROUP BY vec_id, (j // 4)),
+            exact AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+                AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]) >= 0.4),
+            fnd AS (
+              SELECT DISTINCT e.id_a, e.id_b FROM exact e
+              JOIN bands x ON x.vec_id = e.id_a
+              JOIN bands y ON y.vec_id = e.id_b
+                          AND y.band = x.band AND y.bb = x.bb)
+            SELECT 'srp_lsh_4x4' AS method,
+                   (SELECT count(*) FROM exact)::BIGINT AS n_exact,
+                   (SELECT count(*) FROM fnd)::BIGINT AS n_found,
+                   round((SELECT count(*) FROM fnd) * 1.0 /
+                         greatest((SELECT count(*) FROM exact), 1), 6) AS recall""",
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
                        WHERE vec_id IN (0, 1, 2)),

@@ -531,6 +531,104 @@ def embedding_near_dup_lsh(sf_dir: str):
     return embedding_near_dups(ds, cos_threshold=0.4, bits=4)
 
 
+def lsh_recall_report(sf_dir: str):
+    """ORACLE-CHECKED LSH recall: the deterministic SRP bands
+    (similarity.SrpBander — integer-exact, SQL-mirrorable) are joined onto
+    the exact cosine>=0.4 pair set; a pair is 'found' when ANY band matches.
+    Emits ONE row (method, n_exact, n_found, recall) that DuckDB recomputes
+    from scratch — approximate-path recall as a hash-checked quantity, not
+    just a pytest assertion."""
+    from ray.data.aggregate import Sum
+
+    from rayschema.dedup import _proj, embedding_cosine_pairs_exact, round_half_away
+    from rayschema.similarity import SrpBander
+
+    N_BANDS = 4
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    bands = ds.map_batches(SrpBander, batch_format="pyarrow",
+                           concurrency=(1, 8)).materialize()
+    ba = _proj(bands, {"vec_id": "id_a",
+                       **{f"srp_band_{k}": f"a{k}" for k in range(N_BANDS)}})
+    bc = _proj(bands, {"vec_id": "id_b",
+                       **{f"srp_band_{k}": f"c{k}" for k in range(N_BANDS)}})
+    pairs = _proj(embedding_cosine_pairs_exact(ds, threshold=0.4),
+                  {"id_a": "id_a", "id_b": "id_b"})
+    j = (pairs.join(ba, join_type="inner", num_partitions=8, on=("id_a",))
+         .join(bc, join_type="inner", num_partitions=8, on=("id_b",)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        found = np.zeros(b.num_rows, dtype=bool)
+        for k in range(N_BANDS):
+            found |= (b.column(f"a{k}").to_numpy(zero_copy_only=False)
+                      == b.column(f"c{k}").to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array([b.num_rows], type=pa.int64()),
+                         "f": pa.array([int(found.sum())], type=pa.int64())})
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"), Sum("f", alias_name="f")))
+    n = int(agg.get("n") or 0)
+    f = int(agg.get("f") or 0)
+    return pd.DataFrame([{
+        "method": "srp_lsh_4x4",
+        "n_exact": np.int64(n), "n_found": np.int64(f),
+        "recall": float(round_half_away(np.array([f / max(n, 1)]), 6)[0]),
+    }])
+
+
+def ann_recall_report(sf_dir: str):
+    """Rows-only recall panel for the approximate paths, each measured
+    against its own already-oracle-checked exact query: MinHash-LSH vs the
+    exact char-5-gram pairs (doc_id < 300), hyperplane-LSH embedding pairs
+    vs exact cosine, and IVF top-10 vs brute force. Driver work is set
+    intersection over result-sized pair lists only."""
+    from rayschema.dedup import (
+        embedding_cosine_pairs_exact,
+        embedding_near_dups,
+        exact_jaccard_pairs,
+        minhash_near_dups,
+        round_half_away,
+    )
+    from rayschema.similarity import brute_force_topk, ivf_topk
+
+    rows = []
+
+    def add(method, exact_pairs, found_pairs):
+        inter = len(exact_pairs & found_pairs)
+        rows.append({
+            "method": method,
+            "n_exact": np.int64(len(exact_pairs)),
+            "n_found": np.int64(inter),
+            "recall": float(round_half_away(
+                np.array([inter / max(len(exact_pairs), 1)]), 6)[0]),
+        })
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    exact_j = exact_jaccard_pairs(docs, id_limit=300, k=5, threshold=0.5).to_pandas()
+    sub = docs.filter(expr="doc_id < 300")
+    mh = minhash_near_dups(sub, threshold=0.5).to_pandas()
+    add("minhash_lsh_16x4",
+        set(zip(exact_j["id_a"], exact_j["id_b"])),
+        set(zip(mh["id_a"], mh["id_b"])) if len(mh) else set())
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact_c = embedding_cosine_pairs_exact(emb, threshold=0.4).to_pandas()
+    lsh = embedding_near_dups(emb, cos_threshold=0.4, bits=4).to_pandas()
+    add("hyperplane_lsh_4bit",
+        set(zip(exact_c["id_a"], exact_c["id_b"])),
+        set(zip(lsh["id_a"], lsh["id_b"])) if len(lsh) else set())
+
+    q = (emb.filter(expr="vec_id in [0, 1, 2]").to_pandas()
+         .sort_values("vec_id"))
+    queries = np.stack(q["embedding"].to_numpy())
+    bf = brute_force_topk(emb, queries, k=10)
+    ivf = ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=3)
+    add("ivf_nprobe3of8",
+        set(zip(bf["query_id"], bf["vec_id"])),
+        set(zip(ivf["query_id"], ivf["vec_id"])))
+
+    return pd.DataFrame(rows)
+
+
 # --------------------------------------------------------------------------- similarity
 def knn_bruteforce(sf_dir: str):
     """Exact cosine top-10 for 3 fixed query vectors (vec_id 0,1,2)."""

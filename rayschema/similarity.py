@@ -170,3 +170,60 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
     if len(out):
         out["rank"] = out.groupby("query_id").cumcount() + 1
     return out
+
+
+class SrpBander:
+    """Actor stage: DETERMINISTIC sign-random-projection LSH bands over an
+    embedding column — every arithmetic step is SQL-mirrorable, so the
+    driver oracle can recompute the exact same buckets:
+
+    * embeddings quantized to 1e-6 integers (round half-away, DuckDB round
+      semantics) — projections become EXACT integer sums, immune to float
+      summation-order differences between numpy and SQL;
+    * hyperplane j's ±1 pattern is the fixed integer formula
+      ``((i * (j+1) * 2654435761) % 97) % 2`` over 1-based dimension i;
+    * ``bits`` sign bits are packed into ``bits // band_width`` band columns
+      ``srp_band_{k}`` (two vectors are LSH-matched when ANY band is equal).
+
+    The quality trade vs HyperplaneLSH (gaussian planes) is modest — ±1
+    planes are standard SRP — and in exchange the recall of the whole scheme
+    becomes a DuckDB-checkable quantity (queries.lsh_recall_report)."""
+
+    def __init__(self, id_col: str = "vec_id", vec_col: str = "embedding",
+                 bits: int = 16, band_width: int = 4):
+        assert bits % band_width == 0
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.bits = bits
+        self.band_width = band_width
+        self._signs = None   # (bits, dim), built on first batch
+
+    def _get_signs(self, dim: int) -> np.ndarray:
+        if self._signs is None or self._signs.shape[1] != dim:
+            i = np.arange(1, dim + 1, dtype=np.int64)
+            rows = []
+            for j in range(self.bits):
+                rows.append(np.where(((i * (j + 1) * 2654435761) % 97) % 2 == 0,
+                                     1, -1).astype(np.int64))
+            self._signs = np.stack(rows)
+        return self._signs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from rayschema.dedup import round_half_away
+
+        col = batch.column(self.vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = round_half_away(mat * 1e6, 0).astype(np.int64)
+        signs = self._get_signs(mat.shape[1])
+        dots = q @ signs.T                                   # (n, bits) exact
+        n_bands = self.bits // self.band_width
+        out = {self.id_col: batch.column(self.id_col)}
+        for k in range(n_bands):
+            bb = np.zeros(len(mat), dtype=np.int64)
+            for r in range(self.band_width):
+                j = k * self.band_width + r
+                bb |= (dots[:, j] >= 0).astype(np.int64) << r
+            out[f"srp_band_{k}"] = pa.array(bb)
+        return pa.table(out)

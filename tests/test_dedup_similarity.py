@@ -353,6 +353,46 @@ def test_emit_group_pairs_band_salt_varies_split():
         assert set(cc["cluster_id"]) == {7}
 
 
+def test_srp_bander_matches_integer_mirror(ray_session):
+    """SrpBander's bands must equal a from-scratch integer mirror of the
+    documented formula (the same arithmetic the DuckDB oracle runs)."""
+    import ray.data as rd
+
+    from rayschema.dedup import round_half_away
+    from rayschema.similarity import SrpBander
+
+    rng = np.random.default_rng(2)
+    mat = rng.standard_normal((40, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(mat)]
+    out = (rd.from_items(rows)
+           .map_batches(SrpBander, batch_format="pyarrow", concurrency=(1, 2))
+           .to_pandas().sort_values("vec_id"))
+    q = round_half_away(mat.astype(np.float64) * 1e6, 0).astype(np.int64)
+    i = np.arange(1, 17, dtype=np.int64)
+    exp = np.zeros((40, 4), dtype=np.int64)
+    for j in range(16):
+        sign = np.where(((i * (j + 1) * 2654435761) % 97) % 2 == 0, 1, -1)
+        dot = (q * sign[None, :]).sum(axis=1)
+        exp[:, j // 4] |= (dot >= 0).astype(np.int64) << (j % 4)
+    for k in range(4):
+        assert (out[f"srp_band_{k}"].to_numpy() == exp[:, k]).all(), k
+
+
+def test_recall_reports_shape(ray_session):
+    """Both recall reports run end-to-end on the smallest testdata and emit
+    the (method, n_exact, n_found, recall) schema with recall in [0, 1]."""
+    from rayschema.queries import ann_recall_report, lsh_recall_report
+
+    sf = "/root/testdata/sf0.001"
+    lr = lsh_recall_report(sf)
+    ar = ann_recall_report(sf)
+    for df in (lr, ar):
+        assert list(df.columns) == ["method", "n_exact", "n_found", "recall"]
+        assert ((df["recall"] >= 0) & (df["recall"] <= 1)).all()
+        assert (df["n_found"] <= df["n_exact"]).all()
+    assert len(lr) == 1 and len(ar) == 3
+
+
 def test_connected_components():
     from rayschema.dedup import connected_components
 
