@@ -39,6 +39,108 @@ def suggest_batch_size(avg_payload_bytes: int, budget_bytes: int = 256 << 20,
     return max(1, min(4096, per_actor // max(1, avg_payload_bytes)))
 
 
+def _pnm_tokens(buf: bytes, n: int):
+    """First ``n`` whitespace-separated ASCII tokens of a PNM header
+    (skipping ``#`` comments); returns (tokens, offset past the single
+    whitespace byte that terminates the header)."""
+    toks, i, L = [], 2, len(buf)          # skip the 2-byte magic
+    while len(toks) < n:
+        while i < L and buf[i:i + 1].isspace():
+            i += 1
+        if i < L and buf[i] == 0x23:      # '#' comment to end of line
+            while i < L and buf[i] not in (0x0A, 0x0D):
+                i += 1
+            continue
+        j = i
+        while j < L and not buf[j:j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        toks.append(int(buf[i:j]))
+        i = j
+    return toks, i + 1                    # single whitespace ends the header
+
+
+def decode_ppm(payload: bytes) -> Dict[str, np.ndarray]:
+    """Pure-numpy binary PPM (P6, RGB) / PGM (P5, gray) decoder — a REAL
+    image codec with no external library. Returns the pipeline contract:
+    ``tensor`` (h, w) float32 luminance in [0, 1] (channel mean for RGB),
+    plus ``rgb`` (h, w, 3) uint8 for P6. maxval up to 255 supported."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5"):
+        raise ValueError(f"not a binary PPM/PGM payload: {magic!r}")
+    (w, h, maxval), off = _pnm_tokens(payload, 3)
+    if maxval <= 0 or maxval > 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    ch = 3 if magic == b"P6" else 1
+    need = w * h * ch
+    data = np.frombuffer(payload, dtype=np.uint8, count=need, offset=off)
+    if ch == 3:
+        rgb = data.reshape(h, w, 3)
+        tensor = (rgb.astype(np.float32).mean(axis=2) / maxval)
+        return {"tensor": tensor, "rgb": rgb, "n_frames": np.int32(1)}
+    gray = data.reshape(h, w)
+    return {"tensor": gray.astype(np.float32) / maxval,
+            "n_frames": np.int32(1)}
+
+
+def encode_ppm(rgb: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary P6 bytes (test/synth counterpart of
+    decode_ppm)."""
+    h, w = rgb.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.ascontiguousarray(rgb, dtype=np.uint8).tobytes()
+
+
+def decode_bmp(payload: bytes) -> Dict[str, np.ndarray]:
+    """Pure-numpy uncompressed 24-bit BMP decoder (BITMAPINFOHEADER,
+    bottom-up or top-down rows, 4-byte row padding). Same output contract as
+    decode_ppm."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size = struct.unpack_from("<I", payload, 14)[0]
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp})")
+    h = abs(h_raw)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    bgr = rows[:, :w * 3].reshape(h, w, 3)
+    if h_raw > 0:
+        bgr = bgr[::-1]                   # bottom-up storage
+    rgb = bgr[:, :, ::-1]
+    tensor = rgb.astype(np.float32).mean(axis=2) / 255.0
+    return {"tensor": tensor, "rgb": rgb, "n_frames": np.int32(1)}
+
+
+def decode_image(payload: bytes, kind: str = "image") -> Dict[str, np.ndarray]:
+    """Magic-sniffing image decode: PPM/PGM or BMP — the engine's REAL image
+    path (no codec library needed)."""
+    if payload[:2] in (b"P6", b"P5"):
+        return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    raise ValueError(f"unrecognized image payload magic {payload[:2]!r}")
+
+
+def default_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
+    """The engine's default codec table: IMAGES decode for real
+    (PPM/PGM/BMP via numpy); audio/video fall back to the deterministic fake
+    (their codec libraries are not in this container — the documented stub
+    boundary)."""
+    if kind == "image":
+        return decode_image(payload, kind)
+    return fake_decode(payload, kind)
+
+
 def fake_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
     """Deterministic fake decoder: derives a tiny 'pixel'/'sample' tensor from
     the payload digest — stands in for PIL/libav so plumbing is testable."""
@@ -277,15 +379,26 @@ def write_media_features(ds, out_dir: str):
 
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic fake media table matching MEDIA_SCHEMA (tests/bench)."""
+    """Deterministic media table matching MEDIA_SCHEMA (tests/bench).
+    IMAGE rows carry REAL binary PPM payloads (decoded end-to-end by
+    decode_ppm — no fake codec on the image path); audio/video rows carry
+    opaque bytes for the stubbed codecs."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[rng.integers(0, 3, n)]
-    payloads = [rng.integers(0, 256, int(ln), dtype=np.uint8).tobytes()
-                for ln in rng.integers(64, 4096, n)]
+    payloads, mimes = [], []
+    for k in kinds:
+        if k == "image":
+            payloads.append(encode_ppm(
+                rng.integers(0, 256, (4, 8, 3), dtype=np.uint8)))
+            mimes.append("image/x-portable-pixmap")
+        else:
+            payloads.append(rng.integers(0, 256, int(rng.integers(64, 4096)),
+                                         dtype=np.uint8).tobytes())
+            mimes.append("application/octet-stream")
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "kind": pa.array(kinds, type=pa.string()),
-        "mime": pa.array(["application/octet-stream"] * n),
+        "mime": pa.array(mimes, type=pa.string()),
         "payload": pa.array(payloads, type=pa.large_binary()),
         "width": pa.array(np.where(kinds == "image", 8, -1).astype(np.int32)),
         "height": pa.array(np.where(kinds == "image", 4, -1).astype(np.int32)),

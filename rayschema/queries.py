@@ -1102,16 +1102,18 @@ def schema_docs_analysis(sf_dir: str):
 
 
 def multimodal_features(sf_dir: str):
-    """Binary media plumbing demo: synthetic media table -> actor-pool decode
-    (deterministic fake codec) -> feature columns (rows-only check)."""
+    """Binary media pipeline: synthetic media table -> actor-pool decode ->
+    feature columns (rows-only check). IMAGE rows run a REAL decode
+    (pure-numpy binary PPM, multimodal.decode_ppm); audio/video use the
+    documented deterministic stand-in (codec libs absent)."""
     import ray.data as rd
 
-    from rayschema.multimodal import MediaFeatureStage, fake_decode, synth_media_table
+    from rayschema.multimodal import MediaFeatureStage, default_decode, synth_media_table
 
     t = synth_media_table(256)
     ds = rd.from_arrow(t)
     return ds.map_batches(MediaFeatureStage,
-                          fn_constructor_kwargs=dict(decode_fn=fake_decode),
+                          fn_constructor_kwargs=dict(decode_fn=default_decode),
                           batch_format="pyarrow", batch_size=64,
                           concurrency=(1, 2)) \
              .select_columns(["media_id", "kind", "payload_sha256",
@@ -1119,15 +1121,16 @@ def multimodal_features(sf_dir: str):
 
 
 def multimodal_pipeline(sf_dir: str):
-    """Kind-routed media pipeline: image resize / audio framing / video frame
-    sampling as separate actor-pool stages, unioned (rows-only check)."""
+    """Kind-routed media pipeline: image resize (REAL PPM decode) / audio
+    framing / video frame sampling as separate actor-pool stages, unioned
+    (rows-only check)."""
     import ray.data as rd
 
     from rayschema.multimodal import (
-        fake_decode,
+        default_decode,
         media_feature_pipeline,
         synth_media_table,
     )
 
     ds = rd.from_arrow(synth_media_table(256))
-    return media_feature_pipeline(ds, decode_fn=fake_decode, concurrency=(1, 2))
+    return media_feature_pipeline(ds, decode_fn=default_decode, concurrency=(1, 2))

@@ -98,3 +98,88 @@ def test_media_pipeline_and_partitioned_sink(ray_session, tmp_path):
         str(tmp_path / "media_feats"))
     kinds_on_disk = {d for d in os.listdir(out_dir) if d.startswith("kind=")}
     assert kinds_on_disk == {"kind=image", "kind=audio", "kind=video"}
+
+
+def test_decode_ppm_golden():
+    """Handcrafted 2x2 P6 image: decoded bytes must match exactly,
+    luminance = channel mean / 255."""
+    from rayschema.multimodal import decode_ppm
+
+    rgb = np.array([[[255, 0, 0], [0, 255, 0]],
+                    [[0, 0, 255], [30, 60, 90]]], dtype=np.uint8)
+    payload = b"P6\n# a comment\n2 2\n255\n" + rgb.tobytes()
+    got = decode_ppm(payload)
+    assert (got["rgb"] == rgb).all()
+    exp = rgb.astype(np.float32).mean(axis=2) / 255.0
+    assert np.allclose(got["tensor"], exp)
+    assert got["tensor"].shape == (2, 2)
+
+
+def test_decode_pgm_and_roundtrip():
+    from rayschema.multimodal import decode_ppm, encode_ppm
+
+    g = np.array([[0, 128], [200, 255]], dtype=np.uint8)
+    p5 = b"P5\n2 2\n255\n" + g.tobytes()
+    got = decode_ppm(p5)
+    assert np.allclose(got["tensor"], g.astype(np.float32) / 255.0)
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    rt = decode_ppm(encode_ppm(rgb))
+    assert (rt["rgb"] == rgb).all()
+
+
+def test_decode_bmp_golden():
+    """Minimal bottom-up 24-bit BMP (2x2, stride padding) decodes to the
+    expected RGB."""
+    import struct
+
+    from rayschema.multimodal import decode_bmp
+
+    # rows stored bottom-up as BGR with 2-byte padding (stride 8)
+    top = [(255, 0, 0), (0, 255, 0)]      # RGB of visual top row
+    bot = [(0, 0, 255), (10, 20, 30)]
+    def row(pix):
+        return b"".join(bytes([b, g, r]) for r, g, b in pix) + b"\x00\x00"
+    pixeldata = row(bot) + row(top)       # bottom-up
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(pixeldata), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixeldata),
+                      2835, 2835, 0, 0)
+    got = decode_bmp(header + dib + pixeldata)
+    assert got["rgb"].shape == (2, 2, 3)
+    assert tuple(got["rgb"][0, 0]) == (255, 0, 0)
+    assert tuple(got["rgb"][0, 1]) == (0, 255, 0)
+    assert tuple(got["rgb"][1, 1]) == (10, 20, 30)
+
+
+def test_real_image_decode_end_to_end(ray_session):
+    """multimodal_features runs the REAL PPM decode for every image row of
+    the synthetic table (no fake codec on the image path): feat_mean must
+    equal the luminance mean of the actual pixels."""
+    import ray.data as rd
+
+    from rayschema.multimodal import (
+        MediaFeatureStage,
+        decode_ppm,
+        default_decode,
+        synth_media_table,
+    )
+
+    t = synth_media_table(64)
+    out = (rd.from_arrow(t)
+           .map_batches(MediaFeatureStage,
+                        fn_constructor_kwargs=dict(decode_fn=default_decode),
+                        batch_format="pyarrow", batch_size=16,
+                        concurrency=(1, 2))
+           .to_pandas().set_index("media_id"))
+    payloads = dict(zip(t.column("media_id").to_pylist(),
+                        t.column("payload").to_pylist()))
+    kinds = dict(zip(t.column("media_id").to_pylist(),
+                     t.column("kind").to_pylist()))
+    n_img = 0
+    for mid, k in kinds.items():
+        if k != "image":
+            continue
+        n_img += 1
+        exp = float(decode_ppm(payloads[mid])["tensor"].mean())
+        assert abs(out.loc[mid, "feat_mean"] - exp) < 1e-6
+        assert out.loc[mid, "feat_dim"] == 32   # 4x8 luminance tensor
+    assert n_img > 10
