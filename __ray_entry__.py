@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionization": Q.events_sessionization,
         "customer_running_totals": Q.customer_running_totals,
         "salted_lang_chars": Q.salted_lang_chars,
+        # -- drift (freq-L1 rule, integer-exact driver check)
+        "drift_lang_by_source": Q.drift_lang_by_source,
         # -- dynamic JSON column validation
         "validate_events_props": Q.validate_events_props,
         # -- schema documents as data (distributed serde + analysis)
@@ -482,6 +484,28 @@ def oracle_sql() -> dict[str, str]:
         "salted_lang_chars": """
             SELECT lang, sum(n_chars)::BIGINT AS sum_chars
             FROM documents GROUP BY lang""",
+        "drift_lang_by_source": """
+            WITH t AS (SELECT COALESCE(source, '__null__') AS source,
+                              COALESCE(lang, '__null__') AS lang
+                       FROM documents),
+            n AS (SELECT count(*) AS N FROM t),
+            b AS (SELECT lang, count(*) AS bn FROM t GROUP BY lang),
+            s AS (SELECT source, count(*) AS ns FROM t GROUP BY source),
+            c AS (SELECT source, lang, count(*) AS cn
+                  FROM t GROUP BY source, lang),
+            grid AS (
+              SELECT s.source, b.lang, b.bn, s.ns, COALESCE(c.cn, 0) AS cn
+              FROM s CROSS JOIN b
+              LEFT JOIN c ON c.source = s.source AND c.lang = b.lang),
+            l AS (
+              SELECT source,
+                     CAST(sum(abs(cn * (SELECT N FROM n) - bn * ns)) AS BIGINT)
+                       AS l1_num,
+                     CAST(min(ns) * (SELECT N FROM n) AS BIGINT) AS denom
+              FROM grid GROUP BY source)
+            SELECT source, l1_num, denom,
+                   (10 * l1_num > denom) AS drifted
+            FROM l""",
         "validate_events_props": """
             SELECT event_id,
                    CASE WHEN props IS NULL THEN TRUE  -- null doc = absent (engine convention)

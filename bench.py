@@ -219,6 +219,89 @@ def run_scaling() -> dict:
     }
 
 
+def run_dedup_scale() -> dict:
+    """Corpus-size scaling probe for the distributed dedup paths (BASELINE.md
+    flat-in-corpus-size claim): times minhash near-dup + exact dedup at sf0.1
+    (2M docs) and at a synthesized sf0.2 (4M docs), reporting the wall-time
+    growth ratio vs the 2.0x data growth.
+
+    sf0.2 = sf0.1 ∪ reversed-text copy with shifted ids: reversing is a
+    bijection on texts (per-copy duplicate structure is preserved exactly)
+    while forward and reversed 5-gram shingles do not collide, so cluster
+    COUNT doubles but cluster sizes do not — the realistic way a crawl
+    doubles. A ratio well under 2.0 demonstrates the fixed shuffle latencies
+    amortizing; near 2.0 is linear scaling; above 2.0 would be superlinear
+    (a red flag)."""
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    os.environ.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayschema import queries as Q
+
+    sf02 = os.path.join(BENCH_ROOT, "sf0.2")
+    marker = os.path.join(sf02, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(sf02, ignore_errors=True)
+        os.makedirs(os.path.join(sf02, "documents.parquet"), exist_ok=True)
+        src = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                              columns=["doc_id", "text"])
+
+        def second_copy(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = [None if t is None else t[::-1]
+                     for t in b.column("text").to_pylist()]
+            return pa.table({
+                "doc_id": pa.array(ids + 10_000_000),
+                "text": pa.array(texts, type=pa.large_string()),
+            })
+
+        def first_copy(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "text": b.column("text").cast(pa.large_string()),
+            })
+
+        (src.map_batches(first_copy, batch_format="pyarrow")
+         .union(src.map_batches(second_copy, batch_format="pyarrow"))
+         .write_parquet(os.path.join(sf02, "documents.parquet"),
+                        mode="overwrite"))
+        open(marker, "w").write("ok")
+
+    # warm both corpora (untimed)
+    rd.read_parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    rd.read_parquet(os.path.join(sf02, "documents.parquet")).count()
+
+    out: dict = {"metric": "dedup wall-time growth for 2x corpus "
+                           "(sf0.1 -> sf0.2), best-of-2 each",
+                 "unit": "ratio", "num_cpus": NUM_CPUS}
+    for qname, fn in [("minhash_near_dup", Q.minhash_near_dup_documents),
+                      ("exact_dedup", Q.exact_dedup_documents)]:
+        per = {}
+        for tag, d in [("sf0.1", SF_DIR), ("sf0.2", sf02)]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                r = fn(d)
+                if hasattr(r, "to_pandas"):
+                    r.to_pandas()
+                best = min(best, time.time() - t0)
+            per[tag] = round(best, 3)
+        per["growth_ratio_for_2x_data"] = round(per["sf0.2"] / per["sf0.1"], 3)
+        out[qname] = per
+    ray.shutdown()
+    return out
+
+
 def run_serde_bench(reps: int = 200) -> dict:
     """Serde micro-bench, the mirror of the reference's typed-vs-raw
     un/marshal benchmarks over the draft-07 meta-schema
@@ -260,5 +343,7 @@ if __name__ == "__main__":
         print(json.dumps(run_stage1_bench()))
     elif "--serde" in sys.argv:
         print(json.dumps(run_serde_bench()))
+    elif "--dedup-scale" in sys.argv:
+        print(json.dumps(run_dedup_scale()))
     else:
         print(json.dumps(run_bench()))

@@ -1072,6 +1072,53 @@ def salted_lang_chars(sf_dir: str):
     return out[["lang", "sum_chars"]]
 
 
+def drift_lang_by_source(sf_dir: str):
+    """Distribution drift as a driver-checked query: each ``source``
+    partition's lang-frequency vector vs the whole-corpus baseline, the
+    drift family's freq-L1 rule (drift.compare) in EXACT INTEGER form so
+    DuckDB reproduces it bit-for-bit:
+
+        l1 = sum_k |c_k/n_s - b_k/N|  ==  l1_num / denom,
+        l1_num = sum_k |c_k*N - b_k*n_s|,  denom = n_s*N,
+        drifted  <=>  l1 > 0.1  <=>  10*l1_num > denom.
+
+    The shuffle moves only (source, lang, partial n) — the classic
+    pre-aggregated combine; the final grid is (sources x langs), tiny."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"source": b.column("source").to_pandas(),
+                           "lang": b.column("lang").to_pandas()})
+        df["source"] = df["source"].fillna("__null__")
+        df["lang"] = df["lang"].fillna("__null__")
+        g = df.groupby(["source", "lang"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["source", "lang"])
+              .aggregate(Sum("n", alias_name="n"))
+              .to_pandas())
+    N = int(counts["n"].sum())
+    base = counts.groupby("lang")["n"].sum().astype(np.int64)
+    per_src = counts.groupby("source")["n"].sum().astype(np.int64)
+    cell = counts.set_index(["source", "lang"])["n"]
+    rows = []
+    for src in sorted(per_src.index):
+        ns = int(per_src[src])
+        l1_num = 0
+        for lang, bn in base.items():
+            cn = int(cell.get((src, lang), 0))
+            l1_num += abs(cn * N - int(bn) * ns)
+        denom = ns * N
+        rows.append({"source": src, "l1_num": np.int64(l1_num),
+                     "denom": np.int64(denom),
+                     "drifted": bool(10 * l1_num > denom)})
+    return pd.DataFrame(rows)
+
+
 PROPS_SCHEMA_JSON = """{
  "type": "object", "required": ["k"],
  "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 50}}

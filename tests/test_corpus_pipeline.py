@@ -188,3 +188,31 @@ def test_per_partition_drift_snapshot(pipeline_run):
     cur["per_partition"][sid] = {q: v * 2 for q, v in cur["per_partition"][sid].items()}
     r = compare(baseline, cur)
     assert r["drifted"] and sid in r["per_partition_drift"]
+
+
+def test_drift_query_matches_compare_rule(ray_session):
+    """drift_lang_by_source's integer drift rule must agree with
+    drift.compare's float freq-L1 verdict (freq_tol=0.1) on every source."""
+    import pyarrow.parquet as pq
+
+    from rayschema.queries import drift_lang_by_source
+
+    sf = "/root/testdata/sf0.001"
+    out = drift_lang_by_source(sf).set_index("source")
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["source", "lang"]).to_pandas()
+    docs["source"] = docs["source"].fillna("__null__")
+    docs["lang"] = docs["lang"].fillna("__null__")
+    base = docs["lang"].value_counts(normalize=True).to_dict()
+    for src, grp in docs.groupby("source"):
+        cur = grp["lang"].value_counts(normalize=True).to_dict()
+        verdict = compare({"freq": base, "quantiles": {}},
+                          {"freq": cur, "quantiles": {}}, freq_tol=0.1)
+        got = bool(out.loc[src, "drifted"])
+        # integer rule is exact; compare() floats can only disagree within
+        # rounding of an l1 EXACTLY equal to 0.1 — assert the l1s match first
+        l1 = out.loc[src, "l1_num"] / out.loc[src, "denom"]
+        # compare() reports freq_l1 rounded to 4 decimals
+        assert abs(l1 - verdict["freq_l1"]) < 1e-4, src
+        if abs(l1 - 0.1) > 1e-4:
+            assert got == verdict["drifted"], src
