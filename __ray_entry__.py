@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_count": Q.orders_priority_count,
         # -- joins / windows / skew
         "order_revenue_join": Q.order_revenue_join,
+        "events_orders_asof": Q.events_orders_asof,
         "events_sessionization": Q.events_sessionization,
         "customer_running_totals": Q.customer_running_totals,
         "salted_lang_chars": Q.salted_lang_chars,
@@ -459,6 +460,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_items
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
             GROUP BY o.o_orderpriority""",
+        "events_orders_asof": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     epoch_us(TIMESTAMP '1995-01-01')
+                       + (epoch_us(ts) % (epoch_us(TIMESTAMP '2001-08-02')
+                                          - epoch_us(TIMESTAMP '1995-01-01')))
+                       AS cut_us
+              FROM events),
+            j AS (
+              SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rk
+              FROM e LEFT JOIN orders o
+                ON o.o_custkey = e.user_id
+               AND epoch_us(o.o_orderdate) <= e.cut_us)
+            SELECT event_id, o_orderkey AS asof_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS asof_price_cents
+            FROM j WHERE rk = 1""",
         "events_sessionization": """
             WITH g AS (
               SELECT user_id, ts, value,

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import logging
 import re
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 import pandas as pd
@@ -367,7 +367,8 @@ def _emit_group_pairs(ids: np.ndarray, max_group: int = 256,
 
 def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema,
                       group_filter=None, block_fn=None, extra_emit=None,
-                      sort_blocks: Optional[int] = None):
+                      sort_blocks: Optional[int] = None,
+                      order_cols: Sequence[str] = ()):
     """The engine's shared bucketed-scan primitive: ONE global sort of ``ds``
     by ``key_cols`` (numeric columns — the cheapest all-to-all for narrow
     rows, measured ~4x faster than Ray's sort-based groupby + per-group
@@ -400,12 +401,18 @@ def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema,
     bitmap chunk) back to the driver ON the existing residual pull — no extra
     Dataset execution. The return value becomes (out, [payload, ...]).
 
+    ``order_cols`` adds WITHIN-GROUP ordering: the sort key is
+    key_cols + order_cols but group boundaries are still key_cols only, so
+    a group's rows arrive time-ordered (the as-of join / sessionization
+    shape). The driver residual re-sort honors the same ordering.
+
     Used by the MinHash band buckets, SimHash bands, embedding-LSH buckets,
     and both co-location stages of the fused near-dup verify."""
     import ray.data as rd
     from ray.data import DataContext
 
     key_cols = list(key_cols)
+    order_cols = list(order_cols)
     out_names = [f.name for f in out_schema]
 
     def _empty_mixed(in_schema: pa.Schema) -> pa.Table:
@@ -481,7 +488,7 @@ def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema,
     prev_polars = getattr(ctx, "use_polars_sort", False)
     ctx.use_polars_sort = True
     try:
-        srt = ds.sort(key_cols)
+        srt = ds.sort(key_cols + order_cols)
         if sort_blocks:
             # Ray's sort emits as many blocks as its input had; a small input
             # (one block) would make the scan SERIAL. The order-preserving
@@ -511,8 +518,9 @@ def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema,
     if resid_tbl.num_rows:
         rt = pa.table({n[4:]: resid_tbl.column(n).combine_chunks()
                        for n in resid_tbl.schema.names if n.startswith("_in_")})
-        karrs = [rt.column(k).to_numpy(zero_copy_only=False) for k in key_cols]
-        order = np.lexsort(karrs[::-1])
+        sarrs = [rt.column(k).to_numpy(zero_copy_only=False)
+                 for k in key_cols + order_cols]
+        order = np.lexsort(sarrs[::-1])
         rt = rt.take(pa.array(order))
         karrs = [rt.column(k).to_numpy(zero_copy_only=False) for k in key_cols]
         m = rt.num_rows

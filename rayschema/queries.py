@@ -1004,6 +1004,54 @@ def order_revenue_join(sf_dir: str):
                        Sum("n_items", alias_name="n_items")))
 
 
+def events_orders_asof(sf_dir: str):
+    """AS-OF JOIN (backward, inclusive): each event looks up the LATEST
+    order of its user at-or-before the event's cut time — the point-in-time
+    feature-lookup primitive Ray Data lacks natively (rayschema.joins.
+    asof_join: one union + one key/time sort, vectorized running-max match).
+    Because the synthetic order dates (1995-2001) all precede the event
+    timestamps (2024), the cut time is derived deterministically from the
+    event ts MAPPED INTO the order-date window (pure epoch-µs arithmetic,
+    mirrored exactly in SQL) so matches genuinely vary per event. Ties on
+    order date break to the max orderkey. LEFT semantics: events whose cut
+    precedes their user's first order keep null order columns."""
+    from rayschema.joins import asof_join
+
+    BASE = pd.Timestamp("1995-01-01").value // 1000
+    SPAN = pd.Timestamp("2001-08-02").value // 1000 - BASE
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep_e(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": b.column("user_id").cast(pa.int64()),
+            "cut_us": pa.array(BASE + (ts % SPAN)),
+            "event_id": b.column("event_id").cast(pa.int64()),
+        })
+
+    od = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "k": b.column("o_custkey").cast(pa.int64()),
+            "ots_us": b.column("o_orderdate").cast(pa.int64()),
+            "asof_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "asof_price_cents": pa.array(_cents(
+                b.column("o_totalprice").to_pandas())),
+        })
+
+    return asof_join(
+        ev.map_batches(prep_e, batch_format="pyarrow"),
+        od.map_batches(prep_o, batch_format="pyarrow"),
+        key_col="k", left_ts_col="cut_us", right_ts_col="ots_us",
+        left_keep={"event_id": pa.int64()},
+        right_keep={"asof_orderkey": pa.int64(),
+                    "asof_price_cents": pa.int64()},
+        tie_col="asof_orderkey")
+
+
 def events_sessionization(sf_dir: str):
     """Session windows per user (gap > 30 min closes a session): sort within
     each user group, cumulative gap-split, one output row per session.
