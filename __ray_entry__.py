@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- joins / windows / skew
         "order_revenue_join": Q.order_revenue_join,
         "events_orders_asof": Q.events_orders_asof,
+        "events_orders_range": Q.events_orders_range,
         "events_sessionization": Q.events_sessionization,
         "customer_running_totals": Q.customer_running_totals,
         "salted_lang_chars": Q.salted_lang_chars,
@@ -479,6 +480,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, o_orderkey AS asof_orderkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS asof_price_cents
             FROM j WHERE rk = 1""",
+        "events_orders_range": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     epoch_us(TIMESTAMP '1995-01-01')
+                       + (epoch_us(ts) % (epoch_us(TIMESTAMP '2001-08-02')
+                                          - epoch_us(TIMESTAMP '1995-01-01')))
+                       AS cut_us
+              FROM events)
+            SELECT e.event_id, o.o_orderkey AS range_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                     AS range_price_cents
+            FROM e JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND e.cut_us BETWEEN epoch_us(o.o_orderdate)
+                              AND epoch_us(o.o_orderdate)
+                                  + 180 * 86400 * 1000000::BIGINT""",
         "events_sessionization": """
             WITH g AS (
               SELECT user_id, ts, value,

@@ -117,3 +117,114 @@ def asof_join(left, right, key_col: str, left_ts_col: str, right_ts_col: str,
                              group_filter=has_lefts, block_fn=block_fn,
                              sort_blocks=sort_blocks,
                              order_cols=["_t_asof", "_kind_asof", "_tie_asof"])
+
+
+def _range_kernel(tbl: pa.Table, starts: np.ndarray, ends: np.ndarray,
+                  want: np.ndarray, left_cols: Sequence[str],
+                  right_cols: Sequence[str]) -> Optional[pa.Table]:
+    """Sweep-line over one sorted block: rows ordered by (key, t, kind, iid)
+    with kind 0 = interval OPEN, 1 = left point, 2 = interval CLOSE. The
+    active-interval dict resets per group; output is one row per
+    (left point, open interval) pair."""
+    kind = tbl.column("_kind_rj").to_numpy(zero_copy_only=False)
+    iid = tbl.column("_iid_rj").to_numpy(zero_copy_only=False)
+    out_l, out_r = [], []
+    for gi in np.flatnonzero(want):
+        active: dict = {}
+        for pos in range(int(starts[gi]), int(ends[gi])):
+            k = kind[pos]
+            if k == 0:
+                active[iid[pos]] = pos
+            elif k == 2:
+                active.pop(iid[pos], None)
+            else:
+                for rp in active.values():
+                    out_l.append(pos)
+                    out_r.append(rp)
+    if not out_l:
+        return None
+    li = pa.array(np.asarray(out_l, dtype=np.int64))
+    ri = pa.array(np.asarray(out_r, dtype=np.int64))
+    cols = {}
+    for c in left_cols:
+        cols[c] = tbl.column(c).take(li)
+    for c in right_cols:
+        cols[c] = tbl.column(c).take(ri)
+    return pa.table(cols)
+
+
+def range_join(left, right, key_col: str, left_ts_col: str,
+               right_start_col: str, right_end_col: str, right_id_col: str,
+               left_keep: Dict[str, pa.DataType],
+               right_keep: Dict[str, pa.DataType], sort_blocks: int = 32):
+    """INTERVAL (range) join — the second custom join Ray Data lacks: emit
+    one row per (left row, right interval) where the left timestamp falls in
+    the right row's CLOSED interval [start, end], same key.
+
+    Ray-Data-first shape: each right row explodes into an OPEN event at
+    ``start`` and a CLOSE event at ``end``, unioned with the left points,
+    then ONE key+time sort (sorted_group_scan order_cols) feeds a sweep-line
+    kernel that maintains the per-key active-interval set — O(rows + output)
+    instead of the O(lefts x rights-per-key) nested loop. Event order at
+    equal timestamps (open < point < close) makes both bounds inclusive.
+    ``right_id_col`` must identify right rows uniquely per key (it pairs
+    each CLOSE with its OPEN). INNER semantics: lefts inside no interval
+    emit nothing. Timestamps int64 (e.g. epoch microseconds)."""
+    lk, rk = dict(left_keep), dict(right_keep)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "_k_rj": b.column(key_col).cast(pa.int64()),
+            "_t_rj": b.column(left_ts_col).cast(pa.int64()),
+            "_kind_rj": pa.array(np.ones(n, dtype=np.int8)),
+            "_iid_rj": pa.array(np.zeros(n, dtype=np.int64)),
+        }
+        for c, t in lk.items():
+            cols[c] = b.column(c).cast(t)
+        for c, t in rk.items():
+            cols[c] = pa.nulls(n, t)
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        k = b.column(key_col).cast(pa.int64())
+        iid = b.column(right_id_col).cast(pa.int64())
+        t0 = b.column(right_start_col).cast(pa.int64())
+        t1 = b.column(right_end_col).cast(pa.int64())
+        base = {c: b.column(c).cast(t) for c, t in rk.items()}
+        opens = {"_k_rj": k, "_t_rj": t0,
+                 "_kind_rj": pa.array(np.zeros(n, dtype=np.int8)),
+                 "_iid_rj": iid}
+        closes = {"_k_rj": k, "_t_rj": t1,
+                  "_kind_rj": pa.array(np.full(n, 2, dtype=np.int8)),
+                  "_iid_rj": iid}
+        for c, t in lk.items():
+            opens[c] = pa.nulls(n, t)
+            closes[c] = pa.nulls(n, t)
+        for c, t in rk.items():
+            opens[c] = base[c]
+            closes[c] = pa.nulls(n, t)     # payload rides the OPEN only
+        return pa.concat_tables([pa.table(opens), pa.table(closes)])
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow"))
+    out_schema = pa.schema([(c, t) for c, t in {**lk, **rk}.items()])
+
+    def block_fn(b, starts, ends, want):
+        return _range_kernel(b, starts, ends, want, list(lk), list(rk))
+
+    def group_fn(t: pa.Table) -> Optional[pa.Table]:
+        n = t.num_rows
+        return _range_kernel(t, np.array([0]), np.array([n]),
+                             np.array([True]), list(lk), list(rk))
+
+    def has_lefts(b: pa.Table, starts, ends) -> np.ndarray:
+        is_left = (b.column("_kind_rj").to_numpy(zero_copy_only=False)
+                   == 1).astype(np.int64)
+        return np.add.reduceat(is_left, starts) > 0
+
+    return sorted_group_scan(tagged, ["_k_rj"], group_fn, out_schema,
+                             group_filter=has_lefts, block_fn=block_fn,
+                             sort_blocks=sort_blocks,
+                             order_cols=["_t_rj", "_kind_rj", "_iid_rj"])

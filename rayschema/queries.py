@@ -1052,6 +1052,55 @@ def events_orders_asof(sf_dir: str):
         tie_col="asof_orderkey")
 
 
+def events_orders_range(sf_dir: str):
+    """RANGE (interval) join: each event matched to EVERY order of its user
+    whose 180-day window [o_orderdate, o_orderdate + 180d] contains the
+    event's cut time (same deterministic cut mapping as events_orders_asof).
+    rayschema.joins.range_join: one union + one key/time sort + a sweep-line
+    kernel over per-key open intervals — O(rows + output), not a nested
+    loop. INNER semantics; mirrored by a DuckDB BETWEEN join."""
+    from rayschema.joins import range_join
+
+    BASE = pd.Timestamp("1995-01-01").value // 1000
+    SPAN = pd.Timestamp("2001-08-02").value // 1000 - BASE
+    WIN_US = 180 * 86_400_000_000
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def prep_e(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": b.column("user_id").cast(pa.int64()),
+            "cut_us": pa.array(BASE + (ts % SPAN)),
+            "event_id": b.column("event_id").cast(pa.int64()),
+        })
+
+    od = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep_o(b: pa.Table) -> pa.Table:
+        start = b.column("o_orderdate").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": b.column("o_custkey").cast(pa.int64()),
+            "start_us": pa.array(start),
+            "end_us": pa.array(start + WIN_US),
+            "range_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "range_price_cents": pa.array(_cents(
+                b.column("o_totalprice").to_pandas())),
+        })
+
+    return range_join(
+        ev.map_batches(prep_e, batch_format="pyarrow"),
+        od.map_batches(prep_o, batch_format="pyarrow"),
+        key_col="k", left_ts_col="cut_us",
+        right_start_col="start_us", right_end_col="end_us",
+        right_id_col="range_orderkey",
+        left_keep={"event_id": pa.int64()},
+        right_keep={"range_orderkey": pa.int64(),
+                    "range_price_cents": pa.int64()})
+
+
 def events_sessionization(sf_dir: str):
     """Session windows per user (gap > 30 min closes a session): sort within
     each user group, cumulative gap-split, one output row per session.

@@ -80,3 +80,31 @@ def test_asof_join_all_unmatched(ray_session):
         tie_col="rid").to_pandas()
     assert len(got) == 2
     assert got["rid"].isna().all()
+
+
+def test_range_join_matches_bruteforce(ray_session, asof_data):
+    import ray.data as rd
+
+    from rayschema.joins import range_join
+
+    left, right = asof_data
+    r = right.copy()
+    r["rt_end"] = r["rt"] + 50      # closed 50-tick windows
+    lds = rd.from_arrow(pa.Table.from_pandas(left, preserve_index=False)) \
+        .repartition(8)
+    rds = rd.from_arrow(pa.Table.from_pandas(r, preserve_index=False)) \
+        .repartition(8)
+    got = range_join(lds, rds, key_col="k", left_ts_col="lt",
+                     right_start_col="rt", right_end_col="rt_end",
+                     right_id_col="rid",
+                     left_keep={"lid": pa.int64()},
+                     right_keep={"rid": pa.int64(), "payload": pa.int64()}) \
+        .to_pandas()
+    exp = left.merge(r, on="k")
+    exp = exp[(exp["lt"] >= exp["rt"]) & (exp["lt"] <= exp["rt_end"])]
+    got_set = set(zip(got["lid"], got["rid"], got["payload"]))
+    exp_set = set(zip(exp["lid"], exp["rid"], exp["payload"]))
+    assert len(got) == len(exp)
+    assert got_set == exp_set
+    # closed-bound edges: an interval starting or ending exactly at lt counts
+    assert ((exp["lt"] == exp["rt"]) | (exp["lt"] == exp["rt_end"])).any()
