@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_revenue_join": Q.order_revenue_join,
         "events_orders_asof": Q.events_orders_asof,
         "events_orders_range": Q.events_orders_range,
+        "top_orders_per_customer": Q.top_orders_per_customer,
         "events_sessionization": Q.events_sessionization,
         "customer_running_totals": Q.customer_running_totals,
         "salted_lang_chars": Q.salted_lang_chars,
@@ -480,6 +481,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, o_orderkey AS asof_orderkey,
                    CAST(round(o_totalprice * 100) AS BIGINT) AS asof_price_cents
             FROM j WHERE rk = 1""",
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, price_cents, "rank" FROM (
+              SELECT o_custkey, o_orderkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                     CAST(row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC,
+                                o_orderkey) AS BIGINT) AS "rank"
+              FROM orders)
+            WHERE "rank" <= 3""",
         "events_orders_range": """
             WITH e AS (
               SELECT event_id, user_id,

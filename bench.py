@@ -93,6 +93,7 @@ def run_bench() -> dict:
         ("knn_bruteforce", Q.knn_bruteforce),
         ("token_counts_documents", Q.token_counts_documents),
         ("order_revenue_join", Q.order_revenue_join),
+        ("events_orders_asof", Q.events_orders_asof),
         ("events_sessionization", Q.events_sessionization),
         ("validate_events_props", Q.validate_events_props),
     ]:

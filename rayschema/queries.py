@@ -1101,6 +1101,58 @@ def events_orders_range(sf_dir: str):
                     "range_price_cents": pa.int64()})
 
 
+def top_orders_per_customer(sf_dir: str):
+    """Top-3 orders by price PER CUSTOMER (the grouped top-N window
+    pattern): one (custkey, -price, orderkey) sort via sorted_group_scan,
+    then a fully vectorized first-3-per-group slice in the block kernel —
+    no per-group Python, no full materialization; mirrored by a
+    row_number() oracle."""
+    from rayschema.dedup import sorted_group_scan
+
+    N = 3
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("o_totalprice").to_pandas())
+        return pa.table({
+            "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            "neg_price": pa.array(-cents),
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "price_cents": pa.array(cents),
+        })
+
+    def block_fn(b: pa.Table, starts, ends, want) -> pa.Table:
+        sizes = ends - starts
+        seg = np.repeat(starts, sizes)
+        offs = np.arange(len(seg), dtype=np.int64) - seg
+        sel = (offs < N) & np.repeat(want, sizes)
+        idx = pa.array(np.flatnonzero(sel))
+        return pa.table({
+            "o_custkey": b.column("o_custkey").take(idx),
+            "o_orderkey": b.column("o_orderkey").take(idx),
+            "price_cents": b.column("price_cents").take(idx),
+            "rank": pa.array(offs[np.flatnonzero(sel)] + 1),
+        })
+
+    def group_fn(t: pa.Table) -> pa.Table:
+        m = min(N, t.num_rows)
+        return pa.table({
+            "o_custkey": t.column("o_custkey").slice(0, m),
+            "o_orderkey": t.column("o_orderkey").slice(0, m),
+            "price_cents": t.column("price_cents").slice(0, m),
+            "rank": pa.array(np.arange(1, m + 1, dtype=np.int64)),
+        })
+
+    out_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("o_orderkey", pa.int64()),
+                            ("price_cents", pa.int64()),
+                            ("rank", pa.int64())])
+    return sorted_group_scan(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["o_custkey"], group_fn, out_schema,
+                             block_fn=block_fn, sort_blocks=32,
+                             order_cols=["neg_price", "o_orderkey"])
+
+
 def events_sessionization(sf_dir: str):
     """Session windows per user (gap > 30 min closes a session): sort within
     each user group, cumulative gap-split, one output row per session.
