@@ -269,9 +269,12 @@ def enum_mask(arr: pa.Array, values: list) -> np.ndarray:
                 vs = pa.array([v for v in values if isinstance(v, str)], type=t)
                 return bool_mask(pc.is_in(arr, value_set=vs), n)
             if is_numberish(t):
-                nums = [float(v) for v in values if isinstance(v, (int, float)) and not isinstance(v, bool)]
+                # +0.0 normalizes IEEE -0.0 so the hash-based is_in matches
+                # JSON numeric equality (-0 == 0); pc.equal would already
+                # agree but is_in hashes bit patterns.
+                nums = [float(v) + 0.0 for v in values if isinstance(v, (int, float)) and not isinstance(v, bool)]
                 vs = pa.array(nums, type=pa.float64())
-                f = arr.cast(pa.float64())
+                f = pc.add(arr.cast(pa.float64()), 0.0)
                 return bool_mask(pc.is_in(f, value_set=vs), n)
             if pa.types.is_boolean(t):
                 vs = pa.array([v for v in values if isinstance(v, bool)], type=pa.bool_())

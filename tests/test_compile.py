@@ -55,6 +55,11 @@ def test_enum_const():
     # composite enum members via canonical-JSON compare
     arr = pa.array([[1, 2], [3]], type=pa.list_(pa.int64()))
     assert probe_col('{"enum":[[1,2]]}', arr) == [True, False]
+    # IEEE -0.0 equals 0 under JSON numeric equality (hash-based is_in
+    # would otherwise split the bit patterns; caught by Hypothesis)
+    assert probe_col('{"enum":[0]}', [-0.0, 0.0]) == [True, True]
+    assert probe_col('{"const":0}', [-0.0]) == [True]
+    assert probe_col('{"enum":[-0.0]}', [0.0, 1.0]) == [True, False]
 
 
 def test_array_keywords():
