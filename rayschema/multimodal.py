@@ -2,10 +2,13 @@
 
 Images / audio / video are opaque ``binary`` columns with typed metadata
 columns beside them. The Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — is real and tested; the actual decode kernels are
-STUBBED (the codec libraries are not in this container): ``decode_fn=None``
-raises ``NotImplementedError`` at the decode site, and a deterministic fake
-decoder is provided for tests.
+signature, output layout — is real and tested, and every kind has a REAL
+pure-numpy decoder for at least one uncompressed container: PPM/PGM/BMP
+images, RIFF/WAVE PCM audio, YUV4MPEG2 video. Compressed containers
+(JPEG/MP3/MP4) would need external codec libraries absent from this
+container; for those, ``decode_fn=None`` raises ``NotImplementedError`` at
+the decode site and a deterministic fake decoder is provided for plumbing
+tests — the documented stub boundary.
 
 Scale notes baked into the stage defaults: binary payloads are large, so
 ``suggest_batch_size`` keeps batch bytes under a budget (payload x concurrency
@@ -131,13 +134,147 @@ def decode_image(payload: bytes, kind: str = "image") -> Dict[str, np.ndarray]:
     raise ValueError(f"unrecognized image payload magic {payload[:2]!r}")
 
 
+def decode_wav(payload: bytes) -> Dict[str, np.ndarray]:
+    """Pure-numpy RIFF/WAVE decoder: PCM (format 1; 8/16/32-bit) and IEEE
+    float (format 3; 32/64-bit), any channel count. Walks the chunk list
+    (fmt / data may be preceded by LIST etc.), normalizes to float32 in
+    [-1, 1], and downmixes channels by mean. Returns ``tensor`` (1-D mono
+    samples), ``sample_rate`` and ``n_frames`` (= sample frames)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
+    fmt = None
+    data = None
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)      # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_ch, sample_rate, _, _, bits = fmt
+    if audio_format == 0xFFFE:            # WAVE_FORMAT_EXTENSIBLE: subformat
+        audio_format = 1                  # tag lives in the extension; PCM assumed
+    if audio_format == 1:
+        if bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(np.float32) / 2147483648.0
+        elif bits == 8:                   # 8-bit WAV is unsigned
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    elif audio_format == 3:
+        dt = "<f4" if bits == 32 else "<f8"
+        x = np.frombuffer(data, dtype=dt).astype(np.float32)
+    else:
+        raise ValueError(f"unsupported WAV format tag {audio_format}")
+    if n_ch > 1:
+        x = x[:len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+    return {"tensor": x.astype(np.float32), "sample_rate": np.int32(sample_rate),
+            "n_frames": np.int32(len(x))}
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """1-D float [-1, 1] -> 16-bit PCM mono WAV bytes (test/synth counterpart
+    of decode_wav)."""
+    import struct
+
+    pcm = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(pcm * 32767.0).astype("<i2").tobytes()
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(pcm), b"WAVE",
+                      b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16,
+                      b"data", len(pcm))
+    return hdr + pcm
+
+
+def decode_y4m(payload: bytes) -> Dict[str, np.ndarray]:
+    """Pure-numpy YUV4MPEG2 decoder (C420/C420jpeg/C420mpeg2 planar and
+    C444/mono). Parses the stream header (W/H/C tags), then each FRAME's
+    luma plane; chroma planes are skipped (features are luminance-based).
+    Returns ``tensor`` (n_frames, h, w) float32 luma in [0, 1], ``n_frames``,
+    and ``fps_num``/``fps_den`` when the F tag is present."""
+    nl = payload.find(b"\x0a")
+    if nl < 0 or not payload[:9] == b"YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 payload")
+    w = h = 0
+    fps_num, fps_den = 0, 1
+    colorspace = b"420"
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps_num, fps_den = int(num), int(den)
+        elif tag == b"C":
+            colorspace = val
+    if w <= 0 or h <= 0:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace.startswith(b"420"):
+        chroma = 2 * ((w // 2) * (h // 2))
+    elif colorspace.startswith(b"444"):
+        chroma = 2 * w * h
+    elif colorspace.startswith(b"mono"):
+        chroma = 0
+    else:
+        raise ValueError(f"unsupported Y4M colorspace {colorspace!r}")
+    luma = w * h
+    frames = []
+    pos = nl + 1
+    L = len(payload)
+    while pos < L:
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError("corrupt Y4M: FRAME marker expected")
+        fe = payload.find(b"\x0a", pos)
+        if fe < 0 or fe + 1 + luma + chroma > L:
+            raise ValueError("truncated Y4M frame")
+        frames.append(np.frombuffer(payload, dtype=np.uint8, count=luma,
+                                    offset=fe + 1).reshape(h, w))
+        pos = fe + 1 + luma + chroma
+    if not frames:
+        raise ValueError("Y4M stream has no frames")
+    tensor = np.stack(frames).astype(np.float32) / 255.0
+    return {"tensor": tensor, "n_frames": np.int32(len(frames)),
+            "fps_num": np.int32(fps_num), "fps_den": np.int32(fps_den)}
+
+
+def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
+    """(n, h, w) uint8 luma -> C420 Y4M bytes with mid-gray chroma planes
+    (test/synth counterpart of decode_y4m)."""
+    n, h, w = frames.shape
+    out = [b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\x0a" % (w, h, fps)]
+    chroma = np.full(((h // 2) * (w // 2)), 128, dtype=np.uint8).tobytes()
+    for i in range(n):
+        out.append(b"FRAME\x0a")
+        out.append(np.ascontiguousarray(frames[i], dtype=np.uint8).tobytes())
+        out.append(chroma)
+        out.append(chroma)
+    return b"".join(out)
+
+
 def default_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
-    """The engine's default codec table: IMAGES decode for real
-    (PPM/PGM/BMP via numpy); audio/video fall back to the deterministic fake
-    (their codec libraries are not in this container — the documented stub
-    boundary)."""
-    if kind == "image":
+    """The engine's default codec table — every kind now has a REAL
+    pure-numpy decoder: images PPM/PGM/BMP, audio RIFF/WAVE PCM+float,
+    video YUV4MPEG2. Payloads whose magic none of the real codecs recognize
+    fall back to the deterministic fake (the documented boundary for
+    container formats that genuinely need external codec libraries,
+    e.g. JPEG/MP3/MP4)."""
+    if kind == "image" and payload[:2] in (b"P6", b"P5", b"BM"):
         return decode_image(payload, kind)
+    if kind == "audio" and payload[:4] == b"RIFF":
+        return decode_wav(payload)
+    if kind == "video" and payload[:9] == b"YUV4MPEG2":
+        return decode_y4m(payload)
     return fake_decode(payload, kind)
 
 
@@ -380,21 +517,30 @@ def write_media_features(ds, out_dir: str):
 
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media table matching MEDIA_SCHEMA (tests/bench).
-    IMAGE rows carry REAL binary PPM payloads (decoded end-to-end by
-    decode_ppm — no fake codec on the image path); audio/video rows carry
-    opaque bytes for the stubbed codecs."""
+    Every row carries a REAL payload decoded end-to-end by the pure-numpy
+    codecs: images binary PPM, audio 16-bit PCM WAV, video C420 Y4M — the
+    fake codec is not on any synth path."""
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[rng.integers(0, 3, n)]
-    payloads, mimes = [], []
+    payloads, mimes, durations = [], [], []
     for k in kinds:
         if k == "image":
             payloads.append(encode_ppm(
                 rng.integers(0, 256, (4, 8, 3), dtype=np.uint8)))
             mimes.append("image/x-portable-pixmap")
+            durations.append(-1)
+        elif k == "audio":
+            n_samp = int(rng.integers(64, 512))
+            payloads.append(encode_wav(
+                rng.uniform(-1.0, 1.0, n_samp), sample_rate=8000))
+            mimes.append("audio/wav")
+            durations.append(n_samp * 1000 // 8000)
         else:
-            payloads.append(rng.integers(0, 256, int(rng.integers(64, 4096)),
-                                         dtype=np.uint8).tobytes())
-            mimes.append("application/octet-stream")
+            nf = int(rng.integers(2, 9))
+            payloads.append(encode_y4m(
+                rng.integers(0, 256, (nf, 4, 8), dtype=np.uint8), fps=25))
+            mimes.append("video/x-yuv4mpeg")
+            durations.append(nf * 1000 // 25)
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "kind": pa.array(kinds, type=pa.string()),
@@ -402,5 +548,5 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         "payload": pa.array(payloads, type=pa.large_binary()),
         "width": pa.array(np.where(kinds == "image", 8, -1).astype(np.int32)),
         "height": pa.array(np.where(kinds == "image", 4, -1).astype(np.int32)),
-        "duration_ms": pa.array(np.where(kinds != "image", 1000, -1).astype(np.int32)),
+        "duration_ms": pa.array(durations, type=pa.int32()),
     })

@@ -1299,9 +1299,9 @@ def schema_docs_analysis(sf_dir: str):
 
 def multimodal_features(sf_dir: str):
     """Binary media pipeline: synthetic media table -> actor-pool decode ->
-    feature columns (rows-only check). IMAGE rows run a REAL decode
-    (pure-numpy binary PPM, multimodal.decode_ppm); audio/video use the
-    documented deterministic stand-in (codec libs absent)."""
+    feature columns (rows-only check). Every kind runs a REAL pure-numpy
+    decode: PPM images, RIFF/WAVE PCM audio, YUV4MPEG2 video (the fake
+    codec remains only for compressed containers needing external libs)."""
     import ray.data as rd
 
     from rayschema.multimodal import MediaFeatureStage, default_decode, synth_media_table
@@ -1317,9 +1317,9 @@ def multimodal_features(sf_dir: str):
 
 
 def multimodal_pipeline(sf_dir: str):
-    """Kind-routed media pipeline: image resize (REAL PPM decode) / audio
-    framing / video frame sampling as separate actor-pool stages, unioned
-    (rows-only check)."""
+    """Kind-routed media pipeline: image resize / audio framing / video
+    frame sampling as separate actor-pool stages, unioned (rows-only
+    check). All three kinds decode REAL payloads (PPM / PCM WAV / Y4M)."""
     import ray.data as rd
 
     from rayschema.multimodal import (

@@ -150,6 +150,108 @@ def test_decode_bmp_golden():
     assert tuple(got["rgb"][1, 1]) == (10, 20, 30)
 
 
+def test_decode_wav_golden():
+    """Handcrafted 16-bit PCM mono WAV: samples decode exactly (scaled by
+    1/32768), sample rate surfaces, stereo downmixes by mean."""
+    import struct
+
+    from rayschema.multimodal import decode_wav
+
+    pcm = np.array([0, 16384, -32768, 32767], dtype="<i2")
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + 8, b"WAVE",
+                      b"fmt ", 16, 1, 1, 8000, 16000, 2, 16, b"data", 8)
+    got = decode_wav(hdr + pcm.tobytes())
+    assert got["sample_rate"] == 8000 and got["n_frames"] == 4
+    assert np.allclose(got["tensor"],
+                       [0.0, 0.5, -1.0, 32767 / 32768], atol=1e-6)
+    # stereo: L/R interleaved, downmix = mean
+    st = np.array([32767, -32767, 0, 16384], dtype="<i2")
+    hdr2 = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + 8, b"WAVE",
+                       b"fmt ", 16, 1, 2, 44100, 176400, 4, 16, b"data", 8)
+    got2 = decode_wav(hdr2 + st.tobytes())
+    assert got2["n_frames"] == 2
+    assert abs(float(got2["tensor"][0])) < 1e-4          # L+R cancel
+    assert abs(float(got2["tensor"][1]) - 0.25) < 1e-4
+
+
+def test_wav_roundtrip_and_float_format():
+    import struct
+
+    from rayschema.multimodal import decode_wav, encode_wav
+
+    x = np.sin(np.linspace(0, 6.28, 100)).astype(np.float32) * 0.8
+    rt = decode_wav(encode_wav(x, sample_rate=16000))
+    assert rt["sample_rate"] == 16000
+    # one LSB quantization + the 32767-encode/32768-decode scale asymmetry
+    assert np.allclose(rt["tensor"], x, atol=2.0 / 32768)
+    # IEEE-float WAV (format tag 3)
+    f = np.array([0.25, -0.5], dtype="<f4")
+    hdr = struct.pack("<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + 8, b"WAVE",
+                      b"fmt ", 16, 3, 1, 8000, 32000, 4, 32, b"data", 8)
+    got = decode_wav(hdr + f.tobytes())
+    assert np.allclose(got["tensor"], [0.25, -0.5])
+
+
+def test_decode_y4m_golden_and_roundtrip():
+    from rayschema.multimodal import decode_y4m, encode_y4m
+
+    frames = np.arange(2 * 2 * 4, dtype=np.uint8).reshape(2, 2, 4) * 5
+    got = decode_y4m(encode_y4m(frames, fps=30))
+    assert got["n_frames"] == 2
+    assert got["fps_num"] == 30 and got["fps_den"] == 1
+    assert got["tensor"].shape == (2, 2, 4)
+    assert np.allclose(got["tensor"], frames.astype(np.float32) / 255.0)
+    # mono colorspace: no chroma planes between frames
+    y = np.full((1, 2, 2), 9, dtype=np.uint8)
+    mono = b"YUV4MPEG2 W2 H2 Cmono\x0a" + b"FRAME\x0a" + y.tobytes()
+    g2 = decode_y4m(mono)
+    assert g2["n_frames"] == 1 and np.allclose(g2["tensor"][0], 9 / 255.0)
+
+
+def test_real_audio_video_decode_end_to_end(ray_session):
+    """The synth table's audio/video payloads are real WAV/Y4M; the default
+    codec table decodes them for real — frame counts must match the actual
+    sample/frame structure, not the fake codec's 32-sample digest."""
+    import ray.data as rd
+
+    from rayschema.multimodal import (
+        AudioFrameStage,
+        VideoFrameSampleStage,
+        decode_wav,
+        decode_y4m,
+        default_decode,
+        synth_media_table,
+    )
+
+    t = synth_media_table(64)
+    payloads = dict(zip(t.column("media_id").to_pylist(),
+                        t.column("payload").to_pylist()))
+    aud = (rd.from_arrow(t).filter(expr="kind == 'audio'")
+           .map_batches(AudioFrameStage,
+                        fn_constructor_kwargs=dict(decode_fn=default_decode,
+                                                   frame_len=8, hop=4),
+                        batch_format="pyarrow", batch_size=16,
+                        concurrency=(1, 2)).to_pandas().set_index("media_id"))
+    assert len(aud) > 5
+    for mid, row in aud.iterrows():
+        n_samp = len(decode_wav(payloads[mid])["tensor"])
+        assert row["n_audio_frames"] == (n_samp - 8) // 4 + 1
+    vid = (rd.from_arrow(t).filter(expr="kind == 'video'")
+           .map_batches(VideoFrameSampleStage,
+                        fn_constructor_kwargs=dict(decode_fn=default_decode,
+                                                   stride=2),
+                        batch_format="pyarrow", batch_size=16,
+                        concurrency=(1, 2)).to_pandas().set_index("media_id"))
+    assert len(vid) > 5
+    for mid, row in vid.iterrows():
+        d = decode_y4m(payloads[mid])
+        nf = int(d["n_frames"])
+        assert list(row["frame_idx"]) == list(range(0, nf, 2))
+        # sampled frame means come from the REAL luma planes
+        exp0 = float(d["tensor"][0].mean())
+        assert abs(row["frame_mean"][0] - exp0) < 1e-6
+
+
 def test_real_image_decode_end_to_end(ray_session):
     """multimodal_features runs the REAL PPM decode for every image row of
     the synthetic table (no fake codec on the image path): feat_mean must
