@@ -58,6 +58,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": Q.langid_documents,
         "quality_documents": Q.quality_documents,
         "fingerprint_documents": Q.fingerprint_documents,             # rows-only
+        "repetition_stats_documents": Q.repetition_stats_documents,
+        "decontaminate_documents": Q.decontaminate_documents,
+        "regex_redact_documents": Q.regex_redact_documents,
+        "vocabulary_top_words": Q.vocabulary_top_words,
         # -- relational engine coverage
         "pricing_summary": Q.pricing_summary,
         "top_revenue_customers": Q.top_revenue_customers,
@@ -391,6 +395,57 @@ def oracle_sql() -> dict[str, str]:
                         ELSE length(text) - length(replace(text, ' ', '')) + 1
                    END::BIGINT AS token_count
             FROM documents""",
+        "repetition_stats_documents": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws
+              FROM documents WHERE text IS NOT NULL),
+            words AS (SELECT doc_id, unnest(ws) AS word FROM w),
+            wc AS (SELECT doc_id, word, count(*)::BIGINT AS c
+                   FROM words GROUP BY doc_id, word),
+            per_word AS (
+              SELECT doc_id, sum(c)::BIGINT AS n_words,
+                     (sum(c) - count(*))::BIGINT AS n_dup_words,
+                     max(c)::BIGINT AS max_word_freq
+              FROM wc GROUP BY doc_id),
+            grams AS (SELECT doc_id, unnest(list_zip(ws, ws[2:])) AS g FROM w),
+            g2 AS (SELECT doc_id, g[1] AS w1, g[2] AS w2 FROM grams
+                   WHERE g[2] IS NOT NULL),
+            gc AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS c
+                   FROM g2 GROUP BY doc_id, w1, w2),
+            per_gram AS (SELECT doc_id, (sum(c) - count(*))::BIGINT AS n_dup_2grams
+                         FROM gc GROUP BY doc_id)
+            SELECT p.doc_id, p.n_words, p.n_dup_words, p.max_word_freq,
+                   coalesce(pg.n_dup_2grams, 0)::BIGINT AS n_dup_2grams
+            FROM per_word p LEFT JOIN per_gram pg ON p.doc_id = pg.doc_id""",
+        "decontaminate_documents": """
+            WITH bench AS (
+              SELECT doc_id AS bench_id, substr(text, 1, 32) AS snippet
+              FROM documents
+              WHERE doc_id % 17 = 7 AND text IS NOT NULL AND length(text) >= 32)
+            SELECT d.doc_id, count(*)::BIGINT AS n_hits
+            FROM documents d, bench b
+            WHERE d.text IS NOT NULL AND d.doc_id <> b.bench_id
+              AND contains(d.text, b.snippet)
+            GROUP BY d.doc_id""",
+        "regex_redact_documents": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\b(key|hash)\\b'))::BIGINT
+                     AS n_matches,
+                   length(regexp_replace(text, '\\b(key|hash)\\b', '<R>', 'g'))::BIGINT
+                     AS redacted_len
+            FROM documents WHERE text IS NOT NULL""",
+        "vocabulary_top_words": """
+            WITH wc AS (
+              SELECT lang, word, count(*)::BIGINT AS n
+              FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                    FROM documents
+                    WHERE text IS NOT NULL AND lang IS NOT NULL)
+              GROUP BY lang, word),
+            r AS (SELECT lang, word, n,
+                         row_number() OVER (PARTITION BY lang
+                                            ORDER BY n DESC, word) AS rk
+                  FROM wc)
+            SELECT lang, word, n, rk::BIGINT AS rk FROM r WHERE rk <= 10""",
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,

@@ -163,6 +163,150 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
             .append_column("quality", pa.array(score)))
 
 
+# --------------------------------------------------------------------------- repetition metrics
+
+
+def _flatten_words(col: pa.Array):
+    """Split a string column on single spaces and flatten: returns
+    (words_object_array, doc_index_per_word, words_per_doc). Mirrors SQL
+    ``unnest(string_split(text, ' '))`` exactly (empty text -> one empty
+    word; consecutive spaces -> empty words)."""
+    words = pc.split_pattern(col, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), counts)
+    flat = words.flatten().to_numpy(zero_copy_only=False)
+    return flat, doc_idx, counts
+
+
+def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Gopher/C4-style within-document repetition signals, fully vectorized:
+    per doc the word count, duplicate-word count (occurrences beyond the
+    first), the max single-word frequency, and the duplicate word-2-gram
+    count. One split kernel + numpy unique/lexsort per batch — no per-doc
+    Python. Null texts are dropped (mirrors the oracle's WHERE)."""
+    valid = pc.is_valid(batch.column(text_col))
+    batch = batch.filter(valid)
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_words": pa.array([], type=pa.int64()),
+            "n_dup_words": pa.array([], type=pa.int64()),
+            "max_word_freq": pa.array([], type=pa.int64()),
+            "n_dup_2grams": pa.array([], type=pa.int64()),
+        })
+    flat, doc_idx, n_words = _flatten_words(col)
+    _, wid = np.unique(flat, return_inverse=True)
+
+    # per-doc word multiplicities via ONE lexsort over (doc, word-id)
+    order = np.lexsort((wid, doc_idx))
+    d_s, w_s = doc_idx[order], wid[order]
+    new = np.ones(len(d_s), dtype=bool)
+    new[1:] = (d_s[1:] != d_s[:-1]) | (w_s[1:] != w_s[:-1])
+    n_distinct = np.bincount(d_s[new], minlength=n)
+    # multiplicity of each distinct (doc, word) = gap between "new" marks
+    starts = np.nonzero(new)[0]
+    mult = np.diff(np.append(starts, len(d_s)))
+    max_freq = np.zeros(n, dtype=np.int64)
+    np.maximum.at(max_freq, d_s[new], mult)
+
+    # word 2-grams: adjacent positions in flat order share a doc
+    same = doc_idx[1:] == doc_idx[:-1]
+    g_doc = doc_idx[:-1][same]
+    g1, g2 = wid[:-1][same], wid[1:][same]
+    n_2grams = np.bincount(g_doc, minlength=n)
+    gorder = np.lexsort((g2, g1, g_doc))
+    gd, ga, gb = g_doc[gorder], g1[gorder], g2[gorder]
+    gnew = np.ones(len(gd), dtype=bool)
+    gnew[1:] = (gd[1:] != gd[:-1]) | (ga[1:] != ga[:-1]) | (gb[1:] != gb[:-1])
+    n_distinct_2 = np.bincount(gd[gnew], minlength=n)
+
+    return pa.table({
+        "doc_id": batch.column(id_col).cast(pa.int64()),
+        "n_words": pa.array(n_words.astype(np.int64)),
+        "n_dup_words": pa.array((n_words - n_distinct).astype(np.int64)),
+        "max_word_freq": pa.array(max_freq),
+        "n_dup_2grams": pa.array((n_2grams - n_distinct_2).astype(np.int64)),
+    })
+
+
+# --------------------------------------------------------------------------- decontamination
+
+
+class Decontaminator:
+    """Actor stage: benchmark decontamination by snippet containment — the
+    n-gram-overlap discipline of GPT-3/The Pile eval decontamination (public
+    method), expressed as literal substring hits so the DuckDB oracle can
+    recompute it exactly. The benchmark snippet set is broadcast ONCE via
+    ray.put and resolved per actor in __init__; each batch runs one
+    match_substring kernel per snippet (the snippet set is metadata-sized
+    by construction — at 100 TB you'd swap the scan loop for an
+    Aho-Corasick automaton built once per actor, same plumbing)."""
+
+    def __init__(self, snippets_ref, id_col: str = "doc_id",
+                 text_col: str = "text"):
+        import ray
+
+        self.bench_ids, self.snippets = ray.get(snippets_ref)
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        hits = np.zeros(len(ids), dtype=np.int64)
+        for bid, snip in zip(self.bench_ids, self.snippets):
+            m = pc.fill_null(pc.match_substring(col, snip), False)
+            hits += m.to_numpy(zero_copy_only=False) & (ids != bid)
+        keep = hits > 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep], type=pa.int64()),
+            "n_hits": pa.array(hits[keep], type=pa.int64()),
+        })
+
+
+# --------------------------------------------------------------------------- pattern redaction
+
+
+def redact_batch(batch: pa.Table, pattern: str, replacement: str = "<R>",
+                 text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """PII-style pattern scrubbing, vectorized: RE2 count + global
+    replace per batch. Emits (doc_id, n_matches, redacted_len); callers
+    wanting the scrubbed text itself use ``redact_text_batch``. Null texts
+    are dropped (mirrors the oracle's WHERE)."""
+    batch = batch.filter(pc.is_valid(batch.column(text_col)))
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_matches = pc.count_substring_regex(col, pattern).cast(pa.int64())
+    red = pc.replace_substring_regex(col, pattern, replacement)
+    return pa.table({
+        "doc_id": batch.column(id_col).cast(pa.int64()),
+        "n_matches": n_matches,
+        "redacted_len": pc.utf8_length(red).cast(pa.int64()),
+    })
+
+
+def redact_text_batch(batch: pa.Table, pattern: str, replacement: str = "<R>",
+                      text_col: str = "text") -> pa.Table:
+    """In-place scrub variant: returns the batch with ``text_col`` replaced
+    by its redacted form (the shape a write-back pipeline uses)."""
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    red = pc.replace_substring_regex(col, pattern, replacement)
+    i = batch.schema.get_field_index(text_col)
+    return batch.set_column(i, text_col, red)
+
+
 # --------------------------------------------------------------------------- fingerprinting
 class Fingerprinter:
     """Actor stage: document fingerprint = the k smallest 64-bit rolling-hash

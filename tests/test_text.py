@@ -1,5 +1,6 @@
 """Text-analysis operator tests: token counting (incl. the SQL-mirror
-formula), language ID, quality scoring, fingerprints."""
+formula), language ID, quality scoring, fingerprints, repetition metrics,
+redaction."""
 
 import numpy as np
 import pandas as pd
@@ -10,6 +11,9 @@ from rayschema.text import (
     Fingerprinter,
     LangId,
     quality_batch,
+    redact_batch,
+    redact_text_batch,
+    repetition_stats_batch,
     token_count_batch,
 )
 
@@ -55,6 +59,68 @@ def test_quality_batch():
     assert out["q_len"].to_pylist()[3] == 0
 
 
+def test_repetition_stats_hand_computed():
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["a b a b a", "x y z", "", None]})
+    out = repetition_stats_batch(t)
+    # doc 1: words a,b,a,b,a -> 5 words, 2 distinct, dups=3, max freq a=3
+    #        2-grams: ab,ba,ab,ba -> 4 grams, 2 distinct, dups=2
+    # doc 2: all unique, 2 grams xy,yz distinct
+    # doc 3: SQL string_split('',' ') = [''] -> 1 word, 0 dups, 0 grams
+    # doc 4: null text dropped (mirrors oracle WHERE)
+    df = out.to_pandas().set_index("doc_id")
+    assert list(df.index) == [1, 2, 3]
+    assert df.loc[1].tolist() == [5, 3, 3, 2]
+    assert df.loc[2].tolist() == [3, 0, 1, 0]
+    assert df.loc[3].tolist() == [1, 0, 1, 0]
+
+
+def test_repetition_stats_matches_duckdb():
+    import duckdb
+
+    texts = ["m n m n o p m", "q r", None, "s s s s", "lone"]
+    t = pa.table({"doc_id": list(range(5)), "text": texts})
+    got = repetition_stats_batch(t).to_pandas().sort_values("doc_id")
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.sql("""
+        WITH w AS (SELECT doc_id, string_split(text,' ') ws
+                   FROM documents WHERE text IS NOT NULL),
+        words AS (SELECT doc_id, unnest(ws) word FROM w),
+        wc AS (SELECT doc_id, word, count(*)::BIGINT c FROM words
+               GROUP BY doc_id, word),
+        pw AS (SELECT doc_id, sum(c)::BIGINT n_words,
+                      (sum(c)-count(*))::BIGINT n_dup_words,
+                      max(c)::BIGINT max_word_freq FROM wc GROUP BY doc_id),
+        g AS (SELECT doc_id, unnest(list_zip(ws, ws[2:])) g FROM w),
+        g2 AS (SELECT doc_id, g[1] w1, g[2] w2 FROM g WHERE g[2] IS NOT NULL),
+        gc AS (SELECT doc_id, w1, w2, count(*)::BIGINT c FROM g2
+               GROUP BY doc_id, w1, w2),
+        pg AS (SELECT doc_id, (sum(c)-count(*))::BIGINT n_dup_2grams
+               FROM gc GROUP BY doc_id)
+        SELECT pw.doc_id, n_words, n_dup_words, max_word_freq,
+               coalesce(pg.n_dup_2grams, 0)::BIGINT n_dup_2grams
+        FROM pw LEFT JOIN pg ON pw.doc_id = pg.doc_id ORDER BY pw.doc_id
+    """).df()
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_redact_batch_counts_and_scrub():
+    t = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["the key and the hash and keyhash",
+                           "no match here", None]})
+    out = redact_batch(t, pattern=r"\b(key|hash)\b", replacement="<R>")
+    df = out.to_pandas()
+    # 'keyhash' has no word boundary match; key + hash = 2 matches
+    assert df["n_matches"].tolist() == [2, 0]
+    assert df["redacted_len"].tolist() == [
+        len("the <R> and the <R> and keyhash"), len("no match here")]
+    scrubbed = redact_text_batch(t, pattern=r"\b(key|hash)\b",
+                                 replacement="<R>")
+    assert scrubbed["text"].to_pylist()[0] == "the <R> and the <R> and keyhash"
+    assert scrubbed.schema.names == t.schema.names
+
+
 def test_fingerprinter_deterministic_and_sensitive():
     t = pa.table({"text": ["the quick brown fox jumps over the lazy dog",
                            "the quick brown fox jumps over the lazy dog",
@@ -68,3 +134,51 @@ def test_fingerprinter_deterministic_and_sensitive():
     mins = out["fp_minhashes"].to_pylist()
     # 43-char doc, w=16 -> 28 shingles -> k=8 mins, sorted
     assert len(mins[0]) == 8 and mins[0] == sorted(mins[0])
+
+
+def test_decontaminator_flags_containing_docs(ray_session):
+    import ray
+    import ray.data as rd
+
+    from rayschema.text import Decontaminator
+
+    snippet = "this is the benchmark prompt text"
+    docs = [
+        (0, snippet + " with a continuation"),          # contains -> hit
+        (7, snippet),                                   # the bench doc itself
+        (2, "completely unrelated content here"),       # no hit
+        (3, "prefix then " + snippet + " embedded"),    # contains -> hit
+    ]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs])
+    ref = ray.put((np.array([7], dtype=np.int64), [snippet]))
+    out = (ds.map_batches(Decontaminator, batch_format="pyarrow",
+                          fn_constructor_kwargs=dict(snippets_ref=ref),
+                          concurrency=1)
+           .to_pandas().sort_values("doc_id"))
+    assert out["doc_id"].tolist() == [0, 3]       # bench doc itself excluded
+    assert out["n_hits"].tolist() == [1, 1]
+
+
+def test_vocabulary_top_words_query(ray_session, sf_dir):
+    import duckdb
+
+    from rayschema.queries import vocabulary_top_words
+
+    got = vocabulary_top_words(sf_dir)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.sql("""
+        WITH wc AS (
+          SELECT lang, word, count(*)::BIGINT AS n
+          FROM (SELECT lang, unnest(string_split(text, ' ')) AS word
+                FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL)
+          GROUP BY lang, word),
+        r AS (SELECT lang, word, n, row_number() OVER (
+                PARTITION BY lang ORDER BY n DESC, word) AS rk FROM wc)
+        SELECT lang, word, n, rk::BIGINT AS rk FROM r WHERE rk <= 10
+        ORDER BY lang, rk
+    """).df()
+    want["n"] = want["n"].astype(np.int64)
+    want["rk"] = want["rk"].astype(np.int64)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
