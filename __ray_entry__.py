@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_documents": Q.decontaminate_documents,
         "regex_redact_documents": Q.regex_redact_documents,
         "vocabulary_top_words": Q.vocabulary_top_words,
+        "pack_sequences_documents": Q.pack_sequences_documents,
         # -- relational engine coverage
         "pricing_summary": Q.pricing_summary,
         "top_revenue_customers": Q.top_revenue_customers,
@@ -434,6 +435,22 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '\\b(key|hash)\\b', '<R>', 'g'))::BIGINT
                      AS redacted_len
             FROM documents WHERE text IS NOT NULL""",
+        "pack_sequences_documents": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) = 0 THEN 0
+                          ELSE length(text) - length(replace(text, ' ', '')) + 1
+                     END::BIGINT AS tok
+              FROM documents WHERE text IS NOT NULL),
+            c AS (
+              SELECT doc_id, tok,
+                     coalesce(sum(tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0)::BIGINT AS o
+              FROM t)
+            SELECT doc_id, tok, (o // 512)::BIGINT AS seq_id,
+                   (o % 512)::BIGINT AS offset_in_seq
+            FROM c""",
         "vocabulary_top_words": """
             WITH wc AS (
               SELECT lang, word, count(*)::BIGINT AS n

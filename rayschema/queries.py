@@ -827,6 +827,17 @@ def regex_redact_documents(sf_dir: str):
         batch_format="pyarrow")
 
 
+def pack_sequences_documents(sf_dir: str):
+    """Sequence packing (concat-then-cut, GPT-style pretraining layout):
+    every doc's (seq_id, offset_in_seq) under 512-token sequences, computed
+    by the distributed global prefix sum in rayschema.pack — shard sums +
+    driver exclusive prefix + one within-shard cumsum scan."""
+    from rayschema.pack import pack_sequences
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return pack_sequences(ds, seq_len=512)
+
+
 def vocabulary_top_words(sf_dir: str):
     """Corpus vocabulary build: global per-(lang, word) frequencies with
     per-batch PARTIAL counts before the (tiny, #langs x #words groups)
