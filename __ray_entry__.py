@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_redact_documents": Q.regex_redact_documents,
         "vocabulary_top_words": Q.vocabulary_top_words,
         "pack_sequences_documents": Q.pack_sequences_documents,
+        "tfidf_top_term": Q.tfidf_top_term,
+        "length_quantile_filter": Q.length_quantile_filter,
         # -- relational engine coverage
         "pricing_summary": Q.pricing_summary,
         "top_revenue_customers": Q.top_revenue_customers,
@@ -435,6 +437,32 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '\\b(key|hash)\\b', '<R>', 'g'))::BIGINT
                      AS redacted_len
             FROM documents WHERE text IS NOT NULL""",
+        "tfidf_top_term": """
+            WITH words AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL),
+            tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf
+                   FROM words GROUP BY doc_id, word),
+            df AS (SELECT word, count(DISTINCT doc_id)::BIGINT AS df
+                   FROM words GROUP BY word),
+            s AS (SELECT tf.doc_id, tf.word, tf.tf, df.df,
+                         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY (tf.tf::DOUBLE / df.df) DESC, tf.word)
+                           AS rk
+                  FROM tf JOIN df USING (word))
+            SELECT doc_id, word AS top_word, tf, df FROM s WHERE rk = 1""",
+        "length_quantile_filter": """
+            WITH c AS (SELECT n_chars, count(*)::BIGINT AS cnt
+                       FROM documents WHERE n_chars IS NOT NULL
+                       GROUP BY n_chars),
+            t AS (SELECT n_chars,
+                         sum(cnt) OVER (ORDER BY n_chars)::BIGINT AS cum,
+                         (SELECT count(*) FROM documents
+                          WHERE n_chars IS NOT NULL)::BIGINT AS tot
+                  FROM c),
+            thr AS (SELECT min(n_chars) AS l FROM t WHERE cum * 10 >= tot * 9)
+            SELECT doc_id, n_chars FROM documents, thr
+            WHERE n_chars >= thr.l""",
         "pack_sequences_documents": """
             WITH t AS (
               SELECT doc_id,

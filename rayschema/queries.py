@@ -827,6 +827,123 @@ def regex_redact_documents(sf_dir: str):
         batch_format="pyarrow")
 
 
+def tfidf_top_term(sf_dir: str):
+    """Per-document top TF-IDF term (idf = N/df variant so the ranking is a
+    RATIONAL tf/df — reproducible bit-exactly in SQL float division).
+    Stage 1 builds the corpus document-frequency table distributed
+    (per-batch distinct (doc, word) -> partial df counts -> tiny groupby
+    sum) and broadcasts it via ray.put; stage 2 is one stateless pass:
+    per-batch (doc, word) tf counts, df lookup by searchsorted, argmax per
+    doc with lexicographic tie-break. At web scale the df table is pruned
+    to the top-K vocabulary before broadcast (documented cap)."""
+    import ray
+
+    from rayschema.text import _flatten_words
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _doc_word(b: pa.Table):
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return None, None, None
+        flat, doc_idx, _ = _flatten_words(col)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)[doc_idx]
+        # distinct (doc, word) pairs + multiplicities via one lexsort
+        order = np.lexsort((flat, ids))
+        di, wi = ids[order], flat[order]
+        new = np.ones(len(di), dtype=bool)
+        new[1:] = (di[1:] != di[:-1]) | (wi[1:] != wi[:-1])
+        starts = np.nonzero(new)[0]
+        tf = np.diff(np.append(starts, len(di))).astype(np.int64)
+        return di[new], wi[new], tf
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        di, wi, _ = _doc_word(b)
+        if di is None:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "df": pa.array([], type=pa.int64())})
+        u, counts = np.unique(wi, return_counts=True)
+        return pa.table({"word": pa.array(u, type=pa.string()),
+                         "df": pa.array(counts.astype(np.int64))})
+
+    df_tbl = (ds.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("word").sum("df").to_pandas())
+    vocab = df_tbl["word"].to_numpy(object)
+    dfs = df_tbl["sum(df)"].to_numpy(np.int64)
+    order = np.argsort(vocab)
+    vocab, dfs = vocab[order], dfs[order]
+    ref = ray.put((vocab, dfs))
+
+    def top_term(b: pa.Table) -> pa.Table:
+        vocab_s, dfs_s = ray.get(ref)
+        di, wi, tf = _doc_word(b)
+        if di is None:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "top_word": pa.array([], type=pa.string()),
+                             "tf": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64())})
+        uw, inv = np.unique(wi, return_inverse=True)
+        wrank = np.searchsorted(vocab_s, uw)[inv]
+        df = dfs_s[wrank]
+        score = tf / df   # float64 division == SQL tf::DOUBLE / df
+        # primary doc asc, then score desc, then word asc (wrank IS the
+        # lexicographic rank because vocab_s is sorted)
+        o = np.lexsort((wrank, -score, di))
+        d_s = di[o]
+        first = np.ones(len(d_s), dtype=bool)
+        first[1:] = d_s[1:] != d_s[:-1]
+        sel = o[first]
+        return pa.table({
+            "doc_id": pa.array(di[sel], type=pa.int64()),
+            "top_word": pa.array(wi[sel], type=pa.string()),
+            "tf": pa.array(tf[sel]),
+            "df": pa.array(df[sel]),
+        })
+
+    return ds.map_batches(top_term, batch_format="pyarrow")
+
+
+P90_NUM, P90_DEN = 9, 10   # threshold rule: cum*DEN >= total*NUM (integer-exact)
+
+
+def length_quantile_filter(sf_dir: str):
+    """Docs at or above the exact corpus P90 of n_chars. The quantile is
+    computed EXACTLY from a distributed value-count histogram (n_chars has
+    a bounded domain): per-batch partial counts -> tiny groupby-sum ->
+    driver cumulative scan picks the smallest L with cum*10 >= total*9
+    (integer arithmetic, no float quantile semantics to match) -> the
+    threshold pushes down into a stateless filter pass. The exact-histogram
+    complement of the KLL sketch path in rayschema.sketches."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column("n_chars").to_numpy(zero_copy_only=False)
+        v = v[~pd.isna(v)].astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"n_chars": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("n_chars").sum("cnt").to_pandas()
+            .sort_values("n_chars"))
+    counts = hist["sum(cnt)"].to_numpy(np.int64)
+    vals = hist["n_chars"].to_numpy(np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    thresh = int(vals[np.nonzero(cum * P90_DEN >= total * P90_NUM)[0][0]])
+
+    def keep(b: pa.Table) -> pa.Table:
+        v = b.column("n_chars")
+        return b.filter(pc.fill_null(pc.greater_equal(v, thresh), False))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def pack_sequences_documents(sf_dir: str):
     """Sequence packing (concat-then-cut, GPT-style pretraining layout):
     every doc's (seq_id, offset_in_seq) under 512-token sequences, computed

@@ -182,3 +182,48 @@ def test_vocabulary_top_words_query(ray_session, sf_dir):
     want["n"] = want["n"].astype(np.int64)
     want["rk"] = want["rk"].astype(np.int64)
     pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+
+def test_tfidf_top_term_vs_bruteforce(ray_session, sf_dir):
+    from collections import Counter
+
+    from rayschema.queries import tfidf_top_term
+
+    got = (tfidf_top_term(sf_dir).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    df = df[df["text"].notna()]
+    dfreq = Counter()
+    per_doc = {}
+    for _, r in df.iterrows():
+        tf = Counter(r["text"].split(" "))
+        per_doc[r["doc_id"]] = tf
+        dfreq.update(tf.keys())
+    rows = []
+    for did in sorted(per_doc):
+        tf = per_doc[did]
+        # max by (tf/df desc, word asc) — same float64 ratio as the engine
+        best = min(tf.items(), key=lambda kv: (-(kv[1] / dfreq[kv[0]]), kv[0]))
+        rows.append({"doc_id": did, "top_word": best[0],
+                     "tf": np.int64(best[1]), "df": np.int64(dfreq[best[0]])})
+    want = pd.DataFrame(rows)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_length_quantile_filter_exact_p90(ray_session, sf_dir):
+    from rayschema.queries import length_quantile_filter
+
+    got = (length_quantile_filter(sf_dir).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "n_chars"])
+    s = np.sort(df["n_chars"].dropna().to_numpy(np.int64))
+    cum = np.arange(1, len(s) + 1)
+    thresh = s[np.nonzero(cum * 10 >= len(s) * 9)[0][0]]
+    want = (df[df["n_chars"] >= thresh].sort_values("doc_id")
+            .reset_index(drop=True))
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    # at least ~10% of docs kept and every kept doc is above the threshold
+    assert len(got) >= len(s) // 10
+    assert (got["n_chars"] >= thresh).all()
