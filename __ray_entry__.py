@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters_documents": Q.near_dup_clusters_documents,  # rows-only
         "near_dup_clusters_exact": Q.near_dup_clusters_exact,
         "dedup_corpus_exact": Q.dedup_corpus_exact,
+        "curation_pipeline_documents": Q.curation_pipeline_documents,
         "split_by_cluster": Q.split_by_cluster,
         "stratified_sample_documents": Q.stratified_sample_documents,
         "simhash_near_dup_documents": Q.simhash_near_dup_documents,  # rows-only
@@ -437,6 +438,28 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '\\b(key|hash)\\b', '<R>', 'g'))::BIGINT
                      AS redacted_len
             FROM documents WHERE text IS NOT NULL""",
+        "curation_pipeline_documents": """
+            WITH base AS (
+              SELECT doc_id, text, lang FROM documents
+              WHERE text IS NOT NULL
+                AND lang IN ('en', 'de', 'fr', 'es', 'zh')
+                AND n_chars IS NOT NULL AND n_chars >= 50),
+            wc AS (SELECT doc_id, word, count(*)::BIGINT AS c
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                         FROM base)
+                   GROUP BY doc_id, word),
+            rep AS (SELECT doc_id, sum(c)::BIGINT AS n_words,
+                           (sum(c) - count(*))::BIGINT AS n_dup
+                    FROM wc GROUP BY doc_id),
+            pass AS (SELECT b.doc_id, b.lang, b.text, r.n_words
+                     FROM base b JOIN rep r ON b.doc_id = r.doc_id
+                     WHERE r.n_words >= 10 AND r.n_dup * 2 < r.n_words),
+            kept AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text)
+            SELECT p.doc_id, p.lang, p.n_words AS n_tok,
+                   CASE WHEN p.doc_id % 10 = 0 THEN 'test'
+                        WHEN p.doc_id % 10 = 1 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM pass p JOIN kept k ON p.doc_id = k.doc_id""",
         "tfidf_top_term": """
             WITH words AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS word

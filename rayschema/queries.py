@@ -256,7 +256,20 @@ def _dedup_partial(b: pa.Table) -> pa.Table:
 
 
 def exact_dedup_documents(sf_dir: str):
-    """Exact dedup on text: keep min doc_id per distinct text; returns kept ids.
+    """Exact dedup on text: keep min doc_id per distinct text; returns kept
+    ids (see _exact_dedup_core for the distributed design)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _exact_dedup_core(ds, emit="kept")
+
+
+def _exact_dedup_core(ds, emit: str = "kept"):
+    """Exact dedup on text over a (doc_id, text) Dataset.
+
+    emit="kept"  -> the doc_ids that survive (min doc_id per distinct text);
+    emit="losers" -> the doc_ids removed (every non-min member of a
+    duplicate-text group) — the removal set a downstream broadcast
+    anti-join consumes (removal-sized, i.e. proportional to the duplicate
+    mass, never the corpus).
 
     Scale path: the groupby shuffle moves ONLY (text_hash, min_id, n) —
     24 bytes/row, never the text. Hash groups with more than one row (same
@@ -268,13 +281,13 @@ def exact_dedup_documents(sf_dir: str):
     driver never materializes candidate texts (bounded block-boundary
     residuals aside). Result is identical to a full GROUP BY text."""
     import ray
+    import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
     from rayschema.dedup import _bitmap_member, sorted_group_scan
     from rayschema.sketches import hash64
 
     BM_BITS = 24
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     agg = (ds.map_batches(_dedup_partial, batch_format="pyarrow")
              .groupby("uk")
              .aggregate(Min("doc_id", alias_name="doc_id"),
@@ -298,6 +311,8 @@ def exact_dedup_documents(sf_dir: str):
     for chunk in (chunks["chunk"] if "chunk" in chunks.columns else ()):
         acc |= np.frombuffer(chunk, dtype=np.uint8)
     if not acc.any():
+        if emit == "losers":
+            return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
         return singles
     ref = ray.put(acc)
 
@@ -311,16 +326,23 @@ def exact_dedup_documents(sf_dir: str):
                          "doc_id": b.column("doc_id").filter(pa.array(sel)),
                          "text": txt.filter(pa.array(sel))})
 
+    def _resolve(df: pd.DataFrame, keys) -> pa.Table:
+        if emit == "kept":
+            ids = (df.groupby(keys, dropna=False, as_index=False)["doc_id"]
+                   .min()["doc_id"].to_numpy())
+        else:
+            mins = df.groupby(keys, dropna=False)["doc_id"].transform("min")
+            ids = df.loc[df["doc_id"] != mins, "doc_id"].to_numpy()
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
     def verify_group(t: pa.Table) -> pa.Table:
         # a 1-row group is a bitmap false positive: its hash group was
-        # unique, so its doc_id is already in `singles`
+        # unique, so its doc_id is already in `singles` (and has no losers)
         if t.num_rows < 2:
             return None
         df = pd.DataFrame({"doc_id": t.column("doc_id").to_pandas(),
                            "text": t.column("text").to_pandas()})
-        kept = (df.groupby("text", dropna=False, as_index=False)["doc_id"]
-                .min()["doc_id"].to_numpy())
-        return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+        return _resolve(df, ["text"])
 
     def verify_block(b: pa.Table, starts, ends, want) -> pa.Table:
         # whole-block vectorized verify: ONE grouped min over (uk, text) for
@@ -334,15 +356,15 @@ def exact_dedup_documents(sf_dir: str):
         df = pd.DataFrame({"uk": t.column("uk").to_pandas(),
                            "doc_id": t.column("doc_id").to_pandas(),
                            "text": t.column("text").to_pandas()})
-        kept = (df.groupby(["uk", "text"], dropna=False, as_index=False)
-                ["doc_id"].min()["doc_id"].to_numpy())
-        return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+        return _resolve(df, ["uk", "text"])
 
     verified = sorted_group_scan(
         ds.map_batches(pick, batch_format="pyarrow"),
         ["uk"], verify_group, pa.schema([("doc_id", pa.int64())]),
         group_filter=lambda b, s, e: (e - s) >= 2,
         block_fn=verify_block, sort_blocks=32)
+    if emit == "losers":
+        return verified
     return singles.union(verified)
 
 
@@ -421,6 +443,77 @@ def dedup_corpus_exact(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids[ok & ~hit])})
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+CURATION_LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+def curation_pipeline_documents(sf_dir: str):
+    """End-to-end curation — the composed pipeline a training-data user
+    actually runs, with a full SQL oracle:
+
+      quality gate (lang registry + n_chars >= 50 + >= 10 tokens +
+      duplicate-word fraction < 0.5, all in ONE stateless pass)
+      -> exact-text dedup (keep min doc_id; the removal set comes from the
+         distributed hash-group verify and is duplicate-mass-sized)
+      -> deterministic train/val/test split (doc_id % 10: 0=test, 1=val).
+
+    The passing subset is materialized once (object-store resident,
+    spillable) because both the dedup pass and the final labeling consume
+    it; content text never reaches the driver."""
+    import ray
+
+    from rayschema.text import repetition_stats_batch
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "n_chars"])
+
+    def gate(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ok = pc.and_(pc.and_(
+            pc.is_valid(text),
+            pc.fill_null(pc.is_in(b.column("lang"),
+                                  value_set=pa.array(CURATION_LANGS)), False)),
+            pc.fill_null(pc.greater_equal(b.column("n_chars"), 50), False))
+        t = b.filter(ok)
+        rep = repetition_stats_batch(t)   # row-aligned: t has no null texts
+        nw = rep.column("n_words").to_numpy(zero_copy_only=False)
+        nd = rep.column("n_dup_words").to_numpy(zero_copy_only=False)
+        keep = (nw >= 10) & (nd * 2 < nw)
+        t = t.filter(pa.array(keep))
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "text": t.column("text"),
+            "lang": t.column("lang"),
+            "n_tok": pa.array(nw[keep].astype(np.int64)),
+        })
+
+    passing = ds.map_batches(gate, batch_format="pyarrow").materialize()
+    losers = _exact_dedup_core(passing, emit="losers").to_pandas()
+    rem = np.sort(losers["doc_id"].to_numpy(np.int64)) if len(losers) \
+        else np.array([], dtype=np.int64)
+    rref = ray.put(rem)
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        r = ray.get(rref)
+        pos = np.searchsorted(r, ids)
+        hit = (pos < len(r)) & (r[np.minimum(pos, max(len(r) - 1, 0))] == ids) \
+            if len(r) else np.zeros(len(ids), dtype=bool)
+        t = b.filter(pa.array(~hit))
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % 10
+        split = np.where(m == 0, "test", np.where(m == 1, "val", "train"))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "n_tok": t.column("n_tok"),
+            "split": pa.array(split, type=pa.string()),
+        })
+
+    return passing.map_batches(finish, batch_format="pyarrow")
 
 
 SAMPLE_RATES = {"en": 47, "de": 31, "fr": 23, "es": 61, "zh": 13}  # % kept

@@ -129,3 +129,60 @@ def test_exact_dedup_distributed_verify_matches_groupby(ray_session):
     exp = (docs.groupby("text", dropna=False)["doc_id"].min().sort_values())
     assert list(got) == sorted(exp.tolist())
     assert got.is_unique
+
+
+def test_exact_dedup_losers_partition_kept(ray_session):
+    """emit='losers' is the exact complement of emit='kept' — together they
+    partition the corpus ids, and losers are precisely the non-min members
+    of duplicate-text groups."""
+    import ray.data as rd
+
+    from rayschema.queries import _exact_dedup_core
+
+    rows = ([{"doc_id": i, "text": f"unique text {i}"} for i in range(50)]
+            + [{"doc_id": 100 + i, "text": f"dup text {i % 5}"}
+               for i in range(30)])
+    ds = rd.from_items(rows).repartition(4)
+    kept = set(_exact_dedup_core(ds, emit="kept").to_pandas()["doc_id"])
+    losers = set(_exact_dedup_core(ds, emit="losers").to_pandas()["doc_id"])
+    all_ids = {r["doc_id"] for r in rows}
+    assert kept | losers == all_ids
+    assert kept & losers == set()
+    # dup groups: ids 100..129 sharing 5 texts -> min of each kept
+    assert losers == {100 + i for i in range(30)} - {100, 101, 102, 103, 104}
+
+
+def test_curation_pipeline_matches_sql(ray_session):
+    import duckdb
+
+    from rayschema.queries import curation_pipeline_documents
+
+    sf = "/root/testdata/sf0.001"
+    got = (curation_pipeline_documents(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{sf}/documents.parquet')")
+    want = con.sql("""
+        WITH base AS (
+          SELECT doc_id, text, lang FROM documents
+          WHERE text IS NOT NULL AND lang IN ('en','de','fr','es','zh')
+            AND n_chars IS NOT NULL AND n_chars >= 50),
+        wc AS (SELECT doc_id, word, count(*)::BIGINT c
+               FROM (SELECT doc_id, unnest(string_split(text,' ')) word
+                     FROM base) GROUP BY doc_id, word),
+        rep AS (SELECT doc_id, sum(c)::BIGINT n_words,
+                       (sum(c)-count(*))::BIGINT n_dup FROM wc GROUP BY doc_id),
+        pass AS (SELECT b.doc_id, b.lang, r.n_words, b.text
+                 FROM base b JOIN rep r ON b.doc_id = r.doc_id
+                 WHERE r.n_words >= 10 AND r.n_dup * 2 < r.n_words),
+        kept AS (SELECT min(doc_id) doc_id FROM pass GROUP BY text)
+        SELECT p.doc_id, p.lang, p.n_words AS n_tok,
+               CASE WHEN p.doc_id % 10 = 0 THEN 'test'
+                    WHEN p.doc_id % 10 = 1 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM pass p JOIN kept k ON p.doc_id = k.doc_id ORDER BY p.doc_id
+    """).df()
+    want["doc_id"] = want["doc_id"].astype(np.int64)
+    want["n_tok"] = want["n_tok"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
