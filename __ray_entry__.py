@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocabulary_top_words": Q.vocabulary_top_words,
         "pack_sequences_documents": Q.pack_sequences_documents,
         "tfidf_top_term": Q.tfidf_top_term,
+        "inverted_index_words": Q.inverted_index_words,
+        "embedding_mean_by_lang": Q.embedding_mean_by_lang,
         "length_quantile_filter": Q.length_quantile_filter,
         # -- relational engine coverage
         "pricing_summary": Q.pricing_summary,
@@ -474,6 +476,27 @@ def oracle_sql() -> dict[str, str]:
                            AS rk
                   FROM tf JOIN df USING (word))
             SELECT doc_id, word AS top_word, tf, df FROM s WHERE rk = 1""",
+        "inverted_index_words": """
+            WITH dw AS (
+              SELECT DISTINCT word, doc_id
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                    FROM documents WHERE text IS NOT NULL))
+            SELECT word, count(*)::BIGINT AS df,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings
+            FROM dw GROUP BY word""",
+        "embedding_mean_by_lang": """
+            SELECT d.lang, count(*)::BIGINT AS n,
+                   sum(round(e.embedding[1]::DOUBLE * 1000000)::BIGINT)::BIGINT AS s0,
+                   sum(round(e.embedding[2]::DOUBLE * 1000000)::BIGINT)::BIGINT AS s1,
+                   sum(round(e.embedding[3]::DOUBLE * 1000000)::BIGINT)::BIGINT AS s2,
+                   sum(round(e.embedding[4]::DOUBLE * 1000000)::BIGINT)::BIGINT AS s3,
+                   sum(round(e.embedding[5]::DOUBLE * 1000000)::BIGINT)::BIGINT AS s4,
+                   sum(round(e.embedding[6]::DOUBLE * 1000000)::BIGINT)::BIGINT AS s5,
+                   sum(round(e.embedding[7]::DOUBLE * 1000000)::BIGINT)::BIGINT AS s6,
+                   sum(round(e.embedding[8]::DOUBLE * 1000000)::BIGINT)::BIGINT AS s7
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+            WHERE d.lang IS NOT NULL
+            GROUP BY d.lang""",
         "length_quantile_filter": """
             WITH c AS (SELECT n_chars, count(*)::BIGINT AS cnt
                        FROM documents WHERE n_chars IS NOT NULL

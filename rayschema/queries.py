@@ -1037,6 +1037,124 @@ def length_quantile_filter(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def inverted_index_words(sf_dir: str):
+    """Mini inverted index: per word its document frequency and the full
+    posting list (sorted doc_ids, comma-joined so the driver hash compare
+    sees a scalar). Per-batch distinct (word, doc) pairs feed ONE
+    sorted_group_scan keyed by the 64-bit word hash; each complete hash
+    group assembles its words' postings in a vectorized pandas groupby
+    (hash collisions sub-grouped by word). At web scale the same stage caps
+    postings per word (top-K doc_ids) — the plumbing is unchanged."""
+    from rayschema.dedup import sorted_group_scan
+    from rayschema.sketches import hash64
+    from rayschema.text import _flatten_words
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"uk": pa.array([], type=pa.int64()),
+                             "word": pa.array([], type=pa.string()),
+                             "doc_id": pa.array([], type=pa.int64())})
+        flat, doc_idx, _ = _flatten_words(col)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)[doc_idx]
+        order = np.lexsort((flat, ids))
+        di, wi = ids[order], flat[order]
+        new = np.ones(len(di), dtype=bool)
+        new[1:] = (di[1:] != di[:-1]) | (wi[1:] != wi[:-1])
+        di, wi = di[new], wi[new]
+        return pa.table({
+            "uk": pa.array(hash64(wi).view(np.int64)),
+            "word": pa.array(wi, type=pa.string()),
+            "doc_id": pa.array(di.astype(np.int64)),
+        })
+
+    def build_group(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"word": t.column("word").to_pandas(),
+                           "doc_id": t.column("doc_id").to_pandas()})
+        df = df.sort_values(["word", "doc_id"])
+        g = df.groupby("word", sort=True)["doc_id"]
+        agg = g.agg(df_cnt="size",
+                    postings=lambda s: ",".join(map(str, s)))
+        return pa.table({
+            "word": pa.array(agg.index.to_numpy(object), type=pa.string()),
+            "df": pa.array(agg["df_cnt"].to_numpy(np.int64)),
+            "postings": pa.array(agg["postings"].to_numpy(object),
+                                 type=pa.string()),
+        })
+
+    out_schema = pa.schema([("word", pa.string()), ("df", pa.int64()),
+                            ("postings", pa.string())])
+    return sorted_group_scan(
+        ds.map_batches(pairs, batch_format="pyarrow"),
+        ["uk"], build_group, out_schema,
+        block_fn=lambda b, s, e, want: build_group(
+            b.filter(pa.array(want[np.repeat(np.arange(len(s)), e - s)])))
+        if want.any() else None)
+
+
+EMB_SUM_DIMS = 8
+EMB_Q = 1_000_000   # quantization: round(x * 1e6) -> BIGINT, order-free sums
+
+
+def embedding_mean_by_lang(sf_dir: str):
+    """Per-language embedding aggregate over the documents ⋈ embeddings
+    hash join: row count + INTEGER-QUANTIZED component sums for the first 8
+    dims (round(x*1e6)::BIGINT — summation-order-free, so the distributed
+    sum hash-matches SQL exactly; the mean is sum/(n*1e6) downstream).
+    Per-batch partial sums shrink the shuffle to (#langs x 10) rows."""
+    from ray.data.aggregate import Sum
+
+    from rayschema.dedup import _proj, round_half_away
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    docs = _proj(_read(sf_dir, "documents", columns=["doc_id", "lang"]),
+                 {"doc_id": "vec_id", "lang": "lang"})
+
+    def quant(b: pa.Table) -> pa.Table:
+        # quantize BEFORE the join: the exchange then moves 8 BIGINTs per
+        # row instead of the 64-float list (which Acero joins also reject
+        # as a non-key payload type)
+        mat = np.stack(b.column("embedding").to_pandas().to_numpy())
+        q = round_half_away(mat[:, :EMB_SUM_DIMS].astype(np.float64) * EMB_Q,
+                            0).astype(np.int64)
+        return pa.table({"vec_id": b.column("vec_id").cast(pa.int64()),
+                         **{f"q{k}": pa.array(q[:, k])
+                            for k in range(EMB_SUM_DIMS)}})
+
+    j = (emb.map_batches(quant, batch_format="pyarrow")
+         .join(docs, join_type="inner", num_partitions=8, on=("vec_id",)))
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("lang")))
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64()),
+                             **{f"s{k}": pa.array([], type=pa.int64())
+                                for k in range(EMB_SUM_DIMS)}})
+        q = np.stack([b.column(f"q{k}").to_numpy(zero_copy_only=False)
+                      for k in range(EMB_SUM_DIMS)], axis=1)
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(langs, return_inverse=True)
+        sums = np.zeros((len(u), EMB_SUM_DIMS), dtype=np.int64)
+        np.add.at(sums, inv, q)
+        return pa.table({
+            "lang": pa.array(u, type=pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            **{f"s{k}": pa.array(sums[:, k]) for k in range(EMB_SUM_DIMS)},
+        })
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n", alias_name="n"),
+                       *[Sum(f"s{k}", alias_name=f"s{k}")
+                         for k in range(EMB_SUM_DIMS)]))
+
+
 def pack_sequences_documents(sf_dir: str):
     """Sequence packing (concat-then-cut, GPT-style pretraining layout):
     every doc's (seq_id, offset_in_seq) under 512-token sequences, computed

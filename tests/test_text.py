@@ -227,3 +227,45 @@ def test_length_quantile_filter_exact_p90(ray_session, sf_dir):
     # at least ~10% of docs kept and every kept doc is above the threshold
     assert len(got) >= len(s) // 10
     assert (got["n_chars"] >= thresh).all()
+
+
+def test_inverted_index_words_vs_bruteforce(ray_session, sf_dir):
+    from collections import defaultdict
+
+    from rayschema.queries import inverted_index_words
+
+    got = (inverted_index_words(sf_dir).to_pandas()
+           .sort_values("word").reset_index(drop=True))
+    df = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    postings = defaultdict(set)
+    for _, r in df[df["text"].notna()].iterrows():
+        for w in set(r["text"].split(" ")):
+            postings[w].add(r["doc_id"])
+    want = pd.DataFrame(
+        [{"word": w, "df": np.int64(len(ids)),
+          "postings": ",".join(map(str, sorted(ids)))}
+         for w, ids in sorted(postings.items())])
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_embedding_mean_by_lang_integer_exact(ray_session, sf_dir):
+    from rayschema.dedup import round_half_away
+    from rayschema.queries import embedding_mean_by_lang
+
+    got = (embedding_mean_by_lang(sf_dir).to_pandas()
+           .sort_values("lang").reset_index(drop=True))
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "lang"])
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    m = emb.merge(docs, left_on="vec_id", right_on="doc_id")
+    m = m[m["lang"].notna()]
+    mat = np.stack(m["embedding"].to_numpy()).astype(np.float64)[:, :8]
+    q = round_half_away(mat * 1_000_000, 0).astype(np.int64)
+    rows = []
+    for lang, idx in m.groupby("lang").groups.items():
+        sel = m.index.get_indexer(idx)
+        rows.append({"lang": lang, "n": np.int64(len(sel)),
+                     **{f"s{k}": q[sel, k].sum() for k in range(8)}})
+    want = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
