@@ -96,6 +96,7 @@ def run_bench() -> dict:
         ("events_orders_asof", Q.events_orders_asof),
         ("events_sessionization", Q.events_sessionization),
         ("validate_events_props", Q.validate_events_props),
+        ("curation_pipeline", Q.curation_pipeline_documents),
     ]:
         t0 = time.time()
         res = fn(SF_DIR)
