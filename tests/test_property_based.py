@@ -218,3 +218,48 @@ def test_list_schemas_match_python_oracle(schema, rows):
 
     expected = [oracle(r) for r in arr.to_pylist()]
     assert mask.tolist() == expected, (schema, rows)
+
+
+# --------------------------------------------------------------------------- text kernels
+
+word_soup = st.lists(
+    st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e", ""]),
+             min_size=0, max_size=12).map(lambda ws: " ".join(ws)),
+    min_size=1, max_size=10)
+
+
+@given(texts=word_soup)
+@settings(max_examples=60, deadline=None)
+def test_repetition_stats_match_python_oracle(texts):
+    """The vectorized lexsort kernel equals a per-doc Python recount for
+    arbitrary word soups (including empty words from doubled spaces)."""
+    from rayschema.text import repetition_stats_batch
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = repetition_stats_batch(t).to_pandas().set_index("doc_id")
+    for i, text in enumerate(texts):
+        words = text.split(" ")
+        grams = list(zip(words, words[1:]))
+        from collections import Counter
+
+        wc, gc = Counter(words), Counter(grams)
+        row = out.loc[i]
+        assert row["n_words"] == len(words)
+        assert row["n_dup_words"] == len(words) - len(wc)
+        assert row["max_word_freq"] == max(wc.values())
+        assert row["n_dup_2grams"] == len(grams) - len(gc)
+
+
+@given(texts=word_soup, seq_len=st.integers(1, 64))
+@settings(max_examples=20, deadline=None)
+def test_token_shard_counts_match_split(texts, seq_len):
+    """pack's token kernel mirrors len(str.split(' ')) with empty -> 0."""
+    from rayschema.pack import token_counts_with_shard
+
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = token_counts_with_shard(t, "doc_id", "text", shard_size=seq_len)
+    toks = out.column("tok").to_pylist()
+    shards = out.column("shard").to_pylist()
+    for i, text in enumerate(texts):
+        assert toks[i] == (0 if len(text) == 0 else len(text.split(" ")))
+        assert shards[i] == i // seq_len
