@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import logging
 import re
+import threading
+from contextlib import contextmanager
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -365,6 +367,34 @@ def _emit_group_pairs(ids: np.ndarray, max_group: int = 256,
     return np.concatenate(outs_a), np.concatenate(outs_b)
 
 
+_POLARS_SORT_LOCK = threading.Lock()
+_POLARS_SORT_DEPTH = 0
+_POLARS_SORT_SAVED = False
+
+
+@contextmanager
+def _polars_sort_guard(ctx):
+    """Refcounted enable of DataContext.use_polars_sort (a process-global
+    flag). The first in-flight scan saves the prior value and turns it on;
+    only the last one restores. A plain save/restore pair is wrong under
+    concurrent scans (ann_recall_report runs several in a thread pool):
+    interleaved windows would restore each other's saved state and leak
+    the flag for the rest of the session."""
+    global _POLARS_SORT_DEPTH, _POLARS_SORT_SAVED
+    with _POLARS_SORT_LOCK:
+        if _POLARS_SORT_DEPTH == 0:
+            _POLARS_SORT_SAVED = getattr(ctx, "use_polars_sort", False)
+            ctx.use_polars_sort = True
+        _POLARS_SORT_DEPTH += 1
+    try:
+        yield
+    finally:
+        with _POLARS_SORT_LOCK:
+            _POLARS_SORT_DEPTH -= 1
+            if _POLARS_SORT_DEPTH == 0:
+                ctx.use_polars_sort = _POLARS_SORT_SAVED
+
+
 def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema,
                       group_filter=None, block_fn=None, extra_emit=None,
                       sort_blocks: Optional[int] = None,
@@ -483,11 +513,15 @@ def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema,
         return pa.concat_tables(parts) if parts else _empty_mixed(b.schema)
 
     # polars-backed block sort: measured 3x faster than the default on the
-    # 32M-row band-key sort, bit-identical ordering for these numeric keys
+    # band-key sort, bit-identical ordering for these numeric keys. The
+    # flag is process-global on DataContext, and concurrent scans (e.g.
+    # ann_recall_report's thread pool) overlap their set/restore windows —
+    # so the flag is managed by a REFCOUNTED guard: it turns on with the
+    # first in-flight scan and restores the saved value only when the last
+    # one finishes (a plain save/restore pair would let interleaved scans
+    # restore each other's state and leak the flag for the whole session).
     ctx = DataContext.get_current()
-    prev_polars = getattr(ctx, "use_polars_sort", False)
-    ctx.use_polars_sort = True
-    try:
+    with _polars_sort_guard(ctx):
         srt = ds.sort(key_cols + order_cols)
         if sort_blocks:
             # Ray's sort emits as many blocks as its input had; a small input
@@ -497,8 +531,6 @@ def sorted_group_scan(ds, key_cols, group_fn, out_schema: pa.Schema,
             srt = srt.repartition(sort_blocks)
         mixed = (srt.map_batches(block_scan, batch_format="pyarrow")
                  .materialize())
-    finally:
-        ctx.use_polars_sort = prev_polars
     out = _proj(mixed.filter(expr="_kind == 0"),
                 {name: name for name in out_names})
     # residual rows come back as ARROW batches (no pandas round-trip — it

@@ -32,15 +32,14 @@ DEFAULT_SHARD = 4096
 
 def token_counts_with_shard(batch: pa.Table, id_col: str, text_col: str,
                             shard_size: int) -> pa.Table:
-    """(doc_id, tok, shard) per non-null-text row; tok mirrors SQL
-    ``len(string_split(text, ' '))`` with empty -> 0."""
+    """(doc_id, tok, shard) per non-null-text row; tok is the engine's one
+    SQL-mirrored whitespace formula (text.token_count_batch — single source
+    of truth for the count(' ')+1 / empty->0 oracle contract)."""
+    from rayschema.text import token_count_batch
+
     batch = batch.filter(pc.is_valid(batch.column(text_col)))
-    col = batch.column(text_col)
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    n = pc.add(pc.count_substring(col, " "), 1)
-    n = pc.if_else(pc.equal(pc.utf8_length(col), 0),
-                   pa.scalar(0, type=n.type), n).cast(pa.int64())
+    n = (token_count_batch(batch, text_col=text_col, out="tok")
+         .column("tok"))
     ids = batch.column(id_col).cast(pa.int64())
     shard = pc.divide(pc.subtract(ids, pc.if_else(
         pc.less(ids, 0), shard_size - 1, 0)), shard_size)
@@ -59,9 +58,11 @@ def pack_sequences(ds, seq_len: int = 512, id_col: str = "doc_id",
 
     from rayschema.dedup import sorted_group_scan
 
+    # materialized: consumed twice (the shard-sum pull below AND the
+    # sorted_group_scan's sort) — without this the read+count re-executes
     toks = ds.map_batches(
         lambda b: token_counts_with_shard(b, id_col, text_col, shard_size),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     # -- stage 1: shard sums (partial per batch, then a tiny groupby-sum)
     def partial(b: pa.Table) -> pa.Table:

@@ -931,7 +931,7 @@ def tfidf_top_term(sf_dir: str):
     to the top-K vocabulary before broadcast (documented cap)."""
     import ray
 
-    from rayschema.text import _flatten_words
+    from rayschema.text import _distinct_word_pairs, _flatten_words
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -944,14 +944,7 @@ def tfidf_top_term(sf_dir: str):
             return None, None, None
         flat, doc_idx, _ = _flatten_words(col)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)[doc_idx]
-        # distinct (doc, word) pairs + multiplicities via one lexsort
-        order = np.lexsort((flat, ids))
-        di, wi = ids[order], flat[order]
-        new = np.ones(len(di), dtype=bool)
-        new[1:] = (di[1:] != di[:-1]) | (wi[1:] != wi[:-1])
-        starts = np.nonzero(new)[0]
-        tf = np.diff(np.append(starts, len(di))).astype(np.int64)
-        return di[new], wi[new], tf
+        return _distinct_word_pairs(flat, ids)
 
     def df_partial(b: pa.Table) -> pa.Table:
         di, wi, _ = _doc_word(b)
@@ -1010,8 +1003,6 @@ def length_quantile_filter(sf_dir: str):
     (integer arithmetic, no float quantile semantics to match) -> the
     threshold pushes down into a stateless filter pass. The exact-histogram
     complement of the KLL sketch path in rayschema.sketches."""
-    from ray.data.aggregate import Sum
-
     ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1047,7 +1038,7 @@ def inverted_index_words(sf_dir: str):
     postings per word (top-K doc_ids) — the plumbing is unchanged."""
     from rayschema.dedup import sorted_group_scan
     from rayschema.sketches import hash64
-    from rayschema.text import _flatten_words
+    from rayschema.text import _distinct_word_pairs, _flatten_words
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1062,11 +1053,7 @@ def inverted_index_words(sf_dir: str):
                              "doc_id": pa.array([], type=pa.int64())})
         flat, doc_idx, _ = _flatten_words(col)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)[doc_idx]
-        order = np.lexsort((flat, ids))
-        di, wi = ids[order], flat[order]
-        new = np.ones(len(di), dtype=bool)
-        new[1:] = (di[1:] != di[:-1]) | (wi[1:] != wi[:-1])
-        di, wi = di[new], wi[new]
+        di, wi, _ = _distinct_word_pairs(flat, ids)
         return pa.table({
             "uk": pa.array(hash64(wi).view(np.int64)),
             "word": pa.array(wi, type=pa.string()),

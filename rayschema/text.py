@@ -180,6 +180,22 @@ def _flatten_words(col: pa.Array):
     return flat, doc_idx, counts
 
 
+def _distinct_word_pairs(words: np.ndarray, docs: np.ndarray):
+    """Distinct (doc, word) pairs + per-pair multiplicities via ONE lexsort.
+    Returns (doc_per_pair, word_per_pair, count_per_pair) in (doc, word)
+    order. ``words`` may be strings or integer word-ids — the pair SET and
+    counts are identical either way (only within-doc ordering differs).
+    The single source of this kernel for TF-IDF (df/tf), the inverted
+    index, and repetition stats."""
+    order = np.lexsort((words, docs))
+    d_s, w_s = docs[order], words[order]
+    new = np.ones(len(d_s), dtype=bool)
+    new[1:] = (d_s[1:] != d_s[:-1]) | (w_s[1:] != w_s[:-1])
+    starts = np.nonzero(new)[0]
+    mult = np.diff(np.append(starts, len(d_s))).astype(np.int64)
+    return d_s[new], w_s[new], mult
+
+
 def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
                            id_col: str = "doc_id") -> pa.Table:
     """Gopher/C4-style within-document repetition signals, fully vectorized:
@@ -204,17 +220,12 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
     flat, doc_idx, n_words = _flatten_words(col)
     _, wid = np.unique(flat, return_inverse=True)
 
-    # per-doc word multiplicities via ONE lexsort over (doc, word-id)
-    order = np.lexsort((wid, doc_idx))
-    d_s, w_s = doc_idx[order], wid[order]
-    new = np.ones(len(d_s), dtype=bool)
-    new[1:] = (d_s[1:] != d_s[:-1]) | (w_s[1:] != w_s[:-1])
-    n_distinct = np.bincount(d_s[new], minlength=n)
-    # multiplicity of each distinct (doc, word) = gap between "new" marks
-    starts = np.nonzero(new)[0]
-    mult = np.diff(np.append(starts, len(d_s)))
+    # per-doc word multiplicities: the shared distinct-pair kernel over
+    # integer word-ids (cheaper to sort than the strings)
+    d_new, _, mult = _distinct_word_pairs(wid, doc_idx)
+    n_distinct = np.bincount(d_new, minlength=n)
     max_freq = np.zeros(n, dtype=np.int64)
-    np.maximum.at(max_freq, d_s[new], mult)
+    np.maximum.at(max_freq, d_new, mult)
 
     # word 2-grams: adjacent positions in flat order share a doc
     same = doc_idx[1:] == doc_idx[:-1]
