@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_words": Q.inverted_index_words,
         "embedding_mean_by_lang": Q.embedding_mean_by_lang,
         "length_quantile_filter": Q.length_quantile_filter,
+        "cap_per_source": Q.cap_per_source,
+        "doc_rarity_score": Q.doc_rarity_score,
         # -- relational engine coverage
         "pricing_summary": Q.pricing_summary,
         "top_revenue_customers": Q.top_revenue_customers,
@@ -509,6 +511,22 @@ def oracle_sql() -> dict[str, str]:
             thr AS (SELECT min(n_chars) AS l FROM t WHERE cum * 10 >= tot * 9)
             SELECT doc_id, n_chars FROM documents, thr
             WHERE n_chars >= thr.l""",
+        "cap_per_source": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn <= 50""",
+        "doc_rarity_score": """
+            WITH w AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents WHERE text IS NOT NULL),
+            cf AS (SELECT word, count(*)::BIGINT AS c FROM w GROUP BY word)
+            SELECT w.doc_id,
+                   sum(cf.c)::BIGINT AS cf_sum,
+                   count(*)::BIGINT AS n_words
+            FROM w JOIN cf USING (word)
+            GROUP BY w.doc_id""",
         "pack_sequences_documents": """
             WITH t AS (
               SELECT doc_id,

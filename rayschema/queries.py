@@ -1028,6 +1028,115 @@ def length_quantile_filter(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+CAP_PER_SOURCE = 50
+
+
+def cap_per_source(sf_dir: str, cap: int = CAP_PER_SOURCE):
+    """Per-source quota sampling: keep each source's ``cap`` lowest doc_ids
+    (the deterministic domain-cap step of C4-style curation). Sources are
+    FEW and HOT — each group spans many blocks — so a group shuffle (or a
+    sorted_group_scan, whose boundary residual would be the whole corpus)
+    is the wrong shape. Instead: a per-batch partial top-``cap`` combiner
+    feeds a driver merge of at most blocks x sources x cap candidate ids;
+    the per-source ``cap``-th-smallest doc_id thresholds broadcast into ONE
+    stateless filter pass. No all-to-all at any scale; with unique doc_ids
+    the threshold filter is exactly row_number() <= cap."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, src))
+        s_s, i_s = src[order], ids[order]
+        new = np.ones(len(s_s), dtype=bool)
+        new[1:] = s_s[1:] != s_s[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.repeat(starts, np.diff(np.append(starts, len(s_s))))
+        keep = (np.arange(len(s_s)) - seg) < cap
+        return pa.table({"source": pa.array(s_s[keep], type=pa.string()),
+                         "doc_id": pa.array(i_s[keep])})
+
+    cand = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    thr = (cand.sort_values(["source", "doc_id"])
+           .groupby("source", sort=True)["doc_id"]
+           .apply(lambda s: int(s.iloc[:cap].max())))
+    srcs = thr.index.to_numpy(object)          # sorted by groupby(sort=True)
+    ths = thr.to_numpy(np.int64)
+
+    def keep_rows(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(srcs, src)
+        # every row's source appeared in its own batch partial, so the
+        # lookup always hits; the clip only guards a pathological re-read
+        pos = np.clip(pos, 0, len(srcs) - 1)
+        ok = (srcs[pos] == src) & (ids <= ths[pos])
+        return b.take(pa.array(np.flatnonzero(ok)))
+
+    return ds.map_batches(keep_rows, batch_format="pyarrow")
+
+
+def doc_rarity_score(sf_dir: str):
+    """Per-doc commonness signal: the sum of corpus-wide occurrence counts
+    over the doc's word positions plus its word count — the exact-rational
+    (cf_sum / n_words) form of a mean-corpus-frequency quality score
+    (integer outputs so the oracle hash-matches bit-for-bit; consumers
+    divide). Stage 1 builds the corpus frequency table distributed
+    (per-batch partial counts -> tiny groupby sum) and broadcasts the
+    sorted vocabulary via ray.put; stage 2 is one stateless pass with a
+    searchsorted lookup + per-doc segment sum. At web scale the vocab
+    broadcast is pruned to the top-K words (documented cap, as in
+    tfidf_top_term)."""
+    import ray
+
+    from rayschema.text import _flatten_words
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def cf_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "cf": pa.array([], type=pa.int64())})
+        flat, _, _ = _flatten_words(col)
+        u, counts = np.unique(flat, return_counts=True)
+        return pa.table({"word": pa.array(u, type=pa.string()),
+                         "cf": pa.array(counts.astype(np.int64))})
+
+    cf_tbl = (ds.map_batches(cf_partial, batch_format="pyarrow")
+              .groupby("word").sum("cf").to_pandas())
+    vocab = cf_tbl["word"].to_numpy(object)
+    cfs = cf_tbl["sum(cf)"].to_numpy(np.int64)
+    order = np.argsort(vocab)
+    ref = ray.put((vocab[order], cfs[order]))
+
+    def score(b: pa.Table) -> pa.Table:
+        vocab_s, cfs_s = ray.get(ref)
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "cf_sum": pa.array([], type=pa.int64()),
+                             "n_words": pa.array([], type=pa.int64())})
+        flat, doc_idx, n_words = _flatten_words(col)
+        w_cf = cfs_s[np.searchsorted(vocab_s, flat)]
+        sums = np.zeros(n, dtype=np.int64)
+        np.add.at(sums, doc_idx, w_cf)
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "cf_sum": pa.array(sums),
+            "n_words": pa.array(n_words.astype(np.int64)),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def inverted_index_words(sf_dir: str):
     """Mini inverted index: per word its document frequency and the full
     posting list (sorted doc_ids, comma-joined so the driver hash compare
