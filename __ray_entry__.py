@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantile_filter": Q.length_quantile_filter,
         "cap_per_source": Q.cap_per_source,
         "doc_rarity_score": Q.doc_rarity_score,
+        "kmeans_embeddings": Q.kmeans_embeddings,
         # -- relational engine coverage
         "pricing_summary": Q.pricing_summary,
         "top_revenue_customers": Q.top_revenue_customers,
@@ -527,6 +528,62 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_words
             FROM w JOIN cf USING (word)
             GROUP BY w.doc_id""",
+        # Distributed Lloyd k-means, 2 unrolled assign/update rounds in
+        # integer-exact quantized arithmetic (matches
+        # similarity.kmeans_quantized step for step): squared-euclidean
+        # argmin with lowest-cluster tie-break, centroid update =
+        # sign(s) * ((2|s| + n) // (2n)) (round-half-away integer mean),
+        # empty clusters keep their previous centroid via the LEFT JOIN.
+        "kmeans_embeddings": """
+            WITH v AS (
+              SELECT e.vec_id, i.range AS d,
+                     round(e.embedding[i.range]::DOUBLE * 1000000)::BIGINT AS q
+              FROM embeddings e, range(1, 65) i),
+            c0 AS (SELECT vec_id AS cluster, d, q AS c FROM v
+                   WHERE vec_id < 4),
+            a1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT v.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY sum((v.q - c.c) * (v.q - c.c)),
+                                    c.cluster) AS rn
+                FROM v JOIN c0 c USING (d)
+                GROUP BY v.vec_id, c.cluster) WHERE rn = 1),
+            m1 AS (SELECT a.cluster, v.d, sum(v.q)::BIGINT AS s,
+                          count(*)::BIGINT AS n
+                   FROM a1 a JOIN v USING (vec_id) GROUP BY a.cluster, v.d),
+            c1 AS (SELECT c0.cluster, c0.d,
+                          coalesce(CASE WHEN m1.s >= 0
+                                        THEN (2 * m1.s + m1.n) // (2 * m1.n)
+                                        ELSE -((2 * (-m1.s) + m1.n)
+                                               // (2 * m1.n)) END,
+                                   c0.c)::BIGINT AS c
+                   FROM c0 LEFT JOIN m1
+                     ON c0.cluster = m1.cluster AND c0.d = m1.d),
+            a2 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT v.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY sum((v.q - c.c) * (v.q - c.c)),
+                                    c.cluster) AS rn
+                FROM v JOIN c1 c USING (d)
+                GROUP BY v.vec_id, c.cluster) WHERE rn = 1),
+            m2 AS (SELECT a.cluster, v.d, sum(v.q)::BIGINT AS s,
+                          count(*)::BIGINT AS n
+                   FROM a2 a JOIN v USING (vec_id) GROUP BY a.cluster, v.d),
+            c2 AS (SELECT c1.cluster, c1.d,
+                          coalesce(CASE WHEN m2.s >= 0
+                                        THEN (2 * m2.s + m2.n) // (2 * m2.n)
+                                        ELSE -((2 * (-m2.s) + m2.n)
+                                               // (2 * m2.n)) END,
+                                   c1.c)::BIGINT AS c
+                   FROM c1 LEFT JOIN m2
+                     ON c1.cluster = m2.cluster AND c1.d = m2.d),
+            n2 AS (SELECT cluster, count(*)::BIGINT AS n_members
+                   FROM a2 GROUP BY cluster)
+            SELECT c2.cluster, c2.d, c2.c,
+                   coalesce(n2.n_members, 0)::BIGINT AS n_members
+            FROM c2 LEFT JOIN n2 USING (cluster)""",
         "pack_sequences_documents": """
             WITH t AS (
               SELECT doc_id,

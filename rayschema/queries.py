@@ -1137,6 +1137,17 @@ def doc_rarity_score(sf_dir: str):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def kmeans_embeddings(sf_dir: str):
+    """Distributed 2-iteration Lloyd k-means (k=4) over the embeddings
+    table in the integer-exact quantized form — the iterative-ML-on-Ray
+    pattern with a FULL DuckDB oracle (two unrolled assign/update CTE
+    rounds); see similarity.kmeans_quantized for the arithmetic contract."""
+    from rayschema.similarity import kmeans_quantized
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_quantized(ds, k=4, iters=2)
+
+
 def inverted_index_words(sf_dir: str):
     """Mini inverted index: per word its document frequency and the full
     posting list (sorted doc_ids, comma-joined so the driver hash compare

@@ -83,6 +83,87 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
     return df
 
 
+# --------------------------------------------------------------------------- distributed k-means
+def kmeans_quantized(ds, k: int = 4, iters: int = 2, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> pd.DataFrame:
+    """DISTRIBUTED Lloyd k-means whose every step is integer-exact, so even
+    this iterative algorithm gets a full DuckDB oracle (most engines settle
+    for a rows-only check on iterative ML):
+
+    * vectors quantized to 1e-6 integers (round half-away = SQL round);
+    * assignment by squared EUCLIDEAN distance in pure int64 (argmin with
+      lowest-cluster tie-break == row_number() ORDER BY dist, cluster);
+    * centroid update = per-dim rounded integer mean
+      sign(s) * ((2|s| + n) // (2n)) — no float division on either side;
+    * deterministic init: the quantized vectors of ``id_col`` 0..k-1.
+
+    Each iteration is ONE streaming pass: an actor-free map_batches emits
+    per-batch per-cluster (count, dim-sum) partials — k x (dim+1) numbers
+    per batch — and the driver folds them and broadcasts the updated
+    centroid matrix via ray.put. At 100 TB that is iters sequential scans
+    with metadata-sized driver state; no shuffle at any point.
+
+    Returns long-form (cluster, d, c, n_members): d is the 1-based
+    dimension, c the quantized centroid component after the final update,
+    n_members the final assignment's cluster size."""
+    import ray
+
+    from rayschema.dedup import round_half_away
+
+    init = (ds.filter(expr=f"{id_col} < {k}").to_pandas()
+            .sort_values(id_col))
+    # float64 BEFORE the 1e6 scale: the stored vectors are float32, and
+    # scaling in float32 rounds differently than SQL's ::DOUBLE promotion
+    cent = round_half_away(
+        np.stack(init[vec_col].to_numpy()).astype(np.float64) * 1e6, 0) \
+        .astype(np.int64)                                   # (k, dim)
+    dim = cent.shape[1]
+    counts = np.zeros(k, dtype=np.int64)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(b: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)
+            col = b.column(vec_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            q = round_half_away(
+                np.stack(col.to_numpy(zero_copy_only=False))
+                .astype(np.float64) * 1e6, 0).astype(np.int64)
+            qq = (q * q).sum(axis=1)
+            cc = (c * c).sum(axis=1)
+            dist = qq[:, None] - 2 * (q @ c.T) + cc[None, :]   # int64 exact
+            assign = dist.argmin(axis=1)       # first min = lowest cluster
+            cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            sums = np.zeros((len(c), q.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, q)
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c), dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "s": pa.array(list(sums), type=pa.list_(pa.int64())),
+            })
+
+        part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.int64)
+        for cl, cnt, s in zip(part["cluster"], part["cnt"], part["s"]):
+            counts[int(cl)] += int(cnt)
+            sums[int(cl)] += np.asarray(s, dtype=np.int64)
+        nz = counts > 0
+        n = counts[nz][:, None]
+        s = sums[nz]
+        cent[nz] = np.sign(s) * ((2 * np.abs(s) + n) // (2 * n))
+        # empty clusters keep their previous centroid
+
+    return pd.DataFrame({
+        "cluster": np.repeat(np.arange(k, dtype=np.int64), dim),
+        "d": np.tile(np.arange(1, dim + 1, dtype=np.int64), k),
+        "c": cent.reshape(-1),
+        "n_members": np.repeat(counts, dim),
+    })
+
+
 # --------------------------------------------------------------------------- IVF
 def train_codebook(sample: np.ndarray, n_clusters: int = 16, iters: int = 10,
                    seed: int = 99) -> np.ndarray:

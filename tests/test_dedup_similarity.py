@@ -453,3 +453,80 @@ def test_near_dup_clusters_pipeline(near_dup_docs):
     assert got.get(100) == 100 and got.get(101) == 100
     # standalone docs (40-79) never appear
     assert not any(40 <= d < 80 for d in cc["doc_id"])
+
+
+def test_kmeans_quantized_matches_sql_and_handles_empty_cluster(ray_session):
+    """Planted 2-cluster data with k=3 where init centroid 2 duplicates
+    centroid 0: the argmin tie-break (lowest cluster) starves cluster 2,
+    exercising the keep-previous-centroid branch; full SQL mirror at a
+    small dim checks every integer step."""
+    import duckdb
+    import ray.data as rd
+
+    from rayschema.similarity import kmeans_quantized
+
+    rng = np.random.RandomState(5)
+    dim, k = 6, 3
+    a = rng.normal(0.5, 0.02, size=(20, dim))
+    b = rng.normal(-0.5, 0.02, size=(20, dim))
+    vecs = np.concatenate([a, b]).astype(np.float32)
+    vecs[2] = vecs[0]                       # init duplicate -> empty cluster
+    df = pd.DataFrame({"vec_id": np.arange(40, dtype=np.int64),
+                       "embedding": [v for v in vecs]})
+    ds = rd.from_pandas(df).repartition(4)
+    # one iteration: the duplicated init centroid ties on every point and
+    # the lowest-cluster tie-break starves cluster 2 -> empty-cluster
+    # branch (centroid kept = the quantized init vector, 0 members)
+    got1 = kmeans_quantized(ds, k=k, iters=1)
+    c2 = got1[got1["cluster"] == 2].sort_values("d")
+    assert (c2["n_members"] == 0).all()
+    init_q = np.sign(vecs[2].astype(np.float64)) * np.floor(
+        np.abs(vecs[2].astype(np.float64)) * 1e6 + 0.5)
+    assert np.array_equal(c2["c"].to_numpy(np.int64),
+                          init_q.astype(np.int64))
+    got = (kmeans_quantized(ds, k=k, iters=2)
+           .sort_values(["cluster", "d"]).reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        {"vec_id": df["vec_id"],
+         "embedding": [list(map(float, v)) for v in vecs]}))
+    it = """
+        a{n} AS (
+          SELECT vec_id, cluster FROM (
+            SELECT v.vec_id, c.cluster,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY sum((v.q - c.c) * (v.q - c.c)),
+                                c.cluster) AS rn
+            FROM v JOIN c{p} c USING (d)
+            GROUP BY v.vec_id, c.cluster) WHERE rn = 1),
+        m{n} AS (SELECT a.cluster, v.d, sum(v.q)::BIGINT AS s,
+                        count(*)::BIGINT AS n
+                 FROM a{n} a JOIN v USING (vec_id) GROUP BY a.cluster, v.d),
+        c{n} AS (SELECT c{p}.cluster, c{p}.d,
+                      coalesce(CASE WHEN m{n}.s >= 0
+                                    THEN (2 * m{n}.s + m{n}.n) // (2 * m{n}.n)
+                                    ELSE -((2 * (-m{n}.s) + m{n}.n)
+                                           // (2 * m{n}.n)) END,
+                               c{p}.c)::BIGINT AS c
+                 FROM c{p} LEFT JOIN m{n}
+                   ON c{p}.cluster = m{n}.cluster AND c{p}.d = m{n}.d)"""
+    sql = f"""
+        WITH v AS (
+          SELECT e.vec_id, i.range AS d,
+                 round(e.embedding[i.range]::DOUBLE * 1000000)::BIGINT AS q
+          FROM embeddings e, range(1, {dim + 1}) i),
+        c0 AS (SELECT vec_id AS cluster, d, q AS c FROM v
+               WHERE vec_id < {k}),
+        {it.format(n=1, p=0)},
+        {it.format(n=2, p=1)},
+        n2 AS (SELECT cluster, count(*)::BIGINT AS n_members
+               FROM a2 GROUP BY cluster)
+        SELECT c2.cluster, c2.d, c2.c,
+               coalesce(n2.n_members, 0)::BIGINT AS n_members
+        FROM c2 LEFT JOIN n2 USING (cluster)
+        ORDER BY cluster, d"""
+    want = con.sql(sql).df()
+    for col in want.columns:
+        want[col] = want[col].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
