@@ -109,6 +109,7 @@ def run_bench() -> dict:
             if hasattr(res, "to_pandas"):
                 res.to_pandas()
             best = min(best, time.time() - t0)
+            res = None   # release run 1's blocks before run 2 executes
         timings[name] = round(best, 3)
 
     result = {

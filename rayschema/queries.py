@@ -1083,22 +1083,15 @@ def doc_rarity_score(sf_dir: str):
     (integer outputs so the oracle hash-matches bit-for-bit; consumers
     divide). Stage 1 builds the corpus frequency table distributed
     (per-batch partial counts -> tiny groupby sum) and broadcasts the
-    sorted vocabulary via ray.put; stage 2 is one stateless pass with a
-    searchsorted lookup + per-doc segment sum. At web scale the vocab
-    broadcast is pruned to the top-K words (documented cap, as in
-    tfidf_top_term)."""
+    vocabulary via ray.put; stage 2 is one stateless pass with an Arrow
+    index_in lookup + per-doc segment sum (C++ hash kernels end to end,
+    no numpy-object strings). At web scale the vocab broadcast is pruned
+    to the top-K words (documented cap, as in tfidf_top_term)."""
     import ray
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    from rayschema.text import _flatten_words_arrow as _flat_words_arrow
 
-    def _flat_words_arrow(col):
-        """Flattened word array kept as ARROW (no numpy-object detour —
-        the C++ hash kernels below are ~5x the object-array path)."""
-        words = pc.split_pattern(col, " ")
-        if isinstance(words, pa.ChunkedArray):
-            words = words.combine_chunks()
-        counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-        return words.flatten(), counts
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def cf_partial(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_valid(b.column("text")))

@@ -112,6 +112,10 @@ def kmeans_quantized(ds, k: int = 4, iters: int = 2, id_col: str = "vec_id",
 
     init = (ds.filter(expr=f"{id_col} < {k}").to_pandas()
             .sort_values(id_col))
+    if len(init) != k:
+        raise ValueError(
+            f"kmeans_quantized init needs {id_col} 0..{k - 1} present "
+            f"(the deterministic-init/oracle contract); found {len(init)}")
     # float64 BEFORE the 1e6 scale: the stored vectors are float32, and
     # scaling in float32 rounds differently than SQL's ::DOUBLE promotion
     cent = round_half_away(
@@ -128,6 +132,11 @@ def kmeans_quantized(ds, k: int = 4, iters: int = 2, id_col: str = "vec_id",
             col = b.column(vec_col)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
+            if len(col) == 0:          # empty block (repartition/filter)
+                return pa.table({
+                    "cluster": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.list_(pa.int64()))})
             q = round_half_away(
                 np.stack(col.to_numpy(zero_copy_only=False))
                 .astype(np.float64) * 1e6, 0).astype(np.int64)

@@ -180,6 +180,20 @@ def _flatten_words(col: pa.Array):
     return flat, doc_idx, counts
 
 
+def _flatten_words_arrow(col):
+    """Arrow-native variant of ``_flatten_words``: returns the flattened
+    word array STILL AS ARROW (plus words-per-doc counts) so callers can
+    feed it straight to the C++ hash kernels (pc.value_counts /
+    pc.index_in) — measured ~5x the numpy-object path for counting.
+    Same split semantics as _flatten_words (single-space, empty text ->
+    one empty word)."""
+    words = pc.split_pattern(col, " ")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+    return words.flatten(), counts
+
+
 def _distinct_word_pairs(words: np.ndarray, docs: np.ndarray):
     """Distinct (doc, word) pairs + per-pair multiplicities via ONE lexsort.
     Returns (doc_per_pair, word_per_pair, count_per_pair) in (doc, word)
