@@ -931,7 +931,7 @@ def tfidf_top_term(sf_dir: str):
     to the top-K vocabulary before broadcast (documented cap)."""
     import ray
 
-    from rayschema.text import _distinct_word_pairs, _flatten_words
+    from rayschema.text import _distinct_word_pairs, _flatten_words_arrow
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -942,7 +942,8 @@ def tfidf_top_term(sf_dir: str):
             col = col.combine_chunks()
         if len(col) == 0:
             return None, None, None
-        flat, doc_idx, _ = _flatten_words(col)
+        flat, n_words = _flatten_words_arrow(col)
+        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), n_words)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)[doc_idx]
         return _distinct_word_pairs(flat, ids)
 
@@ -1161,7 +1162,7 @@ def inverted_index_words(sf_dir: str):
     postings per word (top-K doc_ids) — the plumbing is unchanged."""
     from rayschema.dedup import sorted_group_scan
     from rayschema.sketches import hash64
-    from rayschema.text import _distinct_word_pairs, _flatten_words
+    from rayschema.text import _distinct_word_pairs, _flatten_words_arrow
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -1174,7 +1175,8 @@ def inverted_index_words(sf_dir: str):
             return pa.table({"uk": pa.array([], type=pa.int64()),
                              "word": pa.array([], type=pa.string()),
                              "doc_id": pa.array([], type=pa.int64())})
-        flat, doc_idx, _ = _flatten_words(col)
+        flat, n_words = _flatten_words_arrow(col)
+        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), n_words)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)[doc_idx]
         di, wi, _ = _distinct_word_pairs(flat, ids)
         return pa.table({

@@ -194,20 +194,36 @@ def _flatten_words_arrow(col):
     return words.flatten(), counts
 
 
-def _distinct_word_pairs(words: np.ndarray, docs: np.ndarray):
+def _distinct_word_pairs(words, docs: np.ndarray):
     """Distinct (doc, word) pairs + per-pair multiplicities via ONE lexsort.
     Returns (doc_per_pair, word_per_pair, count_per_pair) in (doc, word)
-    order. ``words`` may be strings or integer word-ids — the pair SET and
-    counts are identical either way (only within-doc ordering differs).
+    order. ``words`` may be a numpy array (strings or integer word-ids) or
+    an ARROW string array — the Arrow form takes the fast path: C++
+    dictionary_encode hashes every occurrence, only the (small) dictionary
+    is argsorted for lexicographic ranks, and the big lexsort runs over
+    int codes instead of Python objects. Output is identical either way.
     The single source of this kernel for TF-IDF (df/tf), the inverted
     index, and repetition stats."""
-    order = np.lexsort((words, docs))
-    d_s, w_s = docs[order], words[order]
+    if isinstance(words, (pa.Array, pa.ChunkedArray)):
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        enc = words.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dict_np = enc.dictionary.to_numpy(zero_copy_only=False)
+        rank = np.empty(len(dict_np), dtype=np.int64)
+        rank[np.argsort(dict_np)] = np.arange(len(dict_np))
+        w_key = rank[codes]
+    else:
+        codes = dict_np = None
+        w_key = words
+    order = np.lexsort((w_key, docs))
+    d_s, k_s = docs[order], w_key[order]
     new = np.ones(len(d_s), dtype=bool)
-    new[1:] = (d_s[1:] != d_s[:-1]) | (w_s[1:] != w_s[:-1])
+    new[1:] = (d_s[1:] != d_s[:-1]) | (k_s[1:] != k_s[:-1])
     starts = np.nonzero(new)[0]
     mult = np.diff(np.append(starts, len(d_s))).astype(np.int64)
-    return d_s[new], w_s[new], mult
+    w_out = dict_np[codes[order][new]] if codes is not None else k_s[new]
+    return d_s[new], w_out, mult
 
 
 def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
