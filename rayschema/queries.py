@@ -1284,7 +1284,7 @@ def vocabulary_top_words(sf_dir: str):
     groupby-sum shuffle, then per-lang top-10 by (count desc, word asc).
     The explode+count heavy phase is fully distributed; the ranked final
     table is metadata-sized by construction (distinct words, not rows)."""
-    from rayschema.text import _flatten_words
+    from rayschema.text import _flatten_words_arrow
 
     ds = _read(sf_dir, "documents", columns=["lang", "text"])
 
@@ -1298,13 +1298,15 @@ def vocabulary_top_words(sf_dir: str):
             return pa.table({"lang": pa.array([], type=pa.string()),
                              "word": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
-        flat, doc_idx, _ = _flatten_words(col)
-        langs = b.column("lang").to_numpy(zero_copy_only=False)[doc_idx]
-        df = pd.DataFrame({"lang": langs, "word": flat})
-        g = df.groupby(["lang", "word"], sort=False).size().reset_index(name="n")
-        return pa.table({"lang": pa.array(g["lang"], type=pa.string()),
-                         "word": pa.array(g["word"], type=pa.string()),
-                         "n": pa.array(g["n"].to_numpy(np.int64))})
+        flat, n_words = _flatten_words_arrow(col)
+        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), n_words)
+        langs = pc.take(b.column("lang"), pa.array(doc_idx))
+        # Arrow's C++ hash aggregation — no pandas object-groupby detour
+        g = (pa.table({"lang": langs, "word": flat})
+             .group_by(["lang", "word"]).aggregate([([], "count_all")]))
+        return pa.table({"lang": g.column("lang"),
+                         "word": g.column("word"),
+                         "n": g.column("count_all").cast(pa.int64())})
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby(["lang", "word"]).sum("n"))

@@ -166,27 +166,13 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 # --------------------------------------------------------------------------- repetition metrics
 
 
-def _flatten_words(col: pa.Array):
-    """Split a string column on single spaces and flatten: returns
-    (words_object_array, doc_index_per_word, words_per_doc). Mirrors SQL
+def _flatten_words_arrow(col):
+    """Split a string column on single spaces and flatten, keeping the
+    word array AS ARROW (plus words-per-doc counts) so callers feed it
+    straight to the C++ hash kernels (pc.value_counts / pc.index_in /
+    dictionary_encode) — measured ~5x the numpy-object path. Mirrors SQL
     ``unnest(string_split(text, ' '))`` exactly (empty text -> one empty
     word; consecutive spaces -> empty words)."""
-    words = pc.split_pattern(col, " ")
-    if isinstance(words, pa.ChunkedArray):
-        words = words.combine_chunks()
-    counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-    doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), counts)
-    flat = words.flatten().to_numpy(zero_copy_only=False)
-    return flat, doc_idx, counts
-
-
-def _flatten_words_arrow(col):
-    """Arrow-native variant of ``_flatten_words``: returns the flattened
-    word array STILL AS ARROW (plus words-per-doc counts) so callers can
-    feed it straight to the C++ hash kernels (pc.value_counts /
-    pc.index_in) — measured ~5x the numpy-object path for counting.
-    Same split semantics as _flatten_words (single-space, empty text ->
-    one empty word)."""
     words = pc.split_pattern(col, " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
@@ -247,8 +233,12 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
             "max_word_freq": pa.array([], type=pa.int64()),
             "n_dup_2grams": pa.array([], type=pa.int64()),
         })
-    flat, doc_idx, n_words = _flatten_words(col)
-    _, wid = np.unique(flat, return_inverse=True)
+    flat_a, n_words = _flatten_words_arrow(col)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_words)
+    # word identity codes from the C++ dictionary hash (order-free: only
+    # equality matters for multiplicities and 2-grams)
+    wid = (flat_a.dictionary_encode().indices
+           .to_numpy(zero_copy_only=False).astype(np.int64))
 
     # per-doc word multiplicities: the shared distinct-pair kernel over
     # integer word-ids (cheaper to sort than the strings)
