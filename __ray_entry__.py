@@ -16,6 +16,56 @@ from rayschema import queries as Q
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Shared CTE chain for the integer-exact distributed k-means (matches
+# similarity.kmeans_quantized step for step): quantized vectors, two
+# unrolled assign/update rounds. Used by the kmeans_embeddings oracle and
+# re-used by knn_ivf_kmeans (which adds a final assignment + probe on top).
+_KMEANS_CTES = """
+            v AS (
+              SELECT e.vec_id, i.range AS d,
+                     round(e.embedding[i.range]::DOUBLE * 1000000)::BIGINT AS q
+              FROM embeddings e, range(1, 65) i),
+            c0 AS (SELECT vec_id AS cluster, d, q AS c FROM v
+                   WHERE vec_id < 4),
+            a1 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT v.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY sum((v.q - c.c) * (v.q - c.c)),
+                                    c.cluster) AS rn
+                FROM v JOIN c0 c USING (d)
+                GROUP BY v.vec_id, c.cluster) WHERE rn = 1),
+            m1 AS (SELECT a.cluster, v.d, sum(v.q)::BIGINT AS s,
+                          count(*)::BIGINT AS n
+                   FROM a1 a JOIN v USING (vec_id) GROUP BY a.cluster, v.d),
+            c1 AS (SELECT c0.cluster, c0.d,
+                          coalesce(CASE WHEN m1.s >= 0
+                                        THEN (2 * m1.s + m1.n) // (2 * m1.n)
+                                        ELSE -((2 * (-m1.s) + m1.n)
+                                               // (2 * m1.n)) END,
+                                   c0.c)::BIGINT AS c
+                   FROM c0 LEFT JOIN m1
+                     ON c0.cluster = m1.cluster AND c0.d = m1.d),
+            a2 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT v.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY sum((v.q - c.c) * (v.q - c.c)),
+                                    c.cluster) AS rn
+                FROM v JOIN c1 c USING (d)
+                GROUP BY v.vec_id, c.cluster) WHERE rn = 1),
+            m2 AS (SELECT a.cluster, v.d, sum(v.q)::BIGINT AS s,
+                          count(*)::BIGINT AS n
+                   FROM a2 a JOIN v USING (vec_id) GROUP BY a.cluster, v.d),
+            c2 AS (SELECT c1.cluster, c1.d,
+                          coalesce(CASE WHEN m2.s >= 0
+                                        THEN (2 * m2.s + m2.n) // (2 * m2.n)
+                                        ELSE -((2 * (-m2.s) + m2.n)
+                                               // (2 * m2.n)) END,
+                                   c1.c)::BIGINT AS c
+                   FROM c1 LEFT JOIN m2
+                     ON c1.cluster = m2.cluster AND c1.d = m2.d)"""
+
 
 def entry() -> Any:
     """Flagship: full constraint suite over documents -> per-lang verdicts."""
@@ -71,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source": Q.cap_per_source,
         "doc_rarity_score": Q.doc_rarity_score,
         "kmeans_embeddings": Q.kmeans_embeddings,
+        "knn_ivf_kmeans": Q.knn_ivf_kmeans,
         # -- relational engine coverage
         "pricing_summary": Q.pricing_summary,
         "top_revenue_customers": Q.top_revenue_customers,
@@ -534,56 +585,51 @@ def oracle_sql() -> dict[str, str]:
         # argmin with lowest-cluster tie-break, centroid update =
         # sign(s) * ((2|s| + n) // (2n)) (round-half-away integer mean),
         # empty clusters keep their previous centroid via the LEFT JOIN.
-        "kmeans_embeddings": """
-            WITH v AS (
-              SELECT e.vec_id, i.range AS d,
-                     round(e.embedding[i.range]::DOUBLE * 1000000)::BIGINT AS q
-              FROM embeddings e, range(1, 65) i),
-            c0 AS (SELECT vec_id AS cluster, d, q AS c FROM v
-                   WHERE vec_id < 4),
-            a1 AS (
-              SELECT vec_id, cluster FROM (
-                SELECT v.vec_id, c.cluster,
-                       row_number() OVER (PARTITION BY v.vec_id
-                           ORDER BY sum((v.q - c.c) * (v.q - c.c)),
-                                    c.cluster) AS rn
-                FROM v JOIN c0 c USING (d)
-                GROUP BY v.vec_id, c.cluster) WHERE rn = 1),
-            m1 AS (SELECT a.cluster, v.d, sum(v.q)::BIGINT AS s,
-                          count(*)::BIGINT AS n
-                   FROM a1 a JOIN v USING (vec_id) GROUP BY a.cluster, v.d),
-            c1 AS (SELECT c0.cluster, c0.d,
-                          coalesce(CASE WHEN m1.s >= 0
-                                        THEN (2 * m1.s + m1.n) // (2 * m1.n)
-                                        ELSE -((2 * (-m1.s) + m1.n)
-                                               // (2 * m1.n)) END,
-                                   c0.c)::BIGINT AS c
-                   FROM c0 LEFT JOIN m1
-                     ON c0.cluster = m1.cluster AND c0.d = m1.d),
-            a2 AS (
-              SELECT vec_id, cluster FROM (
-                SELECT v.vec_id, c.cluster,
-                       row_number() OVER (PARTITION BY v.vec_id
-                           ORDER BY sum((v.q - c.c) * (v.q - c.c)),
-                                    c.cluster) AS rn
-                FROM v JOIN c1 c USING (d)
-                GROUP BY v.vec_id, c.cluster) WHERE rn = 1),
-            m2 AS (SELECT a.cluster, v.d, sum(v.q)::BIGINT AS s,
-                          count(*)::BIGINT AS n
-                   FROM a2 a JOIN v USING (vec_id) GROUP BY a.cluster, v.d),
-            c2 AS (SELECT c1.cluster, c1.d,
-                          coalesce(CASE WHEN m2.s >= 0
-                                        THEN (2 * m2.s + m2.n) // (2 * m2.n)
-                                        ELSE -((2 * (-m2.s) + m2.n)
-                                               // (2 * m2.n)) END,
-                                   c1.c)::BIGINT AS c
-                   FROM c1 LEFT JOIN m2
-                     ON c1.cluster = m2.cluster AND c1.d = m2.d),
+        "kmeans_embeddings": f"""
+            WITH {_KMEANS_CTES},
             n2 AS (SELECT cluster, count(*)::BIGINT AS n_members
                    FROM a2 GROUP BY cluster)
             SELECT c2.cluster, c2.d, c2.c,
                    coalesce(n2.n_members, 0)::BIGINT AS n_members
             FROM c2 LEFT JOIN n2 USING (cluster)""",
+        # IVF ANN with every stage reproducible: final assignment and the
+        # per-query probe choice are integer argmins over the k-means
+        # centroids; the within-probe ranking reuses the exact-cosine
+        # convention knn_bruteforce already hash-matches.
+        "knn_ivf_kmeans": f"""
+            WITH {_KMEANS_CTES},
+            a3 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT v.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY sum((v.q - c.c) * (v.q - c.c)),
+                                    c.cluster) AS rn
+                FROM v JOIN c2 c USING (d)
+                GROUP BY v.vec_id, c.cluster) WHERE rn = 1),
+            p AS (
+              SELECT vec_id AS query_id, cluster FROM (
+                SELECT v.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY sum((v.q - c.c) * (v.q - c.c)),
+                                    c.cluster) AS rn
+                FROM v JOIN c2 c USING (d)
+                WHERE v.vec_id IN (0, 1, 2)
+                GROUP BY v.vec_id, c.cluster) WHERE rn <= 2),
+            qv AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                   WHERE vec_id IN (0, 1, 2)),
+            s AS (SELECT qv.query_id, a3.vec_id,
+                         list_cosine_similarity(qv.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]) AS cs
+                  FROM qv JOIN p USING (query_id)
+                  JOIN a3 ON a3.cluster = p.cluster
+                  JOIN embeddings e ON e.vec_id = a3.vec_id),
+            r AS (SELECT query_id, vec_id, cs,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cs DESC, vec_id) AS rk
+                  FROM s)
+            SELECT query_id, vec_id, round(cs, 6) AS cosine,
+                   CAST(rk AS BIGINT) AS "rank"
+            FROM r WHERE rk <= 10""",
         "pack_sequences_documents": """
             WITH t AS (
               SELECT doc_id,

@@ -1152,6 +1152,85 @@ def kmeans_embeddings(sf_dir: str):
     return kmeans_quantized(ds, k=4, iters=2)
 
 
+def knn_ivf_kmeans(sf_dir: str):
+    """IVF ANN that is FULLY oracle-checked end to end — normally the IVF
+    path only gets a rows-only check because sampling/float k-means make
+    the buckets irreproducible in SQL. Here the codebook is the
+    integer-exact distributed k-means (kmeans_embeddings), the
+    vector-to-bucket assignment AND the per-query probe choice (nprobe=2
+    of k=4) are integer squared-euclidean argmins with lowest-cluster
+    tie-breaks, and the within-probe ranking is the exact-cosine
+    convention the knn_bruteforce oracle already hash-matches. ONE
+    streaming pass over the corpus computes assignment + probe-filtered
+    local top-k per batch; the driver merges candidate sets (O(batches x
+    k x queries))."""
+    import ray
+
+    from rayschema.dedup import round_half_away
+    from rayschema.similarity import _normalize, kmeans_quantized
+
+    K, NPROBE, TOPK = 4, 2, 10
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    km = kmeans_quantized(ds, k=K, iters=2)
+    cent = (km.sort_values(["cluster", "d"])["c"]
+            .to_numpy(np.int64).reshape(K, -1))
+
+    qdf = (ds.filter(expr="vec_id in [0, 1, 2]").to_pandas()
+           .sort_values("vec_id"))
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    qq = round_half_away(qmat * 1e6, 0).astype(np.int64)
+    qdist = ((qq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(qdist, axis=1, kind="stable")[:, :NPROBE]
+    qn = _normalize(qmat)
+    qids = qdf["vec_id"].to_numpy(np.int64)
+    ref = ray.put((cent, probe, qn, qids))
+
+    def topk(b: pa.Table) -> pa.Table:
+        cent_, probe_, qn_, qids_ = ray.get(ref)
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        mat = np.stack(col.to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        qv = round_half_away(mat * 1e6, 0).astype(np.int64)
+        dist = ((qv * qv).sum(axis=1)[:, None] - 2 * (qv @ cent_.T)
+                + (cent_ * cent_).sum(axis=1)[None, :])
+        assign = dist.argmin(axis=1)
+        sims = _normalize(mat) @ qn_.T                      # (n, nq)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_q, out_id, out_cs = [], [], []
+        for qi in range(len(qn_)):
+            mask = np.isin(assign, probe_[qi])
+            if not mask.any():
+                continue
+            vid, cs = ids[mask], sims[mask, qi]
+            order = np.lexsort((vid, -cs))[:TOPK]
+            out_q.append(np.full(len(order), qids_[qi], dtype=np.int64))
+            out_id.append(vid[order])
+            out_cs.append(cs[order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "vec_id": pa.array([], type=pa.int64()),
+                             "cosine": pa.array([], type=pa.float64())})
+        return pa.table({"query_id": pa.array(np.concatenate(out_q)),
+                         "vec_id": pa.array(np.concatenate(out_id)),
+                         "cosine": pa.array(np.concatenate(out_cs))})
+
+    df = ds.map_batches(topk, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["query_id", "cosine", "vec_id"],
+                        ascending=[True, False, True], kind="mergesort")
+    df = df.groupby("query_id", as_index=False).head(TOPK) \
+        .reset_index(drop=True)
+    df["rank"] = (df.groupby("query_id").cumcount() + 1).astype(np.int64)
+    df["cosine"] = round_half_away(df["cosine"].to_numpy(), 6)
+    return df
+
+
 def inverted_index_words(sf_dir: str):
     """Mini inverted index: per word its document frequency and the full
     posting list (sorted doc_ids, comma-joined so the driver hash compare

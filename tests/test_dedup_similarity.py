@@ -530,3 +530,29 @@ def test_kmeans_quantized_matches_sql_and_handles_empty_cluster(ray_session):
     for col in want.columns:
         want[col] = want[col].astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_ivf_kmeans_matches_registered_oracle(ray_session, sf_dir):
+    """Engine vs the registered DuckDB oracle (the same SQL the driver
+    runs): the IVF path is fully reproducible because codebook, assignment
+    and probe are integer-exact."""
+    import duckdb
+
+    import __ray_entry__ as entry
+    from rayschema.queries import knn_ivf_kmeans
+
+    got = (knn_ivf_kmeans(sf_dir)
+           .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW embeddings AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = (con.sql(entry.oracle_sql()["knn_ivf_kmeans"]).df()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    for c in ("query_id", "vec_id", "rank"):
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+    # structural contract: each query's rank-1 hit is itself (it probes
+    # its own bucket) at cosine 1.0
+    top1 = got[got["rank"] == 1]
+    assert list(top1["vec_id"]) == list(top1["query_id"])
+    assert (top1["cosine"] == 1.0).all()
