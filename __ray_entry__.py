@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity_score": Q.doc_rarity_score,
         "kmeans_embeddings": Q.kmeans_embeddings,
         "knn_ivf_kmeans": Q.knn_ivf_kmeans,
+        "dup_span_stats": Q.dup_span_stats,
         # -- relational engine coverage
         "pricing_summary": Q.pricing_summary,
         "top_revenue_customers": Q.top_revenue_customers,
@@ -579,6 +580,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_words
             FROM w JOIN cf USING (word)
             GROUP BY w.doc_id""",
+        # Lee et al. duplicated-span signal: window positions whose char
+        # 20-gram occurs in >= 2 distinct docs (codepoint windows ==
+        # substr windows; engine hashes them, oracle compares the text).
+        "dup_span_stats": """
+            WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n
+                       FROM documents WHERE text IS NOT NULL),
+            w AS (SELECT doc_id,
+                         unnest(generate_series(1,
+                             greatest(n - 19, 0)::INT)) AS pos, text
+                  FROM d),
+            wt AS (SELECT doc_id, substr(text, pos::INT, 20) AS wt FROM w),
+            g AS (SELECT wt, count(DISTINCT doc_id) AS nd FROM wt
+                  GROUP BY wt),
+            dup AS (SELECT wt.doc_id, count(*)::BIGINT AS n_dup
+                    FROM wt JOIN g ON wt.wt = g.wt WHERE g.nd >= 2
+                    GROUP BY wt.doc_id)
+            SELECT d.doc_id, greatest(d.n - 19, 0)::BIGINT AS n_windows,
+                   coalesce(dup.n_dup, 0)::BIGINT AS n_dup_windows
+            FROM d LEFT JOIN dup USING (doc_id)""",
         # Distributed Lloyd k-means, 2 unrolled assign/update rounds in
         # integer-exact quantized arithmetic (matches
         # similarity.kmeans_quantized step for step): squared-euclidean

@@ -1231,6 +1231,120 @@ def knn_ivf_kmeans(sf_dir: str):
     return df
 
 
+DUP_SPAN_K = 20
+
+
+def dup_span_stats(sf_dir: str, k: int = DUP_SPAN_K):
+    """Per-doc duplicated-span fraction in exact integer form — the
+    cross-document substring-duplication signal of Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better" (2022,
+    public): for every doc, the number of char ``k``-gram window POSITIONS
+    whose window text occurs in >= 2 distinct documents, plus the total
+    window count (consumers divide for the fraction).
+
+    Pipeline: (1) one vectorized pass rolls a codepoint hash over each
+    batch's flat text buffer and reduces to distinct (window-hash, doc,
+    n_positions) rows — 24 B each, content never shuffles; (2) ONE
+    sorted_group_scan on the 8-byte hash emits (doc, n_positions) for
+    every hash held by >= 2 docs; (3) a tiny groupby-sum of those dup
+    counts broadcasts into a stateless final pass that computes
+    n_windows = max(len - k + 1, 0) per doc. At 100 TB step 3's broadcast
+    (docs-with-dups ids+counts) becomes a hash join on doc_id — steps 1-2
+    are unchanged. Codepoint windows == DuckDB substr windows, so the
+    oracle is exact (64-bit hash collisions are the standard accepted
+    risk, ~1e-9 at these scales)."""
+    import ray
+
+    from rayschema.dedup import (
+        _codepoint_parts,
+        _rolling_hashes,
+        sorted_group_scan,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def windows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        empty = pa.table({"h": pa.array([], type=pa.int64()),
+                          "doc_id": pa.array([], type=pa.int64()),
+                          "npos": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        _, cpo, cps, _ = _codepoint_parts(col)
+        if len(cps) < k:
+            return empty
+        hh = _rolling_hashes(cps, k)
+        pos = np.arange(len(hh), dtype=np.int64)
+        dd = np.searchsorted(cpo, pos, side="right") - 1
+        ok = (dd >= 0) & (dd < b.num_rows) & (pos + k <= cpo[dd + 1])
+        h, doc = hh[ok].view(np.int64), dd[ok]
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[doc]
+        order = np.lexsort((h, ids))
+        i_s, h_s = ids[order], h[order]
+        new = np.ones(len(i_s), dtype=bool)
+        new[1:] = (i_s[1:] != i_s[:-1]) | (h_s[1:] != h_s[:-1])
+        starts = np.nonzero(new)[0]
+        npos = np.diff(np.append(starts, len(i_s))).astype(np.int64)
+        return pa.table({"h": pa.array(h_s[new]),
+                         "doc_id": pa.array(i_s[new]),
+                         "npos": pa.array(npos)})
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("npos", pa.int64())])
+
+    def block_fn(b: pa.Table, starts, ends, want) -> pa.Table:
+        sizes = ends - starts
+        sel = np.repeat(want, sizes)
+        idx = pa.array(np.flatnonzero(sel))
+        return pa.table({"doc_id": b.column("doc_id").take(idx),
+                         "npos": b.column("npos").take(idx)})
+
+    def group_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return None
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "npos": t.column("npos")})
+
+    dup = sorted_group_scan(
+        ds.map_batches(windows, batch_format="pyarrow"),
+        ["h"], group_fn, out_schema,
+        group_filter=lambda b, s, e: (e - s) >= 2,
+        block_fn=block_fn, sort_blocks=32)
+    dup_pd = dup.groupby("doc_id").sum("npos").to_pandas()
+    if len(dup_pd):
+        dup_ids = dup_pd["doc_id"].to_numpy(np.int64)
+        o = np.argsort(dup_ids)
+        dup_ids = dup_ids[o]
+        dup_n = dup_pd["sum(npos)"].to_numpy(np.int64)[o]
+    else:
+        dup_ids = np.empty(0, np.int64)
+        dup_n = np.empty(0, np.int64)
+    ref = ray.put((dup_ids, dup_n))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ids_s, dups_s = ray.get(ref)
+        b = b.filter(pc.is_valid(b.column("text")))
+        n_cp = pc.utf8_length(b.column("text")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_windows = np.maximum(n_cp - (k - 1), 0)
+        ndup = np.zeros(len(ids), dtype=np.int64)
+        if len(ids_s):
+            p = np.searchsorted(ids_s, ids)
+            p = np.clip(p, 0, len(ids_s) - 1)
+            hit = ids_s[p] == ids
+            ndup[hit] = dups_s[p[hit]]
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_windows": pa.array(n_windows),
+                         "n_dup_windows": pa.array(ndup)})
+
+    return ds.map_batches(finalize, batch_format="pyarrow")
+
+
 def inverted_index_words(sf_dir: str):
     """Mini inverted index: per word its document frequency and the full
     posting list (sorted doc_ids, comma-joined so the driver hash compare

@@ -84,3 +84,54 @@ def test_doc_rarity_score_matches_sql(ray_session, tmp_path):
     assert 3 not in set(got["doc_id"])
     row2 = got[got["doc_id"] == 2].iloc[0]
     assert (row2["cf_sum"], row2["n_words"]) == (1, 1)
+
+
+def test_dup_span_stats_edges(ray_session, tmp_path):
+    """Cross-doc window counting on crafted edges: a shared 30-char span
+    (counted), a phrase repeated only WITHIN one doc (not counted), a doc
+    shorter than k (0 windows), null text (dropped), and multi-byte text
+    (codepoint windows, matching SQL substr)."""
+    from rayschema.queries import dup_span_stats
+
+    shared = "alpha beta gamma delta epsilon"           # 30 chars
+    cjk = "日本語のテキストという共有された長い文字列です" * 2
+    df = pd.DataFrame({
+        "doc_id": np.arange(7, dtype=np.int64),
+        "text": [
+            "X " + shared + " one tail here",           # shares w/ doc 1
+            "Y " + shared + " two other end",
+            "repeat me now! repeat me now! repeat me now!",  # self-only
+            "short",                                    # < k -> 0 windows
+            None,                                       # dropped
+            "A " + cjk,                                 # shares w/ doc 6
+            "B " + cjk,
+        ],
+        "lang": ["en"] * 7, "source": ["web"] * 7,
+        "n_chars": np.ones(7, dtype=np.int64),
+    })
+    sf = _write_docs(tmp_path, df)
+    got = (dup_span_stats(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = _docs_view(sf)
+    want = con.sql("""
+        WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n
+                   FROM documents WHERE text IS NOT NULL),
+        w AS (SELECT doc_id, unnest(generate_series(1,
+                  greatest(n - 19, 0)::INT)) AS pos, text FROM d),
+        wt AS (SELECT doc_id, substr(text, pos::INT, 20) AS wt FROM w),
+        g AS (SELECT wt, count(DISTINCT doc_id) AS nd FROM wt GROUP BY wt),
+        dup AS (SELECT wt.doc_id, count(*)::BIGINT AS n_dup
+                FROM wt JOIN g ON wt.wt = g.wt WHERE g.nd >= 2
+                GROUP BY wt.doc_id)
+        SELECT d.doc_id, greatest(d.n - 19, 0)::BIGINT AS n_windows,
+               coalesce(dup.n_dup, 0)::BIGINT AS n_dup_windows
+        FROM d LEFT JOIN dup USING (doc_id) ORDER BY doc_id""").df()
+    for c in want.columns:
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+    by_id = got.set_index("doc_id")
+    assert by_id.loc[0, "n_dup_windows"] > 0            # shared span found
+    assert by_id.loc[2, "n_dup_windows"] == 0           # within-doc only
+    assert by_id.loc[3, "n_windows"] == 0               # too short
+    assert 4 not in by_id.index                         # null dropped
+    assert by_id.loc[5, "n_dup_windows"] > 0            # multi-byte shared
