@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embeddings": Q.kmeans_embeddings,
         "knn_ivf_kmeans": Q.knn_ivf_kmeans,
         "dup_span_stats": Q.dup_span_stats,
+        "chunk_documents": Q.chunk_documents,
         # -- relational engine coverage
         "pricing_summary": Q.pricing_summary,
         "top_revenue_customers": Q.top_revenue_customers,
@@ -580,6 +581,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_words
             FROM w JOIN cf USING (word)
             GROUP BY w.doc_id""",
+        "chunk_documents": """
+            WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n
+                       FROM documents WHERE text IS NOT NULL),
+            c AS (SELECT doc_id,
+                         unnest(generate_series(0,
+                             ((n - 1) // 150)::INT)) AS chunk_id, text
+                  FROM d WHERE n >= 1)
+            SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+                   substr(text, (chunk_id * 150 + 1)::INT, 200)
+                       AS chunk_text
+            FROM c""",
         # Lee et al. duplicated-span signal: window positions whose char
         # 20-gram occurs in >= 2 distinct docs (codepoint windows ==
         # substr windows; engine hashes them, oracle compares the text).

@@ -1231,6 +1231,57 @@ def knn_ivf_kmeans(sf_dir: str):
     return df
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 200, 150
+
+
+def chunk_documents(sf_dir: str, size: int = CHUNK_SIZE,
+                    stride: int = CHUNK_STRIDE):
+    """Fixed-size overlapping character chunking (the RAG / long-doc
+    preprocessing step): doc i emits chunks starting at codepoints
+    0, stride, 2*stride, ... while the start is inside the text, each
+    ``size`` codepoints long (the last ones shorter). Fully stateless and
+    shuffle-free; vectorized BY CHUNK ORDINAL — chunk j of every doc
+    shares the same (start, stop), so each ordinal is one Arrow
+    utf8_slice_codeunits call (codepoint slicing == SQL substr) over the
+    docs still long enough. Max ordinal count is len/stride, so the loop
+    is short and the per-call work is batch-wide."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunks(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = pc.utf8_length(col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        parts = []
+        j = 0
+        while True:
+            start = j * stride
+            sel = np.flatnonzero(n > start) if start else \
+                np.flatnonzero(n >= 1)
+            if len(sel) == 0:
+                break
+            idx = pa.array(sel)
+            txt = pc.utf8_slice_codeunits(pc.take(col, idx),
+                                          start=start, stop=start + size)
+            parts.append(pa.table({
+                "doc_id": pa.array(ids[sel]),
+                "chunk_id": pa.array(np.full(len(sel), j, dtype=np.int64)),
+                "chunk_text": txt,
+            }))
+            j += 1
+        if not parts:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "chunk_id": pa.array([], type=pa.int64()),
+                             "chunk_text": pa.array([], type=pa.string())})
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(chunks, batch_format="pyarrow")
+
+
 DUP_SPAN_K = 20
 
 

@@ -135,3 +135,42 @@ def test_dup_span_stats_edges(ray_session, tmp_path):
     assert by_id.loc[3, "n_windows"] == 0               # too short
     assert 4 not in by_id.index                         # null dropped
     assert by_id.loc[5, "n_dup_windows"] > 0            # multi-byte shared
+
+
+def test_chunk_documents_edges(ray_session, tmp_path):
+    """Chunk boundaries: empty text -> 0 chunks, n == stride -> 1 chunk,
+    n == stride+1 -> 2 chunks (second is 1 char), multi-byte codepoint
+    slicing == SQL substr, null dropped."""
+    from rayschema.queries import chunk_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["", "a" * 150, "b" * 151, None,
+                 "日" * 310, "x" * 475],
+        "lang": ["en"] * 6, "source": ["web"] * 6,
+        "n_chars": np.ones(6, dtype=np.int64),
+    })
+    sf = _write_docs(tmp_path, df)
+    got = (chunk_documents(sf).to_pandas()
+           .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True))
+    con = _docs_view(sf)
+    want = con.sql("""
+        WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n
+                   FROM documents WHERE text IS NOT NULL),
+        c AS (SELECT doc_id, unnest(generate_series(0,
+                  ((n - 1) // 150)::INT)) AS chunk_id, text
+              FROM d WHERE n >= 1)
+        SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+               substr(text, (chunk_id * 150 + 1)::INT, 200) AS chunk_text
+        FROM c ORDER BY doc_id, chunk_id""").df()
+    for c in ("doc_id", "chunk_id"):
+        want[c] = want[c].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)
+    counts = got.groupby("doc_id").size()
+    assert 0 not in counts.index                       # empty -> no chunks
+    assert counts[1] == 1 and counts[2] == 2
+    assert len(got[(got.doc_id == 2) & (got.chunk_id == 1)]
+               ["chunk_text"].iloc[0]) == 1
+    assert counts[4] == 3                              # 310 cp -> 3 chunks
+    assert got[(got.doc_id == 4) & (got.chunk_id == 0)
+               ]["chunk_text"].iloc[0] == "日" * 200
