@@ -942,8 +942,7 @@ def tfidf_top_term(sf_dir: str):
             col = col.combine_chunks()
         if len(col) == 0:
             return None, None, None
-        flat, n_words = _flatten_words_arrow(col)
-        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), n_words)
+        flat, _, doc_idx = _flatten_words_arrow(col)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)[doc_idx]
         return _distinct_word_pairs(flat, ids)
 
@@ -1102,7 +1101,7 @@ def doc_rarity_score(sf_dir: str):
         if len(col) == 0:
             return pa.table({"word": pa.array([], type=pa.string()),
                              "cf": pa.array([], type=pa.int64())})
-        flat, _ = _flat_words_arrow(col)
+        flat, _, _ = _flat_words_arrow(col)
         vc = pc.value_counts(flat)            # C++ hash table, zero-copy in
         return pa.table({"word": vc.field("values"),
                          "cf": vc.field("counts").cast(pa.int64())})
@@ -1124,8 +1123,7 @@ def doc_rarity_score(sf_dir: str):
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "cf_sum": pa.array([], type=pa.int64()),
                              "n_words": pa.array([], type=pa.int64())})
-        flat, n_words = _flat_words_arrow(col)
-        doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_words)
+        flat, n_words, doc_idx = _flat_words_arrow(col)
         # vectorized vocab lookup in C++ (every word is in the vocab by
         # construction, so no null handling needed on the indices)
         w_cf = cfs_s[pc.index_in(flat, value_set=vocab_s)
@@ -1260,8 +1258,7 @@ def chunk_documents(sf_dir: str, size: int = CHUNK_SIZE,
         j = 0
         while True:
             start = j * stride
-            sel = np.flatnonzero(n > start) if start else \
-                np.flatnonzero(n >= 1)
+            sel = np.flatnonzero(n > start)
             if len(sel) == 0:
                 break
             idx = pa.array(sel)
@@ -1329,6 +1326,11 @@ def dup_span_stats(sf_dir: str, k: int = DUP_SPAN_K):
             return empty
         hh = _rolling_hashes(cps, k)
         pos = np.arange(len(hh), dtype=np.int64)
+        # same sliced-buffer guard as oph_signatures: positions outside
+        # [cpo[0], cpo[-1]) belong to no row of THIS batch view and must
+        # be masked BEFORE cpo[dd + 1] is indexed
+        inside = (pos >= cpo[0]) & (pos + k <= cpo[-1])
+        hh, pos = hh[inside], pos[inside]
         dd = np.searchsorted(cpo, pos, side="right") - 1
         ok = (dd >= 0) & (dd < b.num_rows) & (pos + k <= cpo[dd + 1])
         h, doc = hh[ok].view(np.int64), dd[ok]
@@ -1419,8 +1421,7 @@ def inverted_index_words(sf_dir: str):
             return pa.table({"uk": pa.array([], type=pa.int64()),
                              "word": pa.array([], type=pa.string()),
                              "doc_id": pa.array([], type=pa.int64())})
-        flat, n_words = _flatten_words_arrow(col)
-        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), n_words)
+        flat, _, doc_idx = _flatten_words_arrow(col)
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)[doc_idx]
         di, wi, _ = _distinct_word_pairs(flat, ids)
         return pa.table({
@@ -1542,8 +1543,7 @@ def vocabulary_top_words(sf_dir: str):
             return pa.table({"lang": pa.array([], type=pa.string()),
                              "word": pa.array([], type=pa.string()),
                              "n": pa.array([], type=pa.int64())})
-        flat, n_words = _flatten_words_arrow(col)
-        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), n_words)
+        flat, _, doc_idx = _flatten_words_arrow(col)
         langs = pc.take(b.column("lang"), pa.array(doc_idx))
         # Arrow's C++ hash aggregation — no pandas object-groupby detour
         g = (pa.table({"lang": langs, "word": flat})

@@ -112,10 +112,11 @@ def kmeans_quantized(ds, k: int = 4, iters: int = 2, id_col: str = "vec_id",
 
     init = (ds.filter(expr=f"{id_col} < {k}").to_pandas()
             .sort_values(id_col))
-    if len(init) != k:
+    if list(init[id_col]) != list(range(k)):
         raise ValueError(
             f"kmeans_quantized init needs {id_col} 0..{k - 1} present "
-            f"(the deterministic-init/oracle contract); found {len(init)}")
+            f"(the deterministic-init/oracle contract); found "
+            f"{list(init[id_col])[:k + 2]}")
     # float64 BEFORE the 1e6 scale: the stored vectors are float32, and
     # scaling in float32 rounds differently than SQL's ::DOUBLE promotion
     cent = round_half_away(

@@ -168,16 +168,18 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 def _flatten_words_arrow(col):
     """Split a string column on single spaces and flatten, keeping the
-    word array AS ARROW (plus words-per-doc counts) so callers feed it
-    straight to the C++ hash kernels (pc.value_counts / pc.index_in /
-    dictionary_encode) — measured ~5x the numpy-object path. Mirrors SQL
+    word array AS ARROW so callers feed it straight to the C++ hash
+    kernels (pc.value_counts / pc.index_in / dictionary_encode) —
+    measured ~5x the numpy-object path. Returns (flat_words_arrow,
+    words_per_doc, doc_index_per_word). Mirrors SQL
     ``unnest(string_split(text, ' '))`` exactly (empty text -> one empty
     word; consecutive spaces -> empty words)."""
     words = pc.split_pattern(col, " ")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     counts = pc.list_value_length(words).to_numpy(zero_copy_only=False)
-    return words.flatten(), counts
+    doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), counts)
+    return words.flatten(), counts, doc_idx
 
 
 def _distinct_word_pairs(words, docs: np.ndarray):
@@ -233,8 +235,7 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
             "max_word_freq": pa.array([], type=pa.int64()),
             "n_dup_2grams": pa.array([], type=pa.int64()),
         })
-    flat_a, n_words = _flatten_words_arrow(col)
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), n_words)
+    flat_a, n_words, doc_idx = _flatten_words_arrow(col)
     # word identity codes from the C++ dictionary hash (order-free: only
     # equality matters for multiplicities and 2-grams)
     wid = (flat_a.dictionary_encode().indices
