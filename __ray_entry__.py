@@ -16,6 +16,48 @@ from rayschema import queries as Q
 
 SF0001 = "/root/testdata/sf0.001"
 
+# Shared CTE chain for the exact near-dup pairs (char-5-gram jaccard,
+# doc_id < 300 scope), min-label clusters, and the leakage-safe split.
+# Used by split_by_cluster and re-used by split_leakage_audit. The head
+# "WITH RECURSIVE" is supplied by the caller.
+_SPLIT_CTES = """docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 300 AND text IS NOT NULL AND length(text) >= 5),
+            sh AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 4)) AS i
+                    FROM docs)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                           JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            lab(node, label) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT e.a, l.label FROM edges e JOIN lab l ON l.node = e.b),
+            clusters AS (SELECT node, min(label) AS cl FROM lab GROUP BY node),
+            rep AS (
+              SELECT d.doc_id,
+                     CAST(COALESCE(c.cl, d.doc_id) AS BIGINT) AS cluster_rep
+              FROM docs d LEFT JOIN clusters c ON c.node = d.doc_id),
+            spl AS (
+              SELECT doc_id, cluster_rep,
+                     CASE WHEN (cluster_rep % 100003) * 2654435761 % 10 < 8
+                            THEN 'train'
+                          WHEN (cluster_rep % 100003) * 2654435761 % 10 = 8
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM rep)"""
+
 # Shared CTE chain for the integer-exact distributed k-means (matches
 # similarity.kmeans_quantized step for step): quantized vectors, two
 # unrolled assign/update rounds. Used by the kmeans_embeddings oracle and
@@ -92,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus_exact": Q.dedup_corpus_exact,
         "curation_pipeline_documents": Q.curation_pipeline_documents,
         "split_by_cluster": Q.split_by_cluster,
+        "split_leakage_audit": Q.split_leakage_audit,
         "stratified_sample_documents": Q.stratified_sample_documents,
         "simhash_near_dup_documents": Q.simhash_near_dup_documents,  # rows-only
         "embedding_near_dup": Q.embedding_near_dup,
@@ -292,43 +335,20 @@ def oracle_sql() -> dict[str, str]:
             clusters AS (SELECT node, min(label) AS cl FROM lab GROUP BY node)
             SELECT doc_id FROM docs
             WHERE doc_id NOT IN (SELECT node FROM clusters WHERE cl < node)""",
-        "split_by_cluster": """
-            WITH RECURSIVE docs AS (
-              SELECT doc_id, text FROM documents
-              WHERE doc_id < 300 AND text IS NOT NULL AND length(text) >= 5),
-            sh AS (
-              SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s
-              FROM (SELECT doc_id, text,
-                           unnest(generate_series(1, length(text) - 4)) AS i
-                    FROM docs)),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
-              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-            pairs AS (
-              SELECT i.id_a, i.id_b
-              FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
-                           JOIN sizes sb ON sb.doc_id = i.id_b
-              WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
-            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-                      UNION SELECT id_b, id_a FROM pairs),
-            lab(node, label) AS (
-              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-              UNION
-              SELECT e.a, l.label FROM edges e JOIN lab l ON l.node = e.b),
-            clusters AS (SELECT node, min(label) AS cl FROM lab GROUP BY node),
-            rep AS (
-              SELECT d.doc_id,
-                     CAST(COALESCE(c.cl, d.doc_id) AS BIGINT) AS cluster_rep
-              FROM docs d LEFT JOIN clusters c ON c.node = d.doc_id)
-            SELECT doc_id, cluster_rep,
-                   CASE WHEN (cluster_rep % 100003) * 2654435761 % 10 < 8
-                          THEN 'train'
-                        WHEN (cluster_rep % 100003) * 2654435761 % 10 = 8
-                          THEN 'val'
-                        ELSE 'test' END AS split
-            FROM rep""",
+        "split_by_cluster": f"""
+            WITH RECURSIVE {_SPLIT_CTES}
+            SELECT doc_id, cluster_rep, split FROM spl""",
+        # Invariant audit of the leakage-safe split: a verified near-dup
+        # pair must never straddle splits (the split follows the cluster
+        # representative BY CONSTRUCTION — this query proves it holds).
+        "split_leakage_audit": f"""
+            WITH RECURSIVE {_SPLIT_CTES}
+            SELECT (SELECT count(*) FROM pairs)::BIGINT AS n_pairs,
+                   (SELECT count(*) FROM pairs p
+                      JOIN spl x ON x.doc_id = p.id_a
+                      JOIN spl y ON y.doc_id = p.id_b
+                    WHERE x.split <> y.split)::BIGINT AS n_cross_split,
+                   (SELECT count(*) FROM spl)::BIGINT AS n_docs""",
         "stratified_sample_documents": """
             SELECT doc_id, lang FROM documents
             WHERE lang IS NOT NULL

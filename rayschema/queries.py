@@ -1229,6 +1229,31 @@ def knn_ivf_kmeans(sf_dir: str):
     return df
 
 
+def split_leakage_audit(sf_dir: str):
+    """Driver-checked invariant: under the leakage-safe split no verified
+    near-dup pair may straddle splits — the split follows the cluster
+    representative BY CONSTRUCTION, and this query PROVES the property
+    holds on the actual output (n_cross_split must be 0) instead of
+    asserting it in prose. Composes split_by_cluster with the exact
+    char-5-gram pair ground truth on the same doc_id < 300 scope; the
+    oracle chains the same CTEs."""
+    from rayschema.dedup import exact_jaccard_pairs
+
+    sp = split_by_cluster(sf_dir).to_pandas()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, id_limit=300, k=5,
+                                threshold=0.5).to_pandas()
+    n_cross = 0
+    if len(pairs):
+        m = dict(zip(sp["doc_id"].to_numpy(np.int64), sp["split"]))
+        sa = pairs["id_a"].map(m)
+        sb = pairs["id_b"].map(m)
+        n_cross = int((sa != sb).sum())
+    return pd.DataFrame([{"n_pairs": np.int64(len(pairs)),
+                          "n_cross_split": np.int64(n_cross),
+                          "n_docs": np.int64(len(sp))}])
+
+
 CHUNK_SIZE, CHUNK_STRIDE = 200, 150
 
 

@@ -174,3 +174,13 @@ def test_chunk_documents_edges(ray_session, tmp_path):
     assert counts[4] == 3                              # 310 cp -> 3 chunks
     assert got[(got.doc_id == 4) & (got.chunk_id == 0)
                ]["chunk_text"].iloc[0] == "日" * 200
+
+
+def test_split_leakage_audit_invariant(ray_session, sf_dir):
+    """The audit must find pairs (the fixture corpora contain near-dups in
+    the doc_id < 300 scope) and ZERO cross-split pairs."""
+    from rayschema.queries import split_leakage_audit
+
+    r = split_leakage_audit(sf_dir).iloc[0]
+    assert r["n_docs"] > 0
+    assert r["n_cross_split"] == 0
