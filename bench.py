@@ -97,6 +97,9 @@ def run_bench() -> dict:
         ("events_sessionization", Q.events_sessionization),
         ("validate_events_props", Q.validate_events_props),
         ("curation_pipeline", Q.curation_pipeline_documents),
+        ("dup_span_stats", Q.dup_span_stats),
+        ("chunk_documents", Q.chunk_documents),
+        ("kmeans_embeddings", Q.kmeans_embeddings),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

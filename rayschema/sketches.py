@@ -225,3 +225,78 @@ def merge_klls(sketches: Iterable[KLL], k: int = 200) -> KLL:
     for s in sketches:
         out.merge(s)
     return out
+
+
+class MisraGries:
+    """Misra-Gries heavy-hitters summary (Misra & Gries, "Finding repeated
+    elements", 1982; merge rule from Agarwal et al., "Mergeable Summaries",
+    PODS 2012): at most ``budget`` counters; every item with true frequency
+    > n / (budget + 1) is GUARANTEED to be present, and each reported count
+    undercounts the truth by at most the sketch's ``error_bound()``.
+
+    The engine's bounded-memory complement to the exact value-count paths
+    (vocabulary_top_words caps the broadcast vocabulary; this sketch caps
+    the aggregation STATE — the right tool when the key domain itself
+    cannot fit anywhere at 100 TB). Same partial/merge discipline as
+    HLL/KLL: vectorized per-batch update, associative merge."""
+
+    def __init__(self, budget: int = 64):
+        self.budget = int(budget)
+        self.counts: dict = {}
+        self.n = 0
+        self._decremented = 0
+
+    def update(self, values: Sequence) -> "MisraGries":
+        u, c = np.unique(np.asarray(values, dtype=object), return_counts=True)
+        for v, k in zip(u.tolist(), c.tolist()):
+            self.counts[v] = self.counts.get(v, 0) + int(k)
+        self.n += int(c.sum())
+        self._shrink()
+        return self
+
+    def _shrink(self) -> None:
+        over = len(self.counts) - self.budget
+        if over <= 0:
+            return
+        # decrement all by the (over+1)-th largest count's floor — the
+        # classic batched decrement: kth smallest survivor boundary
+        vals = np.fromiter(self.counts.values(), dtype=np.int64)
+        d = int(np.partition(vals, over - 1)[over - 1])
+        self._decremented += d
+        self.counts = {k: v - d for k, v in self.counts.items() if v > d}
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for v, k in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + int(k)
+        self.n += other.n
+        self._decremented += other._decremented
+        self._shrink()
+        return self
+
+    def error_bound(self) -> int:
+        """Upper bound on the undercount of any reported item (and on the
+        true count of any unreported item)."""
+        return self._decremented
+
+    def items(self):
+        """(value, lower-bound count) sorted by count desc, value asc."""
+        return sorted(self.counts.items(), key=lambda kv: (-kv[1], str(kv[0])))
+
+    def to_bytes(self) -> bytes:
+        return pickle.dumps((self.budget, self.counts, self.n,
+                             self._decremented))
+
+    @classmethod
+    def from_bytes(cls, b: bytes) -> "MisraGries":
+        budget, counts, n, dec = pickle.loads(b)
+        out = cls(budget)
+        out.counts, out.n, out._decremented = counts, n, dec
+        return out
+
+
+def merge_mgs(sketches: Iterable["MisraGries"],
+              budget: int = 64) -> "MisraGries":
+    out = MisraGries(budget)
+    for s in sketches:
+        out.merge(s)
+    return out

@@ -67,3 +67,60 @@ def test_kll_nan_and_empty():
     assert k.n == 0 and np.isnan(k.quantile(0.5))
     k.update(np.array([1.0, np.nan, 3.0]))
     assert k.n == 2
+
+
+def test_misra_gries_guarantee_and_bounds():
+    """Every item with true freq > n/(budget+1) is reported; reported
+    counts undercount by at most error_bound(); unreported items' true
+    counts are at most error_bound()."""
+    from collections import Counter
+
+    from rayschema.sketches import MisraGries
+
+    rng = np.random.RandomState(3)
+    # zipf-ish: a few heavy keys over a long tail
+    data = [f"k{int(v)}" for v in rng.zipf(1.6, size=20000) if v < 10000]
+    truth = Counter(data)
+    n = len(data)
+    budget = 16
+    mg = MisraGries(budget)
+    for i in range(0, n, 700):            # streamed in uneven chunks
+        mg.update(data[i:i + 700])
+    reported = dict(mg.items())
+    eb = mg.error_bound()
+    assert eb <= n // (budget + 1)
+    for v, true_c in truth.items():
+        if true_c > n / (budget + 1):
+            assert v in reported, v
+        if v in reported:
+            assert 0 <= true_c - reported[v] <= eb, v
+        else:
+            assert true_c <= eb, v
+
+
+def test_misra_gries_merge_and_roundtrip():
+    from collections import Counter
+
+    from rayschema.sketches import MisraGries, merge_mgs
+
+    rng = np.random.RandomState(11)
+    data = [f"w{int(v)}" for v in rng.zipf(1.5, size=30000) if v < 5000]
+    truth = Counter(data)
+    n = len(data)
+    budget = 24
+    parts = []
+    for i in range(0, n, 1111):           # one sketch per partition
+        parts.append(MisraGries(budget).update(data[i:i + 1111]))
+    merged = merge_mgs(parts, budget)
+    assert merged.n == n
+    eb = merged.error_bound()
+    reported = dict(merged.items())
+    for v, true_c in truth.items():
+        if true_c > n / (budget + 1) + eb:   # merged guarantee (slack = eb)
+            assert v in reported, v
+        if v in reported:
+            assert 0 <= true_c - reported[v] <= eb, v
+    # serialization round-trips the exact state
+    back = MisraGries.from_bytes(merged.to_bytes())
+    assert back.items() == merged.items()
+    assert back.error_bound() == eb and back.n == merged.n
