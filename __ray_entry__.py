@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": Q.fingerprint_documents,             # rows-only
         "repetition_stats_documents": Q.repetition_stats_documents,
         "decontaminate_documents": Q.decontaminate_documents,
+        "ngram_decontaminate_documents": Q.ngram_decontaminate_documents,
         "regex_redact_documents": Q.regex_redact_documents,
         "vocabulary_top_words": Q.vocabulary_top_words,
         "pack_sequences_documents": Q.pack_sequences_documents,
@@ -600,6 +601,23 @@ def oracle_sql() -> dict[str, str]:
                    sum(cf.c)::BIGINT AS cf_sum,
                    count(*)::BIGINT AS n_words
             FROM w JOIN cf USING (word)
+            GROUP BY w.doc_id""",
+        # GPT-3-style token-n-gram decontamination: 8-token windows joined
+        # with one space (injective for space-free tokens, so comparing
+        # window TEXT == comparing token sequences); engine compares
+        # window hashes, oracle the text.
+        "ngram_decontaminate_documents": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp
+                       FROM documents WHERE text IS NOT NULL),
+            w AS (SELECT doc_id, array_to_string(sp[i:i+7], ' ') AS g
+                  FROM (SELECT doc_id, sp,
+                               unnest(generate_series(1,
+                                   len(sp) - 7)) AS i
+                        FROM d)),
+            bench AS (SELECT DISTINCT g FROM w WHERE doc_id % 17 = 7)
+            SELECT w.doc_id, count(*)::BIGINT AS n_hit_windows
+            FROM w JOIN bench USING (g)
+            WHERE w.doc_id % 17 <> 7
             GROUP BY w.doc_id""",
         "chunk_documents": """
             WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n

@@ -900,6 +900,95 @@ def decontaminate_documents(sf_dir: str):
             .sort("doc_id"))
 
 
+NGRAM_DECONTAM_N = 8
+
+
+def ngram_decontaminate_documents(sf_dir: str, n: int = NGRAM_DECONTAM_N):
+    """Token-n-gram decontamination — the GPT-3/13-gram-style scalable
+    variant of benchmark decontamination: a doc is contaminated when any
+    of its ``n``-token windows appears in ANY benchmark doc. Where the
+    substring Decontaminator scans once per snippet (fine for a
+    metadata-sized snippet set), this path is O(1) per window regardless
+    of benchmark size: the benchmark's window HASHES broadcast as one
+    sorted array, and the corpus pass does a vectorized searchsorted
+    membership test. Output (doc_id, n_hit_windows) for contaminated
+    NON-benchmark docs; window = 8 whitespace tokens joined by one space,
+    so the oracle can rebuild the exact window TEXT via list slicing
+    (64-bit hash collisions are the same accepted risk as
+    dup_span_stats)."""
+    import ray
+
+    from rayschema.dedup import _rolling_hashes
+    from rayschema.sketches import hash64
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def window_hashes(b: pa.Table):
+        """(window_hash, doc_index) for every full n-token window."""
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, doc_idx = _flatten_words_arrow(col)
+        if len(flat) < n:
+            return np.empty(0, np.uint64), np.empty(0, np.int64)
+        # hash the (small) dictionary once, map codes — not every word
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        th = hash64(enc.dictionary.to_numpy(zero_copy_only=False))[codes]
+        wh = _rolling_hashes(th, n)
+        pos = np.arange(len(wh), dtype=np.int64)
+        same_doc = doc_idx[pos] == doc_idx[pos + n - 1]
+        return wh[same_doc], doc_idx[pos[same_doc]]
+
+    def _mod_mask(b: pa.Table, is_bench: bool) -> np.ndarray:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        m = ids % DECONTAM_MOD == 7
+        return m if is_bench else ~m
+
+    def bench_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.is_valid(b.column("text")),
+            pa.array(_mod_mask(b, True))))
+        wh, _ = window_hashes(b)
+        return pa.table({"h": pa.array(np.unique(wh).view(np.int64))})
+
+    bench = (ds.map_batches(bench_partial, batch_format="pyarrow")
+             .to_pandas())
+    bench_h = np.unique(bench["h"].to_numpy(np.int64)) if len(bench) \
+        else np.empty(0, np.int64)
+    ref = ray.put(bench_h)
+
+    def scan(b: pa.Table) -> pa.Table:
+        bh = ray.get(ref)
+        b = b.filter(pc.and_(
+            pc.is_valid(b.column("text")),
+            pa.array(_mod_mask(b, False))))
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_hit_windows": pa.array([], type=pa.int64())})
+        if b.num_rows == 0 or len(bh) == 0:
+            return empty
+        wh, dd = window_hashes(b)
+        if len(wh) == 0:
+            return empty
+        whs = wh.view(np.int64)
+        p = np.searchsorted(bh, whs)
+        p = np.clip(p, 0, len(bh) - 1)
+        hit = bh[p] == whs
+        if not hit.any():
+            return empty
+        counts = np.bincount(dd[hit], minlength=b.num_rows)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = counts > 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep]),
+            "n_hit_windows": pa.array(counts[keep].astype(np.int64)),
+        })
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
 REDACT_PATTERN = r"\b(key|hash)\b"   # stand-in PII pattern present in corpus
 REDACT_REPLACEMENT = "<R>"
 

@@ -184,3 +184,26 @@ def test_split_leakage_audit_invariant(ray_session, sf_dir):
     r = split_leakage_audit(sf_dir).iloc[0]
     assert r["n_docs"] > 0
     assert r["n_cross_split"] == 0
+
+
+def test_ngram_decontaminate_window_hits(ray_session, tmp_path):
+    """Doc 7 (doc_id % 17 == 7) is the bench doc; docs sharing any full
+    8-token window with it are flagged with the exact window count."""
+    from rayschema.queries import ngram_decontaminate_documents
+
+    bench = "a b c d e f g h i j"           # windows: a..h, b..i, c..j
+    df = pd.DataFrame({
+        "doc_id": np.array([7, 1, 2, 3, 4], dtype=np.int64),
+        "text": [
+            bench,
+            "x " + bench,        # shares all 3 bench windows
+            "a b c d e f g h zz",  # shares exactly window a..h
+            "a b c d e f g zz",    # 7-token overlap only -> clean
+            None,                  # null text -> skipped
+        ],
+    })
+    sf = _write_docs(tmp_path, df)
+    got = (ngram_decontaminate_documents(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [1, 2]
+    assert got["n_hit_windows"].tolist() == [3, 1]
