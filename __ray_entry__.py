@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_documents": Q.repetition_stats_documents,
         "decontaminate_documents": Q.decontaminate_documents,
         "ngram_decontaminate_documents": Q.ngram_decontaminate_documents,
+        "gopher_quality_flags": Q.gopher_quality_flags,
+        "shuffle_shard_documents": Q.shuffle_shard_documents,
+        "source_mixture_weights": Q.source_mixture_weights,
         "regex_redact_documents": Q.regex_redact_documents,
         "vocabulary_top_words": Q.vocabulary_top_words,
         "pack_sequences_documents": Q.pack_sequences_documents,
@@ -619,6 +622,64 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN bench USING (g)
             WHERE w.doc_id % 17 <> 7
             GROUP BY w.doc_id""",
+        # Gopher doc-quality rules: thresholds as integer cross-products so
+        # pass/fail is exact; ratios are single int/int divisions (bitwise
+        # identical float64 on both sides).
+        "gopher_quality_flags": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL),
+            w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                  FROM d),
+            per AS (SELECT doc_id,
+                           count(*)::BIGINT AS n_words,
+                           sum(length(word))::BIGINT AS sum_wlen,
+                           sum(CASE WHEN regexp_matches(word, '[A-Za-z]')
+                               THEN 1 ELSE 0 END)::BIGINT AS n_alpha_words,
+                           sum(CASE WHEN word IN ('the','a','of','to',
+                                                  'and','that','is')
+                               THEN 1 ELSE 0 END)::BIGINT AS n_stop_hits
+                    FROM w GROUP BY doc_id)
+            SELECT doc_id, n_words,
+                   sum_wlen * 1.0 / n_words AS mean_word_len,
+                   n_alpha_words * 1.0 / n_words AS alpha_word_frac,
+                   n_stop_hits,
+                   (CASE WHEN n_words BETWEEN 50 AND 100000
+                          AND sum_wlen BETWEEN 3 * n_words AND 10 * n_words
+                          AND 5 * n_alpha_words >= 4 * n_words
+                          AND n_stop_hits >= 2
+                    THEN 1 ELSE 0 END)::BIGINT AS gopher_pass
+            FROM per""",
+        # Deterministic seeded shuffle-shard: 32-bit multiplicative hashes
+        # (HUGEINT keeps the second product exact) + per-shard rank.
+        "shuffle_shard_documents": """
+            WITH h AS (SELECT doc_id,
+                              (doc_id * 2654435761 + 42) % 4294967296 AS h1
+                       FROM documents),
+            s AS (SELECT doc_id, (h1 % 16)::BIGINT AS shard,
+                         ((h1::HUGEINT * 2246822519)
+                          % 4294967296)::BIGINT AS h2
+                  FROM h)
+            SELECT doc_id, shard,
+                   (row_number() OVER (PARTITION BY shard
+                                       ORDER BY h2, doc_id) - 1)::BIGINT
+                       AS pos
+            FROM s""",
+        # Token-budget mixture: per-source cap = total // (2*n_sources),
+        # weight in millionths — all integer floor arithmetic.
+        "source_mixture_weights": """
+            WITH per AS (SELECT source,
+                                sum(len(string_split(text, ' ')))::BIGINT
+                                    AS n_tokens,
+                                count(*)::BIGINT AS n_docs
+                         FROM documents WHERE text IS NOT NULL
+                         GROUP BY source),
+            t AS (SELECT sum(n_tokens)::BIGINT AS total,
+                         count(*)::BIGINT AS nsrc FROM per)
+            SELECT per.source, per.n_tokens, per.n_docs,
+                   least(1000000,
+                         ((t.total // (2 * t.nsrc)) * 1000000)
+                         // per.n_tokens)::BIGINT AS weight_millionths
+            FROM per, t""",
         "chunk_documents": """
             WITH d AS (SELECT doc_id, text, length(text)::BIGINT AS n
                        FROM documents WHERE text IS NOT NULL),

@@ -856,6 +856,103 @@ def repetition_stats_documents(sf_dir: str):
     return ds.map_batches(repetition_stats_batch, batch_format="pyarrow")
 
 
+def gopher_quality_flags(sf_dir: str):
+    """Gopher-rule quality flags per document — stateless map, no shuffle;
+    pass/fail decided on integer cross-products so the oracle matches
+    exactly (see text.gopher_flags_batch)."""
+    from rayschema.text import gopher_flags_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(gopher_flags_batch, batch_format="pyarrow")
+
+
+# Deterministic seeded shuffle-shard for training output: multiplicative
+# hashing (Knuth / xxhash-prime mixers) kept within 2^32 so the DuckDB
+# oracle reproduces every value with HUGEINT modular arithmetic.
+SHUF_KNUTH = 2654435761
+SHUF_MIX = 2246822519
+SHUF_MOD = 2 ** 32
+SHUF_SEED = 42
+SHUF_N_SHARDS = 16
+
+
+def shuffle_shard_documents(sf_dir: str, n_shards: int = SHUF_N_SHARDS,
+                            seed: int = SHUF_SEED):
+    """Deterministic seeded global shuffle + shard assignment — the
+    trainer-facing "shuffle 100 TB into S shards" primitive without a
+    random_shuffle all-to-all: shard = hash(doc_id, seed) % S and the
+    within-shard order is a second mix hash, so the operator is a pure
+    stateless map over ids plus ONE rank pass per shard. Only 24 B/row
+    (id, shard, h2) ever moves — text never shuffles; the writer stage
+    would co-read text by id per shard. Emits (doc_id, shard, pos)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h1 = (ids * np.uint64(SHUF_KNUTH) + np.uint64(seed)) \
+            % np.uint64(SHUF_MOD)
+        h2 = (h1 * np.uint64(SHUF_MIX)) % np.uint64(SHUF_MOD)
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "shard": pa.array((h1 % np.uint64(n_shards)).astype(np.int64)),
+            "h2": pa.array(h2.astype(np.int64)),
+        })
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["h2", "doc_id"]).reset_index(drop=True)
+        g["pos"] = np.arange(len(g), dtype=np.int64)
+        return g[["doc_id", "shard", "pos"]]
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+              .groupby("shard").map_groups(rank, batch_format="pandas"))
+
+
+MIXTURE_CAP_DIVISOR = 2    # per-source token cap = total_tokens // (2*n_src)
+
+
+def source_mixture_weights(sf_dir: str):
+    """Per-source sampling weights for a token-budget mixture (the
+    "cap every source at an equal share" step of corpus mixing):
+    weight_millionths = min(1e6, cap*1e6 // src_tokens) with
+    cap = total_tokens // (2 * n_sources) — all integer arithmetic, so
+    the oracle is exact. Per-batch partials (source -> tokens, docs) are
+    combined on the driver: sources are a few-hot-groups dimension (the
+    cap_per_source shape), so the merge table is O(n_sources), never
+    O(rows)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        src = b.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        # whitespace tokens = single-space count + 1 (len(string_split))
+        toks = pc.add(pc.count_substring(b.column("text"), " "), 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        k = len(enc.dictionary)
+        return pa.table({
+            "source": enc.dictionary,
+            "n_tokens": pa.array(np.bincount(codes, weights=toks,
+                                             minlength=k).astype(np.int64)),
+            "n_docs": pa.array(np.bincount(codes, minlength=k)
+                               .astype(np.int64)),
+        })
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = part.groupby("source", as_index=False).sum()
+    total = int(agg["n_tokens"].sum())
+    cap = total // (MIXTURE_CAP_DIVISOR * len(agg))
+    # Python big-int per source (O(n_sources)): cap*1e6 can pass 2^63 on a
+    # real corpus, where a numpy int64 floor-div would overflow
+    agg["weight_millionths"] = np.array(
+        [min(10 ** 6, cap * 10 ** 6 // int(t)) for t in agg["n_tokens"]],
+        dtype=np.int64)
+    return agg.sort_values("source").reset_index(drop=True)
+
+
 DECONTAM_MOD = 17          # bench set = doc_id % 17 == 7  (deterministic)
 DECONTAM_SNIPPET_LEN = 32  # codepoints, mirrors SQL substr(text, 1, 32)
 

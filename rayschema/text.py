@@ -268,6 +268,64 @@ def repetition_stats_batch(batch: pa.Table, text_col: str = "text",
     })
 
 
+GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "that", "is")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3, 10          # mean word length bounds
+GOPHER_ALPHA_NUM, GOPHER_ALPHA_DEN = 4, 5       # alpha-word fraction >= 4/5
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_flags_batch(batch: pa.Table, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """Gopher-style document quality rules (Rae et al. 2021, public
+    heuristics), doc-level and fully vectorized: word-count bounds, mean
+    word length bounds, fraction of words containing an alphabetic
+    character, and a stopword-presence check. The pass flag compares
+    integer cross-products (3*n <= sum_len <= 10*n, 5*n_alpha >= 4*n) so
+    threshold decisions are exact on both the engine and the SQL oracle;
+    the reported ratios are single divisions of exact integers, so the
+    float64 bits match DuckDB's. Null texts are dropped (mirrors the
+    oracle's WHERE). One split kernel + three bincounts per batch."""
+    batch = batch.filter(pc.is_valid(batch.column(text_col)))
+    col = batch.column(text_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "n_words": pa.array([], type=pa.int64()),
+            "mean_word_len": pa.array([], type=pa.float64()),
+            "alpha_word_frac": pa.array([], type=pa.float64()),
+            "n_stop_hits": pa.array([], type=pa.int64()),
+            "gopher_pass": pa.array([], type=pa.int64()),
+        })
+    flat, n_words, doc_idx = _flatten_words_arrow(col)
+    wlen = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    sum_wlen = np.bincount(doc_idx, weights=wlen,
+                           minlength=n).astype(np.int64)
+    alpha = pc.match_substring_regex(flat, r"[A-Za-z]") \
+        .to_numpy(zero_copy_only=False)
+    n_alpha = np.bincount(doc_idx[alpha], minlength=n).astype(np.int64)
+    stop = pc.is_in(flat, value_set=pa.array(list(GOPHER_STOPWORDS))) \
+        .to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(doc_idx[stop], minlength=n).astype(np.int64)
+    nw = n_words.astype(np.int64)
+    ok = ((nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS)
+          & (sum_wlen >= GOPHER_MIN_MWL * nw)
+          & (sum_wlen <= GOPHER_MAX_MWL * nw)
+          & (GOPHER_ALPHA_DEN * n_alpha >= GOPHER_ALPHA_NUM * nw)
+          & (n_stop >= GOPHER_MIN_STOP_HITS))
+    return pa.table({
+        "doc_id": batch.column(id_col).cast(pa.int64()),
+        "n_words": pa.array(nw),
+        "mean_word_len": pa.array(sum_wlen / nw),
+        "alpha_word_frac": pa.array(n_alpha / nw),
+        "n_stop_hits": pa.array(n_stop),
+        "gopher_pass": pa.array(ok.astype(np.int64)),
+    })
+
+
 # --------------------------------------------------------------------------- decontamination
 
 

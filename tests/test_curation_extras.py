@@ -207,3 +207,72 @@ def test_ngram_decontaminate_window_hits(ray_session, tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     assert got["doc_id"].tolist() == [1, 2]
     assert got["n_hit_windows"].tolist() == [3, 1]
+
+
+def test_gopher_flags_thresholds(ray_session, tmp_path):
+    """Integer cross-product thresholds decide pass/fail exactly at the
+    boundary; nulls dropped; non-alpha and stopword rules enforced."""
+    from rayschema.queries import gopher_quality_flags
+
+    ok = "the a " + " ".join(["word"] * 48)          # 50 words, mwl in range
+    few = "the a " + " ".join(["word"] * 10)         # 12 words < 50
+    longw = "the a " + " ".join(["w" * 11] * 48)     # mean word len > 10
+    digits = "the a " + " ".join(["123"] * 48)       # alpha frac 2/50 < 4/5
+    nostop = " ".join(["word"] * 50)                 # 0 stopword hits
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [ok, few, longw, digits, nostop, None],
+    })
+    sf = _write_docs(tmp_path, df)
+    got = (gopher_quality_flags(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 2, 3, 4]   # null dropped
+    assert got["gopher_pass"].tolist() == [1, 0, 0, 0, 0]
+    assert got.loc[0, "n_words"] == 50
+    assert got.loc[0, "n_stop_hits"] == 2
+    assert got.loc[3, "alpha_word_frac"] == 2 / 50
+
+
+def test_shuffle_shard_deterministic_permutation(ray_session, tmp_path):
+    """Every doc appears exactly once; positions are dense 0..k-1 per
+    shard; the assignment is identical across runs (seeded)."""
+    from rayschema.queries import shuffle_shard_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(257, dtype=np.int64),
+        "text": ["t"] * 257,
+        "lang": ["en"] * 257,
+        "source": ["s"] * 257,
+        "n_chars": np.ones(257, dtype=np.int64),
+    })
+    sf = _write_docs(tmp_path, df)
+    a = (shuffle_shard_documents(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert sorted(a["doc_id"]) == list(range(257))
+    for s, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    b = (shuffle_shard_documents(sf).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_source_mixture_weights_cap(ray_session, tmp_path):
+    """A source holding more than the equal-share cap gets a fractional
+    weight; tiny sources get exactly 1.0 (1e6 millionths)."""
+    from rayschema.queries import source_mixture_weights
+
+    texts = (["big " * 99 + "big"] * 20        # 100 tokens x 20 docs
+             + ["small one two"] * 2)          # 3 tokens x 2 docs
+    df = pd.DataFrame({
+        "doc_id": np.arange(22, dtype=np.int64),
+        "text": texts,
+        "lang": ["en"] * 22,
+        "source": ["hot"] * 20 + ["cold"] * 2,
+        "n_chars": np.ones(22, dtype=np.int64),
+    })
+    sf = _write_docs(tmp_path, df)
+    got = source_mixture_weights(sf).set_index("source")
+    # total = 2006, cap = 2006 // 4 = 501
+    assert got.loc["hot", "n_tokens"] == 2000
+    assert got.loc["hot", "weight_millionths"] == 501 * 10 ** 6 // 2000
+    assert got.loc["cold", "weight_millionths"] == 10 ** 6
