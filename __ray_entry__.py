@@ -60,53 +60,99 @@ _SPLIT_CTES = """docs AS (
 
 # Shared CTE chain for the integer-exact distributed k-means (matches
 # similarity.kmeans_quantized step for step): quantized vectors, two
-# unrolled assign/update rounds. Used by the kmeans_embeddings oracle and
-# re-used by knn_ivf_kmeans (which adds a final assignment + probe on top).
-_KMEANS_CTES = """
-            v AS (
+# unrolled assign/update rounds. Parameterized by name suffix + 1-based
+# dim range so the PQ oracle can instantiate one chain per subspace;
+# the suffix-free instance backs the kmeans_embeddings oracle and is
+# re-used by knn_ivf_kmeans (which adds a final assignment + probe).
+
+
+def _kmeans_chain(p: str = "", lo: int = 1, hi: int = 65,
+                  k: int = 4) -> str:
+    return f"""
+            v{p} AS (
               SELECT e.vec_id, i.range AS d,
                      round(e.embedding[i.range]::DOUBLE * 1000000)::BIGINT AS q
-              FROM embeddings e, range(1, 65) i),
-            c0 AS (SELECT vec_id AS cluster, d, q AS c FROM v
-                   WHERE vec_id < 4),
-            a1 AS (
+              FROM embeddings e, range({lo}, {hi}) i),
+            c0{p} AS (SELECT vec_id AS cluster, d, q AS c FROM v{p}
+                   WHERE vec_id < {k}),
+            a1{p} AS (
               SELECT vec_id, cluster FROM (
                 SELECT v.vec_id, c.cluster,
                        row_number() OVER (PARTITION BY v.vec_id
                            ORDER BY sum((v.q - c.c) * (v.q - c.c)),
                                     c.cluster) AS rn
-                FROM v JOIN c0 c USING (d)
+                FROM v{p} v JOIN c0{p} c USING (d)
                 GROUP BY v.vec_id, c.cluster) WHERE rn = 1),
-            m1 AS (SELECT a.cluster, v.d, sum(v.q)::BIGINT AS s,
+            m1{p} AS (SELECT a.cluster, v.d, sum(v.q)::BIGINT AS s,
                           count(*)::BIGINT AS n
-                   FROM a1 a JOIN v USING (vec_id) GROUP BY a.cluster, v.d),
-            c1 AS (SELECT c0.cluster, c0.d,
+                   FROM a1{p} a JOIN v{p} v USING (vec_id)
+                   GROUP BY a.cluster, v.d),
+            c1{p} AS (SELECT c0.cluster, c0.d,
                           coalesce(CASE WHEN m1.s >= 0
                                         THEN (2 * m1.s + m1.n) // (2 * m1.n)
                                         ELSE -((2 * (-m1.s) + m1.n)
                                                // (2 * m1.n)) END,
                                    c0.c)::BIGINT AS c
-                   FROM c0 LEFT JOIN m1
+                   FROM c0{p} c0 LEFT JOIN m1{p} m1
                      ON c0.cluster = m1.cluster AND c0.d = m1.d),
-            a2 AS (
+            a2{p} AS (
               SELECT vec_id, cluster FROM (
                 SELECT v.vec_id, c.cluster,
                        row_number() OVER (PARTITION BY v.vec_id
                            ORDER BY sum((v.q - c.c) * (v.q - c.c)),
                                     c.cluster) AS rn
-                FROM v JOIN c1 c USING (d)
+                FROM v{p} v JOIN c1{p} c USING (d)
                 GROUP BY v.vec_id, c.cluster) WHERE rn = 1),
-            m2 AS (SELECT a.cluster, v.d, sum(v.q)::BIGINT AS s,
+            m2{p} AS (SELECT a.cluster, v.d, sum(v.q)::BIGINT AS s,
                           count(*)::BIGINT AS n
-                   FROM a2 a JOIN v USING (vec_id) GROUP BY a.cluster, v.d),
-            c2 AS (SELECT c1.cluster, c1.d,
+                   FROM a2{p} a JOIN v{p} v USING (vec_id)
+                   GROUP BY a.cluster, v.d),
+            c2{p} AS (SELECT c1.cluster, c1.d,
                           coalesce(CASE WHEN m2.s >= 0
                                         THEN (2 * m2.s + m2.n) // (2 * m2.n)
                                         ELSE -((2 * (-m2.s) + m2.n)
                                                // (2 * m2.n)) END,
                                    c1.c)::BIGINT AS c
-                   FROM c1 LEFT JOIN m2
+                   FROM c1{p} c1 LEFT JOIN m2{p} m2
                      ON c1.cluster = m2.cluster AND c1.d = m2.d)"""
+
+
+_KMEANS_CTES = _kmeans_chain()
+
+# Per-subspace final assignment for the PQ oracle: code + integer
+# squared-euclidean quantization error against the trained c2 centroids.
+_PQ_SUBSPACES = 4
+_PQ_SUB_DIMS = 16
+
+
+def _pq_assign(p: str) -> str:
+    return f"""
+            s{p} AS (
+              SELECT vec_id, cluster AS code, dist FROM (
+                SELECT v.vec_id, c.cluster,
+                       sum((v.q - c.c) * (v.q - c.c))::BIGINT AS dist,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY sum((v.q - c.c) * (v.q - c.c)),
+                                    c.cluster) AS rn
+                FROM v{p} v JOIN c2{p} c USING (d)
+                GROUP BY v.vec_id, c.cluster) WHERE rn = 1)"""
+
+
+def _pq_oracle() -> str:
+    chains = ",".join(
+        _kmeans_chain(f"_{m}", 1 + m * _PQ_SUB_DIMS,
+                      1 + (m + 1) * _PQ_SUB_DIMS)
+        + "," + _pq_assign(f"_{m}")
+        for m in range(_PQ_SUBSPACES))
+    codes = ", ".join(f"s_{m}.code AS code_{m + 1}"
+                      for m in range(_PQ_SUBSPACES))
+    err = " + ".join(f"s_{m}.dist" for m in range(_PQ_SUBSPACES))
+    joins = " ".join(f"JOIN s_{m} USING (vec_id)"
+                     for m in range(1, _PQ_SUBSPACES))
+    return f"""
+            WITH {chains}
+            SELECT s_0.vec_id, {codes}, ({err})::BIGINT AS pq_err
+            FROM s_0 {joins}"""
 
 
 def entry() -> Any:
@@ -158,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": Q.gopher_quality_flags,
         "shuffle_shard_documents": Q.shuffle_shard_documents,
         "source_mixture_weights": Q.source_mixture_weights,
+        "pq_encode_embeddings": Q.pq_encode_embeddings,
         "regex_redact_documents": Q.regex_redact_documents,
         "vocabulary_top_words": Q.vocabulary_top_words,
         "pack_sequences_documents": Q.pack_sequences_documents,
@@ -716,6 +763,7 @@ def oracle_sql() -> dict[str, str]:
         # argmin with lowest-cluster tie-break, centroid update =
         # sign(s) * ((2|s| + n) // (2n)) (round-half-away integer mean),
         # empty clusters keep their previous centroid via the LEFT JOIN.
+        "pq_encode_embeddings": _pq_oracle(),
         "kmeans_embeddings": f"""
             WITH {_KMEANS_CTES},
             n2 AS (SELECT cluster, count(*)::BIGINT AS n_members

@@ -953,6 +953,24 @@ def source_mixture_weights(sf_dir: str):
     return agg.sort_values("source").reset_index(drop=True)
 
 
+PQ_SUBSPACES, PQ_SUB_DIMS = 4, 16     # 64-dim embeddings -> 4 x 16
+
+
+def pq_encode_embeddings(sf_dir: str):
+    """Product quantization of the embedding table — the vector-compression
+    step that makes billion-vector ANN feasible (codes are M small ints vs
+    dim floats). Codebooks are the integer-exact distributed k-means per
+    16-dim subspace (k=4, 2 Lloyd iterations), the encode is one stateless
+    streaming pass, and EVERY output — the 4 codes and the integer
+    quantization error — is hash-exact against a DuckDB oracle that
+    unrolls all four subspace k-means chains."""
+    from rayschema.similarity import pq_encode, pq_train_codebooks
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = pq_train_codebooks(ds, m=PQ_SUBSPACES, sub_dims=PQ_SUB_DIMS)
+    return pq_encode(ds, cents)
+
+
 DECONTAM_MOD = 17          # bench set = doc_id % 17 == 7  (deterministic)
 DECONTAM_SNIPPET_LEN = 32  # codepoints, mirrors SQL substr(text, 1, 32)
 

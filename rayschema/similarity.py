@@ -318,3 +318,95 @@ class SrpBander:
                 bb |= (dots[:, j] >= 0).astype(np.int64) << r
             out[f"srp_band_{k}"] = pa.array(bb)
         return pa.table(out)
+
+
+# --------------------------------------------------------------------------- product quantization
+
+
+def _slice_vec_ds(ds, lo: int, hi: int, id_col: str = "vec_id",
+                  vec_col: str = "embedding"):
+    """Derive a dataset whose vector column is dims [lo, hi) of the
+    source's — float32 preserved so the downstream 1e6 quantization's
+    float64 promotion matches SQL ``embedding[i]::DOUBLE`` exactly."""
+
+    def sl(b: pa.Table) -> pa.Table:
+        col = b.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                vec_col: pa.array([], type=pa.list_(pa.float32()))})
+        mat = np.stack(col.to_numpy(zero_copy_only=False))[:, lo:hi]
+        return pa.table({
+            id_col: b.column(id_col).cast(pa.int64()),
+            vec_col: pa.array(list(mat), type=pa.list_(pa.float32()))})
+
+    return ds.map_batches(sl, batch_format="pyarrow")
+
+
+def pq_train_codebooks(ds, m: int, sub_dims: int, k: int = 4,
+                       iters: int = 2, id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> np.ndarray:
+    """Train one integer-exact k-means codebook per PQ subspace (the
+    kmeans_quantized contract per chunk). Runs the m trainings as
+    separate scan sets for clarity; at 100 TB you'd fold all subspaces'
+    per-cluster partials into ONE pass per Lloyd iteration (the partial
+    tables are independent, so the fusion is mechanical) or train on a
+    sample — the full-corpus form here is what the oracle unrolls.
+    Returns (m, k, sub_dims) int64 centroids."""
+    cents = []
+    for mi in range(m):
+        km = kmeans_quantized(
+            _slice_vec_ds(ds, mi * sub_dims, (mi + 1) * sub_dims,
+                          id_col=id_col, vec_col=vec_col),
+            k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+        cents.append(km.sort_values(["cluster", "d"])["c"]
+                     .to_numpy(np.int64).reshape(k, sub_dims))
+    return np.stack(cents)
+
+
+def pq_encode(ds, cents: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding"):
+    """Encode every vector to its per-subspace nearest-centroid codes plus
+    the total integer squared-euclidean quantization error — ONE stateless
+    streaming pass with the (m, k, sub_dims) codebook broadcast via
+    ray.put (at 1e6-quantized magnitudes the per-vector error stays far
+    inside int64). Emits (vec_id, code_1..code_m, pq_err)."""
+    import ray
+
+    from rayschema.dedup import round_half_away
+
+    m, _, sub_dims = cents.shape
+    ref = ray.put(cents)
+
+    def encode(b: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        col = b.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        cols = {id_col: pa.array([], type=pa.int64())}
+        for mi in range(m):
+            cols[f"code_{mi + 1}"] = pa.array([], type=pa.int64())
+        cols["pq_err"] = pa.array([], type=pa.int64())
+        if n == 0:
+            return pa.table(cols)
+        q = round_half_away(
+            np.stack(col.to_numpy(zero_copy_only=False))
+            .astype(np.float64) * 1e6, 0).astype(np.int64)
+        out = {id_col: b.column(id_col).cast(pa.int64())}
+        err = np.zeros(n, dtype=np.int64)
+        rows = np.arange(n)
+        for mi in range(m):
+            sub = q[:, mi * sub_dims:(mi + 1) * sub_dims]
+            cm = c[mi]
+            dist = ((sub * sub).sum(axis=1)[:, None] - 2 * (sub @ cm.T)
+                    + (cm * cm).sum(axis=1)[None, :])
+            a = dist.argmin(axis=1)            # first min = lowest code
+            out[f"code_{mi + 1}"] = pa.array(a.astype(np.int64))
+            err += dist[rows, a]
+        out["pq_err"] = pa.array(err)
+        return pa.table(out)
+
+    return ds.map_batches(encode, batch_format="pyarrow")

@@ -556,3 +556,35 @@ def test_knn_ivf_kmeans_matches_registered_oracle(ray_session, sf_dir):
     top1 = got[got["rank"] == 1]
     assert list(top1["vec_id"]) == list(top1["query_id"])
     assert (top1["cosine"] == 1.0).all()
+
+
+def test_pq_encode_matches_bruteforce_reference(ray_session):
+    """pq_encode's batched kernel == a per-vector numpy reference against
+    the same trained codebooks; codes in [0, k); error is the sum of
+    per-subspace min integer squared distances."""
+    import ray.data as rd
+
+    from rayschema.dedup import round_half_away
+    from rayschema.similarity import pq_encode, pq_train_codebooks
+
+    rng = np.random.RandomState(9)
+    m, sub, k, dim = 3, 4, 4, 12
+    vecs = rng.normal(0, 0.5, size=(50, dim)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(50, dtype=np.int64),
+                       "embedding": [v for v in vecs]})
+    ds = rd.from_pandas(df).repartition(5)
+    cents = pq_train_codebooks(ds, m=m, sub_dims=sub, k=k, iters=2)
+    assert cents.shape == (m, k, sub)
+    got = (pq_encode(ds, cents).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    q = round_half_away(vecs.astype(np.float64) * 1e6, 0).astype(np.int64)
+    for i in range(50):
+        err = 0
+        for mi in range(m):
+            d2 = ((q[i, mi * sub:(mi + 1) * sub] - cents[mi]) ** 2).sum(axis=1)
+            assert got.loc[i, f"code_{mi + 1}"] == d2.argmin()
+            err += d2.min()
+        assert got.loc[i, "pq_err"] == err
+    for mi in range(m):
+        assert got[f"code_{mi + 1}"].between(0, k - 1).all()
