@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffle_shard_documents": Q.shuffle_shard_documents,
         "source_mixture_weights": Q.source_mixture_weights,
         "pq_encode_embeddings": Q.pq_encode_embeddings,
+        "keep_best_per_cluster": Q.keep_best_per_cluster,
         "regex_redact_documents": Q.regex_redact_documents,
         "vocabulary_top_words": Q.vocabulary_top_words,
         "pack_sequences_documents": Q.pack_sequences_documents,
@@ -389,6 +390,17 @@ def oracle_sql() -> dict[str, str]:
         "split_by_cluster": f"""
             WITH RECURSIVE {_SPLIT_CTES}
             SELECT doc_id, cluster_rep, split FROM spl""",
+        # Canonical selection: collapse each near-dup cluster to its
+        # longest member (min doc_id on ties); singletons pass through.
+        "keep_best_per_cluster": f"""
+            WITH RECURSIVE {_SPLIT_CTES},
+            q AS (SELECT r.doc_id, r.cluster_rep,
+                         length(d.text)::BIGINT AS n_len
+                  FROM rep r JOIN docs d USING (doc_id))
+            SELECT doc_id, cluster_rep, n_len FROM (
+              SELECT q.*, row_number() OVER (PARTITION BY cluster_rep
+                  ORDER BY n_len DESC, doc_id) AS rn FROM q)
+            WHERE rn = 1""",
         # Invariant audit of the leakage-safe split: a verified near-dup
         # pair must never straddle splits (the split follows the cluster
         # representative BY CONSTRUCTION — this query proves it holds).

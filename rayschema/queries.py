@@ -597,6 +597,98 @@ def split_by_cluster(sf_dir: str):
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+def keep_best_per_cluster(sf_dir: str):
+    """Canonical-document selection: from each near-dup cluster keep ONE
+    doc — the longest text, min doc_id on ties (the FineWeb-style
+    "collapse every duplicate cluster to its best member" step; length is
+    the integer-exact stand-in for a quality rank). Singleton docs pass
+    through untouched. Cluster members are compared via 24-byte
+    (doc_id, rep, n_len) triples only — text never leaves the workers;
+    the winner-id set broadcasts back as one sorted array. Scope: the
+    doc_id < 300 exact-pair subset (the oracle-checkable cluster scope).
+    Emits (doc_id, cluster_rep, n_len) for every kept doc."""
+    import ray
+
+    from rayschema.dedup import connected_components, exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, id_limit=300, k=5,
+                                threshold=0.5).to_pandas()
+    if len(pairs):
+        cc = connected_components(pairs).sort_values("doc_id")
+        rep_keys = cc["doc_id"].to_numpy().astype(np.int64)
+        rep_vals = cc["cluster_id"].to_numpy().astype(np.int64)
+    else:
+        rep_keys = rep_vals = np.array([], dtype=np.int64)
+    ref = ray.put((rep_keys, rep_vals))
+
+    def _scope(b: pa.Table):
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        tl = pc.fill_null(pc.utf8_length(txt), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        null = pc.is_null(b.column("text")).to_numpy(zero_copy_only=False)
+        ok = (ids < 300) & (tl >= 5) & ~null
+        return ids, tl, ok
+
+    def members(b: pa.Table) -> pa.Table:
+        """Candidate triples for docs that belong to a nontrivial cluster."""
+        keys, vals = ray.get(ref)
+        ids, tl, ok = _scope(b)
+        if len(keys) == 0:
+            ok &= False
+        else:
+            pos = np.searchsorted(keys, ids)
+            posc = np.minimum(pos, len(keys) - 1)
+            ok &= (pos < len(keys)) & (keys[posc] == ids)
+            rep = vals[posc]
+        if not ok.any():
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "rep": pa.array([], type=pa.int64()),
+                             "n_len": pa.array([], type=pa.int64())})
+        return pa.table({"doc_id": pa.array(ids[ok]),
+                         "rep": pa.array(rep[ok]),
+                         "n_len": pa.array(tl[ok])})
+
+    cand = ds.map_batches(members, batch_format="pyarrow").to_pandas()
+    if len(cand):
+        win = (cand.sort_values(["rep", "n_len", "doc_id"],
+                                ascending=[True, False, True])
+               .groupby("rep", as_index=False).first())
+        win_ids = np.sort(win["doc_id"].to_numpy(np.int64))
+    else:
+        win_ids = np.array([], dtype=np.int64)
+    wref = ray.put(win_ids)
+
+    def keep(b: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ref)
+        wins = ray.get(wref)
+        ids, tl, ok = _scope(b)
+        if len(keys):
+            pos = np.searchsorted(keys, ids)
+            posc = np.minimum(pos, len(keys) - 1)
+            hit = (pos < len(keys)) & (keys[posc] == ids)
+            rep = np.where(hit, vals[posc], ids)
+        else:
+            hit = np.zeros(len(ids), dtype=bool)
+            rep = ids
+        if len(wins):
+            wp = np.searchsorted(wins, ids)
+            wpc = np.minimum(wp, len(wins) - 1)
+            is_win = (wp < len(wins)) & (wins[wpc] == ids)
+        else:
+            is_win = np.zeros(len(ids), dtype=bool)
+        ok &= ~hit | is_win            # singletons OR cluster winners
+        return pa.table({"doc_id": pa.array(ids[ok]),
+                         "cluster_rep": pa.array(rep[ok]),
+                         "n_len": pa.array(tl[ok])})
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def simhash_near_dup_documents(sf_dir: str):
     from rayschema.dedup import simhash_near_dups
 

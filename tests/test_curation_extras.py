@@ -276,3 +276,24 @@ def test_source_mixture_weights_cap(ray_session, tmp_path):
     assert got.loc["hot", "n_tokens"] == 2000
     assert got.loc["hot", "weight_millionths"] == 501 * 10 ** 6 // 2000
     assert got.loc["cold", "weight_millionths"] == 10 ** 6
+
+
+def test_keep_best_per_cluster_winners(ray_session, tmp_path):
+    """Longest member wins its cluster, min doc_id breaks exact ties,
+    singletons pass through, out-of-scope (doc_id >= 300) ignored."""
+    from rayschema.queries import keep_best_per_cluster
+
+    a = "abcdefghij klmnopqrst uvwxyz0123 456789ABCD"     # 43 cp
+    b = a + " EXTENDED"                                   # superset shingles
+    t = "duplicated text body here 123"
+    df = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2, 3, 4, 500], dtype=np.int64),
+        "text": [a, b, "a singleton document with its own words",
+                 t, t, "out of scope entirely"],
+    })
+    sf = _write_docs(tmp_path, df)
+    got = (keep_best_per_cluster(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [1, 2, 3]
+    assert got.loc[0, "cluster_rep"] == 0      # cluster {0,1}, winner 1
+    assert got.loc[2, "cluster_rep"] == 3      # tie -> min doc_id wins
