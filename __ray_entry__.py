@@ -206,6 +206,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixture_weights": Q.source_mixture_weights,
         "pq_encode_embeddings": Q.pq_encode_embeddings,
         "keep_best_per_cluster": Q.keep_best_per_cluster,
+        "events_hourly_anomaly": Q.events_hourly_anomaly,
+        "bigram_next_word": Q.bigram_next_word,
         "regex_redact_documents": Q.regex_redact_documents,
         "vocabulary_top_words": Q.vocabulary_top_words,
         "pack_sequences_documents": Q.pack_sequences_documents,
@@ -869,6 +871,46 @@ def oracle_sql() -> dict[str, str]:
                   FROM orders GROUP BY o_custkey
                   ORDER BY revenue_cents DESC, o_custkey LIMIT 10) t
             LEFT JOIN customer c ON c.c_custkey = t.o_custkey""",
+        # 2-sigma hourly anomaly flag with the z-test in cleared-denominator
+        # integer form: (H*c - S)^2 > 4*(H*SS - S^2); HUGEINT keeps the
+        # SQL products exact (the engine uses Python big ints).
+        "events_hourly_anomaly": """
+            WITH h AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                                  AS hour_bucket,
+                              count(*)::BIGINT AS n_events
+                       FROM events GROUP BY hour_bucket),
+            t AS (SELECT count(*)::HUGEINT AS nh,
+                         sum(n_events)::HUGEINT AS s,
+                         sum(n_events::HUGEINT * n_events)::HUGEINT AS ss
+                  FROM h)
+            SELECT h.hour_bucket, h.n_events,
+                   (CASE WHEN (t.nh * h.n_events - t.s)
+                              * (t.nh * h.n_events - t.s)
+                              > 4 * (t.nh * t.ss - t.s * t.s)
+                    THEN 1 ELSE 0 END)::BIGINT AS is_anomaly
+            FROM h, t""",
+        # Bigram LM "most likely next word" for the top-20 first words;
+        # exact counts, lexicographic tie-breaks on both rankings.
+        "bigram_next_word": """
+            WITH w AS (SELECT string_split(text, ' ') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+            g AS (SELECT unnest(list_zip(ws, ws[2:])) AS p FROM w),
+            b AS (SELECT p[1] AS w1, p[2] AS w2 FROM g
+                  WHERE p[2] IS NOT NULL),
+            c AS (SELECT w1, w2, count(*)::BIGINT AS pair_count
+                  FROM b GROUP BY w1, w2),
+            f AS (SELECT w1, sum(pair_count)::BIGINT AS w1_count
+                  FROM c GROUP BY w1),
+            top AS (SELECT w1, w1_count FROM (
+                      SELECT f.*, row_number() OVER (
+                          ORDER BY w1_count DESC, w1) AS rn FROM f)
+                    WHERE rn <= 20),
+            best AS (SELECT w1, w2 AS next_word, pair_count FROM (
+                       SELECT c.*, row_number() OVER (PARTITION BY w1
+                           ORDER BY pair_count DESC, w2) AS rn FROM c)
+                     WHERE rn = 1)
+            SELECT t.w1, t.w1_count, b2.next_word, b2.pair_count
+            FROM top t JOIN best b2 USING (w1)""",
         "events_hourly_window": """
             SELECT user_id,
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,

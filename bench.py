@@ -100,6 +100,10 @@ def run_bench() -> dict:
         ("dup_span_stats", Q.dup_span_stats),
         ("chunk_documents", Q.chunk_documents),
         ("kmeans_embeddings", Q.kmeans_embeddings),
+        ("gopher_quality_flags", Q.gopher_quality_flags),
+        ("ngram_decontaminate", Q.ngram_decontaminate_documents),
+        ("shuffle_shard", Q.shuffle_shard_documents),
+        ("pq_encode_embeddings", Q.pq_encode_embeddings),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -1045,6 +1045,102 @@ def source_mixture_weights(sf_dir: str):
     return agg.sort_values("source").reset_index(drop=True)
 
 
+def events_hourly_anomaly(sf_dir: str):
+    """Monitoring primitive: flag hours whose global event count deviates
+    more than 2 sigma from the mean — with the z-test done in EXACT
+    integer cross-multiplied form ((H·c - S)^2 > 4·(H·SS - S^2), i.e.
+    (c - mean)^2 > 4·var with denominators cleared), so the flag is
+    oracle-checkable with no float variance semantics. Distributed
+    per-batch hour bincounts merge on the driver (hours are a bounded
+    few-hot-groups dimension); the threshold math runs in Python big
+    ints — immune to overflow at any corpus size."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u, c = np.unique(ts // 3_600_000_000, return_counts=True)
+        return pa.table({"hour_bucket": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (part.groupby("hour_bucket", as_index=False)["n"].sum()
+           .sort_values("hour_bucket").reset_index(drop=True))
+    counts = [int(x) for x in agg["n"]]
+    big_h, s = len(counts), sum(counts)
+    ss = sum(c * c for c in counts)
+    thr = 4 * (big_h * ss - s * s)
+    flags = [1 if (big_h * c - s) ** 2 > thr else 0 for c in counts]
+    return pd.DataFrame({
+        "hour_bucket": agg["hour_bucket"].astype(np.int64),
+        "n_events": agg["n"].astype(np.int64),
+        "is_anomaly": np.array(flags, dtype=np.int64),
+    })
+
+
+BIGRAM_TOP_N = 20
+
+
+def bigram_next_word(sf_dir: str):
+    """Corpus bigram language model, surfaced as "most likely next word"
+    for the top-20 first-words: exact (pair_count, w1_count) rationals,
+    lexicographic tie-breaks. Per-batch partial bigram counts (adjacent
+    same-doc word pairs via the shared flatten kernel + one lexsort of
+    int codes) merge on the driver — the distinct-bigram table is
+    vocabulary-bounded, the natural driver-state shape; past that the
+    Misra-Gries sketch or a (w1,w2) groupby takes over (documented)."""
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        empty = pa.table({"w1": pa.array([], type=pa.string()),
+                          "w2": pa.array([], type=pa.string()),
+                          "c": pa.array([], type=pa.int64())})
+        if len(col) == 0:
+            return empty
+        flat, _, doc_idx = _flatten_words_arrow(col)
+        if len(flat) < 2:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        same = doc_idx[1:] == doc_idx[:-1]
+        a, bb = codes[:-1][same], codes[1:][same]
+        if len(a) == 0:
+            return empty
+        order = np.lexsort((bb, a))
+        a_s, b_s = a[order], bb[order]
+        new = np.ones(len(a_s), dtype=bool)
+        new[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, len(a_s)))
+        d = enc.dictionary
+        return pa.table({"w1": d.take(pa.array(a_s[starts])),
+                         "w2": d.take(pa.array(b_s[starts])),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(part) == 0:
+        return pd.DataFrame({"w1": [], "w1_count": [],
+                             "next_word": [], "pair_count": []})
+    pairs = part.groupby(["w1", "w2"], as_index=False)["c"].sum()
+    firsts = (pairs.groupby("w1", as_index=False)["c"].sum()
+              .rename(columns={"c": "w1_count"})
+              .sort_values(["w1_count", "w1"], ascending=[False, True])
+              .head(BIGRAM_TOP_N))
+    best = (pairs.sort_values(["w1", "c", "w2"],
+                              ascending=[True, False, True])
+            .groupby("w1", as_index=False).first()
+            .rename(columns={"w2": "next_word", "c": "pair_count"}))
+    out = firsts.merge(best, on="w1").reset_index(drop=True)
+    out["w1_count"] = out["w1_count"].astype(np.int64)
+    out["pair_count"] = out["pair_count"].astype(np.int64)
+    return out[["w1", "w1_count", "next_word", "pair_count"]]
+
+
 PQ_SUBSPACES, PQ_SUB_DIMS = 4, 16     # 64-dim embeddings -> 4 x 16
 
 

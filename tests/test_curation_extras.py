@@ -297,3 +297,45 @@ def test_keep_best_per_cluster_winners(ray_session, tmp_path):
     assert got["doc_id"].tolist() == [1, 2, 3]
     assert got.loc[0, "cluster_rep"] == 0      # cluster {0,1}, winner 1
     assert got.loc[2, "cluster_rep"] == 3      # tie -> min doc_id wins
+
+
+def test_events_hourly_anomaly_integer_ztest(ray_session, tmp_path):
+    """Planted spike hour is flagged, uniform hours are not; the 2-sigma
+    rule is the exact cleared-denominator integer comparison."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import events_hourly_anomaly
+
+    # 9 hours at 10 events + 1 hour at 100: mean=19, var=729 -> only the
+    # spike has (c-mean)^2 = 6561 > 4*729
+    hours = np.repeat(np.arange(10), [10] * 9 + [100])
+    ts = (hours * 3600 + 7) * 1_000_000    # microseconds, in-hour offset
+    tab = pa.table({
+        "event_id": pa.array(np.arange(len(ts), dtype=np.int64)),
+        "user_id": pa.array(np.zeros(len(ts), dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * len(ts)),
+        "value": pa.array(np.ones(len(ts))),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = events_hourly_anomaly(str(tmp_path))
+    assert got["is_anomaly"].sum() == 1
+    assert got.loc[got["is_anomaly"] == 1, "n_events"].iloc[0] == 100
+
+
+def test_bigram_next_word_counts_and_ties(ray_session, tmp_path):
+    """Pair counts aggregate across docs and batches; lexicographic
+    tie-break picks the smaller next word on equal counts."""
+    from rayschema.queries import bigram_next_word
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["go b go a go a", "go b stop", None],
+    })
+    sf = _write_docs(tmp_path, df)
+    got = bigram_next_word(sf).set_index("w1")
+    # bigrams: go->b x2, go->a x2, b->go, b->stop, a->go x2, stop: none
+    assert got.loc["go", "w1_count"] == 4
+    assert got.loc["go", "next_word"] == "a"        # tie 2-2 -> lexicographic
+    assert got.loc["go", "pair_count"] == 2
+    assert got.loc["a", "next_word"] == "go"
