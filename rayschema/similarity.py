@@ -85,7 +85,8 @@ def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
 
 # --------------------------------------------------------------------------- distributed k-means
 def kmeans_quantized(ds, k: int = 4, iters: int = 2, id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> pd.DataFrame:
+                     vec_col: str = "embedding",
+                     init_cent: np.ndarray = None) -> pd.DataFrame:
     """DISTRIBUTED Lloyd k-means whose every step is integer-exact, so even
     this iterative algorithm gets a full DuckDB oracle (most engines settle
     for a rows-only check on iterative ML):
@@ -105,23 +106,32 @@ def kmeans_quantized(ds, k: int = 4, iters: int = 2, id_col: str = "vec_id",
 
     Returns long-form (cluster, d, c, n_members): d is the 1-based
     dimension, c the quantized centroid component after the final update,
-    n_members the final assignment's cluster size."""
+    n_members the final assignment's cluster size.
+
+    ``init_cent`` (k, dim) int64 skips the init fetch when the caller
+    already holds the quantized vectors of ids 0..k-1 (PQ trains m
+    codebooks off ONE prefetched init read instead of m filter scans)."""
     import ray
 
     from rayschema.dedup import round_half_away
 
-    init = (ds.filter(expr=f"{id_col} < {k}").to_pandas()
-            .sort_values(id_col))
-    if list(init[id_col]) != list(range(k)):
-        raise ValueError(
-            f"kmeans_quantized init needs {id_col} 0..{k - 1} present "
-            f"(the deterministic-init/oracle contract); found "
-            f"{list(init[id_col])[:k + 2]}")
-    # float64 BEFORE the 1e6 scale: the stored vectors are float32, and
-    # scaling in float32 rounds differently than SQL's ::DOUBLE promotion
-    cent = round_half_away(
-        np.stack(init[vec_col].to_numpy()).astype(np.float64) * 1e6, 0) \
-        .astype(np.int64)                                   # (k, dim)
+    if init_cent is not None:
+        cent = np.asarray(init_cent, dtype=np.int64).copy()   # (k, dim)
+        if cent.shape[0] != k:
+            raise ValueError(f"init_cent has {cent.shape[0]} rows, need {k}")
+    else:
+        init = (ds.filter(expr=f"{id_col} < {k}").to_pandas()
+                .sort_values(id_col))
+        if list(init[id_col]) != list(range(k)):
+            raise ValueError(
+                f"kmeans_quantized init needs {id_col} 0..{k - 1} present "
+                f"(the deterministic-init/oracle contract); found "
+                f"{list(init[id_col])[:k + 2]}")
+        # float64 BEFORE the 1e6 scale: the stored vectors are float32, and
+        # scaling in float32 rounds differently than SQL's ::DOUBLE promotion
+        cent = round_half_away(
+            np.stack(init[vec_col].to_numpy()).astype(np.float64) * 1e6, 0) \
+            .astype(np.int64)                                   # (k, dim)
     dim = cent.shape[1]
     counts = np.zeros(k, dtype=np.int64)
 
@@ -355,12 +365,27 @@ def pq_train_codebooks(ds, m: int, sub_dims: int, k: int = 4,
     tables are independent, so the fusion is mechanical) or train on a
     sample — the full-corpus form here is what the oracle unrolls.
     Returns (m, k, sub_dims) int64 centroids."""
+    from rayschema.dedup import round_half_away
+
+    # ONE init fetch for all subspaces (slicing commutes with the
+    # float64-promote + 1e6 quantization, so per-subspace init values are
+    # identical to fetching each sliced dataset separately)
+    init = (ds.filter(expr=f"{id_col} < {k}").to_pandas()
+            .sort_values(id_col))
+    if list(init[id_col]) != list(range(k)):
+        raise ValueError(
+            f"pq_train_codebooks init needs {id_col} 0..{k - 1} present; "
+            f"found {list(init[id_col])[:k + 2]}")
+    init_q = round_half_away(
+        np.stack(init[vec_col].to_numpy()).astype(np.float64) * 1e6, 0) \
+        .astype(np.int64)                                   # (k, m*sub)
     cents = []
     for mi in range(m):
         km = kmeans_quantized(
             _slice_vec_ds(ds, mi * sub_dims, (mi + 1) * sub_dims,
                           id_col=id_col, vec_col=vec_col),
-            k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+            k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+            init_cent=init_q[:, mi * sub_dims:(mi + 1) * sub_dims])
         cents.append(km.sort_values(["cluster", "d"])["c"]
                      .to_numpy(np.int64).reshape(k, sub_dims))
     return np.stack(cents)
