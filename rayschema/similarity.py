@@ -364,7 +364,17 @@ def pq_train_codebooks(ds, m: int, sub_dims: int, k: int = 4,
     per-cluster partials into ONE pass per Lloyd iteration (the partial
     tables are independent, so the fusion is mechanical) or train on a
     sample — the full-corpus form here is what the oracle unrolls.
-    Returns (m, k, sub_dims) int64 centroids."""
+    Returns (m, k, sub_dims) int64 centroids.
+
+    FUSED: all m subspaces train in the SAME scan — each Lloyd iteration
+    is ONE map_batches pass emitting (sub, cluster, cnt, sums) partials
+    for every subspace (m·k·(sub_dims+2) numbers per batch), so training
+    costs ``iters`` corpus scans total instead of ``m · iters``. The
+    per-subspace integer sums are order-free, so the result is
+    bit-identical to m separate kmeans_quantized runs (equality-tested).
+    """
+    import ray
+
     from rayschema.dedup import round_half_away
 
     # ONE init fetch for all subspaces (slicing commutes with the
@@ -379,16 +389,61 @@ def pq_train_codebooks(ds, m: int, sub_dims: int, k: int = 4,
     init_q = round_half_away(
         np.stack(init[vec_col].to_numpy()).astype(np.float64) * 1e6, 0) \
         .astype(np.int64)                                   # (k, m*sub)
-    cents = []
-    for mi in range(m):
-        km = kmeans_quantized(
-            _slice_vec_ds(ds, mi * sub_dims, (mi + 1) * sub_dims,
-                          id_col=id_col, vec_col=vec_col),
-            k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-            init_cent=init_q[:, mi * sub_dims:(mi + 1) * sub_dims])
-        cents.append(km.sort_values(["cluster", "d"])["c"]
-                     .to_numpy(np.int64).reshape(k, sub_dims))
-    return np.stack(cents)
+    cents = np.stack([init_q[:, mi * sub_dims:(mi + 1) * sub_dims]
+                      for mi in range(m)])                  # (m, k, sub)
+
+    for _ in range(iters):
+        ref = ray.put(cents)
+
+        def partial(b: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref)                               # (m, k, sub)
+            col = b.column(vec_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if len(col) == 0:
+                return pa.table({
+                    "sub": pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                    "cnt": pa.array([], type=pa.int64()),
+                    "s": pa.array([], type=pa.list_(pa.int64()))})
+            q = round_half_away(
+                np.stack(col.to_numpy(zero_copy_only=False))
+                .astype(np.float64) * 1e6, 0).astype(np.int64)
+            subs, clus, cnts, sums_l = [], [], [], []
+            for mi in range(len(c)):
+                qs = q[:, mi * sub_dims:(mi + 1) * sub_dims]
+                cm = c[mi]
+                dist = ((qs * qs).sum(axis=1)[:, None] - 2 * (qs @ cm.T)
+                        + (cm * cm).sum(axis=1)[None, :])
+                assign = dist.argmin(axis=1)
+                cnt = np.bincount(assign, minlength=k).astype(np.int64)
+                sm = np.zeros((k, sub_dims), dtype=np.int64)
+                np.add.at(sm, assign, qs)
+                subs.append(np.full(k, mi, dtype=np.int64))
+                clus.append(np.arange(k, dtype=np.int64))
+                cnts.append(cnt)
+                sums_l.extend(list(sm))
+            return pa.table({
+                "sub": pa.array(np.concatenate(subs)),
+                "cluster": pa.array(np.concatenate(clus)),
+                "cnt": pa.array(np.concatenate(cnts)),
+                "s": pa.array(sums_l, type=pa.list_(pa.int64()))})
+
+        part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        counts = np.zeros((m, k), dtype=np.int64)
+        sums = np.zeros((m, k, sub_dims), dtype=np.int64)
+        for mi, cl, cnt, s in zip(part["sub"], part["cluster"],
+                                  part["cnt"], part["s"]):
+            counts[int(mi), int(cl)] += int(cnt)
+            sums[int(mi), int(cl)] += np.asarray(s, dtype=np.int64)
+        nz = counts > 0
+        n = counts[nz][:, None]
+        s = sums[nz]
+        cents[nz] = np.sign(s) * ((2 * np.abs(s) + n) // (2 * n))
+        # empty clusters keep their previous centroid (same rule as
+        # kmeans_quantized)
+
+    return cents
 
 
 def pq_encode(ds, cents: np.ndarray, id_col: str = "vec_id",

@@ -588,3 +588,26 @@ def test_pq_encode_matches_bruteforce_reference(ray_session):
         assert got.loc[i, "pq_err"] == err
     for mi in range(m):
         assert got[f"code_{mi + 1}"].between(0, k - 1).all()
+
+
+def test_pq_fused_training_matches_per_subspace(ray_session):
+    """The fused one-scan-per-iteration trainer is bit-identical to m
+    separate kmeans_quantized runs over sliced datasets."""
+    import ray.data as rd
+
+    from rayschema.similarity import (_slice_vec_ds, kmeans_quantized,
+                                      pq_train_codebooks)
+
+    rng = np.random.RandomState(3)
+    m, sub, k, dim = 4, 3, 4, 12
+    vecs = rng.normal(0, 0.7, size=(60, dim)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(60, dtype=np.int64),
+                       "embedding": [v for v in vecs]})
+    ds = rd.from_pandas(df).repartition(6)
+    fused = pq_train_codebooks(ds, m=m, sub_dims=sub, k=k, iters=2)
+    for mi in range(m):
+        km = kmeans_quantized(_slice_vec_ds(ds, mi * sub, (mi + 1) * sub),
+                              k=k, iters=2)
+        sep = (km.sort_values(["cluster", "d"])["c"]
+               .to_numpy(np.int64).reshape(k, sub))
+        assert np.array_equal(fused[mi], sep), f"subspace {mi} diverged"
