@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rarity_score": Q.doc_rarity_score,
         "kmeans_embeddings": Q.kmeans_embeddings,
         "knn_ivf_kmeans": Q.knn_ivf_kmeans,
+        "semdedup_embeddings": Q.semdedup_embeddings,
         "dup_span_stats": Q.dup_span_stats,
         "chunk_documents": Q.chunk_documents,
         # -- relational engine coverage
@@ -823,6 +824,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(cs, 6) AS cosine,
                    CAST(rk AS BIGINT) AS "rank"
             FROM r WHERE rk <= 10""",
+        # SemDeDup: k-means localizes the near-dup check; a vector is
+        # dropped iff a LOWER-id same-cluster member sits at exact cosine
+        # >= 0.4. Assignment (a3) is the same integer argmin the IVF
+        # oracle uses; the cosine convention is the one embedding_near_dup
+        # already hash-matches.
+        "semdedup_embeddings": f"""
+            WITH {_KMEANS_CTES},
+            a3 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT v.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY sum((v.q - c.c) * (v.q - c.c)),
+                                    c.cluster) AS rn
+                FROM v JOIN c2 c USING (d)
+                GROUP BY v.vec_id, c.cluster) WHERE rn = 1),
+            rm AS (
+              SELECT DISTINCT b.vec_id
+              FROM a3 a JOIN a3 b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id
+              WHERE list_cosine_similarity(ea.embedding::DOUBLE[],
+                                           eb.embedding::DOUBLE[]) >= 0.4)
+            SELECT a3.vec_id, a3.cluster FROM a3
+            WHERE a3.vec_id NOT IN (SELECT vec_id FROM rm)""",
         "pack_sequences_documents": """
             WITH t AS (
               SELECT doc_id,

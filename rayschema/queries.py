@@ -2576,3 +2576,18 @@ def multimodal_pipeline(sf_dir: str):
 
     ds = rd.from_arrow(synth_media_table(256))
     return media_feature_pipeline(ds, decode_fn=default_decode, concurrency=(1, 2))
+
+
+# --------------------------------------------------------------------- session-5 operators
+
+def semdedup_embeddings(sf_dir: str):
+    """SemDeDup semantic dedup over the embeddings table: integer-exact
+    k-means clusters (k=4, 2 Lloyd iterations) localize the exact-cosine
+    near-dup check; inside each cluster every vector with a lower-id
+    member at cosine >= 0.4 is dropped. Returns the KEPT (vec_id,
+    cluster) rows. Fully DuckDB-oracled: k-means CTE chain + integer
+    argmin assignment + within-cluster list_cosine_similarity pairs."""
+    from rayschema.similarity import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, k=4, iters=2, threshold=0.4)

@@ -490,3 +490,80 @@ def pq_encode(ds, cents: np.ndarray, id_col: str = "vec_id",
         return pa.table(out)
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def semdedup(ds, k: int = 4, iters: int = 2, threshold: float = 0.4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             concurrency=(1, 8)):
+    """SemDeDup semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with the
+    integer-exact distributed k-means (``kmeans_quantized``), then inside
+    each cluster drop every vector that has a LOWER-id member at exact
+    cosine >= ``threshold``. Clustering makes the quadratic cosine check
+    local: at scale only same-cluster pairs are ever compared.
+
+    Every stage is deterministic and SQL-mirrorable, so the whole
+    pipeline gets a full DuckDB oracle (k-means CTE chain + integer
+    argmin assignment + list_cosine_similarity within-cluster pairs):
+
+    * codebook: ``kmeans_quantized`` (quantized vectors, int64 argmin,
+      rounded-integer-mean updates);
+    * assignment: the SAME int64 squared-euclidean argmin with
+      lowest-cluster tie-break, computed once and broadcast so the pair
+      scan and the output agree row for row;
+    * verify: exact float64 cosine of the normalized vectors (the
+      convention the ``embedding_near_dup`` oracle hash-matches).
+
+    This is the broadcast-matrix baseline: the normalized corpus matrix
+    + its cluster assignment ship once via ray.put and each batch streams
+    a block-row of the similarity matrix masked to same-cluster lower-id
+    entries (documented bound ~10^7 x 10^2 dims, same as
+    ``embedding_cosine_pairs_exact``). Past that, repartition by the
+    cluster key and run a per-cluster bucketed scan — the removal rule
+    itself never changes.
+
+    Returns a Dataset of KEPT rows ``(id_col, cluster)``.
+    """
+    import ray
+
+    from rayschema.dedup import round_half_away
+
+    km = kmeans_quantized(ds, k=k, iters=iters, id_col=id_col,
+                          vec_col=vec_col)
+    cent = (km.sort_values(["cluster", "d"])["c"]
+            .to_numpy(np.int64).reshape(k, -1))
+
+    full = (ds.select_columns([id_col, vec_col]).to_pandas()
+            .sort_values(id_col))
+    ids = full[id_col].to_numpy(np.int64)
+    mat = np.stack(full[vec_col].to_numpy()).astype(np.float64)
+    q = round_half_away(mat * 1e6, 0).astype(np.int64)
+    dist = ((q * q).sum(axis=1)[:, None] - 2 * (q @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :])
+    corp_cluster = dist.argmin(axis=1).astype(np.int64)
+    ref = ray.put((ids, corp_cluster, _normalize(mat)))
+
+    def scan(b: pa.Table, _ref=ref) -> pa.Table:
+        cids, ccl, cmat = ray.get(_ref)
+        col = b.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "cluster": pa.array([], type=pa.int64())})
+        rid = b.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rows = _normalize(np.stack(col.to_numpy(zero_copy_only=False))
+                          .astype(np.float64))
+        # assignment looked up from the broadcast (batch and corpus rows
+        # agree by construction — no recompute drift)
+        bcl = ccl[np.searchsorted(cids, rid)]
+        sims = rows @ cmat.T                               # (b, N)
+        mask = ((sims >= threshold)
+                & (ccl[None, :] == bcl[:, None])
+                & (cids[None, :] < rid[:, None]))
+        keep = ~mask.any(axis=1)
+        return pa.table({id_col: pa.array(rid[keep]),
+                         "cluster": pa.array(bcl[keep])})
+
+    return ds.map_batches(scan, batch_format="pyarrow")

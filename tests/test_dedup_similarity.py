@@ -611,3 +611,49 @@ def test_pq_fused_training_matches_per_subspace(ray_session):
         sep = (km.sort_values(["cluster", "d"])["c"]
                .to_numpy(np.int64).reshape(k, sub))
         assert np.array_equal(fused[mi], sep), f"subspace {mi} diverged"
+
+
+def test_semdedup_removes_lower_id_neighbors_within_cluster(ray_session):
+    """Planted two well-separated clusters; exact duplicates and a
+    near-duplicate inside one cluster must be dropped (lower id kept),
+    while a cross-cluster near-identical pair must BOTH survive — the
+    SemDeDup rule only compares within a cluster."""
+    import ray.data as rd
+
+    from rayschema.similarity import semdedup
+
+    rng = np.random.RandomState(11)
+    dim = 8
+    a = rng.normal(0.5, 0.05, size=(12, dim))
+    b = rng.normal(-0.5, 0.05, size=(12, dim))
+    vecs = np.concatenate([a, b]).astype(np.float32)
+    # ids 0 and 1 are the k-means init (one per planted cluster)
+    vecs[1] = -vecs[0]
+    vecs[5] = vecs[3]                    # exact dup, same cluster as 3
+    vecs[7] = vecs[3] * 1.0001           # near dup (cosine ~1)
+    df = pd.DataFrame({"vec_id": np.arange(24, dtype=np.int64),
+                       "embedding": [v for v in vecs]})
+    ds = rd.from_pandas(df).repartition(3)
+    kept = (semdedup(ds, k=2, iters=2, threshold=0.999)
+            .to_pandas().sort_values("vec_id"))
+    kept_ids = set(kept["vec_id"].tolist())
+    assert 3 in kept_ids and 5 not in kept_ids and 7 not in kept_ids
+    # vec 1 = -vec 0: cosine -1, different clusters -> both kept
+    assert 0 in kept_ids and 1 in kept_ids
+    # brute-force expectation: removed iff a lower-id SAME-SIDE member
+    # sits at cosine >= threshold (sides are exactly the k-means result
+    # here: init centroids are vec0 and -vec0)
+    v64 = vecs.astype(np.float64)
+    nmat = v64 / np.linalg.norm(v64, axis=1, keepdims=True)
+    side = (nmat @ nmat[0] < 0).astype(int)      # 0 = vec0's cluster
+    sims = nmat @ nmat.T
+    expected_removed = {
+        j for j in range(24)
+        if any(side[i] == side[j] and sims[i, j] >= 0.999
+               for i in range(j))}
+    assert kept_ids == set(range(24)) - expected_removed
+    # cluster column is a valid assignment: same-planted-side ids agree
+    cl = dict(zip(kept["vec_id"], kept["cluster"]))
+    assert len({cl[i] for i in (0, 3, 10)}) == 1
+    assert len({cl[i] for i in (1, 13, 20)}) == 1
+    assert cl[0] != cl[1]
