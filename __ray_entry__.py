@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_best_per_cluster": Q.keep_best_per_cluster,
         "events_hourly_anomaly": Q.events_hourly_anomaly,
         "bigram_next_word": Q.bigram_next_word,
+        "bigram_coverage_score": Q.bigram_coverage_score,
         "regex_redact_documents": Q.regex_redact_documents,
         "vocabulary_top_words": Q.vocabulary_top_words,
         "pack_sequences_documents": Q.pack_sequences_documents,
@@ -937,6 +938,29 @@ def oracle_sql() -> dict[str, str]:
                      WHERE rn = 1)
             SELECT t.w1, t.w1_count, b2.next_word, b2.pair_count
             FROM top t JOIN best b2 USING (w1)""",
+        # Bigram-LM coverage score: per-doc hits against the corpus
+        # top-1000 bigram table in exact-rational (n_hits, n_pairs) form;
+        # docs with zero adjacent pairs (<2 words) are out of scope on
+        # both sides.
+        "bigram_coverage_score": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+            g AS (SELECT doc_id, unnest(list_zip(ws, ws[2:])) AS p FROM w),
+            b AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM g
+                  WHERE p[2] IS NOT NULL),
+            c AS (SELECT w1, w2, count(*)::BIGINT AS n FROM b
+                  GROUP BY w1, w2),
+            top AS (SELECT w1, w2 FROM (
+                      SELECT c.*, row_number() OVER (
+                          ORDER BY n DESC, w1, w2) AS rn FROM c)
+                    WHERE rn <= 1000),
+            per AS (SELECT doc_id, count(*)::BIGINT AS n_pairs FROM b
+                    GROUP BY doc_id),
+            hit AS (SELECT b.doc_id, count(*)::BIGINT AS n_hits
+                    FROM b JOIN top USING (w1, w2) GROUP BY b.doc_id)
+            SELECT per.doc_id, per.n_pairs,
+                   coalesce(hit.n_hits, 0)::BIGINT AS n_hits
+            FROM per LEFT JOIN hit USING (doc_id)""",
         "events_hourly_window": """
             SELECT user_id,
                    CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,

@@ -1080,17 +1080,13 @@ def events_hourly_anomaly(sf_dir: str):
 BIGRAM_TOP_N = 20
 
 
-def bigram_next_word(sf_dir: str):
-    """Corpus bigram language model, surfaced as "most likely next word"
-    for the top-20 first-words: exact (pair_count, w1_count) rationals,
-    lexicographic tie-breaks. Per-batch partial bigram counts (adjacent
-    same-doc word pairs via the shared flatten kernel + one lexsort of
-    int codes) merge on the driver — the distinct-bigram table is
-    vocabulary-bounded, the natural driver-state shape; past that the
-    Misra-Gries sketch or a (w1,w2) groupby takes over (documented)."""
+def _bigram_pair_counts(ds) -> pd.DataFrame:
+    """Corpus-wide adjacent-word-pair counts: per-batch partials (shared
+    flatten kernel + one lexsort of dictionary codes) merged on the
+    driver — the distinct-bigram table is vocabulary-bounded, the natural
+    driver-state shape; past that the Misra-Gries sketch or a (w1,w2)
+    groupby takes over (documented). Returns (w1, w2, c)."""
     from rayschema.text import _flatten_words_arrow
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
         b = b.filter(pc.is_valid(b.column("text")))
@@ -1124,9 +1120,21 @@ def bigram_next_word(sf_dir: str):
 
     part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if len(part) == 0:
+        return pd.DataFrame({"w1": pd.Series([], dtype=object),
+                             "w2": pd.Series([], dtype=object),
+                             "c": pd.Series([], dtype=np.int64)})
+    return part.groupby(["w1", "w2"], as_index=False)["c"].sum()
+
+
+def bigram_next_word(sf_dir: str):
+    """Corpus bigram language model, surfaced as "most likely next word"
+    for the top-20 first-words: exact (pair_count, w1_count) rationals,
+    lexicographic tie-breaks; counts via _bigram_pair_counts."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = _bigram_pair_counts(ds)
+    if len(pairs) == 0:
         return pd.DataFrame({"w1": [], "w1_count": [],
                              "next_word": [], "pair_count": []})
-    pairs = part.groupby(["w1", "w2"], as_index=False)["c"].sum()
     firsts = (pairs.groupby("w1", as_index=False)["c"].sum()
               .rename(columns={"c": "w1_count"})
               .sort_values(["w1_count", "w1"], ascending=[False, True])
@@ -2591,3 +2599,64 @@ def semdedup_embeddings(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return semdedup(ds, k=4, iters=2, threshold=0.4)
+
+
+BIGRAM_COVERAGE_TOP_K = 1000
+
+
+def bigram_coverage_score(sf_dir: str):
+    """Model-based quality scoring with the corpus's own bigram LM: each
+    document is scored by how many of its adjacent word pairs appear in
+    the corpus-wide top-1000 bigram table (the exact-rational
+    (n_hits, n_pairs) form of "fraction of n-grams the LM knows" — the
+    KenLM-style filter without float log-probs, so the DuckDB oracle
+    hash-matches). The table is built by the same per-batch partial
+    counts as bigram_next_word; the top-K pair STRINGS broadcast once via
+    ray.put and the scan is one Arrow is_in hash kernel per batch — at
+    100 TB the broadcast is K strings regardless of corpus size."""
+    import ray
+
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = _bigram_pair_counts(ds)
+    top = (pairs.sort_values(["c", "w1", "w2"],
+                             ascending=[False, True, True])
+           .head(BIGRAM_COVERAGE_TOP_K))
+    # words cannot contain the split char, so "w1 w2" is injective
+    joined = (top["w1"] + " " + top["w2"]).to_numpy(dtype=object)
+    ref = ray.put(pa.array(joined, type=pa.string()))
+
+    def score(b: pa.Table, _ref=ref) -> pa.Table:
+        vs = ray.get(_ref)
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_pairs": pa.array([], type=pa.int64()),
+                          "n_hits": pa.array([], type=pa.int64())})
+        if len(col) == 0:
+            return empty
+        flat, _, doc_idx = _flatten_words_arrow(col)
+        if len(flat) < 2:
+            return empty
+        same = doc_idx[1:] == doc_idx[:-1]
+        ia = np.flatnonzero(same)
+        if len(ia) == 0:
+            return empty
+        g = pc.binary_join_element_wise(flat.take(pa.array(ia)),
+                                        flat.take(pa.array(ia + 1)), " ")
+        hits = pc.is_in(g, value_set=vs).to_numpy(zero_copy_only=False)
+        pair_doc = doc_idx[ia]
+        n_pairs = np.bincount(pair_doc, minlength=len(b)).astype(np.int64)
+        n_hits = np.bincount(pair_doc, weights=hits.astype(np.float64),
+                             minlength=len(b)).astype(np.int64)
+        keep = n_pairs > 0
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "n_pairs": pa.array(n_pairs[keep]),
+                         "n_hits": pa.array(n_hits[keep])})
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -339,3 +339,25 @@ def test_bigram_next_word_counts_and_ties(ray_session, tmp_path):
     assert got.loc["go", "next_word"] == "a"        # tie 2-2 -> lexicographic
     assert got.loc["go", "pair_count"] == 2
     assert got.loc["a", "next_word"] == "go"
+
+
+def test_bigram_coverage_score_hits_and_scope(ray_session, tmp_path,
+                                              monkeypatch):
+    """Coverage counts duplicate occurrences, docs with <2 words are out
+    of scope, and only the top-K bigram table counts as a hit."""
+    import rayschema.queries as Q
+
+    monkeypatch.setattr(Q, "BIGRAM_COVERAGE_TOP_K", 2)
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["a b a b", "a b c", "single", None, "c d"],
+    })
+    sf = _write_docs(tmp_path, df)
+    got = (Q.bigram_coverage_score(sf).to_pandas()
+           .set_index("doc_id").sort_index())
+    # pair counts: (a,b)x3, (b,a)x1, (b,c)x1, (c,d)x1 -> top-2 by
+    # (count desc, w1, w2) = {(a,b), (b,a)}
+    assert got.index.tolist() == [0, 1, 4]        # doc 2 single word, 3 null
+    assert got.loc[0, "n_pairs"] == 3 and got.loc[0, "n_hits"] == 3
+    assert got.loc[1, "n_pairs"] == 2 and got.loc[1, "n_hits"] == 1
+    assert got.loc[4, "n_pairs"] == 1 and got.loc[4, "n_hits"] == 0
