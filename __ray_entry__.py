@@ -209,6 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_anomaly": Q.events_hourly_anomaly,
         "bigram_next_word": Q.bigram_next_word,
         "bigram_coverage_score": Q.bigram_coverage_score,
+        "bpe_top_pairs": Q.bpe_top_pairs,
         "regex_redact_documents": Q.regex_redact_documents,
         "vocabulary_top_words": Q.vocabulary_top_words,
         "pack_sequences_documents": Q.pack_sequences_documents,
@@ -938,6 +939,25 @@ def oracle_sql() -> dict[str, str]:
                      WHERE rn = 1)
             SELECT t.w1, t.w1_count, b2.next_word, b2.pair_count
             FROM top t JOIN best b2 USING (w1)""",
+        # First BPE merge step: adjacent codepoint pairs within words
+        # (substr is codepoint-indexed, matching the engine's utf-32
+        # kernel); ties broken by pair lexicographic order = packed-key
+        # order on the engine side.
+        "bpe_top_pairs": """
+            WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+                       FROM documents WHERE text IS NOT NULL),
+            p AS (SELECT substr(word, i::INT, 1) AS c1,
+                         substr(word, i::INT + 1, 1) AS c2
+                  FROM (SELECT word,
+                               unnest(generate_series(1, length(word) - 1))
+                                   AS i
+                        FROM w)),
+            c AS (SELECT c1, c2, count(*)::BIGINT AS n FROM p
+                  GROUP BY c1, c2)
+            SELECT c1, c2, n, rk FROM (
+              SELECT c.*, row_number() OVER (
+                  ORDER BY n DESC, c1, c2)::BIGINT AS rk FROM c)
+            WHERE rk <= 20""",
         # Bigram-LM coverage score: per-doc hits against the corpus
         # top-1000 bigram table in exact-rational (n_hits, n_pairs) form;
         # docs with zero adjacent pairs (<2 words) are out of scope on

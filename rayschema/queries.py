@@ -2660,3 +2660,60 @@ def bigram_coverage_score(sf_dir: str):
                          "n_hits": pa.array(n_hits[keep])})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+BPE_TOP_PAIRS = 20
+
+
+def bpe_top_pairs(sf_dir: str):
+    """Tokenizer-training primitive: the first BPE merge step's statistics
+    — corpus-wide counts of adjacent codepoint pairs WITHIN words (split
+    on space), surfaced as the top-20 pairs by (count desc, pair lex).
+    One batch-level kernel: the whole batch text decodes to a flat
+    codepoint array once (_codepoint_parts), within-word adjacency is a
+    vectorized mask (neither side a space, not a row boundary), and the
+    per-batch partial is a bincount over packed (cp1 << 21 | cp2) keys.
+    Driver state is the distinct-pair table — bounded by the alphabet
+    squared, never by the corpus."""
+    from rayschema.dedup import _codepoint_parts
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        empty = pa.table({"k": pa.array([], type=pa.int64()),
+                          "c": pa.array([], type=pa.int64())})
+        if len(col) == 0:
+            return empty
+        _, off, cps, _ = _codepoint_parts(col)
+        if len(cps) < 2:
+            return empty
+        left, right = cps[:-1], cps[1:]
+        ok = np.ones(len(cps) - 1, dtype=bool)
+        inner = off[1:-1]                      # row starts after the first
+        inner = inner[(inner > 0) & (inner < len(cps))]
+        ok[inner - 1] = False                  # pair straddles two rows
+        mask = ok & (left != 32) & (right != 32)
+        if not mask.any():
+            return empty
+        keys = (left[mask].astype(np.int64) << 21) | right[mask]
+        uk, cnt = np.unique(keys, return_counts=True)
+        return pa.table({"k": pa.array(uk),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(part) == 0:
+        return pd.DataFrame({"c1": [], "c2": [], "n": [], "rk": []})
+    agg = part.groupby("k", as_index=False)["c"].sum()
+    # packed-key ascending == (cp1, cp2) lexicographic == SQL VARCHAR order
+    agg = (agg.sort_values(["c", "k"], ascending=[False, True])
+           .head(BPE_TOP_PAIRS).reset_index(drop=True))
+    ks = agg["k"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "c1": [chr(int(k) >> 21) for k in ks],
+        "c2": [chr(int(k) & ((1 << 21) - 1)) for k in ks],
+        "n": agg["c"].to_numpy(np.int64),
+        "rk": np.arange(1, len(ks) + 1, dtype=np.int64)})

@@ -361,3 +361,27 @@ def test_bigram_coverage_score_hits_and_scope(ray_session, tmp_path,
     assert got.loc[0, "n_pairs"] == 3 and got.loc[0, "n_hits"] == 3
     assert got.loc[1, "n_pairs"] == 2 and got.loc[1, "n_hits"] == 1
     assert got.loc[4, "n_pairs"] == 1 and got.loc[4, "n_hits"] == 0
+
+
+def test_bpe_top_pairs_codepoints_and_boundaries(ray_session, tmp_path):
+    """Pairs never cross spaces or document boundaries; multi-byte
+    codepoints count as single units; ties rank lexicographically."""
+    import rayschema.queries as Q
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["abab ba", "ab", None, "héé x"],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    got = Q.bpe_top_pairs(str(tmp_path))
+    got = got.set_index(got["c1"] + got["c2"])
+    # counts: ab x3 (2 in doc0 + doc1), ba x2 (doc0 word1 has 1... 'abab'
+    # -> ab,ba,ab; 'ba' -> ba; 'ab' -> ab), hé x1, éé x1
+    assert got.loc["ab", "n"] == 3 and got.loc["ab", "rk"] == 1
+    assert got.loc["ba", "n"] == 2 and got.loc["ba", "rk"] == 2
+    assert got.loc["hé", "n"] == 1 and got.loc["éé", "n"] == 1
+    # tie between hé and éé broken lexicographically: 'h' (0x68) < 'é'
+    assert got.loc["hé", "rk"] < got.loc["éé", "rk"]
+    # no pair crosses the doc0|doc1 boundary ('a'+'a') or a space
+    assert "aa" not in got.index and "bb" not in got.index
