@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_words": Q.inverted_index_words,
         "embedding_mean_by_lang": Q.embedding_mean_by_lang,
         "length_quantile_filter": Q.length_quantile_filter,
+        "chars_quartiles_by_lang": Q.chars_quartiles_by_lang,
         "cap_per_source": Q.cap_per_source,
         "doc_rarity_score": Q.doc_rarity_score,
         "kmeans_embeddings": Q.kmeans_embeddings,
@@ -653,6 +654,27 @@ def oracle_sql() -> dict[str, str]:
             thr AS (SELECT min(n_chars) AS l FROM t WHERE cum * 10 >= tot * 9)
             SELECT doc_id, n_chars FROM documents, thr
             WHERE n_chars >= thr.l""",
+        # Grouped exact quartiles: integer lower-quantile rule (smallest
+        # value whose cumulative count clears q/4 of the group total).
+        "chars_quartiles_by_lang": """
+            WITH c AS (SELECT lang, n_chars, count(*)::BIGINT AS cnt
+                       FROM documents
+                       WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+                       GROUP BY lang, n_chars),
+            t AS (SELECT lang, n_chars,
+                         sum(cnt) OVER (PARTITION BY lang
+                                        ORDER BY n_chars) AS cum,
+                         sum(cnt) OVER (PARTITION BY lang) AS tot
+                  FROM c)
+            SELECT lang,
+                   min(CASE WHEN cum * 4 >= tot THEN n_chars END)::BIGINT
+                       AS p25,
+                   min(CASE WHEN cum * 4 >= 2 * tot THEN n_chars END)::BIGINT
+                       AS p50,
+                   min(CASE WHEN cum * 4 >= 3 * tot THEN n_chars END)::BIGINT
+                       AS p75,
+                   CAST(min(tot) AS BIGINT) AS n
+            FROM t GROUP BY lang""",
         "cap_per_source": """
             SELECT doc_id, source FROM (
               SELECT doc_id, source,

@@ -2717,3 +2717,43 @@ def bpe_top_pairs(sf_dir: str):
         "c2": [chr(int(k) & ((1 << 21) - 1)) for k in ks],
         "n": agg["c"].to_numpy(np.int64),
         "rk": np.arange(1, len(ks) + 1, dtype=np.int64)})
+
+
+def chars_quartiles_by_lang(sf_dir: str):
+    """Grouped EXACT quantiles without a sort: per-batch (lang, n_chars)
+    value-count partials (Arrow group_by — state bounded by langs x
+    distinct lengths, not rows) merge on the driver into per-lang
+    histograms; p25/p50/p75 are the integer lower-quantile rule
+    (smallest v with cum * 4 >= q * total), so the DuckDB oracle
+    hash-matches. The grouped complement of length_quantile_filter."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("lang")),
+                    pc.is_valid(b.column("n_chars")))
+        b = b.filter(m)
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "n_chars": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        g = b.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n_chars", "cnt"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(part) == 0:
+        return pd.DataFrame({"lang": [], "p25": [], "p50": [],
+                             "p75": [], "n": []})
+    agg = (part.groupby(["lang", "n_chars"], as_index=False)["cnt"].sum()
+           .sort_values(["lang", "n_chars"]))
+    rows = []
+    for lang, grp in agg.groupby("lang", sort=True):
+        v = grp["n_chars"].to_numpy(np.int64)
+        cum = np.cumsum(grp["cnt"].to_numpy(np.int64))
+        tot = int(cum[-1])
+        q = [int(v[np.searchsorted(cum * 4, qi * tot)])
+             for qi in (1, 2, 3)]
+        rows.append((lang, q[0], q[1], q[2], tot))
+    out = pd.DataFrame(rows, columns=["lang", "p25", "p50", "p75", "n"])
+    for c in ("p25", "p50", "p75", "n"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -385,3 +385,23 @@ def test_bpe_top_pairs_codepoints_and_boundaries(ray_session, tmp_path):
     assert got.loc["hé", "rk"] < got.loc["éé", "rk"]
     # no pair crosses the doc0|doc1 boundary ('a'+'a') or a space
     assert "aa" not in got.index and "bb" not in got.index
+
+
+def test_chars_quartiles_by_lang_lower_quantile_rule(ray_session, tmp_path):
+    """Lower-quantile rule: smallest value whose cumulative count reaches
+    q/4 of the group; singleton groups return that value everywhere."""
+    import rayschema.queries as Q
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "lang": ["en"] * 8 + ["zh", None],
+        "n_chars": [10, 20, 30, 40, 50, 60, 70, 80, 7, 99],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    got = Q.chars_quartiles_by_lang(str(tmp_path)).set_index("lang")
+    # en: 8 values; p25 -> cum*4 >= 8 at the 2nd value (20), p50 -> 4th
+    # (40), p75 -> 6th (60)
+    assert got.loc["en", ["p25", "p50", "p75", "n"]].tolist() == [20, 40, 60, 8]
+    assert got.loc["zh", ["p25", "p50", "p75", "n"]].tolist() == [7, 7, 7, 1]
+    assert len(got) == 2        # NULL lang out of scope
