@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_priority_count": Q.orders_priority_count,
         # -- joins / windows / skew
         "order_revenue_join": Q.order_revenue_join,
+        "q3_shipping_priority": Q.q3_shipping_priority,
         "events_orders_asof": Q.events_orders_asof,
         "events_orders_range": Q.events_orders_range,
         "top_orders_per_customer": Q.top_orders_per_customer,
@@ -1054,6 +1055,21 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n_items
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
             GROUP BY o.o_orderpriority""",
+        # TPC-H Q3-shaped 3-way join + exact integer-e4 revenue + top-10
+        # (synthetic orders carries no o_shippriority column).
+        "q3_shipping_priority": """
+            SELECT l.l_orderkey, o.o_orderdate,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                     AS BIGINT) AS revenue_e4
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1995-03-15'
+              AND l.l_shipdate > TIMESTAMP '1995-03-15'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue_e4 DESC, l.l_orderkey LIMIT 10""",
         "events_orders_asof": """
             WITH e AS (
               SELECT event_id, user_id,

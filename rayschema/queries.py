@@ -2757,3 +2757,100 @@ def chars_quartiles_by_lang(sf_dir: str):
     for c in ("p25", "p50", "p75", "n"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+def _pq_schema_scalar(path: str, col: str, ts: pd.Timestamp):
+    """Pushdown-filter scalar built FROM THE FILE SCHEMA so the parquet
+    row filter adapts to however the column was written (date32,
+    timestamp any unit, tz-aware); None for exotic storage — callers
+    filter post-read instead (same convention as pricing_summary)."""
+    import pyarrow.parquet as _pqm
+
+    t = _pqm.read_schema(path).field(col).type
+    if pa.types.is_date(t):
+        return pa.scalar(ts.date(), type=t)
+    if pa.types.is_timestamp(t):
+        v = ts if t.tz is None else ts.tz_localize(t.tz)
+        return pa.scalar(v, type=t)
+    return None
+
+
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped THREE-way join (customer ⋈ orders ⋈ lineitem):
+    segment-filtered customers hash-join date-filtered orders on custkey,
+    the result hash-joins shipdate-filtered lineitem on orderkey, then
+    exact integer-e4 revenue per (l_orderkey, o_orderdate) and a
+    distributed top-10. Both date cuts push down to the parquet scan;
+    partition counts scale with input bytes like order_revenue_join. The
+    final top-k is per-block local top-10 + a blocks x 10 driver merge —
+    no global sort. (The synthetic orders table carries no
+    o_shippriority; the join/aggregate/topk shape is Q3's.)"""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    cut = pd.Timestamp("1995-03-15")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]) \
+        .filter(expr="c_mktsegment == 'BUILDING'") \
+        .select_columns(["c_custkey"])
+
+    opath = os.path.join(sf_dir, "orders.parquet")
+    ot = _pq_schema_scalar(opath, "o_orderdate", cut)
+    okw = {} if ot is None else dict(filter=pads.field("o_orderdate") < ot)
+    orders = rd.read_parquet(
+        opath, columns=["o_orderkey", "o_custkey", "o_orderdate"], **okw)
+    if ot is None:
+        orders = orders.filter(
+            lambda r: r["o_orderdate"] < cut.to_datetime64())
+
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    lt = _pq_schema_scalar(lpath, "l_shipdate", cut)
+    lkw = {} if lt is None else dict(filter=pads.field("l_shipdate") > lt)
+    li = rd.read_parquet(
+        lpath,
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"], **lkw)
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        price = _cents(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False))
+        disc = np.round((1.0 - b.column("l_discount").to_numpy(
+            zero_copy_only=False).astype(np.float64)) * 100).astype(np.int64)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "rev_e4": pa.array(price * disc)})
+
+    est = (cust.size_bytes() or 0) + (orders.size_bytes() or 0) \
+        + (li.size_bytes() or 0)
+    n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+    co = orders.join(cust, join_type="inner", num_partitions=n_parts,
+                     on=("o_custkey",), right_on=("c_custkey",)) \
+        .select_columns(["o_orderkey", "o_orderdate"])
+    j = li.map_batches(li_prep, batch_format="pyarrow").join(
+        co, join_type="inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "l_orderkey": b.column("l_orderkey").to_pandas(),
+            "o_orderdate": b.column("o_orderdate").to_pandas(),
+            "revenue_e4": b.column("rev_e4").to_pandas()})
+        g = (df.groupby(["l_orderkey", "o_orderdate"], as_index=False)
+             ["revenue_e4"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_orderkey", "o_orderdate"])
+           .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+
+    def local_top(b: pa.Table) -> pa.Table:
+        df = b.to_pandas().sort_values(
+            ["revenue_e4", "l_orderkey"], ascending=[False, True],
+            kind="mergesort").head(10)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = (agg.map_batches(local_top, batch_format="pyarrow").to_pandas()
+           .sort_values(["revenue_e4", "l_orderkey"],
+                        ascending=[False, True], kind="mergesort")
+           .head(10).reset_index(drop=True))
+    out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+    return out[["l_orderkey", "o_orderdate", "revenue_e4"]]

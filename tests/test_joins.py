@@ -108,3 +108,64 @@ def test_range_join_matches_bruteforce(ray_session, asof_data):
     assert got_set == exp_set
     # closed-bound edges: an interval starting or ending exactly at lt counts
     assert ((exp["lt"] == exp["rt"]) | (exp["lt"] == exp["rt_end"])).any()
+
+
+def test_q3_shipping_priority_three_way_join(ray_session, tmp_path):
+    """3-way join + exact revenue + top-10 against an in-test DuckDB
+    mirror on a corner-case fixture (boundary dates, excluded segment,
+    orders with no lineitem after the ship cut)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from rayschema.queries import q3_shipping_priority
+
+    cust = pd.DataFrame({
+        "c_custkey": [1, 2, 3],
+        "c_name": ["a", "b", "c"],
+        "c_mktsegment": ["BUILDING", "AUTO", "BUILDING"],
+    })
+    orders = pd.DataFrame({
+        "o_orderkey": [10, 11, 12, 13],
+        "o_custkey": [1, 1, 2, 3],
+        "o_totalprice": [1.0, 2.0, 3.0, 4.0],
+        # order 11 ON the cut date -> excluded by the strict <
+        "o_orderdate": pd.to_datetime(
+            ["1995-01-01", "1995-03-15", "1995-01-02", "1995-02-01"]),
+        "o_orderpriority": ["1-URGENT"] * 4,
+    })
+    li = pd.DataFrame({
+        "l_orderkey": [10, 10, 12, 13, 13],
+        "l_extendedprice": [100.0, 200.0, 300.0, 400.0, 500.0],
+        "l_discount": [0.1, 0.0, 0.05, 0.02, 0.02],
+        # one of order 13's items ships ON the cut -> excluded (strict >)
+        "l_shipdate": pd.to_datetime(
+            ["1995-06-01", "1995-07-01", "1995-06-01", "1995-03-15",
+             "1995-04-01"]),
+    })
+    for name, df in (("customer", cust), ("orders", orders),
+                     ("lineitem", li)):
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                       str(tmp_path / f"{name}.parquet"))
+    got = q3_shipping_priority(str(tmp_path))
+    con = duckdb.connect()
+    for name, df in (("customer", cust), ("orders", orders),
+                     ("lineitem", li)):
+        con.register(name, df)
+    exp = con.execute("""
+        SELECT l.l_orderkey, o.o_orderdate,
+               CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                 AS BIGINT) AS revenue_e4
+        FROM customer c
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1995-03-15'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY 1, 2 ORDER BY revenue_e4 DESC, l.l_orderkey LIMIT 10
+    """).df()
+    assert got["l_orderkey"].tolist() == exp["l_orderkey"].tolist()
+    assert got["revenue_e4"].tolist() == exp["revenue_e4"].tolist()
+    # order 10 only (cust 1, BUILDING, pre-cut); order 12 is AUTO,
+    # order 11 on the date cut; order 13 keeps one post-cut item
+    assert set(got["l_orderkey"]) == {10, 13}
