@@ -243,6 +243,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": Q.top_orders_per_customer,
         "events_sessionization": Q.events_sessionization,
         "customer_running_totals": Q.customer_running_totals,
+        "events_rolling_window": Q.events_rolling_window,
+        "lang_source_pivot": Q.lang_source_pivot,
+        "range_partition_bounds": Q.range_partition_bounds,
         "salted_lang_chars": Q.salted_lang_chars,
         # -- drift (freq-L1 rule, integer-exact driver check)
         "drift_lang_by_source": Q.drift_lang_by_source,
@@ -1137,6 +1140,45 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_orderdate, o_orderkey
                            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
             FROM orders""",
+        # Bounded ROWS window: 3-row rolling sum/count per user ordered by
+        # (ts, event_id) — event_id makes the frame deterministic.
+        "events_rolling_window": """
+            WITH e AS (SELECT event_id, user_id, ts,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events)
+            SELECT event_id,
+                   CAST(sum(cents) OVER w AS BIGINT) AS roll_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS roll_n
+            FROM e WINDOW w AS (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        "lang_source_pivot": """
+            SELECT COALESCE(source, '__null__') AS source,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+                   sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
+                   sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
+                   sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
+                   sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh,
+                   sum(CASE WHEN lang IS NULL
+                             OR lang NOT IN ('en','de','fr','es','zh')
+                       THEN 1 ELSE 0 END)::BIGINT AS n_other
+            FROM documents GROUP BY 1""",
+        # Equi-depth range-partition planning: boundary i = smallest value
+        # whose cumulative count reaches i/16 of the total.
+        "range_partition_bounds": """
+            WITH c AS (SELECT n_chars, count(*)::BIGINT AS cnt
+                       FROM documents WHERE n_chars IS NOT NULL
+                       GROUP BY n_chars),
+            t AS (SELECT n_chars,
+                         sum(cnt) OVER (ORDER BY n_chars) AS cum,
+                         (SELECT count(*) FROM documents
+                          WHERE n_chars IS NOT NULL) AS tot
+                  FROM c)
+            SELECT i.i::BIGINT AS bucket,
+                   min(CASE WHEN t.cum * 16 >= i.i * t.tot
+                            THEN t.n_chars END)::BIGINT AS bound
+            FROM t, (SELECT unnest(generate_series(1, 15)) AS i) i
+            GROUP BY i.i""",
         "salted_lang_chars": """
             SELECT lang, sum(n_chars)::BIGINT AS sum_chars
             FROM documents GROUP BY lang""",

@@ -2854,3 +2854,131 @@ def q3_shipping_priority(sf_dir: str):
            .head(10).reset_index(drop=True))
     out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
     return out[["l_orderkey", "o_orderdate", "revenue_e4"]]
+
+
+def events_rolling_window(sf_dir: str):
+    """Bounded ROWS-window aggregate: per-user rolling 3-row sum/count of
+    event value cents, ordered by (ts, event_id) — the moving-average
+    primitive. One narrow (user_id, ts, event_id, cents) sort via the
+    shared sorted_group_scan with within-group ordering; the rolling
+    arithmetic is ONE vectorized block kernel (cumsum minus its 3-lag
+    with per-group resets), no per-group Python on the fast path."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.round(b.column("value").to_numpy(zero_copy_only=False)
+                         .astype(np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "ts_us": b.column("ts").cast(pa.int64()),
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "cents": pa.array(cents)})
+
+    W = 3
+
+    def _roll(cents: np.ndarray, row_start: np.ndarray):
+        cum = np.cumsum(cents)
+        p = np.arange(len(cents), dtype=np.int64)
+        back = np.maximum(p - W, row_start - 1)
+        roll = cum - np.where(back >= 0, cum[np.maximum(back, 0)], 0)
+        n = p - np.maximum(p - W, row_start - 1)
+        return roll, n
+
+    def block_fn(block: pa.Table, starts, ends, want):
+        sizes = (ends - starts).astype(np.int64)
+        row_start = np.repeat(starts, sizes)
+        cents = block.column("cents").to_numpy(zero_copy_only=False)
+        roll, n = _roll(cents, row_start)
+        keep = np.repeat(want, sizes)
+        return pa.table({
+            "event_id": block.column("event_id").filter(pa.array(keep)),
+            "roll_cents": pa.array(roll[keep]),
+            "roll_n": pa.array(n[keep])})
+
+    def group_fn(t: pa.Table):
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        roll, n = _roll(cents, np.zeros(len(cents), dtype=np.int64))
+        return pa.table({"event_id": t.column("event_id"),
+                         "roll_cents": pa.array(roll),
+                         "roll_n": pa.array(n)})
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("roll_cents", pa.int64()),
+                            ("roll_n", pa.int64())])
+    return sorted_group_scan(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["user_id"], group_fn, out_schema,
+                             block_fn=block_fn,
+                             order_cols=["ts_us", "event_id"])
+
+
+PIVOT_LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+def lang_source_pivot(sf_dir: str):
+    """Pivot / crosstab: per-source document counts spread into one
+    column per language (+ n_other for anything else incl. NULL). The
+    long (source, lang, count) partials are Arrow group_by per batch;
+    the driver pivots a sources x langs table — O(groups), never rows."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b.column("source")
+        lang = b.column("lang")
+        t = pa.table({
+            "source": pc.coalesce(src, pa.scalar("__null__")),
+            "lang": pc.coalesce(lang, pa.scalar("__null__"))})
+        g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "lang", "cnt"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = part.groupby(["source", "lang"], as_index=False)["cnt"].sum()
+    known = set(PIVOT_LANGS)
+    agg["lang"] = [l if l in known else "__other__" for l in agg["lang"]]
+    agg = agg.groupby(["source", "lang"], as_index=False)["cnt"].sum()
+    wide = (agg.pivot_table(index="source", columns="lang", values="cnt",
+                            aggfunc="sum", fill_value=0)
+            .reset_index())
+    for l in PIVOT_LANGS + ["__other__"]:
+        if l not in wide.columns:
+            wide[l] = 0
+    out = pd.DataFrame({"source": wide["source"]})
+    for l in PIVOT_LANGS:
+        out[f"n_{l}"] = wide[l].astype(np.int64)
+    out["n_other"] = wide["__other__"].astype(np.int64)
+    return out.sort_values("source").reset_index(drop=True)
+
+
+RANGE_PARTS = 16
+
+
+def range_partition_bounds(sf_dir: str):
+    """Equi-depth range-partitioner planning: the 15 exact boundaries
+    splitting documents into 16 equal-count buckets by n_chars (the
+    planning step of a distributed range sort / write). Same value-count
+    histogram partials as chars_quartiles_by_lang; boundary i is the
+    smallest value whose cumulative count reaches i/16 of the total —
+    integer-exact, so the oracle hash-matches."""
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("n_chars")))
+        if b.num_rows == 0:
+            return pa.table({"n_chars": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        g = b.group_by(["n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["n_chars", "cnt"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (part.groupby("n_chars", as_index=False)["cnt"].sum()
+           .sort_values("n_chars"))
+    v = agg["n_chars"].to_numpy(np.int64)
+    cum = np.cumsum(agg["cnt"].to_numpy(np.int64))
+    tot = int(cum[-1])
+    idx = [int(v[np.searchsorted(cum * RANGE_PARTS, i * tot)])
+           for i in range(1, RANGE_PARTS)]
+    return pd.DataFrame({
+        "bucket": np.arange(1, RANGE_PARTS, dtype=np.int64),
+        "bound": np.asarray(idx, dtype=np.int64)})

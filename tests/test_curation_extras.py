@@ -405,3 +405,59 @@ def test_chars_quartiles_by_lang_lower_quantile_rule(ray_session, tmp_path):
     assert got.loc["en", ["p25", "p50", "p75", "n"]].tolist() == [20, 40, 60, 8]
     assert got.loc["zh", ["p25", "p50", "p75", "n"]].tolist() == [7, 7, 7, 1]
     assert len(got) == 2        # NULL lang out of scope
+
+
+def test_events_rolling_window_matches_pandas(ray_session, tmp_path):
+    """Rolling 3-row sums reset per user, survive block boundaries, and
+    order ties by event_id."""
+    import rayschema.queries as Q
+
+    rng = np.random.RandomState(7)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 5, n).astype(np.int64),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 50, n), unit="s"),  # many ties
+        "value": rng.uniform(0, 10, n).round(2),
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "events.parquet"))
+    got = (Q.events_rolling_window(str(tmp_path)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    exp = df.copy()
+    exp["cents"] = np.round(exp["value"].to_numpy() * 100).astype(np.int64)
+    exp = exp.sort_values(["user_id", "ts", "event_id"])
+    exp["roll_cents"] = (exp.groupby("user_id")["cents"]
+                         .transform(lambda s: s.rolling(3, min_periods=1)
+                                    .sum()).astype(np.int64))
+    exp["roll_n"] = (exp.groupby("user_id")["cents"]
+                     .transform(lambda s: s.rolling(3, min_periods=1)
+                                .count()).astype(np.int64))
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    assert got["roll_cents"].tolist() == exp["roll_cents"].tolist()
+    assert got["roll_n"].tolist() == exp["roll_n"].tolist()
+
+
+def test_lang_source_pivot_and_range_bounds(ray_session, tmp_path):
+    import rayschema.queries as Q
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "source": ["s1", "s1", "s2", None, "s2", "s1", "s2", "s2"],
+        "lang": ["en", "xx", "de", "en", None, "en", "de", "zh"],
+        "n_chars": [10, 20, 30, 40, 50, 60, 70, 80],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    got = Q.lang_source_pivot(str(tmp_path)).set_index("source")
+    assert got.loc["s1", ["n_en", "n_other"]].tolist() == [2, 1]
+    assert got.loc["s2", ["n_de", "n_zh", "n_other"]].tolist() == [2, 1, 1]
+    assert got.loc["__null__", "n_en"] == 1
+    bounds = Q.range_partition_bounds(str(tmp_path))
+    assert len(bounds) == 15
+    # 8 values into 16 buckets: boundary i = smallest v with
+    # cum*16 >= i*8, i.e. value ceil(i/2) in sorted order
+    v = sorted(df["n_chars"])
+    exp = [v[(i * 8 - 1) // 16] for i in range(1, 16)]
+    assert bounds["bound"].tolist() == exp
