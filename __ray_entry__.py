@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_window": Q.events_rolling_window,
         "lang_source_pivot": Q.lang_source_pivot,
         "range_partition_bounds": Q.range_partition_bounds,
+        "global_sort_rank": Q.global_sort_rank,
         "salted_lang_chars": Q.salted_lang_chars,
         # -- drift (freq-L1 rule, integer-exact driver check)
         "drift_lang_by_source": Q.drift_lang_by_source,
@@ -1179,6 +1180,12 @@ def oracle_sql() -> dict[str, str]:
                             THEN t.n_chars END)::BIGINT AS bound
             FROM t, (SELECT unnest(generate_series(1, 15)) AS i) i
             GROUP BY i.i""",
+        # Distributed total-order sort rank over (n_chars, doc_id).
+        "global_sort_rank": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id)
+                     AS BIGINT) AS global_rank
+            FROM documents WHERE n_chars IS NOT NULL""",
         "salted_lang_chars": """
             SELECT lang, sum(n_chars)::BIGINT AS sum_chars
             FROM documents GROUP BY lang""",

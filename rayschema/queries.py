@@ -2982,3 +2982,76 @@ def range_partition_bounds(sf_dir: str):
     return pd.DataFrame({
         "bucket": np.arange(1, RANGE_PARTS, dtype=np.int64),
         "bound": np.asarray(idx, dtype=np.int64)})
+
+
+def global_sort_rank(sf_dir: str):
+    """DISTRIBUTED TOTAL-ORDER SORT RANK — the two-phase external-sort
+    pattern (plan offsets, then range-partitioned local order), with an
+    exact row_number oracle over the global (n_chars, doc_id) order:
+
+    1. plan: one value-count histogram pass (the same partial as
+       chars_quartiles_by_lang) gives the EXACT count of rows per
+       n_chars value; the exclusive prefix sum over the sorted value
+       domain is every value-group's global starting rank — driver
+       state is the distinct-value table (the length_quantile_filter
+       bound), never rows;
+    2. execute: ONE narrow (n_chars, doc_id) sort via sorted_group_scan
+       keyed by n_chars and ordered by doc_id within the group; a
+       vectorized block kernel adds the broadcast value-offset to the
+       within-group position. The value key is order-monotone, so
+       per-group ranks concatenate into the exact global ranking —
+       the same shape as pack_sequences' distributed prefix sum.
+
+    No node holds more than a value-group; the only all-to-all is the
+    one narrow sort."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def hpartial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("n_chars")))
+        if b.num_rows == 0:
+            return pa.table({"n_chars": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        g = b.group_by(["n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["n_chars", "cnt"])
+
+    part = ds.map_batches(hpartial, batch_format="pyarrow").to_pandas()
+    agg = (part.groupby("n_chars", as_index=False)["cnt"].sum()
+           .sort_values("n_chars"))
+    vals = agg["n_chars"].to_numpy(np.int64)
+    cnt = agg["cnt"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("n_chars")))
+        return pa.table({"n_chars": b.column("n_chars").cast(pa.int64()),
+                         "doc_id": b.column("doc_id").cast(pa.int64())})
+
+    def _ranks(nc, row_start):
+        pos = np.arange(len(nc), dtype=np.int64) - row_start
+        return offsets[np.searchsorted(vals, nc)] + pos + 1
+
+    def block_fn(block: pa.Table, starts, ends, want):
+        sizes = (ends - starts).astype(np.int64)
+        nc = block.column("n_chars").to_numpy(zero_copy_only=False)
+        rank = _ranks(nc, np.repeat(starts, sizes))
+        keep = np.repeat(want, sizes)
+        return pa.table({
+            "doc_id": block.column("doc_id").filter(pa.array(keep)),
+            "n_chars": block.column("n_chars").filter(pa.array(keep)),
+            "global_rank": pa.array(rank[keep])})
+
+    def group_fn(t: pa.Table):
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        rank = _ranks(nc, np.zeros(len(nc), dtype=np.int64))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_chars": t.column("n_chars"),
+                         "global_rank": pa.array(rank)})
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_chars", pa.int64()),
+                            ("global_rank", pa.int64())])
+    return sorted_group_scan(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["n_chars"], group_fn, out_schema,
+                             block_fn=block_fn, order_cols=["doc_id"])

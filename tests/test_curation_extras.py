@@ -461,3 +461,27 @@ def test_lang_source_pivot_and_range_bounds(ray_session, tmp_path):
     v = sorted(df["n_chars"])
     exp = [v[(i * 8 - 1) // 16] for i in range(1, 16)]
     assert bounds["bound"].tolist() == exp
+
+
+def test_global_sort_rank_exact_total_order(ray_session, tmp_path):
+    """Ranks are the exact row_number over (n_chars, doc_id) even when a
+    single hot value spans many blocks."""
+    import rayschema.queries as Q
+
+    rng = np.random.RandomState(3)
+    n = 3000
+    df = pd.DataFrame({
+        "doc_id": rng.permutation(n).astype(np.int64),
+        # 5 distinct lengths only -> every value group is hot
+        "n_chars": rng.choice([10, 20, 20, 30, 99], n).astype(np.int64),
+    })
+    df.loc[df.index[:7], "n_chars"] = pd.array([None] * 7,
+                                               dtype=pd.Int64Dtype())
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    got = (Q.global_sort_rank(str(tmp_path)).to_pandas()
+           .sort_values("global_rank").reset_index(drop=True))
+    exp = (df.dropna(subset=["n_chars"])
+           .sort_values(["n_chars", "doc_id"]).reset_index(drop=True))
+    assert got["doc_id"].tolist() == exp["doc_id"].tolist()
+    assert got["global_rank"].tolist() == list(range(1, len(exp) + 1))
