@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionization": Q.events_sessionization,
         "customer_running_totals": Q.customer_running_totals,
         "events_rolling_window": Q.events_rolling_window,
+        "first_event_per_day": Q.first_event_per_day,
         "lang_source_pivot": Q.lang_source_pivot,
         "range_partition_bounds": Q.range_partition_bounds,
         "global_sort_rank": Q.global_sort_rank,
@@ -1153,6 +1154,16 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                                 ORDER BY ts, event_id
                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        # Windowed keyed dedup: first event per (user, type, UTC day).
+        "first_event_per_day": """
+            SELECT event_id, user_id, day, event_type FROM (
+              SELECT event_id, user_id, event_type,
+                     CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type,
+                                    CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                       ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1""",
         "lang_source_pivot": """
             SELECT COALESCE(source, '__null__') AS source,
                    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,

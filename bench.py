@@ -104,6 +104,12 @@ def run_bench() -> dict:
         ("ngram_decontaminate", Q.ngram_decontaminate_documents),
         ("shuffle_shard", Q.shuffle_shard_documents),
         ("pq_encode_embeddings", Q.pq_encode_embeddings),
+        ("semdedup_embeddings", Q.semdedup_embeddings),
+        ("bigram_coverage_score", Q.bigram_coverage_score),
+        ("bpe_top_pairs", Q.bpe_top_pairs),
+        ("q3_shipping_priority", Q.q3_shipping_priority),
+        ("events_rolling_window", Q.events_rolling_window),
+        ("global_sort_rank", Q.global_sort_rank),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

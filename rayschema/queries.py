@@ -2856,6 +2856,16 @@ def q3_shipping_priority(sf_dir: str):
     return out[["l_orderkey", "o_orderdate", "revenue_e4"]]
 
 
+
+def _ts_us_col(col):
+    """Timestamp column -> int64 MICROSECONDS regardless of the stored
+    resolution (pandas-written fixtures are timestamp[ns]; the driver
+    testdata is timestamp[us])."""
+    t = col.type
+    if pa.types.is_timestamp(t) and t.unit != "us":
+        col = col.cast(pa.timestamp("us", tz=t.tz))
+    return col.cast(pa.int64())
+
 def events_rolling_window(sf_dir: str):
     """Bounded ROWS-window aggregate: per-user rolling 3-row sum/count of
     event value cents, ordered by (ts, event_id) — the moving-average
@@ -2873,7 +2883,7 @@ def events_rolling_window(sf_dir: str):
                          .astype(np.float64) * 100).astype(np.int64)
         return pa.table({
             "user_id": b.column("user_id").cast(pa.int64()),
-            "ts_us": b.column("ts").cast(pa.int64()),
+            "ts_us": _ts_us_col(b.column("ts")),
             "event_id": b.column("event_id").cast(pa.int64()),
             "cents": pa.array(cents)})
 
@@ -3055,3 +3065,75 @@ def global_sort_rank(sf_dir: str):
     return sorted_group_scan(ds.map_batches(prep, batch_format="pyarrow"),
                              ["n_chars"], group_fn, out_schema,
                              block_fn=block_fn, order_cols=["doc_id"])
+
+
+def first_event_per_day(sf_dir: str):
+    """Windowed (keyed) deduplication: keep only the FIRST event per
+    (user_id, event_type, day) — the at-most-once-per-window rule of
+    stream compaction. One narrow sort via sorted_group_scan keyed by
+    (user_id, day) and ordered by (ts, event_id); within each group a
+    vectorized first-per-type kernel (dictionary codes + one lexsort)
+    picks survivors — event text/type never shuffles beyond its group
+    row."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        ts_us = _ts_us_col(b.column("ts"))
+        # integer floor-division, the events_hourly_anomaly convention
+        day = ts_us.to_numpy(zero_copy_only=False) // 86_400_000_000
+        return pa.table({"user_id": b.column("user_id").cast(pa.int64()),
+                         "day": pa.array(day.astype(np.int64)),
+                         "ts_us": ts_us,
+                         "event_id": b.column("event_id").cast(pa.int64()),
+                         "event_type": b.column("event_type")})
+
+    def _first_per_type(codes: np.ndarray, row_start: np.ndarray):
+        n = len(codes)
+        order = np.lexsort((np.arange(n), codes, row_start))
+        rs, cs = row_start[order], codes[order]
+        new = np.ones(n, dtype=bool)
+        new[1:] = (rs[1:] != rs[:-1]) | (cs[1:] != cs[:-1])
+        return order[new]            # original row indices of survivors
+
+    def block_fn(block: pa.Table, starts, ends, want):
+        sizes = (ends - starts).astype(np.int64)
+        row_start = np.repeat(starts, sizes)
+        et = block.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep_rows = _first_per_type(codes, row_start)
+        keep_rows = keep_rows[np.repeat(want, sizes)[keep_rows]]
+        keep_rows.sort()
+        idx = pa.array(keep_rows)
+        return pa.table({"event_id": block.column("event_id").take(idx),
+                         "user_id": block.column("user_id").take(idx),
+                         "day": block.column("day").take(idx),
+                         "event_type": et.take(idx)})
+
+    def group_fn(t: pa.Table):
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = _first_per_type(codes, np.zeros(len(codes), dtype=np.int64))
+        keep.sort()
+        idx = pa.array(keep)
+        return pa.table({"event_id": t.column("event_id").take(idx),
+                         "user_id": t.column("user_id").take(idx),
+                         "day": t.column("day").take(idx),
+                         "event_type": et.take(idx)})
+
+    out_schema = pa.schema([("event_id", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("day", pa.int64()),
+                            ("event_type", pa.string())])
+    return sorted_group_scan(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["user_id", "day"], group_fn, out_schema,
+                             block_fn=block_fn,
+                             order_cols=["ts_us", "event_id"])

@@ -485,3 +485,27 @@ def test_global_sort_rank_exact_total_order(ray_session, tmp_path):
            .sort_values(["n_chars", "doc_id"]).reset_index(drop=True))
     assert got["doc_id"].tolist() == exp["doc_id"].tolist()
     assert got["global_rank"].tolist() == list(range(1, len(exp) + 1))
+
+
+def test_first_event_per_day_keeps_earliest_per_type(ray_session, tmp_path):
+    """Keyed windowed dedup: earliest (ts, event_id) survives per
+    (user, type, day); different days/types/users all survive."""
+    import rayschema.queries as Q
+
+    base = pd.Timestamp("2024-05-01")
+    df = pd.DataFrame({
+        "event_id": np.arange(7, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 1, 2, 1, 1], dtype=np.int64),
+        "event_type": ["c", "c", "v", "c", "c", "c", "c"],
+        "ts": [base + pd.Timedelta(hours=5),    # 0: kept (first c day 0)
+               base + pd.Timedelta(hours=6),    # 1: dup c day 0
+               base + pd.Timedelta(hours=6),    # 2: kept (type v)
+               base + pd.Timedelta(days=1),     # 3: kept (day 1)
+               base + pd.Timedelta(hours=5),    # 4: kept (user 2)
+               base + pd.Timedelta(hours=5),    # 5: ts tie with 0 -> loses
+               base + pd.Timedelta(hours=4)],   # 6: earlier -> beats 0
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "events.parquet"))
+    got = Q.first_event_per_day(str(tmp_path)).to_pandas()
+    assert sorted(got["event_id"].tolist()) == [2, 3, 4, 6]
