@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_window": Q.events_rolling_window,
         "first_event_per_day": Q.first_event_per_day,
         "lang_source_pivot": Q.lang_source_pivot,
+        "lang_source_rollup": Q.lang_source_rollup,
         "range_partition_bounds": Q.range_partition_bounds,
         "global_sort_rank": Q.global_sort_rank,
         "salted_lang_chars": Q.salted_lang_chars,
@@ -1175,6 +1176,18 @@ def oracle_sql() -> dict[str, str]:
                              OR lang NOT IN ('en','de','fr','es','zh')
                        THEN 1 ELSE 0 END)::BIGINT AS n_other
             FROM documents GROUP BY 1""",
+        # GROUP BY ROLLUP levels from one pass; grouping-set NULLs map to
+        # '__all__', genuine NULL values to '__null__'.
+        "lang_source_rollup": """
+            SELECT COALESCE(CASE WHEN GROUPING(source) = 1
+                                 THEN '__all__' ELSE source END,
+                            '__null__') AS source,
+                   COALESCE(CASE WHEN GROUPING(lang) = 1
+                                 THEN '__all__' ELSE lang END,
+                            '__null__') AS lang,
+                   count(*)::BIGINT AS n
+            FROM documents
+            GROUP BY ROLLUP (source, lang)""",
         # Equi-depth range-partition planning: boundary i = smallest value
         # whose cumulative count reaches i/16 of the total.
         "range_partition_bounds": """

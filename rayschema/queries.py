@@ -3137,3 +3137,32 @@ def first_event_per_day(sf_dir: str):
                              ["user_id", "day"], group_fn, out_schema,
                              block_fn=block_fn,
                              order_cols=["ts_us", "event_id"])
+
+
+def lang_source_rollup(sf_dir: str):
+    """GROUP BY ROLLUP (source, lang): doc counts at all three grouping
+    levels — (source, lang), (source), grand total — from ONE partial
+    count pass; the coarser levels are driver-side sums over the
+    metadata-sized (source, lang) table, never a second scan. NULL group
+    members surface as '__all__' so the column stays a plain string."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "source": pc.coalesce(b.column("source"),
+                                  pa.scalar("__null__")),
+            "lang": pc.coalesce(b.column("lang"), pa.scalar("__null__"))})
+        g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "lang", "cnt"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    fine = part.groupby(["source", "lang"], as_index=False)["cnt"].sum()
+    mid = fine.groupby("source", as_index=False)["cnt"].sum()
+    mid["lang"] = "__all__"
+    top = pd.DataFrame({"source": ["__all__"], "lang": ["__all__"],
+                        "cnt": [int(fine["cnt"].sum())]})
+    out = pd.concat([fine, mid[["source", "lang", "cnt"]], top],
+                    ignore_index=True)
+    out = out.rename(columns={"cnt": "n"})
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["source", "lang"]).reset_index(drop=True)
