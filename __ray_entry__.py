@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_per_day": Q.first_event_per_day,
         "lang_source_pivot": Q.lang_source_pivot,
         "lang_source_rollup": Q.lang_source_rollup,
+        "normalize_text_documents": Q.normalize_text_documents,
         "range_partition_bounds": Q.range_partition_bounds,
         "global_sort_rank": Q.global_sort_rank,
         "salted_lang_chars": Q.salted_lang_chars,
@@ -1176,6 +1177,13 @@ def oracle_sql() -> dict[str, str]:
                              OR lang NOT IN ('en','de','fr','es','zh')
                        THEN 1 ELSE 0 END)::BIGINT AS n_other
             FROM documents GROUP BY 1""",
+        "normalize_text_documents": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), ' +', ' ', 'g'), ' ')
+                       AS norm_text,
+                   length(trim(regexp_replace(lower(text), ' +', ' ', 'g'),
+                               ' '))::BIGINT AS n_norm_chars
+            FROM documents WHERE text IS NOT NULL""",
         # GROUP BY ROLLUP levels from one pass; grouping-set NULLs map to
         # '__all__', genuine NULL values to '__null__'.
         "lang_source_rollup": """

@@ -3166,3 +3166,24 @@ def lang_source_rollup(sf_dir: str):
     out = out.rename(columns={"cnt": "n"})
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["source", "lang"]).reset_index(drop=True)
+
+
+def normalize_text_documents(sf_dir: str):
+    """Text normalization (the cleanup step before hashing/dedup):
+    lowercase -> squash runs of spaces -> trim edge spaces, all as Arrow
+    C++ kernels (utf8_lower / RE2 replace / utf8_trim), stateless and
+    shuffle-free. TEXT-exact against the DuckDB
+    lower/regexp_replace/trim oracle (parity verified on the full
+    charset, CJK included)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        nt = pc.utf8_trim(pc.replace_substring_regex(
+            pc.utf8_lower(b.column("text")), " +", " "), " ")
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                         "norm_text": nt,
+                         "n_norm_chars": pc.utf8_length(nt)
+                         .cast(pa.int64())})
+
+    return ds.map_batches(norm, batch_format="pyarrow")
