@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": Q.events_sliding_window,
         "part_brand_stats": Q.part_brand_stats,
         "nation_region_join": Q.nation_region_join,
+        "supplier_nation_balance": Q.supplier_nation_balance,
         "lineitem_topk": Q.lineitem_topk,
         "distinct_mktsegment": Q.distinct_mktsegment,
         "orders_priority_count": Q.orders_priority_count,
@@ -1042,6 +1043,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
                      AS sum_price_cents
             FROM part GROUP BY p_brand""",
+        "supplier_nation_balance": """
+            SELECT n.n_name,
+                   count(*)::BIGINT AS n_suppliers,
+                   CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT))
+                     AS BIGINT) AS sum_acctbal_cents,
+                   CAST(min(CAST(round(s.s_acctbal * 100) AS BIGINT))
+                     AS BIGINT) AS min_acctbal_cents,
+                   CAST(max(CAST(round(s.s_acctbal * 100) AS BIGINT))
+                     AS BIGINT) AS max_acctbal_cents
+            FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY n.n_name""",
         "nation_region_join": """
             SELECT n.n_name, r.r_name
             FROM nation n LEFT JOIN region r ON r.r_regionkey = n.n_regionkey""",

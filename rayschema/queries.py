@@ -3187,3 +3187,46 @@ def normalize_text_documents(sf_dir: str):
                          .cast(pa.int64())})
 
     return ds.map_batches(norm, batch_format="pyarrow")
+
+
+def supplier_nation_balance(sf_dir: str):
+    """Dimension-table enrichment for the one table no other query
+    touches: suppliers per nation with exact integer-cents account
+    balance aggregates, via a BROADCAST join (nation is metadata-sized
+    — the complement of the hash-join path order_revenue_join takes)."""
+    import ray
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]) \
+        .to_pandas()
+    nmap_keys = nation["n_nationkey"].to_numpy(np.int64)
+    order = np.argsort(nmap_keys)
+    nmap_keys = nmap_keys[order]
+    nmap_names = nation["n_name"].to_numpy(dtype=object)[order]
+    ref = ray.put((nmap_keys, nmap_names))
+
+    ds = _read(sf_dir, "supplier",
+               columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+
+    def partial(b: pa.Table, _ref=ref) -> pa.Table:
+        keys, names = ray.get(_ref)
+        nk = b.column("s_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = _cents(b.column("s_acctbal").to_numpy(zero_copy_only=False))
+        pos = np.searchsorted(keys, nk)
+        df = pd.DataFrame({"n_name": names[pos], "cents": cents})
+        g = (df.groupby("n_name", as_index=False)
+             .agg(n_suppliers=("cents", "size"),
+                  sum_acctbal_cents=("cents", "sum"),
+                  min_acctbal_cents=("cents", "min"),
+                  max_acctbal_cents=("cents", "max")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (part.groupby("n_name", as_index=False)
+           .agg(n_suppliers=("n_suppliers", "sum"),
+                sum_acctbal_cents=("sum_acctbal_cents", "sum"),
+                min_acctbal_cents=("min_acctbal_cents", "min"),
+                max_acctbal_cents=("max_acctbal_cents", "max")))
+    for c in out.columns[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
