@@ -2810,6 +2810,8 @@ def q3_shipping_priority(sf_dir: str):
         lpath,
         columns=["l_orderkey", "l_extendedprice", "l_discount",
                  "l_shipdate"], **lkw)
+    if lt is None:      # exotic storage: apply the cut post-read
+        li = li.filter(lambda r: r["l_shipdate"] > cut.to_datetime64())
 
     def li_prep(b: pa.Table) -> pa.Table:
         price = _cents(b.column("l_extendedprice").to_numpy(
