@@ -2775,16 +2775,22 @@ def _pq_schema_scalar(path: str, col: str, ts: pd.Timestamp):
     return None
 
 
+Q3_BROADCAST_CAP = 10_000_000    # keys; ~80 MB broadcast ceiling
+
+
 def q3_shipping_priority(sf_dir: str):
-    """TPC-H Q3-shaped THREE-way join (customer ⋈ orders ⋈ lineitem):
-    segment-filtered customers hash-join date-filtered orders on custkey,
-    the result hash-joins shipdate-filtered lineitem on orderkey, then
-    exact integer-e4 revenue per (l_orderkey, o_orderdate) and a
-    distributed top-10. Both date cuts push down to the parquet scan;
-    partition counts scale with input bytes like order_revenue_join. The
-    final top-k is per-block local top-10 + a blocks x 10 driver merge —
-    no global sort. (The synthetic orders table carries no
-    o_shippriority; the join/aggregate/topk shape is Q3's.)"""
+    """TPC-H Q3-shaped THREE-way join (customer ⋈ orders ⋈ lineitem)
+    with ADAPTIVE join-strategy selection: when the segment-filtered
+    customer key set fits the broadcast cap it ships once via ray.put
+    and the custkey join becomes a stateless semi-join filter (one fewer
+    all-to-all); past the cap it falls back to the hash exchange
+    (Dataset.join — the order_revenue_join path). The orders result then
+    hash-joins shipdate-filtered lineitem on orderkey, exact integer-e4
+    revenue per (l_orderkey, o_orderdate), distributed top-10. Both date
+    cuts push down to the parquet scan. The final top-k is per-block
+    local top-10 + a blocks x 10 driver merge — no global sort. (The
+    synthetic orders table carries no o_shippriority; the
+    join/aggregate/topk shape is Q3's.)"""
     import pyarrow.dataset as pads
     import ray.data as rd
     from ray.data.aggregate import Sum
@@ -2824,9 +2830,30 @@ def q3_shipping_priority(sf_dir: str):
     est = (cust.size_bytes() or 0) + (orders.size_bytes() or 0) \
         + (li.size_bytes() or 0)
     n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
-    co = orders.join(cust, join_type="inner", num_partitions=n_parts,
-                     on=("o_custkey",), right_on=("c_custkey",)) \
-        .select_columns(["o_orderkey", "o_orderdate"])
+    n_cust = cust.count()
+    if n_cust <= Q3_BROADCAST_CAP:
+        import ray
+
+        keys = np.sort(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
+        kref = ray.put(keys)
+
+        def semi(b: pa.Table, _kref=kref) -> pa.Table:
+            ks = ray.get(_kref)
+            ck = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pos = np.searchsorted(ks, ck)
+            pos_c = np.minimum(pos, len(ks) - 1)
+            mask = ks[pos_c] == ck
+            return pa.table({
+                "o_orderkey": b.column("o_orderkey").filter(pa.array(mask)),
+                "o_orderdate": b.column("o_orderdate")
+                .filter(pa.array(mask))})
+
+        co = orders.map_batches(semi, batch_format="pyarrow")
+    else:
+        co = orders.join(cust, join_type="inner", num_partitions=n_parts,
+                         on=("o_custkey",), right_on=("c_custkey",)) \
+            .select_columns(["o_orderkey", "o_orderdate"])
     j = li.map_batches(li_prep, batch_format="pyarrow").join(
         co, join_type="inner", num_partitions=n_parts,
         on=("l_orderkey",), right_on=("o_orderkey",))
