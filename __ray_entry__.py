@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dup_exact": Q.minhash_near_dup_exact,
         "near_dup_clusters_documents": Q.near_dup_clusters_documents,  # rows-only
         "near_dup_clusters_exact": Q.near_dup_clusters_exact,
+        "near_dup_degree": Q.near_dup_degree,
         "dedup_corpus_exact": Q.dedup_corpus_exact,
         "curation_pipeline_documents": Q.curation_pipeline_documents,
         "split_by_cluster": Q.split_by_cluster,
@@ -193,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_report": Q.ann_recall_report,                     # rows-only
         # -- text analysis
         "token_counts_documents": Q.token_counts_documents,
+        "token_log2_histogram": Q.token_log2_histogram,
         "bpeish_token_counts": Q.bpeish_token_counts,
         "char_class_counts": Q.char_class_counts,
         "langid_documents": Q.langid_documents,
@@ -427,6 +429,28 @@ def oracle_sql() -> dict[str, str]:
                       JOIN spl y ON y.doc_id = p.id_b
                     WHERE x.split <> y.split)::BIGINT AS n_cross_split,
                    (SELECT count(*) FROM spl)::BIGINT AS n_docs""",
+        # Degree of each doc in the verified near-dup pair graph
+        # (chains the shared exact-pair CTEs; unreferenced CTEs are inert).
+        "near_dup_degree": f"""
+            WITH RECURSIVE {_SPLIT_CTES},
+            e AS (SELECT id_a AS doc_id FROM pairs
+                  UNION ALL SELECT id_b FROM pairs)
+            SELECT doc_id, count(*)::BIGINT AS degree
+            FROM e GROUP BY doc_id""",
+        # Power-of-two token-count histogram; bucket = floor(log2(tok))
+        # via binary-digit length (integer-exact on both sides).
+        "token_log2_histogram": """
+            WITH t AS (SELECT CASE WHEN length(text) = 0 THEN 0
+                              ELSE length(text)
+                                   - length(replace(text, ' ', '')) + 1
+                              END::BIGINT AS tok
+                       FROM documents WHERE text IS NOT NULL),
+            f AS (SELECT tok,
+                         (length(format('{:b}', tok)) - 1)::BIGINT AS bucket
+                  FROM t WHERE tok >= 1)
+            SELECT bucket, count(*)::BIGINT AS n_docs,
+                   min(tok)::BIGINT AS min_tok, max(tok)::BIGINT AS max_tok
+            FROM f GROUP BY bucket""",
         "stratified_sample_documents": """
             SELECT doc_id, lang FROM documents
             WHERE lang IS NOT NULL

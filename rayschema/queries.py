@@ -3259,3 +3259,66 @@ def supplier_nation_balance(sf_dir: str):
     for c in out.columns[1:]:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("n_name").reset_index(drop=True)
+
+
+def near_dup_degree(sf_dir: str):
+    """Graph-shaped view of the verified near-dup pairs: per-document
+    DEGREE in the exact char-5-gram Jaccard >= 0.5 pair graph (the
+    doc_id < 300 oracle scope shared with near_dup_clusters_exact).
+    Pairs explode to both endpoints and a 16-byte groupby counts —
+    metadata-sized all the way; the oracle chains the same pair CTEs."""
+    from rayschema.dedup import exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, id_limit=300, k=5, threshold=0.5)
+
+    def explode(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False)
+        c = b.column("id_b").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(
+            np.concatenate([a, c]).astype(np.int64))})
+
+    from ray.data.aggregate import Count
+
+    return (pairs.map_batches(explode, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Count("doc_id", alias_name="degree")))
+
+
+def token_log2_histogram(sf_dir: str):
+    """Distribution analysis: histogram of per-doc token counts in
+    power-of-two buckets (bucket = floor(log2(tokens)), integer-exact
+    via frexp exponents — no float log ambiguity at exact powers).
+    Per-batch bincount partials; driver merge is O(64)."""
+    from rayschema.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        tok = (token_count_batch(b, text_col="text", out="tok")
+               .column("tok").to_numpy(zero_copy_only=False)
+               .astype(np.int64))
+        tok = tok[tok >= 1]
+        if len(tok) == 0:
+            return pa.table({"bucket": pa.array([], type=pa.int64()),
+                             "n_docs": pa.array([], type=pa.int64()),
+                             "min_tok": pa.array([], type=pa.int64()),
+                             "max_tok": pa.array([], type=pa.int64())})
+        bucket = (np.frexp(tok.astype(np.float64))[1] - 1).astype(np.int64)
+        u, inv = np.unique(bucket, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        mn = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.zeros(len(u), dtype=np.int64)
+        np.minimum.at(mn, inv, tok)
+        np.maximum.at(mx, inv, tok)
+        return pa.table({"bucket": pa.array(u), "n_docs": pa.array(n),
+                         "min_tok": pa.array(mn), "max_tok": pa.array(mx)})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (part.groupby("bucket", as_index=False)
+           .agg(n_docs=("n_docs", "sum"), min_tok=("min_tok", "min"),
+                max_tok=("max_tok", "max")))
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("bucket").reset_index(drop=True)
