@@ -251,6 +251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_pivot": Q.lang_source_pivot,
         "lang_source_rollup": Q.lang_source_rollup,
         "normalize_text_documents": Q.normalize_text_documents,
+        "partitioned_write_roundtrip": Q.partitioned_write_roundtrip,
         "range_partition_bounds": Q.range_partition_bounds,
         "global_sort_rank": Q.global_sort_rank,
         "salted_lang_chars": Q.salted_lang_chars,
@@ -1213,6 +1214,12 @@ def oracle_sql() -> dict[str, str]:
                              OR lang NOT IN ('en','de','fr','es','zh')
                        THEN 1 ELSE 0 END)::BIGINT AS n_other
             FROM documents GROUP BY 1""",
+        "partitioned_write_roundtrip": """
+            SELECT lang, sum(n_chars)::BIGINT AS sum_chars,
+                   count(*)::BIGINT AS n_docs
+            FROM documents
+            WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+            GROUP BY lang""",
         "normalize_text_documents": """
             SELECT doc_id,
                    trim(regexp_replace(lower(text), ' +', ' ', 'g'), ' ')

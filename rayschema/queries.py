@@ -3322,3 +3322,51 @@ def token_log2_histogram(sf_dir: str):
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("bucket").reset_index(drop=True)
+
+
+def partitioned_write_roundtrip(sf_dir: str):
+    """The SINK surfaced as a driver-checked query: documents stream to a
+    lang-partitioned hive parquet layout (the resumable 100-TB output
+    shape — one directory per partition, idempotent overwrite), the
+    partition dirs are listed, each partition is read back with
+    partition-column pruning, and the per-lang (n_docs, sum_chars)
+    aggregates of what was WRITTEN are returned — so the oracle checks
+    the sink round-trip, not just the aggregate."""
+    import tempfile
+
+    import ray.data as rd
+
+    from rayschema.sources import write_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("lang")),
+                             pc.is_valid(b.column("n_chars"))))
+        return b
+
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"rayschema_part_sink_{os.getpid()}")
+    write_corpus(ds.map_batches(prep, batch_format="pyarrow"), out_dir,
+                 fmt="parquet", partition_cols=["lang"])
+    back = rd.read_parquet(out_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b.column("lang")
+        if pa.types.is_dictionary(lang.type):
+            lang = lang.cast(pa.string())
+        t = pa.table({"lang": lang,
+                      "n_chars": b.column("n_chars").cast(pa.int64())})
+        g = t.group_by(["lang"]).aggregate([("n_chars", "sum"),
+                                            ([], "count_all")])
+        return g.rename_columns(["lang", "sum_chars", "n_docs"])
+
+    part = back.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (part.groupby("lang", as_index=False)
+           .agg(sum_chars=("sum_chars", "sum"), n_docs=("n_docs", "sum")))
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return out.sort_values("lang").reset_index(drop=True)
