@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters_exact": Q.near_dup_clusters_exact,
         "near_dup_degree": Q.near_dup_degree,
         "dedup_corpus_exact": Q.dedup_corpus_exact,
+        "dedup_incremental": Q.dedup_incremental,
         "curation_pipeline_documents": Q.curation_pipeline_documents,
         "split_by_cluster": Q.split_by_cluster,
         "split_leakage_audit": Q.split_leakage_audit,
@@ -377,6 +378,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS doc_id,
                    CAST(min(label) AS BIGINT) AS cluster_id
             FROM lab GROUP BY node""",
+        # Incremental ingest dedup: new batch [250,500) vs ingested <250.
+        "dedup_incremental": """
+            WITH old AS (SELECT text FROM documents
+                         WHERE doc_id < 250 AND text IS NOT NULL),
+            new AS (SELECT doc_id, text FROM documents
+                    WHERE doc_id >= 250 AND doc_id < 500
+                      AND text IS NOT NULL),
+            k AS (SELECT min(doc_id) AS doc_id, text FROM new
+                  GROUP BY text)
+            SELECT doc_id FROM k
+            WHERE text NOT IN (SELECT text FROM old)""",
         "dedup_corpus_exact": """
             WITH RECURSIVE docs AS (
               SELECT doc_id, text FROM documents

@@ -3370,3 +3370,81 @@ def partitioned_write_roundtrip(sf_dir: str):
 
     shutil.rmtree(out_dir, ignore_errors=True)
     return out.sort_values("lang").reset_index(drop=True)
+
+
+INCR_OLD_LIMIT = 250      # "already-ingested" snapshot: doc_id < 250
+INCR_NEW_LIMIT = 500      # new batch: 250 <= doc_id < 500
+
+
+def dedup_incremental(sf_dir: str):
+    """INCREMENTAL ingest dedup — the continuous-crawl pattern: a new
+    batch (doc_id in [250, 500)) is deduplicated against the
+    already-ingested corpus (doc_id < 250) WITHOUT re-reading old text
+    wholesale: the old snapshot contributes an 8-byte-per-doc content
+    HASH index (broadcast sorted via ray.put), the new batch is deduped
+    within itself by the engine's _exact_dedup_core (24-byte shuffle,
+    distributed verify), and old-vs-new hash matches are exactly
+    text-verified by pulling ONLY the matched rows from each side —
+    dup-rate-sized, never corpus-sized. Hash collisions therefore cannot
+    cause a false drop. Returns the surviving new doc_ids."""
+    import ray
+
+    from rayschema.dedup import _mix64
+    from rayschema.sketches import hash64
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    def drop_null(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("text")))
+
+    old = ds.filter(expr=f"doc_id < {INCR_OLD_LIMIT}") \
+        .map_batches(drop_null, batch_format="pyarrow")
+    new = ds.filter(expr=f"doc_id >= {INCR_OLD_LIMIT} "
+                         f"and doc_id < {INCR_NEW_LIMIT}") \
+        .map_batches(drop_null, batch_format="pyarrow")
+
+    def uk_of(b: pa.Table) -> pa.Table:
+        txt = np.asarray(b.column("text").to_pylist(), dtype=object)
+        uk = _mix64(hash64(txt)).view(np.int64)
+        return pa.table({"uk": pa.array(uk)})
+
+    old_uks = np.sort(old.map_batches(uk_of, batch_format="pyarrow")
+                      .to_pandas()["uk"].to_numpy(np.int64))
+    uref = ray.put(old_uks)
+
+    # within-new exact dedup (min id per distinct text), fully distributed
+    kept_ids = set(_exact_dedup_core(new, emit="kept").to_pandas()
+                   ["doc_id"].to_numpy(np.int64))
+
+    def cand(b: pa.Table, _uref=uref) -> pa.Table:
+        ks = ray.get(_uref)
+        txt = np.asarray(b.column("text").to_pylist(), dtype=object)
+        uk = _mix64(hash64(txt)).view(np.int64)
+        pos = np.minimum(np.searchsorted(ks, uk), len(ks) - 1)
+        m = pa.array(ks[pos] == uk) if len(ks) else \
+            pa.array(np.zeros(len(uk), dtype=bool))
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64())
+                         .filter(m),
+                         "text": b.column("text").filter(m)})
+
+    cands = new.map_batches(cand, batch_format="pyarrow").to_pandas()
+    bad_ids: set = set()
+    if len(cands):
+        cuks = np.sort(np.unique(
+            _mix64(hash64(np.asarray(cands["text"], dtype=object)))
+            .view(np.int64)))
+        cref = ray.put(cuks)
+
+        def old_match(b: pa.Table, _cref=cref) -> pa.Table:
+            ks = ray.get(_cref)
+            txt = np.asarray(b.column("text").to_pylist(), dtype=object)
+            uk = _mix64(hash64(txt)).view(np.int64)
+            pos = np.minimum(np.searchsorted(ks, uk), len(ks) - 1)
+            m = pa.array(ks[pos] == uk)
+            return pa.table({"text": b.column("text").filter(m)})
+
+        old_texts = set(old.map_batches(old_match, batch_format="pyarrow")
+                        .to_pandas()["text"])
+        bad_ids = set(cands.loc[[t in old_texts for t in cands["text"]],
+                                "doc_id"].to_numpy(np.int64))
+    final = np.sort(np.array(sorted(kept_ids - bad_ids), dtype=np.int64))
+    return pd.DataFrame({"doc_id": final})

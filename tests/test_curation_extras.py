@@ -509,3 +509,26 @@ def test_first_event_per_day_keeps_earliest_per_type(ray_session, tmp_path):
                    os.path.join(tmp_path, "events.parquet"))
     got = Q.first_event_per_day(str(tmp_path)).to_pandas()
     assert sorted(got["event_id"].tolist()) == [2, 3, 4, 6]
+
+
+def test_dedup_incremental_hash_index_and_verify(ray_session, tmp_path):
+    """New-batch docs drop iff their exact text exists in the old
+    snapshot; within-batch dups keep the min id; old ids never appear."""
+    import rayschema.queries as Q
+
+    texts = {}
+    # old snapshot ids 0..9 (INCR_OLD_LIMIT=250 so all < 250)
+    for i in range(10):
+        texts[i] = f"old text {i}"
+    rows = [(i, texts[i]) for i in range(10)]
+    rows += [(300, "old text 3"),       # exact dup of old -> dropped
+             (301, "brand new a"),      # kept
+             (302, "brand new a"),      # within-batch dup -> dropped
+             (303, None),               # null text -> out of scope
+             (304, "brand new b")]      # kept
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    got = Q.dedup_incremental(str(tmp_path))
+    assert got["doc_id"].tolist() == [301, 304]
