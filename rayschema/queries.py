@@ -2440,17 +2440,52 @@ def events_sessionization(sf_dir: str):
 
 
 def customer_running_totals(sf_dir: str):
-    """Per-customer running order totals (window function analog):
-    groupby(custkey).map_groups with a sorted cumulative sum."""
-    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"])
+    """Per-customer running order totals (window-function analog) on the
+    shared sorted scan: one narrow (custkey, orderdate, orderkey, cents)
+    sort, then running sums as ONE vectorized block kernel (cumsum minus
+    the group-start prefix) — replaces the groupby().map_groups shape
+    that paid a Python call per customer."""
+    from rayschema.dedup import sorted_group_scan
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"]).copy()
-        g["price_cents"] = np.round(g["o_totalprice"].to_numpy() * 100).astype(np.int64)
-        g["running_cents"] = g["price_cents"].cumsum()
-        return g[["o_custkey", "o_orderkey", "running_cents"]]
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderkey", "o_orderdate",
+                        "o_totalprice"])
 
-    return ds.groupby("o_custkey").map_groups(running, batch_format="pandas")
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": b.column("o_custkey").cast(pa.int64()),
+            "date_us": _ts_us_col(b.column("o_orderdate")),
+            "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+            "price_cents": pa.array(_cents(
+                b.column("o_totalprice").to_numpy(zero_copy_only=False)))})
+
+    def block_fn(block: pa.Table, starts, ends, want):
+        sizes = (ends - starts).astype(np.int64)
+        row_start = np.repeat(starts, sizes)
+        cents = block.column("price_cents") \
+            .to_numpy(zero_copy_only=False)
+        cum = np.cumsum(cents)
+        base = np.where(row_start > 0, cum[np.maximum(row_start - 1, 0)], 0)
+        run = cum - base
+        keep = np.repeat(want, sizes)
+        return pa.table({
+            "o_custkey": block.column("o_custkey").filter(pa.array(keep)),
+            "o_orderkey": block.column("o_orderkey").filter(pa.array(keep)),
+            "running_cents": pa.array(run[keep])})
+
+    def group_fn(t: pa.Table):
+        cents = t.column("price_cents").to_numpy(zero_copy_only=False)
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "o_orderkey": t.column("o_orderkey"),
+                         "running_cents": pa.array(np.cumsum(cents))})
+
+    out_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("o_orderkey", pa.int64()),
+                            ("running_cents", pa.int64())])
+    return sorted_group_scan(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["o_custkey"], group_fn, out_schema,
+                             block_fn=block_fn,
+                             order_cols=["date_us", "o_orderkey"])
 
 
 def salted_lang_chars(sf_dir: str):
