@@ -2408,35 +2408,70 @@ def top_orders_per_customer(sf_dir: str):
 
 
 def events_sessionization(sf_dir: str):
-    """Session windows per user (gap > 30 min closes a session): sort within
-    each user group, cumulative gap-split, one output row per session.
-    Ordering assumption: per-user rows fit one group (groupby shuffle
-    co-locates them); oracle mirrors with lag()/sum() window functions."""
+    """Session windows per user (gap > 30 min closes a session) on the
+    shared sorted scan: one narrow (user, ts, cents) sort, then session
+    boundaries / per-session (start, count, cents-sum) as ONE vectorized
+    block kernel (gap mask + bincount segments) — no per-user Python.
+    Oracle mirrors with lag()/sum() window functions; session stats are
+    invariant to equal-ts tie order."""
+    from rayschema.dedup import sorted_group_scan
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff().dt.total_seconds().fillna(0.0)
-        sid = (gap > 1800).cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            n_events=("ts", "size"),
-            sum_value_cents=("value", lambda s: int(np.round(s * 100).astype(np.int64).sum())),
-        ).reset_index(drop=True)
-        return out
+    def prep(b: pa.Table) -> pa.Table:
+        cents = np.round(b.column("value").to_numpy(zero_copy_only=False)
+                         .astype(np.float64) * 100).astype(np.int64)
+        return pa.table({"user_id": b.column("user_id").cast(pa.int64()),
+                         "ts_us": _ts_us_col(b.column("ts")),
+                         "cents": pa.array(cents)})
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    GAP_US = 1_800_000_000
 
-    def finish(b: pa.Table) -> pa.Table:
+    def _sessions(uid, ts, cents, row_start, want_row=None):
+        n = len(ts)
+        if n == 0:
+            return None
+        p = np.arange(n, dtype=np.int64)
+        new_s = (p == row_start)
+        prev = np.empty(n, dtype=np.int64)
+        prev[0], prev[1:] = ts[0], ts[:-1]
+        new_s |= (ts - prev) > GAP_US
+        sid = np.cumsum(new_s) - 1
+        starts_idx = np.flatnonzero(new_s)
+        n_ev = np.bincount(sid).astype(np.int64)
+        s_cents = np.zeros(len(starts_idx), dtype=np.int64)
+        np.add.at(s_cents, sid, cents)
+        keep = (want_row[starts_idx] if want_row is not None
+                else np.ones(len(starts_idx), dtype=bool))
         return pa.table({
-            "user_id": b.column("user_id"),
-            "session_start": b.column("session_start"),
-            "n_events": b.column("n_events").cast(pa.int64()),
-            "sum_value_cents": b.column("sum_value_cents").cast(pa.int64()),
-        })
+            "user_id": pa.array(uid[starts_idx][keep]),
+            "session_start": pa.array(ts[starts_idx][keep])
+            .cast(pa.timestamp("us")),
+            "n_events": pa.array(n_ev[keep]),
+            "sum_value_cents": pa.array(s_cents[keep])})
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    def block_fn(block: pa.Table, starts, ends, want):
+        sizes = (ends - starts).astype(np.int64)
+        return _sessions(
+            block.column("user_id").to_numpy(zero_copy_only=False),
+            block.column("ts_us").to_numpy(zero_copy_only=False),
+            block.column("cents").to_numpy(zero_copy_only=False),
+            np.repeat(starts, sizes), np.repeat(want, sizes))
+
+    def group_fn(t: pa.Table):
+        return _sessions(
+            t.column("user_id").to_numpy(zero_copy_only=False),
+            t.column("ts_us").to_numpy(zero_copy_only=False),
+            t.column("cents").to_numpy(zero_copy_only=False),
+            np.zeros(t.num_rows, dtype=np.int64))
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("session_start", pa.timestamp("us")),
+                            ("n_events", pa.int64()),
+                            ("sum_value_cents", pa.int64())])
+    return sorted_group_scan(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["user_id"], group_fn, out_schema,
+                             block_fn=block_fn, order_cols=["ts_us"])
 
 
 def customer_running_totals(sf_dir: str):
