@@ -3450,8 +3450,9 @@ def dedup_incremental(sf_dir: str):
     """INCREMENTAL ingest dedup — the continuous-crawl pattern: a new
     batch (doc_id in [250, 500)) is deduplicated against the
     already-ingested corpus (doc_id < 250) WITHOUT re-reading old text
-    wholesale: the old snapshot contributes an 8-byte-per-doc content
-    HASH index (broadcast sorted via ray.put), the new batch is deduped
+    wholesale: the old snapshot contributes a FIXED-SIZE hashed content
+    bitmap (2 MB at any corpus size, broadcast via ray.put), the new
+    batch is deduped
     within itself by the engine's _exact_dedup_core (24-byte shuffle,
     distributed verify), and old-vs-new hash matches are exactly
     text-verified by pulling ONLY the matched rows from each side —
@@ -3459,10 +3460,11 @@ def dedup_incremental(sf_dir: str):
     cause a false drop. Returns the surviving new doc_ids."""
     import ray
 
-    from rayschema.dedup import _mix64
+    from rayschema.dedup import _bitmap_hash, _bitmap_member, _mix64
     from rayschema.sketches import hash64
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
     def drop_null(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_valid(b.column("text")))
 
@@ -3477,21 +3479,37 @@ def dedup_incremental(sf_dir: str):
         uk = _mix64(hash64(txt)).view(np.int64)
         return pa.table({"uk": pa.array(uk)})
 
-    old_uks = np.sort(old.map_batches(uk_of, batch_format="pyarrow")
-                      .to_pandas()["uk"].to_numpy(np.int64))
-    uref = ray.put(old_uks)
+    # fixed-size hashed bitmap (2 MB at 24 bits) instead of the raw hash
+    # array: constant broadcast no matter how large the ingested corpus;
+    # bitmap false positives only ADD candidates, which the exact text
+    # verify below removes — no false drops possible
+    BM_BITS = 24
+    acc = np.zeros((1 << BM_BITS) // 8, dtype=np.uint8)
+
+    def old_bits(b: pa.Table) -> pa.Table:
+        txt = np.asarray(b.column("text").to_pylist(), dtype=object)
+        uk = _mix64(hash64(txt)).view(np.int64)
+        h = _bitmap_hash(uk, BM_BITS)
+        chunk = np.zeros(1 << BM_BITS, dtype=np.uint8)
+        chunk[h] = 1
+        return pa.table({"bm": pa.array([np.packbits(chunk).tobytes()],
+                                        type=pa.large_binary())})
+
+    for row in old.map_batches(old_bits, batch_format="pyarrow") \
+            .to_pandas()["bm"]:
+        acc |= np.frombuffer(row, dtype=np.uint8)
+    uref = ray.put(acc)
 
     # within-new exact dedup (min id per distinct text), fully distributed
     kept_ids = set(_exact_dedup_core(new, emit="kept").to_pandas()
                    ["doc_id"].to_numpy(np.int64))
 
     def cand(b: pa.Table, _uref=uref) -> pa.Table:
-        ks = ray.get(_uref)
+        bm = ray.get(_uref)
         txt = np.asarray(b.column("text").to_pylist(), dtype=object)
         uk = _mix64(hash64(txt)).view(np.int64)
-        pos = np.minimum(np.searchsorted(ks, uk), len(ks) - 1)
-        m = pa.array(ks[pos] == uk) if len(ks) else \
-            pa.array(np.zeros(len(uk), dtype=bool))
+        m = pa.array(_bitmap_member(uk, bm, BM_BITS)) if len(uk) else \
+            pa.array(np.zeros(0, dtype=bool))
         return pa.table({"doc_id": b.column("doc_id").cast(pa.int64())
                          .filter(m),
                          "text": b.column("text").filter(m)})
