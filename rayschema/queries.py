@@ -991,13 +991,77 @@ def shuffle_shard_documents(sf_dir: str, n_shards: int = SHUF_N_SHARDS,
             "h2": pa.array(h2.astype(np.int64)),
         })
 
-    def rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["h2", "doc_id"]).reset_index(drop=True)
-        g["pos"] = np.arange(len(g), dtype=np.int64)
-        return g[["doc_id", "shard", "pos"]]
+    # Two-phase rank (the global_sort_rank shape) instead of
+    # groupby(shard).map_groups: a shard is 1/S of the corpus — one
+    # pandas group per shard would hold 10^10 rows at 100 TB. Phase 1
+    # histograms (shard, h2-bucket) counts (metadata: S x 65k rows) and
+    # prefix-sums exact within-shard offsets; phase 2 is ONE narrow
+    # (shard, bucket, h2, id) sort whose block kernel adds offset +
+    # within-group position. No group ever exceeds a bucket.
+    from rayschema.dedup import sorted_group_scan
 
-    return (ds.map_batches(assign, batch_format="pyarrow")
-              .groupby("shard").map_groups(rank, batch_format="pandas"))
+    BUCKET_SHIFT = 16          # bucket = h2 >> 16 -> <= 65k buckets/shard
+
+    def bucketed(b: pa.Table) -> pa.Table:
+        t = assign(b)
+        h2 = t.column("h2").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array((h2 >> BUCKET_SHIFT).astype(np.int64)))
+
+    tagged = ds.map_batches(bucketed, batch_format="pyarrow")
+
+    def hpartial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["shard", "bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["shard", "bucket", "cnt"])
+
+    hist = (tagged.map_batches(hpartial, batch_format="pyarrow")
+            .to_pandas().groupby(["shard", "bucket"], as_index=False)
+            ["cnt"].sum().sort_values(["shard", "bucket"]))
+    sh = hist["shard"].to_numpy(np.int64)
+    bk = hist["bucket"].to_numpy(np.int64)
+    cnt = hist["cnt"].to_numpy(np.int64)
+    cum = np.cumsum(cnt)
+    ex = np.concatenate([[0], cum[:-1]])          # global exclusive prefix
+    shard_first = np.ones(len(sh), dtype=bool)
+    shard_first[1:] = sh[1:] != sh[:-1]
+    # within-shard exclusive offset = global prefix minus the shard's
+    # first-entry prefix (carried forward; ex is nondecreasing)
+    base = np.maximum.accumulate(np.where(shard_first, ex, 0))
+    off = ex - base
+    packed = (sh << (BUCKET_SHIFT + 1)) | bk
+    order = np.argsort(packed)
+    packed, off = packed[order], off[order]
+
+    def block_fn(block: pa.Table, starts, ends, want):
+        sizes = (ends - starts).astype(np.int64)
+        row_start = np.repeat(starts, sizes)
+        pos_in = np.arange(len(block), dtype=np.int64) - row_start
+        s = block.column("shard").to_numpy(zero_copy_only=False)
+        b2 = block.column("bucket").to_numpy(zero_copy_only=False)
+        key = (s << (BUCKET_SHIFT + 1)) | b2
+        pos = off[np.searchsorted(packed, key)] + pos_in
+        keep = np.repeat(want, sizes)
+        return pa.table({
+            "doc_id": block.column("doc_id").filter(pa.array(keep)),
+            "shard": block.column("shard").filter(pa.array(keep)),
+            "pos": pa.array(pos[keep])})
+
+    def group_fn(t: pa.Table):
+        s = t.column("shard").to_numpy(zero_copy_only=False)
+        b2 = t.column("bucket").to_numpy(zero_copy_only=False)
+        key = (s << (BUCKET_SHIFT + 1)) | b2
+        pos = off[np.searchsorted(packed, key)] \
+            + np.arange(len(t), dtype=np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "shard": t.column("shard"),
+                         "pos": pa.array(pos)})
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("shard", pa.int64()),
+                            ("pos", pa.int64())])
+    return sorted_group_scan(tagged, ["shard", "bucket"], group_fn,
+                             out_schema, block_fn=block_fn,
+                             order_cols=["h2", "doc_id"])
 
 
 MIXTURE_CAP_DIVISOR = 2    # per-source token cap = total_tokens // (2*n_src)
