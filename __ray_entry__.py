@@ -249,6 +249,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_running_totals": Q.customer_running_totals,
         "events_rolling_window": Q.events_rolling_window,
         "first_event_per_day": Q.first_event_per_day,
+        "trending_event_types": Q.trending_event_types,
+        "cohort_retention_d7": Q.cohort_retention_d7,
         "lang_source_pivot": Q.lang_source_pivot,
         "lang_source_rollup": Q.lang_source_rollup,
         "normalize_text_documents": Q.normalize_text_documents,
@@ -1205,6 +1207,29 @@ def oracle_sql() -> dict[str, str]:
             FROM e WINDOW w AS (PARTITION BY user_id
                                 ORDER BY ts, event_id
                                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""",
+        # Hourly "trending" top event type (count desc, type lex ties).
+        "trending_event_types": """
+            WITH c AS (SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                              AS hour_bucket,
+                              event_type, count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2)
+            SELECT hour_bucket, event_type AS top_type, n FROM (
+              SELECT c.*, row_number() OVER (PARTITION BY hour_bucket
+                  ORDER BY n DESC, event_type) AS rn FROM c)
+            WHERE rn = 1""",
+        # Day-7 cohort retention per user.
+        "cohort_retention_d7": """
+            WITH d AS (SELECT DISTINCT user_id,
+                              CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                  AS day
+                       FROM events),
+            f AS (SELECT user_id, min(day) AS first_day FROM d
+                  GROUP BY user_id)
+            SELECT f.user_id, f.first_day,
+                   (CASE WHEN r.user_id IS NULL THEN 0 ELSE 1
+                    END)::BIGINT AS retained_d7
+            FROM f LEFT JOIN d r ON r.user_id = f.user_id
+                               AND r.day = f.first_day + 7""",
         # Windowed keyed dedup: first event per (user, type, UTC day).
         "first_event_per_day": """
             SELECT event_id, user_id, day, event_type FROM (

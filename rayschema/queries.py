@@ -3600,3 +3600,90 @@ def dedup_incremental(sf_dir: str):
                                 "doc_id"].to_numpy(np.int64))
     final = np.sort(np.array(sorted(kept_ids - bad_ids), dtype=np.int64))
     return pd.DataFrame({"doc_id": final})
+
+
+def trending_event_types(sf_dir: str):
+    """Streaming-analytics "trending" shape: the most frequent event_type
+    per hour (count desc, type lex on ties). Per-batch Arrow group_by
+    (hour, type) partials -> metadata-sized driver merge (hours x types)
+    -> per-hour argmax; no row-level shuffle at all."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        hr = _ts_us_col(b.column("ts")).to_numpy(zero_copy_only=False) \
+            // 3_600_000_000
+        t = pa.table({"hour_bucket": pa.array(hr.astype(np.int64)),
+                      "event_type": b.column("event_type")})
+        g = t.group_by(["hour_bucket", "event_type"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["hour_bucket", "event_type", "cnt"])
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (part.groupby(["hour_bucket", "event_type"], as_index=False)
+           ["cnt"].sum())
+    best = (agg.sort_values(["hour_bucket", "cnt", "event_type"],
+                            ascending=[True, False, True], kind="mergesort")
+            .groupby("hour_bucket", as_index=False).first()
+            .rename(columns={"event_type": "top_type", "cnt": "n"}))
+    best["n"] = best["n"].astype(np.int64)
+    best["hour_bucket"] = best["hour_bucket"].astype(np.int64)
+    return best[["hour_bucket", "top_type", "n"]]
+
+
+RETENTION_DAYS = 7
+
+
+def cohort_retention_d7(sf_dir: str):
+    """Cohort retention: for every user, the first active UTC day and
+    whether they were active again exactly 7 days later. One narrow
+    (user, day) sort via the shared sorted scan; first-day and the
+    day+7 membership test are ONE vectorized block kernel (rows of a
+    group arrive day-ordered; duplicates are harmless to min and
+    membership, so no distinct pass is needed)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = _ts_us_col(b.column("ts")).to_numpy(zero_copy_only=False) \
+            // 86_400_000_000
+        return pa.table({"user_id": b.column("user_id").cast(pa.int64()),
+                         "day": pa.array(day.astype(np.int64))})
+
+    def _retention(uid, day, row_start, want_row=None):
+        n = len(day)
+        if n == 0:
+            return None
+        first = day[row_start]                     # per-row group first day
+        hit = day == first + RETENTION_DAYS
+        starts_idx = np.flatnonzero(
+            np.arange(n, dtype=np.int64) == row_start)
+        gid = np.cumsum(np.arange(n, dtype=np.int64) == row_start) - 1
+        ret = np.zeros(len(starts_idx), dtype=np.int64)
+        np.maximum.at(ret, gid, hit.astype(np.int64))
+        keep = (want_row[starts_idx] if want_row is not None
+                else np.ones(len(starts_idx), dtype=bool))
+        return pa.table({
+            "user_id": pa.array(uid[starts_idx][keep]),
+            "first_day": pa.array(day[starts_idx][keep]),
+            "retained_d7": pa.array(ret[keep])})
+
+    def block_fn(block: pa.Table, starts, ends, want):
+        sizes = (ends - starts).astype(np.int64)
+        return _retention(
+            block.column("user_id").to_numpy(zero_copy_only=False),
+            block.column("day").to_numpy(zero_copy_only=False),
+            np.repeat(starts, sizes), np.repeat(want, sizes))
+
+    def group_fn(t: pa.Table):
+        return _retention(
+            t.column("user_id").to_numpy(zero_copy_only=False),
+            t.column("day").to_numpy(zero_copy_only=False),
+            np.zeros(t.num_rows, dtype=np.int64))
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("first_day", pa.int64()),
+                            ("retained_d7", pa.int64())])
+    return sorted_group_scan(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["user_id"], group_fn, out_schema,
+                             block_fn=block_fn, order_cols=["day"])

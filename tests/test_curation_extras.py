@@ -532,3 +532,32 @@ def test_dedup_incremental_hash_index_and_verify(ray_session, tmp_path):
                    os.path.join(tmp_path, "documents.parquet"))
     got = Q.dedup_incremental(str(tmp_path))
     assert got["doc_id"].tolist() == [301, 304]
+
+
+def test_cohort_retention_d7_membership(ray_session, tmp_path):
+    """retained_d7 = 1 iff the user is active exactly first_day + 7;
+    duplicate same-day events don't distort anything."""
+    import rayschema.queries as Q
+
+    base = pd.Timestamp("2024-01-01")  # UTC day d0
+    rows = []
+    # user 1: active d0 (twice) and d7 -> retained
+    rows += [(1, base), (1, base + pd.Timedelta(hours=2)),
+             (1, base + pd.Timedelta(days=7))]
+    # user 2: active d0 and d6, d8 -> NOT retained
+    rows += [(2, base), (2, base + pd.Timedelta(days=6)),
+             (2, base + pd.Timedelta(days=8))]
+    # user 3: first day is d3, active d10 -> retained
+    rows += [(3, base + pd.Timedelta(days=3)),
+             (3, base + pd.Timedelta(days=10))]
+    df = pd.DataFrame(rows, columns=["user_id", "ts"])
+    df["user_id"] = df["user_id"].astype(np.int64)
+    df["event_id"] = np.arange(len(df), dtype=np.int64)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "events.parquet"))
+    got = (Q.cohort_retention_d7(str(tmp_path)).to_pandas()
+           .set_index("user_id").sort_index())
+    d0 = int(base.value // 86_400_000_000_000)
+    assert got.loc[1].tolist() == [d0, 1]
+    assert got.loc[2].tolist() == [d0, 0]
+    assert got.loc[3].tolist() == [d0 + 3, 1]
