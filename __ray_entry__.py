@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_clusters_documents": Q.near_dup_clusters_documents,  # rows-only
         "near_dup_clusters_exact": Q.near_dup_clusters_exact,
         "near_dup_degree": Q.near_dup_degree,
+        "near_dup_clusters_distributed": Q.near_dup_clusters_distributed,
         "dedup_corpus_exact": Q.dedup_corpus_exact,
         "dedup_incremental": Q.dedup_incremental,
         "curation_pipeline_documents": Q.curation_pipeline_documents,
@@ -353,6 +354,34 @@ def oracle_sql() -> dict[str, str]:
                          JOIN sizes sb ON sb.doc_id = i.id_b
             WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5""",
         "near_dup_clusters_exact": """
+            WITH RECURSIVE docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 300 AND text IS NOT NULL AND length(text) >= 5),
+            sh AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 4)) AS i
+                    FROM docs)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                           JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            lab(node, label) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT e.a, l.label FROM edges e JOIN lab l ON l.node = e.b)
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(min(label) AS BIGINT) AS cluster_id
+            FROM lab GROUP BY node""",
+        "near_dup_clusters_distributed": """
             WITH RECURSIVE docs AS (
               SELECT doc_id, text FROM documents
               WHERE doc_id < 300 AND text IS NOT NULL AND length(text) >= 5),

@@ -1517,10 +1517,15 @@ def connected_components_ds(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
         edges.union(edges.map_batches(self_rows, batch_format="pyarrow"))
         .groupby("src").aggregate(Min("dst", alias_name="label")),
         {"src": "node", "label": "label"}).materialize()
+    # an EMPTY hash partition reaches the Acero join as a schemaless
+    # block and ArrowInvalid's on the key lookup — cap partitions so each
+    # expects >= 16 keys (tiny graphs run 1 partition; at billions of
+    # labels the requested count is untouched)
+    n_parts = int(max(1, min(num_partitions, labels.count() // 16)))
     prev = labels.aggregate(Sum("label", alias_name="s")).get("s")
     for it in range(max_iter):
         msgs = edges.join(labels, join_type="inner",
-                          num_partitions=num_partitions,
+                          num_partitions=n_parts,
                           on=("src",), right_on=("node",))
         cand = labels.union(_proj(msgs, {"dst": "node", "label": "label"}))
         labels = cand.groupby("node") \

@@ -3687,3 +3687,22 @@ def cohort_retention_d7(sf_dir: str):
     return sorted_group_scan(ds.map_batches(prep, batch_format="pyarrow"),
                              ["user_id"], group_fn, out_schema,
                              block_fn=block_fn, order_cols=["day"])
+
+
+def near_dup_clusters_distributed(sf_dir: str):
+    """The DISTRIBUTED min-label-propagation clustering path (the
+    billions-of-pairs fallback that near_dup_clusters auto-selects past
+    driver_pair_cap), driver-checked against the SAME recursive
+    min-label CTE oracle as near_dup_clusters_exact — so the scale path
+    itself is hash-verified, not just equality-tested in pytest."""
+    from rayschema.dedup import connected_components_ds, exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, id_limit=300, k=5, threshold=0.5) \
+        .select_columns(["id_a", "id_b"])
+    out = connected_components_ds(pairs).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "cluster_id": pd.Series([], dtype="int64")})
+    return out.astype({"doc_id": "int64", "cluster_id": "int64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
