@@ -561,3 +561,80 @@ def test_cohort_retention_d7_membership(ray_session, tmp_path):
     assert got.loc[1].tolist() == [d0, 1]
     assert got.loc[2].tolist() == [d0, 0]
     assert got.loc[3].tolist() == [d0 + 3, 1]
+
+
+def test_rollup_normalize_histogram_small_fixture(ray_session, tmp_path):
+    """Rollup levels sum consistently; normalization lowercases, squashes
+    and trims; log2 histogram buckets split at powers of two."""
+    import rayschema.queries as Q
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "source": ["s1", "s1", "s2", "s2"],
+        "lang": ["en", "de", "en", None],
+        "text": ["  A  B ", "one two three", "w " + "x y z " * 20, None],
+        "n_chars": [7, 13, 100, 5],
+    })
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    roll = Q.lang_source_rollup(str(tmp_path))
+    tot = roll[(roll["source"] == "__all__")]["n"].iloc[0]
+    mids = roll[(roll["source"] != "__all__") & (roll["lang"] == "__all__")]
+    fine = roll[(roll["lang"] != "__all__") & (roll["source"] != "__all__")]
+    assert tot == 4 and mids["n"].sum() == 4 and fine["n"].sum() == 4
+    assert roll[(roll["source"] == "s2")
+                & (roll["lang"] == "__null__")]["n"].iloc[0] == 1
+
+    norm = (Q.normalize_text_documents(str(tmp_path)).to_pandas()
+            .set_index("doc_id"))
+    assert norm.loc[0, "norm_text"] == "a b"
+    assert norm.loc[0, "n_norm_chars"] == 3
+    assert 3 not in norm.index                     # null text out of scope
+
+    hist = Q.token_log2_histogram(str(tmp_path)).set_index("bucket")
+    # token counts: doc0 "  A  B " -> 7 chars? tokens = spaces+1 = 6;
+    # doc1 -> 3; doc2 -> 61 (w + 20*3 words: "w x y z x ..." trailing
+    # space adds one empty token)
+    assert hist["n_docs"].sum() == 3
+    assert set(hist.index) == {
+        int(np.frexp(float(t))[1] - 1)
+        for t in (6, 3, 62)}
+
+
+def test_trending_and_degree_and_supplier(ray_session, tmp_path):
+    import rayschema.queries as Q
+
+    base = pd.Timestamp("2024-03-01")
+    ev = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "user_id": np.ones(5, dtype=np.int64),
+        "event_type": ["a", "b", "b", "a", "a"],
+        "ts": [base, base + pd.Timedelta(minutes=1),
+               base + pd.Timedelta(minutes=2),
+               base + pd.Timedelta(hours=1),
+               base + pd.Timedelta(hours=1, minutes=5)],
+    })
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   os.path.join(tmp_path, "events.parquet"))
+    tr = Q.trending_event_types(str(tmp_path)).sort_values("hour_bucket")
+    assert tr["top_type"].tolist() == ["b", "a"]
+    assert tr["n"].tolist() == [2, 2]
+
+    sup = pd.DataFrame({
+        "s_suppkey": np.arange(3, dtype=np.int64),
+        "s_name": ["x", "y", "z"],
+        "s_nationkey": np.array([0, 0, 1], dtype=np.int32),
+        "s_acctbal": [10.005, -3.0, 7.5],
+    })
+    nat = pd.DataFrame({
+        "n_nationkey": np.array([0, 1], dtype=np.int64),
+        "n_name": ["ALPHA", "BETA"],
+    })
+    pq.write_table(pa.Table.from_pandas(sup, preserve_index=False),
+                   os.path.join(tmp_path, "supplier.parquet"))
+    pq.write_table(pa.Table.from_pandas(nat, preserve_index=False),
+                   os.path.join(tmp_path, "nation.parquet"))
+    bal = Q.supplier_nation_balance(str(tmp_path)).set_index("n_name")
+    assert bal.loc["ALPHA", "n_suppliers"] == 2
+    assert bal.loc["ALPHA", "sum_acctbal_cents"] in (700, 701)  # rounding
+    assert bal.loc["BETA", "max_acctbal_cents"] == 750
