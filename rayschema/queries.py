@@ -991,13 +991,23 @@ def shuffle_shard_documents(sf_dir: str, n_shards: int = SHUF_N_SHARDS,
             "h2": pa.array(h2.astype(np.int64)),
         })
 
-    # Two-phase rank (the global_sort_rank shape) instead of
-    # groupby(shard).map_groups: a shard is 1/S of the corpus — one
-    # pandas group per shard would hold 10^10 rows at 100 TB. Phase 1
-    # histograms (shard, h2-bucket) counts (metadata: S x 65k rows) and
-    # prefix-sums exact within-shard offsets; phase 2 is ONE narrow
-    # (shard, bucket, h2, id) sort whose block kernel adds offset +
-    # within-group position. No group ever exceeds a bucket.
+    # ADAPTIVE rank: below the cap a shard fits one in-memory group and
+    # the single-shuffle groupby(shard).map_groups is cheapest; above it
+    # (a shard is 1/S of the corpus — 10^10 rows at 100 TB) the
+    # two-phase shape takes over: phase 1 histograms (shard, h2-bucket)
+    # counts (metadata: S x 65k rows) and prefix-sums exact within-shard
+    # offsets; phase 2 is ONE narrow (shard, bucket, h2, id) sort whose
+    # block kernel adds offset + within-group position. No group ever
+    # exceeds a bucket. Both paths emit identical rows (equality-tested).
+    if ds.count() <= n_shards * SHUF_GROUP_CAP:
+        def rank(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["h2", "doc_id"]).reset_index(drop=True)
+            g["pos"] = np.arange(len(g), dtype=np.int64)
+            return g[["doc_id", "shard", "pos"]]
+
+        return (ds.map_batches(assign, batch_format="pyarrow")
+                .groupby("shard").map_groups(rank, batch_format="pandas"))
+
     from rayschema.dedup import sorted_group_scan
 
     BUCKET_SHIFT = 16          # bucket = h2 >> 16 -> <= 65k buckets/shard
@@ -1062,6 +1072,9 @@ def shuffle_shard_documents(sf_dir: str, n_shards: int = SHUF_N_SHARDS,
     return sorted_group_scan(tagged, ["shard", "bucket"], group_fn,
                              out_schema, block_fn=block_fn,
                              order_cols=["h2", "doc_id"])
+
+
+SHUF_GROUP_CAP = 5_000_000   # rows per shard the map_groups path may hold
 
 
 MIXTURE_CAP_DIVISOR = 2    # per-source token cap = total_tokens // (2*n_src)

@@ -638,3 +638,21 @@ def test_trending_and_degree_and_supplier(ray_session, tmp_path):
     assert bal.loc["ALPHA", "n_suppliers"] == 2
     assert bal.loc["ALPHA", "sum_acctbal_cents"] in (700, 701)  # rounding
     assert bal.loc["BETA", "max_acctbal_cents"] == 750
+
+
+def test_shuffle_shard_paths_identical(ray_session, tmp_path, monkeypatch):
+    """The two-phase rank (scale path) emits exactly the map_groups
+    path's rows."""
+    import rayschema.queries as Q
+
+    df = pd.DataFrame({"doc_id": np.arange(3000, dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    small = (Q.shuffle_shard_documents(str(tmp_path)).to_pandas()
+             .sort_values(["shard", "pos"]).reset_index(drop=True))
+    monkeypatch.setattr(Q, "SHUF_GROUP_CAP", 0)   # force two-phase
+    big = (Q.shuffle_shard_documents(str(tmp_path)).to_pandas()
+           .sort_values(["shard", "pos"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        small[["doc_id", "shard", "pos"]].astype("int64"),
+        big[["doc_id", "shard", "pos"]].astype("int64"))
