@@ -146,6 +146,61 @@ def run_bench() -> dict:
 SCALING_ROWS = int(os.environ.get("RAYSCHEMA_SCALING_ROWS", "16000000"))
 
 
+def run_stage1_nowrite() -> dict:
+    """Validate-only scaling probe: the stage-1 fused read+full-constraint
+    suite consumed by a count aggregate INSTEAD of the parquet sink.
+    Added when this sandbox's virtual disk began throttling writes to
+    ~5 MB/s mid-round (2026-08-17; reads from page cache still ~800 MB/s,
+    CPU-burn scaling unaffected) — with a 4.6 GB output the standard
+    stage-1 measurement times the throttled device, not the engine. On a
+    real cluster both storage read and write bandwidth scale with node
+    count; this mode evidences the COMPUTE/pipeline term."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import glob as _glob
+
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from rayschema.corpus import generate_corpus
+    from rayschema.pipeline import CORPUS_SCHEMA_JSON, LANGS, validate_stage_fn
+
+    corpus_dir = os.path.join(BENCH_ROOT, f"corpus_scaling_{SCALING_ROWS}")
+    marker = os.path.join(corpus_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        shutil.rmtree(corpus_dir, ignore_errors=True)
+        generate_corpus(corpus_dir, SCALING_ROWS, num_blocks=64)
+        open(marker, "w").write("ok")
+    files = sorted(_glob.glob(os.path.join(corpus_dir, "*.parquet")))
+
+    # untimed warm pass (page-cache state comparable across levels)
+    rd.read_parquet(files, override_num_blocks=len(files)).map_batches(
+        lambda b: _pa.table({"n": [b.num_rows]}),
+        batch_format="pyarrow").sum("n")
+
+    t0 = time.time()
+    n = (rd.read_parquet(files, override_num_blocks=len(files))
+         .map_batches(validate_stage_fn,
+                      fn_kwargs={"schema_json": CORPUS_SCHEMA_JSON,
+                                 "registry": tuple(LANGS), "shard": "scal"},
+                      batch_format="pyarrow", zero_copy_batch=True)
+         .map_batches(lambda b: _pa.table({"n": [b.num_rows]}),
+                      batch_format="pyarrow")
+         .sum("n"))
+    wall = time.time() - t0
+    ray.shutdown()
+    return {"value": round(wall, 3),
+            "rows_per_sec": round(n / wall, 1),
+            "rows": int(n), "num_cpus": NUM_CPUS}
+
+
 def run_stage1_bench() -> dict:
     """North-star metric for the scaling criterion: validated rows/sec through
     the FULL constraint suite (schema keywords + referential + sha256 stamp +
@@ -199,7 +254,9 @@ def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    PYTHONPATH=os.path.dirname(here))
-        proc = subprocess.run([sys.executable, here, "--stage1"], env=env,
+        mode = ("--stage1-nowrite"
+                if os.environ.get("RAYSCHEMA_SCALE_NOWRITE") else "--stage1")
+        proc = subprocess.run([sys.executable, here, mode], env=env,
                               capture_output=True, text=True)
         if proc.returncode != 0:
             sys.stderr.write(proc.stderr[-4000:])
@@ -385,6 +442,8 @@ def run_serde_bench(reps: int = 200) -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stage1-nowrite" in sys.argv:
+        print(json.dumps(run_stage1_nowrite()))
     elif "--stage1" in sys.argv:
         print(json.dumps(run_stage1_bench()))
     elif "--serde" in sys.argv:
