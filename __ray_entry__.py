@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_write_roundtrip": Q.partitioned_write_roundtrip,
         "range_partition_bounds": Q.range_partition_bounds,
         "global_sort_rank": Q.global_sort_rank,
+        "zorder_documents": Q.zorder_documents,
         "salted_lang_chars": Q.salted_lang_chars,
         # -- drift (freq-L1 rule, integer-exact driver check)
         "drift_lang_by_source": Q.drift_lang_by_source,
@@ -1321,6 +1322,19 @@ def oracle_sql() -> dict[str, str]:
                             THEN t.n_chars END)::BIGINT AS bound
             FROM t, (SELECT unnest(generate_series(1, 15)) AS i) i
             GROUP BY i.i""",
+        # Z-order (Morton) clustering keys: bit-interleave of
+        # (n_chars, doc_id), 20 bits each; bucket = top 8 bits.
+        "zorder_documents": """
+            WITH d AS (SELECT doc_id, n_chars FROM documents
+                       WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+            bits AS (SELECT doc_id, n_chars,
+                            sum((((n_chars >> i.i) & 1) << (2 * i.i))
+                                + (((doc_id >> i.i) & 1) << (2 * i.i + 1)))
+                                ::BIGINT AS zkey
+                     FROM d, (SELECT unnest(generate_series(0, 19)) AS i) i
+                     GROUP BY doc_id, n_chars)
+            SELECT doc_id, zkey, (zkey >> 32)::BIGINT AS zbucket
+            FROM bits""",
         # Distributed total-order sort rank over (n_chars, doc_id).
         "global_sort_rank": """
             SELECT doc_id, n_chars,

@@ -3719,3 +3719,35 @@ def near_dup_clusters_distributed(sf_dir: str):
                              "cluster_id": pd.Series([], dtype="int64")})
     return out.astype({"doc_id": "int64", "cluster_id": "int64"}) \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+ZORDER_BITS = 20
+
+
+def zorder_documents(sf_dir: str):
+    """Z-ORDER (Morton) clustering keys over (n_chars, doc_id) — the
+    multi-dimensional data-layout primitive lakehouse engines use to
+    co-locate rows for multi-column pruning. Bit interleaving is one
+    vectorized numpy pass per batch (stateless, shuffle-free); the
+    DuckDB oracle recomputes the interleave with a generate_series bit
+    sum, so the keys are hash-exact. Emits (doc_id, zkey, zbucket) with
+    zbucket = top 8 bits (the partition a Z-sorted writer would route
+    the row to)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def zmap(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("doc_id")),
+                             pc.is_valid(b.column("n_chars"))))
+        x = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        z = np.zeros(len(x), dtype=np.int64)
+        for i in range(ZORDER_BITS):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return pa.table({"doc_id": pa.array(y),
+                         "zkey": pa.array(z),
+                         "zbucket": pa.array(z >> (2 * ZORDER_BITS - 8))})
+
+    return ds.map_batches(zmap, batch_format="pyarrow")
