@@ -285,9 +285,21 @@ def enum_mask(arr: pa.Array, values: list) -> np.ndarray:
     keys = {_py_value_key(v) for v in values}
     out = np.empty(n, dtype=bool)
     pylist = arr.to_pylist()
+    if pa.types.is_map(t):
+        # MapArray.to_pylist yields [(k, v), ...] tuples, not dicts —
+        # normalize so canonical-JSON keys match dict-valued enum/const
+        # members (draft-07 object equality)
+        pylist = [v if v is None else _map_tuples_to_obj(v) for v in pylist]
     for i, v in enumerate(pylist):
         out[i] = True if v is None else _py_value_key(v) in keys
     return out
+
+
+def _map_tuples_to_obj(v):
+    if isinstance(v, list) and all(
+            isinstance(e, tuple) and len(e) == 2 for e in v):
+        return {k: _map_tuples_to_obj(x) for k, x in v}
+    return v
 
 
 def const_mask(arr: pa.Array, value) -> np.ndarray:

@@ -200,3 +200,97 @@ def test_property_names_static_subjects():
     arr = pa.array([{"good": 1, "Bad": 2}, {"good": 1, "Bad": None}, None], type=typ)
     # 'Bad' fails the lowercase pattern only where its value is present
     check('{"propertyNames":{"pattern":"^[a-z]+$"}}', arr, [False, True, True])
+
+
+# ---- session-5 additions: more official-suite-style edges -------------------
+def test_unique_items_nested_arrays():
+    arr = pa.array([[[1, 2], [1, 2]], [[1, 2], [2, 1]], [[], []]],
+                   type=pa.list_(pa.list_(pa.int64())))
+    check('{"uniqueItems":true}', arr, [False, True, False])
+
+
+def test_contains_with_bounds_schema():
+    arr = pa.array([[1, 50, 3], [1, 2], [], [99]],
+                   type=pa.list_(pa.int64()))
+    check('{"contains":{"minimum":10}}', arr, [True, False, False, True])
+
+
+def test_dependencies_chain_both_arms():
+    arr = pa.array([{"a": "1"}, {"a": "1", "b": "2"},
+                    {"a": "1", "b": "2", "c": "3"}, {"b": "2", "c": "3"}],
+                   type=pa.map_(pa.string(), pa.string()))
+    # a requires b (array arm); b requires schema arm needing c present
+    check('{"dependencies":{"a":["b"],"b":{"required":["c"]}}}',
+          arr, [False, False, True, True])
+
+
+def test_ref_chain_through_definitions():
+    check('{"definitions":{"a":{"$ref":"#/definitions/b"},'
+          '"b":{"minLength":3}},"$ref":"#/definitions/a"}',
+          ["ab", "abc"], [False, True])
+
+
+def test_exclusive_bounds_equality_edges():
+    check('{"exclusiveMinimum":2,"exclusiveMaximum":4}',
+          [2.0, 2.5, 4.0, 3.999], [False, True, False, True])
+    check('{"minimum":2,"maximum":4}', [2.0, 4.0, 4.001],
+          [True, True, False])
+
+
+def test_property_names_pattern():
+    arr = pa.array([{"ok": "1"}, {"bad-key!": "1"}, {}],
+                   type=pa.map_(pa.string(), pa.string()))
+    check('{"propertyNames":{"pattern":"^[a-z]+$"}}', arr,
+          [True, False, True])
+
+
+def test_required_with_additional_properties_false():
+    arr = pa.array([{"a": "1"}, {"a": "1", "b": "2"}, {"b": "2"}],
+                   type=pa.map_(pa.string(), pa.string()))
+    check('{"required":["a"],"properties":{"a":{}},'
+          '"additionalProperties":false}',
+          arr, [True, False, False])
+
+
+def test_if_then_else_full_chain():
+    check('{"if":{"pattern":"^a"},"then":{"minLength":3},'
+          '"else":{"maxLength":2}}',
+          ["abc", "ab", "xy", "xyz"], [True, False, True, False])
+
+
+def test_enum_mixed_scalar_types_on_float_column():
+    # whole floats equal integer enum members (Go/json semantics)
+    check('{"enum":[1,"x",2.5]}', [1.0, 2.5, 3.0], [True, True, False])
+
+
+def test_multiple_of_fractional():
+    check('{"multipleOf":0.5}', [1.0, 1.25, 2.5], [True, False, True])
+
+
+def test_min_max_items_with_tuple_items():
+    arr = pa.array([[1], [1, 2], [1, 2, 3]], type=pa.list_(pa.int64()))
+    check('{"items":[{"minimum":0},{"minimum":2}],"minItems":2,'
+          '"maxItems":2}',
+          arr, [False, True, False])
+
+
+def test_pattern_is_search_not_fullmatch():
+    check('{"pattern":"b+c"}', ["abcx", "ac", "bc"], [True, False, True])
+
+
+def test_const_object_on_map_column():
+    arr = pa.array([{"k": "1"}, {"k": "2"}, {}],
+                   type=pa.map_(pa.string(), pa.string()))
+    check('{"const":{"k":"1"}}', arr, [True, False, False])
+
+
+def test_boolean_schema_nested_in_properties():
+    arr = pa.array([{"a": "1"}, {"b": "2"}, {}],
+                   type=pa.map_(pa.string(), pa.string()))
+    # "a": false -> any object WITH key a fails
+    check('{"properties":{"a":false}}', arr, [False, True, True])
+
+
+def test_anyof_all_fail_and_empty_string_edges():
+    check('{"anyOf":[{"minLength":5},{"pattern":"^z"}]}',
+          ["abc", "zz", "abcdef", ""], [False, True, True, False])
