@@ -294,3 +294,26 @@ def test_boolean_schema_nested_in_properties():
 def test_anyof_all_fail_and_empty_string_edges():
     check('{"anyOf":[{"minLength":5},{"pattern":"^z"}]}',
           ["abc", "zz", "abcdef", ""], [False, True, True, False])
+
+
+def test_min_length_counts_codepoints_not_utf16_units():
+    # U+1D11E (musical G clef) is ONE codepoint (2 UTF-16 units, 4 UTF-8
+    # bytes) — draft-07 length is by codepoints
+    check('{"minLength":2}', ["\U0001D11Ea", "\U0001D11E", "ab"],
+          [True, False, True])
+
+
+def test_items_false_allows_only_empty_arrays():
+    check('{"items":false}',
+          pa.array([[], [1]], type=pa.list_(pa.int64())), [True, False])
+
+
+def test_contains_true_requires_nonempty():
+    check('{"contains":true}',
+          pa.array([[], [1]], type=pa.list_(pa.int64())), [False, True])
+
+
+def test_additional_items_false_caps_tuple_length():
+    check('{"items":[{}],"additionalItems":false}',
+          pa.array([[1], [1, 2], []], type=pa.list_(pa.int64())),
+          [True, False, True])
