@@ -313,7 +313,11 @@ def run_validation(corpus_path: str, out_dir: str,
         shard_out = os.path.join(out_dir, "validated", sid)
         # overwrite: a half-written shard (crash before the manifest record)
         # is replaced, never appended to — reruns stay idempotent
-        aug.write_parquet(shard_out, mode="overwrite")
+        # zstd over the default snappy: the validated output is key
+        # strings + hex digests (dictionary+entropy coding halves it) and
+        # at 100 TB — or on a write-throttled device — output BYTES are
+        # the stage-1 bottleneck after compute
+        aug.write_parquet(shard_out, mode="overwrite", compression="zstd")
         try:  # per-stage wall/cpu/memory breakdown for tuning (ds.stats())
             with open(os.path.join(out_dir, f"ray_stats_{sid}.txt"), "w") as f:
                 f.write(aug.stats())
