@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus_exact": Q.dedup_corpus_exact,
         "dedup_incremental": Q.dedup_incremental,
         "curation_pipeline_documents": Q.curation_pipeline_documents,
+        "trainer_export_pipeline": Q.trainer_export_pipeline,
         "split_by_cluster": Q.split_by_cluster,
         "split_leakage_audit": Q.split_leakage_audit,
         "stratified_sample_documents": Q.stratified_sample_documents,
@@ -685,6 +686,49 @@ def oracle_sql() -> dict[str, str]:
                         WHEN p.doc_id % 10 = 1 THEN 'val'
                         ELSE 'train' END AS split
             FROM pass p JOIN kept k ON p.doc_id = k.doc_id""",
+        # Composed trainer export: Gopher gate -> 8-gram benchmark
+        # decontamination -> exact dedup -> seeded shuffle-shard placement.
+        "trainer_export_pipeline": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL),
+            sp AS (SELECT doc_id, string_split(text, ' ') AS sp FROM d),
+            w8 AS (SELECT doc_id, array_to_string(sp[i:i+7], ' ') AS g
+                   FROM (SELECT doc_id, sp,
+                                unnest(generate_series(1, len(sp) - 7)) AS i
+                         FROM sp)),
+            bench AS (SELECT DISTINCT g FROM w8 WHERE doc_id % 17 = 7),
+            contaminated AS (
+              SELECT DISTINCT w8.doc_id FROM w8 JOIN bench USING (g)
+              WHERE w8.doc_id % 17 <> 7),
+            gw AS (SELECT doc_id, unnest(sp) AS word FROM sp
+                   WHERE doc_id % 17 <> 7),
+            per AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+                           sum(length(word))::BIGINT AS sum_wlen,
+                           sum(CASE WHEN regexp_matches(word, '[A-Za-z]')
+                               THEN 1 ELSE 0 END)::BIGINT AS n_alpha,
+                           sum(CASE WHEN word IN ('the','a','of','to',
+                                                  'and','that','is')
+                               THEN 1 ELSE 0 END)::BIGINT AS n_stop
+                    FROM gw GROUP BY doc_id),
+            pass AS (SELECT doc_id FROM per
+                     WHERE n_words BETWEEN 50 AND 100000
+                       AND sum_wlen BETWEEN 3 * n_words AND 10 * n_words
+                       AND 5 * n_alpha >= 4 * n_words AND n_stop >= 2
+                       AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            kept AS (SELECT min(d.doc_id) AS doc_id
+                     FROM d JOIN pass USING (doc_id) GROUP BY d.text),
+            h AS (SELECT doc_id,
+                         (doc_id * 2654435761 + 42) % 4294967296 AS h1
+                  FROM kept),
+            s AS (SELECT doc_id, (h1 % 16)::BIGINT AS shard,
+                         ((h1::HUGEINT * 2246822519)
+                          % 4294967296)::BIGINT AS h2
+                  FROM h)
+            SELECT doc_id, shard,
+                   (row_number() OVER (PARTITION BY shard
+                                       ORDER BY h2, doc_id) - 1)::BIGINT
+                       AS pos
+            FROM s""",
         "tfidf_top_term": """
             WITH words AS (
               SELECT doc_id, unnest(string_split(text, ' ')) AS word

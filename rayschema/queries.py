@@ -1291,6 +1291,31 @@ def decontaminate_documents(sf_dir: str):
 NGRAM_DECONTAM_N = 8
 
 
+def _doc_window_hashes(b: pa.Table, n: int):
+    """(window_hash, doc_index) for every full n-token window of a batch
+    (shared by ngram decontamination and the trainer export pipeline):
+    words hash via the batch dictionary (hash the small dictionary once,
+    map codes), windows via one rolling-hash pass, cross-doc windows
+    masked out."""
+    from rayschema.dedup import _rolling_hashes
+    from rayschema.sketches import hash64
+    from rayschema.text import _flatten_words_arrow
+
+    col = b.column("text")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat, _, doc_idx = _flatten_words_arrow(col)
+    if len(flat) < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    enc = flat.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    th = hash64(enc.dictionary.to_numpy(zero_copy_only=False))[codes]
+    wh = _rolling_hashes(th, n)
+    pos = np.arange(len(wh), dtype=np.int64)
+    same_doc = doc_idx[pos] == doc_idx[pos + n - 1]
+    return wh[same_doc], doc_idx[pos[same_doc]]
+
+
 def ngram_decontaminate_documents(sf_dir: str, n: int = NGRAM_DECONTAM_N):
     """Token-n-gram decontamination — the GPT-3/13-gram-style scalable
     variant of benchmark decontamination: a doc is contaminated when any
@@ -1313,21 +1338,7 @@ def ngram_decontaminate_documents(sf_dir: str, n: int = NGRAM_DECONTAM_N):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def window_hashes(b: pa.Table):
-        """(window_hash, doc_index) for every full n-token window."""
-        col = b.column("text")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        flat, _, doc_idx = _flatten_words_arrow(col)
-        if len(flat) < n:
-            return np.empty(0, np.uint64), np.empty(0, np.int64)
-        # hash the (small) dictionary once, map codes — not every word
-        enc = flat.dictionary_encode()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        th = hash64(enc.dictionary.to_numpy(zero_copy_only=False))[codes]
-        wh = _rolling_hashes(th, n)
-        pos = np.arange(len(wh), dtype=np.int64)
-        same_doc = doc_idx[pos] == doc_idx[pos + n - 1]
-        return wh[same_doc], doc_idx[pos[same_doc]]
+        return _doc_window_hashes(b, n)
 
     def _mod_mask(b: pa.Table, is_bench: bool) -> np.ndarray:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
@@ -3751,3 +3762,84 @@ def zorder_documents(sf_dir: str):
                          "zbucket": pa.array(z >> (2 * ZORDER_BITS - 8))})
 
     return ds.map_batches(zmap, batch_format="pyarrow")
+
+
+def trainer_export_pipeline(sf_dir: str):
+    """The COMPOSED end-to-end trainer export — the second full-chain
+    pipeline (the first, curation_pipeline_documents, gates on
+    repetition + validity): Gopher quality rules -> token-8-gram
+    benchmark decontamination -> exact dedup -> deterministic
+    shuffle-shard placement, all with a single full-chain DuckDB oracle.
+
+    Stages and their shapes (each proven green standalone):
+    1. ONE pass computes Gopher pass flags (vectorized split kernel) and
+       window-hash contamination against the broadcast benchmark-hash
+       array (searchsorted); survivors keep only (doc_id, text);
+    2. `_exact_dedup_core` keeps min-id per distinct text (24-byte
+       shuffle, distributed verify);
+    3. kept ids get the seeded multiplicative-hash shard + within-shard
+       rank (the kept set is output-sized; the adaptive two-phase rank
+       takes over at scale exactly as in shuffle_shard_documents).
+    Emits (doc_id, shard, pos)."""
+    import ray
+
+    from rayschema.text import gopher_flags_batch
+
+    n = NGRAM_DECONTAM_N
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def bench_partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        b = b.filter(pc.and_(pc.is_valid(b.column("text")),
+                             pa.array(ids % DECONTAM_MOD == 7)))
+        wh, _ = _doc_window_hashes(b, n)
+        return pa.table({"h": pa.array(np.unique(wh).view(np.int64))})
+
+    bench = ds.map_batches(bench_partial, batch_format="pyarrow").to_pandas()
+    bench_h = np.unique(bench["h"].to_numpy(np.int64)) if len(bench) \
+        else np.empty(0, np.int64)
+    ref = ray.put(bench_h)
+
+    def gate(b: pa.Table, _ref=ref) -> pa.Table:
+        bh = ray.get(_ref)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        b = b.filter(pc.and_(pc.is_valid(b.column("text")),
+                             pa.array(ids % DECONTAM_MOD != 7)))
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "text": pa.array([], type=pa.string())})
+        g = gopher_flags_batch(b)
+        passed = np.zeros(b.num_rows, dtype=bool)
+        # gopher drops docs with zero words from its output — align by id
+        gid = g.column("doc_id").to_numpy(zero_copy_only=False)
+        bid = b.column("doc_id").to_numpy(zero_copy_only=False)
+        gp = g.column("gopher_pass").to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        pos = np.searchsorted(np.sort(bid), gid)
+        order = np.argsort(bid)
+        passed[order[pos]] = gp
+        wh, widx = _doc_window_hashes(b, n)
+        if len(wh) and len(bh):
+            p = np.minimum(np.searchsorted(bh, wh.view(np.int64)),
+                           len(bh) - 1)
+            hit = bh[p] == wh.view(np.int64)
+            passed[np.unique(widx[hit])] = False
+        m = pa.array(passed)
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64())
+                         .filter(m),
+                         "text": b.column("text").filter(m)})
+
+    survivors = ds.map_batches(gate, batch_format="pyarrow")
+    kept = _exact_dedup_core(survivors, emit="kept").to_pandas()
+    ids = kept["doc_id"].to_numpy(np.uint64)
+    h1 = (ids * np.uint64(SHUF_KNUTH) + np.uint64(SHUF_SEED)) \
+        % np.uint64(SHUF_MOD)
+    h2 = (h1 * np.uint64(SHUF_MIX)) % np.uint64(SHUF_MOD)
+    out = pd.DataFrame({"doc_id": ids.astype(np.int64),
+                        "shard": (h1 % np.uint64(SHUF_N_SHARDS))
+                        .astype(np.int64),
+                        "h2": h2.astype(np.int64)})
+    out = out.sort_values(["shard", "h2", "doc_id"], kind="mergesort")
+    out["pos"] = out.groupby("shard").cumcount().astype(np.int64)
+    return (out[["doc_id", "shard", "pos"]]
+            .sort_values("doc_id").reset_index(drop=True))

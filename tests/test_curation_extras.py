@@ -656,3 +656,32 @@ def test_shuffle_shard_paths_identical(ray_session, tmp_path, monkeypatch):
     pd.testing.assert_frame_equal(
         small[["doc_id", "shard", "pos"]].astype("int64"),
         big[["doc_id", "shard", "pos"]].astype("int64"))
+
+
+def test_trainer_export_pipeline_stage_effects(ray_session, tmp_path):
+    """Each stage visibly removes what it should: quality-fail, bench
+    docs, contaminated docs, exact dups — survivors get deterministic
+    (shard, pos) with contiguous per-shard positions."""
+    import rayschema.queries as Q
+
+    good = ("the code of " + "alpha beta gamma delta " * 15).strip()
+    # 63 words, 2 stopword hits, mean word length ~4.5 -> gopher-passes
+    bench = " ".join(f"marker{i}" for i in range(12))   # disjoint 8-grams
+    rows = []
+    rows.append((0, good))                        # kept
+    rows.append((1, good + " tail"))              # kept (distinct text)
+    rows.append((2, good))                        # exact dup of 0 -> dropped
+    rows.append((3, "short text"))                # gopher fail (words < 50)
+    rows.append((7, bench))                       # doc 7 = benchmark doc
+    # gopher-passing but contaminated: carries an 8-token bench window
+    rows.append((4, good + " " + " ".join(
+        f"marker{i}" for i in range(8))))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    got = Q.trainer_export_pipeline(str(tmp_path))
+    assert set(got["doc_id"]) == {0, 1}
+    # positions contiguous from 0 within each shard
+    for _, g in got.groupby("shard"):
+        assert sorted(g["pos"].tolist()) == list(range(len(g)))
