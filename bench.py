@@ -110,6 +110,7 @@ def run_bench() -> dict:
         ("q3_shipping_priority", Q.q3_shipping_priority),
         ("events_rolling_window", Q.events_rolling_window),
         ("global_sort_rank", Q.global_sort_rank),
+        ("trainer_export_pipeline", Q.trainer_export_pipeline),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s
