@@ -2999,9 +2999,12 @@ def q3_shipping_priority(sf_dir: str):
             ks = ray.get(_kref)
             ck = b.column("o_custkey").to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
-            pos = np.searchsorted(ks, ck)
-            pos_c = np.minimum(pos, len(ks) - 1)
-            mask = ks[pos_c] == ck
+            if len(ks) == 0:    # segment matched no customer: empty result
+                mask = np.zeros(len(ck), dtype=bool)
+            else:
+                pos = np.searchsorted(ks, ck)
+                pos_c = np.minimum(pos, len(ks) - 1)
+                mask = ks[pos_c] == ck
             return pa.table({
                 "o_orderkey": b.column("o_orderkey").filter(pa.array(mask)),
                 "o_orderdate": b.column("o_orderdate")
@@ -3399,8 +3402,16 @@ def supplier_nation_balance(sf_dir: str):
         nk = b.column("s_nationkey").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         cents = _cents(b.column("s_acctbal").to_numpy(zero_copy_only=False))
-        pos = np.searchsorted(keys, nk)
-        df = pd.DataFrame({"n_name": names[pos], "cents": cents})
+        # inner-join semantics: clamp then verify the key actually matches;
+        # a supplier with no nation row is dropped, not mis-attributed
+        if len(keys) == 0:
+            df = pd.DataFrame({"n_name": np.array([], dtype=object),
+                               "cents": np.array([], dtype=np.int64)})
+        else:
+            pos = np.minimum(np.searchsorted(keys, nk), len(keys) - 1)
+            hit = keys[pos] == nk
+            df = pd.DataFrame({"n_name": names[pos][hit],
+                               "cents": cents[hit]})
         g = (df.groupby("n_name", as_index=False)
              .agg(n_suppliers=("cents", "size"),
                   sum_acctbal_cents=("cents", "sum"),
@@ -3561,11 +3572,6 @@ def dedup_incremental(sf_dir: str):
     new = ds.filter(expr=f"doc_id >= {INCR_OLD_LIMIT} "
                          f"and doc_id < {INCR_NEW_LIMIT}") \
         .map_batches(drop_null, batch_format="pyarrow")
-
-    def uk_of(b: pa.Table) -> pa.Table:
-        txt = np.asarray(b.column("text").to_pylist(), dtype=object)
-        uk = _mix64(hash64(txt)).view(np.int64)
-        return pa.table({"uk": pa.array(uk)})
 
     # fixed-size hashed bitmap (2 MB at 24 bits) instead of the raw hash
     # array: constant broadcast no matter how large the ingested corpus;

@@ -285,20 +285,42 @@ def enum_mask(arr: pa.Array, values: list) -> np.ndarray:
     keys = {_py_value_key(v) for v in values}
     out = np.empty(n, dtype=bool)
     pylist = arr.to_pylist()
-    if pa.types.is_map(t):
+    if _type_contains_map(t):
         # MapArray.to_pylist yields [(k, v), ...] tuples, not dicts —
-        # normalize so canonical-JSON keys match dict-valued enum/const
-        # members (draft-07 object equality)
-        pylist = [v if v is None else _map_tuples_to_obj(v) for v in pylist]
+        # normalize (driven by the Arrow type tree, so a map nested in a
+        # list/struct converts and an empty *list* value stays a list) so
+        # canonical-JSON keys match dict-valued enum/const members
+        # (draft-07 object equality)
+        pylist = [_canon_by_type(v, t) for v in pylist]
     for i, v in enumerate(pylist):
         out[i] = True if v is None else _py_value_key(v) in keys
     return out
 
 
-def _map_tuples_to_obj(v):
-    if isinstance(v, list) and all(
-            isinstance(e, tuple) and len(e) == 2 for e in v):
-        return {k: _map_tuples_to_obj(x) for k, x in v}
+def _type_contains_map(t: pa.DataType) -> bool:
+    if pa.types.is_map(t):
+        return True
+    if is_listish(t):
+        return _type_contains_map(t.value_type)
+    if pa.types.is_struct(t):
+        return any(_type_contains_map(f.type) for f in t)
+    return False
+
+
+def _canon_by_type(v, t: pa.DataType):
+    """Convert MapArray tuple-pairs to dicts wherever the Arrow TYPE is a
+    map (not wherever the value merely looks like pairs), recursing through
+    list and struct containers."""
+    if v is None:
+        return None
+    if pa.types.is_map(t):
+        it = t.item_type
+        return {k: _canon_by_type(x, it) for k, x in v}
+    if is_listish(t):
+        et = t.value_type
+        return [_canon_by_type(x, et) for x in v]
+    if pa.types.is_struct(t):
+        return {f.name: _canon_by_type(v.get(f.name), f.type) for f in t}
     return v
 
 

@@ -145,6 +145,33 @@ def test_map_null_value_is_absent():
     assert m.tolist() == [True, False, True]
 
 
+def test_enum_map_canonicalization_by_type():
+    """Tuple->dict canonicalization is driven by the Arrow TYPE tree:
+    an empty LIST value inside a map must stay a list (not become {}),
+    and a map nested inside a list converts to a dict for enum equality."""
+    from rayschema.validate import enum_mask
+
+    # map<string, list<int>> — empty-list value must not canonicalize to {}
+    mp = pa.array([{"k": []}, {"k": [1]}],
+                  type=pa.map_(pa.string(), pa.list_(pa.int64())))
+    m = enum_mask(mp, [{"k": {}}])
+    assert m.tolist() == [False, False]
+    m = enum_mask(mp, [{"k": []}])
+    assert m.tolist() == [True, False]
+
+    # list<map<string,string>> — nested map converts to dict
+    lm = pa.array([[{"a": "x"}], [{"b": "y"}]],
+                  type=pa.list_(pa.map_(pa.string(), pa.string())))
+    m = enum_mask(lm, [[{"a": "x"}]])
+    assert m.tolist() == [True, False]
+
+    # struct<m: map<string,string>> — map inside struct converts
+    st = pa.array([{"m": {"a": "x"}}, {"m": {"b": "y"}}],
+                  type=pa.struct([("m", pa.map_(pa.string(), pa.string()))]))
+    m = enum_mask(st, [{"m": {"a": "x"}}])
+    assert m.tolist() == [True, False]
+
+
 def test_applicators():
     t = pa.table({"n": [3.0, 5.0, 15.0, 7.0, None]})
     m, _ = masks('{"properties":{"n":{"oneOf":[{"multipleOf":3},{"multipleOf":5}]}}}', t)
