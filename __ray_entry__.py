@@ -161,63 +161,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering: the driver's correctness window covers the FIRST 50 entries.
+    # CORRECTNESS_r03 checked slots 1-50 of the round-3 order; the 46 queries
+    # it never reached are rotated to slots 2-47 here (flagship stays first),
+    # and slots 48-50 hold the queries whose implementation changed this
+    # round (re-check needed). The round-3-green remainder follows.
     return {
-        # -- validation (north-star core)
+        # -- flagship (keep first)
         "validate_documents_verdicts": Q.validate_documents_verdicts,
-        "validate_documents_violations": Q.validate_documents_violations,
-        "referential_docs_lang": Q.referential_docs_lang,
-        # -- column statistics
-        "column_stats_lang": Q.column_stats_lang,
-        "column_stats_quantity": Q.column_stats_quantity,
-        "stats_documents_sketch": Q.stats_documents_sketch,       # rows-only
-        # -- uniqueness / dedup
-        "duplicate_events": Q.duplicate_events,
-        "exact_dedup_documents": Q.exact_dedup_documents,
-        "minhash_near_dup_documents": Q.minhash_near_dup_documents,  # rows-only
-        "minhash_near_dup_exact": Q.minhash_near_dup_exact,
-        "near_dup_clusters_documents": Q.near_dup_clusters_documents,  # rows-only
-        "near_dup_clusters_exact": Q.near_dup_clusters_exact,
-        "near_dup_degree": Q.near_dup_degree,
-        "near_dup_clusters_distributed": Q.near_dup_clusters_distributed,
-        "dedup_corpus_exact": Q.dedup_corpus_exact,
-        "dedup_incremental": Q.dedup_incremental,
-        "curation_pipeline_documents": Q.curation_pipeline_documents,
-        "trainer_export_pipeline": Q.trainer_export_pipeline,
-        "split_by_cluster": Q.split_by_cluster,
-        "split_leakage_audit": Q.split_leakage_audit,
-        "stratified_sample_documents": Q.stratified_sample_documents,
-        "simhash_near_dup_documents": Q.simhash_near_dup_documents,  # rows-only
-        "embedding_near_dup": Q.embedding_near_dup,
-        "embedding_near_dup_lsh": Q.embedding_near_dup_lsh,           # rows-only
-        # -- similarity search
-        "knn_bruteforce": Q.knn_bruteforce,
-        "knn_ivf": Q.knn_ivf,                                         # rows-only
-        # -- approximate-path recall, driver-checked
-        "lsh_recall_report": Q.lsh_recall_report,     # exact DuckDB oracle
-        "ann_recall_report": Q.ann_recall_report,                     # rows-only
-        # -- text analysis
-        "token_counts_documents": Q.token_counts_documents,
-        "token_log2_histogram": Q.token_log2_histogram,
-        "bpeish_token_counts": Q.bpeish_token_counts,
-        "char_class_counts": Q.char_class_counts,
-        "langid_documents": Q.langid_documents,
-        "quality_documents": Q.quality_documents,
-        "fingerprint_documents": Q.fingerprint_documents,             # rows-only
-        "repetition_stats_documents": Q.repetition_stats_documents,
-        "decontaminate_documents": Q.decontaminate_documents,
-        "ngram_decontaminate_documents": Q.ngram_decontaminate_documents,
-        "gopher_quality_flags": Q.gopher_quality_flags,
-        "shuffle_shard_documents": Q.shuffle_shard_documents,
-        "source_mixture_weights": Q.source_mixture_weights,
-        "pq_encode_embeddings": Q.pq_encode_embeddings,
-        "keep_best_per_cluster": Q.keep_best_per_cluster,
-        "events_hourly_anomaly": Q.events_hourly_anomaly,
-        "bigram_next_word": Q.bigram_next_word,
-        "bigram_coverage_score": Q.bigram_coverage_score,
-        "bpe_top_pairs": Q.bpe_top_pairs,
-        "regex_redact_documents": Q.regex_redact_documents,
-        "vocabulary_top_words": Q.vocabulary_top_words,
-        "pack_sequences_documents": Q.pack_sequences_documents,
+        # -- rotated in: never driver-checked before round 4 ---------------
         "tfidf_top_term": Q.tfidf_top_term,
         "inverted_index_words": Q.inverted_index_words,
         "embedding_mean_by_lang": Q.embedding_mean_by_lang,
@@ -230,7 +182,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup_embeddings": Q.semdedup_embeddings,
         "dup_span_stats": Q.dup_span_stats,
         "chunk_documents": Q.chunk_documents,
-        # -- relational engine coverage
         "pricing_summary": Q.pricing_summary,
         "top_revenue_customers": Q.top_revenue_customers,
         "events_hourly_window": Q.events_hourly_window,
@@ -241,7 +192,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_topk": Q.lineitem_topk,
         "distinct_mktsegment": Q.distinct_mktsegment,
         "orders_priority_count": Q.orders_priority_count,
-        # -- joins / windows / skew
         "order_revenue_join": Q.order_revenue_join,
         "q3_shipping_priority": Q.q3_shipping_priority,
         "events_orders_asof": Q.events_orders_asof,
@@ -261,15 +211,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_sort_rank": Q.global_sort_rank,
         "zorder_documents": Q.zorder_documents,
         "salted_lang_chars": Q.salted_lang_chars,
-        # -- drift (freq-L1 rule, integer-exact driver check)
         "drift_lang_by_source": Q.drift_lang_by_source,
-        # -- dynamic JSON column validation
         "validate_events_props": Q.validate_events_props,
-        # -- schema documents as data (distributed serde + analysis)
         "schema_docs_analysis": Q.schema_docs_analysis,               # rows-only
-        # -- multimodal plumbing
         "multimodal_features": Q.multimodal_features,                 # rows-only
         "multimodal_pipeline": Q.multimodal_pipeline,                 # rows-only
+        # -- implementation changed in round 4: re-check -------------------
+        "keep_best_per_cluster": Q.keep_best_per_cluster,
+        "trainer_export_pipeline": Q.trainer_export_pipeline,
+        "simhash_near_dup_documents": Q.simhash_near_dup_documents,
+        # -- round-3 driver-green remainder ---------------------------------
+        "validate_documents_violations": Q.validate_documents_violations,
+        "referential_docs_lang": Q.referential_docs_lang,
+        "column_stats_lang": Q.column_stats_lang,
+        "column_stats_quantity": Q.column_stats_quantity,
+        "stats_documents_sketch": Q.stats_documents_sketch,       # rows-only
+        "duplicate_events": Q.duplicate_events,
+        "exact_dedup_documents": Q.exact_dedup_documents,
+        "minhash_near_dup_documents": Q.minhash_near_dup_documents,  # rows-only
+        "minhash_near_dup_exact": Q.minhash_near_dup_exact,
+        "near_dup_clusters_documents": Q.near_dup_clusters_documents,  # rows-only
+        "near_dup_clusters_exact": Q.near_dup_clusters_exact,
+        "near_dup_degree": Q.near_dup_degree,
+        "near_dup_clusters_distributed": Q.near_dup_clusters_distributed,
+        "dedup_corpus_exact": Q.dedup_corpus_exact,
+        "dedup_incremental": Q.dedup_incremental,
+        "curation_pipeline_documents": Q.curation_pipeline_documents,
+        "split_by_cluster": Q.split_by_cluster,
+        "split_leakage_audit": Q.split_leakage_audit,
+        "stratified_sample_documents": Q.stratified_sample_documents,
+        "embedding_near_dup": Q.embedding_near_dup,
+        "embedding_near_dup_lsh": Q.embedding_near_dup_lsh,           # rows-only
+        "knn_bruteforce": Q.knn_bruteforce,
+        "knn_ivf": Q.knn_ivf,                                         # rows-only
+        "lsh_recall_report": Q.lsh_recall_report,     # exact DuckDB oracle
+        "ann_recall_report": Q.ann_recall_report,                     # rows-only
+        "token_counts_documents": Q.token_counts_documents,
+        "token_log2_histogram": Q.token_log2_histogram,
+        "bpeish_token_counts": Q.bpeish_token_counts,
+        "char_class_counts": Q.char_class_counts,
+        "langid_documents": Q.langid_documents,
+        "quality_documents": Q.quality_documents,
+        "fingerprint_documents": Q.fingerprint_documents,             # rows-only
+        "repetition_stats_documents": Q.repetition_stats_documents,
+        "decontaminate_documents": Q.decontaminate_documents,
+        "ngram_decontaminate_documents": Q.ngram_decontaminate_documents,
+        "gopher_quality_flags": Q.gopher_quality_flags,
+        "shuffle_shard_documents": Q.shuffle_shard_documents,
+        "source_mixture_weights": Q.source_mixture_weights,
+        "pq_encode_embeddings": Q.pq_encode_embeddings,
+        "events_hourly_anomaly": Q.events_hourly_anomaly,
+        "bigram_next_word": Q.bigram_next_word,
+        "bigram_coverage_score": Q.bigram_coverage_score,
+        "bpe_top_pairs": Q.bpe_top_pairs,
+        "regex_redact_documents": Q.regex_redact_documents,
+        "vocabulary_top_words": Q.vocabulary_top_words,
+        "pack_sequences_documents": Q.pack_sequences_documents,
     }
 
 

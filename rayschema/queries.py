@@ -968,6 +968,21 @@ SHUF_SEED = 42
 SHUF_N_SHARDS = 16
 
 
+def _parquet_row_count(sf_dir: str, table: str) -> int:
+    """Row count straight from parquet footer metadata — no dataset
+    execution (the adaptive-path gate used to cost an extra ds.count()
+    run; footers are metadata-sized at any corpus scale)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    files = sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
+                             recursive=True)) if os.path.isdir(path) \
+        else [path]
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 def shuffle_shard_documents(sf_dir: str, n_shards: int = SHUF_N_SHARDS,
                             seed: int = SHUF_SEED):
     """Deterministic seeded global shuffle + shard assignment — the
@@ -978,6 +993,17 @@ def shuffle_shard_documents(sf_dir: str, n_shards: int = SHUF_N_SHARDS,
     (id, shard, h2) ever moves — text never shuffles; the writer stage
     would co-read text by id per shard. Emits (doc_id, shard, pos)."""
     ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return _shuffle_shard_rank(ds, n_shards, seed,
+                               n_rows=_parquet_row_count(sf_dir,
+                                                         "documents"))
+
+
+def _shuffle_shard_rank(ds, n_shards: int = SHUF_N_SHARDS,
+                        seed: int = SHUF_SEED, n_rows: int = None):
+    """Shared seeded shard + within-shard rank over a (doc_id) Dataset —
+    the rank core of shuffle_shard_documents, also the shard-placement
+    stage of trainer_export_pipeline. ``n_rows`` (when known from parquet
+    metadata) picks the adaptive path without an extra execution."""
 
     def assign(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
@@ -999,7 +1025,9 @@ def shuffle_shard_documents(sf_dir: str, n_shards: int = SHUF_N_SHARDS,
     # offsets; phase 2 is ONE narrow (shard, bucket, h2, id) sort whose
     # block kernel adds offset + within-group position. No group ever
     # exceeds a bucket. Both paths emit identical rows (equality-tested).
-    if ds.count() <= n_shards * SHUF_GROUP_CAP:
+    if n_rows is None:
+        n_rows = ds.count()
+    if n_rows <= n_shards * SHUF_GROUP_CAP:
         def rank(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(["h2", "doc_id"]).reset_index(drop=True)
             g["pos"] = np.arange(len(g), dtype=np.int64)
@@ -3783,9 +3811,11 @@ def trainer_export_pipeline(sf_dir: str):
        array (searchsorted); survivors keep only (doc_id, text);
     2. `_exact_dedup_core` keeps min-id per distinct text (24-byte
        shuffle, distributed verify);
-    3. kept ids get the seeded multiplicative-hash shard + within-shard
-       rank (the kept set is output-sized; the adaptive two-phase rank
-       takes over at scale exactly as in shuffle_shard_documents).
+    3. kept ids go through the SHARED seeded shard + within-shard rank
+       (`_shuffle_shard_rank` — the exact rank core of
+       shuffle_shard_documents, with its adaptive map_groups ↔ two-phase
+       histogram-offset switch), so driver state is O(1): no kept id
+       ever lands on the driver.
     Emits (doc_id, shard, pos)."""
     import ray
 
@@ -3816,7 +3846,9 @@ def trainer_export_pipeline(sf_dir: str):
                              "text": pa.array([], type=pa.string())})
         g = gopher_flags_batch(b)
         passed = np.zeros(b.num_rows, dtype=bool)
-        # gopher drops docs with zero words from its output — align by id
+        # gopher emits one row per non-null text (split_pattern mirrors
+        # SQL string_split: even "" yields one empty word) but filters
+        # null texts itself — align by id rather than assume same order
         gid = g.column("doc_id").to_numpy(zero_copy_only=False)
         bid = b.column("doc_id").to_numpy(zero_copy_only=False)
         gp = g.column("gopher_pass").to_numpy(zero_copy_only=False) \
@@ -3836,16 +3868,11 @@ def trainer_export_pipeline(sf_dir: str):
                          "text": b.column("text").filter(m)})
 
     survivors = ds.map_batches(gate, batch_format="pyarrow")
-    kept = _exact_dedup_core(survivors, emit="kept").to_pandas()
-    ids = kept["doc_id"].to_numpy(np.uint64)
-    h1 = (ids * np.uint64(SHUF_KNUTH) + np.uint64(SHUF_SEED)) \
-        % np.uint64(SHUF_MOD)
-    h2 = (h1 * np.uint64(SHUF_MIX)) % np.uint64(SHUF_MOD)
-    out = pd.DataFrame({"doc_id": ids.astype(np.int64),
-                        "shard": (h1 % np.uint64(SHUF_N_SHARDS))
-                        .astype(np.int64),
-                        "h2": h2.astype(np.int64)})
-    out = out.sort_values(["shard", "h2", "doc_id"], kind="mergesort")
-    out["pos"] = out.groupby("shard").cumcount().astype(np.int64)
-    return (out[["doc_id", "shard", "pos"]]
-            .sort_values("doc_id").reset_index(drop=True))
+    kept = _exact_dedup_core(survivors, emit="kept")
+    # narrow to ids and materialize ONCE (8 B/row in the object store,
+    # distributed/spillable) so the rank's adaptive row-count gate and its
+    # shuffle don't re-execute the gate+dedup chain
+    kept_ids = kept.map_batches(
+        lambda b: pa.table({"doc_id": b.column("doc_id").cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    return _shuffle_shard_rank(kept_ids, n_rows=kept_ids.count())

@@ -316,11 +316,15 @@ def gopher_flags_batch(batch: pa.Table, text_col: str = "text",
           & (sum_wlen <= GOPHER_MAX_MWL * nw)
           & (GOPHER_ALPHA_DEN * n_alpha >= GOPHER_ALPHA_NUM * nw)
           & (n_stop >= GOPHER_MIN_STOP_HITS))
+    # nw is never 0 for a non-null text (split_pattern mirrors SQL
+    # string_split: "" -> one empty word), but guard the division anyway
+    # so a zero-word row can never emit NaN or a divide warning
+    safe = np.maximum(nw, 1)
     return pa.table({
         "doc_id": batch.column(id_col).cast(pa.int64()),
         "n_words": pa.array(nw),
-        "mean_word_len": pa.array(sum_wlen / nw),
-        "alpha_word_frac": pa.array(n_alpha / nw),
+        "mean_word_len": pa.array(np.where(nw > 0, sum_wlen / safe, 0.0)),
+        "alpha_word_frac": pa.array(np.where(nw > 0, n_alpha / safe, 0.0)),
         "n_stop_hits": pa.array(n_stop),
         "gopher_pass": pa.array(ok.astype(np.int64)),
     })

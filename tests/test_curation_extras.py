@@ -680,7 +680,7 @@ def test_trainer_export_pipeline_stage_effects(ray_session, tmp_path):
     df["doc_id"] = df["doc_id"].astype(np.int64)
     pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
                    os.path.join(tmp_path, "documents.parquet"))
-    got = Q.trainer_export_pipeline(str(tmp_path))
+    got = Q.trainer_export_pipeline(str(tmp_path)).to_pandas()
     assert set(got["doc_id"]) == {0, 1}
     # positions contiguous from 0 within each shard
     for _, g in got.groupby("shard"):
