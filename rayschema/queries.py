@@ -635,7 +635,9 @@ def keep_best_per_cluster(sf_dir: str):
         return ids, tl, ok
 
     def members(b: pa.Table) -> pa.Table:
-        """Candidate triples for docs that belong to a nontrivial cluster."""
+        """Candidate triples for docs that belong to a nontrivial cluster.
+        neg_len rides along so the winner scan's within-group order
+        (ascending neg_len, doc_id) = (max n_len, min doc_id)."""
         keys, vals = ray.get(ref)
         ids, tl, ok = _scope(b)
         if len(keys) == 0:
@@ -648,17 +650,35 @@ def keep_best_per_cluster(sf_dir: str):
         if not ok.any():
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "rep": pa.array([], type=pa.int64()),
-                             "n_len": pa.array([], type=pa.int64())})
+                             "neg_len": pa.array([], type=pa.int64())})
         return pa.table({"doc_id": pa.array(ids[ok]),
                          "rep": pa.array(rep[ok]),
-                         "n_len": pa.array(tl[ok])})
+                         "neg_len": pa.array(-tl[ok])})
 
-    cand = ds.map_batches(members, batch_format="pyarrow").to_pandas()
-    if len(cand):
-        win = (cand.sort_values(["rep", "n_len", "doc_id"],
-                                ascending=[True, False, True])
-               .groupby("rep", as_index=False).first())
-        win_ids = np.sort(win["doc_id"].to_numpy(np.int64))
+    # winner per rep = first row of each rep group under the
+    # (neg_len, doc_id) within-group order — ONE rep-keyed sorted scan
+    # over 24-byte triples; the driver only ever holds the O(#clusters)
+    # winner-id array it must broadcast anyway (never the dup-mass-sized
+    # member triples).
+    if len(rep_keys):
+        from rayschema.dedup import sorted_group_scan
+
+        cand = ds.map_batches(members, batch_format="pyarrow")
+        win_schema = pa.schema([("doc_id", pa.int64())])
+
+        def win_group(t: pa.Table) -> pa.Table:
+            return pa.table({"doc_id": t.column("doc_id").slice(0, 1)})
+
+        def win_block(block, starts, ends, want):
+            idx = starts[want.astype(bool)] if len(starts) else starts
+            return pa.table(
+                {"doc_id": block.column("doc_id").take(pa.array(idx))})
+
+        winners = sorted_group_scan(cand, ["rep"], win_group, win_schema,
+                                    block_fn=win_block,
+                                    order_cols=["neg_len", "doc_id"])
+        win_ids = np.sort(winners.to_pandas()["doc_id"]
+                          .to_numpy(np.int64))
     else:
         win_ids = np.array([], dtype=np.int64)
     wref = ray.put(win_ids)

@@ -494,7 +494,7 @@ def pq_encode(ds, cents: np.ndarray, id_col: str = "vec_id",
 
 def semdedup(ds, k: int = 4, iters: int = 2, threshold: float = 0.4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             concurrency=(1, 8)):
+             concurrency=(1, 8), strategy: str = "scan"):
     """SemDeDup semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding corpus with the
     integer-exact distributed k-means (``kmeans_quantized``), then inside
@@ -514,24 +514,83 @@ def semdedup(ds, k: int = 4, iters: int = 2, threshold: float = 0.4,
     * verify: exact float64 cosine of the normalized vectors (the
       convention the ``embedding_near_dup`` oracle hash-matches).
 
-    This is the broadcast-matrix baseline: the normalized corpus matrix
-    + its cluster assignment ship once via ray.put and each batch streams
-    a block-row of the similarity matrix masked to same-cluster lower-id
-    entries (documented bound ~10^7 x 10^2 dims, same as
-    ``embedding_cosine_pairs_exact``). Past that, repartition by the
-    cluster key and run a per-cluster bucketed scan — the removal rule
-    itself never changes.
+    Two equality-tested execution strategies (identical output rows):
+
+    * ``strategy="scan"`` (DEFAULT — the 100-TB path): assignment is a
+      stateless map (only the k x dim integer codebook broadcasts), then
+      ONE cluster-keyed ``sorted_group_scan`` co-locates each cluster and
+      runs the lower-id cosine removal inside the group, chunked so the
+      similarity block never exceeds 4096 x cluster_size. Driver state is
+      the codebook plus the <=2-groups-per-block boundary residual; no
+      corpus matrix ever materializes. Partitioning assumption: one
+      cluster's vectors fit a worker block — at scale you grow ``k`` with
+      the corpus (SemDeDup uses cluster sizes of ~10^3-10^4), which also
+      keeps the quadratic in-cluster check bounded.
+    * ``strategy="broadcast"``: the small-input baseline — the normalized
+      corpus matrix + assignment ship once via ray.put and each batch
+      streams a block-row of the similarity matrix (bound ~10^7 x 10^2
+      dims, same as ``embedding_cosine_pairs_exact``).
 
     Returns a Dataset of KEPT rows ``(id_col, cluster)``.
     """
     import ray
 
-    from rayschema.dedup import round_half_away
+    from rayschema.dedup import round_half_away, sorted_group_scan
 
     km = kmeans_quantized(ds, k=k, iters=iters, id_col=id_col,
                           vec_col=vec_col)
     cent = (km.sort_values(["cluster", "d"])["c"]
             .to_numpy(np.int64).reshape(k, -1))
+
+    if strategy == "scan":
+        cent_ref = ray.put(cent)
+
+        def assign(b: pa.Table, _cref=cent_ref) -> pa.Table:
+            c = ray.get(_cref)
+            col = b.column(vec_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if len(col) == 0:
+                return pa.table({
+                    id_col: pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                    vec_col: b.column(vec_col)})
+            mat = np.stack(col.to_numpy(zero_copy_only=False)) \
+                .astype(np.float64)
+            q = round_half_away(mat * 1e6, 0).astype(np.int64)
+            dist = ((q * q).sum(axis=1)[:, None] - 2 * (q @ c.T)
+                    + (c * c).sum(axis=1)[None, :])
+            return pa.table({
+                id_col: b.column(id_col).cast(pa.int64()),
+                "cluster": pa.array(dist.argmin(axis=1).astype(np.int64)),
+                vec_col: col})
+
+        tagged = ds.select_columns([id_col, vec_col]) \
+            .map_batches(assign, batch_format="pyarrow")
+        out_schema = pa.schema([(id_col, pa.int64()),
+                                ("cluster", pa.int64())])
+
+        def cluster_group(t: pa.Table):
+            ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            col = t.column(vec_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            m = _normalize(np.stack(col.to_numpy(zero_copy_only=False))
+                           .astype(np.float64))
+            keep = np.ones(len(ids), dtype=bool)
+            for s in range(0, len(ids), 4096):
+                e = min(s + 4096, len(ids))
+                sims = m[s:e] @ m.T
+                hit = (sims >= threshold) & (ids[None, :] < ids[s:e, None])
+                keep[s:e] = ~hit.any(axis=1)
+            ka = pa.array(keep)
+            return pa.table({
+                id_col: t.column(id_col).cast(pa.int64()).filter(ka),
+                "cluster": t.column("cluster").filter(ka)})
+
+        return sorted_group_scan(tagged, ["cluster"], cluster_group,
+                                 out_schema, order_cols=[id_col])
 
     full = (ds.select_columns([id_col, vec_col]).to_pandas()
             .sort_values(id_col))

@@ -299,6 +299,37 @@ def test_keep_best_per_cluster_winners(ray_session, tmp_path):
     assert got.loc[2, "cluster_rep"] == 3      # tie -> min doc_id wins
 
 
+def test_keep_best_winner_scan_many_clusters(ray_session, tmp_path):
+    """The rep-keyed sorted_group_scan winner selection (round 4: replaces
+    the driver pandas merge — driver state is the O(#clusters) winner-id
+    array only) must pick (max n_len, min doc_id) per cluster across MANY
+    clusters, i.e. including groups that straddle sorted-block boundaries
+    and go through the driver residual path."""
+    from rayschema.queries import keep_best_per_cluster
+
+    rows = []
+    for i in range(60):
+        # nearly every char-5-gram contains the cluster digits, so
+        # cross-cluster jaccard stays far below the 0.5 threshold
+        base = " ".join(f"a{i:03d}b{j:02d}" for j in range(12))   # ~95 cp
+        rows.append((3 * i, base))
+        rows.append((3 * i + 1, base + " ZZ"))
+        rows.append((3 * i + 2, base + " ZZ QQ"))                # longest
+    rows.append((290, "a lonely singleton body of text"))
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    sf = _write_docs(tmp_path, df)
+    got = (keep_best_per_cluster(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    expect = sorted([3 * i + 2 for i in range(60)] + [290])
+    assert got["doc_id"].tolist() == expect
+    # every cluster winner carries its cluster rep = min member id
+    reps = got.set_index("doc_id")["cluster_rep"]
+    for i in range(60):
+        assert reps[3 * i + 2] == 3 * i
+    assert reps[290] == 290
+
+
 def test_events_hourly_anomaly_integer_ztest(ray_session, tmp_path):
     """Planted spike hour is flagged, uniform hours are not; the 2-sigma
     rule is the exact cleared-denominator integer comparison."""

@@ -657,3 +657,24 @@ def test_semdedup_removes_lower_id_neighbors_within_cluster(ray_session):
     assert len({cl[i] for i in (0, 3, 10)}) == 1
     assert len({cl[i] for i in (1, 13, 20)}) == 1
     assert cl[0] != cl[1]
+
+
+def test_semdedup_scan_equals_broadcast(ray_session):
+    """The per-cluster sorted-scan scale path (round 4 default) and the
+    broadcast-matrix baseline emit IDENTICAL kept rows — on the real
+    sf0.001 embeddings table, where clusters straddle sorted blocks and
+    exercise the driver boundary residual."""
+    import ray.data as rd
+
+    from rayschema.similarity import semdedup
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+
+    def run(strategy):
+        ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+        return (semdedup(ds, k=4, iters=2, threshold=0.4,
+                         strategy=strategy).to_pandas()
+                .sort_values("vec_id").reset_index(drop=True))
+
+    pd.testing.assert_frame_equal(run("scan")[["vec_id", "cluster"]],
+                                  run("broadcast")[["vec_id", "cluster"]])
