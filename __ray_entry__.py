@@ -333,6 +333,45 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, event_type HAVING count(*) > 1""",
         "exact_dedup_documents": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        # SimHash: full SQL recomputation of every signature — the token
+        # hash is two codepoint polynomials mod 2^31-1 (list_reduce) packed
+        # to 62 bits, signature bits j via (h >> j) & 1 majority vote,
+        # pairs via bit_count(xor(...)) <= 3 (dedup.poly_token_hash /
+        # SimHasher mirror this bit for bit; null texts hash to sig 0).
+        "simhash_near_dup_documents": """
+            WITH d AS (SELECT doc_id, text FROM documents),
+            tok AS (SELECT doc_id,
+                           unnest(regexp_extract_all(text,
+                                  '[A-Za-z0-9_]+')) AS t
+                    FROM d WHERE text IS NOT NULL),
+            th AS (SELECT doc_id,
+                    (list_reduce(list_prepend(0::BIGINT,
+                        list_apply(string_split(t, ''),
+                                   c -> unicode(c)::BIGINT)),
+                        (acc, cp) -> (acc * 1000003 + cp + 1)
+                                     % 2147483647) << 31)
+                    + list_reduce(list_prepend(0::BIGINT,
+                        list_apply(string_split(t, ''),
+                                   c -> unicode(c)::BIGINT)),
+                        (acc, cp) -> (acc * 999983 + cp + 1)
+                                     % 2147483647) AS h
+                   FROM tok),
+            bits AS (SELECT doc_id, j,
+                            SUM(CASE WHEN (h >> j) & 1 = 1
+                                THEN 1 ELSE -1 END) AS acc
+                     FROM th CROSS JOIN
+                          (SELECT unnest(generate_series(0, 61)) AS j)
+                     GROUP BY doc_id, j),
+            sig0 AS (SELECT doc_id,
+                            SUM(CASE WHEN acc > 0 THEN (1::BIGINT << j)
+                                ELSE 0 END)::BIGINT AS sig
+                     FROM bits GROUP BY doc_id),
+            sigs AS (SELECT d.doc_id, COALESCE(s.sig, 0)::BIGINT AS sig
+                     FROM d LEFT JOIN sig0 s USING (doc_id))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
         "minhash_near_dup_exact": """
             WITH docs AS (
               SELECT doc_id, text FROM documents

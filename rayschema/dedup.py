@@ -1105,14 +1105,57 @@ def minhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 # --------------------------------------------------------------------------- SimHash
+SIMHASH_MOD = 2147483647        # Mersenne 2^31-1: poly mul stays in int64
+SIMHASH_MUL1 = 1000003
+SIMHASH_MUL2 = 999983
+
+
+def poly_token_hash(toks) -> np.ndarray:
+    """Deterministic SQL-mirrorable 62-bit token hash: two codepoint
+    polynomial folds ``h = (h*MUL + cp + 1) % (2^31-1)`` with different
+    multipliers, packed as ``h1 * 2^31 + h2``. DuckDB recomputes it
+    bit-identically with list_reduce over unicode() codepoints (tested),
+    which is what makes the whole SimHash family ORACLE-CHECKABLE.
+    Vectorized by character position: one masked fused multiply-add pass
+    per position over the (shrinking) still-active token set."""
+    n = len(toks)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
+    joined = "".join(toks)
+    cps = np.fromiter(map(ord, joined), dtype=np.int64, count=len(joined))
+    offs = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        offs[1:] = np.cumsum(lens)[:-1]
+    h1 = np.zeros(n, dtype=np.int64)
+    h2 = np.zeros(n, dtype=np.int64)
+    maxl = int(lens.max()) if n else 0
+    for p in range(maxl):
+        m = lens > p
+        cp = cps[offs[m] + p]
+        h1[m] = (h1[m] * SIMHASH_MUL1 + cp + 1) % SIMHASH_MOD
+        h2[m] = (h2[m] * SIMHASH_MUL2 + cp + 1) % SIMHASH_MOD
+    return (h1.astype(np.uint64) << np.uint64(31)) | h2.astype(np.uint64)
+
+
 class SimHasher:
-    """Actor stage: 64-bit SimHash over word tokens; emits ``simhash`` plus
+    """Actor stage: SimHash over word tokens; emits ``simhash`` plus
     ``sim_bucket_{i}`` columns (4 x 16-bit bands) so near signatures (<=3
     differing bits typically) collide in at least one band.
 
+    Round 4: the token hash is ``poly_token_hash`` (62-bit packed
+    codepoint polynomials) and the tokenizer is the explicit ASCII word
+    class ``[A-Za-z0-9_]+`` — both exactly reproducible in DuckDB
+    (regexp_extract_all + list_reduce + bit ops), so
+    ``simhash_near_dup_documents`` is hash-checked against a full SQL
+    recomputation of every signature, not rows-only. Signature bits
+    62/63 are structurally 0 (token hashes are < 2^62; a -1-only
+    accumulator never sets a bit), so the 4x16 band fold still covers
+    hamming<=3 by pigeonhole.
+
     Signatures are computed BATCH-LEVEL: one regex pass over the batch's
     concatenated text (token -> owning doc via searchsorted on doc start
-    offsets), one vectorized hash64 over all tokens, and a single
+    offsets), one vectorized poly hash over all tokens, and a single
     scatter-add of per-token ±1 bit contributions into the (doc, bit)
     accumulator — no per-document Python loop. ``sim64`` is the per-doc
     reference path; batch_sim64 is bit-identical to it (tested)."""
@@ -1120,7 +1163,7 @@ class SimHasher:
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
         self.text_col = text_col
-        self.word = re.compile(r"\w+")
+        self.word = re.compile(r"[A-Za-z0-9_]+")
         self._shifts = np.arange(64, dtype=np.uint64)
 
     def sim64(self, text: Optional[str]) -> int:
@@ -1128,7 +1171,7 @@ class SimHasher:
         toks = self.word.findall(text or "")
         if not toks:
             return 0
-        hs = hash64(np.array(toks, dtype=object))
+        hs = poly_token_hash(toks)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
         acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
         return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
@@ -1157,7 +1200,7 @@ class SimHasher:
             return np.zeros(n, dtype=np.uint64)
         doc = np.searchsorted(starts, np.asarray(pos, dtype=np.int64),
                               side="right") - 1
-        hs = hash64(np.array(toks, dtype=object))
+        hs = poly_token_hash(toks)
         # (tokens, 64) ±1 contributions in int8 (memory-lean), scatter-added
         # into the per-doc accumulator in one ufunc.at call
         bits = ((hs[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(np.int8)

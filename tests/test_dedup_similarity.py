@@ -52,6 +52,28 @@ def test_simhash_hamming():
     assert s.sim64("") == 0
 
 
+def test_poly_token_hash_matches_duckdb():
+    """The SimHash token hash (packed codepoint polynomials) is the quantity
+    the driver oracle recomputes in SQL — pin numpy == DuckDB list_reduce
+    bit-for-bit, incl. unicode codepoints and 1-char tokens."""
+    import duckdb
+
+    from rayschema.dedup import poly_token_hash
+
+    toks = ["hello", "a", "Z9_", "日本語", "x" * 40, "MiXeD123"]
+    got = poly_token_hash(toks).view(np.int64)
+    sql = """
+        SELECT (list_reduce(list_prepend(0::BIGINT,
+                  list_apply(string_split(t, ''), c -> unicode(c)::BIGINT)),
+                  (acc, cp) -> (acc * 1000003 + cp + 1) % 2147483647) << 31)
+             + list_reduce(list_prepend(0::BIGINT,
+                  list_apply(string_split(t, ''), c -> unicode(c)::BIGINT)),
+                  (acc, cp) -> (acc * 999983 + cp + 1) % 2147483647) AS h
+        FROM (SELECT unnest(?) AS t)"""
+    exp = [r[0] for r in duckdb.execute(sql, [toks]).fetchall()]
+    assert got.tolist() == exp
+
+
 def test_batch_sim64_matches_per_doc():
     """The one-tokenizer-pass batch SimHash must be bit-identical to the
     per-doc reference path (incl. empty, None, unicode, punctuation-only)."""
