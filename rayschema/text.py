@@ -333,33 +333,139 @@ def gopher_flags_batch(batch: pa.Table, text_col: str = "text",
 # --------------------------------------------------------------------------- decontamination
 
 
+DECON_SCAN_MAX_SNIPPETS = 100   # above this, the Rabin-Karp path kicks in
+DECON_RK_ANCHOR = 16            # anchor-prefix length for the RK index
+
+
 class Decontaminator:
     """Actor stage: benchmark decontamination by snippet containment — the
     n-gram-overlap discipline of GPT-3/The Pile eval decontamination (public
     method), expressed as literal substring hits so the DuckDB oracle can
     recompute it exactly. The benchmark snippet set is broadcast ONCE via
-    ray.put and resolved per actor in __init__; each batch runs one
-    match_substring kernel per snippet (the snippet set is metadata-sized
-    by construction — at 100 TB you'd swap the scan loop for an
-    Aho-Corasick automaton built once per actor, same plumbing)."""
+    ray.put and resolved per actor in __init__.
+
+    Two equality-tested execution paths (identical output):
+
+    * <= ``DECON_SCAN_MAX_SNIPPETS`` snippets: one match_substring kernel
+      per snippet per batch (O(snippets) — cheapest for handfuls).
+    * above it (round 4 — the 10^4+-snippet scale path): an anchored
+      multi-pattern Rabin-Karp index built once per actor — every
+      snippet's first-``DECON_RK_ANCHOR``-codepoint rolling hash in one
+      sorted array; each batch runs ONE rolling-hash pass over its
+      concatenated codepoints + a searchsorted membership test
+      (O(batch_chars), independent of snippet count), then verifies the
+      rare candidates by direct position-anchored slice compare (hash
+      collisions are killed exactly). Snippets shorter than the anchor
+      fall back to the per-snippet kernel."""
 
     def __init__(self, snippets_ref, id_col: str = "doc_id",
-                 text_col: str = "text"):
+                 text_col: str = "text",
+                 scan_max: int = DECON_SCAN_MAX_SNIPPETS):
         import ray
 
         self.bench_ids, self.snippets = ray.get(snippets_ref)
         self.id_col = id_col
         self.text_col = text_col
+        self.use_rk = len(self.snippets) > scan_max
+        if not self.use_rk:
+            self._short = list(range(len(self.snippets)))
+            return
+        from rayschema.dedup import _rolling_hashes
+
+        A = DECON_RK_ANCHOR
+        self._anchor = A
+        self._short = [i for i, s in enumerate(self.snippets)
+                       if len(s) < A]
+        long_idx = [i for i, s in enumerate(self.snippets) if len(s) >= A]
+        hs = np.empty(len(long_idx), dtype=np.uint64)
+        for j, i in enumerate(long_idx):
+            cps = np.frombuffer(
+                self.snippets[i][:A].encode("utf-32-le"), dtype=np.uint32)
+            hs[j] = _rolling_hashes(cps, A)[0]
+        order = np.argsort(hs, kind="stable")
+        self._rk_hash = hs[order]
+        self._rk_idx = np.asarray(long_idx, dtype=np.int64)[order]
+
+    def _scan_hits(self, col, ids: np.ndarray, idxs) -> np.ndarray:
+        hits = np.zeros(len(ids), dtype=np.int64)
+        for i in idxs:
+            m = pc.fill_null(pc.match_substring(col, self.snippets[i]),
+                             False)
+            hits += m.to_numpy(zero_copy_only=False) \
+                & (ids != self.bench_ids[i])
+        return hits
+
+    def _rk_hits(self, col, ids: np.ndarray) -> np.ndarray:
+        from rayschema.dedup import _codepoint_parts, _rolling_hashes
+
+        n = len(ids)
+        hits = np.zeros(n, dtype=np.int64)
+        if not len(self._rk_hash):
+            return hits
+        A = self._anchor
+        _, cpo, cps, _ = _codepoint_parts(col)
+        if len(cps) < A:
+            return hits
+        hh = _rolling_hashes(cps, A)
+        pos = np.arange(len(hh), dtype=np.int64)
+        inside = (pos >= cpo[0]) & (pos + A <= cpo[-1])
+        hh, pos = hh[inside], pos[inside]
+        lo = np.searchsorted(self._rk_hash, hh, side="left")
+        hi = np.searchsorted(self._rk_hash, hh, side="right")
+        m = hi > lo
+        if not m.any():
+            return hits
+        p, a, cnt = pos[m], lo[m], (hi - lo)[m]
+        dd = np.searchsorted(cpo, p, side="right") - 1
+        ok = (dd >= 0) & (dd < n)
+        ok &= p + A <= cpo[np.minimum(dd, n - 1) + 1]   # window fits its doc
+        p, a, cnt, dd = p[ok], a[ok], cnt[ok], dd[ok]
+        # expand [a, a+cnt) hash runs -> candidate (doc, snippet, start)
+        total = int(cnt.sum())
+        doc_r = np.repeat(dd, cnt)
+        start_r = np.repeat(p - cpo[dd], cnt)
+        first = np.repeat(a, cnt)
+        offs = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        sn_r = self._rk_idx[first + offs]
+        # group candidate windows by (doc, snippet) with one sort, then
+        # verify exactly: the anchor-position prefix must extend to the
+        # full snippet at SOME window (position-anchored containment);
+        # a snippet counts once per doc however many windows match
+        key = doc_r * np.int64(len(self.snippets) + 1) + sn_r
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        doc_s, sn_s, st_s = doc_r[order], sn_r[order], start_r[order]
+        grp = np.ones(len(key_s), dtype=bool)
+        grp[1:] = key_s[1:] != key_s[:-1]
+        g_starts = np.nonzero(grp)[0]
+        g_ends = np.append(g_starts[1:], len(key_s))
+        texts = col.to_pylist()
+        for gs, ge in zip(g_starts, g_ends):
+            d, si = int(doc_s[gs]), int(sn_s[gs])
+            if ids[d] == self.bench_ids[si]:
+                continue
+            s = self.snippets[si]
+            t = texts[d]
+            if t is None:
+                continue
+            for st in st_s[gs:ge]:
+                st = int(st)
+                if t[st:st + len(s)] == s:
+                    hits[d] += 1
+                    break
+        return hits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch.column(self.text_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        hits = np.zeros(len(ids), dtype=np.int64)
-        for bid, snip in zip(self.bench_ids, self.snippets):
-            m = pc.fill_null(pc.match_substring(col, snip), False)
-            hits += m.to_numpy(zero_copy_only=False) & (ids != bid)
+        if self.use_rk:
+            hits = self._rk_hits(col, ids) \
+                + self._scan_hits(col, ids, self._short)
+        else:
+            hits = self._scan_hits(col, ids, self._short)
         keep = hits > 0
         return pa.table({
             "doc_id": pa.array(ids[keep], type=pa.int64()),

@@ -681,6 +681,31 @@ def test_semdedup_removes_lower_id_neighbors_within_cluster(ray_session):
     assert cl[0] != cl[1]
 
 
+def test_pair_recall_distributed_matches_sets(ray_session):
+    """_pair_recall (packed-key sorted scan + Sum, O(1) driver state) must
+    equal the Python set intersection on overlapping pair lists with
+    duplicates and many keys (boundary-group coverage)."""
+    import ray.data as rd
+
+    from rayschema.queries import _pair_recall
+
+    rng = np.random.RandomState(3)
+    exact = [(int(a), int(a) + int(b) + 1)
+             for a, b in rng.randint(0, 4000, size=(3000, 2))]
+    found = [p for p in exact if rng.rand() < 0.6] \
+        + [(int(a), int(a) + int(b) + 1)
+           for a, b in rng.randint(0, 4000, size=(800, 2))] \
+        + exact[:25]                                   # duplicates
+    e_df = pd.DataFrame(exact, columns=["id_a", "id_b"])
+    f_df = pd.DataFrame(found, columns=["id_a", "id_b"])
+    n_exact, n_inter = _pair_recall(
+        rd.from_pandas(e_df).repartition(5),
+        rd.from_pandas(f_df).repartition(3))
+    es, fs = set(exact), set(found)
+    assert n_exact == len(es)
+    assert n_inter == len(es & fs)
+
+
 def test_semdedup_scan_equals_broadcast(ray_session):
     """The per-cluster sorted-scan scale path (round 4 default) and the
     broadcast-matrix baseline emit IDENTICAL kept rows — on the real

@@ -159,6 +159,53 @@ def test_decontaminator_flags_containing_docs(ray_session):
     assert out["n_hits"].tolist() == [1, 1]
 
 
+def test_decontaminator_rk_path_equals_scan(ray_session):
+    """Above DECON_SCAN_MAX_SNIPPETS the anchored Rabin-Karp index takes
+    over — it must emit EXACTLY the per-snippet match_substring result on
+    a corpus with multi-occurrence hits, unicode, anchor-length edge
+    snippets, shared 16-char prefixes (candidate runs > 1), nulls, and
+    self-bench exclusions."""
+    import ray
+    import ray.data as rd
+
+    from rayschema.text import Decontaminator
+
+    rng = np.random.RandomState(5)
+    # 150 snippets: shared prefixes force multi-snippet hash runs; a few
+    # are shorter than the 16-cp anchor (fallback kernel); one unicode
+    snips = [f"benchmark prompt {i:04d} tail{i % 7}" for i in range(120)]
+    snips += [f"benchmark prompt {i:04d} other" for i in range(20)]
+    snips += ["tiny snip", "short", "日本語のベンチマーク断片ですよ 0123",
+              "exact sixteen ch", "x" * 16]
+    bench_ids = np.arange(1000, 1000 + len(snips), dtype=np.int64)
+    docs = []
+    for d in range(80):
+        parts = [f"filler words {d} " * 3]
+        for j in rng.choice(len(snips), size=rng.randint(0, 4),
+                            replace=False):
+            parts.append(snips[j])
+            if rng.rand() < 0.3:
+                parts.append(" mid " + snips[j])       # second occurrence
+        docs.append((d, " ".join(parts)))
+    docs.append((1003, snips[3]))                      # self-bench doc
+    docs.append((999, None))                           # null text
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in docs]) \
+        .repartition(4)
+    ref = ray.put((bench_ids, snips))
+
+    def run(scan_max):
+        return (ds.map_batches(
+            Decontaminator, batch_format="pyarrow",
+            fn_constructor_kwargs=dict(snippets_ref=ref,
+                                       scan_max=scan_max),
+            concurrency=1).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+
+    rk, scan = run(0), run(10 ** 9)
+    pd.testing.assert_frame_equal(rk, scan)
+    assert len(rk) > 10          # the corpus really contains hits
+
+
 def test_vocabulary_top_words_query(ray_session, sf_dir):
     import duckdb
 
