@@ -316,8 +316,13 @@ def run_validation(corpus_path: str, out_dir: str,
         # zstd over the default snappy: the validated output is key
         # strings + hex digests (dictionary+entropy coding halves it) and
         # at 100 TB — or on a write-throttled device — output BYTES are
-        # the stage-1 bottleneck after compute
-        aug.write_parquet(shard_out, mode="overwrite", compression="zstd")
+        # the stage-1 bottleneck after compute. Round-4 A/B on a healthy
+        # disk (60 MB/s) confirmed zstd; RAYSCHEMA_SINK_COMPRESSION
+        # overrides for environments where sink CPU outweighs bytes.
+        aug.write_parquet(
+            shard_out, mode="overwrite",
+            compression=os.environ.get("RAYSCHEMA_SINK_COMPRESSION",
+                                       "zstd"))
         try:  # per-stage wall/cpu/memory breakdown for tuning (ds.stats())
             with open(os.path.join(out_dir, f"ray_stats_{sid}.txt"), "w") as f:
                 f.write(aug.stats())

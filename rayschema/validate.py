@@ -394,11 +394,17 @@ _FORMAT_REGEX = {
 
 
 def _date_like_mask(arr: pa.Array, fmt: str, regex: str) -> np.ndarray:
-    """Regex shape + real calendar validity via pc.strptime(error_is_null).
-    The strict-parse analog of Date.UnmarshalText (date.go:23-32)."""
+    """Regex shape + real calendar validity. The strict-parse analog of
+    Date.UnmarshalText (date.go:23-32): Arrow's strptime ROLLS OVER
+    out-of-range calendar days (2023-02-29 parses as 2023-03-01) instead
+    of erroring, so validity is established by formatting the parse back
+    and requiring it to equal the input — rolled-over dates never
+    round-trip."""
     shape = bool_mask(pc.match_substring_regex(arr, regex), len(arr))
     parsed = pc.strptime(arr, format=fmt, unit="s", error_is_null=True)
-    ok = bool_mask(pc.is_valid(parsed), len(arr), null_fill=False)
+    back = pc.strftime(parsed, format=fmt)
+    ok = bool_mask(pc.and_(pc.is_valid(parsed), pc.equal(back, arr)),
+                   len(arr), null_fill=False)
     ok |= ~valid_mask(arr)
     return shape & ok
 

@@ -317,3 +317,194 @@ def test_additional_items_false_caps_tuple_length():
     check('{"items":[{}],"additionalItems":false}',
           pa.array([[1], [1, 2], []], type=pa.list_(pa.int64())),
           [True, False, True])
+
+
+# ---- round-4 additions: deeper official-suite territory ---------------------
+def test_type_union_integer_string():
+    # dynamic per-row type check needs a JSON-ish column; on a typed float
+    # column "integer" accepts whole floats only
+    check('{"type":["integer","string"]}', ["a", "b"], [True, True])
+    check('{"type":["integer","string"]}', [1.0, 1.5], [True, False])
+
+
+def test_type_number_accepts_integer_column():
+    check('{"type":"number"}', pa.array([1, 2], type=pa.int64()),
+          [True, True])
+
+
+def test_enum_with_null_member():
+    # engine convention: null subject = absent -> passes any constraint;
+    # non-null members still matched exactly
+    check('{"enum":["a",null]}', ["a", "b", None], [True, False, True])
+
+
+def test_const_null_like_absent():
+    check('{"const":"x"}', ["x", None, "y"], [True, True, False])
+
+
+def test_nested_not_not():
+    check('{"not":{"not":{"pattern":"^a"}}}', ["abc", "zzz"],
+          [True, False])
+
+
+def test_allof_anyof_oneof_combined():
+    sch = ('{"allOf":[{"anyOf":[{"multipleOf":2},{"multipleOf":3}]},'
+           '{"oneOf":[{"minimum":10},{"maximum":5}]}]}')
+    # 4: anyOf ok (x2), oneOf: min10 no, max5 yes -> one arm -> pass
+    # 12: anyOf ok, oneOf: min10 yes, max5 no -> pass
+    # 7: anyOf fails -> fail;  2: oneOf max5 yes min10 no -> pass
+    # 30 >= 10 only -> pass;  9: anyOf ok(x3), oneOf: neither (9<10, 9>5)
+    check(sch, [4.0, 12.0, 7.0, 2.0, 30.0, 9.0],
+          [True, True, False, True, True, False])
+
+
+def test_if_then_else_with_applicator_condition():
+    sch = ('{"if":{"anyOf":[{"pattern":"^a"},{"pattern":"^b"}]},'
+           '"then":{"minLength":3},"else":{"maxLength":2}}')
+    check(sch, ["ab", "abc", "zz", "zzz"], [False, True, True, False])
+
+
+def test_ref_with_escaped_pointer_tokens():
+    # definition names containing / and ~ use ~1 and ~0 escapes
+    sch = ('{"definitions":{"a/b":{"minLength":3},"t~d":{"maxLength":4}},'
+           '"allOf":[{"$ref":"#/definitions/a~1b"},'
+           '{"$ref":"#/definitions/t~0d"}]}')
+    check(sch, ["abc", "ab", "abcde"], [True, False, False])
+
+
+def test_pattern_properties_multiple_patterns_both_apply():
+    mp = pa.array([{"ax": "12"}, {"ax": "1"}, {"bx": "123"}],
+                  type=pa.map_(pa.string(), pa.string()))
+    # key "ax" matches ^a AND x$ -> both sub-schemas apply
+    sch = ('{"patternProperties":{"^a":{"minLength":2},'
+           '"x$":{"maxLength":2}}}')
+    check(sch, mp, [True, False, False])
+
+
+def test_dependencies_string_array_form():
+    t = pa.table({"a": [1, 1, None], "b": [2, None, None],
+                  "c": [3, 3, 3]})
+    v = compile_validator(schema_from_json(
+        '{"dependencies":{"a":["b","c"]}}'))
+    assert v.probe(t).tolist() == [True, False, True]
+
+
+def test_min_max_properties_on_maps():
+    mp = pa.array([{}, {"a": "1"}, {"a": "1", "b": "2", "c": "3"}],
+                  type=pa.map_(pa.string(), pa.string()))
+    check('{"minProperties":1,"maxProperties":2}', mp,
+          [False, True, False])
+
+
+def test_unique_items_with_duplicate_maps():
+    arr = pa.array([[{"k": "1"}, {"k": "1"}], [{"k": "1"}, {"k": "2"}]],
+                   type=pa.list_(pa.map_(pa.string(), pa.string())))
+    check('{"uniqueItems":true}', arr, [False, True])
+
+
+def test_contains_multiple_matches_still_one_pass():
+    check('{"contains":{"minimum":5}}',
+          pa.array([[1, 6, 7], [1, 2], []], type=pa.list_(pa.int64())),
+          [True, False, False])
+
+
+def test_items_recursion_two_levels():
+    arr = pa.array([[[1, 2], [3]], [[1], [0]]],
+                   type=pa.list_(pa.list_(pa.int64())))
+    check('{"items":{"items":{"minimum":1}}}', arr, [True, False])
+
+
+def test_required_empty_array_is_trivial():
+    t = pa.table({"foo": [1, None]})
+    v = compile_validator(schema_from_json('{"required":[]}'))
+    assert v.probe(t).tolist() == [True, True]
+
+
+def test_boolean_root_schemas():
+    # engine null-as-absent convention: a null subject is "no instance",
+    # which no schema (even false) applies to — only PRESENT values fail
+    check("true", ["x", None], [True, True])
+    check("false", ["x", None], [False, True])
+
+
+def test_exclusive_maximum_numeric_form():
+    # draft-07: exclusiveMaximum is a NUMBER (not the draft-04 bool)
+    check('{"exclusiveMaximum":3.0}', [2.9, 3.0, 3.1],
+          [True, False, False])
+    check('{"exclusiveMinimum":1.1}', [1.1, 1.2], [False, True])
+
+
+def test_multiple_of_int_on_int_column():
+    check('{"multipleOf":3}', pa.array([9, 10], type=pa.int64()),
+          [True, False])
+
+
+def test_min_length_zero_default_go_quirk():
+    # absent minLength ≡ 0 (non-pointer zero default in the reference)
+    check('{"maxLength":2}', ["", "ab", "abc"], [True, True, False])
+
+
+def test_pattern_with_char_class_and_quantifier():
+    check('{"pattern":"^[A-Z]{2,3}[0-9]+$"}',
+          ["AB12", "ABCD12", "a12", "ABC9"],
+          [True, False, False, True])
+
+
+def test_anyof_with_nested_ref():
+    sch = ('{"definitions":{"short":{"maxLength":2}},'
+           '"anyOf":[{"$ref":"#/definitions/short"},{"pattern":"^ok"}]}')
+    check(sch, ["ab", "okay", "nope"], [True, True, False])
+
+
+def test_oneof_exactly_one_of_three():
+    sch = ('{"oneOf":[{"multipleOf":2},{"multipleOf":3},'
+           '{"multipleOf":5}]}')
+    # 6 matches two arms -> fail; 30 matches three -> fail
+    check(sch, [2.0, 3.0, 5.0, 6.0, 30.0, 7.0],
+          [True, True, True, False, False, False])
+
+
+def test_if_else_without_then():
+    sch = '{"if":{"pattern":"^a"},"else":{"minLength":5}}'
+    check(sch, ["abc", "zz", "zzzzz"], [True, False, True])
+
+
+def test_property_schema_with_format():
+    from rayschema.compile import compile_validator as cv
+    t = pa.table({"d": ["2024-02-29", "2023-02-29", None]})
+    v = cv(schema_from_json(
+        '{"properties":{"d":{"format":"date"}}}'), validate_formats=True)
+    assert v.probe(t).tolist() == [True, False, True]
+
+
+def test_contains_with_const():
+    check('{"contains":{"const":3}}',
+          pa.array([[1, 3], [1, 2]], type=pa.list_(pa.int64())),
+          [True, False])
+
+
+def test_not_boolean_schemas():
+    check('{"not":true}', ["x"], [False])
+    check('{"not":false}', ["x"], [True])
+
+
+def test_nested_additional_properties_on_values():
+    mp = pa.array([{"a": "12"}, {"a": "12345"}],
+                  type=pa.map_(pa.string(), pa.string()))
+    check('{"additionalProperties":{"maxLength":3}}', mp, [True, False])
+
+
+def test_max_items_zero():
+    check('{"maxItems":0}',
+          pa.array([[], [1]], type=pa.list_(pa.int64())), [True, False])
+
+
+def test_enum_single_member_equals_const():
+    check('{"enum":["only"]}', ["only", "other"], [True, False])
+
+
+def test_deep_applicator_ref_chain():
+    sch = ('{"definitions":{"pos":{"minimum":0},'
+           '"small":{"allOf":[{"$ref":"#/definitions/pos"},'
+           '{"maximum":10}]}},"$ref":"#/definitions/small"}')
+    check(sch, [5.0, -1.0, 11.0], [True, False, False])
