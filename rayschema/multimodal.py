@@ -125,12 +125,16 @@ def decode_bmp(payload: bytes) -> Dict[str, np.ndarray]:
 
 
 def decode_image(payload: bytes, kind: str = "image") -> Dict[str, np.ndarray]:
-    """Magic-sniffing image decode: PPM/PGM or BMP — the engine's REAL image
-    path (no codec library needed)."""
+    """Magic-sniffing image decode: PPM/PGM, BMP, or baseline JPEG (round-4
+    pure-numpy codec, rayschema/jpeg.py) — the engine's REAL image path (no
+    codec library needed)."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8":
+        from rayschema.jpeg import decode_jpeg
+        return decode_jpeg(payload)
     raise ValueError(f"unrecognized image payload magic {payload[:2]!r}")
 
 
@@ -264,12 +268,13 @@ def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
 
 def default_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
     """The engine's default codec table — every kind now has a REAL
-    pure-numpy decoder: images PPM/PGM/BMP, audio RIFF/WAVE PCM+float,
-    video YUV4MPEG2. Payloads whose magic none of the real codecs recognize
-    fall back to the deterministic fake (the documented boundary for
-    container formats that genuinely need external codec libraries,
-    e.g. JPEG/MP3/MP4)."""
-    if kind == "image" and payload[:2] in (b"P6", b"P5", b"BM"):
+    pure-numpy decoder: images PPM/PGM/BMP/baseline-JPEG, audio RIFF/WAVE
+    PCM+float, video YUV4MPEG2. Payloads whose magic none of the real
+    codecs recognize fall back to the deterministic fake (the documented
+    boundary for formats that genuinely need external codec libraries,
+    now just MP3/MP4-H.264)."""
+    if kind == "image" and (payload[:2] in (b"P6", b"P5", b"BM")
+                            or payload[:2] == b"\xff\xd8"):
         return decode_image(payload, kind)
     if kind == "audio" and payload[:4] == b"RIFF":
         return decode_wav(payload)
@@ -518,35 +523,58 @@ def write_media_features(ds, out_dir: str):
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media table matching MEDIA_SCHEMA (tests/bench).
     Every row carries a REAL payload decoded end-to-end by the pure-numpy
-    codecs: images binary PPM, audio 16-bit PCM WAV, video C420 Y4M — the
-    fake codec is not on any synth path."""
+    codecs: images alternate binary PPM and baseline JPEG (4:2:0, the
+    dominant real-corpus format — rayschema/jpeg.py), audio 16-bit PCM
+    WAV, video C420 Y4M — the fake codec is not on any synth path."""
+    from rayschema.jpeg import encode_jpeg
+
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"], dtype=object)[rng.integers(0, 3, n)]
-    payloads, mimes, durations = [], [], []
+    payloads, mimes, durations, widths, heights = [], [], [], [], []
     for k in kinds:
         if k == "image":
-            payloads.append(encode_ppm(
-                rng.integers(0, 256, (4, 8, 3), dtype=np.uint8)))
-            mimes.append("image/x-portable-pixmap")
+            if rng.integers(0, 2):
+                yy, xx = np.mgrid[0:16, 0:16]
+                ph = rng.uniform(0, 6.28, 2)
+                img = np.stack([
+                    xx * 255 // 15, yy * 255 // 15,
+                    127 + 100 * np.sin(xx / 3.0 + ph[0])
+                    * np.cos(yy / 2.0 + ph[1])], axis=2) \
+                    .clip(0, 255).astype(np.uint8)
+                payloads.append(encode_jpeg(img, quality=85,
+                                            subsample=True))
+                mimes.append("image/jpeg")
+                widths.append(16)
+                heights.append(16)
+            else:
+                payloads.append(encode_ppm(
+                    rng.integers(0, 256, (4, 8, 3), dtype=np.uint8)))
+                mimes.append("image/x-portable-pixmap")
+                widths.append(8)
+                heights.append(4)
             durations.append(-1)
         elif k == "audio":
             n_samp = int(rng.integers(64, 512))
             payloads.append(encode_wav(
                 rng.uniform(-1.0, 1.0, n_samp), sample_rate=8000))
             mimes.append("audio/wav")
+            widths.append(-1)
+            heights.append(-1)
             durations.append(n_samp * 1000 // 8000)
         else:
             nf = int(rng.integers(2, 9))
             payloads.append(encode_y4m(
                 rng.integers(0, 256, (nf, 4, 8), dtype=np.uint8), fps=25))
             mimes.append("video/x-yuv4mpeg")
+            widths.append(-1)
+            heights.append(-1)
             durations.append(nf * 1000 // 25)
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "kind": pa.array(kinds, type=pa.string()),
         "mime": pa.array(mimes, type=pa.string()),
         "payload": pa.array(payloads, type=pa.large_binary()),
-        "width": pa.array(np.where(kinds == "image", 8, -1).astype(np.int32)),
-        "height": pa.array(np.where(kinds == "image", 4, -1).astype(np.int32)),
+        "width": pa.array(np.asarray(widths, dtype=np.int32)),
+        "height": pa.array(np.asarray(heights, dtype=np.int32)),
         "duration_ms": pa.array(durations, type=pa.int32()),
     })

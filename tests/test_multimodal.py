@@ -253,11 +253,13 @@ def test_real_audio_video_decode_end_to_end(ray_session):
 
 
 def test_real_image_decode_end_to_end(ray_session):
-    """multimodal_features runs the REAL PPM decode for every image row of
-    the synthetic table (no fake codec on the image path): feat_mean must
-    equal the luminance mean of the actual pixels."""
+    """multimodal_features runs a REAL decode for every image row of the
+    synthetic table (no fake codec on the image path): feat_mean must equal
+    the luminance mean of the actual decoded pixels — PPM rows via
+    decode_ppm, JPEG rows via the round-4 baseline JPEG decoder."""
     import ray.data as rd
 
+    from rayschema.jpeg import decode_jpeg
     from rayschema.multimodal import (
         MediaFeatureStage,
         decode_ppm,
@@ -276,12 +278,67 @@ def test_real_image_decode_end_to_end(ray_session):
                         t.column("payload").to_pylist()))
     kinds = dict(zip(t.column("media_id").to_pylist(),
                      t.column("kind").to_pylist()))
-    n_img = 0
+    n_ppm = n_jpg = 0
     for mid, k in kinds.items():
         if k != "image":
             continue
-        n_img += 1
-        exp = float(decode_ppm(payloads[mid])["tensor"].mean())
+        p = payloads[mid]
+        if p[:2] == b"\xff\xd8":
+            n_jpg += 1
+            exp = float(decode_jpeg(p)["tensor"].mean())
+            dim = 256                          # 16x16 luminance tensor
+        else:
+            n_ppm += 1
+            exp = float(decode_ppm(p)["tensor"].mean())
+            dim = 32                           # 4x8 luminance tensor
         assert abs(out.loc[mid, "feat_mean"] - exp) < 1e-6
-        assert out.loc[mid, "feat_dim"] == 32   # 4x8 luminance tensor
-    assert n_img > 10
+        assert out.loc[mid, "feat_dim"] == dim
+    assert n_ppm > 3 and n_jpg > 3
+
+
+def test_jpeg_roundtrip_444_and_420():
+    """Baseline JPEG codec golden: encode->decode round trips a smooth RGB
+    image within quantization error at 4:4:4 and 4:2:0; dims preserved for
+    non-multiple-of-16 sizes."""
+    from rayschema.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:37, 0:53]
+    img = np.stack([xx * 255 // 52, yy * 255 // 36,
+                    127 + 100 * np.sin(xx / 9.0) * np.cos(yy / 7.0)],
+                   axis=2).clip(0, 255).astype(np.uint8)
+    for sub, tol in ((False, 2.0), (True, 8.0)):
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsample=sub))
+        assert out["rgb"].shape == img.shape
+        assert out["n_frames"] == 1
+        err = np.abs(out["rgb"].astype(int) - img.astype(int)).mean()
+        assert err < tol, (sub, err)
+
+
+def test_jpeg_flat_image_exact_and_grayscale():
+    from rayschema.jpeg import decode_jpeg, encode_jpeg
+
+    flat = np.full((16, 24, 3), 200, np.uint8)
+    out = decode_jpeg(encode_jpeg(flat, quality=90))
+    assert np.abs(out["rgb"].astype(int) - 200).max() == 0
+
+    yy = np.mgrid[0:24, 0:32][0]
+    g = (yy * 255 // 23).astype(np.uint8)
+    og = decode_jpeg(encode_jpeg(g, quality=90))
+    assert og["rgb"].shape == (24, 32, 3)
+    assert np.abs(og["rgb"][:, :, 0].astype(int) - g.astype(int)).mean() < 1.5
+
+
+def test_jpeg_decoder_guards():
+    import pytest as _pytest
+
+    from rayschema.jpeg import decode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"nope")
+    # progressive (SOF2) must be rejected, not mis-decoded
+    from rayschema.jpeg import encode_jpeg
+    data = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
