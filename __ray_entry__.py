@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keep_best_per_cluster": Q.keep_best_per_cluster,
         "trainer_export_pipeline": Q.trainer_export_pipeline,
         "simhash_near_dup_documents": Q.simhash_near_dup_documents,
+        # -- round-4 additions (new; next rotation pulls them forward) ------
+        "dup_span_removal": Q.dup_span_removal,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -333,6 +335,44 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, event_type HAVING count(*) > 1""",
         "exact_dedup_documents": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        # ExactSubstr span removal (Lee et al. 2022): dup windows = char
+        # 20-grams in >= 2 distinct docs; covered positions cut; the oracle
+        # reconstructs clean_text itself from the uncovered substr chars
+        "dup_span_removal": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 300 AND text IS NOT NULL),
+            w AS (SELECT doc_id, i,
+                         substr(text, CAST(i AS INTEGER), 20) AS s
+                  FROM (SELECT doc_id, text,
+                               unnest(generate_series(1,
+                                      length(text) - 19)) AS i
+                        FROM d)),
+            duph AS (SELECT s FROM w
+                     GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+            dpos AS (SELECT w.doc_id, w.i FROM w JOIN duph USING (s)),
+            cover AS (SELECT DISTINCT doc_id, j
+                      FROM (SELECT doc_id,
+                                   unnest(generate_series(i, i + 19)) AS j
+                            FROM dpos)),
+            chars AS (SELECT doc_id, j,
+                             substr(text, CAST(j AS INTEGER), 1) AS c
+                      FROM (SELECT doc_id, text,
+                                   unnest(generate_series(1,
+                                          length(text))) AS j
+                            FROM d)),
+            clean AS (SELECT ch.doc_id,
+                             string_agg(ch.c, '' ORDER BY ch.j)
+                               AS clean_text
+                      FROM chars ch LEFT JOIN cover v
+                        ON ch.doc_id = v.doc_id AND ch.j = v.j
+                      WHERE v.j IS NULL GROUP BY ch.doc_id),
+            ncov AS (SELECT doc_id, count(*)::BIGINT AS n_removed
+                     FROM cover GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(cl.clean_text, '') AS clean_text,
+                   COALESCE(nc.n_removed, 0)::BIGINT AS n_removed
+            FROM d LEFT JOIN clean cl USING (doc_id)
+                   LEFT JOIN ncov nc USING (doc_id)""",
         # SimHash: full SQL recomputation of every signature — the token
         # hash is two codepoint polynomials mod 2^31-1 (list_reduce) packed
         # to 62 bits, signature bits j via (h >> j) & 1 majority vote,

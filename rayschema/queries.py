@@ -2014,6 +2014,134 @@ def dup_span_stats(sf_dir: str, k: int = DUP_SPAN_K):
     return ds.map_batches(finalize, batch_format="pyarrow")
 
 
+def dup_span_removal(sf_dir: str, k: int = DUP_SPAN_K,
+                     id_limit: int = 300):
+    """ExactSubstr span REMOVAL — the dedup step of Lee et al. 2022
+    (dup_span_stats is its audit): every codepoint covered by a char
+    ``k``-gram window whose text occurs in >= 2 distinct documents is cut,
+    and the document is rebuilt from the uncovered codepoints. Emits
+    (doc_id, clean_text, n_removed) for every scoped doc.
+
+    Three passes, none of which ships text to the driver:
+    1. the dup_span_stats window pass reduced further to distinct
+       (window-hash, doc) 16-byte rows;
+    2. ONE 8-byte-hash sorted scan emits each hash held by >= 2 docs;
+    3. the dup-hash set broadcasts as one sorted array (dup-mass-sized;
+       at 100 TB this side becomes a hash join / bloom pre-filter — the
+       window pass is unchanged) into a stateless rebuild pass: re-roll
+       each doc's window hashes, mark covered intervals with a
+       diff-array cumsum (vectorized interval union), slice the
+       surviving codepoints back into text.
+
+    Scope doc_id < ``id_limit`` (the oracle-checkable scope, as for
+    exact_jaccard_pairs: the oracle reconstructs clean_text itself via
+    substr chars, so both sides stay tractable). Codepoint windows ==
+    DuckDB substr windows; 64-bit hash collisions are the standard
+    accepted risk."""
+    import ray
+
+    from rayschema.dedup import (
+        _codepoint_parts,
+        _rolling_hashes,
+        sorted_group_scan,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scoped(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pc.and_(pc.is_valid(b.column("text")),
+                                pa.array(ids < id_limit)))
+
+    def win_hashes(b: pa.Table):
+        """(hash, position, doc-row) of every in-doc k-window of a batch."""
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        _, cpo, cps, _ = _codepoint_parts(col)
+        if len(cps) < k:
+            return None, cpo, cps
+        hh = _rolling_hashes(cps, k)
+        pos = np.arange(len(hh), dtype=np.int64)
+        inside = (pos >= cpo[0]) & (pos + k <= cpo[-1])
+        hh, pos = hh[inside], pos[inside]
+        dd = np.searchsorted(cpo, pos, side="right") - 1
+        ok = (dd >= 0) & (dd < b.num_rows) & (pos + k <= cpo[dd + 1])
+        return (hh[ok].view(np.int64), pos[ok], dd[ok]), cpo, cps
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        b = scoped(b)
+        empty = pa.table({"h": pa.array([], type=pa.int64()),
+                          "doc_id": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        got, _, _ = win_hashes(b)
+        if got is None:
+            return empty
+        h, _, doc = got
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[doc]
+        order = np.lexsort((h, ids))
+        i_s, h_s = ids[order], h[order]
+        new = np.ones(len(i_s), dtype=bool)
+        new[1:] = (i_s[1:] != i_s[:-1]) | (h_s[1:] != h_s[:-1])
+        return pa.table({"h": pa.array(h_s[new]),
+                         "doc_id": pa.array(i_s[new])})
+
+    out_schema = pa.schema([("h", pa.int64())])
+
+    def group_fn(t: pa.Table):
+        if t.num_rows < 2:
+            return None
+        return pa.table({"h": t.column("h").slice(0, 1)})
+
+    def block_fn(b: pa.Table, starts, ends, want):
+        idx = starts[want.astype(bool)] if len(starts) else starts
+        return pa.table({"h": b.column("h").take(pa.array(idx))})
+
+    dup = sorted_group_scan(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        ["h"], group_fn, out_schema,
+        group_filter=lambda b, s, e: (e - s) >= 2,
+        block_fn=block_fn, sort_blocks=32)
+    dup_h = np.sort(dup.to_pandas()["h"].to_numpy(np.int64))
+    ref = ray.put(dup_h)
+
+    def rebuild(b: pa.Table, _ref=ref) -> pa.Table:
+        dh = ray.get(_ref)
+        b = scoped(b)
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "clean_text": pa.array([], type=pa.string()),
+                          "n_removed": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        got, cpo, cps = win_hashes(b)
+        covered = np.zeros(len(cps) + 1, dtype=np.int64)
+        if got is not None and len(dh):
+            h, pos, _ = got
+            p = np.clip(np.searchsorted(dh, h), 0, len(dh) - 1)
+            hit = dh[p] == h
+            dpos = pos[hit]
+            np.add.at(covered, dpos, 1)
+            np.add.at(covered, dpos + k, -1)
+        cov = np.cumsum(covered[:-1]) > 0
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts, removed = [], []
+        for i in range(b.num_rows):
+            s, e = cpo[i], cpo[i + 1]
+            m = cov[s:e]
+            removed.append(int(m.sum()))
+            kept = cps[s:e][~m]
+            texts.append(kept.astype("<u4").tobytes()
+                         .decode("utf-32-le") if len(kept) else "")
+        return pa.table({"doc_id": pa.array(ids),
+                         "clean_text": pa.array(texts, type=pa.string()),
+                         "n_removed": pa.array(removed, type=pa.int64())})
+
+    return ds.map_batches(rebuild, batch_format="pyarrow")
+
+
 def inverted_index_words(sf_dir: str):
     """Mini inverted index: per word its document frequency and the full
     posting list (sorted doc_ids, comma-joined so the driver hash compare

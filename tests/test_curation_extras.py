@@ -278,6 +278,52 @@ def test_source_mixture_weights_cap(ray_session, tmp_path):
     assert got.loc["cold", "weight_millionths"] == 10 ** 6
 
 
+def test_dup_span_removal_planted(ray_session, tmp_path):
+    """ExactSubstr removal on crafted docs: the shared 30-char span (plus
+    every window overlapping it) is cut from BOTH carriers, within-doc-only
+    repeats survive, short/unique docs come back verbatim, and clean_text
+    equals a brute-force reimplementation."""
+    from rayschema.queries import dup_span_removal
+
+    shared = "alpha beta gamma delta epsilon"           # 30 chars
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [
+            "X " + shared + " one tail here",
+            "Y " + shared + " two other end",
+            "repeat me now! repeat me now! repeat me now!",  # self-only
+            "short",
+            "a wholly unique document body with no twins",
+        ],
+    })
+    sf = _write_docs(tmp_path, df)
+    got = (dup_span_removal(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    # brute force: dup windows = 20-grams in >= 2 distinct docs
+    k = 20
+    texts = df["text"].tolist()
+    from collections import defaultdict
+    owners = defaultdict(set)
+    for i, t in enumerate(texts):
+        for p in range(len(t) - k + 1):
+            owners[t[p:p + k]].add(i)
+    for i, t in enumerate(texts):
+        cov = np.zeros(len(t), dtype=bool)
+        for p in range(len(t) - k + 1):
+            if len(owners[t[p:p + k]]) >= 2:
+                cov[p:p + k] = True
+        clean = "".join(ch for ch, c in zip(t, cov) if not c)
+        assert got.loc[i, "clean_text"] == clean, i
+        assert got.loc[i, "n_removed"] == int(cov.sum()), i
+    # the planted span really is removed from both carriers, others intact
+    assert shared not in got.loc[0, "clean_text"]
+    assert shared not in got.loc[1, "clean_text"]
+    assert got.loc[2, "clean_text"] == texts[2]
+    assert got.loc[3, "clean_text"] == "short"
+    assert got.loc[4, "n_removed"] == 0
+
+
 def test_keep_best_per_cluster_winners(ray_session, tmp_path):
     """Longest member wins its cluster, min doc_id breaks exact ties,
     singletons pass through, out-of-scope (doc_id >= 300) ignored."""
