@@ -1356,8 +1356,10 @@ def decontaminate_documents(sf_dir: str):
     the (deterministically-derived) benchmark set. The snippet set is
     metadata-sized (n/17 rows x 32 chars), pulled once on the driver and
     broadcast via ray.put; the corpus scan is one match_substring kernel
-    per snippet per batch. At 100 TB the same stage swaps the kernel loop
-    for an Aho-Corasick automaton per actor — the plumbing is unchanged."""
+    per snippet per batch at this snippet count — past 100 snippets the
+    Decontaminator automatically switches to its anchored Rabin-Karp
+    index (one rolling pass per batch regardless of snippet count,
+    round 4; equality-tested)."""
     import ray
 
     from rayschema.text import Decontaminator
