@@ -1123,7 +1123,8 @@ def poly_token_hash(toks) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=n)
     joined = "".join(toks)
-    cps = np.fromiter(map(ord, joined), dtype=np.int64, count=len(joined))
+    cps = np.frombuffer(joined.encode("utf-32-le", "surrogatepass"),
+                        dtype=np.uint32).astype(np.int64)
     offs = np.zeros(n, dtype=np.int64)
     if n > 1:
         offs[1:] = np.cumsum(lens)[:-1]
