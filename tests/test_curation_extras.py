@@ -762,3 +762,27 @@ def test_trainer_export_pipeline_stage_effects(ray_session, tmp_path):
     # positions contiguous from 0 within each shard
     for _, g in got.groupby("shard"):
         assert sorted(g["pos"].tolist()) == list(range(len(g)))
+
+
+def test_trainer_export_two_phase_rank_equal(ray_session, tmp_path,
+                                             monkeypatch):
+    """trainer_export's stage-3 shared rank emits identical rows on the
+    map_groups path and the two-phase histogram-offset path (round 4: the
+    rank is _shuffle_shard_rank, so forcing SHUF_GROUP_CAP=0 flips it)."""
+    import rayschema.queries as Q
+
+    # per-doc-unique words: no 8-gram is shared with the bench docs
+    # (ids 7 and 24 under the %17==7 rule), so gates keep everything else
+    rows = [(i, "the is " + " ".join(f"w{i}q{j}" for j in range(60)))
+            for i in range(25)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    small = (Q.trainer_export_pipeline(str(tmp_path)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setattr(Q, "SHUF_GROUP_CAP", 0)
+    big = (Q.trainer_export_pipeline(str(tmp_path)).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(small, big)
+    assert len(small) == 23   # 25 minus the two bench docs

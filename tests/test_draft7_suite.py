@@ -508,3 +508,34 @@ def test_deep_applicator_ref_chain():
            '"small":{"allOf":[{"$ref":"#/definitions/pos"},'
            '{"maximum":10}]}},"$ref":"#/definitions/small"}')
     check(sch, [5.0, -1.0, 11.0], [True, False, False])
+
+
+def test_format_uuid_email_uri_ipv4():
+    from rayschema.compile import compile_validator as cv
+    v = cv(schema_from_json('{"format":"uuid"}'), validate_formats=True)
+    assert v.probe(pa.array([
+        "123e4567-e89b-12d3-a456-426614174000", "not-a-uuid", None]
+    )).tolist() == [True, False, True]
+    v = cv(schema_from_json('{"format":"email"}'), validate_formats=True)
+    assert v.probe(pa.array(["a@b.co", "nope", "x@y", None])).tolist()[:2] \
+        == [True, False]
+    v = cv(schema_from_json('{"format":"ipv4"}'), validate_formats=True)
+    got = v.probe(pa.array(["1.2.3.4", "999.2.3.4", "a.b.c.d"])).tolist()
+    assert got[0] is True and got[2] is False
+
+
+def test_format_regex_compilability():
+    check('{"format":"regex"}', ["^a+$", "([unclosed"], [True, False])
+
+
+def test_format_unknown_passes_like_annotation():
+    check('{"format":"made-up-format"}', ["anything"], [True])
+
+
+def test_date_format_strict_calendar():
+    # round-4 fix: Arrow strptime rollover (2023-02-29 -> 2023-03-01)
+    # must NOT validate; leap years and month/day bounds exact
+    check('{"format":"date"}',
+          ["2024-02-29", "2023-02-29", "2023-04-31", "2023-13-01",
+           "0004-02-29", "2023-00-10", "2023-01-00"],
+          [True, False, False, False, True, False, False])
