@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup_documents": Q.simhash_near_dup_documents,
         # -- round-4 additions (new; next rotation pulls them forward) ------
         "dup_span_removal": Q.dup_span_removal,
+        "quality_rank_in_source": Q.quality_rank_in_source,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -335,6 +336,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, event_type HAVING count(*) > 1""",
         "exact_dedup_documents": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "quality_rank_in_source": """
+            SELECT doc_id, source, n_chars::BIGINT AS n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id)
+                     ::BIGINT AS rnk,
+                   count(*) OVER (PARTITION BY source)::BIGINT
+                     AS n_in_source
+            FROM documents
+            WHERE source IS NOT NULL AND n_chars IS NOT NULL""",
         # ExactSubstr span removal (Lee et al. 2022): dup windows = char
         # 20-grams in >= 2 distinct docs; covered positions cut; the oracle
         # reconstructs clean_text itself from the uncovered substr chars

@@ -2728,6 +2728,71 @@ def top_orders_per_customer(sf_dir: str):
                              order_cols=["neg_price", "o_orderkey"])
 
 
+def quality_rank_in_source(sf_dir: str):
+    """FULL-cardinality per-group window rank — the "rank every doc by
+    quality within its source" step of a per-source budget cut (the
+    head-only variant is top_orders_per_customer; global_sort_rank is the
+    ungrouped variant). Emits (doc_id, source, rnk, n_in_source) for
+    every doc: rnk = 1-based rank of (-n_chars, doc_id) within source,
+    n_in_source = the group size (so a consumer keeps rnk <= quota *
+    n_in_source without another pass). ONE (source, -n_chars, doc_id)
+    sort via sorted_group_scan; ranks and group sizes are vectorized per
+    block. Mirrors a row_number()/count() OVER (PARTITION BY source)
+    oracle."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("source")),
+                             pc.is_valid(b.column("n_chars"))))
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "source": b.column("source"),
+            "neg_chars": pa.array(-nc),
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+        })
+
+    def block_fn(b: pa.Table, starts, ends, want) -> pa.Table:
+        sizes = ends - starts
+        sel = np.repeat(want, sizes)
+        seg = np.repeat(starts, sizes)
+        rnk = np.arange(len(seg), dtype=np.int64) - seg + 1
+        nsz = np.repeat(sizes.astype(np.int64), sizes)
+        idx = pa.array(np.flatnonzero(sel))
+        neg = b.column("neg_chars").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": b.column("doc_id").take(idx),
+            "source": b.column("source").take(idx),
+            "n_chars": pa.array(-neg[np.flatnonzero(sel)]),
+            "rnk": pa.array(rnk[np.flatnonzero(sel)]),
+            "n_in_source": pa.array(nsz[np.flatnonzero(sel)]),
+        })
+
+    def group_fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        neg = t.column("neg_chars").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": t.column("source"),
+            "n_chars": pa.array(-neg),
+            "rnk": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "n_in_source": pa.array(np.full(n, n, dtype=np.int64)),
+        })
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("source", pa.string()),
+                            ("n_chars", pa.int64()),
+                            ("rnk", pa.int64()),
+                            ("n_in_source", pa.int64())])
+    return sorted_group_scan(ds.map_batches(prep, batch_format="pyarrow"),
+                             ["source"], group_fn, out_schema,
+                             block_fn=block_fn, sort_blocks=32,
+                             order_cols=["neg_chars", "doc_id"])
+
+
 def events_sessionization(sf_dir: str):
     """Session windows per user (gap > 30 min closes a session) on the
     shared sorted scan: one narrow (user, ts, cents) sort, then session

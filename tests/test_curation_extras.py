@@ -786,3 +786,34 @@ def test_trainer_export_two_phase_rank_equal(ray_session, tmp_path,
           .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(small, big)
     assert len(small) == 23   # 25 minus the two bench docs
+
+
+def test_quality_rank_in_source_edges(ray_session, tmp_path):
+    """Per-group FULL rank: tie on n_chars breaks by doc_id, singleton
+    sources rank 1/1, null source/n_chars dropped, many groups exercise
+    the string-keyed scan's boundary residual."""
+    from rayschema.queries import quality_rank_in_source
+
+    rows = []
+    for s in range(40):
+        for j in range(4):
+            # two docs tie at the top length within each source
+            rows.append((s * 4 + j, f"s{s:02d}", 100 if j < 2 else 10 - j))
+    rows.append((997, "solo", 5))
+    rows.append((998, None, 5))
+    rows.append((999, "x", None))
+    df = pd.DataFrame(rows, columns=["doc_id", "source", "n_chars"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    sf = _write_docs(tmp_path, df)
+    got = (quality_rank_in_source(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(got) == 161                    # nulls dropped
+    by = got.set_index("doc_id")
+    for s in range(40):
+        base = s * 4
+        assert by.loc[base, "rnk"] == 1       # tie -> lower doc_id first
+        assert by.loc[base + 1, "rnk"] == 2
+        assert by.loc[base + 2, "rnk"] == 3   # 8 > 7
+        assert by.loc[base + 3, "rnk"] == 4
+        assert by.loc[base, "n_in_source"] == 4
+    assert (by.loc[997, "rnk"], by.loc[997, "n_in_source"]) == (1, 1)

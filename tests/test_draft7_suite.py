@@ -539,3 +539,25 @@ def test_date_format_strict_calendar():
           ["2024-02-29", "2023-02-29", "2023-04-31", "2023-13-01",
            "0004-02-29", "2023-00-10", "2023-01-00"],
           [True, False, False, False, True, False, False])
+
+
+def test_keywords_ignore_nonmatching_types():
+    # draft-07: each keyword constrains only its own instance type —
+    # classic official-suite cases ("ignores non-strings" etc.)
+    check('{"minLength":5}', pa.array([1, 2], type=pa.int64()),
+          [True, True])
+    check('{"pattern":"^a"}', pa.array([1], type=pa.int64()), [True])
+    check('{"minimum":5}', ["a"], [True])
+    check('{"minItems":1}', pa.array([1], type=pa.int64()), [True])
+    check('{"maxProperties":1}',
+          pa.array([[1, 2]], type=pa.list_(pa.int64())), [True])
+    check('{"multipleOf":2}', ["abc"], [True])
+    check('{"uniqueItems":true}', ["aa"], [True])
+
+
+def test_combined_cross_type_with_type_keyword():
+    # but adding "type" makes the wrong type FAIL, not vacuously pass
+    check('{"type":"string","minLength":5}',
+          pa.array([1], type=pa.int64()), [False])
+    check('{"type":["number","string"],"minimum":5}',
+          pa.array([3.0]), [False])
