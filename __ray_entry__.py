@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- round-4 additions (new; next rotation pulls them forward) ------
         "dup_span_removal": Q.dup_span_removal,
         "quality_rank_in_source": Q.quality_rank_in_source,
+        "hard_negative_mining": Q.hard_negative_mining,
+        "knn_label_predict": Q.knn_label_predict,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -336,6 +338,44 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, event_type HAVING count(*) > 1""",
         "exact_dedup_documents": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "hard_negative_mining": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+                              label AS ql
+                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            s AS (SELECT q.query_id, e.vec_id,
+                         e.label::BIGINT AS neg_label,
+                         list_cosine_similarity(q.qe::DOUBLE[],
+                                                e.embedding::DOUBLE[]) AS cs
+                  FROM q JOIN embeddings e ON e.label != q.ql),
+            r AS (SELECT query_id, vec_id, neg_label, cs,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cs DESC, vec_id) AS rk
+                  FROM s)
+            SELECT query_id, vec_id, neg_label, round(cs, 6) AS cosine,
+                   CAST(rk AS BIGINT) AS "rank"
+            FROM r WHERE rk <= 5""",
+        "knn_label_predict": """
+            WITH s AS (SELECT a.vec_id, a.label AS tl, b.vec_id AS nb,
+                              b.label AS nl,
+                              list_cosine_similarity(
+                                  a.embedding::DOUBLE[],
+                                  b.embedding::DOUBLE[]) AS cs
+                       FROM embeddings a JOIN embeddings b
+                         ON a.vec_id != b.vec_id),
+            r AS (SELECT vec_id, tl, nl,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cs DESC, nb) AS rk
+                  FROM s),
+            v AS (SELECT vec_id, tl, nl, count(*) AS c
+                  FROM r WHERE rk <= 5 GROUP BY vec_id, tl, nl),
+            p AS (SELECT vec_id, tl, nl,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY c DESC, nl) AS pk
+                  FROM v)
+            SELECT vec_id, tl::BIGINT AS true_label,
+                   nl::BIGINT AS pred_label,
+                   (CASE WHEN nl = tl THEN 1 ELSE 0 END)::BIGINT AS correct
+            FROM p WHERE pk = 1""",
         "quality_rank_in_source": """
             SELECT doc_id, source, n_chars::BIGINT AS n_chars,
                    row_number() OVER (PARTITION BY source

@@ -928,6 +928,138 @@ def knn_ivf(sf_dir: str):
     return ivf_topk(ds, queries, k=10, n_clusters=8, nprobe=3)
 
 
+def hard_negative_mining(sf_dir: str, k: int = 5):
+    """Contrastive hard-negative mining (embedding-training data prep):
+    for each query vector (vec_id 0-2), the top-k most-cosine-similar
+    vectors carrying a DIFFERENT label. The (query matrix, query labels)
+    broadcast once via ray.put; each batch computes a masked local top-k
+    (same-label rows excluded vectorized), and the driver merges the
+    bounded batches x k x n_queries candidate set — the knn_bruteforce
+    shape plus the label mask. Emits (query_id, vec_id, neg_label,
+    cosine, rank)."""
+    import ray
+
+    from rayschema.dedup import round_half_away
+    from rayschema.similarity import _normalize
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    q = (ds.filter(expr="vec_id in [0, 1, 2]").to_pandas()
+         .sort_values("vec_id"))
+    qmat = _normalize(np.stack(q["embedding"].to_numpy())
+                      .astype(np.float64))
+    ref = ray.put((q["vec_id"].to_numpy(np.int64),
+                   q["label"].to_numpy(np.int64), qmat))
+
+    def scan(b: pa.Table, _ref=ref) -> pa.Table:
+        qids, qlab, qm = ray.get(_ref)
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        empty = pa.table({
+            "query_id": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "neg_label": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64())})
+        if len(col) == 0:
+            return empty
+        rows = _normalize(np.stack(col.to_numpy(zero_copy_only=False))
+                          .astype(np.float64))
+        rid = b.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rlab = b.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sims = rows @ qm.T                                  # (b, nq)
+        sims[rlab[:, None] == qlab[None, :]] = -2.0
+        qs, vs, ls, cs = [], [], [], []
+        for qi in range(len(qids)):
+            col_s = sims[:, qi]
+            m = min(k, len(col_s))
+            loc = np.argpartition(-col_s, m - 1)[:m]
+            keep = col_s[loc] > -1.5
+            loc = loc[keep]
+            qs.append(np.full(len(loc), qids[qi], dtype=np.int64))
+            vs.append(rid[loc])
+            ls.append(rlab[loc])
+            cs.append(col_s[loc])
+        return pa.table({"query_id": pa.array(np.concatenate(qs)),
+                         "vec_id": pa.array(np.concatenate(vs)),
+                         "neg_label": pa.array(np.concatenate(ls)),
+                         "cosine": pa.array(np.concatenate(cs))})
+
+    cand = ds.map_batches(scan, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["query_id", "cosine", "vec_id"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    out = cand.groupby("query_id", as_index=False).head(k) \
+        .reset_index(drop=True)
+    out["rank"] = (out.groupby("query_id").cumcount() + 1).astype(np.int64)
+    out["cosine"] = round_half_away(out["cosine"].to_numpy(), 6)
+    return out
+
+
+def knn_label_predict(sf_dir: str, k: int = 5):
+    """Leave-one-out k-NN label prediction — the standard embedding-quality
+    probe: each vector's label predicted by majority vote of its k cosine
+    nearest neighbors (self excluded), smallest label on vote ties
+    (row_number semantics). The corpus (ids, labels, normalized matrix)
+    broadcasts once — the <=10^7-vector baseline shared with
+    embedding_cosine_pairs_exact; past that the candidate set comes from
+    the IVF probe path instead, same vote kernel. Neighbor order inside a
+    cosine tie follows ascending vec_id (stable argsort over the id-sorted
+    corpus). Emits (vec_id, true_label, pred_label, correct)."""
+    import ray
+
+    from rayschema.similarity import _normalize
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    full = ds.to_pandas().sort_values("vec_id")
+    cids = full["vec_id"].to_numpy(np.int64)
+    clabs = full["label"].to_numpy(np.int64)
+    cmat = _normalize(np.stack(full["embedding"].to_numpy())
+                      .astype(np.float64))
+    n_labels = int(clabs.max()) + 1 if len(clabs) else 1
+    ref = ray.put((cids, clabs, cmat))
+
+    def scan(b: pa.Table, _ref=ref) -> pa.Table:
+        cids_, clabs_, cm = ray.get(_ref)
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        empty = pa.table({
+            "vec_id": pa.array([], type=pa.int64()),
+            "true_label": pa.array([], type=pa.int64()),
+            "pred_label": pa.array([], type=pa.int64()),
+            "correct": pa.array([], type=pa.int64())})
+        if len(col) == 0:
+            return empty
+        rows = _normalize(np.stack(col.to_numpy(zero_copy_only=False))
+                          .astype(np.float64))
+        rid = b.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rlab = b.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sims = rows @ cm.T                                   # (b, N)
+        pos = np.searchsorted(cids_, rid)
+        sims[np.arange(len(rid)), pos] = -2.0                # exclude self
+        # stable argsort on -sims: corpus is id-ascending, so float ties
+        # resolve by vec_id exactly like the oracle's row_number
+        topidx = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        votes = clabs_[topidx]                               # (b, k)
+        counts = np.zeros((len(rid), n_labels), dtype=np.int64)
+        np.add.at(counts, (np.repeat(np.arange(len(rid)), votes.shape[1]),
+                           votes.ravel()), 1)
+        pred = counts.argmax(axis=1).astype(np.int64)        # min label wins
+        return pa.table({
+            "vec_id": pa.array(rid),
+            "true_label": pa.array(rlab),
+            "pred_label": pa.array(pred),
+            "correct": pa.array((pred == rlab).astype(np.int64))})
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------- text ops
 def token_counts_documents(sf_dir: str):
     from rayschema.text import token_count_batch

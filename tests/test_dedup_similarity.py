@@ -725,3 +725,62 @@ def test_semdedup_scan_equals_broadcast(ray_session):
 
     pd.testing.assert_frame_equal(run("scan")[["vec_id", "cluster"]],
                                   run("broadcast")[["vec_id", "cluster"]])
+
+
+def _write_emb(tmp_path, ids, vecs, labels):
+    import os
+
+    import pyarrow.parquet as pq
+    t = pa.table({
+        "vec_id": pa.array(np.asarray(ids, np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32())),
+        "label": pa.array(np.asarray(labels, np.int32), type=pa.int32()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_hard_negative_mining_planted(ray_session, tmp_path):
+    """The nearest different-label vector wins; same-label vectors are
+    never returned however similar."""
+    from rayschema.queries import hard_negative_mining
+
+    base = np.eye(4)[0]
+    vecs = [base,                       # 0: query, label 0
+            base * 0.999,               # 1: same label -> excluded
+            base + 0.01 * np.eye(4)[1], # 2: diff label, nearly identical
+            np.eye(4)[1],               # 3: diff label, orthogonal
+            np.eye(4)[2],               # 4: query 1 (labeled 1)
+            np.eye(4)[2] * 2]           # 5: same dir as 4, label 0
+    labels = [0, 0, 1, 1, 1, 0]
+    sf = _write_emb(tmp_path, range(6), vecs, labels)
+
+    # only vec 0 and 4 exist as queries 0..2? query set is vec_id 0,1,2
+    got = hard_negative_mining(sf, k=2)
+    g0 = got[got["query_id"] == 0]
+    assert g0.iloc[0]["vec_id"] == 2            # closest diff-label
+    assert 1 not in set(g0["vec_id"])           # same-label excluded
+    assert set(g0["neg_label"]) == {1}
+
+
+def test_knn_label_predict_planted(ray_session, tmp_path):
+    """Three tight same-label clusters: every vector's LOO 3-NN vote is its
+    own cluster's label -> all correct; one planted outlier inside a
+    foreign cluster is predicted wrong."""
+    from rayschema.queries import knn_label_predict
+
+    rng = np.random.RandomState(7)
+    vecs, labels = [], []
+    centers = np.eye(3) * 10
+    for c in range(3):
+        for _ in range(8):
+            vecs.append(centers[c] + rng.normal(0, 0.05, 3))
+            labels.append(c)
+    vecs.append(centers[0] + rng.normal(0, 0.05, 3))   # outlier: label 2
+    labels.append(2)
+    sf = _write_emb(tmp_path, range(len(vecs)), vecs, labels)
+    got = (knn_label_predict(sf, k=3).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert got.loc[24, "pred_label"] == 0 and got.loc[24, "correct"] == 0
+    assert got.loc[:23, "correct"].all()
