@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_rank_in_source": Q.quality_rank_in_source,
         "hard_negative_mining": Q.hard_negative_mining,
         "knn_label_predict": Q.knn_label_predict,
+        "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -338,6 +339,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, event_type HAVING count(*) > 1""",
         "exact_dedup_documents": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "q5_local_supplier_volume": """
+            SELECT n.n_name,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                     AS BIGINT) AS revenue_e4
+            FROM customer c
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n.n_name""",
         "hard_negative_mining": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
                               label AS ql

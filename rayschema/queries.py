@@ -3809,6 +3809,160 @@ def normalize_text_documents(sf_dir: str):
     return ds.map_batches(norm, batch_format="pyarrow")
 
 
+def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
+    """TPC-H Q5-shaped SIX-table join — the engine's deepest relational
+    composition: region -> nation (metadata-sized, resolved on the
+    driver), customer semi-filtered to in-region nations (stateless
+    searchsorted against the broadcast nation-key array), orders with the
+    one-year date cut PUSHED TO THE PARQUET SCAN, the orders⋈customer
+    custkey join (adaptive: broadcast (custkey -> nationkey) arrays under
+    Q3_BROADCAST_CAP, Dataset.join hash exchange past it), the big
+    lineitem⋈orders orderkey HASH join, then a stateless supplier lookup
+    enforcing Q5's "local supplier" rule c_nationkey == s_nationkey
+    (suppliers are a dimension table — broadcast sorted arrays), and a
+    per-batch per-nation partial fold into the <= 25-row final aggregate.
+    Revenue in exact integer e4 (the q3 convention). Emits
+    (n_name, revenue_e4)."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1997-01-01")
+
+    reg = _read(sf_dir, "region").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"]
+                .astype(np.int64))
+    nat = _read(sf_dir, "nation").to_pandas()
+    nat = nat[nat["n_regionkey"].astype(np.int64).isin(rkeys)] \
+        .sort_values("n_nationkey")
+    nkeys = nat["n_nationkey"].to_numpy(np.int64)
+    nnames = nat["n_name"].tolist()
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas() \
+        .sort_values("s_suppkey")
+    skeys = sup["s_suppkey"].to_numpy(np.int64)
+    snat = sup["s_nationkey"].to_numpy(np.int64)
+    nref = ray.put(nkeys)
+    sref = ray.put((skeys, snat))
+
+    def cust_filter(b: pa.Table, _nref=nref) -> pa.Table:
+        nk = ray.get(_nref)
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(nk) == 0:
+            keep = np.zeros(len(ck), dtype=bool)
+        else:
+            p = np.clip(np.searchsorted(nk, cn), 0, len(nk) - 1)
+            keep = nk[p] == cn
+        return pa.table({"c_custkey": pa.array(ck[keep]),
+                         "c_nationkey": pa.array(cn[keep])})
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_filter, batch_format="pyarrow")
+
+    opath = os.path.join(sf_dir, "orders.parquet")
+    olo = _pq_schema_scalar(opath, "o_orderdate", lo)
+    ohi = _pq_schema_scalar(opath, "o_orderdate", hi)
+    okw = {} if olo is None else dict(
+        filter=(pads.field("o_orderdate") >= olo)
+        & (pads.field("o_orderdate") < ohi))
+    orders = rd.read_parquet(
+        opath, columns=["o_orderkey", "o_custkey", "o_orderdate"], **okw)
+    if olo is None:
+        orders = orders.filter(
+            lambda r: lo.to_datetime64() <= r["o_orderdate"]
+            < hi.to_datetime64())
+    orders = orders.select_columns(["o_orderkey", "o_custkey"])
+
+    n_cust = cust.count()
+    if n_cust <= Q3_BROADCAST_CAP:
+        cdf = cust.to_pandas().sort_values("c_custkey")
+        cref = ray.put((cdf["c_custkey"].to_numpy(np.int64),
+                        cdf["c_nationkey"].to_numpy(np.int64)))
+
+        def o_lookup(b: pa.Table, _cref=cref) -> pa.Table:
+            ck, cn = ray.get(_cref)
+            ok_ = b.column("o_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            oc = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(ck) == 0:
+                keep = np.zeros(len(ok_), dtype=bool)
+                nk = oc
+            else:
+                p = np.clip(np.searchsorted(ck, oc), 0, len(ck) - 1)
+                keep = ck[p] == oc
+                nk = cn[p]
+            return pa.table({"o_orderkey": pa.array(ok_[keep]),
+                             "c_nationkey": pa.array(nk[keep])})
+
+        ord_nat = orders.map_batches(o_lookup, batch_format="pyarrow")
+    else:
+        est = (orders.size_bytes() or 0) + (cust.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        ord_nat = orders.join(
+            cust, join_type="inner", num_partitions=n_parts,
+            on=("o_custkey",), right_on=("c_custkey",)) \
+            .select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        price = _cents(b.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        disc = np.round((1.0 - b.column("l_discount")
+                         .to_numpy(zero_copy_only=False)
+                         .astype(np.float64)) * 100).astype(np.int64)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "l_suppkey": b.column("l_suppkey"),
+                         "rev_e4": pa.array(price * disc)})
+
+    est = (li.size_bytes() or 0)
+    n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+    joined = li.map_batches(li_prep, batch_format="pyarrow").join(
+        ord_nat, join_type="inner", num_partitions=n_parts,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def partial(b: pa.Table, _sref=sref, _nref=nref) -> pa.Table:
+        sk, sn = ray.get(_sref)
+        nk = ray.get(_nref)
+        if b.num_rows == 0 or len(sk) == 0 or len(nk) == 0:
+            return pa.table({"nationkey": pa.array([], type=pa.int64()),
+                             "revenue_e4": pa.array([], type=pa.int64())})
+        ls = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rev = b.column("rev_e4").to_numpy(zero_copy_only=False)
+        p = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+        keep = (sk[p] == ls) & (sn[p] == cn)     # local-supplier rule
+        cn, rev = cn[keep], rev[keep]
+        q = np.clip(np.searchsorted(nk, cn), 0, len(nk) - 1)
+        sums = np.zeros(len(nk), dtype=np.int64)
+        np.add.at(sums, q, rev)
+        nz = sums != 0
+        return pa.table({"nationkey": pa.array(nk[nz]),
+                         "revenue_e4": pa.array(sums[nz])})
+
+    parts = joined.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                             "revenue_e4": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby("nationkey", as_index=False)["revenue_e4"].sum()
+    name_of = dict(zip(nkeys, nnames))
+    agg["n_name"] = agg["nationkey"].map(name_of)
+    agg = agg[agg["revenue_e4"] != 0]
+    return (agg[["n_name", "revenue_e4"]]
+            .sort_values("revenue_e4", ascending=False)
+            .reset_index(drop=True))
+
+
 def supplier_nation_balance(sf_dir: str):
     """Dimension-table enrichment for the one table no other query
     touches: suppliers per nation with exact integer-cents account

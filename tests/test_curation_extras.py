@@ -817,3 +817,19 @@ def test_quality_rank_in_source_edges(ray_session, tmp_path):
         assert by.loc[base + 3, "rnk"] == 4
         assert by.loc[base, "n_in_source"] == 4
     assert (by.loc[997, "rnk"], by.loc[997, "n_in_source"]) == (1, 1)
+
+
+def test_q5_broadcast_equals_hash_join(ray_session, monkeypatch):
+    """q5's adaptive custkey join: the broadcast-lookup path and the
+    Dataset.join hash-exchange path emit identical nation revenues on the
+    real sf0.001 tables."""
+    import rayschema.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = (Q.q5_local_supplier_volume(sf)
+         .sort_values("n_name").reset_index(drop=True))
+    monkeypatch.setattr(Q, "Q3_BROADCAST_CAP", 0)   # force hash join
+    b = (Q.q5_local_supplier_volume(sf)
+         .sort_values("n_name").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) >= 1 and (a["revenue_e4"] > 0).all()
