@@ -226,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negative_mining": Q.hard_negative_mining,
         "knn_label_predict": Q.knn_label_predict,
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,
+        "funnel_view_purchase": Q.funnel_view_purchase,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -339,6 +340,21 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, event_type HAVING count(*) > 1""",
         "exact_dedup_documents": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "funnel_view_purchase": """
+            WITH fv AS (SELECT user_id, min(ts) AS fv FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            conv AS (SELECT f.user_id,
+                            max(CASE WHEN e.event_type = 'purchase'
+                                      AND e.ts > f.fv
+                                      AND e.ts <= f.fv + INTERVAL 24 HOURS
+                                THEN 1 ELSE 0 END) AS c
+                     FROM fv f JOIN events e ON e.user_id = f.user_id
+                     GROUP BY f.user_id)
+            SELECT date_trunc('day', f.fv) AS day,
+                   count(*)::BIGINT AS n_users,
+                   sum(c.c)::BIGINT AS n_converted
+            FROM fv f JOIN conv c USING (user_id)
+            GROUP BY 1""",
         "q5_local_supplier_volume": """
             SELECT n.n_name,
                    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)

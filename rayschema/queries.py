@@ -2925,6 +2925,93 @@ def quality_rank_in_source(sf_dir: str):
                              order_cols=["neg_chars", "doc_id"])
 
 
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def funnel_view_purchase(sf_dir: str):
+    """Funnel conversion — the product-analytics primitive: per user, the
+    FIRST 'view' event, and whether a 'purchase' by the same user follows
+    within 24 h. Emits per first-view day (day, n_users, n_converted).
+
+    ONE user-keyed sorted scan (order: ts, event_id for deterministic
+    equal-ts handling) whose block kernel computes each complete user's
+    first-view timestamp (minimum.reduceat over masked positions) and the
+    windowed purchase existence (reduceat over a vectorized mask) — no
+    per-user Python; boundary users stitch exactly on the driver. The
+    per-user rows are day-bucketed partials (<= days x 2 numbers per
+    block), folded by a tiny groupby."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type", "event_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        code = np.zeros(b.num_rows, dtype=np.int8)
+        code[pc.equal(et, "view").to_numpy(zero_copy_only=False)] = 1
+        code[pc.equal(et, "purchase").to_numpy(zero_copy_only=False)] = 2
+        return pa.table({"user_id": b.column("user_id").cast(pa.int64()),
+                         "ts_us": _ts_us_col(b.column("ts")),
+                         "event_id": b.column("event_id").cast(pa.int64()),
+                         "code": pa.array(code)})
+
+    BIG = np.int64(2 ** 62)
+
+    def _funnel(uid, ts, code, starts, sizes, want):
+        if len(starts) == 0:
+            return None
+        seg = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        row_start = np.repeat(starts, sizes)
+        # first view ts per group
+        tsv = np.where(code == 1, ts, BIG)
+        fv = np.minimum.reduceat(tsv, starts)
+        fv_row = fv[seg]
+        conv_m = ((code == 2) & (ts > fv_row)
+                  & (ts <= fv_row + FUNNEL_WINDOW_US))
+        conv = np.add.reduceat(conv_m.astype(np.int64), starts) > 0
+        keep = want & (fv < BIG)
+        if not keep.any():
+            return None
+        day = fv[keep] - fv[keep] % 86_400_000_000
+        return pa.table({
+            "day": pa.array(day).cast(pa.timestamp("us")),
+            "n_users": pa.array(np.ones(keep.sum(), dtype=np.int64)),
+            "n_converted": pa.array(conv[keep].astype(np.int64))})
+
+    def block_fn(block: pa.Table, starts, ends, want):
+        sizes = (ends - starts).astype(np.int64)
+        return _funnel(
+            block.column("user_id").to_numpy(zero_copy_only=False),
+            block.column("ts_us").to_numpy(zero_copy_only=False),
+            block.column("code").to_numpy(zero_copy_only=False),
+            starts.astype(np.int64), sizes, want.astype(bool))
+
+    def group_fn(t: pa.Table):
+        n = t.num_rows
+        return _funnel(
+            t.column("user_id").to_numpy(zero_copy_only=False),
+            t.column("ts_us").to_numpy(zero_copy_only=False),
+            t.column("code").to_numpy(zero_copy_only=False),
+            np.array([0], dtype=np.int64), np.array([n], dtype=np.int64),
+            np.array([True]))
+
+    out_schema = pa.schema([("day", pa.timestamp("us")),
+                            ("n_users", pa.int64()),
+                            ("n_converted", pa.int64())])
+    per_user = sorted_group_scan(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], group_fn, out_schema,
+        block_fn=block_fn, sort_blocks=32,
+        order_cols=["ts_us", "event_id"])
+    from ray.data.aggregate import Sum
+
+    return (per_user.groupby("day")
+            .aggregate(Sum("n_users", alias_name="n_users"),
+                       Sum("n_converted", alias_name="n_converted")))
+
+
 def events_sessionization(sf_dir: str):
     """Session windows per user (gap > 30 min closes a session) on the
     shared sorted scan: one narrow (user, ts, cents) sort, then session

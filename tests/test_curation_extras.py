@@ -833,3 +833,42 @@ def test_q5_broadcast_equals_hash_join(ray_session, monkeypatch):
          .sort_values("n_name").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) >= 1 and (a["revenue_e4"] > 0).all()
+
+
+def test_funnel_view_purchase_edges(ray_session, tmp_path):
+    """Funnel semantics pinned: conversion window is (fv, fv+24h]
+    (exactly-24h converts, purchase AT the first view does not), purchases
+    BEFORE the first view don't count, users without views are absent,
+    later views don't open new windows."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import funnel_view_purchase
+
+    H = 3_600_000_000
+    rows = []  # (event_id, user, ts_us, type)
+    rows += [(0, 1, 10 * H, "view"), (1, 1, 34 * H, "purchase")]   # = +24h
+    rows += [(2, 2, 10 * H, "view"), (3, 2, 34 * H + 1, "purchase")]
+    rows += [(12, 7, 10 * H, "view"), (13, 7, 20 * H, "purchase")]
+    rows += [(4, 3, 10 * H, "purchase"), (5, 3, 11 * H, "view")]
+    rows += [(6, 4, 5 * H, "purchase")]                # no view at all
+    rows += [(7, 5, 1 * H, "view"), (8, 5, 40 * H, "view"),
+             (9, 5, 41 * H, "purchase")]               # 2nd view irrelevant
+    rows += [(10, 6, 10 * H, "view"), (11, 6, 10 * H, "purchase")]  # same ts
+    ts = pa.array(np.array([r[2] for r in rows], np.int64)) \
+        .cast(pa.timestamp("us"))
+    tab = pa.table({
+        "event_id": pa.array(np.array([r[0] for r in rows], np.int64)),
+        "user_id": pa.array(np.array([r[1] for r in rows], np.int64)),
+        "ts": ts,
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array(np.ones(len(rows))),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = (funnel_view_purchase(str(tmp_path)).to_pandas()
+           .sort_values("day").reset_index(drop=True))
+    # users with a view: 1,2,3,5,6,7 (user 4 has no view)
+    assert got["n_users"].sum() == 6
+    # conversions: user 1 (exactly +24h: window is inclusive) and user 7
+    # (inside); user 2 is 1 us past the window; user 3's purchase precedes
+    # its view; user 5's window expired; user 6's purchase is same-ts
+    assert got["n_converted"].sum() == 2
