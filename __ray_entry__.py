@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_predict": Q.knn_label_predict,
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         "funnel_view_purchase": Q.funnel_view_purchase,
+        "decontaminate_rk_documents": Q.decontaminate_rk_documents,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -811,6 +812,20 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id AS bench_id, substr(text, 1, 32) AS snippet
               FROM documents
               WHERE doc_id % 17 = 7 AND text IS NOT NULL AND length(text) >= 32)
+            SELECT d.doc_id, count(*)::BIGINT AS n_hits
+            FROM documents d, bench b
+            WHERE d.text IS NOT NULL AND d.doc_id <> b.bench_id
+              AND contains(d.text, b.snippet)
+            GROUP BY d.doc_id""",
+        # the Rabin-Karp-path twin of decontaminate_documents: 125 snippets
+        # at sf0.01 exceed the 100-snippet scan cap, so this row checks the
+        # anchored multi-pattern index against the exact contains() oracle
+        "decontaminate_rk_documents": """
+            WITH bench AS (
+              SELECT doc_id AS bench_id, substr(text, 1, 32) AS snippet
+              FROM documents
+              WHERE doc_id % 4 = 1 AND text IS NOT NULL
+                AND length(text) >= 32)
             SELECT d.doc_id, count(*)::BIGINT AS n_hits
             FROM documents d, bench b
             WHERE d.text IS NOT NULL AND d.doc_id <> b.bench_id

@@ -111,6 +111,15 @@ def run_bench() -> dict:
         ("events_rolling_window", Q.events_rolling_window),
         ("global_sort_rank", Q.global_sort_rank),
         ("trainer_export_pipeline", Q.trainer_export_pipeline),
+        # round-4 operators
+        ("simhash_near_dup", Q.simhash_near_dup_documents),
+        ("dup_span_removal", Q.dup_span_removal),
+        ("quality_rank_in_source", Q.quality_rank_in_source),
+        ("knn_label_predict", Q.knn_label_predict),
+        ("q5_local_supplier_volume", Q.q5_local_supplier_volume),
+        ("funnel_view_purchase", Q.funnel_view_purchase),
+        ("keep_best_per_cluster", Q.keep_best_per_cluster),
+        ("decontaminate_rk", Q.decontaminate_rk_documents),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

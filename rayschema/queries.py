@@ -1483,15 +1483,11 @@ DECONTAM_MOD = 17          # bench set = doc_id % 17 == 7  (deterministic)
 DECONTAM_SNIPPET_LEN = 32  # codepoints, mirrors SQL substr(text, 1, 32)
 
 
-def decontaminate_documents(sf_dir: str):
-    """Benchmark decontamination: flag documents containing any snippet of
-    the (deterministically-derived) benchmark set. The snippet set is
-    metadata-sized (n/17 rows x 32 chars), pulled once on the driver and
-    broadcast via ray.put; the corpus scan is one match_substring kernel
-    per snippet per batch at this snippet count — past 100 snippets the
-    Decontaminator automatically switches to its anchored Rabin-Karp
-    index (one rolling pass per batch regardless of snippet count,
-    round 4; equality-tested)."""
+def _decontaminate(sf_dir: str, mod: int, residue: int):
+    """Shared snippet-decontamination core: bench set = first 32 codepoints
+    of every doc with doc_id % mod == residue; Decontaminator flags the
+    carriers (auto-selecting match_substring vs the anchored Rabin-Karp
+    index by snippet count)."""
     import ray
 
     from rayschema.text import Decontaminator
@@ -1505,7 +1501,7 @@ def decontaminate_documents(sf_dir: str):
             text = text.combine_chunks()
         long_enough = pc.fill_null(pc.greater_equal(
             pc.utf8_length(text), DECONTAM_SNIPPET_LEN), False)
-        mask = (ids % DECONTAM_MOD == 7) & \
+        mask = (ids % mod == residue) & \
             long_enough.to_numpy(zero_copy_only=False)
         t = b.filter(pa.array(mask))
         text = t.column("text")
@@ -1523,6 +1519,26 @@ def decontaminate_documents(sf_dir: str):
                            fn_constructor_kwargs=dict(snippets_ref=ref),
                            concurrency=(1, 8))
             .sort("doc_id"))
+
+
+def decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination: flag documents containing any snippet of
+    the (deterministically-derived) benchmark set. The snippet set is
+    metadata-sized (n/17 rows x 32 chars), pulled once on the driver and
+    broadcast via ray.put; the corpus scan is one match_substring kernel
+    per snippet per batch at this snippet count — past 100 snippets the
+    Decontaminator automatically switches to its anchored Rabin-Karp
+    index (see decontaminate_rk_documents, which drives that path)."""
+    return _decontaminate(sf_dir, DECONTAM_MOD, 7)
+
+
+def decontaminate_rk_documents(sf_dir: str):
+    """The SAME snippet-containment semantics with a bench set sized past
+    DECON_SCAN_MAX_SNIPPETS (doc_id % 4 == 1 -> n/4 snippets: 125 at
+    sf0.01), so the driver check exercises the anchored Rabin-Karp
+    multi-pattern path against the exact contains() oracle — the scale
+    path as a hash-checked quantity, not just a unit test."""
+    return _decontaminate(sf_dir, 4, 1)
 
 
 NGRAM_DECONTAM_N = 8
