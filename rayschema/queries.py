@@ -446,6 +446,7 @@ def dedup_corpus_exact(sf_dir: str):
 
 
 CURATION_LANGS = ["en", "de", "fr", "es", "zh"]
+CURATION_REMOVAL_BROADCAST_CAP = 10_000_000   # loser ids; ~80 MB ceiling
 
 
 def curation_pipeline_documents(sf_dir: str):
@@ -491,29 +492,85 @@ def curation_pipeline_documents(sf_dir: str):
         })
 
     passing = ds.map_batches(gate, batch_format="pyarrow").materialize()
-    losers = _exact_dedup_core(passing, emit="losers").to_pandas()
-    rem = np.sort(losers["doc_id"].to_numpy(np.int64)) if len(losers) \
-        else np.array([], dtype=np.int64)
-    rref = ray.put(rem)
+    losers_ds = _exact_dedup_core(passing, emit="losers").materialize()
 
-    def finish(b: pa.Table) -> pa.Table:
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        r = ray.get(rref)
-        pos = np.searchsorted(r, ids)
-        hit = (pos < len(r)) & (r[np.minimum(pos, max(len(r) - 1, 0))] == ids) \
-            if len(r) else np.zeros(len(ids), dtype=bool)
-        t = b.filter(pa.array(~hit))
+    def _split_col(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         m = ids % 10
         split = np.where(m == 0, "test", np.where(m == 1, "val", "train"))
         return pa.table({
-            "doc_id": t.column("doc_id"),
+            "doc_id": t.column("doc_id").cast(pa.int64()),
             "lang": t.column("lang"),
             "n_tok": t.column("n_tok"),
             "split": pa.array(split, type=pa.string()),
         })
 
-    return passing.map_batches(finish, batch_format="pyarrow")
+    if losers_ds.count() <= CURATION_REMOVAL_BROADCAST_CAP:
+        # removal set is dup-mass-sized: broadcast while it fits
+        losers = losers_ds.to_pandas()
+        rem = np.sort(losers["doc_id"].to_numpy(np.int64)) if len(losers) \
+            else np.array([], dtype=np.int64)
+        rref = ray.put(rem)
+
+        def finish(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            r = ray.get(rref)
+            hit = np.zeros(len(ids), dtype=bool)
+            if len(r):
+                pos = np.searchsorted(r, ids)
+                posc = np.minimum(pos, len(r) - 1)
+                hit = (pos < len(r)) & (r[posc] == ids)
+            return _split_col(b.filter(pa.array(~hit)))
+
+        return passing.map_batches(finish, batch_format="pyarrow")
+
+    # past the cap: DISTRIBUTED anti-join — narrow survivors and loser ids
+    # union into ONE doc_id-keyed sorted scan; any group holding a loser
+    # row drops entirely. No removal set ever reaches the driver.
+    from rayschema.dedup import sorted_group_scan
+
+    def narrow(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "lang": b.column("lang"),
+            "n_tok": b.column("n_tok").cast(pa.int64()),
+            "is_loser": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+        })
+
+    def loser_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "lang": pa.nulls(n, pa.string()),
+            "n_tok": pa.array(np.zeros(n, dtype=np.int64)),
+            "is_loser": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    union = passing.map_batches(narrow, batch_format="pyarrow").union(
+        losers_ds.map_batches(loser_rows, batch_format="pyarrow"))
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("lang", pa.string()),
+                            ("n_tok", pa.int64()),
+                            ("split", pa.string())])
+
+    def group_fn(t: pa.Table):
+        fl = t.column("is_loser").to_numpy(zero_copy_only=False)
+        if (fl == 1).any():
+            return None
+        return _split_col(t)
+
+    def block_fn(block, starts, ends, want):
+        fl = block.column("is_loser").to_numpy(zero_copy_only=False)
+        sizes = ends - starts
+        has_loser = np.add.reduceat(
+            (fl == 1).astype(np.int64), starts) > 0 if len(starts) \
+            else np.zeros(0, dtype=bool)
+        sel = np.repeat(want.astype(bool) & ~has_loser, sizes)
+        t = block.filter(pa.array(sel))
+        return _split_col(t) if t.num_rows else None
+
+    return sorted_group_scan(union, ["doc_id"], group_fn, out_schema,
+                             block_fn=block_fn, sort_blocks=32)
 
 
 SAMPLE_RATES = {"en": 47, "de": 31, "fr": 23, "es": 61, "zh": 13}  # % kept

@@ -872,3 +872,20 @@ def test_funnel_view_purchase_edges(ray_session, tmp_path):
     # (inside); user 2 is 1 us past the window; user 3's purchase precedes
     # its view; user 5's window expired; user 6's purchase is same-ts
     assert got["n_converted"].sum() == 2
+
+
+def test_curation_antijoin_equals_broadcast(ray_session, monkeypatch):
+    """curation_pipeline's removal: the broadcast-losers path and the
+    distributed doc_id-keyed anti-join scan emit identical rows on real
+    sf0.001 documents (cap forced to 0 flips the path)."""
+    import rayschema.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    cols = ["doc_id", "lang", "n_tok", "split"]
+    a = (Q.curation_pipeline_documents(sf).to_pandas()[cols]
+         .sort_values("doc_id").reset_index(drop=True))
+    monkeypatch.setattr(Q, "CURATION_REMOVAL_BROADCAST_CAP", 0)
+    b = (Q.curation_pipeline_documents(sf).to_pandas()[cols]
+         .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 50
