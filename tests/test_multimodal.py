@@ -342,3 +342,35 @@ def test_jpeg_decoder_guards():
     data[i + 1] = 0xC2
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(data))
+
+
+def test_jpeg_geometry_fuzz():
+    """Shape integrity across awkward dims (1x1, 7x9, 8x8, 15x17, 16x16,
+    33x31), both subsampling modes, colors and grayscale: decode always
+    returns the exact input dims, deterministically, with bounded error
+    on smooth content."""
+    from rayschema.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(123)
+    for h, w in [(1, 1), (7, 9), (8, 8), (15, 17), (16, 16), (33, 31)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        smooth = np.stack([
+            (xx * 255) // max(w - 1, 1),
+            (yy * 255) // max(h - 1, 1),
+            np.full((h, w), 77)], axis=2).astype(np.uint8)
+        for sub in (False, True):
+            data = encode_jpeg(smooth, quality=92, subsample=sub)
+            assert data == encode_jpeg(smooth, quality=92, subsample=sub)
+            out = decode_jpeg(data)
+            assert out["rgb"].shape == (h, w, 3), (h, w, sub)
+            err = np.abs(out["rgb"].astype(int)
+                         - smooth.astype(int)).mean()
+            assert err < 12, (h, w, sub, err)
+        g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+        og = decode_jpeg(encode_jpeg(g, quality=92))
+        assert og["rgb"].shape == (h, w, 3)
+    # noise content: no exception, exact dims (error unconstrained)
+    noisy = rng.randint(0, 256, (19, 13, 3), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(noisy, quality=50,
+                                   subsample=True))["rgb"].shape \
+        == (19, 13, 3)
