@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         "funnel_view_purchase": Q.funnel_view_purchase,
         "decontaminate_rk_documents": Q.decontaminate_rk_documents,
+        "jsonl_roundtrip": Q.jsonl_roundtrip,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -341,6 +342,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id, event_type HAVING count(*) > 1""",
         "exact_dedup_documents": """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text""",
+        # aggregates of the JSONL-round-tripped rows vs the parquet source:
+        # null lang rows survive the trip and group under NULL on both sides
+        "jsonl_roundtrip": """
+            SELECT lang, count(*)::BIGINT AS n_rows,
+                   sum(doc_id)::BIGINT AS id_sum,
+                   coalesce(sum(length(text)), 0)::BIGINT AS text_chars
+            FROM documents GROUP BY lang""",
         "funnel_view_purchase": """
             WITH fv AS (SELECT user_id, min(ts) AS fv FROM events
                         WHERE event_type = 'view' GROUP BY user_id),

@@ -4237,6 +4237,49 @@ def token_log2_histogram(sf_dir: str):
     return out.sort_values("bucket").reset_index(drop=True)
 
 
+def jsonl_roundtrip(sf_dir: str):
+    """The JSONL sink+source surfaced as a driver-checked query: documents
+    (incl. the unicode text column) stream to JSONL shards, are read back
+    through the JSON source, and per-lang (n_rows, id_sum, text_chars)
+    aggregates of the ROUND-TRIPPED rows are returned — the oracle
+    computes the same from the original parquet, so any JSON
+    escape/encoding infidelity breaks the hash."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from rayschema.sources import read_corpus, write_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"rayschema_jsonl_{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_corpus(ds, out_dir, fmt="json")
+    back = read_corpus(out_dir, fmt="json")
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tlen = pc.fill_null(pc.utf8_length(b.column("text")), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"lang": lang, "ids": pa.array(ids),
+                      "tlen": pa.array(tlen),
+                      "one": pa.array(np.ones(len(ids), dtype=np.int64))})
+        g = t.group_by("lang").aggregate(
+            [("ids", "sum"), ("tlen", "sum"), ("one", "sum")])
+        return g.rename_columns(["lang", "id_sum", "text_chars", "n_rows"])
+
+    return (back.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("id_sum", alias_name="id_sum"),
+                       Sum("text_chars", alias_name="text_chars")))
+
+
 def partitioned_write_roundtrip(sf_dir: str):
     """The SINK surfaced as a driver-checked query: documents stream to a
     lang-partitioned hive parquet layout (the resumable 100-TB output
