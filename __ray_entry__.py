@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_view_purchase": Q.funnel_view_purchase,
         "decontaminate_rk_documents": Q.decontaminate_rk_documents,
         "jsonl_roundtrip": Q.jsonl_roundtrip,
+        "event_type_cooccurrence": Q.event_type_cooccurrence,
+        "bm25_scores": Q.bm25_scores,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -349,6 +351,78 @@ def oracle_sql() -> dict[str, str]:
                    sum(doc_id)::BIGINT AS id_sum,
                    coalesce(sum(length(text)), 0)::BIGINT AS text_chars
             FROM documents GROUP BY lang""",
+        # log-free BM25: every op is IEEE +,*,/ over integer-derived
+        # doubles in the same evaluation order as the engine (see
+        # queries.bm25_scores) — term order t1..t5, left-assoc sum
+        "bm25_scores": """
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents WHERE text IS NOT NULL),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl
+                   FROM w GROUP BY doc_id),
+            st AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s
+                   FROM dl),
+            tf AS (SELECT doc_id,
+                     sum(CASE WHEN word='key' THEN 1 ELSE 0 END)::BIGINT
+                       AS tf1,
+                     sum(CASE WHEN word='hash' THEN 1 ELSE 0 END)::BIGINT
+                       AS tf2,
+                     sum(CASE WHEN word='table' THEN 1 ELSE 0 END)::BIGINT
+                       AS tf3,
+                     sum(CASE WHEN word='sort' THEN 1 ELSE 0 END)::BIGINT
+                       AS tf4,
+                     sum(CASE WHEN word='batch' THEN 1 ELSE 0 END)::BIGINT
+                       AS tf5
+                   FROM w GROUP BY doc_id),
+            df AS (SELECT
+                     count(DISTINCT CASE WHEN word='key' THEN doc_id END)
+                       ::BIGINT AS df1,
+                     count(DISTINCT CASE WHEN word='hash' THEN doc_id END)
+                       ::BIGINT AS df2,
+                     count(DISTINCT CASE WHEN word='table' THEN doc_id END)
+                       ::BIGINT AS df3,
+                     count(DISTINCT CASE WHEN word='sort' THEN doc_id END)
+                       ::BIGINT AS df4,
+                     count(DISTINCT CASE WHEN word='batch' THEN doc_id END)
+                       ::BIGINT AS df5
+                   FROM w)
+            SELECT t.doc_id,
+              round(
+                (CASE WHEN tf1 > 0 THEN
+                  ((2.0*st.n - 2.0*df.df1 + 1.0)/(2.0*df.df1 + 1.0))
+                  * (tf1*2.2)
+                  / (tf1 + 1.2*(0.25 + 0.75*(d.dl/(st.s*1.0/st.n))))
+                 ELSE 0.0 END)
+                + (CASE WHEN tf2 > 0 THEN
+                  ((2.0*st.n - 2.0*df.df2 + 1.0)/(2.0*df.df2 + 1.0))
+                  * (tf2*2.2)
+                  / (tf2 + 1.2*(0.25 + 0.75*(d.dl/(st.s*1.0/st.n))))
+                 ELSE 0.0 END)
+                + (CASE WHEN tf3 > 0 THEN
+                  ((2.0*st.n - 2.0*df.df3 + 1.0)/(2.0*df.df3 + 1.0))
+                  * (tf3*2.2)
+                  / (tf3 + 1.2*(0.25 + 0.75*(d.dl/(st.s*1.0/st.n))))
+                 ELSE 0.0 END)
+                + (CASE WHEN tf4 > 0 THEN
+                  ((2.0*st.n - 2.0*df.df4 + 1.0)/(2.0*df.df4 + 1.0))
+                  * (tf4*2.2)
+                  / (tf4 + 1.2*(0.25 + 0.75*(d.dl/(st.s*1.0/st.n))))
+                 ELSE 0.0 END)
+                + (CASE WHEN tf5 > 0 THEN
+                  ((2.0*st.n - 2.0*df.df5 + 1.0)/(2.0*df.df5 + 1.0))
+                  * (tf5*2.2)
+                  / (tf5 + 1.2*(0.25 + 0.75*(d.dl/(st.s*1.0/st.n))))
+                 ELSE 0.0 END), 6) AS bm25
+            FROM tf t JOIN dl d USING (doc_id), st, df
+            WHERE tf1 + tf2 + tf3 + tf4 + tf5 > 0""",
+        "event_type_cooccurrence": """
+            WITH u AS (SELECT DISTINCT user_id, event_type FROM events
+                       WHERE event_type IS NOT NULL)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   count(*)::BIGINT AS n_users
+            FROM u a JOIN u b ON a.user_id = b.user_id
+                             AND a.event_type < b.event_type
+            GROUP BY 1, 2""",
         "funnel_view_purchase": """
             WITH fv AS (SELECT user_id, min(ts) AS fv FROM events
                         WHERE event_type = 'view' GROUP BY user_id),

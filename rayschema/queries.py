@@ -2998,6 +2998,171 @@ def quality_rank_in_source(sf_dir: str):
                              order_cols=["neg_chars", "doc_id"])
 
 
+BM25_TERMS = ("key", "hash", "table", "sort", "batch")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(sf_dir: str):
+    """BM25 retrieval scoring for a fixed query — the inverted-index
+    family's ranking step. LOG-FREE variant: idf is the raw Robertson
+    ratio (2N-2df+1)/(2df+1) instead of its logarithm, so every operation
+    on both sides is IEEE +,*,/ over integer-derived doubles evaluated in
+    the identical order — bit-deterministic without trusting two libm
+    implementations to agree (ln is the only non-exactly-rounded piece of
+    standard BM25).
+
+    Two passes: (1) per-batch (df per term, n_docs, sum_dl) partials fold
+    on the driver (11 numbers) and broadcast; (2) a stateless pass
+    computes tf via one split kernel + index_in, dl, and the 5-term score
+    summed left-to-right exactly as the SQL expression. Emits every doc
+    matching >= 1 term as (doc_id, bm25) rounded half-away to 6."""
+    import ray
+
+    from rayschema.dedup import round_half_away
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = pa.array(list(BM25_TERMS))
+
+    def stats_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        if b.num_rows == 0:
+            z = np.zeros(1, dtype=np.int64)
+            return pa.table({"n": pa.array(z), "s": pa.array(z),
+                             **{f"df{i}": pa.array(z)
+                                for i in range(len(BM25_TERMS))}})
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, n_words, doc_idx = _flatten_words_arrow(col)
+        ti = pc.index_in(flat, value_set=terms) \
+            .to_numpy(zero_copy_only=False)
+        out = {"n": pa.array([np.int64(b.num_rows)]),
+               "s": pa.array([n_words.astype(np.int64).sum()])}
+        for i in range(len(BM25_TERMS)):
+            m = ti == i
+            out[f"df{i}"] = pa.array(
+                [np.int64(len(np.unique(doc_idx[m])))])
+        return pa.table(out)
+
+    st = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    n_docs = int(st["n"].sum())
+    sum_dl = int(st["s"].sum())
+    dfs = [int(st[f"df{i}"].sum()) for i in range(len(BM25_TERMS))]
+    ref = ray.put((n_docs, sum_dl, dfs))
+
+    def score(b: pa.Table, _ref=ref) -> pa.Table:
+        N, S, df = ray.get(_ref)
+        b = b.filter(pc.is_valid(b.column("text")))
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "bm25": pa.array([], type=pa.float64())})
+        if b.num_rows == 0 or N == 0:
+            return empty
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, n_words, doc_idx = _flatten_words_arrow(col)
+        dl = n_words.astype(np.float64)
+        avgdl = S * 1.0 / N
+        ti = pc.index_in(flat, value_set=terms) \
+            .to_numpy(zero_copy_only=False)
+        total = np.zeros(b.num_rows, dtype=np.float64)
+        any_tf = np.zeros(b.num_rows, dtype=bool)
+        # left-to-right term sum, each term the EXACT SQL expression
+        for i in range(len(BM25_TERMS)):
+            tf = np.bincount(doc_idx[ti == i],
+                             minlength=b.num_rows).astype(np.float64)
+            idf = (2.0 * N - 2.0 * df[i] + 1.0) / (2.0 * df[i] + 1.0)
+            denom = tf + BM25_K1 * (0.25 + BM25_B * (dl / avgdl))
+            term = np.where(tf > 0.0, idf * (tf * 2.2) / denom, 0.0)
+            total = total + term
+            any_tf |= tf > 0.0
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids[any_tf]),
+            "bm25": pa.array(round_half_away(total[any_tf], 6))})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def event_type_cooccurrence(sf_dir: str):
+    """Market-basket support counts: for every unordered event-type pair
+    (a < b lexicographically), the number of USERS that emitted both —
+    the association-mining primitive. ONE user-keyed sorted scan computes
+    each complete user's distinct-type BITMASK (types dictionary-encoded
+    against the sorted global type list, reduceat OR via add on distinct
+    flags), then per-batch pair partials (<= 10 pairs here) fold through
+    a tiny groupby. Integer-exact; user sets never leave the workers."""
+    from ray.data.aggregate import Sum
+
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    # global type list: tiny distinct (few event types by construction)
+    types = sorted(t for t in
+                   ds.unique("event_type") if t is not None)
+    tpos = {t: i for i, t in enumerate(types)}
+    nt = len(types)
+
+    def prep(b: pa.Table) -> pa.Table:
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        code = np.full(b.num_rows, -1, dtype=np.int64)
+        enc = et.dictionary_encode()
+        lut = np.array([tpos.get(v, -1) for v in
+                        enc.dictionary.to_pylist()] + [-1], dtype=np.int64)
+        idx = pc.fill_null(enc.indices, len(lut) - 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        code = lut[idx]
+        t = pa.table({"user_id": b.column("user_id").cast(pa.int64()),
+                      "code": pa.array(code)})
+        return t.filter(pc.greater_equal(t.column("code"), 0))
+
+    def _masks(code, starts, want):
+        bit = np.int64(1) << code
+        masks = np.bitwise_or.reduceat(bit, starts) if len(starts) \
+            else np.empty(0, dtype=np.int64)
+        masks = masks[want]
+        if not len(masks):
+            return None
+        rows_a, rows_b, rows_n = [], [], []
+        for a in range(nt):
+            for b2 in range(a + 1, nt):
+                both = np.int64((1 << a) | (1 << b2))
+                n = int(((masks & both) == both).sum())
+                if n:
+                    rows_a.append(types[a])
+                    rows_b.append(types[b2])
+                    rows_n.append(n)
+        if not rows_n:
+            return None
+        return pa.table({"type_a": pa.array(rows_a, type=pa.string()),
+                         "type_b": pa.array(rows_b, type=pa.string()),
+                         "n_users": pa.array(np.asarray(rows_n,
+                                                        np.int64))})
+
+    def block_fn(block, starts, ends, want):
+        return _masks(block.column("code").to_numpy(zero_copy_only=False),
+                      starts, want.astype(bool))
+
+    def group_fn(t: pa.Table):
+        return _masks(t.column("code").to_numpy(zero_copy_only=False),
+                      np.array([0], dtype=np.int64), np.array([True]))
+
+    out_schema = pa.schema([("type_a", pa.string()),
+                            ("type_b", pa.string()),
+                            ("n_users", pa.int64())])
+    per_block = sorted_group_scan(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], group_fn, out_schema, block_fn=block_fn,
+        sort_blocks=32)
+    return (per_block.groupby(["type_a", "type_b"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
 FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
 
 

@@ -316,3 +316,59 @@ def test_embedding_mean_by_lang_integer_exact(ray_session, sf_dir):
                      **{f"s{k}": q[sel, k].sum() for k in range(8)}})
     want = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_bm25_scores_hand_case(ray_session, tmp_path):
+    """BM25 (log-free idf) on a 3-doc corpus with hand-derivable tf/df/dl:
+    matches the closed-form value; docs with no query term are absent."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import bm25_scores
+
+    docs = ["key key other words",          # tf(key)=2, dl=4
+            "hash alone",                   # tf(hash)=1, dl=2
+            "nothing matching here"]        # absent
+    tab = pa.table({"doc_id": pa.array(np.arange(3, dtype=np.int64)),
+                    "text": pa.array(docs)})
+    _pq.write_table(tab, os.path.join(tmp_path, "documents.parquet"))
+    got = (bm25_scores(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1]
+    N, S = 3, 9
+    avgdl = S * 1.0 / N
+
+    def term(tf, df, dl):
+        idf = (2.0 * N - 2.0 * df + 1.0) / (2.0 * df + 1.0)
+        return idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+
+    assert abs(got.loc[0, "bm25"] - round(term(2, 1, 4), 6)) < 2e-6
+    assert abs(got.loc[1, "bm25"] - round(term(1, 1, 2), 6)) < 2e-6
+
+
+def test_event_type_cooccurrence_hand_case(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import event_type_cooccurrence
+
+    rows = [(1, "view"), (1, "click"), (1, "view"),
+            (2, "view"), (2, "purchase"),
+            (3, "click"), (3, "view"),
+            (4, "error")]
+    tab = pa.table({
+        "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "user_id": pa.array(np.array([r[0] for r in rows], np.int64)),
+        "ts": pa.array(np.arange(len(rows), dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array(np.ones(len(rows))),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = (event_type_cooccurrence(str(tmp_path)).to_pandas()
+           .sort_values(["type_a", "type_b"]).reset_index(drop=True))
+    pairs = {(a, b): n for a, b, n in
+             zip(got["type_a"], got["type_b"], got["n_users"])}
+    assert pairs == {("click", "view"): 2, ("purchase", "view"): 1}
