@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": Q.jsonl_roundtrip,
         "event_type_cooccurrence": Q.event_type_cooccurrence,
         "bm25_scores": Q.bm25_scores,
+        "weighted_sample_documents": Q.weighted_sample_documents,
+        "value_quartile_by_type": Q.value_quartile_by_type,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -351,6 +353,29 @@ def oracle_sql() -> dict[str, str]:
                    sum(doc_id)::BIGINT AS id_sum,
                    coalesce(sum(length(text)), 0)::BIGINT AS text_chars
             FROM documents GROUP BY lang""",
+        "value_quartile_by_type": """
+            WITH e AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              event_id
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                         AND value IS NOT NULL),
+            r AS (SELECT event_type, cents,
+                         ntile(4) OVER (PARTITION BY event_type
+                                        ORDER BY cents, event_id)
+                           AS quartile
+                  FROM e)
+            SELECT event_type, quartile::BIGINT AS quartile,
+                   count(*)::BIGINT AS n_events,
+                   sum(cents)::BIGINT AS sum_cents
+            FROM r GROUP BY 1, 2""",
+        "weighted_sample_documents": """
+            SELECT doc_id,
+                   (((doc_id::HUGEINT * 2654435761 + 42) % 4294967296)
+                    * n_chars)::BIGINT AS priority
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+            ORDER BY priority DESC, doc_id LIMIT 200""",
         # log-free BM25: every op is IEEE +,*,/ over integer-derived
         # doubles in the same evaluation order as the engine (see
         # queries.bm25_scores) — term order t1..t5, left-assoc sum

@@ -2998,6 +2998,164 @@ def quality_rank_in_source(sf_dir: str):
                              order_cols=["neg_chars", "doc_id"])
 
 
+def value_quartile_by_type(sf_dir: str):
+    """NTILE(4) value quartiles within each event_type, aggregated to
+    (event_type, quartile, n_events, sum_cents). Event types are FEW and
+    HOT — a type-keyed group scan would pull every boundary group (the
+    whole corpus) to the driver — so this composes the two-phase
+    histogram rank (the shuffle_shard shape): phase 1 folds (type,
+    cents-bucket) counts to exact per-bucket exclusive offsets + per-type
+    NTILE cumulative boundaries (extra rows to earlier buckets, DuckDB
+    semantics); phase 2 is ONE (type, bucket)-keyed sorted scan ordered
+    by (cents, event_id) whose block kernel turns offset + position into
+    the exact global rank, maps it through the broadcast boundaries, and
+    emits per-(type, quartile) partials — <= 4 x n_types rows per block,
+    folded by a tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "value", "event_id"])
+    types = sorted(t for t in ds.unique("event_type") if t is not None)
+    tpos = {t: i for i, t in enumerate(types)}
+    BSHIFT = 8
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("event_type")),
+                             pc.is_valid(b.column("value"))))
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        lut = np.array([tpos.get(v, -1) for v in
+                        enc.dictionary.to_pylist()] + [-1], dtype=np.int64)
+        idx = pc.fill_null(enc.indices, len(lut) - 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tc = lut[idx]
+        cents = np.round(b.column("value").to_numpy(zero_copy_only=False)
+                         .astype(np.float64) * 100).astype(np.int64)
+        t = pa.table({"tc": pa.array(tc),
+                      "bucket": pa.array(cents >> BSHIFT),
+                      "cents": pa.array(cents),
+                      "event_id": b.column("event_id").cast(pa.int64())})
+        return t.filter(pc.greater_equal(t.column("tc"), 0))
+
+    tagged = ds.map_batches(prep, batch_format="pyarrow")
+
+    def hpartial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["tc", "bucket"]).aggregate([([], "count_all")])
+        return g.rename_columns(["tc", "bucket", "cnt"])
+
+    hist = (tagged.map_batches(hpartial, batch_format="pyarrow")
+            .to_pandas().groupby(["tc", "bucket"], as_index=False)
+            ["cnt"].sum().sort_values(["tc", "bucket"]))
+    tcs = hist["tc"].to_numpy(np.int64)
+    bks = hist["bucket"].to_numpy(np.int64)
+    cnts = hist["cnt"].to_numpy(np.int64)
+    cum = np.cumsum(cnts)
+    ex = np.concatenate([[0], cum[:-1]])
+    first = np.ones(len(tcs), dtype=bool)
+    first[1:] = tcs[1:] != tcs[:-1]
+    base = np.maximum.accumulate(np.where(first, ex, 0))
+    off = ex - base                    # within-type exclusive offset
+    packed = (tcs << 32) | bks
+    order = np.argsort(packed)
+    packed_s, off_s = packed[order], off[order]
+    # per-type totals -> NTILE(4) cumulative boundaries
+    n_type = np.zeros(len(types), dtype=np.int64)
+    np.add.at(n_type, tcs, cnts)
+    bounds = np.zeros((len(types), 4), dtype=np.int64)
+    for t in range(len(types)):
+        n = int(n_type[t])
+        small, rem = divmod(n, 4)
+        sizes = np.array([small + 1] * rem + [small] * (4 - rem),
+                         dtype=np.int64)
+        bounds[t] = np.cumsum(sizes)
+
+    def block_fn(block: pa.Table, starts, ends, want):
+        sizes = (ends - starts).astype(np.int64)
+        sel = np.repeat(want.astype(bool), sizes)
+        if not sel.any():
+            return None
+        seg = np.repeat(starts, sizes)
+        pos_in = np.arange(len(seg), dtype=np.int64) - seg
+        tc = block.column("tc").to_numpy(zero_copy_only=False)
+        bk = block.column("bucket").to_numpy(zero_copy_only=False)
+        cents = block.column("cents").to_numpy(zero_copy_only=False)
+        key = (tc << 32) | bk
+        rank = off_s[np.searchsorted(packed_s, key)] + pos_in + 1
+        quart = np.empty(len(tc), dtype=np.int64)
+        for t in np.unique(tc):
+            m = tc == t
+            quart[m] = np.searchsorted(bounds[t], rank[m], side="left") + 1
+        t4 = tc[sel] * 4 + (quart[sel] - 1)
+        n_cells = len(types) * 4
+        cnt = np.bincount(t4, minlength=n_cells).astype(np.int64)
+        csum = np.zeros(n_cells, dtype=np.int64)
+        np.add.at(csum, t4, cents[sel])
+        nz = cnt > 0
+        cells = np.flatnonzero(nz)
+        return pa.table({
+            "event_type": pa.array([types[c // 4] for c in cells],
+                                   type=pa.string()),
+            "quartile": pa.array(cells % 4 + 1),
+            "n_events": pa.array(cnt[nz]),
+            "sum_cents": pa.array(csum[nz])})
+
+    def group_fn(t: pa.Table):
+        n = t.num_rows
+        starts = np.array([0], dtype=np.int64)
+        ends = np.array([n], dtype=np.int64)
+        return block_fn(t, starts, ends, np.array([True]))
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("quartile", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("sum_cents", pa.int64())])
+    parts = sorted_group_scan(tagged, ["tc", "bucket"], group_fn,
+                              out_schema, block_fn=block_fn,
+                              sort_blocks=32,
+                              order_cols=["cents", "event_id"])
+    return (parts.groupby(["event_type", "quartile"])
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("sum_cents", alias_name="sum_cents")))
+
+
+WEIGHTED_SAMPLE_K = 200
+
+
+def weighted_sample_documents(sf_dir: str, k: int = WEIGHTED_SAMPLE_K):
+    """Deterministic WEIGHTED sampling without replacement — the
+    integer-exact surrogate of the A-ES/A-ExpJ priority rule (keys
+    u^(1/w)): priority = (hash(doc_id) * n_chars) with hash the 32-bit
+    multiplicative mix used by shuffle-shard, so longer docs win
+    proportionally more often yet the draw is reproducible and
+    SQL-recomputable in pure BIGINT arithmetic. Keep the global top-k by
+    (priority DESC, doc_id): per-block local top-k partials -> blocks x k
+    driver merge (the lineitem_topk shape, no global sort). Emits
+    (doc_id, priority)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def prio(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("n_chars")))
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        w = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = ((ids * np.uint64(SHUF_KNUTH) + np.uint64(SHUF_SEED))
+             % np.uint64(SHUF_MOD)).astype(np.int64)
+        keep = w > 0
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)[keep]),
+            "priority": pa.array((h * w)[keep]),
+        })
+
+    return (ds.map_batches(prio, batch_format="pyarrow")
+            .sort(["priority", "doc_id"], descending=[True, False])
+            .limit(k))
+
+
 BM25_TERMS = ("key", "hash", "table", "sort", "batch")
 BM25_K1 = 1.2
 BM25_B = 0.75

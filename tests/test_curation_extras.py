@@ -889,3 +889,58 @@ def test_curation_antijoin_equals_broadcast(ray_session, monkeypatch):
          .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(a) > 50
+
+
+def test_value_quartile_ntile_semantics(ray_session, tmp_path):
+    """NTILE(4) edge semantics pinned: n=6 -> bucket sizes 2,2,1,1 (extra
+    rows to EARLIER buckets); n=3 -> sizes 1,1,1 (bucket 4 absent); ties
+    ordered by event_id."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import value_quartile_by_type
+
+    rows = []
+    # type A: 6 events, values 1..6 (cents 100..600)
+    for i, v in enumerate([6, 5, 4, 3, 2, 1]):
+        rows.append((i, "A", float(v)))
+    # type B: 3 events, all tied at value 9 -> order by event_id
+    for i in range(3):
+        rows.append((100 + i, "B", 9.0))
+    tab = pa.table({
+        "event_id": pa.array(np.array([r[0] for r in rows], np.int64)),
+        "user_id": pa.array(np.zeros(len(rows), np.int64)),
+        "ts": pa.array(np.arange(len(rows), dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array(np.array([r[2] for r in rows])),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = (value_quartile_by_type(str(tmp_path)).to_pandas()
+           .sort_values(["event_type", "quartile"]).reset_index(drop=True))
+    a = got[got["event_type"] == "A"]
+    assert a["quartile"].tolist() == [1, 2, 3, 4]
+    assert a["n_events"].tolist() == [2, 2, 1, 1]
+    # quartile 1 = the two SMALLEST values (100, 200 cents)
+    assert a["sum_cents"].tolist() == [300, 700, 500, 600]
+    b = got[got["event_type"] == "B"]
+    assert b["quartile"].tolist() == [1, 2, 3]
+    assert b["n_events"].tolist() == [1, 1, 1]
+
+
+def test_weighted_sample_deterministic_and_weighted(ray_session, tmp_path):
+    """Same input -> identical sample; heavier docs oversampled: with
+    weights 1000 vs 1, the top-50 draw is dominated by heavy docs."""
+    from rayschema.queries import weighted_sample_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(400, dtype=np.int64),
+        "n_chars": np.where(np.arange(400) % 2 == 0, 1000, 1)
+        .astype(np.int64),
+    })
+    df["text"] = "x"
+    sf = _write_docs(tmp_path, df)
+    a = weighted_sample_documents(sf, k=50).to_pandas()
+    b = weighted_sample_documents(sf, k=50).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    heavy = (a["doc_id"] % 2 == 0).mean()
+    assert heavy > 0.9
