@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_scores": Q.bm25_scores,
         "weighted_sample_documents": Q.weighted_sample_documents,
         "value_quartile_by_type": Q.value_quartile_by_type,
+        "near_dup_triangles": Q.near_dup_triangles,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -750,6 +751,42 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT id_b FROM pairs)
             SELECT doc_id, count(*)::BIGINT AS degree
             FROM e GROUP BY doc_id""",
+        # triangles enumerated once at a < b < c via a 3-way pair join;
+        # jaccard >= 0.25 (denser than the 0.5 dedup graph, where the
+        # synthetic corpus has no transitive structure)
+        "near_dup_triangles": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 300 AND text IS NOT NULL
+                AND length(text) >= 5),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 5) AS s
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 4))
+                             AS i
+                    FROM docs)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                           JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.25),
+            tri AS (SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+                    FROM pairs p1
+                    JOIN pairs p2 ON p2.id_a = p1.id_b
+                    JOIN pairs p3 ON p3.id_a = p1.id_a
+                                 AND p3.id_b = p2.id_b),
+            nodes AS (SELECT a AS doc_id FROM tri
+                      UNION ALL SELECT b FROM tri
+                      UNION ALL SELECT c FROM tri)
+            SELECT doc_id, count(*)::BIGINT AS n_triangles
+            FROM nodes GROUP BY doc_id""",
         # Power-of-two token-count histogram; bucket = floor(log2(tok))
         # via binary-digit length (integer-exact on both sides).
         "token_log2_histogram": """

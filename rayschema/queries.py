@@ -4521,6 +4521,84 @@ def near_dup_degree(sf_dir: str):
             .aggregate(Count("doc_id", alias_name="degree")))
 
 
+def near_dup_triangles(sf_dir: str):
+    """Per-node TRIANGLE counts in the verified near-dup pair graph (the
+    clustering-coefficient numerator — how clique-like each dup
+    neighborhood is; degree and connected components are the existing
+    graph views). Edges (a < b) come from the oracle-scope exact pair
+    set at jaccard >= 0.25 — a denser similarity graph than the 0.5
+    dedup threshold, where transitive structure actually exists; the
+    driver builds a higher-neighbor CSR + sorted edge-key array
+    (verified-pair-mass-sized, the same bound the cluster union-find
+    accepts) and broadcasts once; ONE stateless pass over the edge
+    dataset closes wedges vectorized — for edge (a, b), candidates c in
+    adjHigh[b] close iff (a, c) is an edge (searchsorted membership) —
+    counting each triangle once at a < b < c and emitting per-node
+    partials folded by a tiny groupby. Emits (doc_id, n_triangles)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rayschema.dedup import exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, id_limit=300, k=5,
+                                threshold=0.25).materialize()
+    pdf = pairs.to_pandas()
+    if len(pdf):
+        ea = pdf["id_a"].to_numpy(np.int64)
+        eb = pdf["id_b"].to_numpy(np.int64)
+        keys = np.sort((ea << 32) | eb)
+        # higher-neighbor adjacency CSR over compacted node ids
+        nodes = np.unique(np.concatenate([ea, eb]))
+        aa = np.searchsorted(nodes, ea)
+        order = np.lexsort((eb, aa))
+        aa_s, c_s = aa[order], eb[order]
+        deg = np.bincount(aa_s, minlength=len(nodes)).astype(np.int64)
+        off = np.zeros(len(nodes) + 1, dtype=np.int64)
+        off[1:] = np.cumsum(deg)
+        ref = ray.put((keys, nodes, off, c_s))
+    else:
+        ref = ray.put((np.empty(0, np.int64), np.empty(0, np.int64),
+                       np.zeros(1, np.int64), np.empty(0, np.int64)))
+
+    def close(b: pa.Table, _ref=ref) -> pa.Table:
+        keys, nodes, off, adj = ray.get(_ref)
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_triangles": pa.array([], type=pa.int64())})
+        if b.num_rows == 0 or not len(keys):
+            return empty
+        a = b.column("id_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bb = b.column("id_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        bi = np.searchsorted(nodes, bb)
+        has = (bi < len(nodes)) & (nodes[np.minimum(bi, len(nodes) - 1)]
+                                   == bb)
+        deg = np.where(has, off[np.minimum(bi, len(nodes) - 1) + 1]
+                       - off[np.minimum(bi, len(nodes) - 1)], 0)
+        total = int(deg.sum())
+        if total == 0:
+            return empty
+        rep = np.repeat(np.arange(len(a)), deg)
+        first = np.repeat(off[np.minimum(bi, len(nodes) - 1)], deg)
+        pos = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(deg) - deg, deg)
+        c = adj[first + pos]
+        key = (a[rep] << 32) | c
+        p = np.clip(np.searchsorted(keys, key), 0, len(keys) - 1)
+        hit = keys[p] == key
+        if not hit.any():
+            return empty
+        tri_nodes = np.concatenate([a[rep][hit], bb[rep][hit], c[hit]])
+        u, cnt = np.unique(tri_nodes, return_counts=True)
+        return pa.table({"doc_id": pa.array(u),
+                         "n_triangles": pa.array(cnt.astype(np.int64))})
+
+    return (pairs.map_batches(close, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(Sum("n_triangles", alias_name="n_triangles")))
+
+
 def token_log2_histogram(sf_dir: str):
     """Distribution analysis: histogram of per-doc token counts in
     power-of-two buckets (bucket = floor(log2(tokens)), integer-exact

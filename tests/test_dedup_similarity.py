@@ -784,3 +784,28 @@ def test_knn_label_predict_planted(ray_session, tmp_path):
            .sort_values("vec_id").reset_index(drop=True))
     assert got.loc[24, "pred_label"] == 0 and got.loc[24, "correct"] == 0
     assert got.loc[:23, "correct"].all()
+
+
+def test_near_dup_triangles_planted(ray_session, tmp_path):
+    """A planted 4-clique of near-identical docs yields 3 triangles per
+    member (K4 has C(3,2)=3 per node); an isolated pair contributes
+    none."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayschema.queries import near_dup_triangles
+
+    base = " ".join(f"a{j:03d}b{j:02d}" for j in range(20))
+    clique = [(i, base + f" t{i}") for i in range(4)]       # pairwise sim
+    pair = [(10, "zz " + "q9z8x7 " * 15), (11, "zz " + "q9z8x7 " * 15
+                                           + "w")]
+    lone = [(20, " ".join(f"u{j:02d}v{j}" for j in range(25)))]
+    df = pd.DataFrame(clique + pair + lone, columns=["doc_id", "text"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    got = (near_dup_triangles(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 2, 3]
+    assert got["n_triangles"].tolist() == [3, 3, 3, 3]
