@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_documents": Q.weighted_sample_documents,
         "value_quartile_by_type": Q.value_quartile_by_type,
         "near_dup_triangles": Q.near_dup_triangles,
+        "near_dup_pagerank": Q.near_dup_pagerank,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -751,6 +752,47 @@ def oracle_sql() -> dict[str, str]:
                   UNION ALL SELECT id_b FROM pairs)
             SELECT doc_id, count(*)::BIGINT AS degree
             FROM e GROUP BY doc_id""",
+        # integer-exact PageRank, 2 rounds unrolled as CTEs (floor-div
+        # damping update in millionths — bit-reproducible on both sides)
+        "near_dup_pagerank": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 300 AND text IS NOT NULL
+                AND length(text) >= 5),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 5) AS s
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 4))
+                             AS i
+                    FROM docs)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT i.id_a, i.id_b
+              FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                           JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.25),
+            edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                      UNION ALL SELECT id_b, id_a FROM pairs),
+            deg AS (SELECT u, count(*)::BIGINT AS d FROM edges
+                    GROUP BY u),
+            r0 AS (SELECT u AS node, 1000000::BIGINT AS r FROM deg),
+            r1 AS (SELECT e.v AS node,
+                          150000 + (85 * sum(r0.r // deg.d)) // 100 AS r
+                   FROM edges e JOIN r0 ON r0.node = e.u
+                                JOIN deg ON deg.u = e.u
+                   GROUP BY e.v),
+            r2 AS (SELECT e.v AS node,
+                          150000 + (85 * sum(r1.r // deg.d)) // 100 AS r
+                   FROM edges e JOIN r1 ON r1.node = e.u
+                                JOIN deg ON deg.u = e.u
+                   GROUP BY e.v)
+            SELECT node AS doc_id, r::BIGINT AS pagerank FROM r2""",
         # triangles enumerated once at a < b < c via a 3-way pair join;
         # jaccard >= 0.25 (denser than the 0.5 dedup graph, where the
         # synthetic corpus has no transitive structure)

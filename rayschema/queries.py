@@ -4599,6 +4599,72 @@ def near_dup_triangles(sf_dir: str):
             .aggregate(Sum("n_triangles", alias_name="n_triangles")))
 
 
+PAGERANK_SCALE = 1_000_000
+
+
+def near_dup_pagerank(sf_dir: str, iters: int = 2):
+    """INTEGER-EXACT PageRank over the jaccard >= 0.25 similarity graph —
+    the graph-iterative analog of the oracled k-means: scores live in
+    integer millionths, the damping update is
+    ``r'(v) = 150000 + (85 * Σ_u (r(u) // deg(u))) // 100`` (floor
+    division on both sides), so every iteration is bit-reproducible and
+    the DuckDB oracle unrolls the rounds as CTEs. Each iteration is ONE
+    pass over the (distributed) edge dataset emitting per-batch
+    (dst, contrib) partial bincounts; the driver folds the node-score
+    array and re-broadcasts (node-count state — the kmeans-centroid
+    shape at this scope; at web scale the scores stay a Dataset and each
+    round is a hash join). Emits (doc_id, pagerank) for graph nodes."""
+    import ray
+    import ray.data as rd
+
+    from rayschema.dedup import exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, id_limit=300, k=5,
+                                threshold=0.25).materialize()
+
+    def both(b: pa.Table) -> pa.Table:
+        a = b.column("id_a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = b.column("id_b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"u": pa.array(np.concatenate([a, c])),
+                         "v": pa.array(np.concatenate([c, a]))})
+
+    edges = pairs.map_batches(both, batch_format="pyarrow").materialize()
+    edf = edges.to_pandas()       # only for node ids + degrees (driver
+    if not len(edf):              # state is O(nodes), as documented)
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "pagerank": pd.Series([], dtype=np.int64)})
+    nodes = np.unique(edf["u"].to_numpy(np.int64))
+    deg = np.bincount(np.searchsorted(nodes, edf["u"].to_numpy(np.int64)),
+                      minlength=len(nodes)).astype(np.int64)
+    r = np.full(len(nodes), PAGERANK_SCALE, dtype=np.int64)
+    for _ in range(iters):
+        ref = ray.put((nodes, deg, r))
+
+        def contrib(b: pa.Table, _ref=ref) -> pa.Table:
+            nd, dg, rr = ray.get(_ref)
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            ui = np.searchsorted(nd, u)
+            c = rr[ui] // dg[ui]
+            vi = np.searchsorted(nd, v)
+            s = np.bincount(vi, weights=c.astype(np.float64),
+                            minlength=len(nd)).astype(np.int64)
+            nz = s != 0
+            return pa.table({"vi": pa.array(np.flatnonzero(nz)),
+                             "s": pa.array(s[nz])})
+
+        parts = edges.map_batches(contrib,
+                                  batch_format="pyarrow").to_pandas()
+        acc = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(acc, parts["vi"].to_numpy(np.int64),
+                  parts["s"].to_numpy(np.int64))
+        r = 150_000 + (85 * acc) // 100
+    return pd.DataFrame({"doc_id": nodes, "pagerank": r})
+
+
 def token_log2_histogram(sf_dir: str):
     """Distribution analysis: histogram of per-doc token counts in
     power-of-two buckets (bucket = floor(log2(tokens)), integer-exact

@@ -809,3 +809,38 @@ def test_near_dup_triangles_planted(ray_session, tmp_path):
            .sort_values("doc_id").reset_index(drop=True))
     assert got["doc_id"].tolist() == [0, 1, 2, 3]
     assert got["n_triangles"].tolist() == [3, 3, 3, 3]
+
+
+def test_near_dup_pagerank_hand_case(ray_session, tmp_path):
+    """Integer PageRank on a planted path A-B-C (B central): after 2
+    exact integer rounds B outranks A and C, which tie by symmetry;
+    values equal the hand-computed floor-division recurrence."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayschema.queries import near_dup_pagerank
+
+    base = " ".join(f"a{j:03d}b{j:02d}" for j in range(20))
+    mid = " ".join(f"a{j:03d}b{j:02d}" for j in range(10)) + " " \
+        + " ".join(f"c{j:03d}d{j:02d}" for j in range(10))
+    other = " ".join(f"c{j:03d}d{j:02d}" for j in range(20))
+    # A~B and B~C share half their shingles (>= 0.25); A~C share none
+    df = pd.DataFrame([(0, base), (1, mid), (2, other)],
+                      columns=["doc_id", "text"])
+    df["doc_id"] = df["doc_id"].astype(np.int64)
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    got = (near_dup_pagerank(str(tmp_path))
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["doc_id"].tolist() == [0, 1, 2]
+    S = 1_000_000
+    # deg: A=1, B=2, C=1 ; r0 = S each
+    r1 = {0: 150000 + (85 * (S // 2)) // 100,
+          1: 150000 + (85 * (S + S)) // 100,
+          2: 150000 + (85 * (S // 2)) // 100}
+    r2 = {0: 150000 + (85 * (r1[1] // 2)) // 100,
+          1: 150000 + (85 * (r1[0] + r1[2])) // 100,
+          2: 150000 + (85 * (r1[1] // 2)) // 100}
+    assert got["pagerank"].tolist() == [r2[0], r2[1], r2[2]]
+    assert r2[1] > r2[0] == r2[2]
