@@ -1055,16 +1055,110 @@ def hard_negative_mining(sf_dir: str, k: int = 5):
     return out
 
 
-def knn_label_predict(sf_dir: str, k: int = 5):
+def _knn_label_predict_cluster(sf_dir: str, k: int = 5,
+                               n_clusters: int = 4, iters: int = 2):
+    """The cluster-localized scale path of knn_label_predict: integer-exact
+    k-means centroids broadcast (k x dim ints), stateless assignment, ONE
+    cluster-keyed sorted scan running the LOO vote inside each co-located
+    cluster (similarity blocks chunked at 4096 rows)."""
+    import ray
+
+    from rayschema.dedup import round_half_away, sorted_group_scan
+    from rayschema.similarity import _normalize, kmeans_quantized
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    km = kmeans_quantized(ds, k=n_clusters, iters=iters)
+    cent = (km.sort_values(["cluster", "d"])["c"]
+            .to_numpy(np.int64).reshape(n_clusters, -1))
+    cent_ref = ray.put(cent)
+
+    def assign(b: pa.Table, _cref=cent_ref) -> pa.Table:
+        c = ray.get(_cref)
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({
+                "vec_id": pa.array([], type=pa.int64()),
+                "label": pa.array([], type=pa.int64()),
+                "cluster": pa.array([], type=pa.int64()),
+                "embedding": col})
+        mat = np.stack(col.to_numpy(zero_copy_only=False)) \
+            .astype(np.float64)
+        q = round_half_away(mat * 1e6, 0).astype(np.int64)
+        dist = ((q * q).sum(axis=1)[:, None] - 2 * (q @ c.T)
+                + (c * c).sum(axis=1)[None, :])
+        return pa.table({
+            "vec_id": b.column("vec_id").cast(pa.int64()),
+            "label": b.column("label").cast(pa.int64()),
+            "cluster": pa.array(dist.argmin(axis=1).astype(np.int64)),
+            "embedding": col})
+
+    tagged = ds.map_batches(assign, batch_format="pyarrow")
+    out_schema = pa.schema([("vec_id", pa.int64()),
+                            ("true_label", pa.int64()),
+                            ("pred_label", pa.int64()),
+                            ("correct", pa.int64())])
+
+    def cluster_group(t: pa.Table):
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        labs = t.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        col = t.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = _normalize(np.stack(col.to_numpy(zero_copy_only=False))
+                       .astype(np.float64))
+        n = len(ids)
+        kk = min(k, n - 1)
+        if kk <= 0:
+            pred = labs.copy()        # singleton cluster: echo own label
+        else:
+            n_labels = int(labs.max()) + 1
+            pred = np.empty(n, dtype=np.int64)
+            for s in range(0, n, 4096):
+                e = min(s + 4096, n)
+                sims = m[s:e] @ m.T
+                sims[np.arange(e - s), np.arange(s, e)] = -2.0
+                topidx = np.argsort(-sims, axis=1,
+                                    kind="stable")[:, :kk]
+                votes = labs[topidx]
+                counts = np.zeros((e - s, n_labels), dtype=np.int64)
+                np.add.at(counts,
+                          (np.repeat(np.arange(e - s), votes.shape[1]),
+                           votes.ravel()), 1)
+                pred[s:e] = counts.argmax(axis=1)
+        return pa.table({"vec_id": pa.array(ids),
+                         "true_label": pa.array(labs),
+                         "pred_label": pa.array(pred),
+                         "correct": pa.array(
+                             (pred == labs).astype(np.int64))})
+
+    return sorted_group_scan(tagged, ["cluster"], cluster_group,
+                             out_schema, order_cols=["vec_id"])
+
+
+def knn_label_predict(sf_dir: str, k: int = 5,
+                      strategy: str = "broadcast"):
     """Leave-one-out k-NN label prediction — the standard embedding-quality
     probe: each vector's label predicted by majority vote of its k cosine
     nearest neighbors (self excluded), smallest label on vote ties
-    (row_number semantics). The corpus (ids, labels, normalized matrix)
-    broadcasts once — the <=10^7-vector baseline shared with
-    embedding_cosine_pairs_exact; past that the candidate set comes from
-    the IVF probe path instead, same vote kernel. Neighbor order inside a
-    cosine tie follows ascending vec_id (stable argsort over the id-sorted
-    corpus). Emits (vec_id, true_label, pred_label, correct)."""
+    (row_number semantics). Neighbor order inside a cosine tie follows
+    ascending vec_id. Emits (vec_id, true_label, pred_label, correct).
+
+    * ``strategy="broadcast"`` (the oracled default): the corpus (ids,
+      labels, normalized matrix) broadcasts once — the <=10^7-vector
+      baseline shared with embedding_cosine_pairs_exact.
+    * ``strategy="cluster"`` (the 100-TB path, IMPLEMENTED): k-means
+      localization exactly like semdedup's scan — stateless centroid
+      assignment, ONE cluster-keyed sorted scan, the SAME vote kernel
+      restricted to same-cluster neighbors. Approximate at cluster
+      boundaries by construction (recall asserted on planted clusters in
+      tests; identical to broadcast when true neighbors share clusters)."""
+    if strategy == "cluster":
+        return _knn_label_predict_cluster(sf_dir, k=k)
     import ray
 
     from rayschema.similarity import _normalize

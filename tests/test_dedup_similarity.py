@@ -844,3 +844,26 @@ def test_near_dup_pagerank_hand_case(ray_session, tmp_path):
           2: 150000 + (85 * (r1[1] // 2)) // 100}
     assert got["pagerank"].tolist() == [r2[0], r2[1], r2[2]]
     assert r2[1] > r2[0] == r2[2]
+
+
+def test_knn_label_predict_cluster_path(ray_session, tmp_path):
+    """The cluster-localized scale path equals the broadcast path when
+    true neighbors share k-means clusters (planted well-separated
+    clusters — the regime the localization assumes), and still emits one
+    row per vector."""
+    from rayschema.queries import knn_label_predict
+
+    rng = np.random.RandomState(9)
+    vecs, labels = [], []
+    centers = np.eye(4) * 10
+    for c in range(4):
+        for _ in range(10):
+            vecs.append(centers[c] + rng.normal(0, 0.05, 4))
+            labels.append(c % 2)           # labels differ from clusters
+    sf = _write_emb(tmp_path, range(len(vecs)), vecs, labels)
+    a = (knn_label_predict(sf, k=3).to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    b = (knn_label_predict(sf, k=3, strategy="cluster").to_pandas()
+         .sort_values("vec_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(b) == 40 and b["correct"].all()
