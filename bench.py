@@ -127,6 +127,9 @@ def run_bench() -> dict:
         ("funnel_view_purchase", Q.funnel_view_purchase),
         ("keep_best_per_cluster", Q.keep_best_per_cluster),
         ("decontaminate_rk", Q.decontaminate_rk_documents),
+        ("bm25_scores", Q.bm25_scores),
+        ("value_quartile_by_type", Q.value_quartile_by_type),
+        ("near_dup_pagerank", Q.near_dup_pagerank),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s
