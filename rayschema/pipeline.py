@@ -376,9 +376,19 @@ def run_validation(corpus_path: str, out_dir: str,
         if not check_unique:
             return {}
         t0 = time.time()
-        from rayschema.unique import duplicate_key_counts_sorted
+        import pyarrow.parquet as _pqm
 
-        dups = duplicate_key_counts_sorted(validated, list(KEY_COLS), uk_col="uk")
+        from rayschema.unique import duplicate_key_counts_adaptive
+
+        # adaptive path selection from parquet footers (no execution).
+        # NOTE: the shared `validated` dataset + select_columns inside the
+        # check beats an explicit read_parquet(columns=...) here — Ray's
+        # projection pushdown handles the pruning and the shared read plan
+        # caches better (measured 1.37 s vs 2.35 s standalone).
+        n_rows = sum(_pqm.ParquetFile(f).metadata.num_rows
+                     for f in vfiles) if vfiles else None
+        dups = duplicate_key_counts_adaptive(
+            validated, list(KEY_COLS), uk_col="uk", n_rows=n_rows)
         dups.to_parquet(os.path.join(out_dir, "duplicates.parquet"), index=False)
         phase_s["unique"] = round(time.time() - t0, 2)
         return {"duplicate_keys": int(len(dups)),

