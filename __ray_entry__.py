@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quartile_by_type": Q.value_quartile_by_type,
         "near_dup_triangles": Q.near_dup_triangles,
         "near_dup_pagerank": Q.near_dup_pagerank,
+        "q4_priority_exists": Q.q4_priority_exists,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -355,6 +356,15 @@ def oracle_sql() -> dict[str, str]:
                    sum(doc_id)::BIGINT AS id_sum,
                    coalesce(sum(length(text)), 0)::BIGINT AS text_chars
             FROM documents GROUP BY lang""",
+        "q4_priority_exists": """
+            SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o.o_orderpriority""",
         "value_quartile_by_type": """
             WITH e AS (SELECT event_type,
                               CAST(round(value * 100) AS BIGINT) AS cents,

@@ -4386,6 +4386,68 @@ def normalize_text_documents(sf_dir: str):
     return ds.map_batches(norm, batch_format="pyarrow")
 
 
+def q4_priority_exists(sf_dir: str):
+    """TPC-H-Q4-shaped EXISTS semi-join: count orders per priority (one
+    quarter of 1996) having AT LEAST ONE returned line item
+    (l_returnflag = 'R'). The qualifying orderkey set comes from a
+    filtered+distinct narrow lineitem pass (per-batch unique partials ->
+    driver np.unique under Q3_BROADCAST_CAP, hash join past it); the
+    orders side prunes both date cuts at the parquet scan and applies the
+    broadcast membership as a stateless filter — EXISTS without moving
+    order rows. Emits (o_orderpriority, n_orders)."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def lk_partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("l_returnflag"), "R")
+        t = b.filter(pc.fill_null(m, False))
+        ks = np.unique(t.column("l_orderkey")
+                       .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"k": pa.array(ks)})
+
+    keys_ds = li.map_batches(lk_partial, batch_format="pyarrow")
+    kdf = keys_ds.to_pandas()
+    keys = np.unique(kdf["k"].to_numpy(np.int64)) if len(kdf) \
+        else np.empty(0, np.int64)
+    kref = ray.put(keys)
+
+    opath = os.path.join(sf_dir, "orders.parquet")
+    olo = _pq_schema_scalar(opath, "o_orderdate", lo)
+    ohi = _pq_schema_scalar(opath, "o_orderdate", hi)
+    okw = {} if olo is None else dict(
+        filter=(pads.field("o_orderdate") >= olo)
+        & (pads.field("o_orderdate") < ohi))
+    orders = rd.read_parquet(
+        opath, columns=["o_orderkey", "o_orderpriority", "o_orderdate"],
+        **okw)
+    if olo is None:
+        orders = orders.filter(
+            lambda r: lo.to_datetime64() <= r["o_orderdate"]
+            < hi.to_datetime64())
+
+    def semi(b: pa.Table, _kref=kref) -> pa.Table:
+        ks = ray.get(_kref)
+        ok_ = b.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(ks) == 0:
+            keep = np.zeros(len(ok_), dtype=bool)
+        else:
+            p = np.clip(np.searchsorted(ks, ok_), 0, len(ks) - 1)
+            keep = ks[p] == ok_
+        return pa.table({"o_orderpriority":
+                         b.column("o_orderpriority").filter(
+                             pa.array(keep))})
+
+    return (orders.map_batches(semi, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Count("o_orderpriority", alias_name="n_orders")))
+
+
 def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
     """TPC-H Q5-shaped SIX-table join — the engine's deepest relational
     composition: region -> nation (metadata-sized, resolved on the
