@@ -4410,11 +4410,8 @@ def q4_priority_exists(sf_dir: str):
                        .to_numpy(zero_copy_only=False).astype(np.int64))
         return pa.table({"k": pa.array(ks)})
 
-    keys_ds = li.map_batches(lk_partial, batch_format="pyarrow")
-    kdf = keys_ds.to_pandas()
-    keys = np.unique(kdf["k"].to_numpy(np.int64)) if len(kdf) \
-        else np.empty(0, np.int64)
-    kref = ray.put(keys)
+    keys_ds = li.map_batches(lk_partial,
+                             batch_format="pyarrow").materialize()
 
     opath = os.path.join(sf_dir, "orders.parquet")
     olo = _pq_schema_scalar(opath, "o_orderdate", lo)
@@ -4430,21 +4427,38 @@ def q4_priority_exists(sf_dir: str):
             lambda r: lo.to_datetime64() <= r["o_orderdate"]
             < hi.to_datetime64())
 
-    def semi(b: pa.Table, _kref=kref) -> pa.Table:
-        ks = ray.get(_kref)
-        ok_ = b.column("o_orderkey").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        if len(ks) == 0:
-            keep = np.zeros(len(ok_), dtype=bool)
-        else:
-            p = np.clip(np.searchsorted(ks, ok_), 0, len(ks) - 1)
-            keep = ks[p] == ok_
-        return pa.table({"o_orderpriority":
-                         b.column("o_orderpriority").filter(
-                             pa.array(keep))})
+    if keys_ds.count() <= Q3_BROADCAST_CAP:
+        kdf = keys_ds.to_pandas()
+        keys = np.unique(kdf["k"].to_numpy(np.int64)) if len(kdf) \
+            else np.empty(0, np.int64)
+        kref = ray.put(keys)
 
-    return (orders.map_batches(semi, batch_format="pyarrow")
-            .groupby("o_orderpriority")
+        def semi(b: pa.Table, _kref=kref) -> pa.Table:
+            ks = ray.get(_kref)
+            ok_ = b.column("o_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(ks) == 0:
+                keep = np.zeros(len(ok_), dtype=bool)
+            else:
+                p = np.clip(np.searchsorted(ks, ok_), 0, len(ks) - 1)
+                keep = ks[p] == ok_
+            return pa.table({"o_orderpriority":
+                             b.column("o_orderpriority").filter(
+                                 pa.array(keep))})
+
+        matched = orders.map_batches(semi, batch_format="pyarrow")
+    else:
+        # per-batch-distinct keys may still repeat ACROSS batches: globally
+        # dedupe with a tiny groupby before the semi hash join
+        kd = keys_ds.groupby("k").count().select_columns(["k"])
+        est = (orders.size_bytes() or 0) + (keys_ds.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        matched = orders.join(
+            kd, join_type="inner", num_partitions=n_parts,
+            on=("o_orderkey",), right_on=("k",)) \
+            .select_columns(["o_orderpriority"])
+
+    return (matched.groupby("o_orderpriority")
             .aggregate(Count("o_orderpriority", alias_name="n_orders")))
 
 

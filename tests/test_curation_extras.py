@@ -944,3 +944,18 @@ def test_weighted_sample_deterministic_and_weighted(ray_session, tmp_path):
     pd.testing.assert_frame_equal(a, b)
     heavy = (a["doc_id"] % 2 == 0).mean()
     assert heavy > 0.9
+
+
+def test_q4_broadcast_equals_hash_join(ray_session, monkeypatch):
+    """q4's EXISTS semi-join: broadcast membership and the hash-join
+    fallback agree on the real sf0.001 tables."""
+    import rayschema.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = (Q.q4_priority_exists(sf).to_pandas()
+         .sort_values("o_orderpriority").reset_index(drop=True))
+    monkeypatch.setattr(Q, "Q3_BROADCAST_CAP", 0)
+    b = (Q.q4_priority_exists(sf).to_pandas()
+         .sort_values("o_orderpriority").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_orders"].sum() > 0
