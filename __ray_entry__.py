@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_triangles": Q.near_dup_triangles,
         "near_dup_pagerank": Q.near_dup_pagerank,
         "q4_priority_exists": Q.q4_priority_exists,
+        "events_cusum_change": Q.events_cusum_change,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -356,6 +357,31 @@ def oracle_sql() -> dict[str, str]:
                    sum(doc_id)::BIGINT AS id_sum,
                    coalesce(sum(length(text)), 0)::BIGINT AS text_chars
             FROM documents GROUP BY lang""",
+        # CUSUM replayed as a recursive CTE over the ordered hour series
+        # (drift allowance = exact integer mean with cleared denominator)
+        "events_cusum_change": """
+            WITH RECURSIVE hrs AS (
+              SELECT (epoch_us(ts) // 3600000000)::BIGINT AS hour_bucket,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1),
+            st AS (SELECT count(*)::BIGINT AS h, sum(n)::BIGINT AS s
+                   FROM hrs),
+            ord AS (SELECT hour_bucket, n,
+                           row_number() OVER (ORDER BY hour_bucket) AS rn
+                    FROM hrs),
+            cus(rn, hour_bucket, n, c) AS (
+              SELECT o.rn, o.hour_bucket, o.n,
+                     greatest(0, o.n * st.h - st.s)
+              FROM ord o, st WHERE o.rn = 1
+              UNION ALL
+              SELECT o.rn, o.hour_bucket, o.n,
+                     greatest(0, cus.c + (o.n * st.h - st.s))
+              FROM cus JOIN ord o ON o.rn = cus.rn + 1, st)
+            SELECT cus.hour_bucket, cus.n AS n_events,
+                   cus.c::BIGINT AS cusum,
+                   (CASE WHEN cus.c > 8 * st.s THEN 1 ELSE 0 END)::BIGINT
+                     AS is_alarm
+            FROM cus, st""",
         "q4_priority_exists": """
             SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders
             FROM orders o

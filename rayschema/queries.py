@@ -1540,6 +1540,49 @@ def events_hourly_anomaly(sf_dir: str):
     })
 
 
+CUSUM_K_NUM, CUSUM_K_DEN = 1, 1     # drift allowance k = mean * 1/1... see fn
+CUSUM_H_MULT = 8                    # alarm threshold h = H_MULT * mean
+
+
+def events_cusum_change(sf_dir: str):
+    """Sequential change-point detection (CUSUM) on global hourly event
+    counts — the streaming-monitoring complement of the 2-sigma z-test:
+    ``S_t = max(0, S_{t-1} + (c_t*H - S))`` with the drift allowance = the
+    EXACT integer mean (counts scaled by H so mean = S clears the
+    denominator) and alarm when ``S_t > 8*S``. All integers, so the
+    DuckDB oracle replays the recurrence with a RECURSIVE CTE over the
+    ordered hours. Distribution shape: per-batch hour bincounts (the
+    bounded few-hot-groups dimension) fold on the driver; the sequential
+    scan runs over the metadata-sized hour series. Emits
+    (hour_bucket, n_events, cusum, is_alarm)."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        u, c = np.unique(ts // 3_600_000_000, return_counts=True)
+        return pa.table({"hour_bucket": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (part.groupby("hour_bucket", as_index=False)["n"].sum()
+           .sort_values("hour_bucket").reset_index(drop=True))
+    counts = [int(x) for x in agg["n"]]
+    big_h = len(counts)
+    s_tot = sum(counts)
+    cus, alarms = [], []
+    s = 0
+    for c in counts:
+        s = max(0, s + (c * big_h - s_tot))
+        cus.append(s)
+        alarms.append(1 if s > CUSUM_H_MULT * s_tot else 0)
+    return pd.DataFrame({
+        "hour_bucket": agg["hour_bucket"].astype(np.int64),
+        "n_events": agg["n"].astype(np.int64),
+        "cusum": np.array(cus, dtype=np.int64),
+        "is_alarm": np.array(alarms, dtype=np.int64),
+    })
+
+
 BIGRAM_TOP_N = 20
 
 

@@ -959,3 +959,38 @@ def test_q4_broadcast_equals_hash_join(ray_session, monkeypatch):
          .sort_values("o_orderpriority").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert a["n_orders"].sum() > 0
+
+
+def test_events_cusum_detects_level_shift(ray_session, tmp_path):
+    """Planted level shift: 20 hours at rate 10 then 10 hours at rate 40 —
+    CUSUM accumulates only after the shift and alarms within it; the
+    pre-shift hours never alarm. Values equal the hand recurrence."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import events_cusum_change
+
+    counts = [10] * 20 + [40] * 10
+    ts = []
+    for h, c in enumerate(counts):
+        ts.extend(h * 3600_000_000 + np.arange(c) * 1000)
+    ts = np.array(ts, dtype=np.int64)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(len(ts), dtype=np.int64)),
+        "user_id": pa.array(np.zeros(len(ts), np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * len(ts)),
+        "value": pa.array(np.ones(len(ts))),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = (events_cusum_change(str(tmp_path))
+           .sort_values("hour_bucket").reset_index(drop=True))
+    H, S = 30, sum(counts)
+    s, exp_c, exp_a = 0, [], []
+    for c in counts:
+        s = max(0, s + (c * H - S))
+        exp_c.append(s)
+        exp_a.append(1 if s > 8 * S else 0)
+    assert got["cusum"].tolist() == exp_c
+    assert got["is_alarm"].tolist() == exp_a
+    assert got.loc[:19, "is_alarm"].sum() == 0      # pre-shift quiet
+    assert got.loc[20:, "is_alarm"].sum() > 0       # shift alarms
