@@ -561,3 +561,32 @@ def test_combined_cross_type_with_type_keyword():
           pa.array([1], type=pa.int64()), [False])
     check('{"type":["number","string"],"minimum":5}',
           pa.array([3.0]), [False])
+
+
+def test_const_enum_bool_number_distinction():
+    # official suite: const 0 does not match false, const false does not
+    # match 0 (JSON booleans and numbers are distinct types)
+    check('{"const":0}', pa.array([True, False]), [False, False])
+    check('{"const":false}', pa.array([0, 1], type=pa.int64()),
+          [False, False])
+    check('{"const":false}', pa.array([True, False]), [False, True])
+    check('{"enum":[0, 2]}', pa.array([False, True]), [False, False])
+    check('{"enum":[false]}', pa.array([0], type=pa.int64()), [False])
+
+
+def test_multiple_of_non_number_and_zero_edge():
+    check('{"multipleOf":2}', pa.array([0.0, -4.0, 4.5]),
+          [True, True, False])          # 0 and negatives are multiples
+
+
+def test_pattern_properties_boolean_subschema():
+    mp = pa.array([{"xa": "1"}, {"yb": "1"}],
+                  type=pa.map_(pa.string(), pa.string()))
+    # patternProperties "^x": false -> any object with an x-key fails
+    check('{"patternProperties":{"^x":false}}', mp, [False, True])
+
+
+def test_dependencies_empty_array_trivial():
+    t = pa.table({"a": [1, None]})
+    v = compile_validator(schema_from_json('{"dependencies":{"a":[]}}'))
+    assert v.probe(t).tolist() == [True, True]
