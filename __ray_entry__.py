@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_pagerank": Q.near_dup_pagerank,
         "q4_priority_exists": Q.q4_priority_exists,
         "events_cusum_change": Q.events_cusum_change,
+        "hourly_trend_slope": Q.hourly_trend_slope,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -357,6 +358,30 @@ def oracle_sql() -> dict[str, str]:
                    sum(doc_id)::BIGINT AS id_sum,
                    coalesce(sum(length(text)), 0)::BIGINT AS text_chars
             FROM documents GROUP BY lang""",
+        # least-squares trend slope in denominator-cleared integer form;
+        # missing hours inside each type's observed range count as y=0
+        "hourly_trend_slope": """
+            WITH h AS (SELECT event_type,
+                              (epoch_us(ts) // 3600000000)::BIGINT AS hour,
+                              count(*)::BIGINT AS n
+                       FROM events WHERE event_type IS NOT NULL
+                       GROUP BY 1, 2),
+            rng AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1
+                    FROM h GROUP BY 1),
+            grid AS (SELECT r.event_type, r.h0,
+                            unnest(generate_series(r.h0, r.h1)) AS hour
+                     FROM rng r),
+            f AS (SELECT g.event_type, (g.hour - g.h0)::BIGINT AS x,
+                         coalesce(h.n, 0)::BIGINT AS y
+                  FROM grid g LEFT JOIN h
+                    ON h.event_type = g.event_type AND h.hour = g.hour)
+            SELECT event_type,
+                   (count(*) * sum(x*y) - sum(x) * sum(y))::BIGINT
+                     AS slope_num,
+                   (count(*) * sum(x*x) - sum(x) * sum(x))::BIGINT
+                     AS slope_den,
+                   count(*)::BIGINT AS n_hours
+            FROM f GROUP BY event_type""",
         # CUSUM replayed as a recursive CTE over the ordered hour series
         # (drift allowance = exact integer mean with cleared denominator)
         "events_cusum_change": """

@@ -1540,6 +1540,55 @@ def events_hourly_anomaly(sf_dir: str):
     })
 
 
+def hourly_trend_slope(sf_dir: str):
+    """Per-event-type activity TREND: the least-squares slope of hourly
+    counts over time, emitted as the EXACT integer rational
+    ``(n·Σxy − Σx·Σy, n·Σx² − (Σx)²)`` with x = hour index within the
+    type's observed range and y = that hour's count — the regression
+    primitive in denominator-cleared form so no float division exists on
+    either side. Distribution: per-batch (type, hour) bincount partials
+    fold through a tiny groupby (types × hours is a bounded dimension);
+    the closed-form sums run on the metadata-sized series. Emits
+    (event_type, slope_num, slope_den, n_hours)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("event_type")))
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        hrs = (b.column("ts").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // 3_600_000_000)
+        df = pd.DataFrame({"event_type": et.to_pandas(), "hour": hrs})
+        g = df.groupby(["event_type", "hour"], as_index=False).size() \
+            .rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "hour"])
+           .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    rows = []
+    for t, g in agg.groupby("event_type"):
+        g = g.sort_values("hour")
+        # x = hour offset from the type's first observed hour; MISSING
+        # hours inside the range count as y=0 (a real zero-activity hour)
+        h0, h1 = int(g["hour"].min()), int(g["hour"].max())
+        n = h1 - h0 + 1
+        y = np.zeros(n, dtype=np.int64)
+        y[g["hour"].to_numpy(np.int64) - h0] = g["n"].to_numpy(np.int64)
+        x = np.arange(n, dtype=np.int64)
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx = int((x * x).sum())
+        rows.append({"event_type": t,
+                     "slope_num": np.int64(n * sxy - sx * sy),
+                     "slope_den": np.int64(n * sxx - sx * sx),
+                     "n_hours": np.int64(n)})
+    return pd.DataFrame(rows)
+
+
 CUSUM_K_NUM, CUSUM_K_DEN = 1, 1     # drift allowance k = mean * 1/1... see fn
 CUSUM_H_MULT = 8                    # alarm threshold h = H_MULT * mean
 

@@ -994,3 +994,38 @@ def test_events_cusum_detects_level_shift(ray_session, tmp_path):
     assert got["is_alarm"].tolist() == exp_a
     assert got.loc[:19, "is_alarm"].sum() == 0      # pre-shift quiet
     assert got.loc[20:, "is_alarm"].sum() > 0       # shift alarms
+
+
+def test_hourly_trend_slope_hand_case(ray_session, tmp_path):
+    """Planted linear ramp y = 2x + 3 over 5 hours -> slope exactly 2/1
+    (num/den reduce to 2); a flat type -> slope_num 0; a gap hour counts
+    as zero activity."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import hourly_trend_slope
+
+    rows = []
+    eid = 0
+    for x in range(5):                       # ramp: 3,5,7,9,11 events
+        for _ in range(2 * x + 3):
+            rows.append((eid, "ramp", x * 3600_000_000 + eid % 1000))
+            eid += 1
+    for x in (0, 2):                         # flat-with-gap: 4,0,4
+        for _ in range(4):
+            rows.append((eid, "gap", x * 3600_000_000 + eid % 1000))
+            eid += 1
+    tab = pa.table({
+        "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "user_id": pa.array(np.zeros(len(rows), np.int64)),
+        "ts": pa.array(np.array([r[2] for r in rows], np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array(np.ones(len(rows))),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = hourly_trend_slope(str(tmp_path)).set_index("event_type")
+    r = got.loc["ramp"]
+    # n=5, x=0..4: slope = 2 exactly -> num/den == 2
+    assert r["slope_num"] == 2 * r["slope_den"] and r["slope_den"] > 0
+    g = got.loc["gap"]                       # y = 4,0,4 -> slope 0
+    assert g["slope_num"] == 0 and g["n_hours"] == 3
