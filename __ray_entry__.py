@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_priority_exists": Q.q4_priority_exists,
         "events_cusum_change": Q.events_cusum_change,
         "hourly_trend_slope": Q.hourly_trend_slope,
+        "lang_source_residuals": Q.lang_source_residuals,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -358,6 +359,18 @@ def oracle_sql() -> dict[str, str]:
                    sum(doc_id)::BIGINT AS id_sum,
                    coalesce(sum(length(text)), 0)::BIGINT AS text_chars
             FROM documents GROUP BY lang""",
+        "lang_source_residuals": """
+            WITH c AS (SELECT lang, source, count(*)::BIGINT AS n
+                       FROM documents
+                       WHERE lang IS NOT NULL AND source IS NOT NULL
+                       GROUP BY 1, 2)
+            SELECT lang, source, n AS n_docs,
+                   (sum(n) OVER () * n
+                    - sum(n) OVER (PARTITION BY lang)
+                    * sum(n) OVER (PARTITION BY source))::BIGINT
+                     AS resid_num,
+                   sum(n) OVER ()::BIGINT AS total
+            FROM c""",
         # least-squares trend slope in denominator-cleared integer form;
         # missing hours inside each type's observed range count as y=0
         "hourly_trend_slope": """

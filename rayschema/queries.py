@@ -1540,6 +1540,47 @@ def events_hourly_anomaly(sf_dir: str):
     })
 
 
+def lang_source_residuals(sf_dir: str):
+    """Contingency-table INDEPENDENCE residuals for (lang, source) — the
+    chi-square numerator in denominator-cleared integer form: per cell,
+    ``resid_num = N·O − R·C`` (observed minus expected, scaled by N·R·C's
+    common denominator N), positive = over-represented. The pivot gives
+    the table; this gives the statistic, all integer so the oracle is a
+    window-sum recomputation. Distribution: per-batch (lang, source)
+    count partials fold through a tiny groupby (bounded dims); the
+    residual math is driver arithmetic over the metadata-sized table.
+    Emits (lang, source, n_docs, resid_num, total)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("lang")),
+                             pc.is_valid(b.column("source"))))
+        g = b.group_by(["lang", "source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "source", "n"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "source"])
+           .aggregate(Sum("n", alias_name="n"))).to_pandas()
+    if not len(agg):
+        return pd.DataFrame({c: [] for c in
+                             ("lang", "source", "n_docs", "resid_num",
+                              "total")})
+    total = int(agg["n"].sum())
+    rsum = agg.groupby("lang")["n"].transform("sum").astype(np.int64)
+    csum = agg.groupby("source")["n"].transform("sum").astype(np.int64)
+    out = pd.DataFrame({
+        "lang": agg["lang"],
+        "source": agg["source"],
+        "n_docs": agg["n"].astype(np.int64),
+        "resid_num": (total * agg["n"].astype(np.int64)
+                      - rsum * csum).astype(np.int64),
+        "total": np.int64(total),
+    })
+    return out.reset_index(drop=True)
+
+
 def hourly_trend_slope(sf_dir: str):
     """Per-event-type activity TREND: the least-squares slope of hourly
     counts over time, emitted as the EXACT integer rational

@@ -1029,3 +1029,31 @@ def test_hourly_trend_slope_hand_case(ray_session, tmp_path):
     assert r["slope_num"] == 2 * r["slope_den"] and r["slope_den"] > 0
     g = got.loc["gap"]                       # y = 4,0,4 -> slope 0
     assert g["slope_num"] == 0 and g["n_hours"] == 3
+
+
+def test_lang_source_residuals_hand_case(ray_session, tmp_path):
+    """Perfect independence -> every residual exactly 0; a planted
+    over-represented cell -> positive residual, its complements negative."""
+    from rayschema.queries import lang_source_residuals
+
+    # independent 2x2: counts 10,20 / 20,40 (rows x cols proportional)
+    rows = (["en"] * 10 + ["en"] * 20 + ["de"] * 20 + ["de"] * 40)
+    srcs = (["a"] * 10 + ["b"] * 20 + ["a"] * 20 + ["b"] * 40)
+    df = pd.DataFrame({"doc_id": np.arange(90, dtype=np.int64),
+                       "text": "t", "lang": rows, "source": srcs,
+                       "n_chars": np.ones(90, dtype=np.int64)})
+    sf = _write_docs(tmp_path, df)
+    got = lang_source_residuals(sf)
+    assert (got["resid_num"] == 0).all()
+
+    # skew one cell: +30 extra (en, a)
+    df2 = pd.concat([df, pd.DataFrame({
+        "doc_id": np.arange(90, 120, dtype=np.int64), "text": "t",
+        "lang": ["en"] * 30, "source": ["a"] * 30,
+        "n_chars": np.ones(30, dtype=np.int64)})])
+    sf2 = _write_docs(tmp_path, df2)
+    got2 = lang_source_residuals(sf2).set_index(["lang", "source"])
+    assert got2.loc[("en", "a"), "resid_num"] > 0
+    assert got2.loc[("en", "b"), "resid_num"] < 0
+    assert got2.loc[("de", "a"), "resid_num"] < 0
+    assert got2.loc[("de", "b"), "resid_num"] > 0
