@@ -2,10 +2,12 @@
 
 Images / audio / video are opaque ``binary`` columns with typed metadata
 columns beside them. The Ray-side plumbing — schema, batch sizing, actor
-signature, output layout — is real and tested, and every kind has a REAL
-pure-numpy decoder for at least one uncompressed container: PPM/PGM/BMP
-images, RIFF/WAVE PCM audio, YUV4MPEG2 video. Compressed containers
-(JPEG/MP3/MP4) would need external codec libraries absent from this
+signature, output layout — is real and tested, and every kind has REAL
+pure-numpy decoders for both uncompressed and compressed containers:
+PPM/PGM/BMP + baseline JPEG (rayschema/jpeg.py) + GIF/LZW (codecs.py)
+images; RIFF/WAVE PCM/float + G.711 mu-law/A-law + IMA ADPCM audio;
+YUV4MPEG2 + MJPEG-in-AVI video. The remaining entropy-coded formats
+(MP3/AAC, H.264/HEVC) would need external codec libraries absent from this
 container; for those, ``decode_fn=None`` raises ``NotImplementedError`` at
 the decode site and a deterministic fake decoder is provided for plumbing
 tests — the documented stub boundary.
@@ -135,6 +137,9 @@ def decode_image(payload: bytes, kind: str = "image") -> Dict[str, np.ndarray]:
     if payload[:2] == b"\xff\xd8":
         from rayschema.jpeg import decode_jpeg
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from rayschema.codecs import decode_gif
+        return decode_gif(payload)
     raise ValueError(f"unrecognized image payload magic {payload[:2]!r}")
 
 
@@ -151,6 +156,7 @@ def decode_wav(payload: bytes) -> Dict[str, np.ndarray]:
     pos, end = 12, min(len(payload), 8 + struct.unpack_from("<I", payload, 4)[0])
     fmt = None
     data = None
+    fact_frames = None
     while pos + 8 <= end:
         cid, size = struct.unpack_from("<4sI", payload, pos)
         body = payload[pos + 8:pos + 8 + size]
@@ -158,13 +164,32 @@ def decode_wav(payload: bytes) -> Dict[str, np.ndarray]:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            fact_frames = struct.unpack_from("<I", body, 0)[0]
         pos += 8 + size + (size & 1)      # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
-    audio_format, n_ch, sample_rate, _, _, bits = fmt
+    audio_format, n_ch, sample_rate, _, block_align, bits = fmt
     if audio_format == 0xFFFE:            # WAVE_FORMAT_EXTENSIBLE: subformat
         audio_format = 1                  # tag lives in the extension; PCM assumed
-    if audio_format == 1:
+    if audio_format in (6, 7):            # G.711 A-law / mu-law (codecs.py)
+        from rayschema.codecs import alaw_decode, mulaw_decode
+        codes = np.frombuffer(data, dtype=np.uint8)
+        dec = mulaw_decode if audio_format == 7 else alaw_decode
+        x = dec(codes).astype(np.float32) / 32768.0
+    elif audio_format == 0x11:            # IMA ADPCM (codecs.py)
+        from rayschema.codecs import ima_adpcm_decode_block
+        ba = block_align if block_align else 256
+        blocks = [ima_adpcm_decode_block(data[i:i + ba], n_ch)
+                  for i in range(0, len(data) - (4 * n_ch - 1), ba)]
+        pcm = np.concatenate(blocks, axis=0)
+        if fact_frames is not None:       # drop final-block padding samples
+            pcm = pcm[:fact_frames]
+        x = pcm.astype(np.float32).mean(axis=1) / 32768.0
+        return {"tensor": x.astype(np.float32),
+                "sample_rate": np.int32(sample_rate),
+                "n_frames": np.int32(len(x))}
+    elif audio_format == 1:
         if bits == 16:
             x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
         elif bits == 32:
@@ -267,19 +292,24 @@ def encode_y4m(frames: np.ndarray, fps: int = 25) -> bytes:
 
 
 def default_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
-    """The engine's default codec table — every kind now has a REAL
-    pure-numpy decoder: images PPM/PGM/BMP/baseline-JPEG, audio RIFF/WAVE
-    PCM+float, video YUV4MPEG2. Payloads whose magic none of the real
-    codecs recognize fall back to the deterministic fake (the documented
-    boundary for formats that genuinely need external codec libraries,
-    now just MP3/MP4-H.264)."""
+    """The engine's default codec table — every kind now has REAL
+    pure-numpy decoders: images PPM/PGM/BMP/baseline-JPEG/GIF(LZW), audio
+    RIFF/WAVE PCM + float + G.711 mu-law/A-law + IMA ADPCM, video YUV4MPEG2
+    + MJPEG-in-AVI. Payloads whose magic none of the real codecs recognize
+    fall back to the deterministic fake (the documented boundary for the
+    entropy-coded formats that genuinely need external codec libraries —
+    MP3/AAC, H.264/HEVC)."""
     if kind == "image" and (payload[:2] in (b"P6", b"P5", b"BM")
-                            or payload[:2] == b"\xff\xd8"):
+                            or payload[:2] == b"\xff\xd8"
+                            or payload[:6] in (b"GIF87a", b"GIF89a")):
         return decode_image(payload, kind)
     if kind == "audio" and payload[:4] == b"RIFF":
         return decode_wav(payload)
     if kind == "video" and payload[:9] == b"YUV4MPEG2":
         return decode_y4m(payload)
+    if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from rayschema.codecs import decode_avi_mjpeg
+        return decode_avi_mjpeg(payload)
     return fake_decode(payload, kind)
 
 
@@ -523,9 +553,13 @@ def write_media_features(ds, out_dir: str):
 def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media table matching MEDIA_SCHEMA (tests/bench).
     Every row carries a REAL payload decoded end-to-end by the pure-numpy
-    codecs: images alternate binary PPM and baseline JPEG (4:2:0, the
-    dominant real-corpus format — rayschema/jpeg.py), audio 16-bit PCM
-    WAV, video C420 Y4M — the fake codec is not on any synth path."""
+    codecs: images rotate binary PPM, baseline JPEG (4:2:0, the dominant
+    real-corpus format — rayschema/jpeg.py) and GIF (LZW — codecs.py);
+    audio rotates 16-bit PCM WAV, G.711 mu-law and IMA ADPCM; video
+    alternates C420 Y4M and MJPEG-in-AVI — the fake codec is not on any
+    synth path."""
+    from rayschema.codecs import encode_avi_mjpeg, encode_gif, \
+        encode_wav_compressed
     from rayschema.jpeg import encode_jpeg
 
     rng = np.random.default_rng(seed)
@@ -533,7 +567,8 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     payloads, mimes, durations, widths, heights = [], [], [], [], []
     for k in kinds:
         if k == "image":
-            if rng.integers(0, 2):
+            variant = int(rng.integers(0, 3))
+            if variant == 0:
                 yy, xx = np.mgrid[0:16, 0:16]
                 ph = rng.uniform(0, 6.28, 2)
                 img = np.stack([
@@ -546,26 +581,51 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
                 mimes.append("image/jpeg")
                 widths.append(16)
                 heights.append(16)
-            else:
+            elif variant == 1:
                 payloads.append(encode_ppm(
                     rng.integers(0, 256, (4, 8, 3), dtype=np.uint8)))
                 mimes.append("image/x-portable-pixmap")
                 widths.append(8)
                 heights.append(4)
+            else:
+                pal = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+                payloads.append(encode_gif(
+                    pal[rng.integers(0, 7, (6, 9))]))
+                mimes.append("image/gif")
+                widths.append(9)
+                heights.append(6)
             durations.append(-1)
         elif k == "audio":
             n_samp = int(rng.integers(64, 512))
-            payloads.append(encode_wav(
-                rng.uniform(-1.0, 1.0, n_samp), sample_rate=8000))
-            mimes.append("audio/wav")
+            wave = rng.uniform(-1.0, 1.0, n_samp)
+            variant = int(rng.integers(0, 3))
+            if variant == 0:
+                payloads.append(encode_wav(wave, sample_rate=8000))
+                mimes.append("audio/wav")
+            elif variant == 1:
+                payloads.append(encode_wav_compressed(
+                    wave, sample_rate=8000, codec="mulaw"))
+                mimes.append("audio/basic")
+            else:
+                payloads.append(encode_wav_compressed(
+                    wave, sample_rate=8000, codec="ima_adpcm",
+                    block_align=64))
+                mimes.append("audio/vnd.wave;codec=11")
             widths.append(-1)
             heights.append(-1)
             durations.append(n_samp * 1000 // 8000)
         else:
             nf = int(rng.integers(2, 9))
-            payloads.append(encode_y4m(
-                rng.integers(0, 256, (nf, 4, 8), dtype=np.uint8), fps=25))
-            mimes.append("video/x-yuv4mpeg")
+            if rng.integers(0, 2):
+                payloads.append(encode_y4m(
+                    rng.integers(0, 256, (nf, 4, 8), dtype=np.uint8),
+                    fps=25))
+                mimes.append("video/x-yuv4mpeg")
+            else:
+                payloads.append(encode_avi_mjpeg(
+                    rng.integers(0, 256, (nf, 16, 16, 3), dtype=np.uint8),
+                    fps=25))
+                mimes.append("video/x-msvideo")
             widths.append(-1)
             heights.append(-1)
             durations.append(nf * 1000 // 25)

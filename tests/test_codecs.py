@@ -1,0 +1,227 @@
+"""Golden + round-trip tests for the round-4 compressed-media codecs
+(rayschema/codecs.py): GIF LZW, G.711 mu-law/A-law, IMA ADPCM, MJPEG-AVI.
+Pure-numpy — no Ray needed."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from rayschema.codecs import (
+    ALAW_LUT,
+    MULAW_LUT,
+    _lzw_decode,
+    _lzw_encode,
+    alaw_decode,
+    alaw_encode,
+    decode_avi_mjpeg,
+    decode_gif,
+    encode_avi_mjpeg,
+    encode_gif,
+    encode_wav_compressed,
+    ima_adpcm_decode_block,
+    ima_adpcm_encode,
+    mulaw_decode,
+    mulaw_encode,
+)
+from rayschema.multimodal import decode_wav
+
+
+# ---------------------------------------------------------------- LZW / GIF
+
+def test_lzw_roundtrip_small_and_table_full():
+    rng = np.random.default_rng(7)
+    for mcs, nsym, size in ((2, 4, 64), (4, 16, 2048), (5, 20, 30000)):
+        px = rng.integers(0, nsym, size).astype(np.uint8).tobytes()
+        assert _lzw_decode(mcs, _lzw_encode(mcs, px), size) == px
+    # highly repetitive stream drives long dictionary chains
+    px = (b"\x00\x01" * 5000) + b"\x02" * 5000
+    assert _lzw_decode(2, _lzw_encode(2, px), len(px)) == px
+
+
+def test_gif_roundtrip_lossless_under_256_colors():
+    rng = np.random.default_rng(11)
+    pal = rng.integers(0, 256, (13, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 13, (23, 31))]
+    out = decode_gif(encode_gif(img))
+    assert np.array_equal(out["rgb"], img)
+    assert out["tensor"].shape == (23, 31)
+    assert out["tensor"].dtype == np.float32
+    assert int(out["n_frames"]) == 1
+    exp = img.astype(np.float32).mean(axis=2) / 255.0
+    assert np.allclose(out["tensor"], exp)
+
+
+def test_gif_over_256_colors_quantizes_not_crashes():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)  # ~1024 colors
+    out = decode_gif(encode_gif(img))
+    assert out["rgb"].shape == (32, 32, 3)
+
+
+def _gif_header(w, h, pal):
+    ctbits = max(1, int(np.ceil(np.log2(max(len(pal), 2)))))
+    table = np.zeros((1 << ctbits, 3), dtype=np.uint8)
+    table[:len(pal)] = pal
+    return (b"GIF89a" + struct.pack("<HHBBB", w, h, 0x80 | (ctbits - 1),
+                                    0, 0) + table.tobytes(), ctbits)
+
+
+def _gif_image_block(left, top, w, h, idx, mcs, interlace=False):
+    out = bytearray(struct.pack("<BHHHHB", 0x2C, left, top, w, h,
+                                0x40 if interlace else 0))
+    out.append(mcs)
+    lzw = _lzw_encode(mcs, idx.astype(np.uint8).tobytes())
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i:i + 255]
+        out.append(len(blk))
+        out += blk
+    out.append(0)
+    return bytes(out)
+
+
+def test_gif_interlaced_rows_deinterlace():
+    # 8 rows, each a distinct palette index: interlaced storage order is
+    # passes (0,8),(4,8),(2,4),(1,2) -> stored rows 0,4,2,6,1,3,5,7
+    pal = np.array([[i * 30, 0, 0] for i in range(8)], dtype=np.uint8)
+    hdr, ctbits = _gif_header(4, 8, pal)
+    disp = np.repeat(np.arange(8, dtype=np.uint8)[:, None], 4, axis=1)
+    order = [r for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+             for r in range(start, 8, step)]
+    stored = disp[order]
+    payload = hdr + _gif_image_block(0, 0, 4, 8, stored.reshape(-1),
+                                     max(2, ctbits), interlace=True) + b"\x3b"
+    out = decode_gif(payload)
+    assert np.array_equal(out["rgb"], pal[disp])
+
+
+def test_gif_multiframe_subrect_and_transparency():
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    hdr, ctbits = _gif_header(4, 4, pal)
+    mcs = max(2, ctbits)
+    f1 = np.zeros((4, 4), dtype=np.uint8)          # all red
+    # GCE: transparency on, transparent index 2
+    gce = bytes([0x21, 0xF9, 4, 0x01, 0, 0, 2, 0])
+    f2 = np.array([[1, 2], [2, 1]], dtype=np.uint8)  # green/transparent
+    payload = (hdr + _gif_image_block(0, 0, 4, 4, f1.reshape(-1), mcs)
+               + gce + _gif_image_block(1, 1, 2, 2, f2.reshape(-1), mcs)
+               + b"\x3b")
+    out = decode_gif(payload)
+    assert int(out["n_frames"]) == 2
+    # returned frame is the FIRST composited frame: all red
+    assert np.array_equal(out["rgb"], pal[f1])
+
+
+# ---------------------------------------------------------------- G.711
+
+def test_g711_golden_extremes():
+    # canonical Sun g711.c decode values
+    assert mulaw_decode(np.array([0x00]))[0] == -32124
+    assert mulaw_decode(np.array([0x80]))[0] == 32124
+    assert mulaw_decode(np.array([0xFF]))[0] == 0
+    assert alaw_decode(np.array([0x55]))[0] == -8
+    assert alaw_decode(np.array([0xD5]))[0] == 8
+    assert alaw_decode(np.array([0x2A]))[0] == -32256
+    assert alaw_decode(np.array([0xAA]))[0] == 32256
+
+
+def test_g711_exhaustive_involution():
+    codes = np.arange(256, dtype=np.uint8)
+    # A-law decode values are all distinct: exact involution
+    assert np.array_equal(alaw_encode(alaw_decode(codes)), codes)
+    # mu-law: 0x7F and 0xFF both decode to 0 — one maps onto the other,
+    # every other code round-trips exactly
+    rt = mulaw_encode(mulaw_decode(codes))
+    bad = np.nonzero(rt != codes)[0]
+    assert set(bad.tolist()) <= {0x7F, 0xFF}
+    # and re-decoding always reproduces the same linear value
+    assert np.array_equal(mulaw_decode(rt), mulaw_decode(codes))
+
+
+def test_g711_luts_are_odd_symmetric():
+    # mu-law: code ^ 0x80 flips sign
+    c = np.arange(128, dtype=np.uint8)
+    assert np.array_equal(MULAW_LUT[c], -MULAW_LUT[c | 0x80])
+    assert np.array_equal(ALAW_LUT[c | 0x80], -ALAW_LUT[c])
+
+
+# ---------------------------------------------------------------- IMA ADPCM
+
+def test_ima_adpcm_tracks_smooth_signal():
+    t = np.arange(4000)
+    pcm = (np.sin(t / 80.0) * 16000).astype(np.int16)
+    blocks = ima_adpcm_encode(pcm, block_align=256)
+    dec = np.concatenate(
+        [ima_adpcm_decode_block(blocks[i:i + 256], 1)
+         for i in range(0, len(blocks), 256)], axis=0)[:, 0][:4000]
+    err = np.abs(dec.astype(np.int32) - pcm.astype(np.int32))
+    # after the initial step-size adaptation the tracker stays tight
+    assert err[200:].max() < 600
+    assert err[200:].mean() < 60
+
+
+def test_ima_adpcm_block_header_is_first_sample():
+    pcm = np.arange(-500, 505, 1, dtype=np.int16)
+    blocks = ima_adpcm_encode(pcm, block_align=64)
+    first = ima_adpcm_decode_block(blocks[:64], 1)
+    assert first[0, 0] == -500
+
+
+# ------------------------------------------------------- WAV integration
+
+@pytest.mark.parametrize("codec,tol", [("mulaw", 0.04), ("alaw", 0.04),
+                                       ("ima_adpcm", 0.08)])
+def test_compressed_wav_roundtrip_through_decode_wav(codec, tol):
+    t = np.arange(333)
+    wave = 0.8 * np.sin(t / 9.0)
+    payload = encode_wav_compressed(wave, sample_rate=8000, codec=codec,
+                                    block_align=64)
+    out = decode_wav(payload)
+    assert int(out["sample_rate"]) == 8000
+    assert int(out["n_frames"]) == 333        # fact chunk drops pad samples
+    err = np.abs(out["tensor"] - wave.astype(np.float32))
+    assert float(err[50:].max()) < tol
+
+
+def test_compressed_wav_fact_chunk_truncates_padding():
+    # 70 samples, 64-byte blocks = 121 samples/block: one padded block
+    wave = np.linspace(-0.5, 0.5, 70)
+    payload = encode_wav_compressed(wave, 8000, codec="ima_adpcm",
+                                    block_align=64)
+    assert int(decode_wav(payload)["n_frames"]) == 70
+
+
+# ---------------------------------------------------------------- MJPEG AVI
+
+def test_avi_mjpeg_roundtrip_matches_per_frame_jpeg():
+    from rayschema.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    out = decode_avi_mjpeg(encode_avi_mjpeg(frames, fps=30))
+    assert out["tensor"].shape == (4, 16, 16)
+    assert int(out["n_frames"]) == 4
+    assert int(out["fps_num"]) == 30 and int(out["fps_den"]) == 1
+    # container adds nothing: each frame equals its standalone JPEG decode
+    for i in range(4):
+        solo = decode_jpeg(encode_jpeg(frames[i], quality=85,
+                                       subsample=True))["tensor"]
+        assert np.array_equal(out["tensor"][i], solo)
+
+
+def test_default_decode_covers_every_synth_payload_for_real():
+    """No synth payload falls through to the fake codec: every audio row
+    decodes with a sample_rate, every image row with real geometry, every
+    video row with a (n, h, w) frame tensor."""
+    from rayschema.multimodal import default_decode, synth_media_table
+
+    t = synth_media_table(96)
+    for row in t.to_pylist():
+        out = default_decode(row["payload"], row["kind"])
+        if row["kind"] == "audio":
+            assert "sample_rate" in out
+        elif row["kind"] == "image":
+            assert "rgb" in out or out["tensor"].shape[0] >= 4
+            assert out["tensor"].ndim == 2
+        else:
+            assert out["tensor"].ndim == 3

@@ -244,7 +244,8 @@ def test_real_audio_video_decode_end_to_end(ray_session):
                         concurrency=(1, 2)).to_pandas().set_index("media_id"))
     assert len(vid) > 5
     for mid, row in vid.iterrows():
-        d = decode_y4m(payloads[mid])
+        # synth videos alternate Y4M and MJPEG-AVI — dispatch like the stage
+        d = default_decode(payloads[mid], "video")
         nf = int(d["n_frames"])
         assert list(row["frame_idx"]) == list(range(0, nf, 2))
         # sampled frame means come from the REAL luma planes
@@ -287,6 +288,10 @@ def test_real_image_decode_end_to_end(ray_session):
             n_jpg += 1
             exp = float(decode_jpeg(p)["tensor"].mean())
             dim = 256                          # 16x16 luminance tensor
+        elif p[:6] in (b"GIF87a", b"GIF89a"):
+            from rayschema.codecs import decode_gif
+            exp = float(decode_gif(p)["tensor"].mean())
+            dim = 54                           # 6x9 luminance tensor
         else:
             n_ppm += 1
             exp = float(decode_ppm(p)["tensor"].mean())
