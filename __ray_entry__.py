@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum_change": Q.events_cusum_change,
         "hourly_trend_slope": Q.hourly_trend_slope,
         "lang_source_residuals": Q.lang_source_residuals,
+        "fuzzy_word_pairs": Q.fuzzy_word_pairs,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -371,6 +372,18 @@ def oracle_sql() -> dict[str, str]:
                      AS resid_num,
                    sum(n) OVER ()::BIGINT AS total
             FROM c""",
+        # SymSpell deletion-neighborhood fuzzy matching, verified exact:
+        # distinct 4..20-codepoint vocabulary, all pairs at levenshtein <= 2
+        "fuzzy_word_pairs": """
+            WITH v AS (
+              SELECT DISTINCT word
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents WHERE text IS NOT NULL)
+              WHERE length(word) BETWEEN 4 AND 20)
+            SELECT a.word AS word_a, b.word AS word_b,
+                   levenshtein(a.word, b.word)::BIGINT AS dist
+            FROM v a JOIN v b ON a.word < b.word
+            WHERE levenshtein(a.word, b.word) <= 2""",
         # least-squares trend slope in denominator-cleared integer form;
         # missing hours inside each type's observed range count as y=0
         "hourly_trend_slope": """

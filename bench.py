@@ -130,6 +130,7 @@ def run_bench() -> dict:
         ("bm25_scores", Q.bm25_scores),
         ("value_quartile_by_type", Q.value_quartile_by_type),
         ("near_dup_pagerank", Q.near_dup_pagerank),
+        ("fuzzy_word_pairs", Q.fuzzy_word_pairs),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

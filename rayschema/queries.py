@@ -5405,3 +5405,102 @@ def trainer_export_pipeline(sf_dir: str):
         lambda b: pa.table({"doc_id": b.column("doc_id").cast(pa.int64())}),
         batch_format="pyarrow").materialize()
     return _shuffle_shard_rank(kept_ids, n_rows=kept_ids.count())
+
+
+def fuzzy_word_pairs(sf_dir: str):
+    """SymSpell-style fuzzy vocabulary matching (Garbe's deletion-
+    neighborhood method, public algorithm): every DISTINCT corpus-word pair
+    within Levenshtein distance <= 2 — the typo-clustering / fuzzy-join
+    primitive (vocabulary normalization before token counting, OCR-noise
+    dedup). Scale shape:
+
+    1. distributed distinct vocabulary (per-batch Arrow group_by partials,
+       then one vocab-sized groupby — the only corpus-wide pass; words of
+       4..20 codepoints);
+    2. each distinct word emits its <=2-deletion key set (deletion_keys —
+       one vectorized slice+join kernel per deletion position over the
+       vocabulary, never the corpus), keys packed to the 62-bit
+       SQL-mirrorable poly hash (hash collisions only add candidates);
+    3. ONE key-hash sort + sorted_group_scan: complete key groups emit
+       their C(g,2) candidate pairs (group_filter skips the singleton
+       majority; groups are alphabet-bounded, no hot-key salt needed at
+       the 4-codepoint length floor);
+    4. candidate pairs dedupe on a pair-sized groupby, then ONE
+       levenshtein_batch verify pass — the DP is vectorized ACROSS pairs
+       (L^2 numpy ops total), keeps dist <= 2.
+
+    The SymSpell guarantee (ED(a,b) <= 2 => the <=2-deletion sets
+    intersect) makes step 3's candidates a superset of the answer, so the
+    exact verify yields precisely DuckDB's levenshtein() pairs."""
+    from rayschema.dedup import poly_token_hash, sorted_group_scan
+    from rayschema.text import deletion_keys, levenshtein_batch
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"word": pa.array([], type=pa.string())})
+        from rayschema.text import _flatten_words_arrow
+        flat, _, _ = _flatten_words_arrow(col)
+        ln = pc.utf8_length(flat)
+        flat = flat.filter(pc.and_(pc.greater_equal(ln, 4),
+                                   pc.less_equal(ln, 20)))
+        g = pa.table({"word": flat}).group_by(["word"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"word": g.column("word")})
+
+    vocab = (ds.map_batches(vocab_partial, batch_format="pyarrow")
+             .groupby("word").count()
+             .select_columns(["word"]))
+
+    def keygen(b: pa.Table) -> pa.Table:
+        w = b.column("word")
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        if len(w) == 0:
+            return pa.table({"kh": pa.array([], type=pa.int64()),
+                             "word": pa.array([], type=pa.string())})
+        keys, idx = deletion_keys(w, max_del=2)
+        kh = poly_token_hash(keys.to_pylist()).astype(np.int64)
+        # same-word duplicate keys ('aab' deleting either 'a') collapse
+        # here; each distinct word lives in exactly one batch, so this
+        # per-batch dedup is global
+        g = (pa.table({"kh": pa.array(kh),
+                       "word": w.take(pa.array(idx))})
+             .group_by(["kh", "word"]).aggregate([([], "count_all")]))
+        return pa.table({"kh": g.column("kh"), "word": g.column("word")})
+
+    cand = vocab.map_batches(keygen, batch_format="pyarrow")
+    out_schema = pa.schema([("word_a", pa.string()),
+                            ("word_b", pa.string())])
+
+    def pair_group(t: pa.Table) -> pa.Table:
+        words = sorted(set(t.column("word").to_pylist()))
+        if len(words) < 2:
+            return pa.table({"word_a": pa.array([], type=pa.string()),
+                             "word_b": pa.array([], type=pa.string())})
+        arr = np.asarray(words, dtype=object)
+        ia, ib = np.triu_indices(len(arr), 1)
+        return pa.table({"word_a": pa.array(arr[ia], type=pa.string()),
+                         "word_b": pa.array(arr[ib], type=pa.string())})
+
+    pairs = sorted_group_scan(
+        cand, ["kh"], pair_group, out_schema,
+        group_filter=lambda b, s, e: (e - s) >= 2)
+
+    def verify(b: pa.Table) -> pa.Table:
+        wa = b.column("word_a").to_pylist()
+        wb = b.column("word_b").to_pylist()
+        d = levenshtein_batch(wa, wb)
+        m = pa.array(d <= 2)
+        return pa.table({"word_a": b.column("word_a").filter(m),
+                         "word_b": b.column("word_b").filter(m),
+                         "dist": pa.array(d[d <= 2])})
+
+    return (pairs.groupby(["word_a", "word_b"]).count()
+            .select_columns(["word_a", "word_b"])
+            .map_batches(verify, batch_format="pyarrow"))

@@ -574,3 +574,98 @@ class Fingerprinter:
         return (batch
                 .append_column("fingerprint", pa.array(fps, type=pa.uint64()))
                 .append_column("fp_minhashes", mins))
+
+
+# --------------------------------------------------------------------- fuzzy
+# SymSpell-style edit-distance matching (Garbe's deletion-neighborhood
+# method, public algorithm): candidates via shared <=k-deletion keys,
+# verified by an exact vectorized Levenshtein DP. Reference has no fuzzy
+# matching; this is a §2.F engine operator (typo-dedup / fuzzy vocab join).
+
+def pad_codepoint_matrix(words) -> tuple:
+    """list[str] -> ((n, Lmax) uint32 codepoint matrix zero-padded on the
+    right, int64 lengths). One encode of the joined corpus + one masked
+    scatter — no per-word numpy allocation."""
+    n = len(words)
+    lens = np.fromiter((len(w) for w in words), dtype=np.int64, count=n)
+    if n == 0 or lens.max() == 0:
+        return np.zeros((n, 0), dtype=np.uint32), lens
+    flat = np.frombuffer("".join(words).encode("utf-32-le", "surrogatepass"),
+                         dtype=np.uint32)
+    L = int(lens.max())
+    mat = np.zeros((n, L), dtype=np.uint32)
+    mat[np.arange(L)[None, :] < lens[:, None]] = flat
+    return mat, lens
+
+
+def levenshtein_batch(words_a, words_b) -> np.ndarray:
+    """Exact Levenshtein distance for n string PAIRS at once: the DP runs
+    vectorized ACROSS pairs (both loops are over character positions, <=
+    Lmax each — ~L^2 numpy ops total regardless of pair count), instead of
+    one python DP per pair. Right-padding is harmless: row i's answer is
+    snapshotted at DP row la[i], and DP column j never reads past j."""
+    A, la = pad_codepoint_matrix(words_a)
+    B, lb = pad_codepoint_matrix(words_b)
+    n = len(la)
+    out = np.empty(n, dtype=np.int64)
+    if n == 0:
+        return out
+    La, Lb = A.shape[1], B.shape[1]
+    dp = np.tile(np.arange(Lb + 1, dtype=np.int32), (n, 1))
+    sel0 = la == 0
+    out[sel0] = lb[sel0]
+    for i in range(1, La + 1):
+        prev = dp
+        dp = np.empty_like(prev)
+        dp[:, 0] = i
+        cost = (A[:, i - 1][:, None] != B).astype(np.int32)
+        m = np.minimum(prev[:, :-1] + cost, prev[:, 1:] + 1)
+        for j in range(1, Lb + 1):
+            dp[:, j] = np.minimum(m[:, j - 1], dp[:, j - 1] + 1)
+        sel = la == i
+        if sel.any():
+            out[sel] = dp[sel, lb[sel]]
+    return out
+
+
+def deletion_keys(words: pa.Array, max_del: int = 2):
+    """All <=``max_del``-deletion variants (including the word itself) of a
+    DISTINCT-word array, vectorized by deletion position: one Arrow
+    slice+join kernel pass per position (or position pair), each over only
+    the words long enough. Returns (keys arrow string array, int64 index
+    of the source word per key). Duplicate (key, word) rows (e.g. 'aab'
+    deleting either 'a') are emitted as-is — callers dedupe."""
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    n = len(words)
+    lens = pc.utf8_length(words).to_numpy(zero_copy_only=False) \
+        .astype(np.int64) if n else np.empty(0, np.int64)
+    maxlen = int(lens.max()) if n else 0
+    BIG = 1 << 30
+    keys = [words]
+    idxs = [np.arange(n, dtype=np.int64)]
+    for i in range(maxlen):
+        sel = np.nonzero(lens > i)[0]
+        w = words.take(pa.array(sel))
+        k = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(w, 0, i),
+            pc.utf8_slice_codeunits(w, i + 1, BIG), "")
+        keys.append(k)
+        idxs.append(sel)
+    if max_del >= 2:
+        for i in range(maxlen - 1):
+            for j in range(i + 1, maxlen):
+                sel = np.nonzero(lens > j)[0]
+                w = words.take(pa.array(sel))
+                k = pc.binary_join_element_wise(
+                    pc.utf8_slice_codeunits(w, 0, i),
+                    pc.utf8_slice_codeunits(w, i + 1, j),
+                    pc.utf8_slice_codeunits(w, j + 1, BIG), "")
+                keys.append(k)
+                idxs.append(sel)
+    if max_del >= 3:
+        raise ValueError("deletion_keys supports max_del <= 2")
+    flat = pa.concat_arrays(
+        [k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+         for k in keys])
+    return flat, np.concatenate(idxs)

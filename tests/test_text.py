@@ -372,3 +372,96 @@ def test_event_type_cooccurrence_hand_case(ray_session, tmp_path):
     pairs = {(a, b): n for a, b, n in
              zip(got["type_a"], got["type_b"], got["n_users"])}
     assert pairs == {("click", "view"): 2, ("purchase", "view"): 1}
+
+
+def test_levenshtein_batch_vs_reference_dp():
+    import random
+
+    from rayschema.text import levenshtein_batch
+
+    def ref(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[lb]
+
+    rng = random.Random(9)
+    alpha = "abcde"
+    words = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 9)))
+             for _ in range(60)] + ["", "a", "kitten", "sitting", "flaw",
+                                    "lawn", "naïve", "naive"]
+    pairs = [(rng.choice(words), rng.choice(words)) for _ in range(400)]
+    got = levenshtein_batch([p[0] for p in pairs], [p[1] for p in pairs])
+    assert got.tolist() == [ref(a, b) for a, b in pairs]
+
+
+def test_deletion_keys_symspell_guarantee():
+    """ED(a,b) <= 2 ==> the <=2-deletion key sets intersect (the SymSpell
+    candidate-completeness property the fuzzy matcher relies on)."""
+    import itertools
+    import random
+
+    import pyarrow as _pa
+
+    from rayschema.text import deletion_keys, levenshtein_batch
+
+    rng = random.Random(4)
+    words = sorted({"".join(rng.choice("ab") for _ in range(rng.randint(3, 6)))
+                    for _ in range(40)})
+    keys, idx = deletion_keys(_pa.array(words), max_del=2)
+    ksets = {}
+    for k, i in zip(keys.to_pylist(), idx):
+        ksets.setdefault(words[int(i)], set()).add(k)
+    for a, b in itertools.combinations(words, 2):
+        d = int(levenshtein_batch([a], [b])[0])
+        if d <= 2:
+            assert ksets[a] & ksets[b], (a, b, d)
+
+
+def test_fuzzy_word_pairs_planted(ray_session, tmp_path):
+    """Planted typo clusters: the deletion-neighborhood pipeline finds
+    exactly the brute-force levenshtein<=2 pairs over the distinct
+    vocabulary (substitution, insertion, deletion, transposition-as-2,
+    and a far word contributing nothing)."""
+    import itertools
+    import os
+
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import fuzzy_word_pairs
+    from rayschema.text import levenshtein_batch
+
+    docs = [
+        "tokenizer tokeniser tokenizers stream steam streams",
+        "window windew widow quantum",
+        "tokenizer stream window shuffle shufle schuffle",
+        "quantum quantas entirely unrelated wording here",
+    ]
+    tab = _pa.table({
+        "doc_id": _pa.array(range(len(docs)), type=_pa.int64()),
+        "text": _pa.array(docs),
+        "lang": _pa.array(["en"] * len(docs)),
+        "source": _pa.array(["t"] * len(docs)),
+        "n_chars": _pa.array([len(d) for d in docs], type=_pa.int64()),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "documents.parquet"))
+    got = (fuzzy_word_pairs(str(tmp_path)).to_pandas()
+           .sort_values(["word_a", "word_b"]).reset_index(drop=True))
+
+    vocab = sorted({w for d in docs for w in d.split(" ")
+                    if 4 <= len(w) <= 20})
+    exp = []
+    for a, b in itertools.combinations(vocab, 2):
+        d = int(levenshtein_batch([a], [b])[0])
+        if d <= 2:
+            exp.append({"word_a": a, "word_b": b, "dist": d})
+    exp = pd.DataFrame(exp).sort_values(["word_a", "word_b"]) \
+        .reset_index(drop=True)
+    assert len(got) == len(exp) and len(got) >= 6
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
