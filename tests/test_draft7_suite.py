@@ -590,3 +590,95 @@ def test_dependencies_empty_array_trivial():
     t = pa.table({"a": [1, None]})
     v = compile_validator(schema_from_json('{"dependencies":{"a":[]}}'))
     assert v.probe(t).tolist() == [True, True]
+
+
+# ---- late round-4 gap cases (official-suite areas not yet mirrored) ---------
+def test_if_then_else_boolean_schemas():
+    # if:true selects then; if:false selects else — degenerate but legal
+    check('{"if":true,"then":{"minLength":3},"else":{"maxLength":1}}',
+          ["abc", "ab"], [True, False])
+    check('{"if":false,"then":{"minLength":3},"else":{"maxLength":1}}',
+          ["abc", "a"], [False, True])
+
+
+def test_unique_items_false_is_trivial():
+    arr = pa.array([[1, 1, 2], [1, 2]], type=pa.list_(pa.int64()))
+    check('{"uniqueItems":false}', arr, [True, True])
+
+
+def test_additional_items_schema_form():
+    # beyond the tuple prefix, extra elements must satisfy the SCHEMA form
+    arr = pa.array([[1, 50, 2], [1, 50, 99], [1, 50]],
+                   type=pa.list_(pa.int64()))
+    check('{"items":[{},{}],"additionalItems":{"maximum":10}}',
+          arr, [True, False, True])
+
+
+def test_length_counts_astral_codepoints_once():
+    # astral-plane chars are 2 UTF-16 units / 4 UTF-8 bytes but ONE codepoint
+    check('{"minLength":2,"maxLength":2}',
+          ["\U0001F600\U0001F600", "\U0001F600", "ab", "abc"],
+          [True, False, True, False])
+
+
+def test_pattern_unicode_literal():
+    check('{"pattern":"é+z"}', ["xééz", "ez", "éz"], [True, False, True])
+
+
+def test_contains_skips_null_elements():
+    # null elements are not subjects; contains looks for a real match
+    arr = pa.array([[None, 7], [None], [1, None, 2]],
+                   type=pa.list_(pa.int64()))
+    check('{"contains":{"minimum":5}}', arr, [True, False, False])
+
+
+def test_multiple_of_small_fraction():
+    # official-suite "by small number" case: 0.0001 divides 0.0075
+    check('{"multipleOf":0.0001}', [0.0075, 0.00751], [True, False])
+
+
+def test_property_names_boolean_false():
+    mp_t = pa.map_(pa.string(), pa.string())
+    check('{"propertyNames":false}',
+          pa.array([{}, {"a": "1"}], type=mp_t), [True, False])
+
+
+def test_min_properties_zero_is_trivial():
+    mp_t = pa.map_(pa.string(), pa.string())
+    check('{"minProperties":0}', pa.array([{}, {"a": "1"}], type=mp_t),
+          [True, True])
+
+
+def test_enum_object_member_with_nested_array():
+    mp_t = pa.map_(pa.string(), pa.list_(pa.int64()))
+    check('{"enum":[{"a":[1,2]},{"b":[]}]}',
+          pa.array([{"a": [1, 2]}, {"b": []}, {"a": [2, 1]}], type=mp_t),
+          [True, True, False])
+
+
+def test_nested_ref_inside_items():
+    check('{"definitions":{"pos":{"minimum":0}},'
+          '"items":{"$ref":"#/definitions/pos"}}',
+          pa.array([[0, 5], [-1, 2], []], type=pa.list_(pa.int64())),
+          [True, False, True])
+
+
+def test_allof_empty_and_singleton():
+    check('{"allOf":[{}]}', ["x"], [True])
+    check('{"allOf":[{"minLength":2}]}', ["x", "xy"], [False, True])
+
+
+def test_type_array_rejects_scalars_column():
+    # a string column against type:array fails every row
+    check('{"type":"array"}', ["x", "y"], [False, False])
+
+
+def test_exclusive_minimum_with_minimum_both_apply():
+    check('{"minimum":3,"exclusiveMinimum":3}', [3.0, 3.5, 2.0],
+          [False, True, False])
+
+
+def test_pattern_anchors_are_honored():
+    # unanchored search, but explicit anchors in the pattern still bind
+    check('{"pattern":"^ab$"}', ["ab", "xabx", "abc"],
+          [True, False, False])
