@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_trend_slope": Q.hourly_trend_slope,
         "lang_source_residuals": Q.lang_source_residuals,
         "fuzzy_word_pairs": Q.fuzzy_word_pairs,
+        "benford_digit_audit": Q.benford_digit_audit,
+        "fd_audit_source_lang": Q.fd_audit_source_lang,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -384,6 +386,42 @@ def oracle_sql() -> dict[str, str]:
                    levenshtein(a.word, b.word)::BIGINT AS dist
             FROM v a JOIN v b ON a.word < b.word
             WHERE levenshtein(a.word, b.word) <= 2""",
+        # Benford first-digit audit in cleared-integer form: the expected
+        # millionths are the same hardcoded constants on both sides, so no
+        # float log crosses the engine/oracle boundary
+        "benford_digit_audit": """
+            WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS cents
+                       FROM orders WHERE round(o_totalprice * 100) > 0),
+            d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                    AS digit, count(*)::BIGINT AS n
+                  FROM c GROUP BY 1),
+            e(digit, expected_millionths) AS (VALUES (1,301030),(2,176091),
+              (3,124939),(4,96910),(5,79181),(6,66947),(7,57992),(8,51153),
+              (9,45757))
+            SELECT d.digit, d.n,
+                   e.expected_millionths::BIGINT AS expected_millionths,
+                   (1000000 * d.n
+                    - (SELECT sum(n) FROM d) * e.expected_millionths)::BIGINT
+                     AS resid_millionths
+            FROM d JOIN e USING (digit)""",
+        # functional-dependency audit source -> lang: distinct-rhs count,
+        # modal lang (count desc, lang asc), minimum repair size
+        "fd_audit_source_lang": """
+            WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+                       FROM documents
+                       WHERE source IS NOT NULL AND lang IS NOT NULL
+                       GROUP BY 1, 2),
+            r AS (SELECT source, lang, n,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY n DESC, lang) AS rk,
+                         count(*) OVER (PARTITION BY source)::BIGINT
+                           AS n_langs,
+                         sum(n) OVER (PARTITION BY source)::BIGINT AS n_rows
+                  FROM c)
+            SELECT source, n_langs, n_rows, lang AS modal_lang,
+                   (n_rows - n)::BIGINT AS n_violations
+            FROM r WHERE rk = 1""",
         # least-squares trend slope in denominator-cleared integer form;
         # missing hours inside each type's observed range count as y=0
         "hourly_trend_slope": """

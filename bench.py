@@ -131,6 +131,7 @@ def run_bench() -> dict:
         ("value_quartile_by_type", Q.value_quartile_by_type),
         ("near_dup_pagerank", Q.near_dup_pagerank),
         ("fuzzy_word_pairs", Q.fuzzy_word_pairs),
+        ("benford_digit_audit", Q.benford_digit_audit),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -5504,3 +5504,100 @@ def fuzzy_word_pairs(sf_dir: str):
     return (pairs.groupby(["word_a", "word_b"]).count()
             .select_columns(["word_a", "word_b"])
             .map_batches(verify, batch_format="pyarrow"))
+
+
+def benford_digit_audit(sf_dir: str):
+    """Benford first-significant-digit audit (Newcomb 1881 / Benford 1938,
+    the classic numeric-data-quality screen): distribution of the first
+    digit of positive order totals in integer cents, with the chi-square
+    numerator against the Benford expectation in CLEARED-INTEGER form
+    (1e6-scaled expected millionths are hardcoded constants on both sides,
+    so no float log ever crosses the engine/oracle boundary). One stateless
+    vectorized pass (log10-free first-digit: divide by 10 until < 10, done
+    as a digit-count via the string length of the integer — an Arrow
+    kernel) + a 9-row groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        cents = cents[cents > 0]
+        if len(cents) == 0:
+            return pa.table({"digit": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        # first significant digit = n // 10^(ndigits-1); vectorized via
+        # the decimal digit count (same arithmetic the SQL oracle uses)
+        nd = np.floor(np.log10(cents.astype(np.float64))).astype(np.int64)
+        # float log10 can be off by one ulp at exact powers of ten —
+        # correct exactly in integer space
+        p = np.power(10, nd, dtype=np.int64)
+        nd = np.where(p > cents, nd - 1, nd)
+        nd = np.where(10 * np.power(10, nd, dtype=np.int64) <= cents,
+                      nd + 1, nd)
+        digit = cents // np.power(10, nd, dtype=np.int64)
+        cnt = np.bincount(digit, minlength=10)[1:10]
+        return pa.table({"digit": pa.array(np.arange(1, 10)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("digit").aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    agg = agg[agg["n"] > 0].sort_values("digit").reset_index(drop=True)
+    total = int(agg["n"].sum())
+    # Benford expected probability in millionths: round(log10(1+1/d)*1e6)
+    exp_m = {1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+             6: 66947, 7: 57992, 8: 51153, 9: 45757}
+    agg["expected_millionths"] = agg["digit"].map(exp_m).astype(np.int64)
+    # chi-square numerator per digit, cleared of the float denominator:
+    # (1e6 * n - total * expected_millionths)^2 stays exact in int64?
+    # n <= 1e9 at 100 TB -> 1e6*n ~ 1e15, square overflows int64 — keep
+    # the RESIDUAL (not its square) integer-exact instead
+    agg["resid_millionths"] = (1_000_000 * agg["n"].astype(np.int64)
+                               - total * agg["expected_millionths"])
+    agg["n"] = agg["n"].astype(np.int64)
+    agg["digit"] = agg["digit"].astype(np.int64)
+    return agg[["digit", "n", "expected_millionths", "resid_millionths"]]
+
+
+def fd_audit_source_lang(sf_dir: str):
+    """Functional-dependency audit source -> lang (the profiling primitive
+    behind referential/consistency checks: does each source publish in one
+    language?): per source, the number of distinct languages, the modal
+    (most frequent, ties broken lexicographically) language, and how many
+    rows deviate from it — i.e. the minimum repair size. Distributed
+    shape: per-batch (source, lang) partial counts -> one pair-domain-sized
+    groupby -> per-source vectorized argmax on the driver-sized pair table
+    (|sources| x |langs| rows, metadata-sized at any corpus scale)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("source")),
+                             pc.is_valid(b.column("lang"))))
+        g = (pa.table({"source": b.column("source"),
+                       "lang": b.column("lang")})
+             .group_by(["source", "lang"]).aggregate([([], "count_all")]))
+        return pa.table({"source": g.column("source"),
+                         "lang": g.column("lang"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    pairs = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["source", "lang"]).aggregate(Sum("n", alias_name="n"))
+             .to_pandas())
+    pairs = pairs.sort_values(["source", "n", "lang"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+    g = pairs.groupby("source", as_index=False)
+    out = g.agg(n_langs=("lang", "size"), n_rows=("n", "sum"))
+    head = pairs.drop_duplicates("source", keep="first")
+    out = out.merge(head[["source", "lang", "n"]], on="source")
+    out = out.rename(columns={"lang": "modal_lang"})
+    out["n_violations"] = (out["n_rows"] - out["n"]).astype(np.int64)
+    out["n_langs"] = out["n_langs"].astype(np.int64)
+    out["n_rows"] = out["n_rows"].astype(np.int64)
+    return out[["source", "n_langs", "n_rows", "modal_lang",
+                "n_violations"]].sort_values("source") \
+        .reset_index(drop=True)

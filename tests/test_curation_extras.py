@@ -1057,3 +1057,63 @@ def test_lang_source_residuals_hand_case(ray_session, tmp_path):
     assert got2.loc[("en", "b"), "resid_num"] < 0
     assert got2.loc[("de", "a"), "resid_num"] < 0
     assert got2.loc[("de", "b"), "resid_num"] > 0
+
+
+def test_benford_digit_audit_planted(ray_session, tmp_path):
+    """Hand-built totals hitting every first-digit branch, including the
+    exact-power-of-ten ulp edges (1.00 -> cents 100 -> digit 1; 10.00 ->
+    1000 -> 1; 99.99 -> 9999 -> 9) and a zero row that must be dropped."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import benford_digit_audit
+
+    totals = [1.00, 10.00, 100.00, 99.99, 0.00, 2.34, 23.45, 0.05,
+              55.00, 0.09, 9.00, 876.54]
+    tab = _pa.table({
+        "o_orderkey": _pa.array(range(len(totals)), type=_pa.int64()),
+        "o_totalprice": _pa.array(totals, type=_pa.float64()),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "orders.parquet"))
+    got = benford_digit_audit(str(tmp_path))
+    # first digits of cents: 100->1,1000->1,10000->1,9999->9,(0 drop),
+    # 234->2,2345->2,5->5,5500->5,9->9,900->9,87654->8
+    exp_n = {1: 3, 2: 2, 5: 2, 8: 1, 9: 3}
+    assert dict(zip(got["digit"], got["n"])) == exp_n
+    total = sum(exp_n.values())
+    for _, r in got.iterrows():
+        assert r["resid_millionths"] == (1_000_000 * r["n"]
+                                         - total * r["expected_millionths"])
+    assert got["digit"].is_monotonic_increasing
+
+
+def test_fd_audit_source_lang_planted(ray_session, tmp_path):
+    """One clean source (FD holds: 0 violations), one 2-lang source with a
+    clear mode, one tie broken lexicographically."""
+    import os
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import fd_audit_source_lang
+
+    rows = ([("clean", "en")] * 3
+            + [("mixed", "en")] * 3 + [("mixed", "de")]
+            + [("tied", "fr"), ("tied", "de")]
+            + [(None, "en"), ("mixed", None)])
+    tab = _pa.table({
+        "doc_id": _pa.array(range(len(rows)), type=_pa.int64()),
+        "text": _pa.array(["x"] * len(rows)),
+        "source": _pa.array([r[0] for r in rows]),
+        "lang": _pa.array([r[1] for r in rows]),
+        "n_chars": _pa.array([1] * len(rows), type=_pa.int64()),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "documents.parquet"))
+    got = fd_audit_source_lang(str(tmp_path)).set_index("source")
+    assert got.loc["clean"].tolist() == [1, 3, "en", 0]
+    assert got.loc["mixed"].tolist() == [2, 4, "en", 1]
+    assert got.loc["tied"].tolist() == [2, 2, "de", 1]   # tie -> lex min
