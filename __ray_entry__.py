@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_word_pairs": Q.fuzzy_word_pairs,
         "benford_digit_audit": Q.benford_digit_audit,
         "fd_audit_source_lang": Q.fd_audit_source_lang,
+        "value_mad_outliers": Q.value_mad_outliers,
         # -- round-3 driver-green remainder ---------------------------------
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
@@ -422,6 +423,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, n_langs, n_rows, lang AS modal_lang,
                    (n_rows - n)::BIGINT AS n_violations
             FROM r WHERE rk = 1""",
+        # MAD outlier screen: quantile_disc(0.5) IS the engine's integer
+        # lower-median rule (probed), so everything stays integer-exact
+        "value_mad_outliers": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events
+                       WHERE event_type IS NOT NULL AND value IS NOT NULL),
+            m AS (SELECT event_type,
+                         quantile_disc(cents, 0.5)::BIGINT AS med_cents,
+                         count(*)::BIGINT AS n
+                  FROM c GROUP BY 1),
+            d AS (SELECT c.event_type, abs(c.cents - m.med_cents) AS dev
+                  FROM c JOIN m USING (event_type)),
+            md AS (SELECT event_type,
+                          quantile_disc(dev, 0.5)::BIGINT AS mad_cents
+                   FROM d GROUP BY 1)
+            SELECT m.event_type, m.n, m.med_cents, md.mad_cents,
+                   (SELECT count(*) FROM d
+                    WHERE d.event_type = m.event_type
+                      AND d.dev > 3 * md.mad_cents)::BIGINT AS n_outliers
+            FROM m JOIN md USING (event_type)""",
         # least-squares trend slope in denominator-cleared integer form;
         # missing hours inside each type's observed range count as y=0
         "hourly_trend_slope": """

@@ -5601,3 +5601,86 @@ def fd_audit_source_lang(sf_dir: str):
     return out[["source", "n_langs", "n_rows", "modal_lang",
                 "n_violations"]].sort_values("source") \
         .reset_index(drop=True)
+
+
+def value_mad_outliers(sf_dir: str):
+    """Robust per-group outlier screen (median absolute deviation, the
+    classic drift/anomaly primitive): per event type, the exact integer
+    lower-median of value-cents, the MAD (lower-median of |x - med|), and
+    how many rows sit beyond 3 x MAD. Two distributed histogram passes
+    (same bounded-state shape as chars_quartiles_by_lang — per-batch
+    (type, cents) value-count partials; driver state is the distinct-value
+    histogram per type, never rows): pass 1 -> medians; pass 2 with the
+    broadcast median table -> deviation histograms, from which BOTH the
+    MAD and the outlier count read off on the driver (no third pass).
+    The lower-quantile rule (smallest v with 2*cum >= n) is exactly
+    DuckDB's quantile_disc(0.5), so the oracle hash-matches."""
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("event_type")),
+                    pc.is_valid(b.column("value")))
+        b = b.filter(m)
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "cents": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        cents = _cents(b.column("value").to_numpy(zero_copy_only=False))
+        g = (pa.table({"event_type": b.column("event_type"),
+                       "cents": pa.array(cents)})
+             .group_by(["event_type", "cents"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "cents", "cnt"])
+
+    def lower_median(vals: np.ndarray, cnts: np.ndarray) -> int:
+        o = np.argsort(vals)
+        v, c = vals[o], cnts[o]
+        cum = np.cumsum(c)
+        return int(v[np.searchsorted(cum * 2, cum[-1])])
+
+    h1 = (ds.map_batches(hist_partial, batch_format="pyarrow").to_pandas()
+          .groupby(["event_type", "cents"], as_index=False)["cnt"].sum())
+    meds = {t: lower_median(g["cents"].to_numpy(np.int64),
+                            g["cnt"].to_numpy(np.int64))
+            for t, g in h1.groupby("event_type", sort=True)}
+    mkeys = np.array(sorted(meds), dtype=object)
+    mvals = np.array([meds[k] for k in mkeys], dtype=np.int64)
+    ref = ray.put((mkeys, mvals))
+
+    def dev_partial(b: pa.Table, _ref=ref) -> pa.Table:
+        keys, vals = ray.get(_ref)
+        m = pc.and_(pc.is_valid(b.column("event_type")),
+                    pc.is_valid(b.column("value")))
+        b = b.filter(m)
+        if b.num_rows == 0 or len(keys) == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "dev": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        cents = _cents(b.column("value").to_numpy(zero_copy_only=False))
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(keys, et), len(keys) - 1)
+        # every type was seen in pass 1 by construction; verify anyway so a
+        # racing writer can never mis-attribute a row to the wrong median
+        hit = keys[pos] == et
+        dev = np.abs(cents[hit] - vals[pos][hit])
+        g = (pa.table({"event_type": b.column("event_type")
+                       .filter(pa.array(hit)),
+                       "dev": pa.array(dev)})
+             .group_by(["event_type", "dev"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "dev", "cnt"])
+
+    h2 = (ds.map_batches(dev_partial, batch_format="pyarrow").to_pandas()
+          .groupby(["event_type", "dev"], as_index=False)["cnt"].sum())
+    rows = []
+    for t, g in h2.groupby("event_type", sort=True):
+        dv = g["dev"].to_numpy(np.int64)
+        cn = g["cnt"].to_numpy(np.int64)
+        mad = lower_median(dv, cn)
+        n_out = int(cn[dv > 3 * mad].sum())
+        rows.append((t, int(cn.sum()), int(meds[t]), mad, n_out))
+    out = pd.DataFrame(rows, columns=["event_type", "n", "med_cents",
+                                      "mad_cents", "n_outliers"])
+    for c in ("n", "med_cents", "mad_cents", "n_outliers"):
+        out[c] = out[c].astype(np.int64)
+    return out

@@ -1117,3 +1117,32 @@ def test_fd_audit_source_lang_planted(ray_session, tmp_path):
     assert got.loc["clean"].tolist() == [1, 3, "en", 0]
     assert got.loc["mixed"].tolist() == [2, 4, "en", 1]
     assert got.loc["tied"].tolist() == [2, 2, "de", 1]   # tie -> lex min
+
+
+def test_value_mad_outliers_planted(ray_session, tmp_path):
+    """Hand case: type A = {1,2,3,4,100} (cents 100..10000) -> median is
+    the 3rd of 5 = 300 cents; devs {200,100,0,100,9700} -> MAD = 100;
+    outliers = dev > 300 -> only the 100.0 row. Type B constant -> MAD 0,
+    zero outliers. Null value/type rows drop."""
+    import os
+
+    import numpy as np
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import value_mad_outliers
+
+    vals = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0), ("A", 100.0),
+            ("B", 7.0), ("B", 7.0), ("B", 7.0), ("A", None), (None, 5.0)]
+    tab = _pa.table({
+        "event_id": _pa.array(range(len(vals)), type=_pa.int64()),
+        "ts": _pa.array([0] * len(vals), type=_pa.timestamp("us")),
+        "user_id": _pa.array([1] * len(vals), type=_pa.int64()),
+        "event_type": _pa.array([v[0] for v in vals]),
+        "value": _pa.array([v[1] for v in vals], type=_pa.float64()),
+        "props": _pa.array(["{}"] * len(vals)),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = value_mad_outliers(str(tmp_path)).set_index("event_type")
+    assert got.loc["A"].tolist() == [5, 300, 100, 1]
+    assert got.loc["B"].tolist() == [3, 700, 0, 0]
