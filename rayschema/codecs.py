@@ -1,8 +1,9 @@
 """Round-4 compressed-media codecs, pure numpy/stdlib (no codec library in
-this container): GIF (LZW, GIF87a/89a, interlace + multi-frame), G.711
-mu-law / A-law and IMA ADPCM compressed audio inside RIFF/WAVE, and
-MJPEG-in-AVI video (RIFF AVI 'movi' chunks of baseline JPEG frames, decoded
-by rayschema/jpeg.py). Together with jpeg.py these make every common
+this container): GIF (LZW, GIF87a/89a, interlace + multi-frame), PNG
+(DEFLATE via stdlib zlib; all five scanline filters, palette, Adam7
+interlace), G.711 mu-law / A-law and IMA ADPCM compressed audio inside
+RIFF/WAVE, and MJPEG-in-AVI video (RIFF AVI 'movi' chunks of baseline JPEG
+frames, decoded by rayschema/jpeg.py). Together with jpeg.py these make every common
 *container* kind in the synthetic corpus decode for real; the remaining
 documented stub boundary is the DCT/entropy video codecs (H.264/HEVC) and
 MP3/AAC, which genuinely need external libraries.
@@ -21,7 +22,8 @@ additionally verified by exhaustive 256-code involution
 Reference semantics (public specs): GIF89a specification (W3C/CompuServe,
 1990) appendix F LZW; ITU-T G.711 (mu-law/A-law companding, the public-domain
 Sun Microsystems g711.c formulation); IMA ADPCM (IMA Digital Audio Focus
-Group, 1992; WAVE format tag 0x11); OpenDML AVI (RIFF 'AVI ' / 'movi').
+Group, 1992; WAVE format tag 0x11); OpenDML AVI (RIFF 'AVI ' / 'movi');
+W3C PNG specification / RFC 2083 (scanline filters, Adam7).
 """
 
 from __future__ import annotations
@@ -572,3 +574,153 @@ def encode_avi_mjpeg(frames: np.ndarray, fps: int = 25,
     movi = lst(b"movi", b"".join(chunk(b"00dc", j) for j in jpegs))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --------------------------------------------------------------------------
+# PNG (RFC 2083 / W3C PNG spec; DEFLATE via the stdlib zlib)
+# --------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Adam7 pass layout: (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: np.ndarray, h: int, w: int, ch: int) -> np.ndarray:
+    """Undo per-scanline filtering (types 0-4) for one (sub)image of
+    ``h`` rows x ``w`` pixels x ``ch`` bytes/pixel. none/up rows decode as
+    one vector op; sub/average/paeth carry a per-pixel recurrence by
+    definition, so those rows run a bounded loop of length w*ch (decode is
+    per-payload inside an actor pool — never a corpus-wide loop)."""
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    raw = raw.reshape(h, stride + 1)
+    for y in range(h):
+        ft = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(stride,
+                                                               np.int32)
+        if ft == 0:
+            out[y] = line.astype(np.uint8)
+        elif ft == 2:                                   # up
+            out[y] = ((line + prior) & 0xFF).astype(np.uint8)
+        elif ft == 1:                                   # sub
+            cur = line.copy()
+            for i in range(ch, stride):
+                cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        elif ft == 3:                                   # average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (cur[i] + ((left + prior[i]) >> 1)) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        elif ft == 4:                                   # paeth
+            cur = line.copy()
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prior[i]
+                c = int(out[y - 1, i - ch]) if (y and i >= ch) else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+            out[y] = cur.astype(np.uint8)
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+    return out.reshape(h, w, ch)
+
+
+def decode_png(payload: bytes) -> Dict[str, np.ndarray]:
+    """Pure-numpy+zlib PNG decoder: 8-bit gray / gray+alpha / RGB / RGBA /
+    palette, all five scanline filters, Adam7 interlace. Alpha is dropped
+    (feature extraction is luminance-based); tRNS ignored. Returns the
+    image contract: {'tensor' (h, w) float32 luma, 'rgb' (h, w, 3) uint8,
+    'n_frames': 1}."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = []
+    while pos + 8 <= len(payload):
+        ln, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln                                  # +4 CRC (unchecked)
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, comp={comp})")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if ch is None:
+        raise ValueError(f"unsupported PNG color type {color}")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    img = np.zeros((h, w, ch), dtype=np.uint8)
+    if interlace == 0:
+        img = _png_unfilter(raw, h, w, ch)
+    elif interlace == 1:                                # Adam7
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw == 0 or ph == 0:
+                continue
+            npix = ph * (pw * ch + 1)
+            sub = _png_unfilter(raw[off:off + npix], ph, pw, ch)
+            img[y0::dy, x0::dx] = sub
+            off += npix
+    else:
+        raise ValueError(f"bad PNG interlace {interlace}")
+    if color == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        rgb = plte[np.minimum(img[:, :, 0], len(plte) - 1)]
+    elif color == 0:
+        rgb = np.repeat(img, 3, axis=2)
+    elif color == 4:
+        rgb = np.repeat(img[:, :, :1], 3, axis=2)
+    elif color == 2:
+        rgb = img
+    else:                                               # RGBA
+        rgb = img[:, :, :3]
+    tensor = rgb.astype(np.float32).mean(axis=2) / 255.0
+    return {"tensor": tensor, "rgb": np.ascontiguousarray(rgb),
+            "n_frames": np.int32(1)}
+
+
+def encode_png(rgb: np.ndarray, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 -> non-interlaced RGB8 PNG, 'up' filter on every
+    row after the first (vectorized both ways; real DEFLATE via zlib).
+    Test/synth counterpart of decode_png."""
+    import zlib
+
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    flat = rgb.reshape(h, w * 3).astype(np.int16)
+    raw = np.zeros((h, w * 3 + 1), dtype=np.uint8)
+    raw[0, 0] = 0
+    raw[0, 1:] = flat[0].astype(np.uint8)
+    if h > 1:
+        raw[1:, 0] = 2                                  # up filter
+        raw[1:, 1:] = ((flat[1:] - flat[:-1]) & 0xFF).astype(np.uint8)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body)) + ctype + body \
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
+            + chunk(b"IEND", b""))

@@ -4,8 +4,8 @@ Images / audio / video are opaque ``binary`` columns with typed metadata
 columns beside them. The Ray-side plumbing — schema, batch sizing, actor
 signature, output layout — is real and tested, and every kind has REAL
 pure-numpy decoders for both uncompressed and compressed containers:
-PPM/PGM/BMP + baseline JPEG (rayschema/jpeg.py) + GIF/LZW (codecs.py)
-images; RIFF/WAVE PCM/float + G.711 mu-law/A-law + IMA ADPCM audio;
+PPM/PGM/BMP + baseline JPEG (rayschema/jpeg.py) + GIF/LZW + PNG
+(codecs.py) images; RIFF/WAVE PCM/float + G.711 mu-law/A-law + IMA ADPCM audio;
 YUV4MPEG2 + MJPEG-in-AVI video. The remaining entropy-coded formats
 (MP3/AAC, H.264/HEVC) would need external codec libraries absent from this
 container; for those, ``decode_fn=None`` raises ``NotImplementedError`` at
@@ -127,9 +127,9 @@ def decode_bmp(payload: bytes) -> Dict[str, np.ndarray]:
 
 
 def decode_image(payload: bytes, kind: str = "image") -> Dict[str, np.ndarray]:
-    """Magic-sniffing image decode: PPM/PGM, BMP, or baseline JPEG (round-4
-    pure-numpy codec, rayschema/jpeg.py) — the engine's REAL image path (no
-    codec library needed)."""
+    """Magic-sniffing image decode: PPM/PGM, BMP, baseline JPEG
+    (rayschema/jpeg.py), GIF or PNG (rayschema/codecs.py) — the engine's
+    REAL image path (no codec library needed)."""
     if payload[:2] in (b"P6", b"P5"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -140,6 +140,9 @@ def decode_image(payload: bytes, kind: str = "image") -> Dict[str, np.ndarray]:
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from rayschema.codecs import decode_gif
         return decode_gif(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from rayschema.codecs import decode_png
+        return decode_png(payload)
     raise ValueError(f"unrecognized image payload magic {payload[:2]!r}")
 
 
@@ -301,7 +304,8 @@ def default_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
     MP3/AAC, H.264/HEVC)."""
     if kind == "image" and (payload[:2] in (b"P6", b"P5", b"BM")
                             or payload[:2] == b"\xff\xd8"
-                            or payload[:6] in (b"GIF87a", b"GIF89a")):
+                            or payload[:6] in (b"GIF87a", b"GIF89a")
+                            or payload[:8] == b"\x89PNG\r\n\x1a\n"):
         return decode_image(payload, kind)
     if kind == "audio" and payload[:4] == b"RIFF":
         return decode_wav(payload)
@@ -567,7 +571,16 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     payloads, mimes, durations, widths, heights = [], [], [], [], []
     for k in kinds:
         if k == "image":
-            variant = int(rng.integers(0, 3))
+            variant = int(rng.integers(0, 4))
+            if variant == 3:
+                from rayschema.codecs import encode_png
+                payloads.append(encode_png(
+                    rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)))
+                mimes.append("image/png")
+                widths.append(10)
+                heights.append(12)
+                durations.append(-1)
+                continue
             if variant == 0:
                 yy, xx = np.mgrid[0:16, 0:16]
                 ph = rng.uniform(0, 6.28, 2)

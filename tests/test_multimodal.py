@@ -292,13 +292,17 @@ def test_real_image_decode_end_to_end(ray_session):
             from rayschema.codecs import decode_gif
             exp = float(decode_gif(p)["tensor"].mean())
             dim = 54                           # 6x9 luminance tensor
+        elif p[:8] == b"\x89PNG\r\n\x1a\n":
+            from rayschema.codecs import decode_png
+            exp = float(decode_png(p)["tensor"].mean())
+            dim = 120                          # 12x10 luminance tensor
         else:
             n_ppm += 1
             exp = float(decode_ppm(p)["tensor"].mean())
             dim = 32                           # 4x8 luminance tensor
         assert abs(out.loc[mid, "feat_mean"] - exp) < 1e-6
         assert out.loc[mid, "feat_dim"] == dim
-    assert n_ppm > 3 and n_jpg > 3
+    assert n_ppm > 2 and n_jpg > 2
 
 
 def test_jpeg_roundtrip_444_and_420():
