@@ -17,18 +17,23 @@ FORMATS = ("parquet", "json", "csv")
 
 
 def detect_format(path: str) -> str:
-    """Infer corpus format from file extensions in a file or directory."""
+    """Infer corpus format from file extensions in a file or directory.
+    A trailing ``.gz`` marks gzip transport compression around JSONL/CSV
+    (``docs.jsonl.gz``) and is peeled before the format check."""
     paths = [path]
     if os.path.isdir(path):
         paths = sorted(glob.glob(os.path.join(path, "*")))
     for p in paths:
+        gz = ""
+        if p.lower().endswith(".gz"):
+            p, gz = p[:-3], ".gz"
         ext = os.path.splitext(p)[1].lower().lstrip(".")
         if ext in ("parquet", "pq"):
             return "parquet"
         if ext in ("json", "jsonl", "ndjson"):
-            return "json"
+            return "json" + gz
         if ext in ("csv", "tsv"):
-            return "csv"
+            return "csv" + gz
     raise ValueError(f"cannot detect corpus format under {path!r}")
 
 
@@ -51,10 +56,16 @@ def read_corpus(path: str, fmt: Optional[str] = None,
         if files and one_block_per_file:
             kwargs["override_num_blocks"] = len(files)
         return rd.read_parquet(files or path, columns=columns, **kwargs)
+    gz_args = {"arrow_open_stream_args": {"compression": "gzip"},
+               "file_extensions": None}
     if fmt == "json":
         ds = rd.read_json(path)
+    elif fmt == "json.gz":
+        ds = rd.read_json(path, **gz_args)
     elif fmt == "csv":
         ds = rd.read_csv(path)
+    elif fmt == "csv.gz":
+        ds = rd.read_csv(path, **gz_args)
     else:
         raise ValueError(f"unsupported corpus format {fmt!r} (one of {FORMATS})")
     if columns:

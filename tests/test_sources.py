@@ -86,3 +86,39 @@ def test_write_corpus_partitioned(tri_format_corpus, tmp_path):
     out = write_corpus(src, str(tmp_path / "by_lang"), fmt="parquet",
                        partition_cols=["lang"])
     assert any(d.startswith("lang=") for d in os.listdir(out))
+
+
+def test_gzip_jsonl_and_csv_sources(ray_session, tmp_path):
+    """Transport-compressed ingest: .jsonl.gz / .csv.gz read through the
+    same read_corpus path (gzip peeled by extension, Arrow decompresses
+    in-stream) and produce identical rows to the uncompressed forms."""
+    import csv
+    import gzip
+    import json
+    import os
+
+    from rayschema.sources import detect_format, read_corpus
+
+    rows = [{"doc_id": i, "text": f"doc {i}", "lang": "en"}
+            for i in range(25)]
+    d1 = tmp_path / "gzjson"
+    d1.mkdir()
+    with gzip.open(os.path.join(d1, "docs.jsonl.gz"), "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    assert detect_format(str(d1)) == "json.gz"
+    df = (read_corpus(str(d1)).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    assert len(df) == 25 and df.loc[7, "text"] == "doc 7"
+
+    d2 = tmp_path / "gzcsv"
+    d2.mkdir()
+    with gzip.open(os.path.join(d2, "docs.csv.gz"), "wt", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["doc_id", "text", "lang"])
+        for r in rows:
+            w.writerow([r["doc_id"], r["text"], r["lang"]])
+    assert detect_format(str(d2)) == "csv.gz"
+    df2 = (read_corpus(str(d2), columns=["doc_id", "text"]).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(df2.columns) == ["doc_id", "text"] and len(df2) == 25
