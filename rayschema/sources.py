@@ -18,8 +18,9 @@ FORMATS = ("parquet", "json", "csv")
 
 def detect_format(path: str) -> str:
     """Infer corpus format from file extensions in a file or directory.
-    A trailing ``.gz`` marks gzip transport compression around JSONL/CSV
-    (``docs.jsonl.gz``) and is peeled before the format check."""
+    A trailing ``.gz`` / ``.zst`` marks transport compression around
+    JSONL/CSV (``docs.jsonl.gz``, ``docs.jsonl.zst`` — the web-corpus dump
+    convention) and is peeled before the format check."""
     paths = [path]
     if os.path.isdir(path):
         paths = sorted(glob.glob(os.path.join(path, "*")))
@@ -27,6 +28,8 @@ def detect_format(path: str) -> str:
         gz = ""
         if p.lower().endswith(".gz"):
             p, gz = p[:-3], ".gz"
+        elif p.lower().endswith(".zst"):
+            p, gz = p[:-4], ".zst"
         ext = os.path.splitext(p)[1].lower().lstrip(".")
         if ext in ("parquet", "pq"):
             return "parquet"
@@ -56,16 +59,21 @@ def read_corpus(path: str, fmt: Optional[str] = None,
         if files and one_block_per_file:
             kwargs["override_num_blocks"] = len(files)
         return rd.read_parquet(files or path, columns=columns, **kwargs)
-    gz_args = {"arrow_open_stream_args": {"compression": "gzip"},
-               "file_extensions": None}
+
+    def _cargs(codec):
+        return {"arrow_open_stream_args": {"compression": codec},
+                "file_extensions": None}
+
     if fmt == "json":
         ds = rd.read_json(path)
-    elif fmt == "json.gz":
-        ds = rd.read_json(path, **gz_args)
+    elif fmt in ("json.gz", "json.zst"):
+        ds = rd.read_json(path, **_cargs(
+            "gzip" if fmt.endswith(".gz") else "zstd"))
     elif fmt == "csv":
         ds = rd.read_csv(path)
-    elif fmt == "csv.gz":
-        ds = rd.read_csv(path, **gz_args)
+    elif fmt in ("csv.gz", "csv.zst"):
+        ds = rd.read_csv(path, **_cargs(
+            "gzip" if fmt.endswith(".gz") else "zstd"))
     else:
         raise ValueError(f"unsupported corpus format {fmt!r} (one of {FORMATS})")
     if columns:

@@ -122,3 +122,17 @@ def test_gzip_jsonl_and_csv_sources(ray_session, tmp_path):
     df2 = (read_corpus(str(d2), columns=["doc_id", "text"]).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     assert list(df2.columns) == ["doc_id", "text"] and len(df2) == 25
+
+    # zstd transport (the web-corpus dump convention), Arrow in-stream
+    import pyarrow as _pa
+
+    d3 = tmp_path / "zstjson"
+    d3.mkdir()
+    raw = "".join(json.dumps(r) + "\n" for r in rows).encode()
+    with _pa.output_stream(os.path.join(d3, "docs.jsonl.zst"),
+                           compression="zstd") as f:
+        f.write(raw)
+    assert detect_format(str(d3)) == "json.zst"
+    df3 = (read_corpus(str(d3)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(df3) == 25 and df3.loc[11, "text"] == "doc 11"
