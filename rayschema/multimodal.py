@@ -5,7 +5,8 @@ columns beside them. The Ray-side plumbing — schema, batch sizing, actor
 signature, output layout — is real and tested, and every kind has REAL
 pure-numpy decoders for both uncompressed and compressed containers:
 PPM/PGM/BMP + baseline JPEG (rayschema/jpeg.py) + GIF/LZW + PNG
-(codecs.py) images; RIFF/WAVE PCM/float + G.711 mu-law/A-law + IMA ADPCM audio;
+(codecs.py) images; RIFF/WAVE PCM/float + G.711 mu-law/A-law + IMA ADPCM + FLAC
+(rayschema/flac.py — Rice/fixed/LPC, the LibriSpeech container) audio;
 YUV4MPEG2 + MJPEG-in-AVI video. The remaining entropy-coded formats
 (MP3/AAC, H.264/HEVC) would need external codec libraries absent from this
 container; for those, ``decode_fn=None`` raises ``NotImplementedError`` at
@@ -309,6 +310,9 @@ def default_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
         return decode_image(payload, kind)
     if kind == "audio" and payload[:4] == b"RIFF":
         return decode_wav(payload)
+    if kind == "audio" and payload[:4] == b"fLaC":
+        from rayschema.flac import decode_flac
+        return decode_flac(payload)
     if kind == "video" and payload[:9] == b"YUV4MPEG2":
         return decode_y4m(payload)
     if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
@@ -559,7 +563,7 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     Every row carries a REAL payload decoded end-to-end by the pure-numpy
     codecs: images rotate binary PPM, baseline JPEG (4:2:0, the dominant
     real-corpus format — rayschema/jpeg.py) and GIF (LZW — codecs.py);
-    audio rotates 16-bit PCM WAV, G.711 mu-law and IMA ADPCM; video
+    audio rotates 16-bit PCM WAV, G.711 mu-law, IMA ADPCM and FLAC; video
     alternates C420 Y4M and MJPEG-in-AVI — the fake codec is not on any
     synth path."""
     from rayschema.codecs import encode_avi_mjpeg, encode_gif, \
@@ -611,7 +615,18 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         elif k == "audio":
             n_samp = int(rng.integers(64, 512))
             wave = rng.uniform(-1.0, 1.0, n_samp)
-            variant = int(rng.integers(0, 3))
+            variant = int(rng.integers(0, 4))
+            if variant == 3:
+                from rayschema.flac import encode_flac
+                pcm16 = np.round(np.clip(wave, -1, 1)
+                                 * 32767.0).astype(np.int16)
+                payloads.append(encode_flac(pcm16, sample_rate=8000,
+                                            blocksize=128))
+                mimes.append("audio/flac")
+                widths.append(-1)
+                heights.append(-1)
+                durations.append(n_samp * 1000 // 8000)
+                continue
             if variant == 0:
                 payloads.append(encode_wav(wave, sample_rate=8000))
                 mimes.append("audio/wav")

@@ -349,3 +349,201 @@ def test_png_rgba_alpha_dropped():
     out = decode_png(_png_wrap(2, 1, 6, raw))
     assert np.array_equal(out["rgb"],
                           np.array([[[1, 2, 3], [4, 5, 6]]], dtype=np.uint8))
+
+
+# ---------------------------------------------------------------- FLAC
+
+def _flac_streaminfo(rate, nch, bps, total, blocksize=256):
+    from rayschema.flac import _BitWriter
+    si = _BitWriter()
+    si.write(blocksize, 16)
+    si.write(blocksize, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(total, 36)
+    body = si.bytes() + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _flac_frame_header(blocksize, ch_code, fidx=0):
+    from rayschema.flac import _BitWriter, _crc8, _utf8_number
+    hw = _BitWriter()
+    hw.write(0x3FFE, 14)
+    hw.write(0, 2)
+    hw.write(6, 4)                     # 8-bit blocksize-1 field
+    hw.write(0, 4)                     # rate from STREAMINFO
+    hw.write(ch_code, 4)
+    hw.write(4, 3)                     # 16 bps
+    hw.write(0, 1)
+    hw.align()
+    hdr = hw.bytes() + _utf8_number(fidx) + bytes([blocksize - 1])
+    return hdr + bytes([_crc8(hdr)])
+
+
+def test_flac_roundtrip_lossless():
+    from rayschema.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(6)
+    for n in (5, 777, 2048):
+        pcm = rng.integers(-32768, 32768, n).astype(np.int16)
+        out = decode_flac(encode_flac(pcm, sample_rate=22050,
+                                      blocksize=192))
+        rec = np.round(out["tensor"].astype(np.float64) * 32768)
+        assert int(out["sample_rate"]) == 22050
+        assert int(out["n_frames"]) == n
+        assert np.array_equal(rec.astype(np.int64), pcm.astype(np.int64))
+
+
+def test_flac_lpc_subframe_hand_built():
+    """LPC order 1, coef 2, shift 1: x_j = r_j + ((2*x_{j-1}) >> 1) =
+    r_j + x_{j-1} — a hand-checkable running sum."""
+    import struct as _st
+
+    from rayschema.flac import _BitWriter, _crc16, decode_flac
+
+    n = 8
+    warm = 100
+    resid = [1, -2, 3, -4, 5, -6, 7]
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(32 | (1 - 1), 6)          # LPC order 1
+    bw.write(0, 1)
+    bw.write(warm & 0xFFFF, 16)        # warmup
+    bw.write(4 - 1, 4)                 # precision 4
+    bw.write(1, 5)                     # shift 1
+    bw.write(2, 4)                     # coef 2 (4-bit signed)
+    bw.write(0, 2)                     # rice method 0
+    bw.write(0, 4)                     # partition order 0
+    bw.write(0, 4)                     # rice param 0
+    for r in resid:
+        v = (r << 1) ^ (-1 if r < 0 else 0)
+        bw.write_unary(v)
+    bw.align()
+    body = bw.bytes()
+    hdr = _flac_frame_header(n, ch_code=0)
+    payload = _flac_streaminfo(8000, 1, 16, n) + hdr + body \
+        + _st.pack(">H", _crc16(hdr + body))
+    out = decode_flac(payload)
+    exp = np.cumsum([warm] + resid)
+    rec = np.round(out["tensor"].astype(np.float64) * 32768).astype(np.int64)
+    assert np.array_equal(rec, exp)
+
+
+def test_flac_stereo_mid_side_and_left_side():
+    """Hand-built 2-channel frames: verbatim subframes under mid/side and
+    left/side decorrelation must reconstruct the planted L/R exactly
+    (output = channel mean)."""
+    import struct as _st
+
+    from rayschema.flac import _BitWriter, _crc16, decode_flac
+
+    L = np.array([100, -200, 300, -400], dtype=np.int64)
+    R = np.array([90, -190, 290, -390], dtype=np.int64)
+    side = L - R
+    mid = (L + R) >> 1
+
+    def verbatim(vals, bits):
+        bw = _BitWriter()
+        bw.write(0, 1)
+        bw.write(1, 6)                 # verbatim
+        bw.write(0, 1)
+        for v in vals:
+            bw.write(int(v) & ((1 << bits) - 1), bits)
+        return bw
+
+    for ch_code, subs in ((10, [(mid, 16), (side, 17)]),
+                          (8, [(L, 16), (side, 17)]),
+                          (9, [(side, 17), (R, 16)])):
+        bw = _BitWriter()
+        for vals, bits in subs:
+            sub = verbatim(vals, bits)
+            # concatenate: replay sub's bits into bw
+            tmp = sub
+            tmp_bits = tmp.nbits
+            for byte in tmp.buf:
+                bw.write(byte, 8)
+            if tmp_bits:
+                bw.write(tmp.cur, tmp_bits)
+        bw.align()
+        body = bw.bytes()
+        hdr = _flac_frame_header(4, ch_code=ch_code)
+        payload = _flac_streaminfo(8000, 2, 16, 4) + hdr + body \
+            + _st.pack(">H", _crc16(hdr + body))
+        out = decode_flac(payload)
+        rec = np.round(out["tensor"].astype(np.float64) * 32768)
+        assert np.array_equal(rec.astype(np.int64), (L + R) / 2), ch_code
+
+
+def test_flac_escape_and_multi_partition_residual():
+    """Fixed order 0 with (a) an escape partition (raw 7-bit residuals)
+    and (b) partition order 1 with two different rice params."""
+    import struct as _st
+
+    from rayschema.flac import _BitWriter, _crc16, decode_flac
+
+    vals = [-60, 50, -40, 30, -20, 10, -5, 3]
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(8, 6)                     # fixed order 0
+    bw.write(0, 1)
+    bw.write(0, 2)
+    bw.write(0, 4)                     # partition order 0
+    bw.write(0xF, 4)                   # escape
+    bw.write(7, 5)                     # 7 raw bits
+    for v in vals:
+        bw.write(v & 0x7F, 7)
+    bw.align()
+    body = bw.bytes()
+    hdr = _flac_frame_header(8, ch_code=0)
+    payload = _flac_streaminfo(8000, 1, 16, 8) + hdr + body \
+        + _st.pack(">H", _crc16(hdr + body))
+    rec = np.round(decode_flac(payload)["tensor"].astype(np.float64)
+                   * 32768).astype(np.int64)
+    assert np.array_equal(rec, np.array(vals))
+
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(8, 6)
+    bw.write(0, 1)
+    bw.write(0, 2)
+    bw.write(1, 4)                     # partition order 1 -> 2 partitions
+    for half, param in ((vals[:4], 2), (vals[4:], 0)):
+        bw.write(param, 4)
+        for r in half:
+            v = (r << 1) ^ (-1 if r < 0 else 0)
+            bw.write_unary(v >> param)
+            if param:
+                bw.write(v & ((1 << param) - 1), param)
+    bw.align()
+    body = bw.bytes()
+    hdr = _flac_frame_header(8, ch_code=0)
+    payload = _flac_streaminfo(8000, 1, 16, 8) + hdr + body \
+        + _st.pack(">H", _crc16(hdr + body))
+    rec = np.round(decode_flac(payload)["tensor"].astype(np.float64)
+                   * 32768).astype(np.int64)
+    assert np.array_equal(rec, np.array(vals))
+
+
+def test_flac_wasted_bits_and_constant():
+    import struct as _st
+
+    from rayschema.flac import _BitWriter, _crc16, decode_flac
+
+    # constant subframe with 2 wasted bits: stored value 25 -> output 100
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(0, 6)                     # constant
+    bw.write(1, 1)                     # wasted-bits flag
+    bw.write_unary(1)                  # k-1 = 1 -> wasted = 2
+    bw.write(25 & 0x3FFF, 14)          # bps - wasted = 14
+    bw.align()
+    body = bw.bytes()
+    hdr = _flac_frame_header(4, ch_code=0)
+    payload = _flac_streaminfo(8000, 1, 16, 4) + hdr + body \
+        + _st.pack(">H", _crc16(hdr + body))
+    rec = np.round(decode_flac(payload)["tensor"].astype(np.float64)
+                   * 32768).astype(np.int64)
+    assert np.array_equal(rec, np.full(4, 100))

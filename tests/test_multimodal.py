@@ -234,7 +234,8 @@ def test_real_audio_video_decode_end_to_end(ray_session):
                         concurrency=(1, 2)).to_pandas().set_index("media_id"))
     assert len(aud) > 5
     for mid, row in aud.iterrows():
-        n_samp = len(decode_wav(payloads[mid])["tensor"])
+        # synth audio rotates WAV (plain + compressed) and FLAC — dispatch
+        n_samp = len(default_decode(payloads[mid], "audio")["tensor"])
         assert row["n_audio_frames"] == (n_samp - 8) // 4 + 1
     vid = (rd.from_arrow(t).filter(expr="kind == 'video'")
            .map_batches(VideoFrameSampleStage,
