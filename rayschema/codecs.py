@@ -724,3 +724,125 @@ def encode_png(rgb: np.ndarray, level: int = 6) -> bytes:
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
             + chunk(b"IEND", b""))
+
+
+# --------------------------------------------------------------------------
+# AU (Sun audio) and AIFF — the remaining common PCM audio containers
+# --------------------------------------------------------------------------
+
+def decode_au(payload: bytes) -> Dict[str, np.ndarray]:
+    """Sun/NeXT .au/.snd: big-endian header (magic '.snd', data offset,
+    size, encoding, rate, channels); encodings 1 (G.711 mu-law), 2 (int8),
+    3 (int16 BE), 6 (float32 BE). Output contract = decode_wav."""
+    if payload[:4] != b".snd":
+        raise ValueError("not an AU payload")
+    _m, off, size, enc, rate, nch = struct.unpack_from(">4sIIIII", payload)
+    end = len(payload) if size == 0xFFFFFFFF else min(len(payload),
+                                                      off + size)
+    data = payload[off:end]
+    if enc == 1:
+        x = mulaw_decode(np.frombuffer(data, np.uint8)) \
+            .astype(np.float32) / 32768.0
+    elif enc == 2:
+        x = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+    elif enc == 3:
+        x = np.frombuffer(data, ">i2").astype(np.float32) / 32768.0
+    elif enc == 6:
+        x = np.frombuffer(data, ">f4").astype(np.float32)
+    else:
+        raise ValueError(f"unsupported AU encoding {enc}")
+    if nch > 1:
+        x = x[:len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    return {"tensor": x.astype(np.float32), "sample_rate": np.int32(rate),
+            "n_frames": np.int32(len(x))}
+
+
+def encode_au(samples: np.ndarray, sample_rate: int = 8000,
+              encoding: int = 3) -> bytes:
+    """1-D float [-1, 1] -> .au (int16 BE by default, or mu-law)."""
+    pcm16 = np.round(np.clip(np.asarray(samples, np.float64), -1, 1)
+                     * 32767.0).astype(np.int16)
+    if encoding == 3:
+        data = pcm16.astype(">i2").tobytes()
+    elif encoding == 1:
+        data = mulaw_encode(pcm16).tobytes()
+    else:
+        raise ValueError("encode_au supports encodings 1 and 3")
+    return struct.pack(">4sIIIII", b".snd", 24, len(data), encoding,
+                       sample_rate, 1) + data
+
+
+def _f80_to_int(b: bytes) -> int:
+    """IEEE 754 80-bit extended float -> int (AIFF sample rates are small
+    positive integers; that's all this needs to handle)."""
+    exp = struct.unpack(">H", b[:2])[0] & 0x7FFF
+    mant = int.from_bytes(b[2:10], "big")
+    if exp == 0 and mant == 0:
+        return 0
+    return int(round(mant * 2.0 ** (exp - 16383 - 63)))
+
+
+def _int_to_f80(n: int) -> bytes:
+    if n == 0:
+        return b"\x00" * 10
+    e = n.bit_length() - 1
+    mant = n << (63 - e)
+    return struct.pack(">H", 16383 + e) + mant.to_bytes(8, "big")
+
+
+def decode_aiff(payload: bytes) -> Dict[str, np.ndarray]:
+    """AIFF (big-endian PCM in an IFF container): COMM (channels, frames,
+    bits, 80-bit-float rate) + SSND (offset/blocksize prefix). 8/16/32-bit
+    PCM. Output contract = decode_wav."""
+    if payload[:4] != b"FORM" or payload[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    end = min(len(payload), 8 + struct.unpack_from(">I", payload, 4)[0])
+    comm = None
+    data = None
+    for cid, body, size in _riff_chunks_be(payload, 12, end):
+        if cid == b"COMM":
+            nch, nframes, bits = struct.unpack_from(">hIh", payload, body)
+            rate = _f80_to_int(payload[body + 8:body + 18])
+            comm = (nch, nframes, bits, rate)
+        elif cid == b"SSND":
+            off = struct.unpack_from(">I", payload, body)[0]
+            data = payload[body + 8 + off:body + size]
+    if comm is None or data is None:
+        raise ValueError("AIFF missing COMM/SSND chunk")
+    nch, nframes, bits, rate = comm
+    if bits == 16:
+        x = np.frombuffer(data, ">i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = np.frombuffer(data, np.int8).astype(np.float32) / 128.0
+    elif bits == 32:
+        x = np.frombuffer(data, ">i4").astype(np.float32) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported AIFF bit depth {bits}")
+    if nch > 1:
+        x = x[:len(x) - len(x) % nch].reshape(-1, nch).mean(axis=1)
+    x = x[:nframes] if nframes else x
+    return {"tensor": x.astype(np.float32), "sample_rate": np.int32(rate),
+            "n_frames": np.int32(len(x))}
+
+
+def _riff_chunks_be(buf: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from(">4sI", buf, pos)
+        yield cid, pos + 8, size
+        pos += 8 + size + (size & 1)
+
+
+def encode_aiff(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """1-D float [-1, 1] -> 16-bit mono AIFF."""
+    pcm = np.round(np.clip(np.asarray(samples, np.float64), -1, 1)
+                   * 32767.0).astype(">i2").tobytes()
+    comm = struct.pack(">hIh", 1, len(pcm) // 2, 16) \
+        + _int_to_f80(sample_rate)
+    ssnd = struct.pack(">II", 0, 0) + pcm
+
+    def chunk(cid, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack(">I", len(body)) + body + pad
+
+    inner = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    return b"FORM" + struct.pack(">I", len(inner)) + inner

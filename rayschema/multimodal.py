@@ -313,6 +313,13 @@ def default_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
     if kind == "audio" and payload[:4] == b"fLaC":
         from rayschema.flac import decode_flac
         return decode_flac(payload)
+    if kind == "audio" and payload[:4] == b".snd":
+        from rayschema.codecs import decode_au
+        return decode_au(payload)
+    if kind == "audio" and payload[:4] == b"FORM" \
+            and payload[8:12] == b"AIFF":
+        from rayschema.codecs import decode_aiff
+        return decode_aiff(payload)
     if kind == "video" and payload[:9] == b"YUV4MPEG2":
         return decode_y4m(payload)
     if kind == "video" and payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":

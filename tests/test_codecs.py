@@ -547,3 +547,26 @@ def test_flac_wasted_bits_and_constant():
     rec = np.round(decode_flac(payload)["tensor"].astype(np.float64)
                    * 32768).astype(np.int64)
     assert np.array_equal(rec, np.full(4, 100))
+
+
+# ---------------------------------------------------------------- AU / AIFF
+
+def test_au_and_aiff_roundtrip_and_dispatch():
+    from rayschema.codecs import (decode_aiff, decode_au, encode_aiff,
+                                  encode_au)
+    from rayschema.multimodal import default_decode
+
+    w = 0.7 * np.sin(np.arange(300) / 11.0)
+    for payload, tol in ((encode_au(w, 8000, encoding=3), 1e-4),
+                         (encode_au(w, 8000, encoding=1), 0.04),
+                         (encode_aiff(w, 44100), 1e-4)):
+        out = default_decode(payload, "audio")
+        assert int(out["n_frames"]) == 300
+        assert np.abs(out["tensor"] - w).max() < tol
+    # golden: AU mu-law encoding tag routes through the G.711 LUT
+    au = encode_au(np.array([0.0]), 8000, encoding=1)
+    assert decode_au(au)["tensor"][0] == 0.0
+    # AIFF 80-bit float sample rates parse exactly
+    for rate in (8000, 11025, 22050, 44100, 48000, 96000):
+        assert int(decode_aiff(encode_aiff(w[:10], rate))
+                   ["sample_rate"]) == rate
