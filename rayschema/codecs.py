@@ -846,3 +846,286 @@ def encode_aiff(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
 
     inner = b"AIFF" + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
     return b"FORM" + struct.pack(">I", len(inner)) + inner
+
+
+# --------------------------------------------------------------------------
+# TIFF (baseline: uncompressed, PackBits, TIFF-LZW)
+# --------------------------------------------------------------------------
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:                                  # literal run
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:                                # replicate run
+            out += data[i:i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Minimal valid PackBits (replicate runs >= 3, literals otherwise)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW: MSB-first bit packing, 8-bit symbols (clear=256,
+    EOI=257), 'early change' width bump at table size 2^k - 1."""
+    CLEAR, EOI = 256, 257
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    table = list(base)
+    width = 9
+    out = bytearray()
+    bitpos = 0
+    nbits = len(data) * 8
+    data = data + b"\x00\x00\x00"     # MSB reads use a fixed 4-byte window
+    prev = None
+    while bitpos + width <= nbits:
+        i = bitpos >> 3
+        chunk = int.from_bytes(data[i:i + 4], "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == CLEAR:
+            table = list(base)
+            width = 9
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        prev = entry
+        if len(table) >= (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if len(out) >= expected:
+            break
+    return bytes(out[:expected])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    cur = 0
+    curbits = 0
+    width = 9
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code: int) -> None:
+        nonlocal cur, curbits
+        cur = (cur << width) | code
+        curbits += width
+        while curbits >= 8:
+            curbits -= 8
+            out.append((cur >> curbits) & 0xFF)
+        cur &= (1 << curbits) - 1
+
+    emit(CLEAR)
+    w = b""
+    for b in data:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        if next_code < 4094:
+            table[wk] = next_code
+            next_code += 1
+            # early change mirrored one add later than the decoder's
+            # 2^k - 1 boundary (same offset reasoning as the GIF pair)
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(CLEAR)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w])
+    emit(EOI)
+    if curbits:
+        out.append((cur << (8 - curbits)) & 0xFF)
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> Dict[str, np.ndarray]:
+    """Baseline TIFF decoder: little/big-endian, first IFD, 8-bit gray or
+    RGB(A), strip layout, compression none (1) / TIFF-LZW (5) / PackBits
+    (32773). Output contract = decode_png."""
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u16(off):
+        return struct.unpack_from(e + "H", payload, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(e + "I", payload, off)[0]
+
+    ifd = u32(4)
+    nent = u16(ifd)
+    tags = {}
+    for i in range(nent):
+        base = ifd + 2 + 12 * i
+        tag, typ, cnt = u16(base), u16(base + 2), u32(base + 4)
+        size = {1: 1, 3: 2, 4: 4}.get(typ)
+        if size is None:
+            continue
+        voff = base + 8 if size * cnt <= 4 else u32(base + 8)
+        vals = [u16(voff + 2 * k) if typ == 3
+                else (u32(voff + 4 * k) if typ == 4
+                      else payload[voff + k]) for k in range(cnt)]
+        tags[tag] = vals
+    w = tags[256][0]
+    h = tags[257][0]
+    bps = tags.get(258, [8])
+    if any(b != 8 for b in bps):
+        raise ValueError(f"unsupported TIFF bit depth {bps}")
+    comp = tags.get(259, [1])[0]
+    spp = tags.get(277, [len(bps)])[0]
+    rows_per_strip = tags.get(278, [h])[0]
+    offs = tags[273]
+    counts = tags.get(279, [len(payload) - offs[0]])
+    chunks = []
+    for s, (o, c) in enumerate(zip(offs, counts)):
+        nrows = min(rows_per_strip, h - s * rows_per_strip)
+        expected = nrows * w * spp
+        raw = payload[o:o + c]
+        if comp == 1:
+            chunks.append(raw[:expected])
+        elif comp == 5:
+            chunks.append(_lzw_decode_tiff(raw, expected))
+        elif comp == 32773:
+            chunks.append(_packbits_decode(raw, expected))
+        else:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+    img = np.frombuffer(b"".join(chunks), np.uint8,
+                        count=h * w * spp).reshape(h, w, spp)
+    if spp == 1:
+        rgb = np.repeat(img, 3, axis=2)
+    elif spp == 2:                                    # gray + alpha
+        rgb = np.repeat(img[:, :, :1], 3, axis=2)
+    else:
+        rgb = img[:, :, :3]
+    tensor = rgb.astype(np.float32).mean(axis=2) / 255.0
+    return {"tensor": tensor, "rgb": np.ascontiguousarray(rgb),
+            "n_frames": np.int32(1)}
+
+
+def encode_tiff(rgb: np.ndarray, compression: int = 5,
+                rows_per_strip: int = 8) -> bytes:
+    """(h, w, 3) uint8 -> little-endian striped TIFF (compression 1, 5 or
+    32773). Test/synth counterpart of decode_tiff."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    strips = []
+    for y0 in range(0, h, rows_per_strip):
+        raw = rgb[y0:y0 + rows_per_strip].tobytes()
+        if compression == 1:
+            strips.append(raw)
+        elif compression == 5:
+            strips.append(_lzw_encode_tiff(raw))
+        elif compression == 32773:
+            strips.append(_packbits_encode(raw))
+        else:
+            raise ValueError(f"unsupported compression {compression}")
+    nstrips = len(strips)
+    # layout: header(8) | IFD | values | strip data
+    entries = []
+
+    def entry(tag, typ, cnt, val):
+        entries.append((tag, typ, cnt, val))
+
+    nent = 10
+    ifd_size = 2 + 12 * nent + 4
+    voff = 8 + ifd_size
+    extra = bytearray()
+
+    def arr_val(vals, typ):
+        nonlocal extra
+        size = 2 if typ == 3 else 4
+        if size * len(vals) <= 4:
+            packed = 0
+            for i, v in enumerate(vals):
+                packed |= v << (8 * size * i)
+            return packed
+        off = voff + len(extra)
+        for v in vals:
+            extra += struct.pack("<H" if typ == 3 else "<I", v)
+        return off
+
+    bps_val = arr_val([8, 8, 8], 3)
+    strip_lens = [len(s) for s in strips]
+    data_start_marker = object()
+    strip_offs_placeholder = [0] * nstrips
+    # reserve space for offsets/counts arrays first
+    offs_pos = arr_val(strip_offs_placeholder, 4) if nstrips > 1 else None
+    cnts_pos = arr_val(strip_lens, 4) if nstrips > 1 else None
+    data_start = voff + len(extra)
+    cur = data_start
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(cur)
+        cur += len(s)
+    if nstrips > 1:
+        for i, o in enumerate(strip_offs):
+            struct.pack_into("<I", extra, offs_pos - voff + 4 * i, o)
+    entry(256, 4, 1, w)
+    entry(257, 4, 1, h)
+    entry(258, 3, 3, bps_val)
+    entry(259, 3, 1, compression)
+    entry(262, 3, 1, 2)                              # RGB photometric
+    entry(273, 4, nstrips,
+          strip_offs[0] if nstrips == 1 else offs_pos)
+    entry(277, 3, 1, 3)
+    entry(278, 4, 1, rows_per_strip)
+    entry(279, 4, nstrips,
+          strip_lens[0] if nstrips == 1 else cnts_pos)
+    entry(284, 3, 1, 1)                              # chunky planar
+    assert len(entries) == nent
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", nent)
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)                      # no next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)

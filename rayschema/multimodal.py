@@ -144,6 +144,9 @@ def decode_image(payload: bytes, kind: str = "image") -> Dict[str, np.ndarray]:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from rayschema.codecs import decode_png
         return decode_png(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from rayschema.codecs import decode_tiff
+        return decode_tiff(payload)
     raise ValueError(f"unrecognized image payload magic {payload[:2]!r}")
 
 
@@ -306,7 +309,8 @@ def default_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
     if kind == "image" and (payload[:2] in (b"P6", b"P5", b"BM")
                             or payload[:2] == b"\xff\xd8"
                             or payload[:6] in (b"GIF87a", b"GIF89a")
-                            or payload[:8] == b"\x89PNG\r\n\x1a\n"):
+                            or payload[:8] == b"\x89PNG\r\n\x1a\n"
+                            or payload[:4] in (b"II*\x00", b"MM\x00*")):
         return decode_image(payload, kind)
     if kind == "audio" and payload[:4] == b"RIFF":
         return decode_wav(payload)

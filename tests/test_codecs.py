@@ -570,3 +570,65 @@ def test_au_and_aiff_roundtrip_and_dispatch():
     for rate in (8000, 11025, 22050, 44100, 48000, 96000):
         assert int(decode_aiff(encode_aiff(w[:10], rate))
                    ["sample_rate"]) == rate
+
+
+# ---------------------------------------------------------------- TIFF
+
+def test_tiff_roundtrip_all_compressions_and_strips():
+    from rayschema.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(14)
+    for comp in (1, 5, 32773):
+        img = rng.integers(0, 256, (21, 13, 3), dtype=np.uint8)
+        out = decode_tiff(encode_tiff(img, compression=comp,
+                                      rows_per_strip=4))
+        assert np.array_equal(out["rgb"], img), comp
+        assert np.allclose(out["tensor"],
+                           img.astype(np.float32).mean(axis=2) / 255.0)
+
+
+def test_tiff_lzw_early_change_boundaries():
+    from rayschema.codecs import _lzw_decode_tiff, _lzw_encode_tiff
+
+    rng = np.random.default_rng(15)
+    for size in (1, 250, 260, 600, 40000):   # crosses 9->10 and table-full
+        data = rng.integers(0, 256, size).astype(np.uint8).tobytes()
+        assert _lzw_decode_tiff(_lzw_encode_tiff(data), size) == data
+
+
+def test_tiff_packbits_golden():
+    from rayschema.codecs import _packbits_decode, _packbits_encode
+
+    # the Apple TN1023 example
+    raw = bytes([0xAA, 0xAA, 0xAA, 0x80, 0x00, 0x2A, 0xAA, 0xAA, 0xAA,
+                 0xAA, 0x80, 0x00, 0x2A, 0x22, 0xAA, 0xAA, 0xAA, 0xAA,
+                 0xAA, 0xAA, 0xAA, 0xAA, 0xAA, 0xAA])
+    packed = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03,
+                    0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    assert _packbits_decode(packed, len(raw)) == raw
+    assert _packbits_decode(_packbits_encode(raw), len(raw)) == raw
+
+
+def test_tiff_big_endian_and_gray():
+    """Hand-built big-endian single-strip 8-bit gray TIFF."""
+    from rayschema.codecs import decode_tiff
+
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    data = img.tobytes()
+    # header + one IFD with 7 entries
+    nent = 7
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * nent + 4
+    out = bytearray(b"MM\x00*" + struct.pack(">I", ifd_off))
+    out += struct.pack(">H", nent)
+    for tag, typ, cnt, val in ((256, 4, 1, 4), (257, 4, 1, 3),
+                               (258, 3, 1, 8 << 16), (259, 3, 1, 1 << 16),
+                               (262, 3, 1, 1 << 16),
+                               (273, 4, 1, data_off), (279, 4, 1, len(data))):
+        out += struct.pack(">HHII", tag, typ, cnt, val)
+    out += struct.pack(">I", 0)
+    out += data
+    got = decode_tiff(bytes(out))
+    assert np.array_equal(got["rgb"][:, :, 0], img)
+    from rayschema.multimodal import default_decode
+    assert default_decode(bytes(out), "image")["tensor"].shape == (3, 4)
