@@ -573,8 +573,10 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     """Deterministic media table matching MEDIA_SCHEMA (tests/bench).
     Every row carries a REAL payload decoded end-to-end by the pure-numpy
     codecs: images rotate binary PPM, baseline JPEG (4:2:0, the dominant
-    real-corpus format — rayschema/jpeg.py) and GIF (LZW — codecs.py);
-    audio rotates 16-bit PCM WAV, G.711 mu-law, IMA ADPCM and FLAC; video
+    real-corpus format — rayschema/jpeg.py), GIF, PNG and TIFF-LZW
+    (codecs.py);
+    audio rotates 16-bit PCM WAV, G.711 mu-law, IMA ADPCM, FLAC, AU and
+    AIFF; video
     alternates C420 Y4M and MJPEG-in-AVI — the fake codec is not on any
     synth path."""
     from rayschema.codecs import encode_avi_mjpeg, encode_gif, \
@@ -586,7 +588,17 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     payloads, mimes, durations, widths, heights = [], [], [], [], []
     for k in kinds:
         if k == "image":
-            variant = int(rng.integers(0, 4))
+            variant = int(rng.integers(0, 5))
+            if variant == 4:
+                from rayschema.codecs import encode_tiff
+                payloads.append(encode_tiff(
+                    rng.integers(0, 256, (9, 11, 3), dtype=np.uint8),
+                    compression=5, rows_per_strip=4))
+                mimes.append("image/tiff")
+                widths.append(11)
+                heights.append(9)
+                durations.append(-1)
+                continue
             if variant == 3:
                 from rayschema.codecs import encode_png
                 payloads.append(encode_png(
@@ -626,7 +638,23 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         elif k == "audio":
             n_samp = int(rng.integers(64, 512))
             wave = rng.uniform(-1.0, 1.0, n_samp)
-            variant = int(rng.integers(0, 4))
+            variant = int(rng.integers(0, 6))
+            if variant == 4:
+                from rayschema.codecs import encode_au
+                payloads.append(encode_au(wave, 8000, encoding=1))
+                mimes.append("audio/basic;au")
+                widths.append(-1)
+                heights.append(-1)
+                durations.append(n_samp * 1000 // 8000)
+                continue
+            if variant == 5:
+                from rayschema.codecs import encode_aiff
+                payloads.append(encode_aiff(wave, 8000))
+                mimes.append("audio/aiff")
+                widths.append(-1)
+                heights.append(-1)
+                durations.append(n_samp * 1000 // 8000)
+                continue
             if variant == 3:
                 from rayschema.flac import encode_flac
                 pcm16 = np.round(np.clip(wave, -1, 1)

@@ -263,3 +263,80 @@ def test_token_shard_counts_match_split(texts, seq_len):
     for i, text in enumerate(texts):
         assert toks[i] == (0 if len(text) == 0 else len(text.split(" ")))
         assert shards[i] == i // seq_len
+
+
+# --------------------------------------------------------------- codecs
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=2000), st.integers(2, 8))
+def test_prop_gif_lzw_roundtrip(data, mcs):
+    from rayschema.codecs import _lzw_decode, _lzw_encode
+
+    # symbols must fit the min code size
+    data = bytes(b % (1 << mcs) for b in data)
+    assert _lzw_decode(mcs, _lzw_encode(mcs, data), len(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+def test_prop_tiff_lzw_and_packbits_roundtrip(data):
+    from rayschema.codecs import (_lzw_decode_tiff, _lzw_encode_tiff,
+                                  _packbits_decode, _packbits_encode)
+
+    assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
+    assert _packbits_decode(_packbits_encode(data), len(data)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+       st.sampled_from([37, 128, 192]))
+def test_prop_flac_lossless(pcm, blocksize):
+    import numpy as np
+
+    from rayschema.flac import decode_flac, encode_flac
+
+    arr = np.asarray(pcm, dtype=np.int16)
+    out = decode_flac(encode_flac(arr, sample_rate=8000,
+                                  blocksize=blocksize))
+    rec = np.round(out["tensor"].astype(np.float64) * 32768).astype(np.int64)
+    assert int(out["n_frames"]) == len(arr)
+    assert np.array_equal(rec, arr.astype(np.int64))
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2 ** 32 - 1))
+def test_prop_png_roundtrip(h, w, seed):
+    import numpy as np
+
+    from rayschema.codecs import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img))["rgb"], img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 20), st.integers(1, 20), st.integers(0, 2 ** 32 - 1),
+       st.sampled_from([1, 5, 32773]))
+def test_prop_tiff_roundtrip(h, w, seed, comp):
+    import numpy as np
+
+    from rayschema.codecs import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_tiff(encode_tiff(img, compression=comp, rows_per_strip=5))
+    assert np.array_equal(out["rgb"], img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 16), st.integers(1, 16), st.integers(0, 2 ** 32 - 1))
+def test_prop_gif_roundtrip_under_palette(h, w, seed):
+    import numpy as np
+
+    from rayschema.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (min(h * w, 200), 3), dtype=np.uint8)
+    img = pal[rng.integers(0, len(pal), (h, w))]
+    assert np.array_equal(decode_gif(encode_gif(img))["rgb"], img)
