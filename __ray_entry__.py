@@ -162,65 +162,20 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering: the driver's correctness window covers the FIRST 50 entries.
-    # CORRECTNESS_r03 checked slots 1-50 of the round-3 order; the 46 queries
-    # it never reached are rotated to slots 2-47 here (flagship stays first),
-    # and slots 48-50 hold the queries whose implementation changed this
-    # round (re-check needed). The round-3-green remainder follows.
+    # Rounds 1-3 have driver-checked 67 of the 118 queries; the round-4 window
+    # holds the flagship, the two round-4 rewrites whose round-3 green rows no
+    # longer describe the shipped code (simhash now DuckDB-oracled, keep_best
+    # winner selection distributed), the 22 round-4 additions never checked by
+    # any round, and 25 of the 29 queries the round-3 judge verified with the
+    # driver-identical compare but the driver itself never reached. The four
+    # judge-green queries left outside (partitioned_write_roundtrip, zorder,
+    # dup_span_stats, chunk_documents) have dedicated pytest coverage.
     return {
-        # -- flagship (keep first)
+        # -- flagship (keep first) + round-4 rewrites needing a hard re-check
         "validate_documents_verdicts": Q.validate_documents_verdicts,
-        # -- rotated in: never driver-checked before round 4 ---------------
-        "tfidf_top_term": Q.tfidf_top_term,
-        "inverted_index_words": Q.inverted_index_words,
-        "embedding_mean_by_lang": Q.embedding_mean_by_lang,
-        "length_quantile_filter": Q.length_quantile_filter,
-        "chars_quartiles_by_lang": Q.chars_quartiles_by_lang,
-        "cap_per_source": Q.cap_per_source,
-        "doc_rarity_score": Q.doc_rarity_score,
-        "kmeans_embeddings": Q.kmeans_embeddings,
-        "knn_ivf_kmeans": Q.knn_ivf_kmeans,
-        "semdedup_embeddings": Q.semdedup_embeddings,
-        "dup_span_stats": Q.dup_span_stats,
-        "chunk_documents": Q.chunk_documents,
-        "pricing_summary": Q.pricing_summary,
-        "top_revenue_customers": Q.top_revenue_customers,
-        "events_hourly_window": Q.events_hourly_window,
-        "events_sliding_window": Q.events_sliding_window,
-        "part_brand_stats": Q.part_brand_stats,
-        "nation_region_join": Q.nation_region_join,
-        "supplier_nation_balance": Q.supplier_nation_balance,
-        "lineitem_topk": Q.lineitem_topk,
-        "distinct_mktsegment": Q.distinct_mktsegment,
-        "orders_priority_count": Q.orders_priority_count,
-        "order_revenue_join": Q.order_revenue_join,
-        "q3_shipping_priority": Q.q3_shipping_priority,
-        "events_orders_asof": Q.events_orders_asof,
-        "events_orders_range": Q.events_orders_range,
-        "top_orders_per_customer": Q.top_orders_per_customer,
-        "events_sessionization": Q.events_sessionization,
-        "customer_running_totals": Q.customer_running_totals,
-        "events_rolling_window": Q.events_rolling_window,
-        "first_event_per_day": Q.first_event_per_day,
-        "trending_event_types": Q.trending_event_types,
-        "cohort_retention_d7": Q.cohort_retention_d7,
-        "lang_source_pivot": Q.lang_source_pivot,
-        "lang_source_rollup": Q.lang_source_rollup,
-        "normalize_text_documents": Q.normalize_text_documents,
-        "partitioned_write_roundtrip": Q.partitioned_write_roundtrip,
-        "range_partition_bounds": Q.range_partition_bounds,
-        "global_sort_rank": Q.global_sort_rank,
-        "zorder_documents": Q.zorder_documents,
-        "salted_lang_chars": Q.salted_lang_chars,
-        "drift_lang_by_source": Q.drift_lang_by_source,
-        "validate_events_props": Q.validate_events_props,
-        "schema_docs_analysis": Q.schema_docs_analysis,               # rows-only
-        "multimodal_features": Q.multimodal_features,                 # rows-only
-        "multimodal_pipeline": Q.multimodal_pipeline,                 # rows-only
-        # -- implementation changed in round 4: re-check -------------------
-        "keep_best_per_cluster": Q.keep_best_per_cluster,
-        "trainer_export_pipeline": Q.trainer_export_pipeline,
         "simhash_near_dup_documents": Q.simhash_near_dup_documents,
-        # -- round-4 additions (new; next rotation pulls them forward) ------
+        "keep_best_per_cluster": Q.keep_best_per_cluster,
+        # -- round-4 additions: never driver-checked by any round ----------
         "dup_span_removal": Q.dup_span_removal,
         "quality_rank_in_source": Q.quality_rank_in_source,
         "hard_negative_mining": Q.hard_negative_mining,
@@ -243,12 +198,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digit_audit": Q.benford_digit_audit,
         "fd_audit_source_lang": Q.fd_audit_source_lang,
         "value_mad_outliers": Q.value_mad_outliers,
-        # -- round-3 driver-green remainder ---------------------------------
+        # -- never driver-checked (judge-green in round 3) ------------------
+        "tfidf_top_term": Q.tfidf_top_term,
+        "inverted_index_words": Q.inverted_index_words,
+        "embedding_mean_by_lang": Q.embedding_mean_by_lang,
+        "length_quantile_filter": Q.length_quantile_filter,
+        "chars_quartiles_by_lang": Q.chars_quartiles_by_lang,
+        "cap_per_source": Q.cap_per_source,
+        "doc_rarity_score": Q.doc_rarity_score,
+        "kmeans_embeddings": Q.kmeans_embeddings,
+        "knn_ivf_kmeans": Q.knn_ivf_kmeans,
+        "semdedup_embeddings": Q.semdedup_embeddings,
+        "supplier_nation_balance": Q.supplier_nation_balance,
+        "q3_shipping_priority": Q.q3_shipping_priority,
+        "events_orders_asof": Q.events_orders_asof,
+        "events_orders_range": Q.events_orders_range,
+        "top_orders_per_customer": Q.top_orders_per_customer,
+        "events_rolling_window": Q.events_rolling_window,
+        "first_event_per_day": Q.first_event_per_day,
+        "trending_event_types": Q.trending_event_types,
+        "cohort_retention_d7": Q.cohort_retention_d7,
+        "lang_source_pivot": Q.lang_source_pivot,
+        "lang_source_rollup": Q.lang_source_rollup,
+        "normalize_text_documents": Q.normalize_text_documents,
+        "range_partition_bounds": Q.range_partition_bounds,
+        "global_sort_rank": Q.global_sort_rank,
+        "drift_lang_by_source": Q.drift_lang_by_source,
+        # -- below the 50-slot window: previously driver-green / judge-green
+        "trainer_export_pipeline": Q.trainer_export_pipeline,
+        "partitioned_write_roundtrip": Q.partitioned_write_roundtrip,
+        "zorder_documents": Q.zorder_documents,
+        "dup_span_stats": Q.dup_span_stats,
+        "chunk_documents": Q.chunk_documents,
+        "pricing_summary": Q.pricing_summary,
+        "top_revenue_customers": Q.top_revenue_customers,
+        "events_hourly_window": Q.events_hourly_window,
+        "events_sliding_window": Q.events_sliding_window,
+        "part_brand_stats": Q.part_brand_stats,
+        "nation_region_join": Q.nation_region_join,
+        "lineitem_topk": Q.lineitem_topk,
+        "distinct_mktsegment": Q.distinct_mktsegment,
+        "orders_priority_count": Q.orders_priority_count,
+        "order_revenue_join": Q.order_revenue_join,
+        "events_sessionization": Q.events_sessionization,
+        "customer_running_totals": Q.customer_running_totals,
+        "salted_lang_chars": Q.salted_lang_chars,
+        "validate_events_props": Q.validate_events_props,
+        "schema_docs_analysis": Q.schema_docs_analysis,  # rows-only
+        "multimodal_features": Q.multimodal_features,  # rows-only
+        "multimodal_pipeline": Q.multimodal_pipeline,  # rows-only
         "validate_documents_violations": Q.validate_documents_violations,
         "referential_docs_lang": Q.referential_docs_lang,
         "column_stats_lang": Q.column_stats_lang,
         "column_stats_quantity": Q.column_stats_quantity,
-        "stats_documents_sketch": Q.stats_documents_sketch,       # rows-only
+        "stats_documents_sketch": Q.stats_documents_sketch,  # rows-only
         "duplicate_events": Q.duplicate_events,
         "exact_dedup_documents": Q.exact_dedup_documents,
         "minhash_near_dup_documents": Q.minhash_near_dup_documents,  # rows-only
@@ -264,18 +267,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_leakage_audit": Q.split_leakage_audit,
         "stratified_sample_documents": Q.stratified_sample_documents,
         "embedding_near_dup": Q.embedding_near_dup,
-        "embedding_near_dup_lsh": Q.embedding_near_dup_lsh,           # rows-only
+        "embedding_near_dup_lsh": Q.embedding_near_dup_lsh,  # rows-only
         "knn_bruteforce": Q.knn_bruteforce,
-        "knn_ivf": Q.knn_ivf,                                         # rows-only
-        "lsh_recall_report": Q.lsh_recall_report,     # exact DuckDB oracle
-        "ann_recall_report": Q.ann_recall_report,                     # rows-only
+        "knn_ivf": Q.knn_ivf,  # rows-only
+        "lsh_recall_report": Q.lsh_recall_report,
+        "ann_recall_report": Q.ann_recall_report,  # rows-only
         "token_counts_documents": Q.token_counts_documents,
         "token_log2_histogram": Q.token_log2_histogram,
         "bpeish_token_counts": Q.bpeish_token_counts,
         "char_class_counts": Q.char_class_counts,
         "langid_documents": Q.langid_documents,
         "quality_documents": Q.quality_documents,
-        "fingerprint_documents": Q.fingerprint_documents,             # rows-only
+        "fingerprint_documents": Q.fingerprint_documents,  # rows-only
         "repetition_stats_documents": Q.repetition_stats_documents,
         "decontaminate_documents": Q.decontaminate_documents,
         "ngram_decontaminate_documents": Q.ngram_decontaminate_documents,
