@@ -293,6 +293,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_redact_documents": Q.regex_redact_documents,
         "vocabulary_top_words": Q.vocabulary_top_words,
         "pack_sequences_documents": Q.pack_sequences_documents,
+        # -- round-4 continuation additions ---------------------------------
+        "part_skyline": Q.part_skyline,
+        "lang_source_cube": Q.lang_source_cube,
+        "char_entropy_documents": Q.char_entropy_documents,
+        "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
+        "q13_customer_distribution": Q.q13_customer_distribution,
     }
 
 
@@ -1935,4 +1941,68 @@ def oracle_sql() -> dict[str, str]:
                           FALSE)
                    END AS valid
             FROM events""",
+        "part_skyline": """
+            WITH p AS (SELECT p_partkey,
+                              CAST(round(p_retailprice * 100) AS BIGINT)
+                                  AS price_cents,
+                              CAST(p_size AS BIGINT) AS p_size
+                       FROM part)
+            SELECT a.p_partkey, a.price_cents, a.p_size
+            FROM p a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM p b
+                WHERE b.price_cents <= a.price_cents
+                  AND b.p_size >= a.p_size
+                  AND (b.price_cents < a.price_cents
+                       OR b.p_size > a.p_size))""",
+        "lang_source_cube": """
+            SELECT COALESCE(lang, '__all__') AS lang,
+                   COALESCE(source, '__all__') AS source,
+                   count(*)::BIGINT AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM (SELECT lang, source, n_chars FROM documents
+                  WHERE lang IS NOT NULL AND source IS NOT NULL)
+            GROUP BY CUBE (lang, source)""",
+        "char_entropy_documents": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL AND length(text) > 0),
+            ch AS (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+                   FROM d),
+            cc AS (SELECT doc_id, c, count(*)::DOUBLE AS k
+                   FROM ch GROUP BY doc_id, c),
+            ag AS (SELECT doc_id,
+                          CAST(sum(k) AS BIGINT) AS n_cp,
+                          count(*)::BIGINT AS n_distinct,
+                          sum(k * log2(k)) AS s
+                   FROM cc GROUP BY doc_id)
+            SELECT doc_id, n_cp, n_distinct,
+                   CAST(floor((log2(CAST(n_cp AS DOUBLE))
+                               - s / CAST(n_cp AS DOUBLE)) * 1000)
+                        AS BIGINT) AS entropy_mbits
+            FROM ag""",
+        "q17_small_quantity_revenue": """
+            WITH pk AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#13'),
+            li AS (SELECT l_partkey,
+                          CAST(l_quantity AS BIGINT) AS q,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS cents
+                   FROM lineitem JOIN pk ON l_partkey = p_partkey),
+            ag AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq,
+                          count(*)::BIGINT AS cnt
+                   FROM li GROUP BY l_partkey)
+            SELECT count(*)::BIGINT AS n_li,
+                   (CAST(COALESCE(sum(li.cents), 0) AS BIGINT) / 100.0)
+                       / 7.0 AS avg_yearly
+            FROM li JOIN ag ON li.l_partkey = ag.l_partkey
+            WHERE 5 * li.q * ag.cnt < ag.sq""",
+        "q13_customer_distribution": """
+            WITH oc AS (
+              SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+              FROM customer c LEFT JOIN orders o
+                ON o.o_custkey = c.c_custkey
+               AND o.o_orderpriority = '1-URGENT'
+              GROUP BY c.c_custkey)
+            SELECT c_count, count(*)::BIGINT AS custdist
+            FROM oc GROUP BY c_count""",
     }

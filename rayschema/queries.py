@@ -5684,3 +5684,289 @@ def value_mad_outliers(sf_dir: str):
     for c in ("n", "med_cents", "mad_cents", "n_outliers"):
         out[c] = out[c].astype(np.int64)
     return out
+
+
+# --------------------------------------------------------------------------- skyline / cube / entropy / Q17 / Q13
+
+
+def _skyline_2d(key: np.ndarray, price: np.ndarray,
+                size: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask of the 2-D Pareto frontier (minimize price,
+    maximize size) in original row order. A row is dominated iff some row
+    has price <= / size >= with at least one strict. One lexsort
+    (price asc, size desc) + a grouped prefix-max scan: within a price
+    group the first row holds the group's max size, and the running max
+    over STRICTLY cheaper groups gives the best size any cheaper point
+    achieves — both dominance tests become two vectorized compares."""
+    n = len(key)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    o = np.lexsort((key, -size.astype(np.int64), price))
+    p, s = price[o], size[o].astype(np.int64)
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = p[1:] != p[:-1]
+    gidx = np.cumsum(new_grp) - 1
+    gmax = s[new_grp]                      # max size per price group
+    acc = np.maximum.accumulate(gmax)      # best size at price <= group's
+    cheaper = np.concatenate(
+        ([np.iinfo(np.int64).min], acc[:-1]))  # best at STRICTLY cheaper
+    dominated = (cheaper[gidx] >= s) | (s < gmax[gidx])
+    keep = np.zeros(n, dtype=bool)
+    keep[o] = ~dominated
+    return keep
+
+
+def part_skyline(sf_dir: str):
+    """Distributed 2-D skyline (Pareto frontier: minimize p_retailprice,
+    maximize p_size) — the classic local-skyline-then-merge plan: every
+    block computes its own frontier with the vectorized _skyline_2d kernel
+    (survivors of an independently-distributed block are O(log n) in
+    expectation), dominated rows die IN PLACE so only frontier candidates
+    ever leave a block, and one repartition(1) pass runs the identical
+    kernel over the frontier-sized union for the global answer — no
+    all-to-all shuffle and no driver materialization. Prices compare as
+    integer cents. Emits (p_partkey, price_cents, p_size)."""
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"])
+
+    def local(b: pa.Table) -> pa.Table:
+        k = b.column("p_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = _cents(b.column("p_retailprice")
+                       .to_numpy(zero_copy_only=False))
+        size = b.column("p_size").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = _skyline_2d(k, price, size)
+        return pa.table({"p_partkey": pa.array(k[m]),
+                         "price_cents": pa.array(price[m]),
+                         "p_size": pa.array(size[m])})
+
+    def merge(b: pa.Table) -> pa.Table:
+        k = b.column("p_partkey").to_numpy(zero_copy_only=False)
+        price = b.column("price_cents").to_numpy(zero_copy_only=False)
+        size = b.column("p_size").to_numpy(zero_copy_only=False)
+        m = _skyline_2d(k, price, size)
+        return pa.table({"p_partkey": pa.array(k[m]),
+                         "price_cents": pa.array(price[m]),
+                         "p_size": pa.array(size[m])})
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(merge, batch_size=None, batch_format="pyarrow"))
+
+
+def lang_source_cube(sf_dir: str):
+    """GROUP BY CUBE (lang, source): doc count + char sum at all FOUR
+    grouping sets from ONE partial-aggregate pass — the three coarser sets
+    are derived on the driver from the metadata-sized (lang, source) fine
+    table (|langs| x |sources| rows), never by rescanning. Rows with a
+    NULL group member are excluded on both sides so the '__all__' sentinel
+    stays unambiguous. Emits (lang, source, n_docs, sum_chars)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("lang")),
+                    pc.is_valid(b.column("source")))
+        t = b.filter(m)
+        g = t.group_by(["lang", "source"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")])
+        return g.rename_columns(["lang", "source", "n", "sc"])
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+            .groupby(["lang", "source"], as_index=False)
+            .agg(n=("n", "sum"), sc=("sc", "sum")))
+    by_lang = fine.groupby("lang", as_index=False).agg(
+        n=("n", "sum"), sc=("sc", "sum"))
+    by_lang["source"] = "__all__"
+    by_src = fine.groupby("source", as_index=False).agg(
+        n=("n", "sum"), sc=("sc", "sum"))
+    by_src["lang"] = "__all__"
+    top = pd.DataFrame({"lang": ["__all__"], "source": ["__all__"],
+                        "n": [int(fine["n"].sum())],
+                        "sc": [int(fine["sc"].sum())]})
+    cols = ["lang", "source", "n", "sc"]
+    out = pd.concat([fine[cols], by_lang[cols], by_src[cols], top[cols]],
+                    ignore_index=True)
+    out = out.rename(columns={"n": "n_docs", "sc": "sum_chars"})
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
+def char_entropy_documents(sf_dir: str):
+    """Per-document character-unigram Shannon entropy — an
+    information-theoretic quality signal (low-entropy docs are repeated
+    boilerplate / padding). One batch-level utf-32 transcode gives the
+    flat codepoint array (dedup._codepoint_parts); per-doc counts come
+    from ONE np.unique over (doc_index << 21 | codepoint) packed keys, so
+    the stage is a stateless vectorized map with no shuffle. Entropy is
+    emitted as floor(millibits) computed from exact integer counts with
+    the same expression the DuckDB oracle uses. Emits
+    (doc_id, n_cp, n_distinct, entropy_mbits)."""
+    from rayschema.dedup import _codepoint_parts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ent(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.is_valid(b.column("text")),
+            pc.greater(pc.utf8_length(b.column("text")), 0)))
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_cp": pa.array([], type=pa.int64()),
+                             "n_distinct": pa.array([], type=pa.int64()),
+                             "entropy_mbits": pa.array([], type=pa.int64())})
+        arr = b.column("text")
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        _, cpo, cps, _ = _codepoint_parts(arr)
+        ncp = (cpo[1:] - cpo[:-1]).astype(np.int64)
+        didx = np.repeat(np.arange(n, dtype=np.int64), ncp)
+        key = (didx.astype(np.uint64) << np.uint64(21)) \
+            | cps.astype(np.uint64)
+        uk, cnt = np.unique(key, return_counts=True)
+        ud = (uk >> np.uint64(21)).astype(np.int64)
+        n_dist = np.bincount(ud, minlength=n).astype(np.int64)
+        s = np.bincount(ud, weights=cnt * np.log2(cnt), minlength=n)
+        h = np.log2(ncp.astype(np.float64)) - s / ncp
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_cp": pa.array(ncp),
+            "n_distinct": pa.array(n_dist),
+            "entropy_mbits": pa.array(
+                np.floor(h * 1000.0).astype(np.int64)),
+        })
+
+    return ds.map_batches(ent, batch_format="pyarrow")
+
+
+def q17_small_quantity_revenue(sf_dir: str, brand: str = "Brand#13"):
+    """TPC-H-Q17-shaped correlated-average filter: yearly revenue lost if
+    small-quantity orders (below 20% of the part's average quantity) for
+    one brand were dropped. Three broadcast-narrow stages, no shuffle
+    join: (1) the brand's partkeys (part is ~1/1000 of lineitem at any
+    scale) per-batch-unique -> ray.put sorted array; (2) one narrow
+    (partkey, qty) pass pre-aggregates per-part (sum_qty, cnt) partials ->
+    tiny groupby -> broadcast arrays; (3) the filter 5*qty*cnt < sum_qty
+    is an exact INTEGER cross-product (qty is integral), and revenue sums
+    as integer cents. Emits one row (n_li, avg_yearly)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    pt = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+
+    def pkeys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("p_brand"), brand)
+        ks = np.unique(b.filter(pc.fill_null(m, False))
+                       .column("p_partkey")
+                       .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"k": pa.array(ks)})
+
+    kdf = pt.map_batches(pkeys, batch_format="pyarrow").to_pandas()
+    keys = np.unique(kdf["k"].to_numpy(np.int64)) if len(kdf) \
+        else np.empty(0, np.int64)
+    kref = ray.put(keys)
+
+    def member(ids: np.ndarray, ks: np.ndarray) -> np.ndarray:
+        if len(ks) == 0:
+            return np.zeros(len(ids), dtype=bool)
+        p = np.clip(np.searchsorted(ks, ids), 0, len(ks) - 1)
+        return ks[p] == ids
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def qty_partial(b: pa.Table, _k=kref) -> pa.Table:
+        ids = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = member(ids, ray.get(_k))
+        ids = ids[m]
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)[m] \
+            .astype(np.int64)
+        up, inv = np.unique(ids, return_inverse=True)
+        return pa.table({
+            "p": pa.array(up),
+            "sq": pa.array(np.bincount(inv, weights=q).astype(np.int64)),
+            "cnt": pa.array(np.bincount(inv).astype(np.int64))})
+
+    ag = (li.map_batches(qty_partial, batch_format="pyarrow")
+          .groupby("p").aggregate(Sum("sq", alias_name="sq"),
+                                  Sum("cnt", alias_name="cnt"))
+          .to_pandas().sort_values("p"))
+    ap = ag["p"].to_numpy(np.int64)
+    asq = ag["sq"].to_numpy(np.int64)
+    acnt = ag["cnt"].to_numpy(np.int64)
+    aref = ray.put((ap, asq, acnt))
+
+    li2 = _read(sf_dir, "lineitem",
+                columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def rev_partial(b: pa.Table, _a=aref) -> pa.Table:
+        ap_, asq_, acnt_ = ray.get(_a)
+        ids = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = member(ids, ap_)
+        ids = ids[m]
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)[m] \
+            .astype(np.int64)
+        cents = _cents(b.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False)[m])
+        pos = np.searchsorted(ap_, ids)
+        sel = 5 * q * acnt_[pos] < asq_[pos]
+        return pa.table({"n": pa.array([int(sel.sum())]),
+                         "c": pa.array([int(cents[sel].sum())])})
+
+    tot = (li2.map_batches(rev_partial, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"), Sum("c", alias_name="c")))
+    n = int(tot.get("sum(n)", tot.get("n", 0)) or 0)
+    c = int(tot.get("sum(c)", tot.get("c", 0)) or 0)
+    return pd.DataFrame({"n_li": np.array([n], dtype=np.int64),
+                         "avg_yearly": [(c / 100.0) / 7.0]})
+
+
+def q13_customer_distribution(sf_dir: str, priority: str = "1-URGENT"):
+    """TPC-H-Q13-shaped outer-join distribution: how many customers
+    placed exactly k orders of one priority class — INCLUDING the
+    zero-order customers a plain inner groupby would drop. One narrow
+    (custkey) pass pre-counts per batch, one small groupby sums
+    per-customer counts, a second tiny groupby builds the distribution,
+    and the zero bucket is total customers (parquet footer metadata — no
+    second scan) minus sum(custdist). Emits (c_count, custdist)."""
+    from ray.data.aggregate import Sum
+
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("o_orderpriority"), priority)
+        ids = b.filter(pc.fill_null(m, False)).column("o_custkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        uc, cnt = np.unique(ids, return_counts=True)
+        return pa.table({"c": pa.array(uc),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    per_cust = (od.map_batches(partial, batch_format="pyarrow")
+                .groupby("c").aggregate(Sum("n", alias_name="c_count")))
+
+    def dist_partial(b: pa.Table) -> pa.Table:
+        cc = b.column("c_count").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uv, cnt = np.unique(cc, return_counts=True)
+        return pa.table({"c_count": pa.array(uv),
+                         "d": pa.array(cnt.astype(np.int64))})
+
+    dist = (per_cust.map_batches(dist_partial, batch_format="pyarrow")
+            .groupby("c_count").aggregate(Sum("d", alias_name="custdist"))
+            .to_pandas())
+    dist["c_count"] = dist["c_count"].astype(np.int64)
+    dist["custdist"] = dist["custdist"].astype(np.int64)
+    n_total = _parquet_row_count(sf_dir, "customer")
+    zero = n_total - int(dist["custdist"].sum())
+    if zero > 0:
+        dist = pd.concat([dist, pd.DataFrame(
+            {"c_count": np.array([0], dtype=np.int64),
+             "custdist": np.array([zero], dtype=np.int64)})],
+            ignore_index=True)
+    return dist.sort_values("c_count").reset_index(drop=True)

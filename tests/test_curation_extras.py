@@ -1146,3 +1146,130 @@ def test_value_mad_outliers_planted(ray_session, tmp_path):
     got = value_mad_outliers(str(tmp_path)).set_index("event_type")
     assert got.loc["A"].tolist() == [5, 300, 100, 1]
     assert got.loc["B"].tolist() == [3, 700, 0, 0]
+
+
+def test_skyline_kernel_matches_bruteforce():
+    from rayschema.queries import _skyline_2d
+
+    rng = np.random.RandomState(7)
+    for trial in range(20):
+        n = int(rng.randint(1, 60))
+        # small domains force heavy ties in both dimensions
+        price = rng.randint(0, 8, n).astype(np.int64)
+        size = rng.randint(0, 8, n).astype(np.int64)
+        key = np.arange(n, dtype=np.int64)
+        got = _skyline_2d(key, price, size)
+        want = np.array([
+            not any((price[j] <= price[i] and size[j] >= size[i]
+                     and (price[j] < price[i] or size[j] > size[i]))
+                    for j in range(n))
+            for i in range(n)])
+        assert np.array_equal(got, want), (trial, price, size)
+
+
+def test_part_skyline_is_pareto_frontier(ray_session):
+    from rayschema.queries import part_skyline
+
+    sf = "/root/testdata/sf0.001"
+    out = part_skyline(sf).to_pandas()
+    con = duckdb.connect()
+    full = con.sql(
+        f"SELECT p_partkey, CAST(round(p_retailprice*100) AS BIGINT) AS pc,"
+        f" CAST(p_size AS BIGINT) AS ps FROM"
+        f" read_parquet('{sf}/part.parquet')").df()
+    # every emitted row is non-dominated; every omitted row is dominated
+    pc_, ps_ = full["pc"].to_numpy(), full["ps"].to_numpy()
+    emitted = set(out["p_partkey"])
+    for _, r in full.iterrows():
+        dom = bool(np.any((pc_ <= r["pc"]) & (ps_ >= r["ps"])
+                          & ((pc_ < r["pc"]) | (ps_ > r["ps"]))))
+        assert (r["p_partkey"] in emitted) == (not dom)
+
+
+def test_char_entropy_hand_cases(ray_session, tmp_path):
+    from rayschema.queries import char_entropy_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["aaaa",            # entropy exactly 0
+                 "abab",            # exactly 1 bit
+                 "abcd",            # exactly 2 bits
+                 "héllo wörld",     # multi-byte codepoints count once
+                 None],             # dropped
+        "lang": ["en"] * 5, "source": ["src1"] * 5,
+        "n_chars": np.array([4, 4, 4, 11, 0], dtype=np.int64)})
+    sf = _write_docs(tmp_path, df)
+    out = char_entropy_documents(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out["doc_id"]) == [0, 1, 2, 3]
+    assert list(out["n_cp"]) == [4, 4, 4, 11]
+    assert list(out["n_distinct"]) == [1, 2, 4, 9]
+    assert list(out["entropy_mbits"])[:3] == [0, 1000, 2000]
+    # h('héllo wörld'): 9 distinct over 11 cps, only 'l'x3 repeats
+    h = np.log2(11.0) - (3 * np.log2(3.0)) / 11.0
+    assert out["entropy_mbits"][3] == int(np.floor(h * 1000))
+
+
+def test_q13_includes_zero_order_customers(ray_session):
+    from rayschema.queries import q13_customer_distribution
+
+    sf = "/root/testdata/sf0.001"
+    out = q13_customer_distribution(sf)
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH oc AS (
+          SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+          FROM read_parquet('{sf}/customer.parquet') c
+          LEFT JOIN read_parquet('{sf}/orders.parquet') o
+            ON o.o_custkey = c.c_custkey
+           AND o.o_orderpriority = '1-URGENT'
+          GROUP BY c.c_custkey)
+        SELECT c_count, count(*)::BIGINT AS custdist
+        FROM oc GROUP BY c_count ORDER BY c_count""").df()
+    got = out.sort_values("c_count").reset_index(drop=True)
+    assert got["c_count"].tolist() == want["c_count"].tolist()
+    assert got["custdist"].tolist() == want["custdist"].tolist()
+    # the distribution must account for EVERY customer, incl. zero-order
+    ncust = con.sql(f"SELECT count(*) FROM "
+                    f"read_parquet('{sf}/customer.parquet')").fetchone()[0]
+    assert int(got["custdist"].sum()) == ncust
+
+
+def test_q17_integer_threshold_semantics(ray_session):
+    from rayschema.queries import q17_small_quantity_revenue
+
+    sf = "/root/testdata/sf0.001"
+    out = q17_small_quantity_revenue(sf)
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH pk AS (SELECT p_partkey FROM
+                    read_parquet('{sf}/part.parquet')
+                    WHERE p_brand = 'Brand#13'),
+        li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                      CAST(round(l_extendedprice*100) AS BIGINT) AS cents
+               FROM read_parquet('{sf}/lineitem.parquet')
+               JOIN pk ON l_partkey = p_partkey),
+        ag AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sq,
+                      count(*)::BIGINT AS cnt
+               FROM li GROUP BY l_partkey)
+        SELECT count(*)::BIGINT AS n_li,
+               (CAST(COALESCE(sum(li.cents), 0) AS BIGINT) / 100.0) / 7.0
+                   AS avg_yearly
+        FROM li JOIN ag ON li.l_partkey = ag.l_partkey
+        WHERE 5 * li.q * ag.cnt < ag.sq""").df()
+    assert int(out["n_li"][0]) == int(want["n_li"][0])
+    assert out["avg_yearly"][0] == want["avg_yearly"][0]
+
+
+def test_lang_source_cube_sets_consistent(ray_session):
+    from rayschema.queries import lang_source_cube
+
+    out = lang_source_cube("/root/testdata/sf0.001")
+    fine = out[(out["lang"] != "__all__") & (out["source"] != "__all__")]
+    top = out[(out["lang"] == "__all__") & (out["source"] == "__all__")]
+    by_lang = out[(out["lang"] != "__all__") & (out["source"] == "__all__")]
+    by_src = out[(out["lang"] == "__all__") & (out["source"] != "__all__")]
+    assert len(top) == 1
+    for sub in (fine, by_lang, by_src):
+        assert int(sub["n_docs"].sum()) == int(top["n_docs"].iloc[0])
+        assert int(sub["sum_chars"].sum()) == int(top["sum_chars"].iloc[0])
