@@ -299,6 +299,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy_documents": Q.char_entropy_documents,
         "q17_small_quantity_revenue": Q.q17_small_quantity_revenue,
         "q13_customer_distribution": Q.q13_customer_distribution,
+        "q14_promo_revenue": Q.q14_promo_revenue,
+        "q22_no_order_customers": Q.q22_no_order_customers,
+        "q10_returned_items": Q.q10_returned_items,
+        "q7_volume_shipping": Q.q7_volume_shipping,
+        "ttr_documents": Q.ttr_documents,
+        "max_token_run_documents": Q.max_token_run_documents,
     }
 
 
@@ -2005,4 +2011,120 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY c.c_custkey)
             SELECT c_count, count(*)::BIGINT AS custdist
             FROM oc GROUP BY c_count""",
+        "q14_promo_revenue": """
+            WITH li AS (
+              SELECT l_partkey,
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                       AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'),
+            ag AS (
+              SELECT CAST(COALESCE(sum(CASE WHEN p.p_type = 'PROMO'
+                                            THEN li.rev END), 0) AS BIGINT)
+                         AS promo_rev_e4,
+                     CAST(COALESCE(sum(li.rev), 0) AS BIGINT)
+                         AS total_rev_e4
+              FROM li LEFT JOIN part p ON li.l_partkey = p.p_partkey)
+            SELECT promo_rev_e4, total_rev_e4,
+                   CASE WHEN total_rev_e4 = 0 THEN 0
+                        ELSE promo_rev_e4 * 1000000 // total_rev_e4
+                   END AS promo_ppm
+            FROM ag""",
+        "q22_no_order_customers": """
+            WITH c AS (SELECT c_custkey, c_mktsegment,
+                              CAST(round(c_acctbal * 100) AS BIGINT)
+                                  AS cents
+                       FROM customer),
+            thr AS (SELECT CAST(COALESCE(sum(cents), 0) AS BIGINT) AS s,
+                           count(*)::BIGINT AS n
+                    FROM c WHERE cents > 0)
+            SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
+                   CAST(sum(cents) AS BIGINT) AS sum_bal_cents
+            FROM c, thr
+            WHERE c.cents * thr.n > thr.s
+              AND NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment""",
+        "q10_returned_items": """
+            WITH o AS (SELECT o_orderkey, o_custkey FROM orders
+                       WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                         AND o_orderdate < TIMESTAMP '1996-04-01'),
+            li AS (SELECT l_orderkey,
+                          CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                            AS rev
+                   FROM lineitem WHERE l_returnflag = 'R'),
+            percust AS (
+              SELECT o.o_custkey AS c_custkey,
+                     CAST(sum(li.rev) AS BIGINT) AS revenue_e4
+              FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+              GROUP BY o.o_custkey),
+            top AS (SELECT * FROM percust
+                    ORDER BY revenue_e4 DESC, c_custkey LIMIT 20)
+            SELECT t.c_custkey, c.c_name, n.n_name, t.revenue_e4
+            FROM top t JOIN customer c ON t.c_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey""",
+        "q7_volume_shipping": """
+            WITH ln AS (
+              SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+                     CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                       AS rev
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+              JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+              WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+                AND nc.n_name IN ('NATION_1', 'NATION_2')
+                AND s.s_nationkey <> c.c_nationkey)
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   ln.l_year, CAST(sum(ln.rev) AS BIGINT) AS revenue_e4
+            FROM ln JOIN nation ns ON ln.sn = ns.n_nationkey
+                    JOIN nation nc ON ln.cn = nc.n_nationkey
+            GROUP BY 1, 2, 3""",
+        "ttr_documents": """
+            WITH w AS (SELECT doc_id, unnest(string_split(text, ' '))
+                              AS word
+                       FROM documents WHERE text IS NOT NULL),
+            tc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens
+                   FROM w GROUP BY doc_id),
+            ty AS (SELECT doc_id, word, count(*)::BIGINT AS k
+                   FROM w GROUP BY doc_id, word),
+            ag AS (SELECT doc_id, count(*)::BIGINT AS n_types,
+                          CAST(COALESCE(sum(CASE WHEN k = 1 THEN 1 END),
+                                        0) AS BIGINT) AS n_hapax
+                   FROM ty GROUP BY doc_id)
+            SELECT tc.doc_id, tc.n_tokens, ag.n_types, ag.n_hapax,
+                   ag.n_types * 1000000 // tc.n_tokens AS ttr_ppm
+            FROM tc JOIN ag USING (doc_id)""",
+        "max_token_run_documents": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+            pos AS (SELECT doc_id, unnest(range(len(ws))) AS i,
+                           unnest(ws) AS word FROM w),
+            marked AS (SELECT doc_id, i, word,
+                              CASE WHEN lag(word) OVER (
+                                       PARTITION BY doc_id ORDER BY i)
+                                   IS DISTINCT FROM word
+                                   THEN 1 ELSE 0 END AS brk
+                       FROM pos),
+            runs AS (SELECT doc_id, i, word,
+                            sum(brk) OVER (PARTITION BY doc_id
+                                           ORDER BY i) AS rid
+                     FROM marked),
+            rl AS (SELECT doc_id, word, rid, count(*)::BIGINT AS rlen
+                   FROM runs GROUP BY doc_id, word, rid),
+            best AS (SELECT doc_id, max(rlen) AS max_run
+                     FROM rl GROUP BY doc_id)
+            SELECT rl.doc_id, CAST(b.max_run AS BIGINT) AS max_run,
+                   min(rl.word) AS run_token
+            FROM rl JOIN best b
+              ON rl.doc_id = b.doc_id AND rl.rlen = b.max_run
+            GROUP BY rl.doc_id, b.max_run""",
     }

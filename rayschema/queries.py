@@ -5970,3 +5970,576 @@ def q13_customer_distribution(sf_dir: str, priority: str = "1-URGENT"):
              "custdist": np.array([zero], dtype=np.int64)})],
             ignore_index=True)
     return dist.sort_values("c_count").reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------- Q14 / Q22 / Q10 / Q7 / TTR / token runs
+
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H-Q14-shaped promotion-revenue share for one shipping month:
+    what fraction of discounted revenue came from PROMO-type parts. The
+    part side is a dimension table — its PROMO partkeys broadcast ONCE as
+    a sorted array (ray.put) and membership is a stateless searchsorted
+    per batch, so the big lineitem side never shuffles; the month cut is
+    PUSHED TO THE PARQUET SCAN. Revenue folds as exact integer e4
+    (cents x (100 - disc_pct)) and the share is emitted with a CLEARED
+    DENOMINATOR — promo_ppm = floor(promo_e4 * 1e6 / total_e4) — so no
+    float division crosses the oracle boundary. Emits one row
+    (promo_rev_e4, total_rev_e4, promo_ppm)."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp("1996-03-01"), pd.Timestamp("1996-04-01")
+
+    pt = _read(sf_dir, "part", columns=["p_partkey", "p_type"])
+
+    def pkeys(b: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.equal(b.column("p_type"), "PROMO"), False)
+        ks = np.unique(b.filter(m).column("p_partkey")
+                       .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"k": pa.array(ks)})
+
+    kdf = pt.map_batches(pkeys, batch_format="pyarrow").to_pandas()
+    keys = np.unique(kdf["k"].to_numpy(np.int64)) if len(kdf) \
+        else np.empty(0, np.int64)
+    kref = ray.put(keys)
+
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    llo = _pq_schema_scalar(lpath, "l_shipdate", lo)
+    lhi = _pq_schema_scalar(lpath, "l_shipdate", hi)
+    lkw = {} if llo is None else dict(
+        filter=(pads.field("l_shipdate") >= llo)
+        & (pads.field("l_shipdate") < lhi))
+    li = rd.read_parquet(
+        lpath, columns=["l_partkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"], **lkw)
+    if llo is None:
+        li = li.filter(lambda r: lo.to_datetime64() <= r["l_shipdate"]
+                       < hi.to_datetime64())
+
+    def fold(b: pa.Table, _k=kref) -> pa.Table:
+        ks = ray.get(_k)
+        price = _cents(b.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        disc = np.round((1.0 - b.column("l_discount")
+                         .to_numpy(zero_copy_only=False)
+                         .astype(np.float64)) * 100).astype(np.int64)
+        rev = price * disc
+        ids = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(ks):
+            p = np.clip(np.searchsorted(ks, ids), 0, len(ks) - 1)
+            promo = ks[p] == ids
+        else:
+            promo = np.zeros(len(ids), dtype=bool)
+        return pa.table({"p": pa.array([int(rev[promo].sum())]),
+                         "t": pa.array([int(rev.sum())])})
+
+    tot = (li.map_batches(fold, batch_format="pyarrow")
+           .aggregate(Sum("p", alias_name="p"), Sum("t", alias_name="t")))
+    pv = int(tot.get("sum(p)", tot.get("p", 0)) or 0)
+    tv = int(tot.get("sum(t)", tot.get("t", 0)) or 0)
+    ppm = (pv * 1_000_000) // tv if tv else 0
+    return pd.DataFrame({"promo_rev_e4": np.array([pv], dtype=np.int64),
+                         "total_rev_e4": np.array([tv], dtype=np.int64),
+                         "promo_ppm": np.array([ppm], dtype=np.int64)})
+
+
+def q22_no_order_customers(sf_dir: str, priority: str = "1-URGENT"):
+    """TPC-H-Q22-shaped global-sales-opportunity scan: customers whose
+    account balance exceeds the average POSITIVE balance yet who placed
+    no URGENT orders, counted per market segment. (The synthetic orders
+    table covers EVERY custkey, so Q22's plain "no orders" anti-join is
+    empty by construction — the priority cut keeps the anti-join
+    selective while preserving the exact Q22 plan shape.) The wealth
+    threshold is an EXACT RATIONAL compare (cents * n_pos >
+    sum_pos_cents — no float average crosses the oracle boundary)
+    computed from one metadata-sized fold; the anti-join is a
+    distinct-custkey broadcast (one narrow filtered orders pass, q4's
+    EXISTS shape inverted — past the broadcast cap the distributed
+    keyed anti-join scan of curation_pipeline_documents is the
+    documented fallback shape). Emits
+    (c_mktsegment, n_cust, sum_bal_cents)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def bal_fold(b: pa.Table) -> pa.Table:
+        cents = _cents(b.column("c_acctbal").to_numpy(zero_copy_only=False))
+        pos = cents > 0
+        return pa.table({"s": pa.array([int(cents[pos].sum())]),
+                         "n": pa.array([int(pos.sum())])})
+
+    tot = cust.map_batches(bal_fold, batch_format="pyarrow").aggregate(
+        Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+    sum_pos = int(tot.get("sum(s)", tot.get("s", 0)) or 0)
+    n_pos = int(tot.get("sum(n)", tot.get("n", 0)) or 0)
+
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def okeys(b: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.equal(b.column("o_orderpriority"), priority),
+                         False)
+        ks = np.unique(b.filter(m).column("o_custkey")
+                       .to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"k": pa.array(ks)})
+
+    okdf = od.map_batches(okeys, batch_format="pyarrow").to_pandas()
+    okeys_arr = np.unique(okdf["k"].to_numpy(np.int64)) if len(okdf) \
+        else np.empty(0, np.int64)
+    oref = ray.put(okeys_arr)
+
+    def fold(b: pa.Table, _o=oref, _s=sum_pos, _n=n_pos) -> pa.Table:
+        ok = ray.get(_o)
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = _cents(b.column("c_acctbal").to_numpy(zero_copy_only=False))
+        rich = cents * _n > _s          # exact rational threshold
+        if len(ok):
+            p = np.clip(np.searchsorted(ok, ck), 0, len(ok) - 1)
+            has_order = ok[p] == ck
+        else:
+            has_order = np.zeros(len(ck), dtype=bool)
+        keep = rich & ~has_order
+        seg = b.column("c_mktsegment").to_numpy(zero_copy_only=False)[keep]
+        cents = cents[keep]
+        df = pd.DataFrame({"c_mktsegment": seg, "c": cents})
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_cust=("c", "size"), sum_bal_cents=("c", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (cust.map_batches(fold, batch_format="pyarrow")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("n_cust", alias_name="n_cust"),
+                      Sum("sum_bal_cents", alias_name="sum_bal_cents"))
+           .to_pandas())
+    if "n_cust" not in out.columns:      # empty aggregate -> empty frame
+        return pd.DataFrame({"c_mktsegment": pd.Series([], dtype=object),
+                             "n_cust": pd.Series([], dtype=np.int64),
+                             "sum_bal_cents": pd.Series([], dtype=np.int64)})
+    out["n_cust"] = out["n_cust"].astype(np.int64)
+    out["sum_bal_cents"] = out["sum_bal_cents"].astype(np.int64)
+    return out.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H-Q10-shaped returned-item report: top-20 customers by revenue
+    lost to 'R'-flagged lineitems for orders placed in one quarter. The
+    quarter cut is PUSHED TO THE ORDERS SCAN; the returnflag cut prunes
+    lineitem at the read via a parquet row filter. The orderkey join is
+    adaptive (broadcast orderkey->custkey arrays under Q3_BROADCAST_CAP,
+    Dataset.join hash exchange past it), revenue folds per custkey as
+    exact integer e4, the top-20 is per-block local top-20 + a
+    blocks x 20 driver merge (no global sort), and only the 20 winner
+    custkeys ever touch the customer/nation dimension lookups. Emits
+    (c_custkey, c_name, n_name, revenue_e4)."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+
+    opath = os.path.join(sf_dir, "orders.parquet")
+    olo = _pq_schema_scalar(opath, "o_orderdate", lo)
+    ohi = _pq_schema_scalar(opath, "o_orderdate", hi)
+    okw = {} if olo is None else dict(
+        filter=(pads.field("o_orderdate") >= olo)
+        & (pads.field("o_orderdate") < ohi))
+    orders = rd.read_parquet(
+        opath, columns=["o_orderkey", "o_custkey", "o_orderdate"], **okw)
+    if olo is None:
+        orders = orders.filter(
+            lambda r: lo.to_datetime64() <= r["o_orderdate"]
+            < hi.to_datetime64())
+    orders = orders.select_columns(["o_orderkey", "o_custkey"])
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R")
+
+    def li_prep(b: pa.Table) -> pa.Table:
+        price = _cents(b.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        disc = np.round((1.0 - b.column("l_discount")
+                         .to_numpy(zero_copy_only=False)
+                         .astype(np.float64)) * 100).astype(np.int64)
+        return pa.table({"l_orderkey": b.column("l_orderkey"),
+                         "rev_e4": pa.array(price * disc)})
+
+    liq = li.map_batches(li_prep, batch_format="pyarrow")
+
+    n_ord = orders.count()
+    if n_ord <= Q3_BROADCAST_CAP:
+        odf = orders.to_pandas().sort_values("o_orderkey")
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["o_custkey"].to_numpy(np.int64)))
+
+        def lookup(b: pa.Table, _o=oref) -> pa.Table:
+            ok, oc = ray.get(_o)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            rev = b.column("rev_e4").to_numpy(zero_copy_only=False)
+            if len(ok):
+                p = np.clip(np.searchsorted(ok, lk), 0, len(ok) - 1)
+                hit = ok[p] == lk
+                ck = oc[p]
+            else:
+                hit = np.zeros(len(lk), dtype=bool)
+                ck = lk
+            ck, rev = ck[hit], rev[hit]
+            uc, inv = np.unique(ck, return_inverse=True)
+            return pa.table({
+                "c_custkey": pa.array(uc),
+                "rev_e4": pa.array(
+                    np.bincount(inv, weights=rev).astype(np.int64))})
+
+        per_cust = (liq.map_batches(lookup, batch_format="pyarrow")
+                    .groupby("c_custkey")
+                    .aggregate(Sum("rev_e4", alias_name="rev_e4")))
+    else:
+        est = (liq.size_bytes() or 0) + (orders.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        per_cust = (liq.join(orders, join_type="inner",
+                             num_partitions=n_parts,
+                             on=("l_orderkey",), right_on=("o_orderkey",))
+                    .groupby("o_custkey")
+                    .aggregate(Sum("rev_e4", alias_name="rev_e4")))
+        per_cust = per_cust.map_batches(
+            lambda b: b.rename_columns(["c_custkey", "rev_e4"]),
+            batch_format="pyarrow")
+
+    def local_top(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rv = b.column("rev_e4").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        o = np.lexsort((ck, -rv))[:20]
+        return pa.table({"c_custkey": pa.array(ck[o]),
+                         "rev_e4": pa.array(rv[o])})
+
+    cand = (per_cust.map_batches(local_top, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["rev_e4", "c_custkey"], ascending=[False, True])
+            .head(20))
+    win = np.sort(cand["c_custkey"].to_numpy(np.int64))
+    wref = ray.put(win)
+
+    def name_lookup(b: pa.Table, _w=wref) -> pa.Table:
+        w = ray.get(_w)
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(w):
+            p = np.clip(np.searchsorted(w, ck), 0, len(w) - 1)
+            hit = w[p] == ck
+        else:
+            hit = np.zeros(len(ck), dtype=bool)
+        return b.filter(pa.array(hit))
+
+    names = (_read(sf_dir, "customer",
+                   columns=["c_custkey", "c_name", "c_nationkey"])
+             .map_batches(name_lookup, batch_format="pyarrow").to_pandas())
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    out = cand.merge(names, on="c_custkey", how="inner")
+    out["c_nationkey"] = out["c_nationkey"].astype(np.int64)
+    nat["n_nationkey"] = nat["n_nationkey"].astype(np.int64)
+    out = out.merge(nat, left_on="c_nationkey", right_on="n_nationkey",
+                    how="left")
+    out = out.rename(columns={"rev_e4": "revenue_e4"})
+    out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+    return (out[["c_custkey", "c_name", "n_name", "revenue_e4"]]
+            .sort_values(["revenue_e4", "c_custkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
+                       nation_b: str = "NATION_2"):
+    """TPC-H-Q7-shaped cross-nation volume: discounted revenue shipped
+    between two nations (supplier in one, customer in the other, both
+    directions) grouped by (supp_nation, cust_nation, ship_year). Both
+    dimension sides broadcast (supplier suppkey->nationkey; nation keys
+    resolve on the driver); the orders⋈customer custkey join is adaptive
+    exactly like q5; the big lineitem side joins orderkey->cust-nation
+    via ONE hash exchange and everything after is stateless per-batch
+    kernels: supplier lookup, pair filter, year extraction, and a
+    <= 2 x years fold. Revenue in exact integer e4. Emits
+    (supp_nation, cust_nation, l_year, revenue_e4)."""
+    import ray
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    sel = nat[nat["n_name"].isin([nation_a, nation_b])] \
+        .sort_values("n_nationkey")
+    nkeys = sel["n_nationkey"].to_numpy(np.int64)
+    name_of = dict(zip(sel["n_nationkey"].astype(np.int64),
+                       sel["n_name"]))
+    if len(nkeys) < 2:
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                             "cust_nation": pd.Series([], dtype=object),
+                             "l_year": pd.Series([], dtype=np.int64),
+                             "revenue_e4": pd.Series([], dtype=np.int64)})
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas() \
+        .sort_values("s_suppkey")
+    sref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                    sup["s_nationkey"].to_numpy(np.int64)))
+    nref = ray.put(nkeys)
+
+    def cust_filter(b: pa.Table, _n=nref) -> pa.Table:
+        nk = ray.get(_n)
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = np.clip(np.searchsorted(nk, cn), 0, len(nk) - 1)
+        keep = nk[p] == cn
+        return pa.table({"c_custkey": pa.array(ck[keep]),
+                         "c_nationkey": pa.array(cn[keep])})
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_filter, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    n_cust = cust.count()
+    if n_cust <= Q3_BROADCAST_CAP:
+        cdf = cust.to_pandas().sort_values("c_custkey")
+        cref = ray.put((cdf["c_custkey"].to_numpy(np.int64),
+                        cdf["c_nationkey"].to_numpy(np.int64)))
+
+        def o_lookup(b: pa.Table, _c=cref) -> pa.Table:
+            ck, cn = ray.get(_c)
+            ok_ = b.column("o_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            oc = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(ck):
+                p = np.clip(np.searchsorted(ck, oc), 0, len(ck) - 1)
+                keep = ck[p] == oc
+                nk = cn[p]
+            else:
+                keep = np.zeros(len(ok_), dtype=bool)
+                nk = oc
+            return pa.table({"o_orderkey": pa.array(ok_[keep]),
+                             "c_nationkey": pa.array(nk[keep])})
+
+        ord_nat = orders.map_batches(o_lookup, batch_format="pyarrow")
+    else:
+        est = (orders.size_bytes() or 0) + (cust.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        ord_nat = orders.join(
+            cust, join_type="inner", num_partitions=n_parts,
+            on=("o_custkey",), right_on=("c_custkey",)) \
+            .select_columns(["o_orderkey", "c_nationkey"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount", "l_shipdate"])
+
+    def li_prep(b: pa.Table, _s=sref, _n=nref) -> pa.Table:
+        sk, sn = ray.get(_s)
+        nk = ray.get(_n)
+        ls = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+        keep = (sk[p] == ls)
+        snat = sn[p]
+        q = np.clip(np.searchsorted(nk, snat), 0, len(nk) - 1)
+        keep &= nk[q] == snat            # supplier in one of the 2 nations
+        price = _cents(b.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        disc = np.round((1.0 - b.column("l_discount")
+                         .to_numpy(zero_copy_only=False)
+                         .astype(np.float64)) * 100).astype(np.int64)
+        year = pd.DatetimeIndex(
+            b.column("l_shipdate").to_pandas()).year.to_numpy(np.int64)
+        lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"l_orderkey": pa.array(lk[keep]),
+                         "s_nationkey": pa.array(snat[keep]),
+                         "l_year": pa.array(year[keep]),
+                         "rev_e4": pa.array((price * disc)[keep])})
+
+    liq = li.map_batches(li_prep, batch_format="pyarrow")
+
+    # the lineitem⋈orders orderkey join is adaptive too: ord_nat is only
+    # the 2-nation customers' orders, so at small scale it broadcasts as
+    # (orderkey -> cust-nation) arrays and the join is a stateless lookup;
+    # past the cap it's the hash exchange.
+    n_ord = ord_nat.count()
+    if n_ord <= Q3_BROADCAST_CAP:
+        odf = ord_nat.to_pandas().sort_values("o_orderkey")
+        onref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                         odf["c_nationkey"].to_numpy(np.int64)))
+
+        def attach(b: pa.Table, _o=onref) -> pa.Table:
+            ok, cn = ray.get(_o)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(ok):
+                p = np.clip(np.searchsorted(ok, lk), 0, len(ok) - 1)
+                hit = ok[p] == lk
+                cnat = cn[p]
+            else:
+                hit = np.zeros(len(lk), dtype=bool)
+                cnat = lk
+            return pa.table({
+                "s_nationkey": b.column("s_nationkey").filter(
+                    pa.array(hit)),
+                "l_year": b.column("l_year").filter(pa.array(hit)),
+                "rev_e4": b.column("rev_e4").filter(pa.array(hit)),
+                "c_nationkey": pa.array(cnat[hit])})
+
+        joined = liq.map_batches(attach, batch_format="pyarrow")
+    else:
+        est = (li.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        joined = liq.join(
+            ord_nat, join_type="inner", num_partitions=n_parts,
+            on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def fold(b: pa.Table) -> pa.Table:
+        sn = b.column("s_nationkey").to_numpy(zero_copy_only=False)
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = sn != cn                  # cross-nation only
+        yr = b.column("l_year").to_numpy(zero_copy_only=False)[keep]
+        rev = b.column("rev_e4").to_numpy(zero_copy_only=False)[keep]
+        df = pd.DataFrame({"s": sn[keep], "c": cn[keep], "y": yr,
+                           "r": rev})
+        g = df.groupby(["s", "c", "y"], as_index=False)["r"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = joined.map_batches(fold, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame({"supp_nation": pd.Series([], dtype=object),
+                             "cust_nation": pd.Series([], dtype=object),
+                             "l_year": pd.Series([], dtype=np.int64),
+                             "revenue_e4": pd.Series([], dtype=np.int64)})
+    agg = parts.groupby(["s", "c", "y"], as_index=False)["r"].sum()
+    agg["supp_nation"] = agg["s"].map(name_of)
+    agg["cust_nation"] = agg["c"].map(name_of)
+    agg = agg.rename(columns={"y": "l_year", "r": "revenue_e4"})
+    agg["l_year"] = agg["l_year"].astype(np.int64)
+    agg["revenue_e4"] = agg["revenue_e4"].astype(np.int64)
+    return (agg[["supp_nation", "cust_nation", "l_year", "revenue_e4"]]
+            .sort_values(["supp_nation", "cust_nation", "l_year"])
+            .reset_index(drop=True))
+
+
+def ttr_documents(sf_dir: str):
+    """Per-document lexical-richness profile: token count, distinct-type
+    count, hapax count (types occurring exactly once in the doc), and
+    type-token ratio in EXACT integer millionths (floor(types*1e6/tokens)
+    — no float division crosses the oracle boundary). Tokens are the
+    space-split convention shared with tfidf/vocabulary (empty strings
+    from consecutive spaces count, mirroring SQL string_split). The whole
+    stage is ONE stateless vectorized map: Arrow dictionary_encode hashes
+    every occurrence and per-(doc, type) multiplicities come from one
+    int-code lexsort — no shuffle, nothing on the driver. Emits
+    (doc_id, n_tokens, n_types, n_hapax, ttr_ppm)."""
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prof(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_tokens": pa.array([], type=pa.int64()),
+                             "n_types": pa.array([], type=pa.int64()),
+                             "n_hapax": pa.array([], type=pa.int64()),
+                             "ttr_ppm": pa.array([], type=pa.int64())})
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, counts, didx = _flatten_words_arrow(col)
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        key = didx * (int(codes.max()) + 1 if len(codes) else 1) + codes
+        uk, mult = np.unique(key, return_counts=True)
+        ud = uk // (int(codes.max()) + 1 if len(codes) else 1)
+        n_types = np.bincount(ud, minlength=n).astype(np.int64)
+        n_hapax = np.bincount(ud[mult == 1], minlength=n).astype(np.int64)
+        n_tok = counts.astype(np.int64)
+        ppm = np.where(n_tok > 0, (n_types * 1_000_000) // np.maximum(
+            n_tok, 1), 0).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids),
+                         "n_tokens": pa.array(n_tok),
+                         "n_types": pa.array(n_types),
+                         "n_hapax": pa.array(n_hapax),
+                         "ttr_ppm": pa.array(ppm)})
+
+    return ds.map_batches(prof, batch_format="pyarrow")
+
+
+def max_token_run_documents(sf_dir: str):
+    """Per-document longest run of the SAME consecutive token — the
+    run-length repetition signal ('batch batch batch' boilerplate) that
+    complements the n-gram repetition metrics: Gopher's dup-fraction
+    misses short high-multiplicity runs. One stateless vectorized map:
+    tokens dictionary_encode to int codes, run boundaries are one
+    adjacent-compare (codes differ OR doc changes), per-run lengths come
+    from boundary diffs, and the per-doc max + the lexicographically
+    SMALLEST token achieving it (deterministic tie-break) fall out of one
+    lexsort over (doc, -len, token_rank). Emits
+    (doc_id, max_run, run_token)."""
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def runs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(ids)
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "max_run": pa.array([], type=pa.int64()),
+                          "run_token": pa.array([], type=pa.string())})
+        if n == 0:
+            return empty
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, counts, didx = _flatten_words_arrow(col)
+        if len(didx) == 0:
+            return empty
+        enc = flat.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dic = enc.dictionary.to_numpy(zero_copy_only=False)
+        # lexicographic rank of each dictionary entry (tie-break key)
+        rank = np.empty(len(dic), dtype=np.int64)
+        rank[np.argsort(dic, kind="stable")] = np.arange(len(dic))
+        new_run = np.empty(len(codes), dtype=bool)
+        new_run[0] = True
+        new_run[1:] = (codes[1:] != codes[:-1]) | (didx[1:] != didx[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(codes))
+        rlen = (ends - starts).astype(np.int64)
+        rdoc = didx[starts]
+        rcode = codes[starts]
+        rrank = rank[rcode]
+        # per doc: max run length, smallest token rank among ties
+        o = np.lexsort((rrank, -rlen, rdoc))
+        first = np.empty(len(o), dtype=bool)
+        first[0] = True
+        first[1:] = rdoc[o][1:] != rdoc[o][:-1]
+        sel = o[first]
+        toks = dic[rcode[sel]]
+        return pa.table({"doc_id": pa.array(ids[rdoc[sel]]),
+                         "max_run": pa.array(rlen[sel]),
+                         "run_token": pa.array(toks, type=pa.string())})
+
+    return ds.map_batches(runs, batch_format="pyarrow")

@@ -1273,3 +1273,155 @@ def test_lang_source_cube_sets_consistent(ray_session):
     for sub in (fine, by_lang, by_src):
         assert int(sub["n_docs"].sum()) == int(top["n_docs"].iloc[0])
         assert int(sub["sum_chars"].sum()) == int(top["sum_chars"].iloc[0])
+
+
+def test_q14_promo_share_semantics(ray_session):
+    from rayschema.queries import q14_promo_revenue
+
+    sf = "/root/testdata/sf0.001"
+    out = q14_promo_revenue(sf)
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH li AS (
+          SELECT l_partkey,
+                 CAST(round(l_extendedprice*100) AS BIGINT)
+                   * CAST(round((1-l_discount)*100) AS BIGINT) AS rev
+          FROM read_parquet('{sf}/lineitem.parquet')
+          WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01')
+        SELECT CAST(COALESCE(sum(CASE WHEN p.p_type = 'PROMO'
+                                      THEN li.rev END), 0) AS BIGINT) AS p,
+               CAST(COALESCE(sum(li.rev), 0) AS BIGINT) AS t
+        FROM li LEFT JOIN read_parquet('{sf}/part.parquet') p
+          ON li.l_partkey = p.p_partkey""").fetchone()
+    assert int(out["promo_rev_e4"][0]) == want[0]
+    assert int(out["total_rev_e4"][0]) == want[1]
+    assert int(out["promo_ppm"][0]) == want[0] * 1_000_000 // want[1]
+    assert 0 < int(out["promo_ppm"][0]) < 1_000_000
+
+
+def test_q22_exact_threshold_and_antijoin(ray_session, tmp_path):
+    from rayschema.queries import q22_no_order_customers
+
+    # 3 customers, avg positive balance = (300 + 600)/2 = 450.00:
+    #   cust 0 bal 300.00 -> below avg, excluded even without orders
+    #   cust 1 bal 600.00, no urgent order -> KEPT
+    #   cust 2 bal 600.00, has an urgent order -> anti-joined away
+    #   cust 3 bal -50.00 -> negative, not in avg, below threshold
+    # exact-rational check: cust 4 bal 450.00 == avg -> strict >, excluded
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(5, dtype=np.int64),
+        "c_acctbal": [300.0, 600.0, 600.0, -50.0, 450.0],
+        "c_mktsegment": ["SEG_A", "SEG_A", "SEG_A", "SEG_B", "SEG_B"],
+    })
+    # avg positive = (300+600+600+450)/4 = 487.50; recompute expectations:
+    #   threshold cents*4 > 195000 -> bal > 487.50: custs 1, 2 qualify
+    orders = pd.DataFrame({
+        "o_custkey": np.array([2, 0], dtype=np.int64),
+        "o_orderpriority": ["1-URGENT", "1-URGENT"],
+    })
+    pq.write_table(pa.Table.from_pandas(cust, preserve_index=False),
+                   os.path.join(tmp_path, "customer.parquet"))
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False),
+                   os.path.join(tmp_path, "orders.parquet"))
+    out = q22_no_order_customers(str(tmp_path))
+    assert out["c_mktsegment"].tolist() == ["SEG_A"]
+    assert out["n_cust"].tolist() == [1]
+    assert out["sum_bal_cents"].tolist() == [60000]
+
+
+def test_q10_top20_matches_oracle(ray_session):
+    from rayschema.queries import q10_returned_items
+
+    sf = "/root/testdata/sf0.001"
+    out = q10_returned_items(sf)
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH o AS (SELECT o_orderkey, o_custkey
+                   FROM read_parquet('{sf}/orders.parquet')
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                     AND o_orderdate < TIMESTAMP '1996-04-01'),
+        li AS (SELECT l_orderkey,
+                      CAST(round(l_extendedprice*100) AS BIGINT)
+                        * CAST(round((1-l_discount)*100) AS BIGINT) AS rev
+               FROM read_parquet('{sf}/lineitem.parquet')
+               WHERE l_returnflag = 'R'),
+        percust AS (SELECT o.o_custkey AS c_custkey,
+                           CAST(sum(li.rev) AS BIGINT) AS revenue_e4
+                    FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+                    GROUP BY o.o_custkey)
+        SELECT c_custkey, revenue_e4 FROM percust
+        ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""").df()
+    assert out["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert out["revenue_e4"].tolist() == want["revenue_e4"].tolist()
+    assert out["c_name"].notna().all() and out["n_name"].notna().all()
+
+
+def test_q7_both_directions_and_years(ray_session):
+    from rayschema.queries import q7_volume_shipping
+
+    sf = "/root/testdata/sf0.01"    # the pair is empty at sf0.001
+    out = q7_volume_shipping(sf)
+    # cross-nation only, both directions present as distinct group keys
+    assert (out["supp_nation"] != out["cust_nation"]).all()
+    dirs = set(zip(out["supp_nation"], out["cust_nation"]))
+    assert dirs == {("NATION_1", "NATION_2"), ("NATION_2", "NATION_1")}
+    con = duckdb.connect()
+    want = con.sql(f"""
+        SELECT CAST(COALESCE(sum(
+                   CAST(round(l.l_extendedprice*100) AS BIGINT)
+                   * CAST(round((1-l.l_discount)*100) AS BIGINT)), 0)
+                    AS BIGINT)
+        FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/orders.parquet') o
+          ON l.l_orderkey = o.o_orderkey
+        JOIN read_parquet('{sf}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        JOIN read_parquet('{sf}/supplier.parquet') s
+          ON l.l_suppkey = s.s_suppkey
+        JOIN read_parquet('{sf}/nation.parquet') ns
+          ON s.s_nationkey = ns.n_nationkey
+        JOIN read_parquet('{sf}/nation.parquet') nc
+          ON c.c_nationkey = nc.n_nationkey
+        WHERE ns.n_name IN ('NATION_1','NATION_2')
+          AND nc.n_name IN ('NATION_1','NATION_2')
+          AND s.s_nationkey <> c.c_nationkey""").fetchone()[0]
+    assert int(out["revenue_e4"].sum()) == int(want)
+
+
+def test_ttr_hand_cases(ray_session, tmp_path):
+    from rayschema.queries import ttr_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a a a a",        # 4 tokens, 1 type, 0 hapax
+                 "a b c d",        # 4 tokens, 4 types, 4 hapax
+                 "a a b",          # 3 tokens, 2 types, 1 hapax
+                 "x  y"],          # double space -> empty token: 3 tokens
+        "lang": ["en"] * 4, "source": ["src1"] * 4,
+        "n_chars": np.array([7, 7, 5, 4], dtype=np.int64)})
+    sf = _write_docs(tmp_path, df)
+    out = ttr_documents(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out["n_tokens"].tolist() == [4, 4, 3, 3]
+    assert out["n_types"].tolist() == [1, 4, 2, 3]
+    assert out["n_hapax"].tolist() == [0, 4, 1, 3]
+    assert out["ttr_ppm"].tolist() == [250000, 1000000, 666666, 1000000]
+
+
+def test_max_token_run_ties_and_runs(ray_session, tmp_path):
+    from rayschema.queries import max_token_run_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["x batch batch batch y",   # clear max run of 3
+                 "b b a a c",               # tie run=2: min token 'a' wins
+                 "solo",                    # single token -> run 1
+                 "z z z z z z"],            # whole doc one run
+        "lang": ["en"] * 4, "source": ["src1"] * 4,
+        "n_chars": np.array([21, 9, 4, 11], dtype=np.int64)})
+    sf = _write_docs(tmp_path, df)
+    out = max_token_run_documents(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert out["max_run"].tolist() == [3, 2, 1, 6]
+    assert out["run_token"].tolist() == ["batch", "a", "solo", "z"]
