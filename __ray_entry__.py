@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_volume_shipping": Q.q7_volume_shipping,
         "ttr_documents": Q.ttr_documents,
         "max_token_run_documents": Q.max_token_run_documents,
+        "bloom_semi_join_orders": Q.bloom_semi_join_orders,
     }
 
 
@@ -2127,4 +2128,13 @@ def oracle_sql() -> dict[str, str]:
             FROM rl JOIN best b
               ON rl.doc_id = b.doc_id AND rl.rlen = b.max_run
             GROUP BY rl.doc_id, b.max_run""",
+        "bloom_semi_join_orders": """
+            SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_total_cents
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey
+                            AND c.c_mktsegment = 'BUILDING')
+            GROUP BY o.o_orderpriority""",
     }

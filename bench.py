@@ -132,6 +132,12 @@ def run_bench() -> dict:
         ("near_dup_pagerank", Q.near_dup_pagerank),
         ("fuzzy_word_pairs", Q.fuzzy_word_pairs),
         ("benford_digit_audit", Q.benford_digit_audit),
+        ("part_skyline", Q.part_skyline),
+        ("char_entropy", Q.char_entropy_documents),
+        ("q7_volume_shipping", Q.q7_volume_shipping),
+        ("q10_returned_items", Q.q10_returned_items),
+        ("ttr_documents", Q.ttr_documents),
+        ("max_token_run", Q.max_token_run_documents),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -6543,3 +6543,173 @@ def max_token_run_documents(sf_dir: str):
                          "run_token": pa.array(toks, type=pa.string())})
 
     return ds.map_batches(runs, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------- Bloom-filter semi-join
+
+
+BLOOM_BITS = 20           # 2^20 bits = 128 KB packed broadcast
+BLOOM_K = 4               # hash functions; fp ~ (1-e^{-kn/m})^k
+
+
+def _bloom_positions(ids: np.ndarray, bits: int, k: int) -> np.ndarray:
+    """(len(ids), k) bit positions via double hashing h1 + i*h2 — the
+    standard Kirsch-Mitzenmacher construction, all vectorized uint64."""
+    from rayschema.dedup import _mix64
+
+    with np.errstate(over="ignore"):
+        x = ids.astype(np.uint64)
+        h1 = _mix64(x)
+        h2 = _mix64(x ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        i = np.arange(k, dtype=np.uint64)
+        pos = (h1[:, None] + i[None, :] * h2[:, None]) \
+            & np.uint64((1 << bits) - 1)
+    return pos.astype(np.int64)
+
+
+def _bloom_build(ids: np.ndarray, bits: int = BLOOM_BITS,
+                 k: int = BLOOM_K) -> np.ndarray:
+    """Packed (uint8) Bloom filter of the id set."""
+    m = np.zeros(1 << bits, dtype=bool)
+    if len(ids):
+        m[_bloom_positions(ids, bits, k).ravel()] = True
+    return np.packbits(m)
+
+
+def _bloom_member(ids: np.ndarray, packed: np.ndarray,
+                  bits: int = BLOOM_BITS, k: int = BLOOM_K) -> np.ndarray:
+    """Vectorized maybe-membership (no false negatives)."""
+    if not len(ids):
+        return np.zeros(0, dtype=bool)
+    pos = _bloom_positions(ids, bits, k)
+    bit = (packed[pos >> 3] >> (7 - (pos & 7))) & 1
+    return bit.all(axis=1)
+
+
+def bloom_semi_join_orders(sf_dir: str, segment: str = "BUILDING",
+                           verify_cap: int = None):
+    """EXACT semi-join via a Bloom pre-filter — the membership-join shape
+    for when the key-set side outgrows a raw sorted-array broadcast:
+    (1) one filtered customer pass builds per-batch 128 KB packed Bloom
+    partials (2^20 bits, k=4 double-hashing) OR-reduced on the driver —
+    driver state is the FIXED filter size, never O(keys); (2) the big
+    orders side drops every definite non-member per batch (no false
+    negatives, fp ~1e-4 at 30k keys); (3) only the candidate RESIDUE is
+    exactly verified — broadcast sorted-key searchsorted under the cap,
+    hash-exchange semi-join past it — so the expensive exact machinery
+    touches ~selectivity x rows instead of all rows. Result is EXACT
+    (Bloom errs only toward extra verify work). Emits per-priority
+    (o_orderpriority, n_orders, sum_total_cents)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cap = Q3_BROADCAST_CAP if verify_cap is None else verify_cap
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
+
+    def bloom_partial(b: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.equal(b.column("c_mktsegment"), segment),
+                         False)
+        ks = b.filter(m).column("c_custkey") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"bloom": pa.array([_bloom_build(ks).tobytes()],
+                                           type=pa.binary()),
+                         "n": pa.array([len(ks)])})
+
+    parts = cust.map_batches(bloom_partial, batch_format="pyarrow") \
+        .to_pandas()
+    acc = np.zeros((1 << BLOOM_BITS) // 8, dtype=np.uint8)
+    n_keys = 0
+    for blob, n in zip(parts["bloom"], parts["n"]):
+        acc |= np.frombuffer(blob, dtype=np.uint8)
+        n_keys += int(n)
+    bref = ray.put(acc)
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def prefilter(b: pa.Table, _b=bref) -> pa.Table:
+        packed = ray.get(_b)
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        maybe = _bloom_member(ck, packed)
+        t = b.filter(pa.array(maybe))
+        cents = _cents(t.column("o_totalprice")
+                       .to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": t.column("o_custkey"),
+                         "o_orderpriority": t.column("o_orderpriority"),
+                         "cents": pa.array(cents)})
+
+    cand = orders.map_batches(prefilter, batch_format="pyarrow")
+
+    if n_keys <= cap:
+        # exact verify: broadcast the true sorted key set once
+        def true_keys(b: pa.Table) -> pa.Table:
+            m = pc.fill_null(pc.equal(b.column("c_mktsegment"), segment),
+                             False)
+            ks = np.unique(b.filter(m).column("c_custkey")
+                           .to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+            return pa.table({"k": pa.array(ks)})
+
+        kdf = cust.map_batches(true_keys, batch_format="pyarrow") \
+            .to_pandas()
+        keys = np.unique(kdf["k"].to_numpy(np.int64)) if len(kdf) \
+            else np.empty(0, np.int64)
+        kref = ray.put(keys)
+
+        def verify(b: pa.Table, _k=kref) -> pa.Table:
+            ks = ray.get(_k)
+            ck = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(ks):
+                p = np.clip(np.searchsorted(ks, ck), 0, len(ks) - 1)
+                hit = ks[p] == ck
+            else:
+                hit = np.zeros(len(ck), dtype=bool)
+            t = b.filter(pa.array(hit))
+            df = pd.DataFrame({
+                "o_orderpriority": t.column("o_orderpriority")
+                .to_numpy(zero_copy_only=False),
+                "cents": t.column("cents").to_numpy(zero_copy_only=False)})
+            g = df.groupby("o_orderpriority", as_index=False).agg(
+                n_orders=("cents", "size"),
+                sum_total_cents=("cents", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        folded = cand.map_batches(verify, batch_format="pyarrow")
+    else:
+        ckeys = cust.filter(
+            expr=f"c_mktsegment == '{segment}'") \
+            .select_columns(["c_custkey"])
+        est = (cand.size_bytes() or 0) + (ckeys.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        joined = cand.join(ckeys, join_type="inner",
+                           num_partitions=n_parts,
+                           on=("o_custkey",), right_on=("c_custkey",))
+
+        def fold(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "o_orderpriority": b.column("o_orderpriority")
+                .to_numpy(zero_copy_only=False),
+                "cents": b.column("cents").to_numpy(zero_copy_only=False)})
+            g = df.groupby("o_orderpriority", as_index=False).agg(
+                n_orders=("cents", "size"),
+                sum_total_cents=("cents", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        folded = joined.map_batches(fold, batch_format="pyarrow")
+
+    out = (folded.groupby("o_orderpriority")
+           .aggregate(Sum("n_orders", alias_name="n_orders"),
+                      Sum("sum_total_cents", alias_name="sum_total_cents"))
+           .to_pandas())
+    if "n_orders" not in out.columns:
+        return pd.DataFrame({"o_orderpriority": pd.Series([], dtype=object),
+                             "n_orders": pd.Series([], dtype=np.int64),
+                             "sum_total_cents": pd.Series([],
+                                                          dtype=np.int64)})
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["sum_total_cents"] = out["sum_total_cents"].astype(np.int64)
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

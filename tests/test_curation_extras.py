@@ -1425,3 +1425,41 @@ def test_max_token_run_ties_and_runs(ray_session, tmp_path):
         .reset_index(drop=True)
     assert out["max_run"].tolist() == [3, 2, 1, 6]
     assert out["run_token"].tolist() == ["batch", "a", "solo", "z"]
+
+
+def test_bloom_filter_no_false_negatives():
+    from rayschema.queries import _bloom_build, _bloom_member
+
+    rng = np.random.RandomState(5)
+    keys = np.unique(rng.randint(0, 1 << 40, 30000).astype(np.int64))
+    packed = _bloom_build(keys)
+    assert _bloom_member(keys, packed).all()     # zero false negatives
+    probe = np.unique(rng.randint(0, 1 << 40, 100000).astype(np.int64))
+    probe = np.setdiff1d(probe, keys)
+    fp = _bloom_member(probe, packed).mean()
+    assert fp < 0.01                              # fp ~1e-4 at this load
+
+
+def test_bloom_semi_join_matches_oracle_and_join_path(ray_session):
+    from rayschema.queries import bloom_semi_join_orders
+
+    sf = "/root/testdata/sf0.001"
+    out = bloom_semi_join_orders(sf)
+    con = duckdb.connect()
+    want = con.sql(f"""
+        SELECT o.o_orderpriority, count(*)::BIGINT AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT))
+                    AS BIGINT) AS sum_total_cents
+        FROM read_parquet('{sf}/orders.parquet') o
+        WHERE EXISTS (SELECT 1 FROM read_parquet('{sf}/customer.parquet') c
+                      WHERE c.c_custkey = o.o_custkey
+                        AND c.c_mktsegment = 'BUILDING')
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""").df()
+    got = out.sort_values("o_orderpriority").reset_index(drop=True)
+    assert got["o_orderpriority"].tolist() == want["o_orderpriority"].tolist()
+    assert got["n_orders"].tolist() == want["n_orders"].tolist()
+    assert got["sum_total_cents"].tolist() == want["sum_total_cents"].tolist()
+    # the >cap hash-exchange verify path returns the identical answer
+    got2 = bloom_semi_join_orders(sf, verify_cap=0) \
+        .sort_values("o_orderpriority").reset_index(drop=True)
+    assert got2.equals(got)
