@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttr_documents": Q.ttr_documents,
         "max_token_run_documents": Q.max_token_run_documents,
         "bloom_semi_join_orders": Q.bloom_semi_join_orders,
+        "distinct_users_per_type": Q.distinct_users_per_type,
     }
 
 
@@ -2137,4 +2138,9 @@ def oracle_sql() -> dict[str, str]:
                           WHERE c.c_custkey = o.o_custkey
                             AND c.c_mktsegment = 'BUILDING')
             GROUP BY o.o_orderpriority""",
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events
+            WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY event_type""",
     }

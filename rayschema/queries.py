@@ -6713,3 +6713,56 @@ def bloom_semi_join_orders(sf_dir: str, segment: str = "BUILDING",
     out["n_orders"] = out["n_orders"].astype(np.int64)
     out["sum_total_cents"] = out["sum_total_cents"].astype(np.int64)
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Exact grouped COUNT DISTINCT at scale: unique users per event
+    type. The classic two-level plan: each batch first collapses to its
+    LOCAL distinct (event_type, user_id) pairs (one packed-key np.unique
+    — at 100 TB this is the big reduction: a user's events cluster in
+    time-ordered blocks), the narrow pair stream then dedups globally via
+    ONE pair-keyed groupby count (the only shuffle — 16 B rows), and the
+    distinct-pair stream folds to per-type counts with batch partials +
+    a type-cardinality-sized final aggregate. No sketch error (HLL is the
+    documented approximate alternative, sketches.py), no driver state.
+    Emits (event_type, n_users)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def local_pairs(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b.column("event_type")),
+                             pc.is_valid(b.column("user_id"))))
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        users = t.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key = (codes.astype(np.uint64) << np.uint64(48)) \
+            | users.astype(np.uint64)
+        uk = np.unique(key)
+        ucodes = (uk >> np.uint64(48)).astype(np.int64)
+        uusers = (uk & np.uint64((1 << 48) - 1)).astype(np.int64)
+        dic = enc.dictionary.to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": pa.array(dic[ucodes],
+                                                type=pa.string()),
+                         "user_id": pa.array(uusers)})
+
+    pairs = (ds.map_batches(local_pairs, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"]).count())
+
+    def fold(b: pa.Table) -> pa.Table:
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et})
+        g = df.groupby("event_type", as_index=False).size() \
+            .rename(columns={"size": "n_users"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (pairs.map_batches(fold, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_users", alias_name="n_users"))
+           .to_pandas())
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -1463,3 +1463,41 @@ def test_bloom_semi_join_matches_oracle_and_join_path(ray_session):
     got2 = bloom_semi_join_orders(sf, verify_cap=0) \
         .sort_values("o_orderpriority").reset_index(drop=True)
     assert got2.equals(got)
+
+
+def test_distinct_users_per_type_planted(ray_session, tmp_path):
+    from rayschema.queries import distinct_users_per_type
+
+    ev = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "ts": pd.to_datetime(["2024-01-01"] * 8),
+        "user_id": np.array([1, 1, 1, 2, 2, 3, 9, 9], dtype=np.int64),
+        "event_type": ["view", "view", "click", "view", "view",
+                       "view", "click", "click"],
+        "value": np.ones(8), "props": ["{}"] * 8})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   os.path.join(tmp_path, "events.parquet"))
+    out = distinct_users_per_type(str(tmp_path))
+    assert out["event_type"].tolist() == ["click", "view"]
+    assert out["n_users"].tolist() == [2, 3]
+
+
+def test_q10_hash_join_path_equals_broadcast(ray_session, monkeypatch):
+    import rayschema.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    want = Q.q10_returned_items(sf)
+    monkeypatch.setattr(Q, "Q3_BROADCAST_CAP", 0)
+    got = Q.q10_returned_items(sf)
+    assert got["c_custkey"].tolist() == want["c_custkey"].tolist()
+    assert got["revenue_e4"].tolist() == want["revenue_e4"].tolist()
+
+
+def test_q7_hash_join_path_equals_broadcast(ray_session, monkeypatch):
+    import rayschema.queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    want = Q.q7_volume_shipping(sf)
+    monkeypatch.setattr(Q, "Q3_BROADCAST_CAP", 0)
+    got = Q.q7_volume_shipping(sf)
+    assert got.equals(want)
