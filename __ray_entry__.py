@@ -307,6 +307,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_token_run_documents": Q.max_token_run_documents,
         "bloom_semi_join_orders": Q.bloom_semi_join_orders,
         "distinct_users_per_type": Q.distinct_users_per_type,
+        "q19_discounted_revenue": Q.q19_discounted_revenue,
+        "q12_late_shipments": Q.q12_late_shipments,
     }
 
 
@@ -2143,4 +2145,33 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE event_type IS NOT NULL AND user_id IS NOT NULL
             GROUP BY event_type""",
+        "q19_discounted_revenue": """
+            WITH li AS (
+              SELECT l.l_partkey,
+                     CAST(l.l_quantity AS BIGINT) AS q,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                       AS rev,
+                     p.p_brand, CAST(p.p_size AS BIGINT) AS p_size
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+            sel AS (SELECT rev FROM li
+                    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5
+                           AND q BETWEEN 1 AND 11)
+                       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 10
+                           AND q BETWEEN 10 AND 20)
+                       OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 15
+                           AND q BETWEEN 20 AND 30))
+            SELECT count(*)::BIGINT AS n_li,
+                   CAST(COALESCE(sum(rev), 0) AS BIGINT) AS revenue_e4
+            FROM sel""",
+        "q12_late_shipments": """
+            SELECT o.o_orderpriority,
+                   CAST(COALESCE(sum(CASE WHEN l.l_shipdate >
+                                 o.o_orderdate + INTERVAL 90 DAY
+                                 THEN 1 END), 0) AS BIGINT) AS n_late,
+                   CAST(COALESCE(sum(CASE WHEN l.l_shipdate <=
+                                 o.o_orderdate + INTERVAL 90 DAY
+                                 THEN 1 END), 0) AS BIGINT) AS n_ontime
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority""",
     }

@@ -6766,3 +6766,149 @@ def distinct_users_per_type(sf_dir: str):
            .to_pandas())
     out["n_users"] = out["n_users"].astype(np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: an OR of three
+    (brand, size-range, quantity-window) conjunction arms — the classic
+    'predicate too twisty for scan pushdown' case. The part side is a
+    dimension table: per-partkey (brand-id, size) attributes broadcast
+    ONCE as sorted arrays, and the whole disjunction evaluates as three
+    vectorized boolean arms per lineitem batch — no join, no shuffle;
+    only the final 1-row integer-e4 fold aggregates. Emits
+    (n_li, revenue_e4)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ARMS = [("Brand#11", 1, 5, 1, 11),     # (brand, size_lo, size_hi,
+            ("Brand#22", 1, 10, 10, 20),   #  qty_lo, qty_hi)
+            ("Brand#33", 1, 15, 20, 30)]
+
+    pt = _read(sf_dir, "part",
+               columns=["p_partkey", "p_brand", "p_size"]).to_pandas() \
+        .sort_values("p_partkey")
+    pkeys = pt["p_partkey"].to_numpy(np.int64)
+    brands = [a[0] for a in ARMS]
+    bid = np.full(len(pt), -1, dtype=np.int64)
+    for i, b in enumerate(brands):
+        bid[(pt["p_brand"] == b).to_numpy()] = i
+    psize = pt["p_size"].to_numpy(np.int64)
+    pref = ray.put((pkeys, bid, psize))
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice",
+                        "l_discount"])
+
+    def fold(b: pa.Table, _p=pref) -> pa.Table:
+        pk, pb, ps = ray.get(_p)
+        ids = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.clip(np.searchsorted(pk, ids), 0, len(pk) - 1)
+        hit = pk[pos] == ids
+        ab, asz = pb[pos], ps[pos]
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sel = np.zeros(len(ids), dtype=bool)
+        for i, (_, slo, shi, qlo, qhi) in enumerate(ARMS):
+            sel |= (hit & (ab == i) & (asz >= slo) & (asz <= shi)
+                    & (q >= qlo) & (q <= qhi))
+        price = _cents(b.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        disc = np.round((1.0 - b.column("l_discount")
+                         .to_numpy(zero_copy_only=False)
+                         .astype(np.float64)) * 100).astype(np.int64)
+        rev = (price * disc)[sel]
+        return pa.table({"n": pa.array([int(sel.sum())]),
+                         "r": pa.array([int(rev.sum())])})
+
+    tot = (li.map_batches(fold, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"), Sum("r", alias_name="r")))
+    n = int(tot.get("sum(n)", tot.get("n", 0)) or 0)
+    r = int(tot.get("sum(r)", tot.get("r", 0)) or 0)
+    return pd.DataFrame({"n_li": np.array([n], dtype=np.int64),
+                         "revenue_e4": np.array([r], dtype=np.int64)})
+
+
+def q12_late_shipments(sf_dir: str, late_days: int = 90):
+    """TPC-H-Q12-shaped shipping-delay audit: per order priority, how
+    many lineitems shipped late (l_shipdate > o_orderdate + late_days)
+    vs on time. The orderkey->（orderdate, priority) side is adaptive
+    (broadcast sorted arrays under the cap — orderdate as int64 epoch-days
+    so the compare is pure integer — hash exchange past it); the lineitem
+    pass is stateless. Priorities are a bounded domain, so partials fold
+    per batch into a <= |priorities| final aggregate. Emits
+    (o_orderpriority, n_late, n_ontime)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    n_ord = orders.count()
+    if n_ord <= Q3_BROADCAST_CAP:
+        odf = orders.to_pandas().sort_values("o_orderkey")
+        okeys = odf["o_orderkey"].to_numpy(np.int64)
+        odays = pd.DatetimeIndex(odf["o_orderdate"]).values \
+            .astype("datetime64[D]").astype(np.int64)
+        uprio, pid = np.unique(odf["o_orderpriority"].to_numpy(object),
+                               return_inverse=True)
+        oref = ray.put((okeys, odays, pid.astype(np.int64)))
+        prios = [str(p) for p in uprio]
+
+        def fold(b: pa.Table, _o=oref, _np=len(prios)) -> pa.Table:
+            ok, od, opr = ray.get(_o)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sd = pd.DatetimeIndex(b.column("l_shipdate").to_pandas()) \
+                .values.astype("datetime64[D]").astype(np.int64)
+            pos = np.clip(np.searchsorted(ok, lk), 0, len(ok) - 1)
+            hit = ok[pos] == lk
+            late = hit & (sd > od[pos] + late_days)
+            ontime = hit & ~late
+            pr = opr[pos]
+            nl = np.bincount(pr[late], minlength=_np).astype(np.int64)
+            no = np.bincount(pr[ontime], minlength=_np).astype(np.int64)
+            return pa.table({"p": pa.array(np.arange(_np, dtype=np.int64)),
+                             "n_late": pa.array(nl),
+                             "n_ontime": pa.array(no)})
+
+        agg = (li.map_batches(fold, batch_format="pyarrow")
+               .groupby("p")
+               .aggregate(Sum("n_late", alias_name="n_late"),
+                          Sum("n_ontime", alias_name="n_ontime"))
+               .to_pandas())
+        agg["o_orderpriority"] = agg["p"].map(dict(enumerate(prios)))
+    else:
+        est = (li.size_bytes() or 0) + (orders.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        joined = li.join(orders, join_type="inner",
+                         num_partitions=n_parts,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def jfold(b: pa.Table) -> pa.Table:
+            sd = pd.DatetimeIndex(b.column("l_shipdate").to_pandas()) \
+                .values.astype("datetime64[D]").astype(np.int64)
+            od = pd.DatetimeIndex(b.column("o_orderdate").to_pandas()) \
+                .values.astype("datetime64[D]").astype(np.int64)
+            late = sd > od + late_days
+            df = pd.DataFrame({
+                "o_orderpriority": b.column("o_orderpriority")
+                .to_numpy(zero_copy_only=False),
+                "n_late": late.astype(np.int64),
+                "n_ontime": (~late).astype(np.int64)})
+            g = df.groupby("o_orderpriority", as_index=False).agg(
+                n_late=("n_late", "sum"), n_ontime=("n_ontime", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = (joined.map_batches(jfold, batch_format="pyarrow")
+               .groupby("o_orderpriority")
+               .aggregate(Sum("n_late", alias_name="n_late"),
+                          Sum("n_ontime", alias_name="n_ontime"))
+               .to_pandas())
+
+    agg = agg[(agg["n_late"] + agg["n_ontime"]) > 0]
+    agg["n_late"] = agg["n_late"].astype(np.int64)
+    agg["n_ontime"] = agg["n_ontime"].astype(np.int64)
+    return (agg[["o_orderpriority", "n_late", "n_ontime"]]
+            .sort_values("o_orderpriority").reset_index(drop=True))

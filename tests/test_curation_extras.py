@@ -1501,3 +1501,66 @@ def test_q7_hash_join_path_equals_broadcast(ray_session, monkeypatch):
     monkeypatch.setattr(Q, "Q3_BROADCAST_CAP", 0)
     got = Q.q7_volume_shipping(sf)
     assert got.equals(want)
+
+
+def test_q19_disjunction_matches_oracle(ray_session):
+    from rayschema.queries import q19_discounted_revenue
+
+    sf = "/root/testdata/sf0.001"
+    out = q19_discounted_revenue(sf)
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH li AS (
+          SELECT CAST(l.l_quantity AS BIGINT) AS q,
+                 CAST(round(l.l_extendedprice*100) AS BIGINT)
+                   * CAST(round((1-l.l_discount)*100) AS BIGINT) AS rev,
+                 p.p_brand, CAST(p.p_size AS BIGINT) AS p_size
+          FROM read_parquet('{sf}/lineitem.parquet') l
+          JOIN read_parquet('{sf}/part.parquet') p
+            ON l.l_partkey = p.p_partkey)
+        SELECT count(*)::BIGINT,
+               CAST(COALESCE(sum(rev), 0) AS BIGINT)
+        FROM li
+        WHERE (p_brand='Brand#11' AND p_size BETWEEN 1 AND 5
+               AND q BETWEEN 1 AND 11)
+           OR (p_brand='Brand#22' AND p_size BETWEEN 1 AND 10
+               AND q BETWEEN 10 AND 20)
+           OR (p_brand='Brand#33' AND p_size BETWEEN 1 AND 15
+               AND q BETWEEN 20 AND 30)""").fetchone()
+    assert int(out["n_li"][0]) == want[0] and want[0] > 0
+    assert int(out["revenue_e4"][0]) == want[1]
+
+
+def test_q12_late_boundary_exact_day(ray_session, tmp_path):
+    from rayschema.queries import q12_late_shipments
+
+    # one order, three lineitems: 90 days = ON TIME (<=), 91 = late
+    orders = pd.DataFrame({
+        "o_orderkey": np.array([1], dtype=np.int64),
+        "o_custkey": np.array([1], dtype=np.int64),
+        "o_orderstatus": ["O"], "o_totalprice": [1.0],
+        "o_orderdate": pd.to_datetime(["2024-01-01"]),
+        "o_orderpriority": ["1-URGENT"]})
+    li = pd.DataFrame({
+        "l_orderkey": np.array([1, 1, 1], dtype=np.int64),
+        "l_shipdate": pd.to_datetime(
+            ["2024-03-31", "2024-03-31", "2024-04-01"])})
+    # 2024-01-01 + 90 days = 2024-03-31
+    pq.write_table(pa.Table.from_pandas(orders, preserve_index=False),
+                   os.path.join(tmp_path, "orders.parquet"))
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   os.path.join(tmp_path, "lineitem.parquet"))
+    out = q12_late_shipments(str(tmp_path))
+    assert out["o_orderpriority"].tolist() == ["1-URGENT"]
+    assert out["n_late"].tolist() == [1]
+    assert out["n_ontime"].tolist() == [2]
+
+
+def test_q12_join_path_equals_broadcast(ray_session, monkeypatch):
+    import rayschema.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    want = Q.q12_late_shipments(sf)
+    monkeypatch.setattr(Q, "Q3_BROADCAST_CAP", 0)
+    got = Q.q12_late_shipments(sf)
+    assert got.equals(want)
