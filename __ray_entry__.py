@@ -309,6 +309,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": Q.distinct_users_per_type,
         "q19_discounted_revenue": Q.q19_discounted_revenue,
         "q12_late_shipments": Q.q12_late_shipments,
+        "q8_market_share": Q.q8_market_share,
+        "parts_supplier_diversity": Q.parts_supplier_diversity,
     }
 
 
@@ -2174,4 +2176,36 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 END), 0) AS BIGINT) AS n_ontime
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority""",
+        "q8_market_share": """
+            WITH ln AS (
+              SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                     CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l.l_discount) * 100) AS BIGINT)
+                       AS rev,
+                     s.s_nationkey AS sn
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+              JOIN region r ON nc.n_regionkey = r.r_regionkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              WHERE r.r_name = 'AFRICA'),
+            tk AS (SELECT n_nationkey FROM nation
+                   WHERE n_name = 'NATION_5'),
+            ag AS (SELECT o_year,
+                          CAST(sum(rev) AS BIGINT) AS total_e4,
+                          CAST(COALESCE(sum(CASE WHEN ln.sn =
+                               (SELECT n_nationkey FROM tk)
+                               THEN rev END), 0) AS BIGINT) AS nation_e4
+                   FROM ln GROUP BY o_year)
+            SELECT o_year, total_e4, nation_e4,
+                   CASE WHEN total_e4 > 0
+                        THEN nation_e4 * 1000000 // total_e4
+                        ELSE 0 END AS share_ppm
+            FROM ag""",
+        "parts_supplier_diversity": """
+            SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+                   count(DISTINCT l.l_suppkey)::BIGINT AS n_suppliers
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand, p.p_size""",
     }

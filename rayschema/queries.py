@@ -6912,3 +6912,243 @@ def q12_late_shipments(sf_dir: str, late_days: int = 90):
     agg["n_ontime"] = agg["n_ontime"].astype(np.int64)
     return (agg[["o_orderpriority", "n_late", "n_ontime"]]
             .sort_values("o_orderpriority").reset_index(drop=True))
+
+
+def q8_market_share(sf_dir: str, nation: str = "NATION_5",
+                    region: str = "AFRICA"):
+    """TPC-H-Q8-shaped market share: the target nation's share of a
+    region's yearly customer revenue, supplier-side attributed. Reuses
+    the q5/q7 adaptive join skeleton — region->nations resolved on the
+    driver, in-region customers semi-filtered statelessly, the custkey
+    and orderkey joins adaptive broadcast-vs-hash — then per-batch
+    partials fold (year, total_e4, nation_e4) into a <= |years| result.
+    The share ships as floor-ppm with a CLEARED DENOMINATOR (no float
+    division crosses the oracle). Emits
+    (o_year, total_e4, nation_e4, share_ppm)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    reg = _read(sf_dir, "region").to_pandas()
+    rkeys = set(reg.loc[reg["r_name"] == region, "r_regionkey"]
+                .astype(np.int64))
+    nat = _read(sf_dir, "nation").to_pandas()
+    in_region = nat[nat["n_regionkey"].astype(np.int64).isin(rkeys)] \
+        .sort_values("n_nationkey")
+    nkeys = in_region["n_nationkey"].to_numpy(np.int64)
+    tgt = nat.loc[nat["n_name"] == nation, "n_nationkey"]
+    tgt_key = int(tgt.iloc[0]) if len(tgt) else -1
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas() \
+        .sort_values("s_suppkey")
+    sref = ray.put((sup["s_suppkey"].to_numpy(np.int64),
+                    sup["s_nationkey"].to_numpy(np.int64)))
+    nref = ray.put(nkeys)
+
+    def cust_filter(b: pa.Table, _n=nref) -> pa.Table:
+        nk = ray.get(_n)
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cn = b.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(nk):
+            p = np.clip(np.searchsorted(nk, cn), 0, len(nk) - 1)
+            keep = nk[p] == cn
+        else:
+            keep = np.zeros(len(ck), dtype=bool)
+        return pa.table({"c_custkey": pa.array(ck[keep])})
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_filter, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    n_cust = cust.count()
+    if n_cust <= Q3_BROADCAST_CAP:
+        ckeys = np.sort(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
+        cref = ray.put(ckeys)
+
+        def o_pick(b: pa.Table, _c=cref) -> pa.Table:
+            ck = ray.get(_c)
+            oc = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(ck):
+                p = np.clip(np.searchsorted(ck, oc), 0, len(ck) - 1)
+                keep = ck[p] == oc
+            else:
+                keep = np.zeros(len(oc), dtype=bool)
+            ok_ = b.column("o_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            yr = pd.DatetimeIndex(
+                b.column("o_orderdate").to_pandas()).year \
+                .to_numpy(np.int64)
+            return pa.table({"o_orderkey": pa.array(ok_[keep]),
+                             "o_year": pa.array(yr[keep])})
+
+        ord_y = orders.map_batches(o_pick, batch_format="pyarrow")
+    else:
+        est = (orders.size_bytes() or 0) + (cust.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+
+        def add_year(b: pa.Table) -> pa.Table:
+            yr = pd.DatetimeIndex(
+                b.column("o_orderdate").to_pandas()).year \
+                .to_numpy(np.int64)
+            return pa.table({"o_orderkey": b.column("o_orderkey"),
+                             "o_custkey": b.column("o_custkey"),
+                             "o_year": pa.array(yr)})
+
+        ord_y = orders.map_batches(add_year, batch_format="pyarrow") \
+            .join(cust, join_type="inner", num_partitions=n_parts,
+                  on=("o_custkey",), right_on=("c_custkey",)) \
+            .select_columns(["o_orderkey", "o_year"])
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                        "l_discount"])
+
+    def li_prep(b: pa.Table, _s=sref) -> pa.Table:
+        sk, sn = ray.get(_s)
+        ls = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+        hit = sk[p] == ls
+        price = _cents(b.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        disc = np.round((1.0 - b.column("l_discount")
+                         .to_numpy(zero_copy_only=False)
+                         .astype(np.float64)) * 100).astype(np.int64)
+        lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"l_orderkey": pa.array(lk[hit]),
+                         "s_nationkey": pa.array(sn[p][hit]),
+                         "rev_e4": pa.array((price * disc)[hit])})
+
+    liq = li.map_batches(li_prep, batch_format="pyarrow")
+
+    n_ord = ord_y.count()
+    if n_ord <= Q3_BROADCAST_CAP:
+        odf = ord_y.to_pandas().sort_values("o_orderkey")
+        onref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                         odf["o_year"].to_numpy(np.int64)))
+
+        def attach(b: pa.Table, _o=onref) -> pa.Table:
+            ok, oy = ray.get(_o)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(ok):
+                p = np.clip(np.searchsorted(ok, lk), 0, len(ok) - 1)
+                hit = ok[p] == lk
+                yr = oy[p]
+            else:
+                hit = np.zeros(len(lk), dtype=bool)
+                yr = lk
+            return pa.table({
+                "s_nationkey": b.column("s_nationkey").filter(
+                    pa.array(hit)),
+                "rev_e4": b.column("rev_e4").filter(pa.array(hit)),
+                "o_year": pa.array(yr[hit])})
+
+        joined = liq.map_batches(attach, batch_format="pyarrow")
+    else:
+        est = (liq.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        joined = liq.join(ord_y, join_type="inner",
+                          num_partitions=n_parts,
+                          on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def fold(b: pa.Table, _t=tgt_key) -> pa.Table:
+        yr = b.column("o_year").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        rev = b.column("rev_e4").to_numpy(zero_copy_only=False)
+        sn = b.column("s_nationkey").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"o_year": yr, "total_e4": rev,
+                           "nation_e4": np.where(sn == _t, rev, 0)})
+        g = df.groupby("o_year", as_index=False).agg(
+            total_e4=("total_e4", "sum"), nation_e4=("nation_e4", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (joined.map_batches(fold, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(Sum("total_e4", alias_name="total_e4"),
+                      Sum("nation_e4", alias_name="nation_e4"))
+           .to_pandas())
+    if "total_e4" not in out.columns:
+        return pd.DataFrame({"o_year": pd.Series([], dtype=np.int64),
+                             "total_e4": pd.Series([], dtype=np.int64),
+                             "nation_e4": pd.Series([], dtype=np.int64),
+                             "share_ppm": pd.Series([], dtype=np.int64)})
+    out["o_year"] = out["o_year"].astype(np.int64)
+    out["total_e4"] = out["total_e4"].astype(np.int64)
+    out["nation_e4"] = out["nation_e4"].astype(np.int64)
+    out["share_ppm"] = np.where(
+        out["total_e4"] > 0,
+        (out["nation_e4"] * 1_000_000) // np.maximum(out["total_e4"], 1),
+        0).astype(np.int64)
+    return out.sort_values("o_year").reset_index(drop=True)
+
+
+def parts_supplier_diversity(sf_dir: str):
+    """Grouped COUNT DISTINCT over a join (TPC-H Q16's shape without the
+    partsupp table): how many DISTINCT suppliers ship each (p_brand,
+    p_size) part class, measured from lineitem. Per-batch local distinct
+    (brand-id, size, suppkey) triples (packed-key np.unique against the
+    BROADCAST part-attribute arrays — no join shuffle), global pair dedup
+    via one narrow groupby, and a bounded (brands x sizes) final fold.
+    Emits (p_brand, p_size, n_suppliers)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    pt = _read(sf_dir, "part",
+               columns=["p_partkey", "p_brand", "p_size"]).to_pandas() \
+        .sort_values("p_partkey")
+    pkeys = pt["p_partkey"].to_numpy(np.int64)
+    ubrand, bcode = np.unique(pt["p_brand"].to_numpy(object),
+                              return_inverse=True)
+    psize = pt["p_size"].to_numpy(np.int64)
+    pref = ray.put((pkeys, bcode.astype(np.int64), psize))
+    brands = [str(b) for b in ubrand]
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def local_triples(b: pa.Table, _p=pref) -> pa.Table:
+        pk, pb, ps = ray.get(_p)
+        ids = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sup = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.clip(np.searchsorted(pk, ids), 0, len(pk) - 1)
+        hit = pk[pos] == ids
+        bb, ss, sp = pb[pos][hit], ps[pos][hit], sup[hit]
+        key = (bb.astype(np.uint64) << np.uint64(56)) \
+            | (ss.astype(np.uint64) << np.uint64(40)) \
+            | sp.astype(np.uint64)
+        uk = np.unique(key)
+        return pa.table({
+            "b": pa.array((uk >> np.uint64(56)).astype(np.int64)),
+            "s": pa.array(((uk >> np.uint64(40))
+                           & np.uint64(0xFFFF)).astype(np.int64)),
+            "sup": pa.array((uk & np.uint64((1 << 40) - 1))
+                            .astype(np.int64))})
+
+    triples = (li.map_batches(local_triples, batch_format="pyarrow")
+               .groupby(["b", "s", "sup"]).count())
+
+    def fold(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "b": b.column("b").to_numpy(zero_copy_only=False),
+            "s": b.column("s").to_numpy(zero_copy_only=False)})
+        g = df.groupby(["b", "s"], as_index=False).size() \
+            .rename(columns={"size": "n_suppliers"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (triples.map_batches(fold, batch_format="pyarrow")
+           .groupby(["b", "s"])
+           .aggregate(Sum("n_suppliers", alias_name="n_suppliers"))
+           .to_pandas())
+    out["p_brand"] = out["b"].map(dict(enumerate(brands)))
+    out["p_size"] = out["s"].astype(np.int64)
+    out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
+    return (out[["p_brand", "p_size", "n_suppliers"]]
+            .sort_values(["p_brand", "p_size"]).reset_index(drop=True))

@@ -1564,3 +1564,72 @@ def test_q12_join_path_equals_broadcast(ray_session, monkeypatch):
     monkeypatch.setattr(Q, "Q3_BROADCAST_CAP", 0)
     got = Q.q12_late_shipments(sf)
     assert got.equals(want)
+
+
+def test_q8_share_ppm_invariants(ray_session):
+    from rayschema.queries import q8_market_share
+
+    sf = "/root/testdata/sf0.001"
+    out = q8_market_share(sf)
+    assert len(out) > 0
+    assert (out["nation_e4"] <= out["total_e4"]).all()
+    assert ((out["share_ppm"] >= 0) & (out["share_ppm"] <= 1000000)).all()
+    # ppm is the exact floor of the integer ratio
+    exp = (out["nation_e4"] * 1_000_000) // out["total_e4"]
+    assert out["share_ppm"].tolist() == exp.tolist()
+    # share sums: every year's total must equal the region revenue
+    con = duckdb.connect()
+    want = con.sql(f"""
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS y,
+               CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                    * CAST(round((1-l.l_discount)*100) AS BIGINT))
+                    AS BIGINT) AS t
+        FROM read_parquet('{sf}/lineitem.parquet') l
+        JOIN read_parquet('{sf}/orders.parquet') o
+          ON l.l_orderkey = o.o_orderkey
+        JOIN read_parquet('{sf}/customer.parquet') c
+          ON o.o_custkey = c.c_custkey
+        JOIN read_parquet('{sf}/nation.parquet') n
+          ON c.c_nationkey = n.n_nationkey
+        JOIN read_parquet('{sf}/region.parquet') r
+          ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'AFRICA'
+        GROUP BY 1 ORDER BY 1""").df()
+    got = out.sort_values("o_year")
+    assert got["o_year"].tolist() == want["y"].tolist()
+    assert got["total_e4"].tolist() == want["t"].tolist()
+
+
+def test_q8_join_paths_equal(ray_session, monkeypatch):
+    import rayschema.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    want = Q.q8_market_share(sf)
+    monkeypatch.setattr(Q, "Q3_BROADCAST_CAP", 0)
+    got = Q.q8_market_share(sf)
+    assert got.equals(want)
+
+
+def test_parts_supplier_diversity_planted(ray_session, tmp_path):
+    from rayschema.queries import parts_supplier_diversity
+
+    part = pd.DataFrame({
+        "p_partkey": np.array([1, 2, 3], dtype=np.int64),
+        "p_name": ["a", "b", "c"],
+        "p_brand": ["B1", "B1", "B2"],
+        "p_type": ["T"] * 3,
+        "p_size": np.array([5, 5, 9], dtype=np.int32),
+        "p_retailprice": [1.0, 2.0, 3.0]})
+    li = pd.DataFrame({
+        "l_partkey": np.array([1, 1, 2, 2, 3, 3, 3], dtype=np.int64),
+        "l_suppkey": np.array([10, 10, 10, 11, 12, 12, 13],
+                              dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(part, preserve_index=False),
+                   os.path.join(tmp_path, "part.parquet"))
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   os.path.join(tmp_path, "lineitem.parquet"))
+    out = parts_supplier_diversity(str(tmp_path))
+    # (B1,5): suppliers {10,11} across parts 1+2; (B2,9): {12,13}
+    assert out["p_brand"].tolist() == ["B1", "B2"]
+    assert out["p_size"].tolist() == [5, 9]
+    assert out["n_suppliers"].tolist() == [2, 2]
