@@ -1633,3 +1633,72 @@ def test_parts_supplier_diversity_planted(ray_session, tmp_path):
     assert out["p_brand"].tolist() == ["B1", "B2"]
     assert out["p_size"].tolist() == [5, 9]
     assert out["n_suppliers"].tolist() == [2, 2]
+
+
+def test_ttr_and_runs_random_cross_check(ray_session, tmp_path):
+    """200 random docs from a 6-word alphabet (heavy ties, empty tokens
+    from double spaces) cross-checked against pure-Python references."""
+    from collections import Counter
+
+    from rayschema.queries import max_token_run_documents, ttr_documents
+
+    rng = np.random.RandomState(42)
+    words = ["a", "b", "ab", "batch", "", "x"]
+    texts = []
+    for _ in range(200):
+        n = rng.randint(1, 30)
+        texts.append(" ".join(words[i] for i in rng.randint(0, 6, n)))
+    df = pd.DataFrame({
+        "doc_id": np.arange(200, dtype=np.int64), "text": texts,
+        "lang": ["en"] * 200, "source": ["s"] * 200,
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)})
+    sf = _write_docs(tmp_path, df)
+
+    out = ttr_documents(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    runs = max_token_run_documents(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        c = Counter(toks)
+        assert out["n_tokens"][i] == len(toks)
+        assert out["n_types"][i] == len(c)
+        assert out["n_hapax"][i] == sum(1 for v in c.values() if v == 1)
+        assert out["ttr_ppm"][i] == len(c) * 1_000_000 // len(toks)
+        # reference run-length scan
+        best, cur, best_toks = 1, 1, {toks[0]}
+        for a, b in zip(toks, toks[1:]):
+            cur = cur + 1 if a == b else 1
+            if cur > best:
+                best, best_toks = cur, {b}
+            elif cur == best:
+                best_toks.add(b)
+        assert runs["max_run"][i] == best
+        assert runs["run_token"][i] == min(best_toks)
+
+
+def test_char_entropy_random_cross_check(ray_session, tmp_path):
+    from collections import Counter
+
+    from rayschema.queries import char_entropy_documents
+
+    rng = np.random.RandomState(7)
+    alphabet = list("abc é世")       # multi-byte chars included
+    texts = ["".join(alphabet[i] for i in rng.randint(0, 6,
+                                                      rng.randint(1, 60)))
+             for _ in range(150)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(150, dtype=np.int64), "text": texts,
+        "lang": ["en"] * 150, "source": ["s"] * 150,
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)})
+    sf = _write_docs(tmp_path, df)
+    out = char_entropy_documents(sf).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    for i, t in enumerate(texts):
+        c = Counter(t)
+        n = len(t)
+        assert out["n_cp"][i] == n
+        assert out["n_distinct"][i] == len(c)
+        s = sum(k * np.log2(k) for k in c.values())
+        h = np.log2(float(n)) - s / n
+        assert out["entropy_mbits"][i] == int(np.floor(h * 1000))
