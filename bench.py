@@ -138,6 +138,12 @@ def run_bench() -> dict:
         ("q10_returned_items", Q.q10_returned_items),
         ("ttr_documents", Q.ttr_documents),
         ("max_token_run", Q.max_token_run_documents),
+        ("bloom_semi_join", Q.bloom_semi_join_orders),
+        ("distinct_users_per_type", Q.distinct_users_per_type),
+        ("q8_market_share", Q.q8_market_share),
+        ("q12_late_shipments", Q.q12_late_shipments),
+        ("q19_discounted_revenue", Q.q19_discounted_revenue),
+        ("parts_supplier_diversity", Q.parts_supplier_diversity),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s
