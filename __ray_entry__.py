@@ -311,6 +311,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_late_shipments": Q.q12_late_shipments,
         "q8_market_share": Q.q8_market_share,
         "parts_supplier_diversity": Q.parts_supplier_diversity,
+        "snapshot_diff_documents": Q.snapshot_diff_documents,
     }
 
 
@@ -2208,4 +2209,26 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT l.l_suppkey)::BIGINT AS n_suppliers
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
             GROUP BY p.p_brand, p.p_size""",
+        "snapshot_diff_documents": """
+            WITH v1 AS (SELECT doc_id, text, n_chars FROM documents),
+            v2b AS (SELECT doc_id,
+                           CASE WHEN doc_id % 5 = 0 THEN text || '!'
+                                ELSE text END AS text,
+                           CASE WHEN doc_id % 5 = 0 THEN n_chars + 1
+                                ELSE n_chars END AS n_chars
+                    FROM documents WHERE doc_id % 7 <> 0),
+            v2 AS (SELECT * FROM v2b
+                   UNION ALL
+                   SELECT doc_id + 10000000, text, n_chars FROM v2b
+                   WHERE doc_id % 11 = 0),
+            tagged AS (
+              SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                          WHEN v2.doc_id IS NULL THEN 'removed'
+                          WHEN v1.text IS DISTINCT FROM v2.text
+                            OR v1.n_chars IS DISTINCT FROM v2.n_chars
+                            THEN 'changed'
+                          ELSE 'unchanged' END AS class
+              FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+            SELECT class, count(*)::BIGINT AS n_docs
+            FROM tagged GROUP BY class""",
     }

@@ -7152,3 +7152,113 @@ def parts_supplier_diversity(sf_dir: str):
     out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
     return (out[["p_brand", "p_size", "n_suppliers"]]
             .sort_values(["p_brand", "p_size"]).reset_index(drop=True))
+
+
+def snapshot_diff_documents(sf_dir: str):
+    """Corpus snapshot diff (set ops between two table versions): classify
+    every doc_id as added / removed / changed / unchanged between v1 (the
+    documents table) and a DETERMINISTICALLY derived v2 (doc_id % 7 == 0
+    dropped; doc_id % 5 == 0 gets text+'!' and n_chars+1; doc_id % 11 == 0
+    re-added under doc_id + 10_000_000 — so all four classes occur). Both
+    sides tag a side bit and UNION into ONE doc_id-keyed sorted_group_scan;
+    a vectorized block kernel classifies complete groups (size-1 groups
+    split by side; size-2 groups compare payload equality) and ships only
+    <= 4 (class, n) partial rows per block. At 100 TB the payload compare
+    would ride an 8-byte content fingerprint (fingerprint_documents) so
+    text never shuffles; at audit scale the exact string compare keeps the
+    oracle boundary trivial. Emits (class, n_docs)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def v1(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": b.column("text"),
+                         "n_chars": b.column("n_chars"),
+                         "side": pa.array(
+                             np.zeros(b.num_rows, dtype=np.int64))})
+
+    def v2(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = ids % 7 != 0
+        t = b.filter(pa.array(keep))
+        kids = ids[keep]
+        mod = kids % 5 == 0
+        txt = t.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        bumped = pc.binary_join_element_wise(txt, pa.scalar("!"),
+                                             pa.scalar(""))
+        new_txt = pc.if_else(pa.array(mod), bumped, txt)
+        nch = t.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64) + mod.astype(np.int64)
+        base = pa.table({"doc_id": pa.array(kids),
+                         "text": new_txt,
+                         "n_chars": pa.array(nch),
+                         "side": pa.array(np.ones(len(kids),
+                                                  dtype=np.int64))})
+        adds = kids % 11 == 0
+        extra = pa.table({"doc_id": pa.array(kids[adds] + 10_000_000),
+                          "text": new_txt.filter(pa.array(adds)),
+                          "n_chars": pa.array(nch[adds]),
+                          "side": pa.array(np.ones(int(adds.sum()),
+                                                   dtype=np.int64))})
+        return pa.concat_tables([base, extra])
+
+    both = (ds.map_batches(v1, batch_format="pyarrow")
+            .union(ds.map_batches(v2, batch_format="pyarrow")))
+
+    out_schema = pa.schema([("class", pa.string()), ("n", pa.int64())])
+    CLASSES = np.array(["added", "removed", "changed", "unchanged"],
+                       dtype=object)
+
+    def classify(side, texts, nchars, starts, ends):
+        """Vectorized class codes for groups given by [starts, ends)."""
+        size = ends - starts
+        code = np.empty(len(starts), dtype=np.int64)
+        one = size == 1
+        code[one] = np.where(side[starts[one]] == 1, 0, 1)
+        two = ~one
+        a, bidx = starts[two], starts[two] + 1
+        if len(a):
+            eq_t = pc.equal(texts.take(pa.array(a)),
+                            texts.take(pa.array(bidx)))
+            eq_t = pc.fill_null(eq_t, False).to_numpy(
+                zero_copy_only=False)
+            same = eq_t & (nchars[a] == nchars[bidx])
+            code[two] = np.where(same, 3, 2)
+        return code
+
+    def block_fn(block, starts, ends, want):
+        s, e = starts[want], ends[want]
+        if not len(s):
+            return None
+        side = block.column("side").to_numpy(zero_copy_only=False)
+        nch = block.column("n_chars").to_numpy(zero_copy_only=False)
+        txt = block.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        code = classify(side, txt, nch, s, e)
+        cnt = np.bincount(code, minlength=4).astype(np.int64)
+        nz = cnt > 0
+        return pa.table({"class": pa.array(CLASSES[nz]),
+                         "n": pa.array(cnt[nz])})
+
+    def group_fn(g: pa.Table):
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        nch = g.column("n_chars").to_numpy(zero_copy_only=False)
+        txt = g.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        code = classify(side, txt, nch, np.array([0]),
+                        np.array([g.num_rows]))
+        return pa.table({"class": pa.array(CLASSES[code]),
+                         "n": pa.array(np.ones(1, dtype=np.int64))})
+
+    parts = sorted_group_scan(both, ["doc_id"], group_fn, out_schema,
+                              block_fn=block_fn).to_pandas()
+    out = parts.groupby("class", as_index=False)["n"].sum() \
+        .rename(columns={"n": "n_docs"})
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values("class").reset_index(drop=True)

@@ -1702,3 +1702,23 @@ def test_char_entropy_random_cross_check(ray_session, tmp_path):
         s = sum(k * np.log2(k) for k in c.values())
         h = np.log2(float(n)) - s / n
         assert out["entropy_mbits"][i] == int(np.floor(h * 1000))
+
+
+def test_snapshot_diff_classes_planted(ray_session, tmp_path):
+    from rayschema.queries import snapshot_diff_documents
+
+    # doc ids chosen so every class occurs:
+    #   7,14 -> removed (%7==0); 5 -> changed (%5==0); 11 -> unchanged
+    #   AND re-added under 10_000_011 (%11==0); 1,2 -> unchanged
+    ids = np.array([1, 2, 5, 7, 11, 14], dtype=np.int64)
+    df = pd.DataFrame({
+        "doc_id": ids,
+        "text": [f"t{i}" for i in ids],
+        "lang": ["en"] * 6, "source": ["s"] * 6,
+        "n_chars": np.array([2] * 6, dtype=np.int64)})
+    sf = _write_docs(tmp_path, df)
+    out = snapshot_diff_documents(sf).set_index("class")["n_docs"]
+    assert out["removed"] == 2          # 7, 14
+    assert out["changed"] == 1          # 5
+    assert out["added"] == 1            # 10_000_011
+    assert out["unchanged"] == 3        # 1, 2, 11
