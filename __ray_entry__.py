@@ -312,6 +312,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": Q.q8_market_share,
         "parts_supplier_diversity": Q.parts_supplier_diversity,
         "snapshot_diff_documents": Q.snapshot_diff_documents,
+        "q6_forecast_revenue": Q.q6_forecast_revenue,
+        "q15_top_supplier": Q.q15_top_supplier,
+        "q18_large_volume_customers": Q.q18_large_volume_customers,
     }
 
 
@@ -2231,4 +2234,43 @@ def oracle_sql() -> dict[str, str]:
               FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
             SELECT class, count(*)::BIGINT AS n_docs
             FROM tagged GROUP BY class""",
+        "q6_forecast_revenue": """
+            WITH li AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT) AS rev
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01'
+                AND l_quantity < 24
+                AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7)
+            SELECT count(*)::BIGINT AS n_li,
+                   CAST(COALESCE(sum(rev), 0) AS BIGINT) AS revenue_e6
+            FROM li""",
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                          AS BIGINT) AS total_revenue_e4
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1996-04-01'
+              GROUP BY l_suppkey)
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
+            FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            WHERE r.total_revenue_e4 = (SELECT max(total_revenue_e4)
+                                        FROM rev)""",
+        "q18_large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 250)
+            SELECT o.o_custkey AS c_custkey, c.c_name, o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS total_cents,
+                   b.sum_qty
+            FROM big b
+            JOIN orders o ON b.l_orderkey = o.o_orderkey
+            LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
     }

@@ -7262,3 +7262,176 @@ def snapshot_diff_documents(sf_dir: str):
         .rename(columns={"n": "n_docs"})
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out.sort_values("class").reset_index(drop=True)
+
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped forecasting filter-aggregate: revenue delta from
+    lineitems in one year with discount in a band and small quantity —
+    the pure scan-and-fold query: year cut PUSHED TO THE PARQUET SCAN,
+    discount band as an exact integer-percent compare (round(d*100) in
+    [5, 7]), quantity < 24, revenue = price_cents x disc_pct summed as
+    one e6 integer. One stateless pass, one 1-row fold. Emits
+    (n_li, revenue_e6)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    llo = _pq_schema_scalar(lpath, "l_shipdate", lo)
+    lhi = _pq_schema_scalar(lpath, "l_shipdate", hi)
+    lkw = {} if llo is None else dict(
+        filter=(pads.field("l_shipdate") >= llo)
+        & (pads.field("l_shipdate") < lhi))
+    li = rd.read_parquet(
+        lpath, columns=["l_quantity", "l_extendedprice", "l_discount",
+                        "l_shipdate"], **lkw)
+    if llo is None:
+        li = li.filter(lambda r: lo.to_datetime64() <= r["l_shipdate"]
+                       < hi.to_datetime64())
+
+    def fold(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        dpct = np.round(b.column("l_discount")
+                        .to_numpy(zero_copy_only=False) * 100) \
+            .astype(np.int64)
+        sel = (q < 24) & (dpct >= 5) & (dpct <= 7)
+        price = _cents(b.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        rev = (price * dpct)[sel]
+        return pa.table({"n": pa.array([int(sel.sum())]),
+                         "r": pa.array([int(rev.sum())])})
+
+    tot = (li.map_batches(fold, batch_format="pyarrow")
+           .aggregate(Sum("n", alias_name="n"), Sum("r", alias_name="r")))
+    n = int(tot.get("sum(n)", tot.get("n", 0)) or 0)
+    r = int(tot.get("sum(r)", tot.get("r", 0)) or 0)
+    return pd.DataFrame({"n_li": np.array([n], dtype=np.int64),
+                         "revenue_e6": np.array([r], dtype=np.int64)})
+
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H-Q15-shaped top supplier: the supplier(s) with MAX revenue in
+    one quarter — the max-with-ties pattern (Q15's view + HAVING = MAX
+    subquery). One narrow quarter-cut lineitem pass pre-aggregates
+    (suppkey, rev_e4) partials, one small groupby folds per supplier, and
+    the global max + the tied winners resolve from the supplier-sized
+    result with names looked up only for winners. Emits
+    (s_suppkey, s_name, total_revenue_e4)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1996-04-01")
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    llo = _pq_schema_scalar(lpath, "l_shipdate", lo)
+    lhi = _pq_schema_scalar(lpath, "l_shipdate", hi)
+    lkw = {} if llo is None else dict(
+        filter=(pads.field("l_shipdate") >= llo)
+        & (pads.field("l_shipdate") < lhi))
+    li = rd.read_parquet(
+        lpath, columns=["l_suppkey", "l_extendedprice", "l_discount",
+                        "l_shipdate"], **lkw)
+    if llo is None:
+        li = li.filter(lambda r: lo.to_datetime64() <= r["l_shipdate"]
+                       < hi.to_datetime64())
+
+    def partial(b: pa.Table) -> pa.Table:
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        price = _cents(b.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        disc = np.round((1.0 - b.column("l_discount")
+                         .to_numpy(zero_copy_only=False)
+                         .astype(np.float64)) * 100).astype(np.int64)
+        rev = price * disc
+        us, inv = np.unique(sk, return_inverse=True)
+        return pa.table({"s": pa.array(us),
+                         "r": pa.array(np.bincount(inv, weights=rev)
+                                       .astype(np.int64))})
+
+    per_supp = (li.map_batches(partial, batch_format="pyarrow")
+                .groupby("s").aggregate(Sum("r", alias_name="r"))
+                .to_pandas())
+    if not len(per_supp):
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object),
+                             "total_revenue_e4": pd.Series([],
+                                                           dtype=np.int64)})
+    best = int(per_supp["r"].max())
+    win = per_supp[per_supp["r"] == best].sort_values("s")
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_name"]).to_pandas()
+    out = win.merge(sup, left_on="s", right_on="s_suppkey", how="left")
+    out = out.rename(columns={"r": "total_revenue_e4"})
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["total_revenue_e4"] = out["total_revenue_e4"].astype(np.int64)
+    return (out[["s_suppkey", "s_name", "total_revenue_e4"]]
+            .sort_values("s_suppkey").reset_index(drop=True))
+
+
+def q18_large_volume_customers(sf_dir: str, qty_threshold: int = 250):
+    """TPC-H-Q18-shaped large-volume customer report: orders whose TOTAL
+    lineitem quantity exceeds a threshold, with customer and order
+    attributes. Plan: one narrow (orderkey, qty) lineitem pass
+    pre-aggregates per-batch partials -> one 16 B-row groupby -> the
+    qualifying orderkey set (HAVING sum > T) broadcasts as a sorted
+    array (Q4's EXISTS shape — it shrinks ~1000x past the threshold) ->
+    one orders pass attaches (custkey, orderdate cents) statelessly ->
+    customer names looked up only for the qualifying rows. Emits
+    (c_custkey, c_name, o_orderkey, total_cents, sum_qty)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        q = b.column("l_quantity").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uo, inv = np.unique(ok, return_inverse=True)
+        return pa.table({"o": pa.array(uo),
+                         "q": pa.array(np.bincount(inv, weights=q)
+                                       .astype(np.int64))})
+
+    per_order = (li.map_batches(partial, batch_format="pyarrow")
+                 .groupby("o").aggregate(Sum("q", alias_name="q"))
+                 .to_pandas())
+    big = per_order[per_order["q"] > qty_threshold].sort_values("o")
+    okeys = big["o"].to_numpy(np.int64)
+    oqty = big["q"].to_numpy(np.int64)
+    oref = ray.put((okeys, oqty))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def attach(b: pa.Table, _o=oref) -> pa.Table:
+        ok, oq = ray.get(_o)
+        keys = b.column("o_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(ok):
+            p = np.clip(np.searchsorted(ok, keys), 0, len(ok) - 1)
+            hit = ok[p] == keys
+        else:
+            hit = np.zeros(len(keys), dtype=bool)
+            p = np.zeros(len(keys), dtype=np.int64)
+        t = b.filter(pa.array(hit))
+        cents = _cents(t.column("o_totalprice")
+                       .to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": t.column("o_orderkey"),
+                         "c_custkey": t.column("o_custkey"),
+                         "total_cents": pa.array(cents),
+                         "sum_qty": pa.array(oq[p[hit]])})
+
+    rows = orders.map_batches(attach, batch_format="pyarrow").to_pandas()
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name"]).to_pandas()
+    out = rows.merge(cust, on="c_custkey", how="left")
+    for c in ("c_custkey", "o_orderkey", "total_cents", "sum_qty"):
+        out[c] = out[c].astype(np.int64)
+    return (out[["c_custkey", "c_name", "o_orderkey", "total_cents",
+                 "sum_qty"]]
+            .sort_values(["sum_qty", "o_orderkey"],
+                         ascending=[False, True])
+            .reset_index(drop=True))

@@ -1722,3 +1722,59 @@ def test_snapshot_diff_classes_planted(ray_session, tmp_path):
     assert out["changed"] == 1          # 5
     assert out["added"] == 1            # 10_000_011
     assert out["unchanged"] == 3        # 1, 2, 11
+
+
+def test_q15_max_with_ties(ray_session, tmp_path):
+    from rayschema.queries import q15_top_supplier
+
+    # two suppliers tie at the max: both must be emitted
+    li = pd.DataFrame({
+        "l_suppkey": np.array([1, 1, 2, 3], dtype=np.int64),
+        "l_extendedprice": [100.0, 100.0, 200.0, 50.0],
+        "l_discount": [0.0, 0.0, 0.0, 0.0],
+        "l_shipdate": pd.to_datetime(["1996-02-01"] * 4)})
+    sup = pd.DataFrame({
+        "s_suppkey": np.array([1, 2, 3], dtype=np.int64),
+        "s_name": ["S1", "S2", "S3"],
+        "s_nationkey": np.array([0, 0, 0], dtype=np.int32),
+        "s_acctbal": [1.0, 2.0, 3.0]})
+    pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                   os.path.join(tmp_path, "lineitem.parquet"))
+    pq.write_table(pa.Table.from_pandas(sup, preserve_index=False),
+                   os.path.join(tmp_path, "supplier.parquet"))
+    out = q15_top_supplier(str(tmp_path))
+    assert out["s_suppkey"].tolist() == [1, 2]
+    assert out["s_name"].tolist() == ["S1", "S2"]
+    assert out["total_revenue_e4"].nunique() == 1
+
+
+def test_q18_threshold_and_q6_band(ray_session):
+    from rayschema.queries import (q6_forecast_revenue,
+                                   q18_large_volume_customers)
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    out18 = q18_large_volume_customers(sf, qty_threshold=150)
+    want18 = con.sql(f"""
+        WITH big AS (SELECT l_orderkey,
+                            CAST(sum(l_quantity) AS BIGINT) AS sq
+                     FROM read_parquet('{sf}/lineitem.parquet')
+                     GROUP BY l_orderkey HAVING sum(l_quantity) > 150)
+        SELECT b.l_orderkey, b.sq FROM big b ORDER BY b.l_orderkey""").df()
+    got = out18.sort_values("o_orderkey")
+    assert got["o_orderkey"].tolist() == want18["l_orderkey"].tolist()
+    assert got["sum_qty"].tolist() == want18["sq"].tolist()
+    assert (got["sum_qty"] > 150).all()
+    out6 = q6_forecast_revenue(sf)
+    want6 = con.sql(f"""
+        SELECT count(*),
+               CAST(COALESCE(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                    * CAST(round(l_discount*100) AS BIGINT)), 0) AS BIGINT)
+        FROM read_parquet('{sf}/lineitem.parquet')
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND l_quantity < 24
+          AND CAST(round(l_discount*100) AS BIGINT) BETWEEN 5 AND 7""") \
+        .fetchone()
+    assert int(out6["n_li"][0]) == want6[0] and want6[0] > 0
+    assert int(out6["revenue_e6"][0]) == want6[1]
