@@ -439,6 +439,79 @@ def run_dedup_scale() -> dict:
     return out
 
 
+def run_join_scale() -> dict:
+    """Fact-table-size scaling probe for the adaptive join pipelines
+    (BASELINE.md): times q7_volume_shipping and q10_returned_items at
+    sf0.1 and at a synthesized 2x where ONLY the fact tables grow —
+    lineitem and orders are doubled under shifted orderkeys while the
+    dimension tables (customer/supplier/nation/region/part) stay fixed,
+    which is exactly how a warehouse grows. A wall-time growth ratio at
+    or below 2.0 demonstrates the join plans stay linear in fact rows
+    (broadcast sides and fold sizes are unchanged)."""
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from rayschema import queries as Q
+
+    sf2 = os.path.join(BENCH_ROOT, "sf0.1_facts2x")
+    marker = os.path.join(sf2, "_COMPLETE")
+    SHIFT = 100_000_000
+    if not os.path.exists(marker):
+        shutil.rmtree(sf2, ignore_errors=True)
+        os.makedirs(sf2, exist_ok=True)
+        for dim in ("customer", "supplier", "nation", "region", "part",
+                    "events", "documents", "embeddings"):
+            srcp = os.path.join(SF_DIR, f"{dim}.parquet")
+            if os.path.exists(srcp):
+                os.link(srcp, os.path.join(sf2, f"{dim}.parquet"))
+        import pyarrow.parquet as pqm
+        for fact, keycol in (("orders", "o_orderkey"),
+                             ("lineitem", "l_orderkey")):
+            t = pqm.read_table(os.path.join(SF_DIR, f"{fact}.parquet"))
+            shifted = t.set_column(
+                t.column_names.index(keycol), keycol,
+                pa.array(t.column(keycol).to_numpy(zero_copy_only=False)
+                         + SHIFT))
+            pqm.write_table(pa.concat_tables([t, shifted]),
+                            os.path.join(sf2, f"{fact}.parquet"),
+                            row_group_size=128 * 1024)
+        open(marker, "w").write("ok")
+
+    for d in (SF_DIR, sf2):   # warm both (untimed)
+        rd.read_parquet(os.path.join(d, "lineitem.parquet")).count()
+
+    out: dict = {"metric": "join wall-time growth for 2x fact tables "
+                           "(dimensions fixed), best-of-2 each",
+                 "unit": "ratio", "num_cpus": NUM_CPUS}
+    for qname, fn in [("q7_volume_shipping", Q.q7_volume_shipping),
+                      ("q10_returned_items", Q.q10_returned_items)]:
+        per = {}
+        for tag, d in [("1x", SF_DIR), ("2x_facts", sf2)]:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                r = fn(d)
+                if hasattr(r, "to_pandas"):
+                    r.to_pandas()
+                best = min(best, time.time() - t0)
+            per[tag] = round(best, 3)
+        per["growth_ratio_for_2x_facts"] = round(
+            per["2x_facts"] / per["1x"], 3)
+        out[qname] = per
+    ray.shutdown()
+    return out
+
+
 def run_serde_bench(reps: int = 200) -> dict:
     """Serde micro-bench, the mirror of the reference's typed-vs-raw
     un/marshal benchmarks over the draft-07 meta-schema
@@ -482,6 +555,8 @@ if __name__ == "__main__":
         print(json.dumps(run_stage1_bench()))
     elif "--serde" in sys.argv:
         print(json.dumps(run_serde_bench()))
+    elif "--join-scale" in sys.argv:
+        print(json.dumps(run_join_scale()))
     elif "--dedup-scale" in sys.argv:
         print(json.dumps(run_dedup_scale()))
     else:
