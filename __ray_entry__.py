@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q15_top_supplier": Q.q15_top_supplier,
         "q18_large_volume_customers": Q.q18_large_volume_customers,
+        "out_of_order_events": Q.out_of_order_events,
     }
 
 
@@ -2273,4 +2274,19 @@ def oracle_sql() -> dict[str, str]:
             FROM big b
             JOIN orders o ON b.l_orderkey = o.o_orderkey
             LEFT JOIN customer c ON o.o_custkey = c.c_custkey""",
+        "out_of_order_events": """
+            WITH w AS (
+              SELECT user_id, ts,
+                     max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_max
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   CAST(COALESCE(sum(CASE WHEN ts < prev_max THEN 1 END),
+                                 0) AS BIGINT) AS n_late,
+                   CAST(COALESCE(max(CASE WHEN ts < prev_max THEN
+                                 epoch_us(prev_max) - epoch_us(ts) END),
+                                 0) AS BIGINT) AS max_disorder_us
+            FROM w GROUP BY user_id""",
     }

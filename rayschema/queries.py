@@ -7435,3 +7435,78 @@ def q18_large_volume_customers(sf_dir: str, qty_threshold: int = 250):
             .sort_values(["sum_qty", "o_orderkey"],
                          ascending=[False, True])
             .reset_index(drop=True))
+
+
+def out_of_order_events(sf_dir: str):
+    """Streaming-ingestion disorder audit: per user, how many events
+    ARRIVED out of timestamp order (arrival order = event_id) and the
+    worst disorder in microseconds — the watermark-lag statistic a
+    streaming sink needs to size its reorder buffer. ONE user-keyed
+    sorted_group_scan ordered by event_id; the block kernel computes the
+    per-user running max via pandas' C-speed groupby cummax + shift (no
+    per-group Python), so each block emits one row per complete user.
+    Emits (user_id, n_events, n_late, max_disorder_us)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.is_valid(b.column("ts"))))
+        us = pd.DatetimeIndex(t.column("ts").to_pandas()).values \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(t.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "event_id": pa.array(t.column("event_id")
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64)),
+            "ts_us": pa.array(us)})
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("n_events", pa.int64()),
+                            ("n_late", pa.int64()),
+                            ("max_disorder_us", pa.int64())])
+
+    def _profile(uid, ts):
+        """(per-row gidx-keyed) disorder stats via pandas C kernels."""
+        s = pd.Series(ts)
+        g = s.groupby(uid)
+        prev_max = g.cummax().groupby(uid).shift(1)
+        late = s < prev_max
+        dis = (prev_max - s).where(late, 0).fillna(0).astype(np.int64)
+        df = pd.DataFrame({"u": uid, "late": late.astype(np.int64),
+                           "dis": dis})
+        agg = df.groupby("u", as_index=False).agg(
+            n_events=("late", "size"), n_late=("late", "sum"),
+            max_disorder_us=("dis", "max"))
+        return agg
+
+    def block_fn(block, starts, ends, want):
+        if not want.any():
+            return None
+        uid = block.column("user_id").to_numpy(zero_copy_only=False)
+        ts = block.column("ts_us").to_numpy(zero_copy_only=False)
+        # complete-group row mask via one diff-array cumsum (no group loop)
+        flags = np.zeros(len(uid) + 1, dtype=np.int64)
+        np.add.at(flags, starts[want], 1)
+        np.add.at(flags, ends[want], -1)
+        keep = np.cumsum(flags[:-1]) > 0
+        agg = _profile(uid[keep], ts[keep])
+        return pa.Table.from_pandas(
+            agg.rename(columns={"u": "user_id"}), preserve_index=False) \
+            .cast(out_schema)
+
+    def group_fn(g: pa.Table):
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        agg = _profile(uid, ts)
+        return pa.Table.from_pandas(
+            agg.rename(columns={"u": "user_id"}), preserve_index=False) \
+            .cast(out_schema)
+
+    res = sorted_group_scan(ds.map_batches(narrow, batch_format="pyarrow"),
+                            ["user_id"], group_fn, out_schema,
+                            block_fn=block_fn, order_cols=["event_id"])
+    return res

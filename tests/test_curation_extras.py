@@ -1778,3 +1778,27 @@ def test_q18_threshold_and_q6_band(ray_session):
         .fetchone()
     assert int(out6["n_li"][0]) == want6[0] and want6[0] > 0
     assert int(out6["revenue_e6"][0]) == want6[1]
+
+
+def test_out_of_order_events_planted(ray_session, tmp_path):
+    from rayschema.queries import out_of_order_events
+
+    # user 1: arrival order (by event_id) has ts 10, 30, 20, 25, 40:
+    #   e2 (20 < 30) late by 10us, e3 (25 < 30) late by 5us -> n_late 2
+    # user 2: strictly increasing -> 0 late
+    base = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame({
+        "event_id": np.array([1, 2, 3, 4, 5, 6, 7], dtype=np.int64),
+        "ts": [base + pd.Timedelta(microseconds=u)
+               for u in [10, 30, 20, 25, 40, 100, 200]],
+        "user_id": np.array([1, 1, 1, 1, 1, 2, 2], dtype=np.int64),
+        "event_type": ["view"] * 7, "value": np.ones(7),
+        "props": ["{}"] * 7})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   os.path.join(tmp_path, "events.parquet"))
+    out = out_of_order_events(str(tmp_path)).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_events"].tolist() == [5, 2]
+    assert out["n_late"].tolist() == [2, 0]
+    assert out["max_disorder_us"].tolist() == [10, 0]
