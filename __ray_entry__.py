@@ -316,6 +316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q15_top_supplier": Q.q15_top_supplier,
         "q18_large_volume_customers": Q.q18_large_volume_customers,
         "out_of_order_events": Q.out_of_order_events,
+        "sliding_distinct_users": Q.sliding_distinct_users,
     }
 
 
@@ -2289,4 +2290,15 @@ def oracle_sql() -> dict[str, str]:
                                  epoch_us(prev_max) - epoch_us(ts) END),
                                  0) AS BIGINT) AS max_disorder_us
             FROM w GROUP BY user_id""",
+        "sliding_distinct_users": """
+            WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h,
+                               user_id
+                        FROM events
+                        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            hours AS (SELECT DISTINCT h FROM hu)
+            SELECT h1.h AS hour_ts,
+                   count(DISTINCT hu.user_id)::BIGINT AS n_users
+            FROM hours h1 JOIN hu
+              ON hu.h > h1.h - INTERVAL 24 HOUR AND hu.h <= h1.h
+            GROUP BY h1.h""",
     }

@@ -1802,3 +1802,37 @@ def test_out_of_order_events_planted(ray_session, tmp_path):
     assert out["n_events"].tolist() == [5, 2]
     assert out["n_late"].tolist() == [2, 0]
     assert out["max_disorder_us"].tolist() == [10, 0]
+
+
+def test_sliding_distinct_users_dedups_across_hours(ray_session, tmp_path):
+    from rayschema.queries import sliding_distinct_users
+
+    # user 1 active at hours 0 and 1 -> the hour-1 window must count them
+    # ONCE (a rolling sum of hourly distincts would say 2); user 2 only at
+    # hour 0; hour 30 is outside every earlier 24h window.
+    base = pd.Timestamp("2024-01-01")
+    ev = pd.DataFrame({
+        "event_id": np.arange(5, dtype=np.int64),
+        "ts": [base, base, base + pd.Timedelta(hours=1),
+               base + pd.Timedelta(hours=1, minutes=30),
+               base + pd.Timedelta(hours=30)],
+        "user_id": np.array([1, 2, 1, 1, 9], dtype=np.int64),
+        "event_type": ["view"] * 5, "value": np.ones(5),
+        "props": ["{}"] * 5})
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   os.path.join(tmp_path, "events.parquet"))
+    out = sliding_distinct_users(str(tmp_path))
+    got = dict(zip(out["hour_ts"], out["n_users"]))
+    assert got[base] == 2                                  # users {1,2}
+    assert got[base + pd.Timedelta(hours=1)] == 2          # still {1,2}
+    assert got[base + pd.Timedelta(hours=30)] == 1         # {9} only
+    assert len(out) == 3                # only observed hours emit windows
+
+
+def test_concat_ranges_kernel():
+    from rayschema.queries import _concat_ranges
+
+    assert _concat_ranges(np.array([3, 1, 2])).tolist() == [0, 1, 2, 0,
+                                                            0, 1]
+    assert _concat_ranges(np.array([], dtype=np.int64)).tolist() == []
+    assert _concat_ranges(np.array([1])).tolist() == [0]
