@@ -7534,12 +7534,12 @@ def sliding_distinct_users(sf_dir: str, window_hours: int = 24):
             .astype("datetime64[h]").astype(np.int64)
         users = t.column("user_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        key = (hrs.astype(np.uint64) << np.uint64(24)) \
+        key = (hrs.astype(np.uint64) << np.uint64(40)) \
             | users.astype(np.uint64)
         uk = np.unique(key)
         return pa.table({
-            "h": pa.array((uk >> np.uint64(24)).astype(np.int64)),
-            "u": pa.array((uk & np.uint64((1 << 24) - 1))
+            "h": pa.array((uk >> np.uint64(40)).astype(np.int64)),
+            "u": pa.array((uk & np.uint64((1 << 40) - 1))
                           .astype(np.int64))})
 
     dpairs = (ds.map_batches(pairs, batch_format="pyarrow")
@@ -7576,12 +7576,12 @@ def sliding_distinct_users(sf_dir: str, window_hours: int = 24):
         pos = np.clip(np.searchsorted(obs, wend), 0, len(obs) - 1)
         keep = obs[pos] == wend          # observed window-end hours only
         wend, uu = wend[keep], uu[keep]
-        key = (wend.astype(np.uint64) << np.uint64(24)) \
+        key = (wend.astype(np.uint64) << np.uint64(40)) \
             | uu.astype(np.uint64)
         uk = np.unique(key)
         return pa.table({
-            "w": pa.array((uk >> np.uint64(24)).astype(np.int64)),
-            "u": pa.array((uk & np.uint64((1 << 24) - 1))
+            "w": pa.array((uk >> np.uint64(40)).astype(np.int64)),
+            "u": pa.array((uk & np.uint64((1 << 40) - 1))
                           .astype(np.int64))})
 
     wpairs = (dpairs.map_batches(expand, batch_format="pyarrow")
