@@ -193,6 +193,18 @@ def compile_sob(sob: SchemaOrBool, ctx: CompileContext, path: str = "#") -> Node
 
 def _compile_schema(s: Schema, ctx: CompileContext, path: str) -> NodeFn:
     """Build the conjunctive predicate list for one schema node."""
+    # draft-07 $ref semantics (core spec 8.3): when "$ref" is present,
+    # ALL sibling keywords MUST be ignored — the node validates as the
+    # referenced schema alone. ("definitions" still resolves: the target
+    # lookup goes through the ROOT, not this node.)
+    if s.ref is not None:
+        ref_only = ctx.resolve_compiled(s.ref)
+
+        def ref_node(subject, want: bool):
+            return ref_only(subject, want)
+
+        return ref_node
+
     # ---- value-level closures prepared once (regex compile etc.)
     checks: List[Tuple[str, Callable[[pa.Array], np.ndarray], str]] = []
 

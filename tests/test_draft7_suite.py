@@ -682,3 +682,47 @@ def test_pattern_anchors_are_honored():
     # unanchored search, but explicit anchors in the pattern still bind
     check('{"pattern":"^ab$"}', ["ab", "xabx", "abc"],
           [True, False, False])
+
+
+# ---- draft-07 core 8.3: keywords alongside $ref are IGNORED ----------------
+def test_ref_siblings_are_ignored():
+    check('{"definitions":{"d":{"minLength":5}},'
+          '"$ref":"#/definitions/d","maxLength":2}',
+          ["abc", "abcdef"], [False, True])
+
+
+def test_ref_sibling_applicators_ignored():
+    check('{"definitions":{"d":{"minimum":0}},'
+          '"$ref":"#/definitions/d","not":{"minimum":0}}',
+          pa.array([5, -5], type=pa.int64()), [True, False])
+
+
+def test_ref_alone_still_resolves_definitions_from_root():
+    check('{"definitions":{"a":{"$ref":"#/definitions/b","pattern":"zz"},'
+          '"b":{"minLength":2}},"$ref":"#/definitions/a"}',
+          ["x", "xy"], [False, True])
+
+
+# ---- JSON number equality in enum/uniqueItems -------------------------------
+def test_unique_items_int_float_numeric_equality():
+    # [1, 1.0] has JSON-equal members -> uniqueItems fails
+    check('{"uniqueItems":true}',
+          pa.array([[1.0, 1.00], [1.0, 2.0]],
+                   type=pa.list_(pa.float64())),
+          [False, True])
+
+
+def test_enum_numeric_equality_across_storage_types():
+    check('{"enum":[1]}', pa.array([1.0, 1.5], type=pa.float64()),
+          [True, False])
+    check('{"enum":[1.0]}', pa.array([1, 2], type=pa.int64()),
+          [True, False])
+
+
+def test_additional_properties_without_properties_applies_to_all():
+    sch = '{"additionalProperties":{"type":"integer"}}'
+    arr = pa.array([{"a": 1, "b": 2}, {"a": 1, "b": None}],
+                   type=pa.struct([("a", pa.int64()), ("b", pa.int64())]))
+    check(sch, arr, [True, True])
+    arr2 = pa.array([{"a": "x"}], type=pa.struct([("a", pa.string())]))
+    check(sch, arr2, [False])
