@@ -317,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume_customers": Q.q18_large_volume_customers,
         "out_of_order_events": Q.out_of_order_events,
         "sliding_distinct_users": Q.sliding_distinct_users,
+        "orc_roundtrip": Q.orc_roundtrip,
+        "feather_roundtrip": Q.feather_roundtrip,
     }
 
 
@@ -2301,4 +2303,14 @@ def oracle_sql() -> dict[str, str]:
             FROM hours h1 JOIN hu
               ON hu.h > h1.h - INTERVAL 24 HOUR AND hu.h <= h1.h
             GROUP BY h1.h""",
+        "orc_roundtrip": """
+            SELECT lang, count(*)::BIGINT AS n_rows,
+                   sum(doc_id)::BIGINT AS id_sum,
+                   coalesce(sum(length(text)), 0)::BIGINT AS text_chars
+            FROM documents GROUP BY lang""",
+        "feather_roundtrip": """
+            SELECT lang, count(*)::BIGINT AS n_rows,
+                   sum(doc_id)::BIGINT AS id_sum,
+                   coalesce(sum(length(text)), 0)::BIGINT AS text_chars
+            FROM documents GROUP BY lang""",
     }

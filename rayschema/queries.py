@@ -7612,3 +7612,58 @@ def _concat_ranges(lengths: np.ndarray) -> np.ndarray:
     starts = np.cumsum(lengths)[:-1]
     out[starts] = 1 - lengths[:-1]
     return np.cumsum(out)
+
+
+def _format_roundtrip(sf_dir: str, fmt: str):
+    """Shared body of the ORC / Feather sink+source round-trip queries
+    (the jsonl_roundtrip shape): documents stream out through
+    write_corpus, back in through read_corpus, and per-lang
+    (n_rows, id_sum, text_chars) aggregates of the round-tripped rows
+    must hash-match the oracle computed on the original parquet."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from rayschema.sources import read_corpus, write_corpus
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    out_dir = os.path.join(tempfile.gettempdir(),
+                           f"rayschema_{fmt}_{os.getpid()}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    write_corpus(ds, out_dir, fmt=fmt)
+    back = read_corpus(out_dir, fmt=fmt)
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tlen = pc.fill_null(pc.utf8_length(b.column("text")), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({"lang": lang, "ids": pa.array(ids),
+                      "tlen": pa.array(tlen),
+                      "one": pa.array(np.ones(len(ids), dtype=np.int64))})
+        g = t.group_by("lang").aggregate(
+            [("ids", "sum"), ("tlen", "sum"), ("one", "sum")])
+        return g.rename_columns(["lang", "id_sum", "text_chars", "n_rows"])
+
+    return (back.map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("id_sum", alias_name="id_sum"),
+                       Sum("text_chars", alias_name="text_chars")))
+
+
+def orc_roundtrip(sf_dir: str):
+    """ORC sink+source round trip (columnar interchange with the Hadoop
+    world) — distributed on both sides: per-block pyarrow.orc writes,
+    one decode task per file on the way back."""
+    return _format_roundtrip(sf_dir, "orc")
+
+
+def feather_roundtrip(sf_dir: str):
+    """Feather / Arrow-IPC sink+source round trip (zero-copy interchange
+    with Arrow-native tools) — same distributed shape as the ORC path."""
+    return _format_roundtrip(sf_dir, "feather")

@@ -13,7 +13,7 @@ import glob
 import os
 from typing import List, Optional
 
-FORMATS = ("parquet", "json", "csv")
+FORMATS = ("parquet", "json", "csv", "orc", "feather")
 
 
 def detect_format(path: str) -> str:
@@ -37,6 +37,10 @@ def detect_format(path: str) -> str:
             return "json" + gz
         if ext in ("csv", "tsv"):
             return "csv" + gz
+        if ext == "orc":
+            return "orc"
+        if ext in ("feather", "arrow", "ipc"):
+            return "feather"
     raise ValueError(f"cannot detect corpus format under {path!r}")
 
 
@@ -74,6 +78,8 @@ def read_corpus(path: str, fmt: Optional[str] = None,
     elif fmt in ("csv.gz", "csv.zst"):
         ds = rd.read_csv(path, **_cargs(
             "gzip" if fmt.endswith(".gz") else "zstd"))
+    elif fmt in ("orc", "feather"):
+        ds = _read_table_files(path, fmt)
     else:
         raise ValueError(f"unsupported corpus format {fmt!r} (one of {FORMATS})")
     if columns:
@@ -100,6 +106,66 @@ def write_corpus(ds, path: str, fmt: str = "parquet",
         ds.write_json(path)
     elif fmt == "csv":
         ds.write_csv(path)
+    elif fmt in ("orc", "feather"):
+        os.makedirs(path, exist_ok=True)
+        ext = fmt
+
+        def _write_block(b, _dir=path, _ext=ext, _fmt=fmt):
+            import hashlib
+
+            import pyarrow as pa
+            # content-derived shard name: reruns overwrite the same file
+            # (idempotent), parallel tasks never collide
+            h = hashlib.sha1(b"".join(
+                c.to_string().encode() for c in b.columns[:1])
+                + str(b.num_rows).encode()).hexdigest()[:16]
+            fp = os.path.join(_dir, f"block-{h}.{_ext}")
+            if _fmt == "orc":
+                import pyarrow.orc as porc
+                porc.write_table(b, fp)
+            else:
+                import pyarrow.feather as pf
+                pf.write_feather(b, fp)
+            return pa.table({"file": pa.array([fp]),
+                             "rows": pa.array([b.num_rows])})
+
+        # the sink IS the consumer: materialize the marker rows only
+        ds.map_batches(_write_block, batch_format="pyarrow").count()
     else:
         raise ValueError(f"unsupported corpus format {fmt!r} (one of {FORMATS})")
     return path
+
+
+def _read_table_files(path: str, fmt: str):
+    """Distributed ORC / Feather (Arrow IPC) source: one decode task per
+    file via read_binary_files -> pyarrow decode in the task. Ray Data has
+    no native reader for these, but the bytes->Table decode is exactly a
+    map_batches stage, so the read scales like any other file source."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    exts = {"orc": ("*.orc",), "feather": ("*.feather", "*.arrow",
+                                           "*.ipc")}[fmt]
+    files = []
+    if os.path.isdir(path):
+        for e in exts:
+            files.extend(sorted(_glob.glob(os.path.join(path, e))))
+    else:
+        files = [path]
+    raw = rd.read_binary_files(files, override_num_blocks=len(files))
+
+    def decode(b: pa.Table, _fmt=fmt) -> pa.Table:
+        tables = []
+        for blob in b.column("bytes").to_pylist():
+            buf = pa.BufferReader(blob)
+            if _fmt == "orc":
+                import pyarrow.orc as porc
+                tables.append(porc.ORCFile(buf).read())
+            else:
+                import pyarrow.feather as pf
+                tables.append(pf.read_table(buf))
+        return pa.concat_tables(tables) if tables else pa.table({})
+
+    return raw.map_batches(decode, batch_format="pyarrow")

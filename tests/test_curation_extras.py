@@ -1836,3 +1836,23 @@ def test_concat_ranges_kernel():
                                                             0, 1]
     assert _concat_ranges(np.array([], dtype=np.int64)).tolist() == []
     assert _concat_ranges(np.array([1])).tolist() == [0]
+
+
+def test_orc_feather_roundtrip_preserve_unicode(ray_session, tmp_path):
+    from rayschema.sources import detect_format, read_corpus, write_corpus
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "lang": ["en", "de", "zh", "en"],
+        "text": ["plain", "straße", "世界 你好", None]})
+    import ray.data as rd
+    ds = rd.from_pandas(df)
+    for fmt, ext in (("orc", "orc"), ("feather", "feather")):
+        out = os.path.join(tmp_path, fmt)
+        write_corpus(ds, out, fmt=fmt)
+        assert detect_format(out) == fmt
+        back = read_corpus(out).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert back["text"].tolist()[:3] == df["text"].tolist()[:3]
+        assert pd.isna(back["text"][3])
+        assert back["lang"].tolist() == df["lang"].tolist()
