@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_distinct_users": Q.sliding_distinct_users,
         "orc_roundtrip": Q.orc_roundtrip,
         "feather_roundtrip": Q.feather_roundtrip,
+        "avro_roundtrip": Q.avro_roundtrip,
     }
 
 
@@ -2309,6 +2310,11 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(sum(length(text)), 0)::BIGINT AS text_chars
             FROM documents GROUP BY lang""",
         "feather_roundtrip": """
+            SELECT lang, count(*)::BIGINT AS n_rows,
+                   sum(doc_id)::BIGINT AS id_sum,
+                   coalesce(sum(length(text)), 0)::BIGINT AS text_chars
+            FROM documents GROUP BY lang""",
+        "avro_roundtrip": """
             SELECT lang, count(*)::BIGINT AS n_rows,
                    sum(doc_id)::BIGINT AS id_sum,
                    coalesce(sum(length(text)), 0)::BIGINT AS text_chars

@@ -7667,3 +7667,14 @@ def feather_roundtrip(sf_dir: str):
     """Feather / Arrow-IPC sink+source round trip (zero-copy interchange
     with Arrow-native tools) — same distributed shape as the ORC path."""
     return _format_roundtrip(sf_dir, "feather")
+
+
+def avro_roundtrip(sf_dir: str):
+    """Avro OCF sink+source round trip — the Kafka/Hadoop streaming-dump
+    format, via the repo's own pure-Python OCF codec (rayschema/avro.py:
+    zigzag varints, nullable unions, raw-deflate blocks, deterministic
+    sync markers). Distributed on both sides like the ORC path; the
+    oracle computes the same aggregates from the original parquet, so
+    any encode/decode infidelity (unicode, nulls, varint edges) breaks
+    the value hash."""
+    return _format_roundtrip(sf_dir, "avro")

@@ -13,7 +13,7 @@ import glob
 import os
 from typing import List, Optional
 
-FORMATS = ("parquet", "json", "csv", "orc", "feather")
+FORMATS = ("parquet", "json", "csv", "orc", "feather", "avro")
 
 
 def detect_format(path: str) -> str:
@@ -41,6 +41,8 @@ def detect_format(path: str) -> str:
             return "orc"
         if ext in ("feather", "arrow", "ipc"):
             return "feather"
+        if ext == "avro":
+            return "avro"
     raise ValueError(f"cannot detect corpus format under {path!r}")
 
 
@@ -78,7 +80,7 @@ def read_corpus(path: str, fmt: Optional[str] = None,
     elif fmt in ("csv.gz", "csv.zst"):
         ds = rd.read_csv(path, **_cargs(
             "gzip" if fmt.endswith(".gz") else "zstd"))
-    elif fmt in ("orc", "feather"):
+    elif fmt in ("orc", "feather", "avro"):
         ds = _read_table_files(path, fmt)
     else:
         raise ValueError(f"unsupported corpus format {fmt!r} (one of {FORMATS})")
@@ -106,7 +108,7 @@ def write_corpus(ds, path: str, fmt: str = "parquet",
         ds.write_json(path)
     elif fmt == "csv":
         ds.write_csv(path)
-    elif fmt in ("orc", "feather"):
+    elif fmt in ("orc", "feather", "avro"):
         os.makedirs(path, exist_ok=True)
         ext = fmt
 
@@ -123,6 +125,9 @@ def write_corpus(ds, path: str, fmt: str = "parquet",
             if _fmt == "orc":
                 import pyarrow.orc as porc
                 porc.write_table(b, fp)
+            elif _fmt == "avro":
+                from rayschema.avro import write_avro
+                write_avro(b, fp)
             else:
                 import pyarrow.feather as pf
                 pf.write_feather(b, fp)
@@ -146,8 +151,8 @@ def _read_table_files(path: str, fmt: str):
     import pyarrow as pa
     import ray.data as rd
 
-    exts = {"orc": ("*.orc",), "feather": ("*.feather", "*.arrow",
-                                           "*.ipc")}[fmt]
+    exts = {"orc": ("*.orc",), "avro": ("*.avro",),
+            "feather": ("*.feather", "*.arrow", "*.ipc")}[fmt]
     files = []
     if os.path.isdir(path):
         for e in exts:
@@ -163,6 +168,9 @@ def _read_table_files(path: str, fmt: str):
             if _fmt == "orc":
                 import pyarrow.orc as porc
                 tables.append(porc.ORCFile(buf).read())
+            elif _fmt == "avro":
+                from rayschema.avro import read_avro_file
+                tables.append(read_avro_file(blob))
             else:
                 import pyarrow.feather as pf
                 tables.append(pf.read_table(buf))
