@@ -6617,8 +6617,24 @@ def bloom_semi_join_orders(sf_dir: str, segment: str = "BUILDING",
                                            type=pa.binary()),
                          "n": pa.array([len(ks)])})
 
-    parts = cust.map_batches(bloom_partial, batch_format="pyarrow") \
-        .to_pandas()
+    def or_within(b: pa.Table) -> pa.Table:
+        acc = np.zeros((1 << BLOOM_BITS) // 8, dtype=np.uint8)
+        n = 0
+        for blob, k in zip(b.column("bloom").to_pylist(),
+                           b.column("n").to_pylist()):
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+            n += int(k)
+        return pa.table({"bloom": pa.array([acc.tobytes()],
+                                           type=pa.binary()),
+                         "n": pa.array([n])})
+
+    # tree OR-reduce: per-block partials fold to <= 32 before the driver
+    # sees them — driver bytes stay O(32 x filter size), not O(blocks)
+    parts = (cust.map_batches(bloom_partial, batch_format="pyarrow")
+             .repartition(32)
+             .map_batches(or_within, batch_size=None,
+                          batch_format="pyarrow")
+             .to_pandas())
     acc = np.zeros((1 << BLOOM_BITS) // 8, dtype=np.uint8)
     n_keys = 0
     for blob, n in zip(parts["bloom"], parts["n"]):
@@ -7396,9 +7412,17 @@ def q18_large_volume_customers(sf_dir: str, qty_threshold: int = 250):
                                        .astype(np.int64))})
 
     per_order = (li.map_batches(partial, batch_format="pyarrow")
-                 .groupby("o").aggregate(Sum("q", alias_name="q"))
-                 .to_pandas())
-    big = per_order[per_order["q"] > qty_threshold].sort_values("o")
+                 .groupby("o").aggregate(Sum("q", alias_name="q")))
+
+    # HAVING filter stays DISTRIBUTED — only qualifying orders (the
+    # ~1000x-smaller residue) ever reach the driver, never the per-order
+    # aggregate itself
+    def having(b: pa.Table, _t=qty_threshold) -> pa.Table:
+        q = b.column("q").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(q > _t))
+
+    big = (per_order.map_batches(having, batch_format="pyarrow")
+           .to_pandas().sort_values("o"))
     okeys = big["o"].to_numpy(np.int64)
     oqty = big["q"].to_numpy(np.int64)
     oref = ray.put((okeys, oqty))
