@@ -4128,6 +4128,7 @@ def q3_shipping_priority(sf_dir: str):
     est = (cust.size_bytes() or 0) + (orders.size_bytes() or 0) \
         + (li.size_bytes() or 0)
     n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+    cust = cust.materialize()   # one execution: count + pull share blocks
     n_cust = cust.count()
     if n_cust <= Q3_BROADCAST_CAP:
         import ray
@@ -4664,6 +4665,7 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
             < hi.to_datetime64())
     orders = orders.select_columns(["o_orderkey", "o_custkey"])
 
+    cust = cust.materialize()   # one execution: count + pull share blocks
     n_cust = cust.count()
     if n_cust <= Q3_BROADCAST_CAP:
         cdf = cust.to_pandas().sort_values("c_custkey")
@@ -6175,6 +6177,7 @@ def q10_returned_items(sf_dir: str):
 
     liq = li.map_batches(li_prep, batch_format="pyarrow")
 
+    orders = orders.materialize()
     n_ord = orders.count()
     if n_ord <= Q3_BROADCAST_CAP:
         odf = orders.to_pandas().sort_values("o_orderkey")
@@ -6310,6 +6313,7 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
         .map_batches(cust_filter, batch_format="pyarrow")
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
 
+    cust = cust.materialize()   # one execution: count + pull share blocks
     n_cust = cust.count()
     if n_cust <= Q3_BROADCAST_CAP:
         cdf = cust.to_pandas().sort_values("c_custkey")
@@ -6375,6 +6379,7 @@ def q7_volume_shipping(sf_dir: str, nation_a: str = "NATION_1",
     # the 2-nation customers' orders, so at small scale it broadcasts as
     # (orderkey -> cust-nation) arrays and the join is a stateless lookup;
     # past the cap it's the hash exchange.
+    ord_nat = ord_nat.materialize()
     n_ord = ord_nat.count()
     if n_ord <= Q3_BROADCAST_CAP:
         odf = ord_nat.to_pandas().sort_values("o_orderkey")
@@ -6861,6 +6866,7 @@ def q12_late_shipments(sf_dir: str, late_days: int = 90):
                    columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
 
+    orders = orders.materialize()
     n_ord = orders.count()
     if n_ord <= Q3_BROADCAST_CAP:
         odf = orders.to_pandas().sort_values("o_orderkey")
@@ -6980,6 +6986,7 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_5",
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
+    cust = cust.materialize()   # one execution: count + pull share blocks
     n_cust = cust.count()
     if n_cust <= Q3_BROADCAST_CAP:
         ckeys = np.sort(cust.to_pandas()["c_custkey"].to_numpy(np.int64))
@@ -7043,6 +7050,7 @@ def q8_market_share(sf_dir: str, nation: str = "NATION_5",
 
     liq = li.map_batches(li_prep, batch_format="pyarrow")
 
+    ord_y = ord_y.materialize()
     n_ord = ord_y.count()
     if n_ord <= Q3_BROADCAST_CAP:
         odf = ord_y.to_pandas().sort_values("o_orderkey")
