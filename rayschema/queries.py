@@ -7148,31 +7148,27 @@ def parts_supplier_diversity(sf_dir: str):
         key = (bb.astype(np.uint64) << np.uint64(56)) \
             | (ss.astype(np.uint64) << np.uint64(40)) \
             | sp.astype(np.uint64)
-        uk = np.unique(key)
-        return pa.table({
-            "b": pa.array((uk >> np.uint64(56)).astype(np.int64)),
-            "s": pa.array(((uk >> np.uint64(40))
-                           & np.uint64(0xFFFF)).astype(np.int64)),
-            "sup": pa.array((uk & np.uint64((1 << 40) - 1))
-                            .astype(np.int64))})
+        # ship ONE packed int64 key — a single-column hash shuffle is
+        # measurably cheaper than a 3-column groupby exchange
+        return pa.table({"k": pa.array(np.unique(key).astype(np.int64))})
 
     triples = (li.map_batches(local_triples, batch_format="pyarrow")
-               .groupby(["b", "s", "sup"]).count())
+               .groupby("k").count())
 
     def fold(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "b": b.column("b").to_numpy(zero_copy_only=False),
-            "s": b.column("s").to_numpy(zero_copy_only=False)})
-        g = df.groupby(["b", "s"], as_index=False).size() \
-            .rename(columns={"size": "n_suppliers"})
-        return pa.Table.from_pandas(g, preserve_index=False)
+        k = b.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bs = (k >> np.uint64(40)).astype(np.int64)   # (brand<<16)|size
+        ub, cnt = np.unique(bs, return_counts=True)
+        return pa.table({"bs": pa.array(ub),
+                         "n_suppliers": pa.array(cnt.astype(np.int64))})
 
     out = (triples.map_batches(fold, batch_format="pyarrow")
-           .groupby(["b", "s"])
+           .groupby("bs")
            .aggregate(Sum("n_suppliers", alias_name="n_suppliers"))
            .to_pandas())
-    out["p_brand"] = out["b"].map(dict(enumerate(brands)))
-    out["p_size"] = out["s"].astype(np.int64)
+    bs = out["bs"].to_numpy(np.int64)
+    out["p_brand"] = pd.Series(bs >> 16).map(dict(enumerate(brands)))
+    out["p_size"] = pd.Series(bs & 0xFFFF).astype(np.int64)
     out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
     return (out[["p_brand", "p_size", "n_suppliers"]]
             .sort_values(["p_brand", "p_size"]).reset_index(drop=True))
