@@ -320,6 +320,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip": Q.orc_roundtrip,
         "feather_roundtrip": Q.feather_roundtrip,
         "avro_roundtrip": Q.avro_roundtrip,
+        "bigram_lm_perplexity": Q.bigram_lm_perplexity,
+        "corr_quantity_price": Q.corr_quantity_price,
+        "embedding_covariance_by_label": Q.embedding_covariance_by_label,
+        "pca_project_embeddings": Q.pca_project_embeddings,
     }
 
 
@@ -2319,4 +2323,116 @@ def oracle_sql() -> dict[str, str]:
                    sum(doc_id)::BIGINT AS id_sum,
                    coalesce(sum(length(text)), 0)::BIGINT AS text_chars
             FROM documents GROUP BY lang""",
+        # CCNet-style bigram-LM cross-entropy: per-position add-one cost
+        # floor(1000*(log2(ca+V)-log2(cab+1))) millibits is ONE identical
+        # float expression per bigram on both sides; doc scores are sums
+        # of those INTEGERS, so summation order can't move the hash
+        "bigram_lm_perplexity": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+            bg AS (SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1,
+                          ws[CAST(i AS INTEGER) + 1] AS w2
+                   FROM (SELECT doc_id, ws,
+                                unnest(generate_series(1, len(ws) - 1))
+                                  AS i
+                         FROM d WHERE len(ws) >= 2)),
+            pc AS (SELECT w1, w2, count(*)::BIGINT AS cab
+                   FROM bg GROUP BY 1, 2),
+            cc AS (SELECT w1, sum(cab)::BIGINT AS ca FROM pc GROUP BY 1),
+            vv AS (SELECT count(DISTINCT word)::BIGINT AS v
+                   FROM (SELECT unnest(string_split(text, ' ')) AS word
+                         FROM documents WHERE text IS NOT NULL)),
+            sc AS (SELECT b.doc_id,
+                          floor(1000 * (log2((cc.ca + vv.v)::DOUBLE)
+                                        - log2((pc.cab + 1)::DOUBLE)))
+                            ::BIGINT AS mb
+                   FROM bg b JOIN pc USING (w1, w2)
+                             JOIN cc USING (w1), vv)
+            SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                   sum(mb)::BIGINT AS cost_mbits
+            FROM sc GROUP BY doc_id""",
+        # exact integer moments over cents-floored whole units; corr_ppm
+        # is one fixed-order float64 expression evaluated identically
+        "corr_quantity_price": """
+            WITH m AS (
+              SELECT l_returnflag, count(*)::BIGINT AS n,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT) // 100)
+                       ::BIGINT AS sum_x,
+                     sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                         // 100)::BIGINT AS sum_y,
+                     sum((CAST(round(l_quantity * 100) AS BIGINT) // 100)
+                         * (CAST(round(l_extendedprice * 100) AS BIGINT)
+                            // 100))::BIGINT AS sum_xy,
+                     sum((CAST(round(l_quantity * 100) AS BIGINT) // 100)
+                         * (CAST(round(l_quantity * 100) AS BIGINT)
+                            // 100))::BIGINT AS sum_x2,
+                     sum((CAST(round(l_extendedprice * 100) AS BIGINT)
+                          // 100)
+                         * (CAST(round(l_extendedprice * 100) AS BIGINT)
+                            // 100))::BIGINT AS sum_y2
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+                   CASE WHEN sqrt((n::DOUBLE * sum_x2::DOUBLE
+                                   - sum_x::DOUBLE * sum_x::DOUBLE)
+                                  * (n::DOUBLE * sum_y2::DOUBLE
+                                     - sum_y::DOUBLE * sum_y::DOUBLE)) > 0
+                        THEN floor((1000000.0
+                                    * (n::DOUBLE * sum_xy::DOUBLE
+                                       - sum_x::DOUBLE * sum_y::DOUBLE))
+                                   / sqrt((n::DOUBLE * sum_x2::DOUBLE
+                                           - sum_x::DOUBLE
+                                             * sum_x::DOUBLE)
+                                          * (n::DOUBLE * sum_y2::DOUBLE
+                                             - sum_y::DOUBLE
+                                               * sum_y::DOUBLE)))::BIGINT
+                        ELSE 0 END AS corr_ppm
+            FROM m""",
+        # per-label uncentered covariance grid over millionths-quantized
+        # embeddings (the kmeans_quantized convention)
+        "embedding_covariance_by_label": """
+            WITH v AS (SELECT e.vec_id, e.label::BIGINT AS label,
+                              i.range AS d,
+                              round(e.embedding[i.range]::DOUBLE
+                                    * 1000000)::BIGINT AS q
+                       FROM embeddings e, range(1, 65) i)
+            SELECT a.label, a.d AS d1, b.d AS d2,
+                   sum(a.q * b.q)::BIGINT AS s_q12,
+                   count(*)::BIGINT AS n_vecs
+            FROM v a JOIN v b ON a.vec_id = b.vec_id
+            GROUP BY 1, 2, 3""",
+        # integer power iteration (2 unrolled rounds) in HUGEINT: matvec
+        # against the global moment grid, max-|component| renormalization
+        # to millionths with explicit-sign floor division, then the int64
+        # projection — mirrors queries.pca_project_embeddings exactly
+        "pca_project_embeddings": """
+            WITH v AS (SELECT e.vec_id, i.range AS d,
+                              round(e.embedding[i.range]::DOUBLE
+                                    * 1000000)::BIGINT AS q
+                       FROM embeddings e, range(1, 65) i),
+            m AS (SELECT a.d AS d1, b.d AS d2,
+                         sum(a.q::HUGEINT * b.q)::HUGEINT AS s
+                  FROM v a JOIN v b ON a.vec_id = b.vec_id
+                  GROUP BY 1, 2),
+            w1 AS (SELECT d1 AS d,
+                          sum(s * 1000000::HUGEINT)::HUGEINT AS w
+                   FROM m GROUP BY d1),
+            x1 AS (SELECT max(abs(w))::HUGEINT AS mx FROM w1),
+            v1 AS (SELECT d,
+                          (CASE WHEN w >= 0
+                                THEN (abs(w) * 1000000::HUGEINT) // mx
+                                ELSE -((abs(w) * 1000000::HUGEINT)
+                                       // mx) END)::HUGEINT AS vc
+                   FROM w1, x1),
+            w2 AS (SELECT m.d1 AS d, sum(m.s * v1.vc)::HUGEINT AS w
+                   FROM m JOIN v1 ON v1.d = m.d2 GROUP BY m.d1),
+            x2 AS (SELECT max(abs(w))::HUGEINT AS mx FROM w2),
+            v2 AS (SELECT d,
+                          (CASE WHEN w >= 0
+                                THEN (abs(w) * 1000000::HUGEINT) // mx
+                                ELSE -((abs(w) * 1000000::HUGEINT)
+                                       // mx) END)::HUGEINT AS vc
+                   FROM w2, x2)
+            SELECT v.vec_id, sum(v.q::HUGEINT * v2.vc)::BIGINT AS pc1_q
+            FROM v JOIN v2 USING (d)
+            GROUP BY v.vec_id""",
     }

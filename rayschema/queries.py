@@ -7706,3 +7706,300 @@ def avro_roundtrip(sf_dir: str):
     any encode/decode infidelity (unicode, nulls, varint edges) breaks
     the value hash."""
     return _format_roundtrip(sf_dir, "avro")
+
+
+def bigram_lm_perplexity(sf_dir: str):
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    public method): score every document by its cross-entropy under a
+    bigram LM trained on the corpus itself, so boilerplate scores low
+    and anomalous word soup scores high — the standard "perplexity
+    bucket" filter of large-scale web-corpus curation.
+
+    Integer-exact end to end: the per-position add-one cost
+    ``floor(1000 * (log2(ca + V) - log2(cab + 1)))`` millibits is ONE
+    identical float expression on both the engine and the DuckDB oracle
+    (single log2 calls on exact integer counts — same libm bits), and
+    the per-document score is a sum of those INTEGER costs, so summation
+    order can never move the hash.
+
+    Shapes: the model pass reuses ``_bigram_pair_counts`` (per-batch
+    lexsort partials; distinct-bigram table is vocabulary-bounded — the
+    documented Zipf assumption, with min-count pruning or Misra-Gries
+    as the heavier-corpus fallback); the model broadcasts ONCE via
+    ray.put as three sorted arrays (vocab, bigram-start counts, packed
+    pair keys) and scoring is a stateless vectorized map: pc.index_in
+    against the vocab dictionary, one searchsorted per batch for pair
+    counts, bincount per doc. Emits (doc_id, n_bigrams, cost_mbits)
+    for every doc with at least one bigram."""
+    import ray
+
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = _bigram_pair_counts(ds)
+
+    def vocab_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"w": pa.array([], type=pa.string())})
+        flat, _, _ = _flatten_words_arrow(col)
+        return pa.table({"w": pc.unique(flat)})
+
+    vdf = (ds.map_batches(vocab_partial, batch_format="pyarrow")
+           .to_pandas())
+    vocab = np.unique(vdf["w"].to_numpy(dtype=object)) if len(vdf) \
+        else np.empty(0, dtype=object)
+    nv = len(vocab)
+    if nv == 0 or len(pairs) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "n_bigrams": pd.Series([], dtype=np.int64),
+                             "cost_mbits": pd.Series([], dtype=np.int64)})
+
+    vocab_pa = pa.array(vocab, type=pa.string())
+    # word -> vocab index for the model tables
+    w1_idx = np.searchsorted(vocab, pairs["w1"].to_numpy(dtype=object))
+    w2_idx = np.searchsorted(vocab, pairs["w2"].to_numpy(dtype=object))
+    c = pairs["c"].to_numpy(np.int64)
+    # bigram-start counts ca(w) = sum of pair counts with w1 = w
+    ca = np.zeros(nv, dtype=np.int64)
+    np.add.at(ca, w1_idx, c)
+    pk = w1_idx.astype(np.int64) * nv + w2_idx.astype(np.int64)
+    order = np.argsort(pk)
+    pk, cab = pk[order], c[order]
+    ref = ray.put((vocab_pa, ca, pk, cab))
+
+    def score(b: pa.Table, _ref=ref) -> pa.Table:
+        vpa, ca_a, pk_a, cab_a = ray.get(_ref)
+        nvv = len(vpa)
+        b = b.filter(pc.is_valid(b.column("text")))
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(ids)
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_bigrams": pa.array([], type=pa.int64()),
+                          "cost_mbits": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, didx = _flatten_words_arrow(col)
+        if len(flat) < 2:
+            return empty
+        codes = pc.index_in(flat, value_set=vpa) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        same = didx[1:] == didx[:-1]
+        i1, i2 = codes[:-1][same], codes[1:][same]
+        d = didx[:-1][same]
+        if len(i1) == 0:
+            return empty
+        key = i1 * nvv + i2
+        pos = np.minimum(np.searchsorted(pk_a, key), len(pk_a) - 1)
+        # every scored bigram exists in the corpus model by construction
+        cab_v = cab_a[pos]
+        mb = np.floor(1000.0 * (np.log2((ca_a[i1] + nvv)
+                                        .astype(np.float64))
+                                - np.log2((cab_v + 1)
+                                          .astype(np.float64)))) \
+            .astype(np.int64)
+        nb = np.bincount(d, minlength=n).astype(np.int64)
+        cost = np.bincount(d, weights=mb, minlength=n).astype(np.int64)
+        keep = nb > 0
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "n_bigrams": pa.array(nb[keep]),
+                         "cost_mbits": pa.array(cost[keep])})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def corr_quantity_price(sf_dir: str):
+    """Grouped Pearson correlation between quantity and unit price per
+    return flag — the drift/sanity statistic for paired numeric columns.
+    ONE stateless pass folds the six exact integer moments
+    (n, Σx, Σy, Σxy, Σx², Σy²) per flag into per-batch partials; a
+    <=|flags|-row groupby merges them. x and y are exact cents floored
+    to whole units (integer // — no float tie ambiguity), so every
+    moment is integer-exact at any scale, and the final corr_ppm is one
+    fixed-order float64 expression both sides evaluate identically."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        flag = b.column("l_returnflag")
+        if isinstance(flag, pa.ChunkedArray):
+            flag = flag.combine_chunks()
+        x = _cents(b.column("l_quantity").to_numpy(
+            zero_copy_only=False)) // 100
+        y = _cents(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)) // 100
+        t = pa.table({"l_returnflag": flag,
+                      "n": pa.array(np.ones(len(x), dtype=np.int64)),
+                      "sum_x": pa.array(x), "sum_y": pa.array(y),
+                      "sum_xy": pa.array(x * y),
+                      "sum_x2": pa.array(x * x),
+                      "sum_y2": pa.array(y * y)})
+        g = t.group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("sum_x", "sum"), ("sum_y", "sum"),
+             ("sum_xy", "sum"), ("sum_x2", "sum"), ("sum_y2", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "sum_x", "sum_y",
+                                 "sum_xy", "sum_x2", "sum_y2"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_x", alias_name="sum_x"),
+                      Sum("sum_y", alias_name="sum_y"),
+                      Sum("sum_xy", alias_name="sum_xy"),
+                      Sum("sum_x2", alias_name="sum_x2"),
+                      Sum("sum_y2", alias_name="sum_y2"))
+           .to_pandas())
+    n = out["n"].to_numpy(np.float64)
+    sx = out["sum_x"].to_numpy(np.float64)
+    sy = out["sum_y"].to_numpy(np.float64)
+    num = n * out["sum_xy"].to_numpy(np.float64) - sx * sy
+    a = n * out["sum_x2"].to_numpy(np.float64) - sx * sx
+    bb = n * out["sum_y2"].to_numpy(np.float64) - sy * sy
+    den = np.sqrt(a * bb)
+    ppm = np.where(den > 0.0,
+                   np.floor(1000000.0 * num / np.where(den > 0, den, 1.0)),
+                   0.0).astype(np.int64)
+    out["corr_ppm"] = ppm
+    for cn in ["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]:
+        out[cn] = out[cn].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def _emb_qmat(b: pa.Table, vec_col: str = "embedding") -> np.ndarray:
+    """Batch embeddings -> quantized int64 matrix (rows x dim), the
+    kmeans_quantized convention: float32 -> float64 -> round-half-away
+    millionths (SQL round(e[i]::DOUBLE * 1000000)::BIGINT)."""
+    from rayschema.dedup import round_half_away
+
+    col = b.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    mat = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+    return round_half_away(mat * 1e6, 0).astype(np.int64)
+
+
+def embedding_covariance_by_label(sf_dir: str):
+    """Per-label second-moment (uncentered covariance) matrix of the
+    embedding corpus — the first stage of distributed PCA / whitening /
+    per-class Mahalanobis screens. ONE stateless pass computes each
+    batch's per-label Q^T Q (an einsum over the quantized integer
+    matrix — dim x dim x labels numbers per batch, rows never leave the
+    worker), then a (label, d1, d2)-keyed groupby folds the partials.
+    All moments are exact int64 over millionths-quantized values, so
+    the full 64 x 64 x labels grid hash-matches a DuckDB self-join
+    oracle. Emits (label, d1, d2, s_q12, n_vecs), dims 1-based."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding",
+                                              "label"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        labs = b.column("label").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = len(labs)
+        if n == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "d1": pa.array([], type=pa.int64()),
+                             "d2": pa.array([], type=pa.int64()),
+                             "s_q12": pa.array([], type=pa.int64()),
+                             "n_vecs": pa.array([], type=pa.int64())})
+        q = _emb_qmat(b)
+        dim = q.shape[1]
+        grid = np.arange(1, dim + 1, dtype=np.int64)
+        d1 = np.repeat(grid, dim)
+        d2 = np.tile(grid, dim)
+        outs = []
+        for lab in np.unique(labs):
+            ql = q[labs == lab]
+            m = ql.T @ ql          # int64 exact: |q|<=1e6, rows<=block
+            outs.append(pa.table({
+                "label": pa.array(np.full(dim * dim, lab)),
+                "d1": pa.array(d1), "d2": pa.array(d2),
+                "s_q12": pa.array(m.reshape(-1)),
+                "n_vecs": pa.array(np.full(dim * dim,
+                                           len(ql), dtype=np.int64))}))
+        return pa.concat_tables(outs)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["label", "d1", "d2"])
+            .aggregate(Sum("s_q12", alias_name="s_q12"),
+                       Sum("n_vecs", alias_name="n_vecs")))
+
+
+PCA_ITERS = 2
+
+
+def pca_project_embeddings(sf_dir: str):
+    """Distributed PCA, first principal direction: (1) ONE stateless
+    pass folds the global 64 x 64 integer second-moment matrix (the
+    embedding_covariance_by_label kernel without the label key — driver
+    state is exactly dim^2 numbers at any corpus size); (2) the driver
+    runs ``PCA_ITERS`` integer power-iteration rounds in arbitrary-
+    precision Python ints (matvec + max-|component| renormalization to
+    millionths, explicit-sign floor division — the kmeans_quantized
+    discipline, so the DuckDB oracle replays it in HUGEINT); (3) the
+    unit-millionths direction broadcasts via ray.put and the projection
+    is a second stateless pass (int64 dot per row). Emits
+    (vec_id, pc1_q) — the integer projection in millionths^2 units."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"d1": pa.array([], type=pa.int64()),
+                             "d2": pa.array([], type=pa.int64()),
+                             "s_q12": pa.array([], type=pa.int64())})
+        q = _emb_qmat(b)
+        dim = q.shape[1]
+        grid = np.arange(1, dim + 1, dtype=np.int64)
+        m = q.T @ q
+        return pa.table({"d1": pa.array(np.repeat(grid, dim)),
+                         "d2": pa.array(np.tile(grid, dim)),
+                         "s_q12": pa.array(m.reshape(-1))})
+
+    mom = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["d1", "d2"])
+           .aggregate(Sum("s_q12", alias_name="s_q12"))
+           .to_pandas().sort_values(["d1", "d2"]))
+    dim = int(mom["d1"].max()) if len(mom) else 0
+    if dim == 0:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                             "pc1_q": pd.Series([], dtype=np.int64)})
+    # arbitrary-precision integer matrix: matvec entries exceed int64
+    mat = [[int(v) for v in row]
+           for row in mom["s_q12"].to_numpy().reshape(dim, dim)]
+    v = [10 ** 6] * dim
+    for _ in range(PCA_ITERS):
+        w = [sum(mat[i][j] * v[j] for j in range(dim))
+             for i in range(dim)]
+        mx = max(abs(x) for x in w)
+        if mx == 0:
+            break
+        v = [(abs(x) * 10 ** 6 // mx) * (1 if x >= 0 else -1)
+             for x in w]
+    vref = ray.put(np.array(v, dtype=np.int64))
+
+    def project(b: pa.Table, _vref=vref) -> pa.Table:
+        vv = ray.get(_vref)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "pc1_q": pa.array([], type=pa.int64())})
+        q = _emb_qmat(b)
+        return pa.table({"vec_id": pa.array(ids),
+                         "pc1_q": pa.array(q @ vv)})
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -1856,3 +1856,101 @@ def test_orc_feather_roundtrip_preserve_unicode(ray_session, tmp_path):
         assert back["text"].tolist()[:3] == df["text"].tolist()[:3]
         assert pd.isna(back["text"][3])
         assert back["lang"].tolist() == df["lang"].tolist()
+
+
+def test_bigram_lm_perplexity_hand_case(ray_session, tmp_path):
+    """Corpus 'a b a b' + 'a b c' + 'solo': V=4 (the single-word doc
+    still feeds the vocabulary), cab(a,b)=3 cab(b,a)=1 cab(b,c)=1,
+    ca(a)=3 ca(b)=2; per-position millibit costs verified against the
+    closed form; single-word and null docs emit no score row."""
+    from rayschema.queries import bigram_lm_perplexity
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a b a b", "a b c", "solo", None],
+        "lang": ["en"] * 4, "source": ["src1"] * 4,
+        "n_chars": np.array([7, 5, 4, 0], dtype=np.int64)})
+    sf = _write_docs(tmp_path, df)
+    out = bigram_lm_perplexity(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def mb(ca, cab, v=4):
+        return int(np.floor(1000.0 * (np.log2(float(ca + v))
+                                      - np.log2(float(cab + 1)))))
+
+    c_ab, c_ba, c_bc = mb(3, 3), mb(2, 1), mb(2, 1)
+    assert list(out["doc_id"]) == [0, 1]
+    assert list(out["n_bigrams"]) == [3, 2]
+    assert out["cost_mbits"][0] == c_ab + c_ba + c_ab
+    assert out["cost_mbits"][1] == c_ab + c_bc
+
+
+def test_corr_quantity_price_planted(ray_session, tmp_path):
+    """Perfect linear -> +-1000000 ppm exactly (integer-friendly values
+    make the sqrt exact); zero x-variance -> corr_ppm 0."""
+    from rayschema.queries import corr_quantity_price
+
+    t = pa.table({
+        "l_returnflag": pa.array(["A"] * 3 + ["N"] * 3 + ["R"] * 3),
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 1.0, 2.0, 3.0,
+                                5.0, 5.0, 5.0]),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0,
+                                     300.0, 200.0, 100.0,
+                                     10.0, 20.0, 30.0])})
+    pq.write_table(t, os.path.join(tmp_path, "lineitem.parquet"))
+    out = corr_quantity_price(str(tmp_path))
+    got = dict(zip(out["l_returnflag"], out["corr_ppm"]))
+    assert got == {"A": 1000000, "N": -1000000, "R": 0}
+    a = out[out["l_returnflag"] == "A"].iloc[0]
+    assert (a["n"], a["sum_x"], a["sum_y"], a["sum_xy"],
+            a["sum_x2"], a["sum_y2"]) == (3, 6, 600, 1400, 14, 140000)
+
+
+def test_embedding_covariance_by_label_hand(ray_session, tmp_path):
+    """2 labels, hand vectors: every grid cell is the exact integer
+    product-sum of millionths-quantized components."""
+    from tests.test_dedup_similarity import _write_emb
+
+    from rayschema.queries import embedding_covariance_by_label
+
+    sf = _write_emb(tmp_path, [0, 1, 2],
+                    [[0.5, -0.25], [0.5, 0.25], [1.0, 0.0]],
+                    [7, 7, 9])
+    out = embedding_covariance_by_label(sf).to_pandas() \
+        .sort_values(["label", "d1", "d2"]).reset_index(drop=True)
+    q = np.array([[500000, -250000], [500000, 250000],
+                  [1000000, 0]], dtype=np.int64)
+    m7 = q[:2].T @ q[:2]
+    m9 = q[2:].T @ q[2:]
+    assert len(out) == 8
+    for (lab, mat, n) in ((7, m7, 2), (9, m9, 1)):
+        sub = out[out["label"] == lab]
+        assert list(sub["n_vecs"]) == [n] * 4
+        got = sub.sort_values(["d1", "d2"])["s_q12"] \
+            .to_numpy(np.int64).reshape(2, 2)
+        assert (got == mat).all()
+
+
+def test_pca_project_dominant_direction(ray_session, tmp_path):
+    """Variance planted on one axis: the power-iteration direction locks
+    onto it, so projections are monotone in that coordinate and the
+    orthogonal noise axis contributes ~nothing; output is deterministic
+    across runs."""
+    from tests.test_dedup_similarity import _write_emb
+
+    from rayschema.queries import pca_project_embeddings
+
+    rng = np.random.RandomState(11)
+    n = 40
+    vecs = np.zeros((n, 8))
+    vecs[:, 3] = np.linspace(-1.0, 1.0, n)          # dominant axis
+    vecs[:, 6] = rng.uniform(-0.01, 0.01, n)        # tiny noise
+    sf = _write_emb(tmp_path, np.arange(n), vecs, np.zeros(n))
+    out = pca_project_embeddings(sf).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    proj = out["pc1_q"].to_numpy(np.int64)
+    sign = 1 if proj[-1] > proj[0] else -1
+    assert (np.diff(sign * proj) > 0).all()         # monotone in axis 3
+    out2 = pca_project_embeddings(sf).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (out2["pc1_q"].to_numpy(np.int64) == proj).all()
