@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_quantity_price": Q.corr_quantity_price,
         "embedding_covariance_by_label": Q.embedding_covariance_by_label,
         "pca_project_embeddings": Q.pca_project_embeddings,
+        "events_props_extract": Q.events_props_extract,
     }
 
 
@@ -2435,4 +2436,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.vec_id, sum(v.q::HUGEINT * v2.vc)::BIGINT AS pc1_q
             FROM v JOIN v2 USING (d)
             GROUP BY v.vec_id""",
+        # schema-on-read JSON extraction (integer-valued field contract:
+        # the engine marks non-integer k invalid, the data is machine-
+        # written flat {"k": int} documents)
+        "events_props_extract": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   coalesce(sum(TRY_CAST(json_extract(props, '$.k')
+                                         AS BIGINT)), 0)::BIGINT AS sum_k,
+                   coalesce(min(TRY_CAST(json_extract(props, '$.k')
+                                         AS BIGINT)), 0)::BIGINT AS min_k,
+                   coalesce(max(TRY_CAST(json_extract(props, '$.k')
+                                         AS BIGINT)), 0)::BIGINT AS max_k,
+                   (count(*) - count(TRY_CAST(json_extract(props, '$.k')
+                                              AS BIGINT)))::BIGINT
+                     AS n_missing
+            FROM events WHERE event_type IS NOT NULL
+            GROUP BY event_type""",
     }

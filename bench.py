@@ -144,6 +144,11 @@ def run_bench() -> dict:
         ("q12_late_shipments", Q.q12_late_shipments),
         ("q19_discounted_revenue", Q.q19_discounted_revenue),
         ("parts_supplier_diversity", Q.parts_supplier_diversity),
+        ("bigram_lm_perplexity", Q.bigram_lm_perplexity),
+        ("corr_quantity_price", Q.corr_quantity_price),
+        ("embedding_covariance", Q.embedding_covariance_by_label),
+        ("pca_project_embeddings", Q.pca_project_embeddings),
+        ("events_props_extract", Q.events_props_extract),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

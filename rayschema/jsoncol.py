@@ -127,3 +127,50 @@ def validate_json_column(ds, schema_json: str, json_col: str = "props",
         fn_constructor_kwargs=dict(schema_json=schema_json, json_col=json_col,
                                    keep_cols=keep_cols),
         batch_format="pyarrow", concurrency=concurrency)
+
+
+def extract_int_field(col: pa.Array, key: str):
+    """Vectorized JSON integer-field extraction: one C++ regex pass
+    (pc.extract_regex) handles the flat ``{"key": int}`` shape — the
+    dominant layout of machine-written event properties — and only the
+    rows that DON'T match that strict shape fall back to an exact
+    ``json.loads`` (so nesting, floats, strings, or junk never produce a
+    wrong value, just the slow path for those rows). Returns
+    ``(values int64, valid bool)`` numpy arrays; a missing key, non-int
+    value, or null document is invalid. Mirrors DuckDB
+    ``CAST(json_extract(props, '$.key') AS BIGINT)`` for integer
+    values."""
+    import re
+
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    vals = np.zeros(n, dtype=np.int64)
+    valid = np.zeros(n, dtype=bool)
+    if n == 0:
+        return vals, valid
+    pat = (r'^\s*\{\s*"' + re.escape(key)
+           + r'"\s*:\s*(?P<v>-?\d+)\s*\}\s*$')
+    ext = pc.extract_regex(col, pattern=pat)
+    hit = pc.is_valid(ext).to_numpy(zero_copy_only=False)
+    if hit.any():
+        got = pc.struct_field(ext, "v").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        vals[hit] = got[hit]
+        valid |= hit
+    # exact fallback for non-flat rows only (null rows stay invalid)
+    miss = ~hit & pc.is_valid(col).to_numpy(zero_copy_only=False)
+    if miss.any():
+        raw = col.to_numpy(zero_copy_only=False)
+        for i in np.flatnonzero(miss):
+            try:
+                v = json.loads(raw[i]).get(key)
+            except (ValueError, AttributeError):
+                continue
+            if isinstance(v, bool) or not isinstance(v, int):
+                continue
+            vals[i] = v
+            valid[i] = True
+    return vals, valid

@@ -8003,3 +8003,73 @@ def pca_project_embeddings(sf_dir: str):
                          "pc1_q": pa.array(q @ vv)})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def events_props_extract(sf_dir: str):
+    """Semi-structured ELT: pull the integer ``k`` field out of the
+    ``props`` JSON column and aggregate it per event type — the
+    schema-on-read extraction step every event pipeline runs before
+    relational work. Parsing is the jsoncol.extract_int_field kernel
+    (ONE vectorized C++ regex pass for the flat machine-written shape,
+    exact json.loads only for the rows that deviate), then per-batch
+    (type, n, sum, min, max, missing) partials fold through a
+    <=|types|-row groupby. All outputs are exact integers."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from rayschema.jsoncol import extract_int_field
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("event_type")))
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        n = len(et)
+        if n == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "n_events": pa.array([], type=pa.int64()),
+                "sum_k": pa.array([], type=pa.int64()),
+                "min_k": pa.array([], type=pa.int64()),
+                "max_k": pa.array([], type=pa.int64()),
+                "n_missing": pa.array([], type=pa.int64())})
+        vals, ok = extract_int_field(b.column("props"), "k")
+        enc = et.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ntypes = len(enc.dictionary)
+        n_ev = np.bincount(codes, minlength=ntypes).astype(np.int64)
+        s = np.bincount(codes[ok], weights=vals[ok],
+                        minlength=ntypes).astype(np.int64)
+        miss = np.bincount(codes[~ok], minlength=ntypes).astype(np.int64)
+        mn = np.full(ntypes, np.iinfo(np.int64).max, dtype=np.int64)
+        mx = np.full(ntypes, np.iinfo(np.int64).min, dtype=np.int64)
+        np.minimum.at(mn, codes[ok], vals[ok])
+        np.maximum.at(mx, codes[ok], vals[ok])
+        # partials with no valid k for a type keep the +-INF sentinels so
+        # they can never pollute the global Min/Max fold; the sentinel is
+        # cleaned up after the final aggregate
+        return pa.table({
+            "event_type": enc.dictionary,
+            "n_events": pa.array(n_ev), "sum_k": pa.array(s),
+            "min_k": pa.array(mn), "max_k": pa.array(mx),
+            "n_missing": pa.array(miss)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_events", alias_name="n_events"),
+                      Sum("sum_k", alias_name="sum_k"),
+                      Min("min_k", alias_name="min_k"),
+                      Max("max_k", alias_name="max_k"),
+                      Sum("n_missing", alias_name="n_missing")))
+
+    def clean(b: pa.Table) -> pa.Table:
+        none = pc.equal(b.column("n_missing"), b.column("n_events"))
+        z = pa.array(np.zeros(len(b), dtype=np.int64))
+        return b.set_column(
+            b.schema.get_field_index("min_k"), "min_k",
+            pc.if_else(none, z, b.column("min_k"))).set_column(
+            b.schema.get_field_index("max_k"), "max_k",
+            pc.if_else(none, z, b.column("max_k")))
+
+    return agg.map_batches(clean, batch_format="pyarrow")

@@ -1954,3 +1954,31 @@ def test_pca_project_dominant_direction(ray_session, tmp_path):
     out2 = pca_project_embeddings(sf).to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
     assert (out2["pc1_q"].to_numpy(np.int64) == proj).all()
+
+
+def test_events_props_extract_fallback_paths(ray_session, tmp_path):
+    """Flat ints ride the regex fast path; nested / float / string /
+    missing-key / null docs hit the exact json.loads fallback and are
+    classified exactly like the DuckDB oracle."""
+    from rayschema.queries import events_props_extract
+
+    props = ['{"k": 5}', '{"k": -3}',            # fast path
+             ' { "k" :  7 , "z": 1 } ',          # flat but multi-key
+             '{"k": 1.5}',                       # float -> missing
+             '{"k": "x"}',                       # string -> missing
+             '{"z": 2}',                         # absent -> missing
+             None,                               # null doc -> missing
+             '{"k": true}']                      # bool -> missing
+    t = pa.table({
+        "event_id": pa.array(np.arange(8, dtype=np.int64)),
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * 8),
+        "user_id": pa.array(np.zeros(8, dtype=np.int64)),
+        "event_type": pa.array(["view"] * 8),
+        "value": pa.array(np.ones(8)),
+        "props": pa.array(props, type=pa.string())})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = events_props_extract(str(tmp_path)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["n_events"], r["sum_k"], r["min_k"], r["max_k"],
+            r["n_missing"]) == (8, 9, -3, 7, 5)
