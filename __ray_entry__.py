@@ -325,6 +325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_covariance_by_label": Q.embedding_covariance_by_label,
         "pca_project_embeddings": Q.pca_project_embeddings,
         "events_props_extract": Q.events_props_extract,
+        "user_hourly_locf": Q.user_hourly_locf,
+        "perplexity_bucket_filter": Q.perplexity_bucket_filter,
     }
 
 
@@ -2452,4 +2454,70 @@ def oracle_sql() -> dict[str, str]:
                      AS n_missing
             FROM events WHERE event_type IS NOT NULL
             GROUP BY event_type""",
+        # LOCF gap-fill resample: hour observation = LAST event by
+        # (ts, event_id); forward fill via last_value IGNORE NULLS
+        "user_hourly_locf": """
+            WITH e AS (SELECT user_id,
+                              (epoch_us(ts) // 3600000000)::BIGINT AS h,
+                              ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND value IS NOT NULL),
+            ob AS (SELECT user_id, h, cents FROM (
+                     SELECT user_id, h, cents,
+                            row_number() OVER (PARTITION BY user_id, h
+                                ORDER BY ts DESC, event_id DESC) AS rn
+                     FROM e) WHERE rn = 1),
+            rng AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+                    FROM ob GROUP BY 1),
+            grid AS (SELECT r.user_id,
+                            unnest(generate_series(r.h0, r.h1)) AS h
+                     FROM rng r),
+            f AS (SELECT g.user_id, g.h, ob.cents,
+                         (CASE WHEN ob.cents IS NOT NULL
+                               THEN 1 ELSE 0 END)::BIGINT AS is_observed
+                  FROM grid g LEFT JOIN ob USING (user_id, h))
+            SELECT user_id, h AS hour_bucket,
+                   (last_value(cents IGNORE NULLS) OVER (
+                        PARTITION BY user_id ORDER BY h
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                     ::BIGINT AS value_cents,
+                   is_observed
+            FROM f""",
+        # CCNet selection: per-lang best-quartile by integer mean
+        # millibits; cutoff = quantile_disc(0.25) (rank ceil(n/4))
+        "perplexity_bucket_filter": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+            bg AS (SELECT doc_id, ws[CAST(i AS INTEGER)] AS w1,
+                          ws[CAST(i AS INTEGER) + 1] AS w2
+                   FROM (SELECT doc_id, ws,
+                                unnest(generate_series(1, len(ws) - 1))
+                                  AS i
+                         FROM d WHERE len(ws) >= 2)),
+            pc AS (SELECT w1, w2, count(*)::BIGINT AS cab
+                   FROM bg GROUP BY 1, 2),
+            cc AS (SELECT w1, sum(cab)::BIGINT AS ca FROM pc GROUP BY 1),
+            vv AS (SELECT count(DISTINCT word)::BIGINT AS v
+                   FROM (SELECT unnest(string_split(text, ' ')) AS word
+                         FROM documents WHERE text IS NOT NULL)),
+            sc AS (SELECT b.doc_id,
+                          floor(1000 * (log2((cc.ca + vv.v)::DOUBLE)
+                                        - log2((pc.cab + 1)::DOUBLE)))
+                            ::BIGINT AS mb
+                   FROM bg b JOIN pc USING (w1, w2)
+                             JOIN cc USING (w1), vv),
+            s AS (SELECT doc_id, count(*)::BIGINT AS nb,
+                         sum(mb)::BIGINT AS cost
+                  FROM sc GROUP BY doc_id),
+            sl AS (SELECT s.doc_id, dd.lang,
+                          ((s.cost * 1000) // s.nb)::BIGINT AS mean_mbits
+                   FROM s JOIN documents dd USING (doc_id)
+                   WHERE dd.lang IS NOT NULL),
+            cut AS (SELECT lang, quantile_disc(mean_mbits, 0.25) AS q
+                    FROM sl GROUP BY lang)
+            SELECT sl.doc_id, sl.lang, sl.mean_mbits
+            FROM sl JOIN cut USING (lang)
+            WHERE sl.mean_mbits <= cut.q""",
     }

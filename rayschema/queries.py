@@ -7708,34 +7708,17 @@ def avro_roundtrip(sf_dir: str):
     return _format_roundtrip(sf_dir, "avro")
 
 
-def bigram_lm_perplexity(sf_dir: str):
-    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
-    public method): score every document by its cross-entropy under a
-    bigram LM trained on the corpus itself, so boilerplate scores low
-    and anomalous word soup scores high — the standard "perplexity
-    bucket" filter of large-scale web-corpus curation.
-
-    Integer-exact end to end: the per-position add-one cost
-    ``floor(1000 * (log2(ca + V) - log2(cab + 1)))`` millibits is ONE
-    identical float expression on both the engine and the DuckDB oracle
-    (single log2 calls on exact integer counts — same libm bits), and
-    the per-document score is a sum of those INTEGER costs, so summation
-    order can never move the hash.
-
-    Shapes: the model pass reuses ``_bigram_pair_counts`` (per-batch
-    lexsort partials; distinct-bigram table is vocabulary-bounded — the
-    documented Zipf assumption, with min-count pruning or Misra-Gries
-    as the heavier-corpus fallback); the model broadcasts ONCE via
-    ray.put as three sorted arrays (vocab, bigram-start counts, packed
-    pair keys) and scoring is a stateless vectorized map: pc.index_in
-    against the vocab dictionary, one searchsorted per batch for pair
-    counts, bincount per doc. Emits (doc_id, n_bigrams, cost_mbits)
-    for every doc with at least one bigram."""
+def _bigram_lm_score_ds(sf_dir: str, with_lang: bool = False):
+    """Shared scorer behind bigram_lm_perplexity / perplexity_bucket_filter
+    (CCNet, Wenzek et al. 2020): cross-entropy of every doc under the
+    corpus-trained bigram LM; ``with_lang`` threads the lang column
+    through for the per-language bucket cut."""
     import ray
 
     from rayschema.text import _flatten_words_arrow
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    cols = ["doc_id", "text"] + (["lang"] if with_lang else [])
+    ds = _read(sf_dir, "documents", columns=cols)
     pairs = _bigram_pair_counts(ds)
 
     def vocab_partial(b: pa.Table) -> pa.Table:
@@ -7778,9 +7761,12 @@ def bigram_lm_perplexity(sf_dir: str):
         ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         n = len(ids)
-        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
-                          "n_bigrams": pa.array([], type=pa.int64()),
-                          "cost_mbits": pa.array([], type=pa.int64())})
+        ecols = {"doc_id": pa.array([], type=pa.int64()),
+                 "n_bigrams": pa.array([], type=pa.int64()),
+                 "cost_mbits": pa.array([], type=pa.int64())}
+        if with_lang:
+            ecols["lang"] = pa.array([], type=pa.string())
+        empty = pa.table(ecols)
         if n == 0:
             return empty
         col = b.column("text")
@@ -7808,11 +7794,43 @@ def bigram_lm_perplexity(sf_dir: str):
         nb = np.bincount(d, minlength=n).astype(np.int64)
         cost = np.bincount(d, weights=mb, minlength=n).astype(np.int64)
         keep = nb > 0
-        return pa.table({"doc_id": pa.array(ids[keep]),
-                         "n_bigrams": pa.array(nb[keep]),
-                         "cost_mbits": pa.array(cost[keep])})
+        out = {"doc_id": pa.array(ids[keep]),
+               "n_bigrams": pa.array(nb[keep]),
+               "cost_mbits": pa.array(cost[keep])}
+        if with_lang:
+            lang = b.column("lang")
+            if isinstance(lang, pa.ChunkedArray):
+                lang = lang.combine_chunks()
+            out["lang"] = lang.filter(pa.array(keep))
+        return pa.table(out)
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_lm_perplexity(sf_dir: str):
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020,
+    public method): score every document by its cross-entropy under a
+    bigram LM trained on the corpus itself, so boilerplate scores low
+    and anomalous word soup scores high — the standard "perplexity
+    bucket" filter of large-scale web-corpus curation.
+
+    Integer-exact end to end: the per-position add-one cost
+    ``floor(1000 * (log2(ca + V) - log2(cab + 1)))`` millibits is ONE
+    identical float expression on both the engine and the DuckDB oracle
+    (single log2 calls on exact integer counts — same libm bits), and
+    the per-document score is a sum of those INTEGER costs, so summation
+    order can never move the hash.
+
+    Shapes: the model pass reuses ``_bigram_pair_counts`` (per-batch
+    lexsort partials; distinct-bigram table is vocabulary-bounded — the
+    documented Zipf assumption, with min-count pruning or Misra-Gries
+    as the heavier-corpus fallback); the model broadcasts ONCE via
+    ray.put as three sorted arrays (vocab, bigram-start counts, packed
+    pair keys) and scoring is a stateless vectorized map: pc.index_in
+    against the vocab dictionary, one searchsorted per batch for pair
+    counts, bincount per doc. Emits (doc_id, n_bigrams, cost_mbits)
+    for every doc with at least one bigram."""
+    return _bigram_lm_score_ds(sf_dir, with_lang=False)
 
 
 def corr_quantity_price(sf_dir: str):
@@ -8073,3 +8091,174 @@ def events_props_extract(sf_dir: str):
             pc.if_else(none, z, b.column("max_k")))
 
     return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def user_hourly_locf(sf_dir: str):
+    """Time-series gap-fill resample: each user's event stream becomes a
+    dense HOURLY series from their first to their last active hour, with
+    missing hours forward-filled by the last observed value (LOCF — the
+    standard sensor/metric resample before feature extraction). The
+    observation of an hour is its LAST event by (ts, event_id).
+
+    ONE user-keyed ``sorted_group_scan`` ordered by (hour, ts, event_id);
+    the block kernel is fully vectorized ACROSS users: run-boundary masks
+    pick each hour's last event, ``_concat_ranges`` materializes all
+    ragged user grids at once, and the forward fill is one global
+    ``np.maximum.accumulate`` over observed-index sentinels (safe across
+    segment joins because every user's first grid hour is observed by
+    construction). Per-user state never exists; grid volume is
+    sum-of-spans, emitted streaming per block. Emits
+    (user_id, hour_bucket, value_cents, is_observed)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "value"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.and_(
+            pc.is_valid(b.column("user_id")),
+            pc.is_valid(b.column("ts"))),
+            pc.is_valid(b.column("value"))))
+        us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(t.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "h": pa.array(us // 3_600_000_000),
+            "ts_us": pa.array(us),
+            "event_id": pa.array(t.column("event_id")
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64)),
+            "cents": pa.array(_cents(t.column("value")
+                                     .to_numpy(zero_copy_only=False)))})
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("hour_bucket", pa.int64()),
+                            ("value_cents", pa.int64()),
+                            ("is_observed", pa.int64())])
+
+    def _locf(uid, h, cents):
+        n = len(uid)
+        if n == 0:
+            return None
+        last = np.ones(n, dtype=bool)
+        last[:-1] = (uid[1:] != uid[:-1]) | (h[1:] != h[:-1])
+        lu, lh, lc = uid[last], h[last], cents[last]
+        ufirst = np.ones(len(lu), dtype=bool)
+        ufirst[1:] = lu[1:] != lu[:-1]
+        ustart = np.flatnonzero(ufirst)
+        uend = np.append(ustart[1:], len(lu))
+        h0, h1 = lh[ustart], lh[uend - 1]
+        span = (h1 - h0 + 1).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(span)[:-1]])
+        total = int(span.sum())
+        nrows = uend - ustart
+        grid_u = np.repeat(lu[ustart], span)
+        grid_h = _concat_ranges(span) + np.repeat(h0, span)
+        pos = np.repeat(offs, nrows) + (lh - np.repeat(h0, nrows))
+        vals = np.zeros(total, dtype=np.int64)
+        obs = np.zeros(total, dtype=bool)
+        vals[pos] = lc
+        obs[pos] = True
+        idx = np.where(obs, np.arange(total), -1)
+        np.maximum.accumulate(idx, out=idx)
+        return pa.table({"user_id": pa.array(grid_u),
+                         "hour_bucket": pa.array(grid_h),
+                         "value_cents": pa.array(vals[idx]),
+                         "is_observed": pa.array(obs.astype(np.int64))})
+
+    def block_fn(block, starts, ends, want):
+        if not want.any():
+            return None
+        flags = np.zeros(block.num_rows + 1, dtype=np.int64)
+        np.add.at(flags, starts[want], 1)
+        np.add.at(flags, ends[want], -1)
+        keep = np.cumsum(flags[:-1]) > 0
+        return _locf(
+            block.column("user_id").to_numpy(zero_copy_only=False)[keep],
+            block.column("h").to_numpy(zero_copy_only=False)[keep],
+            block.column("cents").to_numpy(zero_copy_only=False)[keep])
+
+    def group_fn(g: pa.Table):
+        return _locf(g.column("user_id").to_numpy(zero_copy_only=False),
+                     g.column("h").to_numpy(zero_copy_only=False),
+                     g.column("cents").to_numpy(zero_copy_only=False))
+
+    return sorted_group_scan(ds.map_batches(narrow, batch_format="pyarrow"),
+                             ["user_id"], group_fn, out_schema,
+                             block_fn=block_fn,
+                             order_cols=["h", "ts_us", "event_id"])
+
+
+def perplexity_bucket_filter(sf_dir: str):
+    """The CCNet selection step (Wenzek et al. 2020): per LANGUAGE,
+    keep the best-perplexity quarter of the corpus — the filter that
+    turns LM scores into an actual training set. Mean millibits per
+    bigram is the integer ``(cost_mbits * 1000) // n_bigrams``; the
+    per-lang cutoff is the exact DuckDB ``quantile_disc(0.25)`` value
+    (rank ``ceil(n/4)`` in value order), computed from a bounded
+    (lang, mean)-histogram fold — driver state is languages x distinct
+    mean values, never rows. Scores materialize ONCE (narrow 5-column
+    rows) and both the histogram and the filter stream over them.
+    Emits kept (doc_id, lang, mean_mbits)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    scores = _bigram_lm_score_ds(sf_dir, with_lang=True).materialize()
+
+    def hpartial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("lang")))
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "mean_mbits": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        cost = b.column("cost_mbits").to_numpy(zero_copy_only=False)
+        nb = b.column("n_bigrams").to_numpy(zero_copy_only=False)
+        t = pa.table({"lang": b.column("lang"),
+                      "mean_mbits": pa.array(cost * 1000 // nb),
+                      "one": pa.array(np.ones(b.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by(["lang", "mean_mbits"]).aggregate([("one", "sum")])
+        return g.rename_columns(["lang", "mean_mbits", "cnt"])
+
+    hist = (scores.map_batches(hpartial, batch_format="pyarrow")
+            .groupby(["lang", "mean_mbits"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas().sort_values(["lang", "mean_mbits"]))
+    cuts: dict = {}
+    for lang, sub in hist.groupby("lang"):
+        c = sub["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        rank = (cum[-1] + 3) // 4          # ceil(n * 0.25)
+        cuts[lang] = int(sub["mean_mbits"].to_numpy(np.int64)[
+            np.searchsorted(cum, rank)])
+    cref = ray.put(cuts)
+
+    def keep(b: pa.Table, _cref=cref) -> pa.Table:
+        cm = ray.get(_cref)
+        b = b.filter(pc.is_valid(b.column("lang")))
+        if b.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "lang": pa.array([], type=pa.string()),
+                             "mean_mbits": pa.array([], type=pa.int64())})
+        lang = b.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        cost = b.column("cost_mbits").to_numpy(zero_copy_only=False)
+        nb = b.column("n_bigrams").to_numpy(zero_copy_only=False)
+        mean = cost * 1000 // nb
+        enc = lang.dictionary_encode()
+        lut = np.array([cm.get(v, np.iinfo(np.int64).min)
+                        for v in enc.dictionary.to_pylist()],
+                       dtype=np.int64)
+        thr = lut[enc.indices.to_numpy(zero_copy_only=False)
+                  .astype(np.int64)]
+        m = mean <= thr
+        return pa.table({
+            "doc_id": pa.array(b.column("doc_id")
+                               .to_numpy(zero_copy_only=False)
+                               .astype(np.int64)[m]),
+            "lang": lang.filter(pa.array(m)),
+            "mean_mbits": pa.array(mean[m])})
+
+    return scores.map_batches(keep, batch_format="pyarrow")

@@ -1982,3 +1982,58 @@ def test_events_props_extract_fallback_paths(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r["n_events"], r["sum_k"], r["min_k"], r["max_k"],
             r["n_missing"]) == (8, 9, -3, 7, 5)
+
+
+def test_user_hourly_locf_hand_case(ray_session, tmp_path):
+    """Gaps forward-fill from the last observed hour; an hour's value is
+    its LAST event by (ts, event_id); users never leak into each other."""
+    from rayschema.queries import user_hourly_locf
+
+    h = 3_600_000_000  # us
+    ts = [1 * h, 1 * h + 5, 4 * h,          # user 1: hours 1,1,4
+          7 * h]                            # user 2: hour 7
+    t = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+        "user_id": pa.array(np.array([1, 1, 1, 2], dtype=np.int64)),
+        "event_type": pa.array(["view"] * 4),
+        "value": pa.array([10.0, 11.0, 40.0, 70.0]),
+        "props": pa.array(['{}'] * 4)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = user_hourly_locf(str(tmp_path)).to_pandas() \
+        .sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
+    assert list(out["user_id"]) == [1, 1, 1, 1, 2]
+    assert list(out["hour_bucket"]) == [1, 2, 3, 4, 7]
+    # hour 1 takes the LATER event (ts 1h+5us -> 11.00)
+    assert list(out["value_cents"]) == [1100, 1100, 1100, 4000, 7000]
+    assert list(out["is_observed"]) == [1, 0, 0, 1, 1]
+
+
+def test_perplexity_bucket_filter_per_lang_quartile(ray_session,
+                                                    tmp_path):
+    """Each language keeps exactly its own best-quartile mass (value-
+    cutoff semantics): repeated docs make the cutoff land mid-value and
+    every doc at the cutoff value survives."""
+    from rayschema.queries import perplexity_bucket_filter
+
+    # 8 'en' docs: 4 identical low-cost, 4 distinct high-cost;
+    # 4 'de' docs: all identical -> everything ties at the cutoff
+    texts_en = ["a b a b"] * 4 + ["q w e r t y u i o p %d" % i
+                                  for i in range(4)]
+    texts_de = ["x y x y"] * 4
+    df = pd.DataFrame({
+        "doc_id": np.arange(12, dtype=np.int64),
+        "text": texts_en + texts_de,
+        "lang": ["en"] * 8 + ["de"] * 4,
+        "source": ["src1"] * 12,
+        "n_chars": np.full(12, 7, dtype=np.int64)})
+    sf = _write_docs(tmp_path, df)
+    out = perplexity_bucket_filter(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    en = out[out["lang"] == "en"]
+    de = out[out["lang"] == "de"]
+    # en cutoff = the low-cost value (rank ceil(8/4)=2 of 8) -> the 4
+    # identical cheap docs all pass, none of the distinct junk does
+    assert list(en["doc_id"]) == [0, 1, 2, 3]
+    # de: all docs share one value -> all at the cutoff survive
+    assert list(de["doc_id"]) == [8, 9, 10, 11]
