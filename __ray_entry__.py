@@ -327,6 +327,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_extract": Q.events_props_extract,
         "user_hourly_locf": Q.user_hourly_locf,
         "perplexity_bucket_filter": Q.perplexity_bucket_filter,
+        "orders_reconciliation_audit": Q.orders_reconciliation_audit,
+        "throttled_events": Q.throttled_events,
     }
 
 
@@ -2520,4 +2522,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT sl.doc_id, sl.lang, sl.mean_mbits
             FROM sl JOIN cut USING (lang)
             WHERE sl.mean_mbits <= cut.q""",
+        # ledger reconciliation: exact e6 pricing formula vs header total;
+        # orders with no line items surface via the LEFT JOIN coalesce
+        "orders_reconciliation_audit": """
+            WITH s AS (SELECT l_orderkey,
+                              sum(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT)
+                                  * CAST(round((1 - l_discount) * 100)
+                                         AS BIGINT)
+                                  * CAST(round((1 + l_tax) * 100)
+                                         AS BIGINT))::BIGINT AS e6
+                       FROM lineitem GROUP BY 1)
+            SELECT o.o_orderstatus, count(*)::BIGINT AS n_orders,
+                   sum(CASE WHEN s.e6 IS NULL THEN 1 ELSE 0 END)::BIGINT
+                     AS n_no_lineitems,
+                   sum(CASE WHEN coalesce(
+                            s.e6 - CAST(round(o.o_totalprice * 100)
+                                        AS BIGINT) * 10000,
+                            CAST(round(o.o_totalprice * 100)
+                                 AS BIGINT) * 10000) != 0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_mismatched,
+                   sum(abs(coalesce(
+                            s.e6 - CAST(round(o.o_totalprice * 100)
+                                        AS BIGINT) * 10000,
+                            CAST(round(o.o_totalprice * 100)
+                                 AS BIGINT) * 10000)))::BIGINT
+                     AS sum_absdiff_e6
+            FROM orders o LEFT JOIN s ON s.l_orderkey = o.o_orderkey
+            GROUP BY 1""",
+        # debounce: keep first-or->=1h-after-PREDECESSOR (lag semantics)
+        "throttled_events": """
+            WITH e AS (SELECT user_id, event_type,
+                              epoch_us(ts)::BIGINT AS us, event_id
+                       FROM events
+                       WHERE user_id IS NOT NULL
+                         AND event_type IS NOT NULL AND ts IS NOT NULL),
+            l AS (SELECT user_id, event_type, us,
+                         lag(us) OVER (PARTITION BY user_id, event_type
+                                       ORDER BY us, event_id) AS pus
+                  FROM e)
+            SELECT user_id, event_type, count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN pus IS NULL
+                             OR us - pus >= 3600000000
+                        THEN 1 ELSE 0 END)::BIGINT AS n_kept
+            FROM l GROUP BY 1, 2""",
     }

@@ -8262,3 +8262,166 @@ def perplexity_bucket_filter(sf_dir: str):
             "mean_mbits": pa.array(mean[m])})
 
     return scores.map_batches(keep, batch_format="pyarrow")
+
+
+def orders_reconciliation_audit(sf_dir: str):
+    """Cross-table financial reconciliation — the ledger audit every
+    warehouse runs: does each order's header total equal the sum of its
+    line items under the pricing formula
+    ``sum(extendedprice * (1 - discount) * (1 + tax))``? Both sides are
+    exact e6 integers (cents x percent x percent), so a mismatch is a
+    true discrepancy, never float noise. Plan: one narrow lineitem pass
+    pre-aggregates per-order e6 sums (16-byte rows — the only shuffle),
+    a LEFT OUTER hash join attaches them to order headers (orders with
+    no line items surface as unreconcilable rather than vanishing), and
+    per-batch partials fold to per-status audit rows. Emits
+    (o_orderstatus, n_orders, n_no_lineitems, n_mismatched,
+    sum_absdiff_e6)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_extendedprice", "l_discount",
+                        "l_tax"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        price = _cents(b.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        disc = np.round((1.0 - b.column("l_discount")
+                         .to_numpy(zero_copy_only=False)
+                         .astype(np.float64)) * 100).astype(np.int64)
+        tax = np.round((1.0 + b.column("l_tax")
+                        .to_numpy(zero_copy_only=False)
+                        .astype(np.float64)) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                      "e6": pa.array(price * disc * tax)})
+        g = t.group_by("l_orderkey").aggregate([("e6", "sum")])
+        return g.rename_columns(["l_orderkey", "e6"])
+
+    sums = (li.map_batches(li_partial, batch_format="pyarrow")
+            .groupby("l_orderkey").aggregate(Sum("e6", alias_name="e6")))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    est = (orders.size_bytes() or 0) * 2
+    n_rows = _parquet_row_count(sf_dir, "orders")
+    # >= 16 expected keys per partition: an EMPTY Acero partition loses
+    # its schema and fails the join on tiny inputs
+    n_parts = int(max(1, min(256, est // (128 << 20) + 8,
+                             max(1, n_rows // 16))))
+    j = orders.join(sums, join_type="left_outer",
+                    num_partitions=n_parts,
+                    on=("o_orderkey",), right_on=("l_orderkey",))
+
+    def audit(b: pa.Table) -> pa.Table:
+        st = b.column("o_orderstatus")
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        total_e6 = _cents(b.column("o_totalprice")
+                          .to_numpy(zero_copy_only=False)) * 10000
+        e6col = b.column("e6")
+        have = pc.is_valid(e6col).to_numpy(zero_copy_only=False)
+        e6 = pc.fill_null(e6col, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        diff = np.abs(np.where(have, e6 - total_e6, total_e6))
+        t = pa.table({
+            "o_orderstatus": st,
+            "n_orders": pa.array(np.ones(len(diff), dtype=np.int64)),
+            "n_no_lineitems": pa.array((~have).astype(np.int64)),
+            "n_mismatched": pa.array((diff != 0).astype(np.int64)),
+            "sum_absdiff_e6": pa.array(diff)})
+        g = t.group_by("o_orderstatus").aggregate(
+            [("n_orders", "sum"), ("n_no_lineitems", "sum"),
+             ("n_mismatched", "sum"), ("sum_absdiff_e6", "sum")])
+        return g.rename_columns(["o_orderstatus", "n_orders",
+                                 "n_no_lineitems", "n_mismatched",
+                                 "sum_absdiff_e6"])
+
+    return (j.map_batches(audit, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("n_no_lineitems", alias_name="n_no_lineitems"),
+                       Sum("n_mismatched", alias_name="n_mismatched"),
+                       Sum("sum_absdiff_e6", alias_name="sum_absdiff_e6")))
+
+
+def throttled_events(sf_dir: str):
+    """Streaming debounce / rate-limit audit: an event is KEPT when it
+    is the first for its (user, event_type) or arrives >= 1 hour after
+    the PREVIOUS event of that key (lag semantics — each event compares
+    to its immediate predecessor in time order, the alert-throttling
+    rule). ONE (user, type)-keyed sorted scan ordered by (ts, event_id);
+    the block kernel is a shifted compare — no per-group Python. Emits
+    per-key (user_id, event_type, n_events, n_kept)."""
+    from rayschema.dedup import sorted_group_scan
+
+    GAP_US = 3_600_000_000
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.and_(pc.is_valid(b.column("event_type")),
+                                     pc.is_valid(b.column("ts")))))
+        et = t.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "user_id": pa.array(t.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "event_type": et,
+            "ts_us": pa.array(t.column("ts").cast(pa.int64())
+                              .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(t.column("event_id")
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64))})
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("n_events", pa.int64()),
+                            ("n_kept", pa.int64())])
+
+    def _fold(uid, et_np, ts):
+        first = np.ones(len(uid), dtype=bool)
+        first[1:] = (uid[1:] != uid[:-1]) | (et_np[1:] != et_np[:-1])
+        gap = np.ones(len(uid), dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) >= GAP_US
+        kept = (first | gap).astype(np.int64)
+        df = pd.DataFrame({"u": uid, "t": et_np, "k": kept})
+        agg = df.groupby(["u", "t"], as_index=False, sort=False).agg(
+            n_events=("k", "size"), n_kept=("k", "sum"))
+        return pa.table({"user_id": pa.array(agg["u"].to_numpy(np.int64)),
+                         "event_type": pa.array(agg["t"], type=pa.string()),
+                         "n_events": pa.array(agg["n_events"]
+                                              .to_numpy(np.int64)),
+                         "n_kept": pa.array(agg["n_kept"]
+                                            .to_numpy(np.int64))})
+
+    def block_fn(block, starts, ends, want):
+        if not want.any():
+            return None
+        flags = np.zeros(block.num_rows + 1, dtype=np.int64)
+        np.add.at(flags, starts[want], 1)
+        np.add.at(flags, ends[want], -1)
+        keep = np.cumsum(flags[:-1]) > 0
+        uid = block.column("user_id").to_numpy(zero_copy_only=False)[keep]
+        et_np = block.column("event_type") \
+            .to_numpy(zero_copy_only=False)[keep]
+        ts = block.column("ts_us").to_numpy(zero_copy_only=False)[keep]
+        if len(uid) == 0:
+            return None
+        return _fold(uid, et_np, ts)
+
+    def group_fn(g: pa.Table):
+        return _fold(g.column("user_id").to_numpy(zero_copy_only=False),
+                     g.column("event_type").to_numpy(zero_copy_only=False),
+                     g.column("ts_us").to_numpy(zero_copy_only=False))
+
+    # string group key: sorted_group_scan sorts by (user, type) with
+    # within-group (ts, event_id) ordering
+    return sorted_group_scan(ds.map_batches(narrow,
+                                            batch_format="pyarrow"),
+                             ["user_id", "event_type"], group_fn,
+                             out_schema,
+                             order_cols=["ts_us", "event_id"],
+                             block_fn=block_fn)

@@ -2037,3 +2037,63 @@ def test_perplexity_bucket_filter_per_lang_quartile(ray_session,
     assert list(en["doc_id"]) == [0, 1, 2, 3]
     # de: all docs share one value -> all at the cutoff survive
     assert list(de["doc_id"]) == [8, 9, 10, 11]
+
+
+def test_orders_reconciliation_audit_hand_case(ray_session, tmp_path):
+    """A perfectly reconciled order, a mismatched one, and one with no
+    line items are classified separately with exact e6 diffs."""
+    from rayschema.queries import orders_reconciliation_audit
+
+    li = pa.table({
+        "l_orderkey": pa.array(np.array([1, 1, 2], dtype=np.int64)),
+        "l_extendedprice": pa.array([100.0, 50.0, 10.0]),
+        "l_discount": pa.array([0.0, 0.10, 0.0]),
+        "l_tax": pa.array([0.0, 0.0, 0.05])})
+    # order 1 true total: 100 + 50*0.9 = 145.00; order 2: 10*1.05=10.50
+    od = pa.table({
+        "o_orderkey": pa.array(np.array([1, 2, 3], dtype=np.int64)),
+        "o_orderstatus": pa.array(["F", "F", "O"]),
+        "o_totalprice": pa.array([145.0, 11.0, 20.0])})
+    pq.write_table(li, os.path.join(tmp_path, "lineitem.parquet"))
+    pq.write_table(od, os.path.join(tmp_path, "orders.parquet"))
+    out = orders_reconciliation_audit(str(tmp_path)).to_pandas() \
+        .sort_values("o_orderstatus").reset_index(drop=True)
+    f = out[out["o_orderstatus"] == "F"].iloc[0]
+    o = out[out["o_orderstatus"] == "O"].iloc[0]
+    # F: order1 reconciles, order2 off by 0.50 = 50 cents x 1e4
+    assert (f["n_orders"], f["n_no_lineitems"], f["n_mismatched"],
+            f["sum_absdiff_e6"]) == (2, 0, 1, 500_000)
+    # O: no line items -> whole 20.00 total unreconciled
+    assert (o["n_orders"], o["n_no_lineitems"], o["n_mismatched"],
+            o["sum_absdiff_e6"]) == (1, 1, 1, 20_000_000)
+
+
+def test_throttled_events_debounce_semantics(ray_session, tmp_path):
+    """Lag semantics: each event compares to its immediate predecessor,
+    so a burst inside one hour keeps only its first event, and a
+    predecessor inside the window suppresses even if the LAST KEPT
+    event is over an hour back."""
+    from rayschema.queries import throttled_events
+
+    MIN = 60_000_000
+    ts = [0, 30 * MIN, 70 * MIN,       # u1/view: keep, drop, drop (chain)
+          0, 61 * MIN,                 # u1/click: keep, keep
+          0]                           # u2/view: keep
+    t = pa.table({
+        "event_id": pa.array(np.arange(6, dtype=np.int64)),
+        "ts": pa.array(np.array(ts, dtype="datetime64[us]")),
+        "user_id": pa.array(np.array([1, 1, 1, 1, 1, 2],
+                                     dtype=np.int64)),
+        "event_type": pa.array(["view", "view", "view",
+                                "click", "click", "view"]),
+        "value": pa.array(np.ones(6)),
+        "props": pa.array(['{}'] * 6)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = throttled_events(str(tmp_path)).to_pandas() \
+        .sort_values(["user_id", "event_type"]).reset_index(drop=True)
+    rows = {(r["user_id"], r["event_type"]): (r["n_events"], r["n_kept"])
+            for _, r in out.iterrows()}
+    # u1/view: 70min event is only 40min after its (dropped) predecessor
+    assert rows[(1, "view")] == (3, 1)
+    assert rows[(1, "click")] == (2, 2)
+    assert rows[(2, "view")] == (1, 1)
