@@ -149,6 +149,10 @@ def run_bench() -> dict:
         ("embedding_covariance", Q.embedding_covariance_by_label),
         ("pca_project_embeddings", Q.pca_project_embeddings),
         ("events_props_extract", Q.events_props_extract),
+        ("user_hourly_locf", Q.user_hourly_locf),
+        ("perplexity_bucket_filter", Q.perplexity_bucket_filter),
+        ("orders_reconciliation", Q.orders_reconciliation_audit),
+        ("throttled_events", Q.throttled_events),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s
