@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_bucket_filter": Q.perplexity_bucket_filter,
         "orders_reconciliation_audit": Q.orders_reconciliation_audit,
         "throttled_events": Q.throttled_events,
+        "value_median_interp_by_type": Q.value_median_interp_by_type,
+        "psi_value_drift": Q.psi_value_drift,
+        "pmi_top_pairs": Q.pmi_top_pairs,
     }
 
 
@@ -2566,4 +2569,69 @@ def oracle_sql() -> dict[str, str]:
                              OR us - pus >= 3600000000
                         THEN 1 ELSE 0 END)::BIGINT AS n_kept
             FROM l GROUP BY 1, 2""",
+        # interpolated median in doubled units: lower+upper mid stays int
+        "value_median_interp_by_type": """
+            WITH c AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events
+                       WHERE event_type IS NOT NULL AND value IS NOT NULL)
+            SELECT event_type, count(*)::BIGINT AS n,
+                   CAST(round(2 * quantile_cont(cents, 0.5)) AS BIGINT)
+                     AS med2_cents
+            FROM c GROUP BY event_type""",
+        # PSI drift vs global, +1 smoothing over the global bucket domain;
+        # per-bucket contribution is ONE identical float expression
+        "psi_value_drift": """
+            WITH c AS (SELECT event_type,
+                              (CAST(round(value * 100) AS BIGINT) >> 8)
+                                AS bucket
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                         AND value IS NOT NULL),
+            g AS (SELECT event_type, bucket, count(*)::BIGINT AS na
+                  FROM c GROUP BY 1, 2),
+            gl AS (SELECT bucket, count(*)::BIGINT AS nb
+                   FROM c GROUP BY 1),
+            kk AS (SELECT count(*)::BIGINT AS k, sum(nb)::BIGINT AS nbt
+                   FROM gl),
+            ta AS (SELECT event_type, sum(na)::BIGINT AS nat
+                   FROM g GROUP BY 1),
+            f AS (SELECT t.event_type, b.bucket,
+                         coalesce(g.na, 0)::BIGINT AS na, b.nb, ta.nat
+                  FROM (SELECT DISTINCT event_type FROM c) t
+                  CROSS JOIN gl b
+                  LEFT JOIN g ON g.event_type = t.event_type
+                             AND g.bucket = b.bucket
+                  JOIN ta ON ta.event_type = t.event_type)
+            SELECT event_type, bucket, na AS n_type, nb AS n_global,
+                   floor(1000000.0
+                         * (((na + 1.0) / (nat + kk.k)
+                             - (nb + 1.0) / (kk.nbt + kk.k))
+                            * (log2((na + 1.0) * (kk.nbt + kk.k))
+                               - log2((nb + 1.0) * (nat + kk.k)))))
+                     ::BIGINT AS psi_contrib_micro
+            FROM f, kk""",
+        # PMI collocations: floor-millibits of one identical expression
+        "pmi_top_pairs": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+            bg AS (SELECT ws[CAST(i AS INTEGER)] AS w1,
+                          ws[CAST(i AS INTEGER) + 1] AS w2
+                   FROM (SELECT doc_id, ws,
+                                unnest(generate_series(1, len(ws) - 1))
+                                  AS i
+                         FROM d WHERE len(ws) >= 2)),
+            p AS (SELECT w1, w2, count(*)::BIGINT AS c
+                  FROM bg GROUP BY 1, 2),
+            nt AS (SELECT sum(c)::BIGINT AS n FROM p),
+            ca AS (SELECT w1, sum(c)::BIGINT AS a FROM p GROUP BY 1),
+            cb AS (SELECT w2, sum(c)::BIGINT AS b FROM p GROUP BY 1),
+            s AS (SELECT p.w1, p.w2, p.c AS pair_count,
+                         floor(1000.0 * (log2(p.c::DOUBLE * nt.n)
+                                         - log2(ca.a::DOUBLE * cb.b)))
+                           ::BIGINT AS pmi_mbits
+                  FROM p JOIN ca USING (w1) JOIN cb USING (w2), nt
+                  WHERE p.c >= 5)
+            SELECT w1, w2, pair_count, pmi_mbits FROM s
+            ORDER BY pmi_mbits DESC, w1, w2 LIMIT 40""",
     }

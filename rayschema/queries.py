@@ -8425,3 +8425,148 @@ def throttled_events(sf_dir: str):
                              out_schema,
                              order_cols=["ts_us", "event_id"],
                              block_fn=block_fn)
+
+
+def value_median_interp_by_type(sf_dir: str):
+    """Grouped INTERPOLATED median (the percentile_cont complement of the
+    engine's lower-quantile rule): per event type, the median in doubled
+    units ``med2 = lower_mid + upper_mid`` stays a pure integer, so an
+    even-count group's half-cent midpoint crosses the oracle boundary
+    without any float. Per-batch (type, cents) value-count partials fold
+    into per-type histograms (state = types x distinct cents, never
+    rows); ranks (n-1)//2 and n//2 read off the cumsum. Emits
+    (event_type, n, med2_cents)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("event_type")),
+                             pc.is_valid(b.column("value"))))
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "cents": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        t = pa.table({"event_type": b.column("event_type"),
+                      "cents": pa.array(_cents(
+                          b.column("value")
+                          .to_numpy(zero_copy_only=False)))})
+        g = t.group_by(["event_type", "cents"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "cnt"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["event_type", "cents"], as_index=False)["cnt"]
+            .sum().sort_values(["event_type", "cents"]))
+    rows = []
+    for et, sub in hist.groupby("event_type"):
+        v = sub["cents"].to_numpy(np.int64)
+        c = sub["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = v[np.searchsorted(cum, (n - 1) // 2 + 1)]
+        hi = v[np.searchsorted(cum, n // 2 + 1)]
+        rows.append((et, n, int(lo + hi)))
+    return pd.DataFrame(rows, columns=["event_type", "n", "med2_cents"]) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+PSI_BSHIFT = 8
+
+
+def psi_value_drift(sf_dir: str):
+    """Population Stability Index — the model-monitoring drift metric —
+    of each event type's value distribution against the GLOBAL value
+    distribution, with +1 smoothing over the global bucket domain.
+    Each bucket's contribution
+    ``floor(1e6 * (p - q) * (log2((na+1)(NB+K)) - log2((nb+1)(NA+K))))``
+    is ONE identical float expression over exact integer counts (the
+    bigram-LM discipline: integer per-term floors -> order-proof sums
+    downstream). ONE pass folds (type, bucket) count partials; the
+    bounded (types x buckets) grid finishes on the driver. Emits
+    (event_type, bucket, n_type, n_global, psi_contrib_micro)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("event_type")),
+                             pc.is_valid(b.column("value"))))
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        cents = _cents(b.column("value").to_numpy(zero_copy_only=False))
+        t = pa.table({"event_type": b.column("event_type"),
+                      "bucket": pa.array(cents >> PSI_BSHIFT)})
+        g = t.group_by(["event_type", "bucket"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "bucket", "cnt"])
+
+    grid = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["event_type", "bucket"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas())
+    glob = grid.groupby("bucket", as_index=False)["cnt"].sum() \
+        .rename(columns={"cnt": "nb"})
+    k = len(glob)
+    nb_total = int(glob["nb"].sum())
+    types = sorted(grid["event_type"].unique())
+    # full (type x global-bucket) grid: unobserved cells still contribute
+    # through the +1 smoothing
+    full = pd.MultiIndex.from_product(
+        [types, glob["bucket"].to_numpy(np.int64)],
+        names=["event_type", "bucket"]).to_frame(index=False)
+    full = full.merge(grid, on=["event_type", "bucket"], how="left") \
+        .fillna({"cnt": 0})
+    full = full.merge(glob, on="bucket")
+    na = full["cnt"].to_numpy(np.int64)
+    nb = full["nb"].to_numpy(np.int64)
+    na_tot = full["event_type"].map(
+        grid.groupby("event_type")["cnt"].sum()).to_numpy(np.int64)
+    p = (na + 1.0) / (na_tot + k)
+    q = (nb + 1.0) / (nb_total + k)
+    lg = (np.log2((na + 1.0) * (nb_total + k))
+          - np.log2((nb + 1.0) * (na_tot + k)))
+    full["psi_contrib_micro"] = np.floor(
+        1000000.0 * ((p - q) * lg)).astype(np.int64)
+    full["n_type"] = na
+    full["n_global"] = nb
+    return full[["event_type", "bucket", "n_type", "n_global",
+                 "psi_contrib_micro"]] \
+        .sort_values(["event_type", "bucket"]).reset_index(drop=True)
+
+
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 40
+
+
+def pmi_top_pairs(sf_dir: str):
+    """Collocation mining: top-40 adjacent word pairs by pointwise
+    mutual information ``log2(c_ab * N / (ca * cb))`` in floor-millibits
+    (one identical float expression over exact integer counts), with a
+    min-count floor of 5 against rare-pair noise. Counts come from the
+    shared ``_bigram_pair_counts`` partials; ca/cb are the pair-start /
+    pair-end marginals, N the total bigram mass — the whole ranking
+    finishes on the vocabulary-bounded driver table. Emits
+    (w1, w2, pair_count, pmi_mbits)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = _bigram_pair_counts(ds)
+    if len(pairs) == 0:
+        return pd.DataFrame({"w1": [], "w2": [], "pair_count": [],
+                             "pmi_mbits": []})
+    nt = int(pairs["c"].sum())
+    ca = pairs.groupby("w1")["c"].sum()
+    cb = pairs.groupby("w2")["c"].sum()
+    sub = pairs[pairs["c"] >= PMI_MIN_COUNT].copy()
+    a = sub["w1"].map(ca).to_numpy(np.int64)
+    b = sub["w2"].map(cb).to_numpy(np.int64)
+    c = sub["c"].to_numpy(np.int64)
+    sub["pmi_mbits"] = np.floor(
+        1000.0 * (np.log2(c.astype(np.float64) * nt)
+                  - np.log2(a.astype(np.float64) * b))).astype(np.int64)
+    sub = sub.sort_values(["pmi_mbits", "w1", "w2"],
+                          ascending=[False, True, True],
+                          kind="mergesort").head(PMI_TOP_N)
+    out = sub.rename(columns={"c": "pair_count"}).reset_index(drop=True)
+    out["pair_count"] = out["pair_count"].astype(np.int64)
+    return out[["w1", "w2", "pair_count", "pmi_mbits"]]

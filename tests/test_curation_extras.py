@@ -2097,3 +2097,79 @@ def test_throttled_events_debounce_semantics(ray_session, tmp_path):
     assert rows[(1, "view")] == (3, 1)
     assert rows[(1, "click")] == (2, 2)
     assert rows[(2, "view")] == (1, 1)
+
+
+def test_value_median_interp_hand_case(ray_session, tmp_path):
+    """Even group -> med2 = sum of the two middles (half-cent exact);
+    odd group -> med2 = 2x the middle."""
+    from rayschema.queries import value_median_interp_by_type
+
+    t = pa.table({
+        "event_id": pa.array(np.arange(7, dtype=np.int64)),
+        "ts": pa.array(np.zeros(7, dtype="datetime64[us]")),
+        "user_id": pa.array(np.zeros(7, dtype=np.int64)),
+        "event_type": pa.array(["a"] * 4 + ["b"] * 3),
+        "value": pa.array([1.0, 2.0, 3.0, 10.0, 5.0, 6.0, 7.0]),
+        "props": pa.array(['{}'] * 7)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = value_median_interp_by_type(str(tmp_path))
+    got = {r["event_type"]: (r["n"], r["med2_cents"])
+           for _, r in out.iterrows()}
+    assert got == {"a": (4, 500), "b": (3, 1200)}
+
+
+def test_psi_value_drift_identity_and_shift(ray_session, tmp_path):
+    """A single type IS the global distribution -> every smoothed
+    contribution is exactly zero; a second, disjointly-shifted type
+    drifts positive on its own buckets."""
+    from rayschema.queries import psi_value_drift
+
+    def write(vals, types, path):
+        n = len(vals)
+        t = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "ts": pa.array(np.zeros(n, dtype="datetime64[us]")),
+            "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+            "event_type": pa.array(types),
+            "value": pa.array(vals),
+            "props": pa.array(['{}'] * n)})
+        pq.write_table(t, os.path.join(path, "events.parquet"))
+
+    write([1.0, 5.0, 9.0, 2.0], ["x"] * 4, tmp_path)
+    out = psi_value_drift(str(tmp_path))
+    assert (out["psi_contrib_micro"] == 0).all()
+
+    # type 'hi' lives in bucket 39 (10000 cents >> 8), 'lo' in bucket 0
+    write([1.0] * 8 + [100.0] * 8,
+          ["lo"] * 8 + ["hi"] * 8, tmp_path)
+    out = psi_value_drift(str(tmp_path)).set_index(
+        ["event_type", "bucket"])
+    assert out.loc[("hi", 39), "psi_contrib_micro"] > 0   # overrepresented
+    assert out.loc[("hi", 0), "psi_contrib_micro"] > 0    # underrepresented
+    assert out.loc[("lo", 39), "psi_contrib_micro"] > 0
+
+
+def test_pmi_top_pairs_hand_case(ray_session, tmp_path):
+    """Exclusive collocation beats a promiscuous pair; the min-count
+    floor drops rare pairs entirely."""
+    from rayschema.queries import pmi_top_pairs
+
+    # 'q r' occurs 5x and q/r occur nowhere else -> max PMI;
+    # 'a b' occurs 5x but a and b also pair with much else;
+    # 'z z' occurs once -> under the count floor
+    texts = (["q r"] * 5 + ["a b"] * 5
+             + ["a c a d a e a f a g"] * 3 + ["h b i b j b k b"] * 3
+             + ["z z"])
+    df = pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts, "lang": ["en"] * len(texts),
+        "source": ["src1"] * len(texts),
+        "n_chars": np.full(len(texts), 3, dtype=np.int64)})
+    sf = _write_docs(tmp_path, df)
+    out = pmi_top_pairs(sf)
+    assert list(out.iloc[0][["w1", "w2"]]) == ["q", "r"]
+    pairs = set(zip(out["w1"], out["w2"]))
+    assert ("z", "z") not in pairs
+    qr = out[(out["w1"] == "q") & (out["w2"] == "r")].iloc[0]
+    ab = out[(out["w1"] == "a") & (out["w2"] == "b")].iloc[0]
+    assert qr["pmi_mbits"] > ab["pmi_mbits"]
