@@ -7905,18 +7905,35 @@ def _emb_qmat(b: pa.Table, vec_col: str = "embedding") -> np.ndarray:
     return round_half_away(mat * 1e6, 0).astype(np.int64)
 
 
+def _cov_sum_by_key(b: pa.Table) -> pa.Table:
+    """Combiner: fold dense (k, s_q12, n_vecs) grid partials within one
+    coalesced batch — each input grid is labels x dim^2 rows, so summing
+    j grids in one batch cuts shuffle volume by j before the final
+    single-key groupby."""
+    g = b.group_by("k").aggregate([("s_q12", "sum"), ("n_vecs", "sum")])
+    return g.rename_columns(["k", "s_q12", "n_vecs"])
+
+
 def embedding_covariance_by_label(sf_dir: str):
     """Per-label second-moment (uncentered covariance) matrix of the
     embedding corpus — the first stage of distributed PCA / whitening /
     per-class Mahalanobis screens. ONE stateless pass computes each
-    batch's per-label Q^T Q (an einsum over the quantized integer
-    matrix — dim x dim x labels numbers per batch, rows never leave the
-    worker), then a (label, d1, d2)-keyed groupby folds the partials.
-    All moments are exact int64 over millionths-quantized values, so
-    the full 64 x 64 x labels grid hash-matches a DuckDB self-join
-    oracle. Emits (label, d1, d2, s_q12, n_vecs), dims 1-based."""
-    from ray.data.aggregate import Sum
-
+    coalesced batch's per-label Q^T Q (rows never leave the worker;
+    dim x dim x labels numbers per batch), with the three group keys
+    packed into ONE int64 ``k = label*2^24 + (d1-1)*2^12 + (d2-1)`` so
+    the exchange moves a single fixed-width key column instead of a
+    3-column comparator sort. Dense grids then tree-fold: a combiner
+    ``map_batches`` sums grids within each coalesced batch (volume
+    shrinks from B x grid to ~B/coalesce x grid for B source batches —
+    add log-depth combine levels as B grows), and a final single-task
+    pyarrow group_by finishes the fold (C++ hash aggregation, NOT
+    Ray's groupby.aggregate, whose per-group Python fold measured
+    ~134us/group = 5.5 s on this 40,960-group grid); a stateless
+    unpack restores (label, d1, d2). All moments are exact int64 over
+    millionths-quantized values, so the full 64 x 64 x labels grid
+    hash-matches a DuckDB self-join oracle. Emits
+    (label, d1, d2, s_q12, n_vecs), dims 1-based; requires dim <= 4096
+    (packed 12-bit dims; labels may be any int64, floor-div decode)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding",
                                               "label"])
 
@@ -7925,32 +7942,43 @@ def embedding_covariance_by_label(sf_dir: str):
             .astype(np.int64)
         n = len(labs)
         if n == 0:
-            return pa.table({"label": pa.array([], type=pa.int64()),
-                             "d1": pa.array([], type=pa.int64()),
-                             "d2": pa.array([], type=pa.int64()),
+            return pa.table({"k": pa.array([], type=pa.int64()),
                              "s_q12": pa.array([], type=pa.int64()),
                              "n_vecs": pa.array([], type=pa.int64())})
         q = _emb_qmat(b)
         dim = q.shape[1]
-        grid = np.arange(1, dim + 1, dtype=np.int64)
-        d1 = np.repeat(grid, dim)
-        d2 = np.tile(grid, dim)
+        assert dim <= 4096
+        grid = np.arange(dim, dtype=np.int64)
+        idx = (np.repeat(grid, dim) << 12) | np.tile(grid, dim)
         outs = []
         for lab in np.unique(labs):
             ql = q[labs == lab]
             m = ql.T @ ql          # int64 exact: |q|<=1e6, rows<=block
             outs.append(pa.table({
-                "label": pa.array(np.full(dim * dim, lab)),
-                "d1": pa.array(d1), "d2": pa.array(d2),
+                "k": pa.array((lab << 24) + idx),
                 "s_q12": pa.array(m.reshape(-1)),
                 "n_vecs": pa.array(np.full(dim * dim,
                                            len(ql), dtype=np.int64))}))
         return pa.concat_tables(outs)
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(["label", "d1", "d2"])
-            .aggregate(Sum("s_q12", alias_name="s_q12"),
-                       Sum("n_vecs", alias_name="n_vecs")))
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        rem = np.mod(k, 1 << 24)           # nonneg for any label sign
+        return pa.table({
+            "label": pa.array(np.floor_divide(k, 1 << 24)),
+            "d1": pa.array((rem >> 12) + 1),
+            "d2": pa.array((rem & 4095) + 1),
+            "s_q12": b.column("s_q12"),
+            "n_vecs": b.column("n_vecs")})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=8192)
+            .map_batches(_cov_sum_by_key, batch_format="pyarrow",
+                         batch_size=1 << 20)
+            .repartition(1)
+            .map_batches(_cov_sum_by_key, batch_format="pyarrow",
+                         batch_size=1 << 22)
+            .map_batches(unpack, batch_format="pyarrow"))
 
 
 PCA_ITERS = 2
@@ -7969,28 +7997,40 @@ def pca_project_embeddings(sf_dir: str):
     is a second stateless pass (int64 dot per row). Emits
     (vec_id, pc1_q) — the integer projection in millionths^2 units."""
     import ray
-    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
     def partial(b: pa.Table) -> pa.Table:
         ids = b.column("vec_id").to_numpy(zero_copy_only=False)
         if len(ids) == 0:
-            return pa.table({"d1": pa.array([], type=pa.int64()),
-                             "d2": pa.array([], type=pa.int64()),
+            return pa.table({"k": pa.array([], type=pa.int64()),
                              "s_q12": pa.array([], type=pa.int64())})
         q = _emb_qmat(b)
         dim = q.shape[1]
-        grid = np.arange(1, dim + 1, dtype=np.int64)
+        assert dim <= 4096
+        grid = np.arange(dim, dtype=np.int64)
         m = q.T @ q
-        return pa.table({"d1": pa.array(np.repeat(grid, dim)),
-                         "d2": pa.array(np.tile(grid, dim)),
+        # packed 12-bit (d1,d2) key: one int64 column through the
+        # exchange, same convention as embedding_covariance_by_label
+        return pa.table({"k": pa.array((np.repeat(grid, dim) << 12)
+                                       | np.tile(grid, dim)),
                          "s_q12": pa.array(m.reshape(-1))})
 
-    mom = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby(["d1", "d2"])
-           .aggregate(Sum("s_q12", alias_name="s_q12"))
-           .to_pandas().sort_values(["d1", "d2"]))
+    def sum_by_key(b: pa.Table) -> pa.Table:
+        g = b.group_by("k").aggregate([("s_q12", "sum")])
+        return g.rename_columns(["k", "s_q12"])
+
+    mom = (ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=8192)
+           .map_batches(sum_by_key, batch_format="pyarrow",
+                        batch_size=1 << 20)
+           .repartition(1)
+           .map_batches(sum_by_key, batch_format="pyarrow",
+                        batch_size=1 << 22)
+           .to_pandas())
+    mom["d1"] = (mom["k"].to_numpy() >> 12) + 1
+    mom["d2"] = (mom["k"].to_numpy() & 4095) + 1
+    mom = mom.sort_values(["d1", "d2"])
     dim = int(mom["d1"].max()) if len(mom) else 0
     if dim == 0:
         return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
