@@ -48,6 +48,24 @@ def _read(sf_dir: str, table: str, columns: List[str] = None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+TRIPLE_DRIVER_MERGE_CAP = 50_000_000   # rows; matches UNIQUE_DRIVER_MERGE_CAP
+
+
+def _table_rows(sf_dir: str, table: str):
+    """Row count from parquet footer metadata — free (no dataset
+    execution), used to pick adaptive paths without an extra ds.count()."""
+    import pyarrow.parquet as pq
+
+    try:
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        if os.path.isdir(path):
+            return sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+                       for f in os.listdir(path) if f.endswith(".parquet"))
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _cents(x) -> np.ndarray:
     return np.round(np.asarray(x, dtype=np.float64) * 100).astype(np.int64)
 
@@ -7118,11 +7136,12 @@ def parts_supplier_diversity(sf_dir: str):
     partsupp table): how many DISTINCT suppliers ship each (p_brand,
     p_size) part class, measured from lineitem. Per-batch local distinct
     (brand-id, size, suppkey) triples (packed-key np.unique against the
-    BROADCAST part-attribute arrays — no join shuffle), global pair dedup
-    via one narrow groupby, and a bounded (brands x sizes) final fold.
-    Emits (p_brand, p_size, n_suppliers)."""
+    BROADCAST part-attribute arrays — no join shuffle), then an ADAPTIVE
+    global dedup: driver np.unique merge of the distinct partials under
+    TRIPLE_DRIVER_MERGE_CAP rows, 8-byte-key sort + boundary-corrected
+    per-block distinct counts past it. Emits
+    (p_brand, p_size, n_suppliers)."""
     import ray
-    from ray.data.aggregate import Sum
 
     pt = _read(sf_dir, "part",
                columns=["p_partkey", "p_brand", "p_size"]).to_pandas() \
@@ -7148,27 +7167,73 @@ def parts_supplier_diversity(sf_dir: str):
         key = (bb.astype(np.uint64) << np.uint64(56)) \
             | (ss.astype(np.uint64) << np.uint64(40)) \
             | sp.astype(np.uint64)
-        # ship ONE packed int64 key — a single-column hash shuffle is
-        # measurably cheaper than a 3-column groupby exchange
+        # ship ONE packed int64 key per locally-distinct triple
         return pa.table({"k": pa.array(np.unique(key).astype(np.int64))})
 
-    triples = (li.map_batches(local_triples, batch_format="pyarrow")
-               .groupby("k").count())
-
-    def fold(b: pa.Table) -> pa.Table:
-        k = b.column("k").to_numpy(zero_copy_only=False).astype(np.uint64)
-        bs = (k >> np.uint64(40)).astype(np.int64)   # (brand<<16)|size
+    part = li.map_batches(local_triples, batch_format="pyarrow",
+                          batch_size=65536)
+    # ADAPTIVE distinct-count fold (the duplicate_key_counts_adaptive
+    # discipline, unique.py:223). Under the cap: one driver np.unique
+    # over the per-batch distinct partials replaces BOTH Ray Aggregate
+    # exchanges (measured 4.3 s -> <1 s at sf0.1; the per-group Python
+    # fold in groupby().count() costs ~134us/group). Past the cap: an
+    # 8-byte-key global sort, per-block (bs, distinct-count) partials,
+    # and an exact boundary correction — driver state is
+    # O(blocks + brand*size cells), never triple-count-sized.
+    n_li = _table_rows(sf_dir, "lineitem")
+    if n_li is None or n_li <= TRIPLE_DRIVER_MERGE_CAP:
+        parts_ = part.to_pandas()
+        k = np.unique(parts_["k"].to_numpy(np.int64)).astype(np.uint64)
+        bs = (k >> np.uint64(40)).astype(np.int64)  # (brand<<16)|size
         ub, cnt = np.unique(bs, return_counts=True)
-        return pa.table({"bs": pa.array(ub),
-                         "n_suppliers": pa.array(cnt.astype(np.int64))})
+    else:                                   # pragma: no cover - scale path
+        srt = part.sort("k")
 
-    out = (triples.map_batches(fold, batch_format="pyarrow")
-           .groupby("bs")
-           .aggregate(Sum("n_suppliers", alias_name="n_suppliers"))
-           .to_pandas())
-    bs = out["bs"].to_numpy(np.int64)
-    out["p_brand"] = pd.Series(bs >> 16).map(dict(enumerate(brands)))
-    out["p_size"] = pd.Series(bs & 0xFFFF).astype(np.int64)
+        def block_partial(b: pa.Table) -> pa.Table:
+            u = b.column("k").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(u) == 0:
+                return pa.table({"bs": pa.array([], type=pa.int64()),
+                                 "n": pa.array([], type=pa.int64()),
+                                 "kind": pa.array([], type=pa.int8())})
+            d = np.concatenate([u[:1], u[1:][u[1:] != u[:-1]]])
+            dbs = (d.view(np.uint64) >> np.uint64(40)).astype(np.int64)
+            ub_, c_ = np.unique(dbs, return_counts=True)
+            # kind 0: per-block distinct counts folded by bs;
+            # kind 1/2: the block's first/last key for the driver's
+            # boundary overcount correction
+            return pa.table({
+                "bs": pa.array(np.concatenate([ub_, [u[0], u[-1]]])),
+                "n": pa.array(np.concatenate(
+                    [c_, [1, 1]]).astype(np.int64)),
+                "kind": pa.array(np.concatenate(
+                    [np.zeros(len(ub_), dtype=np.int8),
+                     np.array([1, 2], dtype=np.int8)]))})
+
+        pdf = srt.map_batches(block_partial,
+                              batch_format="pyarrow").to_pandas()
+        cells = pdf[pdf["kind"] == 0]
+        firsts = np.sort(pdf.loc[pdf["kind"] == 1, "bs"].to_numpy(np.int64))
+        lasts = np.sort(pdf.loc[pdf["kind"] == 2, "bs"].to_numpy(np.int64))
+        agg = cells.groupby("bs")["n"].sum()
+        ub = agg.index.to_numpy(np.int64)
+        cnt = agg.to_numpy(np.int64)
+        # a key spanning j adjacent sorted blocks was counted j times;
+        # j = #blocks whose [first,last] key range contains it
+        bvals = np.unique(np.concatenate([firsts, lasts]))
+        over = (np.searchsorted(firsts, bvals, side="right")
+                - np.searchsorted(lasts, bvals, side="left") - 1)
+        bvals, over = bvals[over > 0], over[over > 0]
+        obs = (bvals.view(np.uint64) >> np.uint64(40)).astype(np.int64)
+        sub = pd.Series(over).groupby(obs).sum()
+        pos = np.searchsorted(ub, sub.index.to_numpy(np.int64))
+        cnt[pos] -= sub.to_numpy(np.int64)
+        ub, cnt = ub[cnt > 0], cnt[cnt > 0]
+
+    out = pd.DataFrame({"bs": ub, "n_suppliers": cnt.astype(np.int64)})
+    bsv = out["bs"].to_numpy(np.int64)
+    out["p_brand"] = pd.Series(bsv >> 16).map(dict(enumerate(brands)))
+    out["p_size"] = pd.Series(bsv & 0xFFFF).astype(np.int64)
     out["n_suppliers"] = out["n_suppliers"].astype(np.int64)
     return (out[["p_brand", "p_size", "n_suppliers"]]
             .sort_values(["p_brand", "p_size"]).reset_index(drop=True))
@@ -8310,14 +8375,21 @@ def orders_reconciliation_audit(sf_dir: str):
     line items under the pricing formula
     ``sum(extendedprice * (1 - discount) * (1 + tax))``? Both sides are
     exact e6 integers (cents x percent x percent), so a mismatch is a
-    true discrepancy, never float noise. Plan: one narrow lineitem pass
-    pre-aggregates per-order e6 sums (16-byte rows — the only shuffle),
-    a LEFT OUTER hash join attaches them to order headers (orders with
-    no line items surface as unreconcilable rather than vanishing), and
-    per-batch partials fold to per-status audit rows. Emits
-    (o_orderstatus, n_orders, n_no_lineitems, n_mismatched,
-    sum_absdiff_e6)."""
-    from ray.data.aggregate import Sum
+    true discrepancy, never float noise. Plan: both sides tag a side bit
+    and UNION into ONE orderkey-keyed sorted_group_scan — per-batch
+    pre-aggregated lineitem e6 partials (16-byte rows) plus order
+    headers, sorted once; the vectorized block kernel reconciles every
+    complete order group (cumsum-difference group sums, header row last
+    via the side order column) and ships <= |statuses| partial rows per
+    block, with boundary-straddling groups re-checked exactly on the
+    driver (<= 2/block). LEFT OUTER semantics: orders with no line
+    items are header-only groups (surface as unreconcilable); lineitem
+    orphans have no header and emit nothing. Replaced the previous
+    groupby + hash-join plan (TWO all-to-all exchanges) with ONE sort —
+    wall parity at sf0.1 (~5.5 s, read-dominated) but half the shuffle
+    volume at scale. Emits (o_orderstatus, n_orders,
+    n_no_lineitems, n_mismatched, sum_absdiff_e6)."""
+    from rayschema.dedup import sorted_group_scan
 
     li = _read(sf_dir, "lineitem",
                columns=["l_orderkey", "l_extendedprice", "l_discount",
@@ -8332,56 +8404,94 @@ def orders_reconciliation_audit(sf_dir: str):
         tax = np.round((1.0 + b.column("l_tax")
                         .to_numpy(zero_copy_only=False)
                         .astype(np.float64)) * 100).astype(np.int64)
-        t = pa.table({"l_orderkey": b.column("l_orderkey").cast(pa.int64()),
-                      "e6": pa.array(price * disc * tax)})
-        g = t.group_by("l_orderkey").aggregate([("e6", "sum")])
-        return g.rename_columns(["l_orderkey", "e6"])
+        # no per-batch group_by: orderkeys are scattered across batches,
+        # so local aggregation barely dedups (600k -> 581k measured) and
+        # its CPU loses to just sorting the raw 24-byte rows
+        n = b.num_rows
+        return pa.table({"k": b.column("l_orderkey").cast(pa.int64()),
+                         "side": pa.array(np.zeros(n, dtype=np.int64)),
+                         "e6": pa.array(price * disc * tax),
+                         "total_e6": pa.array(np.zeros(n, dtype=np.int64)),
+                         "status": pa.nulls(n, pa.string())})
 
-    sums = (li.map_batches(li_partial, batch_format="pyarrow")
-            .groupby("l_orderkey").aggregate(Sum("e6", alias_name="e6")))
-
-    orders = _read(sf_dir, "orders",
-                   columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
-    est = (orders.size_bytes() or 0) * 2
-    n_rows = _parquet_row_count(sf_dir, "orders")
-    # >= 16 expected keys per partition: an EMPTY Acero partition loses
-    # its schema and fails the join on tiny inputs
-    n_parts = int(max(1, min(256, est // (128 << 20) + 8,
-                             max(1, n_rows // 16))))
-    j = orders.join(sums, join_type="left_outer",
-                    num_partitions=n_parts,
-                    on=("o_orderkey",), right_on=("l_orderkey",))
-
-    def audit(b: pa.Table) -> pa.Table:
+    def ord_narrow(b: pa.Table) -> pa.Table:
         st = b.column("o_orderstatus")
         if isinstance(st, pa.ChunkedArray):
             st = st.combine_chunks()
-        total_e6 = _cents(b.column("o_totalprice")
-                          .to_numpy(zero_copy_only=False)) * 10000
-        e6col = b.column("e6")
-        have = pc.is_valid(e6col).to_numpy(zero_copy_only=False)
-        e6 = pc.fill_null(e6col, 0).to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        diff = np.abs(np.where(have, e6 - total_e6, total_e6))
-        t = pa.table({
-            "o_orderstatus": st,
-            "n_orders": pa.array(np.ones(len(diff), dtype=np.int64)),
-            "n_no_lineitems": pa.array((~have).astype(np.int64)),
-            "n_mismatched": pa.array((diff != 0).astype(np.int64)),
-            "sum_absdiff_e6": pa.array(diff)})
-        g = t.group_by("o_orderstatus").aggregate(
-            [("n_orders", "sum"), ("n_no_lineitems", "sum"),
-             ("n_mismatched", "sum"), ("sum_absdiff_e6", "sum")])
-        return g.rename_columns(["o_orderstatus", "n_orders",
-                                 "n_no_lineitems", "n_mismatched",
-                                 "sum_absdiff_e6"])
+        n = b.num_rows
+        return pa.table({
+            "k": b.column("o_orderkey").cast(pa.int64()),
+            "side": pa.array(np.ones(n, dtype=np.int64)),
+            "e6": pa.array(np.zeros(n, dtype=np.int64)),
+            "total_e6": pa.array(_cents(
+                b.column("o_totalprice")
+                .to_numpy(zero_copy_only=False)) * 10000),
+            "status": st})
 
-    return (j.map_batches(audit, batch_format="pyarrow")
-            .groupby("o_orderstatus")
-            .aggregate(Sum("n_orders", alias_name="n_orders"),
-                       Sum("n_no_lineitems", alias_name="n_no_lineitems"),
-                       Sum("n_mismatched", alias_name="n_mismatched"),
-                       Sum("sum_absdiff_e6", alias_name="sum_absdiff_e6")))
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+    mixed = (li.map_batches(li_partial, batch_format="pyarrow")
+             .union(orders.map_batches(ord_narrow, batch_format="pyarrow")))
+
+    out_schema = pa.schema([("o_orderstatus", pa.string()),
+                            ("n_orders", pa.int64()),
+                            ("n_no_lineitems", pa.int64()),
+                            ("n_mismatched", pa.int64()),
+                            ("sum_absdiff_e6", pa.int64())])
+
+    def _rows(status_arr, sizes, diffs) -> pa.Table:
+        df = pd.DataFrame({"s": status_arr,
+                           "no_li": (sizes == 1).astype(np.int64),
+                           "mis": (diffs != 0).astype(np.int64),
+                           "d": diffs})
+        agg = df.groupby("s", as_index=False, sort=False).agg(
+            n_orders=("d", "size"), n_no_lineitems=("no_li", "sum"),
+            n_mismatched=("mis", "sum"), sum_absdiff_e6=("d", "sum"))
+        return pa.table({
+            "o_orderstatus": pa.array(agg["s"], type=pa.string()),
+            "n_orders": pa.array(agg["n_orders"].to_numpy(np.int64)),
+            "n_no_lineitems": pa.array(
+                agg["n_no_lineitems"].to_numpy(np.int64)),
+            "n_mismatched": pa.array(
+                agg["n_mismatched"].to_numpy(np.int64)),
+            "sum_absdiff_e6": pa.array(
+                agg["sum_absdiff_e6"].to_numpy(np.int64))})
+
+    def block_fn(block, starts, ends, want):
+        if not want.any():
+            return None
+        side = block.column("side").to_numpy(zero_copy_only=False)
+        e6 = block.column("e6").to_numpy(zero_copy_only=False)
+        tot = block.column("total_e6").to_numpy(zero_copy_only=False)
+        cs = np.concatenate([[0], np.cumsum(e6)])
+        # side orders the header (side=1) LAST within each group
+        m = want & (side[ends - 1] == 1)
+        if not m.any():
+            return None
+        s_, e_ = starts[m], ends[m]
+        diffs = np.abs((cs[e_] - cs[s_]) - tot[e_ - 1])
+        status = block.column("status").take(pa.array(e_ - 1)) \
+            .to_numpy(zero_copy_only=False)
+        return _rows(status, e_ - s_, diffs)
+
+    def group_fn(g: pa.Table):
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        if len(side) == 0 or side[-1] != 1:
+            return None          # no order header: lineitem orphan
+        e6 = g.column("e6").to_numpy(zero_copy_only=False)
+        tot = g.column("total_e6").to_numpy(zero_copy_only=False)
+        diffs = np.abs(np.array([e6.sum() - tot[-1]]))
+        status = np.array([g.column("status")[-1].as_py()], dtype=object)
+        return _rows(status, np.array([g.num_rows]), diffs)
+
+    scan = sorted_group_scan(mixed, ["k"], group_fn, out_schema,
+                             order_cols=["side"],
+                             block_fn=block_fn).to_pandas()
+    agg = scan.groupby("o_orderstatus", as_index=False).sum()
+    for cn in ["n_orders", "n_no_lineitems", "n_mismatched",
+               "sum_absdiff_e6"]:
+        agg[cn] = agg[cn].astype(np.int64)
+    return agg.sort_values("o_orderstatus").reset_index(drop=True)
 
 
 def throttled_events(sf_dir: str):

@@ -1635,6 +1635,19 @@ def test_parts_supplier_diversity_planted(ray_session, tmp_path):
     assert out["n_suppliers"].tolist() == [2, 2]
 
 
+def test_parts_supplier_diversity_paths_equal(ray_session, monkeypatch):
+    """The >cap sorted boundary-corrected scale path must emit exactly
+    the driver-merge path's result (sf0.01: 988 (brand,size) cells,
+    multi-block sort so boundary keys genuinely span blocks)."""
+    import rayschema.queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    want = Q.parts_supplier_diversity(sf)
+    monkeypatch.setattr(Q, "TRIPLE_DRIVER_MERGE_CAP", 0)
+    got = Q.parts_supplier_diversity(sf)
+    assert got.equals(want)
+
+
 def test_ttr_and_runs_random_cross_check(ray_session, tmp_path):
     """200 random docs from a 6-word alphabet (heavy ties, empty tokens
     from double spaces) cross-checked against pure-Python references."""
@@ -2056,7 +2069,7 @@ def test_orders_reconciliation_audit_hand_case(ray_session, tmp_path):
         "o_totalprice": pa.array([145.0, 11.0, 20.0])})
     pq.write_table(li, os.path.join(tmp_path, "lineitem.parquet"))
     pq.write_table(od, os.path.join(tmp_path, "orders.parquet"))
-    out = orders_reconciliation_audit(str(tmp_path)).to_pandas() \
+    out = orders_reconciliation_audit(str(tmp_path)) \
         .sort_values("o_orderstatus").reset_index(drop=True)
     f = out[out["o_orderstatus"] == "F"].iloc[0]
     o = out[out["o_orderstatus"] == "O"].iloc[0]
