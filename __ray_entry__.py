@@ -332,6 +332,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_median_interp_by_type": Q.value_median_interp_by_type,
         "psi_value_drift": Q.psi_value_drift,
         "pmi_top_pairs": Q.pmi_top_pairs,
+        # -- session-5 additions ---------------------------------------------
+        "normalized_exact_dedup": Q.normalized_exact_dedup,
+        "winsorize_events": Q.winsorize_events,
+        "token_fertility_by_lang": Q.token_fertility_by_lang,
+        "curriculum_bins": Q.curriculum_bins,
+        "ols_value_on_hour": Q.ols_value_on_hour,
+        "label_conflict_audit": Q.label_conflict_audit,
     }
 
 
@@ -2634,4 +2641,96 @@ def oracle_sql() -> dict[str, str]:
                   WHERE p.c >= 5)
             SELECT w1, w2, pair_count, pmi_mbits FROM s
             ORDER BY pmi_mbits DESC, w1, w2 LIMIT 40""",
+        # CCNet-style normalized exact dedup: min doc_id per normalized form
+        "normalized_exact_dedup": """
+            SELECT min(doc_id)::BIGINT AS doc_id
+            FROM documents
+            GROUP BY trim(regexp_replace(regexp_replace(lower(text),
+                                                        '[^a-z ]', '', 'g'),
+                                         ' +', ' ', 'g'), ' ')""",
+        # exact integer winsorization: percentile_disc p5/p95 per type
+        "winsorize_events": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                         AND value IS NOT NULL),
+            th AS (SELECT event_type, count(*)::BIGINT AS n,
+                          percentile_disc(0.05)
+                            WITHIN GROUP (ORDER BY c)::BIGINT AS lo_cents,
+                          percentile_disc(0.95)
+                            WITHIN GROUP (ORDER BY c)::BIGINT AS hi_cents
+                   FROM v GROUP BY event_type)
+            SELECT th.event_type, th.n, th.lo_cents, th.hi_cents,
+                   sum(least(greatest(v.c, th.lo_cents),
+                             th.hi_cents))::BIGINT AS sum_clipped_cents
+            FROM v JOIN th USING (event_type)
+            GROUP BY th.event_type, th.n, th.lo_cents, th.hi_cents""",
+        # tokenizer fertility: BPE-ish tokens per whitespace word, exact ppm
+        "token_fertility_by_lang": """
+            WITH t AS (SELECT lang,
+                              CASE WHEN length(text) = 0 THEN 0
+                                   ELSE length(text)
+                                        - length(replace(text, ' ', ''))
+                                        + 1 END::BIGINT AS w,
+                              COALESCE(len(regexp_extract_all(
+                                  text, '\\w+|[^\\w\\s]')), 0)::BIGINT AS bpe
+                       FROM documents
+                       WHERE lang IS NOT NULL AND text IS NOT NULL)
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(w)::BIGINT AS sum_words,
+                   sum(bpe)::BIGINT AS sum_bpe,
+                   (CASE WHEN sum(w) > 0
+                         THEN (1000000::HUGEINT * sum(bpe)) // sum(w)
+                         ELSE 0 END)::BIGINT AS fertility_ppm
+            FROM t GROUP BY lang""",
+        # curriculum binning: NTILE(4) by token count within source
+        "curriculum_bins": """
+            WITH t AS (SELECT doc_id, source,
+                              CASE WHEN length(text) = 0 THEN 0
+                                   ELSE length(text)
+                                        - length(replace(text, ' ', ''))
+                                        + 1 END::BIGINT AS tok
+                       FROM documents
+                       WHERE source IS NOT NULL AND text IS NOT NULL),
+            b AS (SELECT source, tok,
+                         NTILE(4) OVER (PARTITION BY source
+                                        ORDER BY tok, doc_id)::BIGINT
+                           AS bin
+                  FROM t)
+            SELECT source, bin, count(*)::BIGINT AS n_docs,
+                   sum(tok)::BIGINT AS sum_tokens
+            FROM b GROUP BY source, bin""",
+        # grouped integer OLS: explicit-sign HUGEINT floor division
+        "ols_value_on_hour": """
+            WITH e AS (SELECT event_type,
+                              ((epoch_us(ts) // 3600000000)
+                               - 490000)::BIGINT AS h,
+                              CAST(round(value * 100) AS BIGINT) AS y
+                       FROM events
+                       WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                         AND value IS NOT NULL),
+            m AS (SELECT event_type, count(*)::HUGEINT AS n,
+                         sum(h)::HUGEINT AS sh, sum(y)::HUGEINT AS sy,
+                         sum(h::HUGEINT * h)::HUGEINT AS shh,
+                         sum(h::HUGEINT * y)::HUGEINT AS shy
+                  FROM e GROUP BY event_type)
+            SELECT event_type, n::BIGINT AS n, sh::BIGINT AS sum_h,
+                   sy::BIGINT AS sum_y,
+                   (CASE WHEN (n * shh - sh * sh) = 0 THEN 0
+                         WHEN (n * shy - sh * sy) >= 0
+                         THEN (1000000::HUGEINT * (n * shy - sh * sy))
+                              // (n * shh - sh * sh)
+                         ELSE -((1000000::HUGEINT * (sh * sy - n * shy))
+                                // (n * shh - sh * sh))
+                    END)::BIGINT AS slope_ppm
+            FROM m""",
+        # label-conflict audit: same exact text under >= 2 distinct langs
+        "label_conflict_audit": """
+            WITH c AS (SELECT text FROM documents
+                       WHERE text IS NOT NULL AND lang IS NOT NULL
+                       GROUP BY text HAVING count(DISTINCT lang) >= 2)
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN c USING (text)
+            WHERE d.lang IS NOT NULL""",
     }

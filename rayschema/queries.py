@@ -8720,3 +8720,368 @@ def pmi_top_pairs(sf_dir: str):
     out = sub.rename(columns={"c": "pair_count"}).reset_index(drop=True)
     out["pair_count"] = out["pair_count"].astype(np.int64)
     return out[["w1", "w2", "pair_count", "pmi_mbits"]]
+
+
+# ------------------------------------------------------------------ session-5 operators
+def normalized_exact_dedup(sf_dir: str):
+    """CCNet-style fuzzy-exact dedup: normalize text (Unicode lowercase,
+    strip every char outside [a-z ], collapse space runs, trim), then
+    EXACT dedup on the normalized form — the standard web-corpus step
+    that catches case/punctuation/digit variants MinHash would score as
+    near- rather than exact duplicates. Normalization is three RE2
+    kernels per batch (zero Python rows); the dedup is the shared
+    _exact_dedup_core distributed plan (24 B/row shuffle, bitmap
+    broadcast, sorted-scan exact verify — the text itself never reaches
+    the driver). Emits the kept doc_ids (min doc_id per normalized
+    form), matching GROUP BY trim(regexp_replace(...)) in the oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(b: pa.Table) -> pa.Table:
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        low = pc.utf8_lower(txt)
+        stripped = pc.replace_substring_regex(
+            low, pattern="[^a-z ]", replacement="")
+        collapsed = pc.replace_substring_regex(
+            stripped, pattern=" +", replacement=" ")
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "text": pc.utf8_trim(collapsed, characters=" ")})
+
+    return _exact_dedup_core(ds.map_batches(norm, batch_format="pyarrow"),
+                             emit="kept")
+
+
+WINSOR_LO_PCT = 5     # p5 / p95, percentile_disc rule
+WINSOR_HI_PCT = 95
+
+
+def winsorize_events(sf_dir: str):
+    """Per-type winsorization audit — the outlier-clipping step of a
+    numeric feature pipeline, with EXACT integer quantiles. ONE
+    stateless pass folds per-batch (type, cents, count) value-histogram
+    partials (state = types x distinct cents — value-space bounded,
+    never row-count bounded; a combiner map_batches level slots in if
+    distinct cents ever grows); the driver reads p5/p95 off each
+    type's cumulative histogram with the percentile_disc rule (smallest
+    value whose cumulative count reaches ceil(q*n), integer compare —
+    no floats), and the clipped sum is computed FROM the histogram, so
+    there is no second data pass. Emits
+    (event_type, n, lo_cents, hi_cents, sum_clipped_cents)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("event_type")),
+                             pc.is_valid(b.column("value"))))
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "cents": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        t = pa.table({"event_type": b.column("event_type"),
+                      "cents": pa.array(_cents(
+                          b.column("value")
+                          .to_numpy(zero_copy_only=False)))})
+        g = t.group_by(["event_type", "cents"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "cnt"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["event_type", "cents"], as_index=False)["cnt"]
+            .sum())
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("cents")
+        c = g["cents"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        # percentile_disc(q): smallest value with 100*cum >= q*100*n
+        lo = int(c[np.searchsorted(cum * 100, WINSOR_LO_PCT * n)])
+        hi = int(c[np.searchsorted(cum * 100, WINSOR_HI_PCT * n)])
+        clipped = np.clip(c, lo, hi)
+        rows.append((et, n, lo, hi, int((clipped * cnt).sum())))
+    return pd.DataFrame(rows, columns=["event_type", "n", "lo_cents",
+                                       "hi_cents", "sum_clipped_cents"])
+
+
+def token_fertility_by_lang(sf_dir: str):
+    """Tokenizer fertility audit per language — BPE-ish regex tokens per
+    whitespace word, the standard multilingual-tokenizer health metric
+    (a high ratio means the tokenizer fragments that language). ONE
+    stateless pass computes BOTH counts per batch (two RE2 kernels) and
+    folds <= |langs| integer partial rows; fertility is an exact
+    floor((1e6 * sum_bpe) / sum_words) the DuckDB oracle replays in
+    integer division. Emits (lang, n_docs, sum_words, sum_bpe,
+    fertility_ppm)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("lang")),
+                             pc.is_valid(b.column("text"))))
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        spaces = pc.count_substring(txt, " ").cast(pa.int64())
+        words = pc.if_else(pc.equal(pc.utf8_length(txt), 0),
+                           pa.scalar(0, type=pa.int64()),
+                           pc.add(spaces, pa.scalar(1, type=pa.int64())))
+        bpe = pc.count_substring_regex(txt, r"\w+|[^\w\s]") \
+            .cast(pa.int64())
+        t = pa.table({"lang": b.column("lang"), "w": words, "bpe": bpe,
+                      "one": pa.array(np.ones(b.num_rows,
+                                              dtype=np.int64))})
+        g = t.group_by("lang").aggregate(
+            [("one", "sum"), ("w", "sum"), ("bpe", "sum")])
+        return g.rename_columns(["lang", "n_docs", "sum_words",
+                                 "sum_bpe"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_words", alias_name="sum_words"),
+                      Sum("sum_bpe", alias_name="sum_bpe"))
+           .to_pandas())
+    w = out["sum_words"].to_numpy(np.int64)
+    bpe = out["sum_bpe"].to_numpy(np.int64)
+    out["fertility_ppm"] = np.where(
+        w > 0, (1_000_000 * bpe) // np.maximum(w, 1), 0).astype(np.int64)
+    for cn in ["n_docs", "sum_words", "sum_bpe"]:
+        out[cn] = out[cn].astype(np.int64)
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+CURRICULUM_BINS = 4
+
+
+def curriculum_bins(sf_dir: str):
+    """Curriculum binning: NTILE(4) over whitespace token count within
+    each source — the "order training data easy-to-hard per domain"
+    prep step. Per-batch (source, tok, count) histogram partials fold
+    on the driver (state = sources x distinct token counts — value-
+    space bounded); each source's exact NTILE split (first n%4 buckets
+    take the extra row, ties share a token count so the per-bin
+    aggregate is histogram-derivable without doc identity) yields
+    (source, bin, n_docs, sum_tokens). Matches an
+    NTILE(4) OVER (PARTITION BY source ORDER BY tok, doc_id) oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("source")),
+                             pc.is_valid(b.column("text"))))
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        spaces = pc.count_substring(txt, " ").cast(pa.int64())
+        tok = pc.if_else(pc.equal(pc.utf8_length(txt), 0),
+                         pa.scalar(0, type=pa.int64()),
+                         pc.add(spaces, pa.scalar(1, type=pa.int64())))
+        t = pa.table({"source": b.column("source"), "tok": tok})
+        g = t.group_by(["source", "tok"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "tok", "cnt"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["source", "tok"], as_index=False)["cnt"].sum())
+    rows = []
+    k = CURRICULUM_BINS
+    for src, g in hist.groupby("source", sort=True):
+        g = g.sort_values("tok")
+        tok = g["tok"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        n = int(cnt.sum())
+        q, r = divmod(n, k)
+        # NTILE bucket b covers ranks (prefix(b-1), prefix(b)]
+        bounds = np.cumsum([q + 1 if i < r else q for i in range(k)])
+        lo_rank = 0
+        cum = np.cumsum(cnt)
+        for b_i, hi_rank in enumerate(bounds, start=1):
+            if hi_rank == lo_rank:
+                continue
+            # rows with rank in (lo_rank, hi_rank]: split histogram cells
+            take = np.clip(np.minimum(cum, hi_rank)
+                           - np.minimum(cum - cnt, hi_rank), 0, None) \
+                - np.clip(np.minimum(cum, lo_rank)
+                          - np.minimum(cum - cnt, lo_rank), 0, None)
+            rows.append((src, b_i, int(take.sum()),
+                         int((take * tok).sum())))
+            lo_rank = hi_rank
+    return pd.DataFrame(rows, columns=["source", "bin", "n_docs",
+                                       "sum_tokens"])
+
+
+OLS_HOUR_BASE = 490_000   # epoch hours (~2025-11); keeps h small
+
+
+def ols_value_on_hour(sf_dir: str):
+    """Grouped integer OLS — per event type, the least-squares slope of
+    value (cents) on event hour, the trend-regression step of a metric
+    monitor. ONE stateless pass folds exact int64 moment partials
+    (n, sum_h, sum_y, sum_hh, sum_hy) per type (hours are rebased by a
+    FIXED constant so every moment stays within int64 at 10^12 rows);
+    the driver computes slope_ppm = sign(num) * ((1e6*|num|) // den)
+    with num = n*sum_hy - sum_h*sum_y, den = n*sum_hh - sum_h^2 in
+    arbitrary-precision Python ints — the kmeans_quantized explicit-sign
+    floor-division discipline, replayed by the oracle in HUGEINT.
+    Emits (event_type, n, sum_h, sum_y, slope_ppm)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("event_type")),
+                             pc.and_(pc.is_valid(b.column("ts")),
+                                     pc.is_valid(b.column("value")))))
+        if b.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "n": pa.array([], type=pa.int64()),
+                "sum_h": pa.array([], type=pa.int64()),
+                "sum_y": pa.array([], type=pa.int64()),
+                "sum_hh": pa.array([], type=pa.int64()),
+                "sum_hy": pa.array([], type=pa.int64())})
+        h = (b.column("ts").cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // 3_600_000_000) \
+            - OLS_HOUR_BASE
+        y = _cents(b.column("value").to_numpy(zero_copy_only=False))
+        t = pa.table({"event_type": b.column("event_type"),
+                      "n": pa.array(np.ones(len(h), dtype=np.int64)),
+                      "sum_h": pa.array(h), "sum_y": pa.array(y),
+                      "sum_hh": pa.array(h * h),
+                      "sum_hy": pa.array(h * y)})
+        g = t.group_by("event_type").aggregate(
+            [("n", "sum"), ("sum_h", "sum"), ("sum_y", "sum"),
+             ("sum_hh", "sum"), ("sum_hy", "sum")])
+        return g.rename_columns(["event_type", "n", "sum_h", "sum_y",
+                                 "sum_hh", "sum_hy"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_h", alias_name="sum_h"),
+                      Sum("sum_y", alias_name="sum_y"),
+                      Sum("sum_hh", alias_name="sum_hh"),
+                      Sum("sum_hy", alias_name="sum_hy"))
+           .to_pandas())
+    slopes = []
+    for _, row in out.iterrows():
+        n, sh, sy = int(row["n"]), int(row["sum_h"]), int(row["sum_y"])
+        num = n * int(row["sum_hy"]) - sh * sy
+        den = n * int(row["sum_hh"]) - sh * sh
+        if den == 0:
+            slopes.append(0)
+        else:
+            s = 1 if num >= 0 else -1
+            slopes.append(s * ((1_000_000 * abs(num)) // den))
+    out["slope_ppm"] = np.array(slopes, dtype=np.int64)
+    for cn in ["n", "sum_h", "sum_y"]:
+        out[cn] = out[cn].astype(np.int64)
+    return (out[["event_type", "n", "sum_h", "sum_y", "slope_ppm"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def label_conflict_audit(sf_dir: str):
+    """Data-quality audit: doc_ids whose EXACT text appears under more
+    than one lang label — conflicting annotations that poison langid
+    training. Stage 1 ships only (text_hash, lang) pairs (per-batch
+    distinct) into one hash-keyed sorted scan that flags hash groups
+    with >= 2 distinct langs; stage 2 broadcasts the candidate-hash
+    BITMAP (fixed 2 MB) and re-verifies candidates EXACTLY on
+    co-located (text, lang) — hash collisions between different texts
+    can never fabricate a conflict. Emits the conflicted doc_ids
+    (doc_id, lang)."""
+    import ray
+
+    from rayschema.dedup import (_bitmap_hash, _bitmap_member,
+                                 sorted_group_scan)
+    from rayschema.sketches import hash64
+
+    BM_BITS = 24
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("text")),
+                             pc.is_valid(b.column("lang"))))
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        df = pd.DataFrame({
+            "uk": hash64(txt.to_numpy(zero_copy_only=False))
+            .view(np.int64),
+            "lang": b.column("lang").to_numpy(zero_copy_only=False)})
+        g = df.drop_duplicates()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # stage 1: candidate hashes = hash groups with >= 2 distinct langs
+    def cand_group(g: pa.Table):
+        langs = g.column("lang").to_numpy(zero_copy_only=False)
+        if len(np.unique(langs)) < 2:
+            return None
+        return pa.table({"uk": g.column("uk").slice(0, 1)})
+
+    def cand_block(b: pa.Table, starts, ends, want):
+        if not want.any():
+            return None
+        # a multi-row (uk, lang)-distinct group has >= 2 distinct langs
+        # by construction ONLY if the same uk appears with two langs;
+        # per-batch distinct rows may still repeat across batches, so
+        # re-check distinctness vectorized
+        uk = b.column("uk").to_numpy(zero_copy_only=False)
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        sel = np.repeat(want, ends - starts)
+        df = pd.DataFrame({"uk": uk[sel], "lang": lang[sel]})
+        nun = df.groupby("uk")["lang"].nunique()
+        cand = nun.index[nun >= 2].to_numpy(np.int64)
+        if len(cand) == 0:
+            return None
+        return pa.table({"uk": pa.array(cand)})
+
+    cands = sorted_group_scan(
+        ds.map_batches(pairs, batch_format="pyarrow"), ["uk"],
+        cand_group, pa.schema([("uk", pa.int64())]),
+        group_filter=lambda b, s, e: (e - s) >= 2,
+        block_fn=cand_block).to_pandas()
+    if len(cands) == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "lang": pd.Series([], dtype=object)})
+    acc = np.zeros(1 << BM_BITS, dtype=bool)
+    acc[_bitmap_hash(cands["uk"].to_numpy(np.int64), BM_BITS)] = True
+    ref = ray.put(np.packbits(acc))
+
+    def pick(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("text")),
+                             pc.is_valid(b.column("lang"))))
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        uks = hash64(txt.to_numpy(zero_copy_only=False)).view(np.int64)
+        sel = _bitmap_member(uks, ray.get(ref), BM_BITS)
+        return pa.table({"uk": pa.array(uks[sel]),
+                         "doc_id": b.column("doc_id").filter(
+                             pa.array(sel)),
+                         "text": txt.filter(pa.array(sel)),
+                         "lang": b.column("lang").filter(pa.array(sel))})
+
+    # stage 2: exact verify on co-located text (resolves collisions)
+    def verify_group(g: pa.Table):
+        df = pd.DataFrame({
+            "doc_id": g.column("doc_id").to_pandas(),
+            "text": g.column("text").to_pandas(),
+            "lang": g.column("lang").to_pandas()})
+        nun = df.groupby("text")["lang"].transform("nunique")
+        hit = df[nun >= 2]
+        if not len(hit):
+            return None
+        return pa.table({"doc_id": pa.array(hit["doc_id"].to_numpy(),
+                                            type=pa.int64()),
+                         "lang": pa.array(hit["lang"],
+                                          type=pa.string())})
+
+    out = sorted_group_scan(
+        ds.map_batches(pick, batch_format="pyarrow"), ["uk"],
+        verify_group, pa.schema([("doc_id", pa.int64()),
+                                 ("lang", pa.string())]),
+        group_filter=lambda b, s, e: (e - s) >= 2).to_pandas()
+    return out.sort_values(["doc_id", "lang"]).reset_index(drop=True)

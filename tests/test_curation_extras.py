@@ -2186,3 +2186,121 @@ def test_pmi_top_pairs_hand_case(ray_session, tmp_path):
     qr = out[(out["w1"] == "q") & (out["w2"] == "r")].iloc[0]
     ab = out[(out["w1"] == "a") & (out["w2"] == "b")].iloc[0]
     assert qr["pmi_mbits"] > ab["pmi_mbits"]
+
+
+def test_normalized_exact_dedup_planted(ray_session, tmp_path):
+    """Case/digit/punctuation/extra-space variants collapse to one kept
+    doc (min id); genuinely different text survives."""
+    from rayschema.queries import normalized_exact_dedup
+
+    texts = ["Hello,  World! 42",      # id 0 -> "hello world"
+             "hello world",            # id 1 -> dup of 0
+             "HELLO... woRLD 7",       # id 2 -> dup of 0
+             "goodbye world",          # id 3 -> unique
+             "hello  worlds"]          # id 4 -> "hello worlds" unique
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64), "text": texts,
+        "lang": ["en"] * 5, "source": ["s"] * 5,
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    kept = sorted(normalized_exact_dedup(str(tmp_path))
+                  .to_pandas()["doc_id"].tolist())
+    assert kept == [0, 3, 4]
+
+
+def test_winsorize_events_planted(ray_session, tmp_path):
+    """percentile_disc rule: with n=20 values 1..20 cents, p5 = rank-1
+    value (cum>=1) = 1, p95 = rank-19 value = 19; sum clips only the
+    top value (20 -> 19)."""
+    from rayschema.queries import winsorize_events
+
+    vals = np.arange(1, 21, dtype=np.float64) / 100.0
+    t = pa.table({
+        "event_id": pa.array(np.arange(20, dtype=np.int64)),
+        "ts": pa.array(np.zeros(20, dtype="datetime64[us]")),
+        "user_id": pa.array(np.ones(20, dtype=np.int64)),
+        "event_type": pa.array(["view"] * 20),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * 20)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = winsorize_events(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n"], r["lo_cents"], r["hi_cents"]) == (20, 1, 19)
+    assert r["sum_clipped_cents"] == sum(range(1, 21)) - 1
+
+
+def test_token_fertility_planted(ray_session, tmp_path):
+    """'a b' = 2 words; 'a, b!' = 2 words but 4 bpeish tokens
+    (a , b !) -> fertility 6/4 words = 1.5e6 ppm."""
+    from rayschema.queries import token_fertility_by_lang
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": ["a b", "a, b!"],
+        "lang": ["en", "en"], "source": ["s", "s"],
+        "n_chars": np.array([3, 5], dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = token_fertility_by_lang(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_docs"], r["sum_words"], r["sum_bpe"]) == (2, 4, 6)
+    assert r["fertility_ppm"] == 1_500_000
+
+
+def test_curriculum_bins_planted(ray_session, tmp_path):
+    """n=10, k=4 -> NTILE buckets of 3,3,2,2; all-tied token counts
+    split across bins purely by count."""
+    from rayschema.queries import curriculum_bins
+
+    texts = ["w"] * 10                     # every doc = 1 token
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64), "text": texts,
+        "lang": ["en"] * 10, "source": ["s"] * 10,
+        "n_chars": np.ones(10, dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = curriculum_bins(str(tmp_path)).sort_values("bin")
+    assert out["n_docs"].tolist() == [3, 3, 2, 2]
+    assert out["sum_tokens"].tolist() == [3, 3, 2, 2]
+
+
+def test_ols_planted_slopes(ray_session, tmp_path):
+    """A perfect +2-cents/hour line gives slope_ppm exactly 2e6; the
+    mirrored series gives -2e6 (explicit-sign floor division)."""
+    from rayschema.queries import ols_value_on_hour
+
+    H = 3_600_000_000
+    ts = np.array([i * H for i in range(5)] * 2, dtype="datetime64[us]")
+    up = [0.02 * i for i in range(5)]
+    dn = [0.02 * (4 - i) for i in range(5)]
+    t = pa.table({
+        "event_id": pa.array(np.arange(10, dtype=np.int64)),
+        "ts": pa.array(ts),
+        "user_id": pa.array(np.ones(10, dtype=np.int64)),
+        "event_type": pa.array(["up"] * 5 + ["down"] * 5),
+        "value": pa.array(up + dn),
+        "props": pa.array(["{}"] * 10)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = ols_value_on_hour(str(tmp_path)).set_index("event_type")
+    assert out.loc["up", "slope_ppm"] == 2_000_000
+    assert out.loc["down", "slope_ppm"] == -2_000_000
+
+
+def test_label_conflict_audit_planted(ray_session, tmp_path):
+    """Identical text under two langs is flagged (all member docs);
+    duplicates within ONE lang are not."""
+    from rayschema.queries import label_conflict_audit
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["same text here", "same text here", "same text here",
+                 "dup one lang", "dup one lang", "unique"],
+        "lang": ["en", "de", "en", "fr", "fr", "es"],
+        "source": ["s"] * 6,
+        "n_chars": np.array([14, 14, 14, 12, 12, 6], dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = label_conflict_audit(str(tmp_path))
+    assert out["doc_id"].tolist() == [0, 1, 2]
+    assert out["lang"].tolist() == ["en", "de", "en"]
