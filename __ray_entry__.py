@@ -339,6 +339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_bins": Q.curriculum_bins,
         "ols_value_on_hour": Q.ols_value_on_hour,
         "label_conflict_audit": Q.label_conflict_audit,
+        "ab_test_value_audit": Q.ab_test_value_audit,
+        "inter_event_gap_quantiles": Q.inter_event_gap_quantiles,
     }
 
 
@@ -2733,4 +2735,64 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.lang
             FROM documents d JOIN c USING (text)
             WHERE d.lang IS NOT NULL""",
+        # Welch t^2 pre/post a fixed cutoff; DOUBLE from identical int
+        # moments in the identical operation order (compared at 6 dp)
+        "ab_test_value_audit": """
+            WITH e AS (SELECT event_type,
+                              epoch_us(ts) AS us,
+                              CAST(round(value * 100) AS BIGINT) AS y
+                       FROM events
+                       WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                         AND value IS NOT NULL),
+            m AS (SELECT event_type,
+                         sum(CASE WHEN us < 1705363200000000
+                                  THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                         sum(CASE WHEN us < 1705363200000000
+                                  THEN y ELSE 0 END)::BIGINT AS sum_a,
+                         sum(CASE WHEN us < 1705363200000000
+                                  THEN y * y ELSE 0 END)::BIGINT AS ss_a,
+                         sum(CASE WHEN us >= 1705363200000000
+                                  THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                         sum(CASE WHEN us >= 1705363200000000
+                                  THEN y ELSE 0 END)::BIGINT AS sum_b,
+                         sum(CASE WHEN us >= 1705363200000000
+                                  THEN y * y ELSE 0 END)::BIGINT AS ss_b
+                  FROM e GROUP BY event_type)
+            SELECT event_type, n_a, sum_a, n_b, sum_b,
+                   (CASE WHEN n_a > 0 AND n_b > 0
+                              AND ((ss_a::DOUBLE / n_a
+                                    - (sum_a::DOUBLE / n_a)
+                                      * (sum_a::DOUBLE / n_a)) / n_a
+                                   + (ss_b::DOUBLE / n_b
+                                      - (sum_b::DOUBLE / n_b)
+                                        * (sum_b::DOUBLE / n_b)) / n_b)
+                                  > 0
+                         THEN (sum_a::DOUBLE / n_a - sum_b::DOUBLE / n_b)
+                              * (sum_a::DOUBLE / n_a - sum_b::DOUBLE / n_b)
+                              / ((ss_a::DOUBLE / n_a
+                                  - (sum_a::DOUBLE / n_a)
+                                    * (sum_a::DOUBLE / n_a)) / n_a
+                                 + (ss_b::DOUBLE / n_b
+                                    - (sum_b::DOUBLE / n_b)
+                                      * (sum_b::DOUBLE / n_b)) / n_b)
+                         ELSE 0.0 END) AS t2
+            FROM m""",
+        # exact inter-arrival quantiles: LAG diffs + percentile_disc
+        "inter_event_gap_quantiles": """
+            WITH o AS (SELECT user_id, epoch_us(ts) AS us,
+                              lag(epoch_us(ts)) OVER
+                                (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            g AS (SELECT ((us - prev) // 1000000)::BIGINT AS gap_s
+                  FROM o WHERE prev IS NOT NULL)
+            SELECT count(*)::BIGINT AS n_gaps,
+                   percentile_disc(0.50)
+                     WITHIN GROUP (ORDER BY gap_s)::BIGINT AS p50_s,
+                   percentile_disc(0.90)
+                     WITHIN GROUP (ORDER BY gap_s)::BIGINT AS p90_s,
+                   percentile_disc(0.99)
+                     WITHIN GROUP (ORDER BY gap_s)::BIGINT AS p99_s
+            FROM g""",
     }

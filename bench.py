@@ -153,6 +153,10 @@ def run_bench() -> dict:
         ("perplexity_bucket_filter", Q.perplexity_bucket_filter),
         ("orders_reconciliation", Q.orders_reconciliation_audit),
         ("throttled_events", Q.throttled_events),
+        ("normalized_exact_dedup", Q.normalized_exact_dedup),
+        ("winsorize_events", Q.winsorize_events),
+        ("curriculum_bins", Q.curriculum_bins),
+        ("label_conflict_audit", Q.label_conflict_audit),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -9085,3 +9085,147 @@ def label_conflict_audit(sf_dir: str):
                                  ("lang", pa.string())]),
         group_filter=lambda b, s, e: (e - s) >= 2).to_pandas()
     return out.sort_values(["doc_id", "lang"]).reset_index(drop=True)
+
+
+AB_CUTOFF_US = 1_705_363_200_000_000   # 2024-01-16T00:00:00Z, mid-corpus
+
+
+def ab_test_value_audit(sf_dir: str):
+    """Pre/post A/B shift audit — per event type, Welch's t^2 between
+    value (cents) before and after a FIXED cutoff timestamp, the
+    metric-regression gate of an experiment pipeline. ONE stateless
+    pass folds exact int64 moment partials per (type, arm) — count,
+    sum, sum-of-squares — and the driver (and the oracle, from the SAME
+    integers cast to DOUBLE in the SAME operation order) computes
+    t2 = (ma-mb)^2 / (va/na + vb/nb) with population variances; the
+    value hash compares at 6 decimals. Emits (event_type, n_a, sum_a,
+    n_b, sum_b, t2)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("event_type")),
+                             pc.and_(pc.is_valid(b.column("ts")),
+                                     pc.is_valid(b.column("value")))))
+        if b.num_rows == 0:
+            return pa.table({
+                "event_type": pa.array([], type=pa.string()),
+                "n_a": pa.array([], type=pa.int64()),
+                "sum_a": pa.array([], type=pa.int64()),
+                "ss_a": pa.array([], type=pa.int64()),
+                "n_b": pa.array([], type=pa.int64()),
+                "sum_b": pa.array([], type=pa.int64()),
+                "ss_b": pa.array([], type=pa.int64())})
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = _cents(b.column("value").to_numpy(zero_copy_only=False))
+        a = (ts < AB_CUTOFF_US).astype(np.int64)
+        bb = 1 - a
+        t = pa.table({"event_type": b.column("event_type"),
+                      "n_a": pa.array(a), "sum_a": pa.array(a * y),
+                      "ss_a": pa.array(a * y * y),
+                      "n_b": pa.array(bb), "sum_b": pa.array(bb * y),
+                      "ss_b": pa.array(bb * y * y)})
+        g = t.group_by("event_type").aggregate(
+            [("n_a", "sum"), ("sum_a", "sum"), ("ss_a", "sum"),
+             ("n_b", "sum"), ("sum_b", "sum"), ("ss_b", "sum")])
+        return g.rename_columns(["event_type", "n_a", "sum_a", "ss_a",
+                                 "n_b", "sum_b", "ss_b"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_a", alias_name="n_a"),
+                      Sum("sum_a", alias_name="sum_a"),
+                      Sum("ss_a", alias_name="ss_a"),
+                      Sum("n_b", alias_name="n_b"),
+                      Sum("sum_b", alias_name="sum_b"),
+                      Sum("ss_b", alias_name="ss_b"))
+           .to_pandas())
+    na = out["n_a"].to_numpy(np.float64)
+    nb = out["n_b"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ma = out["sum_a"].to_numpy(np.float64) / na
+        mb = out["sum_b"].to_numpy(np.float64) / nb
+        va = out["ss_a"].to_numpy(np.float64) / na - ma * ma
+        vb = out["ss_b"].to_numpy(np.float64) / nb - mb * mb
+        den = va / na + vb / nb
+        t2 = np.where((na > 0) & (nb > 0) & (den > 0),
+                      (ma - mb) * (ma - mb) / np.where(den > 0, den, 1.0),
+                      0.0)
+    out["t2"] = t2
+    for cn in ["n_a", "sum_a", "n_b", "sum_b"]:
+        out[cn] = out[cn].astype(np.int64)
+    return (out[["event_type", "n_a", "sum_a", "n_b", "sum_b", "t2"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+def inter_event_gap_quantiles(sf_dir: str):
+    """Inter-arrival-time distribution: exact p50/p90/p99 of the gap (in
+    whole seconds) between each user's consecutive events — the
+    heartbeat/SLA audit of an event stream. ONE user-keyed sorted scan
+    (order ts, event_id); the block kernel computes same-user shifted
+    diffs vectorized and ships (gap_s, count) HISTOGRAM partials (state
+    = distinct gap values, never rows); the driver folds the histogram
+    and reads the quantiles off the cumulative counts with the
+    percentile_disc rule (integer compare). Emits ONE row
+    (n_gaps, p50_s, p90_s, p99_s)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.is_valid(b.column("ts"))))
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "ts_us": pa.array(b.column("ts").cast(pa.int64())
+                              .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(b.column("event_id")
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64))})
+
+    out_schema = pa.schema([("gap_s", pa.int64()), ("cnt", pa.int64())])
+
+    def _hist(gaps: np.ndarray):
+        if len(gaps) == 0:
+            return None
+        u, c = np.unique(gaps, return_counts=True)
+        return pa.table({"gap_s": pa.array(u),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    def block_fn(b: pa.Table, starts, ends, want):
+        if not want.any():
+            return None
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
+        n = b.num_rows
+        in_want = np.repeat(want, ends - starts)
+        is_start = np.zeros(n, dtype=bool)
+        is_start[starts] = True
+        valid = in_want & ~is_start
+        idx = np.flatnonzero(valid)
+        return _hist((ts[idx] - ts[idx - 1]) // 1_000_000)
+
+    def group_fn(g: pa.Table):
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        if len(ts) < 2:
+            return None
+        return _hist((ts[1:] - ts[:-1]) // 1_000_000)
+
+    hist = sorted_group_scan(
+        ds.map_batches(narrow, batch_format="pyarrow"), ["user_id"],
+        group_fn, out_schema, order_cols=["ts_us", "event_id"],
+        block_fn=block_fn).to_pandas()
+    if not len(hist):
+        return pd.DataFrame({"n_gaps": [0], "p50_s": [0],
+                             "p90_s": [0], "p99_s": [0]})
+    g = hist.groupby("gap_s", as_index=True)["cnt"].sum().sort_index()
+    vals = g.index.to_numpy(np.int64)
+    cum = np.cumsum(g.to_numpy(np.int64))
+    n = int(cum[-1])
+    # percentile_disc(q): smallest value with 100*cum >= q*100*n
+    q = {p: int(vals[np.searchsorted(cum * 100, p * n)])
+         for p in (50, 90, 99)}
+    return pd.DataFrame({"n_gaps": [n], "p50_s": [q[50]],
+                         "p90_s": [q[90]], "p99_s": [q[99]]})

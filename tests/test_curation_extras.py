@@ -2304,3 +2304,52 @@ def test_label_conflict_audit_planted(ray_session, tmp_path):
     out = label_conflict_audit(str(tmp_path))
     assert out["doc_id"].tolist() == [0, 1, 2]
     assert out["lang"].tolist() == ["en", "de", "en"]
+
+
+def test_ab_test_value_audit_planted(ray_session, tmp_path):
+    """Arm A (pre-cutoff) all 1.00, arm B (post) all 3.00 with one 5.00:
+    exact moments and a hand-computed Welch t^2."""
+    from rayschema.queries import AB_CUTOFF_US, ab_test_value_audit
+
+    pre = AB_CUTOFF_US - 10_000_000
+    post = AB_CUTOFF_US + 10_000_000
+    ts = np.array([pre] * 3 + [post] * 3, dtype="datetime64[us]")
+    vals = [1.0, 1.0, 1.0, 3.0, 3.0, 5.0]
+    t = pa.table({
+        "event_id": pa.array(np.arange(6, dtype=np.int64)),
+        "ts": pa.array(ts),
+        "user_id": pa.array(np.ones(6, dtype=np.int64)),
+        "event_type": pa.array(["view"] * 6),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * 6)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = ab_test_value_audit(str(tmp_path)).iloc[0]
+    assert (out["n_a"], out["sum_a"], out["n_b"], out["sum_b"]) \
+        == (3, 300, 3, 1100)
+    # ma=100, mb=1100/3; va=0, vb=430000/3 - (1100/3)^2 -> t2 = 24
+    ma, mb = 100.0, 1100.0 / 3
+    vb = 430000.0 / 3 - mb * mb
+    want = (ma - mb) ** 2 / (0.0 / 3 + vb / 3)
+    assert abs(out["t2"] - want) < 1e-6
+
+
+def test_inter_event_gap_quantiles_planted(ray_session, tmp_path):
+    """Two users with known gaps; cross-user boundaries contribute no
+    gap; quantiles follow the percentile_disc rule."""
+    from rayschema.queries import inter_event_gap_quantiles
+
+    S = 1_000_000
+    # user 1 at t=0,10s,30s -> gaps 10,20 ; user 2 at t=0,5s -> gap 5
+    ts = np.array([0, 10 * S, 30 * S, 0, 5 * S], dtype="datetime64[us]")
+    t = pa.table({
+        "event_id": pa.array(np.arange(5, dtype=np.int64)),
+        "ts": pa.array(ts),
+        "user_id": pa.array(np.array([1, 1, 1, 2, 2], dtype=np.int64)),
+        "event_type": pa.array(["view"] * 5),
+        "value": pa.array(np.ones(5)),
+        "props": pa.array(["{}"] * 5)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = inter_event_gap_quantiles(str(tmp_path)).iloc[0]
+    # gaps sorted: 5,10,20 ; p50 -> cum>=1.5 -> 10 ; p90/p99 -> 20
+    assert (out["n_gaps"], out["p50_s"], out["p90_s"], out["p99_s"]) \
+        == (3, 10, 20, 20)
