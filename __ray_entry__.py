@@ -341,6 +341,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_conflict_audit": Q.label_conflict_audit,
         "ab_test_value_audit": Q.ab_test_value_audit,
         "inter_event_gap_quantiles": Q.inter_event_gap_quantiles,
+        "last_touch_attribution": Q.last_touch_attribution,
+        "k_anonymity_audit": Q.k_anonymity_audit,
     }
 
 
@@ -2795,4 +2797,41 @@ def oracle_sql() -> dict[str, str]:
                    percentile_disc(0.99)
                      WITHIN GROUP (ORDER BY gap_s)::BIGINT AS p99_s
             FROM g""",
+        # last-touch attribution: IGNORE NULLS last_value lag window
+        "last_touch_attribution": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+                              event_id
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            w AS (SELECT event_type, us,
+                         last_value(CASE WHEN event_type IN
+                                         ('view', 'click')
+                                         THEN event_type END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS touch_type,
+                         last_value(CASE WHEN event_type IN
+                                         ('view', 'click')
+                                         THEN us END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS touch_us
+                  FROM e)
+            SELECT CASE WHEN touch_us IS NOT NULL
+                             AND us - touch_us <= 3600000000
+                        THEN touch_type ELSE 'none' END AS attributed,
+                   count(*)::BIGINT AS n_purchases
+            FROM w WHERE event_type = 'purchase'
+            GROUP BY 1""",
+        # k-anonymity: quasi-identifier cells under the K=5 threshold
+        "k_anonymity_audit": """
+            SELECT lang, source, (n_chars // 100)::BIGINT AS bucket,
+                   count(*)::BIGINT AS n
+            FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+              AND n_chars IS NOT NULL
+            GROUP BY 1, 2, 3 HAVING count(*) < 5""",
     }

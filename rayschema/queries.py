@@ -9229,3 +9229,163 @@ def inter_event_gap_quantiles(sf_dir: str):
          for p in (50, 90, 99)}
     return pd.DataFrame({"n_gaps": [n], "p50_s": [q[50]],
                          "p90_s": [q[90]], "p99_s": [q[99]]})
+
+
+ATTRIB_WINDOW_US = 3_600_000_000   # 1 h last-touch window
+
+
+def last_touch_attribution(sf_dir: str):
+    """Marketing-style last-touch attribution: every purchase is
+    credited to the user's most recent PRIOR view-or-click within one
+    hour (lag semantics over (ts, event_id) order), else 'none' — the
+    sessionized join every event warehouse runs. ONE user-keyed sorted
+    scan; the block kernel computes a SEGMENTED last-touch index with
+    one np.maximum.accumulate (touch positions from an earlier user
+    group are < this group's start, so a start-bound compare kills the
+    carry-over — no per-group Python), and ships <= 3 partial rows per
+    block. Emits (attributed, n_purchases)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.and_(pc.is_valid(b.column("ts")),
+                                     pc.is_valid(b.column("event_type")))))
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        # 0 = other, 1 = view, 2 = click, 3 = purchase
+        code = np.zeros(b.num_rows, dtype=np.int64)
+        etn = et.to_numpy(zero_copy_only=False)
+        code[etn == "view"] = 1
+        code[etn == "click"] = 2
+        code[etn == "purchase"] = 3
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "ts_us": pa.array(b.column("ts").cast(pa.int64())
+                              .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(b.column("event_id")
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64)),
+            "code": pa.array(code)})
+
+    out_schema = pa.schema([("attributed", pa.string()),
+                            ("n_purchases", pa.int64())])
+    NAMES = np.array(["none", "view", "click"], dtype=object)
+
+    def _attr_rows(code, ts, starts_of_rows):
+        """code/ts: rows in (user, ts, event_id) order; starts_of_rows:
+        per-row index of its group's first row. Returns per-attributed
+        counts for the purchase rows."""
+        n = len(code)
+        if n == 0:
+            return None
+        pos = np.arange(n, dtype=np.int64)
+        touch = (code == 1) | (code == 2)
+        last_touch = np.maximum.accumulate(np.where(touch, pos, -1))
+        # lag semantics: the row itself can't be its own touch
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = last_touch[:-1]
+        pur = np.flatnonzero(code == 3)
+        if len(pur) == 0:
+            return None
+        t_idx = prev[pur]
+        ok = ((t_idx >= starts_of_rows[pur])      # same user group
+              & (t_idx >= 0)
+              & (ts[pur] - ts[np.maximum(t_idx, 0)] <= ATTRIB_WINDOW_US))
+        lab = np.where(ok, code[np.maximum(t_idx, 0)], 0)
+        u, c = np.unique(lab, return_counts=True)
+        return pa.table({"attributed": pa.array(NAMES[u]),
+                         "n_purchases": pa.array(c.astype(np.int64))})
+
+    def block_fn(b: pa.Table, starts, ends, want):
+        if not want.any():
+            return None
+        sizes = ends - starts
+        keep = np.repeat(want, sizes)
+        srow = np.repeat(starts, sizes)
+        code = b.column("code").to_numpy(zero_copy_only=False)
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
+        # run on the FULL block (segmented by srow), then keep only
+        # wanted groups' purchases
+        n = b.num_rows
+        pos = np.arange(n, dtype=np.int64)
+        touch = (code == 1) | (code == 2)
+        last_touch = np.maximum.accumulate(np.where(touch, pos, -1))
+        prev = np.empty(n, dtype=np.int64)
+        prev[0] = -1
+        prev[1:] = last_touch[:-1]
+        pur = np.flatnonzero((code == 3) & keep)
+        if len(pur) == 0:
+            return None
+        t_idx = prev[pur]
+        ok = ((t_idx >= srow[pur]) & (t_idx >= 0)
+              & (ts[pur] - ts[np.maximum(t_idx, 0)] <= ATTRIB_WINDOW_US))
+        lab = np.where(ok, code[np.maximum(t_idx, 0)], 0)
+        u, c = np.unique(lab, return_counts=True)
+        return pa.table({"attributed": pa.array(NAMES[u]),
+                         "n_purchases": pa.array(c.astype(np.int64))})
+
+    def group_fn(g: pa.Table):
+        code = g.column("code").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        return _attr_rows(code, ts,
+                          np.zeros(len(code), dtype=np.int64))
+
+    scan = sorted_group_scan(
+        ds.map_batches(narrow, batch_format="pyarrow"), ["user_id"],
+        group_fn, out_schema, order_cols=["ts_us", "event_id"],
+        block_fn=block_fn).to_pandas()
+    agg = scan.groupby("attributed", as_index=False)["n_purchases"].sum()
+    agg["n_purchases"] = agg["n_purchases"].astype(np.int64)
+    return agg.sort_values("attributed").reset_index(drop=True)
+
+
+K_ANON_THRESHOLD = 5
+K_ANON_BUCKET = 100
+
+
+def k_anonymity_audit(sf_dir: str):
+    """Privacy k-anonymity audit over the quasi-identifier
+    (lang, source, n_chars//100): combos with fewer than K=5 members
+    re-identify their documents — the release gate of a data-sharing
+    pipeline. Per-batch partial counts fold through one small groupby
+    (state = |langs| x |sources| x |buckets| cells, value-space
+    bounded); the driver filters n < K. Emits
+    (lang, source, bucket, n)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("lang")),
+                             pc.and_(pc.is_valid(b.column("source")),
+                                     pc.is_valid(b.column("n_chars")))))
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "source": pa.array([], type=pa.string()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        bk = (b.column("n_chars").to_numpy(zero_copy_only=False)
+              .astype(np.int64)) // K_ANON_BUCKET
+        t = pa.table({"lang": b.column("lang"),
+                      "source": b.column("source"),
+                      "bucket": pa.array(bk)})
+        g = t.group_by(["lang", "source", "bucket"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "source", "bucket", "n"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "source", "bucket"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out = out[out["n"] < K_ANON_THRESHOLD].copy()
+    out["n"] = out["n"].astype(np.int64)
+    out["bucket"] = out["bucket"].astype(np.int64)
+    return (out.sort_values(["lang", "source", "bucket"])
+            .reset_index(drop=True))

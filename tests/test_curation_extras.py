@@ -2353,3 +2353,57 @@ def test_inter_event_gap_quantiles_planted(ray_session, tmp_path):
     # gaps sorted: 5,10,20 ; p50 -> cum>=1.5 -> 10 ; p90/p99 -> 20
     assert (out["n_gaps"], out["p50_s"], out["p90_s"], out["p99_s"]) \
         == (3, 10, 20, 20)
+
+
+def test_last_touch_attribution_planted(ray_session, tmp_path):
+    """Purchase credits the LATEST prior view/click within 1 h; an
+    out-of-window touch or another user's touch yields 'none'; lag
+    semantics (a touch at the same row order position before counts,
+    the purchase itself never does)."""
+    from rayschema.queries import last_touch_attribution
+
+    M = 60_000_000
+    rows = [
+        # user 1: view @0, click @10m, purchase @30m -> click
+        (1, "view", 0), (1, "click", 10 * M), (1, "purchase", 30 * M),
+        # user 1: purchase @200m -> last touch click@10m is stale -> none
+        (1, "purchase", 200 * M),
+        # user 2: purchase @5m with no touch -> none (user 1's don't leak)
+        (2, "purchase", 5 * M),
+        # user 3: view @0, purchase @60m exactly -> view (<= window)
+        (3, "view", 0), (3, "purchase", 60 * M),
+    ]
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "ts": pa.array(np.array([r[2] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array(np.array([r[0] for r in rows],
+                                     dtype=np.int64)),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array(np.ones(len(rows))),
+        "props": pa.array(["{}"] * len(rows))})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = last_touch_attribution(str(tmp_path)).set_index("attributed")
+    assert out.loc["click", "n_purchases"] == 1
+    assert out.loc["view", "n_purchases"] == 1
+    assert out.loc["none", "n_purchases"] == 2
+
+
+def test_k_anonymity_audit_planted(ray_session, tmp_path):
+    """Cells with >= 5 members pass; smaller cells are flagged with
+    their exact counts and bucket = n_chars // 100."""
+    from rayschema.queries import k_anonymity_audit
+
+    nch = [50] * 5 + [150] * 2 + [250]
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": ["x" * 60] * 8,
+        "lang": ["en"] * 8,
+        "source": ["s1"] * 7 + ["s2"],
+        "n_chars": np.array(nch, dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = k_anonymity_audit(str(tmp_path))
+    # (en,s1,0) has 5 -> safe; (en,s1,1)=2 and (en,s2,2)=1 flagged
+    assert [tuple(r) for r in out.itertuples(index=False)] \
+        == [("en", "s1", 1, 2), ("en", "s2", 2, 1)]
