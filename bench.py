@@ -158,6 +158,7 @@ def run_bench() -> dict:
         ("curriculum_bins", Q.curriculum_bins),
         ("label_conflict_audit", Q.label_conflict_audit),
         ("inter_event_gap_quantiles", Q.inter_event_gap_quantiles),
+        ("last_touch_attribution", Q.last_touch_attribution),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s
