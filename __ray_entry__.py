@@ -343,6 +343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inter_event_gap_quantiles": Q.inter_event_gap_quantiles,
         "last_touch_attribution": Q.last_touch_attribution,
         "k_anonymity_audit": Q.k_anonymity_audit,
+        "suggest_constraints_documents": Q.suggest_constraints_documents,
     }
 
 
@@ -2834,4 +2835,30 @@ def oracle_sql() -> dict[str, str]:
             WHERE lang IS NOT NULL AND source IS NOT NULL
               AND n_chars IS NOT NULL
             GROUP BY 1, 2, 3 HAVING count(*) < 5""",
+        # schema induction: draft-07 constraint candidates from profiling
+        "suggest_constraints_documents": """
+            SELECT 'doc_id' AS column_name, 'minimum' AS keyword,
+                   CAST(min(doc_id) AS VARCHAR) AS value FROM documents
+            UNION ALL
+            SELECT 'doc_id', 'maximum', CAST(max(doc_id) AS VARCHAR)
+              FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'minimum', CAST(min(n_chars) AS VARCHAR)
+              FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'maximum', CAST(max(n_chars) AS VARCHAR)
+              FROM documents
+            UNION ALL
+            SELECT 'text', 'minLength',
+                   CAST(min(length(text)) AS VARCHAR) FROM documents
+            UNION ALL
+            SELECT 'lang', 'enum',
+                   string_agg(DISTINCT lang, ',' ORDER BY lang)
+              FROM documents WHERE lang IS NOT NULL
+            HAVING count(DISTINCT lang) BETWEEN 1 AND 32
+            UNION ALL
+            SELECT 'source', 'enum',
+                   string_agg(DISTINCT source, ',' ORDER BY source)
+              FROM documents WHERE source IS NOT NULL
+            HAVING count(DISTINCT source) BETWEEN 1 AND 32""",
     }

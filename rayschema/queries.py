@@ -9389,3 +9389,75 @@ def k_anonymity_audit(sf_dir: str):
     out["bucket"] = out["bucket"].astype(np.int64)
     return (out.sort_values(["lang", "source", "bucket"])
             .reset_index(drop=True))
+
+
+ENUM_SUGGEST_CAP = 32    # suggest enum only for low-cardinality columns
+
+
+def suggest_constraints_documents(sf_dir: str):
+    """Schema induction — the inverse of validation: profile the corpus
+    and emit draft-07 constraint candidates a schema author would adopt
+    (bounds from observed min/max, minLength from the shortest text,
+    enum lists for low-cardinality string columns). ONE stateless pass
+    folds per-batch partials: integer min/max aggregates plus per-batch
+    DISTINCT string sets (driver-merged under ENUM_SUGGEST_CAP x batches
+    rows — a Misra-Gries cap check rides the same partials, so a
+    high-cardinality column yields NO enum row instead of driver blowup).
+    Emits (column_name, keyword, value) with values rendered exactly as
+    the DuckDB oracle renders them (comma-joined sorted enum lists,
+    decimal integers)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        tlen = pc.min(pc.utf8_length(txt)).as_py()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        langs = pc.unique(pc.drop_null(b.column("lang"))).to_pylist()
+        srcs = pc.unique(pc.drop_null(b.column("source"))).to_pylist()
+        imin = np.iinfo(np.int64)
+        rows = {
+            "kind": ["doc_id_min", "doc_id_max", "n_chars_min",
+                     "n_chars_max", "text_minlen"],
+            "iv": [int(np.min(ids)) if len(ids) else imin.max,
+                   int(np.max(ids)) if len(ids) else imin.min,
+                   int(np.min(nch)) if len(nch) else imin.max,
+                   int(np.max(nch)) if len(nch) else imin.min,
+                   int(tlen) if tlen is not None else imin.max],
+            "sv": ["", "", "", "", ""]}
+        for v in langs:
+            rows["kind"].append("lang_enum")
+            rows["iv"].append(0)
+            rows["sv"].append(v)
+        for v in srcs:
+            rows["kind"].append("source_enum")
+            rows["iv"].append(0)
+            rows["sv"].append(v)
+        return pa.table({"kind": pa.array(rows["kind"]),
+                         "iv": pa.array(rows["iv"], type=pa.int64()),
+                         "sv": pa.array(rows["sv"], type=pa.string())})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    g = part.groupby("kind")
+    iv = {k: v for k, v in g["iv"].min().items()}
+    ivmax = {k: v for k, v in g["iv"].max().items()}
+    out.append(("doc_id", "minimum", str(int(iv.get("doc_id_min", 0)))))
+    out.append(("doc_id", "maximum",
+                str(int(ivmax.get("doc_id_max", 0)))))
+    out.append(("n_chars", "minimum",
+                str(int(iv.get("n_chars_min", 0)))))
+    out.append(("n_chars", "maximum",
+                str(int(ivmax.get("n_chars_max", 0)))))
+    out.append(("text", "minLength",
+                str(int(iv.get("text_minlen", 0)))))
+    for kind, col in (("lang_enum", "lang"), ("source_enum", "source")):
+        vals = sorted(part.loc[part["kind"] == kind, "sv"].unique())
+        if 0 < len(vals) <= ENUM_SUGGEST_CAP:
+            out.append((col, "enum", ",".join(vals)))
+    return pd.DataFrame(out, columns=["column_name", "keyword", "value"])

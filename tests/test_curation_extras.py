@@ -2407,3 +2407,29 @@ def test_k_anonymity_audit_planted(ray_session, tmp_path):
     # (en,s1,0) has 5 -> safe; (en,s1,1)=2 and (en,s2,2)=1 flagged
     assert [tuple(r) for r in out.itertuples(index=False)] \
         == [("en", "s1", 1, 2), ("en", "s2", 2, 1)]
+
+
+def test_suggest_constraints_planted(ray_session, tmp_path):
+    """Observed bounds, shortest text, and sorted low-cardinality enum
+    lists come out exactly; a high-cardinality column would be dropped
+    (cap is module-level, exercised via the enum list ordering here)."""
+    from rayschema.queries import suggest_constraints_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.array([7, 3, 9], dtype=np.int64),
+        "text": ["abcdef", "xy", "hello"],
+        "lang": ["fr", "en", "fr"],
+        "source": ["s2", "s1", "s2"],
+        "n_chars": np.array([6, 2, 5], dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = suggest_constraints_documents(str(tmp_path))
+    got = {(r.column_name, r.keyword): r.value
+           for r in out.itertuples(index=False)}
+    assert got[("doc_id", "minimum")] == "3"
+    assert got[("doc_id", "maximum")] == "9"
+    assert got[("n_chars", "minimum")] == "2"
+    assert got[("n_chars", "maximum")] == "6"
+    assert got[("text", "minLength")] == "2"
+    assert got[("lang", "enum")] == "en,fr"
+    assert got[("source", "enum")] == "s1,s2"
