@@ -2433,3 +2433,145 @@ def test_suggest_constraints_planted(ray_session, tmp_path):
     assert got[("text", "minLength")] == "2"
     assert got[("lang", "enum")] == "en,fr"
     assert got[("source", "enum")] == "s1,s2"
+
+
+def test_curriculum_bins_random_cross_check(ray_session, tmp_path):
+    """120 docs with heavy token-count ties vs a brute-force NTILE
+    emulation (rank-split with the first-(n%4)-buckets-larger rule)."""
+    from rayschema.queries import curriculum_bins
+
+    rng = np.random.RandomState(7)
+    n = 120
+    toks = rng.randint(1, 6, n)           # 1..5 tokens, many ties
+    texts = [" ".join(["w"] * int(t)) for t in toks]
+    srcs = [f"s{i % 3}" for i in range(n)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64), "text": texts,
+        "lang": ["en"] * n, "source": srcs,
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = curriculum_bins(str(tmp_path))
+
+    ref_rows = {}
+    for src in sorted(set(srcs)):
+        sub = df[df["source"] == src].sort_values(["doc_id"])
+        tt = np.sort(sub["text"].str.count(" ").to_numpy() + 1)
+        m = len(tt)
+        q, r = divmod(m, 4)
+        pos = 0
+        for b in range(1, 5):
+            size = q + (1 if b <= r else 0)
+            if size:
+                ref_rows[(src, b)] = (size, int(tt[pos:pos + size].sum()))
+            pos += size
+    got = {(r.source, r.bin): (r.n_docs, r.sum_tokens)
+           for r in out.itertuples(index=False)}
+    assert got == ref_rows
+
+
+def test_winsorize_random_cross_check(ray_session, tmp_path):
+    """300 random cent values vs a brute-force percentile_disc +
+    clip reference."""
+    from rayschema.queries import winsorize_events
+
+    rng = np.random.RandomState(11)
+    cents = rng.randint(-50, 5000, 300)
+    t = pa.table({
+        "event_id": pa.array(np.arange(300, dtype=np.int64)),
+        "ts": pa.array(np.zeros(300, dtype="datetime64[us]")),
+        "user_id": pa.array(np.ones(300, dtype=np.int64)),
+        "event_type": pa.array(["view"] * 300),
+        "value": pa.array(cents / 100.0),
+        "props": pa.array(["{}"] * 300)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = winsorize_events(str(tmp_path)).iloc[0]
+    s = np.sort(np.round(cents / 100.0 * 100).astype(np.int64))
+    n = len(s)
+
+    def pdisc(q):
+        # smallest value with cum >= q*n, cum = 1-based rank
+        k = int(np.ceil(q * n))
+        return int(s[max(k - 1, 0)])
+
+    lo, hi = pdisc(0.05), pdisc(0.95)
+    assert (out["lo_cents"], out["hi_cents"]) == (lo, hi)
+    assert out["sum_clipped_cents"] == int(np.clip(s, lo, hi).sum())
+
+
+def test_last_touch_random_cross_check(ray_session, tmp_path):
+    """400 random events over 20 users vs a per-user Python scan
+    reference (same (ts, event_id) ordering and 1 h window)."""
+    from rayschema.queries import ATTRIB_WINDOW_US, last_touch_attribution
+
+    rng = np.random.RandomState(3)
+    n = 400
+    users = rng.randint(1, 21, n).astype(np.int64)
+    ts_us = rng.randint(0, 10 * 3_600_000_000, n).astype(np.int64)
+    types = np.array(["view", "click", "purchase", "error"])[
+        rng.randint(0, 4, n)]
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts_us.astype("datetime64[us]")),
+        "user_id": pa.array(users),
+        "event_type": pa.array(types),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array(["{}"] * n)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = last_touch_attribution(str(tmp_path)).set_index("attributed")
+
+    ref = {"none": 0, "view": 0, "click": 0}
+    df = pd.DataFrame({"u": users, "ts": ts_us, "ty": types,
+                       "eid": np.arange(n)})
+    for _, g in df.groupby("u"):
+        g = g.sort_values(["ts", "eid"])
+        last = None          # (type, ts)
+        for _, r in g.iterrows():
+            if r["ty"] == "purchase":
+                if last is not None and \
+                        r["ts"] - last[1] <= ATTRIB_WINDOW_US:
+                    ref[last[0]] += 1
+                else:
+                    ref["none"] += 1
+            if r["ty"] in ("view", "click"):
+                last = (r["ty"], r["ts"])
+    got = {k: 0 for k in ref}
+    for k, v in out["n_purchases"].items():
+        got[k] = int(v)
+    assert got == ref
+
+
+def test_gap_quantiles_random_cross_check(ray_session, tmp_path):
+    """500 random events over 10 users vs numpy reference gaps +
+    percentile_disc rule."""
+    from rayschema.queries import inter_event_gap_quantiles
+
+    rng = np.random.RandomState(5)
+    n = 500
+    users = rng.randint(1, 11, n).astype(np.int64)
+    ts_us = rng.randint(0, 3_600_000_000, n).astype(np.int64)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(ts_us.astype("datetime64[us]")),
+        "user_id": pa.array(users),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(np.ones(n)),
+        "props": pa.array(["{}"] * n)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = inter_event_gap_quantiles(str(tmp_path)).iloc[0]
+
+    gaps = []
+    df = pd.DataFrame({"u": users, "ts": ts_us,
+                       "eid": np.arange(n)})
+    for _, g in df.groupby("u"):
+        tt = g.sort_values(["ts", "eid"])["ts"].to_numpy()
+        gaps.extend(((tt[1:] - tt[:-1]) // 1_000_000).tolist())
+    s = np.sort(np.array(gaps, dtype=np.int64))
+    m = len(s)
+
+    def pdisc(q):
+        return int(s[max(int(np.ceil(q * m)) - 1, 0)])
+
+    assert out["n_gaps"] == m
+    assert (out["p50_s"], out["p90_s"], out["p99_s"]) \
+        == (pdisc(0.50), pdisc(0.90), pdisc(0.99))
