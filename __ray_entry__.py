@@ -162,14 +162,18 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering: the driver's correctness window covers the FIRST 50 entries.
-    # Rounds 1-3 have driver-checked 67 of the 118 queries; the round-4 window
-    # holds the flagship, the two round-4 rewrites whose round-3 green rows no
-    # longer describe the shipped code (simhash now DuckDB-oracled, keep_best
-    # winner selection distributed), the 22 round-4 additions never checked by
-    # any round, and 25 of the 29 queries the round-3 judge verified with the
-    # driver-identical compare but the driver itself never reached. The four
-    # judge-green queries left outside (partitioned_write_roundtrip, zorder,
-    # dup_span_stats, chunk_documents) have dedicated pytest coverage.
+    # Round-4 window (sessions 1-5): the flagship, the two early-round-4
+    # rewrites whose round-3 green rows no longer describe the shipped code
+    # (simhash now DuckDB-oracled, keep_best winner selection distributed),
+    # the 22 early-round-4 additions never checked by any round, and 25
+    # session-4/5 operators never checked by driver OR judge — led by the
+    # four whose plans were rewritten in session 5 (covariance, PCA,
+    # supplier diversity, reconciliation), then the 11 session-5 additions
+    # and 10 session-4 additions. Everything below the window has a
+    # driver-green or judge-green row from an earlier round that describes
+    # this exact code, plus dedicated pytest coverage; the full 157-oracle
+    # contract was swept green at sf0.01 this session
+    # (BASELINE.md session-5 record).
     return {
         # -- flagship (keep first) + round-4 rewrites needing a hard re-check
         "validate_documents_verdicts": Q.validate_documents_verdicts,
@@ -198,7 +202,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_digit_audit": Q.benford_digit_audit,
         "fd_audit_source_lang": Q.fd_audit_source_lang,
         "value_mad_outliers": Q.value_mad_outliers,
-        # -- never driver-checked (judge-green in round 3) ------------------
+        # -- never checked by driver OR judge: session-4/5 rewrites first
+        # (covariance/PCA/diversity/reconciliation were re-planned this
+        # session, so no earlier green row describes the shipped code)
+        "embedding_covariance_by_label": Q.embedding_covariance_by_label,
+        "pca_project_embeddings": Q.pca_project_embeddings,
+        "parts_supplier_diversity": Q.parts_supplier_diversity,
+        "orders_reconciliation_audit": Q.orders_reconciliation_audit,
+        "normalized_exact_dedup": Q.normalized_exact_dedup,
+        "winsorize_events": Q.winsorize_events,
+        "token_fertility_by_lang": Q.token_fertility_by_lang,
+        "curriculum_bins": Q.curriculum_bins,
+        "ols_value_on_hour": Q.ols_value_on_hour,
+        "label_conflict_audit": Q.label_conflict_audit,
+        "ab_test_value_audit": Q.ab_test_value_audit,
+        "inter_event_gap_quantiles": Q.inter_event_gap_quantiles,
+        "last_touch_attribution": Q.last_touch_attribution,
+        "k_anonymity_audit": Q.k_anonymity_audit,
+        "suggest_constraints_documents": Q.suggest_constraints_documents,
+        "value_median_interp_by_type": Q.value_median_interp_by_type,
+        "psi_value_drift": Q.psi_value_drift,
+        "pmi_top_pairs": Q.pmi_top_pairs,
+        "bigram_lm_perplexity": Q.bigram_lm_perplexity,
+        "perplexity_bucket_filter": Q.perplexity_bucket_filter,
+        "events_props_extract": Q.events_props_extract,
+        "user_hourly_locf": Q.user_hourly_locf,
+        "throttled_events": Q.throttled_events,
+        "snapshot_diff_documents": Q.snapshot_diff_documents,
+        "out_of_order_events": Q.out_of_order_events,
+        # -- below the 50-slot window: driver-green or judge-green rows
+        # from earlier rounds describe this exact code
         "tfidf_top_term": Q.tfidf_top_term,
         "inverted_index_words": Q.inverted_index_words,
         "embedding_mean_by_lang": Q.embedding_mean_by_lang,
@@ -224,7 +257,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_bounds": Q.range_partition_bounds,
         "global_sort_rank": Q.global_sort_rank,
         "drift_lang_by_source": Q.drift_lang_by_source,
-        # -- below the 50-slot window: previously driver-green / judge-green
         "trainer_export_pipeline": Q.trainer_export_pipeline,
         "partitioned_write_roundtrip": Q.partitioned_write_roundtrip,
         "zorder_documents": Q.zorder_documents,
@@ -310,40 +342,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_discounted_revenue": Q.q19_discounted_revenue,
         "q12_late_shipments": Q.q12_late_shipments,
         "q8_market_share": Q.q8_market_share,
-        "parts_supplier_diversity": Q.parts_supplier_diversity,
-        "snapshot_diff_documents": Q.snapshot_diff_documents,
         "q6_forecast_revenue": Q.q6_forecast_revenue,
         "q15_top_supplier": Q.q15_top_supplier,
         "q18_large_volume_customers": Q.q18_large_volume_customers,
-        "out_of_order_events": Q.out_of_order_events,
         "sliding_distinct_users": Q.sliding_distinct_users,
         "orc_roundtrip": Q.orc_roundtrip,
         "feather_roundtrip": Q.feather_roundtrip,
         "avro_roundtrip": Q.avro_roundtrip,
-        "bigram_lm_perplexity": Q.bigram_lm_perplexity,
         "corr_quantity_price": Q.corr_quantity_price,
-        "embedding_covariance_by_label": Q.embedding_covariance_by_label,
-        "pca_project_embeddings": Q.pca_project_embeddings,
-        "events_props_extract": Q.events_props_extract,
-        "user_hourly_locf": Q.user_hourly_locf,
-        "perplexity_bucket_filter": Q.perplexity_bucket_filter,
-        "orders_reconciliation_audit": Q.orders_reconciliation_audit,
-        "throttled_events": Q.throttled_events,
-        "value_median_interp_by_type": Q.value_median_interp_by_type,
-        "psi_value_drift": Q.psi_value_drift,
-        "pmi_top_pairs": Q.pmi_top_pairs,
         # -- session-5 additions ---------------------------------------------
-        "normalized_exact_dedup": Q.normalized_exact_dedup,
-        "winsorize_events": Q.winsorize_events,
-        "token_fertility_by_lang": Q.token_fertility_by_lang,
-        "curriculum_bins": Q.curriculum_bins,
-        "ols_value_on_hour": Q.ols_value_on_hour,
-        "label_conflict_audit": Q.label_conflict_audit,
-        "ab_test_value_audit": Q.ab_test_value_audit,
-        "inter_event_gap_quantiles": Q.inter_event_gap_quantiles,
-        "last_touch_attribution": Q.last_touch_attribution,
-        "k_anonymity_audit": Q.k_anonymity_audit,
-        "suggest_constraints_documents": Q.suggest_constraints_documents,
     }
 
 
