@@ -350,7 +350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feather_roundtrip": Q.feather_roundtrip,
         "avro_roundtrip": Q.avro_roundtrip,
         "corr_quantity_price": Q.corr_quantity_price,
-        # -- session-5 additions ---------------------------------------------
+        "value_mode_by_type": Q.value_mode_by_type,
+        "session_path_trigrams": Q.session_path_trigrams,
     }
 
 
@@ -2868,4 +2869,41 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(DISTINCT source, ',' ORDER BY source)
               FROM documents WHERE source IS NOT NULL
             HAVING count(DISTINCT source) BETWEEN 1 AND 32""",
+        # grouped mode with the explicit (count desc, value asc) tie rule
+        "value_mode_by_type": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events
+                       WHERE event_type IS NOT NULL
+                         AND value IS NOT NULL),
+            h AS (SELECT event_type, c, count(*)::BIGINT AS cnt
+                  FROM v GROUP BY event_type, c),
+            r AS (SELECT event_type, c, cnt,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY cnt DESC, c ASC)
+                           AS rk,
+                         sum(cnt) OVER (PARTITION BY event_type)
+                           AS n_total
+                  FROM h)
+            SELECT event_type, c AS mode_cents, cnt AS n_mode,
+                   n_total::BIGINT AS n_total
+            FROM r WHERE rk = 1""",
+        # top-20 user-journey trigrams: LEAD x 2 window
+        "session_path_trigrams": """
+            WITH e AS (SELECT user_id, event_type, ts, event_id
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            w AS (SELECT event_type AS t1,
+                         lead(event_type, 1) OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS t2,
+                         lead(event_type, 2) OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS t3
+                  FROM e)
+            SELECT t1, t2, t3, count(*)::BIGINT AS cnt
+            FROM w WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+            GROUP BY t1, t2, t3
+            ORDER BY cnt DESC, t1, t2, t3 LIMIT 20""",
     }

@@ -9461,3 +9461,131 @@ def suggest_constraints_documents(sf_dir: str):
         if 0 < len(vals) <= ENUM_SUGGEST_CAP:
             out.append((col, "enum", ",".join(vals)))
     return pd.DataFrame(out, columns=["column_name", "keyword", "value"])
+
+
+def value_mode_by_type(sf_dir: str):
+    """Grouped MODE with a deterministic tie rule — per event type the
+    most frequent cents value, ties to the SMALLEST value (SQL mode()
+    leaves ties unspecified, so the oracle uses an explicit
+    (count desc, value asc) row_number — both sides share the rule).
+    Per-batch (type, cents, count) histogram partials fold through one
+    bounded groupby; the driver picks each type's argmax. Emits
+    (event_type, mode_cents, n_mode, n_total)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("event_type")),
+                             pc.is_valid(b.column("value"))))
+        if b.num_rows == 0:
+            return pa.table({"event_type": pa.array([], type=pa.string()),
+                             "cents": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        t = pa.table({"event_type": b.column("event_type"),
+                      "cents": pa.array(_cents(
+                          b.column("value")
+                          .to_numpy(zero_copy_only=False)))})
+        g = t.group_by(["event_type", "cents"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["event_type", "cents", "cnt"])
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow")
+            .to_pandas()
+            .groupby(["event_type", "cents"], as_index=False)["cnt"]
+            .sum())
+    hist = hist.sort_values(["event_type", "cnt", "cents"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+    tot = hist.groupby("event_type")["cnt"].sum()
+    top = hist.groupby("event_type", as_index=False).first()
+    top["n_total"] = top["event_type"].map(tot).astype(np.int64)
+    top = top.rename(columns={"cents": "mode_cents", "cnt": "n_mode"})
+    top["mode_cents"] = top["mode_cents"].astype(np.int64)
+    top["n_mode"] = top["n_mode"].astype(np.int64)
+    return (top[["event_type", "mode_cents", "n_mode", "n_total"]]
+            .sort_values("event_type").reset_index(drop=True))
+
+
+PATH_TOP_N = 20
+
+
+def session_path_trigrams(sf_dir: str):
+    """Behavioral path mining: the top-20 (t1 -> t2 -> t3) event-type
+    trigrams over each user's time-ordered stream — the "common user
+    journeys" report. ONE user-keyed sorted scan; the block kernel
+    builds trigrams with two shifted compares (no Python loops),
+    masks window positions that cross a user boundary, and ships
+    (t1, t2, t3, count) partials; a bounded (|types|^3 worst case)
+    fold ranks by (count desc, t1, t2, t3). Matches a LEAD x 2
+    window oracle."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.and_(pc.is_valid(b.column("ts")),
+                                     pc.is_valid(b.column("event_type")))))
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "ts_us": pa.array(b.column("ts").cast(pa.int64())
+                              .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(b.column("event_id")
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64)),
+            "event_type": et})
+
+    out_schema = pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                            ("t3", pa.string()), ("cnt", pa.int64())])
+
+    def _tri(et: np.ndarray, same23: np.ndarray):
+        """et: types in order; same23[i] true when rows i, i+1, i+2 all
+        belong to one user group."""
+        idx = np.flatnonzero(same23)
+        if len(idx) == 0:
+            return None
+        df = pd.DataFrame({"t1": et[idx], "t2": et[idx + 1],
+                           "t3": et[idx + 2]})
+        g = (df.groupby(["t1", "t2", "t3"], as_index=False)
+             .size().rename(columns={"size": "cnt"}))
+        return pa.table({"t1": pa.array(g["t1"], type=pa.string()),
+                         "t2": pa.array(g["t2"], type=pa.string()),
+                         "t3": pa.array(g["t3"], type=pa.string()),
+                         "cnt": pa.array(g["cnt"].to_numpy(np.int64))})
+
+    def block_fn(b: pa.Table, starts, ends, want):
+        if not want.any():
+            return None
+        n = b.num_rows
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        erow = np.repeat(ends, ends - starts)      # group end per row
+        keep = np.repeat(want, ends - starts)
+        pos = np.arange(n, dtype=np.int64)
+        ok = keep & (pos + 2 < erow)               # trigram fits in group
+        return _tri(et, ok[:n])
+
+    def group_fn(g: pa.Table):
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        n = len(et)
+        if n < 3:
+            return None
+        ok = np.zeros(n, dtype=bool)
+        ok[:n - 2] = True
+        return _tri(et, ok)
+
+    scan = sorted_group_scan(
+        ds.map_batches(narrow, batch_format="pyarrow"), ["user_id"],
+        group_fn, out_schema, order_cols=["ts_us", "event_id"],
+        block_fn=block_fn).to_pandas()
+    agg = (scan.groupby(["t1", "t2", "t3"], as_index=False)["cnt"].sum()
+           .sort_values(["cnt", "t1", "t2", "t3"],
+                        ascending=[False, True, True, True],
+                        kind="mergesort")
+           .head(PATH_TOP_N).reset_index(drop=True))
+    agg["cnt"] = agg["cnt"].astype(np.int64)
+    return agg

@@ -2575,3 +2575,49 @@ def test_gap_quantiles_random_cross_check(ray_session, tmp_path):
     assert out["n_gaps"] == m
     assert (out["p50_s"], out["p90_s"], out["p99_s"]) \
         == (pdisc(0.50), pdisc(0.90), pdisc(0.99))
+
+
+def test_value_mode_by_type_planted(ray_session, tmp_path):
+    """Tie between two equally-frequent values resolves to the SMALLER
+    cents value; totals are exact."""
+    from rayschema.queries import value_mode_by_type
+
+    vals = [2.0, 2.0, 1.0, 1.0, 3.0]     # 200 and 100 tie -> 100 wins
+    t = pa.table({
+        "event_id": pa.array(np.arange(5, dtype=np.int64)),
+        "ts": pa.array(np.zeros(5, dtype="datetime64[us]")),
+        "user_id": pa.array(np.ones(5, dtype=np.int64)),
+        "event_type": pa.array(["view"] * 5),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * 5)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = value_mode_by_type(str(tmp_path)).iloc[0]
+    assert (out["mode_cents"], out["n_mode"], out["n_total"]) \
+        == (100, 2, 5)
+
+
+def test_session_path_trigrams_planted(ray_session, tmp_path):
+    """Trigrams never cross user boundaries; counts and the
+    (count desc, lexicographic) ranking are exact."""
+    from rayschema.queries import session_path_trigrams
+
+    # user 1: v,c,p,v,c,p -> trigrams vcp,cpv,pvc,vcp ; user 2: v,c,p
+    seq1 = ["view", "click", "purchase", "view", "click", "purchase"]
+    seq2 = ["view", "click", "purchase"]
+    types = seq1 + seq2
+    users = [1] * 6 + [2] * 3
+    t = pa.table({
+        "event_id": pa.array(np.arange(9, dtype=np.int64)),
+        "ts": pa.array(np.arange(9, dtype=np.int64)
+                       .astype("datetime64[us]")),
+        "user_id": pa.array(np.array(users, dtype=np.int64)),
+        "event_type": pa.array(types),
+        "value": pa.array(np.ones(9)),
+        "props": pa.array(["{}"] * 9)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = session_path_trigrams(str(tmp_path))
+    got = {(r.t1, r.t2, r.t3): r.cnt for r in out.itertuples(index=False)}
+    assert got == {("view", "click", "purchase"): 3,
+                   ("click", "purchase", "view"): 1,
+                   ("purchase", "view", "click"): 1}
+    assert out.iloc[0]["cnt"] == 3
