@@ -224,7 +224,7 @@ def test_dependencies_chain_both_arms():
           arr, [False, False, True, True])
 
 
-def test_ref_chain_through_definitions():
+def test_ref_chain_through_definitions_pointer():
     check('{"definitions":{"a":{"$ref":"#/definitions/b"},'
           '"b":{"minLength":3}},"$ref":"#/definitions/a"}',
           ["ab", "abc"], [False, True])
@@ -263,7 +263,7 @@ def test_enum_mixed_scalar_types_on_float_column():
     check('{"enum":[1,"x",2.5]}', [1.0, 2.5, 3.0], [True, True, False])
 
 
-def test_multiple_of_fractional():
+def test_multiple_of_fractional_tenth():
     check('{"multipleOf":0.5}', [1.0, 1.25, 2.5], [True, False, True])
 
 
@@ -726,3 +726,170 @@ def test_additional_properties_without_properties_applies_to_all():
     check(sch, arr, [True, True])
     arr2 = pa.array([{"a": "x"}], type=pa.struct([("a", pa.string())]))
     check(sch, arr2, [False])
+
+
+# ---- session-5 additions: more public-suite-style cases ---------------------
+def _mp(*dicts):
+    return pa.array(list(dicts), type=pa.map_(pa.string(), pa.string()))
+
+
+def test_dependencies_property_form():
+    # bar present => foo must be present
+    sch = '{"dependencies":{"bar":["foo"]}}'
+    check(sch, _mp({"bar": "1", "foo": "2"}, {"bar": "1"}, {"foo": "2"},
+                   {}),
+          [True, False, True, True])
+
+
+def test_dependencies_schema_form():
+    sch = '{"dependencies":{"bar":{"required":["foo"]}}}'
+    check(sch, _mp({"bar": "1", "foo": "2"}, {"bar": "1"}, {"baz": "3"}),
+          [True, False, True])
+
+
+def test_dependencies_multiple_targets():
+    sch = '{"dependencies":{"a":["b","c"]}}'
+    check(sch, _mp({"a": "1", "b": "2", "c": "3"},
+                   {"a": "1", "b": "2"}, {"b": "2"}),
+          [True, False, True])
+
+
+def test_const_object_deep_equality():
+    sch = '{"const":{"k":"v"}}'
+    check(sch, _mp({"k": "v"}, {"k": "w"}, {"k": "v", "x": "y"}),
+          [True, False, False])
+
+
+def test_const_array_on_list_column():
+    sch = '{"const":[1,2]}'
+    check(sch, pa.array([[1, 2], [2, 1], [1, 2, 3]],
+                        type=pa.list_(pa.int64())),
+          [True, False, False])
+
+
+def test_items_tuple_with_additional_items_false():
+    sch = '{"items":[{"type":"integer"},{"type":"integer"}],"additionalItems":false}'
+    check(sch, pa.array([[1, 2], [1], [1, 2, 3]],
+                        type=pa.list_(pa.int64())),
+          [True, True, False])
+
+
+def test_items_tuple_with_additional_items_schema():
+    sch = ('{"items":[{"minimum":0}],'
+           '"additionalItems":{"maximum":10}}')
+    check(sch, pa.array([[1, 2], [1, 11], [-1, 2]],
+                        type=pa.list_(pa.int64())),
+          [True, False, False])
+
+
+def test_contains_with_const_int():
+    sch = '{"contains":{"const":5}}'
+    check(sch, pa.array([[1, 5], [1, 2], []],
+                        type=pa.list_(pa.int64())),
+          [True, False, False])
+
+
+def test_property_names_max_length():
+    sch = '{"propertyNames":{"maxLength":2}}'
+    check(sch, _mp({"ab": "1", "x": "2"}, {"abc": "1"}, {}),
+          [True, False, True])
+
+
+def test_required_without_properties_map():
+    sch = '{"required":["foo"]}'
+    check(sch, _mp({"foo": "1"}, {"bar": "1"}), [True, False])
+
+
+def test_if_then_else_full_triple():
+    sch = ('{"if":{"pattern":"^a"},"then":{"minLength":3},'
+           '"else":{"maxLength":2}}')
+    check(sch, ["abc", "ab", "xy", "xyz"],
+          [True, False, True, False])
+
+
+def test_if_inside_allof():
+    sch = ('{"allOf":[{"if":{"minimum":10},"then":{"multipleOf":5}}],'
+           '"maximum":100}')
+    check(sch, [4.0, 15.0, 12.0, 101.0], [True, True, False, False])
+
+
+def test_enum_mixed_types_numeric_column():
+    sch = '{"enum":["x", 1, 2.5]}'
+    check(sch, [1.0, 2.5, 3.0], [True, True, False])
+
+
+def test_exclusive_maximum_boundary():
+    sch = '{"exclusiveMaximum":3}'
+    check(sch, [2.9, 3.0, 3.1], [True, False, False])
+
+
+def test_multiple_of_on_integer_column():
+    sch = '{"multipleOf":3}'
+    check(sch, pa.array([9, 10, 0, -6], type=pa.int64()),
+          [True, False, True, True])
+
+
+def test_pattern_escaped_dot():
+    sch = '{"pattern":"^a\\\\.b$"}'
+    check(sch, ["a.b", "axb"], [True, False])
+
+
+def test_ref_to_ref_chain():
+    sch = ('{"definitions":{"a":{"$ref":"#/definitions/b"},'
+           '"b":{"minLength":2}},"$ref":"#/definitions/a"}')
+    check(sch, ["ab", "a"], [True, False])
+
+
+def test_ref_pointer_escape_slash():
+    # definition name "a/b" addressed as a~1b
+    sch = ('{"definitions":{"a/b":{"minimum":5}},'
+           '"$ref":"#/definitions/a~1b"}')
+    check(sch, [6.0, 4.0], [True, False])
+
+
+def test_ref_pointer_escape_tilde():
+    sch = ('{"definitions":{"a~b":{"maximum":5}},'
+           '"$ref":"#/definitions/a~0b"}')
+    check(sch, [4.0, 6.0], [True, False])
+
+
+def test_min_max_items_on_list_column():
+    sch = '{"minItems":1,"maxItems":2}'
+    check(sch, pa.array([[1], [1, 2], [], [1, 2, 3]],
+                        type=pa.list_(pa.int64())),
+          [True, True, False, False])
+
+
+def test_not_boolean_schemas_column():
+    check('{"not":true}', ["x"], [False])
+    check('{"not":false}', ["x"], [True])
+
+
+def test_allof_conflicting_types_never_passes():
+    sch = '{"allOf":[{"type":"string"},{"type":"integer"}]}'
+    check(sch, ["x", "y"], [False, False])
+
+
+def test_oneof_exactly_one_of_three_multiples():
+    sch = ('{"oneOf":[{"multipleOf":2},{"multipleOf":3},'
+           '{"multipleOf":5}]}')
+    check(sch, [4.0, 6.0, 30.0, 7.0, 25.0],
+          [True, False, False, False, True])
+
+
+def test_anyof_with_base_keyword():
+    sch = '{"minLength":2,"anyOf":[{"pattern":"^a"},{"pattern":"b$"}]}'
+    check(sch, ["ab", "a", "xb", "xc"], [True, False, True, False])
+
+
+def test_max_properties_on_map_column():
+    sch = '{"maxProperties":1}'
+    check(sch, _mp({"a": "1"}, {"a": "1", "b": "2"}, {}),
+          [True, False, True])
+
+
+def test_unique_items_on_string_lists():
+    sch = '{"uniqueItems":true}'
+    check(sch, pa.array([["a", "b"], ["a", "a"], []],
+                        type=pa.list_(pa.string())),
+          [True, False, True])
