@@ -171,9 +171,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # supplier diversity, reconciliation), then the 11 session-5 additions
     # and 10 session-4 additions. Everything below the window has a
     # driver-green or judge-green row from an earlier round that describes
-    # this exact code, plus dedicated pytest coverage; the full 157-oracle
-    # contract was swept green at sf0.01 this session
-    # (BASELINE.md session-5 record).
+    # this exact code (except the two newest, value_mode_by_type and
+    # session_path_trigrams, verified at sf0.001 + sf0.01 in-session),
+    # plus dedicated pytest coverage; the full 159-oracle contract was
+    # swept green at sf0.01 this session (BASELINE.md session-5 record).
     return {
         # -- flagship (keep first) + round-4 rewrites needing a hard re-check
         "validate_documents_verdicts": Q.validate_documents_verdicts,

@@ -48,20 +48,18 @@ def _read(sf_dir: str, table: str, columns: List[str] = None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
-TRIPLE_DRIVER_MERGE_CAP = 50_000_000   # rows; matches UNIQUE_DRIVER_MERGE_CAP
+# re-exported from unique.py so the two adaptive gates can never drift
+from rayschema.unique import UNIQUE_DRIVER_MERGE_CAP as \
+    TRIPLE_DRIVER_MERGE_CAP  # noqa: N811
 
 
 def _table_rows(sf_dir: str, table: str):
-    """Row count from parquet footer metadata — free (no dataset
-    execution), used to pick adaptive paths without an extra ds.count()."""
-    import pyarrow.parquet as pq
-
+    """_parquet_row_count (the shared footer-metadata counter), but
+    returning None instead of raising when footers can't be read — the
+    caller must treat None as UNKNOWN and take its scale path, never
+    the driver-merge one."""
     try:
-        path = os.path.join(sf_dir, f"{table}.parquet")
-        if os.path.isdir(path):
-            return sum(pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
-                       for f in os.listdir(path) if f.endswith(".parquet"))
-        return pq.ParquetFile(path).metadata.num_rows
+        return _parquet_row_count(sf_dir, table)
     except Exception:
         return None
 
@@ -7181,7 +7179,9 @@ def parts_supplier_diversity(sf_dir: str):
     # and an exact boundary correction — driver state is
     # O(blocks + brand*size cells), never triple-count-sized.
     n_li = _table_rows(sf_dir, "lineitem")
-    if n_li is None or n_li <= TRIPLE_DRIVER_MERGE_CAP:
+    # UNKNOWN row count (None) must take the bounded-scale path, never
+    # the driver merge
+    if n_li is not None and n_li <= TRIPLE_DRIVER_MERGE_CAP:
         parts_ = part.to_pandas()
         k = np.unique(parts_["k"].to_numpy(np.int64)).astype(np.uint64)
         bs = (k >> np.uint64(40)).astype(np.int64)  # (brand<<16)|size
@@ -8036,13 +8036,17 @@ def embedding_covariance_by_label(sf_dir: str):
             "s_q12": b.column("s_q12"),
             "n_vecs": b.column("n_vecs")})
 
+    # final fold: repartition(1) leaves ONE block, and batch_size=None
+    # feeds it to the combiner as ONE batch — so the fold is exact at
+    # any combined-grid size (a bounded batch_size here would silently
+    # emit per-batch partial sums once the stream outgrew it)
     return (ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=8192)
             .map_batches(_cov_sum_by_key, batch_format="pyarrow",
                          batch_size=1 << 20)
             .repartition(1)
             .map_batches(_cov_sum_by_key, batch_format="pyarrow",
-                         batch_size=1 << 22)
+                         batch_size=None)
             .map_batches(unpack, batch_format="pyarrow"))
 
 
@@ -8085,13 +8089,15 @@ def pca_project_embeddings(sf_dir: str):
         g = b.group_by("k").aggregate([("s_q12", "sum")])
         return g.rename_columns(["k", "s_q12"])
 
+    # batch_size=None on the single post-repartition block keeps the
+    # final fold exact at any combined-grid size (see covariance note)
     mom = (ds.map_batches(partial, batch_format="pyarrow",
                           batch_size=8192)
            .map_batches(sum_by_key, batch_format="pyarrow",
                         batch_size=1 << 20)
            .repartition(1)
            .map_batches(sum_by_key, batch_format="pyarrow",
-                        batch_size=1 << 22)
+                        batch_size=None)
            .to_pandas())
     mom["d1"] = (mom["k"].to_numpy() >> 12) + 1
     mom["d2"] = (mom["k"].to_numpy() & 4095) + 1
@@ -8844,10 +8850,13 @@ def token_fertility_by_lang(sf_dir: str):
                       Sum("sum_words", alias_name="sum_words"),
                       Sum("sum_bpe", alias_name="sum_bpe"))
            .to_pandas())
-    w = out["sum_words"].to_numpy(np.int64)
-    bpe = out["sum_bpe"].to_numpy(np.int64)
-    out["fertility_ppm"] = np.where(
-        w > 0, (1_000_000 * bpe) // np.maximum(w, 1), 0).astype(np.int64)
+    # arbitrary-precision Python ints: 1e6 * sum_bpe would wrap int64
+    # past ~9.2e12 tokens (inside the 100-TB envelope); the oracle is
+    # HUGEINT, so the driver fold must be exact too
+    out["fertility_ppm"] = np.array(
+        [(1_000_000 * int(b)) // int(w) if int(w) > 0 else 0
+         for b, w in zip(out["sum_bpe"], out["sum_words"])],
+        dtype=np.int64)
     for cn in ["n_docs", "sum_words", "sum_bpe"]:
         out[cn] = out[cn].astype(np.int64)
     return out.sort_values("lang").reset_index(drop=True)
@@ -9277,10 +9286,11 @@ def last_touch_attribution(sf_dir: str):
                             ("n_purchases", pa.int64())])
     NAMES = np.array(["none", "view", "click"], dtype=object)
 
-    def _attr_rows(code, ts, starts_of_rows):
+    def _attr_rows(code, ts, starts_of_rows, keep=None):
         """code/ts: rows in (user, ts, event_id) order; starts_of_rows:
-        per-row index of its group's first row. Returns per-attributed
-        counts for the purchase rows."""
+        per-row index of its group's first row (bounds the segmented
+        cummax carry-over); keep: optional per-row mask limiting which
+        groups' purchases count. Returns per-attributed counts."""
         n = len(code)
         if n == 0:
             return None
@@ -9291,7 +9301,10 @@ def last_touch_attribution(sf_dir: str):
         prev = np.empty(n, dtype=np.int64)
         prev[0] = -1
         prev[1:] = last_touch[:-1]
-        pur = np.flatnonzero(code == 3)
+        pmask = code == 3
+        if keep is not None:
+            pmask &= keep
+        pur = np.flatnonzero(pmask)
         if len(pur) == 0:
             return None
         t_idx = prev[pur]
@@ -9307,29 +9320,10 @@ def last_touch_attribution(sf_dir: str):
         if not want.any():
             return None
         sizes = ends - starts
-        keep = np.repeat(want, sizes)
-        srow = np.repeat(starts, sizes)
-        code = b.column("code").to_numpy(zero_copy_only=False)
-        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
-        # run on the FULL block (segmented by srow), then keep only
-        # wanted groups' purchases
-        n = b.num_rows
-        pos = np.arange(n, dtype=np.int64)
-        touch = (code == 1) | (code == 2)
-        last_touch = np.maximum.accumulate(np.where(touch, pos, -1))
-        prev = np.empty(n, dtype=np.int64)
-        prev[0] = -1
-        prev[1:] = last_touch[:-1]
-        pur = np.flatnonzero((code == 3) & keep)
-        if len(pur) == 0:
-            return None
-        t_idx = prev[pur]
-        ok = ((t_idx >= srow[pur]) & (t_idx >= 0)
-              & (ts[pur] - ts[np.maximum(t_idx, 0)] <= ATTRIB_WINDOW_US))
-        lab = np.where(ok, code[np.maximum(t_idx, 0)], 0)
-        u, c = np.unique(lab, return_counts=True)
-        return pa.table({"attributed": pa.array(NAMES[u]),
-                         "n_purchases": pa.array(c.astype(np.int64))})
+        return _attr_rows(b.column("code").to_numpy(zero_copy_only=False),
+                          b.column("ts_us").to_numpy(zero_copy_only=False),
+                          np.repeat(starts, sizes),
+                          keep=np.repeat(want, sizes))
 
     def group_fn(g: pa.Table):
         code = g.column("code").to_numpy(zero_copy_only=False)
@@ -9400,9 +9394,11 @@ def suggest_constraints_documents(sf_dir: str):
     (bounds from observed min/max, minLength from the shortest text,
     enum lists for low-cardinality string columns). ONE stateless pass
     folds per-batch partials: integer min/max aggregates plus per-batch
-    DISTINCT string sets (driver-merged under ENUM_SUGGEST_CAP x batches
-    rows — a Misra-Gries cap check rides the same partials, so a
-    high-cardinality column yields NO enum row instead of driver blowup).
+    DISTINCT string sets CAPPED at ENUM_SUGGEST_CAP values per batch (a
+    batch over the cap ships one overflow marker instead of its value
+    set, so driver state is <= (cap+1) x batches rows and a
+    high-cardinality column yields NO enum row instead of driver
+    blowup; the driver re-checks the cap on the merged set).
     Emits (column_name, keyword, value) with values rendered exactly as
     the DuckDB oracle renders them (comma-joined sorted enum lists,
     decimal integers)."""
@@ -9415,11 +9411,23 @@ def suggest_constraints_documents(sf_dir: str):
         txt = b.column("text")
         if isinstance(txt, pa.ChunkedArray):
             txt = txt.combine_chunks()
+        # per-column null handling matches the oracle's min()/max()
+        # null-skip: each stat is computed over its column's non-null
+        # values only (pc.min/max skip nulls; ints come via drop_null)
         tlen = pc.min(pc.utf8_length(txt)).as_py()
-        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
-        nch = b.column("n_chars").to_numpy(zero_copy_only=False)
+        ids = pc.drop_null(b.column("doc_id")) \
+            .to_numpy(zero_copy_only=False)
+        nch = pc.drop_null(b.column("n_chars")) \
+            .to_numpy(zero_copy_only=False)
         langs = pc.unique(pc.drop_null(b.column("lang"))).to_pylist()
         srcs = pc.unique(pc.drop_null(b.column("source"))).to_pylist()
+        # honest per-batch cap: a high-cardinality column ships ONE
+        # overflow marker instead of its value set, so driver state is
+        # <= (cap+1) x batches rows no matter the column's cardinality
+        if len(langs) > ENUM_SUGGEST_CAP:
+            langs = ["\x00OVERFLOW"]
+        if len(srcs) > ENUM_SUGGEST_CAP:
+            srcs = ["\x00OVERFLOW"]
         imin = np.iinfo(np.int64)
         rows = {
             "kind": ["doc_id_min", "doc_id_max", "n_chars_min",
@@ -9458,6 +9466,8 @@ def suggest_constraints_documents(sf_dir: str):
                 str(int(iv.get("text_minlen", 0)))))
     for kind, col in (("lang_enum", "lang"), ("source_enum", "source")):
         vals = sorted(part.loc[part["kind"] == kind, "sv"].unique())
+        if "\x00OVERFLOW" in vals:
+            continue    # some batch exceeded the cap: no enum suggestion
         if 0 < len(vals) <= ENUM_SUGGEST_CAP:
             out.append((col, "enum", ",".join(vals)))
     return pd.DataFrame(out, columns=["column_name", "keyword", "value"])
