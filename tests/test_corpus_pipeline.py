@@ -216,3 +216,47 @@ def test_drift_query_matches_compare_rule(ray_session):
         assert abs(l1 - verdict["freq_l1"]) < 1e-4, src
         if abs(l1 - 0.1) > 1e-4:
             assert got == verdict["drifted"], src
+
+
+def test_mid_crash_resume_replaces_half_written_shard(ray_session):
+    """Crash simulation: a shard whose stage-1 output was partially
+    written but whose manifest record was NEVER committed (the crash
+    window the manifest protocol defends) must be fully REPLACED on
+    resume — stale partial files gone, totals exact, done shards
+    skipped."""
+    import pyarrow as pa
+
+    from rayschema.pipeline import run_validation
+
+    out = "/tmp/rayschema_test/out_crash"
+    shutil.rmtree(out, ignore_errors=True)
+    s1 = run_validation(CORPUS, out, shard_files=1)
+    assert s1["rows"] == N
+
+    m = Manifest(os.path.join(out, "manifest.json"))
+    victim = sorted(m.partitions)[0]
+    survivors = [s for s in sorted(m.partitions) if s != victim]
+    # simulate the crash: drop the victim's manifest record and dirty
+    # its output dir with a bogus half-written parquet file
+    del m.partitions[victim]
+    m.save()
+    shard_dir = os.path.join(out, "validated", victim)
+    bogus = os.path.join(shard_dir, "zz_halfwritten.parquet")
+    pq.write_table(pa.table({"repo": pa.array(["junk"] * 7)}), bogus)
+    survivor_mtimes = {
+        s: sorted(os.path.getmtime(f) for f in glob.glob(
+            os.path.join(out, "validated", s, "*.parquet")))
+        for s in survivors}
+
+    s2 = run_validation(CORPUS, out, shard_files=1)
+    # exact totals: the half-written shard was overwritten, not appended
+    assert s2["rows"] == N
+    assert not os.path.exists(bogus)
+    # done shards were skipped (outputs untouched)
+    for s in survivors:
+        assert survivor_mtimes[s] == sorted(
+            os.path.getmtime(f) for f in glob.glob(
+                os.path.join(out, "validated", s, "*.parquet")))
+    m2 = Manifest(os.path.join(out, "manifest.json"))
+    assert m2.partitions[victim].status == "done"
+    shutil.rmtree(out, ignore_errors=True)
