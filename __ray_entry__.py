@@ -353,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_quantity_price": Q.corr_quantity_price,
         "value_mode_by_type": Q.value_mode_by_type,
         "session_path_trigrams": Q.session_path_trigrams,
+        "order_fulfillment_latency": Q.order_fulfillment_latency,
     }
 
 
@@ -2907,4 +2908,18 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE t2 IS NOT NULL AND t3 IS NOT NULL
             GROUP BY t1, t2, t3
             ORDER BY cnt DESC, t1, t2, t3 LIMIT 20""",
+        # fulfillment latency: exact day-quantiles over an order join
+        "order_fulfillment_latency": """
+            WITH j AS (SELECT o.o_orderpriority AS pri,
+                              (l.l_shipdate::DATE
+                               - o.o_orderdate::DATE)::BIGINT AS d
+                       FROM lineitem l
+                       JOIN orders o ON l.l_orderkey = o.o_orderkey)
+            SELECT pri AS o_orderpriority, count(*)::BIGINT AS n,
+                   percentile_disc(0.5)
+                     WITHIN GROUP (ORDER BY d)::BIGINT AS p50_days,
+                   percentile_disc(0.9)
+                     WITHIN GROUP (ORDER BY d)::BIGINT AS p90_days,
+                   max(d)::BIGINT AS max_days
+            FROM j GROUP BY pri""",
     }

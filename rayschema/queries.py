@@ -9599,3 +9599,99 @@ def session_path_trigrams(sf_dir: str):
            .head(PATH_TOP_N).reset_index(drop=True))
     agg["cnt"] = agg["cnt"].astype(np.int64)
     return agg
+
+
+def order_fulfillment_latency(sf_dir: str):
+    """Fulfillment-latency distribution — per order priority the exact
+    p50/p90/max of the ship delay in whole days (l_shipdate date minus
+    o_orderdate date), the SLA report of an order pipeline. The
+    orderkey -> (orderdate-day, priority) side is ADAPTIVE (broadcast
+    sorted int64 arrays under Q3_BROADCAST_CAP, hash exchange past it —
+    the q12 discipline); the lineitem pass ships (priority, delay_days,
+    count) HISTOGRAM partials (state = |priorities| x distinct delay
+    days, a value-space bound), and the driver reads the quantiles off
+    cumulative counts with the percentile_disc rule. Emits
+    (o_orderpriority, n, p50_days, p90_days, max_days)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate",
+                            "o_orderpriority"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    orders = orders.materialize()
+    n_ord = orders.count()
+    if n_ord <= Q3_BROADCAST_CAP:
+        odf = orders.to_pandas().sort_values("o_orderkey")
+        okeys = odf["o_orderkey"].to_numpy(np.int64)
+        odays = pd.DatetimeIndex(odf["o_orderdate"]).values \
+            .astype("datetime64[D]").astype(np.int64)
+        uprio, pid = np.unique(odf["o_orderpriority"].to_numpy(object),
+                               return_inverse=True)
+        oref = ray.put((okeys, odays, pid.astype(np.int64)))
+        prios = [str(p) for p in uprio]
+
+        def fold(b: pa.Table, _o=oref) -> pa.Table:
+            ok, od, opr = ray.get(_o)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sd = pd.DatetimeIndex(b.column("l_shipdate").to_pandas()) \
+                .values.astype("datetime64[D]").astype(np.int64)
+            pos = np.clip(np.searchsorted(ok, lk), 0, len(ok) - 1)
+            hit = ok[pos] == lk
+            d = sd[hit] - od[pos][hit]
+            pr = opr[pos][hit]
+            df = pd.DataFrame({"p": pr, "d": d})
+            g = (df.groupby(["p", "d"], as_index=False)
+                 .size().rename(columns={"size": "cnt"}))
+            return pa.table({
+                "p": pa.array(g["p"].to_numpy(np.int64)),
+                "d": pa.array(g["d"].to_numpy(np.int64)),
+                "cnt": pa.array(g["cnt"].to_numpy(np.int64))})
+
+        hist = (li.map_batches(fold, batch_format="pyarrow")
+                .groupby(["p", "d"])
+                .aggregate(Sum("cnt", alias_name="cnt"))
+                .to_pandas())
+        hist["o_orderpriority"] = hist["p"].map(dict(enumerate(prios)))
+    else:                                   # pragma: no cover - scale path
+        est = (li.size_bytes() or 0) + (orders.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        joined = li.join(orders, join_type="inner",
+                         num_partitions=n_parts,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def jfold(b: pa.Table) -> pa.Table:
+            sd = pd.DatetimeIndex(b.column("l_shipdate").to_pandas()) \
+                .values.astype("datetime64[D]").astype(np.int64)
+            od = pd.DatetimeIndex(b.column("o_orderdate").to_pandas()) \
+                .values.astype("datetime64[D]").astype(np.int64)
+            pr = b.column("o_orderpriority")
+            if isinstance(pr, pa.ChunkedArray):
+                pr = pr.combine_chunks()
+            df = pd.DataFrame({
+                "o_orderpriority": pr.to_numpy(zero_copy_only=False),
+                "d": sd - od})
+            g = (df.groupby(["o_orderpriority", "d"], as_index=False)
+                 .size().rename(columns={"size": "cnt"}))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        hist = (joined.map_batches(jfold, batch_format="pyarrow")
+                .groupby(["o_orderpriority", "d"])
+                .aggregate(Sum("cnt", alias_name="cnt"))
+                .to_pandas())
+
+    rows = []
+    for pri, g in hist.groupby("o_orderpriority", sort=True):
+        g = g.sort_values("d")
+        dv = g["d"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        p50 = int(dv[np.searchsorted(cum * 100, 50 * n)])
+        p90 = int(dv[np.searchsorted(cum * 100, 90 * n)])
+        rows.append((pri, n, p50, p90, int(dv[-1])))
+    return pd.DataFrame(rows, columns=["o_orderpriority", "n",
+                                       "p50_days", "p90_days",
+                                       "max_days"])

@@ -2621,3 +2621,29 @@ def test_session_path_trigrams_planted(ray_session, tmp_path):
                    ("click", "purchase", "view"): 1,
                    ("purchase", "view", "click"): 1}
     assert out.iloc[0]["cnt"] == 3
+
+
+def test_order_fulfillment_latency_planted(ray_session, tmp_path):
+    """Hand case: delays 1,2,3,100 days for one priority -> p50=2
+    (cum>=2 at value 2), p90=100 (cum>=3.6 -> rank-4 value), max=100;
+    orphan lineitems (no order) drop like the inner join."""
+    from rayschema.queries import order_fulfillment_latency
+
+    D = 86_400_000_000
+    orders = pa.table({
+        "o_orderkey": pa.array(np.array([1, 2, 3, 4], dtype=np.int64)),
+        "o_custkey": pa.array(np.ones(4, dtype=np.int64)),
+        "o_orderstatus": pa.array(["F"] * 4),
+        "o_totalprice": pa.array(np.ones(4)),
+        "o_orderdate": pa.array(np.zeros(4, dtype="datetime64[us]")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4)})
+    li = pa.table({
+        "l_orderkey": pa.array(np.array([1, 2, 3, 4, 99],
+                                        dtype=np.int64)),
+        "l_shipdate": pa.array(np.array([1 * D, 2 * D, 3 * D, 100 * D,
+                                         5 * D]).astype("datetime64[us]"))})
+    pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
+    pq.write_table(li, os.path.join(tmp_path, "lineitem.parquet"))
+    out = order_fulfillment_latency(str(tmp_path)).iloc[0]
+    assert (out["n"], out["p50_days"], out["p90_days"], out["max_days"]) \
+        == (4, 2, 100, 100)
