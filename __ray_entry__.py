@@ -354,6 +354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mode_by_type": Q.value_mode_by_type,
         "session_path_trigrams": Q.session_path_trigrams,
         "order_fulfillment_latency": Q.order_fulfillment_latency,
+        "event_transition_matrix": Q.event_transition_matrix,
+        "revenue_pareto_share": Q.revenue_pareto_share,
     }
 
 
@@ -2922,4 +2924,43 @@ def oracle_sql() -> dict[str, str]:
                      WITHIN GROUP (ORDER BY d)::BIGINT AS p90_days,
                    max(d)::BIGINT AS max_days
             FROM j GROUP BY pri""",
+        # Markov transitions: LEAD window + exact floor-ppm rows
+        "event_transition_matrix": """
+            WITH e AS (SELECT user_id, event_type, ts, event_id
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            w AS (SELECT event_type AS t1,
+                         lead(event_type) OVER
+                           (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS t2
+                  FROM e),
+            p AS (SELECT t1, t2, count(*)::BIGINT AS n
+                  FROM w WHERE t2 IS NOT NULL GROUP BY t1, t2),
+            r AS (SELECT t1, sum(n)::HUGEINT AS tot FROM p GROUP BY t1)
+            SELECT p.t1, p.t2, p.n,
+                   ((1000000::HUGEINT * p.n) // r.tot)::BIGINT AS p_ppm
+            FROM p JOIN r USING (t1)""",
+        # revenue concentration: exact top-decile share, deterministic ties
+        "revenue_pareto_share": """
+            WITH pc AS (SELECT o_custkey,
+                               sum(CAST(round(o_totalprice * 100)
+                                        AS BIGINT))::BIGINT AS cents
+                        FROM orders GROUP BY o_custkey),
+            r AS (SELECT cents,
+                         row_number() OVER (ORDER BY cents DESC,
+                                            o_custkey ASC) AS rk
+                  FROM pc),
+            k AS (SELECT count(*)::BIGINT AS n,
+                         ((count(*) * 10 + 99) // 100)::BIGINT AS topk
+                  FROM pc)
+            SELECT k.n AS n_customers, k.topk AS top_customers,
+                   sum(CASE WHEN r.rk <= k.topk THEN r.cents
+                            ELSE 0 END)::BIGINT AS top_cents,
+                   sum(r.cents)::BIGINT AS total_cents,
+                   ((1000000::HUGEINT *
+                     sum(CASE WHEN r.rk <= k.topk THEN r.cents
+                              ELSE 0 END))
+                    // sum(r.cents))::BIGINT AS share_ppm
+            FROM r, k GROUP BY k.n, k.topk""",
     }

@@ -9695,3 +9695,129 @@ def order_fulfillment_latency(sf_dir: str):
     return pd.DataFrame(rows, columns=["o_orderpriority", "n",
                                        "p50_days", "p90_days",
                                        "max_days"])
+
+
+def event_transition_matrix(sf_dir: str):
+    """First-order Markov transition matrix over each user's
+    time-ordered event stream: (t1 -> t2) counts plus the row-normalized
+    transition probability as an exact floor-ppm integer — the
+    behavioral-model fit step. Same one-keyed-scan shape as
+    session_path_trigrams with a single shifted compare; the bounded
+    (|types|^2) fold and the ppm division happen on the driver in
+    arbitrary-precision ints (1e6 * n never wraps). Emits
+    (t1, t2, n, p_ppm)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.and_(pc.is_valid(b.column("ts")),
+                                     pc.is_valid(b.column("event_type")))))
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "ts_us": pa.array(b.column("ts").cast(pa.int64())
+                              .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(b.column("event_id")
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64)),
+            "event_type": et})
+
+    out_schema = pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                            ("n", pa.int64())])
+
+    def _pairs(et: np.ndarray, ok: np.ndarray):
+        idx = np.flatnonzero(ok)
+        if len(idx) == 0:
+            return None
+        df = pd.DataFrame({"t1": et[idx], "t2": et[idx + 1]})
+        g = (df.groupby(["t1", "t2"], as_index=False)
+             .size().rename(columns={"size": "n"}))
+        return pa.table({"t1": pa.array(g["t1"], type=pa.string()),
+                         "t2": pa.array(g["t2"], type=pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    def block_fn(b: pa.Table, starts, ends, want):
+        if not want.any():
+            return None
+        n = b.num_rows
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        erow = np.repeat(ends, ends - starts)
+        keep = np.repeat(want, ends - starts)
+        pos = np.arange(n, dtype=np.int64)
+        return _pairs(et, keep & (pos + 1 < erow))
+
+    def group_fn(g: pa.Table):
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        if len(et) < 2:
+            return None
+        ok = np.zeros(len(et), dtype=bool)
+        ok[:-1] = True
+        return _pairs(et, ok)
+
+    scan = sorted_group_scan(
+        ds.map_batches(narrow, batch_format="pyarrow"), ["user_id"],
+        group_fn, out_schema, order_cols=["ts_us", "event_id"],
+        block_fn=block_fn).to_pandas()
+    agg = scan.groupby(["t1", "t2"], as_index=False)["n"].sum()
+    row_tot = agg.groupby("t1")["n"].sum()
+    agg["p_ppm"] = np.array(
+        [(1_000_000 * int(nv)) // int(row_tot[t1])
+         for t1, nv in zip(agg["t1"], agg["n"])], dtype=np.int64)
+    agg["n"] = agg["n"].astype(np.int64)
+    return agg.sort_values(["t1", "t2"]).reset_index(drop=True)
+
+
+PARETO_TOP_PCT = 10
+
+
+def revenue_pareto_share(sf_dir: str):
+    """Revenue-concentration (80/20) audit: what share of total order
+    revenue do the top 10% of customers hold? Per-batch per-customer
+    cents partials fold through one narrow groupby (24 B rows); the
+    top-decile cut is EXACT — customers ranked by (revenue desc,
+    custkey asc), the top ceil(n/10) taken, share as floor-ppm in
+    arbitrary-precision ints. Per-customer revenue is
+    customer-cardinality state on the driver at sf scale; past
+    UNIQUE_DRIVER_MERGE_CAP customers the rank would ride the
+    shuffle-shard two-phase histogram (documented, not needed here).
+    Emits ONE row (n_customers, top_customers, top_cents, total_cents,
+    share_ppm)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": b.column("o_custkey").cast(pa.int64()),
+                      "cents": pa.array(_cents(
+                          b.column("o_totalprice")
+                          .to_numpy(zero_copy_only=False)))})
+        g = t.group_by("o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("cents", alias_name="cents"))
+                .to_pandas())
+    n = len(per_cust)
+    if n == 0:
+        return pd.DataFrame({"n_customers": [0], "top_customers": [0],
+                             "top_cents": [0], "total_cents": [0],
+                             "share_ppm": [0]})
+    k = -(-n * PARETO_TOP_PCT // 100)     # ceil(n * pct / 100)
+    per_cust = per_cust.sort_values(["cents", "o_custkey"],
+                                    ascending=[False, True],
+                                    kind="mergesort")
+    top = int(per_cust["cents"].head(k).sum())
+    total = int(per_cust["cents"].sum())
+    return pd.DataFrame({
+        "n_customers": [n], "top_customers": [int(k)],
+        "top_cents": [top], "total_cents": [total],
+        "share_ppm": [(1_000_000 * top) // total if total else 0]})

@@ -2647,3 +2647,49 @@ def test_order_fulfillment_latency_planted(ray_session, tmp_path):
     out = order_fulfillment_latency(str(tmp_path)).iloc[0]
     assert (out["n"], out["p50_days"], out["p90_days"], out["max_days"]) \
         == (4, 2, 100, 100)
+
+
+def test_event_transition_matrix_planted(ray_session, tmp_path):
+    """v->c,c->v,v->c for user 1; user 2 contributes v->p; probabilities
+    are exact floor-ppm of row totals and never cross users."""
+    from rayschema.queries import event_transition_matrix
+
+    types = ["view", "click", "view", "click", "view", "purchase"]
+    users = [1, 1, 1, 1, 2, 2]
+    t = pa.table({
+        "event_id": pa.array(np.arange(6, dtype=np.int64)),
+        "ts": pa.array(np.arange(6, dtype=np.int64)
+                       .astype("datetime64[us]")),
+        "user_id": pa.array(np.array(users, dtype=np.int64)),
+        "event_type": pa.array(types),
+        "value": pa.array(np.ones(6)),
+        "props": pa.array(["{}"] * 6)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = event_transition_matrix(str(tmp_path))
+    got = {(r.t1, r.t2): (r.n, r.p_ppm)
+           for r in out.itertuples(index=False)}
+    # view rows: v->c x2, v->p x1 -> totals 3
+    assert got[("view", "click")] == (2, 666_666)
+    assert got[("view", "purchase")] == (1, 333_333)
+    assert got[("click", "view")] == (1, 1_000_000)
+
+
+def test_revenue_pareto_share_planted(ray_session, tmp_path):
+    """10 customers, one whale: top ceil(10/10)=1 customer holds
+    1000/1900 of revenue -> share_ppm = 526315."""
+    from rayschema.queries import revenue_pareto_share
+
+    cust = np.arange(1, 11, dtype=np.int64)
+    price = np.array([1000.0] + [100.0] * 9)
+    t = pa.table({
+        "o_orderkey": pa.array(cust),
+        "o_custkey": pa.array(cust),
+        "o_orderstatus": pa.array(["F"] * 10),
+        "o_totalprice": pa.array(price),
+        "o_orderdate": pa.array(np.zeros(10, dtype="datetime64[us]")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 10)})
+    pq.write_table(t, os.path.join(tmp_path, "orders.parquet"))
+    out = revenue_pareto_share(str(tmp_path)).iloc[0]
+    assert (out["n_customers"], out["top_customers"]) == (10, 1)
+    assert (out["top_cents"], out["total_cents"]) == (100000, 190000)
+    assert out["share_ppm"] == (1_000_000 * 100000) // 190000
