@@ -356,6 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_fulfillment_latency": Q.order_fulfillment_latency,
         "event_transition_matrix": Q.event_transition_matrix,
         "revenue_pareto_share": Q.revenue_pareto_share,
+        "langid_confusion_matrix": Q.langid_confusion_matrix,
+        "churned_users_by_last_event": Q.churned_users_by_last_event,
     }
 
 
@@ -2963,4 +2965,52 @@ def oracle_sql() -> dict[str, str]:
                               ELSE 0 END))
                     // sum(r.cents))::BIGINT AS share_ppm
             FROM r, k GROUP BY k.n, k.topk""",
+        # langid confusion matrix: the langid_documents heuristic, GROUP BYd
+        "langid_confusion_matrix": """
+            WITH h AS (SELECT doc_id, lang,
+                              substr(COALESCE(text, ''), 1, 2000) AS hd
+                       FROM documents),
+            c AS (SELECT doc_id, lang,
+                    len(regexp_extract_all(hd, '[A-Za-z]+')) AS nw,
+                    len(regexp_extract_all(hd, '(?i)\\b(the|and|of|to|in|is|that|it|for|with)\\b')) AS c_en,
+                    len(regexp_extract_all(hd, '(?i)\\b(der|die|und|das|ist|nicht|ein|mit|auf|von)\\b')) AS c_de,
+                    len(regexp_extract_all(hd, '(?i)\\b(le|la|les|et|est|pour|que|une|dans|des)\\b')) AS c_fr,
+                    len(regexp_extract_all(hd, '(?i)\\b(el|la|los|que|de|es|por|una|con|para)\\b')) AS c_es,
+                    len(regexp_extract_all(hd, '[\\x{4e00}-\\x{9fff}]')) AS c_cjk,
+                    length(hd) AS hl
+                  FROM h),
+            sc AS (SELECT doc_id, lang,
+                     c_en * 1.0 / greatest(nw, 1) AS s_en,
+                     c_de * 1.0 / greatest(nw, 1) AS s_de,
+                     c_fr * 1.0 / greatest(nw, 1) AS s_fr,
+                     c_es * 1.0 / greatest(nw, 1) AS s_es,
+                     c_cjk * 1.0 / least(greatest(hl, 1), 400) AS zr
+                   FROM c),
+            p AS (SELECT lang,
+              CASE WHEN zr > 0.2 THEN 'zh'
+                   WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                   WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                   WHEN s_fr >= s_es THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM sc)
+            SELECT lang, lang_pred, count(*)::BIGINT AS n
+            FROM p GROUP BY lang, lang_pred""",
+        # churn: last event per user older than max(ts) - 36 hours
+        "churned_users_by_last_event": """
+            WITH e AS (SELECT user_id, event_type, ts, event_id
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            r AS (SELECT user_id, event_type, ts,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC,
+                                                     event_id DESC) AS rk
+                  FROM e),
+            mx AS (SELECT max(ts) AS m FROM events)
+            SELECT r.event_type, count(*)::BIGINT AS n_churned
+            FROM r, mx
+            WHERE rk = 1 AND epoch_us(r.ts) < epoch_us(mx.m)
+                                              - 36 * 3600000000
+            GROUP BY r.event_type""",
     }

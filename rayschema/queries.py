@@ -9821,3 +9821,114 @@ def revenue_pareto_share(sf_dir: str):
         "n_customers": [n], "top_customers": [int(k)],
         "top_cents": [top], "total_cents": [total],
         "share_ppm": [(1_000_000 * top) // total if total else 0]})
+
+
+def langid_confusion_matrix(sf_dir: str):
+    """Classifier-quality cross-tab: labeled lang x predicted lang
+    counts over the whole corpus — the confusion matrix every langid
+    deployment is judged by. The predictor is the engine's stateful
+    LangId actor pool (patterns compiled once per actor); per-batch
+    (label, pred) counts fold through one bounded (<= |langs|^2)
+    groupby. The oracle replays the EXACT same n-gram heuristic in SQL
+    (the langid_documents mirror) and GROUP BYs it. Emits
+    (lang, lang_pred, n)."""
+    from ray.data.aggregate import Sum
+
+    from rayschema.text import LangId
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    pred = ds.map_batches(LangId, batch_format="pyarrow",
+                          concurrency=(1, 16))
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b.column("lang"),
+                      "lang_pred": b.column("lang_pred")})
+        g = t.group_by(["lang", "lang_pred"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "lang_pred", "n"])
+
+    out = (pred.map_batches(partial, batch_format="pyarrow")
+           .groupby(["lang", "lang_pred"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["lang", "lang_pred"])
+            .reset_index(drop=True))
+
+
+CHURN_WINDOW_US = 36 * 3_600_000_000   # 36 hours
+
+
+def churned_users_by_last_event(sf_dir: str):
+    """Churn audit: users whose LAST event is older than 36 hours before
+    the corpus's newest event, counted by that last event's type (what
+    were churned users doing last?). Pass 1 is a trivial global max(ts)
+    aggregate (the cutoff broadcasts as a closure constant); pass 2 is
+    ONE user-keyed scan ordered by (ts, event_id) whose block kernel
+    takes each complete group's LAST row vectorized (ends-1) and ships
+    <= |types| (type, count) partials per block. Emits
+    (event_type, n_churned)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+    mx = ds.max("ts")
+    cutoff = int(pd.Timestamp(mx).value // 1000) - CHURN_WINDOW_US
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.and_(pc.is_valid(b.column("ts")),
+                                     pc.is_valid(b.column("event_type")))))
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "ts_us": pa.array(b.column("ts").cast(pa.int64())
+                              .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(b.column("event_id")
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64)),
+            "event_type": et})
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_churned", pa.int64())])
+
+    def _counts(types):
+        if len(types) == 0:
+            return None
+        u, c = np.unique(types, return_counts=True)
+        return pa.table({"event_type": pa.array(u, type=pa.string()),
+                         "n_churned": pa.array(c.astype(np.int64))})
+
+    def block_fn(b: pa.Table, starts, ends, want):
+        if not want.any():
+            return None
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
+        last = ends[want] - 1
+        hit = last[ts[last] < cutoff]
+        if len(hit) == 0:
+            return None
+        et = b.column("event_type").take(pa.array(hit)) \
+            .to_numpy(zero_copy_only=False)
+        return _counts(et)
+
+    def group_fn(g: pa.Table):
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        if len(ts) == 0 or ts[-1] >= cutoff:
+            return None
+        return _counts(np.array(
+            [g.column("event_type")[-1].as_py()], dtype=object))
+
+    scan = sorted_group_scan(
+        ds.map_batches(narrow, batch_format="pyarrow"), ["user_id"],
+        group_fn, out_schema, order_cols=["ts_us", "event_id"],
+        block_fn=block_fn).to_pandas()
+    if not len(scan):
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "n_churned": pd.Series([], dtype=np.int64)})
+    agg = scan.groupby("event_type", as_index=False)["n_churned"].sum()
+    agg["n_churned"] = agg["n_churned"].astype(np.int64)
+    return agg.sort_values("event_type").reset_index(drop=True)

@@ -2693,3 +2693,48 @@ def test_revenue_pareto_share_planted(ray_session, tmp_path):
     assert (out["n_customers"], out["top_customers"]) == (10, 1)
     assert (out["top_cents"], out["total_cents"]) == (100000, 190000)
     assert out["share_ppm"] == (1_000_000 * 100000) // 190000
+
+
+def test_langid_confusion_matrix_planted(ray_session, tmp_path):
+    """An English doc labeled 'de' lands in the (de, en) off-diagonal
+    cell; correct docs land on the diagonal."""
+    from rayschema.queries import langid_confusion_matrix
+
+    en = "the cat and the dog went to the house with it for a while"
+    de = "der hund und die katze ist nicht ein tier mit auf von haus"
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [en, de, en],
+        "lang": ["en", "de", "de"],       # third is mislabeled
+        "source": ["s"] * 3,
+        "n_chars": np.array([len(en), len(de), len(en)],
+                            dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = langid_confusion_matrix(str(tmp_path))
+    got = {(r.lang, r.lang_pred): r.n for r in out.itertuples(index=False)}
+    assert got == {("en", "en"): 1, ("de", "de"): 1, ("de", "en"): 1}
+
+
+def test_churned_users_planted(ray_session, tmp_path):
+    """User 1's last event (a click) is 2 days before the corpus max ->
+    churned under the 36 h window; user 2 is active; ties at the last
+    timestamp resolve by event_id (highest wins)."""
+    from rayschema.queries import churned_users_by_last_event
+
+    D = 86_400_000_000
+    rows = [(1, "view", 0), (1, "click", 8 * D),
+            (2, "view", 10 * D), (2, "purchase", 10 * D)]
+    t = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "ts": pa.array(np.array([r[2] for r in rows],
+                                dtype="datetime64[us]")),
+        "user_id": pa.array(np.array([r[0] for r in rows],
+                                     dtype=np.int64)),
+        "event_type": pa.array([r[1] for r in rows]),
+        "value": pa.array(np.ones(4)),
+        "props": pa.array(["{}"] * 4)})
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    out = churned_users_by_last_event(str(tmp_path))
+    assert out["event_type"].tolist() == ["click"]
+    assert out["n_churned"].tolist() == [1]
