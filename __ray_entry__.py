@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_pareto_share": Q.revenue_pareto_share,
         "langid_confusion_matrix": Q.langid_confusion_matrix,
         "churned_users_by_last_event": Q.churned_users_by_last_event,
+        "dup_cluster_size_histogram": Q.dup_cluster_size_histogram,
     }
 
 
@@ -3013,4 +3014,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk = 1 AND epoch_us(r.ts) < epoch_us(mx.m)
                                               - 36 * 3600000000
             GROUP BY r.event_type""",
+        # duplicate-mass histogram: GROUP BY text sizes, then size counts
+        "dup_cluster_size_histogram": """
+            WITH g AS (SELECT count(*)::BIGINT AS group_size
+                       FROM documents GROUP BY text)
+            SELECT group_size, count(*)::BIGINT AS n_groups
+            FROM g GROUP BY group_size""",
     }

@@ -9932,3 +9932,91 @@ def churned_users_by_last_event(sf_dir: str):
     agg = scan.groupby("event_type", as_index=False)["n_churned"].sum()
     agg["n_churned"] = agg["n_churned"].astype(np.int64)
     return agg.sort_values("event_type").reset_index(drop=True)
+
+
+def dup_cluster_size_histogram(sf_dir: str):
+    """Duplicate-mass report: the histogram of exact-duplicate group
+    sizes (how many texts appear once, twice, ...) — the first chart of
+    any dedup writeup. Narrow plan mirroring _exact_dedup_core: the
+    hash groupby's (uk, n) table gives candidate sizes; hash groups with
+    n >= 2 are re-verified EXACTLY on co-located text (a 64-bit
+    collision would otherwise merge two different texts into one
+    oversized group), with the verified per-text sizes emitted from the
+    scan and singles counted from the hash table. Emits
+    (group_size, n_groups)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rayschema.dedup import (_bitmap_hash, _bitmap_member,
+                                 sorted_group_scan)
+    from rayschema.sketches import hash64
+
+    BM_BITS = 24
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    agg = (ds.map_batches(_dedup_partial, batch_format="pyarrow")
+           .groupby("uk")
+           .aggregate(Sum("n", alias_name="n"))
+           .materialize())
+    n_singles = agg.filter(expr="n == 1").count()
+
+    dups = agg.filter(expr="n > 1").select_columns(["uk"]).to_pandas()
+    if not len(dups):
+        return pd.DataFrame({"group_size": [1],
+                             "n_groups": [int(n_singles)]})
+    acc = np.zeros(1 << BM_BITS, dtype=bool)
+    acc[_bitmap_hash(dups["uk"].to_numpy(np.int64), BM_BITS)] = True
+    ref = ray.put(np.packbits(acc))
+
+    def pick(b: pa.Table) -> pa.Table:
+        txt = b.column("text")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        uks = hash64(txt.to_numpy(zero_copy_only=False)).view(np.int64)
+        sel = _bitmap_member(uks, ray.get(ref), BM_BITS)
+        return pa.table({"uk": pa.array(uks[sel]),
+                         "text": txt.filter(pa.array(sel))})
+
+    out_schema = pa.schema([("group_size", pa.int64()),
+                            ("n_groups", pa.int64())])
+
+    def _sizes(uk, text):
+        df = pd.DataFrame({"uk": uk, "text": text})
+        sizes = df.groupby(["uk", "text"], dropna=False).size()
+        u, c = np.unique(sizes.to_numpy(np.int64), return_counts=True)
+        return pa.table({"group_size": pa.array(u),
+                         "n_groups": pa.array(c.astype(np.int64))})
+
+    def block_fn(b: pa.Table, starts, ends, want):
+        sel = np.repeat(want, ends - starts)
+        if not sel.any():
+            return None
+        t = b.filter(pa.array(sel))
+        return _sizes(t.column("uk").to_pandas(),
+                      t.column("text").to_pandas())
+
+    def group_fn(g: pa.Table):
+        # 1-row uk group = bitmap false positive: that text's uk had
+        # n == 1, so it is already counted in n_singles (mirrors
+        # _exact_dedup_core.verify_group)
+        if g.num_rows < 2:
+            return None
+        return _sizes(g.column("uk").to_pandas(),
+                      g.column("text").to_pandas())
+
+    scan = sorted_group_scan(
+        ds.map_batches(pick, batch_format="pyarrow"), ["uk"],
+        group_fn, out_schema,
+        group_filter=lambda b, s, e: (e - s) >= 2,
+        block_fn=block_fn).to_pandas()
+    hist = scan.groupby("group_size", as_index=True)["n_groups"].sum() \
+        if len(scan) else pd.Series(dtype=np.int64)
+    hist = hist.to_dict()
+    # a multi-row hash group CAN split into size-1 text groups under a
+    # 64-bit collision — those are real singleton texts NOT in
+    # n_singles, so the scan's size-1 rows and the hash-side singles add
+    hist[1] = int(hist.get(1, 0)) + int(n_singles)
+    out = pd.DataFrame(sorted(hist.items()),
+                       columns=["group_size", "n_groups"])
+    out["group_size"] = out["group_size"].astype(np.int64)
+    out["n_groups"] = out["n_groups"].astype(np.int64)
+    return out

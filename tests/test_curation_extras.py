@@ -2738,3 +2738,20 @@ def test_churned_users_planted(ray_session, tmp_path):
     out = churned_users_by_last_event(str(tmp_path))
     assert out["event_type"].tolist() == ["click"]
     assert out["n_churned"].tolist() == [1]
+
+
+def test_dup_cluster_size_histogram_planted(ray_session, tmp_path):
+    """3 singletons, one pair, one triple -> {(1,3),(2,1),(3,1)}."""
+    from rayschema.queries import dup_cluster_size_histogram
+
+    texts = ["a", "b", "c", "dd", "dd", "eee", "eee", "eee"]
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64), "text": texts,
+        "lang": ["en"] * 8, "source": ["s"] * 8,
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = dup_cluster_size_histogram(str(tmp_path))
+    got = {int(r.group_size): int(r.n_groups)
+           for r in out.itertuples(index=False)}
+    assert got == {1: 3, 2: 1, 3: 1}
