@@ -9518,6 +9518,28 @@ def value_mode_by_type(sf_dir: str):
 PATH_TOP_N = 20
 
 
+def _narrow_events(b: pa.Table) -> pa.Table:
+    """Shared narrow projection for the user-keyed event scans
+    (trigrams, transitions, churn): null-filtered
+    (user_id, ts_us, event_id, event_type) int64/us rows."""
+    b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                         pc.and_(pc.is_valid(b.column("ts")),
+                                 pc.is_valid(b.column("event_type")))))
+    et = b.column("event_type")
+    if isinstance(et, pa.ChunkedArray):
+        et = et.combine_chunks()
+    return pa.table({
+        "user_id": pa.array(b.column("user_id")
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+        "ts_us": pa.array(b.column("ts").cast(pa.int64())
+                          .to_numpy(zero_copy_only=False)),
+        "event_id": pa.array(b.column("event_id")
+                             .to_numpy(zero_copy_only=False)
+                             .astype(np.int64)),
+        "event_type": et})
+
+
 def session_path_trigrams(sf_dir: str):
     """Behavioral path mining: the top-20 (t1 -> t2 -> t3) event-type
     trigrams over each user's time-ordered stream — the "common user
@@ -9532,23 +9554,7 @@ def session_path_trigrams(sf_dir: str):
     ds = _read(sf_dir, "events",
                columns=["user_id", "event_type", "ts", "event_id"])
 
-    def narrow(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
-                             pc.and_(pc.is_valid(b.column("ts")),
-                                     pc.is_valid(b.column("event_type")))))
-        et = b.column("event_type")
-        if isinstance(et, pa.ChunkedArray):
-            et = et.combine_chunks()
-        return pa.table({
-            "user_id": pa.array(b.column("user_id")
-                                .to_numpy(zero_copy_only=False)
-                                .astype(np.int64)),
-            "ts_us": pa.array(b.column("ts").cast(pa.int64())
-                              .to_numpy(zero_copy_only=False)),
-            "event_id": pa.array(b.column("event_id")
-                                 .to_numpy(zero_copy_only=False)
-                                 .astype(np.int64)),
-            "event_type": et})
+    narrow = _narrow_events
 
     out_schema = pa.schema([("t1", pa.string()), ("t2", pa.string()),
                             ("t3", pa.string()), ("cnt", pa.int64())])
@@ -9622,6 +9628,13 @@ def order_fulfillment_latency(sf_dir: str):
 
     orders = orders.materialize()
     n_ord = orders.count()
+    if n_ord == 0:    # inner-join semantics: no orders -> 0 result rows
+        return pd.DataFrame({
+            "o_orderpriority": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64),
+            "p50_days": pd.Series([], dtype=np.int64),
+            "p90_days": pd.Series([], dtype=np.int64),
+            "max_days": pd.Series([], dtype=np.int64)})
     if n_ord <= Q3_BROADCAST_CAP:
         odf = orders.to_pandas().sort_values("o_orderkey")
         okeys = odf["o_orderkey"].to_numpy(np.int64)
@@ -9711,23 +9724,7 @@ def event_transition_matrix(sf_dir: str):
     ds = _read(sf_dir, "events",
                columns=["user_id", "event_type", "ts", "event_id"])
 
-    def narrow(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
-                             pc.and_(pc.is_valid(b.column("ts")),
-                                     pc.is_valid(b.column("event_type")))))
-        et = b.column("event_type")
-        if isinstance(et, pa.ChunkedArray):
-            et = et.combine_chunks()
-        return pa.table({
-            "user_id": pa.array(b.column("user_id")
-                                .to_numpy(zero_copy_only=False)
-                                .astype(np.int64)),
-            "ts_us": pa.array(b.column("ts").cast(pa.int64())
-                              .to_numpy(zero_copy_only=False)),
-            "event_id": pa.array(b.column("event_id")
-                                 .to_numpy(zero_copy_only=False)
-                                 .astype(np.int64)),
-            "event_type": et})
+    narrow = _narrow_events
 
     out_schema = pa.schema([("t1", pa.string()), ("t2", pa.string()),
                             ("n", pa.int64())])
@@ -9807,10 +9804,13 @@ def revenue_pareto_share(sf_dir: str):
                 .aggregate(Sum("cents", alias_name="cents"))
                 .to_pandas())
     n = len(per_cust)
-    if n == 0:
-        return pd.DataFrame({"n_customers": [0], "top_customers": [0],
-                             "top_cents": [0], "total_cents": [0],
-                             "share_ppm": [0]})
+    if n == 0:    # the oracle's cross join over empty r emits 0 rows
+        return pd.DataFrame({
+            "n_customers": pd.Series([], dtype=np.int64),
+            "top_customers": pd.Series([], dtype=np.int64),
+            "top_cents": pd.Series([], dtype=np.int64),
+            "total_cents": pd.Series([], dtype=np.int64),
+            "share_ppm": pd.Series([], dtype=np.int64)})
     k = -(-n * PARETO_TOP_PCT // 100)     # ceil(n * pct / 100)
     per_cust = per_cust.sort_values(["cents", "o_custkey"],
                                     ascending=[False, True],
@@ -9872,26 +9872,12 @@ def churned_users_by_last_event(sf_dir: str):
 
     ds = _read(sf_dir, "events",
                columns=["user_id", "event_type", "ts", "event_id"])
-    mx = ds.max("ts")
+    # pass 1 on a ts-only read: the aggregate would otherwise decode
+    # all four projected columns just to find one timestamp
+    mx = _read(sf_dir, "events", columns=["ts"]).max("ts")
     cutoff = int(pd.Timestamp(mx).value // 1000) - CHURN_WINDOW_US
 
-    def narrow(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
-                             pc.and_(pc.is_valid(b.column("ts")),
-                                     pc.is_valid(b.column("event_type")))))
-        et = b.column("event_type")
-        if isinstance(et, pa.ChunkedArray):
-            et = et.combine_chunks()
-        return pa.table({
-            "user_id": pa.array(b.column("user_id")
-                                .to_numpy(zero_copy_only=False)
-                                .astype(np.int64)),
-            "ts_us": pa.array(b.column("ts").cast(pa.int64())
-                              .to_numpy(zero_copy_only=False)),
-            "event_id": pa.array(b.column("event_id")
-                                 .to_numpy(zero_copy_only=False)
-                                 .astype(np.int64)),
-            "event_type": et})
+    narrow = _narrow_events
 
     out_schema = pa.schema([("event_type", pa.string()),
                             ("n_churned", pa.int64())])
@@ -9961,6 +9947,10 @@ def dup_cluster_size_histogram(sf_dir: str):
 
     dups = agg.filter(expr="n > 1").select_columns(["uk"]).to_pandas()
     if not len(dups):
+        if int(n_singles) == 0:    # empty corpus: the oracle emits 0 rows
+            return pd.DataFrame({
+                "group_size": pd.Series([], dtype=np.int64),
+                "n_groups": pd.Series([], dtype=np.int64)})
         return pd.DataFrame({"group_size": [1],
                              "n_groups": [int(n_singles)]})
     acc = np.zeros(1 << BM_BITS, dtype=bool)
@@ -10013,8 +10003,13 @@ def dup_cluster_size_histogram(sf_dir: str):
     hist = hist.to_dict()
     # a multi-row hash group CAN split into size-1 text groups under a
     # 64-bit collision — those are real singleton texts NOT in
-    # n_singles, so the scan's size-1 rows and the hash-side singles add
-    hist[1] = int(hist.get(1, 0)) + int(n_singles)
+    # n_singles, so the scan's size-1 rows and the hash-side singles
+    # add; never emit a zero-count row (the oracle has no such group)
+    ones = int(hist.get(1, 0)) + int(n_singles)
+    if ones > 0:
+        hist[1] = ones
+    else:
+        hist.pop(1, None)
     out = pd.DataFrame(sorted(hist.items()),
                        columns=["group_size", "n_groups"])
     out["group_size"] = out["group_size"].astype(np.int64)
