@@ -359,6 +359,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion_matrix": Q.langid_confusion_matrix,
         "churned_users_by_last_event": Q.churned_users_by_last_event,
         "dup_cluster_size_histogram": Q.dup_cluster_size_histogram,
+        "q2_best_supplier_per_part": Q.q2_best_supplier_per_part,
+        "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
+        "q20_heavy_shippers": Q.q20_heavy_shippers,
+        "q21_sole_blocker": Q.q21_sole_blocker,
     }
 
 
@@ -3020,4 +3024,69 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents GROUP BY text)
             SELECT group_size, count(*)::BIGINT AS n_groups
             FROM g GROUP BY group_size""",
+        "q2_best_supplier_per_part": """
+            WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey
+                         FROM lineitem),
+            el AS (SELECT s.s_suppkey, s.s_name,
+                          CAST(round(s.s_acctbal * 100) AS BIGINT)
+                            AS bal, n.n_name
+                   FROM supplier s
+                   JOIN nation n ON s.s_nationkey = n.n_nationkey
+                   JOIN region r ON n.n_regionkey = r.r_regionkey
+                   WHERE r.r_name = 'ASIA'),
+            c AS (SELECT p.p_partkey, e.s_suppkey, e.s_name, e.n_name,
+                         e.bal,
+                         row_number() OVER (PARTITION BY p.p_partkey
+                             ORDER BY e.bal DESC, e.s_suppkey) AS rn
+                  FROM part p
+                  JOIN rel ON p.p_partkey = rel.l_partkey
+                  JOIN el e ON rel.l_suppkey = e.s_suppkey
+                  WHERE p.p_size = 15)
+            SELECT p_partkey, s_suppkey, s_name, n_name,
+                   bal AS s_acctbal_cents
+            FROM c WHERE rn = 1""",
+        "q9_profit_by_nation_year": """
+            SELECT n.n_name,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * CAST(round((1 - l.l_discount) * 100) AS BIGINT))
+                       AS BIGINT) AS profit_e4
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE split_part(p.p_name, ' ', 2) = 'widget'
+            GROUP BY 1, 2""",
+        "q20_heavy_shippers": """
+            WITH heavy AS (
+              SELECT l_suppkey,
+                     sum(CAST(round(l_quantity) AS BIGINT)) AS q
+              FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+              WHERE p.p_name LIKE 'red %'
+                AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l.l_shipdate < TIMESTAMP '1998-01-01'
+              GROUP BY l_suppkey, l_partkey HAVING q > 60)
+            SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name
+            FROM heavy h
+            JOIN supplier s ON h.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey""",
+        "q21_sole_blocker": """
+            WITH li AS (
+              SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderstatus = 'F'),
+            g AS (SELECT l_orderkey, max(l_shipdate) AS mx,
+                         count(DISTINCT l_suppkey) AS nd
+                  FROM li GROUP BY 1),
+            w AS (SELECT DISTINCT li.l_orderkey, li.l_suppkey
+                  FROM li JOIN g USING (l_orderkey)
+                  WHERE g.nd >= 2 AND li.l_shipdate = g.mx),
+            solo AS (SELECT l_orderkey, min(l_suppkey) AS s
+                     FROM w GROUP BY 1 HAVING count(*) = 1),
+            cnt AS (SELECT s AS s_suppkey, count(*)::BIGINT AS numwait
+                    FROM solo GROUP BY 1)
+            SELECT c.s_suppkey, s.s_name, c.numwait
+            FROM cnt c JOIN supplier s USING (s_suppkey)
+            ORDER BY c.numwait DESC, c.s_suppkey LIMIT 20""",
     }

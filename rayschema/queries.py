@@ -10015,3 +10015,474 @@ def dup_cluster_size_histogram(sf_dir: str):
     out["group_size"] = out["group_size"].astype(np.int64)
     out["n_groups"] = out["n_groups"].astype(np.int64)
     return out
+
+
+# --------------------------------------------------------------------------- TPC-H Q2/Q9/Q20/Q21 shapes
+
+
+def q2_best_supplier_per_part(sf_dir: str):
+    """TPC-H-Q2-shaped per-part argmax over a join: for every size-15
+    part, the best ASIA-region supplier that actually ships it (the
+    part<->supplier relation comes from lineitem — the synthetic corpus
+    has no partsupp table), best = max s_acctbal, min s_suppkey on ties
+    (Q2 uses min ps_supplycost; acctbal is the stand-in). The argmax
+    DISTRIBUTES as a single Ray ``groupby.Max`` over a monotone-packed
+    int64 ((acctbal_e2 + 2^25) << 24 | (2^24-1 - s_suppkey)) so ties
+    resolve inside the shuffle — no distinct-pair materialization, no
+    window. Both dimension sides broadcast (part keys; eligible-supplier
+    balance arrays); duplicate (part, supplier) lineitems collapse
+    per-batch before the exchange. Packing assumption (documented):
+    s_suppkey < 2^24 and |s_acctbal| < $335k — shard the supplier id
+    space past that. Emits the full ranked result
+    (p_partkey, s_suppkey, s_name, n_name, s_acctbal_cents), Q2's
+    LIMIT applied by the caller if desired."""
+    import ray
+    from ray.data.aggregate import Max
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas()
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    asia = set(reg[reg["r_name"] == "ASIA"]["r_regionkey"]
+               .astype(np.int64))
+    nat = nat[nat["n_regionkey"].astype(np.int64).isin(asia)]
+    nmap = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey", "s_name",
+                         "s_acctbal"]).to_pandas()
+    sup = sup[sup["s_nationkey"].astype(np.int64).isin(nmap)] \
+        .sort_values("s_suppkey")
+    skeys = sup["s_suppkey"].to_numpy(np.int64)
+    sbal = _cents(sup["s_acctbal"].to_numpy())
+
+    pt = _read(sf_dir, "part", columns=["p_partkey", "p_size"]) \
+        .to_pandas()
+    pkeys = np.sort(pt[pt["p_size"] == 15]["p_partkey"]
+                    .to_numpy(np.int64))
+
+    out_cols = ["p_partkey", "s_suppkey", "s_name", "n_name",
+                "s_acctbal_cents"]
+    if len(pkeys) == 0 or len(skeys) == 0:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c in ("s_name", "n_name") else np.int64)
+            for c in out_cols})
+
+    ref = ray.put((pkeys, skeys, sbal))
+    OFF, SHIFT = 1 << 25, 24
+
+    def partial(b: pa.Table, _ref=ref) -> pa.Table:
+        pk_set, sk_set, bal = ray.get(_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pp = np.clip(np.searchsorted(pk_set, pk), 0, len(pk_set) - 1)
+        sp = np.clip(np.searchsorted(sk_set, sk), 0, len(sk_set) - 1)
+        keep = (pk_set[pp] == pk) & (sk_set[sp] == sk)
+        if not keep.any():
+            return pa.table({"p_partkey": pa.array([], type=pa.int64()),
+                             "packed": pa.array([], type=pa.int64())})
+        pk, sk, sp = pk[keep], sk[keep], sp[keep]
+        packed = ((bal[sp] + OFF) << SHIFT) | ((1 << SHIFT) - 1 - sk)
+        # local argmax per part: one shuffle row per (part in batch)
+        us, inv = np.unique(pk, return_inverse=True)
+        best = np.full(len(us), np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(best, inv, packed)
+        return pa.table({"p_partkey": pa.array(us),
+                         "packed": pa.array(best)})
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    win = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("p_partkey")
+           .aggregate(Max("packed", alias_name="packed"))
+           .to_pandas())
+    if not len(win):
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=object if c in ("s_name", "n_name") else np.int64)
+            for c in out_cols})
+    packed = win["packed"].to_numpy(np.int64)
+    win["s_suppkey"] = ((1 << SHIFT) - 1 - (packed & ((1 << SHIFT) - 1))) \
+        .astype(np.int64)
+    win["s_acctbal_cents"] = ((packed >> SHIFT) - OFF).astype(np.int64)
+    dec = sup.set_index(sup["s_suppkey"].astype(np.int64))
+    win["s_name"] = dec["s_name"].reindex(win["s_suppkey"]).to_numpy()
+    win["n_name"] = dec["s_nationkey"].reindex(win["s_suppkey"]) \
+        .astype(np.int64).map(nmap).to_numpy()
+    win["p_partkey"] = win["p_partkey"].astype(np.int64)
+    return (win[out_cols]
+            .sort_values(["s_acctbal_cents", "s_name", "p_partkey"],
+                         ascending=[False, True, True])
+            .reset_index(drop=True))
+
+
+def q9_profit_by_nation_year(sf_dir: str):
+    """TPC-H-Q9-shaped profit rollup: exact integer-e4 discounted
+    revenue of every 'widget' lineitem, grouped by (supplier nation,
+    order year). No partsupp/supplycost in the corpus, so profit =
+    extendedprice x (1-discount) — the join/grouping shape is Q9's
+    (part filter, supplier->nation, order->year, wide fact scan).
+    Dimension sides broadcast (widget partkeys; suppkey->nationkey);
+    the orderkey->year lookup is ADAPTIVE: broadcast arrays under
+    Q3_BROADCAST_CAP, hash exchange past it. The fold is a dense
+    (nation x year) integer grid summed per batch — the shuffle carries
+    only grid partials. Emits (n_name, o_year, profit_e4)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    pt = _read(sf_dir, "part", columns=["p_partkey", "p_name"]) \
+        .to_pandas()
+    pkeys = np.sort(
+        pt[pt["p_name"].str.split(" ").str[1] == "widget"]["p_partkey"]
+        .to_numpy(np.int64))
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas() \
+        .sort_values("s_suppkey")
+    skeys = sup["s_suppkey"].to_numpy(np.int64)
+    snat = sup["s_nationkey"].to_numpy(np.int64)
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+    n_ord = _table_rows(sf_dir, "orders")
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_discount"])
+
+    def rev_of(b: pa.Table):
+        price = _cents(b.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        disc = np.round((1.0 - b.column("l_discount")
+                         .to_numpy(zero_copy_only=False)
+                         .astype(np.float64)) * 100).astype(np.int64)
+        return price * disc
+
+    YW = 64  # years-per-nation stride in the packed (nation, year) key
+
+    if n_ord is not None and n_ord <= Q3_BROADCAST_CAP:
+        odf = orders.to_pandas().sort_values("o_orderkey")
+        okeys = odf["o_orderkey"].to_numpy(np.int64)
+        oyear = odf["o_orderdate"].dt.year.to_numpy(np.int64)
+        ref = ray.put((pkeys, skeys, snat, okeys, oyear))
+
+        def partial(b: pa.Table, _ref=ref) -> pa.Table:
+            pk_set, sk, sn, ok_, oy = ray.get(_ref)
+            pk = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pp = np.clip(np.searchsorted(pk_set, pk), 0,
+                         max(len(pk_set) - 1, 0))
+            keep = len(pk_set) > 0
+            keep = (pk_set[pp] == pk) if keep else np.zeros(len(pk), bool)
+            if not keep.any():
+                return pa.table({"g": pa.array([], type=pa.int64()),
+                                 "profit_e4": pa.array([],
+                                                       type=pa.int64())})
+            rev = rev_of(b)[keep]
+            lsk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)[keep]
+            lok = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)[keep]
+            spos = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+            opos = np.clip(np.searchsorted(ok_, lok), 0, len(ok_) - 1)
+            ok_hit = (sk[spos] == lsk) & (ok_[opos] == lok)
+            g = sn[spos] * YW + (oy[opos] - 1990)
+            g, rev = g[ok_hit], rev[ok_hit]
+            us, inv = np.unique(g, return_inverse=True)
+            return pa.table({
+                "g": pa.array(us),
+                "profit_e4": pa.array(np.bincount(inv, weights=rev)
+                                      .astype(np.int64))})
+
+        folded = (li.map_batches(partial, batch_format="pyarrow")
+                  .groupby("g")
+                  .aggregate(Sum("profit_e4", alias_name="profit_e4"))
+                  .to_pandas())
+    else:
+        ref = ray.put((pkeys, skeys, snat))
+
+        def li_prep(b: pa.Table, _ref=ref) -> pa.Table:
+            pk_set, sk, sn = ray.get(_ref)
+            pk = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            pp = np.clip(np.searchsorted(pk_set, pk), 0,
+                         max(len(pk_set) - 1, 0))
+            keep = (pk_set[pp] == pk) if len(pk_set) \
+                else np.zeros(len(pk), bool)
+            lsk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            spos = np.clip(np.searchsorted(sk, lsk), 0, len(sk) - 1)
+            keep &= sk[spos] == lsk
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey")
+                .filter(pa.array(keep)),
+                "nat": pa.array(sn[spos][keep]),
+                "rev_e4": pa.array(rev_of(b)[keep])})
+
+        est = (li.size_bytes() or 0) + (orders.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        j = li.map_batches(li_prep, batch_format="pyarrow").join(
+            orders, join_type="inner", num_partitions=n_parts,
+            on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def grid(b: pa.Table) -> pa.Table:
+            yr = pd.DatetimeIndex(
+                b.column("o_orderdate").to_pandas()).year \
+                .to_numpy(np.int64)
+            g = b.column("nat").to_numpy(zero_copy_only=False) * YW \
+                + (yr - 1990)
+            rev = b.column("rev_e4").to_numpy(zero_copy_only=False)
+            us, inv = np.unique(g, return_inverse=True)
+            return pa.table({
+                "g": pa.array(us),
+                "profit_e4": pa.array(np.bincount(inv, weights=rev)
+                                      .astype(np.int64))})
+
+        folded = (j.map_batches(grid, batch_format="pyarrow")
+                  .groupby("g")
+                  .aggregate(Sum("profit_e4", alias_name="profit_e4"))
+                  .to_pandas())
+
+    if not len(folded):
+        return pd.DataFrame({"n_name": pd.Series([], dtype=object),
+                             "o_year": pd.Series([], dtype=np.int64),
+                             "profit_e4": pd.Series([], dtype=np.int64)})
+    g = folded["g"].to_numpy(np.int64)
+    out = pd.DataFrame({
+        "n_name": pd.Series(g // YW).map(nmap).to_numpy(),
+        "o_year": (g % YW + 1990).astype(np.int64),
+        "profit_e4": folded["profit_e4"].astype(np.int64)})
+    return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+def q20_heavy_shippers(sf_dir: str):
+    """TPC-H-Q20-shaped excess-inventory probe: suppliers that shipped
+    MORE THAN 60 total units of any single 'red' part during 1997 (Q20's
+    availqty > half-year-shipments test, restated against the corpus's
+    lineitem-derived relation). The per-(supplier, part) quantity sum
+    DISTRIBUTES as one Ray groupby.Sum over a packed int64 pair key
+    (partkey << 22 | suppkey — documented assumption suppkey < 2^22;
+    shard the id space past that); the year cut pushes down to the
+    parquet scan and the red-part key set broadcasts. Emits DISTINCT
+    qualifying suppliers (s_suppkey, s_name, n_name), s_name-ordered."""
+    import pyarrow.dataset as pads
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    QTY_MIN = 60
+    pt = _read(sf_dir, "part", columns=["p_partkey", "p_name"]) \
+        .to_pandas()
+    pkeys = np.sort(
+        pt[pt["p_name"].str.startswith("red ")]["p_partkey"]
+        .to_numpy(np.int64))
+
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    lpath = os.path.join(sf_dir, "lineitem.parquet")
+    llo = _pq_schema_scalar(lpath, "l_shipdate", lo)
+    lhi = _pq_schema_scalar(lpath, "l_shipdate", hi)
+    lkw = {} if llo is None else dict(
+        filter=(pads.field("l_shipdate") >= llo)
+        & (pads.field("l_shipdate") < lhi))
+    li = rd.read_parquet(
+        lpath, columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_shipdate"], **lkw)
+    if llo is None:
+        li = li.filter(lambda r: lo.to_datetime64() <= r["l_shipdate"]
+                       < hi.to_datetime64())
+
+    out_cols = ["s_suppkey", "s_name", "n_name"]
+    if len(pkeys) == 0:
+        return pd.DataFrame({
+            "s_suppkey": pd.Series([], dtype=np.int64),
+            "s_name": pd.Series([], dtype=object),
+            "n_name": pd.Series([], dtype=object)})
+
+    ref = ray.put(pkeys)
+    SHIFT = 22
+
+    def partial(b: pa.Table, _ref=ref) -> pa.Table:
+        pk_set = ray.get(_ref)
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pp = np.clip(np.searchsorted(pk_set, pk), 0, len(pk_set) - 1)
+        keep = pk_set[pp] == pk
+        if not keep.any():
+            return pa.table({"pk": pa.array([], type=pa.int64()),
+                             "qty": pa.array([], type=pa.int64())})
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[keep]
+        qty = np.round(b.column("l_quantity")
+                       .to_numpy(zero_copy_only=False)
+                       .astype(np.float64)[keep]).astype(np.int64)
+        key = (pk[keep] << SHIFT) | sk
+        us, inv = np.unique(key, return_inverse=True)
+        return pa.table({"pk": pa.array(us),
+                         "qty": pa.array(np.bincount(inv, weights=qty)
+                                         .astype(np.int64))})
+
+    pairs = (li.map_batches(partial, batch_format="pyarrow")
+             .groupby("pk").aggregate(Sum("qty", alias_name="qty")))
+
+    def winners(b: pa.Table) -> pa.Table:
+        q = b.column("qty").to_numpy(zero_copy_only=False)
+        pk = b.column("pk").to_numpy(zero_copy_only=False)
+        sk = np.unique(pk[q > QTY_MIN] & ((1 << SHIFT) - 1))
+        return pa.table({"s_suppkey": pa.array(sk.astype(np.int64))})
+
+    sids = np.unique(
+        pairs.map_batches(winners, batch_format="pyarrow")
+        .to_pandas()["s_suppkey"].to_numpy(np.int64))
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_name", "s_nationkey"]) \
+        .to_pandas()
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    nmap = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    out = sup[sup["s_suppkey"].astype(np.int64).isin(set(sids))].copy()
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["n_name"] = out["s_nationkey"].astype(np.int64).map(nmap)
+    return (out[out_cols].sort_values("s_name").reset_index(drop=True))
+
+
+def q21_sole_blocker(sf_dir: str):
+    """TPC-H-Q21-shaped 'suppliers who kept orders waiting': within each
+    finished ('F') multi-supplier order, the supplier whose lineitems
+    ALONE reach the order's latest ship date (the corpus has no
+    commit/receipt dates; latest-shipper-is-sole-blocker keeps Q21's
+    exists/not-exists window semantics). ONE orderkey-keyed
+    ``sorted_group_scan`` ordered by (l_suppkey): per block, supplier
+    runs fold with maximum.reduceat, a run is a blocker iff its max
+    equals the group max, and a group emits iff it has >= 2 supplier
+    runs and EXACTLY ONE blocker run — all vectorized at the run level;
+    boundary groups re-verify on the driver through the same pandas
+    group_fn. The order-status filter is the adaptive broadcast
+    semi-join. Counts per supplier then fold in one small groupby; top
+    20 by (numwait desc, s_suppkey). Emits (s_suppkey, s_name,
+    numwait)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rayschema.dedup import sorted_group_scan
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderstatus"]) \
+        .filter(expr="o_orderstatus == 'F'") \
+        .select_columns(["o_orderkey"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    orders = orders.materialize()
+    n_f = orders.count()
+    if n_f <= Q3_BROADCAST_CAP:
+        fkeys = np.sort(orders.to_pandas()["o_orderkey"]
+                        .to_numpy(np.int64))
+        fref = ray.put(fkeys)
+
+        def semi(b: pa.Table, _f=fref) -> pa.Table:
+            fk = ray.get(_f)
+            ok_ = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(fk) == 0:
+                m = np.zeros(len(ok_), dtype=bool)
+            else:
+                p = np.clip(np.searchsorted(fk, ok_), 0, len(fk) - 1)
+                m = fk[p] == ok_
+            mm = pa.array(m)
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey").filter(mm),
+                "l_suppkey": b.column("l_suppkey").filter(mm),
+                "sd": b.column("l_shipdate").cast(pa.int64()).filter(mm)})
+
+        flt = li.map_batches(semi, batch_format="pyarrow")
+    else:
+        est = (li.size_bytes() or 0) + (orders.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+
+        def to_i64(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "sd": b.column("l_shipdate").cast(pa.int64())})
+
+        flt = (li.map_batches(to_i64, batch_format="pyarrow")
+               .join(orders, join_type="inner", num_partitions=n_parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",)))
+
+    out_schema = pa.schema([("s_suppkey", pa.int64())])
+
+    def group_fn(g: pa.Table):
+        df = g.to_pandas()
+        runs = df.groupby("l_suppkey")["sd"].max()
+        if len(runs) < 2:
+            return None
+        mx = runs.max()
+        at = runs[runs == mx]
+        if len(at) != 1:
+            return None
+        return pa.table({"s_suppkey": pa.array(
+            [np.int64(at.index[0])])})
+
+    def block_fn(block, starts, ends, want):
+        sk = block.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sd = block.column("sd").to_numpy(zero_copy_only=False)
+        n = len(sk)
+        if n == 0:
+            return None
+        gid = np.zeros(n, dtype=np.int64)
+        gid[starts] = 1
+        gid = np.cumsum(gid) - 1
+        run_first = np.ones(n, dtype=bool)
+        run_first[1:] = (sk[1:] != sk[:-1]) | (gid[1:] != gid[:-1])
+        run_starts = np.flatnonzero(run_first)
+        run_max = np.maximum.reduceat(sd, run_starts)
+        run_gid = gid[run_starts]
+        run_sk = sk[run_starts]
+        # per group (over runs): run count, group max, blocker count
+        grp_first = np.ones(len(run_starts), dtype=bool)
+        grp_first[1:] = run_gid[1:] != run_gid[:-1]
+        gstarts = np.flatnonzero(grp_first)
+        nruns = np.diff(np.append(gstarts, len(run_starts)))
+        gmax = np.maximum.reduceat(run_max, gstarts)
+        at_max = run_max == np.repeat(gmax, nruns)
+        nblock = np.add.reduceat(at_max, gstarts)
+        ok_grp = (nruns >= 2) & (nblock == 1) \
+            & want[run_gid[gstarts]].astype(bool)
+        if not ok_grp.any():
+            return None
+        # winner run = the at_max run inside each ok group
+        grp_of_run = np.repeat(np.arange(len(gstarts)), nruns)
+        sel = at_max & ok_grp[grp_of_run]
+        return pa.table({"s_suppkey": pa.array(run_sk[sel])})
+
+    hits = sorted_group_scan(flt, ["l_orderkey"], group_fn, out_schema,
+                             group_filter=lambda b, s, e: (e - s) >= 2,
+                             block_fn=block_fn,
+                             order_cols=["l_suppkey"])
+
+    def cnt(b: pa.Table) -> pa.Table:
+        sk = b.column("s_suppkey").to_numpy(zero_copy_only=False)
+        us, c = np.unique(sk, return_counts=True)
+        return pa.table({"s_suppkey": pa.array(us.astype(np.int64)),
+                         "numwait": pa.array(c.astype(np.int64))})
+
+    per_supp = (hits.map_batches(cnt, batch_format="pyarrow")
+                .groupby("s_suppkey")
+                .aggregate(Sum("numwait", alias_name="numwait"))
+                .to_pandas())
+    if not len(per_supp):
+        return pd.DataFrame({"s_suppkey": pd.Series([], dtype=np.int64),
+                             "s_name": pd.Series([], dtype=object),
+                             "numwait": pd.Series([], dtype=np.int64)})
+    top = per_supp.sort_values(["numwait", "s_suppkey"],
+                               ascending=[False, True],
+                               kind="mergesort").head(20)
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_name"]).to_pandas()
+    out = top.merge(sup, on="s_suppkey", how="left")
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    out["numwait"] = out["numwait"].astype(np.int64)
+    return out[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)

@@ -2755,3 +2755,186 @@ def test_dup_cluster_size_histogram_planted(ray_session, tmp_path):
     got = {int(r.group_size): int(r.n_groups)
            for r in out.itertuples(index=False)}
     assert got == {1: 3, 2: 1, 3: 1}
+
+
+def _write(tmp_path, name, df):
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, f"{name}.parquet"))
+
+
+def test_q2_argmax_ties_and_eligibility(ray_session, tmp_path):
+    from rayschema.queries import q2_best_supplier_per_part
+
+    # part 1: suppliers 1 (bal 5.00) and 2 (bal 5.00) tie -> min suppkey;
+    # part 2: only supplier 3 (non-ASIA) ships it -> dropped entirely;
+    # part 3: size != 15 -> out of scope; duplicate pair rows collapse
+    _write(tmp_path, "region", pd.DataFrame({
+        "r_regionkey": np.array([0, 2], dtype=np.int64),
+        "r_name": ["AFRICA", "ASIA"]}))
+    _write(tmp_path, "nation", pd.DataFrame({
+        "n_nationkey": np.array([0, 1], dtype=np.int64),
+        "n_name": ["N_AF", "N_AS"],
+        "n_regionkey": np.array([0, 2], dtype=np.int64)}))
+    _write(tmp_path, "supplier", pd.DataFrame({
+        "s_suppkey": np.array([1, 2, 3], dtype=np.int64),
+        "s_nationkey": np.array([1, 1, 0], dtype=np.int64),
+        "s_name": ["S1", "S2", "S3"],
+        "s_acctbal": [5.0, 5.0, 99.0]}))
+    _write(tmp_path, "part", pd.DataFrame({
+        "p_partkey": np.array([1, 2, 3], dtype=np.int64),
+        "p_size": np.array([15, 15, 7], dtype=np.int64)}))
+    _write(tmp_path, "lineitem", pd.DataFrame({
+        "l_partkey": np.array([1, 1, 1, 2, 3], dtype=np.int64),
+        "l_suppkey": np.array([1, 1, 2, 3, 1], dtype=np.int64)}))
+    out = q2_best_supplier_per_part(str(tmp_path))
+    assert out["p_partkey"].tolist() == [1]
+    assert out["s_suppkey"].tolist() == [1]        # tie -> min suppkey
+    assert out["s_name"].tolist() == ["S1"]
+    assert out["n_name"].tolist() == ["N_AS"]
+    assert out["s_acctbal_cents"].tolist() == [500]
+
+
+def test_q2_negative_balance_packs_correctly(ray_session, tmp_path):
+    from rayschema.queries import q2_best_supplier_per_part
+
+    # a negative balance must still beat a MORE negative one
+    _write(tmp_path, "region", pd.DataFrame({
+        "r_regionkey": np.array([2], dtype=np.int64),
+        "r_name": ["ASIA"]}))
+    _write(tmp_path, "nation", pd.DataFrame({
+        "n_nationkey": np.array([0], dtype=np.int64),
+        "n_name": ["N0"],
+        "n_regionkey": np.array([2], dtype=np.int64)}))
+    _write(tmp_path, "supplier", pd.DataFrame({
+        "s_suppkey": np.array([1, 2], dtype=np.int64),
+        "s_nationkey": np.array([0, 0], dtype=np.int64),
+        "s_name": ["S1", "S2"],
+        "s_acctbal": [-8.25, -2.50]}))
+    _write(tmp_path, "part", pd.DataFrame({
+        "p_partkey": np.array([1], dtype=np.int64),
+        "p_size": np.array([15], dtype=np.int64)}))
+    _write(tmp_path, "lineitem", pd.DataFrame({
+        "l_partkey": np.array([1, 1], dtype=np.int64),
+        "l_suppkey": np.array([1, 2], dtype=np.int64)}))
+    out = q2_best_supplier_per_part(str(tmp_path))
+    assert out["s_suppkey"].tolist() == [2]
+    assert out["s_acctbal_cents"].tolist() == [-250]
+
+
+def test_q9_widget_filter_and_year_groups(ray_session, tmp_path):
+    from rayschema.queries import q9_profit_by_nation_year
+
+    _write(tmp_path, "part", pd.DataFrame({
+        "p_partkey": np.array([1, 2], dtype=np.int64),
+        "p_name": ["red widget", "red bolt"]}))
+    _write(tmp_path, "supplier", pd.DataFrame({
+        "s_suppkey": np.array([1, 2], dtype=np.int64),
+        "s_nationkey": np.array([0, 1], dtype=np.int64)}))
+    _write(tmp_path, "nation", pd.DataFrame({
+        "n_nationkey": np.array([0, 1], dtype=np.int64),
+        "n_name": ["NA", "NB"]}))
+    _write(tmp_path, "orders", pd.DataFrame({
+        "o_orderkey": np.array([10, 11], dtype=np.int64),
+        "o_orderdate": pd.to_datetime(["1996-06-01", "1997-06-01"])}))
+    _write(tmp_path, "lineitem", pd.DataFrame({
+        "l_orderkey": np.array([10, 10, 11, 11], dtype=np.int64),
+        "l_partkey": np.array([1, 2, 1, 1], dtype=np.int64),
+        "l_suppkey": np.array([1, 1, 1, 2], dtype=np.int64),
+        "l_extendedprice": [100.0, 999.0, 200.0, 300.0],
+        "l_discount": [0.0, 0.0, 0.1, 0.0]}))
+    out = q9_profit_by_nation_year(str(tmp_path))
+    # bolt row excluded; (NA,1996)=100*1.0, (NA,1997)=200*0.9, (NB,1997)=300
+    got = {(r.n_name, int(r.o_year)): int(r.profit_e4)
+           for r in out.itertuples(index=False)}
+    assert got == {("NA", 1996): 10000 * 100,
+                   ("NA", 1997): 20000 * 90,
+                   ("NB", 1997): 30000 * 100}
+
+
+def test_q20_threshold_boundary_and_distinct(ray_session, tmp_path):
+    from rayschema.queries import q20_heavy_shippers
+
+    _write(tmp_path, "part", pd.DataFrame({
+        "p_partkey": np.array([1, 2, 3], dtype=np.int64),
+        "p_name": ["red rod", "red gear", "blue rod"]}))
+    _write(tmp_path, "supplier", pd.DataFrame({
+        "s_suppkey": np.array([1, 2, 3], dtype=np.int64),
+        "s_name": ["S1", "S2", "S3"],
+        "s_nationkey": np.array([0, 0, 0], dtype=np.int64)}))
+    _write(tmp_path, "nation", pd.DataFrame({
+        "n_nationkey": np.array([0], dtype=np.int64),
+        "n_name": ["N0"]}))
+    _write(tmp_path, "lineitem", pd.DataFrame({
+        # s1 ships 61 of part1 (qualifies) AND 61 of part2 (still ONE row);
+        # s2 ships exactly 60 (boundary: excluded); s3 ships blue (excluded);
+        # one 1996 row for s2/part1 must not leak into the 1997 window
+        "l_partkey": np.array([1, 1, 2, 1, 3, 1], dtype=np.int64),
+        "l_suppkey": np.array([1, 1, 1, 2, 3, 2], dtype=np.int64),
+        "l_quantity": [31.0, 30.0, 61.0, 60.0, 99.0, 50.0],
+        "l_shipdate": pd.to_datetime(
+            ["1997-03-01", "1997-04-01", "1997-05-01", "1997-06-01",
+             "1997-07-01", "1996-01-01"])}))
+    out = q20_heavy_shippers(str(tmp_path))
+    assert out["s_suppkey"].tolist() == [1]
+    assert out["s_name"].tolist() == ["S1"]
+    assert out["n_name"].tolist() == ["N0"]
+
+
+def test_q21_sole_blocker_semantics(ray_session, tmp_path):
+    from rayschema.queries import q21_sole_blocker
+
+    _write(tmp_path, "orders", pd.DataFrame({
+        "o_orderkey": np.array([1, 2, 3, 4, 5], dtype=np.int64),
+        "o_orderstatus": ["F", "F", "F", "F", "O"]}))
+    _write(tmp_path, "supplier", pd.DataFrame({
+        "s_suppkey": np.array([1, 2, 3], dtype=np.int64),
+        "s_name": ["S1", "S2", "S3"]}))
+    d = pd.to_datetime
+    _write(tmp_path, "lineitem", pd.DataFrame({
+        # order 1: s1 late alone -> s1 blocks;
+        # order 2: s1 and s2 BOTH at the max -> nobody blocks;
+        # order 3: single-supplier order -> excluded (nd < 2);
+        # order 4: s2 late alone (two rows at max, same supplier -> still
+        #          one blocker);
+        # order 5: status 'O' -> out of scope entirely
+        "l_orderkey": np.array([1, 1, 2, 2, 3, 4, 4, 4, 5, 5],
+                               dtype=np.int64),
+        "l_suppkey": np.array([1, 2, 1, 2, 1, 2, 2, 1, 1, 2],
+                              dtype=np.int64),
+        "l_shipdate": d(["1997-02-01", "1997-01-01",
+                         "1997-03-01", "1997-03-01",
+                         "1997-01-01",
+                         "1997-05-01", "1997-05-01", "1997-04-01",
+                         "1997-09-01", "1997-01-01"])}))
+    out = q21_sole_blocker(str(tmp_path))
+    got = dict(zip(out["s_suppkey"], out["numwait"]))
+    assert got == {1: 1, 2: 1}
+    assert set(out["s_name"]) == {"S1", "S2"}
+
+
+def test_q21_matches_oracle_sf001(ray_session):
+    from rayschema.queries import q21_sole_blocker
+
+    sf = "/root/testdata/sf0.01"
+    out = q21_sole_blocker(sf)
+    con = duckdb.connect()
+    want = con.sql(f"""
+        WITH li AS (
+          SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate
+          FROM read_parquet('{sf}/lineitem.parquet') l
+          JOIN read_parquet('{sf}/orders.parquet') o
+            ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F'),
+        g AS (SELECT l_orderkey, max(l_shipdate) AS mx,
+                     count(DISTINCT l_suppkey) AS nd
+              FROM li GROUP BY 1),
+        w AS (SELECT DISTINCT li.l_orderkey, li.l_suppkey
+              FROM li JOIN g USING (l_orderkey)
+              WHERE g.nd >= 2 AND li.l_shipdate = g.mx),
+        solo AS (SELECT l_orderkey, min(l_suppkey) AS s
+                 FROM w GROUP BY 1 HAVING count(*) = 1)
+        SELECT s AS s_suppkey, count(*)::BIGINT AS numwait
+        FROM solo GROUP BY 1
+        ORDER BY numwait DESC, s_suppkey LIMIT 20""").df()
+    assert out["s_suppkey"].tolist() == want["s_suppkey"].tolist()
+    assert out["numwait"].tolist() == want["numwait"].tolist()
