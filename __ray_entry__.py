@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
         "q20_heavy_shippers": Q.q20_heavy_shippers,
         "q21_sole_blocker": Q.q21_sole_blocker,
+        "ppjoin_near_dup_exact": Q.ppjoin_near_dup_exact,
+        "naive_bayes_langid": Q.naive_bayes_langid,
     }
 
 
@@ -3089,4 +3091,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.s_suppkey, s.s_name, c.numwait
             FROM cnt c JOIN supplier s USING (s_suppkey)
             ORDER BY c.numwait DESC, c.s_suppkey LIMIT 20""",
+        "ppjoin_near_dup_exact": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 300 AND text IS NOT NULL AND length(text) >= 5),
+            sh AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS s
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 4)) AS i
+                    FROM docs)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
+              FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.id_a, i.id_b,
+                   round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) AS jaccard
+            FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                         JOIN sizes sb ON sb.doc_id = i.id_b
+            WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.5""",
+        "naive_bayes_langid": """
+            WITH tr AS (SELECT doc_id, lang, text FROM documents
+                        WHERE doc_id % 2 = 0 AND text IS NOT NULL
+                          AND lang IS NOT NULL),
+            te AS (SELECT doc_id, lang, text FROM documents
+                   WHERE doc_id % 2 = 1 AND text IS NOT NULL
+                     AND lang IS NOT NULL),
+            tw AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+                   FROM tr),
+            cw AS (SELECT lang, w, count(*)::BIGINT AS c
+                   FROM tw GROUP BY 1, 2),
+            cl AS (SELECT lang, count(*)::BIGINT AS ct FROM tw GROUP BY 1),
+            v AS (SELECT count(DISTINCT w)::BIGINT AS v FROM tw),
+            nl AS (SELECT lang, count(*)::BIGINT AS nd FROM tr GROUP BY 1),
+            nt AS (SELECT count(*)::BIGINT AS n,
+                          count(DISTINCT lang)::BIGINT AS l FROM tr),
+            pr AS (SELECT nl.lang,
+                          CAST(floor(1000 * (log2(nt.n + nt.l)
+                               - log2(nl.nd + 1))) AS BIGINT) AS p
+                   FROM nl CROSS JOIN nt),
+            ew AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM te),
+            wc AS (SELECT e.doc_id, l.lang,
+                          CAST(floor(1000 * (log2(l.ct + v.v)
+                               - log2(COALESCE(c.c, 0) + 1)))
+                               AS BIGINT) AS cost
+                   FROM ew e CROSS JOIN v CROSS JOIN cl l
+                   LEFT JOIN cw c ON c.lang = l.lang AND c.w = e.w),
+            tot AS (SELECT doc_id, lang, sum(cost)::BIGINT AS c
+                    FROM wc GROUP BY 1, 2),
+            sc AS (SELECT t.doc_id, t.lang, t.c + pr.p AS cost
+                   FROM tot t JOIN pr ON t.lang = pr.lang),
+            pred AS (SELECT doc_id, lang AS pred_lang FROM (
+                       SELECT doc_id, lang,
+                              row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cost, lang) AS rn
+                       FROM sc) WHERE rn = 1)
+            SELECT te.lang, p.pred_lang, count(*)::BIGINT AS n_docs
+            FROM te JOIN pred p USING (doc_id)
+            GROUP BY 1, 2""",
     }

@@ -1636,3 +1636,149 @@ def near_dup_clusters(ds, id_col: str = "doc_id", text_col: str = "text",
         return (connected_components_ds(verified).to_pandas()
                 .sort_values("doc_id").reset_index(drop=True))
     return connected_components(verified.to_pandas())
+
+
+# --------------------------------------------------------------------------- PPJoin (prefix-filtered exact similarity join)
+
+
+PPJOIN_PREFIX_GROUP_CAP = 4096   # warn threshold for one prefix-token bucket
+
+
+def ppjoin_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                 threshold: float = 0.5, shingle_k: int = 5,
+                 id_limit: Optional[int] = None, concurrency=(1, 8),
+                 num_partitions: int = 8):
+    """PPJoin-style EXACT set-similarity self-join via PREFIX FILTERING
+    (Chaudhuri et al. 2006 SSJoin / Xiao et al. 2008 PPJoin — public
+    algorithms): all document pairs with character-``shingle_k``-gram
+    Jaccard >= ``threshold``, with NO LSH recall loss and NO all-pairs
+    grid. The third member of the near-dup family (exact_jaccard_pairs =
+    quadratic ground truth, minhash_near_dups = approximate LSH, this =
+    exact at scale).
+
+    Prefix-filter principle: order every document's shingle set by one
+    GLOBAL rarity order (ascending document frequency, shingle hash as
+    the tie-break); if Jaccard(A, B) >= t, then A and B must share at
+    least one shingle inside their first ``|set| - ceil(t * |set|) + 1``
+    shingles under that order — so only prefix shingles are ever
+    exploded, and candidate buckets are keyed by the RAREST shingles
+    (bucket size ~ df of a rare token, not corpus size).
+
+    Stages (all distributed):
+    1. document-frequency pass: per-batch distinct-shingle partials ->
+       one groupby — the df table is shingle-vocabulary-bounded and
+       broadcasts once (same Zipf assumption as the vocabulary ops;
+       Misra-Gries pruning is the heavier-corpus fallback).
+    2. prefix emit: stateless map — per doc, order shingles by
+       (df, shingle), emit the prefix as (bkey=shingle, id, n=set size).
+    3. candidate pairs: ONE bkey-keyed ``sorted_group_scan``; inside a
+       bucket the LENGTH FILTER (min_n >= t * max_n) prunes pairs that
+       could never reach t. Buckets past PPJOIN_PREFIX_GROUP_CAP log a
+       warning but still emit exactly (prefix tokens are df-ordered
+       rare, so a giant bucket means a degenerate corpus).
+    4. pair dedup + the shared DISTRIBUTED exact-Jaccard verify
+       (verify_pairs_jaccard_ds) — text moves once, candidates only.
+
+    Returns a Dataset (id_a, id_b, jaccard), identical rows to
+    exact_jaccard_pairs on the same scope (equality-tested)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    sub = ds.select_columns([id_col, text_col])
+    if id_limit is not None:
+        sub = sub.filter(expr=f"{id_col} < {id_limit}")
+    sub = sub.materialize()
+
+    def _doc_shingles(b: pa.Table):
+        ids = b.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        texts = b.column(text_col).to_pylist()
+        per = []
+        for i, t in zip(ids, texts):
+            if t is None or len(t) < shingle_k:
+                continue
+            # consistent int64 VIEW of the uint64 hashes everywhere
+            # (vocab sort, prefix lexsort, bkey) so the global order and
+            # the searchsorted lookups agree
+            per.append((i, char_shingles(t, shingle_k).view(np.int64)))
+        return per
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        per = _doc_shingles(b)
+        if not per:
+            return pa.table({"sh": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64())})
+        allsh = np.concatenate([hs for _, hs in per])
+        us, cnt = np.unique(allsh, return_counts=True)
+        return pa.table({"sh": pa.array(us),
+                         "df": pa.array(cnt.astype(np.int64))})
+
+    dftab = (sub.map_batches(df_partial, batch_format="pyarrow")
+             .groupby("sh").aggregate(Sum("df", alias_name="df"))
+             .to_pandas())
+    if not len(dftab):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "jaccard": pa.array([], type=pa.float64())}))
+    dftab = dftab.sort_values("sh")
+    ref = ray.put((dftab["sh"].to_numpy(np.int64),
+                   dftab["df"].to_numpy(np.int64)))
+
+    def prefix_emit(b: pa.Table, _ref=ref) -> pa.Table:
+        vocab, dfv = ray.get(_ref)
+        per = _doc_shingles(b)
+        out_sh, out_id, out_n = [], [], []
+        for i, hs in per:
+            n = hs.size
+            # ceil with a tolerance so float error can only LENGTHEN the
+            # prefix (never drop a correct candidate)
+            p = n - int(math.ceil(threshold * n - 1e-9)) + 1
+            if p <= 0:
+                p = 1
+            d = dfv[np.searchsorted(vocab, hs)]
+            order = np.lexsort((hs, d))[:p]
+            out_sh.append(hs[order])
+            out_id.append(np.full(p, i, dtype=np.int64))
+            out_n.append(np.full(p, n, dtype=np.int64))
+        if not out_sh:
+            return pa.table({"bkey": pa.array([], type=pa.int64()),
+                             id_col: pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table({"bkey": pa.array(np.concatenate(out_sh)),
+                         id_col: pa.array(np.concatenate(out_id)),
+                         "n": pa.array(np.concatenate(out_n))})
+
+    exploded = sub.map_batches(prefix_emit, batch_format="pyarrow")
+    out_schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+
+    def group_fn(t: pa.Table):
+        ids = t.column(id_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ns = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids, ns = ids[order], ns[order]
+        if len(ids) > PPJOIN_PREFIX_GROUP_CAP:
+            _log.warning(
+                "ppjoin prefix bucket of %d docs (> cap %d): emitting "
+                "exactly anyway", len(ids), PPJOIN_PREFIX_GROUP_CAP)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        lo = np.minimum(ns[ia], ns[ib]).astype(np.float64)
+        hi = np.maximum(ns[ia], ns[ib]).astype(np.float64)
+        keep = lo + 1e-9 >= threshold * hi
+        if not keep.any():
+            return None
+        return pa.table({"id_a": pa.array(ids[ia[keep]]),
+                         "id_b": pa.array(ids[ib[keep]])})
+
+    pairs = sorted_group_scan(exploded, ["bkey"], group_fn, out_schema,
+                              group_filter=lambda b, s, e: (e - s) >= 2)
+    cand = _distinct_pairs(pairs)
+    return verify_pairs_jaccard_ds(
+        cand, sub, id_col=id_col, text_col=text_col, threshold=threshold,
+        shingle_k=shingle_k, num_partitions=num_partitions,
+        concurrency=concurrency)

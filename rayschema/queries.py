@@ -10486,3 +10486,170 @@ def q21_sole_blocker(sf_dir: str):
     out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
     out["numwait"] = out["numwait"].astype(np.int64)
     return out[["s_suppkey", "s_name", "numwait"]].reset_index(drop=True)
+
+
+def ppjoin_near_dup_exact(sf_dir: str):
+    """PPJoin prefix-filtered EXACT near-dup pairs — the scale path for
+    exact similarity joins (no LSH recall loss, no quadratic grid):
+    char-5-gram Jaccard >= 0.5 on the doc_id < 300 oracle scope, same
+    rows as minhash_near_dup_exact's ground-truth oracle (and
+    equality-tested against exact_jaccard_pairs)."""
+    from rayschema.dedup import ppjoin_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ppjoin_pairs(ds, threshold=0.5, shingle_k=5, id_limit=300)
+
+
+def naive_bayes_langid(sf_dir: str):
+    """Distributed multinomial Naive Bayes language classifier, trained
+    and evaluated inside the engine (the classic trainable counterpart
+    of the heuristic ``langid_confusion_matrix``): TRAIN on the
+    even-doc_id half (word counts per language — one vocabulary-bounded
+    groupby), PREDICT the odd-doc_id half, emit the confusion matrix
+    (lang, pred_lang, n_docs).
+
+    Integer-exact end to end, the bigram-LM recipe: the per-word
+    add-one cost ``floor(1000 * (log2(ct_lang + V) - log2(c_lw + 1)))``
+    millibits and the per-language prior
+    ``floor(1000 * (log2(N + L) - log2(n_lang + 1)))`` are single float
+    expressions over exact integer counts (same libm bits on the engine
+    and the DuckDB oracle); a document's score per language is a SUM of
+    those integer costs, so summation order can never move the result;
+    argmin ties break on ascending language code. The model broadcasts
+    ONCE as (vocab, L x V millibit matrix, miss costs, priors) and
+    prediction is a stateless vectorized map: index_in against the
+    vocab dictionary + one bincount per language."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def train_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b.column("text")),
+                            pc.is_valid(b.column("lang"))),
+                    pc.equal(pc.bit_wise_and(b.column("doc_id"),
+                                             pa.scalar(1)), 0))
+        b = b.filter(m)
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "w": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64()),
+                             "nd": pa.array([], type=pa.int64())})
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, didx = _flatten_words_arrow(col)
+        lang = b.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        wl = lang.take(pa.array(didx))
+        t = pa.table({"lang": wl, "w": flat})
+        g = t.group_by(["lang", "w"]).aggregate([("w", "count")])
+        return pa.table({
+            "lang": g.column("lang"),
+            "w": g.column("w"),
+            "c": g.column("w_count").cast(pa.int64())})
+
+    def doc_count_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b.column("text")),
+                            pc.is_valid(b.column("lang"))),
+                    pc.equal(pc.bit_wise_and(b.column("doc_id"),
+                                             pa.scalar(1)), 0))
+        lang = b.filter(m).column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        g = pa.table({"lang": lang}).group_by("lang") \
+            .aggregate([("lang", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "nd": g.column("lang_count").cast(pa.int64())})
+
+    ds = ds.materialize()   # shared by the two train passes + predict
+    wc = (ds.map_batches(train_partial, batch_format="pyarrow")
+          .groupby(["lang", "w"])
+          .aggregate(Sum("c", alias_name="c"))
+          .to_pandas())
+    nd = (ds.map_batches(doc_count_partial, batch_format="pyarrow")
+          .groupby("lang").aggregate(Sum("nd", alias_name="nd"))
+          .to_pandas())
+    out_empty = pd.DataFrame({"lang": pd.Series([], dtype=object),
+                              "pred_lang": pd.Series([], dtype=object),
+                              "n_docs": pd.Series([], dtype=np.int64)})
+    if not len(wc) or not len(nd):
+        return out_empty
+    docs_per = nd.set_index("lang")["nd"].astype(np.int64)
+    langs = np.array(sorted(docs_per.index))
+    L = len(langs)
+    vocab = np.unique(wc["w"].to_numpy(dtype=object))
+    V = len(vocab)
+    if V == 0:
+        return out_empty
+    N = int(docs_per.sum())
+    # L x V token-count matrix -> millibit cost matrix + miss costs
+    li = np.searchsorted(langs, wc["lang"].to_numpy(dtype=object))
+    wi = np.searchsorted(vocab, wc["w"].to_numpy(dtype=object))
+    cmat = np.zeros((L, V), dtype=np.int64)
+    cmat[li, wi] = wc["c"].to_numpy(np.int64)
+    ct = cmat.sum(axis=1)
+    denom = np.log2((ct + V).astype(np.float64))[:, None]
+    mb = np.floor(1000.0 * (denom - np.log2(
+        (cmat + 1).astype(np.float64)))).astype(np.int64)
+    miss = np.floor(1000.0 * (denom[:, 0])).astype(np.int64)
+    prior = np.floor(1000.0 * (np.log2(float(N + L))
+                               - np.log2((docs_per.reindex(langs)
+                                          .to_numpy(np.int64) + 1)
+                                         .astype(np.float64)))) \
+        .astype(np.int64)
+    vocab_pa = pa.array(vocab, type=pa.string())
+    ref = ray.put((vocab_pa, mb, miss, prior, langs))
+
+    def predict(b: pa.Table, _ref=ref) -> pa.Table:
+        vpa, mb_a, miss_a, prior_a, langs_a = ray.get(_ref)
+        m = pc.and_(pc.and_(pc.is_valid(b.column("text")),
+                            pc.is_valid(b.column("lang"))),
+                    pc.equal(pc.bit_wise_and(b.column("doc_id"),
+                                             pa.scalar(1)), 1))
+        b = b.filter(m)
+        n = b.num_rows
+        if n == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "pred_lang": pa.array([], type=pa.string()),
+                             "n_docs": pa.array([], type=pa.int64())})
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, didx = _flatten_words_arrow(col)
+        codes = pc.index_in(flat, value_set=vpa) \
+            .to_numpy(zero_copy_only=False)
+        hit = ~np.isnan(codes.astype(np.float64)) \
+            if codes.dtype.kind == "f" else codes != -1
+        codes = np.nan_to_num(codes.astype(np.float64), nan=0) \
+            .astype(np.int64)
+        nl = len(langs_a)
+        cost = np.tile(prior_a.astype(np.int64)[None, :], (n, 1))
+        for k in range(nl):
+            wcost = np.where(hit, mb_a[k][codes], miss_a[k])
+            cost[:, k] += np.bincount(didx, weights=wcost,
+                                      minlength=n).astype(np.int64)
+        pred = np.argmin(cost, axis=1)   # ties -> lowest index = asc lang
+        lang = b.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        t = pa.table({"lang": lang,
+                      "pred_lang": pa.array(langs_a[pred],
+                                            type=pa.string())})
+        g = t.group_by(["lang", "pred_lang"]).aggregate([("lang", "count")])
+        return pa.table({"lang": g.column("lang"),
+                         "pred_lang": g.column("pred_lang"),
+                         "n_docs": g.column("lang_count")
+                        .cast(pa.int64())})
+
+    out = (ds.map_batches(predict, batch_format="pyarrow")
+           .groupby(["lang", "pred_lang"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    if not len(out):
+        return out_empty
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)

@@ -2938,3 +2938,35 @@ def test_q21_matches_oracle_sf001(ray_session):
         ORDER BY numwait DESC, s_suppkey LIMIT 20""").df()
     assert out["s_suppkey"].tolist() == want["s_suppkey"].tolist()
     assert out["numwait"].tolist() == want["numwait"].tolist()
+
+
+def test_naive_bayes_langid_planted(ray_session, tmp_path):
+    from rayschema.queries import naive_bayes_langid
+
+    # train (even ids): en = {cat, dog}, fr = {chat, chien};
+    # test (odd ids): doc 1 "cat cat" -> en, doc 3 "chat" -> fr,
+    # doc 5 "dog chat" -> tie broken by exact integer costs
+    df = pd.DataFrame({
+        "doc_id": np.array([0, 2, 4, 6, 1, 3, 5], dtype=np.int64),
+        "text": ["cat dog", "cat cat", "chat chien", "chat chat",
+                 "cat cat", "chat", "dog chat"],
+        "lang": ["en", "en", "fr", "fr", "en", "fr", "en"]})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = naive_bayes_langid(str(tmp_path))
+    con = duckdb.connect()
+    con.execute(f"""CREATE VIEW documents AS SELECT * FROM
+                    read_parquet('{tmp_path}/documents.parquet')""")
+    import __ray_entry__ as E
+
+    want = con.execute(E.oracle_sql()["naive_bayes_langid"]).df() \
+        .sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+    got = out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+    assert got["lang"].tolist() == want["lang"].tolist()
+    assert got["pred_lang"].tolist() == want["pred_lang"].tolist()
+    assert got["n_docs"].tolist() == want["n_docs"].tolist()
+    # the two unambiguous docs really classify correctly
+    m = {(r.lang, r.pred_lang): int(r.n_docs)
+         for r in out.itertuples(index=False)}
+    assert m.get(("en", "en"), 0) >= 1     # "cat cat"
+    assert m.get(("fr", "fr"), 0) >= 1     # "chat"

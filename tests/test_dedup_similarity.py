@@ -867,3 +867,56 @@ def test_knn_label_predict_cluster_path(ray_session, tmp_path):
          .sort_values("vec_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
     assert len(b) == 40 and b["correct"].all()
+
+
+def test_ppjoin_equals_exact_jaccard_pairs(ray_session):
+    import ray.data as rd
+
+    from rayschema.dedup import exact_jaccard_pairs, ppjoin_pairs
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    want = (exact_jaccard_pairs(ds, id_limit=300, k=5, threshold=0.5)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+    got = (ppjoin_pairs(ds, threshold=0.5, shingle_k=5, id_limit=300)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_ppjoin_prefix_filter_never_drops_pairs(ray_session, tmp_path):
+    """Randomized no-loss property: on a corpus engineered for heavy
+    shingle overlap, prefix filtering + length filter must reproduce the
+    quadratic ground truth exactly (the PPJoin completeness theorem)."""
+    import ray.data as rd
+
+    from rayschema.dedup import exact_jaccard_pairs, ppjoin_pairs
+
+    import os
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = []
+    for i in range(80):
+        words = base.split()
+        k = rng.randint(0, 4)
+        for _ in range(k):               # light mutations -> mixed jaccards
+            words[rng.randint(len(words))] = f"w{rng.randint(20)}"
+        texts.append(" ".join(words))
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64),
+                       "text": texts})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    ds = rd.read_parquet(os.path.join(tmp_path, "documents.parquet"))
+    for thr in (0.4, 0.7, 0.9):
+        want = (exact_jaccard_pairs(ds, id_limit=80, k=5, threshold=thr)
+                .to_pandas().sort_values(["id_a", "id_b"])
+                .reset_index(drop=True))
+        got = (ppjoin_pairs(ds, threshold=thr, shingle_k=5, id_limit=80)
+               .to_pandas().sort_values(["id_a", "id_b"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, want), thr
