@@ -1670,12 +1670,17 @@ def ppjoin_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
        broadcasts once (same Zipf assumption as the vocabulary ops;
        Misra-Gries pruning is the heavier-corpus fallback).
     2. prefix emit: stateless map — per doc, order shingles by
-       (df, shingle), emit the prefix as (bkey=shingle, id, n=set size).
+       (df, shingle), emit the prefix as (bkey=shingle, id, n=set size,
+       pos=prefix position).
     3. candidate pairs: ONE bkey-keyed ``sorted_group_scan``; inside a
-       bucket the LENGTH FILTER (min_n >= t * max_n) prunes pairs that
-       could never reach t. Buckets past PPJOIN_PREFIX_GROUP_CAP log a
-       warning but still emit exactly (prefix tokens are df-ordered
-       rare, so a giant bucket means a degenerate corpus).
+       bucket the LENGTH FILTER (min_n >= t * max_n) and the PPJoin
+       POSITIONAL FILTER (min(n_a - pos_a, n_b - pos_b) >=
+       ceil(t / (1 + t) * (n_a + n_b)) — safe because a qualifying
+       pair's FIRST shared prefix token always satisfies it) prune
+       pairs that could never reach t. Buckets past
+       PPJOIN_PREFIX_GROUP_CAP log a warning but still emit exactly
+       (prefix tokens are df-ordered rare, so a giant bucket means a
+       degenerate corpus).
     4. pair dedup + the shared DISTRIBUTED exact-Jaccard verify
        (verify_pairs_jaccard_ds) — text moves once, candidates only.
 
@@ -1744,7 +1749,9 @@ def ppjoin_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             order = np.lexsort((hs, d))[:p]
             out_sh.append(hs[order])
             out_id.append(np.full(p, i, dtype=np.int64))
-            out_n.append(np.full(p, n, dtype=np.int64))
+            # pack (set size, prefix position) into one rider column
+            out_n.append(np.full(p, n << 20, dtype=np.int64)
+                         + np.arange(p, dtype=np.int64))
         if not out_sh:
             return pa.table({"bkey": pa.array([], type=pa.int64()),
                              id_col: pa.array([], type=pa.int64()),
@@ -1759,9 +1766,11 @@ def ppjoin_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     def group_fn(t: pa.Table):
         ids = t.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        ns = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = t.column("n").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         order = np.argsort(ids, kind="stable")
-        ids, ns = ids[order], ns[order]
+        ids, packed = ids[order], packed[order]
+        ns, pos = packed >> 20, packed & ((1 << 20) - 1)
         if len(ids) > PPJOIN_PREFIX_GROUP_CAP:
             _log.warning(
                 "ppjoin prefix bucket of %d docs (> cap %d): emitting "
@@ -1770,6 +1779,15 @@ def ppjoin_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         lo = np.minimum(ns[ia], ns[ib]).astype(np.float64)
         hi = np.maximum(ns[ia], ns[ib]).astype(np.float64)
         keep = lo + 1e-9 >= threshold * hi
+        # positional filter: remaining tokens from this position on must
+        # still be able to reach the required overlap; a qualifying
+        # pair's FIRST shared prefix token always passes, so per-token
+        # pruning + pair-dedup loses nothing
+        need = np.ceil(threshold / (1.0 + threshold)
+                       * (ns[ia] + ns[ib]).astype(np.float64) - 1e-9)
+        remain = np.minimum(ns[ia] - pos[ia], ns[ib] - pos[ib]) \
+            .astype(np.float64)
+        keep &= remain >= need
         if not keep.any():
             return None
         return pa.table({"id_a": pa.array(ids[ia[keep]]),
