@@ -119,9 +119,24 @@ class CompileContext:
         if ref in self._ref_fns:
             return self._ref_fns[ref]
         cell: Dict[str, NodeFn] = {}
+        in_progress: set = set()
 
         def forwarder(subject: Subject, want: bool) -> Tuple[np.ndarray, List[Violation]]:
-            return cell["fn"](subject, want)
+            # RUNTIME cycle guard: a $ref cycle (a -> b -> a) re-enters
+            # this forwarder with the SAME subject before the outer call
+            # returns. The fixed point of a pure ref cycle adds no
+            # further constraint, so the inner re-entry passes everything
+            # (the outer frame still applies every reachable keyword).
+            # Recursion through containers (items etc.) builds NEW
+            # subjects and terminates at the static Arrow type depth.
+            key = (id(subject), want)
+            if key in in_progress:
+                return V.all_true(_n(subject)), []
+            in_progress.add(key)
+            try:
+                return cell["fn"](subject, want)
+            finally:
+                in_progress.discard(key)
 
         self._ref_fns[ref] = forwarder
         target = self.lookup_ref(ref)
