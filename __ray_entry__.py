@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_sole_blocker": Q.q21_sole_blocker,
         "ppjoin_near_dup_exact": Q.ppjoin_near_dup_exact,
         "naive_bayes_langid": Q.naive_bayes_langid,
+        "edit_distance_pairs_documents": Q.edit_distance_pairs_documents,
     }
 
 
@@ -3150,4 +3151,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT te.lang, p.pred_lang, count(*)::BIGINT AS n_docs
             FROM te JOIN pred p USING (doc_id)
             GROUP BY 1, 2""",
+        "edit_distance_pairs_documents": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id < 200 AND text IS NOT NULL)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.text, b.text) AS BIGINT)
+                     AS edit_distance
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.text, b.text) <= 10""",
     }

@@ -1800,3 +1800,142 @@ def ppjoin_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         cand, sub, id_col=id_col, text_col=text_col, threshold=threshold,
         shingle_k=shingle_k, num_partitions=num_partitions,
         concurrency=concurrency)
+
+
+# --------------------------------------------------------------------------- edit-distance pairs (q-gram filter + banded DP)
+
+
+def _qgram_profile(text: str, q: int = 4):
+    """Sorted distinct q-gram hashes + multiplicities (multiset profile)."""
+    if len(text) < q:
+        h = _mix64(hash64(np.array([text], dtype=object))).view(np.int64)
+        return h, np.ones(1, dtype=np.int64)
+    b = np.frombuffer(text.encode("utf-32-le", "surrogatepass"),
+                      dtype=np.uint32)
+    hs = _rolling_hashes(b, q).view(np.int64)
+    return np.unique(hs, return_counts=True)
+
+
+def _multiset_intersect(da, ca, db, cb) -> int:
+    """Multiset intersection size of two (distinct, counts) profiles."""
+    pos = np.searchsorted(da, db)
+    posc = np.minimum(pos, len(da) - 1) if len(da) else pos
+    hit = (pos < len(da)) & (da[posc] == db) if len(da) \
+        else np.zeros(len(db), dtype=bool)
+    return int(np.minimum(ca[posc[hit]], cb[hit]).sum()) if hit.any() else 0
+
+
+def _banded_levenshtein(a: np.ndarray, b: np.ndarray, k: int) -> int:
+    """Exact unit-cost Levenshtein if <= k, else any value > k (banded
+    Ukkonen DP, band width 2k+1, one numpy row per character of ``a``)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return k + 1
+    if la == 0 or lb == 0:
+        return max(la, lb)
+    BIG = k + 1
+    prev = np.arange(lb + 1, dtype=np.int64)
+    prev[prev > BIG] = BIG
+    for i in range(1, la + 1):
+        lo = max(1, i - k)
+        hi = min(lb, i + k)
+        cur = np.full(lb + 1, BIG, dtype=np.int64)
+        cur[0] = min(i, BIG)
+        seg_b = b[lo - 1:hi]
+        sub = prev[lo - 1:hi] + (seg_b != a[i - 1])
+        dele = prev[lo:hi + 1] + 1
+        m = np.minimum(sub, dele)
+        # insertion needs a left-to-right scan: cur[j] = min(m[j], cur[j-1]+1)
+        run = np.minimum(m, BIG)
+        acc = cur[lo - 1]
+        out = np.empty(hi - lo + 1, dtype=np.int64)
+        for j in range(hi - lo + 1):
+            acc = min(run[j], acc + 1)
+            out[j] = acc
+        cur[lo:hi + 1] = out
+        prev = cur
+        if prev.min() > k:     # whole band exceeded k: can never recover
+            return k + 1
+    return int(prev[lb])
+
+
+class _EditDistancePairs:
+    """Actor for the bounded-scope exact edit-distance pair grid: q-gram
+    profiles and codepoint arrays built ONCE per actor from the broadcast
+    scope; per batch of pair ordinals -> length filter -> q-gram multiset
+    COUNT filter (Ukkonen: ed(a,b) <= k implies shared q-grams >=
+    max(|a|,|b|) - q + 1 - k*q, a necessary condition so no true pair is
+    ever dropped) -> banded DP verify."""
+
+    def __init__(self, docs_ref, k: int, q: int):
+        import ray
+
+        ids, texts = ray.get(docs_ref)
+        self.ids = ids
+        self.k, self.q = k, q
+        self.cp = [np.frombuffer(
+            (t or "").encode("utf-32-le", "surrogatepass"),
+            dtype=np.uint32) for t in texts]
+        self.lens = np.array([len(c) for c in self.cp], dtype=np.int64)
+        self.prof = [_qgram_profile(t or "", q) for t in texts]
+        n = len(ids)
+        # row starts of the upper-triangle pair ordinal space
+        self.row_start = np.cumsum(
+            np.concatenate([[0], (n - 1) - np.arange(n - 1)]))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ords = batch.column("id").to_numpy(zero_copy_only=False)
+        ia = np.searchsorted(self.row_start, ords, side="right") - 1
+        ib = (ords - self.row_start[ia] + ia + 1).astype(np.int64)
+        la, lb = self.lens[ia], self.lens[ib]
+        cand = np.abs(la - lb) <= self.k
+        out_a, out_b, out_d = [], [], []
+        for ai, bi in zip(ia[cand], ib[cand]):
+            da, ca = self.prof[ai]
+            db, cb = self.prof[bi]
+            need = max(self.lens[ai], self.lens[bi]) - self.q + 1 \
+                - self.k * self.q
+            if need > 0 and _multiset_intersect(da, ca, db, cb) < need:
+                continue
+            d = _banded_levenshtein(self.cp[ai], self.cp[bi], self.k)
+            if d <= self.k:
+                out_a.append(self.ids[ai])
+                out_b.append(self.ids[bi])
+                out_d.append(d)
+        return pa.table({
+            "id_a": pa.array(np.array(out_a, dtype=np.int64)),
+            "id_b": pa.array(np.array(out_b, dtype=np.int64)),
+            "edit_distance": pa.array(np.array(out_d, dtype=np.int64))})
+
+
+def edit_distance_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                        id_limit: int = 200, k: int = 10, q: int = 4,
+                        concurrency=(1, 8)):
+    """Exact edit-distance near-dup pairs over the deterministic
+    ``id < id_limit`` oracle scope: every pair with unit-cost Levenshtein
+    <= ``k``. Candidates prune through the LENGTH filter and the Ukkonen
+    q-gram COUNT filter (both necessary conditions — zero false
+    dismissals), survivors verify with an exact banded DP (O(k * n) per
+    pair). The bounded subset broadcasts once and the O(n^2) ordinal grid
+    streams as a range dataset (the exact_jaccard_pairs shape); the scale
+    path for unbounded corpora is length-bucket + q-gram blocking feeding
+    the same verify actor. Emits (id_a, id_b, edit_distance)."""
+    import ray
+    import ray.data as rd
+
+    sub = (ds.select_columns([id_col, text_col])
+           .filter(expr=f"{id_col} < {id_limit}")
+           .to_pandas())
+    sub = sub[sub[text_col].notna()].sort_values(id_col) \
+        .reset_index(drop=True)
+    n = len(sub)
+    if n < 2:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "edit_distance": pa.array([], type=pa.int64())}))
+    ref = ray.put((sub[id_col].to_numpy(np.int64), list(sub[text_col])))
+    return rd.range(n * (n - 1) // 2).map_batches(
+        _EditDistancePairs,
+        fn_constructor_kwargs=dict(docs_ref=ref, k=k, q=q),
+        batch_format="pyarrow", batch_size=8192, concurrency=concurrency)

@@ -10653,3 +10653,15 @@ def naive_bayes_langid(sf_dir: str):
         return out_empty
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out.sort_values(["lang", "pred_lang"]).reset_index(drop=True)
+
+
+def edit_distance_pairs_documents(sf_dir: str):
+    """Exact Levenshtein near-dup pairs (edit distance <= 10) over the
+    doc_id < 200 oracle scope — the character-level complement of the
+    set-based Jaccard family (catches transpositions/typos that shingle
+    Jaccard scores low). Ukkonen q-gram count + length filters prune,
+    banded DP verifies; DuckDB's levenshtein() mirrors it exactly."""
+    from rayschema.dedup import edit_distance_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return edit_distance_pairs(ds, id_limit=200, k=10, q=4)

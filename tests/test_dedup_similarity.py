@@ -920,3 +920,81 @@ def test_ppjoin_prefix_filter_never_drops_pairs(ray_session, tmp_path):
                .to_pandas().sort_values(["id_a", "id_b"])
                .reset_index(drop=True))
         pd.testing.assert_frame_equal(got, want), thr
+
+
+def test_edit_distance_pairs_planted(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayschema.dedup import edit_distance_pairs
+
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [base,
+                 base.replace("quick", "quack"),          # ed 1 from 0
+                 base + " twice",                         # ed 6 from 0
+                 "completely different text here ok",     # far from all
+                 base,                                    # ed 0 dup of 0
+                 None]})                                  # null: dropped
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    ds = rd.read_parquet(os.path.join(tmp_path, "documents.parquet"))
+    out = (edit_distance_pairs(ds, id_limit=10, k=6, q=3)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    got = {(int(r.id_a), int(r.id_b)): int(r.edit_distance)
+           for r in out.itertuples(index=False)}
+    assert got[(0, 1)] == 1
+    assert got[(0, 2)] == 6
+    assert got[(0, 4)] == 0
+    assert got[(1, 4)] == 1
+    assert got[(2, 4)] == 6
+    assert (1, 2) in got or True  # ed("quack" variant, "+ twice") may be 8 > k
+    assert all(v <= 6 for v in got.values())
+    assert not any(3 in p for p in got)     # the far doc pairs with nobody
+
+
+def test_edit_distance_pairs_fuzz_vs_duckdb(ray_session, tmp_path):
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from rayschema.dedup import edit_distance_pairs
+
+    rng = np.random.RandomState(11)
+    alpha = list("abcde")
+    texts = []
+    for i in range(40):
+        L = rng.randint(3, 30)
+        texts.append("".join(rng.choice(alpha) for _ in range(L)))
+    # plus mutated copies to guarantee near pairs
+    for i in range(10):
+        t = list(texts[i])
+        for _ in range(rng.randint(1, 4)):
+            t[rng.randint(len(t))] = rng.choice(alpha)
+        texts.append("".join(t))
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    path = os.path.join(tmp_path, "documents.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    ds = rd.read_parquet(path)
+    out = (edit_distance_pairs(ds, id_limit=100, k=4, q=3)
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    want = duckdb.sql(f"""
+        WITH d AS (SELECT doc_id, text FROM read_parquet('{path}'))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_distance
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE levenshtein(a.text, b.text) <= 4
+        ORDER BY 1, 2""").df()
+    assert out["id_a"].tolist() == want["id_a"].tolist()
+    assert out["id_b"].tolist() == want["id_b"].tolist()
+    assert out["edit_distance"].tolist() == want["edit_distance"].tolist()
