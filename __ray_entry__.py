@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppjoin_near_dup_exact": Q.ppjoin_near_dup_exact,
         "naive_bayes_langid": Q.naive_bayes_langid,
         "edit_distance_pairs_documents": Q.edit_distance_pairs_documents,
+        "record_linkage_clusters": Q.record_linkage_clusters,
     }
 
 
@@ -3159,4 +3160,21 @@ def oracle_sql() -> dict[str, str]:
                      AS edit_distance
             FROM d a JOIN d b ON a.doc_id < b.doc_id
             WHERE levenshtein(a.text, b.text) <= 10""",
+        "record_linkage_clusters": """
+            WITH RECURSIVE d AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 200 AND text IS NOT NULL),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+              WHERE levenshtein(a.text, b.text) <= 10),
+            edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            lab(node, label) AS (
+              SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+              UNION
+              SELECT e.a, l.label FROM edges e JOIN lab l ON l.node = e.b)
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(min(label) AS BIGINT) AS cluster_id
+            FROM lab GROUP BY node""",
     }

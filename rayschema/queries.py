@@ -10665,3 +10665,26 @@ def edit_distance_pairs_documents(sf_dir: str):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return edit_distance_pairs(ds, id_limit=200, k=10, q=4)
+
+
+def record_linkage_clusters(sf_dir: str):
+    """Entity-resolution pipeline: BLOCK (q-gram count + length filters)
+    -> MATCH (exact banded Levenshtein <= 10) -> CLUSTER (connected
+    components, min-id label) over the doc_id < 200 scope — the standard
+    record-linkage composition (Fellegi-Sunter shape with a
+    deterministic distance rule), built from the engine's
+    edit_distance_pairs + union-find/min-label machinery. Emits every
+    matched doc's (doc_id, cluster_id); singletons stay out (they linked
+    to nothing). Oracle: recursive min-label CTE over DuckDB
+    levenshtein() pairs."""
+    from rayschema.dedup import connected_components, edit_distance_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = edit_distance_pairs(ds, id_limit=200, k=10, q=4).to_pandas()
+    if not len(pairs):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "cluster_id": pd.Series([], dtype=np.int64)})
+    cc = connected_components(pairs)
+    cc["doc_id"] = cc["doc_id"].astype(np.int64)
+    cc["cluster_id"] = cc["cluster_id"].astype(np.int64)
+    return cc.sort_values("doc_id").reset_index(drop=True)

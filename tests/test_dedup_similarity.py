@@ -998,3 +998,30 @@ def test_edit_distance_pairs_fuzz_vs_duckdb(ray_session, tmp_path):
     assert out["id_a"].tolist() == want["id_a"].tolist()
     assert out["id_b"].tolist() == want["id_b"].tolist()
     assert out["edit_distance"].tolist() == want["edit_distance"].tolist()
+
+
+def test_record_linkage_clusters_planted(ray_session, tmp_path):
+    """BLOCK -> MATCH -> CLUSTER composition: two planted near-dup groups
+    (one transitively linked triple, one pair) and two loners; min-id
+    component labels, singletons absent."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from rayschema.queries import record_linkage_clusters
+
+    base = "john smith 123 main street springfield usa"
+    docs = pd.DataFrame({
+        "doc_id": np.arange(7, dtype=np.int64),
+        "text": [base,
+                 base.replace("john", "jon"),          # ed 1 from 0
+                 base.replace("123", "128"),           # ed 1 from 0
+                 "maria garcia 9 elm avenue shelbyville",
+                 "maria garcia 9 elm avenue shelbyvile",  # ed 1 from 3
+                 "completely unrelated record aaaaaaaa",
+                 None]})
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False),
+                   os.path.join(tmp_path, "documents.parquet"))
+    out = record_linkage_clusters(str(tmp_path))
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
