@@ -119,6 +119,41 @@ def _kmeans_chain(p: str = "", lo: int = 1, hi: int = 65,
 
 _KMEANS_CTES = _kmeans_chain()
 
+
+def _pagerank_sql(iters: int = 4) -> str:
+    """Unrolled integer-ppb PageRank CTEs mirroring rayschema.graph.pagerank
+    superstep for superstep (DuckDB // truncates = floor on these
+    all-positive values; sum(BIGINT) widens to HUGEINT, so no overflow)."""
+    ctes = ["""pairs AS (
+              SELECT DISTINCT o.o_custkey * 2 AS c_node,
+                              l.l_suppkey * 2 + 1 AS s_node
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey)""",
+            """edges AS (SELECT c_node AS src, s_node AS dst FROM pairs
+                      UNION ALL SELECT s_node, c_node FROM pairs)""",
+            """deg AS (SELECT src AS node, count(*)::BIGINT AS deg
+                    FROM edges GROUP BY src)""",
+            """pr0 AS (SELECT node, 1000000000::BIGINT AS pr FROM deg)"""]
+    for t in range(iters):
+        ctes.append(f"""pr{t + 1} AS (
+              SELECT e.dst AS node,
+                     150000000 + (85 * sum(p.pr // d.deg)) // 100 AS pr
+              FROM edges e JOIN pr{t} p ON p.node = e.src
+              JOIN deg d ON d.node = e.src
+              GROUP BY e.dst)""")
+    return f"""
+            WITH {','.join(ctes)},
+            top AS (SELECT node, pr,
+                           row_number() OVER (ORDER BY pr DESC, node) AS rk
+                    FROM pr{iters})
+            SELECT CAST(node AS BIGINT) AS node_id,
+                   CASE WHEN node % 2 = 0 THEN 'customer'
+                        ELSE 'supplier' END AS node_type,
+                   CAST(node // 2 AS BIGINT) AS entity_key,
+                   CAST(pr AS BIGINT) AS pagerank,
+                   CAST(rk AS BIGINT) AS rk
+            FROM top WHERE rk <= 20"""
+
 # Per-subspace final assignment for the PQ oracle: code + integer
 # squared-euclidean quantization error against the trained c2 centroids.
 _PQ_SUBSPACES = 4
@@ -367,6 +402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "naive_bayes_langid": Q.naive_bayes_langid,
         "edit_distance_pairs_documents": Q.edit_distance_pairs_documents,
         "record_linkage_clusters": Q.record_linkage_clusters,
+        "pagerank_customer_supplier": Q.pagerank_customer_supplier,
     }
 
 
@@ -3177,4 +3213,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS doc_id,
                    CAST(min(label) AS BIGINT) AS cluster_id
             FROM lab GROUP BY node""",
+        "pagerank_customer_supplier": _pagerank_sql(4),
     }

@@ -1,0 +1,154 @@
+"""Distributed graph analytics on Ray Data.
+
+A graph is an edge ``Dataset`` with int64 ``src``/``dst`` columns (directed;
+emit both directions for an undirected graph). Algorithms run as synchronous
+Pregel-style supersteps, each expressed as ONE ``map_batches`` partial
+aggregate over the edge stream plus ONE node-keyed ``groupby`` — the edge
+set never concentrates anywhere, and per-superstep state is O(nodes), not
+O(edges).
+
+All arithmetic is integer fixed-point (ppb rank units, floor division) so a
+run is bit-exact under any partitioning and any batch order, and the whole
+iteration can be mirrored verbatim in ANSI SQL for oracle checks (DuckDB
+``//`` truncates, which equals floor on the all-positive values used here).
+
+Scale notes: the rank/degree vectors are the classic broadcast candidates —
+one ``ray.put`` per superstep, O(nodes) bytes. Past ``NODE_BROADCAST_CAP``
+nodes the same superstep runs as a hash join of the edge stream against a
+rank Dataset (equality-tested against the broadcast path), so node state is
+never required to fit on the driver. Per-batch partial sums use
+``np.bincount`` float64 weights, exact while node mass stays under 2**53
+(~9e6 nodes at the default ppb scale); the cap enforces that bound.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+NODE_BROADCAST_CAP = 8_000_000   # nodes; keeps float64 partial sums exact
+PR_INIT = 1_000_000_000          # rank_0 in parts-per-billion units
+PR_BASE = 150_000_000            # (1 - d) * PR_INIT with d = 0.85
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+
+
+def _np64(col) -> np.ndarray:
+    return col.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
+             num_partitions: int = 32) -> pd.DataFrame:
+    """Integer-exact PageRank over an edge Dataset (src, dst int64).
+
+    Semantics (mirrorable in unrolled SQL CTEs)::
+
+        pr_0(v)     = PR_INIT                                  for every node
+        contrib(u)  = pr_t(u) // outdeg(u)                     (floor)
+        pr_{t+1}(v) = PR_BASE + (85 * sum_{u->v} contrib(u)) // 100
+
+    Nodes are the union of src and dst endpoints; a node with no in-edges
+    lands on exactly PR_BASE after the first superstep and keeps
+    contributing from there, a node with no out-edges (dangling) absorbs
+    mass without redistributing it — both choices are stated so the SQL
+    oracle can reproduce them keyword for keyword.
+
+    Under ``node_cap`` nodes the degree and rank vectors broadcast via ONE
+    ``ray.put`` per superstep and each superstep is a single edge-stream
+    pass (map_batches partial bincount -> groupby(dst).Sum). Past the cap
+    the identical superstep runs join-side: edges ⋈ ranks on src (hash
+    exchange), then the same groupby — O(nodes) never touches the driver.
+    Returns a pandas DataFrame (node, pr) for the broadcast path and a
+    node-count-bounded collect of the join path's final rank table.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    edges = edges.materialize()
+    deg_ds = edges.groupby("src").aggregate(Count(alias_name="deg"))
+    # node universe = src ∪ dst (a dst-only node has deg 0: receives only)
+    nodes_ds = (edges.select_columns(["src"])
+                .map_batches(lambda b: b.rename_columns(["node"]),
+                             batch_format="pyarrow")
+                .union(edges.select_columns(["dst"]).map_batches(
+                    lambda b: b.rename_columns(["node"]),
+                    batch_format="pyarrow"))
+                .groupby("node").aggregate(Count(alias_name="_n"))
+                .select_columns(["node"])).materialize()
+    n_nodes = nodes_ds.count()
+
+    if n_nodes <= node_cap:
+        nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy(np.int64))
+        dd = deg_ds.to_pandas()
+        deg = np.zeros(len(nodes), dtype=np.int64)
+        deg[np.searchsorted(nodes, dd["src"].to_numpy(np.int64))] = \
+            dd["deg"].to_numpy(np.int64)
+        pr = np.full(len(nodes), PR_INIT, dtype=np.int64)
+        for _ in range(iters):
+            ref = ray.put((nodes, deg, pr))
+
+            def contrib(b: pa.Table, _r=ref) -> pa.Table:
+                nd, dg, rk = ray.get(_r)
+                s, d = _np64(b.column("src")), _np64(b.column("dst"))
+                p = np.searchsorted(nd, s)
+                c = rk[p] // np.maximum(dg[p], 1)   # deg>=1: s is a src
+                ud, inv = np.unique(d, return_inverse=True)
+                return pa.table({
+                    "dst": pa.array(ud),
+                    "c": pa.array(np.bincount(inv, weights=c)
+                                  .astype(np.int64))})
+
+            agg = (edges.map_batches(contrib, batch_format="pyarrow")
+                   .groupby("dst").aggregate(Sum("c", alias_name="s"))
+                   .to_pandas())
+            s = np.zeros(len(nodes), dtype=np.int64)
+            s[np.searchsorted(nodes, agg["dst"].to_numpy(np.int64))] = \
+                agg["s"].to_numpy(np.int64)
+            pr = PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+        return pd.DataFrame({"node": nodes, "pr": pr})
+
+    # ---- join scale path: node state never concentrates on the driver
+    edeg = edges.join(deg_ds, join_type="inner",
+                      num_partitions=num_partitions,
+                      on=("src",), right_on=("src",),
+                      right_suffix="_d").materialize()
+    rank_ds = nodes_ds.map_batches(
+        lambda b: b.append_column("pr", pa.array(
+            np.full(len(b), PR_INIT, dtype=np.int64))),
+        batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        def contrib_j(b: pa.Table) -> pa.Table:
+            d = _np64(b.column("dst"))
+            c = _np64(b.column("pr")) // np.maximum(
+                _np64(b.column("deg")), 1)
+            ud, inv = np.unique(d, return_inverse=True)
+            return pa.table({
+                "dst": pa.array(ud),
+                "c": pa.array(np.bincount(inv, weights=c)
+                              .astype(np.int64))})
+
+        agg = (edeg.join(rank_ds, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("src",), right_on=("node",))
+               .map_batches(contrib_j, batch_format="pyarrow")
+               .groupby("dst")
+               .aggregate(Sum("c", alias_name="s")))
+        # left join from the node universe keeps zero-in-degree nodes
+        rank_ds = (nodes_ds.join(agg, join_type="left_outer",
+                                 num_partitions=num_partitions,
+                                 on=("node",), right_on=("dst",))
+                   .map_batches(_fold_rank, batch_format="pyarrow")
+                   ).materialize()
+    return (rank_ds.to_pandas().sort_values("node")
+            .reset_index(drop=True))
+
+
+def _fold_rank(b: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    s = pc.fill_null(b.column("s"), 0).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    return pa.table({
+        "node": b.column("node"),
+        "pr": pa.array(PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN)})

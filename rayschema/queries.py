@@ -10688,3 +10688,91 @@ def record_linkage_clusters(sf_dir: str):
     cc["doc_id"] = cc["doc_id"].astype(np.int64)
     cc["cluster_id"] = cc["cluster_id"].astype(np.int64)
     return cc.sort_values("doc_id").reset_index(drop=True)
+
+
+def pagerank_customer_supplier(sf_dir: str, iters: int = 4):
+    """PageRank over the customer–supplier trade graph: distinct
+    (custkey, suppkey) pairs from orders ⋈ lineitem, doubled into a
+    symmetric edge list (suppliers serving many well-connected customers
+    rank high). The iteration is rayschema.graph.pagerank — one edge-stream
+    pass + one node-keyed groupby per superstep, integer ppb fixed-point —
+    so every rank bit matches the unrolled SQL CTEs. The orderkey→custkey
+    side is adaptive (broadcast arrays under Q3_BROADCAST_CAP, Dataset.join
+    past it); pair distinct runs as ONE groupby over packed int64 pair
+    keys (c_node<<32 | s_node — documented 2^31-key assumption, same as
+    q20's packing). Emits the top-20 nodes: (node_id, node_type,
+    entity_key, pagerank, rk) with deterministic integer ties."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from rayschema.graph import pagerank
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    orders = orders.materialize()
+    if orders.count() <= Q3_BROADCAST_CAP:
+        odf = orders.to_pandas().sort_values("o_orderkey")
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["o_custkey"].to_numpy(np.int64)))
+
+        def pack(b: pa.Table, _o=oref) -> pa.Table:
+            ok, oc = ray.get(_o)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if not len(ok):
+                return pa.table({"ekey": pa.array([], type=pa.int64())})
+            p = np.clip(np.searchsorted(ok, lk), 0, len(ok) - 1)
+            hit = ok[p] == lk
+            ck, sk = oc[p][hit], sk[hit]
+            ekey = np.unique((ck * 2) << np.int64(32) | (sk * 2 + 1))
+            return pa.table({"ekey": pa.array(ekey)})
+
+        pairs = (li.map_batches(pack, batch_format="pyarrow")
+                 .groupby("ekey").aggregate(Count(alias_name="_n"))
+                 .select_columns(["ekey"]))
+    else:
+        est = (li.size_bytes() or 0) + (orders.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        joined = li.join(orders, join_type="inner",
+                         num_partitions=n_parts,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def pack_j(b: pa.Table) -> pa.Table:
+            ck = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            ekey = np.unique((ck * 2) << np.int64(32) | (sk * 2 + 1))
+            return pa.table({"ekey": pa.array(ekey)})
+
+        pairs = (joined.map_batches(pack_j, batch_format="pyarrow")
+                 .groupby("ekey").aggregate(Count(alias_name="_n"))
+                 .select_columns(["ekey"]))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        ek = b.column("ekey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c, s = ek >> np.int64(32), ek & np.int64((1 << 32) - 1)
+        return pa.table({
+            "src": pa.array(np.concatenate([c, s])),
+            "dst": pa.array(np.concatenate([s, c]))})
+
+    edges = pairs.map_batches(unpack, batch_format="pyarrow")
+    pr = pagerank(edges, iters=iters)
+
+    # top-20 over the node-count-bounded rank vector (O(nodes) driver
+    # state, same bound the rank broadcast already requires)
+    node = pr["node"].to_numpy(np.int64)
+    rank = pr["pr"].to_numpy(np.int64)
+    order = np.lexsort((node, -rank))[:20]
+    node, rank = node[order], rank[order]
+    return pd.DataFrame({
+        "node_id": node,
+        "node_type": np.where(node % 2 == 0, "customer", "supplier"),
+        "entity_key": node // 2,
+        "pagerank": rank,
+        "rk": np.arange(1, len(node) + 1, dtype=np.int64)})

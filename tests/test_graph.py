@@ -1,0 +1,89 @@
+"""rayschema.graph: integer-exact PageRank supersteps on Ray Data."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import pytest
+
+from rayschema.graph import PR_BASE, PR_DAMP_DEN, PR_DAMP_NUM, PR_INIT, \
+    pagerank
+
+
+def _edges_ds(src, dst):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(src, dtype=np.int64)),
+        "dst": pa.array(np.asarray(dst, dtype=np.int64))}))
+
+
+def _pagerank_ref(src, dst, iters):
+    """Driver-side numpy mirror of the documented recurrence."""
+    src, dst = np.asarray(src, np.int64), np.asarray(dst, np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    deg = np.zeros(len(nodes), np.int64)
+    us, cs = np.unique(src, return_counts=True)
+    deg[np.searchsorted(nodes, us)] = cs
+    pr = np.full(len(nodes), PR_INIT, dtype=np.int64)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    for _ in range(iters):
+        contrib = pr[si] // np.maximum(deg[si], 1)
+        s = np.zeros(len(nodes), np.int64)
+        np.add.at(s, di, contrib)
+        pr = PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+    return pd.DataFrame({"node": nodes, "pr": pr})
+
+
+def test_pagerank_star_planted(ray_session):
+    # undirected star: hub 0 <-> spokes 1..5; hub must rank strictly highest
+    spokes = np.arange(1, 6, dtype=np.int64)
+    src = np.concatenate([np.zeros(5, np.int64), spokes])
+    dst = np.concatenate([spokes, np.zeros(5, np.int64)])
+    out = pagerank(_edges_ds(src, dst), iters=3).sort_values("node") \
+        .reset_index(drop=True)
+    ref = _pagerank_ref(src, dst, 3)
+    pd.testing.assert_frame_equal(out, ref)
+    hub = int(out.loc[out["node"] == 0, "pr"].iloc[0])
+    assert all(hub > int(p) for p in out.loc[out["node"] != 0, "pr"])
+    # spokes are symmetric: identical ranks
+    assert out.loc[out["node"] != 0, "pr"].nunique() == 1
+
+
+def test_pagerank_source_and_sink_nodes(ray_session):
+    # 7 -> 8 -> 9 chain plus a 2-cycle: node 7 has no in-edges (lands on
+    # exactly PR_BASE after step 1), node 9 has no out-edges (dangling)
+    src = [7, 8, 1, 2]
+    dst = [8, 9, 2, 1]
+    out = pagerank(_edges_ds(src, dst), iters=4).sort_values("node") \
+        .reset_index(drop=True)
+    ref = _pagerank_ref(src, dst, 4)
+    pd.testing.assert_frame_equal(out, ref)
+    assert int(out.loc[out["node"] == 7, "pr"].iloc[0]) == PR_BASE
+
+
+def test_pagerank_join_path_matches_broadcast(ray_session):
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 40, size=300).astype(np.int64)
+    dst = rng.randint(0, 40, size=300).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    a = pagerank(_edges_ds(src, dst), iters=3).sort_values("node") \
+        .reset_index(drop=True)
+    b = pagerank(_edges_ds(src, dst), iters=3, node_cap=0,
+                 num_partitions=4).sort_values("node") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, _pagerank_ref(src, dst, 3))
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_pagerank_fuzz_vs_reference(ray_session, seed):
+    rng = np.random.RandomState(seed)
+    n_edges = rng.randint(20, 120)
+    src = rng.randint(0, 25, size=n_edges).astype(np.int64)
+    dst = rng.randint(0, 25, size=n_edges).astype(np.int64)
+    out = pagerank(_edges_ds(src, dst), iters=5).sort_values("node") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, _pagerank_ref(src, dst, 5))
