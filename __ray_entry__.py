@@ -403,6 +403,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs_documents": Q.edit_distance_pairs_documents,
         "record_linkage_clusters": Q.record_linkage_clusters,
         "pagerank_customer_supplier": Q.pagerank_customer_supplier,
+        "triangle_parts_copurchase": Q.triangle_parts_copurchase,
     }
 
 
@@ -3214,4 +3215,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(label) AS BIGINT) AS cluster_id
             FROM lab GROUP BY node""",
         "pagerank_customer_supplier": _pagerank_sql(4),
+        "triangle_parts_copurchase": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                  FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+                                     AND x.l_partkey < y.l_partkey),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1 JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            nodes AS (SELECT x AS node FROM tri
+                      UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri),
+            cnt AS (SELECT node, count(*)::BIGINT AS n_triangles
+                    FROM nodes GROUP BY node),
+            top AS (SELECT node, n_triangles,
+                           row_number() OVER (ORDER BY n_triangles DESC,
+                                              node) AS rk
+                    FROM cnt)
+            SELECT CAST(node AS BIGINT) AS part_key, n_triangles,
+                   CAST(rk AS BIGINT) AS rk
+            FROM top WHERE rk <= 15""",
     }

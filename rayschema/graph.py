@@ -152,3 +152,159 @@ def _fold_rank(b: pa.Table) -> pa.Table:
     return pa.table({
         "node": b.column("node"),
         "pr": pa.array(PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN)})
+
+
+def _pair_index(sizes: np.ndarray):
+    """Vectorized within-group combination indices: for contiguous groups of
+    ``sizes`` rows, returns global (i, j) row indices for every unordered
+    pair inside each group (i < j, row-order). Pure numpy — no Python loop
+    over groups."""
+    sizes = sizes.astype(np.int64)
+    row_start = np.cumsum(sizes) - sizes
+    n_rows = int(sizes.sum())
+    if n_rows == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    rows = np.arange(n_rows, dtype=np.int64)
+    local = rows - np.repeat(row_start, sizes)
+    cnt_i = np.repeat(sizes, sizes) - 1 - local     # pairs each row starts
+    total = int(cnt_i.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    i_idx = np.repeat(rows, cnt_i)
+    off = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt_i) - cnt_i, cnt_i)
+    return i_idx, i_idx + 1 + off
+
+
+def triangle_counts(pairs, node_cap: int = NODE_BROADCAST_CAP):
+    """Per-node triangle counts over an undirected graph given as a Dataset
+    of DISTINCT edges (a < b, int64). Classic degree-oriented distributed
+    algorithm (Cohen 2009 / Suri & Vassilvitskii 2011, public):
+
+    1. degree per endpoint (one groupby; the (node, deg) vector broadcasts
+       once — O(nodes), ``node_cap`` documents the same bound pagerank's
+       rank vector carries);
+    2. orient every edge from its (deg, id)-smaller endpoint — out-degree
+       is then O(sqrt(2m)), bounding wedge volume by O(m^1.5) total;
+    3. wedges: ONE src-keyed sorted_group_scan emits (packed v-w key, apex)
+       for every out-neighbor pair — vectorized per block via _pair_index;
+    4. closure: wedges UNION edge-marker rows (apex = -1) through ONE
+       pk-keyed sorted_group_scan — a wedge closes iff its pk group holds
+       the marker; each closing group emits 3 count rows per triangle
+       (each triangle decomposes uniquely: the orientation of a triangle
+       is acyclic, so exactly one vertex is its wedge apex);
+    5. groupby(node).Sum folds the counts.
+
+    Endpoint ids must fit 32 bits for the packed wedge key (documented —
+    the same packing q20 and the pair-distinct stages use)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from rayschema.dedup import sorted_group_scan
+
+    pairs = pairs.materialize()
+    deg_ds = (pairs.select_columns(["a"])
+              .map_batches(lambda b: b.rename_columns(["node"]),
+                           batch_format="pyarrow")
+              .union(pairs.select_columns(["b"]).map_batches(
+                  lambda b: b.rename_columns(["node"]),
+                  batch_format="pyarrow"))
+              .groupby("node").aggregate(Count(alias_name="deg")))
+    dd = deg_ds.to_pandas().sort_values("node")
+    dref = ray.put((dd["node"].to_numpy(np.int64),
+                    dd["deg"].to_numpy(np.int64)))
+
+    def orient(b: pa.Table, _d=dref) -> pa.Table:
+        nd, dg = ray.get(_d)
+        a, bb = _np64(b.column("a")), _np64(b.column("b"))
+        da, db = dg[np.searchsorted(nd, a)], dg[np.searchsorted(nd, bb)]
+        # a < b always, so (deg, id) order reduces to a degree compare
+        a_first = da <= db
+        return pa.table({"src": pa.array(np.where(a_first, a, bb)),
+                         "dst": pa.array(np.where(a_first, bb, a))})
+
+    oriented = pairs.map_batches(orient, batch_format="pyarrow")
+
+    wedge_schema = pa.schema([("pk", pa.int64()), ("apex", pa.int64())])
+
+    def wedge_block(b: pa.Table, starts, ends, want) -> pa.Table:
+        src = _np64(b.column("src"))
+        dst = _np64(b.column("dst"))
+        s, e = starts[want], ends[want]
+        # compact wanted groups into one contiguous buffer (vectorized
+        # multi-range gather: no Python loop over groups)
+        sizes = (e - s).astype(np.int64)
+        tot = int(sizes.sum())
+        take = (np.repeat(s, sizes)
+                + (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.cumsum(sizes) - sizes, sizes))) \
+            if tot else np.empty(0, np.int64)
+        cd, cs = dst[take], src[take]
+        i_idx, j_idx = _pair_index(sizes)
+        v, w = cd[i_idx], cd[j_idx]   # dst sorted within group: v < w
+        return pa.table({"pk": pa.array((v << np.int64(32)) | w),
+                         "apex": pa.array(cs[i_idx])})
+
+    def wedge_group(g: pa.Table) -> pa.Table:
+        dst = np.sort(_np64(g.column("dst")))
+        src = _np64(g.column("src"))
+        i_idx, j_idx = _pair_index(np.array([len(dst)]))
+        v, w = dst[i_idx], dst[j_idx]
+        return pa.table({"pk": pa.array((v << np.int64(32)) | w),
+                         "apex": pa.array(
+                             np.full(len(v), src[0], dtype=np.int64))})
+
+    wedges = sorted_group_scan(
+        oriented, ["src"], wedge_group, wedge_schema,
+        group_filter=lambda b, s, e: (e - s) >= 2,
+        block_fn=wedge_block, sort_blocks=32, order_cols=["dst"])
+
+    markers = pairs.map_batches(
+        lambda b: pa.table({
+            "pk": pa.array((_np64(b.column("a")) << np.int64(32))
+                           | _np64(b.column("b"))),
+            "apex": pa.array(np.full(b.num_rows, -1, dtype=np.int64))}),
+        batch_format="pyarrow")
+
+    cnt_schema = pa.schema([("node", pa.int64()), ("tri", pa.int64())])
+
+    def close_block(b: pa.Table, starts, ends, want) -> pa.Table:
+        pk = _np64(b.column("pk"))
+        apex = _np64(b.column("apex"))
+        # marker sorts first within the group (apex ordered ascending)
+        has_marker = apex[starts] == -1
+        w = want & has_marker & ((ends - starts) >= 2)
+        s, e = starts[w], ends[w]
+        if not len(s):
+            return None
+        k = (e - s) - 1                       # triangles closing this edge
+        a, bb = pk[s] >> np.int64(32), pk[s] & np.int64((1 << 32) - 1)
+        tot = int(k.sum())
+        take = (np.repeat(s + 1, k)
+                + (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.cumsum(k) - k, k)))
+        return pa.table({
+            "node": pa.array(np.concatenate([a, bb, apex[take]])),
+            "tri": pa.array(np.concatenate(
+                [k, k, np.ones(len(take), dtype=np.int64)]))})
+
+    def close_group(g: pa.Table) -> pa.Table:
+        apex = np.sort(_np64(g.column("apex")))
+        pk = _np64(g.column("pk"))
+        if len(apex) < 2 or apex[0] != -1:
+            return None
+        apexes = apex[1:]
+        k = np.int64(len(apexes))
+        a, bb = pk[0] >> np.int64(32), pk[0] & np.int64((1 << 32) - 1)
+        return pa.table({
+            "node": pa.array(np.concatenate([[a, bb], apexes])),
+            "tri": pa.array(np.concatenate(
+                [[k, k], np.ones(len(apexes), dtype=np.int64)]))})
+
+    closed = sorted_group_scan(
+        wedges.union(markers), ["pk"], close_group, cnt_schema,
+        group_filter=lambda b, s, e: (e - s) >= 2,
+        block_fn=close_block, sort_blocks=32, order_cols=["apex"])
+
+    return (closed.groupby("node").aggregate(Sum("tri", alias_name="n_triangles")))

@@ -10776,3 +10776,79 @@ def pagerank_customer_supplier(sf_dir: str, iters: int = 4):
         "entity_key": node // 2,
         "pagerank": rank,
         "rk": np.arange(1, len(node) + 1, dtype=np.int64)})
+
+
+def triangle_parts_copurchase(sf_dir: str, top_n: int = 15):
+    """Per-part triangle counts over the part co-purchase graph (parts
+    appearing in the same order are adjacent): distinct pair edges come
+    from ONE l_orderkey-keyed sorted_group_scan (within-order partkey
+    dedup + vectorized pair emission) folded distinct by packed pair key;
+    the count itself is rayschema.graph.triangle_counts — degree-oriented
+    wedge generation bounding wedge volume at O(m^1.5), closure by a
+    marker-join on a second keyed scan, per-node fold as ONE groupby.Sum.
+    Emits the top-15 (part_key, n_triangles, rk), deterministic integer
+    ties. Oracle: 3-way self-join on the distinct-edge CTE."""
+    from ray.data.aggregate import Count
+
+    from rayschema.dedup import sorted_group_scan
+    from rayschema.graph import _pair_index, triangle_counts
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    pk_schema = pa.schema([("pk", pa.int64())])
+
+    def pair_block(b: pa.Table, starts, ends, want) -> pa.Table:
+        pkeys = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s, e = starts[want], ends[want]
+        sizes = (e - s).astype(np.int64)
+        tot = int(sizes.sum())
+        if not tot:
+            return None
+        take = (np.repeat(s, sizes)
+                + (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.cumsum(sizes) - sizes, sizes)))
+        cp = pkeys[take]
+        gstart = np.cumsum(sizes) - sizes
+        first = np.zeros(tot, dtype=bool)
+        first[gstart] = True
+        keep = first | (cp != np.roll(cp, 1))   # partkey sorted in-group
+        dedup_sizes = np.add.reduceat(keep.astype(np.int64), gstart)
+        cp = cp[keep]
+        i_idx, j_idx = _pair_index(dedup_sizes)
+        v, w = cp[i_idx], cp[j_idx]             # ascending: v < w
+        return pa.table({"pk": pa.array((v << np.int64(32)) | w)})
+
+    def pair_group(g: pa.Table) -> pa.Table:
+        u = np.unique(g.column("l_partkey").to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        i_idx, j_idx = _pair_index(np.array([len(u)]))
+        v, w = u[i_idx], u[j_idx]
+        return pa.table({"pk": pa.array((v << np.int64(32)) | w)})
+
+    pair_keys = sorted_group_scan(
+        li, ["l_orderkey"], pair_group, pk_schema,
+        group_filter=lambda b, s, e: (e - s) >= 2,
+        block_fn=pair_block, sort_blocks=32, order_cols=["l_partkey"])
+
+    edges = (pair_keys.groupby("pk").aggregate(Count(alias_name="_n"))
+             .map_batches(
+                 lambda b: pa.table({
+                     "a": pa.array(b.column("pk")
+                                   .to_numpy(zero_copy_only=False)
+                                   .astype(np.int64) >> np.int64(32)),
+                     "b": pa.array(b.column("pk")
+                                   .to_numpy(zero_copy_only=False)
+                                   .astype(np.int64)
+                                   & np.int64((1 << 32) - 1))}),
+                 batch_format="pyarrow"))
+
+    cnt = triangle_counts(edges).to_pandas()   # O(parts) driver state
+    node = cnt["node"].to_numpy(np.int64)
+    tri = cnt["n_triangles"].to_numpy(np.int64)
+    order = np.lexsort((node, -tri))[:top_n]
+    node, tri = node[order], tri[order]
+    return pd.DataFrame({
+        "part_key": node,
+        "n_triangles": tri,
+        "rk": np.arange(1, len(node) + 1, dtype=np.int64)})

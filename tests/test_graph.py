@@ -87,3 +87,66 @@ def test_pagerank_fuzz_vs_reference(ray_session, seed):
     out = pagerank(_edges_ds(src, dst), iters=5).sort_values("node") \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(out, _pagerank_ref(src, dst, 5))
+
+
+def _pairs_ds(a, b):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "a": pa.array(np.asarray(a, dtype=np.int64)),
+        "b": pa.array(np.asarray(b, dtype=np.int64))}))
+
+
+def _tri_ref(a, b):
+    """Brute-force per-node triangle counts over distinct edges a < b."""
+    es = set(zip(map(int, a), map(int, b)))
+    nodes = sorted({x for e in es for x in e})
+    cnt = {n: 0 for n in nodes}
+    ns = list(nodes)
+    for i, x in enumerate(ns):
+        for y in ns[i + 1:]:
+            if (x, y) not in es:
+                continue
+            for z in ns:
+                if z <= y:
+                    continue
+                if (x, z) in es and (y, z) in es:
+                    cnt[x] += 1
+                    cnt[y] += 1
+                    cnt[z] += 1
+    return pd.DataFrame({"node": [n for n in nodes if cnt[n]],
+                         "n_triangles": [cnt[n] for n in nodes if cnt[n]]})
+
+
+def test_triangle_counts_planted(ray_session):
+    from rayschema.graph import triangle_counts
+
+    # K4 on {0,1,2,3} (every node in 3 triangles) + pendant edge 3-9
+    a = [0, 0, 0, 1, 1, 2, 3]
+    b = [1, 2, 3, 2, 3, 3, 9]
+    out = (triangle_counts(_pairs_ds(a, b)).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    assert dict(zip(out["node"], out["n_triangles"])) == \
+        {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_triangle_counts_fuzz_vs_bruteforce(ray_session, seed):
+    from rayschema.graph import triangle_counts
+
+    rng = np.random.RandomState(seed)
+    n = 18
+    prob = 0.35
+    aa, bb = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.rand() < prob:
+                aa.append(i)
+                bb.append(j)
+    out = (triangle_counts(_pairs_ds(aa, bb)).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    ref = _tri_ref(aa, bb).astype({"node": np.int64,
+                                   "n_triangles": np.int64})
+    pd.testing.assert_frame_equal(out.astype({"node": np.int64,
+                                              "n_triangles": np.int64}),
+                                  ref)
