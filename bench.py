@@ -159,6 +159,19 @@ def run_bench() -> dict:
         ("label_conflict_audit", Q.label_conflict_audit),
         ("inter_event_gap_quantiles", Q.inter_event_gap_quantiles),
         ("last_touch_attribution", Q.last_touch_attribution),
+        # round-4 sessions 6-8 operators
+        ("q2_best_supplier_per_part", Q.q2_best_supplier_per_part),
+        ("q9_profit_by_nation_year", Q.q9_profit_by_nation_year),
+        ("q21_sole_blocker", Q.q21_sole_blocker),
+        ("ppjoin_near_dup_exact", Q.ppjoin_near_dup_exact),
+        ("naive_bayes_langid", Q.naive_bayes_langid),
+        ("edit_distance_pairs", Q.edit_distance_pairs_documents),
+        ("record_linkage_clusters", Q.record_linkage_clusters),
+        ("pagerank_customer_supplier", Q.pagerank_customer_supplier),
+        ("triangle_parts_copurchase", Q.triangle_parts_copurchase),
+        ("order_fulfillment_latency", Q.order_fulfillment_latency),
+        ("event_transition_matrix", Q.event_transition_matrix),
+        ("session_path_trigrams", Q.session_path_trigrams),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -38,14 +38,17 @@ def _np64(col) -> np.ndarray:
 
 
 def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
-             num_partitions: int = 32) -> pd.DataFrame:
+             num_partitions: int = 32, init: int = PR_INIT,
+             base: int = PR_BASE) -> pd.DataFrame:
     """Integer-exact PageRank over an edge Dataset (src, dst int64).
 
-    Semantics (mirrorable in unrolled SQL CTEs)::
+    Semantics (mirrorable in unrolled SQL CTEs; ``init``/``base`` pick the
+    fixed-point unit — ppb by default, millionths for the near-dup-graph
+    query whose oracle predates this module)::
 
-        pr_0(v)     = PR_INIT                                  for every node
+        pr_0(v)     = init                                     for every node
         contrib(u)  = pr_t(u) // outdeg(u)                     (floor)
-        pr_{t+1}(v) = PR_BASE + (85 * sum_{u->v} contrib(u)) // 100
+        pr_{t+1}(v) = base + (85 * sum_{u->v} contrib(u)) // 100
 
     Nodes are the union of src and dst endpoints; a node with no in-edges
     lands on exactly PR_BASE after the first superstep and keeps
@@ -63,28 +66,31 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
     """
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     edges = edges.materialize()
-    deg_ds = edges.groupby("src").aggregate(Count(alias_name="deg"))
-    # node universe = src ∪ dst (a dst-only node has deg 0: receives only)
-    nodes_ds = (edges.select_columns(["src"])
-                .map_batches(lambda b: b.rename_columns(["node"]),
-                             batch_format="pyarrow")
-                .union(edges.select_columns(["dst"]).map_batches(
-                    lambda b: b.rename_columns(["node"]),
-                    batch_format="pyarrow"))
-                .groupby("node").aggregate(Count(alias_name="_n"))
-                .select_columns(["node"])).materialize()
-    n_nodes = nodes_ds.count()
+    # node universe + out-degree in ONE partial-aggregated pass: src
+    # endpoints carry their batch-local count, dst endpoints a 0 marker
+    # (so a dst-only node — receives, never gives — still lands a row)
+    def _deg_partial(b: pa.Table) -> pa.Table:
+        s, d = _np64(b.column("src")), _np64(b.column("dst"))
+        us, cs = np.unique(s, return_counts=True)
+        ud = np.unique(d)
+        return pa.table({
+            "node": pa.array(np.concatenate([us, ud])),
+            "dp": pa.array(np.concatenate(
+                [cs.astype(np.int64), np.zeros(len(ud), np.int64)]))})
+
+    deg_ds = (edges.map_batches(_deg_partial, batch_format="pyarrow")
+              .groupby("node").aggregate(Sum("dp", alias_name="deg"))
+              ).materialize()
+    n_nodes = deg_ds.count()
 
     if n_nodes <= node_cap:
-        nodes = np.sort(nodes_ds.to_pandas()["node"].to_numpy(np.int64))
-        dd = deg_ds.to_pandas()
-        deg = np.zeros(len(nodes), dtype=np.int64)
-        deg[np.searchsorted(nodes, dd["src"].to_numpy(np.int64))] = \
-            dd["deg"].to_numpy(np.int64)
-        pr = np.full(len(nodes), PR_INIT, dtype=np.int64)
+        dd = deg_ds.to_pandas().sort_values("node")
+        nodes = dd["node"].to_numpy(np.int64)
+        deg = dd["deg"].to_numpy(np.int64)
+        pr = np.full(len(nodes), init, dtype=np.int64)
         for _ in range(iters):
             ref = ray.put((nodes, deg, pr))
 
@@ -105,17 +111,18 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
             s = np.zeros(len(nodes), dtype=np.int64)
             s[np.searchsorted(nodes, agg["dst"].to_numpy(np.int64))] = \
                 agg["s"].to_numpy(np.int64)
-            pr = PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+            pr = base + (PR_DAMP_NUM * s) // PR_DAMP_DEN
         return pd.DataFrame({"node": nodes, "pr": pr})
 
     # ---- join scale path: node state never concentrates on the driver
+    nodes_ds = deg_ds.select_columns(["node"]).materialize()
     edeg = edges.join(deg_ds, join_type="inner",
                       num_partitions=num_partitions,
-                      on=("src",), right_on=("src",),
+                      on=("src",), right_on=("node",),
                       right_suffix="_d").materialize()
     rank_ds = nodes_ds.map_batches(
-        lambda b: b.append_column("pr", pa.array(
-            np.full(len(b), PR_INIT, dtype=np.int64))),
+        lambda b, _i=init: b.append_column("pr", pa.array(
+            np.full(len(b), _i, dtype=np.int64))),
         batch_format="pyarrow").materialize()
     for _ in range(iters):
         def contrib_j(b: pa.Table) -> pa.Table:
@@ -138,20 +145,21 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
         rank_ds = (nodes_ds.join(agg, join_type="left_outer",
                                  num_partitions=num_partitions,
                                  on=("node",), right_on=("dst",))
-                   .map_batches(_fold_rank, batch_format="pyarrow")
+                   .map_batches(_fold_rank, batch_format="pyarrow",
+                                fn_kwargs={"base": base})
                    ).materialize()
     return (rank_ds.to_pandas().sort_values("node")
             .reset_index(drop=True))
 
 
-def _fold_rank(b: pa.Table) -> pa.Table:
+def _fold_rank(b: pa.Table, base: int = PR_BASE) -> pa.Table:
     import pyarrow.compute as pc
 
     s = pc.fill_null(b.column("s"), 0).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     return pa.table({
         "node": b.column("node"),
-        "pr": pa.array(PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN)})
+        "pr": pa.array(base + (PR_DAMP_NUM * s) // PR_DAMP_DEN)})
 
 
 def _pair_index(sizes: np.ndarray):
@@ -176,42 +184,118 @@ def _pair_index(sizes: np.ndarray):
     return i_idx, i_idx + 1 + off
 
 
-def triangle_counts(pairs, node_cap: int = NODE_BROADCAST_CAP):
+def triangle_counts(pairs, node_cap: int = NODE_BROADCAST_CAP,
+                    edge_broadcast_cap: int = 10_000_000):
     """Per-node triangle counts over an undirected graph given as a Dataset
     of DISTINCT edges (a < b, int64). Classic degree-oriented distributed
     algorithm (Cohen 2009 / Suri & Vassilvitskii 2011, public):
 
-    1. degree per endpoint (one groupby; the (node, deg) vector broadcasts
-       once — O(nodes), ``node_cap`` documents the same bound pagerank's
-       rank vector carries);
+    1. degree per endpoint (one partial-aggregated groupby; the (node, deg)
+       vector broadcasts once — O(nodes), ``node_cap`` documents the same
+       bound pagerank's rank vector carries);
     2. orient every edge from its (deg, id)-smaller endpoint — out-degree
        is then O(sqrt(2m)), bounding wedge volume by O(m^1.5) total;
-    3. wedges: ONE src-keyed sorted_group_scan emits (packed v-w key, apex)
-       for every out-neighbor pair — vectorized per block via _pair_index;
-    4. closure: wedges UNION edge-marker rows (apex = -1) through ONE
-       pk-keyed sorted_group_scan — a wedge closes iff its pk group holds
-       the marker; each closing group emits 3 count rows per triangle
-       (each triangle decomposes uniquely: the orientation of a triangle
-       is acyclic, so exactly one vertex is its wedge apex);
-    5. groupby(node).Sum folds the counts.
+    3. wedges + closure, ADAPTIVE on edge count:
+       - up to ``edge_broadcast_cap`` edges, the sorted packed edge-key
+         array broadcasts once (8 B/edge) and each block of the single
+         src-keyed sorted_group_scan closes its own wedges by
+         searchsorted membership — wedges NEVER leave the worker; only
+         per-block (node, count) partials (node-bounded) shuffle into the
+         final groupby.Sum;
+       - past the cap, wedges (packed v-w key, apex) UNION edge-marker
+         rows (apex = -1) flow through a second pk-keyed scan — a wedge
+         closes iff its group holds the marker. O(m^1.5) shuffle, no
+         O(m) broadcast: the web-scale path.
+       Each triangle decomposes uniquely (a triangle's orientation is
+       acyclic, so exactly one vertex is its wedge apex), so both paths
+       count every triangle exactly once per corner.
 
-    Endpoint ids must fit 32 bits for the packed wedge key (documented —
-    the same packing q20 and the pair-distinct stages use)."""
+    Endpoint ids must fit 32 bits for the packed keys (documented — the
+    same packing q20 and the pair-distinct stages use)."""
     import ray
     import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     from rayschema.dedup import sorted_group_scan
 
     pairs = pairs.materialize()
-    deg_ds = (pairs.select_columns(["a"])
-              .map_batches(lambda b: b.rename_columns(["node"]),
-                           batch_format="pyarrow")
-              .union(pairs.select_columns(["b"]).map_batches(
-                  lambda b: b.rename_columns(["node"]),
-                  batch_format="pyarrow"))
-              .groupby("node").aggregate(Count(alias_name="deg")))
-    dd = deg_ds.to_pandas().sort_values("node")
+    m = pairs.count()
+    if m == 0:
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "n_triangles": pa.array([], type=pa.int64())}))
+
+    if m <= edge_broadcast_cap:
+        # ---- CSR-broadcast fast path: the edge list is O(m)-bounded, so
+        # pull it ONCE, build the degree-oriented CSR adjacency + sorted
+        # membership array on the driver, ray.put the lot, and stream the
+        # node ordinals through ONE map_batches — no sort, no shuffle of
+        # edges at all; only node-bounded (node, tri) partials move into
+        # the final groupby (the exact_jaccard_pairs broadcast-plus-
+        # streamed-ordinal-grid shape).
+        edf = pairs.to_pandas()
+        ea = edf["a"].to_numpy(np.int64)
+        eb = edf["b"].to_numpy(np.int64)
+        nd, dg = np.unique(np.concatenate([ea, eb]), return_counts=True)
+        epk = np.sort((ea << np.int64(32)) | eb)
+        da = dg[np.searchsorted(nd, ea)]
+        db = dg[np.searchsorted(nd, eb)]
+        a_first = da <= db        # a < b: (deg, id) order = degree compare
+        s = np.where(a_first, ea, eb)
+        d = np.where(a_first, eb, ea)
+        order = np.lexsort((d, s))           # src-major, dst ascending
+        s, d = s[order], d[order]
+        si = np.searchsorted(nd, s)
+        indptr = np.concatenate([
+            np.searchsorted(si, np.arange(len(nd), dtype=np.int64)),
+            [len(si)]]).astype(np.int64)
+        ref = ray.put((nd, indptr, d, epk))
+
+        def count_range(b: pa.Table, _r=ref) -> pa.Table:
+            nodes, ptr, adj, ek = ray.get(_r)
+            ords = b.column("id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            st, en = ptr[ords], ptr[ords + 1]
+            sizes = en - st
+            tot = int(sizes.sum())
+            if not tot:
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "tri": pa.array([], type=pa.int64())})
+            take = (np.repeat(st, sizes)
+                    + (np.arange(tot, dtype=np.int64)
+                       - np.repeat(np.cumsum(sizes) - sizes, sizes)))
+            cd = adj[take]
+            apex_per_row = np.repeat(nodes[ords], sizes)
+            i_idx, j_idx = _pair_index(sizes)
+            v, w = cd[i_idx], cd[j_idx]      # dst ascending: v < w
+            pk = (v << np.int64(32)) | w
+            pos = np.clip(np.searchsorted(ek, pk), 0, len(ek) - 1)
+            hit = ek[pos] == pk
+            allnodes = np.concatenate(
+                [apex_per_row[i_idx][hit], v[hit], w[hit]])
+            if not len(allnodes):
+                return pa.table({"node": pa.array([], type=pa.int64()),
+                                 "tri": pa.array([], type=pa.int64())})
+            u, inv = np.unique(allnodes, return_inverse=True)
+            return pa.table({"node": pa.array(u),
+                             "tri": pa.array(np.bincount(inv)
+                                             .astype(np.int64))})
+
+        counted = rd.range(len(nd), override_num_blocks=64).map_batches(
+            count_range, batch_format="pyarrow")
+        return counted.groupby("node").aggregate(
+            Sum("tri", alias_name="n_triangles"))
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        both = np.concatenate([_np64(b.column("a")),
+                               _np64(b.column("b"))])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "dp": pa.array(c.astype(np.int64))})
+
+    dd = (pairs.map_batches(deg_partial, batch_format="pyarrow")
+          .groupby("node").aggregate(Sum("dp", alias_name="deg"))
+          .to_pandas().sort_values("node"))
     dref = ray.put((dd["node"].to_numpy(np.int64),
                     dd["deg"].to_numpy(np.int64)))
 
@@ -225,21 +309,24 @@ def triangle_counts(pairs, node_cap: int = NODE_BROADCAST_CAP):
                          "dst": pa.array(np.where(a_first, bb, a))})
 
     oriented = pairs.map_batches(orient, batch_format="pyarrow")
+    cnt_schema = pa.schema([("node", pa.int64()), ("tri", pa.int64())])
 
+    def _gather(starts, ends):
+        sizes = (ends - starts).astype(np.int64)
+        tot = int(sizes.sum())
+        take = (np.repeat(starts, sizes)
+                + (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.cumsum(sizes) - sizes, sizes))) \
+            if tot else np.empty(0, np.int64)
+        return take, sizes
+
+    # ---- marker-join closure: no O(m) broadcast (the web-scale path)
     wedge_schema = pa.schema([("pk", pa.int64()), ("apex", pa.int64())])
 
     def wedge_block(b: pa.Table, starts, ends, want) -> pa.Table:
         src = _np64(b.column("src"))
         dst = _np64(b.column("dst"))
-        s, e = starts[want], ends[want]
-        # compact wanted groups into one contiguous buffer (vectorized
-        # multi-range gather: no Python loop over groups)
-        sizes = (e - s).astype(np.int64)
-        tot = int(sizes.sum())
-        take = (np.repeat(s, sizes)
-                + (np.arange(tot, dtype=np.int64)
-                   - np.repeat(np.cumsum(sizes) - sizes, sizes))) \
-            if tot else np.empty(0, np.int64)
+        take, sizes = _gather(starts[want], ends[want])
         cd, cs = dst[take], src[take]
         i_idx, j_idx = _pair_index(sizes)
         v, w = cd[i_idx], cd[j_idx]   # dst sorted within group: v < w
@@ -266,8 +353,6 @@ def triangle_counts(pairs, node_cap: int = NODE_BROADCAST_CAP):
                            | _np64(b.column("b"))),
             "apex": pa.array(np.full(b.num_rows, -1, dtype=np.int64))}),
         batch_format="pyarrow")
-
-    cnt_schema = pa.schema([("node", pa.int64()), ("tri", pa.int64())])
 
     def close_block(b: pa.Table, starts, ends, want) -> pa.Table:
         pk = _np64(b.column("pk"))
@@ -307,4 +392,5 @@ def triangle_counts(pairs, node_cap: int = NODE_BROADCAST_CAP):
         group_filter=lambda b, s, e: (e - s) >= 2,
         block_fn=close_block, sort_blocks=32, order_cols=["apex"])
 
-    return (closed.groupby("node").aggregate(Sum("tri", alias_name="n_triangles")))
+    return (closed.groupby("node")
+            .aggregate(Sum("tri", alias_name="n_triangles")))

@@ -150,3 +150,24 @@ def test_triangle_counts_fuzz_vs_bruteforce(ray_session, seed):
     pd.testing.assert_frame_equal(out.astype({"node": np.int64,
                                               "n_triangles": np.int64}),
                                   ref)
+
+
+def test_triangle_counts_marker_path_matches_broadcast(ray_session):
+    from rayschema.graph import triangle_counts
+
+    rng = np.random.RandomState(9)
+    aa, bb = [], []
+    for i in range(16):
+        for j in range(i + 1, 16):
+            if rng.rand() < 0.4:
+                aa.append(i)
+                bb.append(j)
+    fast = (triangle_counts(_pairs_ds(aa, bb)).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    scan = (triangle_counts(_pairs_ds(aa, bb), edge_broadcast_cap=0)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, scan)
+    pd.testing.assert_frame_equal(
+        fast.astype({"node": np.int64, "n_triangles": np.int64}),
+        _tri_ref(aa, bb).astype({"node": np.int64,
+                                 "n_triangles": np.int64}))
