@@ -120,6 +120,55 @@ def _kmeans_chain(p: str = "", lo: int = 1, hi: int = 65,
 _KMEANS_CTES = _kmeans_chain()
 
 
+def _hits_sql(iters: int = 2) -> str:
+    """Unrolled integer-ppb HITS CTEs mirroring rayschema.graph.hits half-
+    step for half-step (divide-by-ceil normalization in BIGINT — DuckDB
+    sum() widens to HUGEINT so the raw sums never overflow)."""
+    ctes = ["""pairs AS (
+              SELECT DISTINCT o.o_custkey * 2 AS c,
+                              l.l_suppkey * 2 + 1 AS s
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey)"""]
+    prev_h = None
+    for t in range(1, iters + 1):
+        if prev_h is None:
+            ctes.append(f"""a{t}r AS (
+              SELECT s, count(*)::BIGINT * 1000000000 AS raw
+              FROM pairs GROUP BY s)""")
+        else:
+            ctes.append(f"""a{t}r AS (
+              SELECT p.s, sum(h.h)::BIGINT AS raw
+              FROM pairs p JOIN {prev_h} h ON h.c = p.c GROUP BY p.s)""")
+        ctes.append(f"""a{t} AS (
+              SELECT s, raw // ((SELECT (max(raw) + 999999999)
+                                 // 1000000000 FROM a{t}r)) AS a
+              FROM a{t}r)""")
+        ctes.append(f"""h{t}r AS (
+              SELECT p.c, sum(a.a)::BIGINT AS raw
+              FROM pairs p JOIN a{t} a ON a.s = p.s GROUP BY p.c)""")
+        ctes.append(f"""h{t} AS (
+              SELECT c, raw // ((SELECT (max(raw) + 999999999)
+                                 // 1000000000 FROM h{t}r)) AS h
+              FROM h{t}r)""")
+        prev_h = f"h{t}"
+    k = iters
+    return f"""
+            WITH {','.join(ctes)},
+            th AS (SELECT c AS node, h AS score,
+                          row_number() OVER (ORDER BY h DESC, c) AS rk
+                   FROM h{k}),
+            ta AS (SELECT s AS node, a AS score,
+                          row_number() OVER (ORDER BY a DESC, s) AS rk
+                   FROM a{k})
+            SELECT 'hub' AS side, CAST(node // 2 AS BIGINT) AS entity_key,
+                   CAST(score AS BIGINT) AS score, CAST(rk AS BIGINT) AS rk
+            FROM th WHERE rk <= 10
+            UNION ALL
+            SELECT 'auth', CAST(node // 2 AS BIGINT),
+                   CAST(score AS BIGINT), CAST(rk AS BIGINT)
+            FROM ta WHERE rk <= 10"""
+
+
 def _pagerank_sql(iters: int = 4) -> str:
     """Unrolled integer-ppb PageRank CTEs mirroring rayschema.graph.pagerank
     superstep for superstep (DuckDB // truncates = floor on these
@@ -404,6 +453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "record_linkage_clusters": Q.record_linkage_clusters,
         "pagerank_customer_supplier": Q.pagerank_customer_supplier,
         "triangle_parts_copurchase": Q.triangle_parts_copurchase,
+        "hits_trade_graph": Q.hits_trade_graph,
     }
 
 
@@ -3236,4 +3286,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS part_key, n_triangles,
                    CAST(rk AS BIGINT) AS rk
             FROM top WHERE rk <= 15""",
+        "hits_trade_graph": _hits_sql(2),
     }

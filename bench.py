@@ -169,6 +169,7 @@ def run_bench() -> dict:
         ("record_linkage_clusters", Q.record_linkage_clusters),
         ("pagerank_customer_supplier", Q.pagerank_customer_supplier),
         ("triangle_parts_copurchase", Q.triangle_parts_copurchase),
+        ("hits_trade_graph", Q.hits_trade_graph),
         ("order_fulfillment_latency", Q.order_fulfillment_latency),
         ("event_transition_matrix", Q.event_transition_matrix),
         ("session_path_trigrams", Q.session_path_trigrams),

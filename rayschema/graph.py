@@ -394,3 +394,148 @@ def triangle_counts(pairs, node_cap: int = NODE_BROADCAST_CAP,
 
     return (closed.groupby("node")
             .aggregate(Sum("tri", alias_name="n_triangles")))
+
+
+def hits(edges, iters: int = 2, node_cap: int = NODE_BROADCAST_CAP,
+         num_partitions: int = 32) -> pd.DataFrame:
+    """Integer-exact HITS (Kleinberg 1999, public) over a DIRECTED edge
+    Dataset (src = hub side, dst = authority side). Semantics, mirrorable
+    in unrolled SQL CTEs::
+
+        h_0(u)   = PR_INIT                                 for every src node
+        raw_a(v) = sum_{u->v} h(u)
+        a(v)     = raw_a(v) // den,  den = (max raw_a + PR_INIT - 1) // PR_INIT
+        raw_h(u) = sum_{u->v} a(v)
+        h(u)     = raw_h(u) // den_h                       (same rule)
+
+    The divide-by-ceil normalization keeps every value <= ~PR_INIT in
+    int64 — no overflow at any graph size (the textbook multiply-then-
+    divide would overflow int64 at ~10^4 nodes) — and floor division
+    makes every iteration bit-reproducible. Each half-step is ONE
+    edge-stream pass + ONE node-keyed groupby; score vectors broadcast
+    per half-step under ``node_cap`` nodes, and past the cap the same
+    half-step runs as edges ⋈ scores hash joins with a distributed
+    ``Dataset.max`` for the denominator (equality-tested against the
+    broadcast path). Returns (node, side, score) with side 'hub' for
+    src nodes and 'auth' for dst nodes."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    edges = edges.materialize()
+
+    def _side_partial(b: pa.Table) -> pa.Table:
+        us = np.unique(_np64(b.column("src")))
+        ud = np.unique(_np64(b.column("dst")))
+        return pa.table({
+            "node": pa.array(np.concatenate([us, ud])),
+            "side": pa.array(np.concatenate(
+                [np.zeros(len(us), np.int64),
+                 np.ones(len(ud), np.int64)]))})
+
+    sides = (edges.map_batches(_side_partial, batch_format="pyarrow")
+             .groupby(["node", "side"]).aggregate(Count(alias_name="_n"))
+             ).materialize()
+    n_nodes = sides.count()
+
+    def _den(mx: int) -> int:
+        return max((int(mx) + PR_INIT - 1) // PR_INIT, 1)
+
+    if n_nodes <= node_cap:
+        sd = sides.to_pandas()
+        hubs = np.sort(sd.loc[sd["side"] == 0, "node"]
+                       .to_numpy(np.int64))
+        auths = np.sort(sd.loc[sd["side"] == 1, "node"]
+                        .to_numpy(np.int64))
+        h = np.full(len(hubs), PR_INIT, dtype=np.int64)
+        a = np.zeros(len(auths), dtype=np.int64)
+
+        def _half(key_in, key_out, nodes_in, score_in, nodes_out):
+            ref = ray.put((nodes_in, score_in))
+
+            def part(b: pa.Table, _r=ref, _ki=key_in,
+                     _ko=key_out) -> pa.Table:
+                nd, sc = ray.get(_r)
+                src = _np64(b.column(_ki))
+                dst = _np64(b.column(_ko))
+                c = sc[np.searchsorted(nd, src)]
+                ud, inv = np.unique(dst, return_inverse=True)
+                return pa.table({
+                    "k": pa.array(ud),
+                    "c": pa.array(np.bincount(inv, weights=c)
+                                  .astype(np.int64))})
+
+            agg = (edges.map_batches(part, batch_format="pyarrow")
+                   .groupby("k").aggregate(Sum("c", alias_name="s"))
+                   .to_pandas())
+            raw = np.zeros(len(nodes_out), dtype=np.int64)
+            raw[np.searchsorted(nodes_out,
+                                agg["k"].to_numpy(np.int64))] = \
+                agg["s"].to_numpy(np.int64)
+            return raw // _den(raw.max())
+
+        for _ in range(iters):
+            a = _half("src", "dst", hubs, h, auths)
+            h = _half("dst", "src", auths, a, hubs)
+        return pd.DataFrame({
+            "node": np.concatenate([hubs, auths]),
+            "side": ["hub"] * len(hubs) + ["auth"] * len(auths),
+            "score": np.concatenate([h, a])})
+
+    # ---- join scale path: score vectors never touch the driver
+    hub_ds = (sides.filter(expr="side == 0").select_columns(["node"])
+              ).materialize()
+    auth_ds = (sides.filter(expr="side == 1").select_columns(["node"])
+               ).materialize()
+
+    def _with_score(ds, val: int):
+        return ds.map_batches(
+            lambda b, _v=val: b.append_column("score", pa.array(
+                np.full(len(b), _v, dtype=np.int64))),
+            batch_format="pyarrow").materialize()
+
+    def _half_join(score_ds, key_in: str, key_out: str, out_nodes_ds):
+        def part(b: pa.Table, _ko=key_out) -> pa.Table:
+            dst = _np64(b.column(_ko))
+            c = _np64(b.column("score"))
+            ud, inv = np.unique(dst, return_inverse=True)
+            return pa.table({
+                "k": pa.array(ud),
+                "c": pa.array(np.bincount(inv, weights=c)
+                              .astype(np.int64))})
+
+        agg = (edges.join(score_ds, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=(key_in,), right_on=("node",))
+               .map_batches(part, batch_format="pyarrow")
+               .groupby("k").aggregate(Sum("c", alias_name="s"))
+               ).materialize()
+        den = _den(agg.max("s"))
+        return (out_nodes_ds.join(agg, join_type="left_outer",
+                                  num_partitions=num_partitions,
+                                  on=("node",), right_on=("k",))
+                .map_batches(_fold_score, batch_format="pyarrow",
+                             fn_kwargs={"den": den})).materialize()
+
+    h_ds = _with_score(hub_ds, PR_INIT)
+    a_ds = None
+    for _ in range(iters):
+        a_ds = _half_join(h_ds, "src", "dst", auth_ds)
+        h_ds = _half_join(a_ds, "dst", "src", hub_ds)
+    hp = h_ds.to_pandas().sort_values("node")
+    ap = a_ds.to_pandas().sort_values("node")
+    return pd.DataFrame({
+        "node": np.concatenate([hp["node"].to_numpy(np.int64),
+                                ap["node"].to_numpy(np.int64)]),
+        "side": ["hub"] * len(hp) + ["auth"] * len(ap),
+        "score": np.concatenate([hp["score"].to_numpy(np.int64),
+                                 ap["score"].to_numpy(np.int64)])})
+
+
+def _fold_score(b: pa.Table, den: int = 1) -> pa.Table:
+    import pyarrow.compute as pc
+
+    s = pc.fill_null(b.column("s"), 0).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    return pa.table({"node": b.column("node"),
+                     "score": pa.array(s // den)})

@@ -10661,28 +10661,20 @@ def record_linkage_clusters(sf_dir: str):
     return cc.sort_values("doc_id").reset_index(drop=True)
 
 
-def pagerank_customer_supplier(sf_dir: str, iters: int = 4):
-    """PageRank over the customer–supplier trade graph: distinct
-    (custkey, suppkey) pairs from orders ⋈ lineitem, doubled into a
-    symmetric edge list (suppliers serving many well-connected customers
-    rank high). The iteration is rayschema.graph.pagerank — one edge-stream
-    pass + one node-keyed groupby per superstep, integer ppb fixed-point —
-    so every rank bit matches the unrolled SQL CTEs. The orderkey→custkey
-    side is adaptive (broadcast arrays under Q3_BROADCAST_CAP, Dataset.join
-    past it); pair distinct runs as ONE groupby over packed int64 pair
-    keys (c_node<<32 | s_node — documented 2^31-key assumption, same as
-    q20's packing). Emits the top-20 nodes: (node_id, node_type,
-    entity_key, pagerank, rk) with deterministic integer ties."""
+def _trade_pair_keys(sf_dir: str):
+    """Distinct customer–supplier trade pairs as packed node keys
+    (c_node<<32 | s_node with c_node = 2*custkey, s_node = 2*suppkey + 1
+    — the documented 2^31-key packing q20 uses), from orders ⋈ lineitem.
+    The orderkey→custkey side is adaptive: broadcast arrays under
+    Q3_BROADCAST_CAP (gated on parquet metadata row counts — no extra
+    execution), Dataset.join hash exchange past it. Shared by the
+    PageRank and HITS trade-graph queries."""
     import ray
-    import ray.data as rd
     from ray.data.aggregate import Count
-
-    from rayschema.graph import pagerank
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
 
-    # parquet metadata row count: picks the path without an extra execution
     n_ord = _table_rows(sf_dir, "orders")
     if n_ord is not None and n_ord <= Q3_BROADCAST_CAP:
         odf = orders.to_pandas().sort_values("o_orderkey")
@@ -10703,27 +10695,42 @@ def pagerank_customer_supplier(sf_dir: str, iters: int = 4):
             ekey = np.unique((ck * 2) << np.int64(32) | (sk * 2 + 1))
             return pa.table({"ekey": pa.array(ekey)})
 
-        pairs = (li.map_batches(pack, batch_format="pyarrow")
-                 .groupby("ekey").aggregate(Count(alias_name="_n"))
-                 .select_columns(["ekey"]))
-    else:
-        est = (li.size_bytes() or 0) + (orders.size_bytes() or 0)
-        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
-        joined = li.join(orders, join_type="inner",
-                         num_partitions=n_parts,
-                         on=("l_orderkey",), right_on=("o_orderkey",))
+        return (li.map_batches(pack, batch_format="pyarrow")
+                .groupby("ekey").aggregate(Count(alias_name="_n"))
+                .select_columns(["ekey"]))
 
-        def pack_j(b: pa.Table) -> pa.Table:
-            ck = b.column("o_custkey").to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            ekey = np.unique((ck * 2) << np.int64(32) | (sk * 2 + 1))
-            return pa.table({"ekey": pa.array(ekey)})
+    est = (li.size_bytes() or 0) + (orders.size_bytes() or 0)
+    n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+    joined = li.join(orders, join_type="inner",
+                     num_partitions=n_parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
 
-        pairs = (joined.map_batches(pack_j, batch_format="pyarrow")
-                 .groupby("ekey").aggregate(Count(alias_name="_n"))
-                 .select_columns(["ekey"]))
+    def pack_j(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ekey = np.unique((ck * 2) << np.int64(32) | (sk * 2 + 1))
+        return pa.table({"ekey": pa.array(ekey)})
+
+    return (joined.map_batches(pack_j, batch_format="pyarrow")
+            .groupby("ekey").aggregate(Count(alias_name="_n"))
+            .select_columns(["ekey"]))
+
+
+def pagerank_customer_supplier(sf_dir: str, iters: int = 4):
+    """PageRank over the customer–supplier trade graph: distinct
+    (custkey, suppkey) pairs from orders ⋈ lineitem (_trade_pair_keys),
+    doubled into a symmetric edge list (suppliers serving many
+    well-connected customers rank high). The iteration is
+    rayschema.graph.pagerank — one edge-stream pass + one node-keyed
+    groupby per superstep, integer ppb fixed-point — so every rank bit
+    matches the unrolled SQL CTEs. Emits the top-20 nodes: (node_id,
+    node_type, entity_key, pagerank, rk) with deterministic integer
+    ties."""
+    from rayschema.graph import pagerank
+
+    pairs = _trade_pair_keys(sf_dir)
 
     def unpack(b: pa.Table) -> pa.Table:
         ek = b.column("ekey").to_numpy(zero_copy_only=False) \
@@ -10835,3 +10842,41 @@ def triangle_parts_copurchase(sf_dir: str, top_n: int = 15):
         "part_key": node,
         "n_triangles": tri,
         "rk": np.arange(1, len(node) + 1, dtype=np.int64)})
+
+
+def hits_trade_graph(sf_dir: str, iters: int = 2):
+    """HITS hubs/authorities over the DIRECTED customer→supplier trade
+    graph (customers are hubs, suppliers authorities). Edges are the
+    shared _trade_pair_keys distinct pairs; the iteration is
+    rayschema.graph.hits — integer ppb scores with overflow-safe
+    divide-by-ceil normalization, ONE edge pass + ONE groupby per
+    half-step — so every score bit matches the unrolled SQL CTEs. Emits
+    the top-10 of each side: (side, entity_key, score, rk),
+    deterministic integer ties."""
+    from rayschema.graph import hits
+
+    pairs = _trade_pair_keys(sf_dir)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        ek = b.column("ekey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "src": pa.array(ek >> np.int64(32)),
+            "dst": pa.array(ek & np.int64((1 << 32) - 1))})
+
+    edges = pairs.map_batches(unpack, batch_format="pyarrow")
+    df = hits(edges, iters=iters)
+
+    outs = []
+    for side in ("hub", "auth"):
+        part = df[df["side"] == side]
+        node = part["node"].to_numpy(np.int64)
+        sc = part["score"].to_numpy(np.int64)
+        order = np.lexsort((node, -sc))[:10]
+        node, sc = node[order], sc[order]
+        outs.append(pd.DataFrame({
+            "side": side,
+            "entity_key": node // 2,
+            "score": sc,
+            "rk": np.arange(1, len(node) + 1, dtype=np.int64)}))
+    return pd.concat(outs, ignore_index=True)

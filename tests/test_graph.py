@@ -171,3 +171,70 @@ def test_triangle_counts_marker_path_matches_broadcast(ray_session):
         fast.astype({"node": np.int64, "n_triangles": np.int64}),
         _tri_ref(aa, bb).astype({"node": np.int64,
                                  "n_triangles": np.int64}))
+
+
+def _hits_ref(src, dst, iters):
+    from rayschema.graph import PR_INIT
+
+    src, dst = np.asarray(src, np.int64), np.asarray(dst, np.int64)
+    hubs = np.unique(src)
+    auths = np.unique(dst)
+    h = np.full(len(hubs), PR_INIT, dtype=np.int64)
+    si = np.searchsorted(hubs, src)
+    di = np.searchsorted(auths, dst)
+
+    def den(raw):
+        return max((int(raw.max()) + PR_INIT - 1) // PR_INIT, 1)
+
+    a = np.zeros(len(auths), np.int64)
+    for _ in range(iters):
+        raw = np.zeros(len(auths), np.int64)
+        np.add.at(raw, di, h[si])
+        a = raw // den(raw)
+        raw = np.zeros(len(hubs), np.int64)
+        np.add.at(raw, si, a[di])
+        h = raw // den(raw)
+    return pd.DataFrame({
+        "node": np.concatenate([hubs, auths]),
+        "side": ["hub"] * len(hubs) + ["auth"] * len(auths),
+        "score": np.concatenate([h, a])})
+
+
+def test_hits_planted_bipartite(ray_session):
+    from rayschema.graph import hits
+
+    # hub 0 links every auth; hubs 2,4 link one each -> 0 is the top hub,
+    # the auth linked by all three (11) the top authority
+    src = [0, 0, 0, 2, 4]
+    dst = [11, 13, 15, 11, 11]
+    out = hits(_edges_ds(src, dst), iters=2)
+    ref = _hits_ref(src, dst, 2)
+    pd.testing.assert_frame_equal(
+        out.sort_values(["side", "node"]).reset_index(drop=True),
+        ref.sort_values(["side", "node"]).reset_index(drop=True))
+    hub = out[out["side"] == "hub"].set_index("node")["score"]
+    auth = out[out["side"] == "auth"].set_index("node")["score"]
+    assert hub[0] > hub[2] and hub[0] > hub[4]
+    assert auth[11] > auth[13] and auth[11] > auth[15]
+
+
+@pytest.mark.parametrize("seed", [5, 6])
+def test_hits_join_path_and_fuzz(ray_session, seed):
+    from rayschema.graph import hits
+
+    rng = np.random.RandomState(seed)
+    n_edges = rng.randint(30, 120)
+    src = (rng.randint(0, 15, size=n_edges) * 2).astype(np.int64)
+    dst = (rng.randint(0, 12, size=n_edges) * 2 + 1).astype(np.int64)
+    # distinct edges (the contract)
+    pk = np.unique((src << np.int64(32)) | dst)
+    src, dst = pk >> np.int64(32), pk & np.int64((1 << 32) - 1)
+    a = hits(_edges_ds(src, dst), iters=2) \
+        .sort_values(["side", "node"]).reset_index(drop=True)
+    b = hits(_edges_ds(src, dst), iters=2, node_cap=0,
+             num_partitions=4) \
+        .sort_values(["side", "node"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(
+        a, _hits_ref(src, dst, 2).sort_values(["side", "node"])
+        .reset_index(drop=True))
