@@ -69,6 +69,10 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
     from ray.data.aggregate import Sum
 
     edges = edges.materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "pr": pd.Series([], dtype=np.int64)})
+
     # node universe + out-degree in ONE partial-aggregated pass: src
     # endpoints carry their batch-local count, dst endpoints a 0 marker
     # (so a dst-only node — receives, never gives — still lands a row)
@@ -423,6 +427,10 @@ def hits(edges, iters: int = 2, node_cap: int = NODE_BROADCAST_CAP,
     from ray.data.aggregate import Count, Max, Sum
 
     edges = edges.materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "side": pd.Series([], dtype=str),
+                             "score": pd.Series([], dtype=np.int64)})
 
     def _side_partial(b: pa.Table) -> pa.Table:
         us = np.unique(_np64(b.column("src")))

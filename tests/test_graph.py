@@ -238,3 +238,12 @@ def test_hits_join_path_and_fuzz(ray_session, seed):
     pd.testing.assert_frame_equal(
         a, _hits_ref(src, dst, 2).sort_values(["side", "node"])
         .reset_index(drop=True))
+
+
+def test_graph_algos_empty_edges(ray_session):
+    from rayschema.graph import hits, pagerank, triangle_counts
+
+    empty = _edges_ds([], [])
+    assert len(pagerank(empty, iters=2)) == 0
+    assert len(hits(empty, iters=2)) == 0
+    assert triangle_counts(_pairs_ds([], [])).to_pandas().empty
