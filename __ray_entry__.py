@@ -246,19 +246,21 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering: the driver's correctness window covers the FIRST 50 entries.
-    # Round-4 window (sessions 1-5): the flagship, the two early-round-4
-    # rewrites whose round-3 green rows no longer describe the shipped code
-    # (simhash now DuckDB-oracled, keep_best winner selection distributed),
-    # the 22 early-round-4 additions never checked by any round, and 25
-    # session-4/5 operators never checked by driver OR judge — led by the
-    # four whose plans were rewritten in session 5 (covariance, PCA,
-    # supplier diversity, reconciliation), then the 11 session-5 additions
-    # and 10 session-4 additions. Everything below the window has a
-    # driver-green or judge-green row from an earlier round that describes
-    # this exact code (except the two newest, value_mode_by_type and
-    # session_path_trigrams, verified at sf0.001 + sf0.01 in-session),
-    # plus dedicated pytest coverage; the full 159-oracle contract was
-    # swept green at sf0.01 this session (BASELINE.md session-5 record).
+    # Round-4 window: the flagship, the two early-round-4 rewrites whose
+    # round-3 green rows no longer describe the shipped code (simhash now
+    # DuckDB-oracled, keep_best winner selection distributed), and 47
+    # round-4 additions never checked by driver OR judge — including the
+    # 12 most complex session-6-9 operators (graph analytics pagerank/
+    # triangles/HITS, record linkage, ppjoin, edit distance, naive Bayes,
+    # TPC-H Q2/Q9/Q20/Q21, dup-mass histogram) promoted over 12 simple
+    # single-scan audits (jsonl_roundtrip, benford, MAD outliers, LOCF,
+    # throttle/out-of-order/snapshot audits, winsorize, attribution,
+    # k-anonymity, FD audit, props-extract) that rotate into round 5's
+    # window. Everything below has a driver- or judge-green row from an
+    # earlier round describing this code, or is a round-4 addition queued
+    # for the round-5 window; the full oracle contract is swept green at
+    # sf0.01 every session with the driver-identical mirror
+    # (scripts/check_correctness.py; BASELINE.md session records).
     return {
         # -- flagship (keep first) + round-4 rewrites needing a hard re-check
         "validate_documents_verdicts": Q.validate_documents_verdicts,
@@ -272,7 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_volume": Q.q5_local_supplier_volume,
         "funnel_view_purchase": Q.funnel_view_purchase,
         "decontaminate_rk_documents": Q.decontaminate_rk_documents,
-        "jsonl_roundtrip": Q.jsonl_roundtrip,
+        "dup_cluster_size_histogram": Q.dup_cluster_size_histogram,
         "event_type_cooccurrence": Q.event_type_cooccurrence,
         "bm25_scores": Q.bm25_scores,
         "weighted_sample_documents": Q.weighted_sample_documents,
@@ -284,9 +286,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_trend_slope": Q.hourly_trend_slope,
         "lang_source_residuals": Q.lang_source_residuals,
         "fuzzy_word_pairs": Q.fuzzy_word_pairs,
-        "benford_digit_audit": Q.benford_digit_audit,
-        "fd_audit_source_lang": Q.fd_audit_source_lang,
-        "value_mad_outliers": Q.value_mad_outliers,
+        "q2_best_supplier_per_part": Q.q2_best_supplier_per_part,
+        "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
+        "q20_heavy_shippers": Q.q20_heavy_shippers,
         # -- never checked by driver OR judge: session-4/5 rewrites first
         # (covariance/PCA/diversity/reconciliation were re-planned this
         # session, so no earlier green row describes the shipped code)
@@ -295,26 +297,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_supplier_diversity": Q.parts_supplier_diversity,
         "orders_reconciliation_audit": Q.orders_reconciliation_audit,
         "normalized_exact_dedup": Q.normalized_exact_dedup,
-        "winsorize_events": Q.winsorize_events,
+        "q21_sole_blocker": Q.q21_sole_blocker,
         "token_fertility_by_lang": Q.token_fertility_by_lang,
         "curriculum_bins": Q.curriculum_bins,
         "ols_value_on_hour": Q.ols_value_on_hour,
         "label_conflict_audit": Q.label_conflict_audit,
         "ab_test_value_audit": Q.ab_test_value_audit,
         "inter_event_gap_quantiles": Q.inter_event_gap_quantiles,
-        "last_touch_attribution": Q.last_touch_attribution,
-        "k_anonymity_audit": Q.k_anonymity_audit,
+        "ppjoin_near_dup_exact": Q.ppjoin_near_dup_exact,
+        "naive_bayes_langid": Q.naive_bayes_langid,
         "suggest_constraints_documents": Q.suggest_constraints_documents,
         "value_median_interp_by_type": Q.value_median_interp_by_type,
         "psi_value_drift": Q.psi_value_drift,
         "pmi_top_pairs": Q.pmi_top_pairs,
         "bigram_lm_perplexity": Q.bigram_lm_perplexity,
         "perplexity_bucket_filter": Q.perplexity_bucket_filter,
-        "events_props_extract": Q.events_props_extract,
-        "user_hourly_locf": Q.user_hourly_locf,
-        "throttled_events": Q.throttled_events,
-        "snapshot_diff_documents": Q.snapshot_diff_documents,
-        "out_of_order_events": Q.out_of_order_events,
+        "edit_distance_pairs_documents": Q.edit_distance_pairs_documents,
+        "record_linkage_clusters": Q.record_linkage_clusters,
+        "pagerank_customer_supplier": Q.pagerank_customer_supplier,
+        "triangle_parts_copurchase": Q.triangle_parts_copurchase,
+        "hits_trade_graph": Q.hits_trade_graph,
         # -- below the 50-slot window: driver-green or judge-green rows
         # from earlier rounds describe this exact code
         "tfidf_top_term": Q.tfidf_top_term,
@@ -442,18 +444,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_pareto_share": Q.revenue_pareto_share,
         "langid_confusion_matrix": Q.langid_confusion_matrix,
         "churned_users_by_last_event": Q.churned_users_by_last_event,
-        "dup_cluster_size_histogram": Q.dup_cluster_size_histogram,
-        "q2_best_supplier_per_part": Q.q2_best_supplier_per_part,
-        "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
-        "q20_heavy_shippers": Q.q20_heavy_shippers,
-        "q21_sole_blocker": Q.q21_sole_blocker,
-        "ppjoin_near_dup_exact": Q.ppjoin_near_dup_exact,
-        "naive_bayes_langid": Q.naive_bayes_langid,
-        "edit_distance_pairs_documents": Q.edit_distance_pairs_documents,
-        "record_linkage_clusters": Q.record_linkage_clusters,
-        "pagerank_customer_supplier": Q.pagerank_customer_supplier,
-        "triangle_parts_copurchase": Q.triangle_parts_copurchase,
-        "hits_trade_graph": Q.hits_trade_graph,
+        "jsonl_roundtrip": Q.jsonl_roundtrip,
+        "benford_digit_audit": Q.benford_digit_audit,
+        "fd_audit_source_lang": Q.fd_audit_source_lang,
+        "value_mad_outliers": Q.value_mad_outliers,
+        "winsorize_events": Q.winsorize_events,
+        "last_touch_attribution": Q.last_touch_attribution,
+        "k_anonymity_audit": Q.k_anonymity_audit,
+        "events_props_extract": Q.events_props_extract,
+        "user_hourly_locf": Q.user_hourly_locf,
+        "throttled_events": Q.throttled_events,
+        "snapshot_diff_documents": Q.snapshot_diff_documents,
+        "out_of_order_events": Q.out_of_order_events,
     }
 
 
