@@ -203,6 +203,45 @@ def _pagerank_sql(iters: int = 4) -> str:
                    CAST(rk AS BIGINT) AS rk
             FROM top WHERE rk <= 20"""
 
+def _lpa_sql(iters: int = 3) -> str:
+    """Unrolled label-propagation CTEs mirroring
+    rayschema.graph.label_propagation superstep for superstep: the
+    (count desc, label asc) winner is ONE integer max over the packed
+    key n * 2^32 + (2^32 - 1 - label), exactly as the Ray path packs it
+    (symmetric trade edges: every node has in-edges, so the inner join
+    is the keep-old-label rule's no-op case)."""
+    ctes = ["""pairs AS (
+              SELECT DISTINCT o.o_custkey * 2 AS c_node,
+                              l.l_suppkey * 2 + 1 AS s_node
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey)""",
+            """edges AS (SELECT c_node AS src, s_node AS dst FROM pairs
+                      UNION ALL SELECT s_node, c_node FROM pairs)""",
+            """lab0 AS (SELECT src AS node, src AS lab
+                     FROM edges GROUP BY src)"""]
+    for t in range(iters):
+        ctes.append(f"""lab{t + 1} AS (
+              SELECT node, 4294967295 - (max(key) % 4294967296) AS lab
+              FROM (SELECT e.dst AS node,
+                           count(*)::BIGINT * 4294967296
+                             + (4294967295 - l.lab) AS key
+                    FROM edges e JOIN lab{t} l ON l.node = e.src
+                    GROUP BY e.dst, l.lab)
+              GROUP BY node)""")
+    return f"""
+            WITH {','.join(ctes)},
+            sizes AS (SELECT lab, count(*)::BIGINT AS n_members
+                      FROM lab{iters} GROUP BY lab),
+            top AS (SELECT lab, n_members,
+                           row_number() OVER (ORDER BY n_members DESC,
+                                              lab) AS rk
+                    FROM sizes)
+            SELECT CAST(lab AS BIGINT) AS community_id,
+                   CAST(n_members AS BIGINT) AS n_members,
+                   CAST(rk AS BIGINT) AS rk
+            FROM top WHERE rk <= 20"""
+
+
 # Per-subspace final assignment for the PQ oracle: code + integer
 # squared-euclidean quantization error against the trained c2 centroids.
 _PQ_SUBSPACES = 4
@@ -456,6 +495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "throttled_events": Q.throttled_events,
         "snapshot_diff_documents": Q.snapshot_diff_documents,
         "out_of_order_events": Q.out_of_order_events,
+        "lpa_communities_trade": Q.lpa_communities_trade,
     }
 
 
@@ -3289,4 +3329,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rk AS BIGINT) AS rk
             FROM top WHERE rk <= 15""",
         "hits_trade_graph": _hits_sql(2),
+        "lpa_communities_trade": _lpa_sql(3),
     }

@@ -547,3 +547,128 @@ def _fold_score(b: pa.Table, den: int = 1) -> pa.Table:
         .astype(np.int64)
     return pa.table({"node": b.column("node"),
                      "score": pa.array(s // den)})
+
+
+M32 = np.int64((1 << 32) - 1)   # packed-key label mask (ids must fit 31 bits)
+
+
+def label_propagation(edges, iters: int = 3,
+                      node_cap: int = NODE_BROADCAST_CAP,
+                      num_partitions: int = 32) -> pd.DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, public) over an
+    edge Dataset (src, dst int64), made bit-deterministic so the whole
+    iteration mirrors verbatim into unrolled SQL CTEs:
+
+        lab_0(v)     = v
+        lab_{t+1}(v) = the label with the highest count among
+                       {lab_t(u) : u -> v}, smallest label on ties;
+                       a node with no in-edges keeps lab_t(v)
+
+    The (count-max, label-min) argmax is ONE integer Max per node: each
+    (node, label, n) row packs ``n * 2^32 + (2^32 - 1 - label)`` and
+    ``max`` of that key recovers the winning label exactly — the same
+    trick DuckDB can run keyword for keyword. Requires node ids < 2^31
+    and per-(node,label) in-counts < 2^31 (both documented bounds shared
+    with the module's other packed keys).
+
+    Each superstep is one edge-stream pass (per-batch partial counts on
+    the packed (dst, label) key), one (pk) groupby.Sum and one (dst)
+    groupby.Max — no O(edges) state anywhere. Under ``node_cap`` nodes
+    the label vector broadcasts via ONE ``ray.put`` per superstep; past
+    the cap the identical superstep runs as edges ⋈ labels hash joins
+    with a left-outer fold back onto the node universe (equality-tested
+    against the broadcast path). Returns pandas (node, label)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Sum
+
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                             "label": pd.Series([], dtype=np.int64)})
+
+    def _node_partial(b: pa.Table) -> pa.Table:
+        u = np.unique(np.concatenate([_np64(b.column("src")),
+                                      _np64(b.column("dst"))]))
+        return pa.table({"node": pa.array(u)})
+
+    nodes_ds = (edges.map_batches(_node_partial, batch_format="pyarrow")
+                .groupby("node").aggregate(Count(alias_name="_n"))
+                .select_columns(["node"])).materialize()
+    n_nodes = nodes_ds.count()
+
+    def _unpack_votes(b: pa.Table) -> pa.Table:
+        pk = _np64(b.column("pk"))
+        n = _np64(b.column("n"))
+        lab = pk & M32
+        return pa.table({
+            "dst": pa.array(pk >> np.int64(32)),
+            "key": pa.array((n << np.int64(32)) | (M32 - lab))})
+
+    if n_nodes <= node_cap:
+        nodes = nodes_ds.to_pandas()["node"].to_numpy(np.int64)
+        nodes.sort()
+        lab = nodes.copy()
+        for _ in range(iters):
+            ref = ray.put((nodes, lab))
+
+            def votes(b: pa.Table, _r=ref) -> pa.Table:
+                nd, lb = ray.get(_r)
+                s, d = _np64(b.column("src")), _np64(b.column("dst"))
+                ls = lb[np.searchsorted(nd, s)]
+                pk, n = np.unique((d << np.int64(32)) | ls,
+                                  return_counts=True)
+                return pa.table({"pk": pa.array(pk),
+                                 "n": pa.array(n.astype(np.int64))})
+
+            agg = (edges.map_batches(votes, batch_format="pyarrow")
+                   .groupby("pk").aggregate(Sum("n", alias_name="n"))
+                   .map_batches(_unpack_votes, batch_format="pyarrow")
+                   .groupby("dst").aggregate(Max("key", alias_name="k"))
+                   .to_pandas())
+            new = lab.copy()
+            pos = np.searchsorted(nodes, agg["dst"].to_numpy(np.int64))
+            new[pos] = M32 - (agg["k"].to_numpy(np.int64) & M32)
+            lab = new
+        return pd.DataFrame({"node": nodes, "label": lab})
+
+    # ---- join scale path: the label vector never touches the driver
+    lab_ds = nodes_ds.map_batches(
+        lambda b: b.append_column("label", b.column("node")),
+        batch_format="pyarrow").materialize()
+    for _ in range(iters):
+        def votes_j(b: pa.Table) -> pa.Table:
+            d = _np64(b.column("dst"))
+            ls = _np64(b.column("label"))
+            pk, n = np.unique((d << np.int64(32)) | ls,
+                              return_counts=True)
+            return pa.table({"pk": pa.array(pk),
+                             "n": pa.array(n.astype(np.int64))})
+
+        agg = (edges.join(lab_ds, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("src",), right_on=("node",))
+               .map_batches(votes_j, batch_format="pyarrow")
+               .groupby("pk").aggregate(Sum("n", alias_name="n"))
+               .map_batches(_unpack_votes, batch_format="pyarrow")
+               .groupby("dst").aggregate(Max("key", alias_name="k")))
+        lab_ds = (lab_ds.join(agg, join_type="left_outer",
+                              num_partitions=num_partitions,
+                              on=("node",), right_on=("dst",))
+                  .map_batches(_fold_label, batch_format="pyarrow")
+                  ).materialize()
+    return (lab_ds.to_pandas().sort_values("node")
+            .reset_index(drop=True))
+
+
+def _fold_label(b: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    k = b.column("k")
+    won = pc.is_valid(k).to_numpy(zero_copy_only=False)
+    kv = pc.fill_null(k, 0).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    old = _np64(b.column("label"))
+    return pa.table({
+        "node": b.column("node"),
+        "label": pa.array(np.where(won, M32 - (kv & M32), old))})

@@ -10880,3 +10880,39 @@ def hits_trade_graph(sf_dir: str, iters: int = 2):
             "score": sc,
             "rk": np.arange(1, len(node) + 1, dtype=np.int64)}))
     return pd.concat(outs, ignore_index=True)
+
+
+def lpa_communities_trade(sf_dir: str, iters: int = 3):
+    """Community detection by synchronous label propagation over the
+    symmetric customer–supplier trade graph (same _trade_pair_keys edges
+    as pagerank). The iteration is rayschema.graph.label_propagation —
+    per superstep ONE edge-stream pass of packed (dst, label) vote
+    partials, one Sum groupby and one packed-key Max groupby, with the
+    deterministic (count desc, label asc) winner — so every label bit
+    matches the unrolled SQL CTEs. Emits the top-20 communities by size:
+    (community_id, n_members, rk) with deterministic integer ties."""
+    from rayschema.graph import label_propagation
+
+    pairs = _trade_pair_keys(sf_dir)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        ek = b.column("ekey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c, s = ek >> np.int64(32), ek & np.int64((1 << 32) - 1)
+        return pa.table({
+            "src": pa.array(np.concatenate([c, s])),
+            "dst": pa.array(np.concatenate([s, c]))})
+
+    edges = pairs.map_batches(unpack, batch_format="pyarrow")
+    lp = label_propagation(edges, iters=iters)
+
+    # community sizes over the node-count-bounded label vector (O(nodes)
+    # driver state, the same bound the label broadcast already requires)
+    lab, cnt = np.unique(lp["label"].to_numpy(np.int64),
+                         return_counts=True)
+    order = np.lexsort((lab, -cnt))[:20]
+    lab, cnt = lab[order], cnt[order].astype(np.int64)
+    return pd.DataFrame({
+        "community_id": lab,
+        "n_members": cnt,
+        "rk": np.arange(1, len(lab) + 1, dtype=np.int64)})

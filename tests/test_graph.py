@@ -247,3 +247,81 @@ def test_graph_algos_empty_edges(ray_session):
     assert len(pagerank(empty, iters=2)) == 0
     assert len(hits(empty, iters=2)) == 0
     assert triangle_counts(_pairs_ds([], [])).to_pandas().empty
+
+
+def _lpa_ref(src, dst, iters):
+    """Driver-side mirror of the documented LPA recurrence."""
+    src, dst = np.asarray(src, np.int64), np.asarray(dst, np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    lab = {int(n): int(n) for n in nodes}
+    for _ in range(iters):
+        votes = {}
+        for u, v in zip(src, dst):
+            d = votes.setdefault(int(v), {})
+            d[lab[int(u)]] = d.get(lab[int(u)], 0) + 1
+        new = dict(lab)
+        for v, d in votes.items():
+            new[v] = max(d.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+        lab = new
+    return pd.DataFrame({"node": nodes,
+                         "label": np.array([lab[int(n)] for n in nodes],
+                                           dtype=np.int64)})
+
+
+def test_lpa_two_cliques_with_bridge(ray_session):
+    from rayschema.graph import label_propagation
+
+    # two 4-cliques {0..3} and {10..13} joined by one bridge edge 3-10:
+    # after a few rounds each clique converges to its min node id
+    def clique(ns):
+        ns = np.asarray(ns, np.int64)
+        i, j = np.meshgrid(ns, ns)
+        m = i != j
+        return i[m], j[m]
+    s1, d1 = clique([0, 1, 2, 3])
+    s2, d2 = clique([10, 11, 12, 13])
+    src = np.concatenate([s1, s2, [3, 10]])
+    dst = np.concatenate([d1, d2, [10, 3]])
+    out = label_propagation(_edges_ds(src, dst), iters=4) \
+        .sort_values("node").reset_index(drop=True)
+    ref = _lpa_ref(src, dst, 4)
+    pd.testing.assert_frame_equal(out, ref)
+    assert set(out.loc[out["node"] <= 3, "label"]) == {0}
+    assert set(out.loc[out["node"] >= 10, "label"]) == {10}
+
+
+def test_lpa_keeps_label_without_in_edges(ray_session):
+    from rayschema.graph import label_propagation
+
+    # directed 5 -> 6: node 5 has no in-edges and must keep label 5
+    out = label_propagation(_edges_ds([5], [6]), iters=3) \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, _lpa_ref([5], [6], 3))
+    assert out.loc[out["node"] == 5, "label"].iloc[0] == 5
+    assert out.loc[out["node"] == 6, "label"].iloc[0] == 5
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_lpa_join_path_and_fuzz(ray_session, seed):
+    from rayschema.graph import label_propagation
+
+    rng = np.random.default_rng(seed)
+    m = 120
+    src = rng.integers(0, 25, size=m).astype(np.int64)
+    dst = rng.integers(0, 25, size=m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    bc = label_propagation(_edges_ds(src, dst), iters=3) \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, _lpa_ref(src, dst, 3))
+    # node_cap=0 forces the edges-join-labels scale path: bit-identical
+    jn = label_propagation(_edges_ds(src, dst), iters=3, node_cap=0,
+                           num_partitions=4) \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(jn, bc)
+
+
+def test_lpa_empty_edges(ray_session):
+    from rayschema.graph import label_propagation
+
+    assert len(label_propagation(_edges_ds([], []), iters=2)) == 0
