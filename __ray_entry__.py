@@ -242,6 +242,47 @@ def _lpa_sql(iters: int = 3) -> str:
             FROM top WHERE rk <= 20"""
 
 
+def _kcore_sql(k: int = 12, rounds: int = 3) -> str:
+    """Unrolled bounded k-core peel mirroring rayschema.graph.kcore round
+    for round: in-degree over edges whose BOTH endpoints survive, >= k
+    cut, final induced degree (zero-induced-degree survivors drop on
+    both sides)."""
+    ctes = ["""pairs AS (
+              SELECT DISTINCT o.o_custkey * 2 AS c_node,
+                              l.l_suppkey * 2 + 1 AS s_node
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey)""",
+            """edges AS (SELECT c_node AS src, s_node AS dst FROM pairs
+                      UNION ALL SELECT s_node, c_node FROM pairs)""",
+            """alive0 AS (SELECT src AS node FROM edges GROUP BY src)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""alive{r} AS (
+              SELECT e.dst AS node
+              FROM edges e
+              JOIN alive{r - 1} a ON a.node = e.src
+              JOIN alive{r - 1} b ON b.node = e.dst
+              GROUP BY e.dst
+              HAVING count(*) >= {int(k)})""")
+    return f"""
+            WITH {','.join(ctes)},
+            final AS (SELECT e.dst AS node, count(*)::BIGINT AS core_deg
+                      FROM edges e
+                      JOIN alive{rounds} a ON a.node = e.src
+                      JOIN alive{rounds} b ON b.node = e.dst
+                      GROUP BY e.dst),
+            top AS (SELECT node, core_deg,
+                           row_number() OVER (ORDER BY core_deg DESC,
+                                              node) AS rk
+                    FROM final)
+            SELECT CAST(node AS BIGINT) AS node_id,
+                   CASE WHEN node % 2 = 0 THEN 'customer'
+                        ELSE 'supplier' END AS node_type,
+                   CAST(node // 2 AS BIGINT) AS entity_key,
+                   CAST(core_deg AS BIGINT) AS core_deg,
+                   CAST(rk AS BIGINT) AS rk
+            FROM top WHERE rk <= 20"""
+
+
 # Per-subspace final assignment for the PQ oracle: code + integer
 # squared-euclidean quantization error against the trained c2 centroids.
 _PQ_SUBSPACES = 4
@@ -496,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_documents": Q.snapshot_diff_documents,
         "out_of_order_events": Q.out_of_order_events,
         "lpa_communities_trade": Q.lpa_communities_trade,
+        "kcore_trade_graph": Q.kcore_trade_graph,
     }
 
 
@@ -3330,4 +3372,5 @@ def oracle_sql() -> dict[str, str]:
             FROM top WHERE rk <= 15""",
         "hits_trade_graph": _hits_sql(2),
         "lpa_communities_trade": _lpa_sql(3),
+        "kcore_trade_graph": _kcore_sql(12, 3),
     }

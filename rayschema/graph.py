@@ -672,3 +672,117 @@ def _fold_label(b: pa.Table) -> pa.Table:
     return pa.table({
         "node": b.column("node"),
         "label": pa.array(np.where(won, M32 - (kv & M32), old))})
+
+
+def kcore(edges, k: int, rounds: int = 3,
+          node_cap: int = NODE_BROADCAST_CAP,
+          num_partitions: int = 32) -> pd.DataFrame:
+    """Bounded-round k-core peeling (Seidman 1983 / Batagelj–Zaveršnik,
+    public) over an edge Dataset (src, dst int64; emit both directions
+    for an undirected graph). The round count is part of the operator's
+    contract so the whole run mirrors verbatim into unrolled SQL CTEs
+    (unbounded fixpoint peeling is not expressible in one ANSI query)::
+
+        alive_0 = every node that appears as a src
+        deg_r(v)  = |{u -> v : u, v both in alive_{r-1}}|
+        alive_r   = {v : deg_r(v) >= k}          for r = 1..rounds
+        output    = (v, core_deg) for v in alive_rounds, core_deg the
+                    in-degree over the alive_rounds-induced subgraph
+                    (a survivor whose induced in-degree is zero is
+                    dropped — both paths and the SQL mirror agree)
+
+    (On the symmetric graphs this module targets, src-universe = node
+    universe and in-degree = degree; peeling converges in <= rounds
+    supersteps whenever the cascade is that shallow, making the bounded
+    answer the true k-core.)
+
+    Each round is one edge-stream pass: per-batch partial in-degree
+    counts over edges whose BOTH endpoints survive, one groupby.Sum and
+    a >= k cut. Under ``node_cap`` nodes the alive set broadcasts as a
+    sorted id array via ONE ``ray.put`` per round; past the cap the
+    same round runs as edges semi-joined against the alive Dataset on
+    src then dst (equality-tested against the broadcast path), so the
+    membership vector never touches the driver. Returns pandas
+    (node, core_deg) sorted by node."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    empty = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                          "core_deg": pd.Series([], dtype=np.int64)})
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return empty
+
+    nodes_ds = (edges.groupby("src").aggregate(Count(alias_name="_n"))
+                .select_columns(["src"])).materialize()
+    n_nodes = nodes_ds.count()
+
+    if n_nodes <= node_cap:
+        alive = np.sort(nodes_ds.to_pandas()["src"].to_numpy(np.int64))
+
+        def _deg(alive_arr: np.ndarray) -> pd.DataFrame:
+            ref = ray.put(alive_arr)
+
+            def part(b: pa.Table, _r=ref) -> pa.Table:
+                av = ray.get(_r)
+                s, d = _np64(b.column("src")), _np64(b.column("dst"))
+                if not len(av):
+                    keep = np.zeros(len(s), dtype=bool)
+                else:
+                    ps = np.minimum(np.searchsorted(av, s), len(av) - 1)
+                    pd_ = np.minimum(np.searchsorted(av, d), len(av) - 1)
+                    keep = (av[ps] == s) & (av[pd_] == d)
+                ud, cnt = np.unique(d[keep], return_counts=True)
+                return pa.table({"node": pa.array(ud),
+                                 "dp": pa.array(cnt.astype(np.int64))})
+
+            return (edges.map_batches(part, batch_format="pyarrow")
+                    .groupby("node").aggregate(Sum("dp", alias_name="deg"))
+                    .to_pandas())
+
+        for _ in range(rounds):
+            dd = _deg(alive)
+            alive = np.sort(dd.loc[dd["deg"] >= k, "node"]
+                            .to_numpy(np.int64))
+            if not len(alive):
+                return empty
+        out = _deg(alive)   # both-endpoints-alive filter: node set ⊆ alive
+        return (out.rename(columns={"deg": "core_deg"})
+                .sort_values("node").reset_index(drop=True))
+
+    # ---- join scale path: the alive set never touches the driver
+    alive_ds = nodes_ds.materialize()
+
+    def _deg_ds(alive_in):
+        surv = (edges.join(alive_in, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("src",), right_on=("src",),
+                           right_suffix="_a")
+                .join(alive_in.map_batches(
+                    lambda b: b.rename_columns(["node"]),
+                    batch_format="pyarrow"),
+                    join_type="inner", num_partitions=num_partitions,
+                    on=("dst",), right_on=("node",)))
+
+        def part(b: pa.Table) -> pa.Table:
+            ud, cnt = np.unique(_np64(b.column("dst")),
+                                return_counts=True)
+            return pa.table({"node": pa.array(ud),
+                             "dp": pa.array(cnt.astype(np.int64))})
+
+        return (surv.map_batches(part, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("dp", alias_name="deg"))
+                ).materialize()
+
+    for _ in range(rounds):
+        deg_ds = _deg_ds(alive_ds)
+        alive_ds = (deg_ds.filter(expr=f"deg >= {int(k)}")
+                    .select_columns(["node"])
+                    .map_batches(lambda b: b.rename_columns(["src"]),
+                                 batch_format="pyarrow")).materialize()
+        if alive_ds.count() == 0:
+            return empty
+    out = _deg_ds(alive_ds).to_pandas()
+    return (out.rename(columns={"deg": "core_deg"})
+            .sort_values("node").reset_index(drop=True))

@@ -10916,3 +10916,38 @@ def lpa_communities_trade(sf_dir: str, iters: int = 3):
         "community_id": lab,
         "n_members": cnt,
         "rk": np.arange(1, len(lab) + 1, dtype=np.int64)})
+
+
+def kcore_trade_graph(sf_dir: str, k: int = 12, rounds: int = 3):
+    """k-core of the symmetric customer–supplier trade graph: bounded
+    peel via rayschema.graph.kcore — per round ONE edge-stream pass of
+    both-endpoints-alive in-degree partials plus a groupby.Sum and a
+    >= k cut, alive set broadcast under the node cap / semi-joined past
+    it. Emits the top-20 surviving nodes by induced degree:
+    (node_id, node_type, entity_key, core_deg, rk), deterministic
+    integer ties."""
+    from rayschema.graph import kcore
+
+    pairs = _trade_pair_keys(sf_dir)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        ek = b.column("ekey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c, s = ek >> np.int64(32), ek & np.int64((1 << 32) - 1)
+        return pa.table({
+            "src": pa.array(np.concatenate([c, s])),
+            "dst": pa.array(np.concatenate([s, c]))})
+
+    edges = pairs.map_batches(unpack, batch_format="pyarrow")
+    core = kcore(edges, k=k, rounds=rounds)
+
+    node = core["node"].to_numpy(np.int64)
+    deg = core["core_deg"].to_numpy(np.int64)
+    order = np.lexsort((node, -deg))[:20]
+    node, deg = node[order], deg[order]
+    return pd.DataFrame({
+        "node_id": node,
+        "node_type": np.where(node % 2 == 0, "customer", "supplier"),
+        "entity_key": node // 2,
+        "core_deg": deg,
+        "rk": np.arange(1, len(node) + 1, dtype=np.int64)})

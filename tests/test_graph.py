@@ -325,3 +325,75 @@ def test_lpa_empty_edges(ray_session):
     from rayschema.graph import label_propagation
 
     assert len(label_propagation(_edges_ds([], []), iters=2)) == 0
+
+
+def _kcore_ref(src, dst, k, rounds):
+    """Driver-side numpy mirror of the documented bounded peel."""
+    src, dst = np.asarray(src, np.int64), np.asarray(dst, np.int64)
+    alive = np.unique(src)
+
+    def deg(a):
+        m = np.isin(src, a) & np.isin(dst, a)
+        return np.unique(dst[m], return_counts=True)
+
+    for _ in range(rounds):
+        nd, dg = deg(alive)
+        alive = nd[dg >= k]
+    nd, dg = deg(alive)
+    return pd.DataFrame({"node": nd, "core_deg": dg.astype(np.int64)})
+
+
+def _sym(src, dst):
+    src, dst = np.asarray(src, np.int64), np.asarray(dst, np.int64)
+    return np.concatenate([src, dst]), np.concatenate([dst, src])
+
+
+def test_kcore_cascade_planted(ray_session):
+    from rayschema.graph import kcore
+
+    # 4-clique {0..3} + a pendant chain 3-4, 4-5: k=2 peels 5 in round 1,
+    # THEN 4 in round 2 (its degree drops to 1 only after 5 dies) — a
+    # genuine multi-round cascade; the clique survives with degree 3
+    s, d = _sym([0, 0, 0, 1, 1, 2, 3, 4], [1, 2, 3, 2, 3, 3, 4, 5])
+    out = kcore(_edges_ds(s, d), k=2, rounds=3)
+    ref = _kcore_ref(s, d, 2, 3)
+    pd.testing.assert_frame_equal(out, ref)
+    assert set(out["node"]) == {0, 1, 2, 3}
+    assert set(out["core_deg"]) == {3}
+    # one round is NOT enough: node 4 still alive after round 1
+    partial = kcore(_edges_ds(s, d), k=2, rounds=1)
+    assert set(partial["node"]) == {0, 1, 2, 3, 4}
+
+
+def test_kcore_whole_graph_peels_to_empty(ray_session):
+    from rayschema.graph import kcore
+
+    s, d = _sym([0, 1], [1, 2])     # path graph: max degree 2 < k=3
+    out = kcore(_edges_ds(s, d), k=3, rounds=2)
+    assert len(out) == 0
+    assert list(out.columns) == ["node", "core_deg"]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_kcore_join_path_and_fuzz(ray_session, seed):
+    from rayschema.graph import kcore
+
+    rng = np.random.default_rng(seed)
+    m = 150
+    a = rng.integers(0, 30, size=m).astype(np.int64)
+    b = rng.integers(0, 30, size=m).astype(np.int64)
+    keep = a != b
+    pk = np.unique((np.minimum(a, b)[keep] << np.int64(32))
+                   | np.maximum(a, b)[keep])
+    s, d = _sym(pk >> np.int64(32), pk & np.int64((1 << 32) - 1))
+    bc = kcore(_edges_ds(s, d), k=4, rounds=3)
+    pd.testing.assert_frame_equal(bc, _kcore_ref(s, d, 4, 3))
+    jn = kcore(_edges_ds(s, d), k=4, rounds=3, node_cap=0,
+               num_partitions=4)
+    pd.testing.assert_frame_equal(jn, bc)
+
+
+def test_kcore_empty_edges(ray_session):
+    from rayschema.graph import kcore
+
+    assert len(kcore(_edges_ds([], []), k=2, rounds=2)) == 0
