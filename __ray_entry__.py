@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "out_of_order_events": Q.out_of_order_events,
         "lpa_communities_trade": Q.lpa_communities_trade,
         "kcore_trade_graph": Q.kcore_trade_graph,
+        "value_gini_by_type": Q.value_gini_by_type,
     }
 
 
@@ -3373,4 +3374,21 @@ def oracle_sql() -> dict[str, str]:
         "hits_trade_graph": _hits_sql(2),
         "lpa_communities_trade": _lpa_sql(3),
         "kcore_trade_graph": _kcore_sql(12, 3),
+        "value_gini_by_type": """
+            WITH x AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events),
+            r AS (SELECT event_type, cents,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY cents) AS rk
+                  FROM x),
+            g AS (SELECT event_type, count(*)::BIGINT AS n,
+                         sum(cents) AS s, sum(rk * cents) AS s1
+                  FROM r GROUP BY event_type)
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(s AS BIGINT) AS sum_cents,
+                   CAST((1000000 * (2 * s1 - (n + 1) * s)) // (n * s)
+                        AS BIGINT) AS gini_ppm
+            FROM g ORDER BY event_type""",
     }

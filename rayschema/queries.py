@@ -10951,3 +10951,55 @@ def kcore_trade_graph(sf_dir: str, k: int = 12, rounds: int = 3):
         "entity_key": node // 2,
         "core_deg": deg,
         "rk": np.arange(1, len(node) + 1, dtype=np.int64)})
+
+
+def value_gini_by_type(sf_dir: str):
+    """Gini concentration of event value per event_type, integer-exact:
+    ONE map_batches pass folds per-batch (event_type, cents) histogram
+    partials, one groupby.Sum merges them, and the closed form over the
+    value histogram gives the exact rank-weighted sum without a global
+    sort — a cents bucket with count c and e smaller-valued rows in its
+    type contributes v * (c*e + c*(c+1)/2) to S1 = sum(rank*value), the
+    same value row_number() produces for ANY tie order (equal values
+    swap ranks without changing the sum). gini_ppm =
+    floor(1e6 * (2*S1 - (n+1)*S) / (n*S)), computed in Python
+    arbitrary-precision ints from per-type (n, S, S1) — the histogram
+    fold is O(distinct (type, cents)) driver state, bounded by the
+    VALUE DOMAIN (cents spread), not the dataset size; per-element
+    int64 products bound exactness at ~4e8 rows/type at these value
+    scales (the SQL mirror widens to HUGEINT). Emits one row per type:
+    (event_type, n_events, sum_cents, gini_ppm)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pandas(),
+            "cents": _cents(b.column("value").to_numpy(
+                zero_copy_only=False))})
+        g = df.groupby(["event_type", "cents"], as_index=False).size()
+        return pa.table({"event_type": pa.array(g["event_type"]),
+                         "cents": pa.array(g["cents"].to_numpy(np.int64)),
+                         "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    hist = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())          # domain-bounded: <= types x cents-domain
+
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("cents")
+        v = g["cents"].to_numpy(np.int64)
+        c = g["n"].to_numpy(np.int64)
+        e = np.cumsum(c) - c
+        n = int(c.sum())
+        s = int((v * c).sum())
+        s1 = int((v * (c * e + c * (c + 1) // 2)).sum())
+        gini_ppm = (1_000_000 * (2 * s1 - (n + 1) * s)) // (n * s)
+        rows.append((et, n, s, int(gini_ppm)))
+    return pd.DataFrame(rows, columns=["event_type", "n_events",
+                                       "sum_cents", "gini_ppm"]) \
+        .astype({"n_events": np.int64, "sum_cents": np.int64,
+                 "gini_ppm": np.int64})

@@ -2970,3 +2970,45 @@ def test_naive_bayes_langid_planted(ray_session, tmp_path):
          for r in out.itertuples(index=False)}
     assert m.get(("en", "en"), 0) >= 1     # "cat cat"
     assert m.get(("fr", "fr"), 0) >= 1     # "chat"
+
+
+def test_value_gini_by_type_planted_and_fuzz(ray_session, tmp_path):
+    """Equal values -> gini 0; one-holder concentration -> the exact
+    closed form; randomized histogram fold matches a naive row_number
+    rank-sum computed in arbitrary-precision ints."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import value_gini_by_type
+
+    rng = np.random.default_rng(7)
+    # eq: 40 equal values. conc: n=50, 49 hold 1 cent, one holds 951.
+    # fz: random cents with heavy ties across batches.
+    vals = {"eq": np.full(40, 2.50),
+            "conc": np.concatenate([np.full(49, 0.01), [9.51]]),
+            "fz": rng.integers(1, 40, size=300) / 100.0}
+    et = np.concatenate([[k] * len(v) for k, v in vals.items()])
+    vv = np.concatenate(list(vals.values()))
+    n = len(vv)
+    ts = np.arange(n, dtype=np.int64) * 1_000_000
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(et),
+        "value": pa.array(vv),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = value_gini_by_type(str(tmp_path)).set_index("event_type")
+
+    def ref_gini(v):
+        c = np.sort(np.round(np.asarray(v) * 100).astype(np.int64))
+        nn, s = len(c), int(c.sum())
+        s1 = sum(int(i + 1) * int(x) for i, x in enumerate(c))
+        return (1_000_000 * (2 * s1 - (nn + 1) * s)) // (nn * s)
+
+    assert got.loc["eq", "gini_ppm"] == 0
+    for k, v in vals.items():
+        assert got.loc[k, "gini_ppm"] == ref_gini(v), k
+        assert got.loc[k, "n_events"] == len(v)
+    # one-holder closed form: G = (n-1)/n - 2*(n-1)*s_small/(n*S) exact
+    assert got.loc["conc", "gini_ppm"] == ref_gini(vals["conc"])
