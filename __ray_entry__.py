@@ -539,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities_trade": Q.lpa_communities_trade,
         "kcore_trade_graph": Q.kcore_trade_graph,
         "value_gini_by_type": Q.value_gini_by_type,
+        "assortativity_trade_graph": Q.assortativity_trade_graph,
     }
 
 
@@ -3391,4 +3392,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * (2 * s1 - (n + 1) * s)) // (n * s)
                         AS BIGINT) AS gini_ppm
             FROM g ORDER BY event_type""",
+        "assortativity_trade_graph": """
+            WITH pairs AS (
+              SELECT DISTINCT o.o_custkey * 2 AS c_node,
+                              l.l_suppkey * 2 + 1 AS s_node
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey),
+            edges AS (SELECT c_node AS src, s_node AS dst FROM pairs
+                      UNION ALL SELECT s_node, c_node FROM pairs),
+            deg AS (SELECT src AS node, count(*)::BIGINT AS deg
+                    FROM edges GROUP BY src),
+            mm AS (SELECT count(*)::BIGINT AS m,
+                          sum(d1.deg * d2.deg)::BIGINT AS sjk,
+                          sum(d1.deg)::BIGINT AS sj,
+                          sum(d1.deg * d1.deg)::BIGINT AS sj2
+                   FROM edges e
+                   JOIN deg d1 ON d1.node = e.src
+                   JOIN deg d2 ON d2.node = e.dst)
+            SELECT m AS n_edges, sjk AS sum_jk, sj AS sum_j,
+                   sj2 AS sum_j2,
+                   (m * sjk - sj * sj) AS assort_num,
+                   (m * sj2 - sj * sj) AS assort_den,
+                   CAST(CASE WHEN m * sj2 - sj * sj = 0 THEN 0
+                        ELSE (1000000::HUGEINT * (m * sjk - sj * sj))
+                             // (m * sj2 - sj * sj) END
+                        AS BIGINT) AS r_ppm
+            FROM mm""",
     }

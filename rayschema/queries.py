@@ -11003,3 +11003,72 @@ def value_gini_by_type(sf_dir: str):
                                        "sum_cents", "gini_ppm"]) \
         .astype({"n_events": np.int64, "sum_cents": np.int64,
                  "gini_ppm": np.int64})
+
+
+def assortativity_trade_graph(sf_dir: str):
+    """Degree assortativity (Newman 2002, public) of the symmetric
+    customer–supplier trade graph, integer-exact: one groupby folds the
+    degree vector (O(nodes), the same broadcast bound the graph module's
+    rank vectors carry), then ONE edge-stream pass accumulates the four
+    edge moments M, sum(j*k), sum(j), sum(j^2) with j/k the endpoint
+    degrees. On a symmetric edge list the j- and k-marginals coincide,
+    so Pearson r reduces to the exact integer ratio
+    (M*sum_jk - sum_j^2) / (M*sum_j2 - sum_j^2); r_ppm is that ratio in
+    parts-per-million TRUNCATED TOWARD ZERO (matching SQL integer
+    division on a possibly-negative numerator — trade graphs are
+    disassortative: high-degree suppliers serve low-degree customers).
+    Emits ONE row: (n_edges, sum_jk, sum_j, sum_j2, assort_num,
+    assort_den, r_ppm)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    pairs = _trade_pair_keys(sf_dir)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        ek = b.column("ekey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c, s = ek >> np.int64(32), ek & np.int64((1 << 32) - 1)
+        return pa.table({
+            "src": pa.array(np.concatenate([c, s])),
+            "dst": pa.array(np.concatenate([s, c]))})
+
+    edges = pairs.map_batches(unpack, batch_format="pyarrow") \
+        .materialize()
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        u, cnt = np.unique(b.column("src").to_numpy(zero_copy_only=False)
+                           .astype(np.int64), return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "dp": pa.array(cnt.astype(np.int64))})
+
+    dd = (edges.map_batches(deg_part, batch_format="pyarrow")
+          .groupby("node").aggregate(Sum("dp", alias_name="deg"))
+          .to_pandas().sort_values("node"))
+    ref = ray.put((dd["node"].to_numpy(np.int64),
+                   dd["deg"].to_numpy(np.int64)))
+
+    def moments(b: pa.Table, _r=ref) -> pa.Table:
+        nd, dg = ray.get(_r)
+        s = b.column("src").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = b.column("dst").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        j, k = dg[np.searchsorted(nd, s)], dg[np.searchsorted(nd, d)]
+        return pa.table({
+            "m": pa.array([np.int64(len(j))]),
+            "sjk": pa.array([(j * k).sum()]),
+            "sj": pa.array([j.sum()]),
+            "sj2": pa.array([(j * j).sum()])})
+
+    part = edges.map_batches(moments, batch_format="pyarrow").to_pandas()
+    m = int(part["m"].sum())
+    sjk, sj, sj2 = (int(part[c].sum()) for c in ("sjk", "sj", "sj2"))
+    num = m * sjk - sj * sj
+    den = m * sj2 - sj * sj
+    scaled = 1_000_000 * num
+    r_ppm = 0 if den == 0 else (
+        scaled // den if scaled >= 0 else -((-scaled) // den))
+    return pd.DataFrame({
+        "n_edges": [m], "sum_jk": [sjk], "sum_j": [sj], "sum_j2": [sj2],
+        "assort_num": [num], "assort_den": [den], "r_ppm": [r_ppm]}) \
+        .astype(np.int64)

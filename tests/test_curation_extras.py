@@ -3012,3 +3012,27 @@ def test_value_gini_by_type_planted_and_fuzz(ray_session, tmp_path):
         assert got.loc[k, "n_events"] == len(v)
     # one-holder closed form: G = (n-1)/n - 2*(n-1)*s_small/(n*S) exact
     assert got.loc["conc", "gini_ppm"] == ref_gini(vals["conc"])
+
+
+def test_assortativity_star_is_minus_one(ray_session, tmp_path):
+    """A trade star (one customer, four suppliers) is perfectly
+    disassortative: r_ppm = -1,000,000 exactly, and the four integer
+    moments match the hand computation (M=8, sum_jk=32, sum_j=20,
+    sum_j2=68 on the symmetric edge list)."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import assortativity_trade_graph
+
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(1, 5, dtype=np.int64)),
+        "o_custkey": pa.array(np.full(4, 5, dtype=np.int64))})
+    li = pa.table({
+        "l_orderkey": pa.array(np.arange(1, 5, dtype=np.int64)),
+        "l_suppkey": pa.array(np.arange(1, 5, dtype=np.int64))})
+    _pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
+    _pq.write_table(li, os.path.join(tmp_path, "lineitem.parquet"))
+    got = assortativity_trade_graph(str(tmp_path)).iloc[0]
+    assert (got["n_edges"], got["sum_jk"], got["sum_j"],
+            got["sum_j2"]) == (8, 32, 20, 68)
+    assert got["assort_num"] == -144 and got["assort_den"] == 144
+    assert got["r_ppm"] == -1_000_000
