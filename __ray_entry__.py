@@ -540,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_trade_graph": Q.kcore_trade_graph,
         "value_gini_by_type": Q.value_gini_by_type,
         "assortativity_trade_graph": Q.assortativity_trade_graph,
+        "source_vocab_overlap": Q.source_vocab_overlap,
     }
 
 
@@ -3418,4 +3419,25 @@ def oracle_sql() -> dict[str, str]:
                              // (m * sj2 - sj * sj) END
                         AS BIGINT) AS r_ppm
             FROM mm""",
+        "source_vocab_overlap": """
+            WITH w AS (
+              SELECT DISTINCT source, word
+              FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+                    FROM documents
+                    WHERE text IS NOT NULL AND source IS NOT NULL)),
+            sz AS (SELECT source, count(*)::BIGINT AS n
+                   FROM w GROUP BY source),
+            inter AS (SELECT a.source AS sa, b.source AS sb,
+                             count(*)::BIGINT AS ni
+                      FROM w a JOIN w b
+                        ON a.word = b.word AND a.source < b.source
+                      GROUP BY a.source, b.source)
+            SELECT i.sa AS source_a, i.sb AS source_b,
+                   i.ni AS n_inter,
+                   (x.n + y.n - i.ni) AS n_union,
+                   (1000000 * i.ni) // (x.n + y.n - i.ni) AS jaccard_ppm
+            FROM inter i
+            JOIN sz x ON x.source = i.sa
+            JOIN sz y ON y.source = i.sb
+            ORDER BY source_a, source_b""",
     }

@@ -11072,3 +11072,98 @@ def assortativity_trade_graph(sf_dir: str):
         "n_edges": [m], "sum_jk": [sjk], "sum_j": [sj], "sum_j2": [sj2],
         "assort_num": [num], "assort_den": [den], "r_ppm": [r_ppm]}) \
         .astype(np.int64)
+
+
+def source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources, integer-exact and
+    NEVER pairwise over words: one distributed distinct on
+    (source, word), a broadcast source→bit mapping, one
+    groupby.Sum("bit") folding each word's sources into a bitmask
+    (exact OR because the pairs are distinct), then a mask histogram
+    whose driver fold is bounded by distinct masks (≤ 2^#sources —
+    documented ≤ 62 sources for the int64 mask; past that, emit
+    per-pair rows per word and groupby the pair key instead). From the
+    histogram every |A_i|, |A_i ∩ A_j| and the exact floor-ppm Jaccard
+    follow in O(masks · pairs) driver work. Emits one row per
+    intersecting pair (source_a < source_b): (source_a, source_b,
+    n_inter, n_union, jaccard_ppm), sorted by the pair."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("text")),
+                             pc.is_valid(b.column("source"))))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "word": pa.array([], type=pa.string())})
+        flat, _, doc_idx = _flatten_words_arrow(col)
+        srcs = pc.take(b.column("source"), pa.array(doc_idx))
+        g = (pa.table({"source": srcs, "word": flat})
+             .group_by(["source", "word"]).aggregate([([], "count_all")]))
+        return pa.table({"source": g.column("source"),
+                         "word": g.column("word")})
+
+    pairs = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["source", "word"])
+             .aggregate(Count(alias_name="_n"))
+             .select_columns(["source", "word"])).materialize()
+
+    src_list = np.sort(pairs.groupby("source")
+                       .aggregate(Count(alias_name="_n"))
+                       .to_pandas()["source"].to_numpy(object))
+    if len(src_list) > 62:
+        raise NotImplementedError(
+            "int64 mask path holds <= 62 sources; use the per-pair "
+            "emission fallback documented above")
+    sref = ray.put(src_list)
+
+    def to_bit(b: pa.Table, _s=sref) -> pa.Table:
+        sl = ray.get(_s)
+        idx = np.searchsorted(sl, b.column("source").to_numpy(
+            zero_copy_only=False).astype(object))
+        return pa.table({"word": b.column("word"),
+                         "bit": pa.array(np.int64(1) << idx.astype(
+                             np.int64))})
+
+    def mask_hist(b: pa.Table) -> pa.Table:
+        m, n = np.unique(_np64_col(b, "mask"), return_counts=True)
+        return pa.table({"mask": pa.array(m),
+                         "n": pa.array(n.astype(np.int64))})
+
+    hist = (pairs.map_batches(to_bit, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("bit", alias_name="mask"))
+            .map_batches(mask_hist, batch_format="pyarrow")
+            .groupby("mask").aggregate(Sum("n", alias_name="n"))
+            .to_pandas())          # <= distinct masks: domain-bounded
+
+    masks = hist["mask"].to_numpy(np.int64)
+    cnts = hist["n"].to_numpy(np.int64)
+    k = len(src_list)
+    has = [(masks >> i) & 1 == 1 for i in range(k)]
+    size = [int(cnts[has[i]].sum()) for i in range(k)]
+    rows = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            ni = int(cnts[has[i] & has[j]].sum())
+            if ni == 0:
+                continue
+            nu = size[i] + size[j] - ni
+            rows.append((src_list[i], src_list[j], ni, nu,
+                         (1_000_000 * ni) // nu))
+    out = pd.DataFrame(rows, columns=["source_a", "source_b", "n_inter",
+                                      "n_union", "jaccard_ppm"])
+    return (out.astype({"n_inter": np.int64, "n_union": np.int64,
+                        "jaccard_ppm": np.int64})
+            .sort_values(["source_a", "source_b"])
+            .reset_index(drop=True))
+
+
+def _np64_col(b: pa.Table, name: str) -> np.ndarray:
+    return b.column(name).to_numpy(zero_copy_only=False).astype(np.int64)

@@ -3036,3 +3036,27 @@ def test_assortativity_star_is_minus_one(ray_session, tmp_path):
             got["sum_j2"]) == (8, 32, 20, 68)
     assert got["assort_num"] == -144 and got["assort_den"] == 144
     assert got["r_ppm"] == -1_000_000
+
+
+def test_source_vocab_overlap_planted(ray_session, tmp_path):
+    """Hand-checkable three-source overlap through the bitmask fold:
+    vocab(a) = {x,y,z}, vocab(b) = {y,z,w}, vocab(c) = {q} — (a,b)
+    intersect 2 / union 4 = 500000 ppm; c intersects nothing and emits
+    no pair rows."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import source_vocab_overlap
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "source": ["a", "a", "b", "c"],
+        "text": ["x y", "y z", "y z w", "q"],
+        "lang": ["en"] * 4})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = source_vocab_overlap(str(tmp_path))
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["source_a"], r["source_b"]) == ("a", "b")
+    assert (r["n_inter"], r["n_union"], r["jaccard_ppm"]) \
+        == (2, 4, 500_000)
