@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_gini_by_type": Q.value_gini_by_type,
         "assortativity_trade_graph": Q.assortativity_trade_graph,
         "source_vocab_overlap": Q.source_vocab_overlap,
+        "copurchase_lift_pairs": Q.copurchase_lift_pairs,
     }
 
 
@@ -3440,4 +3441,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz x ON x.source = i.sa
             JOIN sz y ON y.source = i.sb
             ORDER BY source_a, source_b""",
+        "copurchase_lift_pairs": """
+            WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS nord
+                  FROM lineitem),
+            pf AS (SELECT l_partkey, count(*)::BIGINT AS np
+                   FROM op GROUP BY l_partkey),
+            pr AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                          count(*)::BIGINT AS nab
+                   FROM op a JOIN op b
+                     ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+                   GROUP BY 1, 2 HAVING count(*) >= 2),
+            lf AS (SELECT pr.pa, pr.pb, pr.nab, x.np AS na, y.np AS nb,
+                          (1000000::HUGEINT * pr.nab * n.nord)
+                            // (x.np * y.np) AS lift_ppm
+                   FROM pr CROSS JOIN n
+                   JOIN pf x ON x.l_partkey = pr.pa
+                   JOIN pf y ON y.l_partkey = pr.pb),
+            top AS (SELECT *, row_number() OVER (ORDER BY lift_ppm DESC,
+                                                 pa, pb) AS rk
+                    FROM lf)
+            SELECT CAST(pa AS BIGINT) AS part_a,
+                   CAST(pb AS BIGINT) AS part_b,
+                   nab AS n_both, na AS n_a, nb AS n_b,
+                   CAST(lift_ppm AS BIGINT) AS lift_ppm,
+                   CAST(rk AS BIGINT) AS rk
+            FROM top WHERE rk <= 20""",
     }

@@ -11167,3 +11167,110 @@ def source_vocab_overlap(sf_dir: str):
 
 def _np64_col(b: pa.Table, name: str) -> np.ndarray:
     return b.column(name).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def copurchase_lift_pairs(sf_dir: str, minsup: int = 2, top_n: int = 20):
+    """Market-basket lift over part co-purchases (classic association-
+    rule scoring, Agrawal et al. 1993 shape): lift(a,b) =
+    P(a,b) / (P(a) P(b)) over orders, ranked as the exact floor-ppm
+    integer (1e6 * n_ab * N) // (n_a * n_b) — no floats anywhere.
+    n_ab comes from the SAME one-orderkey-keyed pair-emission scan the
+    triangle count uses (within-order dedup built in) folded by packed
+    pair key; n_a from one distinct-(order, part) groupby; N (distinct
+    orders) from one narrow orderkey groupby. Part frequencies
+    broadcast once (O(parts), the usual node-vector bound), each block
+    ranks its own candidates and only blocks x top_n rows reach the
+    driver merge. int64 exactness bound: 1e6 * n_ab * N < 2^63
+    (wider corpora: widen to the HUGEINT mirror). Emits the top-20:
+    (part_a, part_b, n_both, n_a, n_b, lift_ppm, rk), deterministic
+    (lift desc, part_a, part_b) ties."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from rayschema.dedup import sorted_group_scan
+    from rayschema.graph import _pair_index
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    # ---- n_ab: per-order deduped pair instances -> packed-key counts
+    pk_schema = pa.schema([("pk", pa.int64())])
+
+    def pair_block(b: pa.Table, starts, ends, want) -> pa.Table:
+        pkeys = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s, e = starts[want], ends[want]
+        sizes = (e - s).astype(np.int64)
+        tot = int(sizes.sum())
+        if not tot:
+            return None
+        take = (np.repeat(s, sizes)
+                + (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.cumsum(sizes) - sizes, sizes)))
+        cp = pkeys[take]
+        gstart = np.cumsum(sizes) - sizes
+        first = np.zeros(tot, dtype=bool)
+        first[gstart] = True
+        keep = first | (cp != np.roll(cp, 1))
+        dedup_sizes = np.add.reduceat(keep.astype(np.int64), gstart)
+        cp = cp[keep]
+        i_idx, j_idx = _pair_index(dedup_sizes)
+        v, w = cp[i_idx], cp[j_idx]
+        return pa.table({"pk": pa.array((v << np.int64(32)) | w)})
+
+    def pair_group(g: pa.Table) -> pa.Table:
+        u = np.unique(g.column("l_partkey").to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        i_idx, j_idx = _pair_index(np.array([len(u)]))
+        v, w = u[i_idx], u[j_idx]
+        return pa.table({"pk": pa.array((v << np.int64(32)) | w)})
+
+    pair_counts = sorted_group_scan(
+        li, ["l_orderkey"], pair_group, pk_schema,
+        group_filter=lambda b, s, e: (e - s) >= 2,
+        block_fn=pair_block, sort_blocks=32, order_cols=["l_partkey"]) \
+        .groupby("pk").aggregate(Count(alias_name="n_both")) \
+        .filter(expr=f"n_both >= {int(minsup)}")
+
+    # ---- n_a: distinct (order, part) -> per-part frequency (O(parts))
+    op = (li.groupby(["l_orderkey", "l_partkey"])
+          .aggregate(Count(alias_name="_n")))
+
+    def part_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("l_partkey").to_numpy(
+            zero_copy_only=False).astype(np.int64), return_counts=True)
+        return pa.table({"part": pa.array(u),
+                         "np_": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    pf = (op.map_batches(part_partial, batch_format="pyarrow")
+          .groupby("part").aggregate(Sum("np_", alias_name="np_"))
+          .to_pandas().sort_values("part"))
+    n_orders = li.groupby("l_orderkey") \
+        .aggregate(Count(alias_name="_n")).count()
+    ref = ray.put((pf["part"].to_numpy(np.int64),
+                   pf["np_"].to_numpy(np.int64), int(n_orders)))
+
+    def block_top(b: pa.Table, _r=ref) -> pa.Table:
+        parts, np_, nord = ray.get(_r)
+        pk = b.column("pk").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nab = b.column("n_both").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pa_, pb_ = pk >> np.int64(32), pk & np.int64((1 << 32) - 1)
+        na = np_[np.searchsorted(parts, pa_)]
+        nb = np_[np.searchsorted(parts, pb_)]
+        lift = (1_000_000 * nab * nord) // (na * nb)
+        order = np.lexsort((pb_, pa_, -lift))[:top_n]
+        return pa.table({
+            "part_a": pa.array(pa_[order]), "part_b": pa.array(pb_[order]),
+            "n_both": pa.array(nab[order]), "n_a": pa.array(na[order]),
+            "n_b": pa.array(nb[order]), "lift_ppm": pa.array(lift[order])})
+
+    cand = pair_counts.map_batches(block_top, batch_format="pyarrow") \
+        .to_pandas()           # blocks x top_n rows only
+    cand = cand.sort_values(["lift_ppm", "part_a", "part_b"],
+                            ascending=[False, True, True],
+                            kind="mergesort").head(top_n) \
+        .reset_index(drop=True)
+    cand["rk"] = np.arange(1, len(cand) + 1, dtype=np.int64)
+    return cand.astype({c: np.int64 for c in cand.columns})

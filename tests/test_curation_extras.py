@@ -3060,3 +3060,29 @@ def test_source_vocab_overlap_planted(ray_session, tmp_path):
     assert (r["source_a"], r["source_b"]) == ("a", "b")
     assert (r["n_inter"], r["n_union"], r["jaccard_ppm"]) \
         == (2, 4, 500_000)
+
+
+def test_copurchase_lift_planted(ray_session, tmp_path):
+    """Hand-checkable basket: parts (1,2) co-occur in 2 of 4 orders with
+    n_1 = n_2 = 2 -> lift = 2*4/(2*2) = 2000000 ppm exactly; a
+    within-order duplicate partkey must NOT inflate any count; a
+    singleton pair (n_ab=1) is cut by minsup=2."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import copurchase_lift_pairs
+
+    # orders: 1:{1,2}, 2:{1,2,3} (part 2 listed twice), 3:{2? no->3}, 4:{3,4}
+    ok = np.array([1, 1, 2, 2, 2, 2, 3, 4, 4], dtype=np.int64)
+    pk = np.array([1, 2, 1, 2, 2, 3, 3, 3, 4], dtype=np.int64)
+    tab = pa.table({"l_orderkey": pa.array(ok),
+                    "l_partkey": pa.array(pk)})
+    _pq.write_table(tab, os.path.join(tmp_path, "lineitem.parquet"))
+    got = copurchase_lift_pairs(str(tmp_path))
+    # qualifying pairs (>=2 orders): only (1,2) [orders 1,2] and (2,3)? ->
+    # (2,3) only in order 2; (3,4) only in order 4 -> single survivor
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert (r["part_a"], r["part_b"], r["n_both"], r["n_a"], r["n_b"]) \
+        == (1, 2, 2, 2, 2)
+    assert r["lift_ppm"] == (1_000_000 * 2 * 4) // (2 * 2)
+    assert r["rk"] == 1
