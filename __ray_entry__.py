@@ -203,6 +203,51 @@ def _pagerank_sql(iters: int = 4) -> str:
                    CAST(rk AS BIGINT) AS rk
             FROM top WHERE rk <= 20"""
 
+def _perceptron_sql(iters: int = 3) -> str:
+    """Unrolled full-batch perceptron mirroring
+    rayschema.queries.perceptron_train_langid iteration for iteration:
+    the update is an order-independent SUM over the misclassified set
+    at the iteration's entry weights, so plain aggregate CTEs reproduce
+    every weight bit."""
+    ctes = ["""f AS (
+              SELECT CASE WHEN lang = 'en' THEN 1
+                          ELSE -1 END::BIGINT AS y,
+                     1::BIGINT AS x0,
+                     length(text)::BIGINT AS x1,
+                     (length(text) - length(replace(text, ' ', ''))
+                      + 1)::BIGINT AS x2,
+                     (length(text) - length(regexp_replace(
+                          text, '[0-9]', '', 'g')))::BIGINT AS x3
+              FROM documents
+              WHERE text IS NOT NULL AND lang IS NOT NULL)""",
+            "w0 AS (SELECT 0::BIGINT AS w0, 0::BIGINT AS w1, "
+            "0::BIGINT AS w2, 0::BIGINT AS w3)"]
+    for t in range(1, iters + 1):
+        mis = (f"f.y * (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2 "
+               f"+ w.w3 * f.x3) <= 0")
+        ctes.append(f"""s{t} AS (
+              SELECT count(*) FILTER ({mis})::BIGINT AS n_mis,
+                     coalesce(sum(f.y * f.x0) FILTER ({mis}), 0)
+                       ::BIGINT AS u0,
+                     coalesce(sum(f.y * f.x1) FILTER ({mis}), 0)
+                       ::BIGINT AS u1,
+                     coalesce(sum(f.y * f.x2) FILTER ({mis}), 0)
+                       ::BIGINT AS u2,
+                     coalesce(sum(f.y * f.x3) FILTER ({mis}), 0)
+                       ::BIGINT AS u3
+              FROM f CROSS JOIN w{t - 1} w)""")
+        ctes.append(f"""w{t} AS (
+              SELECT w.w0 + s.u0 AS w0, w.w1 + s.u1 AS w1,
+                     w.w2 + s.u2 AS w2, w.w3 + s.u3 AS w3
+              FROM w{t - 1} w CROSS JOIN s{t} s)""")
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT {t}::BIGINT AS iter, s{t}.n_mis,
+                   w{t}.w0 AS w_bias, w{t}.w1 AS w_chars,
+                   w{t}.w2 AS w_words, w{t}.w3 AS w_digits
+            FROM s{t} CROSS JOIN w{t}""" for t in range(1, iters + 1))
+    return f"WITH {','.join(ctes)}\n{sel}"
+
+
 def _lpa_sql(iters: int = 3) -> str:
     """Unrolled label-propagation CTEs mirroring
     rayschema.graph.label_propagation superstep for superstep: the
@@ -542,6 +587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_trade_graph": Q.assortativity_trade_graph,
         "source_vocab_overlap": Q.source_vocab_overlap,
         "copurchase_lift_pairs": Q.copurchase_lift_pairs,
+        "perceptron_train_langid": Q.perceptron_train_langid,
     }
 
 
@@ -3377,6 +3423,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_trade_graph": _hits_sql(2),
         "lpa_communities_trade": _lpa_sql(3),
         "kcore_trade_graph": _kcore_sql(12, 3),
+        "perceptron_train_langid": _perceptron_sql(3),
         "value_gini_by_type": """
             WITH x AS (SELECT event_type,
                               CAST(round(value * 100) AS BIGINT) AS cents

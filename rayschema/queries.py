@@ -11274,3 +11274,79 @@ def copurchase_lift_pairs(sf_dir: str, minsup: int = 2, top_n: int = 20):
         .reset_index(drop=True)
     cand["rk"] = np.arange(1, len(cand) + 1, dtype=np.int64)
     return cand.astype({c: np.int64 for c in cand.columns})
+
+
+def perceptron_train_langid(sf_dir: str, iters: int = 3):
+    """Distributed integer-exact BATCH perceptron (Rosenblatt rule,
+    full-batch variant — updates sum over ALL currently-misclassified
+    rows, so each iteration is ONE order-independent pass and the run
+    is bit-exact under any partitioning, mirrorable in unrolled SQL):
+
+        y      = +1 if lang == 'en' else -1
+        x      = (1, n_chars, n_spacewords, n_digits)   (all integer)
+        mis_t  = {i : y_i * (w_{t-1} . x_i) <= 0}
+        w_t    = w_{t-1} + sum_{i in mis_t} y_i * x_i,   w_0 = 0
+
+    Per iteration: broadcast the 4-int weight vector, one map_batches
+    pass emits per-batch partial (n_mis, sum y*x) rows, driver folds
+    O(blocks) partials — the kmeans/pagerank superstep profile. Feature
+    extraction is Arrow-kernel only (utf8_length, count_substring);
+    n_spacewords = spaces + 1 = len(split(' ')), matching the SQL
+    string_split convention used across the contract. Emits one row
+    per iteration: (iter, n_mis, w_bias, w_chars, w_words, w_digits)
+    with n_mis counted at the iteration's ENTRY weights."""
+    import ray
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"]) \
+        .materialize()
+
+    def feats(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("text")),
+                             pc.is_valid(b.column("lang"))))
+        t = b.column("text")
+        y = np.where(pc.equal(b.column("lang"), "en").to_numpy(
+            zero_copy_only=False), np.int64(1), np.int64(-1))
+        x1 = pc.utf8_length(t).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x2 = pc.count_substring(t, " ").to_numpy(zero_copy_only=False) \
+            .astype(np.int64) + 1
+        x3 = np.zeros(len(y), dtype=np.int64)
+        for dch in "0123456789":
+            x3 += pc.count_substring(t, dch).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        return pa.table({"y": pa.array(y), "x1": pa.array(x1),
+                         "x2": pa.array(x2), "x3": pa.array(x3)})
+
+    fx = ds.map_batches(feats, batch_format="pyarrow").materialize()
+
+    w = np.zeros(4, dtype=np.int64)
+    rows = []
+    for it in range(1, iters + 1):
+        ref = ray.put(w)
+
+        def part(b: pa.Table, _r=ref) -> pa.Table:
+            wv = ray.get(_r)
+            y = b.column("y").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            xs = [np.ones(len(y), dtype=np.int64)] + [
+                b.column(c).to_numpy(zero_copy_only=False)
+                .astype(np.int64) for c in ("x1", "x2", "x3")]
+            score = sum(wv[i] * xs[i] for i in range(4))
+            mis = (y * score) <= 0
+            ym = y[mis]
+            return pa.table({
+                "n_mis": pa.array([np.int64(mis.sum())]),
+                "u0": pa.array([(ym * xs[0][mis]).sum()]),
+                "u1": pa.array([(ym * xs[1][mis]).sum()]),
+                "u2": pa.array([(ym * xs[2][mis]).sum()]),
+                "u3": pa.array([(ym * xs[3][mis]).sum()])})
+
+        p = fx.map_batches(part, batch_format="pyarrow").to_pandas()
+        n_mis = int(p["n_mis"].sum())
+        w = w + np.array([int(p[f"u{i}"].sum()) for i in range(4)],
+                         dtype=np.int64)
+        rows.append((it, n_mis, int(w[0]), int(w[1]), int(w[2]),
+                     int(w[3])))
+    return pd.DataFrame(rows, columns=[
+        "iter", "n_mis", "w_bias", "w_chars", "w_words", "w_digits"]) \
+        .astype(np.int64)

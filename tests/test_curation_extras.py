@@ -3086,3 +3086,45 @@ def test_copurchase_lift_planted(ray_session, tmp_path):
         == (1, 2, 2, 2, 2)
     assert r["lift_ppm"] == (1_000_000 * 2 * 4) // (2 * 2)
     assert r["rk"] == 1
+
+
+def test_perceptron_matches_reference_simulation(ray_session, tmp_path):
+    """Bit-exact vs a driver-side simulation of the documented full-batch
+    rule on a mixed corpus (digits, multi-space runs, non-en langs), and
+    the separable toy set reaches n_mis = 0."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import perceptron_train_langid
+
+    rng = np.random.default_rng(11)
+    texts, langs = [], []
+    words = ["aa", "b3b", "cc7", "d", "e5"]
+    for i in range(60):
+        lang = ["en", "de", "zh"][i % 3]
+        t = " ".join(rng.choice(words, size=rng.integers(1, 8)))
+        if i % 7 == 0:
+            t += "  99"      # double space + digits
+        texts.append(t + ("!" * (i % 3 if lang == "en" else 5)))
+        langs.append(lang)
+    df = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                       "source": ["s"] * 60, "lang": langs,
+                       "text": texts})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = perceptron_train_langid(str(tmp_path), iters=3)
+
+    y = np.where(np.array(langs) == "en", 1, -1).astype(np.int64)
+    x = np.stack([np.ones(60, dtype=np.int64),
+                  np.array([len(t) for t in texts], dtype=np.int64),
+                  np.array([t.count(" ") + 1 for t in texts],
+                           dtype=np.int64),
+                  np.array([sum(c in "0123456789" for c in t)
+                            for t in texts], dtype=np.int64)], axis=1)
+    w = np.zeros(4, dtype=np.int64)
+    for it in range(3):
+        mis = y * (x @ w) <= 0
+        row = got.iloc[it]
+        assert row["n_mis"] == int(mis.sum()), it
+        w = w + (y[mis, None] * x[mis]).sum(axis=0)
+        assert (row[["w_bias", "w_chars", "w_words", "w_digits"]]
+                .to_numpy(np.int64) == w).all(), it
