@@ -248,6 +248,46 @@ def _perceptron_sql(iters: int = 3) -> str:
     return f"WITH {','.join(ctes)}\n{sel}"
 
 
+def _weighted_pagerank_sql(iters: int = 3) -> str:
+    """Unrolled weighted-PageRank CTEs mirroring graph.pagerank with
+    weight_col: edge weight = distinct orders pairing the parties; the
+    floor is PER EDGE — sum((p.pr * e.w) // d.wout) — exactly as the
+    Ray path computes it."""
+    ctes = ["""pw AS (
+              SELECT c_node, s_node, count(*)::BIGINT AS w
+              FROM (SELECT DISTINCT l.l_orderkey,
+                           o.o_custkey * 2 AS c_node,
+                           l.l_suppkey * 2 + 1 AS s_node
+                    FROM lineitem l JOIN orders o
+                      ON l.l_orderkey = o.o_orderkey)
+              GROUP BY c_node, s_node)""",
+            """edges AS (SELECT c_node AS src, s_node AS dst, w FROM pw
+                      UNION ALL SELECT s_node, c_node, w FROM pw)""",
+            """deg AS (SELECT src AS node, sum(w)::BIGINT AS wout
+                    FROM edges GROUP BY src)""",
+            """pr0 AS (SELECT node, 1000000000::BIGINT AS pr FROM deg)"""]
+    for t in range(iters):
+        ctes.append(f"""pr{t + 1} AS (
+              SELECT e.dst AS node,
+                     150000000 + (85 * sum((p.pr * e.w) // d.wout))
+                       // 100 AS pr
+              FROM edges e JOIN pr{t} p ON p.node = e.src
+              JOIN deg d ON d.node = e.src
+              GROUP BY e.dst)""")
+    return f"""
+            WITH {','.join(ctes)},
+            top AS (SELECT node, pr,
+                           row_number() OVER (ORDER BY pr DESC, node) AS rk
+                    FROM pr{iters})
+            SELECT CAST(node AS BIGINT) AS node_id,
+                   CASE WHEN node % 2 = 0 THEN 'customer'
+                        ELSE 'supplier' END AS node_type,
+                   CAST(node // 2 AS BIGINT) AS entity_key,
+                   CAST(pr AS BIGINT) AS pagerank,
+                   CAST(rk AS BIGINT) AS rk
+            FROM top WHERE rk <= 20"""
+
+
 def _lpa_sql(iters: int = 3) -> str:
     """Unrolled label-propagation CTEs mirroring
     rayschema.graph.label_propagation superstep for superstep: the
@@ -588,6 +628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_vocab_overlap": Q.source_vocab_overlap,
         "copurchase_lift_pairs": Q.copurchase_lift_pairs,
         "perceptron_train_langid": Q.perceptron_train_langid,
+        "weighted_pagerank_trade": Q.weighted_pagerank_trade,
     }
 
 
@@ -3424,6 +3465,7 @@ def oracle_sql() -> dict[str, str]:
         "lpa_communities_trade": _lpa_sql(3),
         "kcore_trade_graph": _kcore_sql(12, 3),
         "perceptron_train_langid": _perceptron_sql(3),
+        "weighted_pagerank_trade": _weighted_pagerank_sql(3),
         "value_gini_by_type": """
             WITH x AS (SELECT event_type,
                               CAST(round(value * 100) AS BIGINT) AS cents

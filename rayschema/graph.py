@@ -39,7 +39,7 @@ def _np64(col) -> np.ndarray:
 
 def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
              num_partitions: int = 32, init: int = PR_INIT,
-             base: int = PR_BASE) -> pd.DataFrame:
+             base: int = PR_BASE, weight_col: str = None) -> pd.DataFrame:
     """Integer-exact PageRank over an edge Dataset (src, dst int64).
 
     Semantics (mirrorable in unrolled SQL CTEs; ``init``/``base`` pick the
@@ -49,6 +49,14 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
         pr_0(v)     = init                                     for every node
         contrib(u)  = pr_t(u) // outdeg(u)                     (floor)
         pr_{t+1}(v) = base + (85 * sum_{u->v} contrib(u)) // 100
+
+    With ``weight_col`` (int64 edge weights), outdeg becomes the weight
+    SUM over u's out-edges and each edge contributes
+    ``(pr_t(u) * w_e) // wout(u)`` — the floor is PER EDGE, exactly what
+    ``sum((p.pr * e.w) // d.wout)`` computes in SQL. ``weight_col=None``
+    is bit-identical to the unweighted recurrence above (w_e = 1).
+    Weight bound: pr * w must stay under 2^63 (ppb rank x weight —
+    ~9e9/init weight units per edge).
 
     Nodes are the union of src and dst endpoints; a node with no in-edges
     lands on exactly PR_BASE after the first superstep and keeps
@@ -78,7 +86,12 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
     # (so a dst-only node — receives, never gives — still lands a row)
     def _deg_partial(b: pa.Table) -> pa.Table:
         s, d = _np64(b.column("src")), _np64(b.column("dst"))
-        us, cs = np.unique(s, return_counts=True)
+        if weight_col is None:
+            us, cs = np.unique(s, return_counts=True)
+        else:
+            w = _np64(b.column(weight_col))
+            us, inv = np.unique(s, return_inverse=True)
+            cs = np.bincount(inv, weights=w).astype(np.int64)
         ud = np.unique(d)
         return pa.table({
             "node": pa.array(np.concatenate([us, ud])),
@@ -102,7 +115,9 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
                 nd, dg, rk = ray.get(_r)
                 s, d = _np64(b.column("src")), _np64(b.column("dst"))
                 p = np.searchsorted(nd, s)
-                c = rk[p] // np.maximum(dg[p], 1)   # deg>=1: s is a src
+                num = rk[p] if weight_col is None \
+                    else rk[p] * _np64(b.column(weight_col))
+                c = num // np.maximum(dg[p], 1)     # deg>=1: s is a src
                 ud, inv = np.unique(d, return_inverse=True)
                 return pa.table({
                     "dst": pa.array(ud),
@@ -131,8 +146,9 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
     for _ in range(iters):
         def contrib_j(b: pa.Table) -> pa.Table:
             d = _np64(b.column("dst"))
-            c = _np64(b.column("pr")) // np.maximum(
-                _np64(b.column("deg")), 1)
+            num = _np64(b.column("pr")) if weight_col is None \
+                else _np64(b.column("pr")) * _np64(b.column(weight_col))
+            c = num // np.maximum(_np64(b.column("deg")), 1)
             ud, inv = np.unique(d, return_inverse=True)
             return pa.table({
                 "dst": pa.array(ud),

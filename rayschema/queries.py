@@ -11350,3 +11350,102 @@ def perceptron_train_langid(sf_dir: str, iters: int = 3):
     return pd.DataFrame(rows, columns=[
         "iter", "n_mis", "w_bias", "w_chars", "w_words", "w_digits"]) \
         .astype(np.int64)
+
+
+def weighted_pagerank_trade(sf_dir: str, iters: int = 3):
+    """Weighted PageRank over the customer–supplier trade graph with
+    edge weight = the number of DISTINCT ORDERS pairing the two parties
+    (trade intensity, not mere adjacency): distinct (order, pair)
+    triples from one narrow groupby, folded to per-pair order counts,
+    doubled symmetric. The iteration is rayschema.graph.pagerank with
+    ``weight_col`` — per-edge floor of pr*w/wout, so every rank bit
+    matches the unrolled weighted CTEs. Emits the top-20
+    (node_id, node_type, entity_key, pagerank, rk)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from rayschema.graph import pagerank
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    n_ord = _table_rows(sf_dir, "orders")
+    if n_ord is not None and n_ord <= Q3_BROADCAST_CAP:
+        odf = orders.to_pandas().sort_values("o_orderkey")
+        oref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                        odf["o_custkey"].to_numpy(np.int64)))
+
+        def trip(b: pa.Table, _o=oref) -> pa.Table:
+            ok, oc = ray.get(_o)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if not len(ok):
+                return pa.table({"okey": pa.array([], type=pa.int64()),
+                                 "ekey": pa.array([], type=pa.int64())})
+            p = np.clip(np.searchsorted(ok, lk), 0, len(ok) - 1)
+            hit = ok[p] == lk
+            ck, sk, lk = oc[p][hit], sk[hit], lk[hit]
+            ekey = (ck * 2) << np.int64(32) | (sk * 2 + 1)
+            u = np.unique(np.stack([lk, ekey], axis=1), axis=0)
+            return pa.table({"okey": pa.array(u[:, 0]),
+                             "ekey": pa.array(u[:, 1])})
+
+        trips = li.map_batches(trip, batch_format="pyarrow")
+    else:
+        est = (li.size_bytes() or 0) + (orders.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        joined = li.join(orders, join_type="inner",
+                         num_partitions=n_parts,
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def trip_j(b: pa.Table) -> pa.Table:
+            ck = b.column("o_custkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            sk = b.column("l_suppkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            ekey = (ck * 2) << np.int64(32) | (sk * 2 + 1)
+            u = np.unique(np.stack([lk, ekey], axis=1), axis=0)
+            return pa.table({"okey": pa.array(u[:, 0]),
+                             "ekey": pa.array(u[:, 1])})
+
+        trips = joined.map_batches(trip_j, batch_format="pyarrow")
+
+    def w_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("ekey").to_numpy(zero_copy_only=False)
+                         .astype(np.int64), return_counts=True)
+        return pa.table({"ekey": pa.array(u),
+                         "wp": pa.array(c.astype(np.int64))})
+
+    weights = (trips.groupby(["okey", "ekey"])
+               .aggregate(Count(alias_name="_n"))
+               .map_batches(w_partial, batch_format="pyarrow")
+               .groupby("ekey").aggregate(Sum("wp", alias_name="w")))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        ek = b.column("ekey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = b.column("w").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c, s = ek >> np.int64(32), ek & np.int64((1 << 32) - 1)
+        return pa.table({
+            "src": pa.array(np.concatenate([c, s])),
+            "dst": pa.array(np.concatenate([s, c])),
+            "w": pa.array(np.concatenate([w, w]))})
+
+    edges = weights.map_batches(unpack, batch_format="pyarrow")
+    pr = pagerank(edges, iters=iters, weight_col="w")
+
+    node = pr["node"].to_numpy(np.int64)
+    rank = pr["pr"].to_numpy(np.int64)
+    order = np.lexsort((node, -rank))[:20]
+    node, rank = node[order], rank[order]
+    return pd.DataFrame({
+        "node_id": node,
+        "node_type": np.where(node % 2 == 0, "customer", "supplier"),
+        "entity_key": node // 2,
+        "pagerank": rank,
+        "rk": np.arange(1, len(node) + 1, dtype=np.int64)})

@@ -397,3 +397,67 @@ def test_kcore_empty_edges(ray_session):
     from rayschema.graph import kcore
 
     assert len(kcore(_edges_ds([], []), k=2, rounds=2)) == 0
+
+
+def _edges_w_ds(src, dst, w):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "src": pa.array(np.asarray(src, dtype=np.int64)),
+        "dst": pa.array(np.asarray(dst, dtype=np.int64)),
+        "w": pa.array(np.asarray(w, dtype=np.int64))}))
+
+
+def _wpagerank_ref(src, dst, w, iters):
+    src, dst = np.asarray(src, np.int64), np.asarray(dst, np.int64)
+    w = np.asarray(w, np.int64)
+    nodes = np.unique(np.concatenate([src, dst]))
+    wout = np.zeros(len(nodes), np.int64)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    np.add.at(wout, si, w)
+    pr = np.full(len(nodes), PR_INIT, dtype=np.int64)
+    for _ in range(iters):
+        contrib = (pr[si] * w) // np.maximum(wout[si], 1)
+        s = np.zeros(len(nodes), np.int64)
+        np.add.at(s, di, contrib)
+        pr = PR_BASE + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+    return pd.DataFrame({"node": nodes, "pr": pr})
+
+
+def test_weighted_pagerank_planted_and_unweighted_parity(ray_session):
+    # weight-5 edge into node 2 dominates the weight-1 edge into node 3
+    src = [0, 0, 2, 3]
+    dst = [2, 3, 0, 0]
+    w = [5, 1, 1, 1]
+    out = pagerank(_edges_w_ds(src, dst, w), iters=3, weight_col="w") \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, _wpagerank_ref(src, dst, w, 3))
+    pr2 = int(out.loc[out["node"] == 2, "pr"].iloc[0])
+    pr3 = int(out.loc[out["node"] == 3, "pr"].iloc[0])
+    assert pr2 > pr3
+    # all-ones weights are bit-identical to the unweighted recurrence
+    ones = pagerank(_edges_w_ds(src, dst, [1, 1, 1, 1]), iters=3,
+                    weight_col="w").sort_values("node") \
+        .reset_index(drop=True)
+    unw = pagerank(_edges_ds(src, dst), iters=3).sort_values("node") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(ones, unw)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_weighted_pagerank_join_path_and_fuzz(ray_session, seed):
+    rng = np.random.default_rng(seed)
+    m = 100
+    src = rng.integers(0, 20, size=m).astype(np.int64)
+    dst = rng.integers(0, 20, size=m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.integers(1, 9, size=len(src)).astype(np.int64)
+    bc = pagerank(_edges_w_ds(src, dst, w), iters=3, weight_col="w") \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(bc, _wpagerank_ref(src, dst, w, 3))
+    jn = pagerank(_edges_w_ds(src, dst, w), iters=3, weight_col="w",
+                  node_cap=0, num_partitions=4) \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(jn, bc)
