@@ -629,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_lift_pairs": Q.copurchase_lift_pairs,
         "perceptron_train_langid": Q.perceptron_train_langid,
         "weighted_pagerank_trade": Q.weighted_pagerank_trade,
+        "containment_pairs_documents": Q.containment_pairs_documents,
     }
 
 
@@ -3466,6 +3467,32 @@ def oracle_sql() -> dict[str, str]:
         "kcore_trade_graph": _kcore_sql(12, 3),
         "perceptron_train_langid": _perceptron_sql(3),
         "weighted_pagerank_trade": _weighted_pagerank_sql(3),
+        "containment_pairs_documents": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 300 AND text IS NOT NULL
+                AND length(text) >= 5),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 5) AS s
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1, length(text) - 4))
+                             AS i
+                    FROM docs)),
+            sizes AS (SELECT doc_id, count(*)::BIGINT AS n
+                      FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_src, b.doc_id AS id_dst,
+                     count(*)::BIGINT AS ni
+              FROM sh a JOIN sh b
+                ON a.s = b.s AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+            SELECT i.id_src, i.id_dst, i.ni AS n_inter,
+                   s.n AS n_src,
+                   (1000000 * i.ni) // s.n AS cont_ppm
+            FROM inter i JOIN sizes s ON s.doc_id = i.id_src
+            WHERE (1000000 * i.ni) // s.n >= 800000
+            ORDER BY id_src, id_dst""",
         "value_gini_by_type": """
             WITH x AS (SELECT event_type,
                               CAST(round(value * 100) AS BIGINT) AS cents

@@ -1939,3 +1939,88 @@ def edit_distance_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         _EditDistancePairs,
         fn_constructor_kwargs=dict(docs_ref=ref, k=k, q=q),
         batch_format="pyarrow", batch_size=8192, concurrency=concurrency)
+
+
+class _ExactContainmentPairs:
+    """Actor stage over a pair-index range: decodes upper-triangle linear
+    indices to (i, j) and emits BOTH directed containments
+    C(src->dst) = |S_src ∩ S_dst| / |S_src| that clear the threshold —
+    the asymmetric near-dup metric that catches quotes/subsets symmetric
+    Jaccard dilutes (a short doc fully contained in a long one scores
+    low Jaccard but containment 1). Integer floor-ppm, matching SQL
+    (1000000 * ni) // n_src bit for bit; codepoint k-grams so the DuckDB
+    substr() oracle mirrors exactly (same unit as _ExactJaccardPairs)."""
+
+    def __init__(self, docs_ref, k: int, threshold_ppm: int):
+        import ray
+
+        ids, texts = ray.get(docs_ref) \
+            if not isinstance(docs_ref, tuple) else docs_ref
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.sets = [frozenset(t[i:i + k] for i in range(len(t) - k + 1))
+                     for t in texts]
+        self.n = len(ids)
+        self.threshold_ppm = int(threshold_ppm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lin = batch.column("id").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = self.n
+        i = np.floor((2 * n - 1 - np.sqrt((2 * n - 1) ** 2 - 8 * lin))
+                     / 2).astype(np.int64)
+        j = (lin.astype(np.int64) - i * (2 * n - i - 1) // 2 + i + 1)
+        src, dst, ni_o, ns_o, cp_o = [], [], [], [], []
+        for a, b in zip(i, j):
+            sa, sb = self.sets[a], self.sets[b]
+            inter = len(sa & sb)
+            if not inter:
+                continue
+            for (x, y, s_sz) in ((a, b, len(sa)), (b, a, len(sb))):
+                ppm = (1_000_000 * inter) // s_sz
+                if ppm >= self.threshold_ppm:
+                    src.append(self.ids[x])
+                    dst.append(self.ids[y])
+                    ni_o.append(inter)
+                    ns_o.append(s_sz)
+                    cp_o.append(ppm)
+        return pa.table({
+            "id_src": pa.array(np.asarray(src, dtype=np.int64)),
+            "id_dst": pa.array(np.asarray(dst, dtype=np.int64)),
+            "n_inter": pa.array(np.asarray(ni_o, dtype=np.int64)),
+            "n_src": pa.array(np.asarray(ns_o, dtype=np.int64)),
+            "cont_ppm": pa.array(np.asarray(cp_o, dtype=np.int64))})
+
+
+def containment_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
+                      id_limit: int = 300, k: int = 5,
+                      threshold_ppm: int = 800_000,
+                      concurrency=(1, 8)):
+    """Exact all-pairs k-gram CONTAINMENT join over the deterministic doc
+    subset ``id < id_limit`` (the bounded oracle scope shared with
+    exact_jaccard_pairs; the scale path for full corpora is the same
+    PPJoin prefix-filter machinery with the containment-specific length
+    bound |A| * t <= |B| — documented, not duplicated here). The subset
+    broadcasts once; the O(n^2) grid streams as a range dataset."""
+    import ray
+    import ray.data as rd
+
+    sub = (ds.select_columns([id_col, text_col])
+           .filter(expr=f"{id_col} < {id_limit}")
+           .to_pandas())
+    sub = sub[sub[text_col].notna() & (sub[text_col].str.len() >= k)]
+    sub = sub.sort_values(id_col).reset_index(drop=True)
+    n = len(sub)
+    empty = pa.table({"id_src": pa.array([], type=pa.int64()),
+                      "id_dst": pa.array([], type=pa.int64()),
+                      "n_inter": pa.array([], type=pa.int64()),
+                      "n_src": pa.array([], type=pa.int64()),
+                      "cont_ppm": pa.array([], type=pa.int64())})
+    if n < 2:
+        return rd.from_arrow(empty)
+    ref = ray.put((sub[id_col].to_numpy(), list(sub[text_col])))
+    n_pairs = n * (n - 1) // 2
+    return rd.range(n_pairs).map_batches(
+        _ExactContainmentPairs,
+        fn_constructor_kwargs=dict(docs_ref=ref, k=k,
+                                   threshold_ppm=threshold_ppm),
+        batch_format="pyarrow", batch_size=8192, concurrency=concurrency)

@@ -11449,3 +11449,18 @@ def weighted_pagerank_trade(sf_dir: str, iters: int = 3):
         "entity_key": node // 2,
         "pagerank": rank,
         "rk": np.arange(1, len(node) + 1, dtype=np.int64)})
+
+
+def containment_pairs_documents(sf_dir: str):
+    """Directed containment near-dup pairs (quote / subset detection):
+    C(src->dst) = |k-grams(src) ∩ k-grams(dst)| / |k-grams(src)| >= 0.8
+    over the deterministic doc_id < 300 oracle scope —
+    rayschema.dedup.containment_pairs (broadcast subset + streamed pair
+    grid, exact integer floor-ppm). Sorted (id_src, id_dst)."""
+    from rayschema.dedup import containment_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = containment_pairs(ds).to_pandas()
+    return (out.sort_values(["id_src", "id_dst"])
+            .reset_index(drop=True)
+            .astype({c: np.int64 for c in out.columns}))

@@ -1025,3 +1025,52 @@ def test_record_linkage_clusters_planted(ray_session, tmp_path):
     out = record_linkage_clusters(str(tmp_path))
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+
+def test_containment_pairs_subset_asymmetry(ray_session, tmp_path):
+    """A short doc fully contained in a long one scores 1000000 ppm in
+    the short->long direction but under threshold the other way; the
+    grid also agrees with a brute-force python reference on every
+    emitted row."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from rayschema.dedup import containment_pairs
+
+    long_t = "the quick brown fox jumps over the lazy dog again"
+    short_t = "quick brown fox jumps"      # substring: containment 1.0
+    other = "completely unrelated text body with nothing shared"
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [long_t, short_t, other],
+        "lang": ["en"] * 3, "source": ["s"] * 3})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    import ray.data as rd
+    ds = rd.read_parquet(os.path.join(tmp_path, "documents.parquet"))
+    got = containment_pairs(ds, threshold_ppm=800_000).to_pandas() \
+        .sort_values(["id_src", "id_dst"]).reset_index(drop=True)
+
+    def grams(t):
+        return frozenset(t[i:i + 5] for i in range(len(t) - 4))
+
+    sets = {i: grams(t) for i, t in enumerate(df["text"])}
+    ref = []
+    for a in range(3):
+        for b in range(3):
+            if a == b:
+                continue
+            ni = len(sets[a] & sets[b])
+            if ni and (1_000_000 * ni) // len(sets[a]) >= 800_000:
+                ref.append((a, b, ni, len(sets[a]),
+                            (1_000_000 * ni) // len(sets[a])))
+    ref = pd.DataFrame(ref, columns=["id_src", "id_dst", "n_inter",
+                                     "n_src", "cont_ppm"]) \
+        .astype(np.int64)
+    pd.testing.assert_frame_equal(got, ref)
+    # direction asserted explicitly: short->long present, long->short not
+    assert ((got["id_src"] == 1) & (got["id_dst"] == 0)).any()
+    assert got.loc[(got["id_src"] == 1) & (got["id_dst"] == 0),
+                   "cont_ppm"].iloc[0] == 1_000_000
+    assert not ((got["id_src"] == 0) & (got["id_dst"] == 1)).any()
