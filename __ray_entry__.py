@@ -630,6 +630,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perceptron_train_langid": Q.perceptron_train_langid,
         "weighted_pagerank_trade": Q.weighted_pagerank_trade,
         "containment_pairs_documents": Q.containment_pairs_documents,
+        "jl_project_embeddings": Q.jl_project_embeddings,
     }
 
 
@@ -3493,6 +3494,29 @@ def oracle_sql() -> dict[str, str]:
             FROM inter i JOIN sizes s ON s.doc_id = i.id_src
             WHERE (1000000 * i.ni) // s.n >= 800000
             ORDER BY id_src, id_dst""",
+        "jl_project_embeddings": """
+            WITH v AS (SELECT e.vec_id, i.range AS d,
+                              round(e.embedding[i.range]::DOUBLE
+                                    * 1000000)::BIGINT AS q
+                       FROM embeddings e, range(1, 65) i),
+            s AS (SELECT d.range AS d, k.range AS k,
+                         CASE WHEN ((d.range * 2654435761
+                                     + k.range * 97) % 1000003) % 2 = 0
+                              THEN 1 ELSE -1 END::BIGINT AS sgn
+                  FROM range(1, 65) d, range(1, 9) k),
+            p AS (SELECT v.vec_id, s.k,
+                         sum(v.q * s.sgn)::BIGINT AS p
+                  FROM v JOIN s ON s.d = v.d GROUP BY 1, 2)
+            SELECT vec_id,
+                   CAST(max(CASE WHEN k = 1 THEN p END) AS BIGINT) AS p1,
+                   CAST(max(CASE WHEN k = 2 THEN p END) AS BIGINT) AS p2,
+                   CAST(max(CASE WHEN k = 3 THEN p END) AS BIGINT) AS p3,
+                   CAST(max(CASE WHEN k = 4 THEN p END) AS BIGINT) AS p4,
+                   CAST(max(CASE WHEN k = 5 THEN p END) AS BIGINT) AS p5,
+                   CAST(max(CASE WHEN k = 6 THEN p END) AS BIGINT) AS p6,
+                   CAST(max(CASE WHEN k = 7 THEN p END) AS BIGINT) AS p7,
+                   CAST(max(CASE WHEN k = 8 THEN p END) AS BIGINT) AS p8
+            FROM p GROUP BY vec_id ORDER BY vec_id""",
         "value_gini_by_type": """
             WITH x AS (SELECT event_type,
                               CAST(round(value * 100) AS BIGINT) AS cents

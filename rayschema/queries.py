@@ -11464,3 +11464,37 @@ def containment_pairs_documents(sf_dir: str):
     return (out.sort_values(["id_src", "id_dst"])
             .reset_index(drop=True)
             .astype({c: np.int64 for c in out.columns}))
+
+
+def _jl_signs(dim: int, n_proj: int) -> np.ndarray:
+    """Deterministic ±1 Achlioptas-style sign matrix, 1-based (d, k)
+    arithmetic both numpy and SQL compute identically:
+    +1 iff ((d*2654435761 + k*97) % 1000003) % 2 == 0."""
+    d = np.arange(1, dim + 1, dtype=np.int64)[:, None]
+    k = np.arange(1, n_proj + 1, dtype=np.int64)[None, :]
+    return np.where(((d * 2654435761 + k * 97) % 1000003) % 2 == 0,
+                    np.int64(1), np.int64(-1))
+
+
+def jl_project_embeddings(sf_dir: str, n_proj: int = 8):
+    """Signed random projection (Johnson–Lindenstrauss / Achlioptas 2003,
+    public) of the 64-dim embeddings onto 8 ±1 directions — the integer
+    building block under SimHash and JL sketches. The sign matrix is a
+    deterministic arithmetic hash (no RNG state), computed identically
+    by numpy and the SQL oracle, so the projection is bit-exact: ONE
+    stateless map_batches pass, per batch q = round(vec*1e6) @ S with a
+    single int64 matmul (bound: 1e6 · dim < 2^63 — vast headroom).
+    Emits (vec_id, p1..p8) for every vector, STREAMING (the result is
+    a Dataset — the projection never concentrates anywhere)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def part(b: pa.Table, _n=n_proj) -> pa.Table:
+        q = _emb_qmat(b)
+        s = _jl_signs(q.shape[1], _n)
+        p = q @ s
+        cols = {"vec_id": b.column("vec_id")}
+        for k in range(_n):
+            cols[f"p{k + 1}"] = pa.array(p[:, k])
+        return pa.table(cols)
+
+    return ds.map_batches(part, batch_format="pyarrow")

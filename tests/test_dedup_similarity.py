@@ -1074,3 +1074,37 @@ def test_containment_pairs_subset_asymmetry(ray_session, tmp_path):
     assert got.loc[(got["id_src"] == 1) & (got["id_dst"] == 0),
                    "cont_ppm"].iloc[0] == 1_000_000
     assert not ((got["id_src"] == 0) & (got["id_dst"] == 1)).any()
+
+
+def test_jl_signs_and_projection_exact(ray_session, tmp_path):
+    """Sign matrix matches the documented arithmetic hash element by
+    element, and the batch matmul equals a per-element loop on a planted
+    2-vector table."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import _jl_signs, jl_project_embeddings
+
+    s = _jl_signs(64, 8)
+    for d in (1, 7, 64):
+        for k in (1, 5, 8):
+            exp = 1 if ((d * 2654435761 + k * 97) % 1000003) % 2 == 0 \
+                else -1
+            assert s[d - 1, k - 1] == exp
+    assert set(np.unique(s)) <= {-1, 1}
+    # planted: v0 = e1 (first basis), v1 = all 0.5 -> hand-computable
+    v0 = np.zeros(64, dtype=np.float32)
+    v0[0] = 1.0
+    v1 = np.full(64, 0.5, dtype=np.float32)
+    tab = pa.table({
+        "vec_id": pa.array(np.array([0, 1], dtype=np.int64)),
+        "embedding": pa.array([v0.tolist(), v1.tolist()],
+                              type=pa.list_(pa.float32()))})
+    _pq.write_table(tab, os.path.join(tmp_path, "embeddings.parquet"))
+    got = jl_project_embeddings(str(tmp_path)).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    p0 = got.iloc[0][[f"p{k}" for k in range(1, 9)]].to_numpy(np.int64)
+    assert (p0 == 1_000_000 * s[0]).all()
+    p1 = got.iloc[1][[f"p{k}" for k in range(1, 9)]].to_numpy(np.int64)
+    assert (p1 == 500_000 * s.sum(axis=0)).all()
