@@ -327,6 +327,50 @@ def _lpa_sql(iters: int = 3) -> str:
             FROM top WHERE rk <= 20"""
 
 
+def _score_sql(k: int = 32, rounds: int = 3) -> str:
+    """Unrolled s-core (weighted k-core) peel mirroring
+    rayschema.graph.kcore with weight_col round for round: STRENGTH over
+    edges whose BOTH endpoints survive, >= k cut, final induced
+    strength."""
+    ctes = ["""pw AS (
+              SELECT c_node, s_node, count(*)::BIGINT AS w
+              FROM (SELECT DISTINCT l.l_orderkey,
+                           o.o_custkey * 2 AS c_node,
+                           l.l_suppkey * 2 + 1 AS s_node
+                    FROM lineitem l JOIN orders o
+                      ON l.l_orderkey = o.o_orderkey)
+              GROUP BY c_node, s_node)""",
+            """edges AS (SELECT c_node AS src, s_node AS dst, w FROM pw
+                      UNION ALL SELECT s_node, c_node, w FROM pw)""",
+            """alive0 AS (SELECT src AS node FROM edges GROUP BY src)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""alive{r} AS (
+              SELECT e.dst AS node
+              FROM edges e
+              JOIN alive{r - 1} a ON a.node = e.src
+              JOIN alive{r - 1} b ON b.node = e.dst
+              GROUP BY e.dst
+              HAVING sum(e.w) >= {int(k)})""")
+    return f"""
+            WITH {','.join(ctes)},
+            final AS (SELECT e.dst AS node, sum(e.w)::BIGINT AS st
+                      FROM edges e
+                      JOIN alive{rounds} a ON a.node = e.src
+                      JOIN alive{rounds} b ON b.node = e.dst
+                      GROUP BY e.dst),
+            top AS (SELECT node, st,
+                           row_number() OVER (ORDER BY st DESC,
+                                              node) AS rk
+                    FROM final)
+            SELECT CAST(node AS BIGINT) AS node_id,
+                   CASE WHEN node % 2 = 0 THEN 'customer'
+                        ELSE 'supplier' END AS node_type,
+                   CAST(node // 2 AS BIGINT) AS entity_key,
+                   CAST(st AS BIGINT) AS core_strength,
+                   CAST(rk AS BIGINT) AS rk
+            FROM top WHERE rk <= 20"""
+
+
 def _kcore_sql(k: int = 12, rounds: int = 3) -> str:
     """Unrolled bounded k-core peel mirroring rayschema.graph.kcore round
     for round: in-degree over edges whose BOTH endpoints survive, >= k
@@ -631,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank_trade": Q.weighted_pagerank_trade,
         "containment_pairs_documents": Q.containment_pairs_documents,
         "jl_project_embeddings": Q.jl_project_embeddings,
+        "score_trade_graph": Q.score_trade_graph,
     }
 
 
@@ -3468,6 +3513,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_trade_graph": _kcore_sql(12, 3),
         "perceptron_train_langid": _perceptron_sql(3),
         "weighted_pagerank_trade": _weighted_pagerank_sql(3),
+        "score_trade_graph": _score_sql(32, 3),
         "containment_pairs_documents": """
             WITH docs AS (
               SELECT doc_id, text FROM documents

@@ -692,7 +692,7 @@ def _fold_label(b: pa.Table) -> pa.Table:
 
 def kcore(edges, k: int, rounds: int = 3,
           node_cap: int = NODE_BROADCAST_CAP,
-          num_partitions: int = 32) -> pd.DataFrame:
+          num_partitions: int = 32, weight_col: str = None) -> pd.DataFrame:
     """Bounded-round k-core peeling (Seidman 1983 / Batagelj–Zaveršnik,
     public) over an edge Dataset (src, dst int64; emit both directions
     for an undirected graph). The round count is part of the operator's
@@ -706,6 +706,11 @@ def kcore(edges, k: int, rounds: int = 3,
                     in-degree over the alive_rounds-induced subgraph
                     (a survivor whose induced in-degree is zero is
                     dropped — both paths and the SQL mirror agree)
+
+    With ``weight_col`` (int64 edge weights) every degree above becomes
+    the weight SUM (strength) over surviving in-edges — the s-core
+    generalization (Eidsaa & Almaas 2013, public); ``weight_col=None``
+    is bit-identical to the unweighted peel (w_e = 1).
 
     (On the symmetric graphs this module targets, src-universe = node
     universe and in-degree = degree; peeling converges in <= rounds
@@ -749,7 +754,12 @@ def kcore(edges, k: int, rounds: int = 3,
                     ps = np.minimum(np.searchsorted(av, s), len(av) - 1)
                     pd_ = np.minimum(np.searchsorted(av, d), len(av) - 1)
                     keep = (av[ps] == s) & (av[pd_] == d)
-                ud, cnt = np.unique(d[keep], return_counts=True)
+                if weight_col is None:
+                    ud, cnt = np.unique(d[keep], return_counts=True)
+                else:
+                    w = _np64(b.column(weight_col))[keep]
+                    ud, inv = np.unique(d[keep], return_inverse=True)
+                    cnt = np.bincount(inv, weights=w).astype(np.int64)
                 return pa.table({"node": pa.array(ud),
                                  "dp": pa.array(cnt.astype(np.int64))})
 
@@ -782,8 +792,14 @@ def kcore(edges, k: int, rounds: int = 3,
                     on=("dst",), right_on=("node",)))
 
         def part(b: pa.Table) -> pa.Table:
-            ud, cnt = np.unique(_np64(b.column("dst")),
-                                return_counts=True)
+            if weight_col is None:
+                ud, cnt = np.unique(_np64(b.column("dst")),
+                                    return_counts=True)
+            else:
+                w = _np64(b.column(weight_col))
+                ud, inv = np.unique(_np64(b.column("dst")),
+                                    return_inverse=True)
+                cnt = np.bincount(inv, weights=w).astype(np.int64)
             return pa.table({"node": pa.array(ud),
                              "dp": pa.array(cnt.astype(np.int64))})
 

@@ -11352,19 +11352,14 @@ def perceptron_train_langid(sf_dir: str, iters: int = 3):
         .astype(np.int64)
 
 
-def weighted_pagerank_trade(sf_dir: str, iters: int = 3):
-    """Weighted PageRank over the customer–supplier trade graph with
-    edge weight = the number of DISTINCT ORDERS pairing the two parties
-    (trade intensity, not mere adjacency): distinct (order, pair)
-    triples from one narrow groupby, folded to per-pair order counts,
-    doubled symmetric. The iteration is rayschema.graph.pagerank with
-    ``weight_col`` — per-edge floor of pr*w/wout, so every rank bit
-    matches the unrolled weighted CTEs. Emits the top-20
-    (node_id, node_type, entity_key, pagerank, rk)."""
+def _trade_weighted_edges(sf_dir: str):
+    """Symmetric weighted trade edges (src, dst, w int64): w = number of
+    DISTINCT ORDERS pairing the customer and supplier (trade intensity,
+    not mere adjacency) — distinct (order, pair) triples from one narrow
+    groupby folded to per-pair order counts, doubled both directions.
+    Shared by the weighted PageRank and s-core trade queries."""
     import ray
     from ray.data.aggregate import Count, Sum
-
-    from rayschema.graph import pagerank
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
@@ -11436,8 +11431,20 @@ def weighted_pagerank_trade(sf_dir: str, iters: int = 3):
             "dst": pa.array(np.concatenate([s, c])),
             "w": pa.array(np.concatenate([w, w]))})
 
-    edges = weights.map_batches(unpack, batch_format="pyarrow")
-    pr = pagerank(edges, iters=iters, weight_col="w")
+    return weights.map_batches(unpack, batch_format="pyarrow")
+
+
+def weighted_pagerank_trade(sf_dir: str, iters: int = 3):
+    """Weighted PageRank over the customer–supplier trade graph
+    (_trade_weighted_edges: w = distinct orders pairing the parties).
+    The iteration is rayschema.graph.pagerank with ``weight_col`` —
+    per-edge floor of pr*w/wout, so every rank bit matches the unrolled
+    weighted CTEs. Emits the top-20
+    (node_id, node_type, entity_key, pagerank, rk)."""
+    from rayschema.graph import pagerank
+
+    pr = pagerank(_trade_weighted_edges(sf_dir), iters=iters,
+                  weight_col="w")
 
     node = pr["node"].to_numpy(np.int64)
     rank = pr["pr"].to_numpy(np.int64)
@@ -11498,3 +11505,26 @@ def jl_project_embeddings(sf_dir: str, n_proj: int = 8):
         return pa.table(cols)
 
     return ds.map_batches(part, batch_format="pyarrow")
+
+
+def score_trade_graph(sf_dir: str, k: int = 32, rounds: int = 3):
+    """s-core (weighted k-core) of the trade graph: bounded peel on node
+    STRENGTH (sum of distinct-order edge weights, _trade_weighted_edges)
+    via rayschema.graph.kcore with ``weight_col`` — both-endpoints-alive
+    weighted in-degree passes, >= k cut, broadcast/semi-join paths.
+    Emits the top-20 survivors by induced strength:
+    (node_id, node_type, entity_key, core_strength, rk)."""
+    from rayschema.graph import kcore
+
+    core = kcore(_trade_weighted_edges(sf_dir), k=k, rounds=rounds,
+                 weight_col="w")
+    node = core["node"].to_numpy(np.int64)
+    st = core["core_deg"].to_numpy(np.int64)
+    order = np.lexsort((node, -st))[:20]
+    node, st = node[order], st[order]
+    return pd.DataFrame({
+        "node_id": node,
+        "node_type": np.where(node % 2 == 0, "customer", "supplier"),
+        "entity_key": node // 2,
+        "core_strength": st,
+        "rk": np.arange(1, len(node) + 1, dtype=np.int64)})

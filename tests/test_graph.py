@@ -461,3 +461,58 @@ def test_weighted_pagerank_join_path_and_fuzz(ray_session, seed):
                   node_cap=0, num_partitions=4) \
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(jn, bc)
+
+
+def _kcore_w_ref(src, dst, w, k, rounds):
+    src, dst = np.asarray(src, np.int64), np.asarray(dst, np.int64)
+    w = np.asarray(w, np.int64)
+    alive = np.unique(src)
+
+    def deg(a):
+        m = np.isin(src, a) & np.isin(dst, a)
+        nd, inv = np.unique(dst[m], return_inverse=True)
+        return nd, np.bincount(inv, weights=w[m]).astype(np.int64)
+
+    for _ in range(rounds):
+        nd, dg = deg(alive)
+        alive = nd[dg >= k]
+    nd, dg = deg(alive)
+    return pd.DataFrame({"node": nd, "core_deg": dg})
+
+
+def test_score_weighted_peel_and_unweighted_parity(ray_session):
+    from rayschema.graph import kcore
+
+    # triangle 0-1-2 with heavy weights + pendant 2-3 with weight 1:
+    # k=3 on strength peels 3 (strength 1), then nothing else
+    s, d = _sym([0, 1, 0, 2], [1, 2, 2, 3])
+    w = np.array([5, 5, 5, 1, 5, 5, 5, 1], dtype=np.int64)
+    out = kcore(_edges_w_ds(s, d, w), k=3, rounds=2, weight_col="w")
+    pd.testing.assert_frame_equal(out, _kcore_w_ref(s, d, w, 3, 2))
+    assert set(out["node"]) == {0, 1, 2}
+    assert set(out["core_deg"]) == {10}
+    # all-ones weights == unweighted peel bit for bit
+    ones = kcore(_edges_w_ds(s, d, np.ones(8, np.int64)), k=2,
+                 rounds=2, weight_col="w")
+    unw = kcore(_edges_ds(s, d), k=2, rounds=2)
+    pd.testing.assert_frame_equal(ones, unw)
+
+
+@pytest.mark.parametrize("seed", [0])
+def test_score_join_path_and_fuzz(ray_session, seed):
+    from rayschema.graph import kcore
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 25, size=120).astype(np.int64)
+    b = rng.integers(0, 25, size=120).astype(np.int64)
+    keep = a != b
+    pk = np.unique((np.minimum(a, b)[keep] << np.int64(32))
+                   | np.maximum(a, b)[keep])
+    s, d = _sym(pk >> np.int64(32), pk & np.int64((1 << 32) - 1))
+    w = rng.integers(1, 6, size=len(s) // 2).astype(np.int64)
+    w = np.concatenate([w, w])
+    bc = kcore(_edges_w_ds(s, d, w), k=10, rounds=3, weight_col="w")
+    pd.testing.assert_frame_equal(bc, _kcore_w_ref(s, d, w, 10, 3))
+    jn = kcore(_edges_w_ds(s, d, w), k=10, rounds=3, weight_col="w",
+               node_cap=0, num_partitions=4)
+    pd.testing.assert_frame_equal(jn, bc)
