@@ -676,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs_documents": Q.containment_pairs_documents,
         "jl_project_embeddings": Q.jl_project_embeddings,
         "score_trade_graph": Q.score_trade_graph,
+        "events_ewma_anomaly": Q.events_ewma_anomaly,
     }
 
 
@@ -3514,6 +3515,31 @@ def oracle_sql() -> dict[str, str]:
         "perceptron_train_langid": _perceptron_sql(3),
         "weighted_pagerank_trade": _weighted_pagerank_sql(3),
         "score_trade_graph": _score_sql(32, 3),
+        "events_ewma_anomaly": """
+            WITH RECURSIVE hrs AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 3600000000)::BIGINT AS hour_bucket,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2),
+            ord AS (SELECT event_type, hour_bucket, n,
+                           row_number() OVER (PARTITION BY event_type
+                                              ORDER BY hour_bucket)
+                             AS rn
+                    FROM hrs),
+            ew(event_type, rn, hour_bucket, n, e, a) AS (
+              SELECT event_type, rn, hour_bucket, n,
+                     n * 1000, 0::BIGINT
+              FROM ord WHERE rn = 1
+              UNION ALL
+              SELECT o.event_type, o.rn, o.hour_bucket, o.n,
+                     (250 * o.n * 1000 + 750 * ew.e) // 1000,
+                     (CASE WHEN 2 * abs(o.n * 1000 - ew.e) > ew.e
+                           THEN 1 ELSE 0 END)::BIGINT
+              FROM ew JOIN ord o
+                ON o.event_type = ew.event_type AND o.rn = ew.rn + 1)
+            SELECT event_type, hour_bucket, n AS n_events,
+                   e::BIGINT AS ewma_milli, a::BIGINT AS is_anomaly
+            FROM ew""",
         "containment_pairs_documents": """
             WITH docs AS (
               SELECT doc_id, text FROM documents

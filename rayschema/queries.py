@@ -11528,3 +11528,60 @@ def score_trade_graph(sf_dir: str, k: int = 32, rounds: int = 3):
         "entity_key": node // 2,
         "core_strength": st,
         "rk": np.arange(1, len(node) + 1, dtype=np.int64)})
+
+
+def events_ewma_anomaly(sf_dir: str):
+    """Exponentially-weighted moving-average anomaly monitor on hourly
+    counts PER EVENT TYPE (the smoothing complement of the CUSUM change
+    detector): integer milli-unit recurrence with alpha = 1/4,
+
+        e_1 = c_1 * 1000
+        e_t = (250 * c_t * 1000 + 750 * e_{t-1}) // 1000
+        anomaly_t = [ 2*|c_t*1000 - e_{t-1}| > e_{t-1} ]   (t >= 2)
+
+    — deviation over 50% of the current smoothed level flags, all
+    integers, so the DuckDB oracle replays the recurrence with ONE
+    recursive CTE partitioned by type. Distribution shape identical to
+    events_cusum_change: per-batch (type, hour) bincount partials fold
+    on the driver, the sequential scan runs over the metadata-sized
+    (types x hours) grid; observed hours only (gap hours are absent on
+    both sides by construction). Emits
+    (event_type, hour_bucket, n_events, ewma_milli, is_anomaly)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pandas(),
+            "hour_bucket": (ts // 3_600_000_000).astype(np.int64)})
+        g = df.groupby(["event_type", "hour_bucket"],
+                       as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"]),
+            "hour_bucket": pa.array(g["hour_bucket"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (part.groupby(["event_type", "hour_bucket"], as_index=False)
+           ["n"].sum()
+           .sort_values(["event_type", "hour_bucket"])
+           .reset_index(drop=True))
+    out_e, out_a = [], []
+    for _, g in agg.groupby("event_type", sort=True):
+        e = None
+        for c in g["n"]:
+            c = int(c)
+            if e is None:
+                e = c * 1000
+                out_a.append(0)
+            else:
+                out_a.append(1 if 2 * abs(c * 1000 - e) > e else 0)
+                e = (250 * c * 1000 + 750 * e) // 1000
+            out_e.append(e)
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "hour_bucket": agg["hour_bucket"].astype(np.int64),
+        "n_events": agg["n"].astype(np.int64),
+        "ewma_milli": np.array(out_e, dtype=np.int64),
+        "is_anomaly": np.array(out_a, dtype=np.int64)})

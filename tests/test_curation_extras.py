@@ -3128,3 +3128,37 @@ def test_perceptron_matches_reference_simulation(ray_session, tmp_path):
         w = w + (y[mis, None] * x[mis]).sum(axis=0)
         assert (row[["w_bias", "w_chars", "w_words", "w_digits"]]
                 .to_numpy(np.int64) == w).all(), it
+
+
+def test_events_ewma_planted_spike(ray_session, tmp_path):
+    """Flat series then a 3x spike: the spike hour flags, the flat hours
+    do not, and the milli-unit recurrence matches a hand replay."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import events_ewma_anomaly
+
+    counts = [10, 10, 10, 30, 10]
+    hours = np.repeat(np.arange(5), counts)
+    ts = (hours * 3600 + 5) * 1_000_000
+    n = len(ts)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * n),
+        "value": pa.array(np.ones(n))})
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = events_ewma_anomaly(str(tmp_path))
+    e, exp_e, exp_a = None, [], []
+    for c in counts:
+        if e is None:
+            e, a = c * 1000, 0
+        else:
+            a = 1 if 2 * abs(c * 1000 - e) > e else 0
+            e = (250 * c * 1000 + 750 * e) // 1000
+        exp_e.append(e)
+        exp_a.append(a)
+    assert got["ewma_milli"].tolist() == exp_e
+    assert got["is_anomaly"].tolist() == exp_a
+    assert got["is_anomaly"].sum() == 1
+    assert got.loc[got["is_anomaly"] == 1, "n_events"].iloc[0] == 30
