@@ -677,6 +677,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jl_project_embeddings": Q.jl_project_embeddings,
         "score_trade_graph": Q.score_trade_graph,
         "events_ewma_anomaly": Q.events_ewma_anomaly,
+        "hapax_ratio_by_source": Q.hapax_ratio_by_source,
     }
 
 
@@ -3540,6 +3541,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, hour_bucket, n AS n_events,
                    e::BIGINT AS ewma_milli, a::BIGINT AS is_anomaly
             FROM ew""",
+        "hapax_ratio_by_source": """
+            WITH wc AS (
+              SELECT source, word, count(*)::BIGINT AS n
+              FROM (SELECT source,
+                           unnest(string_split(text, ' ')) AS word
+                    FROM documents
+                    WHERE text IS NOT NULL AND source IS NOT NULL)
+              GROUP BY source, word)
+            SELECT source,
+                   count(*)::BIGINT AS n_distinct,
+                   (count(*) FILTER (n = 1))::BIGINT AS n_hapax,
+                   ((1000000 * count(*) FILTER (n = 1)) // count(*))
+                     ::BIGINT AS hapax_ppm
+            FROM wc GROUP BY source ORDER BY source""",
         "containment_pairs_documents": """
             WITH docs AS (
               SELECT doc_id, text FROM documents

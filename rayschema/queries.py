@@ -11585,3 +11585,58 @@ def events_ewma_anomaly(sf_dir: str):
         "n_events": agg["n"].astype(np.int64),
         "ewma_milli": np.array(out_e, dtype=np.int64),
         "is_anomaly": np.array(out_a, dtype=np.int64)})
+
+
+def hapax_ratio_by_source(sf_dir: str):
+    """Vocabulary-richness audit: per source, the hapax-legomena share —
+    words occurring EXACTLY ONCE within the source (high hapax ratio =
+    diverse/long-tail text, low = templated boilerplate). One
+    (source, word) count groupby (per-batch Arrow partials, the
+    vocabulary_top_words shape), then a stateless per-batch fold to
+    (source, n_distinct, n_hapax) partials — each (source, word) row
+    exists exactly once post-groupby, so the partials sum exactly;
+    driver state is O(sources). Emits
+    (source, n_distinct, n_hapax, hapax_ppm) sorted by source."""
+    from ray.data.aggregate import Sum
+
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("text")),
+                             pc.is_valid(b.column("source"))))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"source": pa.array([], type=pa.string()),
+                             "word": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        flat, _, doc_idx = _flatten_words_arrow(col)
+        srcs = pc.take(b.column("source"), pa.array(doc_idx))
+        g = (pa.table({"source": srcs, "word": flat})
+             .group_by(["source", "word"]).aggregate([([], "count_all")]))
+        return pa.table({"source": g.column("source"),
+                         "word": g.column("word"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    wc = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby(["source", "word"]).aggregate(Sum("n", alias_name="n")))
+
+    def fold(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": b.column("source").to_pandas(),
+            "one": (b.column("n").to_numpy(zero_copy_only=False)
+                    .astype(np.int64) == 1).astype(np.int64)})
+        g = df.groupby("source", as_index=False).agg(
+            d=("one", "size"), h=("one", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    part = wc.map_batches(fold, batch_format="pyarrow").to_pandas()
+    out = (part.groupby("source", as_index=False)
+           .agg(n_distinct=("d", "sum"), n_hapax=("h", "sum"))
+           .sort_values("source").reset_index(drop=True))
+    out["hapax_ppm"] = (1_000_000 * out["n_hapax"]) // out["n_distinct"]
+    return out.astype({"n_distinct": np.int64, "n_hapax": np.int64,
+                       "hapax_ppm": np.int64})

@@ -3162,3 +3162,25 @@ def test_events_ewma_planted_spike(ray_session, tmp_path):
     assert got["is_anomaly"].tolist() == exp_a
     assert got["is_anomaly"].sum() == 1
     assert got.loc[got["is_anomaly"] == 1, "n_events"].iloc[0] == 30
+
+
+def test_hapax_ratio_planted(ray_session, tmp_path):
+    """source a: 'x x y' -> distinct {x,y}, hapax {y} -> 500000 ppm;
+    source b: 'z w' -> all hapax -> 1000000 ppm; cross-source words do
+    not leak (y in b stays a's hapax)."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import hapax_ratio_by_source
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "source": ["a", "a", "b"],
+        "text": ["x x", "y", "z w y y"],
+        "lang": ["en"] * 3})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = hapax_ratio_by_source(str(tmp_path)).set_index("source")
+    assert (got.loc["a", "n_distinct"], got.loc["a", "n_hapax"]) == (2, 1)
+    assert got.loc["a", "hapax_ppm"] == 500_000
+    assert (got.loc["b", "n_distinct"], got.loc["b", "n_hapax"]) == (3, 2)
+    assert got.loc["b", "hapax_ppm"] == 666_666
