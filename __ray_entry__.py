@@ -678,6 +678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_trade_graph": Q.score_trade_graph,
         "events_ewma_anomaly": Q.events_ewma_anomaly,
         "hapax_ratio_by_source": Q.hapax_ratio_by_source,
+        "quantile_normalize_chars": Q.quantile_normalize_chars,
     }
 
 
@@ -3555,6 +3556,27 @@ def oracle_sql() -> dict[str, str]:
                    ((1000000 * count(*) FILTER (n = 1)) // count(*))
                      ::BIGINT AS hapax_ppm
             FROM wc GROUP BY source ORDER BY source""",
+        "quantile_normalize_chars": """
+            WITH f AS (SELECT doc_id, source, n_chars::BIGINT AS chars
+                       FROM documents
+                       WHERE source IS NOT NULL
+                         AND n_chars IS NOT NULL),
+            r AS (SELECT doc_id, chars,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY chars, doc_id)
+                           ::BIGINT AS r,
+                         (count(*) OVER (PARTITION BY source))::BIGINT
+                           AS ns
+                  FROM f),
+            n AS (SELECT count(*)::BIGINT AS nn FROM f),
+            gl AS (SELECT chars,
+                          row_number() OVER (ORDER BY chars, doc_id)
+                            ::BIGINT AS gr
+                   FROM f)
+            SELECT r.doc_id, r.chars AS n_chars,
+                   gl.chars AS qnorm_chars
+            FROM r CROSS JOIN n
+            JOIN gl ON gl.gr = (r.r * n.nn + r.ns - 1) // r.ns""",
         "containment_pairs_documents": """
             WITH docs AS (
               SELECT doc_id, text FROM documents

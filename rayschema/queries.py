@@ -11640,3 +11640,118 @@ def hapax_ratio_by_source(sf_dir: str):
     out["hapax_ppm"] = (1_000_000 * out["n_hapax"]) // out["n_distinct"]
     return out.astype({"n_distinct": np.int64, "n_hapax": np.int64,
                        "hapax_ppm": np.int64})
+
+
+def quantile_normalize_chars(sf_dir: str):
+    """Quantile normalization across sources (the classic
+    distribution-alignment transform, Bolstad et al. 2003 shape with
+    nearest-rank target): every doc's n_chars is replaced by the GLOBAL
+    value at its source-relative quantile — doc at within-source rank r
+    of n_s maps to the global value at rank ceil(r*N/n_s), ties ordered
+    by (n_chars, doc_id) so the mapping is bit-deterministic. Two-phase
+    histogram rank (the value_quartile_by_type shape, sources are FEW
+    and HOT so a source-keyed group scan would pull whole sources to the
+    driver): phase 1 folds (source, chars-bucket) counts into exact
+    per-bucket exclusive offsets, per-source totals, and the global
+    value-at-rank cumulative (all DOMAIN-bounded: distinct chars values,
+    not rows); phase 2 is ONE (source, bucket)-keyed sorted scan ordered
+    by (n_chars, doc_id) turning offset + position into the exact rank
+    and reading the target value off the broadcast cumulative. Emits
+    (doc_id, n_chars, qnorm_chars) per doc."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "n_chars"])
+    sources = sorted(s for s in ds.unique("source") if s is not None)
+    spos = {s: i for i, s in enumerate(sources)}
+    BSHIFT = 6
+
+    def prep(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("source")),
+                             pc.is_valid(b.column("n_chars"))))
+        src = b.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        lut = np.array([spos.get(v, -1) for v in
+                        enc.dictionary.to_pylist()] + [-1],
+                       dtype=np.int64)
+        idx = pc.fill_null(enc.indices, len(lut) - 1) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sc = lut[idx]
+        ch = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"sc": pa.array(sc),
+                      "bucket": pa.array(ch >> BSHIFT),
+                      "n_chars": pa.array(ch),
+                      "doc_id": b.column("doc_id").cast(pa.int64())})
+        return t.filter(pc.greater_equal(t.column("sc"), 0))
+
+    tagged = ds.map_batches(prep, batch_format="pyarrow")
+
+    def hpartial(b: pa.Table) -> pa.Table:
+        g = b.group_by(["sc", "n_chars"]).aggregate([([], "count_all")])
+        return g.rename_columns(["sc", "n_chars", "cnt"])
+
+    hist = (tagged.map_batches(hpartial, batch_format="pyarrow")
+            .to_pandas().groupby(["sc", "n_chars"], as_index=False)
+            ["cnt"].sum().sort_values(["sc", "n_chars"]))
+    scs = hist["sc"].to_numpy(np.int64)
+    chs = hist["n_chars"].to_numpy(np.int64)
+    cnts = hist["cnt"].to_numpy(np.int64)
+    # global value-at-rank cumulative (domain-bounded)
+    gdf = (hist.groupby("n_chars", as_index=False)["cnt"].sum()
+           .sort_values("n_chars"))
+    gvals = gdf["n_chars"].to_numpy(np.int64)
+    gcum = np.cumsum(gdf["cnt"].to_numpy(np.int64))
+    n_total = int(gcum[-1])
+    # per-source totals + per-(sc, bucket) exclusive offsets
+    n_src = np.zeros(len(sources), dtype=np.int64)
+    np.add.at(n_src, scs, cnts)
+    bks = chs >> BSHIFT
+    bdf = pd.DataFrame({"sc": scs, "bk": bks, "cnt": cnts}) \
+        .groupby(["sc", "bk"], as_index=False)["cnt"].sum() \
+        .sort_values(["sc", "bk"])
+    bsc = bdf["sc"].to_numpy(np.int64)
+    bbk = bdf["bk"].to_numpy(np.int64)
+    bcnt = bdf["cnt"].to_numpy(np.int64)
+    cum = np.cumsum(bcnt)
+    ex = np.concatenate([[0], cum[:-1]])
+    first = np.ones(len(bsc), dtype=bool)
+    first[1:] = bsc[1:] != bsc[:-1]
+    base = np.maximum.accumulate(np.where(first, ex, 0))
+    off = ex - base
+    packed_s = (bsc << 32) | bbk    # sorted: sc-major, bucket ascending
+
+    def block_fn(block: pa.Table, starts, ends, want):
+        sizes = (ends - starts).astype(np.int64)
+        sel = np.repeat(want.astype(bool), sizes)
+        if not sel.any():
+            return None
+        seg = np.repeat(starts, sizes)
+        pos_in = np.arange(len(seg), dtype=np.int64) - seg
+        sc = block.column("sc").to_numpy(zero_copy_only=False)
+        bk = block.column("bucket").to_numpy(zero_copy_only=False)
+        ch = block.column("n_chars").to_numpy(zero_copy_only=False)
+        ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        key = (sc << 32) | bk
+        r = off[np.searchsorted(packed_s, key)] + pos_in + 1
+        g = (r * n_total + n_src[sc] - 1) // n_src[sc]
+        qn = gvals[np.searchsorted(gcum, g, side="left")]
+        return pa.table({"doc_id": pa.array(ids[sel]),
+                         "n_chars": pa.array(ch[sel]),
+                         "qnorm_chars": pa.array(qn[sel])})
+
+    def group_fn(t: pa.Table):
+        n = t.num_rows
+        return block_fn(t, np.array([0], dtype=np.int64),
+                        np.array([n], dtype=np.int64),
+                        np.array([True]))
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_chars", pa.int64()),
+                            ("qnorm_chars", pa.int64())])
+    return sorted_group_scan(tagged, ["sc", "bucket"], group_fn,
+                             out_schema, block_fn=block_fn,
+                             sort_blocks=32,
+                             order_cols=["n_chars", "doc_id"])

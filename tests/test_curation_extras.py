@@ -3184,3 +3184,34 @@ def test_hapax_ratio_planted(ray_session, tmp_path):
     assert got.loc["a", "hapax_ppm"] == 500_000
     assert (got.loc["b", "n_distinct"], got.loc["b", "n_hapax"]) == (3, 2)
     assert got.loc["b", "hapax_ppm"] == 666_666
+
+
+def test_quantile_normalize_planted_and_alignment(ray_session, tmp_path):
+    """Two equal-size sources with shifted distributions: after
+    normalization both sources carry the IDENTICAL value multiset (the
+    defining property), and a hand-computed rank mapping checks exactly."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import quantile_normalize_chars
+
+    # source a: chars 10,20,30,40 ; source b: 110,120,130,140
+    chars = np.array([10, 20, 30, 40, 110, 120, 130, 140],
+                     dtype=np.int64)
+    src = ["a"] * 4 + ["b"] * 4
+    df = pd.DataFrame({"doc_id": np.arange(8, dtype=np.int64),
+                       "source": src,
+                       "text": ["x" * int(c) for c in chars],
+                       "lang": ["en"] * 8,
+                       "n_chars": chars})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = quantile_normalize_chars(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # rank r of 4 -> global rank ceil(r*8/4) = 2r -> global sorted values
+    # at ranks 2,4,6,8 = 20, 40, 120, 140 for BOTH sources
+    exp = np.array([20, 40, 120, 140], dtype=np.int64)
+    a = got.loc[got["doc_id"] < 4, "qnorm_chars"].to_numpy(np.int64)
+    b = got.loc[got["doc_id"] >= 4, "qnorm_chars"].to_numpy(np.int64)
+    assert (np.sort(a) == exp).all()
+    assert (np.sort(b) == exp).all()
+    assert (np.sort(a) == np.sort(b)).all()   # distributions aligned
