@@ -679,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_ewma_anomaly": Q.events_ewma_anomaly,
         "hapax_ratio_by_source": Q.hapax_ratio_by_source,
         "quantile_normalize_chars": Q.quantile_normalize_chars,
+        "event_burstiness_fano": Q.event_burstiness_fano,
     }
 
 
@@ -3577,6 +3578,19 @@ def oracle_sql() -> dict[str, str]:
                    gl.chars AS qnorm_chars
             FROM r CROSS JOIN n
             JOIN gl ON gl.gr = (r.r * n.nn + r.ns - 1) // r.ns""",
+        "event_burstiness_fano": """
+            WITH hrs AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 3600000000)::BIGINT AS hour_bucket,
+                     count(*)::BIGINT AS n
+              FROM events GROUP BY 1, 2)
+            SELECT event_type,
+                   count(*)::BIGINT AS n_hours,
+                   sum(n)::BIGINT AS n_events,
+                   CAST((1000000::HUGEINT
+                         * (count(*) * sum(n * n) - sum(n) * sum(n)))
+                        // (count(*) * sum(n)) AS BIGINT) AS fano_ppm
+            FROM hrs GROUP BY event_type ORDER BY event_type""",
         "containment_pairs_documents": """
             WITH docs AS (
               SELECT doc_id, text FROM documents

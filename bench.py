@@ -173,6 +173,16 @@ def run_bench() -> dict:
         ("order_fulfillment_latency", Q.order_fulfillment_latency),
         ("event_transition_matrix", Q.event_transition_matrix),
         ("session_path_trigrams", Q.session_path_trigrams),
+        ("lpa_communities_trade", Q.lpa_communities_trade),
+        ("kcore_trade_graph", Q.kcore_trade_graph),
+        ("score_trade_graph", Q.score_trade_graph),
+        ("weighted_pagerank_trade", Q.weighted_pagerank_trade),
+        ("value_gini_by_type", Q.value_gini_by_type),
+        ("copurchase_lift_pairs", Q.copurchase_lift_pairs),
+        ("perceptron_train_langid", Q.perceptron_train_langid),
+        ("quantile_normalize_chars", Q.quantile_normalize_chars),
+        ("source_vocab_overlap", Q.source_vocab_overlap),
+        ("jl_project_embeddings", Q.jl_project_embeddings),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

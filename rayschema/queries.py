@@ -11755,3 +11755,42 @@ def quantile_normalize_chars(sf_dir: str):
                              out_schema, block_fn=block_fn,
                              sort_blocks=32,
                              order_cols=["n_chars", "doc_id"])
+
+
+def event_burstiness_fano(sf_dir: str):
+    """Burstiness audit: the Fano factor (variance-to-mean ratio of
+    hourly counts, index-of-dispersion — 1 for a Poisson stream, > 1
+    bursty, < 1 regular) per event type, integer-exact with the cleared
+    denominator: over a type's observed-hour counts c_1..c_H,
+    fano_ppm = floor(1e6 * (H*Σc² - (Σc)²) / (H*Σc)). ONE per-batch
+    (type, hour) bincount pass folds on the driver over the
+    metadata-sized grid (the CUSUM/EWMA shape). Emits
+    (event_type, n_hours, n_events, fano_ppm) sorted by type."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pandas(),
+            "hour_bucket": (ts // 3_600_000_000).astype(np.int64)})
+        g = df.groupby(["event_type", "hour_bucket"],
+                       as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"]),
+            "hour_bucket": pa.array(g["hour_bucket"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = (part.groupby(["event_type", "hour_bucket"], as_index=False)
+           ["n"].sum())
+    rows = []
+    for et, g in agg.groupby("event_type", sort=True):
+        c = g["n"].to_numpy(np.int64)
+        h, s, s2 = len(c), int(c.sum()), int((c * c).sum())
+        fano = (1_000_000 * (h * s2 - s * s)) // (h * s)
+        rows.append((et, h, s, int(fano)))
+    return pd.DataFrame(rows, columns=["event_type", "n_hours",
+                                       "n_events", "fano_ppm"]) \
+        .astype({"n_hours": np.int64, "n_events": np.int64,
+                 "fano_ppm": np.int64})

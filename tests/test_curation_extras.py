@@ -3215,3 +3215,32 @@ def test_quantile_normalize_planted_and_alignment(ray_session, tmp_path):
     assert (np.sort(a) == exp).all()
     assert (np.sort(b) == exp).all()
     assert (np.sort(a) == np.sort(b)).all()   # distributions aligned
+
+
+def test_event_burstiness_fano_planted(ray_session, tmp_path):
+    """Constant hourly counts -> Fano 0; a bursty series matches the
+    hand-computed cleared-denominator ratio."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import event_burstiness_fano
+
+    flat = [7, 7, 7, 7]                  # var 0
+    burst = [1, 1, 1, 13]                # mean 4, pop-var 27 -> fano 6.75
+    hours = np.concatenate([np.repeat(np.arange(4), flat),
+                            np.repeat(np.arange(4), burst)])
+    et = ["flat"] * sum(flat) + ["burst"] * sum(burst)
+    ts = (hours * 3600 + 3) * 1_000_000
+    n = len(ts)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(et),
+        "value": pa.array(np.ones(n))})
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = event_burstiness_fano(str(tmp_path)).set_index("event_type")
+    assert got.loc["flat", "fano_ppm"] == 0
+    # (h*s2 - s*s) / (h*s) = (4*172 - 256) / (4*16) = 432/64 = 6.75
+    assert got.loc["burst", "fano_ppm"] == 6_750_000
+    assert (got.loc["burst", "n_hours"], got.loc["burst", "n_events"]) \
+        == (4, 16)
