@@ -203,6 +203,49 @@ def _pagerank_sql(iters: int = 4) -> str:
                    CAST(rk AS BIGINT) AS rk
             FROM top WHERE rk <= 20"""
 
+def _bpe_sql(rounds: int = 3) -> str:
+    """Unrolled BPE-trainer CTEs mirroring rayschema.queries.
+    bpe_train_merges round for round: separator-joined token sequences
+    (US = chr(31)), SQL replace() = str.replace non-overlapping
+    left-to-right merge, winner by (count desc, pair lex asc)."""
+    ctes = ["""w0 AS (
+              SELECT word, count(*)::BIGINT AS c
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents WHERE text IS NOT NULL)
+              WHERE length(word) >= 2
+                AND word NOT LIKE '%' || chr(31) || '%'
+              GROUP BY word)""",
+            """s1 AS (SELECT c, array_to_string(
+                         regexp_extract_all(word, '(?s).'),
+                         chr(31)) AS seq
+                   FROM w0)"""]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""t{r} AS (
+              SELECT c, string_split(seq, chr(31)) AS t FROM s{r})""")
+        ctes.append(f"""p{r} AS (
+              SELECT pair, sum(c)::BIGINT AS n
+              FROM (SELECT c,
+                           unnest([t[i] || chr(31) || t[i + 1]
+                                   FOR i IN range(1, len(t))]) AS pair
+                    FROM t{r})
+              GROUP BY pair)""")
+        ctes.append(f"""m{r} AS (
+              SELECT pair, n FROM p{r} ORDER BY n DESC, pair LIMIT 1)""")
+        if r < rounds:
+            ctes.append(f"""s{r + 1} AS (
+              SELECT c, replace(seq, (SELECT pair FROM m{r}),
+                                replace((SELECT pair FROM m{r}),
+                                        chr(31), '')) AS seq
+              FROM s{r})""")
+    sel = "\nUNION ALL\n".join(
+        f"""SELECT {r}::BIGINT AS rnd,
+                   string_split(pair, chr(31))[1] AS merge_left,
+                   string_split(pair, chr(31))[2] AS merge_right,
+                   n
+            FROM m{r}""" for r in range(1, rounds + 1))
+    return f"WITH {','.join(ctes)}\n{sel}"
+
+
 def _perceptron_sql(iters: int = 3) -> str:
     """Unrolled full-batch perceptron mirroring
     rayschema.queries.perceptron_train_langid iteration for iteration:
@@ -680,6 +723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_ratio_by_source": Q.hapax_ratio_by_source,
         "quantile_normalize_chars": Q.quantile_normalize_chars,
         "event_burstiness_fano": Q.event_burstiness_fano,
+        "bpe_train_merges": Q.bpe_train_merges,
     }
 
 
@@ -3591,6 +3635,7 @@ def oracle_sql() -> dict[str, str]:
                          * (count(*) * sum(n * n) - sum(n) * sum(n)))
                         // (count(*) * sum(n)) AS BIGINT) AS fano_ppm
             FROM hrs GROUP BY event_type ORDER BY event_type""",
+        "bpe_train_merges": _bpe_sql(3),
         "containment_pairs_documents": """
             WITH docs AS (
               SELECT doc_id, text FROM documents

@@ -11794,3 +11794,103 @@ def event_burstiness_fano(sf_dir: str):
                                        "n_events", "fano_ppm"]) \
         .astype({"n_hours": np.int64, "n_events": np.int64,
                  "fano_ppm": np.int64})
+
+
+BPE_SEP = "\x1f"
+
+
+def bpe_train_merges(sf_dir: str, rounds: int = 3):
+    """The actual iterative BPE trainer (Sennrich et al. 2016, public) —
+    extends bpe_top_pairs (round-0 statistics only) to the full merge
+    loop: per round, count adjacent TOKEN pairs across the corpus
+    weighted by word frequency, merge the (count desc, pair lex asc)
+    winner everywhere, repeat. Token sequences are separator-joined
+    strings (US = chr(31); merged tokens concatenate WITHOUT the
+    separator, so a pair always splits unambiguously) and the merge is
+    str.replace — non-overlapping left-to-right, the SAME semantics as
+    SQL replace(), so every round mirrors verbatim into unrolled CTEs.
+
+    Distribution shape: word counting is the standard vocabulary-bounded
+    distributed groupby; each training round is ONE map_batches pass
+    over the (word, c) vocab Dataset (apply the broadcast merge list,
+    emit per-batch pair-count partials) + one pair groupby.Sum + a
+    per-block top-1 -> blocks x 1 driver merge. Driver state is O(1)
+    per round (the winner); the pair table never concentrates. Words of
+    length < 2 or containing US are excluded on both sides. Emits one
+    row per round: (rnd, merge_left, merge_right, n)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def wc_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "c": pa.array([], type=pa.int64())})
+        flat, _, _ = _flatten_words_arrow(col)
+        keep = pc.and_(pc.greater_equal(pc.utf8_length(flat), 2),
+                       pc.invert(pc.match_substring(flat, BPE_SEP)))
+        g = (pa.table({"word": flat.filter(keep)}).group_by(["word"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"word": g.column("word"),
+                         "c": g.column("count_all").cast(pa.int64())})
+
+    vocab = (ds.map_batches(wc_partial, batch_format="pyarrow")
+             .groupby("word").aggregate(Sum("c", alias_name="c"))
+             ).materialize()
+
+    merges: list = []
+    out = []
+    for rnd in range(1, rounds + 1):
+        mref = ray.put(list(merges))
+
+        def pair_partial(b: pa.Table, _m=mref) -> pa.Table:
+            ms = ray.get(_m)
+            words = b.column("word").to_pylist()
+            cs = b.column("c").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            counts: dict = {}
+            for word, c in zip(words, cs):
+                seq = BPE_SEP.join(word)
+                for a, bb in ms:
+                    seq = seq.replace(a + BPE_SEP + bb, a + bb)
+                toks = seq.split(BPE_SEP)
+                for i in range(len(toks) - 1):
+                    p = toks[i] + BPE_SEP + toks[i + 1]
+                    counts[p] = counts.get(p, 0) + int(c)
+            return pa.table({
+                "pair": pa.array(list(counts.keys()), type=pa.string()),
+                "n": pa.array(np.fromiter(counts.values(), np.int64,
+                                          len(counts)))})
+
+        def block_top1(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            df = pd.DataFrame({
+                "pair": b.column("pair").to_pandas(),
+                "n": b.column("n").to_numpy(zero_copy_only=False)
+                .astype(np.int64)})
+            df = df.sort_values(["n", "pair"],
+                                ascending=[False, True]).head(1)
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        cand = (vocab.map_batches(pair_partial, batch_format="pyarrow")
+                .groupby("pair").aggregate(Sum("n", alias_name="n"))
+                .map_batches(block_top1, batch_format="pyarrow")
+                .to_pandas())        # blocks x 1 rows
+        if cand.empty:
+            break
+        cand = cand.sort_values(["n", "pair"],
+                                ascending=[False, True]).iloc[0]
+        a, bb = cand["pair"].split(BPE_SEP)
+        merges.append((a, bb))
+        out.append((rnd, a, bb, int(cand["n"])))
+    return pd.DataFrame(out, columns=["rnd", "merge_left",
+                                      "merge_right", "n"]) \
+        .astype({"rnd": np.int64, "n": np.int64})

@@ -3244,3 +3244,27 @@ def test_event_burstiness_fano_planted(ray_session, tmp_path):
     assert got.loc["burst", "fano_ppm"] == 6_750_000
     assert (got.loc["burst", "n_hours"], got.loc["burst", "n_events"]) \
         == (4, 16)
+
+
+def test_bpe_train_merges_planted(ray_session, tmp_path):
+    """Hand-traced 3 rounds incl. the non-overlapping replace subtlety:
+    corpus words 'aaaa' x2, 'abab' x3, 'ab' x5 (len>=2 filter keeps all).
+    Round 1 pairs: (a,a): 3x2=6 from 'aaaa'; (a,b): 2x3+5=11; (b,a): 3.
+    Winner (a,b) n=11. After merge: 'aaaa'->a|a|a|a (no ab), 'abab'->
+    ab|ab, 'ab'->ab. Round 2: (a,a) 6, (ab,ab) 3 -> winner (a,a) n=6.
+    After: 'aaaa'->aa|aa (non-overlap: TWO merges, not three).
+    Round 3: (aa,aa) 2, (ab,ab) 3 -> winner (ab,ab) n=3."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import bpe_train_merges
+
+    texts = ["aaaa aaaa", "abab abab abab", "ab ab ab ab ab"]
+    df = pd.DataFrame({"doc_id": np.arange(3, dtype=np.int64),
+                       "source": ["s"] * 3, "lang": ["en"] * 3,
+                       "text": texts})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = bpe_train_merges(str(tmp_path), rounds=3)
+    assert got[["merge_left", "merge_right"]].values.tolist() == \
+        [["a", "b"], ["a", "a"], ["ab", "ab"]]
+    assert got["n"].tolist() == [11, 6, 3]
