@@ -11466,11 +11466,15 @@ def containment_pairs_documents(sf_dir: str):
     grid, exact integer floor-ppm). Sorted (id_src, id_dst)."""
     from rayschema.dedup import containment_pairs
 
+    cols = ["id_src", "id_dst", "n_inter", "n_src", "cont_ppm"]
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     out = containment_pairs(ds).to_pandas()
+    if out.empty:   # a zero-pair pull can lose the column names
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
     return (out.sort_values(["id_src", "id_dst"])
             .reset_index(drop=True)
-            .astype({c: np.int64 for c in out.columns}))
+            .astype({c: np.int64 for c in cols})[cols])
 
 
 def _jl_signs(dim: int, n_proj: int) -> np.ndarray:
