@@ -516,3 +516,23 @@ def test_score_join_path_and_fuzz(ray_session, seed):
     jn = kcore(_edges_w_ds(s, d, w), k=10, rounds=3, weight_col="w",
                node_cap=0, num_partitions=4)
     pd.testing.assert_frame_equal(jn, bc)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_lpa_vote_cap_paths_equal(ray_session, seed):
+    """vote_cap=0 forces the groupby-Max winner path; default uses the
+    single-exchange driver lexsort — bit-identical results."""
+    from rayschema.graph import label_propagation
+
+    rng = np.random.default_rng(seed + 40)
+    m = 140
+    src = rng.integers(0, 30, size=m).astype(np.int64)
+    dst = rng.integers(0, 30, size=m).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    fast = label_propagation(_edges_ds(src, dst), iters=3) \
+        .sort_values("node").reset_index(drop=True)
+    slow = label_propagation(_edges_ds(src, dst), iters=3, vote_cap=0) \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    pd.testing.assert_frame_equal(fast, _lpa_ref(src, dst, 3))
