@@ -11224,12 +11224,36 @@ def copurchase_lift_pairs(sf_dir: str, minsup: int = 2, top_n: int = 20):
         v, w = u[i_idx], u[j_idx]
         return pa.table({"pk": pa.array((v << np.int64(32)) | w)})
 
-    pair_counts = sorted_group_scan(
+    pair_inst = sorted_group_scan(
         li, ["l_orderkey"], pair_group, pk_schema,
         group_filter=lambda b, s, e: (e - s) >= 2,
-        block_fn=pair_block, sort_blocks=32, order_cols=["l_partkey"]) \
-        .groupby("pk").aggregate(Count(alias_name="n_both")) \
-        .filter(expr=f"n_both >= {int(minsup)}")
+        block_fn=pair_block, sort_blocks=32,
+        order_cols=["l_partkey"]).materialize()
+    if pair_inst.count() <= 10_000_000:
+        # pair instances fit the triangle-count distinct bound: one
+        # driver np fold replaces the ~1M-key hash groupby (measured
+        # ~10x there); per-batch partial pre-counts keep the pull <= m
+        def pk_partial(b: pa.Table) -> pa.Table:
+            u, c = np.unique(b.column("pk").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+                return_counts=True)
+            return pa.table({"pk": pa.array(u),
+                             "n_both": pa.array(c.astype(np.int64))})
+
+        pp = pair_inst.map_batches(pk_partial,
+                                   batch_format="pyarrow").to_pandas()
+        uk, inv = np.unique(pp["pk"].to_numpy(np.int64),
+                            return_inverse=True)
+        nb = np.bincount(inv, weights=pp["n_both"].to_numpy(np.int64)) \
+            .astype(np.int64)
+        keep = nb >= int(minsup)
+        import ray.data as rd
+        pair_counts = rd.from_arrow(pa.table({
+            "pk": pa.array(uk[keep]), "n_both": pa.array(nb[keep])}))
+    else:
+        pair_counts = (pair_inst.groupby("pk")
+                       .aggregate(Count(alias_name="n_both"))
+                       .filter(expr=f"n_both >= {int(minsup)}"))
 
     # ---- n_a: distinct (order, part) -> per-part frequency (O(parts))
     op = (li.groupby(["l_orderkey", "l_partkey"])
@@ -11245,8 +11269,18 @@ def copurchase_lift_pairs(sf_dir: str, minsup: int = 2, top_n: int = 20):
     pf = (op.map_batches(part_partial, batch_format="pyarrow")
           .groupby("part").aggregate(Sum("np_", alias_name="np_"))
           .to_pandas().sort_values("part"))
-    n_orders = li.groupby("l_orderkey") \
-        .aggregate(Count(alias_name="_n")).count()
+
+    # distinct orders: per-batch unique partials + one driver np.unique
+    # (orderkey-clustered batches keep the pull near the distinct count;
+    # no all-to-all just to count keys)
+    def ok_partial(b: pa.Table) -> pa.Table:
+        return pa.table({"ok": pa.array(np.unique(
+            b.column("l_orderkey").to_numpy(zero_copy_only=False)
+            .astype(np.int64)))})
+
+    n_orders = len(np.unique(
+        li.map_batches(ok_partial, batch_format="pyarrow")
+        .to_pandas()["ok"].to_numpy(np.int64)))
     ref = ray.put((pf["part"].to_numpy(np.int64),
                    pf["np_"].to_numpy(np.int64), int(n_orders)))
 
