@@ -39,7 +39,8 @@ def _np64(col) -> np.ndarray:
 
 def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
              num_partitions: int = 32, init: int = PR_INIT,
-             base: int = PR_BASE, weight_col: str = None) -> pd.DataFrame:
+             base: int = PR_BASE, weight_col: str = None,
+             fold_cap: int = 10_000_000) -> pd.DataFrame:
     """Integer-exact PageRank over an edge Dataset (src, dst int64).
 
     Semantics (mirrorable in unrolled SQL CTEs; ``init``/``base`` pick the
@@ -77,7 +78,8 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
     from ray.data.aggregate import Sum
 
     edges = edges.materialize()
-    if edges.count() == 0:
+    m_edges = edges.count()
+    if m_edges == 0:
         return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
                              "pr": pd.Series([], dtype=np.int64)})
 
@@ -124,12 +126,26 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
                     "c": pa.array(np.bincount(inv, weights=c)
                                   .astype(np.int64))})
 
-            agg = (edges.map_batches(contrib, batch_format="pyarrow")
-                   .groupby("dst").aggregate(Sum("c", alias_name="s"))
-                   .to_pandas())
             s = np.zeros(len(nodes), dtype=np.int64)
-            s[np.searchsorted(nodes, agg["dst"].to_numpy(np.int64))] = \
-                agg["s"].to_numpy(np.int64)
+            if m_edges <= fold_cap:
+                # driver contrib fold: per-batch (dst, c) partials are
+                # node-bounded per block, so the pull is
+                # <= min(edges, blocks x nodes) — np.add.at replaces
+                # the per-superstep all-to-all (int64-exact, no float
+                # mass bound involved)
+                parts = (edges.map_batches(contrib,
+                                           batch_format="pyarrow")
+                         .to_pandas())
+                np.add.at(s, np.searchsorted(
+                    nodes, parts["dst"].to_numpy(np.int64)),
+                    parts["c"].to_numpy(np.int64))
+            else:
+                agg = (edges.map_batches(contrib, batch_format="pyarrow")
+                       .groupby("dst").aggregate(Sum("c", alias_name="s"))
+                       .to_pandas())
+                s[np.searchsorted(nodes,
+                                  agg["dst"].to_numpy(np.int64))] = \
+                    agg["s"].to_numpy(np.int64)
             pr = base + (PR_DAMP_NUM * s) // PR_DAMP_DEN
         return pd.DataFrame({"node": nodes, "pr": pr})
 
@@ -417,7 +433,8 @@ def triangle_counts(pairs, node_cap: int = NODE_BROADCAST_CAP,
 
 
 def hits(edges, iters: int = 2, node_cap: int = NODE_BROADCAST_CAP,
-         num_partitions: int = 32) -> pd.DataFrame:
+         num_partitions: int = 32,
+         fold_cap: int = 10_000_000) -> pd.DataFrame:
     """Integer-exact HITS (Kleinberg 1999, public) over a DIRECTED edge
     Dataset (src = hub side, dst = authority side). Semantics, mirrorable
     in unrolled SQL CTEs::
@@ -443,7 +460,8 @@ def hits(edges, iters: int = 2, node_cap: int = NODE_BROADCAST_CAP,
     from ray.data.aggregate import Count, Max, Sum
 
     edges = edges.materialize()
-    if edges.count() == 0:
+    m_edges = edges.count()
+    if m_edges == 0:
         return pd.DataFrame({"node": pd.Series([], dtype=np.int64),
                              "side": pd.Series([], dtype=str),
                              "score": pd.Series([], dtype=np.int64)})
@@ -489,13 +507,23 @@ def hits(edges, iters: int = 2, node_cap: int = NODE_BROADCAST_CAP,
                     "c": pa.array(np.bincount(inv, weights=c)
                                   .astype(np.int64))})
 
-            agg = (edges.map_batches(part, batch_format="pyarrow")
-                   .groupby("k").aggregate(Sum("c", alias_name="s"))
-                   .to_pandas())
             raw = np.zeros(len(nodes_out), dtype=np.int64)
-            raw[np.searchsorted(nodes_out,
-                                agg["k"].to_numpy(np.int64))] = \
-                agg["s"].to_numpy(np.int64)
+            if m_edges <= fold_cap:
+                # driver fold of node-bounded per-batch partials —
+                # no all-to-all per half-step (pagerank's fold_cap
+                # rationale; int64-exact np.add.at)
+                parts = (edges.map_batches(part, batch_format="pyarrow")
+                         .to_pandas())
+                np.add.at(raw, np.searchsorted(
+                    nodes_out, parts["k"].to_numpy(np.int64)),
+                    parts["c"].to_numpy(np.int64))
+            else:
+                agg = (edges.map_batches(part, batch_format="pyarrow")
+                       .groupby("k").aggregate(Sum("c", alias_name="s"))
+                       .to_pandas())
+                raw[np.searchsorted(nodes_out,
+                                    agg["k"].to_numpy(np.int64))] = \
+                    agg["s"].to_numpy(np.int64)
             return raw // _den(raw.max())
 
         for _ in range(iters):

@@ -536,3 +536,32 @@ def test_lpa_vote_cap_paths_equal(ray_session, seed):
         .sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
     pd.testing.assert_frame_equal(fast, _lpa_ref(src, dst, 3))
+
+
+def test_pagerank_fold_cap_paths_equal(ray_session):
+    """fold_cap=0 forces the per-superstep groupby path; the default
+    driver contrib fold is bit-identical."""
+    rng = np.random.default_rng(9)
+    src = rng.integers(0, 20, size=80).astype(np.int64)
+    dst = rng.integers(0, 20, size=80).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    fast = pagerank(_edges_ds(src, dst), iters=3) \
+        .sort_values("node").reset_index(drop=True)
+    slow = pagerank(_edges_ds(src, dst), iters=3, fold_cap=0) \
+        .sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+    pd.testing.assert_frame_equal(fast, _pagerank_ref(src, dst, 3))
+
+
+def test_hits_fold_cap_paths_equal(ray_session):
+    from rayschema.graph import hits
+
+    rng = np.random.default_rng(13)
+    src = (rng.integers(0, 12, size=60) * 2).astype(np.int64)
+    dst = (rng.integers(0, 12, size=60) * 2 + 1).astype(np.int64)
+    fast = hits(_edges_ds(src, dst), iters=2) \
+        .sort_values(["side", "node"]).reset_index(drop=True)
+    slow = hits(_edges_ds(src, dst), iters=2, fold_cap=0) \
+        .sort_values(["side", "node"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
