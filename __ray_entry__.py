@@ -724,6 +724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_normalize_chars": Q.quantile_normalize_chars,
         "event_burstiness_fano": Q.event_burstiness_fano,
         "bpe_train_merges": Q.bpe_train_merges,
+        "clustering_coeff_parts": Q.clustering_coeff_parts,
     }
 
 
@@ -3636,6 +3637,39 @@ def oracle_sql() -> dict[str, str]:
                         // (count(*) * sum(n)) AS BIGINT) AS fano_ppm
             FROM hrs GROUP BY event_type ORDER BY event_type""",
         "bpe_train_merges": _bpe_sql(3),
+        "clustering_coeff_parts": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+                  FROM lp x JOIN lp y ON x.l_orderkey = y.l_orderkey
+                                     AND x.l_partkey < y.l_partkey),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1 JOIN e e2 ON e2.a = e1.b
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            cnt AS (SELECT node, count(*)::BIGINT AS n_triangles
+                    FROM (SELECT x AS node FROM tri
+                          UNION ALL SELECT y FROM tri
+                          UNION ALL SELECT z FROM tri)
+                    GROUP BY node),
+            deg AS (SELECT node, count(*)::BIGINT AS deg
+                    FROM (SELECT a AS node FROM e
+                          UNION ALL SELECT b FROM e)
+                    GROUP BY node),
+            cc AS (SELECT d.node, d.deg,
+                          coalesce(c.n_triangles, 0)::BIGINT AS tri,
+                          (2000000 * coalesce(c.n_triangles, 0))
+                            // (d.deg * (d.deg - 1)) AS cc_ppm
+                   FROM deg d LEFT JOIN cnt c ON c.node = d.node
+                   WHERE d.deg >= 2),
+            top AS (SELECT node, deg, tri, cc_ppm,
+                           row_number() OVER (ORDER BY cc_ppm DESC,
+                                              node) AS rk
+                    FROM cc)
+            SELECT CAST(node AS BIGINT) AS part_key,
+                   deg, tri AS n_triangles,
+                   CAST(cc_ppm AS BIGINT) AS cc_ppm,
+                   CAST(rk AS BIGINT) AS rk
+            FROM top WHERE rk <= 15""",
         "containment_pairs_documents": """
             WITH docs AS (
               SELECT doc_id, text FROM documents

@@ -10757,20 +10757,17 @@ def pagerank_customer_supplier(sf_dir: str, iters: int = 4):
         "rk": np.arange(1, len(node) + 1, dtype=np.int64)})
 
 
-def triangle_parts_copurchase(sf_dir: str, top_n: int = 15):
-    """Per-part triangle counts over the part co-purchase graph (parts
-    appearing in the same order are adjacent): distinct pair edges come
-    from ONE l_orderkey-keyed sorted_group_scan (within-order partkey
-    dedup + vectorized pair emission) folded distinct by packed pair key;
-    the count itself is rayschema.graph.triangle_counts — degree-oriented
-    wedge generation bounding wedge volume at O(m^1.5), closure by a
-    marker-join on a second keyed scan, per-node fold as ONE groupby.Sum.
-    Emits the top-15 (part_key, n_triangles, rk), deterministic integer
-    ties. Oracle: 3-way self-join on the distinct-edge CTE."""
+def _part_pair_edges(sf_dir: str):
+    """Distinct part co-purchase edges (a < b int64) from ONE
+    l_orderkey-keyed sorted_group_scan (within-order partkey dedup +
+    vectorized pair emission) folded distinct by packed pair key —
+    driver np.unique under the 10M pair-instance cap, hash groupby past
+    it. Shared by the triangle-count and clustering-coefficient
+    queries."""
     from ray.data.aggregate import Count
 
     from rayschema.dedup import sorted_group_scan
-    from rayschema.graph import _pair_index, triangle_counts
+    from rayschema.graph import _pair_index
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
@@ -10832,7 +10829,20 @@ def triangle_parts_copurchase(sf_dir: str, top_n: int = 15):
         edges = (pair_keys.groupby("pk")
                  .aggregate(Count(alias_name="_n"))
                  .map_batches(_decode, batch_format="pyarrow"))
+    return edges
 
+
+def triangle_parts_copurchase(sf_dir: str, top_n: int = 15):
+    """Per-part triangle counts over the part co-purchase graph
+    (_part_pair_edges distinct pairs); the count itself is
+    rayschema.graph.triangle_counts — degree-oriented wedge generation
+    bounding wedge volume at O(m^1.5), closure by a marker-join on a
+    second keyed scan, per-node fold as ONE groupby.Sum. Emits the
+    top-15 (part_key, n_triangles, rk), deterministic integer ties.
+    Oracle: 3-way self-join on the distinct-edge CTE."""
+    from rayschema.graph import triangle_counts
+
+    edges = _part_pair_edges(sf_dir)
     cnt = triangle_counts(edges).to_pandas()   # O(parts) driver state
     node = cnt["node"].to_numpy(np.int64)
     tri = cnt["n_triangles"].to_numpy(np.int64)
@@ -10842,6 +10852,48 @@ def triangle_parts_copurchase(sf_dir: str, top_n: int = 15):
         "part_key": node,
         "n_triangles": tri,
         "rk": np.arange(1, len(node) + 1, dtype=np.int64)})
+
+
+def clustering_coeff_parts(sf_dir: str, top_n: int = 15):
+    """Local clustering coefficient (Watts–Strogatz, public) per part
+    over the co-purchase graph: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1))
+    as the exact floor-ppm integer, deg >= 2 only. Triangles come from
+    the shared rayschema.graph.triangle_counts; degrees from one partial
+    groupby over the same _part_pair_edges Dataset — both folds are
+    O(parts). Emits the top-15 (part_key, deg, n_triangles, cc_ppm, rk)
+    by (cc_ppm desc, part asc)."""
+    from ray.data.aggregate import Sum
+
+    from rayschema.graph import triangle_counts
+
+    edges = _part_pair_edges(sf_dir).materialize()
+    tri = triangle_counts(edges).to_pandas()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            b.column("a").to_numpy(zero_copy_only=False).astype(np.int64),
+            b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)])
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(u),
+                         "dp": pa.array(c.astype(np.int64))})
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("dp", alias_name="deg"))
+           .to_pandas())
+    df = deg.merge(tri, on="node", how="left")
+    df["n_triangles"] = df["n_triangles"].fillna(0).astype(np.int64)
+    df = df[df["deg"] >= 2]
+    d = df["deg"].to_numpy(np.int64)
+    t = df["n_triangles"].to_numpy(np.int64)
+    cc = (2_000_000 * t) // (d * (d - 1))
+    node = df["node"].to_numpy(np.int64)
+    order = np.lexsort((node, -cc))[:top_n]
+    return pd.DataFrame({
+        "part_key": node[order],
+        "deg": d[order],
+        "n_triangles": t[order],
+        "cc_ppm": cc[order],
+        "rk": np.arange(1, len(order) + 1, dtype=np.int64)})
 
 
 def hits_trade_graph(sf_dir: str, iters: int = 2):

@@ -565,3 +565,29 @@ def test_hits_fold_cap_paths_equal(ray_session):
     slow = hits(_edges_ds(src, dst), iters=2, fold_cap=0) \
         .sort_values(["side", "node"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_clustering_coeff_planted(ray_session, tmp_path):
+    """K4 plus a pendant: clique nodes have cc = 1 (deg 3, 3 triangles),
+    the bridge node's coefficient dilutes, the pendant (deg 1) is
+    excluded."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import clustering_coeff_parts
+
+    # orders: one order per edge of K4 {1,2,3,4} + edge 4-5 (pendant 5)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)]
+    ok = np.repeat(np.arange(1, len(edges) + 1, dtype=np.int64), 2)
+    pk = np.array([p for e in edges for p in e], dtype=np.int64)
+    _pq.write_table(pa.table({"l_orderkey": pa.array(ok),
+                              "l_partkey": pa.array(pk)}),
+                    os.path.join(tmp_path, "lineitem.parquet"))
+    got = clustering_coeff_parts(str(tmp_path)).set_index("part_key")
+    assert 5 not in got.index                 # deg 1 excluded
+    for n in (1, 2, 3):
+        assert got.loc[n, "cc_ppm"] == 1_000_000
+        assert got.loc[n, "deg"] == 3 and got.loc[n, "n_triangles"] == 3
+    # node 4: deg 4, 3 triangles -> 2*3/(4*3) = 0.5
+    assert got.loc[4, "cc_ppm"] == 500_000
