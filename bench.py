@@ -183,6 +183,10 @@ def run_bench() -> dict:
         ("quantile_normalize_chars", Q.quantile_normalize_chars),
         ("source_vocab_overlap", Q.source_vocab_overlap),
         ("jl_project_embeddings", Q.jl_project_embeddings),
+        ("bpe_train_merges", Q.bpe_train_merges),
+        ("clustering_coeff_parts", Q.clustering_coeff_parts),
+        ("event_burstiness_fano", Q.event_burstiness_fano),
+        ("hapax_ratio_by_source", Q.hapax_ratio_by_source),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s
