@@ -177,3 +177,74 @@ def _read_table_files(path: str, fmt: str):
         return pa.concat_tables(tables) if tables else pa.table({})
 
     return raw.map_batches(decode, batch_format="pyarrow")
+
+
+def compact_parquet_dir(in_dir: str, out_dir: str,
+                        target_mb: int = 128) -> dict:
+    """Storage-maintenance compaction: bin-pack a directory of (many,
+    small) parquet files into ~``target_mb`` outputs. The plan is built
+    from FOOTER METADATA only (file sizes + row counts — no data read on
+    the driver, O(files) state); each bin then compacts in its own Ray
+    task (read its files, write ONE output), so the heavy I/O is fully
+    parallel and a rerun is idempotent (deterministic bin-indexed
+    names, fresh output dir). Returns {"files_in", "files_out",
+    "rows"} after verifying the row count survived — the engine-side
+    answer to the small-files problem a streaming sink leaves behind."""
+    import ray
+    import ray.data as rd
+
+    files = sorted(
+        os.path.join(in_dir, f) for f in os.listdir(in_dir)
+        if f.endswith(".parquet"))
+    if not files:
+        raise ValueError(f"no parquet files under {in_dir!r}")
+    import pyarrow.parquet as pq
+
+    sizes = [os.path.getsize(f) for f in files]
+    rows_in = 0
+    for f in files:
+        rows_in += pq.ParquetFile(f).metadata.num_rows
+    target = target_mb << 20
+    bins, cur, acc = [], [], 0
+    for f, s in zip(files, sizes):
+        if cur and acc + s > target:
+            bins.append(cur)
+            cur, acc = [], 0
+        cur.append(f)
+        acc += s
+    if cur:
+        bins.append(cur)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for old in os.listdir(out_dir):
+        if old.startswith("compact-") and old.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, old))
+
+    def compact_bin(b: "pa.Table", _out=out_dir) -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.parquet as _pq
+
+        outs, rows = [], []
+        for i, fl in zip(b.column("bin").to_pylist(),
+                         b.column("files").to_pylist()):
+            t = pa.concat_tables([_pq.read_table(f) for f in fl])
+            fp = os.path.join(_out, f"compact-{int(i):05d}.parquet")
+            _pq.write_table(t, fp)
+            outs.append(fp)
+            rows.append(t.num_rows)
+        return pa.table({"file": pa.array(outs),
+                         "rows": pa.array(rows, type=pa.int64())})
+
+    import pyarrow as pa
+    plan = rd.from_arrow(pa.table({
+        "bin": pa.array(range(len(bins)), type=pa.int64()),
+        "files": pa.array(bins, type=pa.list_(pa.string()))})) \
+        .repartition(min(len(bins), 32))
+    done = plan.map_batches(compact_bin, batch_format="pyarrow") \
+        .to_pandas()
+    rows_out = int(done["rows"].sum())
+    if rows_out != rows_in:
+        raise RuntimeError(
+            f"compaction lost rows: {rows_in} in, {rows_out} out")
+    return {"files_in": len(files), "files_out": len(bins),
+            "rows": rows_out}

@@ -136,3 +136,41 @@ def test_gzip_jsonl_and_csv_sources(ray_session, tmp_path):
     df3 = (read_corpus(str(d3)).to_pandas()
            .sort_values("doc_id").reset_index(drop=True))
     assert len(df3) == 25 and df3.loc[11, "text"] == "doc 11"
+
+
+def test_compact_parquet_dir(ray_session, tmp_path):
+    """40 tiny files bin-pack into few outputs; rows and content survive
+    exactly; rerun is idempotent (stale compact files are replaced)."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rayschema.sources import compact_parquet_dir
+
+    src = tmp_path / "small"
+    out = tmp_path / "big"
+    os.makedirs(src)
+    rng = np.random.default_rng(3)
+    all_ids = []
+    for i in range(40):
+        ids = rng.integers(0, 10_000, size=50).astype(np.int64)
+        all_ids.append(ids)
+        pq.write_table(pa.table({"id": pa.array(ids)}),
+                       os.path.join(src, f"part-{i:03d}.parquet"))
+    res = compact_parquet_dir(str(src), str(out), target_mb=1)
+    assert res["files_in"] == 40 and res["rows"] == 2000
+    assert res["files_out"] < 40
+    outs = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(outs) == res["files_out"]
+    got = np.sort(np.concatenate([
+        pq.read_table(os.path.join(out, f)).column("id").to_numpy()
+        for f in outs]))
+    assert (got == np.sort(np.concatenate(all_ids))).all()
+    # rerun: same result, no stale leftovers
+    res2 = compact_parquet_dir(str(src), str(out), target_mb=1)
+    assert res2 == res
+    assert len([f for f in os.listdir(out)
+                if f.endswith(".parquet")]) == res["files_out"]
