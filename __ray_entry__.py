@@ -414,6 +414,36 @@ def _score_sql(k: int = 32, rounds: int = 3) -> str:
             FROM top WHERE rk <= 20"""
 
 
+def _bfs_sql(max_hops: int = 6) -> str:
+    """Recursive BFS walk mirroring rayschema.graph.bfs_hops: the
+    UNION-deduplicated (node, hops) exploration capped at
+    hops < max_hops, min(hops) per node = first-visit level, grouped
+    into the (hops, node_type) histogram. Source = smallest src node
+    (the lowest trading customer, node parity even)."""
+    return f"""
+            WITH RECURSIVE pairs AS (
+              SELECT DISTINCT o.o_custkey * 2 AS c_node,
+                              l.l_suppkey * 2 + 1 AS s_node
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey),
+            edges AS (SELECT c_node AS src, s_node AS dst FROM pairs
+                      UNION ALL SELECT s_node, c_node FROM pairs),
+            walk(node, hops) AS (
+              SELECT min(src), 0 FROM edges
+              UNION
+              SELECT e.dst, w.hops + 1
+              FROM walk w JOIN edges e ON e.src = w.node
+              WHERE w.hops < {int(max_hops)}),
+            dist AS (SELECT node, min(hops) AS hops
+                     FROM walk GROUP BY node)
+            SELECT CAST(hops AS BIGINT) AS hops,
+                   CASE WHEN node % 2 = 0 THEN 'customer'
+                        ELSE 'supplier' END AS node_type,
+                   count(*)::BIGINT AS n_nodes
+            FROM dist GROUP BY hops, node_type
+            ORDER BY hops, node_type"""
+
+
 def _kcore_sql(k: int = 12, rounds: int = 3) -> str:
     """Unrolled bounded k-core peel mirroring rayschema.graph.kcore round
     for round: in-degree over edges whose BOTH endpoints survive, >= k
@@ -519,6 +549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dup_documents": Q.simhash_near_dup_documents,
         "keep_best_per_cluster": Q.keep_best_per_cluster,
         # -- round-4 additions: never driver-checked by any round ----------
+        "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
         "quality_rank_in_source": Q.quality_rank_in_source,
         "hard_negative_mining": Q.hard_negative_mining,
@@ -3560,6 +3591,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_trade_graph": _hits_sql(2),
         "lpa_communities_trade": _lpa_sql(3),
         "kcore_trade_graph": _kcore_sql(12, 3),
+        "bfs_hops_trade": _bfs_sql(6),
         "perceptron_train_langid": _perceptron_sql(3),
         "weighted_pagerank_trade": _weighted_pagerank_sql(3),
         "score_trade_graph": _score_sql(32, 3),

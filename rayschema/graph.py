@@ -911,3 +911,119 @@ def kcore(edges, k: int, rounds: int = 3,
     out = _deg_ds(alive_ds).to_pandas()
     return (out.rename(columns={"deg": "core_deg"})
             .sort_values("node").reset_index(drop=True))
+
+
+def bfs_hops(edges, source: int = None, max_hops: int = 6,
+             node_cap: int = NODE_BROADCAST_CAP,
+             num_partitions: int = 32) -> pd.DataFrame:
+    """BFS hop distance from ``source`` (default: the smallest node id
+    appearing as a src endpoint) over an edge Dataset (src, dst int64;
+    emit both directions for an undirected graph). Classic synchronous
+    frontier expansion (Pregel, Malewicz et al. 2010 — public): dist of
+    the source is 0, and superstep h marks every UNVISITED dst whose
+    src sits in the hop-(h-1) frontier with dist h, stopping on an
+    empty frontier or after ``max_hops`` supersteps. The bounded hop
+    count is part of the operator contract so the whole run mirrors
+    verbatim into a ``WITH RECURSIVE`` SQL walk: UNION-deduplicated
+    (node, hops) rows capped at hops < max_hops, then min(hops) per
+    node — the minimum over all discovery levels IS the first-visit
+    level a synchronous BFS assigns.
+
+    Each superstep is ONE edge-stream pass: the sorted frontier array
+    broadcasts via ``ray.put`` (O(frontier) <= O(nodes) bytes, the
+    bound every algorithm in this module already accepts for its rank
+    or label vector), each batch emits its distinct frontier-adjacent
+    dsts, one node-keyed groupby dedups them, and the visited vector
+    folds on the driver with setdiff1d — O(nodes) driver state. Past
+    ``node_cap`` nodes the same superstep runs join-side: the frontier
+    Dataset semi-joins the edge stream on src, the distinct dsts
+    left-outer-join the visited Dataset and keep the null side
+    (equality-tested against the broadcast path), so no node vector
+    ever touches the driver. Returns pandas (node, hops) for every
+    REACHED node, sorted by node."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    empty = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
+                          "hops": pd.Series([], dtype=np.int64)})
+    edges = edges.materialize()
+    if edges.count() == 0:
+        return empty
+    if source is None:
+        source = int(edges.min("src"))
+
+    nodes_ds = (edges.groupby("src").aggregate(Count(alias_name="_n"))
+                .select_columns(["src"])).materialize()
+    n_nodes = nodes_ds.count()
+
+    if n_nodes <= node_cap:
+        visited = np.array([source], dtype=np.int64)
+        hops = np.array([0], dtype=np.int64)
+        frontier = visited
+        for h in range(1, max_hops + 1):
+            if not len(frontier):
+                break
+            ref = ray.put(np.sort(frontier))
+
+            def part(b: pa.Table, _r=ref) -> pa.Table:
+                f = ray.get(_r)
+                s, d = _np64(b.column("src")), _np64(b.column("dst"))
+                p = np.minimum(np.searchsorted(f, s), len(f) - 1)
+                return pa.table({
+                    "node": pa.array(np.unique(d[f[p] == s]))})
+
+            nxt = (edges.map_batches(part, batch_format="pyarrow")
+                   .groupby("node").aggregate(Count(alias_name="_n"))
+                   .to_pandas()["node"].to_numpy(np.int64))
+            new = np.setdiff1d(nxt, visited)
+            if not len(new):
+                break
+            visited = np.concatenate([visited, new])
+            hops = np.concatenate(
+                [hops, np.full(len(new), h, dtype=np.int64)])
+            frontier = new
+        order = np.argsort(visited)
+        return pd.DataFrame({"node": visited[order],
+                             "hops": hops[order]})
+
+    # ---- join scale path: frontier/visited stay distributed
+    visited_ds = rd.from_arrow(pa.table({
+        "node": pa.array([source], type=pa.int64()),
+        "hops": pa.array([0], type=pa.int64())})).materialize()
+    frontier_ds = visited_ds.select_columns(["node"]).materialize()
+    for h in range(1, max_hops + 1):
+        if frontier_ds.count() == 0:
+            break
+        cand = (edges.join(frontier_ds, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("src",), right_on=("node",),
+                           right_suffix="_f")
+                .groupby("dst").aggregate(Count(alias_name="_n"))
+                .select_columns(["dst"])
+                .map_batches(lambda b: b.rename_columns(["node"]),
+                             batch_format="pyarrow"))
+        def keep_unvisited(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(pc.is_null(b.column("hops"))) \
+                .select(["node"])
+
+        new = (cand.join(visited_ds, join_type="left_outer",
+                         num_partitions=num_partitions,
+                         on=("node",), right_on=("node",),
+                         right_suffix="_v")
+               .map_batches(keep_unvisited,
+                            batch_format="pyarrow")).materialize()
+        if new.count() == 0:
+            break
+
+        def stamp(b: pa.Table, _h=h) -> pa.Table:
+            return b.append_column(
+                "hops", pa.array(np.full(b.num_rows, _h, np.int64)))
+
+        visited_ds = visited_ds.union(
+            new.map_batches(stamp, batch_format="pyarrow")).materialize()
+        frontier_ds = new
+    out = visited_ds.to_pandas()   # O(reached nodes), caller-bounded
+    return out.sort_values("node").reset_index(drop=True)

@@ -12011,3 +12011,39 @@ def bpe_train_merges(sf_dir: str, rounds: int = 3):
     return pd.DataFrame(out, columns=["rnd", "merge_left",
                                       "merge_right", "n"]) \
         .astype({"rnd": np.int64, "n": np.int64})
+
+
+def bfs_hops_trade(sf_dir: str, max_hops: int = 6):
+    """BFS hop-distance profile of the symmetric customer–supplier
+    trade graph from its smallest node id (the lowest trading customer
+    — deterministic and SQL-computable): rayschema.graph.bfs_hops runs
+    one frontier-broadcast edge pass per superstep (O(nodes) driver
+    state, join path past the cap), and the reached set folds to a
+    (hops, node_type) histogram. On a connected bipartite trade graph
+    customers sit on even hops and suppliers on odd — the output shape
+    the oracle's WITH RECURSIVE walk reproduces exactly. Emits
+    (hops, node_type, n_nodes) sorted by hops, node_type."""
+    from rayschema.graph import bfs_hops
+
+    pairs = _trade_pair_keys(sf_dir)
+
+    def unpack(b: pa.Table) -> pa.Table:
+        ek = b.column("ekey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c, s = ek >> np.int64(32), ek & np.int64((1 << 32) - 1)
+        return pa.table({
+            "src": pa.array(np.concatenate([c, s])),
+            "dst": pa.array(np.concatenate([s, c]))})
+
+    edges = pairs.map_batches(unpack, batch_format="pyarrow")
+    dist = bfs_hops(edges, max_hops=max_hops)
+
+    node = dist["node"].to_numpy(np.int64)
+    df = pd.DataFrame({
+        "hops": dist["hops"].to_numpy(np.int64),
+        "node_type": np.where(node % 2 == 0, "customer", "supplier")})
+    out = (df.groupby(["hops", "node_type"], as_index=False)
+           .size().rename(columns={"size": "n_nodes"}))
+    out["n_nodes"] = out["n_nodes"].astype(np.int64)
+    return (out.sort_values(["hops", "node_type"])
+            .reset_index(drop=True))

@@ -591,3 +591,44 @@ def test_clustering_coeff_planted(ray_session, tmp_path):
         assert got.loc[n, "deg"] == 3 and got.loc[n, "n_triangles"] == 3
     # node 4: deg 4, 3 triangles -> 2*3/(4*3) = 0.5
     assert got.loc[4, "cc_ppm"] == 500_000
+
+
+def test_bfs_hops_planted_chain_and_unreached(ray_session):
+    from rayschema.graph import bfs_hops
+
+    # undirected path 0-1-2-3 plus a disconnected 2-cycle {10, 11}:
+    # hops follow the chain, the island never appears
+    src = [0, 1, 1, 2, 2, 3, 10, 11]
+    dst = [1, 0, 2, 1, 3, 2, 11, 10]
+    out = bfs_hops(_edges_ds(src, dst), max_hops=6)
+    exp = pd.DataFrame({"node": np.arange(4, dtype=np.int64),
+                        "hops": np.arange(4, dtype=np.int64)})
+    pd.testing.assert_frame_equal(out, exp)
+    # bounded hop count truncates the frontier expansion
+    out2 = bfs_hops(_edges_ds(src, dst), max_hops=2)
+    assert out2["hops"].max() == 2 and len(out2) == 3
+    # explicit source overrides the min-src default
+    out3 = bfs_hops(_edges_ds(src, dst), source=10, max_hops=6)
+    assert out3["node"].tolist() == [10, 11]
+    assert out3["hops"].tolist() == [0, 1]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_bfs_hops_join_path_matches_broadcast(ray_session, seed):
+    from rayschema.graph import bfs_hops
+
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, 30, size=120).astype(np.int64)
+    dst = rng.integers(0, 30, size=120).astype(np.int64)
+    src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+    bcast = bfs_hops(_edges_ds(src, dst), max_hops=3)
+    joined = bfs_hops(_edges_ds(src, dst), max_hops=3, node_cap=1,
+                      num_partitions=4)
+    pd.testing.assert_frame_equal(bcast, joined)
+
+
+def test_bfs_hops_empty_edges(ray_session):
+    from rayschema.graph import bfs_hops
+
+    out = bfs_hops(_edges_ds([], []))
+    assert len(out) == 0 and list(out.columns) == ["node", "hops"]
