@@ -444,6 +444,51 @@ def _bfs_sql(max_hops: int = 6) -> str:
             ORDER BY hops, node_type"""
 
 
+def _markov_sql(iters: int = 5) -> str:
+    """Unrolled integer power iteration mirroring
+    rayschema.queries.markov_stationary_events superstep for superstep:
+    states = event types with >= 1 outgoing transition, transitions into
+    non-states dropped with KEPT-mass row totals, p_0 = 10^12 // k, and
+    p_{t+1}(j) = sum_i (p_t(i) * n_ij) // r_i with the floor PER TERM —
+    HUGEINT keeps p * n exact at any corpus size. States with no
+    incoming core transition survive each round at mass 0 via the LEFT
+    JOIN from states."""
+    ctes = ["""e AS (SELECT user_id, event_type, ts, event_id
+                     FROM events
+                     WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                       AND event_type IS NOT NULL)""",
+            """w AS (SELECT event_type AS t1,
+                            lead(event_type) OVER
+                              (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS t2
+                     FROM e)""",
+            """tm AS (SELECT t1, t2, count(*)::HUGEINT AS n
+                      FROM w WHERE t2 IS NOT NULL GROUP BY t1, t2)""",
+            """states AS (SELECT DISTINCT t1 AS st FROM tm)""",
+            """core AS (SELECT tm.t1, tm.t2, tm.n
+                        FROM tm JOIN states s ON s.st = tm.t2)""",
+            """r AS (SELECT t1, sum(n)::HUGEINT AS rt
+                     FROM core GROUP BY t1)""",
+            """k AS (SELECT count(*)::HUGEINT AS ns FROM states)""",
+            """p0 AS (SELECT st, (1000000000000::HUGEINT // k.ns) AS m
+                      FROM states, k)"""]
+    for t in range(iters):
+        ctes.append(f"""p{t + 1} AS (
+              SELECT s.st,
+                     COALESCE(sum((p.m * c.n) // r.rt), 0)::HUGEINT AS m
+              FROM states s
+              LEFT JOIN core c ON c.t2 = s.st
+              LEFT JOIN p{t} p ON p.st = c.t1
+              LEFT JOIN r ON r.t1 = c.t1
+              GROUP BY s.st)""")
+    return f"""
+            WITH {','.join(ctes)}
+            SELECT st AS event_type, m::BIGINT AS stat_p12,
+                   row_number() OVER (ORDER BY m DESC, st ASC)::BIGINT AS rk
+            FROM p{iters}
+            ORDER BY event_type"""
+
+
 def _kcore_sql(k: int = 12, rounds: int = 3) -> str:
     """Unrolled bounded k-core peel mirroring rayschema.graph.kcore round
     for round: in-degree over edges whose BOTH endpoints survive, >= k
@@ -756,6 +801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_burstiness_fano": Q.event_burstiness_fano,
         "bpe_train_merges": Q.bpe_train_merges,
         "clustering_coeff_parts": Q.clustering_coeff_parts,
+        "markov_stationary_events": Q.markov_stationary_events,
     }
 
 
@@ -3843,4 +3889,5 @@ def oracle_sql() -> dict[str, str]:
                    CAST(lift_ppm AS BIGINT) AS lift_ppm,
                    CAST(rk AS BIGINT) AS rk
             FROM top WHERE rk <= 20""",
+        "markov_stationary_events": _markov_sql(5),
     }

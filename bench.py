@@ -187,6 +187,7 @@ def run_bench() -> dict:
         ("clustering_coeff_parts", Q.clustering_coeff_parts),
         ("event_burstiness_fano", Q.event_burstiness_fano),
         ("hapax_ratio_by_source", Q.hapax_ratio_by_source),
+        ("markov_stationary_events", Q.markov_stationary_events),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

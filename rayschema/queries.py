@@ -12047,3 +12047,50 @@ def bfs_hops_trade(sf_dir: str, max_hops: int = 6):
     out["n_nodes"] = out["n_nodes"].astype(np.int64)
     return (out.sort_values(["hops", "node_type"])
             .reset_index(drop=True))
+
+
+MARKOV_SCALE = 10 ** 12
+
+
+def markov_stationary_events(sf_dir: str, iters: int = 5):
+    """Stationary distribution of the first-order user-journey Markov
+    chain (PageRank's cousin on the behavioral transition matrix) by
+    BOUNDED power iteration in exact scaled integers, so every digit
+    mirrors into unrolled SQL CTEs. The transition counts come from
+    event_transition_matrix's distributed sorted-group pair scan — the
+    only data-sized work; the iteration itself runs on the
+    |types|^2-bounded driver matrix (metadata-sized). Contract: states
+    are the event types with >= 1 OUTGOING transition; transitions into
+    non-states drop and rows keep their kept-mass row totals (the
+    recurrent core, stated so the oracle reproduces it); p_0(i) =
+    SCALE // n_states and p_{k+1}(j) = sum_i (p_k(i) * n_ij) // r_i
+    with the floor PER (i, j) TERM — exactly what
+    sum((p.p * c.n) // rt.r) computes in the SQL mirror. Emits one row
+    per state: (event_type, stat_p12, rk) — parts-per-10^12 mass after
+    ``iters`` supersteps, deterministic (mass desc, type asc) rank."""
+    tm = event_transition_matrix(sf_dir)
+    if tm.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "stat_p12": pd.Series([], dtype=np.int64),
+                             "rk": pd.Series([], dtype=np.int64)})
+    states = np.sort(tm["t1"].unique())
+    core = tm[tm["t2"].isin(states)]
+    rtot = core.groupby("t1")["n"].sum()
+    si = {s: i for i, s in enumerate(states)}
+    n_s = len(states)
+    # (i, j, n, r) triples in arbitrary-precision Python ints: p * n is
+    # ~SCALE x count and must not wrap at any corpus size
+    trips = [(si[a], si[b], int(n), int(rtot[a]))
+             for a, b, n in zip(core["t1"], core["t2"], core["n"])]
+    p = [MARKOV_SCALE // n_s] * n_s
+    for _ in range(iters):
+        q = [0] * n_s
+        for i, j, n, r in trips:
+            q[j] += (p[i] * n) // r
+        p = q
+    out = pd.DataFrame({"event_type": states,
+                        "stat_p12": np.array(p, dtype=np.int64)})
+    out = out.sort_values(["stat_p12", "event_type"],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.sort_values("event_type").reset_index(drop=True)

@@ -3268,3 +3268,33 @@ def test_bpe_train_merges_planted(ray_session, tmp_path):
     assert got[["merge_left", "merge_right"]].values.tolist() == \
         [["a", "b"], ["a", "a"], ["ab", "ab"]]
     assert got["n"].tolist() == [11, 6, 3]
+
+
+def test_markov_stationary_planted(ray_session, tmp_path):
+    """Hand-traced 5 exact integer supersteps on one user's stream
+    A A B A B A B C: core transitions A->A 1, A->B 3, B->A 2 (B->C
+    drops — C has no outgoing edge so it is not a state), kept-mass row
+    totals r_A=4, r_B=2, p_0 = 10^12 // 2.  Recurrence
+    q_A = p_A//4 + p_B, q_B = (3*p_A)//4 lands on exact multiples of 4
+    throughout, so every floor is exact division."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import markov_stationary_events
+
+    seq = ["A", "A", "B", "A", "B", "A", "B", "C"]
+    n = len(seq)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "ts": pa.array((np.arange(n, dtype=np.int64) * 60 + 1)
+                       * 1_000_000).cast(pa.timestamp("us")),
+        "event_type": pa.array(seq),
+        "value": pa.array(np.ones(n)),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = markov_stationary_events(str(tmp_path)).set_index("event_type")
+    assert list(got.index) == ["A", "B"]          # C is not a state
+    assert got.loc["A", "stat_p12"] == 588_378_906_250
+    assert got.loc["B", "stat_p12"] == 411_621_093_750
+    assert got.loc["A", "rk"] == 1 and got.loc["B", "rk"] == 2
+    assert int(got["stat_p12"].sum()) == 10 ** 12   # no floor loss here
