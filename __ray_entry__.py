@@ -802,6 +802,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_merges": Q.bpe_train_merges,
         "clustering_coeff_parts": Q.clustering_coeff_parts,
         "markov_stationary_events": Q.markov_stationary_events,
+        "auc_en_by_chars": Q.auc_en_by_chars,
+        "isotonic_hourly_value": Q.isotonic_hourly_value,
+        "shannon_vocab_codes": Q.shannon_vocab_codes,
+        "rrf_fuse_keyword_rankings": Q.rrf_fuse_keyword_rankings,
     }
 
 
@@ -3890,4 +3894,108 @@ def oracle_sql() -> dict[str, str]:
                    CAST(rk AS BIGINT) AS rk
             FROM top WHERE rk <= 20""",
         "markov_stationary_events": _markov_sql(5),
+        # tie-corrected Mann-Whitney AUC via the average-rank histogram
+        # closed form with halves cleared (2R integer throughout)
+        "auc_en_by_chars": """
+            WITH d AS (SELECT source, n_chars::BIGINT AS v,
+                              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                       FROM documents
+                       WHERE source IS NOT NULL AND lang IS NOT NULL
+                         AND n_chars IS NOT NULL),
+            h AS (SELECT source, v, sum(y)::HUGEINT AS pos,
+                         count(*)::HUGEINT AS c
+                  FROM d GROUP BY source, v),
+            e AS (SELECT source, v, pos, c,
+                         COALESCE(sum(c) OVER (PARTITION BY source
+                             ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), 0) AS ebelow
+                  FROM h),
+            s AS (SELECT source,
+                         sum(pos * (2 * ebelow + c + 1))::HUGEINT AS r2,
+                         sum(pos)::HUGEINT AS np,
+                         sum(c - pos)::HUGEINT AS nn
+                  FROM e GROUP BY source)
+            SELECT source, np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+                   ((1000000::HUGEINT * (r2 - np * (np + 1)))
+                    // (2 * np * nn))::BIGINT AS auc_ppm
+            FROM s WHERE np > 0 AND nn > 0
+            ORDER BY source""",
+        # isotonic fit by the exact minimax characterization over the
+        # bounded hour grid; micro-cent floors commute with the minimax
+        "isotonic_hourly_value": """
+            WITH e AS (SELECT extract(hour FROM ts)::BIGINT AS h,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events
+                       WHERE ts IS NOT NULL AND value IS NOT NULL
+                         AND value >= 0),
+            hh AS (SELECT h, sum(cents)::HUGEINT AS s,
+                          count(*)::HUGEINT AS c
+                   FROM e GROUP BY h),
+            iv AS (SELECT j.h AS j, k.h AS k,
+                          ((1000000::HUGEINT * sum(x.s)) // sum(x.c)) AS m
+                   FROM hh j JOIN hh k ON k.h >= j.h
+                   JOIN hh x ON x.h BETWEEN j.h AND k.h
+                   GROUP BY j.h, k.h),
+            mn AS (SELECT iv.j, i.h AS i, min(iv.m) AS v
+                   FROM iv JOIN hh i ON iv.j <= i.h AND iv.k >= i.h
+                   GROUP BY iv.j, i.h),
+            fit AS (SELECT i AS hour, max(v) AS g FROM mn GROUP BY i)
+            SELECT f.hour, hh.c::BIGINT AS n_events,
+                   hh.s::BIGINT AS sum_cents, f.g::BIGINT AS iso_ucents
+            FROM fit f JOIN hh ON hh.h = f.hour
+            ORDER BY f.hour""",
+        # Shannon code length = smallest l with n * 2^l >= total
+        "shannon_vocab_codes": """
+            WITH wc AS (
+              SELECT word, count(*)::BIGINT AS n
+              FROM (SELECT unnest(string_split(text, ' ')) AS word
+                    FROM documents WHERE text IS NOT NULL)
+              GROUP BY word),
+            tot AS (SELECT sum(n)::HUGEINT AS t FROM wc),
+            top AS (SELECT word, n,
+                           row_number() OVER (ORDER BY n DESC, word) AS rk
+                    FROM wc),
+            lens AS (SELECT word, n, rk,
+                            (SELECT min(i) FROM range(0, 64) r(i)
+                             WHERE (top.n::HUGEINT << CAST(i AS INTEGER))
+                                   >= tot.t) AS code_len
+                     FROM top, tot WHERE rk <= 30)
+            SELECT word, n, code_len::BIGINT AS code_len,
+                   (n * code_len)::BIGINT AS bits, rk::BIGINT AS rk
+            FROM lens ORDER BY rk""",
+        # Reciprocal Rank Fusion of the two keyword-tf rankings,
+        # deterministic (tf desc, doc_id asc) ranks, top-100 lists, k=60
+        "rrf_fuse_keyword_rankings": """
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents WHERE text IS NOT NULL),
+            tf AS (SELECT d.doc_id,
+                          COALESCE(x.tfa, 0) AS tfa,
+                          COALESCE(x.tfb, 0) AS tfb
+                   FROM (SELECT doc_id FROM documents
+                         WHERE text IS NOT NULL) d
+                   LEFT JOIN (SELECT doc_id,
+                                count(*) FILTER (WHERE word IN
+                                  ('join', 'scan'))::BIGINT AS tfa,
+                                count(*) FILTER (WHERE word IN
+                                  ('hash', 'merge'))::BIGINT AS tfb
+                              FROM w GROUP BY doc_id) x
+                   USING (doc_id)),
+            ra AS (SELECT doc_id, row_number() OVER
+                     (ORDER BY tfa DESC, doc_id) AS r FROM tf),
+            rb AS (SELECT doc_id, row_number() OVER
+                     (ORDER BY tfb DESC, doc_id) AS r FROM tf),
+            f AS (SELECT doc_id, (1000000000::HUGEINT // (60 + r)) AS c
+                  FROM ra WHERE r <= 100
+                  UNION ALL
+                  SELECT doc_id, (1000000000::HUGEINT // (60 + r))
+                  FROM rb WHERE r <= 100),
+            g AS (SELECT doc_id, sum(c)::BIGINT AS rrf_e9
+                  FROM f GROUP BY doc_id),
+            t AS (SELECT doc_id, rrf_e9,
+                         row_number() OVER (ORDER BY rrf_e9 DESC,
+                                            doc_id) AS rk
+                  FROM g)
+            SELECT doc_id, rrf_e9, rk::BIGINT AS rk
+            FROM t WHERE rk <= 20""",
     }

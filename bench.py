@@ -188,6 +188,10 @@ def run_bench() -> dict:
         ("event_burstiness_fano", Q.event_burstiness_fano),
         ("hapax_ratio_by_source", Q.hapax_ratio_by_source),
         ("markov_stationary_events", Q.markov_stationary_events),
+        ("auc_en_by_chars", Q.auc_en_by_chars),
+        ("isotonic_hourly_value", Q.isotonic_hourly_value),
+        ("shannon_vocab_codes", Q.shannon_vocab_codes),
+        ("rrf_fuse_keyword_rankings", Q.rrf_fuse_keyword_rankings),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

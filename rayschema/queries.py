@@ -12094,3 +12094,264 @@ def markov_stationary_events(sf_dir: str, iters: int = 5):
                           ascending=[False, True]).reset_index(drop=True)
     out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out.sort_values("event_type").reset_index(drop=True)
+
+
+AUC_SCALE = 1_000_000
+
+
+def auc_en_by_chars(sf_dir: str):
+    """Model-evaluation primitive: tie-corrected Mann-Whitney AUC of the
+    score ``n_chars`` for the label ``lang == 'en'``, per source — how
+    well document length separates English from the rest. EXACT in
+    integers end to end: ONE map_batches pass folds per-batch
+    (source, n_chars) -> (n_pos, n_total) histogram partials through a
+    tiny groupby (driver state bounded by the VALUE DOMAIN — sources x
+    distinct n_chars — never the row count, the value_gini_by_type
+    bound); the closed form over the sorted histogram gives the doubled
+    positive rank-sum 2R = sum_v pos_v * (2*e_v + c_v + 1) (e_v = rows
+    below value v, c_v = rows at v — the average-rank tie correction
+    with the halves cleared), and auc_ppm =
+    floor(1e6 * (2R - n_pos*(n_pos+1)) / (2*n_pos*n_neg)) in Python
+    big ints. Sources with a degenerate class (n_pos or n_neg = 0)
+    drop, mirroring the oracle's HAVING. Emits one row per source:
+    (source, n_pos, n_neg, auc_ppm)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b.column("source")),
+                            pc.is_valid(b.column("lang"))),
+                    pc.is_valid(b.column("n_chars")))
+        b = b.filter(m)
+        df = pd.DataFrame({
+            "source": b.column("source").to_pandas(),
+            "v": b.column("n_chars").cast(pa.int64()).to_pandas(),
+            "y": pc.equal(b.column("lang"), "en").to_pandas()
+            .astype(np.int64)})
+        g = (df.groupby(["source", "v"], as_index=False)
+             .agg(pos=("y", "sum"), c=("y", "size")))
+        return pa.table({"source": pa.array(g["source"]),
+                         "v": pa.array(g["v"].to_numpy(np.int64)),
+                         "pos": pa.array(g["pos"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    hist = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(["source", "v"])
+            .aggregate(Sum("pos", alias_name="pos"),
+                       Sum("c", alias_name="c"))
+            .to_pandas())
+    rows = []
+    for src, g in hist.groupby("source", sort=True):
+        g = g.sort_values("v")
+        c = g["c"].to_numpy(np.int64)
+        p = g["pos"].to_numpy(np.int64)
+        e = np.cumsum(c) - c
+        n_pos = int(p.sum())
+        n_neg = int(c.sum()) - n_pos
+        if n_pos == 0 or n_neg == 0:
+            continue
+        r2 = sum(int(pv) * (2 * int(ev) + int(cv) + 1)
+                 for pv, ev, cv in zip(p, e, c))
+        auc_ppm = (AUC_SCALE * (r2 - n_pos * (n_pos + 1))) \
+            // (2 * n_pos * n_neg)
+        rows.append((src, n_pos, n_neg, int(auc_ppm)))
+    return pd.DataFrame(rows, columns=["source", "n_pos", "n_neg",
+                                       "auc_ppm"]) \
+        .astype({"n_pos": np.int64, "n_neg": np.int64,
+                 "auc_ppm": np.int64})
+
+
+def isotonic_hourly_value(sf_dir: str):
+    """Isotonic (monotone non-decreasing) calibration of mean event value
+    over hour-of-day — the PAVA fit by its EXACT minimax characterization
+    g(i) = max_{j<=i} min_{k>=i} mean(values in hours j..k) (Barlow et
+    al. 1972, public). All data-sized work is ONE map_batches pass
+    folding per-batch (hour, sum_cents, n) partials to a <=24-row table;
+    the minimax runs on the driver over the <=300 contiguous hour
+    intervals, with each interval mean floored to integer MICRO-CENTS
+    ((1e6 * sum) // cnt) — floor is monotone, so the minimax of floored
+    means IS the floored minimax and both sides agree digit for digit.
+    Negative values are filtered on BOTH sides (value >= 0) so the
+    non-negative means keep DuckDB's truncating // and Python's
+    flooring // identical. Emits one row per present hour: (hour,
+    n_events, sum_cents, iso_ucents) with iso_ucents non-decreasing in
+    hour."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b.column("ts")),
+                            pc.is_valid(b.column("value"))),
+                    pc.greater_equal(pc.coalesce(b.column("value"), -1.0),
+                                     0.0))
+        b = b.filter(m)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts // 3_600_000_000) % 24
+        cents = _cents(b.column("value").to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"hour": hour, "cents": cents})
+        g = (df.groupby("hour", as_index=False)
+             .agg(s=("cents", "sum"), n=("cents", "size")))
+        return pa.table({"hour": pa.array(g["hour"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    part_df = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if part_df.empty:
+        return pd.DataFrame({"hour": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64),
+                             "sum_cents": pd.Series([], dtype=np.int64),
+                             "iso_ucents": pd.Series([], dtype=np.int64)})
+    agg = (part_df.groupby("hour", as_index=False)
+           .agg(s=("s", "sum"), n=("n", "sum"))
+           .sort_values("hour").reset_index(drop=True))
+    s = [int(x) for x in agg["s"]]
+    n = [int(x) for x in agg["n"]]
+    h = len(s)
+    m = {}
+    for j in range(h):
+        acc_s = acc_n = 0
+        for k in range(j, h):
+            acc_s += s[k]
+            acc_n += n[k]
+            m[(j, k)] = (1_000_000 * acc_s) // acc_n
+    fit = [max(min(m[(j, k)] for k in range(i, h))
+               for j in range(i + 1)) for i in range(h)]
+    return pd.DataFrame({
+        "hour": agg["hour"].astype(np.int64),
+        "n_events": agg["n"].astype(np.int64),
+        "sum_cents": agg["s"].astype(np.int64),
+        "iso_ucents": np.array(fit, dtype=np.int64)})
+
+
+SHANNON_TOP_K = 30
+
+
+def shannon_vocab_codes(sf_dir: str):
+    """Tokenizer/storage sizing primitive: Shannon code lengths for the
+    top-30 corpus words — per word the smallest integer l with
+    count * 2^l >= total_words (= ceil(log2(1/p)), the optimal
+    prefix-free code length bound; Shannon 1948, public), plus the
+    exact bit cost n * l of coding that word's occurrences. The word
+    counts ride the vocabulary_top_words distributed fold (per-batch
+    Arrow hash-count partials, one word-bounded groupby); total and the
+    bit search are driver arithmetic over the metadata-sized count
+    table in Python big ints. Emits (word, n, code_len, bits, rk) for
+    the top 30 by (n desc, word asc)."""
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        flat, _, _ = _flatten_words_arrow(col)
+        g = (pa.table({"word": flat}).group_by(["word"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"word": g.column("word"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("word").sum("n").to_pandas()
+           .rename(columns={"sum(n)": "n"}))
+    total = int(agg["n"].sum())
+    agg = agg.sort_values(["n", "word"], ascending=[False, True],
+                          kind="mergesort").head(SHANNON_TOP_K) \
+        .reset_index(drop=True)
+    lens = []
+    for cnt in agg["n"]:
+        cnt = int(cnt)
+        l = 0
+        while cnt << l < total:
+            l += 1
+        lens.append(l)
+    out = pd.DataFrame({
+        "word": agg["word"],
+        "n": agg["n"].astype(np.int64),
+        "code_len": np.array(lens, dtype=np.int64)})
+    out["bits"] = (out["n"] * out["code_len"]).astype(np.int64)
+    out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+RRF_K = 60
+RRF_SCALE = 1_000_000_000
+RRF_TERMS_A = ("join", "scan")
+RRF_TERMS_B = ("hash", "merge")
+RRF_LIST_DEPTH = 100
+RRF_TOP = 20
+
+
+def rrf_fuse_keyword_rankings(sf_dir: str):
+    """Metasearch fusion: Reciprocal Rank Fusion (Cormack et al. 2009,
+    public) of two keyword-frequency document rankings — list A ranks
+    docs by total occurrences of {join, scan}, list B by {hash, merge},
+    both (tf desc, doc_id asc) so every rank is deterministic. A doc in
+    a list's top-100 contributes floor(1e9 / (60 + rank)); fused top-20
+    by (score desc, doc_id asc). Distribution: ONE stateless pass
+    computes both tf columns (split kernel + two is_in bincounts) and
+    emits only each batch's top-100 under EACH ordering (a correct
+    partial for a global top-k); the driver merges the bounded
+    batches x 200 candidate set, takes the two global top-100s, and
+    fuses — no global sort, no all-to-all. Emits (doc_id, rrf_e9,
+    rk)."""
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    terms_a = pa.array(list(RRF_TERMS_A))
+    terms_b = pa.array(list(RRF_TERMS_B))
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "tfa": pa.array([], type=pa.int64()),
+                          "tfb": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, doc_idx = _flatten_words_arrow(col)
+        n = b.num_rows
+        ma = pc.is_in(flat, value_set=terms_a).to_numpy(
+            zero_copy_only=False)
+        mb = pc.is_in(flat, value_set=terms_b).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": b.column("doc_id").cast(pa.int64()).to_pandas(),
+            "tfa": np.bincount(doc_idx[ma], minlength=n).astype(np.int64),
+            "tfb": np.bincount(doc_idx[mb], minlength=n).astype(np.int64),
+        })
+        top_a = df.sort_values(["tfa", "doc_id"], ascending=[False, True],
+                               kind="mergesort").head(RRF_LIST_DEPTH)
+        top_b = df.sort_values(["tfb", "doc_id"], ascending=[False, True],
+                               kind="mergesort").head(RRF_LIST_DEPTH)
+        cand = (pd.concat([top_a, top_b])
+                .drop_duplicates("doc_id"))
+        return pa.Table.from_pandas(cand, preserve_index=False)
+
+    cand = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "rrf_e9": pd.Series([], dtype=np.int64),
+                             "rk": pd.Series([], dtype=np.int64)})
+    score = {}
+    for col in ("tfa", "tfb"):
+        top = cand.sort_values([col, "doc_id"], ascending=[False, True],
+                               kind="mergesort").head(RRF_LIST_DEPTH)
+        for r, did in enumerate(top["doc_id"], start=1):
+            score[int(did)] = score.get(int(did), 0) \
+                + RRF_SCALE // (RRF_K + r)
+    out = pd.DataFrame({"doc_id": np.array(list(score.keys()),
+                                           dtype=np.int64),
+                        "rrf_e9": np.array(list(score.values()),
+                                           dtype=np.int64)})
+    out = out.sort_values(["rrf_e9", "doc_id"],
+                          ascending=[False, True]).head(RRF_TOP) \
+        .reset_index(drop=True)
+    out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out

@@ -3298,3 +3298,86 @@ def test_markov_stationary_planted(ray_session, tmp_path):
     assert got.loc["B", "stat_p12"] == 411_621_093_750
     assert got.loc["A", "rk"] == 1 and got.loc["B", "rk"] == 2
     assert int(got["stat_p12"].sum()) == 10 ** 12   # no floor loss here
+
+
+def test_auc_en_by_chars_planted(ray_session, tmp_path):
+    """Hand-traced tie-corrected AUC: source 's' has en scores {10, 20}
+    vs non-en {10, 15} -> pairwise (0.5 + 0 + 1 + 1)/4 = 0.625; the
+    all-en source 't' is degenerate and drops."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import auc_en_by_chars
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["x" * 60] * 6,
+        "lang": ["en", "de", "de", "en", "en", "en"],
+        "source": ["s", "s", "s", "s", "t", "t"],
+        "n_chars": np.array([10, 10, 15, 20, 30, 40], dtype=np.int64),
+    })
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = auc_en_by_chars(str(tmp_path))
+    assert list(got["source"]) == ["s"]
+    assert got.loc[0, "n_pos"] == 2 and got.loc[0, "n_neg"] == 2
+    assert got.loc[0, "auc_ppm"] == 625_000
+
+
+def test_isotonic_hourly_value_planted(ray_session, tmp_path):
+    """Violating means [200, 100, 300] cents with weights [2, 1, 1] pool
+    hours 0-1 to 500/3 cents: fit = [166666666, 166666666, 300000000]
+    micro-cents, matching hand-run PAVA and non-decreasing."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import isotonic_hourly_value
+
+    hours = np.array([0, 0, 1, 2], dtype=np.int64)
+    cents = np.array([300, 100, 100, 300], dtype=np.int64)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(4, dtype=np.int64)),
+        "ts": pa.array(hours * 3_600_000_000 + 7).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 4),
+        "value": pa.array(cents / 100.0),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = isotonic_hourly_value(str(tmp_path))
+    assert got["hour"].tolist() == [0, 1, 2]
+    assert got["iso_ucents"].tolist() == [166_666_666, 166_666_666,
+                                          300_000_000]
+    assert (np.diff(got["iso_ucents"].to_numpy()) >= 0).all()
+
+
+def test_shannon_vocab_codes_planted(ray_session, tmp_path):
+    """counts a=5, b=2, c=1 of total 8: l = smallest with n<<l >= 8
+    gives 1, 2, 3 — ceil(log2(1/p)) exactly."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import shannon_vocab_codes
+
+    df = pd.DataFrame({"doc_id": np.array([0], dtype=np.int64),
+                       "text": ["a a a a a b b c"]})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = shannon_vocab_codes(str(tmp_path))
+    assert got["word"].tolist() == ["a", "b", "c"]
+    assert got["code_len"].tolist() == [1, 2, 3]
+    assert got["bits"].tolist() == [5, 4, 3]
+
+
+def test_rrf_fuse_keyword_rankings_planted(ray_session, tmp_path):
+    """3 docs, hand-computed 1e9//(60+r) sums: d0 wins list A and is 2nd
+    in B (32522474), d2 wins B (32266457), d1 trails (32002047)."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import rrf_fuse_keyword_rankings
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["join join hash", "scan", "merge merge"]})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = rrf_fuse_keyword_rankings(str(tmp_path))
+    assert got["doc_id"].tolist() == [0, 2, 1]
+    assert got["rrf_e9"].tolist() == [32_522_474, 32_266_457, 32_002_047]
+    assert got["rk"].tolist() == [1, 2, 3]
