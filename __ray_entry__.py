@@ -806,7 +806,86 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isotonic_hourly_value": Q.isotonic_hourly_value,
         "shannon_vocab_codes": Q.shannon_vocab_codes,
         "rrf_fuse_keyword_rankings": Q.rrf_fuse_keyword_rankings,
+        "langid_f1_by_class": Q.langid_f1_by_class,
+        "simpson_diversity_by_source": Q.simpson_diversity_by_source,
+        "coverage_select_documents": Q.coverage_select_documents,
+        "dup_cross_source_matrix": Q.dup_cross_source_matrix,
+        "ks_chars_two_sources": Q.ks_chars_two_sources,
     }
+
+
+# the langid heuristic replayed in SQL (shared by the confusion-matrix and
+# per-class-F1 oracles so the two can never drift); ends with CTE `p`
+# emitting (lang, lang_pred) per document
+_LANGID_PRED_CTES = """h AS (SELECT doc_id, lang,
+                              substr(COALESCE(text, ''), 1, 2000) AS hd
+                       FROM documents),
+            c AS (SELECT doc_id, lang,
+                    len(regexp_extract_all(hd, '[A-Za-z]+')) AS nw,
+                    len(regexp_extract_all(hd, '(?i)\\b(the|and|of|to|in|is|that|it|for|with)\\b')) AS c_en,
+                    len(regexp_extract_all(hd, '(?i)\\b(der|die|und|das|ist|nicht|ein|mit|auf|von)\\b')) AS c_de,
+                    len(regexp_extract_all(hd, '(?i)\\b(le|la|les|et|est|pour|que|une|dans|des)\\b')) AS c_fr,
+                    len(regexp_extract_all(hd, '(?i)\\b(el|la|los|que|de|es|por|una|con|para)\\b')) AS c_es,
+                    len(regexp_extract_all(hd, '[\\x{4e00}-\\x{9fff}]')) AS c_cjk,
+                    length(hd) AS hl
+                  FROM h),
+            sc AS (SELECT doc_id, lang,
+                     c_en * 1.0 / greatest(nw, 1) AS s_en,
+                     c_de * 1.0 / greatest(nw, 1) AS s_de,
+                     c_fr * 1.0 / greatest(nw, 1) AS s_fr,
+                     c_es * 1.0 / greatest(nw, 1) AS s_es,
+                     c_cjk * 1.0 / least(greatest(hl, 1), 400) AS zr
+                   FROM c),
+            p AS (SELECT lang,
+              CASE WHEN zr > 0.2 THEN 'zh'
+                   WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                   WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                   WHEN s_fr >= s_es THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM sc)"""
+
+
+def _coverage_sql(rounds: int = 5) -> str:
+    """Unrolled greedy max-coverage mirroring
+    rayschema.queries.coverage_select_documents round for round: each
+    round scores every unpicked doc's count of not-yet-covered distinct
+    words, picks (gain desc, doc_id asc), and folds the winner's words
+    into the covered set."""
+    ctes = ["""w AS (SELECT doc_id, word
+                     FROM (SELECT doc_id,
+                                  unnest(string_split(text, ' ')) AS word
+                           FROM documents WHERE text IS NOT NULL)
+                     GROUP BY doc_id, word)""",
+            """docs AS (SELECT DISTINCT doc_id FROM w)""",
+            """g1 AS (SELECT doc_id, count(*)::BIGINT AS gain
+                      FROM w GROUP BY doc_id)""",
+            """r1 AS (SELECT doc_id, gain FROM g1
+                      ORDER BY gain DESC, doc_id LIMIT 1)""",
+            """c1 AS (SELECT DISTINCT word FROM w
+                      JOIN r1 USING (doc_id))"""]
+    for k in range(2, rounds + 1):
+        picked = " UNION ALL ".join(
+            f"SELECT doc_id FROM r{i}" for i in range(1, k))
+        ctes.append(f"""g{k} AS (
+              SELECT d.doc_id, count(x.word)::BIGINT AS gain
+              FROM docs d
+              LEFT JOIN (SELECT doc_id, word FROM w
+                         WHERE word NOT IN (SELECT word FROM c{k - 1}))
+                   x USING (doc_id)
+              WHERE d.doc_id NOT IN ({picked})
+              GROUP BY d.doc_id)""")
+        ctes.append(f"""r{k} AS (SELECT doc_id, gain FROM g{k}
+                      ORDER BY gain DESC, doc_id LIMIT 1)""")
+        ctes.append(f"""c{k} AS (SELECT word FROM c{k - 1}
+                      UNION
+                      SELECT word FROM w JOIN r{k} USING (doc_id))""")
+    rounds_sel = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS round, doc_id, gain FROM r{i}"
+        for i in range(1, rounds + 1))
+    return f"""
+            WITH {','.join(ctes)}
+            SELECT * FROM ({rounds_sel}) ORDER BY round"""
 
 
 _PASS_COND = (
@@ -3414,34 +3493,8 @@ def oracle_sql() -> dict[str, str]:
                     // sum(r.cents))::BIGINT AS share_ppm
             FROM r, k GROUP BY k.n, k.topk""",
         # langid confusion matrix: the langid_documents heuristic, GROUP BYd
-        "langid_confusion_matrix": """
-            WITH h AS (SELECT doc_id, lang,
-                              substr(COALESCE(text, ''), 1, 2000) AS hd
-                       FROM documents),
-            c AS (SELECT doc_id, lang,
-                    len(regexp_extract_all(hd, '[A-Za-z]+')) AS nw,
-                    len(regexp_extract_all(hd, '(?i)\\b(the|and|of|to|in|is|that|it|for|with)\\b')) AS c_en,
-                    len(regexp_extract_all(hd, '(?i)\\b(der|die|und|das|ist|nicht|ein|mit|auf|von)\\b')) AS c_de,
-                    len(regexp_extract_all(hd, '(?i)\\b(le|la|les|et|est|pour|que|une|dans|des)\\b')) AS c_fr,
-                    len(regexp_extract_all(hd, '(?i)\\b(el|la|los|que|de|es|por|una|con|para)\\b')) AS c_es,
-                    len(regexp_extract_all(hd, '[\\x{4e00}-\\x{9fff}]')) AS c_cjk,
-                    length(hd) AS hl
-                  FROM h),
-            sc AS (SELECT doc_id, lang,
-                     c_en * 1.0 / greatest(nw, 1) AS s_en,
-                     c_de * 1.0 / greatest(nw, 1) AS s_de,
-                     c_fr * 1.0 / greatest(nw, 1) AS s_fr,
-                     c_es * 1.0 / greatest(nw, 1) AS s_es,
-                     c_cjk * 1.0 / least(greatest(hl, 1), 400) AS zr
-                   FROM c),
-            p AS (SELECT lang,
-              CASE WHEN zr > 0.2 THEN 'zh'
-                   WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
-                   WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-                   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-                   WHEN s_fr >= s_es THEN 'fr'
-                   ELSE 'es' END AS lang_pred
-            FROM sc)
+        "langid_confusion_matrix": f"""
+            WITH {_LANGID_PRED_CTES}
             SELECT lang, lang_pred, count(*)::BIGINT AS n
             FROM p GROUP BY lang, lang_pred""",
         # churn: last event per user older than max(ts) - 36 hours
@@ -3998,4 +4051,81 @@ def oracle_sql() -> dict[str, str]:
                   FROM g)
             SELECT doc_id, rrf_e9, rk::BIGINT AS rk
             FROM t WHERE rk <= 20""",
+        # per-class P/R/F1 over the shared langid-predictor CTEs
+        "langid_f1_by_class": f"""
+            WITH {_LANGID_PRED_CTES},
+            cm AS (SELECT lang, lang_pred, count(*)::HUGEINT AS n
+                   FROM p GROUP BY lang, lang_pred),
+            cls AS (SELECT DISTINCT lang FROM cm),
+            st AS (SELECT c.lang,
+                     COALESCE((SELECT sum(n) FROM cm
+                               WHERE cm.lang = c.lang
+                                 AND cm.lang_pred = c.lang), 0) AS tp,
+                     COALESCE((SELECT sum(n) FROM cm
+                               WHERE cm.lang != c.lang
+                                 AND cm.lang_pred = c.lang), 0) AS fp,
+                     COALESCE((SELECT sum(n) FROM cm
+                               WHERE cm.lang = c.lang
+                                 AND cm.lang_pred != c.lang), 0) AS fneg
+                   FROM cls c)
+            SELECT lang, tp::BIGINT AS tp, fp::BIGINT AS fp,
+                   fneg::BIGINT AS fn,
+                   (CASE WHEN tp + fp = 0 THEN 0
+                         ELSE (1000000::HUGEINT * tp) // (tp + fp)
+                    END)::BIGINT AS precision_ppm,
+                   (CASE WHEN tp + fneg = 0 THEN 0
+                         ELSE (1000000::HUGEINT * tp) // (tp + fneg)
+                    END)::BIGINT AS recall_ppm,
+                   (CASE WHEN 2 * tp + fp + fneg = 0 THEN 0
+                         ELSE (2000000::HUGEINT * tp)
+                              // (2 * tp + fp + fneg)
+                    END)::BIGINT AS f1_ppm
+            FROM st ORDER BY lang""",
+        # Simpson diversity 1 - sum n_i(n_i-1)/(N(N-1)) in floor-ppm
+        "simpson_diversity_by_source": """
+            WITH c AS (SELECT source, lang, count(*)::HUGEINT AS n
+                       FROM documents
+                       WHERE source IS NOT NULL AND lang IS NOT NULL
+                       GROUP BY source, lang),
+            s AS (SELECT source, sum(n)::HUGEINT AS tot,
+                         sum(n * (n - 1))::HUGEINT AS same
+                  FROM c GROUP BY source HAVING sum(n) >= 2)
+            SELECT source, tot::BIGINT AS n_docs,
+                   (1000000 - (1000000::HUGEINT * same)
+                    // (tot * (tot - 1)))::BIGINT AS simpson_ppm
+            FROM s ORDER BY source""",
+        "coverage_select_documents": _coverage_sql(5),
+        # distinct texts shared verbatim by each unordered source pair
+        "dup_cross_source_matrix": """
+            WITH ts AS (SELECT DISTINCT text, source FROM documents
+                        WHERE text IS NOT NULL AND source IS NOT NULL),
+            p AS (SELECT a.source AS src_a, b.source AS src_b
+                  FROM ts a JOIN ts b
+                    ON a.text = b.text AND a.source < b.source)
+            SELECT src_a, src_b, count(*)::BIGINT AS n_texts
+            FROM p GROUP BY src_a, src_b ORDER BY src_a, src_b""",
+        # exact two-sample KS distance in cleared-denominator integers
+        "ks_chars_two_sources": """
+            WITH d AS (SELECT source, n_chars::BIGINT AS v
+                       FROM documents
+                       WHERE n_chars IS NOT NULL
+                         AND source IN ('src0', 'src1')),
+            h AS (SELECT v,
+                         sum(CASE WHEN source = 'src0' THEN 1
+                                  ELSE 0 END)::HUGEINT AS ca,
+                         sum(CASE WHEN source = 'src1' THEN 1
+                                  ELSE 0 END)::HUGEINT AS cb
+                  FROM d GROUP BY v),
+            c AS (SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+                         sum(cb) OVER (ORDER BY v) AS cum_b FROM h),
+            t AS (SELECT sum(ca)::HUGEINT AS na,
+                         sum(cb)::HUGEINT AS nb FROM h),
+            m AS (SELECT max(abs(t.nb * c.cum_a
+                                 - t.na * c.cum_b))::HUGEINT AS dnum
+                  FROM c, t)
+            SELECT t.na::BIGINT AS n_a, t.nb::BIGINT AS n_b,
+                   m.dnum::BIGINT AS d_num,
+                   ((1000000::HUGEINT * m.dnum)
+                    // (t.na * t.nb))::BIGINT AS ks_ppm
+            FROM m, t WHERE t.na > 0 AND t.nb > 0""",
     }

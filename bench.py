@@ -192,6 +192,11 @@ def run_bench() -> dict:
         ("isotonic_hourly_value", Q.isotonic_hourly_value),
         ("shannon_vocab_codes", Q.shannon_vocab_codes),
         ("rrf_fuse_keyword_rankings", Q.rrf_fuse_keyword_rankings),
+        ("langid_f1_by_class", Q.langid_f1_by_class),
+        ("simpson_diversity_by_source", Q.simpson_diversity_by_source),
+        ("coverage_select_documents", Q.coverage_select_documents),
+        ("dup_cross_source_matrix", Q.dup_cross_source_matrix),
+        ("ks_chars_two_sources", Q.ks_chars_two_sources),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -12355,3 +12355,325 @@ def rrf_fuse_keyword_rankings(sf_dir: str):
         .reset_index(drop=True)
     out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out
+
+
+def langid_f1_by_class(sf_dir: str):
+    """Per-class precision / recall / F1 from the langid confusion
+    matrix — the eval table a classifier deployment actually reads.
+    All data-sized work is langid_confusion_matrix's stateful-actor
+    predict pass + bounded (|langs|^2) count fold; this derives, per
+    LABELED class, TP = n(x, x), FP = sum_{l != x} n(l, x),
+    FN = sum_{p != x} n(x, p) and the three floor-ppm ratios
+    (precision 1e6*TP // (TP+FP), recall 1e6*TP // (TP+FN),
+    f1 = 1e6*2TP // (2TP+FP+FN)) in Python big ints — zero denominators
+    emit 0, mirroring the oracle's CASE. Emits one row per labeled
+    class: (lang, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm)."""
+    cm = langid_confusion_matrix(sf_dir)
+    if cm.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in [
+            ("lang", object), ("tp", np.int64), ("fp", np.int64),
+            ("fn", np.int64), ("precision_ppm", np.int64),
+            ("recall_ppm", np.int64), ("f1_ppm", np.int64)]})
+    labels = np.sort(cm["lang"].unique())
+    rows = []
+    for x in labels:
+        tp = int(cm.loc[(cm["lang"] == x) & (cm["lang_pred"] == x),
+                        "n"].sum())
+        fp = int(cm.loc[(cm["lang"] != x) & (cm["lang_pred"] == x),
+                        "n"].sum())
+        fn = int(cm.loc[(cm["lang"] == x) & (cm["lang_pred"] != x),
+                        "n"].sum())
+        prec = (1_000_000 * tp) // (tp + fp) if tp + fp else 0
+        rec = (1_000_000 * tp) // (tp + fn) if tp + fn else 0
+        f1 = (2_000_000 * tp) // (2 * tp + fp + fn) \
+            if 2 * tp + fp + fn else 0
+        rows.append((x, tp, fp, fn, prec, rec, f1))
+    return pd.DataFrame(rows, columns=["lang", "tp", "fp", "fn",
+                                       "precision_ppm", "recall_ppm",
+                                       "f1_ppm"]) \
+        .astype({c: np.int64 for c in ["tp", "fp", "fn", "precision_ppm",
+                                       "recall_ppm", "f1_ppm"]})
+
+
+def simpson_diversity_by_source(sf_dir: str):
+    """Label-diversity audit: Simpson's diversity index of the lang mix
+    within each source, exact — D_ppm = 1e6 - floor(1e6 *
+    sum_i n_i(n_i-1) / (N(N-1))), the probability two random docs from
+    the source differ in lang. Per-batch (source, lang) count partials
+    fold through one bounded groupby; the index is driver arithmetic
+    over the |sources| x |langs| table in Python big ints. Sources with
+    N < 2 drop (the index is undefined), mirroring the oracle's
+    HAVING. Emits (source, n_docs, simpson_ppm)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def part(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("source")),
+                    pc.is_valid(b.column("lang")))
+        t = b.filter(m).select(["source", "lang"])
+        g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
+        return pa.table({"source": g.column("source"),
+                         "lang": g.column("lang"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(["source", "lang"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    rows = []
+    for src, g in agg.groupby("source", sort=True):
+        n_tot = int(g["n"].sum())
+        if n_tot < 2:
+            continue
+        same = sum(int(c) * (int(c) - 1) for c in g["n"])
+        ppm = 1_000_000 - (1_000_000 * same) // (n_tot * (n_tot - 1))
+        rows.append((src, n_tot, ppm))
+    return pd.DataFrame(rows,
+                        columns=["source", "n_docs", "simpson_ppm"]) \
+        .astype({"n_docs": np.int64, "simpson_ppm": np.int64})
+
+
+COVERAGE_ROUNDS = 5
+
+
+def coverage_select_documents(sf_dir: str):
+    """Diversity-maximizing curation: GREEDY facility-location selection
+    of 5 documents maximizing cumulative distinct-word coverage
+    (the 1-1/e guarantee greedy; Nemhauser et al. 1978, public). Each
+    round is ONE stateless corpus pass: the covered word set (bounded
+    by the words of <= 5 picked docs) broadcasts via ray.put, each
+    batch scores every unpicked doc's marginal gain (#distinct words
+    not yet covered — one split kernel + is_in) and emits only its
+    top-1 (gain desc, doc_id asc) WITH that doc's uncovered words, so
+    the driver merges #batches candidate rows, crowns the global winner
+    and extends the covered set without re-reading any text. Ties at
+    gain 0 still pick min doc_id, mirroring the unrolled SQL. Emits
+    (round, doc_id, gain)."""
+    import ray
+
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def make_scan(cov_ref, picked_ref):
+        def scan(b: pa.Table) -> pa.Table:
+            covered, picked = ray.get(cov_ref), ray.get(picked_ref)
+            b = b.filter(pc.is_valid(b.column("text")))
+            empty = pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "gain": pa.array([], type=pa.int64()),
+                "words": pa.array([], type=pa.list_(pa.string()))})
+            if b.num_rows == 0:
+                return empty
+            ids = b.column("doc_id").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            keep = ~np.isin(ids, picked)
+            if not keep.any():
+                return empty
+            b = b.filter(pa.array(keep))
+            ids = ids[keep]
+            col = b.column("text")
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat, _, doc_idx = _flatten_words_arrow(col)
+            # distinct (doc, word): drop duplicate words within a doc
+            wdf = pd.DataFrame({"i": doc_idx,
+                                "w": flat.to_numpy(zero_copy_only=False)})
+            wdf = wdf.drop_duplicates()
+            new = ~wdf["w"].isin(covered).to_numpy()
+            gain = np.bincount(wdf["i"].to_numpy()[new],
+                               minlength=b.num_rows).astype(np.int64)
+            best = np.lexsort((ids, -gain))[0]
+            wmask = new & (wdf["i"].to_numpy() == best)
+            ws = wdf["w"].to_numpy()[wmask].tolist()
+            return pa.table({
+                "doc_id": pa.array([ids[best]], type=pa.int64()),
+                "gain": pa.array([gain[best]], type=pa.int64()),
+                "words": pa.array([ws], type=pa.list_(pa.string()))})
+        return scan
+
+    covered: set = set()
+    picked: list = []
+    out = []
+    for rnd in range(1, COVERAGE_ROUNDS + 1):
+        cov_ref = ray.put(pd.Series(sorted(covered), dtype=object))
+        picked_ref = ray.put(np.array(picked, dtype=np.int64))
+        cand = (ds.map_batches(make_scan(cov_ref, picked_ref),
+                               batch_format="pyarrow").to_pandas())
+        if cand.empty:
+            break
+        cand = cand.sort_values(["gain", "doc_id"],
+                                ascending=[False, True],
+                                kind="mergesort")
+        win = cand.iloc[0]
+        out.append((rnd, int(win["doc_id"]), int(win["gain"])))
+        picked.append(int(win["doc_id"]))
+        covered.update(win["words"])
+    return pd.DataFrame(out, columns=["round", "doc_id", "gain"]) \
+        .astype({"round": np.int64, "doc_id": np.int64,
+                 "gain": np.int64})
+
+
+def dup_cross_source_matrix(sf_dir: str):
+    """Duplicate-provenance audit: for every unordered source pair, how
+    many DISTINCT texts occur verbatim in both — where the dup mass
+    actually flows between feeds. Scale path mirrors _exact_dedup_core:
+    stage 1 shuffles only (text_hash, source) distinct pairs (narrow
+    rows) and marks hashes seen under >= 2 sources in a fixed 2 MB
+    hashed bitmap; stage 2 sort-groups ONLY the candidate rows (dup-
+    mass-sized, the exact-dedup verify acceptance) by hash with their
+    texts and emits per-DISTINCT-TEXT source pairs — a 64-bit collision
+    between different texts is therefore harmless, exactly as in
+    exact dedup. The final matrix is |sources|^2-bounded. Emits
+    (src_a, src_b, n_texts) with src_a < src_b."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from rayschema.dedup import (_bitmap_hash, _bitmap_member,
+                                 sorted_group_scan)
+    from rayschema.sketches import hash64
+
+    BM_BITS = 24
+    ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("text")),
+                    pc.is_valid(b.column("source")))
+        b = b.filter(m)
+        df = pd.DataFrame({"source": b.column("source").to_pandas(),
+                           "text": b.column("text").to_pandas()})
+        df["uk"] = hash64(df["text"].to_numpy()).view(np.int64)
+        g = df[["uk", "source"]].drop_duplicates()
+        return pa.table({"uk": pa.array(g["uk"].to_numpy(np.int64)),
+                         "source": pa.array(g["source"])})
+
+    multi = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["uk", "source"])
+             .aggregate(Count("uk", alias_name="nn"))
+             .groupby("uk")
+             .aggregate(Count("uk", alias_name="n_src"))
+             .filter(expr="n_src >= 2").select_columns(["uk"]))
+
+    def bm_partial(b: pa.Table) -> pa.Table:
+        uks = b.column("uk").to_numpy(zero_copy_only=False)
+        m = np.zeros(1 << BM_BITS, dtype=bool)
+        m[_bitmap_hash(uks, BM_BITS)] = True
+        return pa.table({"chunk": pa.array(
+            [np.packbits(m).tobytes()], type=pa.large_binary())})
+
+    acc = np.zeros((1 << BM_BITS) // 8, dtype=np.uint8)
+    chunks = multi.map_batches(bm_partial,
+                               batch_format="pyarrow").to_pandas()
+    for chunk in (chunks["chunk"] if "chunk" in chunks.columns else ()):
+        acc |= np.frombuffer(chunk, dtype=np.uint8)
+    empty = pd.DataFrame({"src_a": pd.Series([], dtype=object),
+                          "src_b": pd.Series([], dtype=object),
+                          "n_texts": pd.Series([], dtype=np.int64)})
+    if not acc.any():
+        return empty
+    bm_ref = ray.put(acc)
+
+    def cand_filter(b: pa.Table, _ref=bm_ref) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("text")),
+                    pc.is_valid(b.column("source")))
+        b = b.filter(m)
+        uk = hash64(b.column("text").to_numpy(zero_copy_only=False)) \
+            .view(np.int64)
+        hit = _bitmap_member(uk, ray.get(_ref), BM_BITS)
+        b = b.filter(pa.array(hit))
+        return b.append_column("uk", pa.array(uk[hit]))
+
+    out_schema = pa.schema([("src_a", pa.string()),
+                            ("src_b", pa.string()),
+                            ("n", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame({"text": g.column("text").to_pandas(),
+                           "source": g.column("source").to_pandas()}) \
+            .drop_duplicates()
+        rows = []
+        for _, tg in df.groupby("text", sort=False):
+            srcs = sorted(tg["source"].unique())
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    rows.append((srcs[i], srcs[j]))
+        if not rows:
+            return None
+        p = pd.DataFrame(rows, columns=["src_a", "src_b"]) \
+            .groupby(["src_a", "src_b"], as_index=False).size()
+        return pa.table({"src_a": pa.array(p["src_a"]),
+                         "src_b": pa.array(p["src_b"]),
+                         "n": pa.array(p["size"].to_numpy(np.int64))})
+
+    scan = sorted_group_scan(
+        ds.map_batches(cand_filter, batch_format="pyarrow"), ["uk"],
+        group_fn, out_schema,
+        group_filter=lambda b, s, e: (e - s) >= 2)
+    res = scan.to_pandas()
+    if res.empty:
+        return empty
+    out = (res.groupby(["src_a", "src_b"], as_index=False)["n"].sum()
+           .rename(columns={"n": "n_texts"}))
+    out["n_texts"] = out["n_texts"].astype(np.int64)
+    return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
+
+
+KS_SRC_A = "src0"
+KS_SRC_B = "src1"
+
+
+def ks_chars_two_sources(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov distance between the n_chars
+    distributions of two named sources — the distribution-drift test
+    with the supremum taken EXACTLY: over the pooled distinct values,
+    D_num = max |n_b * cumA(v) - n_a * cumB(v)| in cleared-denominator
+    integers (D = D_num / (n_a * n_b)). ONE map_batches pass folds
+    per-batch (value, count_a, count_b) histogram partials through a
+    domain-bounded groupby (the value_gini_by_type bound); the cumsum
+    sweep is driver arithmetic in Python big ints. Emits ONE row
+    (n_a, n_b, d_num, ks_ppm); empty if either source is absent."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("n_chars")),
+                    pc.is_in(b.column("source"),
+                             value_set=pa.array([KS_SRC_A, KS_SRC_B])))
+        b = b.filter(m)
+        df = pd.DataFrame({
+            "v": b.column("n_chars").cast(pa.int64()).to_pandas(),
+            "a": pc.equal(b.column("source"), KS_SRC_A).to_pandas()
+            .astype(np.int64)})
+        g = (df.groupby("v", as_index=False)
+             .agg(ca=("a", "sum"), n=("a", "size")))
+        return pa.table({"v": pa.array(g["v"].to_numpy(np.int64)),
+                         "ca": pa.array(g["ca"].to_numpy(np.int64)),
+                         "cb": pa.array((g["n"] - g["ca"])
+                                        .to_numpy(np.int64))})
+
+    hist = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("ca", alias_name="ca"),
+                       Sum("cb", alias_name="cb"))
+            .to_pandas().sort_values("v"))
+    empty = pd.DataFrame({"n_a": pd.Series([], dtype=np.int64),
+                          "n_b": pd.Series([], dtype=np.int64),
+                          "d_num": pd.Series([], dtype=np.int64),
+                          "ks_ppm": pd.Series([], dtype=np.int64)})
+    if hist.empty:
+        return empty
+    na = int(hist["ca"].sum())
+    nb = int(hist["cb"].sum())
+    if na == 0 or nb == 0:
+        return empty
+    cum_a = cum_b = 0
+    d_num = 0
+    for ca, cb in zip(hist["ca"], hist["cb"]):
+        cum_a += int(ca)
+        cum_b += int(cb)
+        d_num = max(d_num, abs(nb * cum_a - na * cum_b))
+    return pd.DataFrame({
+        "n_a": [na], "n_b": [nb], "d_num": [d_num],
+        "ks_ppm": [(1_000_000 * d_num) // (na * nb)]}) \
+        .astype(np.int64)

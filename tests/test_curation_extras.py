@@ -3381,3 +3381,107 @@ def test_rrf_fuse_keyword_rankings_planted(ray_session, tmp_path):
     assert got["doc_id"].tolist() == [0, 2, 1]
     assert got["rrf_e9"].tolist() == [32_522_474, 32_266_457, 32_002_047]
     assert got["rk"].tolist() == [1, 2, 3]
+
+
+def test_langid_f1_planted(ray_session, tmp_path):
+    """Confusion en:{TP 2, FN 1} de:{TP 1, FP 1} from one mislabeled
+    German doc -> hand-computed floor-ppm P/R/F1 per class."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import langid_f1_by_class
+
+    en = "the cat and the dog of this town is that it for with"
+    de = "der die und das ist nicht ein mit auf von"
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [en, en + " extra", de, de + " mehr"],
+        "lang": ["en", "en", "en", "de"],     # third doc mislabeled
+        "source": ["s"] * 4,
+        "n_chars": np.array([len(en)] * 4, dtype=np.int64)})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = langid_f1_by_class(str(tmp_path)).set_index("lang")
+    assert got.loc["en", ["tp", "fp", "fn"]].tolist() == [2, 0, 1]
+    assert got.loc["en", "precision_ppm"] == 1_000_000
+    assert got.loc["en", "recall_ppm"] == 666_666
+    assert got.loc["en", "f1_ppm"] == 800_000
+    assert got.loc["de", ["tp", "fp", "fn"]].tolist() == [1, 1, 0]
+    assert got.loc["de", "f1_ppm"] == 666_666
+
+
+def test_simpson_diversity_planted(ray_session, tmp_path):
+    """source s = [en, en, de]: 1e6 - (1e6 * 2) // 6 = 666667; the
+    single-doc source t is undefined and drops."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import simpson_diversity_by_source
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["x" * 60] * 4,
+        "lang": ["en", "en", "de", "fr"],
+        "source": ["s", "s", "s", "t"],
+        "n_chars": np.array([60] * 4, dtype=np.int64)})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = simpson_diversity_by_source(str(tmp_path))
+    assert list(got["source"]) == ["s"]
+    assert got.loc[0, "n_docs"] == 3
+    assert got.loc[0, "simpson_ppm"] == 666_667
+
+
+def test_coverage_select_planted(ray_session, tmp_path):
+    """Greedy trace: d0 'a b c' (3) -> d2 'c d' (+d, id beats d3) ->
+    d3 'e' -> d1 fully covered picks at gain 0; round 5 has no doc."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import coverage_select_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a b c", "a b", "c d", "e"]})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = coverage_select_documents(str(tmp_path))
+    assert got.values.tolist() == [[1, 0, 3], [2, 2, 1],
+                                   [3, 3, 1], [4, 1, 0]]
+
+
+def test_dup_cross_source_matrix_planted(ray_session, tmp_path):
+    """Text X spans {src1, src2}; Y spans {src1, src2, src3} -> matrix
+    (src1,src2)=2, (src1,src3)=1, (src2,src3)=1; the single-source Z
+    and repeated same-source copies contribute nothing."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import dup_cross_source_matrix
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(7, dtype=np.int64),
+        "text": ["X", "X", "Y", "Y", "Y", "Z", "Z"],
+        "source": ["src1", "src2", "src1", "src3", "src2",
+                   "src1", "src1"]})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = dup_cross_source_matrix(str(tmp_path))
+    assert got.values.tolist() == [["src1", "src2", 2],
+                                   ["src1", "src3", 1],
+                                   ["src2", "src3", 1]]
+
+
+def test_ks_chars_two_sources_planted(ray_session, tmp_path):
+    """src0 = {1, 2}, src1 = {2, 3}: sup |2*cumA - 2*cumB| = 2 at v=1
+    -> ks_ppm = 1e6 * 2 // 4 = 500000."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import ks_chars_two_sources
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["x" * 60] * 5,
+        "lang": ["en"] * 5,
+        "source": ["src0", "src0", "src1", "src1", "src9"],
+        "n_chars": np.array([1, 2, 2, 3, 7], dtype=np.int64)})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = ks_chars_two_sources(str(tmp_path))
+    assert got.values.tolist() == [[2, 2, 2, 500_000]]
