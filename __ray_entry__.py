@@ -489,6 +489,49 @@ def _markov_sql(iters: int = 5) -> str:
             ORDER BY event_type"""
 
 
+def _ppr_sql(iters: int = 4) -> str:
+    """Unrolled personalized-PageRank CTEs mirroring
+    rayschema.queries.ppr_trade_graph: all initial mass on the seed
+    (min customer node = min c_node), the 15% teleport returns to the
+    seed each superstep, floors per edge identical to _pagerank_sql."""
+    ctes = ["""pairs AS (
+              SELECT DISTINCT o.o_custkey * 2 AS c_node,
+                              l.l_suppkey * 2 + 1 AS s_node
+              FROM lineitem l JOIN orders o
+                ON l.l_orderkey = o.o_orderkey)""",
+            """edges AS (SELECT c_node AS src, s_node AS dst FROM pairs
+                      UNION ALL SELECT s_node, c_node FROM pairs)""",
+            """deg AS (SELECT src AS node, count(*)::BIGINT AS deg
+                    FROM edges GROUP BY src)""",
+            """sd AS (SELECT min(c_node) AS s FROM pairs)""",
+            """pr0 AS (SELECT node,
+                    CASE WHEN node = sd.s THEN 1000000000::BIGINT
+                         ELSE 0::BIGINT END AS pr
+                    FROM deg CROSS JOIN sd)"""]
+    for t in range(iters):
+        ctes.append(f"""pr{t + 1} AS (
+              SELECT e.dst AS node,
+                     (CASE WHEN e.dst = sd.s THEN 150000000
+                           ELSE 0 END)
+                       + (85 * sum(p.pr // d.deg)) // 100 AS pr
+              FROM edges e JOIN pr{t} p ON p.node = e.src
+              JOIN deg d ON d.node = e.src
+              CROSS JOIN sd
+              GROUP BY e.dst, sd.s)""")
+    return f"""
+            WITH {','.join(ctes)},
+            top AS (SELECT node, pr,
+                           row_number() OVER (ORDER BY pr DESC, node) AS rk
+                    FROM pr{iters})
+            SELECT CAST(node AS BIGINT) AS node_id,
+                   CASE WHEN node % 2 = 0 THEN 'customer'
+                        ELSE 'supplier' END AS node_type,
+                   CAST(node // 2 AS BIGINT) AS entity_key,
+                   CAST(pr AS BIGINT) AS ppr,
+                   CAST(rk AS BIGINT) AS rk
+            FROM top WHERE rk <= 15"""
+
+
 def _kcore_sql(k: int = 12, rounds: int = 3) -> str:
     """Unrolled bounded k-core peel mirroring rayschema.graph.kcore round
     for round: in-degree over edges whose BOTH endpoints survive, >= k
@@ -811,6 +854,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_select_documents": Q.coverage_select_documents,
         "dup_cross_source_matrix": Q.dup_cross_source_matrix,
         "ks_chars_two_sources": Q.ks_chars_two_sources,
+        "ppr_trade_graph": Q.ppr_trade_graph,
+        "readability_fk_documents": Q.readability_fk_documents,
+        "holt_forecast_events": Q.holt_forecast_events,
+        "join_fanout_histogram": Q.join_fanout_histogram,
+        "seasonal_index_by_type": Q.seasonal_index_by_type,
     }
 
 
@@ -4128,4 +4176,82 @@ def oracle_sql() -> dict[str, str]:
                    ((1000000::HUGEINT * m.dnum)
                     // (t.na * t.nb))::BIGINT AS ks_ppm
             FROM m, t WHERE t.na > 0 AND t.nb > 0""",
+        "ppr_trade_graph": _ppr_sql(4),
+        # Flesch-Kincaid as one exact rational: no division on either side
+        "readability_fk_documents": """
+            WITH c AS (SELECT doc_id,
+                         (length(text) - length(replace(text, ' ', ''))
+                          + 1)::BIGINT AS w,
+                         greatest(len(regexp_extract_all(text,
+                                      '[.!?]+')), 1)::BIGINT AS s,
+                         len(regexp_extract_all(text,
+                             '(?i)[aeiouy]+'))::BIGINT AS y
+                       FROM documents
+                       WHERE text IS NOT NULL AND length(text) > 0)
+            SELECT doc_id, w AS n_words, s AS n_sentences,
+                   y AS n_vowel_runs,
+                   (39 * w * w + 1180 * y * s
+                    - 1559 * s * w)::BIGINT AS fk_num,
+                   (100 * s * w)::BIGINT AS fk_den
+            FROM c""",
+        # Holt level+trend recurrence, alpha=beta=1/2, DuckDB-truncating //
+        "holt_forecast_events": """
+            WITH RECURSIVE
+            e AS (SELECT event_type,
+                         epoch_us(ts) // 3600000000 AS hb
+                  FROM events),
+            h AS (SELECT event_type, hb, count(*)::BIGINT AS c
+                  FROM e GROUP BY event_type, hb),
+            o AS (SELECT event_type, hb, c,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY hb) AS rn
+                  FROM h),
+            cnt AS (SELECT event_type, max(rn)::BIGINT AS nh
+                    FROM o GROUP BY event_type),
+            rec(event_type, rn, lv, tr) AS (
+              SELECT b.event_type, 1::BIGINT,
+                     b.c * 1000, (n.c - b.c) * 1000
+              FROM o b JOIN o n ON n.event_type = b.event_type
+                               AND n.rn = 2
+              WHERE b.rn = 1
+              UNION ALL
+              SELECT r.event_type, r.rn + 1,
+                     (o.c * 1000 + r.lv + r.tr) // 2,
+                     (((o.c * 1000 + r.lv + r.tr) // 2)
+                      - r.lv + r.tr) // 2
+              FROM rec r JOIN o ON o.event_type = r.event_type
+                               AND o.rn = r.rn + 1)
+            SELECT r.event_type, c.nh AS n_hours,
+                   r.lv::BIGINT AS level_milli,
+                   r.tr::BIGINT AS trend_milli,
+                   (r.lv + r.tr)::BIGINT AS forecast_milli
+            FROM rec r JOIN cnt c ON c.event_type = r.event_type
+                                 AND r.rn = c.nh
+            WHERE c.nh >= 2 ORDER BY r.event_type""",
+        # children-per-order histogram + zero bucket from scalar counts
+        "join_fanout_histogram": """
+            WITH pk AS (SELECT l_orderkey, count(*)::BIGINT AS fanout
+                        FROM lineitem GROUP BY l_orderkey),
+            h AS (SELECT fanout, count(*)::BIGINT AS n_orders
+                  FROM pk GROUP BY fanout),
+            z AS (SELECT (SELECT count(*) FROM orders)
+                         - (SELECT count(*) FROM pk) AS n0)
+            SELECT fanout, n_orders FROM h
+            UNION ALL
+            SELECT 0::BIGINT, n0::BIGINT FROM z WHERE n0 > 0
+            ORDER BY fanout""",
+        # hour-of-day mass vs the uniform 1/24 share, floor-ppm
+        "seasonal_index_by_type": """
+            WITH e AS (SELECT event_type,
+                              (epoch_us(ts) // 3600000000) % 24 AS hour
+                       FROM events),
+            h AS (SELECT event_type, hour, count(*)::BIGINT AS n
+                  FROM e GROUP BY event_type, hour),
+            t AS (SELECT event_type, sum(n)::HUGEINT AS tot
+                  FROM h GROUP BY event_type)
+            SELECT h.event_type, h.hour::BIGINT AS hour,
+                   h.n AS n_events,
+                   ((24000000::HUGEINT * h.n) // t.tot)::BIGINT AS idx_ppm
+            FROM h JOIN t USING (event_type)
+            ORDER BY event_type, hour""",
     }

@@ -197,6 +197,11 @@ def run_bench() -> dict:
         ("coverage_select_documents", Q.coverage_select_documents),
         ("dup_cross_source_matrix", Q.dup_cross_source_matrix),
         ("ks_chars_two_sources", Q.ks_chars_two_sources),
+        ("ppr_trade_graph", Q.ppr_trade_graph),
+        ("readability_fk_documents", Q.readability_fk_documents),
+        ("holt_forecast_events", Q.holt_forecast_events),
+        ("join_fanout_histogram", Q.join_fanout_histogram),
+        ("seasonal_index_by_type", Q.seasonal_index_by_type),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -47,8 +47,14 @@ def _np64(col) -> np.ndarray:
 def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
              num_partitions: int = 32, init: int = PR_INIT,
              base: int = PR_BASE, weight_col: str = None,
-             fold_cap: int = 10_000_000) -> pd.DataFrame:
+             fold_cap: int = 10_000_000, seed: int = None) -> pd.DataFrame:
     """Integer-exact PageRank over an edge Dataset (src, dst int64).
+
+    With ``seed`` set this is PERSONALIZED PageRank: pr_0(v) = init only
+    at the seed (0 elsewhere) and the per-superstep teleport ``base``
+    lands only on the seed — pr_{t+1}(v) = (base if v == seed else 0)
+    + (85 * sum contrib) // 100. ``seed=None`` is bit-identical to the
+    uniform recurrence below.
 
     Semantics (mirrorable in unrolled SQL CTEs; ``init``/``base`` pick the
     fixed-point unit — ppb by default, millionths for the near-dup-graph
@@ -116,7 +122,10 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
         dd = deg_ds.to_pandas().sort_values("node")
         nodes = dd["node"].to_numpy(np.int64)
         deg = dd["deg"].to_numpy(np.int64)
-        pr = np.full(len(nodes), init, dtype=np.int64)
+        pr = np.full(len(nodes), init, dtype=np.int64) if seed is None \
+            else np.where(nodes == seed, init, 0).astype(np.int64)
+        tele = base if seed is None \
+            else np.where(nodes == seed, base, 0).astype(np.int64)
         for _ in range(iters):
             ref = ray.put((nodes, deg, pr))
 
@@ -153,7 +162,7 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
                 s[np.searchsorted(nodes,
                                   agg["dst"].to_numpy(np.int64))] = \
                     agg["s"].to_numpy(np.int64)
-            pr = base + (PR_DAMP_NUM * s) // PR_DAMP_DEN
+            pr = tele + (PR_DAMP_NUM * s) // PR_DAMP_DEN
         return pd.DataFrame({"node": nodes, "pr": pr})
 
     # ---- join scale path: node state never concentrates on the driver
@@ -162,10 +171,14 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
                       num_partitions=num_partitions,
                       on=("src",), right_on=("node",),
                       right_suffix="_d").materialize()
+    def _init_rank(b: pa.Table, _i=init, _s=seed) -> pa.Table:
+        nd = _np64(b.column("node"))
+        p = np.full(len(b), _i, dtype=np.int64) if _s is None \
+            else np.where(nd == _s, _i, 0).astype(np.int64)
+        return b.append_column("pr", pa.array(p))
+
     rank_ds = nodes_ds.map_batches(
-        lambda b, _i=init: b.append_column("pr", pa.array(
-            np.full(len(b), _i, dtype=np.int64))),
-        batch_format="pyarrow").materialize()
+        _init_rank, batch_format="pyarrow").materialize()
     for _ in range(iters):
         def contrib_j(b: pa.Table) -> pa.Table:
             d = _np64(b.column("dst"))
@@ -189,20 +202,24 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
                                  num_partitions=num_partitions,
                                  on=("node",), right_on=("dst",))
                    .map_batches(_fold_rank, batch_format="pyarrow",
-                                fn_kwargs={"base": base})
+                                fn_kwargs={"base": base, "seed": seed})
                    ).materialize()
     return (rank_ds.to_pandas().sort_values("node")
             .reset_index(drop=True))
 
 
-def _fold_rank(b: pa.Table, base: int = PR_BASE) -> pa.Table:
+def _fold_rank(b: pa.Table, base: int = PR_BASE,
+               seed: int = None) -> pa.Table:
     import pyarrow.compute as pc
 
     s = pc.fill_null(b.column("s"), 0).to_numpy(zero_copy_only=False) \
         .astype(np.int64)
+    tele = base if seed is None \
+        else np.where(_np64(b.column("node")) == seed, base, 0) \
+        .astype(np.int64)
     return pa.table({
         "node": b.column("node"),
-        "pr": pa.array(base + (PR_DAMP_NUM * s) // PR_DAMP_DEN)})
+        "pr": pa.array(tele + (PR_DAMP_NUM * s) // PR_DAMP_DEN)})
 
 
 def _pair_index(sizes: np.ndarray):

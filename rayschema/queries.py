@@ -12677,3 +12677,254 @@ def ks_chars_two_sources(sf_dir: str):
         "n_a": [na], "n_b": [nb], "d_num": [d_num],
         "ks_ppm": [(1_000_000 * d_num) // (na * nb)]}) \
         .astype(np.int64)
+
+
+def ppr_trade_graph(sf_dir: str, iters: int = 4):
+    """PERSONALIZED PageRank from the lowest customer node — the
+    similar-entities / recommendation primitive (random walk with
+    restart at one seed): rayschema.graph.pagerank with ``seed`` set,
+    so pr_0 puts all mass on the seed and the 15% teleport returns
+    there every superstep, in the same integer ppb fixed-point as the
+    global ranks (floors per edge, mirrorable CTE for CTE). The seed is
+    (min ekey) >> 32 — the packed key's high word, i.e. min customer
+    node — computed by one tiny Min aggregate. Emits the top-15
+    (node_id, node_type, entity_key, ppr, rk)."""
+    from ray.data.aggregate import Min
+
+    from rayschema.graph import pagerank
+
+    pairs = _trade_pair_keys(sf_dir).materialize()
+    mn = pairs.aggregate(Min("ekey"))["min(ekey)"]
+    empty = pd.DataFrame({
+        "node_id": pd.Series([], dtype=np.int64),
+        "node_type": pd.Series([], dtype=object),
+        "entity_key": pd.Series([], dtype=np.int64),
+        "ppr": pd.Series([], dtype=np.int64),
+        "rk": pd.Series([], dtype=np.int64)})
+    if mn is None:
+        return empty
+    seed = int(mn) >> 32
+
+    def unpack(b: pa.Table) -> pa.Table:
+        ek = b.column("ekey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c, s = ek >> np.int64(32), ek & np.int64((1 << 32) - 1)
+        return pa.table({
+            "src": pa.array(np.concatenate([c, s])),
+            "dst": pa.array(np.concatenate([s, c]))})
+
+    edges = pairs.map_batches(unpack, batch_format="pyarrow")
+    pr = pagerank(edges, iters=iters, seed=seed)
+    node = pr["node"].to_numpy(np.int64)
+    rank = pr["pr"].to_numpy(np.int64)
+    order = np.lexsort((node, -rank))[:15]
+    node, rank = node[order], rank[order]
+    return pd.DataFrame({
+        "node_id": node,
+        "node_type": np.where(node % 2 == 0, "customer", "supplier"),
+        "entity_key": node // 2,
+        "ppr": rank,
+        "rk": np.arange(1, len(node) + 1, dtype=np.int64)})
+
+
+def readability_fk_documents(sf_dir: str):
+    """Flesch-Kincaid grade level per document as an EXACT RATIONAL —
+    grade = (39*W^2 + 1180*Y*S - 1559*S*W) / (100*S*W) with W = words
+    (space-split), S = sentence runs of [.!?] clamped >= 1, Y = vowel
+    runs (the public FK formula 0.39 W/S + 11.8 Y/W - 15.59 cleared to
+    one numerator/denominator pair, so NO division happens and no
+    float/floor semantics can diverge; consumers divide when they want
+    the float). ONE stateless Arrow pass: three count kernels per
+    batch, no shuffle. Emits (doc_id, n_words, n_sentences,
+    n_vowel_runs, fk_num, fk_den) for non-empty texts."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("text")),
+                    pc.greater(pc.utf8_length(
+                        pc.coalesce(b.column("text"), "")), 0))
+        b = b.filter(m)
+        t = b.column("text")
+        w = pc.add(pc.count_substring(t, pattern=" "), 1) \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = pc.count_substring_regex(t, pattern=r"[.!?]+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        s = np.maximum(s, 1)
+        y = pc.count_substring_regex(t, pattern=r"(?i)[aeiouy]+") \
+            .cast(pa.int64()).to_numpy(zero_copy_only=False)
+        num = 39 * w * w + 1180 * y * s - 1559 * s * w
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "n_words": pa.array(w),
+            "n_sentences": pa.array(s),
+            "n_vowel_runs": pa.array(y),
+            "fk_num": pa.array(num),
+            "fk_den": pa.array(100 * s * w)})
+
+    return ds.map_batches(part, batch_format="pyarrow")
+
+
+HOLT_SCALE = 1000
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """SQL-style integer division truncating toward zero (DuckDB //
+    on a possibly-negative numerator), vs Python's flooring //."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def holt_forecast_events(sf_dir: str):
+    """Holt double-exponential (level + trend) forecast of hourly event
+    counts per type — the trend-aware sibling of the EWMA monitor, in
+    exact milli-units with alpha = beta = 1/2 and SQL-truncating
+    division (toward zero — trends go negative, so the Python fold
+    emulates DuckDB's // exactly):
+
+        l_1 = c_1 * 1000,  b_1 = (c_2 - c_1) * 1000
+        l_t = trunc((c_t * 1000 + l_{t-1} + b_{t-1}) / 2)
+        b_t = trunc((l_t - l_{t-1} + b_{t-1}) / 2)
+
+    over each type's PRESENT hour buckets in order (gap hours absent on
+    both sides, the events_ewma_anomaly convention); the one-step-ahead
+    forecast is l_T + b_T. Distribution identical to EWMA: per-batch
+    (type, hour) bincount partials, sequential fold over the bounded
+    types x hours grid on the driver. Types with < 2 observed hours
+    drop. Emits (event_type, n_hours, level_milli, trend_milli,
+    forecast_milli)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pandas(),
+            "hour_bucket": (ts // 3_600_000_000).astype(np.int64)})
+        g = df.groupby(["event_type", "hour_bucket"],
+                       as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"]),
+            "hour_bucket": pa.array(g["hour_bucket"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if part.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "n_hours": pd.Series([], dtype=np.int64),
+            "level_milli": pd.Series([], dtype=np.int64),
+            "trend_milli": pd.Series([], dtype=np.int64),
+            "forecast_milli": pd.Series([], dtype=np.int64)})
+    agg = (part.groupby(["event_type", "hour_bucket"], as_index=False)
+           ["n"].sum()
+           .sort_values(["event_type", "hour_bucket"])
+           .reset_index(drop=True))
+    rows = []
+    for et, g in agg.groupby("event_type", sort=True):
+        cs = [int(x) for x in g["n"]]
+        if len(cs) < 2:
+            continue
+        lv = cs[0] * HOLT_SCALE
+        tr = (cs[1] - cs[0]) * HOLT_SCALE
+        for c in cs[1:]:
+            lv_new = _trunc_div(c * HOLT_SCALE + lv + tr, 2)
+            tr = _trunc_div(lv_new - lv + tr, 2)
+            lv = lv_new
+        rows.append((et, len(cs), lv, tr, lv + tr))
+    return pd.DataFrame(rows, columns=["event_type", "n_hours",
+                                       "level_milli", "trend_milli",
+                                       "forecast_milli"]) \
+        .astype({c: np.int64 for c in ["n_hours", "level_milli",
+                                       "trend_milli", "forecast_milli"]})
+
+
+def join_fanout_histogram(sf_dir: str):
+    """Join-cardinality audit: the distribution of lineitem children per
+    order — the fan-out histogram that predicts join blow-up before you
+    run the join. Per-batch orderkey bincount partials fold through one
+    narrow groupby to (orderkey, n_children) — 16 B rows — then a
+    SECOND bounded groupby histograms the counts (driver state = max
+    fanout, single digits here); childless orders land in the fanout-0
+    bucket via two scalar counts (total orders - matched orders), never
+    an anti-join. Emits (fanout, n_orders)."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def part(b: pa.Table) -> pa.Table:
+        k = b.column("l_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(u), "n": pa.array(
+            c.astype(np.int64))})
+
+    per_key = (li.map_batches(part, batch_format="pyarrow")
+               .groupby("k").aggregate(Sum("n", alias_name="n")))
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("n").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"fanout": pa.array(u.astype(np.int64)),
+                         "n_orders": pa.array(c.astype(np.int64))})
+
+    hist = (per_key.map_batches(hist_part, batch_format="pyarrow")
+            .groupby("fanout")
+            .aggregate(Sum("n_orders", alias_name="n_orders"))
+            .to_pandas())
+    n_orders_total = _table_rows(sf_dir, "orders")
+    if n_orders_total is None:
+        n_orders_total = _read(sf_dir, "orders",
+                               columns=["o_orderkey"]).count()
+    matched = int(hist["n_orders"].sum())
+    if n_orders_total - matched > 0:
+        hist = pd.concat([pd.DataFrame(
+            {"fanout": [0], "n_orders": [n_orders_total - matched]}),
+            hist])
+    hist["fanout"] = hist["fanout"].astype(np.int64)
+    hist["n_orders"] = hist["n_orders"].astype(np.int64)
+    return hist.sort_values("fanout").reset_index(drop=True)
+
+
+def seasonal_index_by_type(sf_dir: str):
+    """Hour-of-day seasonality index per event type: how far each hour's
+    traffic sits above/below the type's uniform share, exact —
+    idx_ppm = floor(1e6 * 24 * n_th / n_t) (1e6 x the ratio of observed
+    to uniform-across-24-hours mass; 1,000,000 = exactly flat). One
+    bounded (types x 24) groupby over per-batch bincount partials;
+    driver does the ppm division in Python big ints. Emits
+    (event_type, hour, n_events, idx_ppm)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def part(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pandas(),
+            "hour": ((ts // 3_600_000_000) % 24).astype(np.int64)})
+        g = df.groupby(["event_type", "hour"], as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"]),
+            "hour": pa.array(g["hour"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(["event_type", "hour"])
+           .aggregate(Sum("n", alias_name="n")).to_pandas())
+    if agg.empty:
+        return pd.DataFrame({
+            "event_type": pd.Series([], dtype=object),
+            "hour": pd.Series([], dtype=np.int64),
+            "n_events": pd.Series([], dtype=np.int64),
+            "idx_ppm": pd.Series([], dtype=np.int64)})
+    tot = agg.groupby("event_type")["n"].sum()
+    agg = agg.sort_values(["event_type", "hour"]).reset_index(drop=True)
+    agg["idx_ppm"] = np.array(
+        [(24_000_000 * int(n)) // int(tot[t])
+         for t, n in zip(agg["event_type"], agg["n"])], dtype=np.int64)
+    return pd.DataFrame({
+        "event_type": agg["event_type"],
+        "hour": agg["hour"].astype(np.int64),
+        "n_events": agg["n"].astype(np.int64),
+        "idx_ppm": agg["idx_ppm"]})

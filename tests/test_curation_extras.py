@@ -3485,3 +3485,91 @@ def test_ks_chars_two_sources_planted(ray_session, tmp_path):
                     os.path.join(tmp_path, "documents.parquet"))
     got = ks_chars_two_sources(str(tmp_path))
     assert got.values.tolist() == [[2, 2, 2, 500_000]]
+
+
+def test_readability_fk_planted(ray_session, tmp_path):
+    """'Hi there. Go now!': W=4, S=2, Y=5 vowel runs ->
+    fk_num = 39*16 + 1180*10 - 1559*8 = -48, fk_den = 800; a text with
+    no [.!?] clamps S to 1."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import readability_fk_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype=np.int64),
+        "text": ["Hi there. Go now!", "no punct here"]})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = readability_fk_documents(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got.loc[0, ["n_words", "n_sentences", "n_vowel_runs"]] \
+        .tolist() == [4, 2, 5]
+    assert got.loc[0, "fk_num"] == -48 and got.loc[0, "fk_den"] == 800
+    assert got.loc[1, "n_sentences"] == 1
+
+
+def test_holt_forecast_planted(ray_session, tmp_path):
+    """counts [4,6,5] -> level 6500, trend 1250, forecast 7750; [5,1]
+    exercises NEGATIVE trend with truncate-toward-zero division
+    (level 1000, trend -4000); a 1-hour type drops."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import holt_forecast_events
+
+    hours = np.array([0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2,
+                      0, 0, 0, 0, 0, 1, 0], dtype=np.int64)
+    types = ["e"] * 15 + ["t"] * 6 + ["solo"]
+    n = len(hours)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "ts": pa.array(hours * 3_600_000_000 + 7).cast(pa.timestamp("us")),
+        "event_type": pa.array(types),
+        "value": pa.array(np.ones(n)),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = holt_forecast_events(str(tmp_path)).set_index("event_type")
+    assert got.loc["e", ["n_hours", "level_milli", "trend_milli",
+                         "forecast_milli"]].tolist() == \
+        [3, 6500, 1250, 7750]
+    assert got.loc["t", ["level_milli", "trend_milli",
+                         "forecast_milli"]].tolist() == \
+        [1000, -4000, -3000]
+    assert "solo" not in got.index
+
+
+def test_join_fanout_histogram_planted(ray_session, tmp_path):
+    """orders {0,1,2}; lineitems 0 x2, 1 x1 -> one order in each of the
+    0/1/2 fanout buckets."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import join_fanout_histogram
+
+    _pq.write_table(pa.table({"o_orderkey": pa.array(
+        np.array([0, 1, 2], dtype=np.int64))}),
+        os.path.join(tmp_path, "orders.parquet"))
+    _pq.write_table(pa.table({"l_orderkey": pa.array(
+        np.array([0, 0, 1], dtype=np.int64))}),
+        os.path.join(tmp_path, "lineitem.parquet"))
+    got = join_fanout_histogram(str(tmp_path))
+    assert got.values.tolist() == [[0, 1], [1, 1], [2, 1]]
+
+
+def test_seasonal_index_planted(ray_session, tmp_path):
+    """type a: hours [0,0,1] -> idx 24e6*2//3 = 16000000 and 8000000."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import seasonal_index_by_type
+
+    hours = np.array([0, 0, 1], dtype=np.int64)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(3, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(3, dtype=np.int64)),
+        "ts": pa.array(hours * 3_600_000_000 + 7).cast(pa.timestamp("us")),
+        "event_type": pa.array(["a"] * 3),
+        "value": pa.array(np.ones(3)),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = seasonal_index_by_type(str(tmp_path))
+    assert got[["hour", "n_events", "idx_ppm"]].values.tolist() == \
+        [[0, 2, 16_000_000], [1, 1, 8_000_000]]

@@ -632,3 +632,38 @@ def test_bfs_hops_empty_edges(ray_session):
 
     out = bfs_hops(_edges_ds([], []))
     assert len(out) == 0 and list(out.columns) == ["node", "hops"]
+
+
+def test_ppr_two_node_planted(ray_session):
+    """Hand-traced 2 supersteps of personalized PageRank on 0 <-> 3,
+    seed 0: iter1 -> (150000000, 850000000), iter2 ->
+    (872500000, 127500000); all teleport mass returns to the seed."""
+    out = pagerank(_edges_ds([0, 3], [3, 0]), iters=2, seed=0) \
+        .sort_values("node").reset_index(drop=True)
+    assert out["node"].tolist() == [0, 3]
+    assert out["pr"].tolist() == [872_500_000, 127_500_000]
+
+
+def test_ppr_join_path_matches_broadcast(ray_session):
+    """node_cap=0 forces the join scale path; the personalized ranks
+    must be bit-identical to the broadcast fold."""
+    spokes = np.arange(1, 6, dtype=np.int64)
+    src = np.concatenate([np.zeros(5, np.int64), spokes])
+    dst = np.concatenate([spokes, np.zeros(5, np.int64)])
+    a = pagerank(_edges_ds(src, dst), iters=3, seed=0) \
+        .sort_values("node").reset_index(drop=True)
+    b = pagerank(_edges_ds(src, dst), iters=3, seed=0, node_cap=0,
+                 num_partitions=4) \
+        .sort_values("node").reset_index(drop=True)
+    assert a["pr"].tolist() == b["pr"].tolist()
+
+
+def test_ppr_none_seed_unchanged(ray_session):
+    """seed=None must stay bit-identical to the uniform recurrence."""
+    spokes = np.arange(1, 6, dtype=np.int64)
+    src = np.concatenate([np.zeros(5, np.int64), spokes])
+    dst = np.concatenate([spokes, np.zeros(5, np.int64)])
+    got = pagerank(_edges_ds(src, dst), iters=3).sort_values("node") \
+        .reset_index(drop=True)
+    ref = _pagerank_ref(src, dst, 3)
+    assert got["pr"].tolist() == ref["pr"].tolist()
