@@ -859,6 +859,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_forecast_events": Q.holt_forecast_events,
         "join_fanout_histogram": Q.join_fanout_histogram,
         "seasonal_index_by_type": Q.seasonal_index_by_type,
+        "q11_important_stock": Q.q11_important_stock,
+        "q16_supplier_cnt": Q.q16_supplier_cnt,
+        "cumulative_gains_en": Q.cumulative_gains_en,
     }
 
 
@@ -4254,4 +4257,59 @@ def oracle_sql() -> dict[str, str]:
                    ((24000000::HUGEINT * h.n) // t.tot)::BIGINT AS idx_ppm
             FROM h JOIN t USING (event_type)
             ORDER BY event_type, hour""",
+        # Q11 shape: national supply value per part, > 1/1000 of total
+        "q11_important_stock": """
+            WITH sk AS (SELECT s_suppkey FROM supplier s
+                        JOIN nation n ON n.n_nationkey = s.s_nationkey
+                        WHERE n.n_name = 'NATION_1'),
+            v AS (SELECT l_partkey,
+                         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * CAST(floor(l_quantity)
+                                    AS BIGINT))::HUGEINT AS val
+                  FROM lineitem l JOIN sk ON sk.s_suppkey = l.l_suppkey
+                  GROUP BY l_partkey),
+            t AS (SELECT sum(val)::HUGEINT AS tot FROM v)
+            SELECT l_partkey, val::BIGINT AS value_cq,
+                   (row_number() OVER (ORDER BY val DESC,
+                                       l_partkey))::BIGINT AS rk
+            FROM v, t WHERE val * 1000 > t.tot
+            ORDER BY rk""",
+        # Q16 shape: distinct suppliers per (brand, type, size)
+        "q16_supplier_cnt": """
+            WITH bad AS (SELECT s_suppkey FROM supplier
+                         WHERE s_acctbal < 0),
+            rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM bad)),
+            pp AS (SELECT p_partkey, p_brand, p_type, p_size FROM part
+                   WHERE p_brand <> 'Brand#13'
+                     AND p_size IN (1, 5, 9, 14, 23, 36, 45, 49)),
+            j AS (SELECT DISTINCT pp.p_brand, pp.p_type, pp.p_size,
+                                  rel.l_suppkey
+                  FROM rel JOIN pp ON pp.p_partkey = rel.l_partkey)
+            SELECT p_brand, p_type, p_size::BIGINT AS p_size,
+                   count(*)::BIGINT AS supplier_cnt
+            FROM j GROUP BY p_brand, p_type, j.p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+        # cumulative gains at exact ceil(kN/10) depths of the
+        # (n_chars desc, doc_id asc) ranking
+        "cumulative_gains_en": """
+            WITH d AS (SELECT doc_id, n_chars::BIGINT AS v,
+                              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                       FROM documents
+                       WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+            r AS (SELECT y, row_number() OVER
+                    (ORDER BY v DESC, doc_id) AS rn FROM d),
+            t AS (SELECT count(*)::HUGEINT AS n,
+                         sum(y)::HUGEINT AS p FROM d),
+            ks AS (SELECT g.i AS decile,
+                          ((g.i * t.n + 9) // 10)::BIGINT AS depth
+                   FROM range(1, 11) g(i), t),
+            c AS (SELECT ks.decile, ks.depth,
+                         (SELECT COALESCE(sum(y), 0) FROM r
+                          WHERE r.rn <= ks.depth)::BIGINT AS n_pos_cum
+                  FROM ks)
+            SELECT c.decile::BIGINT AS decile, c.depth, c.n_pos_cum,
+                   ((1000000::HUGEINT * c.n_pos_cum) // t.p)::BIGINT
+                     AS gain_ppm
+            FROM c, t WHERE t.p > 0 ORDER BY decile""",
     }

@@ -202,6 +202,9 @@ def run_bench() -> dict:
         ("holt_forecast_events", Q.holt_forecast_events),
         ("join_fanout_histogram", Q.join_fanout_histogram),
         ("seasonal_index_by_type", Q.seasonal_index_by_type),
+        ("q11_important_stock", Q.q11_important_stock),
+        ("q16_supplier_cnt", Q.q16_supplier_cnt),
+        ("cumulative_gains_en", Q.cumulative_gains_en),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -12928,3 +12928,257 @@ def seasonal_index_by_type(sf_dir: str):
         "hour": agg["hour"].astype(np.int64),
         "n_events": agg["n"].astype(np.int64),
         "idx_ppm": agg["idx_ppm"]})
+
+
+def q11_important_stock(sf_dir: str):
+    """TPC-H-Q11-shaped important-stock scan (no partsupp in the corpus,
+    so 'stock value' = sum of cents(extendedprice) x floor(quantity)
+    over NATION_1-supplied lineitems — Q11's join/threshold shape on
+    the fact table): parts whose national supply value exceeds 1/1000
+    of the national total. The NATION_1 supplier key set broadcasts
+    (metadata-sized); per-batch (partkey, value) partials fold through
+    one narrow groupby; the total is one Sum aggregate broadcast into a
+    distributed threshold filter, so only the few survivors reach the
+    driver for ranking. Emits (l_partkey, value_cq, rk) by
+    (value desc, partkey asc)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_name"]).to_pandas()
+    nk = set(nation.loc[nation["n_name"] == "NATION_1", "n_nationkey"]
+             .astype(np.int64))
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    ks = np.sort(sup.loc[sup["s_nationkey"].astype(np.int64).isin(nk),
+                         "s_suppkey"].to_numpy(np.int64))
+    empty = pd.DataFrame({"l_partkey": pd.Series([], dtype=np.int64),
+                          "value_cq": pd.Series([], dtype=np.int64),
+                          "rk": pd.Series([], dtype=np.int64)})
+    if len(ks) == 0:
+        return empty
+    ref = ray.put(ks)
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_suppkey", "l_quantity",
+                        "l_extendedprice"])
+
+    def part(b: pa.Table, _ref=ref) -> pa.Table:
+        keys = ray.get(_ref)
+        sk = b.column("l_suppkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, sk), 0, len(keys) - 1)
+        hit = keys[pos] == sk
+        b = b.filter(pa.array(hit))
+        price = _cents(b.column("l_extendedprice")
+                       .to_numpy(zero_copy_only=False))
+        qty = np.floor(b.column("l_quantity")
+                       .to_numpy(zero_copy_only=False)).astype(np.int64)
+        df = pd.DataFrame({
+            "l_partkey": b.column("l_partkey").cast(pa.int64())
+            .to_pandas(),
+            "v": price * qty})
+        g = df.groupby("l_partkey", as_index=False)["v"].sum()
+        return pa.table({"l_partkey": pa.array(
+            g["l_partkey"].to_numpy(np.int64)),
+            "v": pa.array(g["v"].to_numpy(np.int64))})
+
+    per_part = (li.map_batches(part, batch_format="pyarrow")
+                .groupby("l_partkey")
+                .aggregate(Sum("v", alias_name="v"))
+                .materialize())
+    tot = per_part.aggregate(Sum("v"))["sum(v)"]
+    if not tot:
+        return empty
+
+    def thresh(b: pa.Table, _t=int(tot)) -> pa.Table:
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        # int64 * 1000 can overflow at extreme scale: object-int compare
+        keep = np.array([1000 * int(x) > _t for x in v], dtype=bool)
+        return b.filter(pa.array(keep))
+
+    surv = per_part.map_batches(thresh,
+                                batch_format="pyarrow").to_pandas()
+    if surv.empty:
+        return empty
+    surv = surv.sort_values(["v", "l_partkey"],
+                            ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+    return pd.DataFrame({
+        "l_partkey": surv["l_partkey"].astype(np.int64),
+        "value_cq": surv["v"].astype(np.int64),
+        "rk": np.arange(1, len(surv) + 1, dtype=np.int64)})
+
+
+Q16_SIZES = (1, 5, 9, 14, 23, 36, 45, 49)
+Q16_EXCLUDED_BRAND = "Brand#13"
+
+
+def q16_supplier_cnt(sf_dir: str):
+    """TPC-H-Q16-shaped supplier-count rollup: DISTINCT suppliers able
+    to supply each (brand, type, size) combination — brand != Brand#13,
+    size in the 8-value Q16 set, suppliers 'with complaints' modeled as
+    s_acctbal < 0 (the corpus has no comment column). The part-supplier
+    relation is the distinct (l_partkey, l_suppkey) projection of
+    lineitem (the q2/q9 convention); part dims and the bad-supplier set
+    broadcast sorted (dimension-sized, the q9 pattern); per-batch
+    distinct (brand, type, size, suppkey) partials dedup through one
+    narrow groupby; the final count table is bounded by
+    |brands| x |types| x 8. Emits (p_brand, p_type, p_size,
+    supplier_cnt) by (cnt desc, brand, type, size)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    pt = _read(sf_dir, "part",
+               columns=["p_partkey", "p_brand", "p_type", "p_size"]) \
+        .to_pandas()
+    pt = pt[(pt["p_brand"] != Q16_EXCLUDED_BRAND)
+            & (pt["p_size"].astype(np.int64).isin(Q16_SIZES))] \
+        .sort_values("p_partkey")
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = np.sort(sup.loc[sup["s_acctbal"] < 0, "s_suppkey"]
+                  .to_numpy(np.int64))
+    ref = ray.put((pt["p_partkey"].to_numpy(np.int64),
+                   pt["p_brand"].to_numpy(object),
+                   pt["p_type"].to_numpy(object),
+                   pt["p_size"].to_numpy(np.int64), bad))
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def part(b: pa.Table, _ref=ref) -> pa.Table:
+        pk, brand, ptype, size, badk = ray.get(_ref)
+        lp = b.column("l_partkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ls = b.column("l_suppkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(badk):
+            bp = np.clip(np.searchsorted(badk, ls), 0, len(badk) - 1)
+            ok = badk[bp] != ls
+            lp, ls = lp[ok], ls[ok]
+        if len(pk) == 0 or len(lp) == 0:
+            return pa.table({
+                "p_brand": pa.array([], type=pa.string()),
+                "p_type": pa.array([], type=pa.string()),
+                "p_size": pa.array([], type=pa.int64()),
+                "s": pa.array([], type=pa.int64())})
+        pos = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+        hit = pk[pos] == lp
+        pos, ls = pos[hit], ls[hit]
+        df = pd.DataFrame({"p_brand": brand[pos], "p_type": ptype[pos],
+                           "p_size": size[pos], "s": ls}) \
+            .drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    agg = (li.map_batches(part, batch_format="pyarrow")
+           .groupby(["p_brand", "p_type", "p_size", "s"])
+           .aggregate(Count("s", alias_name="nn"))
+           .groupby(["p_brand", "p_type", "p_size"])
+           .aggregate(Count("s", alias_name="supplier_cnt"))
+           .to_pandas())
+    agg["p_size"] = agg["p_size"].astype(np.int64)
+    agg["supplier_cnt"] = agg["supplier_cnt"].astype(np.int64)
+    return (agg.sort_values(
+        ["supplier_cnt", "p_brand", "p_type", "p_size"],
+        ascending=[False, True, True, True], kind="mergesort")
+        .reset_index(drop=True)
+        [["p_brand", "p_type", "p_size", "supplier_cnt"]])
+
+
+def cumulative_gains_en(sf_dir: str):
+    """Cumulative-gains (lift-chart) table for the n_chars score on the
+    lang == 'en' label: per decile of the (score desc, doc_id asc)
+    ranking, how many positives the top ceil(k*N/10) rows capture —
+    EXACT by the engine's two-phase histogram rank: phase 1 folds the
+    domain-bounded (value, pos, total) histogram; only the <= 10
+    decile boundaries that land INSIDE a tie group trigger phase 2,
+    ONE filtered pass pulling just those boundary-value rows (tie-mass
+    bounded) to resolve the doc_id order. No global sort, no per-row
+    ranks. Emits (decile, depth, n_pos_cum, gain_ppm)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("lang")),
+                    pc.is_valid(b.column("n_chars")))
+        b = b.filter(m)
+        df = pd.DataFrame({
+            "v": b.column("n_chars").cast(pa.int64()).to_pandas(),
+            "y": pc.equal(b.column("lang"), "en").to_pandas()
+            .astype(np.int64)})
+        g = (df.groupby("v", as_index=False)
+             .agg(pos=("y", "sum"), c=("y", "size")))
+        return pa.table({"v": pa.array(g["v"].to_numpy(np.int64)),
+                         "pos": pa.array(g["pos"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    hist = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("pos", alias_name="pos"),
+                       Sum("c", alias_name="c"))
+            .to_pandas().sort_values("v", ascending=False)
+            .reset_index(drop=True))
+    empty = pd.DataFrame({"decile": pd.Series([], dtype=np.int64),
+                          "depth": pd.Series([], dtype=np.int64),
+                          "n_pos_cum": pd.Series([], dtype=np.int64),
+                          "gain_ppm": pd.Series([], dtype=np.int64)})
+    if hist.empty:
+        return empty
+    c = hist["c"].to_numpy(np.int64)
+    p = hist["pos"].to_numpy(np.int64)
+    v = hist["v"].to_numpy(np.int64)
+    n_total = int(c.sum())
+    p_total = int(p.sum())
+    if p_total == 0:
+        return empty
+    cum_c = np.cumsum(c)
+    cum_p = np.cumsum(p)
+    depths = [(k * n_total + 9) // 10 for k in range(1, 11)]
+    # which boundaries land inside a tie group (need phase-2 rows)?
+    need = {}
+    for k, depth in enumerate(depths, start=1):
+        idx = int(np.searchsorted(cum_c, depth))
+        before_c = int(cum_c[idx - 1]) if idx else 0
+        extra = depth - before_c
+        if 0 < extra < int(c[idx]):
+            need.setdefault(int(v[idx]), []).append((k, extra))
+    tie_rows = {}
+    if need:
+        vals = sorted(need)
+
+        def pull(b: pa.Table, _vals=tuple(vals)) -> pa.Table:
+            m = pc.and_(pc.is_valid(b.column("lang")),
+                        pc.is_valid(b.column("n_chars")))
+            b = b.filter(m)
+            keep = pc.is_in(b.column("n_chars").cast(pa.int64()),
+                            value_set=pa.array(list(_vals),
+                                               type=pa.int64()))
+            b = b.filter(keep)
+            return pa.table({
+                "v": b.column("n_chars").cast(pa.int64()),
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "y": pc.equal(b.column("lang"), "en").cast(pa.int64())})
+
+        tr = ds.map_batches(pull, batch_format="pyarrow").to_pandas()
+        for val, g in tr.groupby("v"):
+            g = g.sort_values("doc_id")
+            tie_rows[int(val)] = np.cumsum(
+                g["y"].to_numpy(np.int64))
+    rows = []
+    for k, depth in enumerate(depths, start=1):
+        idx = int(np.searchsorted(cum_c, depth))
+        before_c = int(cum_c[idx - 1]) if idx else 0
+        before_p = int(cum_p[idx - 1]) if idx else 0
+        extra = depth - before_c
+        if extra == 0:
+            np_cum = before_p
+        elif extra == int(c[idx]):
+            np_cum = before_p + int(p[idx])
+        else:
+            np_cum = before_p + int(tie_rows[int(v[idx])][extra - 1])
+        rows.append((k, depth, np_cum,
+                     (1_000_000 * np_cum) // p_total))
+    return pd.DataFrame(rows, columns=["decile", "depth", "n_pos_cum",
+                                       "gain_ppm"]).astype(np.int64)

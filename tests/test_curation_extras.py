@@ -3573,3 +3573,78 @@ def test_seasonal_index_planted(ray_session, tmp_path):
     got = seasonal_index_by_type(str(tmp_path))
     assert got[["hour", "n_events", "idx_ppm"]].values.tolist() == \
         [[0, 2, 16_000_000], [1, 1, 8_000_000]]
+
+
+def test_q11_threshold_planted(ray_session, tmp_path):
+    """Values 2000 vs 1 of total 2001: only the big part clears
+    1000 * v > total; the other-nation supplier never contributes."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import q11_important_stock
+
+    _pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "n_nationkey": np.array([1, 2], dtype=np.int64),
+        "n_name": ["NATION_1", "NATION_2"]}), preserve_index=False),
+        os.path.join(tmp_path, "nation.parquet"))
+    _pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "s_suppkey": np.array([1, 2], dtype=np.int64),
+        "s_nationkey": np.array([1, 2], dtype=np.int64)}),
+        preserve_index=False),
+        os.path.join(tmp_path, "supplier.parquet"))
+    _pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "l_partkey": np.array([10, 11, 12], dtype=np.int64),
+        "l_suppkey": np.array([1, 1, 2], dtype=np.int64),
+        "l_quantity": [1.0, 1.0, 9.0],
+        "l_extendedprice": [20.00, 0.01, 99.0]}), preserve_index=False),
+        os.path.join(tmp_path, "lineitem.parquet"))
+    got = q11_important_stock(str(tmp_path))
+    assert got.values.tolist() == [[10, 2000, 1]]
+
+
+def test_q16_supplier_cnt_planted(ray_session, tmp_path):
+    """Excluded brand, out-of-set size, negative-balance supplier and
+    duplicate lineitems all drop; one (brand, type, size) survives with
+    ONE distinct supplier."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import q16_supplier_cnt
+
+    _pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "p_partkey": np.array([1, 2, 3], dtype=np.int64),
+        "p_brand": ["BrandA", "Brand#13", "BrandA"],
+        "p_type": ["typeX", "typeX", "typeX"],
+        "p_size": np.array([1, 1, 2], dtype=np.int64)}),
+        preserve_index=False), os.path.join(tmp_path, "part.parquet"))
+    _pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "s_suppkey": np.array([1, 2], dtype=np.int64),
+        "s_acctbal": [10.0, -5.0]}), preserve_index=False),
+        os.path.join(tmp_path, "supplier.parquet"))
+    _pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "l_partkey": np.array([1, 1, 1, 2, 3], dtype=np.int64),
+        "l_suppkey": np.array([1, 1, 2, 1, 1], dtype=np.int64)}),
+        preserve_index=False),
+        os.path.join(tmp_path, "lineitem.parquet"))
+    got = q16_supplier_cnt(str(tmp_path))
+    assert got.values.tolist() == [["BrandA", "typeX", 1, 1]]
+
+
+def test_cumulative_gains_planted(ray_session, tmp_path):
+    """4 docs, 2 positives; decile depth 1 lands INSIDE the n_chars=5
+    tie group, forcing the phase-2 doc_id-ordered resolution (en doc 0
+    ranks before de doc 1 at equal score)."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import cumulative_gains_en
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["x" * 60] * 4,
+        "lang": ["en", "de", "en", "de"],
+        "source": ["s"] * 4,
+        "n_chars": np.array([5, 5, 4, 3], dtype=np.int64)})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = cumulative_gains_en(str(tmp_path))
+    assert got["depth"].tolist() == [1, 1, 2, 2, 2, 3, 3, 4, 4, 4]
+    assert got["n_pos_cum"].tolist() == [1, 1, 1, 1, 1, 2, 2, 2, 2, 2]
+    assert got["gain_ppm"].tolist() == [500_000] * 5 + [1_000_000] * 5
