@@ -862,6 +862,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_stock": Q.q11_important_stock,
         "q16_supplier_cnt": Q.q16_supplier_cnt,
         "cumulative_gains_en": Q.cumulative_gains_en,
+        "hoover_value_by_type": Q.hoover_value_by_type,
+        "autocorr_hourly_by_type": Q.autocorr_hourly_by_type,
+        "kendall_tau_keyword_rankings": Q.kendall_tau_keyword_rankings,
+        "user_hourly_lerp": Q.user_hourly_lerp,
     }
 
 
@@ -4312,4 +4316,128 @@ def oracle_sql() -> dict[str, str]:
                    ((1000000::HUGEINT * c.n_pos_cum) // t.p)::BIGINT
                      AS gain_ppm
             FROM c, t WHERE t.p > 0 ORDER BY decile""",
+        # Hoover index: sum c|n*v - S| / (2nS) over the value histogram
+        "hoover_value_by_type": """
+            WITH h AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS cents,
+                              count(*)::HUGEINT AS n
+                       FROM events GROUP BY event_type, cents),
+            s AS (SELECT event_type, sum(n)::HUGEINT AS nn,
+                         sum(n * cents)::HUGEINT AS ss
+                  FROM h GROUP BY event_type),
+            d AS (SELECT h.event_type,
+                         sum(h.n * abs(s.nn * h.cents
+                                       - s.ss))::HUGEINT AS dd
+                  FROM h JOIN s USING (event_type)
+                  GROUP BY h.event_type)
+            SELECT s.event_type, s.nn::BIGINT AS n_events,
+                   s.ss::BIGINT AS sum_cents,
+                   ((1000000::HUGEINT * d.dd)
+                    // (2 * s.nn * s.ss))::BIGINT AS hoover_ppm
+            FROM s JOIN d USING (event_type)
+            WHERE s.ss > 0 ORDER BY s.event_type""",
+        # lag-1 Pearson components over consecutive observed buckets
+        "autocorr_hourly_by_type": """
+            WITH e AS (SELECT event_type,
+                              epoch_us(ts) // 3600000000 AS hb
+                       FROM events),
+            h AS (SELECT event_type, hb, count(*)::HUGEINT AS c
+                  FROM e GROUP BY event_type, hb),
+            l AS (SELECT event_type, c AS x,
+                         lead(c) OVER (PARTITION BY event_type
+                                       ORDER BY hb) AS y
+                  FROM h),
+            p AS (SELECT event_type, count(*)::HUGEINT AS m,
+                         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+                         sum(x * y)::HUGEINT AS sxy,
+                         sum(x * x)::HUGEINT AS sxx,
+                         sum(y * y)::HUGEINT AS syy
+                  FROM l WHERE y IS NOT NULL
+                  GROUP BY event_type HAVING count(*) >= 2)
+            SELECT event_type, m::BIGINT AS n_pairs,
+                   (m * sxy - sx * sy)::BIGINT AS num,
+                   (m * sxx - sx * sx)::BIGINT AS den_x,
+                   (m * syy - sy * sy)::BIGINT AS den_y
+            FROM p ORDER BY event_type""",
+        # Kendall tau-b components over the common top-50 docs
+        "kendall_tau_keyword_rankings": """
+            WITH w AS (SELECT doc_id,
+                              unnest(string_split(text, ' ')) AS word
+                       FROM documents WHERE text IS NOT NULL),
+            tf AS (SELECT d.doc_id,
+                          COALESCE(x.tfa, 0) AS tfa,
+                          COALESCE(x.tfb, 0) AS tfb
+                   FROM (SELECT doc_id FROM documents
+                         WHERE text IS NOT NULL) d
+                   LEFT JOIN (SELECT doc_id,
+                                count(*) FILTER (WHERE word IN
+                                  ('join', 'scan'))::BIGINT AS tfa,
+                                count(*) FILTER (WHERE word IN
+                                  ('hash', 'merge'))::BIGINT AS tfb
+                              FROM w GROUP BY doc_id) x
+                   USING (doc_id)),
+            ra AS (SELECT doc_id, tfa, tfb, row_number() OVER
+                     (ORDER BY tfa DESC, doc_id) AS r FROM tf),
+            rb AS (SELECT doc_id, row_number() OVER
+                     (ORDER BY tfb DESC, doc_id) AS r FROM tf),
+            com AS (SELECT ra.doc_id, ra.tfa, ra.tfb
+                    FROM ra JOIN rb USING (doc_id)
+                    WHERE ra.r <= 50 AND rb.r <= 50),
+            p AS (SELECT a.tfa AS a1, a.tfb AS b1,
+                         b.tfa AS a2, b.tfb AS b2
+                  FROM com a JOIN com b ON a.doc_id < b.doc_id)
+            SELECT (SELECT count(*) FROM com)::BIGINT AS n_common,
+                   COALESCE(sum(CASE WHEN (a1 - a2) * (b1 - b2) > 0
+                                     THEN 1 ELSE 0 END), 0)::BIGINT
+                     AS concordant,
+                   COALESCE(sum(CASE WHEN (a1 - a2) * (b1 - b2) < 0
+                                     THEN 1 ELSE 0 END), 0)::BIGINT
+                     AS discordant,
+                   COALESCE(sum(CASE WHEN a1 = a2 AND b1 <> b2
+                                     THEN 1 ELSE 0 END), 0)::BIGINT
+                     AS ties_a,
+                   COALESCE(sum(CASE WHEN b1 = b2 AND a1 <> a2
+                                     THEN 1 ELSE 0 END), 0)::BIGINT
+                     AS ties_b,
+                   COALESCE(sum(CASE WHEN a1 = a2 AND b1 = b2
+                                     THEN 1 ELSE 0 END), 0)::BIGINT
+                     AS ties_both
+            FROM p""",
+        # linear gap fill: milli-cent lerp, truncating division
+        "user_hourly_lerp": """
+            WITH obs AS (SELECT user_id,
+                                epoch_us(ts) // 3600000000 AS hb,
+                                sum(CAST(round(value * 100)
+                                         AS BIGINT))::BIGINT AS cents
+                         FROM events
+                         WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                           AND value IS NOT NULL
+                         GROUP BY 1, 2),
+            b AS (SELECT user_id, min(hb) AS mn, max(hb) AS mx
+                  FROM obs GROUP BY user_id),
+            grid AS (SELECT user_id,
+                            unnest(generate_series(mn, mx)) AS hb
+                     FROM b),
+            j AS (SELECT g.user_id, g.hb, o.cents
+                  FROM grid g LEFT JOIN obs o USING (user_id, hb)),
+            f AS (SELECT user_id, hb, cents,
+                         last_value(cents IGNORE NULLS) OVER w AS pv,
+                         last_value(CASE WHEN cents IS NOT NULL
+                                         THEN hb END IGNORE NULLS)
+                           OVER w AS ph,
+                         first_value(cents IGNORE NULLS) OVER w2 AS nv,
+                         first_value(CASE WHEN cents IS NOT NULL
+                                          THEN hb END IGNORE NULLS)
+                           OVER w2 AS nh
+                  FROM j
+                  WINDOW w AS (PARTITION BY user_id ORDER BY hb
+                               ROWS UNBOUNDED PRECEDING),
+                         w2 AS (PARTITION BY user_id ORDER BY hb
+                                ROWS BETWEEN CURRENT ROW
+                                AND UNBOUNDED FOLLOWING))
+            SELECT user_id, hb AS hour_bucket,
+                   (pv * 1000 + ((nv - pv)::HUGEINT * 1000 * (hb - ph))
+                    // (nh - ph))::BIGINT AS lerp_milli
+            FROM f WHERE cents IS NULL
+            ORDER BY user_id, hour_bucket""",
     }

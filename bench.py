@@ -205,6 +205,10 @@ def run_bench() -> dict:
         ("q11_important_stock", Q.q11_important_stock),
         ("q16_supplier_cnt", Q.q16_supplier_cnt),
         ("cumulative_gains_en", Q.cumulative_gains_en),
+        ("hoover_value_by_type", Q.hoover_value_by_type),
+        ("autocorr_hourly_by_type", Q.autocorr_hourly_by_type),
+        ("kendall_tau_keyword_rankings", Q.kendall_tau_keyword_rankings),
+        ("user_hourly_lerp", Q.user_hourly_lerp),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

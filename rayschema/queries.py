@@ -13182,3 +13182,259 @@ def cumulative_gains_en(sf_dir: str):
                      (1_000_000 * np_cum) // p_total))
     return pd.DataFrame(rows, columns=["decile", "depth", "n_pos_cum",
                                        "gain_ppm"]).astype(np.int64)
+
+
+def hoover_value_by_type(sf_dir: str):
+    """Hoover (Robin Hood) inequality index of event value per type —
+    the share of total value that would have to move to equalize all
+    events, exact: H_ppm = floor(1e6 * sum_v c_v*|n*v - S| / (2*n*S))
+    from the SAME domain-bounded (type, cents) histogram fold as
+    value_gini_by_type (one map_batches pass + one tiny groupby; the
+    closed form is driver arithmetic in Python big ints — |n*v - S| is
+    all-integer, so no float deviation semantics exist). Emits one row
+    per type: (event_type, n_events, sum_cents, hoover_ppm)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pandas(),
+            "cents": _cents(b.column("value").to_numpy(
+                zero_copy_only=False))})
+        g = df.groupby(["event_type", "cents"], as_index=False).size()
+        return pa.table({"event_type": pa.array(g["event_type"]),
+                         "cents": pa.array(g["cents"].to_numpy(np.int64)),
+                         "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    hist = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        v = [int(x) for x in g["cents"]]
+        c = [int(x) for x in g["n"]]
+        n = sum(c)
+        s = sum(vi * ci for vi, ci in zip(v, c))
+        if s == 0:
+            continue
+        d = sum(ci * abs(n * vi - s) for vi, ci in zip(v, c))
+        rows.append((et, n, s, (1_000_000 * d) // (2 * n * s)))
+    return pd.DataFrame(rows, columns=["event_type", "n_events",
+                                       "sum_cents", "hoover_ppm"]) \
+        .astype({"n_events": np.int64, "sum_cents": np.int64,
+                 "hoover_ppm": np.int64})
+
+
+def autocorr_hourly_by_type(sf_dir: str):
+    """Lag-1 autocorrelation of the hourly event-count series per type,
+    emitted as the EXACT INTEGER Pearson components (num, den_x, den_y;
+    r = num / sqrt(den_x * den_y) for the consumer) over consecutive
+    observed buckets in order — the readability_fk trick: no sqrt or
+    division happens, so nothing can diverge. Per-batch (type, hour)
+    bincount partials fold over the bounded types x hours grid; the
+    lag pairing and the five moment sums are driver big-int arithmetic.
+    Types with < 3 observed hours drop (r is degenerate). Emits
+    (event_type, n_pairs, num, den_x, den_y)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pandas(),
+            "hour_bucket": (ts // 3_600_000_000).astype(np.int64)})
+        g = df.groupby(["event_type", "hour_bucket"],
+                       as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"]),
+            "hour_bucket": pa.array(g["hour_bucket"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if part.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in [
+            ("event_type", object), ("n_pairs", np.int64),
+            ("num", np.int64), ("den_x", np.int64),
+            ("den_y", np.int64)]})
+    agg = (part.groupby(["event_type", "hour_bucket"], as_index=False)
+           ["n"].sum()
+           .sort_values(["event_type", "hour_bucket"])
+           .reset_index(drop=True))
+    rows = []
+    for et, g in agg.groupby("event_type", sort=True):
+        cs = [int(x) for x in g["n"]]
+        if len(cs) < 3:
+            continue
+        x, y = cs[:-1], cs[1:]
+        m = len(x)
+        sx, sy = sum(x), sum(y)
+        sxy = sum(a * b for a, b in zip(x, y))
+        sxx = sum(a * a for a in x)
+        syy = sum(b * b for b in y)
+        rows.append((et, m, m * sxy - sx * sy,
+                     m * sxx - sx * sx, m * syy - sy * sy))
+    return pd.DataFrame(rows, columns=["event_type", "n_pairs", "num",
+                                       "den_x", "den_y"]) \
+        .astype({c: np.int64 for c in ["n_pairs", "num", "den_x",
+                                       "den_y"]})
+
+
+KENDALL_DEPTH = 50
+
+
+def kendall_tau_keyword_rankings(sf_dir: str):
+    """Rank-agreement audit between the two keyword-tf rankings the RRF
+    query fuses: Kendall tau-b COMPONENTS over the docs common to both
+    top-50 lists — concordant / discordant / tie counts as exact
+    integers (tau-b's sqrt never happens engine-side; the consumer
+    computes (C - D) / sqrt((C+D+Ta)(C+D+Tb))). The tf scan and
+    per-batch top-50 partials are the rrf_fuse_keyword_rankings shape;
+    the pair loop runs on the driver over the <= C(50,2) bounded
+    intersection. Emits ONE row (n_common, concordant, discordant,
+    ties_a, ties_b, ties_both)."""
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    terms_a = pa.array(list(RRF_TERMS_A))
+    terms_b = pa.array(list(RRF_TERMS_B))
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "tfa": pa.array([], type=pa.int64()),
+                          "tfb": pa.array([], type=pa.int64())})
+        if b.num_rows == 0:
+            return empty
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, doc_idx = _flatten_words_arrow(col)
+        n = b.num_rows
+        ma = pc.is_in(flat, value_set=terms_a).to_numpy(
+            zero_copy_only=False)
+        mb = pc.is_in(flat, value_set=terms_b).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "doc_id": b.column("doc_id").cast(pa.int64()).to_pandas(),
+            "tfa": np.bincount(doc_idx[ma], minlength=n).astype(np.int64),
+            "tfb": np.bincount(doc_idx[mb], minlength=n).astype(np.int64),
+        })
+        top_a = df.sort_values(["tfa", "doc_id"], ascending=[False, True],
+                               kind="mergesort").head(KENDALL_DEPTH)
+        top_b = df.sort_values(["tfb", "doc_id"], ascending=[False, True],
+                               kind="mergesort").head(KENDALL_DEPTH)
+        return pa.Table.from_pandas(
+            pd.concat([top_a, top_b]).drop_duplicates("doc_id"),
+            preserve_index=False)
+
+    cand = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        # one all-zero row: the oracle's aggregate over zero pairs
+        return pd.DataFrame({c: [0] for c in [
+            "n_common", "concordant", "discordant", "ties_a", "ties_b",
+            "ties_both"]}).astype(np.int64)
+    tops = {}
+    for col in ("tfa", "tfb"):
+        tops[col] = set(
+            cand.sort_values([col, "doc_id"], ascending=[False, True],
+                             kind="mergesort").head(KENDALL_DEPTH)
+            ["doc_id"].astype(np.int64))
+    common = sorted(tops["tfa"] & tops["tfb"])
+    sub = cand[cand["doc_id"].isin(common)].sort_values("doc_id")
+    a = sub["tfa"].to_numpy(np.int64)
+    b_ = sub["tfb"].to_numpy(np.int64)
+    conc = disc = ta = tb = tboth = 0
+    for i in range(len(a)):
+        for j in range(i + 1, len(a)):
+            sa = int(np.sign(a[i] - a[j]))
+            sb = int(np.sign(b_[i] - b_[j]))
+            if sa == 0 and sb == 0:
+                tboth += 1
+            elif sa == 0:
+                ta += 1
+            elif sb == 0:
+                tb += 1
+            elif sa == sb:
+                conc += 1
+            else:
+                disc += 1
+    return pd.DataFrame({"n_common": [len(common)],
+                         "concordant": [conc], "discordant": [disc],
+                         "ties_a": [ta], "ties_b": [tb],
+                         "ties_both": [tboth]}).astype(np.int64)
+
+
+def user_hourly_lerp(sf_dir: str):
+    """Time-series gap filling by LINEAR interpolation (the lerp sibling
+    of user_hourly_locf): for every MISSING hour bucket strictly inside
+    a user's observed span, the straight line between the neighboring
+    observed hourly cent-sums, in milli-cents with DuckDB-truncating
+    division — lerp = pv*1000 + trunc((nv - pv)*1000*(h - ph)/(nh - ph))
+    (slopes go negative, so the fold emulates toward-zero). The
+    (user, hour) cent-sums fold through one narrow groupby, then ONE
+    user-keyed sorted_group_scan emits only the gap rows — per-group
+    work bounded by the user's span, nothing user-level ever
+    concentrates on the driver. Emits (user_id, hour_bucket,
+    lerp_milli) for gap hours only."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(pc.is_valid(b.column("user_id")),
+                            pc.is_valid(b.column("ts"))),
+                    pc.is_valid(b.column("value")))
+        b = b.filter(m)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": b.column("user_id").cast(pa.int64()).to_pandas(),
+            "hb": (ts // 3_600_000_000).astype(np.int64),
+            "cents": _cents(b.column("value").to_numpy(
+                zero_copy_only=False))})
+        g = df.groupby(["user_id", "hb"], as_index=False)["cents"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    obs = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(["user_id", "hb"]).sum("cents"))
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("hour_bucket", pa.int64()),
+                            ("lerp_milli", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "hb": g.column("hb").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            "cents": g.column("sum(cents)").to_numpy(
+                zero_copy_only=False).astype(np.int64)}).sort_values("hb")
+        uid = int(g.column("user_id")[0].as_py())
+        hbs = df["hb"].to_numpy()
+        vs = df["cents"].to_numpy()
+        hs, ls = [], []
+        for i in range(len(hbs) - 1):
+            ph, nh = int(hbs[i]), int(hbs[i + 1])
+            if nh - ph <= 1:
+                continue
+            pv, nv = int(vs[i]), int(vs[i + 1])
+            for h in range(ph + 1, nh):
+                hs.append(h)
+                ls.append(pv * 1000 + _trunc_div(
+                    (nv - pv) * 1000 * (h - ph), nh - ph))
+        if not hs:
+            return None
+        return pa.table({
+            "user_id": pa.array(np.full(len(hs), uid, dtype=np.int64)),
+            "hour_bucket": pa.array(np.array(hs, dtype=np.int64)),
+            "lerp_milli": pa.array(np.array(ls, dtype=np.int64))})
+
+    scan = sorted_group_scan(obs, ["user_id"], group_fn, out_schema,
+                             order_cols=["hb"])
+    res = scan.to_pandas()
+    if res.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in
+                             ["user_id", "hour_bucket", "lerp_milli"]})
+    return (res.sort_values(["user_id", "hour_bucket"])
+            .reset_index(drop=True))

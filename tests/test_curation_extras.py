@@ -3648,3 +3648,86 @@ def test_cumulative_gains_planted(ray_session, tmp_path):
     assert got["depth"].tolist() == [1, 1, 2, 2, 2, 3, 3, 4, 4, 4]
     assert got["n_pos_cum"].tolist() == [1, 1, 1, 1, 1, 2, 2, 2, 2, 2]
     assert got["gain_ppm"].tolist() == [500_000] * 5 + [1_000_000] * 5
+
+
+def test_hoover_value_planted(ray_session, tmp_path):
+    """cents [100 x3, 500]: D = 3*400 + 1200 = 2400 over 2nS = 6400 ->
+    375000 ppm — the 300/800 value share a Robin Hood would move."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import hoover_value_by_type
+
+    tab = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(4, dtype=np.int64)),
+        "ts": pa.array(np.arange(4, dtype=np.int64) * 60_000_000)
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 4),
+        "value": pa.array([1.0, 1.0, 1.0, 5.0]),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = hoover_value_by_type(str(tmp_path))
+    assert got.values.tolist() == [["e", 4, 800, 375_000]]
+
+
+def test_autocorr_hourly_planted(ray_session, tmp_path):
+    """counts [1,2,3] -> lag pairs on a perfect line: num = den_x =
+    den_y = 1 (r = +1); a 2-hour type (1 pair) drops."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import autocorr_hourly_by_type
+
+    hours = np.array([0, 1, 1, 2, 2, 2, 5, 6], dtype=np.int64)
+    types = ["e"] * 6 + ["short"] * 2
+    n = len(hours)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "ts": pa.array(hours * 3_600_000_000 + 7).cast(pa.timestamp("us")),
+        "event_type": pa.array(types),
+        "value": pa.array(np.ones(n)),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = autocorr_hourly_by_type(str(tmp_path))
+    assert got.values.tolist() == [["e", 2, 1, 1, 1]]
+
+
+def test_kendall_tau_planted(ray_session, tmp_path):
+    """tfa = [1,2,0], tfb = [1,0,1] over 3 docs: 2 discordant pairs +
+    1 tie on the B side, nothing concordant."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import kendall_tau_keyword_rankings
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["join hash", "join join", "merge"]})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = kendall_tau_keyword_rankings(str(tmp_path))
+    assert got.values.tolist() == [[3, 0, 2, 0, 1, 0]]
+
+
+def test_user_hourly_lerp_planted(ray_session, tmp_path):
+    """Rising gap 100->400 cents over 3 hours lerps to 200k/300k milli;
+    the falling non-exact gap 200->100 over 3 hours pins
+    truncate-toward-zero: 166667 (floor would say 166666)."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import user_hourly_lerp
+
+    users = np.array([0, 0, 1, 1], dtype=np.int64)
+    hours = np.array([0, 3, 0, 3], dtype=np.int64)
+    vals = [1.00, 4.00, 2.00, 1.00]
+    tab = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(users),
+        "ts": pa.array(hours * 3_600_000_000 + 7).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 4),
+        "value": pa.array(vals),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = user_hourly_lerp(str(tmp_path))
+    assert got.values.tolist() == [
+        [0, 1, 200_000], [0, 2, 300_000],
+        [1, 1, 166_667], [1, 2, 133_334]]
