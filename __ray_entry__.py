@@ -532,6 +532,71 @@ def _ppr_sql(iters: int = 4) -> str:
             FROM top WHERE rk <= 15"""
 
 
+def _mmr_sql(picks: int = 5) -> str:
+    """Unrolled greedy MMR CTEs mirroring
+    rayschema.queries.mmr_rerank_documents round for round: top-20
+    {join, hash}-tf pool, rel normalized to floor-ppm of the pool max,
+    penalty = max distinct-word Jaccard (floor-ppm) against the picked
+    set, winner by (score desc, doc_id asc)."""
+    ctes = ["""w AS (SELECT doc_id, unnest(string_split(text, ' '))
+                       AS word
+                     FROM documents WHERE text IS NOT NULL)""",
+            """tf AS (SELECT d.doc_id, COALESCE(x.rel, 0) AS rel
+                   FROM (SELECT doc_id FROM documents
+                         WHERE text IS NOT NULL) d
+                   LEFT JOIN (SELECT doc_id,
+                                count(*) FILTER (WHERE word IN
+                                  ('join', 'hash'))::BIGINT AS rel
+                              FROM w GROUP BY doc_id) x
+                   USING (doc_id))""",
+            """pool AS (SELECT doc_id, rel FROM
+                     (SELECT doc_id, rel, row_number() OVER
+                        (ORDER BY rel DESC, doc_id) AS rk FROM tf)
+                     WHERE rk <= 20)""",
+            """mx AS (SELECT max(rel)::HUGEINT AS m FROM pool)""",
+            """pr AS (SELECT p.doc_id,
+                     CASE WHEN mx.m = 0 THEN 0
+                          ELSE (1000000::HUGEINT * p.rel) // mx.m
+                     END AS rel_ppm
+                   FROM pool p, mx)""",
+            """pw AS (SELECT doc_id, word FROM w JOIN pool
+                     USING (doc_id) GROUP BY doc_id, word)""",
+            """cw AS (SELECT doc_id, count(*)::HUGEINT AS nw
+                   FROM pw GROUP BY doc_id)""",
+            """inter AS (SELECT x.doc_id AS da, y.doc_id AS db,
+                            count(*)::HUGEINT AS i
+                     FROM pw x JOIN pw y ON x.word = y.word
+                                        AND x.doc_id <> y.doc_id
+                     GROUP BY x.doc_id, y.doc_id)""",
+            """sim AS (SELECT da, db,
+                          (1000000::HUGEINT * i)
+                            // (ca.nw + cb.nw - i) AS s
+                    FROM inter JOIN cw ca ON ca.doc_id = da
+                    JOIN cw cb ON cb.doc_id = db)""",
+            """r1 AS (SELECT doc_id, rel_ppm AS sc FROM pr
+                   ORDER BY sc DESC, doc_id LIMIT 1)""",
+            """pk1 AS (SELECT doc_id FROM r1)"""]
+    for k in range(2, picks + 1):
+        ctes.append(f"""g{k} AS (
+              SELECT pr.doc_id,
+                     pr.rel_ppm - COALESCE(
+                       (SELECT max(s.s) FROM sim s
+                        JOIN pk{k - 1} p2 ON p2.doc_id = s.db
+                        WHERE s.da = pr.doc_id), 0) AS sc
+              FROM pr WHERE pr.doc_id NOT IN
+                   (SELECT doc_id FROM pk{k - 1}))""")
+        ctes.append(f"""r{k} AS (SELECT doc_id, sc FROM g{k}
+                   ORDER BY sc DESC, doc_id LIMIT 1)""")
+        ctes.append(f"""pk{k} AS (SELECT doc_id FROM pk{k - 1}
+                   UNION ALL SELECT doc_id FROM r{k})""")
+    sel = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS round, doc_id, sc::BIGINT AS mmr_score "
+        f"FROM r{i}" for i in range(1, picks + 1))
+    return f"""
+            WITH {','.join(ctes)}
+            SELECT * FROM ({sel}) ORDER BY round"""
+
+
 def _kcore_sql(k: int = 12, rounds: int = 3) -> str:
     """Unrolled bounded k-core peel mirroring rayschema.graph.kcore round
     for round: in-degree over edges whose BOTH endpoints survive, >= k
@@ -866,6 +931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_hourly_by_type": Q.autocorr_hourly_by_type,
         "kendall_tau_keyword_rankings": Q.kendall_tau_keyword_rankings,
         "user_hourly_lerp": Q.user_hourly_lerp,
+        "mmr_rerank_documents": Q.mmr_rerank_documents,
+        "mutual_nn_embeddings": Q.mutual_nn_embeddings,
     }
 
 
@@ -4440,4 +4507,23 @@ def oracle_sql() -> dict[str, str]:
                     // (nh - ph))::BIGINT AS lerp_milli
             FROM f WHERE cents IS NULL
             ORDER BY user_id, hour_bucket""",
+        "mmr_rerank_documents": _mmr_sql(5),
+        # mutual top-1 cosine pairs over the vec_id < 200 scope
+        "mutual_nn_embeddings": """
+            WITH v AS (SELECT vec_id, embedding FROM embeddings
+                       WHERE vec_id < 200),
+            s AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                         list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[])
+                           AS cs
+                  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+            nn AS (SELECT va, vb, cs,
+                          row_number() OVER (PARTITION BY va
+                                             ORDER BY cs DESC, vb) AS rk
+                   FROM s),
+            n1 AS (SELECT va, vb, cs FROM nn WHERE rk = 1)
+            SELECT x.va::BIGINT AS vec_a, x.vb::BIGINT AS vec_b,
+                   round(x.cs, 6) AS cosine
+            FROM n1 x JOIN n1 y ON y.va = x.vb AND y.vb = x.va
+            WHERE x.va < x.vb ORDER BY vec_a""",
     }

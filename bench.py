@@ -209,6 +209,8 @@ def run_bench() -> dict:
         ("autocorr_hourly_by_type", Q.autocorr_hourly_by_type),
         ("kendall_tau_keyword_rankings", Q.kendall_tau_keyword_rankings),
         ("user_hourly_lerp", Q.user_hourly_lerp),
+        ("mmr_rerank_documents", Q.mmr_rerank_documents),
+        ("mutual_nn_embeddings", Q.mutual_nn_embeddings),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -13438,3 +13438,142 @@ def user_hourly_lerp(sf_dir: str):
                              ["user_id", "hour_bucket", "lerp_milli"]})
     return (res.sort_values(["user_id", "hour_bucket"])
             .reset_index(drop=True))
+
+
+MMR_POOL = 20
+MMR_PICKS = 5
+MMR_REL_TERMS = ("join", "hash")
+
+
+def mmr_rerank_documents(sf_dir: str):
+    """Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    Goldstein 1998, public) at lambda = 1/2 over the top-20 keyword
+    pool: greedy picks maximize score = rel_ppm - max_sim_ppm, where
+    rel_ppm = floor(1e6 * tf / max_tf) normalizes the {join, hash}
+    term frequency and sim is exact distinct-word Jaccard in floor-ppm
+    against the already-picked set (round 1 has no picks, so it is the
+    pure relevance argmax). ONE stateless corpus pass emits per-batch
+    top-20 candidates WITH their distinct word lists, so the driver
+    merges a bounded batches x 20 pool and the 20 x 20 Jaccard matrix +
+    5 greedy rounds are metadata-sized arithmetic in Python big ints.
+    Ties break (score desc, doc_id asc). Emits (round, doc_id,
+    mmr_score)."""
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    terms = pa.array(list(MMR_REL_TERMS))
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        empty = pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "rel": pa.array([], type=pa.int64()),
+            "words": pa.array([], type=pa.list_(pa.string()))})
+        if b.num_rows == 0:
+            return empty
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, doc_idx = _flatten_words_arrow(col)
+        n = b.num_rows
+        m = pc.is_in(flat, value_set=terms).to_numpy(
+            zero_copy_only=False)
+        rel = np.bincount(doc_idx[m], minlength=n).astype(np.int64)
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -rel))[:MMR_POOL]
+        wdf = pd.DataFrame({"i": doc_idx,
+                            "w": flat.to_numpy(zero_copy_only=False)}) \
+            .drop_duplicates()
+        wi = wdf["i"].to_numpy()
+        ww = wdf["w"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(ids[order]),
+            "rel": pa.array(rel[order]),
+            "words": pa.array([ww[wi == i].tolist() for i in order],
+                              type=pa.list_(pa.string()))})
+
+    cand = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({"round": pd.Series([], dtype=np.int64),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "mmr_score": pd.Series([], dtype=np.int64)})
+    if cand.empty:
+        return empty
+    pool = cand.sort_values(["rel", "doc_id"], ascending=[False, True],
+                            kind="mergesort").head(MMR_POOL) \
+        .reset_index(drop=True)
+    ids = pool["doc_id"].astype(np.int64).tolist()
+    rel = pool["rel"].astype(np.int64).tolist()
+    wsets = [set(w) for w in pool["words"]]
+    max_rel = max(rel) if rel else 0
+    rel_ppm = [(1_000_000 * r) // max_rel if max_rel else 0
+               for r in rel]
+
+    def jac_ppm(a: set, b: set) -> int:
+        u = len(a | b)
+        return (1_000_000 * len(a & b)) // u if u else 0
+
+    picked, out = [], []
+    for rnd in range(1, MMR_PICKS + 1):
+        best = None
+        for i in range(len(ids)):
+            if i in picked:
+                continue
+            ms = max((jac_ppm(wsets[i], wsets[j]) for j in picked),
+                     default=0)
+            sc = rel_ppm[i] - ms
+            key = (-sc, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, sc)
+        if best is None:
+            break
+        _, i, sc = best
+        picked.append(i)
+        out.append((rnd, ids[i], sc))
+    return pd.DataFrame(out, columns=["round", "doc_id", "mmr_score"]) \
+        .astype(np.int64)
+
+
+MUTUAL_NN_SCOPE = 200
+
+
+def mutual_nn_embeddings(sf_dir: str):
+    """Mutual nearest-neighbor pairs by cosine over the vec_id < 200
+    ground-truth scope (the exact_jaccard_pairs convention: an oracled
+    audit at a stated bound — the scale path for full-corpus mutual NN
+    is the broadcast-query brute_force_topk shape): a and b pair iff
+    each is the other's top-1 (cosine desc, vec_id asc) among the
+    scope. The scoped matrix is metadata-sized by construction; cosine
+    is the knn_bruteforce normalized-dot convention that hash-matches
+    DuckDB's list_cosine_similarity. Emits (vec_a, vec_b, cosine)
+    with vec_a < vec_b, rounded half-away to 6."""
+    from rayschema.dedup import round_half_away
+    from rayschema.similarity import _normalize
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sub = (ds.filter(expr=f"vec_id < {MUTUAL_NN_SCOPE}").to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    empty = pd.DataFrame({"vec_a": pd.Series([], dtype=np.int64),
+                          "vec_b": pd.Series([], dtype=np.int64),
+                          "cosine": pd.Series([], dtype=np.float64)})
+    if len(sub) < 2:
+        return empty
+    ids = sub["vec_id"].to_numpy(np.int64)
+    mat = _normalize(np.stack(sub["embedding"].to_numpy())
+                     .astype(np.float64))
+    sims = mat @ mat.T
+    np.fill_diagonal(sims, -np.inf)
+    # top-1 with vec_id-asc tie-break: argmax scans ascending ids first
+    nn = sims.argmax(axis=1)
+    rows = []
+    for i in range(len(ids)):
+        j = int(nn[i])
+        if int(nn[j]) == i and ids[i] < ids[j]:
+            rows.append((int(ids[i]), int(ids[j]),
+                         float(sims[i, j])))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"])
+    out["cosine"] = round_half_away(out["cosine"].to_numpy(), 6)
+    return (out.astype({"vec_a": np.int64, "vec_b": np.int64})
+            .sort_values("vec_a").reset_index(drop=True))

@@ -3731,3 +3731,40 @@ def test_user_hourly_lerp_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         [0, 1, 200_000], [0, 2, 300_000],
         [1, 1, 166_667], [1, 2, 133_334]]
+
+
+def test_mmr_rerank_planted(ray_session, tmp_path):
+    """Hand-traced greedy: the duplicate top-relevance doc 1 is fully
+    penalized (Jaccard 1.0 with pick 0) and falls behind the less
+    relevant but novel doc 2; round 5 has no pool left."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import mmr_rerank_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["join join hash c1 c2", "join join hash c1 c2",
+                 "join x y z w", "a b"]})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = mmr_rerank_documents(str(tmp_path))
+    assert got.values.tolist() == [[1, 0, 1_000_000], [2, 2, 208_333],
+                                   [3, 1, 0], [4, 3, 0]]
+
+
+def test_mutual_nn_planted(ray_session, tmp_path):
+    """Two tight 2-vector clusters -> exactly the two within-cluster
+    mutual pairs, none across."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import mutual_nn_embeddings
+
+    vecs = [[1.0, 0.0], [1.0, 0.01], [0.0, 1.0], [0.01, 1.0]]
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(4, dtype=np.int32))})
+    _pq.write_table(tab, os.path.join(tmp_path, "embeddings.parquet"))
+    got = mutual_nn_embeddings(str(tmp_path))
+    assert got[["vec_a", "vec_b"]].values.tolist() == [[0, 1], [2, 3]]
+    assert (got["cosine"] > 0.99).all()
