@@ -933,6 +933,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_hourly_lerp": Q.user_hourly_lerp,
         "mmr_rerank_documents": Q.mmr_rerank_documents,
         "mutual_nn_embeddings": Q.mutual_nn_embeddings,
+        "self_overlap_documents": Q.self_overlap_documents,
+        "ngram_doc_frequency_histogram": Q.ngram_doc_frequency_histogram,
     }
 
 
@@ -4526,4 +4528,39 @@ def oracle_sql() -> dict[str, str]:
                    round(x.cs, 6) AS cosine
             FROM n1 x JOIN n1 y ON y.va = x.vb AND y.vb = x.va
             WHERE x.va < x.vb ORDER BY vec_a""",
+        # fraction of each doc's 8-token windows occurring in OTHER docs
+        "self_overlap_documents": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp
+                       FROM documents WHERE text IS NOT NULL),
+            w AS (SELECT doc_id, array_to_string(sp[i:i+7], ' ') AS g
+                  FROM (SELECT doc_id, sp,
+                               unnest(generate_series(1,
+                                   len(sp) - 7)) AS i
+                        FROM d)),
+            shared AS (SELECT g FROM
+                       (SELECT g, count(DISTINCT doc_id) AS nd
+                        FROM w GROUP BY g) WHERE nd >= 2),
+            per AS (SELECT w.doc_id, count(*)::HUGEINT AS nw,
+                           sum(CASE WHEN s.g IS NOT NULL
+                                    THEN 1 ELSE 0 END)::HUGEINT AS ns
+                    FROM w LEFT JOIN shared s USING (g)
+                    GROUP BY w.doc_id)
+            SELECT doc_id, nw::BIGINT AS n_windows,
+                   ns::BIGINT AS n_shared,
+                   ((1000000::HUGEINT * ns) // nw)::BIGINT
+                     AS overlap_ppm
+            FROM per""",
+        # how many docs each distinct 8-gram occurs in, histogrammed
+        "ngram_doc_frequency_histogram": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS sp
+                       FROM documents WHERE text IS NOT NULL),
+            w AS (SELECT doc_id, array_to_string(sp[i:i+7], ' ') AS g
+                  FROM (SELECT doc_id, sp,
+                               unnest(generate_series(1,
+                                   len(sp) - 7)) AS i
+                        FROM d)),
+            h AS (SELECT g, count(DISTINCT doc_id)::BIGINT AS nd
+                  FROM w GROUP BY g)
+            SELECT nd AS n_docs, count(*)::BIGINT AS n_grams
+            FROM h GROUP BY nd ORDER BY n_docs""",
     }

@@ -211,6 +211,8 @@ def run_bench() -> dict:
         ("user_hourly_lerp", Q.user_hourly_lerp),
         ("mmr_rerank_documents", Q.mmr_rerank_documents),
         ("mutual_nn_embeddings", Q.mutual_nn_embeddings),
+        ("self_overlap_documents", Q.self_overlap_documents),
+        ("ngram_doc_frequency_histogram", Q.ngram_doc_frequency_histogram),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

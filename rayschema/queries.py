@@ -13577,3 +13577,108 @@ def mutual_nn_embeddings(sf_dir: str):
     out["cosine"] = round_half_away(out["cosine"].to_numpy(), 6)
     return (out.astype({"vec_a": np.int64, "vec_b": np.int64})
             .sort_values("vec_a").reset_index(drop=True))
+
+
+SELF_OVERLAP_N = 8
+
+
+def self_overlap_documents(sf_dir: str, n: int = SELF_OVERLAP_N):
+    """Per-document corpus self-overlap (memorization / diversity audit,
+    the self-BLEU cousin): what fraction of a doc's 8-token windows
+    also occur in at least one OTHER document. Pass 1 shuffles only the
+    16 B (window_hash, doc_id) distinct pairs (the shared
+    _doc_window_hashes rolling-hash kernel) through one narrow groupby
+    to find hashes spanning >= 2 docs; the shared-hash set broadcasts
+    sorted (shared-window-mass-sized — the ngram_decontaminate bench
+    bound; the 100-TB path is a hash-keyed sort-merge membership join
+    instead). Pass 2 is stateless: per-doc window counts + searchsorted
+    membership, overlap as floor-ppm int64 per row. 64-bit collisions
+    are the ngram_decontaminate accepted risk (the oracle compares
+    window TEXT). Emits (doc_id, n_windows, n_shared, overlap_ppm) for
+    docs with >= 1 full window."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def p1(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        wh, di = _doc_window_hashes(b, n)
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"h": wh.view(np.int64),
+                           "d": ids[di]}).drop_duplicates()
+        return pa.table({"h": pa.array(df["h"].to_numpy(np.int64)),
+                         "d": pa.array(df["d"].to_numpy(np.int64))})
+
+    shared_ds = (ds.map_batches(p1, batch_format="pyarrow")
+                 .groupby("h").aggregate(Count("h", alias_name="nd"))
+                 .filter(expr="nd >= 2").select_columns(["h"])
+                 .to_pandas())
+    shared = np.sort(shared_ds["h"].to_numpy(np.int64)) \
+        if len(shared_ds) else np.empty(0, np.int64)
+    ref = ray.put(shared)
+
+    def p2(b: pa.Table, _ref=ref) -> pa.Table:
+        sh = ray.get(_ref)
+        b = b.filter(pc.is_valid(b.column("text")))
+        wh, di = _doc_window_hashes(b, n)
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        nw = np.bincount(di, minlength=b.num_rows).astype(np.int64)
+        h = wh.view(np.int64)
+        if len(sh):
+            pos = np.clip(np.searchsorted(sh, h), 0, len(sh) - 1)
+            hit = sh[pos] == h
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        ns = np.bincount(di[hit], minlength=b.num_rows).astype(np.int64)
+        keep = nw > 0
+        nw, ns, ids = nw[keep], ns[keep], ids[keep]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_windows": pa.array(nw),
+            "n_shared": pa.array(ns),
+            "overlap_ppm": pa.array((1_000_000 * ns) // nw)})
+
+    return ds.map_batches(p2, batch_format="pyarrow")
+
+
+def ngram_doc_frequency_histogram(sf_dir: str, n: int = SELF_OVERLAP_N):
+    """Corpus-diversity summary: for each distinct 8-token window, in
+    how many documents does it occur — histogrammed (1 doc, 2 docs,
+    ...). The same pass-1 distinct (hash, doc) shuffle as
+    self_overlap_documents, one Count groupby, then a SECOND bounded
+    groupby histograms the doc counts (driver state = max doc
+    frequency). 64-bit collisions are the accepted ngram_decontaminate
+    risk vs the text-equality oracle. Emits (n_docs, n_grams)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def p1(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        wh, di = _doc_window_hashes(b, n)
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"h": wh.view(np.int64),
+                           "d": ids[di]}).drop_duplicates()
+        return pa.table({"h": pa.array(df["h"].to_numpy(np.int64)),
+                         "d": pa.array(df["d"].to_numpy(np.int64))})
+
+    per_hash = (ds.map_batches(p1, batch_format="pyarrow")
+                .groupby("h").aggregate(Count("h", alias_name="nd")))
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b.column("nd").to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"n_docs": pa.array(u.astype(np.int64)),
+                         "n_grams": pa.array(c.astype(np.int64))})
+
+    out = (per_hash.map_batches(hist_part, batch_format="pyarrow")
+           .groupby("n_docs")
+           .aggregate(Sum("n_grams", alias_name="n_grams"))
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_grams"] = out["n_grams"].astype(np.int64)
+    return out.sort_values("n_docs").reset_index(drop=True)

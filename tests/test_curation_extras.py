@@ -3768,3 +3768,40 @@ def test_mutual_nn_planted(ray_session, tmp_path):
     got = mutual_nn_embeddings(str(tmp_path))
     assert got[["vec_a", "vec_b"]].values.tolist() == [[0, 1], [2, 3]]
     assert (got["cosine"] > 0.99).all()
+
+
+def test_self_overlap_planted(ray_session, tmp_path):
+    """Two 9-token docs sharing their first 8-gram: each has 2 windows,
+    1 shared -> 500000 ppm; a doc under 8 tokens emits nothing."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import self_overlap_documents
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a b c d e f g h i", "a b c d e f g h x",
+                 "short text"]})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = self_overlap_documents(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [0, 1]
+    assert got["n_windows"].tolist() == [2, 2]
+    assert got["n_shared"].tolist() == [1, 1]
+    assert got["overlap_ppm"].tolist() == [500_000, 500_000]
+
+
+def test_ngram_doc_frequency_planted(ray_session, tmp_path):
+    """Same fixture: grams 'a..h' in 2 docs, 'b..i' and 'b..x' in 1
+    each -> histogram (1, 2), (2, 1)."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import ngram_doc_frequency_histogram
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": ["a b c d e f g h i", "a b c d e f g h x"]})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = ngram_doc_frequency_histogram(str(tmp_path))
+    assert got.values.tolist() == [[1, 2], [2, 1]]
