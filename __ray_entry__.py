@@ -935,6 +935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_nn_embeddings": Q.mutual_nn_embeddings,
         "self_overlap_documents": Q.self_overlap_documents,
         "ngram_doc_frequency_histogram": Q.ngram_doc_frequency_histogram,
+        "max_event_type_run": Q.max_event_type_run,
+        "part_reorder_gap": Q.part_reorder_gap,
     }
 
 
@@ -4563,4 +4565,54 @@ def oracle_sql() -> dict[str, str]:
                   FROM w GROUP BY g)
             SELECT nd AS n_docs, count(*)::BIGINT AS n_grams
             FROM h GROUP BY nd ORDER BY n_docs""",
+        # longest same-type run per user: rn - rn_by_type islands
+        "max_event_type_run": """
+            WITH e AS (SELECT user_id, event_type, ts, event_id
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            o AS (SELECT user_id, event_type,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS rn,
+                         row_number() OVER (PARTITION BY user_id,
+                                                         event_type
+                                            ORDER BY ts, event_id)
+                           AS rnt
+                  FROM e),
+            runs AS (SELECT user_id, event_type,
+                            count(*)::BIGINT AS len
+                     FROM o GROUP BY user_id, event_type, rn - rnt),
+            best AS (SELECT user_id, event_type AS run_type, len,
+                            row_number() OVER (PARTITION BY user_id
+                                               ORDER BY len DESC,
+                                                        event_type)
+                              AS rk
+                     FROM runs)
+            SELECT user_id, len AS max_run, run_type
+            FROM best WHERE rk = 1 ORDER BY user_id""",
+        # fastest-reordered parts: mean day gap between distinct order
+        # dates, floor-milli, inner-join order-date lookup
+        "part_reorder_gap": """
+            WITH dd AS (SELECT DISTINCT l.l_partkey,
+                               epoch_us(o.o_orderdate)
+                                 // 86400000000 AS day
+                        FROM lineitem l
+                        JOIN orders o ON o.o_orderkey = l.l_orderkey),
+            g AS (SELECT l_partkey, day,
+                         lead(day) OVER (PARTITION BY l_partkey
+                                         ORDER BY day) AS nxt
+                  FROM dd),
+            s AS (SELECT l_partkey, count(*)::BIGINT AS n_gaps,
+                         sum(nxt - day)::BIGINT AS sum_gap_days
+                  FROM g WHERE nxt IS NOT NULL GROUP BY l_partkey),
+            r AS (SELECT l_partkey, n_gaps, sum_gap_days,
+                         ((1000 * sum_gap_days)
+                          // n_gaps)::BIGINT AS mean_gap_milli
+                  FROM s),
+            t AS (SELECT *, row_number() OVER
+                    (ORDER BY mean_gap_milli, l_partkey) AS rk
+                  FROM r)
+            SELECT l_partkey, n_gaps, sum_gap_days, mean_gap_milli,
+                   rk::BIGINT AS rk
+            FROM t WHERE rk <= 20 ORDER BY rk""",
     }

@@ -213,6 +213,8 @@ def run_bench() -> dict:
         ("mutual_nn_embeddings", Q.mutual_nn_embeddings),
         ("self_overlap_documents", Q.self_overlap_documents),
         ("ngram_doc_frequency_histogram", Q.ngram_doc_frequency_histogram),
+        ("max_event_type_run", Q.max_event_type_run),
+        ("part_reorder_gap", Q.part_reorder_gap),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -13682,3 +13682,136 @@ def ngram_doc_frequency_histogram(sf_dir: str, n: int = SELF_OVERLAP_N):
     out["n_docs"] = out["n_docs"].astype(np.int64)
     out["n_grams"] = out["n_grams"].astype(np.int64)
     return out.sort_values("n_docs").reset_index(drop=True)
+
+
+def max_event_type_run(sf_dir: str):
+    """Behavioral gaps-and-islands audit: each user's LONGEST run of
+    consecutive same-type events in (ts, event_id) order — rage-click /
+    retry-storm shape detection. ONE user-keyed sorted_group_scan (the
+    sessionization shape): per group, run boundaries fall out of one
+    vectorized neighbor compare on the dictionary codes, run lengths
+    from diff of boundary indices, winner by (len desc, type asc) —
+    mirroring the oracle's rn - rn_by_type island trick. Emits
+    (user_id, max_run, run_type)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("max_run", pa.int64()),
+                            ("run_type", pa.string())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        uid = int(g.column("user_id")[0].as_py())
+        n = len(et)
+        if n == 0:
+            return None
+        # boundary where the type changes; runs = segments between
+        starts = np.flatnonzero(
+            np.concatenate([[True], et[1:] != et[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        lens = (ends - starts).astype(np.int64)
+        types = et[starts]
+        order = np.lexsort((types, -lens))[0]
+        return pa.table({
+            "user_id": pa.array([uid], type=pa.int64()),
+            "max_run": pa.array([int(lens[order])], type=pa.int64()),
+            "run_type": pa.array([str(types[order])],
+                                 type=pa.string())})
+
+    scan = sorted_group_scan(
+        ds.map_batches(_narrow_events, batch_format="pyarrow"),
+        ["user_id"], group_fn, out_schema,
+        order_cols=["ts_us", "event_id"])
+    return (scan.to_pandas().sort_values("user_id")
+            .reset_index(drop=True))
+
+
+REORDER_TOP = 20
+
+
+def part_reorder_gap(sf_dir: str):
+    """Inventory-velocity audit: per part, the mean gap in days between
+    consecutive DISTINCT order dates of its lineitems — the
+    fastest-moving top-20 by (floor-milli mean gap asc, partkey asc).
+    ONE partkey-keyed sorted_group_scan over the distinct
+    (part, order-date) projection (a narrow 16 B shuffle); each group
+    emits its (n_gaps, sum_gap_days, mean_milli = 1000*sum // n) —
+    O(parts) rows, dimension-bounded, ranked on the driver. Parts with
+    < 2 distinct dates drop. Emits (l_partkey, n_gaps, sum_gap_days,
+    mean_gap_milli, rk)."""
+    from rayschema.dedup import sorted_group_scan
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_orderkey"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+    n_ord = _table_rows(sf_dir, "orders")
+    import ray
+
+    od = orders.to_pandas()
+    ok = od["o_orderkey"].to_numpy(np.int64)
+    order_sort = np.argsort(ok)
+    ok = ok[order_sort]
+    # datetime64[D] = whole days since epoch, unit-independent of how
+    # pandas materialized the timestamp (matches epoch_us // 86400e6)
+    odays = od["o_orderdate"].to_numpy(dtype="datetime64[D]") \
+        .astype(np.int64)[order_sort]
+    ref = ray.put((ok, odays))
+
+    def proj(b: pa.Table, _ref=ref) -> pa.Table:
+        keys, days = ray.get(_ref)
+        lk = b.column("l_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        lp = b.column("l_partkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            return pa.table({"l_partkey": pa.array([], type=pa.int64()),
+                             "day": pa.array([], type=pa.int64())})
+        pos = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
+        hit = keys[pos] == lk
+        df = pd.DataFrame({"l_partkey": lp[hit],
+                           "day": days[pos][hit]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Count
+
+    dd = (li.map_batches(proj, batch_format="pyarrow")
+          .groupby(["l_partkey", "day"])
+          .aggregate(Count("day", alias_name="nn"))
+          .select_columns(["l_partkey", "day"]))
+
+    out_schema = pa.schema([("l_partkey", pa.int64()),
+                            ("n_gaps", pa.int64()),
+                            ("sum_gap_days", pa.int64()),
+                            ("mean_gap_milli", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        days = np.sort(g.column("day").to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        if len(days) < 2:
+            return None
+        gaps = np.diff(days)
+        s = int(gaps.sum())
+        n = len(gaps)
+        return pa.table({
+            "l_partkey": pa.array([int(g.column("l_partkey")[0]
+                                       .as_py())], type=pa.int64()),
+            "n_gaps": pa.array([n], type=pa.int64()),
+            "sum_gap_days": pa.array([s], type=pa.int64()),
+            "mean_gap_milli": pa.array([(1000 * s) // n],
+                                       type=pa.int64())})
+
+    scan = sorted_group_scan(dd, ["l_partkey"], group_fn, out_schema,
+                             order_cols=["day"])
+    res = scan.to_pandas()
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in [
+        "l_partkey", "n_gaps", "sum_gap_days", "mean_gap_milli", "rk"]})
+    if res.empty:
+        return empty
+    res = res.sort_values(["mean_gap_milli", "l_partkey"],
+                          kind="mergesort").head(REORDER_TOP) \
+        .reset_index(drop=True)
+    res["rk"] = np.arange(1, len(res) + 1, dtype=np.int64)
+    return res

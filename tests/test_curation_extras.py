@@ -3805,3 +3805,50 @@ def test_ngram_doc_frequency_planted(ray_session, tmp_path):
                     os.path.join(tmp_path, "documents.parquet"))
     got = ngram_doc_frequency_histogram(str(tmp_path))
     assert got.values.tolist() == [[1, 2], [2, 1]]
+
+
+def test_max_event_type_run_planted(ray_session, tmp_path):
+    """user 0 stream A A B B B A -> max run 3 of B; user 1 ties A-run 1
+    vs B-run 1 -> lexicographic winner A."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import max_event_type_run
+
+    users = np.array([0, 0, 0, 0, 0, 0, 1, 1], dtype=np.int64)
+    types = ["A", "A", "B", "B", "B", "A", "B", "A"]
+    n = len(users)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(users),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 60_000_000)
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(types),
+        "value": pa.array(np.ones(n)),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = max_event_type_run(str(tmp_path))
+    assert got.values.tolist() == [[0, 3, "B"], [1, 1, "A"]]
+
+
+def test_part_reorder_gap_planted(ray_session, tmp_path):
+    """part 1 ordered on days {0, 2, 5} -> gaps (2, 3), mean 2500 milli;
+    part 2 has one date and drops; duplicate same-day lineitems
+    collapse."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import part_reorder_gap
+
+    base = np.datetime64("2024-01-01", "us")
+    od = pd.DataFrame({
+        "o_orderkey": np.arange(4, dtype=np.int64),
+        "o_orderdate": [base, base + np.timedelta64(2, "D"),
+                        base + np.timedelta64(5, "D"), base]})
+    _pq.write_table(pa.Table.from_pandas(od, preserve_index=False),
+                    os.path.join(tmp_path, "orders.parquet"))
+    li = pd.DataFrame({
+        "l_partkey": np.array([1, 1, 1, 1, 2], dtype=np.int64),
+        "l_orderkey": np.array([0, 1, 2, 3, 0], dtype=np.int64)})
+    _pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                    os.path.join(tmp_path, "lineitem.parquet"))
+    got = part_reorder_gap(str(tmp_path))
+    assert got.values.tolist() == [[1, 2, 5, 2500, 1]]
