@@ -937,6 +937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_doc_frequency_histogram": Q.ngram_doc_frequency_histogram,
         "max_event_type_run": Q.max_event_type_run,
         "part_reorder_gap": Q.part_reorder_gap,
+        "cms_user_event_counts": Q.cms_user_event_counts,
+        "bloom_fpr_audit": Q.bloom_fpr_audit,
     }
 
 
@@ -4615,4 +4617,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_partkey, n_gaps, sum_gap_days, mean_gap_milli,
                    rk::BIGINT AS rk
             FROM t WHERE rk <= 20 ORDER BY rk""",
+        # depth-4 x width-64 Count-Min with arithmetic hashes: cell sums
+        # are GROUP BY arithmetic, est = min over the 4 cells
+        "cms_user_event_counts": """
+            WITH cfg(j, a) AS (VALUES (0, 2654435761),
+                               (1, 2246822519), (2, 3266489917),
+                               (3, 668265263)),
+            u AS (SELECT user_id FROM events
+                  WHERE user_id IS NOT NULL),
+            cells AS (SELECT cfg.j,
+                             ((((cfg.a::HUGEINT * user_id)
+                                % 4294967296) // 65536) % 64)::BIGINT
+                               AS bkt,
+                             count(*)::BIGINT AS n
+                      FROM u, cfg GROUP BY cfg.j, bkt),
+            tc AS (SELECT user_id, count(*)::BIGINT AS true_count
+                   FROM u GROUP BY user_id),
+            top AS (SELECT user_id, true_count,
+                           row_number() OVER (ORDER BY true_count DESC,
+                                              user_id) AS rk
+                    FROM tc),
+            est AS (SELECT t.user_id, t.true_count,
+                           min(ce.n)::BIGINT AS cms_est
+                    FROM top t CROSS JOIN cfg
+                    JOIN cells ce ON ce.j = cfg.j
+                      AND ce.bkt = ((((cfg.a::HUGEINT * t.user_id)
+                                      % 4294967296) // 65536) % 64)
+                    WHERE t.rk <= 10
+                    GROUP BY t.user_id, t.true_count)
+            SELECT user_id, true_count, cms_est,
+                   (cms_est - true_count)::BIGINT AS overcount
+            FROM est ORDER BY true_count DESC, user_id""",
+        # 256-bit k=3 Bloom over customers-with-orders, probed by all
+        "bloom_fpr_audit": """
+            WITH cfg(j, a) AS (VALUES (0, 2654435761),
+                               (1, 2246822519), (2, 3266489917)),
+            mem AS (SELECT DISTINCT o_custkey AS k FROM orders),
+            bitset AS (SELECT DISTINCT cfg.j,
+                              ((((cfg.a::HUGEINT * mem.k)
+                                 % 4294967296) // 65536) % 256)::BIGINT
+                                AS bkt
+                       FROM mem, cfg),
+            ph AS (SELECT c.c_custkey AS k, cfg.j,
+                          ((((cfg.a::HUGEINT * c.c_custkey)
+                             % 4294967296) // 65536) % 256)::BIGINT
+                            AS bkt
+                   FROM customer c, cfg),
+            hits AS (SELECT k, count(bs.j)::BIGINT AS nhit
+                     FROM ph LEFT JOIN bitset bs USING (j, bkt)
+                     GROUP BY k),
+            fp AS (SELECT h.k, (h.nhit = 3 AND m.k IS NULL) AS is_fp,
+                          (m.k IS NOT NULL) AS is_mem
+                   FROM hits h LEFT JOIN mem m ON m.k = h.k)
+            SELECT (SELECT count(*) FROM mem)::BIGINT AS n_members,
+                   count(*)::BIGINT AS n_probes,
+                   sum(CASE WHEN is_fp THEN 1 ELSE 0 END)::BIGINT
+                     AS n_false_pos,
+                   ((1000000::HUGEINT *
+                     sum(CASE WHEN is_fp THEN 1 ELSE 0 END))
+                    // greatest(count(*) -
+                        sum(CASE WHEN is_mem THEN 1 ELSE 0 END),
+                        1))::BIGINT AS fpr_ppm
+            FROM fp""",
     }

@@ -215,6 +215,8 @@ def run_bench() -> dict:
         ("ngram_doc_frequency_histogram", Q.ngram_doc_frequency_histogram),
         ("max_event_type_run", Q.max_event_type_run),
         ("part_reorder_gap", Q.part_reorder_gap),
+        ("cms_user_event_counts", Q.cms_user_event_counts),
+        ("bloom_fpr_audit", Q.bloom_fpr_audit),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -13815,3 +13815,158 @@ def part_reorder_gap(sf_dir: str):
         .reset_index(drop=True)
     res["rk"] = np.arange(1, len(res) + 1, dtype=np.int64)
     return res
+
+
+CMS_W = 64
+# multiplicative high-bits hashing (Knuth/xxhash-style public primes):
+# h_j(u) = (((u * a_j) mod 2^32) // 2^16) mod W — the 32-bit wrap mixes
+# high bits so keys congruent mod W land in DIFFERENT buckets per plane
+# (an affine hash mod W would depend only on u mod W, making the depth
+# useless); numpy uint64 wrap-multiply and SQL HUGEINT % 4294967296
+# compute the identical value
+CMS_CFG = ((0, 2654435761), (1, 2246822519),
+           (2, 3266489917), (3, 668265263))
+
+
+def _mix_hash(u: np.ndarray, a: int, w: int) -> np.ndarray:
+    return ((((u.astype(np.uint64) * np.uint64(a))
+              % np.uint64(1 << 32)) >> np.uint64(16))
+            % np.uint64(w)).astype(np.int64)
+
+
+def cms_user_event_counts(sf_dir: str):
+    """Count-Min sketch CERTIFICATION — the rare sketch with a full SQL
+    oracle: depth-4 x width-64 CMS over integer user_ids using
+    multiplicative high-bits hashes (see CMS_CFG note), so
+    cell sums are pure GROUP BY arithmetic on both sides and the
+    one-sided error guarantee (est >= true, est <= true + eps*N w.h.p.;
+    Cormode & Muthukrishnan 2005, public) is checkable digit for digit.
+    CMS adds commute, so per-batch 4x64 int64 partial tables fold on
+    the driver order-independently — the sketch IS the shuffle-free
+    aggregation. Emits the top-10 users by true count:
+    (user_id, true_count, cms_est, overcount) with overcount >= 0 by
+    construction. The uint64 wrap-multiply is exact vs SQL
+    HUGEINT arithmetic at any id."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("user_id")))
+        u = b.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cells = np.zeros((len(CMS_CFG), CMS_W), dtype=np.int64)
+        for j, a in CMS_CFG:
+            cells[j] = np.bincount(_mix_hash(u, a, CMS_W),
+                                   minlength=CMS_W)
+        # true-count partials ride along: (user, n) per batch
+        uu, cc = np.unique(u, return_counts=True)
+        t = pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(cells.size, np.int64),
+                 np.ones(len(uu), np.int64)])),
+            "k1": pa.array(np.concatenate(
+                [np.repeat(np.arange(len(CMS_CFG), dtype=np.int64),
+                           CMS_W), uu])),
+            "k2": pa.array(np.concatenate(
+                [np.tile(np.arange(CMS_W, dtype=np.int64),
+                         len(CMS_CFG)),
+                 np.zeros(len(uu), np.int64)])),
+            "n": pa.array(np.concatenate(
+                [cells.ravel(), cc.astype(np.int64)]))})
+        return t
+
+    raw = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if raw.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in
+                             ["user_id", "true_count", "cms_est",
+                              "overcount"]})
+    agg = raw.groupby(["kind", "k1", "k2"], as_index=False)["n"].sum()
+    cells = np.zeros((len(CMS_CFG), CMS_W), dtype=np.int64)
+    cm = agg[agg["kind"] == 0]
+    cells[cm["k1"].to_numpy(np.int64),
+          cm["k2"].to_numpy(np.int64)] = cm["n"].to_numpy(np.int64)
+    tc = agg[agg["kind"] == 1][["k1", "n"]] \
+        .rename(columns={"k1": "user_id", "n": "true_count"})
+    tc = tc.sort_values(["true_count", "user_id"],
+                        ascending=[False, True],
+                        kind="mergesort").head(10).reset_index(drop=True)
+    ests = []
+    for u in tc["user_id"]:
+        uu = np.array([int(u)], dtype=np.int64)
+        ests.append(min(int(cells[j][_mix_hash(uu, a, CMS_W)[0]])
+                        for j, a in CMS_CFG))
+    out = pd.DataFrame({
+        "user_id": tc["user_id"].astype(np.int64),
+        "true_count": tc["true_count"].astype(np.int64),
+        "cms_est": np.array(ests, dtype=np.int64)})
+    out["overcount"] = (out["cms_est"] - out["true_count"]) \
+        .astype(np.int64)
+    return out
+
+
+BLOOM_M = 256
+BLOOM_CFG = ((0, 2654435761), (1, 2246822519), (2, 3266489917))
+
+
+def bloom_fpr_audit(sf_dir: str):
+    """Bloom-filter false-positive-rate CERTIFICATION with a full SQL
+    oracle (same arithmetic-hash trick as the CMS cert): a 256-bit,
+    k=3 filter over the customers WITH orders, probed by every
+    customer — a non-member testing all-bits-set is a false positive,
+    and both sides enumerate the identical bit set. Per-batch partial
+    bitmaps OR-fold on the driver (96 B each); the probe pass is one
+    vectorized membership test. Emits ONE row (n_members, n_probes,
+    n_false_pos, fpr_ppm = 1e6*fp // max(non_members, 1))."""
+    import ray
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+
+    def bits_part(b: pa.Table) -> pa.Table:
+        u = np.unique(b.column("o_custkey").cast(pa.int64())
+                      .to_numpy(zero_copy_only=False))
+        m = np.zeros(BLOOM_M * len(BLOOM_CFG), dtype=bool)
+        for j, a in BLOOM_CFG:
+            m[j * BLOOM_M + _mix_hash(u, a, BLOOM_M)] = True
+        return pa.table({"bits": pa.array(
+            [np.packbits(m).tobytes()], type=pa.large_binary()),
+            "keys": pa.array([u.tobytes()], type=pa.large_binary())})
+
+    parts = orders.map_batches(bits_part,
+                               batch_format="pyarrow").to_pandas()
+    acc = np.zeros(BLOOM_M * len(BLOOM_CFG) // 8, dtype=np.uint8)
+    members = []
+    for bts, ks in zip(parts["bits"], parts["keys"]):
+        acc |= np.frombuffer(bts, dtype=np.uint8)
+        members.append(np.frombuffer(ks, dtype=np.int64))
+    member_keys = np.unique(np.concatenate(members)) if members \
+        else np.empty(0, np.int64)
+    bits = np.unpackbits(acc).astype(bool)
+    ref = ray.put((bits, member_keys))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def probe(b: pa.Table, _ref=ref) -> pa.Table:
+        bts, mk = ray.get(_ref)
+        u = b.column("c_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hit = np.ones(len(u), dtype=bool)
+        for j, a in BLOOM_CFG:
+            hit &= bts[j * BLOOM_M + _mix_hash(u, a, BLOOM_M)]
+        if len(mk):
+            pos = np.clip(np.searchsorted(mk, u), 0, len(mk) - 1)
+            is_mem = mk[pos] == u
+        else:
+            is_mem = np.zeros(len(u), dtype=bool)
+        return pa.table({
+            "n_probes": pa.array([np.int64(len(u))]),
+            "n_members": pa.array([np.int64(is_mem.sum())]),
+            "n_fp": pa.array([np.int64((hit & ~is_mem).sum())])})
+
+    agg = cust.map_batches(probe, batch_format="pyarrow").to_pandas()
+    n_probes = int(agg["n_probes"].sum())
+    n_mem = int(agg["n_members"].sum())
+    n_fp = int(agg["n_fp"].sum())
+    non_mem = max(n_probes - n_mem, 1)
+    return pd.DataFrame({
+        "n_members": [len(member_keys)], "n_probes": [n_probes],
+        "n_false_pos": [n_fp],
+        "fpr_ppm": [(1_000_000 * n_fp) // non_mem]}).astype(np.int64)

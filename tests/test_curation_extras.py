@@ -3852,3 +3852,66 @@ def test_part_reorder_gap_planted(ray_session, tmp_path):
                     os.path.join(tmp_path, "lineitem.parquet"))
     got = part_reorder_gap(str(tmp_path))
     assert got.values.tolist() == [[1, 2, 5, 2500, 1]]
+
+
+def test_mix_hash_hand_values():
+    """The multiplicative high-bits hash against hand-computed values;
+    keys congruent mod 64 (1, 65, 129) land in DISTINCT buckets —
+    the property an affine-mod hash cannot have."""
+    from rayschema.queries import _mix_hash
+
+    u = np.array([1, 65, 129], dtype=np.int64)
+    assert _mix_hash(u, 2654435761, 64).tolist() == [55, 21, 52]
+    assert _mix_hash(u, 2246822519, 64).tolist() == [43, 30, 17]
+
+
+def test_cms_user_event_counts_properties(ray_session, tmp_path):
+    """CMS one-sided guarantee on a planted corpus: est >= true for
+    every reported user, top-10 ordered by (true desc, user asc), and
+    overcount == est - true."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import cms_user_event_counts
+
+    users = np.array([1] * 3 + [2] * 2 + [3], dtype=np.int64)
+    n = len(users)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(users),
+        "ts": pa.array(np.arange(n, dtype=np.int64) * 60_000_000)
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * n),
+        "value": pa.array(np.ones(n)),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = cms_user_event_counts(str(tmp_path))
+    assert got["user_id"].tolist() == [1, 2, 3]
+    assert got["true_count"].tolist() == [3, 2, 1]
+    assert (got["cms_est"] >= got["true_count"]).all()
+    assert (got["overcount"] ==
+            got["cms_est"] - got["true_count"]).all()
+
+
+def test_bloom_fpr_audit_planted(ray_session, tmp_path):
+    """Members {1..5} probed by customers {1..10}: members always hit
+    (no false negatives by construction) and the false-positive count
+    matches an independent set-based recomputation."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import (BLOOM_CFG, BLOOM_M, _mix_hash,
+                                   bloom_fpr_audit)
+
+    members = np.arange(1, 6, dtype=np.int64)
+    probes = np.arange(1, 11, dtype=np.int64)
+    _pq.write_table(pa.table({"o_custkey": pa.array(members)}),
+                    os.path.join(tmp_path, "orders.parquet"))
+    _pq.write_table(pa.table({"c_custkey": pa.array(probes)}),
+                    os.path.join(tmp_path, "customer.parquet"))
+    got = bloom_fpr_audit(str(tmp_path))
+    bits = {(j, int(h)) for j, a in BLOOM_CFG
+            for h in _mix_hash(members, a, BLOOM_M)}
+    fp = sum(1 for u in probes[5:]
+             if all((j, int(_mix_hash(np.array([u]), a, BLOOM_M)[0]))
+                    in bits for j, a in BLOOM_CFG))
+    assert got.values.tolist() == \
+        [[5, 10, fp, (1_000_000 * fp) // 5]]
