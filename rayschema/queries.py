@@ -13736,19 +13736,19 @@ def part_reorder_gap(sf_dir: str):
     """Inventory-velocity audit: per part, the mean gap in days between
     consecutive DISTINCT order dates of its lineitems — the
     fastest-moving top-20 by (floor-milli mean gap asc, partkey asc).
-    ONE partkey-keyed sorted_group_scan over the distinct
-    (part, order-date) projection (a narrow 16 B shuffle); each group
-    emits its (n_gaps, sum_gap_days, mean_milli = 1000*sum // n) —
-    O(parts) rows, dimension-bounded, ranked on the driver. Parts with
-    < 2 distinct dates drop. Emits (l_partkey, n_gaps, sum_gap_days,
-    mean_gap_milli, rk)."""
-    from rayschema.dedup import sorted_group_scan
+    Consecutive-distinct gaps TELESCOPE (their sum is max_day -
+    min_day), so after the narrow distinct (part, day) groupby ONE
+    Min/Max/Count aggregate replaces any sort: n_gaps = n_distinct - 1,
+    sum_gap_days = max - min, mean_milli = 1000*sum // n — no
+    all-to-all sort anywhere, O(parts) driver state (dimension-
+    bounded). Parts with < 2 distinct dates drop. Emits (l_partkey,
+    n_gaps, sum_gap_days, mean_gap_milli, rk)."""
+    import ray
+    from ray.data.aggregate import Count, Max, Min
 
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_orderkey"])
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderdate"])
-    n_ord = _table_rows(sf_dir, "orders")
-    import ray
 
     od = orders.to_pandas()
     ok = od["o_orderkey"].to_numpy(np.int64)
@@ -13775,46 +13775,31 @@ def part_reorder_gap(sf_dir: str):
                            "day": days[pos][hit]}).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    from ray.data.aggregate import Count
-
-    dd = (li.map_batches(proj, batch_format="pyarrow")
-          .groupby(["l_partkey", "day"])
-          .aggregate(Count("day", alias_name="nn"))
-          .select_columns(["l_partkey", "day"]))
-
-    out_schema = pa.schema([("l_partkey", pa.int64()),
-                            ("n_gaps", pa.int64()),
-                            ("sum_gap_days", pa.int64()),
-                            ("mean_gap_milli", pa.int64())])
-
-    def group_fn(g: pa.Table) -> pa.Table:
-        days = np.sort(g.column("day").to_numpy(zero_copy_only=False)
-                       .astype(np.int64))
-        if len(days) < 2:
-            return None
-        gaps = np.diff(days)
-        s = int(gaps.sum())
-        n = len(gaps)
-        return pa.table({
-            "l_partkey": pa.array([int(g.column("l_partkey")[0]
-                                       .as_py())], type=pa.int64()),
-            "n_gaps": pa.array([n], type=pa.int64()),
-            "sum_gap_days": pa.array([s], type=pa.int64()),
-            "mean_gap_milli": pa.array([(1000 * s) // n],
-                                       type=pa.int64())})
-
-    scan = sorted_group_scan(dd, ["l_partkey"], group_fn, out_schema,
-                             order_cols=["day"])
-    res = scan.to_pandas()
+    agg = (li.map_batches(proj, batch_format="pyarrow")
+           .groupby(["l_partkey", "day"])
+           .aggregate(Count("day", alias_name="nn"))
+           .groupby("l_partkey")
+           .aggregate(Min("day", alias_name="mn"),
+                      Max("day", alias_name="mx"),
+                      Count("day", alias_name="nd"))
+           .to_pandas())
     empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in [
         "l_partkey", "n_gaps", "sum_gap_days", "mean_gap_milli", "rk"]})
-    if res.empty:
+    agg = agg[agg["nd"] >= 2]
+    if agg.empty:
         return empty
+    res = pd.DataFrame({
+        "l_partkey": agg["l_partkey"].astype(np.int64),
+        "n_gaps": (agg["nd"] - 1).astype(np.int64),
+        "sum_gap_days": (agg["mx"] - agg["mn"]).astype(np.int64)})
+    res["mean_gap_milli"] = (1000 * res["sum_gap_days"]) \
+        // res["n_gaps"]
     res = res.sort_values(["mean_gap_milli", "l_partkey"],
                           kind="mergesort").head(REORDER_TOP) \
         .reset_index(drop=True)
     res["rk"] = np.arange(1, len(res) + 1, dtype=np.int64)
     return res
+
 
 
 CMS_W = 64
