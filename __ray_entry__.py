@@ -939,6 +939,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_reorder_gap": Q.part_reorder_gap,
         "cms_user_event_counts": Q.cms_user_event_counts,
         "bloom_fpr_audit": Q.bloom_fpr_audit,
+        "frequent_triples_parts": Q.frequent_triples_parts,
+        "mrr_knn_labels": Q.mrr_knn_labels,
     }
 
 
@@ -4679,4 +4681,45 @@ def oracle_sql() -> dict[str, str]:
                         sum(CASE WHEN is_mem THEN 1 ELSE 0 END),
                         1))::BIGINT AS fpr_ppm
             FROM fp""",
+        # frequent 3-itemsets, support >= 2 over distinct order baskets
+        "frequent_triples_parts": """
+            WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey
+                        FROM lineitem),
+            t AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+                         c.l_partkey AS pc
+                  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+                                     AND a.l_partkey < b.l_partkey
+                  JOIN lp c ON a.l_orderkey = c.l_orderkey
+                           AND b.l_partkey < c.l_partkey),
+            g AS (SELECT pa, pb, pc, count(*)::BIGINT AS support
+                  FROM t GROUP BY pa, pb, pc HAVING count(*) >= 2),
+            f AS (SELECT *, row_number() OVER (ORDER BY support DESC,
+                                               pa, pb, pc) AS rk
+                  FROM g)
+            SELECT pa::BIGINT AS part_a, pb::BIGINT AS part_b,
+                   pc::BIGINT AS part_c, support, rk::BIGINT AS rk
+            FROM f WHERE rk <= 15""",
+        # rank of the first same-label neighbor per fixed query vector
+        "mrr_knn_labels": """
+            WITH q AS (SELECT vec_id AS qid, label AS qlab,
+                              embedding AS qe
+                       FROM embeddings WHERE vec_id IN (0, 1, 2)),
+            s AS (SELECT q.qid, q.qlab, e.vec_id, e.label,
+                         round(list_cosine_similarity(q.qe::DOUBLE[],
+                               e.embedding::DOUBLE[]), 6) AS cs
+                  FROM q, embeddings e WHERE e.vec_id <> q.qid),
+            r AS (SELECT qid, qlab, vec_id, label, cs,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY cs DESC, vec_id)
+                           AS rn
+                  FROM s),
+            f AS (SELECT qid, vec_id, rn,
+                         row_number() OVER (PARTITION BY qid
+                                            ORDER BY rn) AS ff
+                  FROM r WHERE label = qlab)
+            SELECT qid::BIGINT AS query_id,
+                   vec_id::BIGINT AS best_vec_id,
+                   rn::BIGINT AS "rank",
+                   (1000000 // rn)::BIGINT AS rr_ppm
+            FROM f WHERE ff = 1 ORDER BY query_id""",
     }

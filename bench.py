@@ -217,6 +217,8 @@ def run_bench() -> dict:
         ("part_reorder_gap", Q.part_reorder_gap),
         ("cms_user_event_counts", Q.cms_user_event_counts),
         ("bloom_fpr_audit", Q.bloom_fpr_audit),
+        ("frequent_triples_parts", Q.frequent_triples_parts),
+        ("mrr_knn_labels", Q.mrr_knn_labels),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

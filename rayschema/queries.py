@@ -13955,3 +13955,208 @@ def bloom_fpr_audit(sf_dir: str):
         "n_members": [len(member_keys)], "n_probes": [n_probes],
         "n_false_pos": [n_fp],
         "fpr_ppm": [(1_000_000 * n_fp) // non_mem]}).astype(np.int64)
+
+
+TRIPLE_MINSUP = 2
+TRIPLE_TOP = 15
+
+
+def frequent_triples_parts(sf_dir: str):
+    """Frequent 3-itemsets over order baskets (the Apriori step past
+    copurchase_lift_pairs' pairs): triples of parts bought together in
+    >= 2 distinct orders, top-15 by (support desc, keys asc). ONE
+    l_orderkey-keyed sorted_group_scan (the shared pair-edge shape)
+    emits each order's within-order-deduped triples — baskets are
+    single-digit here so emission is C(s,3)-bounded per order; for
+    fat-basket corpora the documented Apriori path prunes emission to
+    triples whose three pairs are frequent (broadcast frequent-pair
+    set) before the count. One 3-key groupby counts support. Emits
+    (part_a, part_b, part_c, support, rk)."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    from rayschema.dedup import sorted_group_scan
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+
+    out_schema = pa.schema([("pa_", pa.int64()), ("pb_", pa.int64()),
+                            ("pc_", pa.int64()), ("n", pa.int64())])
+
+    def _emit(cp: np.ndarray, sizes: np.ndarray):
+        """Triples for concatenated sorted-dedup groups of ``sizes``."""
+        outs = ([], [], [])
+        gstart = np.cumsum(sizes) - sizes
+        for s in np.unique(sizes):
+            if s < 3:
+                continue
+            rows = gstart[sizes == s]
+            mat = cp[rows[:, None] + np.arange(s)]
+            for i, j, k in combinations(range(int(s)), 3):
+                outs[0].append(mat[:, i])
+                outs[1].append(mat[:, j])
+                outs[2].append(mat[:, k])
+        if not outs[0]:
+            return None
+        a = np.concatenate(outs[0])
+        b = np.concatenate(outs[1])
+        c = np.concatenate(outs[2])
+        df = (pd.DataFrame({"pa_": a, "pb_": b, "pc_": c})
+              .groupby(["pa_", "pb_", "pc_"], as_index=False).size())
+        return pa.table({"pa_": pa.array(df["pa_"].to_numpy(np.int64)),
+                         "pb_": pa.array(df["pb_"].to_numpy(np.int64)),
+                         "pc_": pa.array(df["pc_"].to_numpy(np.int64)),
+                         "n": pa.array(df["size"].to_numpy(np.int64))})
+
+    def block_fn(b: pa.Table, starts, ends, want):
+        keep = want & (ends - starts >= 3)
+        if not keep.any():
+            return None
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s, e = starts[keep], ends[keep]
+        sizes = (e - s).astype(np.int64)
+        tot = int(sizes.sum())
+        take = (np.repeat(s, sizes)
+                + (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.cumsum(sizes) - sizes, sizes)))
+        cp = pk[take]
+        gstart = np.cumsum(sizes) - sizes
+        first = np.zeros(tot, dtype=bool)
+        first[gstart] = True
+        kp = first | (cp != np.roll(cp, 1))
+        dsizes = np.add.reduceat(kp.astype(np.int64), gstart)
+        return _emit(cp[kp], dsizes)
+
+    def group_fn(g: pa.Table):
+        u = np.unique(g.column("l_partkey")
+                      .to_numpy(zero_copy_only=False).astype(np.int64))
+        if len(u) < 3:
+            return None
+        return _emit(u, np.array([len(u)], dtype=np.int64))
+
+    scan = sorted_group_scan(
+        li, ["l_orderkey"], group_fn, out_schema,
+        group_filter=lambda b, s, e: (e - s) >= 3,
+        block_fn=block_fn, order_cols=["l_partkey"])
+    agg = (scan.groupby(["pa_", "pb_", "pc_"])
+           .aggregate(Sum("n", alias_name="support"))
+           .filter(expr=f"support >= {TRIPLE_MINSUP}")
+           .to_pandas())
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in [
+        "part_a", "part_b", "part_c", "support", "rk"]})
+    if agg.empty:
+        return empty
+    agg = agg.sort_values(["support", "pa_", "pb_", "pc_"],
+                          ascending=[False, True, True, True],
+                          kind="mergesort").head(TRIPLE_TOP) \
+        .reset_index(drop=True)
+    out = pd.DataFrame({
+        "part_a": agg["pa_"].astype(np.int64),
+        "part_b": agg["pb_"].astype(np.int64),
+        "part_c": agg["pc_"].astype(np.int64),
+        "support": agg["support"].astype(np.int64)})
+    out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
+def mrr_knn_labels(sf_dir: str):
+    """Mean-Reciprocal-Rank retrieval metric for the 3 fixed query
+    vectors: the rank (over ALL other vectors, cosine-6dp desc, vec_id
+    asc) of the first SAME-LABEL neighbor, rr_ppm = 1e6 // rank. Two
+    stateless passes with the query matrix broadcast: pass 1 merges
+    per-batch same-label top-1 candidates (bounded batches x 3 rows);
+    pass 2 counts vectors strictly ahead of that winner — both sides
+    compare on the knn convention round-6 cosine, so the count is the
+    oracle's row_number minus one. Emits (query_id, best_vec_id,
+    "rank", rr_ppm)."""
+    import ray
+
+    from rayschema.dedup import round_half_away
+    from rayschema.similarity import _normalize
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+    q = (ds.filter(expr="vec_id in [0, 1, 2]").to_pandas()
+         .sort_values("vec_id"))
+    if q.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in
+                             ["query_id", "best_vec_id", "rank",
+                              "rr_ppm"]})
+    qmat = _normalize(np.stack(q["embedding"].to_numpy())
+                      .astype(np.float64))
+    qref = ray.put((q["vec_id"].to_numpy(np.int64),
+                    q["label"].to_numpy(np.int64), qmat))
+
+    def scan1(b: pa.Table, _ref=qref) -> pa.Table:
+        qids, qlabs, qm = ray.get(_ref)
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = _normalize(np.stack(col.to_numpy(zero_copy_only=False))
+                         .astype(np.float64))
+        ids = b.column("vec_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        labs = b.column("label").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sims = round_half_away(mat @ qm.T, 6)
+        oq, oid, oc = [], [], []
+        for qi in range(len(qids)):
+            m = (labs == qlabs[qi]) & (ids != qids[qi])
+            if not m.any():
+                continue
+            # best by (cos6 desc, vec_id asc)
+            sel = np.flatnonzero(m)
+            best = sel[np.lexsort((ids[sel], -sims[sel, qi]))[0]]
+            oq.append(qids[qi])
+            oid.append(ids[best])
+            oc.append(sims[best, qi])
+        return pa.table({"query_id": pa.array(np.array(oq, np.int64)),
+                         "vec_id": pa.array(np.array(oid, np.int64)),
+                         "cos6": pa.array(np.array(oc, np.float64))})
+
+    cand = ds.map_batches(scan1, batch_format="pyarrow").to_pandas()
+    if cand.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in
+                             ["query_id", "best_vec_id", "rank",
+                              "rr_ppm"]})
+    best = (cand.sort_values(["query_id", "cos6", "vec_id"],
+                             ascending=[True, False, True],
+                             kind="mergesort")
+            .groupby("query_id", as_index=False).head(1))
+    bref = ray.put((best["query_id"].to_numpy(np.int64),
+                    best["vec_id"].to_numpy(np.int64),
+                    best["cos6"].to_numpy(np.float64)))
+
+    def scan2(b: pa.Table, _q=qref, _b=bref) -> pa.Table:
+        qids, qlabs, qm = ray.get(_q)
+        bq, bid, bc = ray.get(_b)
+        col = b.column("embedding")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = _normalize(np.stack(col.to_numpy(zero_copy_only=False))
+                         .astype(np.float64))
+        ids = b.column("vec_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        sims = round_half_away(mat @ qm.T, 6)
+        rows = []
+        for k in range(len(bq)):
+            qi = int(np.flatnonzero(qids == bq[k])[0])
+            s = sims[:, qi]
+            better = (ids != bq[k]) & (
+                (s > bc[k]) | ((s == bc[k]) & (ids < bid[k])))
+            rows.append((int(bq[k]), int(better.sum())))
+        t = pd.DataFrame(rows, columns=["query_id", "nb"])
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    counts = (ds.map_batches(scan2, batch_format="pyarrow").to_pandas()
+              .groupby("query_id", as_index=False)["nb"].sum())
+    out = best.merge(counts, on="query_id")
+    out["rank"] = (out["nb"] + 1).astype(np.int64)
+    out["rr_ppm"] = (1_000_000 // out["rank"]).astype(np.int64)
+    return pd.DataFrame({
+        "query_id": out["query_id"].astype(np.int64),
+        "best_vec_id": out["vec_id"].astype(np.int64),
+        "rank": out["rank"],
+        "rr_ppm": out["rr_ppm"]}).sort_values("query_id") \
+        .reset_index(drop=True)

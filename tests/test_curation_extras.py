@@ -3915,3 +3915,40 @@ def test_bloom_fpr_audit_planted(ray_session, tmp_path):
                     in bits for j, a in BLOOM_CFG))
     assert got.values.tolist() == \
         [[5, 10, fp, (1_000_000 * fp) // 5]]
+
+
+def test_frequent_triples_planted(ray_session, tmp_path):
+    """Baskets {1,2,3,4} (with a dup row), {1,2,3}, {2,3,4}: triples
+    (1,2,3) and (2,3,4) hit support 2, all others stay at 1."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import frequent_triples_parts
+
+    li = pd.DataFrame({
+        "l_orderkey": np.array([0, 0, 0, 0, 0, 1, 1, 1, 2, 2, 2],
+                               dtype=np.int64),
+        "l_partkey": np.array([1, 2, 2, 3, 4, 1, 2, 3, 2, 3, 4],
+                              dtype=np.int64)})
+    _pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                    os.path.join(tmp_path, "lineitem.parquet"))
+    got = frequent_triples_parts(str(tmp_path))
+    assert got.values.tolist() == [[1, 2, 3, 2, 1], [2, 3, 4, 2, 2]]
+
+
+def test_mrr_knn_labels_planted(ray_session, tmp_path):
+    """Query 0's nearest is the other-label decoy, the first same-label
+    sits at rank 2 (rr 500000); query 1's label is unique so it emits
+    no row; query 2 mirrors rank 2."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import mrr_knn_labels
+
+    vecs = [[1.0, 0.0], [1.0, 0.001], [0.9, 0.1], [0.0, 1.0]]
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+        "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+        "label": pa.array(np.array([0, 1, 0, 0], dtype=np.int32))})
+    _pq.write_table(tab, os.path.join(tmp_path, "embeddings.parquet"))
+    got = mrr_knn_labels(str(tmp_path))
+    assert got.values.tolist() == [[0, 2, 2, 500_000],
+                                   [2, 0, 2, 500_000]]
