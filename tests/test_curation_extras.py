@@ -3952,3 +3952,26 @@ def test_mrr_knn_labels_planted(ray_session, tmp_path):
     got = mrr_knn_labels(str(tmp_path))
     assert got.values.tolist() == [[0, 2, 2, 500_000],
                                    [2, 0, 2, 500_000]]
+
+
+def test_frequent_triples_path_equality(ray_session, tmp_path):
+    """fold_cap=0 forces the 3-key groupby path; results must be
+    identical to the packed driver fold."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import frequent_triples_parts
+
+    rng = np.random.RandomState(11)
+    n_orders = 60
+    rows_k, rows_p = [], []
+    for o in range(n_orders):
+        for p in rng.choice(30, size=rng.randint(2, 6), replace=False):
+            rows_k.append(o)
+            rows_p.append(p)
+    li = pd.DataFrame({"l_orderkey": np.array(rows_k, dtype=np.int64),
+                       "l_partkey": np.array(rows_p, dtype=np.int64)})
+    _pq.write_table(pa.Table.from_pandas(li, preserve_index=False),
+                    os.path.join(tmp_path, "lineitem.parquet"))
+    fast = frequent_triples_parts(str(tmp_path))
+    slow = frequent_triples_parts(str(tmp_path), fold_cap=0)
+    pd.testing.assert_frame_equal(fast, slow)
