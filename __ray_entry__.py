@@ -941,6 +941,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_fpr_audit": Q.bloom_fpr_audit,
         "frequent_triples_parts": Q.frequent_triples_parts,
         "mrr_knn_labels": Q.mrr_knn_labels,
+        "xcorr_peak_lag": Q.xcorr_peak_lag,
+        "nation_revenue_share": Q.nation_revenue_share,
+        "quarterly_order_growth": Q.quarterly_order_growth,
     }
 
 
@@ -4722,4 +4725,66 @@ def oracle_sql() -> dict[str, str]:
                    rn::BIGINT AS "rank",
                    (1000000 // rn)::BIGINT AS rr_ppm
             FROM f WHERE ff = 1 ORDER BY query_id""",
+        # integer cross-correlation of view vs purchase hourly counts
+        "xcorr_peak_lag": """
+            WITH e AS (SELECT event_type,
+                              epoch_us(ts) // 3600000000 AS hb
+                       FROM events
+                       WHERE event_type IN ('view', 'purchase')),
+            x AS (SELECT hb, count(*)::HUGEINT AS n FROM e
+                  WHERE event_type = 'view' GROUP BY hb),
+            y AS (SELECT hb, count(*)::HUGEINT AS n FROM e
+                  WHERE event_type = 'purchase' GROUP BY hb),
+            lags AS (SELECT (i - 12)::BIGINT AS lag
+                     FROM range(0, 25) t(i)),
+            s AS (SELECT l.lag,
+                         COALESCE((SELECT sum(x.n * y.n)
+                                   FROM x JOIN y
+                                     ON y.hb = x.hb + l.lag),
+                                  0)::BIGINT AS xcorr
+                  FROM lags l),
+            r AS (SELECT lag, xcorr,
+                         row_number() OVER (ORDER BY xcorr DESC,
+                                            lag) AS rk
+                  FROM s)
+            SELECT lag, xcorr, rk::BIGINT AS rk FROM r ORDER BY lag""",
+        # each nation's revenue share of its region, floor-ppm
+        "nation_revenue_share": """
+            WITH pn AS (SELECT n.n_nationkey, n.n_name, r.r_name
+                        FROM nation n JOIN region r
+                          ON r.r_regionkey = n.n_regionkey),
+            a AS (SELECT c.c_nationkey AS nkey,
+                         sum(CAST(round(o.o_totalprice * 100)
+                                  AS BIGINT))::HUGEINT AS cents
+                  FROM orders o JOIN customer c
+                    ON c.c_custkey = o.o_custkey
+                  GROUP BY c.c_nationkey),
+            j AS (SELECT pn.r_name, pn.n_name, a.cents
+                  FROM a JOIN pn ON pn.n_nationkey = a.nkey),
+            t AS (SELECT r_name, sum(cents)::HUGEINT AS tot
+                  FROM j GROUP BY r_name)
+            SELECT j.r_name, j.n_name, j.cents::BIGINT AS revenue_cents,
+                   ((1000000::HUGEINT * j.cents) // t.tot)::BIGINT
+                     AS share_ppm
+            FROM j JOIN t USING (r_name)
+            ORDER BY j.r_name, j.n_name""",
+        # quarterly counts/revenue + deltas vs the previous observed q
+        "quarterly_order_growth": """
+            WITH q AS (SELECT extract(year FROM o_orderdate)::BIGINT
+                                AS y,
+                              ((extract(month FROM o_orderdate) - 1)
+                               // 3 + 1)::BIGINT AS q,
+                              CAST(round(o_totalprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM orders WHERE o_orderdate IS NOT NULL),
+            a AS (SELECT y, q, count(*)::BIGINT AS n,
+                         sum(cents)::BIGINT AS s
+                  FROM q GROUP BY y, q),
+            l AS (SELECT y, q, n, s, lag(n) OVER w AS pn,
+                         lag(s) OVER w AS ps
+                  FROM a WINDOW w AS (ORDER BY y, q))
+            SELECT y AS o_year, q AS o_quarter, n AS n_orders,
+                   s AS rev_cents, (n - pn)::BIGINT AS delta_n,
+                   (s - ps)::BIGINT AS delta_cents
+            FROM l WHERE pn IS NOT NULL ORDER BY o_year, o_quarter""",
     }

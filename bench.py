@@ -219,6 +219,9 @@ def run_bench() -> dict:
         ("bloom_fpr_audit", Q.bloom_fpr_audit),
         ("frequent_triples_parts", Q.frequent_triples_parts),
         ("mrr_knn_labels", Q.mrr_knn_labels),
+        ("xcorr_peak_lag", Q.xcorr_peak_lag),
+        ("nation_revenue_share", Q.nation_revenue_share),
+        ("quarterly_order_growth", Q.quarterly_order_growth),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

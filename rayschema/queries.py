@@ -14218,3 +14218,180 @@ def mrr_knn_labels(sf_dir: str):
         "rank": out["rank"],
         "rr_ppm": out["rr_ppm"]}).sort_values("query_id") \
         .reset_index(drop=True)
+
+
+XCORR_MAX_LAG = 12
+XCORR_TYPE_X = "view"
+XCORR_TYPE_Y = "purchase"
+
+
+def xcorr_peak_lag(sf_dir: str):
+    """Lead-lag detection between two behavioral series: the integer
+    cross-correlation sum(x_t * y_{t+L}) of hourly 'view' vs 'purchase'
+    counts at every lag L in [-12, +12] — the peak lag says how far
+    purchases trail views. Per-batch hour bincount partials fold to the
+    bounded <= 720-hour grid; the 25 lag sums are driver big-int
+    arithmetic (missing hours contribute nothing on either side, the
+    observed-grid convention). Emits (lag, xcorr, rk) ranked by
+    (xcorr desc, lag asc)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    tset = pa.array([XCORR_TYPE_X, XCORR_TYPE_Y])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_in(b.column("event_type"), value_set=tset))
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        df = pd.DataFrame({
+            "is_x": pc.equal(b.column("event_type"), XCORR_TYPE_X)
+            .to_pandas().astype(np.int64),
+            "hb": (ts // 3_600_000_000).astype(np.int64)})
+        g = df.groupby(["is_x", "hb"], as_index=False).size()
+        return pa.table({"is_x": pa.array(g["is_x"].to_numpy(np.int64)),
+                         "hb": pa.array(g["hb"].to_numpy(np.int64)),
+                         "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow").to_pandas())
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in
+                          ["lag", "xcorr", "rk"]})
+    if agg.empty:
+        return empty
+    agg = agg.groupby(["is_x", "hb"], as_index=False)["n"].sum()
+    x = {int(h): int(n) for h, n in
+         zip(agg.loc[agg["is_x"] == 1, "hb"],
+             agg.loc[agg["is_x"] == 1, "n"])}
+    y = {int(h): int(n) for h, n in
+         zip(agg.loc[agg["is_x"] == 0, "hb"],
+             agg.loc[agg["is_x"] == 0, "n"])}
+    rows = []
+    for lag in range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1):
+        s = sum(nx * y.get(h + lag, 0) for h, nx in x.items())
+        rows.append((lag, s))
+    out = pd.DataFrame(rows, columns=["lag", "xcorr"])
+    out = out.sort_values(["xcorr", "lag"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    out["rk"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out.sort_values("lag").reset_index(drop=True) \
+        .astype(np.int64)
+
+
+def nation_revenue_share(sf_dir: str):
+    """Ratio-to-report rollup: each nation's order revenue as an exact
+    floor-ppm SHARE of its region's total — the percent-of-parent
+    window pattern. The customer -> nation map broadcasts sorted (the
+    q5 dimension convention; the adaptive hash-join path past
+    Q3_BROADCAST_CAP is the documented scale route), per-batch
+    per-nation cents partials fold to the <= 25-row grid, and the
+    region shares are driver big-int arithmetic over nation/region
+    metadata. Emits (r_name, n_name, revenue_cents, share_ppm)."""
+    import ray
+
+    nat = _read(sf_dir, "nation").to_pandas()
+    reg = _read(sf_dir, "region").to_pandas()
+    rmap = dict(zip(reg["r_regionkey"].astype(np.int64),
+                    reg["r_name"]))
+    nmap = nat.sort_values("n_nationkey")
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas() \
+        .sort_values("c_custkey")
+    ckeys = cust["c_custkey"].to_numpy(np.int64)
+    cnat = cust["c_nationkey"].to_numpy(np.int64)
+    ref = ray.put((ckeys, cnat))
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice"])
+
+    def part(b: pa.Table, _ref=ref) -> pa.Table:
+        keys, nk = ray.get(_ref)
+        ck = b.column("o_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = _cents(b.column("o_totalprice")
+                       .to_numpy(zero_copy_only=False))
+        if len(keys) == 0:
+            return pa.table({"nkey": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        pos = np.clip(np.searchsorted(keys, ck), 0, len(keys) - 1)
+        hit = keys[pos] == ck
+        df = pd.DataFrame({"nkey": nk[pos][hit], "cents": cents[hit]})
+        g = df.groupby("nkey", as_index=False)["cents"].sum()
+        return pa.table({"nkey": pa.array(g["nkey"].to_numpy(np.int64)),
+                         "cents": pa.array(
+                             g["cents"].to_numpy(np.int64))})
+
+    agg = (orders.map_batches(part, batch_format="pyarrow")
+           .to_pandas())
+    empty = pd.DataFrame({
+        "r_name": pd.Series([], dtype=object),
+        "n_name": pd.Series([], dtype=object),
+        "revenue_cents": pd.Series([], dtype=np.int64),
+        "share_ppm": pd.Series([], dtype=np.int64)})
+    if agg.empty:
+        return empty
+    agg = agg.groupby("nkey", as_index=False)["cents"].sum()
+    nk2 = dict(zip(nmap["n_nationkey"].astype(np.int64),
+                   zip(nmap["n_name"],
+                       nmap["n_regionkey"].astype(np.int64))))
+    rows = []
+    for nkey, cents in zip(agg["nkey"], agg["cents"]):
+        if int(nkey) not in nk2:
+            continue
+        nname, rkey = nk2[int(nkey)]
+        rows.append((rmap.get(int(rkey)), nname, int(cents), int(rkey)))
+    df = pd.DataFrame(rows, columns=["r_name", "n_name",
+                                     "revenue_cents", "rkey"])
+    rtot = df.groupby("rkey")["revenue_cents"].sum()
+    df["share_ppm"] = np.array(
+        [(1_000_000 * int(c)) // int(rtot[rk])
+         for c, rk in zip(df["revenue_cents"], df["rkey"])],
+        dtype=np.int64)
+    return (df.drop(columns=["rkey"])
+            .astype({"revenue_cents": np.int64})
+            .sort_values(["r_name", "n_name"]).reset_index(drop=True))
+
+
+def quarterly_order_growth(sf_dir: str):
+    """Reporting rollup with sequential deltas: orders and exact
+    integer-cents revenue per calendar quarter, plus the change vs the
+    PREVIOUS OBSERVED quarter (the EWMA observed-grid convention — the
+    first quarter drops, having no predecessor). Per-batch
+    (year, quarter) partials fold to the bounded quarter grid; deltas
+    are driver arithmetic. Emits (o_year, o_quarter, n_orders,
+    rev_cents, delta_n, delta_cents)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderdate", "o_totalprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("o_orderdate")))
+        d = b.column("o_orderdate")
+        yr = pc.year(d).to_numpy(zero_copy_only=False).astype(np.int64)
+        q = ((pc.month(d).to_numpy(zero_copy_only=False)
+              .astype(np.int64) - 1) // 3) + 1
+        cents = _cents(b.column("o_totalprice")
+                       .to_numpy(zero_copy_only=False))
+        df = pd.DataFrame({"y": yr, "q": q, "cents": cents})
+        g = (df.groupby(["y", "q"], as_index=False)
+             .agg(n=("cents", "size"), s=("cents", "sum")))
+        return pa.table({"y": pa.array(g["y"].to_numpy(np.int64)),
+                         "q": pa.array(g["q"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.int64))})
+
+    agg = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in [
+        "o_year", "o_quarter", "n_orders", "rev_cents", "delta_n",
+        "delta_cents"]})
+    if agg.empty:
+        return empty
+    agg = (agg.groupby(["y", "q"], as_index=False)
+           .agg(n=("n", "sum"), s=("s", "sum"))
+           .sort_values(["y", "q"]).reset_index(drop=True))
+    if len(agg) < 2:
+        return empty
+    out = agg.iloc[1:].reset_index(drop=True)
+    prev = agg.iloc[:-1].reset_index(drop=True)
+    return pd.DataFrame({
+        "o_year": out["y"].astype(np.int64),
+        "o_quarter": out["q"].astype(np.int64),
+        "n_orders": out["n"].astype(np.int64),
+        "rev_cents": out["s"].astype(np.int64),
+        "delta_n": (out["n"] - prev["n"]).astype(np.int64),
+        "delta_cents": (out["s"] - prev["s"]).astype(np.int64)})

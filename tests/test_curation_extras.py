@@ -3975,3 +3975,74 @@ def test_frequent_triples_path_equality(ray_session, tmp_path):
     fast = frequent_triples_parts(str(tmp_path))
     slow = frequent_triples_parts(str(tmp_path), fold_cap=0)
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_xcorr_peak_lag_planted(ray_session, tmp_path):
+    """views at hours {0,1}, purchases at {1,2}: the +1h lag aligns
+    both pairs (xcorr 2, rank 1); lags 0 and +2 each catch one."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import xcorr_peak_lag
+
+    hours = np.array([0, 1, 1, 2], dtype=np.int64)
+    types = ["view", "view", "purchase", "purchase"]
+    tab = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(4, dtype=np.int64)),
+        "ts": pa.array(hours * 3_600_000_000 + 7).cast(pa.timestamp("us")),
+        "event_type": pa.array(types),
+        "value": pa.array(np.ones(4)),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = xcorr_peak_lag(str(tmp_path)).set_index("lag")
+    assert got.loc[1, ["xcorr", "rk"]].tolist() == [2, 1]
+    assert got.loc[0, "xcorr"] == 1 and got.loc[2, "xcorr"] == 1
+    assert got.loc[-1, "xcorr"] == 0
+    assert len(got) == 25
+
+
+def test_nation_revenue_share_planted(ray_session, tmp_path):
+    """Two nations in one region with 3.00 vs 1.00 revenue ->
+    750000 / 250000 ppm."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import nation_revenue_share
+
+    _pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "r_regionkey": np.array([1], dtype=np.int64),
+        "r_name": ["R1"]}), preserve_index=False),
+        os.path.join(tmp_path, "region.parquet"))
+    _pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "n_nationkey": np.array([1, 2], dtype=np.int64),
+        "n_name": ["NA", "NB"],
+        "n_regionkey": np.array([1, 1], dtype=np.int64)}),
+        preserve_index=False),
+        os.path.join(tmp_path, "nation.parquet"))
+    _pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "c_custkey": np.array([10, 20], dtype=np.int64),
+        "c_nationkey": np.array([1, 2], dtype=np.int64)}),
+        preserve_index=False),
+        os.path.join(tmp_path, "customer.parquet"))
+    _pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+        "o_custkey": np.array([10, 20], dtype=np.int64),
+        "o_totalprice": [3.00, 1.00]}), preserve_index=False),
+        os.path.join(tmp_path, "orders.parquet"))
+    got = nation_revenue_share(str(tmp_path))
+    assert got.values.tolist() == [["R1", "NA", 300, 750_000],
+                                   ["R1", "NB", 100, 250_000]]
+
+
+def test_quarterly_order_growth_planted(ray_session, tmp_path):
+    """Q1'95 two 1.00 orders, Q2'95 one 2.50: only Q2 emits, with
+    delta_n = -1 and delta_cents = +50."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import quarterly_order_growth
+
+    dates = pd.to_datetime(["1995-01-15", "1995-02-20", "1995-05-20"])
+    od = pd.DataFrame({"o_orderdate": dates,
+                       "o_totalprice": [1.00, 1.00, 2.50]})
+    _pq.write_table(pa.Table.from_pandas(od, preserve_index=False),
+                    os.path.join(tmp_path, "orders.parquet"))
+    got = quarterly_order_growth(str(tmp_path))
+    assert got.values.tolist() == [[1995, 2, 1, 250, -1, 50]]
