@@ -944,6 +944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xcorr_peak_lag": Q.xcorr_peak_lag,
         "nation_revenue_share": Q.nation_revenue_share,
         "quarterly_order_growth": Q.quarterly_order_growth,
+        "value_moments_by_type": Q.value_moments_by_type,
+        "funnel3_view_click_purchase": Q.funnel3_view_click_purchase,
     }
 
 
@@ -4787,4 +4789,34 @@ def oracle_sql() -> dict[str, str]:
                    s AS rev_cents, (n - pn)::BIGINT AS delta_n,
                    (s - ps)::BIGINT AS delta_cents
             FROM l WHERE pn IS NOT NULL ORDER BY o_year, o_quarter""",
+        # raw power sums s1..s4 of floor-dollar values per type
+        "value_moments_by_type": """
+            WITH v AS (SELECT event_type,
+                              CAST(floor(value) AS HUGEINT) AS d
+                       FROM events WHERE value IS NOT NULL)
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   sum(d)::BIGINT AS s1,
+                   sum(d * d)::BIGINT AS s2,
+                   sum(d * d * d)::BIGINT AS s3,
+                   sum(d * d * d * d)::BIGINT AS s4
+            FROM v GROUP BY event_type ORDER BY event_type""",
+        # strict-order 3-step funnel on each step's FIRST occurrence
+        "funnel3_view_click_purchase": """
+            WITH e AS (SELECT user_id, event_type, ts FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            v AS (SELECT user_id, min(ts) AS tv FROM e
+                  WHERE event_type = 'view' GROUP BY user_id),
+            c AS (SELECT e.user_id, min(e.ts) AS tc
+                  FROM e JOIN v USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > v.tv
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id FROM e JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.tc
+                  GROUP BY e.user_id)
+            SELECT (SELECT count(DISTINCT user_id)
+                    FROM e)::BIGINT AS n_users,
+                   (SELECT count(*) FROM v)::BIGINT AS n_view,
+                   (SELECT count(*) FROM c)::BIGINT AS n_view_click,
+                   (SELECT count(*) FROM p)::BIGINT AS n_full""",
     }

@@ -222,6 +222,8 @@ def run_bench() -> dict:
         ("xcorr_peak_lag", Q.xcorr_peak_lag),
         ("nation_revenue_share", Q.nation_revenue_share),
         ("quarterly_order_growth", Q.quarterly_order_growth),
+        ("value_moments_by_type", Q.value_moments_by_type),
+        ("funnel3_view_click_purchase", Q.funnel3_view_click_purchase),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -14395,3 +14395,126 @@ def quarterly_order_growth(sf_dir: str):
         "rev_cents": out["s"].astype(np.int64),
         "delta_n": (out["n"] - prev["n"]).astype(np.int64),
         "delta_cents": (out["s"] - prev["s"]).astype(np.int64)})
+
+
+def value_moments_by_type(sf_dir: str):
+    """Full moment profile of event value per type — the exact-integer
+    power sums s1..s4 of FLOOR-DOLLAR values (consumers derive
+    variance/skewness/kurtosis from raw moments; the dollar floor keeps
+    v^4 sums int64-emittable at any realistic sf — the driver folds in
+    Python big ints off the same domain-bounded (type, value) histogram
+    as value_gini_by_type and would raise rather than wrap; the SQL
+    mirror widens to HUGEINT). Emits (event_type, n_events, s1, s2,
+    s3, s4)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        v = np.floor(b.column("value").to_numpy(zero_copy_only=False)) \
+            .astype(np.int64)
+        df = pd.DataFrame({"event_type": b.column("event_type")
+                           .to_pandas(), "v": v})
+        g = df.groupby(["event_type", "v"], as_index=False).size()
+        return pa.table({"event_type": pa.array(g["event_type"]),
+                         "v": pa.array(g["v"].to_numpy(np.int64)),
+                         "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    hist = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(["event_type", "v"])
+            .aggregate(Sum("n", alias_name="n")).to_pandas())
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        vs = [int(x) for x in g["v"]]
+        cs = [int(x) for x in g["n"]]
+        n = sum(cs)
+        s = [sum(c * v ** k for v, c in zip(vs, cs))
+             for k in (1, 2, 3, 4)]
+        rows.append((et, n, *s))
+    return pd.DataFrame(rows, columns=["event_type", "n_events",
+                                       "s1", "s2", "s3", "s4"]) \
+        .astype({c: np.int64 for c in ["n_events", "s1", "s2",
+                                       "s3", "s4"]})
+
+
+def funnel3_view_click_purchase(sf_dir: str):
+    """Three-step STRICT-ORDER funnel (view -> click -> purchase, each
+    step strictly after the previous step's FIRST occurrence): the
+    sequential-pattern extension of funnel_view_purchase. ONE
+    user-keyed time-ordered sorted_group_scan; the per-block path is
+    fully vectorized — first-view timestamps per group via
+    minimum.reduceat, then clicks strictly later than that view, then
+    purchases strictly later than that click, no per-group Python.
+    Emits ONE row (n_users, n_view, n_view_click, n_full)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    out_schema = pa.schema([("n_users", pa.int64()),
+                            ("n_view", pa.int64()),
+                            ("n_vc", pa.int64()),
+                            ("n_full", pa.int64())])
+    BIG = np.int64(2 ** 62)
+
+    def block_fn(b: pa.Table, starts, ends, want):
+        if not want.any():
+            return None
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sizes = (ends - starts).astype(np.int64)
+        grp = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        gstart = np.cumsum(sizes) - sizes
+
+        def first_after(mask, after_per_group):
+            cand = np.where(mask & (ts > after_per_group[grp]),
+                            ts, BIG)
+            return np.minimum.reduceat(cand, gstart)
+
+        neg = np.full(len(starts), np.int64(-2 ** 62))
+        tv = first_after(et == "view", neg)
+        tc = first_after(et == "click", tv)
+        tp = first_after(et == "purchase", tc)
+        w = want
+        return pa.table({
+            "n_users": pa.array([np.int64(w.sum())]),
+            "n_view": pa.array([np.int64((tv[w] < BIG).sum())]),
+            "n_vc": pa.array([np.int64((tc[w] < BIG).sum())]),
+            "n_full": pa.array([np.int64((tp[w] < BIG).sum())])})
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+
+        def first_after(mask, after):
+            c = ts[mask & (ts > after)]
+            return int(c.min()) if len(c) else None
+
+        tv = first_after(et == "view", -2 ** 62)
+        tc = first_after(et == "click", tv) if tv is not None else None
+        tp = first_after(et == "purchase", tc) \
+            if tc is not None else None
+        return pa.table({
+            "n_users": pa.array([np.int64(1)]),
+            "n_view": pa.array([np.int64(tv is not None)]),
+            "n_vc": pa.array([np.int64(tc is not None)]),
+            "n_full": pa.array([np.int64(tp is not None)])})
+
+    scan = sorted_group_scan(
+        ds.map_batches(_narrow_events, batch_format="pyarrow"),
+        ["user_id"], group_fn, out_schema,
+        order_cols=["ts_us", "event_id"], block_fn=block_fn)
+    agg = scan.to_pandas()
+    if agg.empty:
+        return pd.DataFrame({c: [0] for c in ["n_users", "n_view",
+                                              "n_view_click",
+                                              "n_full"]}) \
+            .astype(np.int64)
+    return pd.DataFrame({
+        "n_users": [int(agg["n_users"].sum())],
+        "n_view": [int(agg["n_view"].sum())],
+        "n_view_click": [int(agg["n_vc"].sum())],
+        "n_full": [int(agg["n_full"].sum())]}).astype(np.int64)

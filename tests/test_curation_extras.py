@@ -4046,3 +4046,51 @@ def test_quarterly_order_growth_planted(ray_session, tmp_path):
                     os.path.join(tmp_path, "orders.parquet"))
     got = quarterly_order_growth(str(tmp_path))
     assert got.values.tolist() == [[1995, 2, 1, 250, -1, 50]]
+
+
+def test_value_moments_planted(ray_session, tmp_path):
+    """dollars [1, 2, 2]: s1=5, s2=9, s3=17, s4=33."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import value_moments_by_type
+
+    tab = pa.table({
+        "event_id": pa.array(np.arange(3, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(3, dtype=np.int64)),
+        "ts": pa.array(np.arange(3, dtype=np.int64) * 60_000_000)
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 3),
+        "value": pa.array([1.2, 2.9, 2.0]),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = value_moments_by_type(str(tmp_path))
+    assert got.values.tolist() == [["e", 3, 5, 9, 17, 33]]
+
+
+def test_funnel3_planted(ray_session, tmp_path):
+    """user 0 completes view->click->purchase in strict order; user 1's
+    click precedes its view (stalls at view); user 2 never views; a
+    purchase BEFORE the click (user 3) does not count as full."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import funnel3_view_click_purchase
+
+    rows = [
+        (0, "view", 0), (0, "click", 1), (0, "purchase", 2),
+        (1, "click", 0), (1, "view", 1),
+        (2, "click", 0), (2, "purchase", 1),
+        (3, "view", 0), (3, "purchase", 1), (3, "click", 2),
+    ]
+    users = np.array([r[0] for r in rows], dtype=np.int64)
+    types = [r[1] for r in rows]
+    ts = np.array([r[2] for r in rows], dtype=np.int64) * 60_000_000
+    tab = pa.table({
+        "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(types),
+        "value": pa.array(np.ones(len(rows))),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = funnel3_view_click_purchase(str(tmp_path))
+    assert got.values.tolist() == [[4, 3, 2, 1]]
