@@ -946,6 +946,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quarterly_order_growth": Q.quarterly_order_growth,
         "value_moments_by_type": Q.value_moments_by_type,
         "funnel3_view_click_purchase": Q.funnel3_view_click_purchase,
+        "target_encode_source": Q.target_encode_source,
+        "lorenz_points_by_type": Q.lorenz_points_by_type,
     }
 
 
@@ -4819,4 +4821,51 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM v)::BIGINT AS n_view,
                    (SELECT count(*) FROM c)::BIGINT AS n_view_click,
                    (SELECT count(*) FROM p)::BIGINT AS n_full""",
+        # Laplace-smoothed P(lang='en') per source, floor-ppm
+        "target_encode_source": """
+            WITH d AS (SELECT source,
+                              CASE WHEN lang = 'en' THEN 1
+                                   ELSE 0 END AS y
+                       FROM documents
+                       WHERE source IS NOT NULL AND lang IS NOT NULL)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   sum(y)::BIGINT AS n_en,
+                   ((1000000::HUGEINT * (sum(y) + 1))
+                    // (count(*) + 2))::BIGINT AS enc_ppm
+            FROM d GROUP BY source ORDER BY source""",
+        # Lorenz points: cumulative value share at exact count deciles;
+        # boundary buckets split as extra * value (equal-valued ties)
+        "lorenz_points_by_type": """
+            WITH h AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT)
+                                AS cents,
+                              count(*)::HUGEINT AS n
+                       FROM events WHERE value IS NOT NULL
+                       GROUP BY event_type, cents),
+            c AS (SELECT event_type, cents, n,
+                         COALESCE(sum(n) OVER w, 0) AS cum_before,
+                         COALESCE(sum(n * cents) OVER w, 0)
+                           AS cumv_before
+                  FROM h
+                  WINDOW w AS (PARTITION BY event_type ORDER BY cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)),
+            t AS (SELECT event_type, sum(n)::HUGEINT AS nn,
+                         sum(n * cents)::HUGEINT AS tot
+                  FROM h GROUP BY event_type),
+            ks AS (SELECT t.event_type, g.i AS decile,
+                          ((g.i * t.nn + 9) // 10) AS depth, t.tot
+                   FROM t, range(1, 11) g(i)
+                   WHERE t.nn > 0 AND t.tot > 0),
+            j AS (SELECT ks.event_type, ks.decile, ks.depth, ks.tot,
+                         (c.cumv_before
+                          + (ks.depth - c.cum_before) * c.cents) AS cv
+                  FROM ks JOIN c ON c.event_type = ks.event_type
+                               AND c.cum_before < ks.depth
+                               AND ks.depth <= c.cum_before + c.n)
+            SELECT event_type, decile::BIGINT AS decile,
+                   depth::BIGINT AS depth, cv::BIGINT AS cum_cents,
+                   ((1000000::HUGEINT * cv) // tot)::BIGINT
+                     AS share_ppm
+            FROM j ORDER BY event_type, decile""",
     }

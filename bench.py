@@ -224,6 +224,8 @@ def run_bench() -> dict:
         ("quarterly_order_growth", Q.quarterly_order_growth),
         ("value_moments_by_type", Q.value_moments_by_type),
         ("funnel3_view_click_purchase", Q.funnel3_view_click_purchase),
+        ("target_encode_source", Q.target_encode_source),
+        ("lorenz_points_by_type", Q.lorenz_points_by_type),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -14518,3 +14518,101 @@ def funnel3_view_click_purchase(sf_dir: str):
         "n_view": [int(agg["n_view"].sum())],
         "n_view_click": [int(agg["n_vc"].sum())],
         "n_full": [int(agg["n_full"].sum())]}).astype(np.int64)
+
+
+TARGET_ENC_ALPHA = 1
+
+
+def target_encode_source(sf_dir: str):
+    """Categorical target encoding (ML feature engineering): per source,
+    the Laplace-smoothed P(lang = 'en') as floor-ppm —
+    (n_en + alpha) * 1e6 // (n + 2*alpha), alpha = 1 — the leakage-safe
+    prior-blended encoding. One bounded (source) fold of per-batch
+    (n, n_en) partials. Emits (source, n_docs, n_en, enc_ppm)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def part(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("source")),
+                    pc.is_valid(b.column("lang")))
+        b = b.filter(m)
+        df = pd.DataFrame({
+            "source": b.column("source").to_pandas(),
+            "y": pc.equal(b.column("lang"), "en").to_pandas()
+            .astype(np.int64)})
+        g = (df.groupby("source", as_index=False)
+             .agg(n=("y", "size"), n_en=("y", "sum")))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("n", alias_name="n_docs"),
+                      Sum("n_en", alias_name="n_en"))
+           .to_pandas())
+    if agg.empty:
+        return pd.DataFrame({
+            "source": pd.Series([], dtype=object),
+            "n_docs": pd.Series([], dtype=np.int64),
+            "n_en": pd.Series([], dtype=np.int64),
+            "enc_ppm": pd.Series([], dtype=np.int64)})
+    a = TARGET_ENC_ALPHA
+    agg["enc_ppm"] = np.array(
+        [(1_000_000 * (int(e) + a)) // (int(n) + 2 * a)
+         for n, e in zip(agg["n_docs"], agg["n_en"])], dtype=np.int64)
+    return (agg.astype({"n_docs": np.int64, "n_en": np.int64})
+            .sort_values("source").reset_index(drop=True))
+
+
+def lorenz_points_by_type(sf_dir: str):
+    """Lorenz-curve points for event value per type: at each population
+    decile (the poorest ceil(k*N/10) events by value, ties split by
+    sharing the SAME value so no tie order exists to resolve), the
+    cumulative value share in floor-ppm — the curve whose area is the
+    Gini the engine already reports. Off the shared domain-bounded
+    (type, cents) histogram fold: boundary buckets split EXACTLY as
+    extra_rows * v because every row in a bucket carries the identical
+    value — the rare two-phase rank that needs NO phase 2. Emits
+    (event_type, decile, depth, cum_cents, share_ppm)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        df = pd.DataFrame({
+            "event_type": b.column("event_type").to_pandas(),
+            "cents": _cents(b.column("value").to_numpy(
+                zero_copy_only=False))})
+        g = df.groupby(["event_type", "cents"], as_index=False).size()
+        return pa.table({"event_type": pa.array(g["event_type"]),
+                         "cents": pa.array(g["cents"].to_numpy(np.int64)),
+                         "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    hist = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(["event_type", "cents"])
+            .aggregate(Sum("n", alias_name="n")).to_pandas())
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        g = g.sort_values("cents")
+        v = [int(x) for x in g["cents"]]
+        c = [int(x) for x in g["n"]]
+        n = sum(c)
+        tot = sum(vi * ci for vi, ci in zip(v, c))
+        if n == 0 or tot == 0:
+            continue
+        cum_c, cum_v, idx = 0, 0, 0
+        for k in range(1, 11):
+            depth = (k * n + 9) // 10
+            while idx < len(v) and cum_c + c[idx] <= depth:
+                cum_c += c[idx]
+                cum_v += v[idx] * c[idx]
+                idx += 1
+            extra = depth - cum_c
+            cv = cum_v + (extra * v[idx] if extra > 0 else 0)
+            rows.append((et, k, depth, cv,
+                         (1_000_000 * cv) // tot))
+    return pd.DataFrame(rows, columns=["event_type", "decile", "depth",
+                                       "cum_cents", "share_ppm"]) \
+        .astype({c: np.int64 for c in ["decile", "depth", "cum_cents",
+                                       "share_ppm"]})

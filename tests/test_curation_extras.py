@@ -4094,3 +4094,51 @@ def test_funnel3_planted(ray_session, tmp_path):
     _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
     got = funnel3_view_click_purchase(str(tmp_path))
     assert got.values.tolist() == [[4, 3, 2, 1]]
+
+
+def test_target_encode_planted(ray_session, tmp_path):
+    """source s: 2 en of 3 -> (2+1)*1e6 // (3+2) = 600000; source t
+    with 0 en -> 1e6 // 3 = 333333 (the prior pull, never 0)."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import target_encode_source
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["x" * 60] * 4,
+        "lang": ["en", "en", "de", "fr"],
+        "source": ["s", "s", "s", "t"],
+        "n_chars": np.array([60] * 4, dtype=np.int64)})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = target_encode_source(str(tmp_path))
+    assert got.values.tolist() == [["s", 3, 2, 600_000],
+                                   ["t", 1, 0, 333_333]]
+
+
+def test_lorenz_points_planted(ray_session, tmp_path):
+    """4 events with cents [100, 100, 100, 500] (tot 800): depth
+    sequence ceil(4k/10) = [1,1,2,2,2,3,3,4,4,4]; cum value splits the
+    100-bucket exactly -> shares [125000 x5, 250000, 250000,
+    375000 x..., 1000000]."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import lorenz_points_by_type
+
+    tab = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(4, dtype=np.int64)),
+        "ts": pa.array(np.arange(4, dtype=np.int64) * 60_000_000)
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 4),
+        "value": pa.array([1.0, 1.0, 1.0, 5.0]),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = lorenz_points_by_type(str(tmp_path))
+    assert got["depth"].tolist() == [1, 1, 2, 2, 2, 3, 3, 4, 4, 4]
+    assert got["cum_cents"].tolist() == [100, 100, 200, 200, 200,
+                                         300, 300, 800, 800, 800]
+    assert got["share_ppm"].tolist() == [125_000, 125_000, 250_000,
+                                         250_000, 250_000, 375_000,
+                                         375_000, 1_000_000,
+                                         1_000_000, 1_000_000]
