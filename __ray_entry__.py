@@ -948,6 +948,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel3_view_click_purchase": Q.funnel3_view_click_purchase,
         "target_encode_source": Q.target_encode_source,
         "lorenz_points_by_type": Q.lorenz_points_by_type,
+        "haar_hourly_decompose": Q.haar_hourly_decompose,
+        "vocab_coverage_curve": Q.vocab_coverage_curve,
+        "user_lifetime_survival": Q.user_lifetime_survival,
     }
 
 
@@ -4868,4 +4871,72 @@ def oracle_sql() -> dict[str, str]:
                    ((1000000::HUGEINT * cv) // tot)::BIGINT
                      AS share_ppm
             FROM j ORDER BY event_type, decile""",
+        # unnormalized integer Haar: pair sums/diffs, 3 unrolled levels
+        "haar_hourly_decompose": """
+            WITH h AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hour,
+                              count(*)::BIGINT AS n
+                       FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            grid AS (SELECT g.i AS idx, COALESCE(h.n, 0)::BIGINT AS v
+                     FROM range(0, 32) g(i)
+                     LEFT JOIN h ON h.hour = g.i),
+            l1 AS (SELECT a.idx // 2 AS idx, a.v + b.v AS s,
+                          a.v - b.v AS d
+                   FROM grid a JOIN grid b ON b.idx = a.idx + 1
+                   WHERE a.idx % 2 = 0),
+            l2 AS (SELECT a.idx // 2 AS idx, a.s + b.s AS s,
+                          a.s - b.s AS d
+                   FROM l1 a JOIN l1 b ON b.idx = a.idx + 1
+                   WHERE a.idx % 2 = 0),
+            l3 AS (SELECT a.idx // 2 AS idx, a.s + b.s AS s,
+                          a.s - b.s AS d
+                   FROM l2 a JOIN l2 b ON b.idx = a.idx + 1
+                   WHERE a.idx % 2 = 0)
+            SELECT 'd1' AS kind, idx::BIGINT AS idx, d::BIGINT AS coef
+            FROM l1
+            UNION ALL SELECT 'd2', idx::BIGINT, d::BIGINT FROM l2
+            UNION ALL SELECT 'd3', idx::BIGINT, d::BIGINT FROM l3
+            UNION ALL SELECT 's3', idx::BIGINT, s::BIGINT FROM l3
+            ORDER BY kind, idx""",
+        # token-mass coverage of the top-10/100/1000 vocabulary ranks
+        "vocab_coverage_curve": """
+            WITH wc AS (SELECT word, count(*)::BIGINT AS n
+                        FROM (SELECT unnest(string_split(text, ' '))
+                                AS word
+                              FROM documents WHERE text IS NOT NULL)
+                        GROUP BY word),
+            r AS (SELECT n, row_number() OVER (ORDER BY n DESC, word)
+                           AS rk
+                  FROM wc),
+            t AS (SELECT sum(n)::HUGEINT AS total,
+                         count(*)::BIGINT AS nw FROM wc),
+            ks AS (SELECT unnest([10, 100, 1000]) AS top_k),
+            c AS (SELECT ks.top_k,
+                         least(ks.top_k, t.nw) AS n_words_at_k,
+                         (SELECT sum(n) FROM r
+                          WHERE rk <= ks.top_k)::HUGEINT AS covered,
+                         t.total
+                  FROM ks, t)
+            SELECT top_k::BIGINT AS top_k,
+                   n_words_at_k::BIGINT AS n_words_at_k,
+                   covered::BIGINT AS covered, total::BIGINT AS total,
+                   ((1000000::HUGEINT * covered) // total)::BIGINT
+                     AS coverage_ppm
+            FROM c ORDER BY top_k""",
+        # share of users with lifetime >= d days, d in 0..29
+        "user_lifetime_survival": """
+            WITH u AS (SELECT user_id,
+                              (epoch_us(max(ts)) - epoch_us(min(ts)))
+                                // 86400000000 AS life
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                       GROUP BY user_id),
+            t AS (SELECT count(*)::HUGEINT AS n FROM u),
+            d AS (SELECT g.i::BIGINT AS day FROM range(0, 30) g(i))
+            SELECT d.day,
+                   (SELECT count(*) FROM u
+                    WHERE u.life >= d.day)::BIGINT AS n_surviving,
+                   ((1000000::HUGEINT * (SELECT count(*) FROM u
+                     WHERE u.life >= d.day)) // t.n)::BIGINT
+                     AS survival_ppm
+            FROM d, t ORDER BY d.day""",
     }

@@ -14616,3 +14616,142 @@ def lorenz_points_by_type(sf_dir: str):
                                        "cum_cents", "share_ppm"]) \
         .astype({c: np.int64 for c in ["decile", "depth", "cum_cents",
                                        "share_ppm"]})
+
+
+HAAR_GRID = 32          # hours 0..23 zero-padded to the dyadic grid
+
+
+def haar_hourly_decompose(sf_dir: str):
+    """Multiresolution time-series decomposition: the UNNORMALIZED
+    integer Haar transform (pair sums and differences — no division, so
+    every coefficient is exact) of the global hour-of-day event-count
+    curve, zero-padded to the 32-slot dyadic grid. Three detail levels
+    (16 + 8 + 4 coefficients) plus the 4 level-3 smooth sums — the
+    denoising / burst-localization primitive. ONE bincount fold to the
+    24-value grid; the transform is driver integer arithmetic. Emits
+    (kind, idx, coef) with kind in d1/d2/d3/s3."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("ts")))
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = (ts // 3_600_000_000) % 24
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"hour": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow").to_pandas())
+    x = np.zeros(HAAR_GRID, dtype=np.int64)
+    if not agg.empty:
+        g = agg.groupby("hour")["n"].sum()
+        x[g.index.to_numpy(np.int64)] = g.to_numpy(np.int64)
+    rows = []
+    cur = x
+    for level in (1, 2, 3):
+        s = cur[0::2] + cur[1::2]
+        d = cur[0::2] - cur[1::2]
+        for i, dv in enumerate(d):
+            rows.append((f"d{level}", i, int(dv)))
+        cur = s
+    for i, sv in enumerate(cur):
+        rows.append(("s3", i, int(sv)))
+    return pd.DataFrame(rows, columns=["kind", "idx", "coef"]) \
+        .astype({"idx": np.int64, "coef": np.int64}) \
+        .sort_values(["kind", "idx"]).reset_index(drop=True)
+
+
+VOCAB_COVERAGE_RANKS = (10, 100, 1000)
+
+
+def vocab_coverage_curve(sf_dir: str):
+    """Zipf coverage audit for tokenizer sizing: what share of ALL token
+    occurrences do the top-10 / top-100 / top-1000 words (by count
+    desc, word asc) cover — exact floor-ppm off the distributed
+    vocabulary fold (word-bounded driver state, the
+    vocabulary_top_words shape). Emits (top_k, n_words_at_k,
+    covered, total, coverage_ppm) — n_words_at_k < top_k when the
+    vocabulary is smaller."""
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        flat, _, _ = _flatten_words_arrow(col)
+        g = (pa.table({"word": flat}).group_by(["word"])
+             .aggregate([([], "count_all")]))
+        return pa.table({"word": g.column("word"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("word").sum("n").to_pandas()
+           .rename(columns={"sum(n)": "n"}))
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in [
+        "top_k", "n_words_at_k", "covered", "total", "coverage_ppm"]})
+    if agg.empty:
+        return empty
+    agg = agg.sort_values(["n", "word"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    total = int(agg["n"].sum())
+    cum = np.cumsum(agg["n"].to_numpy(np.int64))
+    rows = []
+    for k in VOCAB_COVERAGE_RANKS:
+        kk = min(k, len(agg))
+        cov = int(cum[kk - 1])
+        rows.append((k, kk, cov, total, (1_000_000 * cov) // total))
+    return pd.DataFrame(rows, columns=["top_k", "n_words_at_k",
+                                       "covered", "total",
+                                       "coverage_ppm"]) \
+        .astype(np.int64)
+
+
+SURVIVAL_MAX_DAY = 29
+
+
+def user_lifetime_survival(sf_dir: str):
+    """Empirical survival curve of user lifetimes (Kaplan-Meier with no
+    censoring reduces to this): for each day d in 0..29, how many users
+    have lifetime floor((last_ts - first_ts) / 1 day) >= d, as
+    floor-ppm of all users. One narrow Min/Max groupby per user, then a
+    bounded 30-slot driver fold. Emits (day, n_surviving,
+    survival_ppm)."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("user_id")),
+                    pc.is_valid(b.column("ts")))
+        b = b.filter(m)
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "ts_us": b.column("ts").cast(pa.int64())})
+
+    agg = (ds.map_batches(narrow, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Min("ts_us", alias_name="mn"),
+                      Max("ts_us", alias_name="mx"))
+           .to_pandas())
+    empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in [
+        "day", "n_surviving", "survival_ppm"]})
+    if agg.empty:
+        return empty
+    life = ((agg["mx"].to_numpy(np.int64)
+             - agg["mn"].to_numpy(np.int64))
+            // 86_400_000_000).astype(np.int64)
+    n = len(life)
+    rows = []
+    for d in range(SURVIVAL_MAX_DAY + 1):
+        surv = int((life >= d).sum())
+        rows.append((d, surv, (1_000_000 * surv) // n))
+    return pd.DataFrame(rows, columns=["day", "n_surviving",
+                                       "survival_ppm"]).astype(np.int64)

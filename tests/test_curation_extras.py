@@ -4142,3 +4142,74 @@ def test_lorenz_points_planted(ray_session, tmp_path):
                                          250_000, 250_000, 375_000,
                                          375_000, 1_000_000,
                                          1_000_000, 1_000_000]
+
+
+def test_haar_decompose_planted(ray_session, tmp_path):
+    """Counts [3,1] at hours 0,1 (rest zero): d1[0]=3-1=2, s1[0]=4;
+    d2[0]=4-0=4, s2[0]=4; d3[0]=4, s3=[4,0,0,0]; all other detail
+    coefficients zero."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import haar_hourly_decompose
+
+    ts = np.array([0, 0, 0, 3_600_000_000], dtype=np.int64)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(4, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 4),
+        "value": pa.array(np.ones(4)),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = haar_hourly_decompose(str(tmp_path))
+    m = {(k, i): c for k, i, c in got.values.tolist()}
+    assert m[("d1", 0)] == 2 and m[("d2", 0)] == 4 \
+        and m[("d3", 0)] == 4 and m[("s3", 0)] == 4
+    assert sum(abs(v) for (k, _), v in m.items() if k != "s3") == 10
+    assert [m[("s3", i)] for i in range(4)] == [4, 0, 0, 0]
+    assert len(got) == 16 + 8 + 4 + 4
+
+
+def test_vocab_coverage_planted(ray_session, tmp_path):
+    """Words: a x4, b x2, c x1 (total 7). top-10 covers all 3 words
+    (n_words_at_k=3, coverage 7/7); ties/truncation exercised."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import vocab_coverage_curve
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": ["a a b c", "a a b"],
+        "lang": ["en", "en"],
+        "source": ["s", "s"],
+        "n_chars": np.array([7, 5], dtype=np.int64)})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = vocab_coverage_curve(str(tmp_path))
+    assert got.values.tolist() == [
+        [10, 3, 7, 7, 1_000_000],
+        [100, 3, 7, 7, 1_000_000],
+        [1000, 3, 7, 7, 1_000_000]]
+
+
+def test_user_lifetime_survival_planted(ray_session, tmp_path):
+    """user 0 spans 2.5 days (life 2), user 1 a single event (life 0):
+    day0 -> 2 users, day1/day2 -> 1 user, day3+ -> 0."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import user_lifetime_survival
+
+    day = 86_400_000_000
+    ts = np.array([0, day * 5 // 2, day], dtype=np.int64)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(3, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 1], dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 3),
+        "value": pa.array(np.ones(3)),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = user_lifetime_survival(str(tmp_path))
+    assert got["n_surviving"].tolist() == [2, 1, 1] + [0] * 27
+    assert got["survival_ppm"].tolist()[:3] == [1_000_000, 500_000,
+                                                500_000]
