@@ -951,6 +951,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haar_hourly_decompose": Q.haar_hourly_decompose,
         "vocab_coverage_curve": Q.vocab_coverage_curve,
         "user_lifetime_survival": Q.user_lifetime_survival,
+        "spearman_quantity_price": Q.spearman_quantity_price,
+        "chi2_word_lang": Q.chi2_word_lang,
+        "gini_stump_value_purchase": Q.gini_stump_value_purchase,
+        "conversion_latency_quartiles": Q.conversion_latency_quartiles,
     }
 
 
@@ -4939,4 +4943,120 @@ def oracle_sql() -> dict[str, str]:
                      WHERE u.life >= d.day)) // t.n)::BIGINT
                      AS survival_ppm
             FROM d, t ORDER BY d.day""",
+        # Pearson moments over doubled tie-average ranks (all integers)
+        "spearman_quantity_price": """
+            WITH r AS (SELECT CAST(round(l_quantity * 100) AS BIGINT)
+                              // 100 AS x,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                              // 100 AS y
+                       FROM lineitem),
+            hx AS (SELECT x AS val, count(*)::HUGEINT AS cnt
+                   FROM r GROUP BY 1),
+            rx AS (SELECT val, 2 * sum(cnt) OVER
+                          (ORDER BY val ROWS UNBOUNDED PRECEDING)
+                          - cnt + 1 AS r2
+                   FROM hx),
+            hy AS (SELECT y AS val, count(*)::HUGEINT AS cnt
+                   FROM r GROUP BY 1),
+            ry AS (SELECT val, 2 * sum(cnt) OVER
+                          (ORDER BY val ROWS UNBOUNDED PRECEDING)
+                          - cnt + 1 AS r2
+                   FROM hy),
+            m AS (SELECT rx.r2 AS rx2, ry.r2 AS ry2
+                  FROM r JOIN rx ON rx.val = r.x
+                         JOIN ry ON ry.val = r.y)
+            SELECT count(*)::BIGINT AS n,
+                   sum(rx2)::BIGINT AS sum_x, sum(ry2)::BIGINT AS sum_y,
+                   sum(rx2 * ry2)::BIGINT AS sum_xy,
+                   sum(rx2 * rx2)::BIGINT AS sum_x2,
+                   sum(ry2 * ry2)::BIGINT AS sum_y2
+            FROM m""",
+        # 2x2 chi-squared over doc-level word presence, top-10 per lang
+        "chi2_word_lang": """
+            WITH base AS (SELECT doc_id, lang, text FROM documents
+                          WHERE text IS NOT NULL AND lang IS NOT NULL),
+            dw AS (SELECT DISTINCT doc_id, lang, word FROM (
+                     SELECT doc_id, lang,
+                            unnest(string_split(text, ' ')) AS word
+                     FROM base)),
+            wl AS (SELECT word, lang, count(*)::HUGEINT AS a
+                   FROM dw GROUP BY 1, 2),
+            df AS (SELECT word, sum(a)::HUGEINT AS dfw
+                   FROM wl GROUP BY 1),
+            nl AS (SELECT lang, count(*)::HUGEINT AS nl
+                   FROM base GROUP BY 1),
+            tot AS (SELECT count(*)::HUGEINT AS n FROM base),
+            sc AS (SELECT wl.lang, wl.word, wl.a, df.dfw, nl.nl, t.n,
+                          (wl.a * (t.n - nl.nl - (df.dfw - wl.a))
+                           - (df.dfw - wl.a) * (nl.nl - wl.a)) AS delta
+                   FROM wl JOIN df USING (word)
+                           JOIN nl USING (lang), tot t
+                   WHERE df.dfw >= 5 AND df.dfw < t.n
+                     AND nl.nl < t.n),
+            scored AS (SELECT lang, word, a,
+                              ((1000000::HUGEINT * n * delta * delta)
+                               // (dfw * (n - dfw) * nl * (n - nl)))
+                                AS chi2
+                       FROM sc WHERE delta > 0),
+            rnk AS (SELECT lang, word, a, chi2,
+                           row_number() OVER (PARTITION BY lang
+                             ORDER BY chi2 DESC, word) AS rk
+                    FROM scored)
+            SELECT lang, word, a::BIGINT AS n_docs,
+                   chi2::BIGINT AS chi2_ppm, rk::BIGINT AS rk
+            FROM rnk WHERE rk <= 10 ORDER BY lang, rk""",
+        # weighted-Gini stump: minimize (aL*bL*nR + aR*bR*nL)/(nL*nR)
+        "gini_stump_value_purchase": """
+            WITH h AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                              count(*)::HUGEINT AS n,
+                              sum(CASE WHEN event_type = 'purchase'
+                                  THEN 1 ELSE 0 END)::HUGEINT AS a
+                       FROM events WHERE value IS NOT NULL GROUP BY 1),
+            t AS (SELECT sum(n)::HUGEINT AS n_t, sum(a)::HUGEINT AS a_t
+                  FROM h),
+            c AS (SELECT cents, sum(n) OVER w AS nl, sum(a) OVER w AS al
+                  FROM h WINDOW w AS (ORDER BY cents
+                                      ROWS UNBOUNDED PRECEDING)),
+            s AS (SELECT c.cents, c.nl, c.al, t.n_t - c.nl AS nr,
+                         t.a_t - c.al AS ar
+                  FROM c, t WHERE t.n_t - c.nl > 0),
+            sc AS (SELECT cents, nl, al, nr, ar,
+                          ((1000000000000::HUGEINT
+                            * (al * (nl - al) * nr + ar * (nr - ar) * nl))
+                           // (nl * nr)) AS score
+                   FROM s)
+            SELECT cents::BIGINT AS threshold_cents, nl::BIGINT AS n_left,
+                   al::BIGINT AS n_purchase_left, nr::BIGINT AS n_right,
+                   ar::BIGINT AS n_purchase_right,
+                   score::BIGINT AS score_p12
+            FROM sc ORDER BY score, cents LIMIT 1""",
+        # first-view -> first-purchase gap quartiles in quadrupled minutes
+        "conversion_latency_quartiles": """
+            WITH u AS (SELECT user_id,
+                              min(CASE WHEN event_type = 'view'
+                                  THEN ts END) AS v,
+                              min(CASE WHEN event_type = 'purchase'
+                                  THEN ts END) AS p
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                       GROUP BY 1),
+            g AS (SELECT (epoch_us(p) - epoch_us(v)) // 60000000
+                           AS gap_min
+                  FROM u WHERE v IS NOT NULL AND p IS NOT NULL
+                    AND p > v),
+            r AS (SELECT gap_min,
+                         row_number() OVER (ORDER BY gap_min) - 1 AS i
+                  FROM g),
+            t AS (SELECT count(*)::BIGINT AS n FROM g),
+            qs AS (SELECT unnest([1, 2, 3]) AS q),
+            pos AS (SELECT qs.q, ((t.n - 1) * qs.q) // 4 AS lo,
+                           ((t.n - 1) * qs.q) % 4 AS r4, t.n
+                    FROM qs, t WHERE t.n > 0)
+            SELECT pos.q::BIGINT AS q, pos.n AS n_users,
+                   (a.gap_min * (4 - pos.r4)
+                    + b.gap_min * pos.r4)::BIGINT AS gap4_min
+            FROM pos JOIN r a ON a.i = pos.lo
+            JOIN r b ON b.i = least(pos.lo + CASE WHEN pos.r4 > 0
+                                    THEN 1 ELSE 0 END, pos.n - 1)
+            ORDER BY q""",
     }

@@ -14755,3 +14755,312 @@ def user_lifetime_survival(sf_dir: str):
         rows.append((d, surv, (1_000_000 * surv) // n))
     return pd.DataFrame(rows, columns=["day", "n_surviving",
                                        "survival_ppm"]).astype(np.int64)
+
+
+def spearman_quantity_price(sf_dir: str):
+    """Tie-aware SPEARMAN rank correlation between lineitem quantity
+    (whole units) and extended price (floor dollars) — the
+    scale-robust complement of corr_quantity_price's Pearson and
+    kendall_tau's concordance: Pearson over DOUBLED average ranks
+    r2(v) = 2*cnt_less(v) + cnt_eq(v) + 1, which are pure integers, so
+    all six moment sums are exact and the mirror is digit-for-digit.
+    Two passes:
+
+    1. ONE stateless pass folds BOTH marginal (value, count)
+       histograms (rows tagged var 0/1 into a single domain-bounded
+       groupby); driver cumsums turn each into its r2 rank map
+       (r2 = 2*cum - cnt + 1), broadcast once via ray.put;
+    2. a second stateless pass looks ranks up with two searchsorted
+       probes and folds the six moment partials (one row per batch;
+       the driver sums tens of rows).
+
+    Emits ONE row (n, sum_x, sum_y, sum_xy, sum_x2, sum_y2) of the
+    doubled-rank moments; rho = (n*sxy - sx*sy) /
+    sqrt((n*sx2 - sx^2) * (n*sy2 - sy^2)) for the consumer. Component
+    magnitudes are O(n^3) — int64-exact through ~10^6 rows (the tested
+    tier; the SQL mirror runs HUGEINT throughout), past which the
+    consumer derives rho from n-scaled floats."""
+    import ray
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice"])
+
+    def hist_part(b: pa.Table) -> pa.Table:
+        x = _cents(b.column("l_quantity").to_numpy(
+            zero_copy_only=False)) // 100
+        y = _cents(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)) // 100
+        ux, cx = np.unique(x, return_counts=True)
+        uy, cy = np.unique(y, return_counts=True)
+        return pa.table({
+            "var": pa.array(np.concatenate([
+                np.zeros(len(ux), np.int64), np.ones(len(uy), np.int64)])),
+            "val": pa.array(np.concatenate([ux, uy]).astype(np.int64)),
+            "cnt": pa.array(np.concatenate([cx, cy]).astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (ds.map_batches(hist_part, batch_format="pyarrow")
+            .groupby(["var", "val"]).aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas().sort_values(["var", "val"]))
+    maps = []
+    for v in (0, 1):
+        sub = hist[hist["var"] == v]
+        vals = sub["val"].to_numpy(np.int64)
+        cnt = sub["cnt"].to_numpy(np.int64)
+        cum = np.cumsum(cnt)
+        maps.append((vals, 2 * cum - cnt + 1))
+    ref = ray.put(tuple(maps))
+
+    def moments(b: pa.Table, _ref=ref) -> pa.Table:
+        (xv, xr), (yv, yr) = ray.get(_ref)
+        x = _cents(b.column("l_quantity").to_numpy(
+            zero_copy_only=False)) // 100
+        y = _cents(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)) // 100
+        rx = xr[np.searchsorted(xv, x)]
+        ry = yr[np.searchsorted(yv, y)]
+        return pa.table({k: pa.array([np.int64(s)]) for k, s in [
+            ("n", len(rx)), ("sum_x", rx.sum()), ("sum_y", ry.sum()),
+            ("sum_xy", (rx * ry).sum()), ("sum_x2", (rx * rx).sum()),
+            ("sum_y2", (ry * ry).sum())]})
+
+    part = ds.map_batches(moments, batch_format="pyarrow").to_pandas()
+    out = part.sum().to_frame().T.astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+CHI2_MIN_DF = 5          # global doc-frequency floor for scored words
+CHI2_TOP_K = 10
+
+
+def chi2_word_lang(sf_dir: str):
+    """Chi-squared FEATURE SELECTION: the top-10 words most positively
+    associated with each language by the 2x2 chi-squared statistic over
+    doc-level presence (the classic vocabulary/feature-selection step
+    before training a lang classifier; Manning & Schuetze ch. 5). For
+    word w and lang L with a = docs of L containing w, dfw = docs
+    containing w, nl = docs of L, N = all docs:
+    chi2_ppm = floor(1e6 * N * (a*d - b*c)^2 / (dfw*(N-dfw)*nl*(N-nl)))
+    with b = dfw-a, c = nl-a, d = N-nl-b — every factor an exact count,
+    the division one floor both sides compute in big ints (HUGEINT in
+    the mirror). ONE pass folds per-batch DISTINCT (word, lang) doc
+    counts (an Arrow group_by per batch, then a vocab x langs groupby
+    — the vocabulary_top_words driver bound); lang totals ride the
+    same fold as the per-lang distinct-doc sum. Scored words need
+    global doc-freq >= 5, presence in not-all docs, and positive
+    association (a*d > b*c). Emits (lang, word, n_docs, chi2_ppm, rk),
+    rk = rank by (chi2 desc, word asc) within lang, top-10."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def present(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("text")),
+                             pc.is_valid(b.column("lang"))))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"word": pa.array([], type=pa.string()),
+                             "lang": pa.array([], type=pa.string()),
+                             "a": pa.array([], type=pa.int64())})
+        from rayschema.text import _flatten_words_arrow
+        flat, _, didx = _flatten_words_arrow(col)
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        t = pa.table({"word": flat,
+                      "doc": pa.array(didx.astype(np.int64)),
+                      "lang": pa.array(lang[didx])})
+        # distinct (doc, word) -> per-(word, lang) doc counts; each doc
+        # lives in exactly one batch so per-batch distinct is global
+        g = t.group_by(["word", "doc", "lang"]).aggregate([([], "count_all")])
+        g2 = pa.table({"word": g.column("word"), "lang": g.column("lang")}) \
+            .group_by(["word", "lang"]).aggregate([([], "count_all")])
+        return g2.rename_columns(["word", "lang", "a"])
+
+    wl = (ds.map_batches(present, batch_format="pyarrow")
+          .groupby(["word", "lang"]).aggregate(Sum("a", alias_name="a"))
+          .to_pandas())
+    # lang doc totals: tiny exact fold over the same null contract
+    def lang_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("text")),
+                             pc.is_valid(b.column("lang"))))
+        g = pa.table({"lang": b.column("lang")}).group_by(["lang"]) \
+            .aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "nl"])
+
+    lt = (ds.map_batches(lang_part, batch_format="pyarrow")
+          .groupby("lang").aggregate(Sum("nl", alias_name="nl"))
+          .to_pandas())
+    nl_map = dict(zip(lt["lang"], lt["nl"].astype(int)))
+    n_total = int(lt["nl"].sum())
+    cols = ["lang", "word", "n_docs", "chi2_ppm", "rk"]
+    if wl.empty or n_total == 0:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=(object if c in ("lang", "word") else np.int64))
+            for c in cols})
+    dfw_map = wl.groupby("word")["a"].sum().astype(int).to_dict()
+    rows = []
+    for word, lang, a in wl[["word", "lang", "a"]].itertuples(index=False):
+        a = int(a)
+        dfw, nl = dfw_map[word], nl_map[lang]
+        if dfw < CHI2_MIN_DF or dfw >= n_total or nl >= n_total:
+            continue
+        b_ = dfw - a
+        c_ = nl - a
+        d_ = n_total - nl - b_
+        delta = a * d_ - b_ * c_
+        if delta <= 0:
+            continue
+        chi2 = (1_000_000 * n_total * delta * delta) \
+            // (dfw * (n_total - dfw) * nl * (n_total - nl))
+        rows.append((lang, word, a, chi2))
+    if not rows:
+        return pd.DataFrame({c: pd.Series(
+            [], dtype=(object if c in ("lang", "word") else np.int64))
+            for c in cols})
+    df = pd.DataFrame(rows, columns=["lang", "word", "n_docs", "chi2_ppm"])
+    df = df.sort_values(["lang", "chi2_ppm", "word"],
+                        ascending=[True, False, True], kind="mergesort")
+    df["rk"] = df.groupby("lang").cumcount() + 1
+    df = df[df["rk"] <= CHI2_TOP_K].reset_index(drop=True)
+    return df.astype({"n_docs": np.int64, "chi2_ppm": np.int64,
+                      "rk": np.int64})
+
+
+def gini_stump_value_purchase(sf_dir: str):
+    """Decision-STUMP training: the best threshold on event value (in
+    exact cents) separating purchases from the rest by weighted Gini
+    impurity — the split-scoring primitive of every tree learner, run
+    as one distributed histogram fold. Minimizing weighted Gini
+    n_L/n*(1-pL^2-qL^2) + n_R/n*(...) is minimizing the integer-exact
+    fraction (aL*bL*nR + aR*bR*nL) / (nL*nR) (a = purchases,
+    b = non-purchases); candidates are 'value <= t' at every distinct
+    observed cents with a non-empty right side. The per-candidate
+    score is emitted as floor(1e12 * num / den) — big-int on the
+    driver, HUGEINT in the mirror — and the winner is
+    (score asc, threshold asc), so both sides resolve identically.
+    ONE map_batches pass folds the (cents, n, purchases) histogram
+    (domain-bounded driver state); the cumsum scan over distinct
+    values is driver arithmetic. Emits ONE row (threshold_cents,
+    n_left, n_purchase_left, n_right, n_purchase_right, score_p12)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("value")))
+        if b.num_rows == 0:
+            return pa.table({"cents": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "a": pa.array([], type=pa.int64())})
+        cents = _cents(b.column("value").to_numpy(zero_copy_only=False))
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        isp = (et.to_numpy(zero_copy_only=False) == "purchase") \
+            .astype(np.int64)
+        df = pd.DataFrame({"cents": cents, "a": isp})
+        g = df.groupby("cents", as_index=False).agg(
+            n=("a", "size"), a=("a", "sum"))
+        return pa.table({"cents": pa.array(g["cents"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "a": pa.array(g["a"].to_numpy(np.int64))})
+
+    hist = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("cents")
+            .aggregate(Sum("n", alias_name="n"), Sum("a", alias_name="a"))
+            .to_pandas().sort_values("cents"))
+    cols = ["threshold_cents", "n_left", "n_purchase_left", "n_right",
+            "n_purchase_right", "score_p12"]
+    if hist.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    v = hist["cents"].to_numpy(np.int64)
+    n = hist["n"].to_numpy(np.int64)
+    a = hist["a"].to_numpy(np.int64)
+    nt, at = int(n.sum()), int(a.sum())
+    nl_c, al_c = np.cumsum(n), np.cumsum(a)
+    best = None
+    for i in range(len(v) - 1):          # right side must be non-empty
+        nl, al = int(nl_c[i]), int(al_c[i])
+        nr, ar = nt - nl, at - al
+        num = al * (nl - al) * nr + ar * (nr - ar) * nl
+        score = (10 ** 12 * num) // (nl * nr)
+        key = (score, int(v[i]))
+        if best is None or key < best[0]:
+            best = (key, (int(v[i]), nl, al, nr, ar, score))
+    if best is None:                     # single distinct value: no split
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    return pd.DataFrame([best[1]], columns=cols).astype(np.int64)
+
+
+def conversion_latency_quartiles(sf_dir: str):
+    """Funnel LATENCY profile: minutes from each user's FIRST view to
+    their FIRST purchase (users whose first purchase follows their
+    first view), summarized as exact interpolated quartiles in
+    QUADRUPLED minutes — pos4 = (n-1)*q splits into lo = pos4 // 4 and
+    remainder r, and gap4 = g[lo]*(4-r) + g[lo+1]*r is a pure integer,
+    so percentile_cont semantics cross the oracle with no float (the
+    med2 trick generalized to quarters). ONE groupby(user) with two
+    sentinel Min aggregates finds the firsts (24 B/user shuffle); the
+    per-user gaps fold to a (gap_min, count) histogram partial pass,
+    and the quartile reads off the driver cumsum. Emits one row per
+    q in 1..3: (q, n_users, gap4_min)."""
+    from ray.data.aggregate import Min
+
+    SENT = np.int64(2 ** 62)
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.is_valid(b.column("ts"))))
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        etn = et.to_numpy(zero_copy_only=False)
+        ts = b.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "v_us": pa.array(np.where(etn == "view", ts, SENT)),
+            "p_us": pa.array(np.where(etn == "purchase", ts, SENT))})
+
+    firsts = (ds.map_batches(narrow, batch_format="pyarrow")
+              .groupby("user_id")
+              .aggregate(Min("v_us", alias_name="v"),
+                         Min("p_us", alias_name="p")))
+
+    def gap_hist(b: pa.Table) -> pa.Table:
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        p = b.column("p").to_numpy(zero_copy_only=False)
+        ok = (v < SENT) & (p < SENT) & (p > v)
+        gaps = (p[ok] - v[ok]) // 60_000_000
+        u, c = np.unique(gaps, return_counts=True)
+        return pa.table({"gap_min": pa.array(u.astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+
+    hist = (firsts.map_batches(gap_hist, batch_format="pyarrow")
+            .groupby("gap_min").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas().sort_values("gap_min"))
+    cols = ["q", "n_users", "gap4_min"]
+    if hist.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = hist["gap_min"].to_numpy(np.int64)
+    c = hist["cnt"].to_numpy(np.int64)
+    cum = np.cumsum(c)
+    n = int(cum[-1])
+    rows = []
+    for q in (1, 2, 3):
+        pos4 = (n - 1) * q
+        lo, r = pos4 // 4, pos4 % 4
+        glo = int(g[np.searchsorted(cum, lo + 1)])
+        ghi = int(g[np.searchsorted(cum, min(lo + (1 if r else 0),
+                                             n - 1) + 1)])
+        rows.append((q, n, glo * (4 - r) + ghi * r))
+    return pd.DataFrame(rows, columns=cols).astype(np.int64)

@@ -4213,3 +4213,106 @@ def test_user_lifetime_survival_planted(ray_session, tmp_path):
     assert got["n_surviving"].tolist() == [2, 1, 1] + [0] * 27
     assert got["survival_ppm"].tolist()[:3] == [1_000_000, 500_000,
                                                 500_000]
+
+
+def test_spearman_planted(ray_session, tmp_path):
+    """qty [1,1,2], price [10,20,30]: qty r2 for value 1 = 2*2-2+1 = 3
+    (both rows), for 2 = 2*3-1+1 = 6; price r2 = 1,3,5 doubled ->
+    2*1-1+1=2, 2*2-1+1=4, 2*3-1+1=6. sums: x=3+3+6=12, y=2+4+6=12,
+    xy=6+12+36=54, x2=9+9+36=54, y2=4+16+36=56."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import spearman_quantity_price
+
+    tab = pa.table({
+        "l_orderkey": pa.array(np.arange(3, dtype=np.int64)),
+        "l_quantity": pa.array([1.0, 1.0, 2.0]),
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0]),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "lineitem.parquet"))
+    got = spearman_quantity_price(str(tmp_path))
+    assert got[["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]] \
+        .values.tolist() == [[3, 12, 12, 54, 54, 56]]
+
+
+def test_chi2_word_lang_planted(ray_session, tmp_path):
+    """10 docs: 5 en, 5 de. 'foo' in all 5 en docs and 1 de doc
+    (dfw=6): for en a=5,b=1,c=0,d=4 -> delta=20, chi2_ppm =
+    1e6*10*400 // (6*4*5*5) = 6666666. For de delta = 1*0-5*4 < 0
+    (dropped). 'bar' in 3 de docs only (dfw=3 < 5: dropped).
+    Filler words 'pad0..pad9' appear once each (dfw=1: dropped)."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import chi2_word_lang
+
+    texts, langs = [], []
+    for i in range(5):
+        texts.append("foo pad%d" % i)
+        langs.append("en")
+    texts.append("foo bar pad5")
+    langs.append("de")
+    for i in range(2):
+        texts.append("bar pad%d" % (6 + i))
+        langs.append("de")
+    texts.extend(["pad8", "pad9"])
+    langs.extend(["de", "de"])
+    df = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": texts, "lang": langs, "source": ["s"] * 10,
+        "n_chars": np.array([len(t) for t in texts], dtype=np.int64)})
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(tmp_path, "documents.parquet"))
+    got = chi2_word_lang(str(tmp_path))
+    assert got.values.tolist() == [["en", "foo", 5, 6666666, 1]]
+
+
+def test_gini_stump_planted(ray_session, tmp_path):
+    """values 1,2,3,4 cents with purchase flags 0,0,1,1: the perfect
+    split at 2 has aL=0,bL=2,aR=2,bR=0 -> score 0; split at 1:
+    (0*1*3 + 2*1*2)//... = 1e12*4 // 3; split at 3: symmetric.
+    Winner = threshold 200 cents (value 2.0), score_p12 0."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import gini_stump_value_purchase
+
+    tab = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(4, dtype=np.int64)),
+        "ts": pa.array(np.zeros(4, dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["view", "click", "purchase", "purchase"]),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = gini_stump_value_purchase(str(tmp_path))
+    assert got.values.tolist() == [[200, 2, 0, 2, 2, 0]]
+
+
+def test_conversion_latency_planted(ray_session, tmp_path):
+    """Three converting users with gaps 10, 20, 40 min (user 3 purchases
+    BEFORE viewing: excluded). n=3: q1 pos4=2 -> lo=0,r=2 ->
+    10*2+20*2=60; q2 pos4=4 -> lo=1,r=0 -> 20*4=80; q3 pos4=6 ->
+    lo=1,r=2 -> 20*2+40*2=120."""
+    import pyarrow.parquet as _pq
+
+    from rayschema.queries import conversion_latency_quartiles
+
+    m = 60_000_000
+    rows = [
+        (0, 0, "view"), (0, 10 * m, "purchase"),
+        (1, 0, "view"), (1, 20 * m, "purchase"),
+        (2, 0, "view"), (2, 40 * m, "purchase"),
+        (3, 5 * m, "purchase"), (3, 10 * m, "view"),
+    ]
+    tab = pa.table({
+        "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "user_id": pa.array(np.array([r[0] for r in rows],
+                                     dtype=np.int64)),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array(np.ones(len(rows))),
+    })
+    _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = conversion_latency_quartiles(str(tmp_path))
+    assert got.values.tolist() == [[1, 3, 60], [2, 3, 80], [3, 3, 120]]
