@@ -226,6 +226,13 @@ def run_bench() -> dict:
         ("funnel3_view_click_purchase", Q.funnel3_view_click_purchase),
         ("target_encode_source", Q.target_encode_source),
         ("lorenz_points_by_type", Q.lorenz_points_by_type),
+        ("haar_hourly_decompose", Q.haar_hourly_decompose),
+        ("vocab_coverage_curve", Q.vocab_coverage_curve),
+        ("user_lifetime_survival", Q.user_lifetime_survival),
+        ("spearman_quantity_price", Q.spearman_quantity_price),
+        ("chi2_word_lang", Q.chi2_word_lang),
+        ("gini_stump_value_purchase", Q.gini_stump_value_purchase),
+        ("conversion_latency_quartiles", Q.conversion_latency_quartiles),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s
