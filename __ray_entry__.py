@@ -701,6 +701,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validate_documents_verdicts": Q.validate_documents_verdicts,
         "simhash_near_dup_documents": Q.simhash_near_dup_documents,
         "keep_best_per_cluster": Q.keep_best_per_cluster,
+        # -- session-12 additions (newest first: never checked anywhere) ---
+        "feature_hash_buckets": Q.feature_hash_buckets,
+        "scd2_user_state": Q.scd2_user_state,
+        "orders_in_flight_monthly": Q.orders_in_flight_monthly,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1491,6 +1495,88 @@ def oracle_sql() -> dict[str, str]:
                    bit_count(xor(a.sig, b.sig))::BIGINT AS hamming
             FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.sig, b.sig)) <= 3""",
+        # hashing-trick feature histogram: the same 62-bit codepoint
+        # polynomial token hash as simhash; bucket = h % 64, sign from
+        # bit 6; empty buckets drop on both sides
+        "feature_hash_buckets": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL),
+            tok AS (SELECT doc_id,
+                           unnest(regexp_extract_all(text,
+                                  '[A-Za-z0-9_]+')) AS t
+                    FROM d),
+            th AS (SELECT doc_id,
+                    (list_reduce(list_prepend(0::BIGINT,
+                        list_apply(string_split(t, ''),
+                                   c -> unicode(c)::BIGINT)),
+                        (acc, cp) -> (acc * 1000003 + cp + 1)
+                                     % 2147483647) << 31)
+                    + list_reduce(list_prepend(0::BIGINT,
+                        list_apply(string_split(t, ''),
+                                   c -> unicode(c)::BIGINT)),
+                        (acc, cp) -> (acc * 999983 + cp + 1)
+                                     % 2147483647) AS h
+                   FROM tok),
+            f AS (SELECT doc_id, h % 64 AS bucket,
+                         CASE WHEN (h >> 6) & 1 = 1 THEN -1
+                              ELSE 1 END AS sgn
+                  FROM th)
+            SELECT bucket::BIGINT AS bucket,
+                   COUNT(*)::BIGINT AS n_tokens,
+                   SUM(sgn)::BIGINT AS signed_sum,
+                   COUNT(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM f GROUP BY 1 ORDER BY 1""",
+        # SCD2 validity intervals: rn - rn_by_type islands + LEAD over
+        # first-event order; open intervals close at -1
+        "scd2_user_state": """
+            WITH e AS (SELECT user_id, event_type,
+                              epoch_us(ts) AS ts_us, event_id
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            o AS (SELECT user_id, event_type, ts_us,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts_us, event_id)
+                           AS rn,
+                         row_number() OVER (PARTITION BY user_id,
+                                                         event_type
+                                            ORDER BY ts_us, event_id)
+                           AS rnt
+                  FROM e),
+            isl AS (SELECT user_id, event_type,
+                           min(ts_us) AS vf, count(*) AS n_events,
+                           min(rn) AS first_rn
+                    FROM o GROUP BY user_id, event_type, rn - rnt),
+            w AS (SELECT user_id, event_type, vf, n_events,
+                         COALESCE(LEAD(vf) OVER (PARTITION BY user_id
+                                                 ORDER BY first_rn),
+                                  -1) AS vt,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY first_rn)
+                           AS scd_rn
+                  FROM isl)
+            SELECT user_id, scd_rn::BIGINT AS scd_rn, event_type,
+                   vf::BIGINT AS valid_from_us,
+                   vt::BIGINT AS valid_to_us,
+                   n_events::BIGINT AS n_events
+            FROM w ORDER BY user_id, scd_rn""",
+        # orders in flight at each month start: inner-join intervals
+        # [orderdate, max shipdate] against the month grid
+        "orders_in_flight_monthly": """
+            WITH oe AS (SELECT l_orderkey AS ok,
+                               max(l_shipdate) AS e
+                        FROM lineitem GROUP BY 1),
+            iv AS (SELECT o.o_orderdate AS s, oe.e
+                   FROM orders o JOIN oe ON o.o_orderkey = oe.ok),
+            m AS (SELECT unnest(generate_series(DATE '1990-01-01',
+                                 DATE '2009-12-01',
+                                 INTERVAL 1 MONTH))::DATE AS ms)
+            SELECT year(m.ms)::BIGINT AS yr,
+                   month(m.ms)::BIGINT AS mon,
+                   COUNT(*)::BIGINT AS n_open
+            FROM m JOIN iv
+              ON iv.s <= m.ms::TIMESTAMP AND m.ms::TIMESTAMP <= iv.e
+            GROUP BY 1, 2 ORDER BY 1, 2""",
         "minhash_near_dup_exact": """
             WITH docs AS (
               SELECT doc_id, text FROM documents

@@ -15085,3 +15085,225 @@ def conversion_latency_quartiles(sf_dir: str):
                                              n - 1) + 1)])
         rows.append((q, n, glo * (4 - r) + ghi * r))
     return pd.DataFrame(rows, columns=cols).astype(np.int64)
+
+
+FEATHASH_K = 64
+
+
+def feature_hash_buckets(sf_dir: str):
+    """Hashing-trick feature audit: the global signed feature-hash
+    histogram over word tokens — each token lands in bucket ``h % 64``
+    with sign +1/-1 from bit 6 of the SQL-mirrorable 62-bit
+    codepoint-polynomial token hash (dedup.poly_token_hash, the SimHash
+    family hash), so the per-doc hashed vectors a trainer would emit
+    fold into exactly these totals (collision mass, sign balance and
+    doc reach per feature slot — the audit that sizes the hash width).
+    ONE stateless pass: per block a 64-bin bincount triple (token
+    count, signed sum, distinct-doc count — a doc never spans batches),
+    64-row partials folded on the driver. Emits
+    (bucket, n_tokens, signed_sum, n_docs) for non-empty buckets."""
+    import re
+
+    from rayschema.dedup import poly_token_hash
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    word = re.compile(r"[A-Za-z0-9_]+")
+    k = FEATHASH_K
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        toks, lens = [], []
+        for t in b.column("text").to_pylist():
+            w = word.findall(t)
+            toks.extend(w)
+            lens.append(len(w))
+        empty = pa.table({"bucket": pa.array([], type=pa.int64()),
+                          "n_tokens": pa.array([], type=pa.int64()),
+                          "signed_sum": pa.array([], type=pa.int64()),
+                          "n_docs": pa.array([], type=pa.int64())})
+        if not toks:
+            return empty
+        h = poly_token_hash(toks)
+        bucket = (h % np.uint64(k)).astype(np.int64)
+        sgn = 1 - 2 * ((h >> np.uint64(6)) & np.uint64(1)).astype(np.int64)
+        n_tok = np.bincount(bucket, minlength=k)
+        s_sum = np.bincount(bucket, weights=sgn, minlength=k) \
+            .astype(np.int64)
+        di = np.repeat(np.arange(len(lens), dtype=np.int64),
+                       np.asarray(lens, dtype=np.int64))
+        pairs = np.unique(di * k + bucket)
+        n_doc = np.bincount(pairs % k, minlength=k)
+        return pa.table({"bucket": pa.array(np.arange(k, dtype=np.int64)),
+                         "n_tokens": pa.array(n_tok.astype(np.int64)),
+                         "signed_sum": pa.array(s_sum),
+                         "n_docs": pa.array(n_doc.astype(np.int64))})
+
+    agg = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    cols = ["bucket", "n_tokens", "signed_sum", "n_docs"]
+    if agg.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = agg.groupby("bucket", as_index=False).sum()
+    g = g[g["n_tokens"] > 0].sort_values("bucket").reset_index(drop=True)
+    return g[cols].astype(np.int64)
+
+
+def scd2_user_state(sf_dir: str):
+    """Warehouse SCD2 (slowly-changing-dimension type 2) derivation:
+    each user's event_type timeline collapsed to validity intervals —
+    one row per consecutive same-type run in (ts, event_id) order with
+    valid_from_us = the run's first timestamp, valid_to_us = the NEXT
+    run's first timestamp (-1 for the still-open current state), and
+    the run's event count. ONE user-keyed sorted_group_scan (the
+    sessionization shape); run boundaries are one vectorized neighbor
+    compare per group — mirrors the oracle's rn - rn_by_type island
+    trick + LEAD. Emits (user_id, scd_rn, event_type, valid_from_us,
+    valid_to_us, n_events)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("scd_rn", pa.int64()),
+                            ("event_type", pa.string()),
+                            ("valid_from_us", pa.int64()),
+                            ("valid_to_us", pa.int64()),
+                            ("n_events", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        uid = int(g.column("user_id")[0].as_py())
+        n = len(et)
+        if n == 0:
+            return None
+        starts = np.flatnonzero(
+            np.concatenate([[True], et[1:] != et[:-1]]))
+        ends = np.concatenate([starts[1:], [n]])
+        vf = ts[starts].astype(np.int64)
+        vt = np.concatenate([vf[1:], [-1]]).astype(np.int64)
+        r = len(starts)
+        return pa.table({
+            "user_id": pa.array(np.full(r, uid, dtype=np.int64)),
+            "scd_rn": pa.array(np.arange(1, r + 1, dtype=np.int64)),
+            "event_type": pa.array([str(x) for x in et[starts]],
+                                   type=pa.string()),
+            "valid_from_us": pa.array(vf),
+            "valid_to_us": pa.array(vt),
+            "n_events": pa.array((ends - starts).astype(np.int64))})
+
+    scan = sorted_group_scan(
+        ds.map_batches(_narrow_events, batch_format="pyarrow"),
+        ["user_id"], group_fn, out_schema,
+        order_cols=["ts_us", "event_id"])
+    return (scan.to_pandas().sort_values(["user_id", "scd_rn"])
+            .reset_index(drop=True))
+
+
+# month-index grid for the in-flight sweep: months since 1990-01,
+# 240 slots (1990-01 .. 2009-12) — generously brackets the synthetic
+# order-date range (1995-2001); out-of-grid dates raise, never clip.
+FLIGHT_BASE_M = (1990 - 1970) * 12
+FLIGHT_SLOTS = 240
+
+
+def orders_in_flight_monthly(sf_dir: str):
+    """Interval sweep-line: how many orders are IN FLIGHT (placed but
+    not yet fully shipped: o_orderdate <= d <= max l_shipdate) at each
+    month start — the WIP/backlog curve. Per-order intervals come from
+    ONE orderkey-keyed exchange: per-block partial max(shipdate) from
+    lineitem unioned with (orderkey, orderdate) from orders, folded on
+    the driver under the shared merge cap (orderkey-bounded state;
+    groupby(orderkey).max past it — same adaptive gate as
+    exact-dedup). The sweep itself never materializes per-day rows:
+    each interval contributes +1/-1 to a 240-slot month-grid delta
+    histogram inside map_batches; the driver folds and prefix-sums 240
+    ints. Orders with no lineitems drop (inner-join semantics). Emits
+    (yr, mon, n_open) for months with n_open > 0."""
+    from ray.data.aggregate import Max
+
+    day_us = 86_400_000_000
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate"])
+
+    def li_part(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        e = (b.column("l_shipdate").cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // day_us)
+        df = pd.DataFrame({"ok": ok, "d": e}) \
+            .groupby("ok", as_index=False).max()
+        return pa.table({"ok": pa.array(df["ok"].to_numpy(np.int64)),
+                         "s_day": pa.array(np.full(len(df), -1,
+                                                   dtype=np.int64)),
+                         "e_day": pa.array(df["d"].to_numpy(np.int64))})
+
+    def o_part(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = (b.column("o_orderdate").cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // day_us)
+        return pa.table({"ok": pa.array(ok),
+                         "s_day": pa.array(s.astype(np.int64)),
+                         "e_day": pa.array(np.full(len(ok), -1,
+                                                   dtype=np.int64))})
+
+    both = (li.map_batches(li_part, batch_format="pyarrow")
+            .union(orders.map_batches(o_part, batch_format="pyarrow")))
+
+    def delta_of(s_day: np.ndarray, e_day: np.ndarray) -> np.ndarray:
+        """+1/-1 month-grid delta histogram for [s, e] day intervals."""
+        s = s_day.astype("datetime64[D]")
+        e = e_day.astype("datetime64[D]")
+        s_m = s.astype("datetime64[M]")
+        a = (s_m.astype(np.int64)
+             + (s != s_m.astype("datetime64[D]")).astype(np.int64)
+             - FLIGHT_BASE_M)
+        bnd = e.astype("datetime64[M]").astype(np.int64) - FLIGHT_BASE_M
+        if len(a) and (a.min() < 0 or bnd.max() >= FLIGHT_SLOTS):
+            raise ValueError(
+                "order dates outside the 1990-2009 sweep grid")
+        delta = np.zeros(FLIGHT_SLOTS + 1, dtype=np.int64)
+        keep = a <= bnd
+        np.add.at(delta, a[keep], 1)
+        np.add.at(delta, bnd[keep] + 1, -1)
+        return delta
+
+    n_orders = _table_rows(sf_dir, "orders")
+    if n_orders is not None and n_orders <= TRIPLE_DRIVER_MERGE_CAP:
+        iv = both.to_pandas().groupby("ok", as_index=False).max()
+        iv = iv[(iv["s_day"] >= 0) & (iv["e_day"] >= 0)]
+        delta = delta_of(iv["s_day"].to_numpy(np.int64),
+                         iv["e_day"].to_numpy(np.int64))
+    else:
+        # scale path: intervals never reach the driver — each grouped
+        # block folds to one 241-int delta partial inside map_batches
+        def block_delta(b: pa.Table) -> pa.Table:
+            s = b.column("s_day").to_numpy(zero_copy_only=False)
+            e = b.column("e_day").to_numpy(zero_copy_only=False)
+            m = (s >= 0) & (e >= 0)
+            d = delta_of(s[m].astype(np.int64), e[m].astype(np.int64))
+            return pa.table({
+                "idx": pa.array(np.arange(FLIGHT_SLOTS + 1,
+                                          dtype=np.int64)),
+                "d": pa.array(d)})
+
+        parts = (both.groupby("ok")
+                 .aggregate(Max("s_day", alias_name="s_day"),
+                            Max("e_day", alias_name="e_day"))
+                 .map_batches(block_delta, batch_format="pyarrow")
+                 .to_pandas())
+        delta = np.zeros(FLIGHT_SLOTS + 1, dtype=np.int64)
+        if not parts.empty:
+            g = parts.groupby("idx")["d"].sum()
+            delta[g.index.to_numpy(np.int64)] = g.to_numpy(np.int64)
+    n_open = np.cumsum(delta[:FLIGHT_SLOTS])
+    idx = np.flatnonzero(n_open > 0)
+    months = idx + FLIGHT_BASE_M
+    return pd.DataFrame({
+        "yr": months // 12 + 1970,
+        "mon": months % 12 + 1,
+        "n_open": n_open[idx]}).astype(np.int64)

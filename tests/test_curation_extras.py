@@ -4316,3 +4316,103 @@ def test_conversion_latency_planted(ray_session, tmp_path):
     _pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
     got = conversion_latency_quartiles(str(tmp_path))
     assert got.values.tolist() == [[1, 3, 60], [2, 3, 80], [3, 3, 120]]
+
+
+def test_feature_hash_buckets_planted(ray_session, tmp_path):
+    """Tokens 'ab' x3 (two docs) and 'c' x1: expected buckets/signs
+    recomputed from the documented polynomial-hash formula in pure
+    Python ints, independent of the vectorized implementation."""
+    from rayschema.queries import feature_hash_buckets
+
+    def hash_of(tok):
+        m, h1, h2 = 2147483647, 0, 0
+        for ch in tok:
+            h1 = (h1 * 1000003 + ord(ch) + 1) % m
+            h2 = (h2 * 999983 + ord(ch) + 1) % m
+        return (h1 << 31) + h2
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(2, dtype=np.int64),
+        "text": ["ab ab c", "ab"],
+        "lang": ["en", "en"],
+        "source": ["s", "s"],
+        "n_chars": np.array([7, 2], dtype=np.int64)})
+    got = feature_hash_buckets(_write_docs(tmp_path, df))
+
+    exp = {}
+    for tok, cnt, docs in (("ab", 3, 2), ("c", 1, 1)):
+        h = hash_of(tok)
+        b = h % 64
+        sgn = -1 if (h >> 6) & 1 else 1
+        e = exp.setdefault(b, [0, 0, set()])
+        e[0] += cnt
+        e[1] += sgn * cnt
+        e[2].add(tok)
+    # distinct-doc counts: 'ab' reaches both docs, 'c' only doc 0;
+    # if both tokens collide into one bucket n_docs is still 2
+    nd = {b: (2 if "ab" in toks else 1) for b, (_, _, toks) in exp.items()}
+    want = sorted((b, n, s, nd[b]) for b, (n, s, _) in exp.items())
+    assert got.values.tolist() == [list(w) for w in want]
+
+
+def test_scd2_user_state_planted(ray_session, tmp_path):
+    """user 0: types A,A,B,A at ts 0,1,2,3 us -> three validity rows
+    (A:[0,2) n=2, B:[2,3) n=1, A:[3,open) n=1); user 1: one open row."""
+    from rayschema.queries import scd2_user_state
+
+    tab = pa.table({
+        "event_id": pa.array(np.arange(5, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 0, 0, 1], dtype=np.int64)),
+        "ts": pa.array(np.array([0, 1, 2, 3, 7], dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["A", "A", "B", "A", "Z"]),
+        "value": pa.array(np.ones(5)),
+    })
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = scd2_user_state(str(tmp_path))
+    assert got.values.tolist() == [
+        [0, 1, "A", 0, 2, 2],
+        [0, 2, "B", 2, 3, 1],
+        [0, 3, "A", 3, -1, 1],
+        [1, 1, "Z", 7, -1, 1]]
+
+
+def test_orders_in_flight_planted(ray_session, tmp_path, monkeypatch):
+    """ok=1 spans 1995-01-15..1995-03-10 (open at Feb and Mar month
+    starts), ok=2 placed exactly ON 1995-02-01 and ships 02-20 (Feb
+    only — start-equals-month-start edge), ok=3 has no lineitems and
+    drops. Scale path (cap=0, Ray groupby + in-map delta partials)
+    must agree exactly."""
+    import rayschema.queries as Q
+    from rayschema.queries import orders_in_flight_monthly
+
+    day_us = 86_400_000_000
+
+    def d(y, m, dd):
+        return (np.datetime64(f"{y:04d}-{m:02d}-{dd:02d}")
+                .astype("datetime64[us]").astype(np.int64))
+
+    orders = pa.table({
+        "o_orderkey": pa.array(np.array([1, 2, 3], dtype=np.int64)),
+        "o_custkey": pa.array(np.zeros(3, dtype=np.int64)),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array(np.ones(3)),
+        "o_orderdate": pa.array(np.array(
+            [d(1995, 1, 15), d(1995, 2, 1), d(1995, 6, 1)],
+            dtype=np.int64)).cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)})
+    li = pa.table({
+        "l_orderkey": pa.array(np.array([1, 1, 2], dtype=np.int64)),
+        "l_shipdate": pa.array(np.array(
+            [d(1995, 2, 5), d(1995, 3, 10), d(1995, 2, 20)],
+            dtype=np.int64)).cast(pa.timestamp("us"))})
+    pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
+    pq.write_table(li, os.path.join(tmp_path, "lineitem.parquet"))
+
+    want = [[1995, 2, 2], [1995, 3, 1]]
+    got = orders_in_flight_monthly(str(tmp_path))
+    assert got.values.tolist() == want
+
+    monkeypatch.setattr(Q, "TRIPLE_DRIVER_MERGE_CAP", 0)
+    got2 = orders_in_flight_monthly(str(tmp_path))
+    assert got2.values.tolist() == want
