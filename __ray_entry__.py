@@ -705,6 +705,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "feature_hash_buckets": Q.feature_hash_buckets,
         "scd2_user_state": Q.scd2_user_state,
         "orders_in_flight_monthly": Q.orders_in_flight_monthly,
+        "dbscan_embeddings": Q.dbscan_embeddings,
+        "bootstrap_ci_value": Q.bootstrap_ci_value,
+        "hll_registers_cert": Q.hll_registers_cert,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1560,6 +1563,90 @@ def oracle_sql() -> dict[str, str]:
                    vt::BIGINT AS valid_to_us,
                    n_events::BIGINT AS n_events
             FROM w ORDER BY user_id, scd_rn""",
+        # HLL register build: 32-bit multiplicative hash, top-6-bit
+        # register, rho = leading zeros of the 26-bit window + 1
+        # (binary-string length mirrors numpy frexp exactly)
+        "hll_registers_cert": """
+            WITH u AS (SELECT user_id FROM events
+                       WHERE user_id IS NOT NULL),
+            h AS (SELECT (user_id * 2654435761) % 4294967296 AS h
+                  FROM u),
+            rw AS (SELECT h // 67108864 AS register,
+                          h % 67108864 AS w
+                   FROM h),
+            r AS (SELECT register,
+                         CASE WHEN w = 0 THEN 27
+                              ELSE 27 - length(format('{:b}', w))
+                         END AS rho
+                  FROM rw)
+            SELECT register::BIGINT AS register,
+                   max(rho)::BIGINT AS max_rho
+            FROM r GROUP BY 1 ORDER BY 1""",
+        # deterministic multiplier bootstrap: 16 hash-weighted
+        # replicate means per type; the oracle pays the 16x cross
+        # join the engine's fused per-block passes avoid
+        "bootstrap_ci_value": """
+            WITH e AS (SELECT event_type, event_id % 1000003 AS eid,
+                              CAST(round(value * 100) AS BIGINT)
+                                AS cents
+                       FROM events
+                       WHERE value IS NOT NULL
+                         AND event_type IS NOT NULL),
+            r AS (SELECT unnest(generate_series(0, 15)) AS b),
+            w AS (SELECT e.event_type, r.b,
+                         ((e.eid * 2654435761 + r.b * 97) % 1000003)
+                           % 3 AS w,
+                         e.cents
+                  FROM e CROSS JOIN r)
+            SELECT event_type, b::BIGINT AS b,
+                   SUM(w)::BIGINT AS n_eff,
+                   ((1000 * SUM(w * cents)) // SUM(w))::BIGINT
+                     AS mean_milli_cents
+            FROM w GROUP BY 1, 2 HAVING SUM(w) > 0
+            ORDER BY 1, 2""",
+        # DBSCAN at the vec_id<300 ground-truth scope: integer squared
+        # euclidean on 1e-6-quantized coords, core iff >=5 in-eps
+        # (self included), recursive min-label over core-core edges,
+        # border takes min core-neighbor label, noise -1
+        "dbscan_embeddings": """
+            WITH RECURSIVE v AS (
+              SELECT e.vec_id, i.range AS d,
+                     round(e.embedding[i.range]::DOUBLE
+                           * 1000000)::BIGINT AS q
+              FROM embeddings e, range(1, 65) i
+              WHERE e.vec_id < 300),
+            dd AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                          sum((a.q - b.q) * (a.q - b.q)) AS d2
+                   FROM v a JOIN v b
+                     ON a.d = b.d AND a.vec_id <> b.vec_id
+                   GROUP BY 1, 2),
+            nbr AS (SELECT ia, ib FROM dd
+                    WHERE d2 <= 1420000000000),
+            core AS (SELECT ia AS vec_id FROM nbr GROUP BY ia
+                     HAVING count(*) + 1 >= 5),
+            ce AS (SELECT n.ia AS a, n.ib AS b FROM nbr n
+                   JOIN core x ON x.vec_id = n.ia
+                   JOIN core y ON y.vec_id = n.ib),
+            lab(node, label) AS (
+              SELECT vec_id, vec_id FROM core
+              UNION
+              SELECT e.a, l.label FROM ce e JOIN lab l ON l.node = e.b),
+            clab AS (SELECT node, min(label) AS cluster
+                     FROM lab GROUP BY node),
+            allv AS (SELECT DISTINCT vec_id FROM v)
+            SELECT av.vec_id,
+                   CASE WHEN c.node IS NOT NULL THEN 'core'
+                        WHEN bl.cluster IS NOT NULL THEN 'border'
+                        ELSE 'noise' END AS role,
+                   COALESCE(c.cluster, bl.cluster, -1)::BIGINT
+                     AS cluster
+            FROM allv av
+            LEFT JOIN clab c ON c.node = av.vec_id
+            LEFT JOIN (SELECT n.ia AS vec_id,
+                              min(cl.cluster) AS cluster
+                       FROM nbr n JOIN clab cl ON cl.node = n.ib
+                       GROUP BY 1) bl ON bl.vec_id = av.vec_id
+            ORDER BY av.vec_id""",
         # orders in flight at each month start: inner-join intervals
         # [orderdate, max shipdate] against the month grid
         "orders_in_flight_monthly": """

@@ -15307,3 +15307,181 @@ def orders_in_flight_monthly(sf_dir: str):
         "yr": months // 12 + 1970,
         "mon": months % 12 + 1,
         "n_open": n_open[idx]}).astype(np.int64)
+
+
+DBSCAN_SCOPE = 300
+DBSCAN_EPS2 = 1_420_000_000_000   # eps^2 on 1e-6-quantized coordinates
+DBSCAN_MIN_PTS = 5                # neighborhood count INCLUDING the point
+
+
+def dbscan_embeddings(sf_dir: str):
+    """Density-based clustering (DBSCAN) over the vec_id < 300
+    ground-truth scope (the mutual_nn / exact_jaccard convention: an
+    oracled audit at a stated bound — the full-corpus scale path is
+    LSH-bucketed neighbor candidates + the distributed union-find that
+    near_dup_clusters_distributed already ships). Distances are exact
+    integer squared euclidean on 1e-6-quantized coordinates (the
+    kmeans_quantized convention), so core/border/noise and the
+    min-vec-id component labels are all hash-checkable: core iff
+    |N_eps(p)| >= 5 (self included), clusters = connected components
+    of the core-core eps-graph labeled by min core id, border points
+    take the min label among their core neighbors, noise labels -1.
+    Emits (vec_id, role, cluster)."""
+    from rayschema.dedup import round_half_away
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sub = (ds.filter(expr=f"vec_id < {DBSCAN_SCOPE}").to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    cols = ["vec_id", "role", "cluster"]
+    if sub.empty:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                             "role": pd.Series([], dtype=object),
+                             "cluster": pd.Series([], dtype=np.int64)})
+    ids = sub["vec_id"].to_numpy(np.int64)
+    q = round_half_away(np.stack(sub["embedding"].to_numpy())
+                        .astype(np.float64) * 1e6, 0).astype(np.int64)
+    d2 = ((q[:, None, :] - q[None, :, :]) ** 2).sum(-1)
+    near = d2 <= DBSCAN_EPS2                      # includes self (d2=0)
+    core = near.sum(1) >= DBSCAN_MIN_PTS
+    n = len(ids)
+    # min-label components over the core-core eps-graph (path halving)
+    parent = np.arange(n)
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    ci = np.flatnonzero(core)
+    for a in ci:
+        for b in np.flatnonzero(near[a] & core):
+            ra, rb = find(a), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)   # min-id root wins
+    label = np.full(n, -1, dtype=np.int64)
+    for a in ci:
+        label[a] = ids[find(a)]
+    role = np.where(core, "core", "noise").astype(object)
+    for a in np.flatnonzero(~core):
+        cn = near[a] & core
+        if cn.any():
+            role[a] = "border"
+            label[a] = label[np.flatnonzero(cn)].min()
+    return pd.DataFrame({"vec_id": ids, "role": role,
+                         "cluster": label})[cols] \
+        .astype({"vec_id": np.int64, "cluster": np.int64})
+
+
+BOOT_B = 16                  # bootstrap replicates
+BOOT_MOD = 1000003           # weight-hash modulus (prime)
+BOOT_MUL = 2654435761        # Knuth multiplicative constant
+
+
+def bootstrap_ci_value(sf_dir: str):
+    """Deterministic multiplier bootstrap for the mean event value per
+    type: 16 replicates with integer weights w = ((event_id * K + b*97)
+    % 1000003) % 3 in {0,1,2} (E[w]=1 — the Poisson-bootstrap shape
+    with a reproducible hash instead of RNG, so resampling inference
+    becomes oracle-checkable). ONE stateless pass: each block emits 16
+    (type, b, sum_w, sum_w*cents) partials per type — no 16x row
+    expansion anywhere (the oracle pays the cross join; the engine
+    does 16 vectorized fused passes per block); a types*16-row groupby
+    folds them. The replicate spread IS the CI: read the 2.5%/97.5%
+    replicate means off the 16 rows. event_id reduces mod 1000003
+    BEFORE the multiply (congruence-identical, overflow-safe at any
+    id). Emits (event_type, b, n_eff, mean_milli_cents)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("value")),
+                             pc.is_valid(b.column("event_type"))))
+        eid = b.column("event_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False) % BOOT_MOD
+        cents = _cents(b.column("value").to_numpy(zero_copy_only=False))
+        et = b.column("event_type").to_pandas()
+        outs = []
+        for rep in range(BOOT_B):
+            w = ((eid * BOOT_MUL + rep * 97) % BOOT_MOD) % 3
+            df = pd.DataFrame({"event_type": et, "w": w,
+                               "wv": w * cents})
+            g = df.groupby("event_type", as_index=False).sum()
+            g["b"] = rep
+            outs.append(g)
+        allg = pd.concat(outs, ignore_index=True)
+        return pa.table({
+            "event_type": pa.array(allg["event_type"]),
+            "b": pa.array(allg["b"].to_numpy(np.int64)),
+            "w": pa.array(allg["w"].to_numpy(np.int64)),
+            "wv": pa.array(allg["wv"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(["event_type", "b"])
+           .aggregate(Sum("w", alias_name="w"),
+                      Sum("wv", alias_name="wv")).to_pandas())
+    cols = ["event_type", "b", "n_eff", "mean_milli_cents"]
+    if agg.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             "b": pd.Series([], dtype=np.int64),
+                             "n_eff": pd.Series([], dtype=np.int64),
+                             "mean_milli_cents": pd.Series(
+                                 [], dtype=np.int64)})
+    agg = agg[agg["w"] > 0]
+    agg["n_eff"] = agg["w"].astype(np.int64)
+    # floor division toward -inf matches the SQL // convention only for
+    # non-negative sums; values are non-negative cents so wv >= 0
+    agg["mean_milli_cents"] = (1000 * agg["wv"].astype(np.int64)
+                               // agg["n_eff"])
+    return (agg[cols].astype({"b": np.int64, "n_eff": np.int64,
+                              "mean_milli_cents": np.int64})
+            .sort_values(["event_type", "b"]).reset_index(drop=True))
+
+
+HLL_M = 64                    # registers (top-6-bit split of a 32-bit hash)
+HLL_WBITS = 26                # low-bit window scanned for the leading 1
+
+
+def hll_registers_cert(sf_dir: str):
+    """HyperLogLog register certification over event user ids (the
+    CMS/Bloom discipline: make the sketch construction itself
+    SQL-mirrorable, then the engine's distributed build is checkable
+    hash-for-hash instead of rows-only). h = (user_id * 2654435761)
+    mod 2^32 (the cms_user_event_counts multiplicative plane);
+    register = top 6 bits, rho = leading zeros of the low-26-bit
+    window + 1 (27 when the window is 0). Duplicate users can't move a
+    max, so the pass needs NO distinct: each block folds to <= 64
+    (register, max_rho) partials, the driver folds 64 ints. The
+    harmonic estimate is one driver expression over these registers —
+    the certified artifact is the register vector. Emits
+    (register, max_rho)."""
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        u = b.column("user_id")
+        u = pc.drop_null(u).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(u) == 0:
+            return pa.table({"register": pa.array([], type=pa.int64()),
+                             "max_rho": pa.array([], type=pa.int64())})
+        h = (u * np.uint64(2654435761)) % np.uint64(1 << 32)
+        reg = (h >> np.uint64(HLL_WBITS)).astype(np.int64)
+        w = (h & np.uint64((1 << HLL_WBITS) - 1)).astype(np.int64)
+        # frexp exponent == bit_length, exact for ints < 2^53; w == 0
+        # gives exponent 0 -> rho 27 (all-zero window)
+        rho = HLL_WBITS + 1 - np.frexp(w.astype(np.float64))[1]
+        mx = np.zeros(HLL_M, dtype=np.int64)
+        np.maximum.at(mx, reg, rho)
+        keep = np.flatnonzero(mx > 0)
+        return pa.table({"register": pa.array(keep.astype(np.int64)),
+                         "max_rho": pa.array(mx[keep])})
+
+    agg = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if agg.empty:
+        return pd.DataFrame({"register": pd.Series([], dtype=np.int64),
+                             "max_rho": pd.Series([], dtype=np.int64)})
+    g = (agg.groupby("register", as_index=False)["max_rho"].max()
+         .sort_values("register").reset_index(drop=True))
+    return g.astype(np.int64)

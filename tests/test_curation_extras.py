@@ -4416,3 +4416,71 @@ def test_orders_in_flight_planted(ray_session, tmp_path, monkeypatch):
     monkeypatch.setattr(Q, "TRIPLE_DRIVER_MERGE_CAP", 0)
     got2 = orders_in_flight_monthly(str(tmp_path))
     assert got2.values.tolist() == want
+
+
+def test_dbscan_embeddings_planted(ray_session, tmp_path):
+    """x-axis line: three points at 0 and two at 1 (each sees >= 5
+    in-eps incl self -> core, one component labeled 0), one at 2 (3
+    in-eps -> border of that component), one at 10 (noise). eps ~= 1.19
+    in raw coords (1.42e12 on 1e-6-quantized ints)."""
+    from rayschema.queries import dbscan_embeddings
+
+    xs = [0.0, 0.0, 0.0, 1.0, 1.0, 2.0, 10.0]
+    emb = [[x] + [0.0] * 63 for x in xs]
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(7, dtype=np.int64)),
+        "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(7, dtype=np.int32))})
+    pq.write_table(tab, os.path.join(tmp_path, "embeddings.parquet"))
+    got = dbscan_embeddings(str(tmp_path))
+    assert got.values.tolist() == [
+        [0, "core", 0], [1, "core", 0], [2, "core", 0],
+        [3, "core", 0], [4, "core", 0],
+        [5, "border", 0], [6, "noise", -1]]
+
+
+def test_bootstrap_ci_value_planted(ray_session, tmp_path):
+    """Two events (ids 0/1, cents 100/300): expected weights recomputed
+    from the documented hash formula in pure Python; replicates with
+    zero total weight drop."""
+    from rayschema.queries import bootstrap_ci_value
+
+    tab = pa.table({
+        "event_id": pa.array(np.array([0, 1], dtype=np.int64)),
+        "user_id": pa.array(np.zeros(2, dtype=np.int64)),
+        "ts": pa.array(np.array([0, 1], dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["e", "e"]),
+        "value": pa.array([1.0, 3.0])})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = bootstrap_ci_value(str(tmp_path))
+
+    want = []
+    for b in range(16):
+        w0 = ((0 * 2654435761 + b * 97) % 1000003) % 3
+        w1 = ((1 * 2654435761 + b * 97) % 1000003) % 3
+        if w0 + w1 > 0:
+            want.append(["e", b, w0 + w1,
+                         1000 * (w0 * 100 + w1 * 300) // (w0 + w1)])
+    assert got.values.tolist() == want
+    assert len(want) >= 12   # the planted ids must exercise most reps
+
+
+def test_hll_registers_cert_planted(ray_session, tmp_path):
+    """user 0 hashes to 0 (register 0, all-zero window -> rho 27);
+    user 1 hashes to 2654435761 (register 39, 26-bit window -> rho 1).
+    Duplicates of user 1 must not move the max."""
+    from rayschema.queries import hll_registers_cert
+
+    tab = pa.table({
+        "event_id": pa.array(np.arange(3, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 1, 1], dtype=np.int64)),
+        "ts": pa.array(np.zeros(3, dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 3),
+        "value": pa.array(np.ones(3))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = hll_registers_cert(str(tmp_path))
+    h1 = (1 * 2654435761) % (1 << 32)
+    assert got.values.tolist() == [
+        [0, 27], [h1 >> 26, 27 - (h1 & ((1 << 26) - 1)).bit_length()]]
