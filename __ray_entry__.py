@@ -120,6 +120,50 @@ def _kmeans_chain(p: str = "", lo: int = 1, hi: int = 65,
 _KMEANS_CTES = _kmeans_chain()
 
 
+def _kcenter_sql(k: int = 8) -> str:
+    """Unrolled farthest-point-first chain mirroring
+    rayschema.queries.kcenter_select_embeddings round for round
+    (integer squared distances on the same 1e-6 quantization)."""
+    # distances via ||a||^2 + ||b||^2 - 2<a,b> on DOUBLE lists: every
+    # intermediate is an integer-valued double < 2^53, so the native
+    # inner-product kernel is EXACT (equality-tested vs the BIGINT
+    # lambda form) and ~3000x faster than a per-dimension lambda
+    parts = ["""v AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> round(x::DOUBLE * 1000000)) AS qd
+              FROM embeddings)""",
+             """n AS MATERIALIZED (
+              SELECT vec_id, qd,
+                     list_inner_product(qd, qd) AS nn FROM v)""",
+             """dall AS MATERIALIZED (
+              SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     (a.nn + b.nn
+                      - 2 * list_inner_product(a.qd, b.qd))::BIGINT
+                       AS d2
+              FROM n a, n b)""",
+             """s1 AS (SELECT min(vec_id) AS vec_id,
+                              -1::BIGINT AS d2, 1 AS rnd FROM v)"""]
+    prev = ["s1"]
+    for r in range(2, k + 1):
+        sel = " UNION ALL ".join(f"SELECT vec_id FROM {s}"
+                                 for s in prev)
+        parts.append(f"""p{r} AS (
+              SELECT ia AS vec_id, min(d2) AS dmin FROM dall
+              WHERE ib IN ({sel}) AND ia NOT IN ({sel})
+              GROUP BY ia)""")
+        parts.append(f"""s{r} AS (
+              SELECT vec_id, dmin::BIGINT AS d2, {r} AS rnd FROM p{r}
+              ORDER BY dmin DESC, vec_id LIMIT 1)""")
+        prev.append(f"s{r}")
+    final = " UNION ALL ".join(
+        f"SELECT rnd, vec_id, d2 FROM {s}" for s in prev)
+    return ("WITH " + ",\n".join(parts)
+            + f""" SELECT rnd::BIGINT AS rnd, vec_id::BIGINT AS vec_id,
+                     d2::BIGINT AS d2
+              FROM ({final}) ORDER BY rnd""")
+
+
 def _hits_sql(iters: int = 2) -> str:
     """Unrolled integer-ppb HITS CTEs mirroring rayschema.graph.hits half-
     step for half-step (divide-by-ceil normalization in BIGINT — DuckDB
@@ -708,6 +752,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_embeddings": Q.dbscan_embeddings,
         "bootstrap_ci_value": Q.bootstrap_ci_value,
         "hll_registers_cert": Q.hll_registers_cert,
+        "twap_user_value": Q.twap_user_value,
+        "kcenter_select_embeddings": Q.kcenter_select_embeddings,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1563,6 +1609,29 @@ def oracle_sql() -> dict[str, str]:
                    vt::BIGINT AS valid_to_us,
                    n_events::BIGINT AS n_events
             FROM w ORDER BY user_id, scd_rn""",
+        # k-center greedy selection: unrolled farthest-point rounds
+        "kcenter_select_embeddings": _kcenter_sql(),
+        # time-weighted average value per user: LEAD gaps, exact
+        # integer numerator, floor-milli; zero-duration users drop
+        "twap_user_value": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                              CAST(round(value * 100) AS BIGINT)
+                                AS cents
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND value IS NOT NULL),
+            o AS (SELECT user_id, cents, ts_us,
+                         LEAD(ts_us) OVER (PARTITION BY user_id
+                                           ORDER BY ts_us, event_id)
+                           AS nxt
+                  FROM e),
+            g AS (SELECT user_id,
+                         SUM(cents * (nxt - ts_us)) AS num,
+                         SUM(nxt - ts_us) AS den
+                  FROM o WHERE nxt IS NOT NULL GROUP BY 1)
+            SELECT user_id, den::BIGINT AS dur_us,
+                   ((1000 * num) // den)::BIGINT AS twa_milli_cents
+            FROM g WHERE den > 0 ORDER BY 1""",
         # HLL register build: 32-bit multiplicative hash, top-6-bit
         # register, rho = leading zeros of the 26-bit window + 1
         # (binary-string length mirrors numpy frexp exactly)

@@ -15485,3 +15485,167 @@ def hll_registers_cert(sf_dir: str):
     g = (agg.groupby("register", as_index=False)["max_rho"].max()
          .sort_values("register").reset_index(drop=True))
     return g.astype(np.int64)
+
+
+def twap_user_value(sf_dir: str):
+    """Time-weighted average value per user (the TWAP / LOCF-integral:
+    each event's value holds until the next event, so the average is
+    sum(cents_i * dt_i) / sum(dt_i) over consecutive gaps — the metric
+    that ignores burst sampling). ONE user-keyed sorted_group_scan in
+    (ts, event_id) order; per group the numerator is one vectorized
+    dot of cents[:-1] with the us gaps (int64-exact while max_cents *
+    user_span_us < 2^63 — ~6e13 dollar-years; the HUGEINT-style object
+    fold is the documented wider-corpus path), floor-milli at the end.
+    Users whose events all share one timestamp (zero duration) drop.
+    Emits (user_id, dur_us, twa_milli_cents)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.and_(pc.is_valid(b.column("ts")),
+                                     pc.is_valid(b.column("value")))))
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "ts_us": pa.array(b.column("ts").cast(pa.int64())
+                              .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(b.column("event_id")
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64)),
+            "cents": pa.array(_cents(b.column("value")
+                                     .to_numpy(zero_copy_only=False)))})
+
+    out_schema = pa.schema([("user_id", pa.int64()),
+                            ("dur_us", pa.int64()),
+                            ("twa_milli_cents", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        c = g.column("cents").to_numpy(zero_copy_only=False)
+        if len(ts) < 2:
+            return None
+        dt = np.diff(ts)
+        den = int(dt.sum())
+        if den == 0:
+            return None
+        num = int((c[:-1] * dt).sum())
+        uid = int(g.column("user_id")[0].as_py())
+        return pa.table({
+            "user_id": pa.array([uid], type=pa.int64()),
+            "dur_us": pa.array([den], type=pa.int64()),
+            "twa_milli_cents": pa.array([(1000 * num) // den],
+                                        type=pa.int64())})
+
+    scan = sorted_group_scan(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        ["user_id"], group_fn, out_schema,
+        order_cols=["ts_us", "event_id"])
+    return (scan.to_pandas().sort_values("user_id")
+            .reset_index(drop=True))
+
+
+KCENTER_K = 8
+
+
+def kcenter_select_embeddings(sf_dir: str, k: int = KCENTER_K):
+    """k-center greedy (farthest-point-first) coreset selection over
+    the FULL embedding table — the diversity-sampling / active-learning
+    primitive: seed with the min vec_id, then 7 rounds each adding the
+    point farthest from the selected set (max min-distance, min vec_id
+    on ties). Distances are exact integer squared euclidean on
+    1e-6-quantized coords (the kmeans_quantized convention). The
+    quantized projection materializes ONCE (the spearman two-pass
+    discipline); each round is ONE stateless broadcast pass whose
+    per-block partial carries the best candidate AND its vector, so the
+    driver holds O(k x dim + blocks) state, never O(points). Emits
+    (rnd, vec_id, d2) with d2 = squared distance to the prior
+    selection (-1 for the seed)."""
+    from rayschema.dedup import round_half_away
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def quant(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], type=pa.int64()),
+                             "q": pa.array([], type=pa.list_(
+                                 pa.int64()))})
+        m = round_half_away(np.stack(
+            b.column("embedding").to_pandas().to_numpy())
+            .astype(np.float64) * 1e6, 0).astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids),
+                         "q": pa.array(list(m),
+                                       type=pa.list_(pa.int64()))})
+
+    proj = ds.map_batches(quant, batch_format="pyarrow").materialize()
+    empty_out = pd.DataFrame({"rnd": pd.Series([], dtype=np.int64),
+                              "vec_id": pd.Series([], dtype=np.int64),
+                              "d2": pd.Series([], dtype=np.int64)})
+
+    _EMPTY = pa.table({"vec_id": pa.array([], type=pa.int64()),
+                       "d2": pa.array([], type=pa.int64()),
+                       "q": pa.array([], type=pa.list_(pa.int64()))})
+
+    def round_pass(sel_mat, sel_ids_sorted):
+        """One block-parallel pass: per block, the best candidate
+        (max d2-to-selection, min id; seed round: min id) + its
+        quantized vector."""
+
+        def score(b: pa.Table) -> pa.Table:
+            ids = b.column("vec_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(ids) == 0:
+                return _EMPTY
+            qm = np.stack(b.column("q").to_pandas().to_numpy()) \
+                .astype(np.int64)
+            if sel_mat is None:
+                i = int(np.argmin(ids))
+                d = -1
+            else:
+                dmin = ((qm[:, None, :] - sel_mat[None, :, :]) ** 2) \
+                    .sum(-1).min(1)
+                cand = ~np.isin(ids, sel_ids_sorted)
+                if not cand.any():
+                    return _EMPTY
+                j = np.lexsort((ids[cand], -dmin[cand]))[0]
+                i = int(np.flatnonzero(cand)[j])
+                d = int(dmin[i])
+            return pa.table({"vec_id": pa.array([int(ids[i])]),
+                             "d2": pa.array([d], type=pa.int64()),
+                             "q": pa.array([list(qm[i])],
+                                           type=pa.list_(pa.int64()))})
+
+        got = proj.map_batches(score, batch_format="pyarrow") \
+            .to_pandas()
+        if got.empty:
+            return None
+        if sel_mat is None:
+            got = got.sort_values("vec_id")
+        else:
+            got = got.sort_values(["d2", "vec_id"],
+                                  ascending=[False, True])
+        w = got.iloc[0]
+        return int(w["vec_id"]), int(w["d2"]), \
+            np.asarray(w["q"], dtype=np.int64)
+
+    first = round_pass(None, None)
+    if first is None:
+        return empty_out
+    rows = [(1, first[0], -1)]
+    sel_mat = first[2][None, :]
+    sel_ids = [first[0]]
+    for rnd in range(2, k + 1):
+        nxt = round_pass(sel_mat, np.sort(np.asarray(sel_ids,
+                                                     dtype=np.int64)))
+        if nxt is None:
+            break
+        rows.append((rnd, nxt[0], nxt[1]))
+        sel_mat = np.vstack([sel_mat, nxt[2][None, :]])
+        sel_ids.append(nxt[0])
+    return pd.DataFrame(rows, columns=["rnd", "vec_id", "d2"]) \
+        .astype(np.int64)

@@ -4484,3 +4484,48 @@ def test_hll_registers_cert_planted(ray_session, tmp_path):
     h1 = (1 * 2654435761) % (1 << 32)
     assert got.values.tolist() == [
         [0, 27], [h1 >> 26, 27 - (h1 & ((1 << 26) - 1)).bit_length()]]
+
+
+def test_twap_user_value_planted(ray_session, tmp_path):
+    """user 0: cents 100 for 3us then 300 for 1us -> (300+300)/4=150
+    -> 150000 milli; the last value never weighs in. user 1: single
+    event drops; user 2: two events at the SAME ts (zero duration)
+    drop."""
+    from rayschema.queries import twap_user_value
+
+    tab = pa.table({
+        "event_id": pa.array(np.arange(6, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 0, 1, 2, 2],
+                                     dtype=np.int64)),
+        "ts": pa.array(np.array([0, 3, 4, 9, 5, 5], dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 6),
+        "value": pa.array([1.0, 3.0, 9.0, 2.0, 4.0, 4.0])})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = twap_user_value(str(tmp_path))
+    assert got.values.tolist() == [[0, 4, 150_000]]
+
+
+def test_kcenter_select_planted(ray_session, tmp_path):
+    """1-D line at x = 0, 10, 3, 9: seed 0; round 2 picks 1 (x=10,
+    d2=(1e7)^2); round 3 picks 3 (x=9 is 1 from x=10 but 9 from 0 ->
+    dmin 1e12... no: dmin to {0,10} is min(81,1)=1 -> x=3 has
+    min(9,49)=9 -> picks id 2 (x=3, d2=9e12); round 4 takes the
+    leftover id 3 (x=9, d2=1e12); rounds 5+ have no candidates and
+    stop early."""
+    from rayschema.queries import kcenter_select_embeddings
+
+    xs = [0.0, 10.0, 3.0, 9.0]
+    emb = [[x] + [0.0] * 63 for x in xs]
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+        "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(4, dtype=np.int32))})
+    pq.write_table(tab, os.path.join(tmp_path, "embeddings.parquet"))
+    got = kcenter_select_embeddings(str(tmp_path))
+    M = 10**12
+    assert got.values.tolist() == [
+        [1, 0, -1],
+        [2, 1, 100 * M],
+        [3, 2, 9 * M],
+        [4, 3, 1 * M]]
