@@ -164,6 +164,52 @@ def _kcenter_sql(k: int = 8) -> str:
               FROM ({final}) ORDER BY rnd""")
 
 
+def _corr_matrix_sql() -> str:
+    """Six unioned per-pair moment scans mirroring
+    rayschema.queries.corr_matrix_lineitem (same integer scalings and
+    the corr_quantity_price fixed-order float64 corr expression)."""
+    ex = {"qty": "(CAST(round(l_quantity * 100) AS BIGINT) // 100)",
+          "price": "(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                   " // 100)",
+          "disc": "CAST(round(l_discount * 10000) AS BIGINT)",
+          "tax": "CAST(round(l_tax * 10000) AS BIGINT)"}
+    names = ("qty", "price", "disc", "tax")
+    sels = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            a, b = names[i], names[j]
+            x, y = ex[a], ex[b]
+            sels.append(f"""
+              SELECT '{a}' AS var_a, '{b}' AS var_b,
+                     count(*)::BIGINT AS n,
+                     sum({x})::BIGINT AS sum_x,
+                     sum({y})::BIGINT AS sum_y,
+                     sum({x} * {y})::BIGINT AS sum_xy,
+                     sum({x} * {x})::BIGINT AS sum_x2,
+                     sum({y} * {y})::BIGINT AS sum_y2
+              FROM lineitem""")
+    return f"""
+            WITH m AS ({" UNION ALL ".join(sels)})
+            SELECT var_a, var_b, n, sum_x, sum_y, sum_xy, sum_x2,
+                   sum_y2,
+                   CASE WHEN sqrt((n::DOUBLE * sum_x2::DOUBLE
+                                   - sum_x::DOUBLE * sum_x::DOUBLE)
+                                  * (n::DOUBLE * sum_y2::DOUBLE
+                                     - sum_y::DOUBLE * sum_y::DOUBLE))
+                          > 0
+                        THEN floor((1000000.0
+                                    * (n::DOUBLE * sum_xy::DOUBLE
+                                       - sum_x::DOUBLE * sum_y::DOUBLE))
+                                   / sqrt((n::DOUBLE * sum_x2::DOUBLE
+                                           - sum_x::DOUBLE
+                                             * sum_x::DOUBLE)
+                                          * (n::DOUBLE * sum_y2::DOUBLE
+                                             - sum_y::DOUBLE
+                                               * sum_y::DOUBLE)))
+                        ELSE 0 END::BIGINT AS corr_ppm
+            FROM m ORDER BY var_a, var_b"""
+
+
 def _hits_sql(iters: int = 2) -> str:
     """Unrolled integer-ppb HITS CTEs mirroring rayschema.graph.hits half-
     step for half-step (divide-by-ceil normalization in BIGINT — DuckDB
@@ -754,6 +800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers_cert": Q.hll_registers_cert,
         "twap_user_value": Q.twap_user_value,
         "kcenter_select_embeddings": Q.kcenter_select_embeddings,
+        "corr_matrix_lineitem": Q.corr_matrix_lineitem,
+        "revenue_recognition_monthly": Q.revenue_recognition_monthly,
+        "rfm_user_scores": Q.rfm_user_scores,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1611,6 +1660,69 @@ def oracle_sql() -> dict[str, str]:
             FROM w ORDER BY user_id, scd_rn""",
         # k-center greedy selection: unrolled farthest-point rounds
         "kcenter_select_embeddings": _kcenter_sql(),
+        # full 4-variable Pearson matrix, exact integer moments
+        "corr_matrix_lineitem": _corr_matrix_sql(),
+        # RFM per user: deterministic ntile(5) windows (user_id
+        # tiebreak), null values count 0 cents
+        "rfm_user_scores": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS day,
+                              CASE WHEN value IS NULL THEN 0
+                                   ELSE CAST(round(value * 100)
+                                             AS BIGINT) END AS cents
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            u AS (SELECT user_id, max(day) AS last_day,
+                         count(*)::BIGINT AS freq,
+                         sum(cents)::BIGINT AS m
+                  FROM e GROUP BY 1),
+            r AS (SELECT user_id,
+                         (SELECT max(last_day) FROM u) - last_day
+                           AS recency_days,
+                         freq, m
+                  FROM u),
+            s AS (SELECT user_id, recency_days, freq, m,
+                         ntile(5) OVER (ORDER BY recency_days,
+                                        user_id) AS r_score,
+                         ntile(5) OVER (ORDER BY freq DESC,
+                                        user_id) AS f_score,
+                         ntile(5) OVER (ORDER BY m DESC,
+                                        user_id) AS m_score
+                  FROM r)
+            SELECT user_id, recency_days::BIGINT AS recency_days,
+                   freq, m AS monetary_cents,
+                   r_score::BIGINT AS r_score,
+                   f_score::BIGINT AS f_score,
+                   m_score::BIGINT AS m_score,
+                   (100 * r_score + 10 * f_score + m_score)::BIGINT
+                     AS rfm
+            FROM s ORDER BY user_id""",
+        # even revenue spreading across in-flight month starts,
+        # remainder cents to the earliest months (exact conservation)
+        "revenue_recognition_monthly": """
+            WITH oe AS (SELECT l_orderkey AS ok,
+                               max(l_shipdate) AS e
+                        FROM lineitem GROUP BY 1),
+            iv AS (SELECT o.o_orderkey AS ok, o.o_orderdate AS s,
+                          oe.e,
+                          CAST(round(o.o_totalprice * 100) AS BIGINT)
+                            AS cents
+                   FROM orders o JOIN oe ON o.o_orderkey = oe.ok),
+            m AS (SELECT unnest(generate_series(DATE '1990-01-01',
+                                 DATE '2009-12-01',
+                                 INTERVAL 1 MONTH))::DATE AS ms),
+            j AS (SELECT iv.ok, iv.cents, m.ms,
+                         row_number() OVER (PARTITION BY iv.ok
+                                            ORDER BY m.ms) AS t,
+                         count(*) OVER (PARTITION BY iv.ok) AS len
+                  FROM iv JOIN m
+                    ON iv.s <= m.ms::TIMESTAMP
+                   AND m.ms::TIMESTAMP <= iv.e)
+            SELECT year(ms)::BIGINT AS yr, month(ms)::BIGINT AS mon,
+                   SUM(cents // len
+                       + CASE WHEN t <= cents % len THEN 1
+                              ELSE 0 END)::BIGINT AS recognized_cents
+            FROM j GROUP BY 1, 2 ORDER BY 1, 2""",
         # time-weighted average value per user: LEAD gaps, exact
         # integer numerator, floor-milli; zero-duration users drop
         "twap_user_value": """

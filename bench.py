@@ -233,6 +233,14 @@ def run_bench() -> dict:
         ("chi2_word_lang", Q.chi2_word_lang),
         ("gini_stump_value_purchase", Q.gini_stump_value_purchase),
         ("conversion_latency_quartiles", Q.conversion_latency_quartiles),
+        ("feature_hash_buckets", Q.feature_hash_buckets),
+        ("scd2_user_state", Q.scd2_user_state),
+        ("orders_in_flight_monthly", Q.orders_in_flight_monthly),
+        ("dbscan_embeddings", Q.dbscan_embeddings),
+        ("bootstrap_ci_value", Q.bootstrap_ci_value),
+        ("hll_registers_cert", Q.hll_registers_cert),
+        ("twap_user_value", Q.twap_user_value),
+        ("kcenter_select_embeddings", Q.kcenter_select_embeddings),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -15649,3 +15649,272 @@ def kcenter_select_embeddings(sf_dir: str, k: int = KCENTER_K):
         sel_ids.append(nxt[0])
     return pd.DataFrame(rows, columns=["rnd", "vec_id", "d2"]) \
         .astype(np.int64)
+
+
+# (name, integer-scaling) for the lineitem correlation matrix: whole
+# quantity units, whole price dollars, discount/tax basis points —
+# every moment stays int64-exact past sf1000
+CORRM_VARS = ("qty", "price", "disc", "tax")
+
+
+def corr_matrix_lineitem(sf_dir: str):
+    """Full Pearson correlation matrix over the four lineitem numerics
+    (quantity units, whole price dollars, discount bp, tax bp) — the
+    multicollinearity screen before any modeling. ONE stateless pass:
+    each block folds X^T X once (4x4 integer moments via one matmul)
+    and emits six per-pair partial rows; a 6-key groupby merges. The
+    corr_ppm is the corr_quantity_price fixed-order float64 expression.
+    Emits (var_a, var_b, n, sum_x, sum_y, sum_xy, sum_x2, sum_y2,
+    corr_ppm) for the six unordered pairs."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_extendedprice",
+                        "l_discount", "l_tax"])
+
+    pairs = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+
+    def partial(b: pa.Table) -> pa.Table:
+        X = np.column_stack([
+            _cents(b.column("l_quantity").to_numpy(
+                zero_copy_only=False)) // 100,
+            _cents(b.column("l_extendedprice").to_numpy(
+                zero_copy_only=False)) // 100,
+            np.round(b.column("l_discount").to_numpy(
+                zero_copy_only=False) * 10000).astype(np.int64),
+            np.round(b.column("l_tax").to_numpy(
+                zero_copy_only=False) * 10000).astype(np.int64)])
+        s = X.sum(0)
+        m = X.T @ X
+        n = len(X)
+        rows = {"var_a": [], "var_b": [], "n": [], "sum_x": [],
+                "sum_y": [], "sum_xy": [], "sum_x2": [], "sum_y2": []}
+        for i, j in pairs:
+            rows["var_a"].append(CORRM_VARS[i])
+            rows["var_b"].append(CORRM_VARS[j])
+            rows["n"].append(n)
+            rows["sum_x"].append(int(s[i]))
+            rows["sum_y"].append(int(s[j]))
+            rows["sum_xy"].append(int(m[i, j]))
+            rows["sum_x2"].append(int(m[i, i]))
+            rows["sum_y2"].append(int(m[j, j]))
+        return pa.table({k: pa.array(v, type=pa.int64())
+                         if k not in ("var_a", "var_b")
+                         else pa.array(v, type=pa.string())
+                         for k, v in rows.items()})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["var_a", "var_b"])
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n", "sum_x", "sum_y", "sum_xy",
+                                  "sum_x2", "sum_y2")])
+           .to_pandas())
+    n = out["n"].to_numpy(np.float64)
+    sx = out["sum_x"].to_numpy(np.float64)
+    sy = out["sum_y"].to_numpy(np.float64)
+    num = n * out["sum_xy"].to_numpy(np.float64) - sx * sy
+    a = n * out["sum_x2"].to_numpy(np.float64) - sx * sx
+    bb = n * out["sum_y2"].to_numpy(np.float64) - sy * sy
+    den = np.sqrt(a * bb)
+    out["corr_ppm"] = np.where(
+        den > 0.0,
+        np.floor(1000000.0 * num / np.where(den > 0, den, 1.0)),
+        0.0).astype(np.int64)
+    for cn in ["n", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]:
+        out[cn] = out[cn].astype(np.int64)
+    return (out.sort_values(["var_a", "var_b"])
+            .reset_index(drop=True))
+
+
+def revenue_recognition_monthly(sf_dir: str):
+    """Calendarized revenue recognition: each order's total price
+    (cents) spread EVENLY across the month starts it is in flight
+    (the orders_in_flight_monthly interval: orderdate .. max lineitem
+    shipdate), integer remainder cents going to the earliest months —
+    conservation is exact, no float proration. The per-month fold is
+    two +/- delta histograms over the bounded 240-slot grid (one
+    weighted by the per-order base share, one marking the first `rem`
+    months), so blocks fold to 241-int partials and the driver
+    prefix-sums — the orders_in_flight sweep discipline with weights.
+    Orders whose span contains no month start drop on both sides.
+    Emits (yr, mon, recognized_cents)."""
+    from ray.data.aggregate import Max
+
+    day_us = 86_400_000_000
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def li_part(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        e = (b.column("l_shipdate").cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // day_us)
+        df = pd.DataFrame({"ok": ok, "d": e}) \
+            .groupby("ok", as_index=False).max()
+        z = len(df)
+        return pa.table({"ok": pa.array(df["ok"].to_numpy(np.int64)),
+                         "s_day": pa.array(np.full(z, -1, np.int64)),
+                         "e_day": pa.array(df["d"].to_numpy(np.int64)),
+                         "cents": pa.array(np.full(z, -1, np.int64))})
+
+    def o_part(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        s = (b.column("o_orderdate").cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // day_us)
+        c = _cents(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        return pa.table({"ok": pa.array(ok),
+                         "s_day": pa.array(s.astype(np.int64)),
+                         "e_day": pa.array(np.full(len(ok), -1,
+                                                   np.int64)),
+                         "cents": pa.array(c)})
+
+    both = (li.map_batches(li_part, batch_format="pyarrow")
+            .union(orders.map_batches(o_part, batch_format="pyarrow")))
+
+    def deltas_of(s_day, e_day, cents):
+        s = s_day.astype("datetime64[D]")
+        e = e_day.astype("datetime64[D]")
+        s_m = s.astype("datetime64[M]")
+        a = (s_m.astype(np.int64)
+             + (s != s_m.astype("datetime64[D]")).astype(np.int64)
+             - FLIGHT_BASE_M)
+        bnd = e.astype("datetime64[M]").astype(np.int64) - FLIGHT_BASE_M
+        keep = a <= bnd
+        a, bnd, cents = a[keep], bnd[keep], cents[keep]
+        if len(a) and (a.min() < 0 or bnd.max() >= FLIGHT_SLOTS):
+            raise ValueError(
+                "order dates outside the 1990-2009 sweep grid")
+        length = bnd - a + 1
+        base = cents // length
+        rem = cents % length
+        d = np.zeros(FLIGHT_SLOTS + 1, dtype=np.int64)
+        np.add.at(d, a, base)
+        np.add.at(d, bnd + 1, -base)
+        dr = np.zeros(FLIGHT_SLOTS + 1, dtype=np.int64)
+        np.add.at(dr, a, 1)
+        np.add.at(dr, a + rem, -1)
+        # dr cumsum marks months getting the +1 remainder cent ONLY
+        # for the first `rem` months of each order — but different
+        # orders overlap, so the +1 weight must stay per-order: the
+        # unit delta works because each order contributes exactly +1
+        # over [a, a+rem) and the histogram is additive across orders
+        return d, dr
+
+    n_orders = _table_rows(sf_dir, "orders")
+    if n_orders is not None and n_orders <= TRIPLE_DRIVER_MERGE_CAP:
+        iv = both.to_pandas().groupby("ok", as_index=False).max()
+        iv = iv[(iv["s_day"] >= 0) & (iv["e_day"] >= 0)]
+        d, dr = deltas_of(iv["s_day"].to_numpy(np.int64),
+                          iv["e_day"].to_numpy(np.int64),
+                          iv["cents"].to_numpy(np.int64))
+    else:
+        def block_delta(b: pa.Table) -> pa.Table:
+            s = b.column("s_day").to_numpy(zero_copy_only=False)
+            e = b.column("e_day").to_numpy(zero_copy_only=False)
+            c = b.column("cents").to_numpy(zero_copy_only=False)
+            m = (s >= 0) & (e >= 0)
+            dd, ddr = deltas_of(s[m].astype(np.int64),
+                                e[m].astype(np.int64),
+                                c[m].astype(np.int64))
+            return pa.table({
+                "idx": pa.array(np.arange(FLIGHT_SLOTS + 1,
+                                          dtype=np.int64)),
+                "d": pa.array(dd), "dr": pa.array(ddr)})
+
+        parts = (both.groupby("ok")
+                 .aggregate(Max("s_day", alias_name="s_day"),
+                            Max("e_day", alias_name="e_day"),
+                            Max("cents", alias_name="cents"))
+                 .map_batches(block_delta, batch_format="pyarrow")
+                 .to_pandas())
+        d = np.zeros(FLIGHT_SLOTS + 1, dtype=np.int64)
+        dr = np.zeros(FLIGHT_SLOTS + 1, dtype=np.int64)
+        if not parts.empty:
+            g = parts.groupby("idx")[["d", "dr"]].sum()
+            d[g.index.to_numpy(np.int64)] = g["d"].to_numpy(np.int64)
+            dr[g.index.to_numpy(np.int64)] = g["dr"].to_numpy(np.int64)
+    rec = np.cumsum(d[:FLIGHT_SLOTS]) + np.cumsum(dr[:FLIGHT_SLOTS])
+    idx = np.flatnonzero(rec > 0)
+    months = idx + FLIGHT_BASE_M
+    return pd.DataFrame({
+        "yr": months // 12 + 1970,
+        "mon": months % 12 + 1,
+        "recognized_cents": rec[idx]}).astype(np.int64)
+
+
+def _ntile5(order_pos: np.ndarray, n: int) -> np.ndarray:
+    """SQL ntile(5) bucket (1-based) for 0-based order positions:
+    the first n%5 buckets get n//5 + 1 rows."""
+    q, rem = n // 5, n % 5
+    big = rem * (q + 1)
+    r = order_pos
+    return np.where(r < big, r // (q + 1) + 1,
+                    rem + (r - big) // max(q, 1) + 1).astype(np.int64)
+
+
+def rfm_user_scores(sf_dir: str):
+    """RFM segmentation (recency / frequency / monetary — the classic
+    churn-feature triple) per user: recency in days vs the corpus's
+    last active day, event count, cents sum (null values count 0), and
+    three deterministic ntile(5) scores (ties broken by user_id, so
+    the SQL window is reproducible bit for bit; score 1 = most recent /
+    frequent / valuable). One distributed groupby folds the per-user
+    triple; scoring runs on the user-bounded frame (the shuffle-shard
+    rank discipline: user-dimension driver state, two-phase histogram
+    rank documented as the wider-corpus path). Emits (user_id,
+    recency_days, freq, monetary_cents, r_score, f_score, m_score,
+    rfm)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.is_valid(b.column("ts"))))
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.where(np.isnan(v), 0, np.round(v * 100)) \
+            .astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "day": pa.array(b.column("ts").cast(pa.int64())
+                            .to_numpy(zero_copy_only=False) // day_us),
+            "cents": pa.array(cents)})
+
+    u = (ds.map_batches(narrow, batch_format="pyarrow")
+         .groupby("user_id")
+         .aggregate(Max("day", alias_name="last_day"),
+                    Count(alias_name="freq"),
+                    Sum("cents", alias_name="monetary_cents"))
+         .to_pandas())
+    cols = ["user_id", "recency_days", "freq", "monetary_cents",
+            "r_score", "f_score", "m_score", "rfm"]
+    if u.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    u = u.sort_values("user_id").reset_index(drop=True)
+    uid = u["user_id"].to_numpy(np.int64)
+    last = u["last_day"].to_numpy(np.int64)
+    f = u["freq"].to_numpy(np.int64)
+    m = u["monetary_cents"].to_numpy(np.int64)
+    rec = last.max() - last
+    n = len(u)
+
+    def score(key, asc: bool):
+        order = np.lexsort((uid, key if asc else -key))
+        pos = np.empty(n, dtype=np.int64)
+        pos[order] = np.arange(n)
+        return _ntile5(pos, n)
+
+    rs, fs, ms = score(rec, True), score(f, False), score(m, False)
+    return pd.DataFrame({
+        "user_id": uid, "recency_days": rec, "freq": f,
+        "monetary_cents": m, "r_score": rs, "f_score": fs,
+        "m_score": ms, "rfm": 100 * rs + 10 * fs + ms}) \
+        .astype(np.int64)

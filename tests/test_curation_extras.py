@@ -4529,3 +4529,87 @@ def test_kcenter_select_planted(ray_session, tmp_path):
         [2, 1, 100 * M],
         [3, 2, 9 * M],
         [4, 3, 1 * M]]
+
+
+def test_corr_matrix_planted(ray_session, tmp_path):
+    """Two rows: qty [1,2], price [10,20], disc_bp [500,1000],
+    tax_bp [800,0] — every pair is perfectly +/- correlated; moments
+    hand-traced (e.g. disc-tax: num -400000, den 400000 -> -1e6)."""
+    from rayschema.queries import corr_matrix_lineitem
+
+    tab = pa.table({
+        "l_quantity": pa.array([1.0, 2.0]),
+        "l_extendedprice": pa.array([10.0, 20.0]),
+        "l_discount": pa.array([0.05, 0.10]),
+        "l_tax": pa.array([0.08, 0.0])})
+    pq.write_table(tab, os.path.join(tmp_path, "lineitem.parquet"))
+    got = corr_matrix_lineitem(str(tmp_path))
+    assert got.values.tolist() == [
+        ["disc", "tax", 2, 1500, 800, 400000, 1250000, 640000,
+         -1000000],
+        ["price", "disc", 2, 30, 1500, 25000, 500, 1250000, 1000000],
+        ["price", "tax", 2, 30, 800, 8000, 500, 640000, -1000000],
+        ["qty", "disc", 2, 3, 1500, 2500, 5, 1250000, 1000000],
+        ["qty", "price", 2, 3, 30, 50, 5, 500, 1000000],
+        ["qty", "tax", 2, 3, 800, 800, 5, 640000, -1000000]]
+
+
+def test_revenue_recognition_planted(ray_session, tmp_path, monkeypatch):
+    """ok=1 (10001 cents over Feb+Mar) splits 5001/5000 — the
+    remainder cent lands on the EARLIEST month; ok=2 (10000 cents,
+    Feb only) takes its full value; ok=3 has no lineitems and drops.
+    Scale path (cap=0) must agree."""
+    import rayschema.queries as Q
+    from rayschema.queries import revenue_recognition_monthly
+
+    def d(y, m, dd):
+        return (np.datetime64(f"{y:04d}-{m:02d}-{dd:02d}")
+                .astype("datetime64[us]").astype(np.int64))
+
+    orders = pa.table({
+        "o_orderkey": pa.array(np.array([1, 2, 3], dtype=np.int64)),
+        "o_custkey": pa.array(np.zeros(3, dtype=np.int64)),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([100.01, 100.0, 7.0]),
+        "o_orderdate": pa.array(np.array(
+            [d(1995, 1, 15), d(1995, 2, 1), d(1995, 6, 1)],
+            dtype=np.int64)).cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)})
+    li = pa.table({
+        "l_orderkey": pa.array(np.array([1, 1, 2], dtype=np.int64)),
+        "l_shipdate": pa.array(np.array(
+            [d(1995, 2, 5), d(1995, 3, 10), d(1995, 2, 20)],
+            dtype=np.int64)).cast(pa.timestamp("us"))})
+    pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
+    pq.write_table(li, os.path.join(tmp_path, "lineitem.parquet"))
+
+    want = [[1995, 2, 15001], [1995, 3, 5000]]
+    assert revenue_recognition_monthly(str(tmp_path)) \
+        .values.tolist() == want
+    monkeypatch.setattr(Q, "TRIPLE_DRIVER_MERGE_CAP", 0)
+    assert revenue_recognition_monthly(str(tmp_path)) \
+        .values.tolist() == want
+
+
+def test_rfm_user_scores_planted(ray_session, tmp_path):
+    """Three users, n=3 so ntile(5) gives each position its own
+    bucket: u0 (last day 2, 2 events, 100 cents — null value counts
+    0), u1 (day 2, 1 event, 300), u2 (day 0, 1 event, 200); scores
+    hand-traced with the user_id tiebreak on equal recency."""
+    from rayschema.queries import rfm_user_scores
+
+    day = 86_400_000_000
+    tab = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 1, 2], dtype=np.int64)),
+        "ts": pa.array(np.array([0, 2 * day, 2 * day, 0],
+                                dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 4),
+        "value": pa.array([1.0, None, 3.0, 2.0])})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = rfm_user_scores(str(tmp_path))
+    assert got.values.tolist() == [
+        [0, 0, 2, 100, 1, 1, 3, 113],
+        [1, 0, 1, 300, 2, 2, 1, 221],
+        [2, 2, 1, 200, 3, 3, 2, 332]]
