@@ -241,6 +241,9 @@ def run_bench() -> dict:
         ("hll_registers_cert", Q.hll_registers_cert),
         ("twap_user_value", Q.twap_user_value),
         ("kcenter_select_embeddings", Q.kcenter_select_embeddings),
+        ("corr_matrix_lineitem", Q.corr_matrix_lineitem),
+        ("revenue_recognition_monthly", Q.revenue_recognition_monthly),
+        ("rfm_user_scores", Q.rfm_user_scores),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s
