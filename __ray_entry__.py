@@ -803,6 +803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_matrix_lineitem": Q.corr_matrix_lineitem,
         "revenue_recognition_monthly": Q.revenue_recognition_monthly,
         "rfm_user_scores": Q.rfm_user_scores,
+        "cohort_retention_matrix": Q.cohort_retention_matrix,
+        "session_length_histogram": Q.session_length_histogram,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1662,6 +1664,45 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_select_embeddings": _kcenter_sql(),
         # full 4-variable Pearson matrix, exact integer moments
         "corr_matrix_lineitem": _corr_matrix_sql(),
+        # weekly cohort retention triangle over distinct (user, week)
+        "cohort_retention_matrix": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(ts) // 604800000000 AS wk
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            d AS (SELECT DISTINCT user_id, wk FROM e),
+            c AS (SELECT user_id, min(wk) AS cw FROM d GROUP BY 1)
+            SELECT c.cw::BIGINT AS cohort_week,
+                   (d.wk - c.cw)::BIGINT AS offset_weeks,
+                   count(*)::BIGINT AS n_users
+            FROM d JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        # session-size histogram over the shared 30-min-gap islands
+        "session_length_histogram": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          OR lag(ts) OVER w IS NULL THEN 1
+                          ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT *, sum(new_s) OVER (PARTITION BY user_id
+                                         ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING)
+                          AS sid
+              FROM g
+            ), sess AS (
+              SELECT user_id, sid, count(*)::BIGINT AS n_events
+              FROM s GROUP BY user_id, sid
+            ), h AS (
+              SELECT n_events, count(*)::BIGINT AS n_sessions
+              FROM sess GROUP BY 1)
+            SELECT n_events, n_sessions,
+                   ((1000000 * n_sessions)
+                    // (SELECT sum(n_sessions) FROM h))::BIGINT
+                     AS share_ppm
+            FROM h ORDER BY n_events""",
         # RFM per user: deterministic ntile(5) windows (user_id
         # tiebreak), null values count 0 cents
         "rfm_user_scores": """

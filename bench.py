@@ -244,6 +244,8 @@ def run_bench() -> dict:
         ("corr_matrix_lineitem", Q.corr_matrix_lineitem),
         ("revenue_recognition_monthly", Q.revenue_recognition_monthly),
         ("rfm_user_scores", Q.rfm_user_scores),
+        ("cohort_retention_matrix", Q.cohort_retention_matrix),
+        ("session_length_histogram", Q.session_length_histogram),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

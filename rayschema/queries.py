@@ -15918,3 +15918,72 @@ def rfm_user_scores(sf_dir: str):
         "monetary_cents": m, "r_score": rs, "f_score": fs,
         "m_score": ms, "rfm": 100 * rs + 10 * fs + ms}) \
         .astype(np.int64)
+
+
+def cohort_retention_matrix(sf_dir: str):
+    """Full weekly cohort retention triangle (the d7 query generalized):
+    users grouped by first-active week, counted in every later week
+    they return — the growth-accounting staple. Distinct (user, week)
+    pairs come from ONE narrow groupby (user-bounded x weeks rows —
+    the shuffle-shard rank discipline for driver state); the driver
+    derives each user's cohort (min week) and folds the triangle.
+    Weeks are absolute epoch-weeks (day // 7). Emits
+    (cohort_week, offset_weeks, n_users)."""
+    from ray.data.aggregate import Count
+
+    week_us = 86_400_000_000 * 7
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.is_valid(b.column("ts"))))
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "wk": pa.array(b.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False) // week_us)})
+
+    pairs = (ds.map_batches(narrow, batch_format="pyarrow")
+             .groupby(["user_id", "wk"])
+             .aggregate(Count(alias_name="n")).to_pandas())
+    cols = ["cohort_week", "offset_weeks", "n_users"]
+    if pairs.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    cw = pairs.groupby("user_id")["wk"].transform("min")
+    tri = (pd.DataFrame({"cohort_week": cw.to_numpy(np.int64),
+                         "offset_weeks": (pairs["wk"] - cw)
+                         .to_numpy(np.int64)})
+           .groupby(["cohort_week", "offset_weeks"], as_index=False)
+           .size().rename(columns={"size": "n_users"}))
+    return (tri.sort_values(["cohort_week", "offset_weeks"])
+            .reset_index(drop=True).astype(np.int64))
+
+
+def session_length_histogram(sf_dir: str):
+    """Session-size distribution + bounce rate: how many 30-min-gap
+    sessions contain exactly k events (bounce = the k=1 row). Rides the
+    shared events_sessionization scan (same islands, same tie
+    invariance) and folds per-block histograms of n_events — histogram
+    keys are session-length-bounded, so the driver fold is tiny. Emits
+    (n_events, n_sessions, share_ppm) with floor-ppm of all sessions."""
+    sess = events_sessionization(sf_dir)
+
+    def hist(b: pa.Table) -> pa.Table:
+        n = b.column("n_events").to_numpy(zero_copy_only=False)
+        u, c = np.unique(n, return_counts=True)
+        return pa.table({"n_events": pa.array(u.astype(np.int64)),
+                         "cnt": pa.array(c.astype(np.int64))})
+
+    agg = sess.map_batches(hist, batch_format="pyarrow").to_pandas()
+    cols = ["n_events", "n_sessions", "share_ppm"]
+    if agg.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = (agg.groupby("n_events", as_index=False)["cnt"].sum()
+         .sort_values("n_events").reset_index(drop=True))
+    tot = int(g["cnt"].sum())
+    g["share_ppm"] = (1_000_000 * g["cnt"].astype(np.int64)) // tot
+    return g.rename(columns={"cnt": "n_sessions"})[cols] \
+        .astype(np.int64)

@@ -4613,3 +4613,46 @@ def test_rfm_user_scores_planted(ray_session, tmp_path):
         [0, 0, 2, 100, 1, 1, 3, 113],
         [1, 0, 1, 300, 2, 2, 1, 221],
         [2, 2, 1, 200, 3, 3, 2, 332]]
+
+
+def test_cohort_retention_matrix_planted(ray_session, tmp_path):
+    """u0 active weeks 0 and 2 (cohort 0, offsets 0 and 2 — twice in
+    week 0 counts ONCE), u1 first active week 1 only, u2 weeks 1 and
+    2 (cohort 1 offsets 0,1)."""
+    from rayschema.queries import cohort_retention_matrix
+
+    wk = 604_800_000_000
+    ts = np.array([0, 1, 2 * wk, wk, wk + 5, 2 * wk + 5],
+                  dtype=np.int64)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(6, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 0, 1, 2, 2],
+                                     dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 6),
+        "value": pa.array(np.ones(6))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = cohort_retention_matrix(str(tmp_path))
+    assert got.values.tolist() == [
+        [0, 0, 1], [0, 2, 1],
+        [1, 0, 2], [1, 1, 1]]
+
+
+def test_session_length_histogram_planted(ray_session, tmp_path):
+    """u0: two events 10s apart (one 2-session) then one 31 min later
+    (a 1-session bounce); u1: one event. Histogram: size 1 x2
+    (666666 ppm), size 2 x1 (333333 ppm)."""
+    from rayschema.queries import session_length_histogram
+
+    m = 60_000_000
+    ts = np.array([0, 10_000_000, 41 * m, 5], dtype=np.int64)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 0, 1], dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 4),
+        "value": pa.array(np.ones(4))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = session_length_histogram(str(tmp_path))
+    assert got.values.tolist() == [
+        [1, 2, 666_666], [2, 1, 333_333]]
