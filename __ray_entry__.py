@@ -164,6 +164,65 @@ def _kcenter_sql(k: int = 8) -> str:
               FROM ({final}) ORDER BY rnd""")
 
 
+def _silhouette_sql() -> str:
+    """Silhouette oracle: final-centroid assignment (a3, the knn_ivf
+    convention) + exact pairwise distances (the kcenter
+    list_inner_product identity) + floor-milli means; s_ppm uses
+    DuckDB's native truncating BIGINT division, which the engine pins."""
+    return f"""
+            WITH {_KMEANS_CTES},
+            a3 AS (
+              SELECT vec_id, cluster FROM (
+                SELECT v.vec_id, c.cluster,
+                       row_number() OVER (PARTITION BY v.vec_id
+                           ORDER BY sum((v.q - c.c) * (v.q - c.c)),
+                                    c.cluster) AS rn
+                FROM v JOIN c2 c USING (d)
+                GROUP BY v.vec_id, c.cluster) WHERE rn = 1),
+            vq AS MATERIALIZED (
+              SELECT vec_id,
+                     list_transform(embedding,
+                         x -> round(x::DOUBLE * 1000000)) AS qd
+              FROM embeddings),
+            nn AS MATERIALIZED (
+              SELECT vec_id, qd,
+                     list_inner_product(qd, qd) AS n2 FROM vq),
+            dall AS MATERIALIZED (
+              SELECT a.vec_id AS ia, b.vec_id AS ib,
+                     (a.n2 + b.n2
+                      - 2 * list_inner_product(a.qd, b.qd))::BIGINT
+                       AS d2
+              FROM nn a, nn b),
+            pc AS (
+              SELECT d.ia AS vec_id, a.cluster,
+                     sum(d.d2)::BIGINT AS sd, count(*)::BIGINT AS n
+              FROM dall d JOIN a3 a ON a.vec_id = d.ib
+              GROUP BY 1, 2),
+            own AS (
+              SELECT p.vec_id, p.cluster, p.sd, p.n,
+                     CASE WHEN p.n > 1 THEN (1000 * p.sd) // (p.n - 1)
+                          ELSE 0 END AS a_milli
+              FROM pc p JOIN a3 a
+                ON a.vec_id = p.vec_id AND a.cluster = p.cluster),
+            beta AS (
+              SELECT p.vec_id,
+                     min((1000 * p.sd) // p.n) AS b_milli
+              FROM pc p JOIN a3 a
+                ON a.vec_id = p.vec_id AND a.cluster <> p.cluster
+              GROUP BY 1)
+            SELECT o.vec_id, o.cluster::BIGINT AS cluster,
+                   o.a_milli::BIGINT AS a_milli,
+                   COALESCE(b.b_milli, 0)::BIGINT AS b_milli,
+                   CASE WHEN o.n = 1 OR b.b_milli IS NULL
+                          OR greatest(o.a_milli, b.b_milli) = 0 THEN 0
+                        ELSE (1000000::HUGEINT
+                              * (b.b_milli - o.a_milli))
+                             // greatest(o.a_milli, b.b_milli)
+                   END::BIGINT AS s_ppm
+            FROM own o LEFT JOIN beta b USING (vec_id)
+            ORDER BY o.vec_id"""
+
+
 def _corr_matrix_sql() -> str:
     """Six unioned per-pair moment scans mirroring
     rayschema.queries.corr_matrix_lineitem (same integer scalings and
@@ -805,6 +864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_user_scores": Q.rfm_user_scores,
         "cohort_retention_matrix": Q.cohort_retention_matrix,
         "session_length_histogram": Q.session_length_histogram,
+        "silhouette_kmeans": Q.silhouette_kmeans,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1664,6 +1724,8 @@ def oracle_sql() -> dict[str, str]:
         "kcenter_select_embeddings": _kcenter_sql(),
         # full 4-variable Pearson matrix, exact integer moments
         "corr_matrix_lineitem": _corr_matrix_sql(),
+        # per-point silhouette off the integer k-means assignment
+        "silhouette_kmeans": _silhouette_sql(),
         # weekly cohort retention triangle over distinct (user, week)
         "cohort_retention_matrix": """
             WITH e AS (SELECT user_id,

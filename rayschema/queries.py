@@ -15987,3 +15987,127 @@ def session_length_histogram(sf_dir: str):
     g["share_ppm"] = (1_000_000 * g["cnt"].astype(np.int64)) // tot
     return g.rename(columns={"cnt": "n_sessions"})[cols] \
         .astype(np.int64)
+
+
+def silhouette_kmeans(sf_dir: str):
+    """Per-point silhouette for the established integer k-means
+    clustering (the cluster-quality eval): a = mean squared distance to
+    own-cluster peers, b = min over other clusters of mean squared
+    distance, s = (b - a) / max(a, b). The engine NEVER materializes
+    pairs: sum of squared distances from x to cluster c is the
+    aggregate identity n_c*||x||^2 - 2<x, S_c> + Q_c, so after the
+    assignment pass folds k x (dim + 2) cluster aggregates, scoring is
+    ONE stateless broadcast pass (the oracle pays the pairwise join).
+    Means are floor-milli integers; s_ppm uses truncate-toward-zero
+    division (DuckDB's BIGINT // semantics — pinned by test).
+    Singleton clusters score 0 (sklearn convention). int64-safe while
+    n_c * max||x||^2 < 2^63 (~15k vectors at these magnitudes; the
+    HUGEINT-style object fold is the documented wider path). Emits
+    (vec_id, cluster, a_milli, b_milli, s_ppm)."""
+    import ray
+
+    from rayschema.similarity import kmeans_quantized
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent_long = kmeans_quantized(ds, k=4, iters=2)
+    k = 4
+    dim = int(cent_long["d"].max())
+    cent = np.zeros((k, dim), dtype=np.int64)
+    for _, r in cent_long.iterrows():
+        cent[int(r["cluster"]), int(r["d"]) - 1] = int(r["c"])
+    cent_ref = ray.put(cent)
+
+    def assign_of(qm: np.ndarray, c: np.ndarray) -> np.ndarray:
+        d2 = ((qm[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return d2.argmin(1)     # ties -> lowest cluster (argmin scans up)
+
+    def agg_pass(b: pa.Table, _c=cent_ref) -> pa.Table:
+        c = ray.get(_c)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return pa.table({"cluster": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "q2": pa.array([], type=pa.int64()),
+                             "svec": pa.array([], type=pa.list_(
+                                 pa.int64()))})
+        qm = _emb_qmat(b)
+        a = assign_of(qm, c)
+        rows = {"cluster": [], "n": [], "q2": [], "svec": []}
+        for ci in range(len(c)):
+            m = a == ci
+            if not m.any():
+                continue
+            rows["cluster"].append(ci)
+            rows["n"].append(int(m.sum()))
+            rows["q2"].append(int((qm[m] ** 2).sum()))
+            rows["svec"].append([int(x) for x in qm[m].sum(0)])
+        return pa.table({"cluster": pa.array(rows["cluster"],
+                                             type=pa.int64()),
+                         "n": pa.array(rows["n"], type=pa.int64()),
+                         "q2": pa.array(rows["q2"], type=pa.int64()),
+                         "svec": pa.array(rows["svec"],
+                                          type=pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(agg_pass, batch_format="pyarrow").to_pandas()
+    cols = ["vec_id", "cluster", "a_milli", "b_milli", "s_ppm"]
+    if parts.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    n_c = np.zeros(k, dtype=np.int64)
+    q_c = np.zeros(k, dtype=np.int64)
+    s_c = np.zeros((k, dim), dtype=np.int64)
+    for _, r in parts.iterrows():
+        ci = int(r["cluster"])
+        n_c[ci] += int(r["n"])
+        q_c[ci] += int(r["q2"])
+        s_c[ci] += np.asarray(r["svec"], dtype=np.int64)
+    stats_ref = ray.put((n_c, q_c, s_c))
+
+    def score_pass(b: pa.Table, _c=cent_ref, _s=stats_ref) -> pa.Table:
+        c = ray.get(_c)
+        n_c, q_c, s_c = ray.get(_s)
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        empty = pa.table({cn: pa.array([], type=pa.int64())
+                          for cn in cols})
+        if len(ids) == 0:
+            return empty
+        qm = _emb_qmat(b)
+        a = assign_of(qm, c)
+        x2 = (qm ** 2).sum(1)
+        # sumd[i, c] = n_c*||x||^2 - 2<x, S_c> + Q_c
+        sumd = (n_c[None, :] * x2[:, None]
+                - 2 * (qm @ s_c.T) + q_c[None, :])
+        rows_n = len(ids)
+        pick = np.arange(rows_n)
+        n_own = n_c[a]
+        a_sum = sumd[pick, a]
+        a_milli = np.where(n_own > 1,
+                           (1000 * a_sum) // np.maximum(n_own - 1, 1),
+                           0).astype(np.int64)
+        mean_c = np.where(n_c[None, :] > 0,
+                          (1000 * sumd) // np.maximum(n_c[None, :], 1),
+                          np.iinfo(np.int64).max)
+        mean_c[pick, a] = np.iinfo(np.int64).max
+        b_milli = mean_c.min(1)
+        has_b = b_milli != np.iinfo(np.int64).max
+        b_milli = np.where(has_b, b_milli, 0).astype(np.int64)
+        mx = np.maximum(a_milli, b_milli)
+        # 1e6 * milli-means exceeds int64 (the oracle widens to
+        # HUGEINT) — the final per-row division runs on Python ints
+        num = (b_milli.astype(object) - a_milli.astype(object)) \
+            * 1_000_000
+        den = np.maximum(mx, 1).astype(object)
+        trunc = np.array([int(n) // int(d) if n >= 0
+                          else -((-int(n)) // int(d))
+                          for n, d in zip(num, den)], dtype=np.int64)
+        s_ppm = np.where((n_own == 1) | ~has_b | (mx == 0), 0, trunc)
+        return pa.table({"vec_id": pa.array(ids),
+                         "cluster": pa.array(a.astype(np.int64)),
+                         "a_milli": pa.array(a_milli),
+                         "b_milli": pa.array(b_milli),
+                         "s_ppm": pa.array(s_ppm.astype(np.int64))})
+
+    return (ds.map_batches(score_pass, batch_format="pyarrow")
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+            .astype(np.int64))

@@ -4656,3 +4656,30 @@ def test_session_length_histogram_planted(ray_session, tmp_path):
     got = session_length_histogram(str(tmp_path))
     assert got.values.tolist() == [
         [1, 2, 666_666], [2, 1, 333_333]]
+
+
+def test_silhouette_kmeans_planted(ray_session, tmp_path):
+    """Four tight 2-point groups at x = 0, 10, 20, 30 (+1 offsets):
+    k-means (init ids 0..3) settles each group into its own cluster.
+    Hand-traced: id0 a_milli = 1000 * (1e6)^2 = 1e15; nearest other
+    cluster {x=10, 11} gives b_milli = 1000 * (1e14 + 1.21e14) // 2;
+    s_ppm = 1e6 * (b - a) // b = 990950. id4 (x=1) sees b from
+    (9e6)^2 + (10e6)^2 -> s_ppm = 988950."""
+    from rayschema.queries import silhouette_kmeans
+
+    xs = [0.0, 10.0, 20.0, 30.0, 1.0, 11.0, 21.0, 31.0]
+    emb = [[x] + [0.0] * 63 for x in xs]
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(8, dtype=np.int64)),
+        "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(8, dtype=np.int32))})
+    pq.write_table(tab, os.path.join(tmp_path, "embeddings.parquet"))
+    got = silhouette_kmeans(str(tmp_path))
+    assert got["cluster"].tolist() == [0, 1, 2, 3, 0, 1, 2, 3]
+    r0 = got[got.vec_id == 0].iloc[0]
+    assert r0["a_milli"] == 10**15
+    assert r0["b_milli"] == 1000 * (10**14 + 121 * 10**12) // 2
+    assert r0["s_ppm"] == 990950
+    r4 = got[got.vec_id == 4].iloc[0]
+    assert r4["s_ppm"] == 988950
+    assert (got["s_ppm"] > 900_000).all()
