@@ -865,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_matrix": Q.cohort_retention_matrix,
         "session_length_histogram": Q.session_length_histogram,
         "silhouette_kmeans": Q.silhouette_kmeans,
+        "debounced_events": Q.debounced_events,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1726,6 +1727,23 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # 5s same-(user,type) debounce: gap to the raw predecessor
+        "debounced_events": """
+            WITH e AS (SELECT user_id, event_type,
+                              epoch_us(ts) AS ts_us, event_id
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            o AS (SELECT event_type,
+                         CASE WHEN ts_us - lag(ts_us) OVER (
+                                PARTITION BY user_id, event_type
+                                ORDER BY ts_us, event_id) <= 5000000
+                              THEN 1 ELSE 0 END AS dropped
+                  FROM e)
+            SELECT event_type, count(*)::BIGINT AS n_total,
+                   sum(1 - dropped)::BIGINT AS n_kept,
+                   sum(dropped)::BIGINT AS n_dropped
+            FROM o GROUP BY 1 ORDER BY 1""",
         # weekly cohort retention triangle over distinct (user, week)
         "cohort_retention_matrix": """
             WITH e AS (SELECT user_id,

@@ -247,6 +247,7 @@ def run_bench() -> dict:
         ("cohort_retention_matrix", Q.cohort_retention_matrix),
         ("session_length_histogram", Q.session_length_histogram),
         ("silhouette_kmeans", Q.silhouette_kmeans),
+        ("debounced_events", Q.debounced_events),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -16111,3 +16111,63 @@ def silhouette_kmeans(sf_dir: str):
     return (ds.map_batches(score_pass, batch_format="pyarrow")
             .to_pandas().sort_values("vec_id").reset_index(drop=True)
             .astype(np.int64))
+
+
+DEBOUNCE_US = 5_000_000
+
+
+def debounced_events(sf_dir: str):
+    """Telemetry debounce audit: an event drops when the SAME
+    (user, event_type) fired within the previous 5 s (gap to the raw
+    predecessor — the LAG semantics, SQL-mirrorable; chained
+    debounce-against-last-kept is the documented non-SQL variant).
+    ONE user-keyed sorted scan; per group one lexsort by (type, ts,
+    event_id) and a vectorized same-type neighbor gap test; per-type
+    counts fold on the (types x users)-bounded driver frame. Emits
+    (event_type, n_total, n_kept, n_dropped)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_total", pa.int64()),
+                            ("n_kept", pa.int64()),
+                            ("n_dropped", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        n = len(et)
+        if n == 0:
+            return None
+        codes, uniq = pd.factorize(et, sort=True)
+        order = np.lexsort((eid, ts, codes))
+        c, t = codes[order], ts[order]
+        same = np.zeros(n, dtype=bool)
+        if n > 1:
+            same[1:] = (c[1:] == c[:-1]) \
+                & ((t[1:] - t[:-1]) <= DEBOUNCE_US)
+        drop_per_type = np.bincount(c[same], minlength=len(uniq))
+        tot_per_type = np.bincount(c, minlength=len(uniq))
+        return pa.table({
+            "event_type": pa.array([str(u) for u in uniq]),
+            "n_total": pa.array(tot_per_type.astype(np.int64)),
+            "n_kept": pa.array((tot_per_type
+                                - drop_per_type).astype(np.int64)),
+            "n_dropped": pa.array(drop_per_type.astype(np.int64))})
+
+    scan = sorted_group_scan(
+        ds.map_batches(_narrow_events, batch_format="pyarrow"),
+        ["user_id"], group_fn, out_schema,
+        order_cols=["ts_us", "event_id"])
+    agg = scan.to_pandas()
+    cols = ["event_type", "n_total", "n_kept", "n_dropped"]
+    if agg.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    g = (agg.groupby("event_type", as_index=False).sum()
+         .sort_values("event_type").reset_index(drop=True))
+    return g[cols].astype({c: np.int64 for c in cols[1:]})

@@ -4683,3 +4683,27 @@ def test_silhouette_kmeans_planted(ray_session, tmp_path):
     r4 = got[got.vec_id == 4].iloc[0]
     assert r4["s_ppm"] == 988950
     assert (got["s_ppm"] > 900_000).all()
+
+
+def test_debounced_events_planted(ray_session, tmp_path):
+    """u0 type A at 0s, 3s, 7s: the 3s event drops (gap 3s <= 5s), the
+    7s one survives (gap to RAW predecessor 4s... no: 7-3=4 <= 5 so it
+    drops too under raw-predecessor semantics — exactly the trap this
+    pins). Interleaved type B at 1s never debounces A. u1 type A at
+    100s is independent."""
+    from rayschema.queries import debounced_events
+
+    s = 1_000_000
+    tab = pa.table({
+        "event_id": pa.array(np.arange(5, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 0, 0, 1], dtype=np.int64)),
+        "ts": pa.array(np.array([0, 3 * s, 7 * s, 1 * s, 100 * s],
+                                dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["A", "A", "A", "B", "A"]),
+        "value": pa.array(np.ones(5))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = debounced_events(str(tmp_path))
+    assert got.values.tolist() == [
+        ["A", 4, 2, 2],
+        ["B", 1, 1, 0]]
