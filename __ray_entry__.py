@@ -866,6 +866,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_length_histogram": Q.session_length_histogram,
         "silhouette_kmeans": Q.silhouette_kmeans,
         "debounced_events": Q.debounced_events,
+        "wau_stickiness": Q.wau_stickiness,
+        "embedding_norm_audit": Q.embedding_norm_audit,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1727,6 +1729,38 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # WAU + DAU/WAU stickiness off distinct (user, day) pairs
+        "wau_stickiness": """
+            WITH e AS (SELECT user_id,
+                              epoch_us(ts) // 86400000000 AS day
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            d AS (SELECT DISTINCT user_id, day FROM e),
+            w AS (SELECT user_id, day, day // 7 AS wk FROM d),
+            g AS (SELECT wk, count(DISTINCT user_id)::BIGINT AS wau,
+                         count(*)::BIGINT AS sum_dau
+                  FROM w GROUP BY 1)
+            SELECT wk::BIGINT AS wk, wau, sum_dau,
+                   ((1000000 * sum_dau) // (7 * wau))::BIGINT
+                     AS stickiness_ppm
+            FROM g ORDER BY wk""",
+        # per-label integer squared-norm QA over the 1e-6 quantization
+        "embedding_norm_audit": """
+            WITH q AS (SELECT label::BIGINT AS label,
+                              list_inner_product(
+                                list_transform(embedding,
+                                  x -> round(x::DOUBLE * 1000000)),
+                                list_transform(embedding,
+                                  x -> round(x::DOUBLE * 1000000)))
+                                ::BIGINT AS n2
+                       FROM embeddings)
+            SELECT label, count(*)::BIGINT AS n,
+                   sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_zero,
+                   min(n2)::BIGINT AS min_n2,
+                   max(n2)::BIGINT AS max_n2,
+                   sum(n2)::BIGINT AS sum_n2
+            FROM q GROUP BY 1 ORDER BY 1""",
         # 5s same-(user,type) debounce: gap to the raw predecessor
         "debounced_events": """
             WITH e AS (SELECT user_id, event_type,

@@ -248,6 +248,8 @@ def run_bench() -> dict:
         ("session_length_histogram", Q.session_length_histogram),
         ("silhouette_kmeans", Q.silhouette_kmeans),
         ("debounced_events", Q.debounced_events),
+        ("wau_stickiness", Q.wau_stickiness),
+        ("embedding_norm_audit", Q.embedding_norm_audit),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

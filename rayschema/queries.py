@@ -16171,3 +16171,86 @@ def debounced_events(sf_dir: str):
     g = (agg.groupby("event_type", as_index=False).sum()
          .sort_values("event_type").reset_index(drop=True))
     return g[cols].astype({c: np.int64 for c in cols[1:]})
+
+
+def wau_stickiness(sf_dir: str):
+    """Weekly active users + stickiness (mean DAU / WAU — the
+    product-health ratio): distinct (user, day) pairs through one
+    narrow groupby (user x day bounded), folded to per-week DAU sums
+    and distinct-user WAU on the driver (the cohort-triangle
+    discipline). stickiness_ppm = 1e6 * sum_dau // (7 * wau) — the
+    7-day-normalized mean DAU share. Emits
+    (wk, wau, sum_dau, stickiness_ppm)."""
+    from ray.data.aggregate import Count
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.is_valid(b.column("ts"))))
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "day": pa.array(b.column("ts").cast(pa.int64())
+                            .to_numpy(zero_copy_only=False) // day_us)})
+
+    pairs = (ds.map_batches(narrow, batch_format="pyarrow")
+             .groupby(["user_id", "day"])
+             .aggregate(Count(alias_name="n")).to_pandas())
+    cols = ["wk", "wau", "sum_dau", "stickiness_ppm"]
+    if pairs.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    pairs["wk"] = pairs["day"].to_numpy(np.int64) // 7
+    wau = pairs.groupby("wk")["user_id"].nunique()
+    dau = pairs.groupby("wk").size()      # distinct (user, day) pairs
+    out = pd.DataFrame({"wk": wau.index.to_numpy(np.int64),
+                        "wau": wau.to_numpy(np.int64),
+                        "sum_dau": dau.to_numpy(np.int64)})
+    out["stickiness_ppm"] = (1_000_000 * out["sum_dau"]) \
+        // (7 * out["wau"])
+    return out.sort_values("wk").reset_index(drop=True) \
+        .astype(np.int64)
+
+
+def embedding_norm_audit(sf_dir: str):
+    """Vector-QA audit per label: count, zero-vector count and the
+    min/max/sum of exact integer squared norms on the shared 1e-6
+    quantization — the broken-embedding detector (NaN/zero/degenerate
+    norms) run before any ANN build. ONE stateless pass, label-bounded
+    partials. Emits (label, n, n_zero, min_n2, max_n2, sum_n2)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding",
+                                              "label"])
+
+    def part(b: pa.Table) -> pa.Table:
+        lab = b.column("label").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(lab) == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("label", "n", "n_zero",
+                                       "min_n2", "max_n2", "sum_n2")})
+        qm = _emb_qmat(b)
+        n2 = (qm ** 2).sum(1)
+        df = pd.DataFrame({"label": lab, "n2": n2,
+                           "z": (n2 == 0).astype(np.int64)})
+        g = df.groupby("label").agg(
+            n=("n2", "size"), n_zero=("z", "sum"),
+            min_n2=("n2", "min"), max_n2=("n2", "max"),
+            sum_n2=("n2", "sum")).reset_index()
+        return pa.Table.from_pandas(g.astype(np.int64),
+                                    preserve_index=False)
+
+    out = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("label")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_zero", alias_name="n_zero"),
+                      Min("min_n2", alias_name="min_n2"),
+                      Max("max_n2", alias_name="max_n2"),
+                      Sum("sum_n2", alias_name="sum_n2"))
+           .to_pandas())
+    return (out.sort_values("label").reset_index(drop=True)
+            .astype(np.int64))

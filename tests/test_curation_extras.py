@@ -4707,3 +4707,42 @@ def test_debounced_events_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         ["A", 4, 2, 2],
         ["B", 1, 1, 0]]
+
+
+def test_wau_stickiness_planted(ray_session, tmp_path):
+    """Week 0: u0 active days 0 and 1 (two pairs — twice on day 0
+    counts once), u1 day 0 -> wau 2, sum_dau 3, stickiness
+    1e6*3 // 14 = 214285. Week 1: u0 day 7 -> wau 1, sum_dau 1."""
+    from rayschema.queries import wau_stickiness
+
+    day = 86_400_000_000
+    ts = np.array([0, 5, day, 0, 7 * day], dtype=np.int64)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(5, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 0, 1, 0], dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 5),
+        "value": pa.array(np.ones(5))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = wau_stickiness(str(tmp_path))
+    assert got.values.tolist() == [
+        [0, 2, 3, 214_285],
+        [1, 1, 1, 142_857]]
+
+
+def test_embedding_norm_audit_planted(ray_session, tmp_path):
+    """label 0: a zero vector and a unit-x vector (n2 = 1e12);
+    label 1: one vector at x=2 (n2 = 4e12)."""
+    from rayschema.queries import embedding_norm_audit
+
+    emb = [[0.0] * 64, [1.0] + [0.0] * 63, [2.0] + [0.0] * 63]
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(3, dtype=np.int64)),
+        "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+        "label": pa.array(np.array([0, 0, 1], dtype=np.int32))})
+    pq.write_table(tab, os.path.join(tmp_path, "embeddings.parquet"))
+    got = embedding_norm_audit(str(tmp_path))
+    T = 10**12
+    assert got.values.tolist() == [
+        [0, 2, 1, 0, T, T],
+        [1, 1, 0, 4 * T, 4 * T, 4 * T]]
