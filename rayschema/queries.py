@@ -15402,21 +15402,25 @@ def bootstrap_ci_value(sf_dir: str):
         eid = b.column("event_id").cast(pa.int64()) \
             .to_numpy(zero_copy_only=False) % BOOT_MOD
         cents = _cents(b.column("value").to_numpy(zero_copy_only=False))
-        et = b.column("event_type").to_pandas()
-        outs = []
+        codes, uniq = pd.factorize(
+            b.column("event_type").to_numpy(zero_copy_only=False),
+            sort=True)
+        k = len(uniq)
+        # one factorize + 2 bincounts per replicate — no per-rep
+        # DataFrame churn (16 pandas groupbys cost ~4x this)
+        ws = np.empty((BOOT_B, k), dtype=np.int64)
+        wvs = np.empty((BOOT_B, k), dtype=np.int64)
         for rep in range(BOOT_B):
             w = ((eid * BOOT_MUL + rep * 97) % BOOT_MOD) % 3
-            df = pd.DataFrame({"event_type": et, "w": w,
-                               "wv": w * cents})
-            g = df.groupby("event_type", as_index=False).sum()
-            g["b"] = rep
-            outs.append(g)
-        allg = pd.concat(outs, ignore_index=True)
+            ws[rep] = np.bincount(codes, weights=w, minlength=k)
+            wvs[rep] = np.bincount(codes, weights=w * cents,
+                                   minlength=k)
+        reps = np.repeat(np.arange(BOOT_B, dtype=np.int64), k)
         return pa.table({
-            "event_type": pa.array(allg["event_type"]),
-            "b": pa.array(allg["b"].to_numpy(np.int64)),
-            "w": pa.array(allg["w"].to_numpy(np.int64)),
-            "wv": pa.array(allg["wv"].to_numpy(np.int64))})
+            "event_type": pa.array([str(u) for u in uniq] * BOOT_B),
+            "b": pa.array(reps),
+            "w": pa.array(ws.ravel()),
+            "wv": pa.array(wvs.ravel())})
 
     agg = (ds.map_batches(part, batch_format="pyarrow")
            .groupby(["event_type", "b"])
