@@ -868,6 +868,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounced_events": Q.debounced_events,
         "wau_stickiness": Q.wau_stickiness,
         "embedding_norm_audit": Q.embedding_norm_audit,
+        "optimal_segmentation_hourly": Q.optimal_segmentation_hourly,
+        "theil_sen_hourly": Q.theil_sen_hourly,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1729,6 +1731,65 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # optimal 3-segmentation of the 24h curve: enumerate C(23,2)
+        # boundary pairs over shared prefix sums, floor-milli SSE
+        "optimal_segmentation_hourly": """
+            WITH h AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hr
+                       FROM events WHERE ts IS NOT NULL),
+            c AS (SELECT g.range AS hr, COALESCE(cnt.n, 0)::BIGINT
+                           AS n
+                  FROM range(0, 24) g
+                  LEFT JOIN (SELECT hr, count(*)::BIGINT AS n
+                             FROM h GROUP BY 1) cnt
+                    ON cnt.hr = g.range),
+            p AS (SELECT hr,
+                         sum(n) OVER (ORDER BY hr) AS s,
+                         sum(n * n) OVER (ORDER BY hr) AS q
+                  FROM c),
+            pb AS (SELECT 0 AS b, 0::BIGINT AS s, 0::BIGINT AS q
+                   UNION ALL
+                   SELECT hr + 1, s::BIGINT, q::BIGINT FROM p),
+            costs AS (SELECT a.b AS a, bb.b AS b,
+                             ((1000 * ((bb.b - a.b) * (bb.q - a.q)
+                                       - (bb.s - a.s)
+                                         * (bb.s - a.s)))
+                              // (bb.b - a.b))::BIGINT AS c,
+                             (bb.s - a.s)::BIGINT AS n_events
+                      FROM pb a JOIN pb bb ON bb.b > a.b),
+            best AS (SELECT c1.b AS b1, c2.b AS b2
+                     FROM costs c1
+                     JOIN costs c2 ON c2.a = c1.b
+                     JOIN costs c3 ON c3.a = c2.b
+                     WHERE c1.a = 0 AND c3.b = 24
+                     ORDER BY c1.c + c2.c + c3.c, c1.b, c2.b
+                     LIMIT 1)
+            SELECT seg, start_h, end_h, k.n_events, k.c AS cost_milli
+            FROM (SELECT 1::BIGINT AS seg, 0::BIGINT AS start_h,
+                         b1::BIGINT AS end_h FROM best
+                  UNION ALL
+                  SELECT 2, b1, b2 FROM best
+                  UNION ALL
+                  SELECT 3, b2, 24 FROM best) s
+            JOIN costs k ON k.a = s.start_h AND k.b = s.end_h
+            ORDER BY seg""",
+        # Theil-Sen slope: lower median of floor-milli pair slopes
+        "theil_sen_hourly": """
+            WITH h AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS hr
+                       FROM events WHERE ts IS NOT NULL),
+            c AS (SELECT g.range AS hr, COALESCE(cnt.n, 0)::BIGINT
+                           AS n
+                  FROM range(0, 24) g
+                  LEFT JOIN (SELECT hr, count(*)::BIGINT AS n
+                             FROM h GROUP BY 1) cnt
+                    ON cnt.hr = g.range),
+            sl AS (SELECT ((1000 * (b.n - a.n))
+                           // (b.hr - a.hr))::BIGINT AS s
+                   FROM c a JOIN c b ON b.hr > a.hr)
+            SELECT (SELECT count(*) FROM sl)::BIGINT AS n_pairs,
+                   (SELECT s FROM (SELECT s, row_number()
+                                     OVER (ORDER BY s) AS rn FROM sl)
+                    WHERE rn = (SELECT (count(*) + 1) // 2 FROM sl))
+                     ::BIGINT AS median_slope_milli""",
         # WAU + DAU/WAU stickiness off distinct (user, day) pairs
         "wau_stickiness": """
             WITH e AS (SELECT user_id,

@@ -250,6 +250,8 @@ def run_bench() -> dict:
         ("debounced_events", Q.debounced_events),
         ("wau_stickiness", Q.wau_stickiness),
         ("embedding_norm_audit", Q.embedding_norm_audit),
+        ("optimal_segmentation_hourly", Q.optimal_segmentation_hourly),
+        ("theil_sen_hourly", Q.theil_sen_hourly),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -16258,3 +16258,86 @@ def embedding_norm_audit(sf_dir: str):
            .to_pandas())
     return (out.sort_values("label").reset_index(drop=True)
             .astype(np.int64))
+
+
+def _hourly_counts(sf_dir: str) -> np.ndarray:
+    """Shared 24-slot hour-of-day event-count fold (the haar shape):
+    one distributed bincount pass, 24-int driver state."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("ts")))
+        ts = b.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = (ts // 3_600_000_000) % 24
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({"hour": pa.array(u.astype(np.int64)),
+                         "n": pa.array(c.astype(np.int64))})
+
+    agg = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    x = np.zeros(24, dtype=np.int64)
+    if not agg.empty:
+        g = agg.groupby("hour")["n"].sum()
+        x[g.index.to_numpy(np.int64)] = g.to_numpy(np.int64)
+    return x
+
+
+SEG_K = 3
+
+
+def optimal_segmentation_hourly(sf_dir: str):
+    """Optimal 3-segment partition of the 24-slot hour-of-day
+    event-count curve (exact change-point detection, the piecewise-
+    constant fit): minimize the sum of per-segment floor-milli SSE
+    cost(a, b) = (1000 * (len * Q - S^2)) // len (integer — both sides
+    share the floor, so the optimum is bit-reproducible; ties pick the
+    lexicographically smallest boundaries). The data-sized work is the
+    shared distributed hourly fold; the C(23,2) boundary search is
+    driver arithmetic on 24 ints (the oracle enumerates the same
+    pairs). Emits (seg, start_h, end_h, n_events, cost_milli)."""
+    x = _hourly_counts(sf_dir)
+    S = np.zeros(25, dtype=np.int64)
+    Q = np.zeros(25, dtype=np.int64)
+    S[1:] = np.cumsum(x)
+    Q[1:] = np.cumsum(x * x)
+
+    def cost(a: int, b: int) -> int:
+        ln = b - a
+        s = int(S[b] - S[a])
+        q = int(Q[b] - Q[a])
+        return (1000 * (ln * q - s * s)) // ln
+
+    best = None
+    for b1 in range(1, 23):
+        for b2 in range(b1 + 1, 24):
+            tot = cost(0, b1) + cost(b1, b2) + cost(b2, 24)
+            key = (tot, b1, b2)
+            if best is None or key < best:
+                best = key
+    tot, b1, b2 = best
+    segs = [(1, 0, b1), (2, b1, b2), (3, b2, 24)]
+    return pd.DataFrame(
+        [(s, a, b, int(S[b] - S[a]), cost(a, b)) for s, a, b in segs],
+        columns=["seg", "start_h", "end_h", "n_events",
+                 "cost_milli"]).astype(np.int64)
+
+
+def theil_sen_hourly(sf_dir: str):
+    """Theil-Sen robust slope of the hour-of-day event-count curve:
+    the lower median of the C(24,2) pairwise slopes, each floored to
+    milli-events/hour ((1000 * dy) // dx — integer, so the median is
+    order-unambiguous on both sides). One distributed hourly fold; the
+    276 slopes are driver arithmetic. Emits
+    (n_pairs, median_slope_milli)."""
+    x = _hourly_counts(sf_dir)
+    slopes = []
+    for i in range(24):
+        for j in range(i + 1, 24):
+            dy, dx = 1000 * int(x[j] - x[i]), j - i
+            # truncate toward zero — DuckDB's BIGINT // (pinned)
+            slopes.append(dy // dx if dy >= 0 else -((-dy) // dx))
+    slopes.sort()
+    n = len(slopes)
+    return pd.DataFrame({"n_pairs": [n],
+                         "median_slope_milli": [slopes[(n - 1) // 2]]
+                         }).astype(np.int64)

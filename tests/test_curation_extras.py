@@ -4746,3 +4746,48 @@ def test_embedding_norm_audit_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         [0, 2, 1, 0, T, T],
         [1, 1, 0, 4 * T, 4 * T, 4 * T]]
+
+
+def test_optimal_segmentation_planted(ray_session, tmp_path):
+    """Counts: hours 0-7 flat 2/hour, hours 8-15 flat 5/hour, rest 0
+    -> optimal 3 segments are exactly [0,8) [8,16) [16,24), each with
+    zero SSE; n_events = 16, 40, 0."""
+    from rayschema.queries import optimal_segmentation_hourly
+
+    hr = 3_600_000_000
+    hours = [h for h in range(8) for _ in range(2)] \
+        + [h for h in range(8, 16) for _ in range(5)]
+    ts = np.array([h * hr for h in hours], dtype=np.int64)
+    n = len(ts)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * n),
+        "value": pa.array(np.ones(n))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = optimal_segmentation_hourly(str(tmp_path))
+    assert got.values.tolist() == [
+        [1, 0, 8, 16, 0],
+        [2, 8, 16, 40, 0],
+        [3, 16, 24, 0, 0]]
+
+
+def test_theil_sen_planted(ray_session, tmp_path):
+    """Counts exactly h+1 per hour (perfect slope 1): every pairwise
+    slope is 1000 milli -> median 1000, 276 pairs."""
+    from rayschema.queries import theil_sen_hourly
+
+    hr = 3_600_000_000
+    hours = [h for h in range(24) for _ in range(h + 1)]
+    ts = np.array([h * hr for h in hours], dtype=np.int64)
+    n = len(ts)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(n, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * n),
+        "value": pa.array(np.ones(n))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = theil_sen_hourly(str(tmp_path))
+    assert got.values.tolist() == [[276, 1000]]
