@@ -870,6 +870,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_audit": Q.embedding_norm_audit,
         "optimal_segmentation_hourly": Q.optimal_segmentation_hourly,
         "theil_sen_hourly": Q.theil_sen_hourly,
+        "user_activity_gini": Q.user_activity_gini,
+        "padding_waste_audit": Q.padding_waste_audit,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1731,6 +1733,48 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # exact Gini of events-per-user (tie-invariant rank formula)
+        "user_activity_gini": """
+            WITH u AS (SELECT user_id, count(*)::BIGINT AS n
+                       FROM events WHERE user_id IS NOT NULL
+                       GROUP BY 1),
+            r AS (SELECT n, row_number() OVER (ORDER BY n) AS i,
+                         (SELECT count(*) FROM u) AS nu
+                  FROM u)
+            SELECT (SELECT count(*) FROM u)::BIGINT AS n_users,
+                   (SELECT sum(n) FROM u)::BIGINT AS total_events,
+                   ((1000000 * sum((2 * i - nu - 1) * n))
+                    // ((SELECT count(*) FROM u)
+                        * (SELECT sum(n) FROM u)))::BIGINT
+                     AS gini_ppm
+            FROM r""",
+        # padding waste per power-of-two sequence bucket (whitespace
+        # token counts, clipped at the ladder top)
+        "padding_waste_audit": """
+            WITH t AS (SELECT CASE WHEN length(text) = 0 THEN 0
+                              ELSE length(text)
+                                   - length(replace(text, ' ', ''))
+                                   + 1 END AS tc
+                       FROM documents WHERE text IS NOT NULL),
+            bkt AS (SELECT LEAST(tc, 16384) AS tc2,
+                           CASE WHEN tc <= 128 THEN 128
+                                WHEN tc <= 256 THEN 256
+                                WHEN tc <= 512 THEN 512
+                                WHEN tc <= 1024 THEN 1024
+                                WHEN tc <= 2048 THEN 2048
+                                WHEN tc <= 4096 THEN 4096
+                                WHEN tc <= 8192 THEN 8192
+                                ELSE 16384 END AS bucket
+                    FROM t),
+            g AS (SELECT bucket, count(*)::BIGINT AS n_docs,
+                         sum(tc2)::BIGINT AS sum_tokens
+                  FROM bkt GROUP BY 1)
+            SELECT bucket::BIGINT AS bucket, n_docs, sum_tokens,
+                   (bucket * n_docs - sum_tokens)::BIGINT
+                     AS padded_tokens,
+                   ((1000000 * (bucket * n_docs - sum_tokens))
+                    // (bucket * n_docs))::BIGINT AS waste_ppm
+            FROM g ORDER BY bucket""",
         # optimal 3-segmentation of the 24h curve: enumerate C(23,2)
         # boundary pairs over shared prefix sums, floor-milli SSE
         "optimal_segmentation_hourly": """

@@ -252,6 +252,8 @@ def run_bench() -> dict:
         ("embedding_norm_audit", Q.embedding_norm_audit),
         ("optimal_segmentation_hourly", Q.optimal_segmentation_hourly),
         ("theil_sen_hourly", Q.theil_sen_hourly),
+        ("user_activity_gini", Q.user_activity_gini),
+        ("padding_waste_audit", Q.padding_waste_audit),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -16341,3 +16341,81 @@ def theil_sen_hourly(sf_dir: str):
     return pd.DataFrame({"n_pairs": [n],
                          "median_slope_milli": [slopes[(n - 1) // 2]]
                          }).astype(np.int64)
+
+
+def user_activity_gini(sf_dir: str):
+    """Concentration-of-activity audit: the exact Gini coefficient of
+    the events-per-user distribution (is traffic a few whales or a
+    broad base?) — floor-ppm of sum((2i - n - 1) * x_(i)) / (n * sum x)
+    over ascending per-user counts (tie-invariant: coefficients are
+    linear in rank and tied values are equal). ONE distributed user
+    groupby; the sorted fold runs on the user-bounded frame. Emits
+    (n_users, total_events, gini_ppm)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        u = pc.drop_null(b.column("user_id")).cast(pa.int64())
+        return pa.table({"user_id": u})
+
+    cnt = (ds.map_batches(narrow, batch_format="pyarrow")
+           .groupby("user_id")
+           .aggregate(Count(alias_name="n")).to_pandas())
+    cols = ["n_users", "total_events", "gini_ppm"]
+    if cnt.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    x = np.sort(cnt["n"].to_numpy(np.int64))
+    n = len(x)
+    tot = int(x.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = int(((2 * i - n - 1) * x).sum())
+    return pd.DataFrame({"n_users": [n], "total_events": [tot],
+                         "gini_ppm": [(1_000_000 * num) // (n * tot)]
+                         }).astype(np.int64)
+
+
+PAD_LADDER = (128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+
+
+def padding_waste_audit(sf_dir: str):
+    """Trainer batch-padding efficiency: bucket each doc's whitespace
+    token count (the token_counts_documents convention) to the
+    power-of-two ladder 128..16384 and report per-bucket padding waste
+    — the audit that picks sequence-length buckets before packing.
+    ONE stateless pass, 8-row partials. Emits
+    (bucket, n_docs, sum_tokens, padded_tokens, waste_ppm)."""
+    from rayschema.text import token_count_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ladder = np.asarray(PAD_LADDER, dtype=np.int64)
+
+    def part(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b)
+        tc = t.column("token_count")
+        tc = pc.drop_null(tc).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        idx = np.searchsorted(ladder, np.minimum(tc, ladder[-1]))
+        n_d = np.bincount(idx, minlength=len(ladder))
+        s_t = np.bincount(idx, weights=np.minimum(tc, ladder[-1]),
+                          minlength=len(ladder)).astype(np.int64)
+        keep = np.flatnonzero(n_d > 0)
+        return pa.table({
+            "bucket": pa.array(ladder[keep]),
+            "n_docs": pa.array(n_d[keep].astype(np.int64)),
+            "sum_tokens": pa.array(s_t[keep])})
+
+    agg = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    cols = ["bucket", "n_docs", "sum_tokens", "padded_tokens",
+            "waste_ppm"]
+    if agg.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    g = (agg.groupby("bucket", as_index=False).sum()
+         .sort_values("bucket").reset_index(drop=True))
+    g["padded_tokens"] = (g["bucket"] * g["n_docs"]
+                          - g["sum_tokens"]).astype(np.int64)
+    g["waste_ppm"] = (1_000_000 * g["padded_tokens"]) \
+        // (g["bucket"] * g["n_docs"])
+    return g[cols].astype(np.int64)

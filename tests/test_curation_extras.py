@@ -4791,3 +4791,41 @@ def test_theil_sen_planted(ray_session, tmp_path):
     pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
     got = theil_sen_hourly(str(tmp_path))
     assert got.values.tolist() == [[276, 1000]]
+
+
+def test_user_activity_gini_planted(ray_session, tmp_path):
+    """Counts [1, 1, 6]: num = (2*1-4)*1 + (2*2-4)*1 + (2*3-4)*6 = -2
+    + 0 + 12 = 10; gini = 1e6*10 // (3*8) = 416666."""
+    from rayschema.queries import user_activity_gini
+
+    uid = np.array([0, 1] + [2] * 6, dtype=np.int64)
+    n = len(uid)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(uid),
+        "ts": pa.array(np.arange(n, dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * n),
+        "value": pa.array(np.ones(n))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = user_activity_gini(str(tmp_path))
+    assert got.values.tolist() == [[3, 8, 416_666]]
+
+
+def test_padding_waste_planted(ray_session, tmp_path):
+    """Docs of 100 and 200 whitespace tokens land in buckets 128/256
+    with waste 28 and 56; a 20000-token doc clips to the 16384 top
+    (zero waste after clipping)."""
+    from rayschema.queries import padding_waste_audit
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["w " * 99 + "w", "w " * 199 + "w",
+                 "w " * 19999 + "w"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": np.array([0, 0, 0], dtype=np.int64)})
+    got = padding_waste_audit(_write_docs(tmp_path, df))
+    assert got.values.tolist() == [
+        [128, 1, 100, 28, 218_750],
+        [256, 1, 200, 56, 218_750],
+        [16384, 1, 16384, 0, 0]]
