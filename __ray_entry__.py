@@ -872,6 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen_hourly": Q.theil_sen_hourly,
         "user_activity_gini": Q.user_activity_gini,
         "padding_waste_audit": Q.padding_waste_audit,
+        "user_type_venn": Q.user_type_venn,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1733,6 +1734,32 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # 3-set engagement Venn: per-user bit maxes == distributed OR
+        "user_type_venn": """
+            WITH e AS (SELECT DISTINCT user_id, event_type
+                       FROM events
+                       WHERE user_id IS NOT NULL
+                         AND event_type IN ('view', 'click',
+                                            'purchase')),
+            m AS (SELECT user_id,
+                         max(CASE WHEN event_type = 'view'
+                             THEN 1 ELSE 0 END)
+                         + 2 * max(CASE WHEN event_type = 'click'
+                                   THEN 1 ELSE 0 END)
+                         + 4 * max(CASE WHEN event_type = 'purchase'
+                                   THEN 1 ELSE 0 END) AS mask
+                  FROM e GROUP BY 1),
+            g AS (SELECT mask, count(*)::BIGINT AS n_users
+                  FROM m GROUP BY 1)
+            SELECT mask::BIGINT AS mask,
+                   CASE mask WHEN 1 THEN 'view' WHEN 2 THEN 'click'
+                        WHEN 3 THEN 'view+click' WHEN 4
+                          THEN 'purchase'
+                        WHEN 5 THEN 'view+purchase'
+                        WHEN 6 THEN 'click+purchase'
+                        ELSE 'view+click+purchase' END AS region,
+                   n_users
+            FROM g ORDER BY mask""",
         # exact Gini of events-per-user (tie-invariant rank formula)
         "user_activity_gini": """
             WITH u AS (SELECT user_id, count(*)::BIGINT AS n

@@ -254,6 +254,7 @@ def run_bench() -> dict:
         ("theil_sen_hourly", Q.theil_sen_hourly),
         ("user_activity_gini", Q.user_activity_gini),
         ("padding_waste_audit", Q.padding_waste_audit),
+        ("user_type_venn", Q.user_type_venn),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -16419,3 +16419,67 @@ def padding_waste_audit(sf_dir: str):
     g["waste_ppm"] = (1_000_000 * g["padded_tokens"]) \
         // (g["bucket"] * g["n_docs"])
     return g[cols].astype(np.int64)
+
+
+VENN_TYPES = ("view", "click", "purchase")
+
+
+def user_type_venn(sf_dir: str):
+    """Three-set Venn audit over user behavior: how many users fall in
+    each of the 7 regions of (ever viewed, ever clicked, ever
+    purchased) — the engagement-overlap picture one query deep. Per
+    block: per-user 3-bit masks OR-fold (duplicates can't move an OR,
+    so no distinct pass); one user-keyed groupby Max folds the masks;
+    the 7-bin bincount is driver arithmetic. Emits
+    (mask, region, n_users) with region like 'view+click'."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("user_id")),
+                             pc.is_valid(b.column("event_type"))))
+        u = b.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        # one 0/1 column per set: max IS bitwise OR per bit, so the
+        # per-block pandas groupby().max() (vectorized) and the global
+        # Ray Max aggregate compose into an exact distributed OR-fold
+        df = pd.DataFrame({"user_id": u})
+        hit = np.zeros(len(u), dtype=bool)
+        for i, t in enumerate(VENN_TYPES):
+            m = et == t
+            df[f"b{i}"] = m.astype(np.int64)
+            hit |= m
+        df = df[hit]
+        if df.empty:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             **{f"b{i}": pa.array([], type=pa.int64())
+                                for i in range(3)}})
+        g = df.groupby("user_id", as_index=False).max()
+        return pa.Table.from_pandas(g.astype(np.int64),
+                                    preserve_index=False)
+
+    folded = (ds.map_batches(part, batch_format="pyarrow")
+              .groupby("user_id")
+              .aggregate(Max("b0", alias_name="b0"),
+                         Max("b1", alias_name="b1"),
+                         Max("b2", alias_name="b2")).to_pandas())
+    cols = ["mask", "region", "n_users"]
+    if folded.empty:
+        return pd.DataFrame({"mask": pd.Series([], dtype=np.int64),
+                             "region": pd.Series([], dtype=object),
+                             "n_users": pd.Series([], dtype=np.int64)})
+    mask = (folded["b0"].to_numpy(np.int64)
+            + 2 * folded["b1"].to_numpy(np.int64)
+            + 4 * folded["b2"].to_numpy(np.int64))
+    cnt = np.bincount(mask, minlength=8)
+    rows = []
+    for m in range(1, 8):
+        if cnt[m] == 0:
+            continue
+        region = "+".join(t for i, t in enumerate(VENN_TYPES)
+                          if m >> i & 1)
+        rows.append((m, region, int(cnt[m])))
+    return pd.DataFrame(rows, columns=cols) \
+        .astype({"mask": np.int64, "n_users": np.int64})

@@ -4829,3 +4829,27 @@ def test_padding_waste_planted(ray_session, tmp_path):
         [128, 1, 100, 28, 218_750],
         [256, 1, 200, 56, 218_750],
         [16384, 1, 16384, 0, 0]]
+
+
+def test_user_type_venn_planted(ray_session, tmp_path):
+    """u0 view-only, u1 view+click (click twice — OR not count), u2
+    all three, u3 only 'error' events (excluded entirely)."""
+    from rayschema.queries import user_type_venn
+
+    et = ["view", "view", "click", "click",
+          "view", "click", "purchase", "error"]
+    uid = np.array([0, 1, 1, 1, 2, 2, 2, 3], dtype=np.int64)
+    n = len(et)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(uid),
+        "ts": pa.array(np.arange(n, dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(et),
+        "value": pa.array(np.ones(n))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = user_type_venn(str(tmp_path))
+    assert got.values.tolist() == [
+        [1, "view", 1],
+        [3, "view+click", 1],
+        [7, "view+click+purchase", 1]]
