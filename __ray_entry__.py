@@ -873,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_activity_gini": Q.user_activity_gini,
         "padding_waste_audit": Q.padding_waste_audit,
         "user_type_venn": Q.user_type_venn,
+        "orders_aging_buckets": Q.orders_aging_buckets,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1734,6 +1735,36 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # open-order aging vs the corpus max order date
+        "orders_aging_buckets": """
+            WITH mx AS (SELECT max(epoch_us(o_orderdate)
+                                   // 86400000000) AS anchor
+                        FROM orders),
+            o AS (SELECT (SELECT anchor FROM mx)
+                         - epoch_us(o_orderdate) // 86400000000
+                           AS age,
+                         CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents
+                  FROM orders WHERE o_orderstatus = 'O'),
+            b AS (SELECT CASE WHEN age <= 30 THEN '0-30'
+                              WHEN age <= 60 THEN '31-60'
+                              WHEN age <= 90 THEN '61-90'
+                              ELSE '90+' END AS bucket,
+                         CASE WHEN age <= 30 THEN 0
+                              WHEN age <= 60 THEN 31
+                              WHEN age <= 90 THEN 61
+                              ELSE 91 END AS age_lo,
+                         CASE WHEN age <= 30 THEN 30
+                              WHEN age <= 60 THEN 60
+                              WHEN age <= 90 THEN 90
+                              ELSE -1 END AS age_hi,
+                         cents
+                  FROM o)
+            SELECT bucket, age_lo::BIGINT AS age_lo,
+                   age_hi::BIGINT AS age_hi,
+                   count(*)::BIGINT AS n_orders,
+                   sum(cents)::BIGINT AS open_cents
+            FROM b GROUP BY 1, 2, 3 ORDER BY age_lo""",
         # 3-set engagement Venn: per-user bit maxes == distributed OR
         "user_type_venn": """
             WITH e AS (SELECT DISTINCT user_id, event_type

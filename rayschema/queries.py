@@ -16483,3 +16483,83 @@ def user_type_venn(sf_dir: str):
         rows.append((m, region, int(cnt[m])))
     return pd.DataFrame(rows, columns=cols) \
         .astype({"mask": np.int64, "n_users": np.int64})
+
+
+AGING_EDGES = (30, 60, 90)
+
+
+def orders_aging_buckets(sf_dir: str):
+    """Receivables-style aging report: OPEN orders (o_orderstatus 'O')
+    bucketed by age in days relative to the corpus's max order date
+    (0-30 / 31-60 / 61-90 / 90+), with order counts and open value.
+    ONE pass: each block emits a per-DAY (n, cents) partial plus its
+    local max date; the driver folds the day-bounded histogram, reads
+    the as-of anchor off the same fold, and buckets ages once — no
+    second scan to find the anchor. Emits
+    (bucket, age_lo, age_hi, n_orders, open_cents); age_hi -1 = open
+    top bucket."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_orderdate",
+                        "o_totalprice"])
+    day_us = 86_400_000_000
+
+    def part(b: pa.Table) -> pa.Table:
+        st = b.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        m = st == "O"
+        d = (b.column("o_orderdate").cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // day_us)
+        c = _cents(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        dm, cm = d[m], c[m]
+        # (day, n, cents) partials: day-bounded (the order-date span),
+        # so the driver fold is a small histogram — and the global max
+        # day falls out of the same fold
+        df = pd.DataFrame({"day": dm, "cents": cm})
+        g = df.groupby("day").agg(n=("cents", "size"),
+                                  cents=("cents", "sum")).reset_index()
+        days = g["day"].to_numpy(np.int64)
+        ns = g["n"].to_numpy(np.int64)
+        cs = g["cents"].to_numpy(np.int64)
+        # the as-of anchor folds over ALL orders (open or closed) — a
+        # block with no open orders must STILL ship its local max, so
+        # every non-empty block emits at least a zero-count carrier row
+        if len(d) and len(days) == 0:
+            days = np.array([-1], dtype=np.int64)
+            ns = np.zeros(1, dtype=np.int64)
+            cs = np.zeros(1, dtype=np.int64)
+        return pa.table({
+            "day": pa.array(days),
+            "n": pa.array(ns),
+            "cents": pa.array(cs),
+            "maxday": pa.array(np.full(len(days), int(d.max())
+                                       if len(d) else -1, np.int64))})
+
+    agg = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    cols = ["bucket", "age_lo", "age_hi", "n_orders", "open_cents"]
+    if agg.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    anchor = int(agg["maxday"].max())
+    agg = agg[agg["day"] >= 0]          # drop anchor-carrier rows
+    if agg.empty:
+        return pd.DataFrame({"bucket": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    g = agg.groupby("day")[["n", "cents"]].sum().reset_index()
+    age = anchor - g["day"].to_numpy(np.int64)
+    edges = np.asarray(AGING_EDGES, dtype=np.int64)
+    idx = np.searchsorted(edges, age)        # 0..3
+    rows = []
+    labels = ["0-30", "31-60", "61-90", "90+"]
+    los = [0, 31, 61, 91]
+    his = [30, 60, 90, -1]
+    for i in range(4):
+        m = idx == i
+        if not m.any():
+            continue
+        rows.append((labels[i], los[i], his[i],
+                     int(g["n"].to_numpy(np.int64)[m].sum()),
+                     int(g["cents"].to_numpy(np.int64)[m].sum())))
+    return pd.DataFrame(rows, columns=cols) \
+        .astype({c: np.int64 for c in cols[1:]})

@@ -4853,3 +4853,27 @@ def test_user_type_venn_planted(ray_session, tmp_path):
         [1, "view", 1],
         [3, "view+click", 1],
         [7, "view+click+purchase", 1]]
+
+
+def test_orders_aging_planted(ray_session, tmp_path):
+    """Anchor = max order date over ALL orders (day 100, a closed
+    order). Open orders at ages 100, 31, 30 land in 90+/31-60/0-30;
+    the closed order itself is excluded from the buckets."""
+    from rayschema.queries import orders_aging_buckets
+
+    day_us = 86_400_000_000
+    days = np.array([0, 69, 70, 100], dtype=np.int64)
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(4, dtype=np.int64)),
+        "o_custkey": pa.array(np.zeros(4, dtype=np.int64)),
+        "o_orderstatus": pa.array(["O", "O", "O", "F"]),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0, 9.0]),
+        "o_orderdate": pa.array(days * day_us)
+        .cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4)})
+    pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
+    got = orders_aging_buckets(str(tmp_path))
+    assert got.values.tolist() == [
+        ["0-30", 0, 30, 1, 300],
+        ["31-60", 31, 60, 1, 200],
+        ["90+", 91, -1, 1, 100]]
