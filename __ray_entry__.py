@@ -874,6 +874,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "padding_waste_audit": Q.padding_waste_audit,
         "user_type_venn": Q.user_type_venn,
         "orders_aging_buckets": Q.orders_aging_buckets,
+        "customer_order_cadence": Q.customer_order_cadence,
+        "tfrecord_roundtrip": Q.tfrecord_roundtrip,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1735,6 +1737,21 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # repeat-purchase cadence: telescoping distinct-date gaps
+        "customer_order_cadence": """
+            WITH d AS (SELECT o_custkey,
+                              epoch_us(o_orderdate) // 86400000000
+                                AS day,
+                              count(*)::BIGINT AS n
+                       FROM orders GROUP BY 1, 2),
+            g AS (SELECT o_custkey, sum(n)::BIGINT AS n_orders,
+                         count(*)::BIGINT AS n_dates,
+                         (max(day) - min(day))::BIGINT AS span_days
+                  FROM d GROUP BY 1 HAVING count(*) >= 2)
+            SELECT o_custkey, n_orders, n_dates, span_days,
+                   ((1000 * span_days) // (n_dates - 1))::BIGINT
+                     AS mean_gap_milli
+            FROM g ORDER BY o_custkey""",
         # open-order aging vs the corpus max order date
         "orders_aging_buckets": """
             WITH mx AS (SELECT max(epoch_us(o_orderdate)
@@ -3685,6 +3702,11 @@ def oracle_sql() -> dict[str, str]:
             FROM hours h1 JOIN hu
               ON hu.h > h1.h - INTERVAL 24 HOUR AND hu.h <= h1.h
             GROUP BY h1.h""",
+        "tfrecord_roundtrip": """
+            SELECT lang, count(*)::BIGINT AS n_rows,
+                   sum(doc_id)::BIGINT AS id_sum,
+                   coalesce(sum(length(text)), 0)::BIGINT AS text_chars
+            FROM documents GROUP BY lang""",
         "orc_roundtrip": """
             SELECT lang, count(*)::BIGINT AS n_rows,
                    sum(doc_id)::BIGINT AS id_sum,

@@ -255,6 +255,9 @@ def run_bench() -> dict:
         ("user_activity_gini", Q.user_activity_gini),
         ("padding_waste_audit", Q.padding_waste_audit),
         ("user_type_venn", Q.user_type_venn),
+        ("orders_aging_buckets", Q.orders_aging_buckets),
+        ("customer_order_cadence", Q.customer_order_cadence),
+        ("tfrecord_roundtrip", Q.tfrecord_roundtrip),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -16563,3 +16563,60 @@ def orders_aging_buckets(sf_dir: str):
                      int(g["cents"].to_numpy(np.int64)[m].sum())))
     return pd.DataFrame(rows, columns=cols) \
         .astype({c: np.int64 for c in cols[1:]})
+
+
+def customer_order_cadence(sf_dir: str):
+    """Repeat-purchase cadence per customer: order count, active span
+    in days and the mean gap between consecutive orders — consecutive
+    gaps TELESCOPE (their sum is max - min), so ONE Min/Max/Count
+    groupby replaces any sort (the part_reorder_gap discipline on the
+    customer axis). Distinct order DATES define the gaps (same-day
+    orders are one cadence point); customers with < 2 distinct dates
+    drop. mean_gap_milli = 1000 * span // (n_dates - 1). Emits
+    (o_custkey, n_orders, n_dates, span_days, mean_gap_milli)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def part(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        d = (b.column("o_orderdate").cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // day_us)
+        df = pd.DataFrame({"ck": ck, "day": d})
+        g = df.groupby(["ck", "day"], as_index=False).size()
+        return pa.table({"ck": pa.array(g["ck"].to_numpy(np.int64)),
+                         "day": pa.array(g["day"].to_numpy(np.int64)),
+                         "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(["ck", "day"])
+           .aggregate(Sum("n", alias_name="n"))
+           .groupby("ck")
+           .aggregate(Sum("n", alias_name="n_orders"),
+                      Count(alias_name="n_dates"),
+                      Min("day", alias_name="d0"),
+                      Max("day", alias_name="d1")).to_pandas())
+    cols = ["o_custkey", "n_orders", "n_dates", "span_days",
+            "mean_gap_milli"]
+    if agg.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    agg = agg[agg["n_dates"] >= 2].copy()
+    agg["o_custkey"] = agg["ck"].astype(np.int64)
+    agg["span_days"] = (agg["d1"] - agg["d0"]).astype(np.int64)
+    agg["mean_gap_milli"] = (1000 * agg["span_days"]) \
+        // (agg["n_dates"] - 1)
+    return (agg[cols].astype(np.int64).sort_values("o_custkey")
+            .reset_index(drop=True))
+
+
+def tfrecord_roundtrip(sf_dir: str):
+    """TFRecord sink+source round trip — the TensorFlow training-input
+    container (length-framed records, double masked CRC-32C), via the
+    repo's pure-numpy codec (rayschema/tfrecord.py: table-lookup CRC
+    vectorized ACROSS records, canonical-JSON payloads, checksum
+    verification on read). Distributed on both sides like the ORC
+    path; any framing/CRC/unicode infidelity breaks the value hash."""
+    return _format_roundtrip(sf_dir, "tfrecord")

@@ -13,7 +13,8 @@ import glob
 import os
 from typing import List, Optional
 
-FORMATS = ("parquet", "json", "csv", "orc", "feather", "avro")
+FORMATS = ("parquet", "json", "csv", "orc", "feather", "avro",
+           "tfrecord")
 
 
 def detect_format(path: str) -> str:
@@ -43,6 +44,8 @@ def detect_format(path: str) -> str:
             return "feather"
         if ext == "avro":
             return "avro"
+        if ext == "tfrecord":
+            return "tfrecord"
     raise ValueError(f"cannot detect corpus format under {path!r}")
 
 
@@ -80,7 +83,7 @@ def read_corpus(path: str, fmt: Optional[str] = None,
     elif fmt in ("csv.gz", "csv.zst"):
         ds = rd.read_csv(path, **_cargs(
             "gzip" if fmt.endswith(".gz") else "zstd"))
-    elif fmt in ("orc", "feather", "avro"):
+    elif fmt in ("orc", "feather", "avro", "tfrecord"):
         ds = _read_table_files(path, fmt)
     else:
         raise ValueError(f"unsupported corpus format {fmt!r} (one of {FORMATS})")
@@ -108,7 +111,7 @@ def write_corpus(ds, path: str, fmt: str = "parquet",
         ds.write_json(path)
     elif fmt == "csv":
         ds.write_csv(path)
-    elif fmt in ("orc", "feather", "avro"):
+    elif fmt in ("orc", "feather", "avro", "tfrecord"):
         os.makedirs(path, exist_ok=True)
         ext = fmt
 
@@ -128,6 +131,9 @@ def write_corpus(ds, path: str, fmt: str = "parquet",
             elif _fmt == "avro":
                 from rayschema.avro import write_avro
                 write_avro(b, fp)
+            elif _fmt == "tfrecord":
+                from rayschema.tfrecord import write_tfrecord
+                write_tfrecord(b, fp)
             else:
                 import pyarrow.feather as pf
                 pf.write_feather(b, fp)
@@ -152,6 +158,7 @@ def _read_table_files(path: str, fmt: str):
     import ray.data as rd
 
     exts = {"orc": ("*.orc",), "avro": ("*.avro",),
+            "tfrecord": ("*.tfrecord",),
             "feather": ("*.feather", "*.arrow", "*.ipc")}[fmt]
     files = []
     if os.path.isdir(path):
@@ -171,6 +178,9 @@ def _read_table_files(path: str, fmt: str):
             elif _fmt == "avro":
                 from rayschema.avro import read_avro_file
                 tables.append(read_avro_file(blob))
+            elif _fmt == "tfrecord":
+                from rayschema.tfrecord import read_tfrecord_file
+                tables.append(read_tfrecord_file(blob))
             else:
                 import pyarrow.feather as pf
                 tables.append(pf.read_table(buf))

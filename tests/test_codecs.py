@@ -632,3 +632,44 @@ def test_tiff_big_endian_and_gray():
     assert np.array_equal(got["rgb"][:, :, 0], img)
     from rayschema.multimodal import default_decode
     assert default_decode(bytes(out), "image")["tensor"].shape == (3, 4)
+
+
+def test_tfrecord_crc32c_golden():
+    """The canonical CRC-32C check vector: crc32c('123456789') ==
+    0xE3069283 (RFC 3720 appendix); masking follows the TF rotr15+const
+    convention."""
+    import numpy as np
+
+    from rayschema.tfrecord import crc32c_many, masked_crc
+
+    c = crc32c_many([b"123456789"])
+    assert int(c[0]) == 0xE3069283
+    assert int(masked_crc(c)[0]) == (((0xE3069283 >> 15)
+                                      | (0xE3069283 << 17 & 0xFFFFFFFF))
+                                     + 0xA282EAD8) & 0xFFFFFFFF
+    # vectorized path == per-record path
+    many = crc32c_many([b"", b"a", b"abc", b"123456789"])
+    assert [int(x) for x in many] == [int(crc32c_many([p])[0])
+                                      for p in (b"", b"a", b"abc",
+                                                b"123456789")]
+
+
+def test_tfrecord_roundtrip_and_corruption(tmp_path):
+    import os
+
+    import pyarrow as pa
+    import pytest
+
+    from rayschema.tfrecord import read_tfrecord_file, write_tfrecord
+
+    t = pa.table({"doc_id": pa.array([1, 2, None]),
+                  "text": pa.array(["héllo", None, "naïve ✓"])})
+    fp = os.path.join(tmp_path, "x.tfrecord")
+    write_tfrecord(t, fp)
+    back = read_tfrecord_file(fp)
+    assert back.column("doc_id").to_pylist() == [1, 2, None]
+    assert back.column("text").to_pylist() == ["héllo", None, "naïve ✓"]
+    raw = bytearray(open(fp, "rb").read())
+    raw[len(raw) // 2] ^= 0xFF                 # flip one payload byte
+    with pytest.raises(ValueError, match="CRC mismatch|truncated"):
+        read_tfrecord_file(bytes(raw))

@@ -4877,3 +4877,23 @@ def test_orders_aging_planted(ray_session, tmp_path):
         ["0-30", 0, 30, 1, 300],
         ["31-60", 31, 60, 1, 200],
         ["90+", 91, -1, 1, 100]]
+
+
+def test_customer_order_cadence_planted(ray_session, tmp_path):
+    """cust 0: orders on days 0, 0, 10 -> 3 orders, 2 distinct dates,
+    span 10, mean gap 10000 milli; cust 1 single-date drops."""
+    from rayschema.queries import customer_order_cadence
+
+    day_us = 86_400_000_000
+    days = np.array([0, 0, 10, 5], dtype=np.int64)
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(4, dtype=np.int64)),
+        "o_custkey": pa.array(np.array([0, 0, 0, 1], dtype=np.int64)),
+        "o_orderstatus": pa.array(["O"] * 4),
+        "o_totalprice": pa.array(np.ones(4)),
+        "o_orderdate": pa.array(days * day_us)
+        .cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4)})
+    pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
+    got = customer_order_cadence(str(tmp_path))
+    assert got.values.tolist() == [[0, 3, 2, 10, 10_000]]
