@@ -876,6 +876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_aging_buckets": Q.orders_aging_buckets,
         "customer_order_cadence": Q.customer_order_cadence,
         "tfrecord_roundtrip": Q.tfrecord_roundtrip,
+        "hhi_customer_concentration": Q.hhi_customer_concentration,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1737,6 +1738,23 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # HHI revenue concentration per nation (HUGEINT squares)
+        "hhi_customer_concentration": """
+            WITH r AS (SELECT o.o_custkey AS ck, c.c_nationkey AS nk,
+                              sum(CAST(round(o.o_totalprice * 100)
+                                       AS BIGINT)) AS cents
+                       FROM orders o
+                       JOIN customer c ON c.c_custkey = o.o_custkey
+                       GROUP BY 1, 2),
+            n AS (SELECT nk, count(*)::BIGINT AS n_cust,
+                         sum(cents)::BIGINT AS total_cents,
+                         sum(cents::HUGEINT * cents::HUGEINT) AS sq
+                  FROM r GROUP BY 1 HAVING sum(cents) > 0)
+            SELECT nk::BIGINT AS n_nationkey, n_cust, total_cents,
+                   ((1000000::HUGEINT * sq)
+                    // (total_cents::HUGEINT
+                        * total_cents::HUGEINT))::BIGINT AS hhi_ppm
+            FROM n ORDER BY 1""",
         # repeat-purchase cadence: telescoping distinct-date gaps
         "customer_order_cadence": """
             WITH d AS (SELECT o_custkey,

@@ -16620,3 +16620,65 @@ def tfrecord_roundtrip(sf_dir: str):
     verification on read). Distributed on both sides like the ORC
     path; any framing/CRC/unicode infidelity breaks the value hash."""
     return _format_roundtrip(sf_dir, "tfrecord")
+
+
+def hhi_customer_concentration(sf_dir: str):
+    """Herfindahl-Hirschman concentration of order revenue across
+    customers WITHIN each nation (is a nation's demand one whale or
+    many small buyers?): hhi_ppm = 1e6 * sum(c_i^2) // (sum c_i)^2
+    over per-customer revenue cents — exact, computed with Python ints
+    on the customer-bounded fold (c_i^2 sums exceed int64 at scale;
+    the oracle widens to HUGEINT). Revenue folds per customer through
+    one distributed groupby; the customer -> nation map broadcasts
+    sorted (dimension-bounded, searchsorted with miss-verification —
+    the supplier_nation_balance discipline). Customers with no orders
+    contribute nothing (inner join). Emits
+    (n_nationkey, n_cust, total_cents, hhi_ppm)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey",
+                                              "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    order_ = np.argsort(ck)
+    ck = ck[order_]
+    nk = cust["c_nationkey"].to_numpy(np.int64)[order_]
+    ref = ray.put((ck, nk))
+
+    def part(b: pa.Table, _ref=ref) -> pa.Table:
+        keys, nats = ray.get(_ref)
+        c = b.column("o_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cents = _cents(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        if len(keys) == 0 or len(c) == 0:
+            return pa.table({"ck": pa.array([], type=pa.int64()),
+                             "nk": pa.array([], type=pa.int64()),
+                             "cents": pa.array([], type=pa.int64())})
+        pos = np.clip(np.searchsorted(keys, c), 0, len(keys) - 1)
+        ok = keys[pos] == c          # drop orders with unknown customer
+        df = pd.DataFrame({"ck": c[ok], "nk": nats[pos[ok]],
+                           "cents": cents[ok]})
+        g = df.groupby(["ck", "nk"], as_index=False).sum()
+        return pa.Table.from_pandas(g.astype(np.int64),
+                                    preserve_index=False)
+
+    per_cust = (orders.map_batches(part, batch_format="pyarrow")
+                .groupby(["ck", "nk"])
+                .aggregate(Sum("cents", alias_name="cents"))
+                .to_pandas())
+    cols = ["n_nationkey", "n_cust", "total_cents", "hhi_ppm"]
+    if per_cust.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    rows = []
+    for nat, g in per_cust.groupby("nk", sort=True):
+        cs = [int(x) for x in g["cents"]]
+        tot = sum(cs)
+        if tot == 0:
+            continue
+        hhi = (1_000_000 * sum(c * c for c in cs)) // (tot * tot)
+        rows.append((int(nat), len(cs), tot, hhi))
+    return pd.DataFrame(rows, columns=cols).astype(np.int64)

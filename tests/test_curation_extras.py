@@ -4897,3 +4897,32 @@ def test_customer_order_cadence_planted(ray_session, tmp_path):
     pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
     got = customer_order_cadence(str(tmp_path))
     assert got.values.tolist() == [[0, 3, 2, 10, 10_000]]
+
+
+def test_hhi_planted(ray_session, tmp_path):
+    """Nation 0: two customers with 300/100 cents -> hhi = 1e6 *
+    (90000 + 10000) // 160000 = 625000. Nation 1: monopoly -> 1e6.
+    An order from an unknown custkey drops (inner-join semantics)."""
+    from rayschema.queries import hhi_customer_concentration
+
+    cust = pa.table({
+        "c_custkey": pa.array(np.array([1, 2, 3], dtype=np.int64)),
+        "c_name": pa.array(["a", "b", "c"]),
+        "c_nationkey": pa.array(np.array([0, 0, 1], dtype=np.int32)),
+        "c_acctbal": pa.array(np.zeros(3)),
+        "c_mktsegment": pa.array(["M"] * 3)})
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(5, dtype=np.int64)),
+        "o_custkey": pa.array(np.array([1, 1, 2, 3, 99],
+                                       dtype=np.int64)),
+        "o_orderstatus": pa.array(["O"] * 5),
+        "o_totalprice": pa.array([1.0, 2.0, 1.0, 5.0, 7.0]),
+        "o_orderdate": pa.array(np.zeros(5, dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 5)})
+    pq.write_table(cust, os.path.join(tmp_path, "customer.parquet"))
+    pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
+    got = hhi_customer_concentration(str(tmp_path))
+    assert got.values.tolist() == [
+        [0, 2, 400, 625_000],
+        [1, 1, 500, 1_000_000]]
