@@ -877,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_cadence": Q.customer_order_cadence,
         "tfrecord_roundtrip": Q.tfrecord_roundtrip,
         "hhi_customer_concentration": Q.hhi_customer_concentration,
+        "journey_archetypes": Q.journey_archetypes,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1738,6 +1739,30 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # first-occurrence journey archetypes, top-20 by user count
+        "journey_archetypes": """
+            WITH e AS (SELECT user_id, event_type,
+                              epoch_us(ts) AS ts_us, event_id
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            f1 AS (SELECT user_id, event_type, min(ts_us) AS t0
+                   FROM e GROUP BY 1, 2),
+            f2 AS (SELECT e.user_id, e.event_type, f1.t0,
+                          min(e.event_id) AS eid0
+                   FROM e JOIN f1 USING (user_id, event_type)
+                   WHERE e.ts_us = f1.t0
+                   GROUP BY 1, 2, 3),
+            j AS (SELECT user_id,
+                         string_agg(event_type, '>'
+                                    ORDER BY t0, eid0) AS journey
+                  FROM f2 GROUP BY 1),
+            g AS (SELECT journey, count(*)::BIGINT AS n_users
+                  FROM j GROUP BY 1)
+            SELECT journey, n_users,
+                   row_number() OVER (ORDER BY n_users DESC, journey)
+                     ::BIGINT AS rk
+            FROM g ORDER BY rk LIMIT 20""",
         # HHI revenue concentration per nation (HUGEINT squares)
         "hhi_customer_concentration": """
             WITH r AS (SELECT o.o_custkey AS ck, c.c_nationkey AS nk,

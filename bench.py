@@ -259,6 +259,7 @@ def run_bench() -> dict:
         ("customer_order_cadence", Q.customer_order_cadence),
         ("tfrecord_roundtrip", Q.tfrecord_roundtrip),
         ("hhi_customer_concentration", Q.hhi_customer_concentration),
+        ("journey_archetypes", Q.journey_archetypes),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -16682,3 +16682,50 @@ def hhi_customer_concentration(sf_dir: str):
         hhi = (1_000_000 * sum(c * c for c in cs)) // (tot * tot)
         rows.append((int(nat), len(cs), tot, hhi))
     return pd.DataFrame(rows, columns=cols).astype(np.int64)
+
+
+JOURNEY_TOP = 20
+
+
+def journey_archetypes(sf_dir: str):
+    """Behavioral archetypes: each user's journey = their event types
+    in FIRST-OCCURRENCE order (dedup after the first appearance),
+    joined with '>' — then the top-20 archetypes by user count (count
+    desc, journey asc). ONE user-keyed sorted scan in (ts, event_id)
+    order; first-seen type order inside a group is pd.unique on the
+    sorted types (== the oracle's (min ts, min event_id at that ts)
+    ordering). The archetype fold is bounded by distinct journeys
+    (<= types! permutations x prefixes). Emits (journey, n_users, rk)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    out_schema = pa.schema([("journey", pa.string()),
+                            ("n", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        if len(et) == 0:
+            return None
+        seq = ">".join(str(t) for t in pd.unique(et))
+        return pa.table({"journey": pa.array([seq]),
+                         "n": pa.array([1], type=pa.int64())})
+
+    scan = sorted_group_scan(
+        ds.map_batches(_narrow_events, batch_format="pyarrow"),
+        ["user_id"], group_fn, out_schema,
+        order_cols=["ts_us", "event_id"])
+    agg = scan.to_pandas()
+    cols = ["journey", "n_users", "rk"]
+    if agg.empty:
+        return pd.DataFrame({"journey": pd.Series([], dtype=object),
+                             "n_users": pd.Series([], dtype=np.int64),
+                             "rk": pd.Series([], dtype=np.int64)})
+    g = (agg.groupby("journey", as_index=False)["n"].sum()
+         .rename(columns={"n": "n_users"})
+         .sort_values(["n_users", "journey"],
+                      ascending=[False, True])
+         .head(JOURNEY_TOP).reset_index(drop=True))
+    g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g[cols].astype({"n_users": np.int64, "rk": np.int64})

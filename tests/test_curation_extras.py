@@ -4926,3 +4926,25 @@ def test_hhi_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         [0, 2, 400, 625_000],
         [1, 1, 500, 1_000_000]]
+
+
+def test_journey_archetypes_planted(ray_session, tmp_path):
+    """u0 A,B,A -> 'A>B' (repeat A dedups); u1 A,B -> 'A>B'; u2 B,A at
+    the SAME ts -> event_id breaks the tie -> 'B>A' (B has the lower
+    event_id). Top list: A>B x2 then B>A."""
+    from rayschema.queries import journey_archetypes
+
+    tab = pa.table({
+        "event_id": pa.array(np.array([0, 1, 2, 3, 4, 5, 6],
+                                      dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 0, 1, 1, 2, 2],
+                                     dtype=np.int64)),
+        "ts": pa.array(np.array([0, 1, 2, 0, 1, 5, 5],
+                                dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["A", "B", "A", "A", "B", "B", "A"]),
+        "value": pa.array(np.ones(7))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = journey_archetypes(str(tmp_path))
+    assert got.values.tolist() == [
+        ["A>B", 2, 1], ["B>A", 1, 2]]
