@@ -878,6 +878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfrecord_roundtrip": Q.tfrecord_roundtrip,
         "hhi_customer_concentration": Q.hhi_customer_concentration,
         "journey_archetypes": Q.journey_archetypes,
+        "table_format_time_travel": Q.table_format_time_travel,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1739,6 +1740,22 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # snapshot time travel: v1 = even ids, v2 = v1 + odd ids
+        "table_format_time_travel": """
+            WITH v1 AS (SELECT 1 AS version,
+                               count(*)::BIGINT AS n_rows,
+                               sum(doc_id)::BIGINT AS id_sum,
+                               coalesce(sum(length(text)), 0)::BIGINT
+                                 AS text_chars
+                        FROM documents WHERE doc_id % 2 = 0),
+            v2 AS (SELECT 2 AS version, count(*)::BIGINT,
+                          sum(doc_id)::BIGINT,
+                          coalesce(sum(length(text)), 0)::BIGINT
+                   FROM documents)
+            SELECT version::BIGINT AS version, n_rows, id_sum,
+                   text_chars
+            FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+            ORDER BY version""",
         # first-occurrence journey archetypes, top-20 by user count
         "journey_archetypes": """
             WITH e AS (SELECT user_id, event_type,

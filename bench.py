@@ -260,6 +260,7 @@ def run_bench() -> dict:
         ("tfrecord_roundtrip", Q.tfrecord_roundtrip),
         ("hhi_customer_concentration", Q.hhi_customer_concentration),
         ("journey_archetypes", Q.journey_archetypes),
+        ("table_format_time_travel", Q.table_format_time_travel),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -16729,3 +16729,60 @@ def journey_archetypes(sf_dir: str):
          .head(JOURNEY_TOP).reset_index(drop=True))
     g["rk"] = np.arange(1, len(g) + 1, dtype=np.int64)
     return g[cols].astype({"n_users": np.int64, "rk": np.int64})
+
+
+def table_format_time_travel(sf_dir: str):
+    """Versioned-table (Iceberg/Delta-style snapshot) capability proof:
+    commit even-doc_id documents as v1, APPEND the odd half as v2, then
+    time-travel read BOTH versions and emit per-version
+    (version, n_rows, id_sum, text_chars). Manifests are O(files)
+    metadata and the commit point is one atomic rename
+    (rayschema/tableformat.py); the reads are ordinary pruned parquet
+    scans over each snapshot's file list. The oracle recomputes both
+    snapshots' aggregates straight from the documents table, so a
+    wrong file list, a leaked partial write, or an append that
+    rewrites history all break the hash."""
+    import shutil
+    import tempfile
+
+    from rayschema.tableformat import commit_version, read_version
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"rayschema_tblfmt_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def half(parity: int):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(ids % 2 == parity))
+        return fn
+
+    commit_version(root, ds.map_batches(half(0),
+                                        batch_format="pyarrow"),
+                   mode="overwrite")
+    commit_version(root, ds.map_batches(half(1),
+                                        batch_format="pyarrow"),
+                   mode="append")
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tl = pc.fill_null(pc.utf8_length(b.column("text")), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"n_rows": pa.array([len(ids)],
+                                            type=pa.int64()),
+                         "id_sum": pa.array([int(ids.sum())],
+                                            type=pa.int64()),
+                         "text_chars": pa.array([int(tl.sum())],
+                                                type=pa.int64())})
+
+    rows = []
+    for v in (1, 2):
+        agg = (read_version(root, v)
+               .map_batches(partial, batch_format="pyarrow")
+               .to_pandas().sum())
+        rows.append((v, int(agg["n_rows"]), int(agg["id_sum"]),
+                     int(agg["text_chars"])))
+    return pd.DataFrame(rows, columns=["version", "n_rows", "id_sum",
+                                       "text_chars"]).astype(np.int64)

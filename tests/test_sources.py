@@ -174,3 +174,32 @@ def test_compact_parquet_dir(ray_session, tmp_path):
     assert res2 == res
     assert len([f for f in os.listdir(out)
                 if f.endswith(".parquet")]) == res["files_out"]
+
+
+def test_table_format_snapshots(ray_session, tmp_path):
+    """Snapshot semantics: v1 stays readable and UNCHANGED after an
+    append commits v2; overwrite starts a fresh file list but old
+    versions still read; an empty version raises."""
+    import ray.data as rd
+    import pytest
+
+    from rayschema.tableformat import (commit_version, latest_version,
+                                       read_version)
+
+    root = str(tmp_path / "tbl")
+    ds1 = rd.from_items([{"a": 1}, {"a": 2}])
+    m1 = commit_version(root, ds1, mode="overwrite")
+    assert m1["version"] == 1 and m1["rows"] == 2
+    ds2 = rd.from_items([{"a": 10}])
+    m2 = commit_version(root, ds2, mode="append")
+    assert m2["version"] == 2 and m2["rows"] == 3
+    assert latest_version(root) == 2
+    assert sorted(read_version(root, 1).to_pandas()["a"]) == [1, 2]
+    assert sorted(read_version(root, 2).to_pandas()["a"]) == [1, 2, 10]
+    m3 = commit_version(root, rd.from_items([{"a": 7}]),
+                        mode="overwrite")
+    assert m3["rows"] == 1
+    assert sorted(read_version(root, 2).to_pandas()["a"]) == [1, 2, 10]
+    assert sorted(read_version(root).to_pandas()["a"]) == [7]
+    with pytest.raises(ValueError):
+        read_version(root, 0)
