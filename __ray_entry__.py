@@ -879,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hhi_customer_concentration": Q.hhi_customer_concentration,
         "journey_archetypes": Q.journey_archetypes,
         "table_format_time_travel": Q.table_format_time_travel,
+        "token_budget_sample": Q.token_budget_sample,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1740,6 +1741,33 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # hash-ordered token-budget prefix per language
+        "token_budget_sample": """
+            WITH d AS (SELECT doc_id, lang,
+                              CASE WHEN length(text) = 0 THEN 0
+                                   ELSE length(text)
+                                        - length(replace(text, ' ',
+                                                         '')) + 1
+                              END AS toks,
+                              ((doc_id % 100003) * 2654435761)
+                                % 4294967296 AS h
+                       FROM documents
+                       WHERE text IS NOT NULL AND lang IS NOT NULL),
+            t AS (SELECT lang, sum(toks) AS tot FROM d GROUP BY 1),
+            c AS (SELECT d.lang, d.toks, t.tot,
+                         sum(d.toks) OVER (PARTITION BY d.lang
+                                           ORDER BY d.h, d.doc_id
+                                           ROWS UNBOUNDED PRECEDING)
+                           AS cum
+                  FROM d JOIN t USING (lang))
+            SELECT lang, tot::BIGINT AS total_tokens,
+                   (tot // 2)::BIGINT AS budget,
+                   sum(CASE WHEN cum <= tot // 2 THEN 1
+                       ELSE 0 END)::BIGINT AS n_kept,
+                   coalesce(max(CASE WHEN cum <= tot // 2
+                                THEN cum END), 0)::BIGINT
+                     AS tokens_kept
+            FROM c GROUP BY lang, tot ORDER BY lang""",
         # snapshot time travel: v1 = even ids, v2 = v1 + odd ids
         "table_format_time_travel": """
             WITH v1 AS (SELECT 1 AS version,

@@ -16786,3 +16786,109 @@ def table_format_time_travel(sf_dir: str):
                      int(agg["text_chars"])))
     return pd.DataFrame(rows, columns=["version", "n_rows", "id_sum",
                                        "text_chars"]).astype(np.int64)
+
+
+TOKEN_BUDGET_DIV = 2          # per-lang budget = total tokens // 2
+TB_BUCKET_BITS = 16
+
+
+def token_budget_sample(sf_dir: str):
+    """Budget-capped deterministic sampling: per language, keep the
+    hash-ordered prefix of documents whose RUNNING token total stays
+    within budget (= half that language's tokens — self-normalizing).
+    The classic down-sample-to-token-budget step, done WITHOUT a
+    global sort: pass 1 folds a (lang, hash-bucket) token/doc
+    histogram (<= langs x 2^16 bounded driver state); whole buckets
+    below the cutoff are kept by arithmetic alone; ONLY the single
+    boundary bucket's docs are pulled and prefix-resolved exactly (the
+    two-phase histogram-rank discipline on a weighted prefix). Order
+    key h = (doc_id % 100003) * 2654435761 % 2^32, ties by doc_id.
+    Docs with NULL text don't participate. Emits
+    (lang, total_tokens, budget, n_kept, tokens_kept)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "text"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("text")),
+                             pc.is_valid(b.column("lang"))))
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        txt = b.column("text")
+        spaces = pc.subtract(
+            pc.utf8_length(txt),
+            pc.utf8_length(pc.replace_substring(txt, " ", ""))) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        tlen = pc.utf8_length(txt).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        toks = np.where(tlen == 0, 0, spaces + 1)
+        h = ((ids % 100003) * SHUF_KNUTH) % (1 << 32)
+        lang = b.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        return pa.table({"lang": lang, "doc_id": pa.array(ids),
+                         "h": pa.array(h.astype(np.int64)),
+                         "bkt": pa.array((h >> TB_BUCKET_BITS)
+                                         .astype(np.int64)),
+                         "toks": pa.array(toks)})
+
+    proj = ds.map_batches(narrow, batch_format="pyarrow")
+    hist = (proj.groupby(["lang", "bkt"])
+            .aggregate(Sum("toks", alias_name="toks"),
+                       Count(alias_name="n")).to_pandas())
+    cols = ["lang", "total_tokens", "budget", "n_kept", "tokens_kept"]
+    if hist.empty:
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    rows = []
+    boundary = {}          # lang -> (bucket, prefix_toks, prefix_n)
+    for lang, g in hist.groupby("lang", sort=True):
+        g = g.sort_values("bkt")
+        tot = int(g["toks"].sum())
+        budget = tot // TOKEN_BUDGET_DIV
+        cum_t, cum_n, cut = 0, 0, None
+        for _, r in g.iterrows():
+            t = int(r["toks"])
+            if cum_t + t > budget:
+                cut = (int(r["bkt"]), cum_t, cum_n)
+                break
+            cum_t += t
+            cum_n += int(r["n"])
+        if cut is None:
+            rows.append((lang, tot, budget, cum_n, cum_t))
+        else:
+            boundary[lang] = cut
+            rows.append([lang, tot, budget, cum_n, cum_t])
+
+    if boundary:
+        import ray
+
+        bref = ray.put(boundary)
+
+        def pull(b: pa.Table, _b=bref) -> pa.Table:
+            bd = ray.get(_b)
+            lang = b.column("lang").to_numpy(zero_copy_only=False)
+            bkt = b.column("bkt").to_numpy(zero_copy_only=False)
+            m = np.zeros(len(lang), dtype=bool)
+            for lg, (cb, _, _) in bd.items():
+                m |= (lang == lg) & (bkt == cb)
+            return b.filter(pa.array(m))
+
+        bd = (proj.map_batches(pull, batch_format="pyarrow")
+              .to_pandas())
+        out = {}
+        for lg, g in bd.groupby("lang"):
+            cb, pre_t, pre_n = boundary[lg]
+            g = g.sort_values(["h", "doc_id"])
+            cum = pre_t + g["toks"].cumsum().to_numpy(np.int64)
+            budget = next(r for r in rows if r[0] == lg)[2]
+            keep = cum <= budget
+            out[lg] = (pre_n + int(keep.sum()),
+                       int(cum[keep][-1]) if keep.any() else pre_t)
+        for r in rows:
+            if r[0] in out:
+                r[3], r[4] = out[r[0]]
+    return pd.DataFrame([tuple(r) for r in rows], columns=cols) \
+        .astype({c: np.int64 for c in cols[1:]})

@@ -4948,3 +4948,23 @@ def test_journey_archetypes_planted(ray_session, tmp_path):
     got = journey_archetypes(str(tmp_path))
     assert got.values.tolist() == [
         ["A>B", 2, 1], ["B>A", 1, 2]]
+
+
+def test_token_budget_sample_planted(ray_session, tmp_path):
+    """Three 5-token docs (total 15, budget 7): only the first doc in
+    hash order fits (cum 5 <= 7, next cum 10 > 7) — expected order
+    recomputed from the documented hash formula in pure Python."""
+    from rayschema.queries import token_budget_sample
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a b c d e"] * 3,
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": np.array([9] * 3, dtype=np.int64)})
+    got = token_budget_sample(_write_docs(tmp_path, df))
+    hs = sorted(range(3),
+                key=lambda i: (((i % 100003) * 2654435761)
+                               % (1 << 32), i))
+    assert hs  # order exists; greedy prefix keeps exactly one doc
+    assert got.values.tolist() == [["en", 15, 7, 1, 5]]
