@@ -880,6 +880,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "journey_archetypes": Q.journey_archetypes,
         "table_format_time_travel": Q.table_format_time_travel,
         "token_budget_sample": Q.token_budget_sample,
+        "cms_join_size_estimate": Q.cms_join_size_estimate,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1741,6 +1742,41 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # CMS self-join-size estimate: per plane sum(cell^2) >= true
+        "cms_join_size_estimate": """
+            WITH u AS (SELECT user_id FROM events
+                       WHERE user_id IS NOT NULL),
+            tru AS (SELECT sum(n::HUGEINT * n)::BIGINT AS t
+                    FROM (SELECT count(*) AS n FROM u
+                          GROUP BY user_id)),
+            d AS (
+              SELECT 0 AS plane,
+                     (SELECT sum(c::HUGEINT * c) FROM (
+                        SELECT count(*) AS c FROM u GROUP BY
+                          ((user_id * 2654435761) % 4294967296
+                           // 65536) % 64))::BIGINT AS dot
+              UNION ALL
+              SELECT 1,
+                     (SELECT sum(c::HUGEINT * c) FROM (
+                        SELECT count(*) AS c FROM u GROUP BY
+                          ((user_id * 2246822519) % 4294967296
+                           // 65536) % 64))::BIGINT
+              UNION ALL
+              SELECT 2,
+                     (SELECT sum(c::HUGEINT * c) FROM (
+                        SELECT count(*) AS c FROM u GROUP BY
+                          ((user_id * 3266489917) % 4294967296
+                           // 65536) % 64))::BIGINT
+              UNION ALL
+              SELECT 3,
+                     (SELECT sum(c::HUGEINT * c) FROM (
+                        SELECT count(*) AS c FROM u GROUP BY
+                          ((user_id * 668265263) % 4294967296
+                           // 65536) % 64))::BIGINT)
+            SELECT plane::BIGINT AS plane, dot AS dot_product,
+                   (SELECT t FROM tru) AS true_size,
+                   (dot - (SELECT t FROM tru))::BIGINT AS overcount
+            FROM d ORDER BY plane""",
         # hash-ordered token-budget prefix per language
         "token_budget_sample": """
             WITH d AS (SELECT doc_id, lang,

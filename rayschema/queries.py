@@ -16892,3 +16892,61 @@ def token_budget_sample(sf_dir: str):
                 r[3], r[4] = out[r[0]]
     return pd.DataFrame([tuple(r) for r in rows], columns=cols) \
         .astype({c: np.int64 for c in cols[1:]})
+
+
+def cms_join_size_estimate(sf_dir: str):
+    """Sketch-based join planning: estimate the events-x-events
+    SELF-join size on user_id (sum of squared key frequencies — THE
+    quantity a planner needs to spot a skewed/exploding join) from
+    Count-Min cells alone: per plane, dot = sum(cell^2) >= true size
+    (collisions only add — the AGMS/CMS inner-product bound, Cormode &
+    Muthukrishnan 2005), est = min over the 4 planes. One stateless
+    pass folds the 4x64 cells; the exact size folds beside it off the
+    user-bounded count table, so the certificate (est >= true, gap
+    quantified) is hash-checkable. Emits per plane
+    (plane, dot_product, true_size, overcount) — overcount >= 0 by
+    construction."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("user_id")))
+        u = b.column("user_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        cells = np.zeros((len(CMS_CFG), CMS_W), dtype=np.int64)
+        for j, a in CMS_CFG:
+            cells[j] = np.bincount(_mix_hash(u, a, CMS_W),
+                                   minlength=CMS_W)
+        uu, cc = np.unique(u, return_counts=True)
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(cells.size, np.int64),
+                 np.ones(len(uu), np.int64)])),
+            "k1": pa.array(np.concatenate(
+                [np.repeat(np.arange(len(CMS_CFG), dtype=np.int64),
+                           CMS_W),
+                 uu.astype(np.int64)])),
+            "k2": pa.array(np.concatenate(
+                [np.tile(np.arange(CMS_W, dtype=np.int64),
+                         len(CMS_CFG)),
+                 np.zeros(len(uu), np.int64)])),
+            "v": pa.array(np.concatenate(
+                [cells.ravel(), cc.astype(np.int64)]))})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(["kind", "k1", "k2"])
+           .aggregate(Sum("v", alias_name="v")).to_pandas())
+    cols = ["plane", "dot_product", "true_size", "overcount"]
+    if agg.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    cells = agg[agg["kind"] == 0]
+    counts = agg[agg["kind"] == 1]["v"].to_numpy(np.int64)
+    true_size = int(sum(int(c) * int(c) for c in counts))
+    rows = []
+    for j in range(len(CMS_CFG)):
+        cj = cells[cells["k1"] == j]["v"].to_numpy(np.int64)
+        dot = int(sum(int(x) * int(x) for x in cj))
+        rows.append((j, dot, true_size, dot - true_size))
+    return pd.DataFrame(rows, columns=cols).astype(np.int64)

@@ -4968,3 +4968,35 @@ def test_token_budget_sample_planted(ray_session, tmp_path):
                                % (1 << 32), i))
     assert hs  # order exists; greedy prefix keeps exactly one doc
     assert got.values.tolist() == [["en", 15, 7, 1, 5]]
+
+
+def test_cms_join_size_planted(ray_session, tmp_path):
+    """Users [0, 0, 1]: true self-join size 2^2 + 1 = 5; every plane's
+    dot >= 5 (AGMS bound), equality when the two keys don't collide
+    in that plane — expected dots recomputed from the documented
+    hash in pure Python."""
+    from rayschema.queries import cms_join_size_estimate
+
+    tab = pa.table({
+        "event_id": pa.array(np.arange(3, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 1], dtype=np.int64)),
+        "ts": pa.array(np.zeros(3, dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 3),
+        "value": pa.array(np.ones(3))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = cms_join_size_estimate(str(tmp_path))
+
+    def cell(u, a):
+        return ((u * a) % (1 << 32) >> 16) % 64
+
+    want = []
+    for j, a in ((0, 2654435761), (1, 2246822519),
+                 (2, 3266489917), (3, 668265263)):
+        if cell(0, a) == cell(1, a):
+            dot = 9
+        else:
+            dot = 4 + 1
+        want.append([j, dot, 5, dot - 5])
+    assert got.values.tolist() == want
+    assert (got["overcount"] >= 0).all()
