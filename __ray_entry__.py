@@ -881,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_format_time_travel": Q.table_format_time_travel,
         "token_budget_sample": Q.token_budget_sample,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
+        "dedup_rate_curve": Q.dedup_rate_curve,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1742,6 +1743,25 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # dedup-rate growth curve at ingestion-order prefixes
+        "dedup_rate_curve": """
+            WITH d AS (SELECT doc_id, md5(text) AS h
+                       FROM documents WHERE text IS NOT NULL),
+            f AS (SELECT min(doc_id) AS fid FROM d GROUP BY h),
+            g AS (SELECT unnest([1000, 2000, 4000, 8000, 16000,
+                                 32000, 64000, 128000, 256000,
+                                 512000, 1024000]) AS depth),
+            s AS (SELECT g.depth,
+                         (SELECT count(*) FROM d
+                          WHERE doc_id < g.depth) AS n_docs,
+                         (SELECT count(*) FROM f
+                          WHERE fid < g.depth) AS n_distinct
+                  FROM g)
+            SELECT depth::BIGINT AS depth, n_docs::BIGINT AS n_docs,
+                   n_distinct::BIGINT AS n_distinct,
+                   ((1000000 * (n_docs - n_distinct))
+                    // n_docs)::BIGINT AS dup_ppm
+            FROM s WHERE n_docs > 0 ORDER BY depth""",
         # CMS self-join-size estimate: per plane sum(cell^2) >= true
         "cms_join_size_estimate": """
             WITH u AS (SELECT user_id FROM events

@@ -263,6 +263,7 @@ def run_bench() -> dict:
         ("table_format_time_travel", Q.table_format_time_travel),
         ("token_budget_sample", Q.token_budget_sample),
         ("cms_join_size_estimate", Q.cms_join_size_estimate),
+        ("dedup_rate_curve", Q.dedup_rate_curve),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -16950,3 +16950,91 @@ def cms_join_size_estimate(sf_dir: str):
         dot = int(sum(int(x) * int(x) for x in cj))
         rows.append((j, dot, true_size, dot - true_size))
     return pd.DataFrame(rows, columns=cols).astype(np.int64)
+
+
+DEDUP_CURVE_DEPTHS = tuple(1000 * (1 << k) for k in range(11))
+
+
+def dedup_rate_curve(sf_dir: str):
+    """Corpus-planning artifact: how duplication grows with corpus
+    size — at each ingestion-order prefix (doc_id < depth, fixed
+    1k/2k/.../1024k grid), the distinct-text count and duplicate ppm.
+    The curve that decides how much dedup budget a bigger crawl needs.
+    First occurrences come from ONE md5-keyed groupby (min doc_id per
+    text hash — md5 is SQL-identical so the oracle needs no text
+    shuffle); both histograms then fold to the 11-slot depth grid
+    inside map_batches — driver state is 11 ints, never
+    O(distinct docs). Emits (depth, n_docs, n_distinct, dup_ppm) for
+    non-empty depths."""
+    import hashlib
+
+    from ray.data.aggregate import Min
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    depths = np.asarray(DEDUP_CURVE_DEPTHS, dtype=np.int64)
+
+    def hash_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in b.column("text").to_pylist()]
+        # local pre-fold: one row per distinct hash per block
+        df = pd.DataFrame({"h": hs, "fid": ids}) \
+            .groupby("h", as_index=False).min()
+        return pa.table({"h": pa.array(df["h"]),
+                         "fid": pa.array(df["fid"]
+                                         .to_numpy(np.int64))})
+
+    def depth_hist(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(depths, v, side="right")
+            keep = idx < len(depths)
+            cnt = np.bincount(idx[keep], minlength=len(depths))
+            # a doc at depth slot k is inside EVERY depth >= k: emit
+            # the raw slot histogram; the driver prefix-sums
+            return pa.table({"slot": pa.array(np.arange(
+                len(depths), dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64))})
+        return fn
+
+    firsts = (ds.map_batches(hash_part, batch_format="pyarrow")
+              .groupby("h").aggregate(Min("fid", alias_name="fid")))
+    h_first = (firsts.map_batches(depth_hist("fid"),
+                                  batch_format="pyarrow").to_pandas()
+               .groupby("slot")["n"].sum())
+
+    def ids_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(depths, ids, side="right")
+        keep = idx < len(depths)
+        cnt = np.bincount(idx[keep], minlength=len(depths))
+        return pa.table({"slot": pa.array(np.arange(
+            len(depths), dtype=np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    h_all = (ds.map_batches(ids_part, batch_format="pyarrow")
+             .to_pandas().groupby("slot")["n"].sum())
+    n_all = np.zeros(len(depths), dtype=np.int64)
+    n_fst = np.zeros(len(depths), dtype=np.int64)
+    if len(h_all):
+        n_all[h_all.index.to_numpy(np.int64)] = \
+            h_all.to_numpy(np.int64)
+    if len(h_first):
+        n_fst[h_first.index.to_numpy(np.int64)] = \
+            h_first.to_numpy(np.int64)
+    cum_all = np.cumsum(n_all)
+    cum_fst = np.cumsum(n_fst)
+    rows = []
+    for i, dep in enumerate(depths):
+        if cum_all[i] == 0:
+            continue
+        nd, nf = int(cum_all[i]), int(cum_fst[i])
+        rows.append((int(dep), nd, nf,
+                     (1_000_000 * (nd - nf)) // nd))
+    return pd.DataFrame(rows, columns=["depth", "n_docs",
+                                       "n_distinct", "dup_ppm"]) \
+        .astype(np.int64)

@@ -5000,3 +5000,24 @@ def test_cms_join_size_planted(ray_session, tmp_path):
         want.append([j, dot, 5, dot - 5])
     assert got.values.tolist() == want
     assert (got["overcount"] >= 0).all()
+
+
+def test_dedup_rate_curve_planted(ray_session, tmp_path):
+    """1500 docs: ids 0..999 all distinct; ids 1000..1499 duplicate
+    text 'dup'. depth 1000 -> 0 ppm; depth 2000 -> 1500 docs, 1001
+    distinct, dup_ppm = 1e6*499//1500 = 332666."""
+    from rayschema.queries import dedup_rate_curve
+
+    n = 1500
+    texts = [f"unique {i}" for i in range(1000)] + ["dup"] * 500
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": ["en"] * n, "source": ["s"] * n,
+        "n_chars": np.zeros(n, dtype=np.int64)})
+    got = dedup_rate_curve(_write_docs(tmp_path, df))
+    assert got.values.tolist()[:2] == [
+        [1000, 1000, 1000, 0],
+        [2000, 1500, 1001, 1_000_000 * 499 // 1500]]
+    # every later depth sees the same cumulative counts
+    assert (got["n_docs"] == [1000] + [1500] * (len(got) - 1)).all()
