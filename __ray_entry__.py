@@ -882,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_sample": Q.token_budget_sample,
         "cms_join_size_estimate": Q.cms_join_size_estimate,
         "dedup_rate_curve": Q.dedup_rate_curve,
+        "jaccard_threshold_sweep": Q.jaccard_threshold_sweep,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1743,6 +1744,44 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # Jaccard cutoff sensitivity from one exact all-pairs pass
+        "jaccard_threshold_sweep": """
+            WITH docs AS (
+              SELECT doc_id, text FROM documents
+              WHERE doc_id < 300 AND text IS NOT NULL
+                AND length(text) >= 5),
+            sh AS (
+              SELECT DISTINCT doc_id,
+                     substr(text, CAST(i AS INTEGER), 5) AS s
+              FROM (SELECT doc_id, text,
+                           unnest(generate_series(1,
+                                  length(text) - 4)) AS i
+                    FROM docs)),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh
+                      GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     count(*) AS ni
+              FROM sh a JOIN sh b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pr AS (
+              SELECT i.id_a, i.id_b,
+                     round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6)
+                       AS j
+              FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+                           JOIN sizes sb ON sb.doc_id = i.id_b
+              WHERE i.ni * 1.0 / (sa.n + sb.n - i.ni) >= 0.2),
+            t AS (SELECT unnest([20, 30, 40, 50, 60, 70, 80]) AS tp)
+            SELECT t.tp::BIGINT AS threshold_pct,
+                   (SELECT count(*) FROM pr
+                    WHERE j >= t.tp / 100.0)::BIGINT AS n_pairs,
+                   (SELECT count(*) FROM (
+                      SELECT id_a AS d FROM pr WHERE j >= t.tp / 100.0
+                      UNION
+                      SELECT id_b FROM pr WHERE j >= t.tp / 100.0))
+                     ::BIGINT AS n_docs
+            FROM t ORDER BY 1""",
         # dedup-rate growth curve at ingestion-order prefixes
         "dedup_rate_curve": """
             WITH d AS (SELECT doc_id, md5(text) AS h

@@ -264,6 +264,7 @@ def run_bench() -> dict:
         ("token_budget_sample", Q.token_budget_sample),
         ("cms_join_size_estimate", Q.cms_join_size_estimate),
         ("dedup_rate_curve", Q.dedup_rate_curve),
+        ("jaccard_threshold_sweep", Q.jaccard_threshold_sweep),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

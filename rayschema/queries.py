@@ -17038,3 +17038,32 @@ def dedup_rate_curve(sf_dir: str):
     return pd.DataFrame(rows, columns=["depth", "n_docs",
                                        "n_distinct", "dup_ppm"]) \
         .astype(np.int64)
+
+
+JACCARD_SWEEP_PCTS = (20, 30, 40, 50, 60, 70, 80)
+
+
+def jaccard_threshold_sweep(sf_dir: str):
+    """Near-dup threshold sensitivity: how many pairs (and distinct
+    docs) survive at each Jaccard cutoff 0.2..0.8 — the tuning curve
+    that justifies a production threshold, computed from ONE exact
+    all-pairs pass at the doc_id < 300 ground-truth scope (base cutoff
+    0.2 on the raw ratio, sweep cuts on the shared round-6 convention
+    — both mirrored by the oracle). Emits
+    (threshold_pct, n_pairs, n_docs)."""
+    from rayschema.dedup import exact_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = exact_jaccard_pairs(ds, id_limit=300, k=5,
+                                threshold=0.2).to_pandas()
+    rows = []
+    for t in JACCARD_SWEEP_PCTS:
+        if pairs.empty:
+            rows.append((t, 0, 0))
+            continue
+        m = pairs["jaccard"].to_numpy() >= t / 100.0
+        sel = pairs[m]
+        docs = len(set(sel["id_a"]).union(sel["id_b"]))
+        rows.append((t, int(m.sum()), docs))
+    return pd.DataFrame(rows, columns=["threshold_pct", "n_pairs",
+                                       "n_docs"]).astype(np.int64)

@@ -5021,3 +5021,22 @@ def test_dedup_rate_curve_planted(ray_session, tmp_path):
         [2000, 1500, 1001, 1_000_000 * 499 // 1500]]
     # every later depth sees the same cumulative counts
     assert (got["n_docs"] == [1000] + [1500] * (len(got) - 1)).all()
+
+
+def test_jaccard_threshold_sweep_planted(ray_session, tmp_path):
+    """Two docs: 'abcdefghij' vs 'abcdefghiX' share 5 of 6+6-5=7
+    5-grams... hand count: doc0 grams {abcde,bcdef,cdefg,defgh,efghi,
+    fghij}, doc1 swaps the last gram (fghiX) -> inter 5, union 7,
+    j = 0.714286: in pairs for cutoffs 20..70, out at 80. A third
+    unrelated doc never pairs."""
+    from rayschema.queries import jaccard_threshold_sweep
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["abcdefghij", "abcdefghiX", "zzzzzzzz"],
+        "lang": ["en"] * 3, "source": ["s"] * 3,
+        "n_chars": np.array([10, 10, 8], dtype=np.int64)})
+    got = jaccard_threshold_sweep(_write_docs(tmp_path, df))
+    assert got.values.tolist() == [
+        [20, 1, 2], [30, 1, 2], [40, 1, 2], [50, 1, 2],
+        [60, 1, 2], [70, 1, 2], [80, 0, 0]]
