@@ -883,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_join_size_estimate": Q.cms_join_size_estimate,
         "dedup_rate_curve": Q.dedup_rate_curve,
         "jaccard_threshold_sweep": Q.jaccard_threshold_sweep,
+        "schema_migration_impact": Q.schema_migration_impact,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1744,6 +1745,28 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # schema-evolution what-if: v1 pass vs stricter v2 pass
+        "schema_migration_impact": f"""
+            WITH m AS (
+              SELECT COALESCE(lang, 'NULL') AS lang,
+                     CASE WHEN {_PASS_COND} THEN 1 ELSE 0 END AS v1,
+                     CASE WHEN doc_id IS NOT NULL AND doc_id >= 0
+                           AND text IS NOT NULL
+                           AND length(text) >= 200
+                           AND lang IS NOT NULL
+                           AND lang IN ('en','de','fr','es')
+                           AND source IS NOT NULL
+                           AND regexp_matches(source, '^src[0-9]+$')
+                           AND n_chars IS NOT NULL AND n_chars >= 0
+                           AND n_chars <= 5000
+                          THEN 1 ELSE 0 END AS v2
+              FROM documents)
+            SELECT lang, count(*)::BIGINT AS n,
+                   sum(v1)::BIGINT AS valid_v1,
+                   sum(v2)::BIGINT AS valid_v2,
+                   sum(CASE WHEN v1 = 1 AND v2 = 0 THEN 1
+                       ELSE 0 END)::BIGINT AS newly_invalid
+            FROM m GROUP BY lang ORDER BY lang""",
         # Jaccard cutoff sensitivity from one exact all-pairs pass
         "jaccard_threshold_sweep": """
             WITH docs AS (

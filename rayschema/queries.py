@@ -17067,3 +17067,73 @@ def jaccard_threshold_sweep(sf_dir: str):
         rows.append((t, int(m.sum()), docs))
     return pd.DataFrame(rows, columns=["threshold_pct", "n_pairs",
                                        "n_docs"]).astype(np.int64)
+
+
+DOCS_SCHEMA_V2_JSON = """{
+ "type": "object",
+ "required": ["doc_id", "text", "lang", "source", "n_chars"],
+ "properties": {
+   "doc_id": {"type": "integer", "minimum": 0},
+   "text":   {"type": "string", "minLength": 200},
+   "lang":   {"type": "string", "enum": ["en", "de", "fr", "es"]},
+   "source": {"type": "string", "pattern": "^src[0-9]+$"},
+   "n_chars": {"type": "integer", "minimum": 0, "maximum": 5000}
+ }
+}"""
+
+
+class _MigrationValidator:
+    """Actor: BOTH schema versions compiled once; one pass emits
+    per-lang v1/v2 verdict partials."""
+
+    def __init__(self):
+        from rayschema.compile import compile_validator
+        from rayschema.serde import schema_from_json
+
+        self.v1 = compile_validator(schema_from_json(DOCS_SCHEMA_JSON))
+        self.v2 = compile_validator(
+            schema_from_json(DOCS_SCHEMA_V2_JSON))
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        m1 = np.asarray(self.v1.probe(b), dtype=bool)
+        m2 = np.asarray(self.v2.probe(b), dtype=bool)
+        lang = b.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        t = pa.table({
+            "lang": pc.fill_null(lang, "NULL"),
+            "n": pa.array(np.ones(len(m1), dtype=np.int64)),
+            "valid_v1": pa.array(m1.astype(np.int64)),
+            "valid_v2": pa.array(m2.astype(np.int64)),
+            "newly_invalid": pa.array((m1 & ~m2).astype(np.int64))})
+        g = t.group_by("lang").aggregate(
+            [("n", "sum"), ("valid_v1", "sum"), ("valid_v2", "sum"),
+             ("newly_invalid", "sum")])
+        return g.rename_columns(["lang", "n", "valid_v1", "valid_v2",
+                                 "newly_invalid"])
+
+
+def schema_migration_impact(sf_dir: str):
+    """Schema-evolution impact audit — the question every schema change
+    raises at 100 TB: which rows that pass TODAY's contract would fail
+    the PROPOSED one (v2 tightens text minLength 50 -> 200, drops 'zh'
+    from the lang enum, caps n_chars at 5000)? BOTH draft-07 validators
+    compile ONCE per actor (the ValidateStage discipline) and score
+    each batch in the same pass, so migration what-if costs one scan —
+    never a second validation job. Emits per lang (NULL langs bucket
+    as 'NULL'): (lang, n, valid_v1, valid_v2, newly_invalid)."""
+    ds = _read(sf_dir, "documents")
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(_MigrationValidator,
+                          batch_format="pyarrow",
+                          concurrency=(1, 8))
+           .groupby("lang")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("valid_v1", alias_name="valid_v1"),
+                      Sum("valid_v2", alias_name="valid_v2"),
+                      Sum("newly_invalid", alias_name="newly_invalid"))
+           .to_pandas())
+    ints = ["n", "valid_v1", "valid_v2", "newly_invalid"]
+    return (out.sort_values("lang").reset_index(drop=True)
+            .astype({c: np.int64 for c in ints}))

@@ -5040,3 +5040,22 @@ def test_jaccard_threshold_sweep_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         [20, 1, 2], [30, 1, 2], [40, 1, 2], [50, 1, 2],
         [60, 1, 2], [70, 1, 2], [80, 0, 0]]
+
+
+def test_schema_migration_impact_planted(ray_session, tmp_path):
+    """doc 0 passes both (len 250, n_chars 250); doc 1 passes v1 only
+    (len 60 < 200); doc 2 is zh (v1 yes, v2 enum drop); doc 3 fails
+    both (len 10). newly_invalid counts exactly the v1-pass/v2-fail
+    rows."""
+    from rayschema.queries import schema_migration_impact
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["x" * 250, "y" * 60, "z" * 250, "w" * 10],
+        "lang": ["en", "en", "zh", "en"],
+        "source": ["src1"] * 4,
+        "n_chars": np.array([250, 60, 250, 10], dtype=np.int64)})
+    got = schema_migration_impact(_write_docs(tmp_path, df))
+    assert got.values.tolist() == [
+        ["en", 3, 2, 1, 1],
+        ["zh", 1, 1, 0, 1]]
