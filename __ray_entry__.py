@@ -884,6 +884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_rate_curve": Q.dedup_rate_curve,
         "jaccard_threshold_sweep": Q.jaccard_threshold_sweep,
         "schema_migration_impact": Q.schema_migration_impact,
+        "dedup_waterfall": Q.dedup_waterfall,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1745,6 +1746,33 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # three-stage dedup waterfall as distinct-counts
+        "dedup_waterfall": """
+            WITH d AS (SELECT text FROM documents
+                       WHERE text IS NOT NULL),
+            c AS (SELECT count(*) AS n_total,
+                         count(DISTINCT md5(text)) AS d1,
+                         count(DISTINCT md5(
+                            trim(regexp_replace(lower(text), ' +',
+                                                ' ', 'g'), ' ')))
+                           AS d2,
+                         count(DISTINCT md5(
+                            trim(regexp_replace(
+                              regexp_replace(lower(text), '[^a-z ]',
+                                             '', 'g'),
+                              ' +', ' ', 'g'), ' '))) AS d3
+                  FROM d)
+            SELECT 1::BIGINT AS stage, 'exact' AS label,
+                   n_total::BIGINT AS docs_in, d1::BIGINT
+                     AS n_distinct, (n_total - d1)::BIGINT AS removed
+            FROM c
+            UNION ALL
+            SELECT 2, 'lower+ws', d1::BIGINT, d2::BIGINT,
+                   (d1 - d2)::BIGINT FROM c
+            UNION ALL
+            SELECT 3, 'alpha-only', d2::BIGINT, d3::BIGINT,
+                   (d2 - d3)::BIGINT FROM c
+            ORDER BY stage""",
         # schema-evolution what-if: v1 pass vs stricter v2 pass
         "schema_migration_impact": f"""
             WITH m AS (

@@ -266,6 +266,7 @@ def run_bench() -> dict:
         ("dedup_rate_curve", Q.dedup_rate_curve),
         ("jaccard_threshold_sweep", Q.jaccard_threshold_sweep),
         ("schema_migration_impact", Q.schema_migration_impact),
+        ("dedup_waterfall", Q.dedup_waterfall),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -17137,3 +17137,65 @@ def schema_migration_impact(sf_dir: str):
     ints = ["n", "valid_v1", "valid_v2", "newly_invalid"]
     return (out.sort_values("lang").reset_index(drop=True)
             .astype({c: np.int64 for c in ints}))
+
+
+def dedup_waterfall(sf_dir: str):
+    """Dedup waterfall report: how many docs each successive
+    normalization stage collapses — raw exact text, then
+    lower+whitespace-squash (the normalize_text convention), then the
+    aggressive strip-to-[a-z ] form (the normalized_exact_dedup
+    convention). Each stage's key is a FUNCTION of the previous
+    stage's (equal raw => equal normalized => equal stripped), so the
+    waterfall is exactly three distinct-counts — ONE pass emits
+    per-block distinct (stage, md5) pairs (32 B keys, never text) and
+    one narrow groupby dedups globally; stage survivor counts fold as
+    3 ints. Emits (stage, label, docs_in, n_distinct, removed)."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        raw = b.column("text")
+        s2 = pc.utf8_trim(pc.replace_substring_regex(
+            pc.utf8_lower(raw), " +", " "), " ")
+        s3 = pc.utf8_trim(pc.replace_substring_regex(
+            pc.replace_substring_regex(pc.utf8_lower(raw),
+                                       "[^a-z ]", ""),
+            " +", " "), " ")
+        outs, stages = [], []
+        for i, col in enumerate((raw, s2, s3), start=1):
+            hs = {hashlib.md5(t.encode("utf-8")).hexdigest()
+                  for t in col.to_pylist()}
+            outs.extend(sorted(hs))
+            stages.extend([i] * len(hs))
+        return pa.table({"stage": pa.array(
+            np.asarray(stages, dtype=np.int64)),
+            "k": pa.array(outs, type=pa.string())})
+
+    def totals(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        return pa.table({"n": pa.array([len(b)], type=pa.int64())})
+
+    n_total = int(ds.map_batches(totals, batch_format="pyarrow")
+                  .to_pandas()["n"].sum())
+    dist = (ds.map_batches(keys, batch_format="pyarrow")
+            .groupby(["stage", "k"])
+            .aggregate(Count(alias_name="c"))
+            .map_batches(lambda b: pa.table({
+                "stage": b.column("stage"),
+                "one": pa.array(np.ones(len(b), dtype=np.int64))}),
+                batch_format="pyarrow")
+            .to_pandas().groupby("stage")["one"].sum())
+    labels = {1: "exact", 2: "lower+ws", 3: "alpha-only"}
+    rows, docs_in = [], n_total
+    for s in (1, 2, 3):
+        nd = int(dist.get(s, 0))
+        rows.append((s, labels[s], docs_in, nd, docs_in - nd))
+        docs_in = nd
+    return pd.DataFrame(rows, columns=["stage", "label", "docs_in",
+                                       "n_distinct", "removed"]) \
+        .astype({"stage": np.int64, "docs_in": np.int64,
+                 "n_distinct": np.int64, "removed": np.int64})

@@ -5059,3 +5059,21 @@ def test_schema_migration_impact_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         ["en", 3, 2, 1, 1],
         ["zh", 1, 1, 0, 1]]
+
+
+def test_dedup_waterfall_planted(ray_session, tmp_path):
+    """4 docs: 'Hi  there'/'hi there' collapse at lower+ws; 'hi,
+    there!' additionally collapses at alpha-only; 'bye' stays. Stages:
+    4 -> 4 distinct exact; 4 -> 3 at lower+ws; 3 -> 2 at alpha-only."""
+    from rayschema.queries import dedup_waterfall
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["Hi  there", "hi there", "hi, there!", "bye"],
+        "lang": ["en"] * 4, "source": ["s"] * 4,
+        "n_chars": np.zeros(4, dtype=np.int64)})
+    got = dedup_waterfall(_write_docs(tmp_path, df))
+    assert got.values.tolist() == [
+        [1, "exact", 4, 4, 0],
+        [2, "lower+ws", 4, 3, 1],
+        [3, "alpha-only", 3, 2, 1]]
