@@ -885,6 +885,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_threshold_sweep": Q.jaccard_threshold_sweep,
         "schema_migration_impact": Q.schema_migration_impact,
         "dedup_waterfall": Q.dedup_waterfall,
+        "part_price_dispersion": Q.part_price_dispersion,
+        "retention_by_first_type": Q.retention_by_first_type,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1746,6 +1748,52 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # unit-price spread per part, top-20 most dispersed
+        "part_price_dispersion": """
+            WITH u AS (SELECT l_partkey,
+                              (1000 * CAST(round(l_extendedprice
+                                                 * 100) AS BIGINT))
+                              // (CAST(round(l_quantity * 100)
+                                       AS BIGINT) // 100) AS unit
+                       FROM lineitem
+                       WHERE CAST(round(l_quantity * 100) AS BIGINT)
+                             // 100 > 0),
+            g AS (SELECT l_partkey, count(*)::BIGINT AS n_lines,
+                         min(unit)::BIGINT AS min_unit_milli,
+                         max(unit)::BIGINT AS max_unit_milli
+                  FROM u GROUP BY 1 HAVING max(unit) > 0)
+            SELECT l_partkey, n_lines, min_unit_milli,
+                   max_unit_milli,
+                   ((1000000 * (max_unit_milli - min_unit_milli))
+                    // max_unit_milli)::BIGINT AS dispersion_ppm
+            FROM g
+            ORDER BY dispersion_ppm DESC, l_partkey LIMIT 20""",
+        # first-event-type cohorts: 7-day return rate
+        "retention_by_first_type": """
+            WITH e AS (SELECT user_id, event_type,
+                              epoch_us(ts) AS ts_us, event_id
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            f AS (SELECT user_id, event_type AS first_type,
+                         ts_us // 86400000000 AS d0
+                  FROM (SELECT *, row_number() OVER (
+                          PARTITION BY user_id
+                          ORDER BY ts_us, event_id) AS rn FROM e)
+                  WHERE rn = 1),
+            r AS (SELECT f.user_id, f.first_type,
+                         max(CASE WHEN e.ts_us // 86400000000
+                                   BETWEEN f.d0 + 1 AND f.d0 + 7
+                                  THEN 1 ELSE 0 END) AS retained
+                  FROM f JOIN e USING (user_id)
+                  GROUP BY 1, 2),
+            g AS (SELECT first_type, count(*)::BIGINT AS n_users,
+                         sum(retained)::BIGINT AS n_retained
+                  FROM r GROUP BY 1)
+            SELECT first_type, n_users, n_retained,
+                   ((1000000 * n_retained) // n_users)::BIGINT
+                     AS retention_ppm
+            FROM g ORDER BY first_type""",
         # three-stage dedup waterfall as distinct-counts
         "dedup_waterfall": """
             WITH d AS (SELECT text FROM documents

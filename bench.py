@@ -267,6 +267,8 @@ def run_bench() -> dict:
         ("jaccard_threshold_sweep", Q.jaccard_threshold_sweep),
         ("schema_migration_impact", Q.schema_migration_impact),
         ("dedup_waterfall", Q.dedup_waterfall),
+        ("part_price_dispersion", Q.part_price_dispersion),
+        ("retention_by_first_type", Q.retention_by_first_type),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

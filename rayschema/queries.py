@@ -17199,3 +17199,104 @@ def dedup_waterfall(sf_dir: str):
                                        "n_distinct", "removed"]) \
         .astype({"stage": np.int64, "docs_in": np.int64,
                  "n_distinct": np.int64, "removed": np.int64})
+
+
+PRICE_DISP_TOP = 20
+
+
+def part_price_dispersion(sf_dir: str):
+    """Pricing-consistency audit: per part, the spread of realized
+    unit prices across its lineitems (floor-milli unit price =
+    1000 * price_cents // qty_units; rows with zero quantity drop) —
+    top-20 by (dispersion_ppm desc, partkey asc), where
+    dispersion_ppm = 1e6 * (max - min) // max. Per-block partial
+    min/max/count per part, one part-keyed groupby, part-bounded
+    driver ranking. Emits (l_partkey, n_lines, min_unit_milli,
+    max_unit_milli, dispersion_ppm)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def part(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        qty = _cents(b.column("l_quantity").to_numpy(
+            zero_copy_only=False)) // 100
+        cents = _cents(b.column("l_extendedprice").to_numpy(
+            zero_copy_only=False))
+        m = qty > 0
+        unit = (1000 * cents[m]) // qty[m]
+        df = pd.DataFrame({"pk": pk[m], "u": unit})
+        g = df.groupby("pk").agg(n=("u", "size"), lo=("u", "min"),
+                                 hi=("u", "max")).reset_index()
+        return pa.Table.from_pandas(g.astype(np.int64),
+                                    preserve_index=False)
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("pk")
+           .aggregate(Sum("n", alias_name="n_lines"),
+                      Min("lo", alias_name="min_unit_milli"),
+                      Max("hi", alias_name="max_unit_milli"))
+           .to_pandas())
+    cols = ["l_partkey", "n_lines", "min_unit_milli",
+            "max_unit_milli", "dispersion_ppm"]
+    if agg.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    agg = agg[agg["max_unit_milli"] > 0].copy()
+    agg["dispersion_ppm"] = (
+        1_000_000 * (agg["max_unit_milli"] - agg["min_unit_milli"])
+        // agg["max_unit_milli"])
+    agg = agg.rename(columns={"pk": "l_partkey"})
+    agg = agg.sort_values(["dispersion_ppm", "l_partkey"],
+                          ascending=[False, True]) \
+        .head(PRICE_DISP_TOP).reset_index(drop=True)
+    return agg[cols].astype(np.int64)
+
+
+def retention_by_first_type(sf_dir: str):
+    """Acquisition-quality audit: does the FIRST thing a user does
+    predict whether they come back? Users cohorted by their first
+    event's type ((ts, event_id) order); retained = any event on days
+    first_day+1 .. first_day+7. ONE user-keyed sorted scan emits
+    (first_type, retained) per user; a type-bounded fold computes
+    rates in floor-ppm. Emits (first_type, n_users, n_retained,
+    retention_ppm)."""
+    from rayschema.dedup import sorted_group_scan
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id"])
+
+    out_schema = pa.schema([("first_type", pa.string()),
+                            ("retained", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        if len(et) == 0:
+            return None
+        d0 = ts[0] // day_us
+        days = ts // day_us
+        ret = int(((days >= d0 + 1) & (days <= d0 + 7)).any())
+        return pa.table({"first_type": pa.array([str(et[0])]),
+                         "retained": pa.array([ret],
+                                              type=pa.int64())})
+
+    scan = sorted_group_scan(
+        ds.map_batches(_narrow_events, batch_format="pyarrow"),
+        ["user_id"], group_fn, out_schema,
+        order_cols=["ts_us", "event_id"])
+    agg = scan.to_pandas()
+    cols = ["first_type", "n_users", "n_retained", "retention_ppm"]
+    if agg.empty:
+        return pd.DataFrame({"first_type": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    g = agg.groupby("first_type").agg(
+        n_users=("retained", "size"),
+        n_retained=("retained", "sum")).reset_index()
+    g["retention_ppm"] = (1_000_000 * g["n_retained"]) // g["n_users"]
+    return (g.sort_values("first_type").reset_index(drop=True)
+            [cols].astype({c: np.int64 for c in cols[1:]}))

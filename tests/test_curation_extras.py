@@ -5077,3 +5077,45 @@ def test_dedup_waterfall_planted(ray_session, tmp_path):
         [1, "exact", 4, 4, 0],
         [2, "lower+ws", 4, 3, 1],
         [3, "alpha-only", 3, 2, 1]]
+
+
+def test_part_price_dispersion_planted(ray_session, tmp_path):
+    """Part 1 sells at unit prices 10.00 and 5.00 (milli-CENTS 1e6 /
+    5e5, dispersion 500000); part 2 at a constant 2.00/unit
+    (200000 milli-cents, 0 ppm); a zero-quantity row drops
+    entirely."""
+    from rayschema.queries import part_price_dispersion
+
+    li = pa.table({
+        "l_partkey": pa.array(np.array([1, 1, 2, 3], dtype=np.int64)),
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 0.0]),
+        "l_extendedprice": pa.array([10.0, 10.0, 6.0, 9.0])})
+    pq.write_table(li, os.path.join(tmp_path, "lineitem.parquet"))
+    got = part_price_dispersion(str(tmp_path))
+    assert got.values.tolist() == [
+        [1, 2, 500_000, 1_000_000, 500_000],
+        [2, 1, 200_000, 200_000, 0]]
+
+
+def test_retention_by_first_type_planted(ray_session, tmp_path):
+    """u0 first event 'view' day 0, returns day 3 -> retained; u1
+    first 'view' day 0, next activity day 9 (outside the window) ->
+    not retained; u2 first 'click' with a same-day-only burst -> not
+    retained. view: 1/2 retained = 500000 ppm."""
+    from rayschema.queries import retention_by_first_type
+
+    day = 86_400_000_000
+    ts = np.array([0, 3 * day, 5, 9 * day, 10, 20], dtype=np.int64)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(6, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 1, 1, 2, 2],
+                                     dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["view", "click", "view", "view",
+                                "click", "view"]),
+        "value": pa.array(np.ones(6))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = retention_by_first_type(str(tmp_path))
+    assert got.values.tolist() == [
+        ["click", 1, 0, 0],
+        ["view", 2, 1, 500_000]]
