@@ -887,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_waterfall": Q.dedup_waterfall,
         "part_price_dispersion": Q.part_price_dispersion,
         "retention_by_first_type": Q.retention_by_first_type,
+        "blocking_quality_audit": Q.blocking_quality_audit,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1748,6 +1749,42 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # blocking evaluation: pair completeness + reduction ratio
+        "blocking_quality_audit": """
+            WITH d AS (SELECT md5(text) AS h,
+                              lang || '|' || source || '|'
+                              || n_chars::VARCHAR AS blk
+                       FROM documents
+                       WHERE text IS NOT NULL AND lang IS NOT NULL
+                         AND source IS NOT NULL
+                         AND n_chars IS NOT NULL),
+            nb AS (SELECT count(*)::HUGEINT AS n FROM d),
+            cb AS (SELECT sum(c * (c - 1) // 2) AS p FROM (
+                     SELECT count(*)::HUGEINT AS c FROM d
+                     GROUP BY blk)),
+            tb AS (SELECT sum(c * (c - 1) // 2) AS p FROM (
+                     SELECT count(*)::HUGEINT AS c FROM d
+                     GROUP BY h)),
+            fb AS (SELECT sum(c * (c - 1) // 2) AS p FROM (
+                     SELECT count(*)::HUGEINT AS c FROM d
+                     GROUP BY blk, h))
+            SELECT (SELECT n FROM nb)::BIGINT AS n_docs,
+                   (SELECT p FROM cb)::BIGINT AS cand_pairs,
+                   (SELECT p FROM tb)::BIGINT AS true_pairs,
+                   (SELECT p FROM fb)::BIGINT AS found_pairs,
+                   (CASE WHEN (SELECT p FROM tb) > 0
+                         THEN (1000000 * (SELECT p FROM fb))
+                              // (SELECT p FROM tb)
+                         ELSE 1000000 END)::BIGINT
+                     AS completeness_ppm,
+                   (CASE WHEN (SELECT n FROM nb) > 1
+                         THEN (1000000
+                               * ((SELECT n FROM nb)
+                                  * ((SELECT n FROM nb) - 1) // 2
+                                  - (SELECT p FROM cb)))
+                              // ((SELECT n FROM nb)
+                                  * ((SELECT n FROM nb) - 1) // 2)
+                         ELSE 0 END)::BIGINT AS reduction_ppm""",
         # unit-price spread per part, top-20 most dispersed
         "part_price_dispersion": """
             WITH u AS (SELECT l_partkey,

@@ -17300,3 +17300,69 @@ def retention_by_first_type(sf_dir: str):
     g["retention_ppm"] = (1_000_000 * g["n_retained"]) // g["n_users"]
     return (g.sort_values("first_type").reset_index(drop=True)
             [cols].astype({c: np.int64 for c in cols[1:]}))
+
+
+def blocking_quality_audit(sf_dir: str):
+    """Record-linkage blocking evaluation (the pair-completeness /
+    reduction-ratio pair from the ER literature): blocks on
+    (lang, source, n_chars) — how many candidate pairs does blocking
+    generate, what fraction of TRUE duplicate pairs (same text) does
+    it retain, and how much of the all-pairs grid does it prune? No
+    pair ever materializes: every number is sum over groups of
+    C(group, 2), folded from three narrow groupby counts (md5 keys for
+    the text groups), with the final arithmetic in Python ints (pair
+    counts pass int64 at corpus scale; the oracle widens to HUGEINT).
+    Emits (n_docs, cand_pairs, true_pairs, found_pairs,
+    completeness_ppm, reduction_ppm)."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "source",
+                        "n_chars"])
+
+    def keys(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.is_valid(b.column("text")),
+            pc.and_(pc.is_valid(b.column("lang")),
+                    pc.and_(pc.is_valid(b.column("source")),
+                            pc.is_valid(b.column("n_chars"))))))
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in b.column("text").to_pylist()]
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        nc = b.column("n_chars").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        blk = [f"{lg}|{s}|{n}" for lg, s, n in zip(lang, src, nc)]
+        return pa.table({"h": pa.array(hs, type=pa.string()),
+                         "blk": pa.array(blk, type=pa.string())})
+
+    proj = ds.map_batches(keys, batch_format="pyarrow").materialize()
+
+    def pair_mass(grouped, cols):
+        cnt = grouped.groupby(cols).aggregate(
+            Count(alias_name="c"))
+
+        def part(b: pa.Table) -> pa.Table:
+            c = b.column("c").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            # per-block partial of sum C(c, 2) — Python-int exact
+            tot = sum(int(x) * (int(x) - 1) // 2 for x in c)
+            return pa.table({"p": pa.array([tot], type=pa.int64()),
+                             "n": pa.array([int(c.sum())],
+                                           type=pa.int64())})
+
+        f = cnt.map_batches(part, batch_format="pyarrow").to_pandas()
+        return int(f["p"].sum()), int(f["n"].sum())
+
+    cand, n_docs = pair_mass(proj, ["blk"])
+    true_p, _ = pair_mass(proj, ["h"])
+    found, _ = pair_mass(proj, ["blk", "h"])
+    total = n_docs * (n_docs - 1) // 2
+    comp = (1_000_000 * found) // true_p if true_p else 1_000_000
+    red = (1_000_000 * (total - cand)) // total if total else 0
+    return pd.DataFrame([(n_docs, cand, true_p, found, comp, red)],
+                        columns=["n_docs", "cand_pairs", "true_pairs",
+                                 "found_pairs", "completeness_ppm",
+                                 "reduction_ppm"]).astype(np.int64)

@@ -5119,3 +5119,20 @@ def test_retention_by_first_type_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         ["click", 1, 0, 0],
         ["view", 2, 1, 500_000]]
+
+
+def test_blocking_quality_planted(ray_session, tmp_path):
+    """4 docs: two true dups ('same') split across DIFFERENT sources
+    (block misses that pair -> completeness 0 of 1); three docs share
+    block en|s|4 -> 3 candidate pairs of the total C(4,2)=6 ->
+    reduction 500000 ppm."""
+    from rayschema.queries import blocking_quality_audit
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["same", "same", "aaaa", "bbbb"],
+        "lang": ["en"] * 4,
+        "source": ["s", "t", "s", "s"],
+        "n_chars": np.array([4, 4, 4, 4], dtype=np.int64)})
+    got = blocking_quality_audit(_write_docs(tmp_path, df))
+    assert got.values.tolist() == [[4, 3, 1, 0, 0, 500_000]]
