@@ -888,6 +888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_price_dispersion": Q.part_price_dispersion,
         "retention_by_first_type": Q.retention_by_first_type,
         "blocking_quality_audit": Q.blocking_quality_audit,
+        "source_scorecard": Q.source_scorecard,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1749,6 +1750,81 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # per-source scorecard: volume + dup + langid mismatch + gopher
+        "source_scorecard": """
+            WITH d AS (SELECT doc_id, text, lang, source
+                       FROM documents WHERE text IS NOT NULL),
+            base AS (SELECT source, count(*)::BIGINT AS n_docs,
+                            sum(length(text))::BIGINT AS chars_sum,
+                            count(DISTINCT md5(text))::BIGINT AS nd
+                     FROM d GROUP BY 1),
+            h AS (SELECT source, lang,
+                         substr(text, 1, 2000) AS hd FROM d),
+            c AS (SELECT source, lang,
+                    len(regexp_extract_all(hd, '[A-Za-z]+')) AS nw,
+                    len(regexp_extract_all(hd, '(?i)\\b(the|and|of|to|in|is|that|it|for|with)\\b')) AS c_en,
+                    len(regexp_extract_all(hd, '(?i)\\b(der|die|und|das|ist|nicht|ein|mit|auf|von)\\b')) AS c_de,
+                    len(regexp_extract_all(hd, '(?i)\\b(le|la|les|et|est|pour|que|une|dans|des)\\b')) AS c_fr,
+                    len(regexp_extract_all(hd, '(?i)\\b(el|la|los|que|de|es|por|una|con|para)\\b')) AS c_es,
+                    len(regexp_extract_all(hd, '[\\x{4e00}-\\x{9fff}]')) AS c_cjk,
+                    length(hd) AS hl
+                  FROM h),
+            sc AS (SELECT source, lang,
+                     c_en * 1.0 / greatest(nw, 1) AS s_en,
+                     c_de * 1.0 / greatest(nw, 1) AS s_de,
+                     c_fr * 1.0 / greatest(nw, 1) AS s_fr,
+                     c_es * 1.0 / greatest(nw, 1) AS s_es,
+                     c_cjk * 1.0 / least(greatest(hl, 1), 400) AS zr
+                   FROM c),
+            p AS (SELECT source, lang,
+              CASE WHEN zr > 0.2 THEN 'zh'
+                   WHEN greatest(s_en, s_de, s_fr, s_es) = 0
+                     THEN 'unknown'
+                   WHEN s_en >= s_de AND s_en >= s_fr
+                     AND s_en >= s_es THEN 'en'
+                   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                   WHEN s_fr >= s_es THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+              FROM sc),
+            mm AS (SELECT source,
+                          sum(CASE WHEN lang IS NOT NULL
+                                    AND lang_pred != lang
+                              THEN 1 ELSE 0 END)::BIGINT AS mism
+                   FROM p GROUP BY 1),
+            w AS (SELECT doc_id, source,
+                         unnest(string_split(text, ' ')) AS word
+                  FROM d),
+            per AS (SELECT doc_id, source,
+                           count(*)::BIGINT AS n_words,
+                           sum(length(word))::BIGINT AS sum_wlen,
+                           sum(CASE WHEN regexp_matches(word,
+                                         '[A-Za-z]')
+                               THEN 1 ELSE 0 END)::BIGINT
+                             AS n_alpha_words,
+                           sum(CASE WHEN word IN ('the','a','of',
+                                                  'to','and','that',
+                                                  'is')
+                               THEN 1 ELSE 0 END)::BIGINT
+                             AS n_stop_hits
+                    FROM w GROUP BY 1, 2),
+            gp AS (SELECT source,
+                          sum(CASE WHEN n_words BETWEEN 50 AND 100000
+                               AND sum_wlen BETWEEN 3 * n_words
+                                   AND 10 * n_words
+                               AND 5 * n_alpha_words >= 4 * n_words
+                               AND n_stop_hits >= 2
+                              THEN 1 ELSE 0 END)::BIGINT AS gpass
+                   FROM per GROUP BY 1)
+            SELECT b.source, b.n_docs, b.chars_sum,
+                   ((1000000 * (b.n_docs - b.nd))
+                    // b.n_docs)::BIGINT AS dup_ppm,
+                   ((1000000 * mm.mism) // b.n_docs)::BIGINT
+                     AS langid_mismatch_ppm,
+                   ((1000000 * gp.gpass) // b.n_docs)::BIGINT
+                     AS gopher_pass_ppm
+            FROM base b JOIN mm USING (source)
+                        JOIN gp USING (source)
+            ORDER BY b.source""",
         # blocking evaluation: pair completeness + reduction ratio
         "blocking_quality_audit": """
             WITH d AS (SELECT md5(text) AS h,

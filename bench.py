@@ -270,6 +270,7 @@ def run_bench() -> dict:
         ("part_price_dispersion", Q.part_price_dispersion),
         ("retention_by_first_type", Q.retention_by_first_type),
         ("blocking_quality_audit", Q.blocking_quality_audit),
+        ("source_scorecard", Q.source_scorecard),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

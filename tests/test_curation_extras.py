@@ -5136,3 +5136,26 @@ def test_blocking_quality_planted(ray_session, tmp_path):
         "n_chars": np.array([4, 4, 4, 4], dtype=np.int64)})
     got = blocking_quality_audit(_write_docs(tmp_path, df))
     assert got.values.tolist() == [[4, 3, 1, 0, 0, 500_000]]
+
+
+def test_source_scorecard_planted(ray_session, tmp_path):
+    """source s: two IDENTICAL English docs (dup 500000 ppm, langid
+    en == declared, Gopher passes: 60 words, 12 stop hits); source t:
+    one 2-word doc declared zh but ASCII -> langid 'unknown'
+    (mismatch), Gopher fails. All ppms hand-traced."""
+    from rayschema.queries import source_scorecard
+
+    a = ("the quick brown fox jumps over the lazy dog again " * 6
+         ).strip()
+    b = "hola mundo"
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": [a, a, b],
+        "lang": ["en", "en", "zh"],
+        "source": ["s", "s", "t"],
+        "n_chars": np.array([len(a), len(a), len(b)],
+                            dtype=np.int64)})
+    got = source_scorecard(_write_docs(tmp_path, df))
+    assert got.values.tolist() == [
+        ["s", 2, 2 * len(a), 500_000, 0, 1_000_000],
+        ["t", 1, len(b), 0, 1_000_000, 0]]
