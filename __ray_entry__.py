@@ -889,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_by_first_type": Q.retention_by_first_type,
         "blocking_quality_audit": Q.blocking_quality_audit,
         "source_scorecard": Q.source_scorecard,
+        "sample_fidelity_audit": Q.sample_fidelity_audit,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1750,6 +1751,37 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # sample-vs-full exact KS on n_chars (10% hash sample)
+        "sample_fidelity_audit": """
+            WITH d AS (SELECT doc_id, n_chars FROM documents
+                       WHERE n_chars IS NOT NULL),
+            t AS (SELECT n_chars AS v,
+                         CASE WHEN (doc_id % 100003) * 2654435761
+                                   % 100 < 10
+                              THEN 1 ELSE 0 END AS s
+                  FROM d),
+            h AS (SELECT v, sum(s)::HUGEINT AS cs,
+                         count(*)::HUGEINT AS cf
+                  FROM t GROUP BY 1),
+            n AS (SELECT sum(cs) AS ns, sum(cf) AS nf FROM h),
+            c AS (SELECT v,
+                         sum(cs) OVER (ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING)
+                           AS a_s,
+                         sum(cf) OVER (ORDER BY v
+                                       ROWS UNBOUNDED PRECEDING)
+                           AS a_f
+                  FROM h)
+            SELECT (SELECT nf FROM n)::BIGINT AS n_full,
+                   (SELECT ns FROM n)::BIGINT AS n_sample,
+                   max(abs((SELECT ns FROM n) * a_f
+                           - (SELECT nf FROM n) * a_s))::BIGINT
+                     AS d_num,
+                   ((1000000 * max(abs((SELECT ns FROM n) * a_f
+                                       - (SELECT nf FROM n) * a_s)))
+                    // ((SELECT nf FROM n)
+                        * (SELECT ns FROM n)))::BIGINT AS ks_ppm
+            FROM c""",
         # per-source scorecard: volume + dup + langid mismatch + gopher
         "source_scorecard": """
             WITH d AS (SELECT doc_id, text, lang, source

@@ -271,6 +271,7 @@ def run_bench() -> dict:
         ("retention_by_first_type", Q.retention_by_first_type),
         ("blocking_quality_audit", Q.blocking_quality_audit),
         ("source_scorecard", Q.source_scorecard),
+        ("sample_fidelity_audit", Q.sample_fidelity_audit),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

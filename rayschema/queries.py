@@ -17468,3 +17468,60 @@ def source_scorecard(sf_dir: str):
     agg["gopher_pass_ppm"] = (1_000_000
                               * agg["gpass"].astype(np.int64)) // n
     return agg[cols].astype({c: np.int64 for c in cols[1:]})
+
+
+SAMPLE_FIDELITY_MOD = 100003
+SAMPLE_FIDELITY_PCT = 10
+
+
+def sample_fidelity_audit(sf_dir: str):
+    """Sampling QA: does the deterministic 10% hash sample actually
+    look like the corpus? Exact two-sample KS distance between the
+    n_chars distributions of the sample (doc_id-hash bucket < 10 of
+    100 — the weighted_sample bucket convention) and the FULL corpus,
+    in cleared-denominator integers (the ks_chars_two_sources sweep:
+    D_num = max |n_s * cumF(v) - n_f * cumS(v)|, D = D_num /
+    (n_f * n_s)). ONE histogram pass; driver big-int cumsums. Emits
+    (n_full, n_sample, d_num, ks_ppm)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("n_chars")))
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        v = b.column("n_chars").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        in_s = ((ids % SAMPLE_FIDELITY_MOD) * SHUF_KNUTH % 100
+                < SAMPLE_FIDELITY_PCT).astype(np.int64)
+        df = pd.DataFrame({"v": v, "cs": in_s})
+        g = (df.groupby("v", as_index=False)
+             .agg(cs=("cs", "sum"), cf=("cs", "size")))
+        return pa.table({"v": pa.array(g["v"].to_numpy(np.int64)),
+                         "cs": pa.array(g["cs"].to_numpy(np.int64)),
+                         "cf": pa.array(g["cf"].to_numpy(np.int64))})
+
+    hist = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(Sum("cs", alias_name="cs"),
+                       Sum("cf", alias_name="cf"))
+            .to_pandas().sort_values("v"))
+    cols = ["n_full", "n_sample", "d_num", "ks_ppm"]
+    if hist.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    cs = [int(x) for x in hist["cs"]]
+    cf = [int(x) for x in hist["cf"]]
+    n_s, n_f = sum(cs), sum(cf)
+    if n_s == 0 or n_f == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    d_num, as_, af = 0, 0, 0
+    for s, f in zip(cs, cf):
+        as_ += s
+        af += f
+        d_num = max(d_num, abs(n_s * af - n_f * as_))
+    return pd.DataFrame([(n_f, n_s, d_num,
+                          (1_000_000 * d_num) // (n_f * n_s))],
+                        columns=cols).astype(np.int64)

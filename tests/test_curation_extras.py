@@ -5159,3 +5159,34 @@ def test_source_scorecard_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         ["s", 2, 2 * len(a), 500_000, 0, 1_000_000],
         ["t", 1, len(b), 0, 1_000_000, 0]]
+
+
+def test_sample_fidelity_planted(ray_session, tmp_path):
+    """Expected KS recomputed independently in the test from the
+    documented hash: doc_ids 0..39 with n_chars = doc_id % 4 (a
+    4-value distribution); the 10%-bucket sample's exact cleared-
+    denominator supremum must match the reference sweep."""
+    from rayschema.queries import sample_fidelity_audit
+
+    n = 40
+    ids = np.arange(n)
+    v = (ids % 4).astype(np.int64)
+    df = pd.DataFrame({
+        "doc_id": ids.astype(np.int64),
+        "text": ["x"] * n, "lang": ["en"] * n, "source": ["s"] * n,
+        "n_chars": v})
+    got = sample_fidelity_audit(_write_docs(tmp_path, df))
+
+    in_s = ((ids % 100003) * 2654435761 % 100 < 10)
+    ns, nf = int(in_s.sum()), n
+    d = 0
+    a_s = a_f = 0
+    for val in range(4):
+        a_s += int(in_s[v == val].sum())
+        a_f += int((v == val).sum())
+        d = max(d, abs(ns * a_f - nf * a_s))
+    if ns == 0:
+        assert got.empty
+    else:
+        assert got.values.tolist() == [
+            [nf, ns, d, 1_000_000 * d // (nf * ns)]]
