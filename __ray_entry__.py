@@ -890,6 +890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_quality_audit": Q.blocking_quality_audit,
         "source_scorecard": Q.source_scorecard,
         "sample_fidelity_audit": Q.sample_fidelity_audit,
+        "validation_drift_by_day": Q.validation_drift_by_day,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1751,6 +1752,40 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # props pass rate per event day (ops drift dashboard)
+        "validation_drift_by_day": """
+            WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                              CASE WHEN props IS NULL THEN TRUE
+                                   ELSE COALESCE(
+                                     json_valid(props)
+                                     AND json_extract(props, '$.k')
+                                         IS NOT NULL
+                                     AND (json_type(json_extract(
+                                            props, '$.k'))
+                                          IN ('INTEGER','UBIGINT',
+                                              'BIGINT')
+                                          OR (json_type(json_extract(
+                                                props, '$.k'))
+                                              = 'DOUBLE'
+                                              AND CAST(json_extract(
+                                                    props, '$.k')
+                                                  AS DOUBLE)
+                                                  = floor(CAST(
+                                                    json_extract(
+                                                      props, '$.k')
+                                                    AS DOUBLE))))
+                                     AND CAST(json_extract(props,
+                                              '$.k') AS DOUBLE)
+                                         BETWEEN 0 AND 50,
+                                     FALSE)
+                              END AS v
+                       FROM events WHERE ts IS NOT NULL)
+            SELECT day::BIGINT AS day, count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN v THEN 1 ELSE 0 END)::BIGINT
+                     AS n_valid,
+                   ((1000000 * sum(CASE WHEN v THEN 1 ELSE 0 END))
+                    // count(*))::BIGINT AS valid_ppm
+            FROM e GROUP BY 1 ORDER BY 1""",
         # sample-vs-full exact KS on n_chars (10% hash sample)
         "sample_fidelity_audit": """
             WITH d AS (SELECT doc_id, n_chars FROM documents

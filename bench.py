@@ -272,6 +272,7 @@ def run_bench() -> dict:
         ("blocking_quality_audit", Q.blocking_quality_audit),
         ("source_scorecard", Q.source_scorecard),
         ("sample_fidelity_audit", Q.sample_fidelity_audit),
+        ("validation_drift_by_day", Q.validation_drift_by_day),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

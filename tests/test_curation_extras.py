@@ -5190,3 +5190,25 @@ def test_sample_fidelity_planted(ray_session, tmp_path):
     else:
         assert got.values.tolist() == [
             [nf, ns, d, 1_000_000 * d // (nf * ns)]]
+
+
+def test_validation_drift_by_day_planted(ray_session, tmp_path):
+    """Day 0: valid k=5 + invalid k=99 (out of range) -> 500000 ppm;
+    day 1: null props counts VALID (absent doc convention) ->
+    1000000."""
+    from rayschema.queries import validation_drift_by_day
+
+    day = 86_400_000_000
+    tab = pa.table({
+        "event_id": pa.array(np.arange(3, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(3, dtype=np.int64)),
+        "ts": pa.array(np.array([0, 1, day], dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 3),
+        "value": pa.array(np.ones(3)),
+        "props": pa.array(['{"k": 5}', '{"k": 99}', None])})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = validation_drift_by_day(str(tmp_path))
+    assert got.values.tolist() == [
+        [0, 2, 1, 500_000],
+        [1, 1, 1, 1_000_000]]
