@@ -891,6 +891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_scorecard": Q.source_scorecard,
         "sample_fidelity_audit": Q.sample_fidelity_audit,
         "validation_drift_by_day": Q.validation_drift_by_day,
+        "region_quarter_lift": Q.region_quarter_lift,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1752,6 +1753,31 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # revenue lift per region x quarter cell vs independence
+        "region_quarter_lift": """
+            WITH o AS (SELECT n.n_regionkey AS rk,
+                              year(o.o_orderdate)::BIGINT AS yr,
+                              ((month(o.o_orderdate) - 1) // 3 + 1)
+                                ::BIGINT AS q,
+                              CAST(round(o.o_totalprice * 100)
+                                   AS BIGINT) AS cents
+                       FROM orders o
+                       JOIN customer c ON c.c_custkey = o.o_custkey
+                       JOIN nation n
+                         ON n.n_nationkey = c.c_nationkey),
+            g AS (SELECT rk, yr, q, sum(cents)::HUGEINT AS cents
+                  FROM o GROUP BY 1, 2, 3),
+            t AS (SELECT sum(cents) AS total FROM g),
+            r AS (SELECT rk, sum(cents) AS rt FROM g GROUP BY 1),
+            c2 AS (SELECT yr, q, sum(cents) AS ct FROM g
+                   GROUP BY 1, 2)
+            SELECT g.rk::BIGINT AS r_regionkey, g.yr, g.q,
+                   g.cents::BIGINT AS cents,
+                   ((1000000::HUGEINT * g.cents
+                     * (SELECT total FROM t))
+                    // (r.rt * c2.ct))::BIGINT AS lift_ppm
+            FROM g JOIN r USING (rk) JOIN c2 USING (yr, q)
+            ORDER BY 1, 2, 3""",
         # props pass rate per event day (ops drift dashboard)
         "validation_drift_by_day": """
             WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,

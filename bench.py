@@ -273,6 +273,7 @@ def run_bench() -> dict:
         ("source_scorecard", Q.source_scorecard),
         ("sample_fidelity_audit", Q.sample_fidelity_audit),
         ("validation_drift_by_day", Q.validation_drift_by_day),
+        ("region_quarter_lift", Q.region_quarter_lift),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

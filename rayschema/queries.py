@@ -17577,3 +17577,80 @@ def validation_drift_by_day(sf_dir: str):
                         ) // agg["n_events"].astype(np.int64)
     return (agg.sort_values("day").reset_index(drop=True)
             [cols].astype(np.int64))
+
+
+def region_quarter_lift(sf_dir: str):
+    """Contingency lift on a MEASURE (not counts): revenue share of
+    each (region, quarter) cell vs what independence predicts —
+    lift_ppm = 1e6 * obs * total // (row_total * col_total), exact in
+    Python big ints over the bounded region x quarter grid (the
+    lang_source_residuals idea applied to cents mass). Customer ->
+    nation -> region resolves via two broadcast sorted maps (the
+    supplier_nation_balance discipline, misses dropped like the inner
+    join); per-block (region, quarter, cents) partials fold through
+    one tiny groupby. Emits (r_regionkey, yr, q, cents, lift_ppm)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderdate",
+                            "o_totalprice"])
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(np.int64)
+    o_ = np.argsort(ck)
+    ck = ck[o_]
+    cnk = cust["c_nationkey"].to_numpy(np.int64)[o_]
+    nk = nat["n_nationkey"].to_numpy(np.int64)
+    o2 = np.argsort(nk)
+    nk = nk[o2]
+    nrk = nat["n_regionkey"].to_numpy(np.int64)[o2]
+    ref = ray.put((ck, cnk, nk, nrk))
+
+    def part(b: pa.Table, _ref=ref) -> pa.Table:
+        ck, cnk, nk, nrk = ray.get(_ref)
+        empty = pa.table({c: pa.array([], type=pa.int64())
+                          for c in ("rk", "yr", "q", "cents")})
+        c = b.column("o_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(ck) == 0 or len(c) == 0 or len(nk) == 0:
+            return empty
+        cents = _cents(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[M]").astype(np.int64)
+        yr = d // 12 + 1970
+        q = (d % 12) // 3 + 1
+        pos = np.clip(np.searchsorted(ck, c), 0, len(ck) - 1)
+        ok = ck[pos] == c
+        nkey = cnk[pos]
+        pos2 = np.clip(np.searchsorted(nk, nkey), 0, len(nk) - 1)
+        ok &= nk[pos2] == nkey
+        df = pd.DataFrame({"rk": nrk[pos2][ok], "yr": yr[ok],
+                           "q": q[ok], "cents": cents[ok]})
+        g = df.groupby(["rk", "yr", "q"], as_index=False).sum()
+        return pa.Table.from_pandas(g.astype(np.int64),
+                                    preserve_index=False)
+
+    agg = (orders.map_batches(part, batch_format="pyarrow")
+           .groupby(["rk", "yr", "q"])
+           .aggregate(Sum("cents", alias_name="cents")).to_pandas())
+    cols = ["r_regionkey", "yr", "q", "cents", "lift_ppm"]
+    if agg.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    total = int(agg["cents"].sum())
+    row = agg.groupby("rk")["cents"].sum()
+    col = agg.groupby(["yr", "q"])["cents"].sum()
+    lifts = []
+    for _, r in agg.iterrows():
+        obs = int(r["cents"])
+        rt = int(row[r["rk"]])
+        ct = int(col[(r["yr"], r["q"])])
+        lifts.append((1_000_000 * obs * total) // (rt * ct))
+    agg["lift_ppm"] = np.asarray(lifts, dtype=np.int64)
+    agg = agg.rename(columns={"rk": "r_regionkey"})
+    return (agg.sort_values(["r_regionkey", "yr", "q"])
+            .reset_index(drop=True)[cols].astype(np.int64))

@@ -5212,3 +5212,43 @@ def test_validation_drift_by_day_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         [0, 2, 1, 500_000],
         [1, 1, 1, 1_000_000]]
+
+
+def test_region_quarter_lift_planted(ray_session, tmp_path):
+    """2x2 grid: region 0 concentrates in Q1 (300 of its 400), region
+    1 in Q2. Cell (0, Q1): lift = 1e6 * 300 * 800 // (400 * 400) =
+    1500000 (50% over independence)."""
+    from rayschema.queries import region_quarter_lift
+
+    def d(m):
+        return (np.datetime64(f"1995-{m:02d}-15")
+                .astype("datetime64[us]").astype(np.int64))
+
+    cust = pa.table({
+        "c_custkey": pa.array(np.array([1, 2], dtype=np.int64)),
+        "c_name": pa.array(["a", "b"]),
+        "c_nationkey": pa.array(np.array([10, 20], dtype=np.int32)),
+        "c_acctbal": pa.array(np.zeros(2)),
+        "c_mktsegment": pa.array(["M"] * 2)})
+    nat = pa.table({
+        "n_nationkey": pa.array(np.array([10, 20], dtype=np.int32)),
+        "n_name": pa.array(["N10", "N20"]),
+        "n_regionkey": pa.array(np.array([0, 1], dtype=np.int32))})
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(4, dtype=np.int64)),
+        "o_custkey": pa.array(np.array([1, 1, 2, 2], dtype=np.int64)),
+        "o_orderstatus": pa.array(["O"] * 4),
+        "o_totalprice": pa.array([3.0, 1.0, 1.0, 3.0]),
+        "o_orderdate": pa.array(np.array(
+            [d(2), d(5), d(2), d(5)], dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4)})
+    pq.write_table(cust, os.path.join(tmp_path, "customer.parquet"))
+    pq.write_table(nat, os.path.join(tmp_path, "nation.parquet"))
+    pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
+    got = region_quarter_lift(str(tmp_path))
+    assert got.values.tolist() == [
+        [0, 1995, 1, 300, 1_500_000],
+        [0, 1995, 2, 100, 500_000],
+        [1, 1995, 1, 100, 500_000],
+        [1, 1995, 2, 300, 1_500_000]]
