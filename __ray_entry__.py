@@ -892,6 +892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_fidelity_audit": Q.sample_fidelity_audit,
         "validation_drift_by_day": Q.validation_drift_by_day,
         "region_quarter_lift": Q.region_quarter_lift,
+        "repeat_revenue_share": Q.repeat_revenue_share,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1753,6 +1754,27 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # quarterly revenue share from repeat orders
+        "repeat_revenue_share": """
+            WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                              CAST(round(o_totalprice * 100)
+                                   AS BIGINT) AS cents,
+                              row_number() OVER (
+                                PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey)
+                                AS rn
+                       FROM orders),
+            g AS (SELECT year(o_orderdate)::BIGINT AS yr,
+                         ((month(o_orderdate) - 1) // 3 + 1)::BIGINT
+                           AS q,
+                         sum(cents)::BIGINT AS total_cents,
+                         sum(CASE WHEN rn > 1 THEN cents
+                             ELSE 0 END)::BIGINT AS repeat_cents
+                  FROM o GROUP BY 1, 2 HAVING sum(cents) > 0)
+            SELECT yr, q, total_cents, repeat_cents,
+                   ((1000000 * repeat_cents) // total_cents)::BIGINT
+                     AS repeat_ppm
+            FROM g ORDER BY 1, 2""",
         # revenue lift per region x quarter cell vs independence
         "region_quarter_lift": """
             WITH o AS (SELECT n.n_regionkey AS rk,

@@ -274,6 +274,7 @@ def run_bench() -> dict:
         ("sample_fidelity_audit", Q.sample_fidelity_audit),
         ("validation_drift_by_day", Q.validation_drift_by_day),
         ("region_quarter_lift", Q.region_quarter_lift),
+        ("repeat_revenue_share", Q.repeat_revenue_share),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

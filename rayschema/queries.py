@@ -17654,3 +17654,82 @@ def region_quarter_lift(sf_dir: str):
     agg = agg.rename(columns={"rk": "r_regionkey"})
     return (agg.sort_values(["r_regionkey", "yr", "q"])
             .reset_index(drop=True)[cols].astype(np.int64))
+
+
+def repeat_revenue_share(sf_dir: str):
+    """Loyalty economics: what share of each quarter's revenue comes
+    from REPEAT orders (the customer already ordered strictly earlier
+    in (orderdate, orderkey) order)? Each customer's first order packs
+    into one int64 (day * 2^40 + orderkey — lexicographic min under
+    one Min aggregate; orderkey < 2^40 documented), broadcast sorted
+    (customer-bounded, the supplier_nation_balance discipline); the
+    second pass is a stateless flag + quarter-grid fold. Emits
+    (yr, q, total_cents, repeat_cents, repeat_ppm)."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    day_us = 86_400_000_000
+    orders = _read(sf_dir, "orders",
+                   columns=["o_orderkey", "o_custkey", "o_orderdate",
+                            "o_totalprice"])
+
+    def packed(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        ok = b.column("o_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = (b.column("o_orderdate").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // day_us)
+        return pa.table({"ck": pa.array(ck),
+                         "pack": pa.array((day << 40) | ok)})
+
+    firsts = (orders.map_batches(packed, batch_format="pyarrow")
+              .groupby("ck")
+              .aggregate(Min("pack", alias_name="fp")).to_pandas())
+    fk = firsts["ck"].to_numpy(np.int64)
+    o_ = np.argsort(fk)
+    fk = fk[o_]
+    fp = firsts["fp"].to_numpy(np.int64)[o_]
+    ref = ray.put((fk, fp))
+
+    def part(b: pa.Table, _ref=ref) -> pa.Table:
+        fk, fp = ray.get(_ref)
+        empty = pa.table({c: pa.array([], type=pa.int64())
+                          for c in ("yr", "q", "cents", "rep")})
+        ck = b.column("o_custkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(ck) == 0 or len(fk) == 0:
+            return empty
+        ok = b.column("o_orderkey").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        day = (b.column("o_orderdate").cast(pa.int64())
+               .to_numpy(zero_copy_only=False) // day_us)
+        cents = _cents(b.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        pack = (day << 40) | ok
+        pos = np.clip(np.searchsorted(fk, ck), 0, len(fk) - 1)
+        rep = ((fk[pos] == ck) & (pack > fp[pos])).astype(np.int64)
+        m = (b.column("o_orderdate").to_numpy(zero_copy_only=False)
+             .astype("datetime64[M]").astype(np.int64))
+        df = pd.DataFrame({"yr": m // 12 + 1970,
+                           "q": (m % 12) // 3 + 1,
+                           "cents": cents, "rep": rep * cents})
+        g = df.groupby(["yr", "q"], as_index=False).sum()
+        return pa.Table.from_pandas(g.astype(np.int64),
+                                    preserve_index=False)
+
+    agg = (orders.map_batches(part, batch_format="pyarrow")
+           .groupby(["yr", "q"])
+           .aggregate(Sum("cents", alias_name="total_cents"),
+                      Sum("rep", alias_name="repeat_cents"))
+           .to_pandas())
+    cols = ["yr", "q", "total_cents", "repeat_cents", "repeat_ppm"]
+    if agg.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    agg = agg[agg["total_cents"] > 0].copy()
+    agg["repeat_ppm"] = (1_000_000
+                         * agg["repeat_cents"].astype(np.int64)
+                         ) // agg["total_cents"].astype(np.int64)
+    return (agg.sort_values(["yr", "q"]).reset_index(drop=True)
+            [cols].astype(np.int64))

@@ -5252,3 +5252,30 @@ def test_region_quarter_lift_planted(ray_session, tmp_path):
         [0, 1995, 2, 100, 500_000],
         [1, 1995, 1, 100, 500_000],
         [1, 1995, 2, 300, 1_500_000]]
+
+
+def test_repeat_revenue_share_planted(ray_session, tmp_path):
+    """cust 1: orders on the SAME day (orderkey breaks the tie — the
+    lower key is first, the other is repeat) plus a later-quarter
+    order; cust 2 single order. Q1: 300 total, 100 repeat -> 333333
+    ppm; Q2: all repeat -> 1e6."""
+    from rayschema.queries import repeat_revenue_share
+
+    def d(m):
+        return (np.datetime64(f"1995-{m:02d}-10")
+                .astype("datetime64[us]").astype(np.int64))
+
+    orders = pa.table({
+        "o_orderkey": pa.array(np.array([5, 4, 9, 7], dtype=np.int64)),
+        "o_custkey": pa.array(np.array([1, 1, 1, 2], dtype=np.int64)),
+        "o_orderstatus": pa.array(["O"] * 4),
+        "o_totalprice": pa.array([1.0, 1.0, 5.0, 1.0]),
+        "o_orderdate": pa.array(np.array(
+            [d(2), d(2), d(5), d(3)], dtype=np.int64))
+        .cast(pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4)})
+    pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
+    got = repeat_revenue_share(str(tmp_path))
+    assert got.values.tolist() == [
+        [1995, 1, 300, 100, 333_333],
+        [1995, 2, 500, 500, 1_000_000]]
