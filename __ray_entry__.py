@@ -893,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "validation_drift_by_day": Q.validation_drift_by_day,
         "region_quarter_lift": Q.region_quarter_lift,
         "repeat_revenue_share": Q.repeat_revenue_share,
+        "vocab_growth_curve": Q.vocab_growth_curve,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1754,6 +1755,29 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # Heaps'-law vocabulary growth at ingestion prefixes
+        "vocab_growth_curve": """
+            WITH d AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL),
+            w AS (SELECT min(doc_id) AS fid
+                  FROM (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS wd
+                        FROM d)
+                  GROUP BY wd),
+            g AS (SELECT unnest([1000, 2000, 4000, 8000, 16000,
+                                 32000, 64000, 128000, 256000,
+                                 512000, 1024000]) AS depth),
+            s AS (SELECT g.depth,
+                         (SELECT count(*) FROM d
+                          WHERE doc_id < g.depth) AS n_docs,
+                         (SELECT count(*) FROM w
+                          WHERE fid < g.depth) AS vocab
+                  FROM g)
+            SELECT depth::BIGINT AS depth, n_docs::BIGINT AS n_docs,
+                   vocab::BIGINT AS vocab_size,
+                   ((1000 * vocab) // n_docs)::BIGINT
+                     AS words_per_kdoc
+            FROM s WHERE n_docs > 0 ORDER BY depth""",
         # quarterly revenue share from repeat orders
         "repeat_revenue_share": """
             WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,

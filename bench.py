@@ -275,6 +275,7 @@ def run_bench() -> dict:
         ("validation_drift_by_day", Q.validation_drift_by_day),
         ("region_quarter_lift", Q.region_quarter_lift),
         ("repeat_revenue_share", Q.repeat_revenue_share),
+        ("vocab_growth_curve", Q.vocab_growth_curve),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

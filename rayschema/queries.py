@@ -17733,3 +17733,81 @@ def repeat_revenue_share(sf_dir: str):
                          ) // agg["total_cents"].astype(np.int64)
     return (agg.sort_values(["yr", "q"]).reset_index(drop=True)
             [cols].astype(np.int64))
+
+
+def vocab_growth_curve(sf_dir: str):
+    """Heaps'-law audit: vocabulary size at each ingestion-order
+    prefix (the dedup_rate_curve grid) — how fast new words keep
+    arriving decides tokenizer retraining cadence. Each word's first
+    occurrence is min doc_id over ONE (word, min) groupby of per-block
+    distinct pairs (the shared whitespace-word convention); first-ids
+    and doc-ids then fold to the 11-slot depth grid inside map_batches
+    (driver state 11 ints). Emits (depth, n_docs, vocab_size,
+    words_per_kdoc)."""
+    from ray.data.aggregate import Min
+
+    from rayschema.text import _flatten_words_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    depths = np.asarray(DEDUP_CURVE_DEPTHS, dtype=np.int64)
+
+    def pairs(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        col = b.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if len(col) == 0:
+            return pa.table({"w": pa.array([], type=pa.string()),
+                             "fid": pa.array([], type=pa.int64())})
+        flat, lens, _ = _flatten_words_arrow(col)
+        ids = np.repeat(b.column("doc_id").cast(pa.int64())
+                        .to_numpy(zero_copy_only=False), lens)
+        df = pd.DataFrame({"w": flat.to_pandas(), "fid": ids}) \
+            .groupby("w", as_index=False).min()
+        return pa.table({"w": pa.array(df["w"]),
+                         "fid": pa.array(df["fid"]
+                                         .to_numpy(np.int64))})
+
+    def slot_hist(col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            v = b.column(col).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(depths, v, side="right")
+            keep = idx < len(depths)
+            cnt = np.bincount(idx[keep], minlength=len(depths))
+            return pa.table({"slot": pa.array(np.arange(
+                len(depths), dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64))})
+        return fn
+
+    firsts = (ds.map_batches(pairs, batch_format="pyarrow")
+              .groupby("w").aggregate(Min("fid", alias_name="fid")))
+    hf = (firsts.map_batches(slot_hist("fid"), batch_format="pyarrow")
+          .to_pandas().groupby("slot")["n"].sum())
+
+    def docs_part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        ids = b.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(depths, ids, side="right")
+        keep = idx < len(depths)
+        cnt = np.bincount(idx[keep], minlength=len(depths))
+        return pa.table({"slot": pa.array(np.arange(
+            len(depths), dtype=np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    hd = (ds.map_batches(docs_part, batch_format="pyarrow")
+          .to_pandas().groupby("slot")["n"].sum())
+    n_doc = np.zeros(len(depths), dtype=np.int64)
+    n_voc = np.zeros(len(depths), dtype=np.int64)
+    if len(hd):
+        n_doc[hd.index.to_numpy(np.int64)] = hd.to_numpy(np.int64)
+    if len(hf):
+        n_voc[hf.index.to_numpy(np.int64)] = hf.to_numpy(np.int64)
+    cd, cv = np.cumsum(n_doc), np.cumsum(n_voc)
+    rows = [(int(dep), int(cd[i]), int(cv[i]),
+             (1000 * int(cv[i])) // int(cd[i]))
+            for i, dep in enumerate(depths) if cd[i] > 0]
+    return pd.DataFrame(rows, columns=["depth", "n_docs",
+                                       "vocab_size",
+                                       "words_per_kdoc"]) \
+        .astype(np.int64)

@@ -5279,3 +5279,22 @@ def test_repeat_revenue_share_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         [1995, 1, 300, 100, 333_333],
         [1995, 2, 500, 500, 1_000_000]]
+
+
+def test_vocab_growth_curve_planted(ray_session, tmp_path):
+    """1200 docs: ids < 1000 all say 'common'; ids >= 1000 each carry
+    one new word. depth 1000 -> vocab 1; depth 2000 -> 1200 docs,
+    vocab 201."""
+    from rayschema.queries import vocab_growth_curve
+
+    n = 1200
+    texts = ["common"] * 1000 + [f"common new{i}" for i in range(200)]
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": texts,
+        "lang": ["en"] * n, "source": ["s"] * n,
+        "n_chars": np.zeros(n, dtype=np.int64)})
+    got = vocab_growth_curve(_write_docs(tmp_path, df))
+    assert got.values.tolist()[:2] == [
+        [1000, 1000, 1, 1],
+        [2000, 1200, 201, 1000 * 201 // 1200]]
