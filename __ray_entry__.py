@@ -894,6 +894,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_quarter_lift": Q.region_quarter_lift,
         "repeat_revenue_share": Q.repeat_revenue_share,
         "vocab_growth_curve": Q.vocab_growth_curve,
+        "user_gap_median_histogram": Q.user_gap_median_histogram,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1755,6 +1756,35 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # per-user median gap in log2 seconds bands
+        "user_gap_median_histogram": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                              event_id
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            g AS (SELECT user_id,
+                         (ts_us - lag(ts_us) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts_us, event_id)) // 1000000
+                           AS gap
+                  FROM e),
+            m AS (SELECT user_id,
+                         CAST(percentile_disc(0.5)
+                              WITHIN GROUP (ORDER BY gap) AS BIGINT)
+                           AS med
+                  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+            b AS (SELECT CASE WHEN med = 0 THEN 0
+                              ELSE length(format('{:b}', med))
+                         END AS band
+                  FROM m)
+            , h AS (SELECT band, count(*)::BIGINT AS n_users
+                    FROM b GROUP BY band)
+            SELECT band::BIGINT AS band,
+                   (CASE WHEN band = 0 THEN 0
+                         ELSE 1 << (band - 1) END)::BIGINT AS lo_s,
+                   n_users
+            FROM h ORDER BY band""",
         # Heaps'-law vocabulary growth at ingestion prefixes
         "vocab_growth_curve": """
             WITH d AS (SELECT doc_id, text FROM documents

@@ -276,6 +276,7 @@ def run_bench() -> dict:
         ("region_quarter_lift", Q.region_quarter_lift),
         ("repeat_revenue_share", Q.repeat_revenue_share),
         ("vocab_growth_curve", Q.vocab_growth_curve),
+        ("user_gap_median_histogram", Q.user_gap_median_histogram),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -17811,3 +17811,47 @@ def vocab_growth_curve(sf_dir: str):
                                        "vocab_size",
                                        "words_per_kdoc"]) \
         .astype(np.int64)
+
+
+def user_gap_median_histogram(sf_dir: str):
+    """Engagement-rhythm distribution: each user's MEDIAN inter-event
+    gap (lower median in whole seconds — percentile_disc(0.5)
+    semantics, no interpolation), bucketed by bit length (log2 bands:
+    0s, 1s, 2-3s, 4-7s, ...) — the user-rhythm histogram that sizes
+    session-gap thresholds empirically. ONE user-keyed sorted scan
+    emits a single (median_s) row per multi-event user; the log-band
+    fold is bit-length arithmetic (the HLL frexp trick). Emits
+    (band, lo_s, n_users)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+
+    out_schema = pa.schema([("med_s", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        if len(ts) < 2:
+            return None
+        gaps = np.sort(np.diff(ts) // 1_000_000)
+        med = int(gaps[(len(gaps) - 1) // 2])
+        return pa.table({"med_s": pa.array([med], type=pa.int64())})
+
+    scan = sorted_group_scan(
+        ds.map_batches(_narrow_events, batch_format="pyarrow"),
+        ["user_id"], group_fn, out_schema,
+        order_cols=["ts_us", "event_id"])
+    meds = scan.to_pandas()
+    cols = ["band", "lo_s", "n_users"]
+    if meds.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    m = meds["med_s"].to_numpy(np.int64)
+    band = np.frexp(m.astype(np.float64))[1]      # bit length; 0 -> 0
+    u, c = np.unique(band, return_counts=True)
+    return pd.DataFrame({"band": u.astype(np.int64),
+                         "lo_s": np.where(u == 0, 0,
+                                          1 << np.maximum(u - 1, 0))
+                         .astype(np.int64),
+                         "n_users": c.astype(np.int64)}) \
+        .astype(np.int64)

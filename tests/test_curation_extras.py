@@ -5298,3 +5298,24 @@ def test_vocab_growth_curve_planted(ray_session, tmp_path):
     assert got.values.tolist()[:2] == [
         [1000, 1000, 1, 1],
         [2000, 1200, 201, 1000 * 201 // 1200]]
+
+
+def test_user_gap_median_histogram_planted(ray_session, tmp_path):
+    """u0 gaps [1s, 3s] -> lower median 1s -> band 1 (lo 1); u1 gaps
+    [6s] -> band 3 (lo 4); u2 two events at the SAME ts -> median 0
+    -> band 0; u3 single event drops."""
+    from rayschema.queries import user_gap_median_histogram
+
+    s = 1_000_000
+    ts = np.array([0, s, 4 * s, 0, 6 * s, 10, 10, 50], dtype=np.int64)
+    uid = np.array([0, 0, 0, 1, 1, 2, 2, 3], dtype=np.int64)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(8, dtype=np.int64)),
+        "user_id": pa.array(uid),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 8),
+        "value": pa.array(np.ones(8))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = user_gap_median_histogram(str(tmp_path))
+    assert got.values.tolist() == [
+        [0, 0, 1], [1, 1, 1], [3, 4, 1]]
