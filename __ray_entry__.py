@@ -895,6 +895,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_revenue_share": Q.repeat_revenue_share,
         "vocab_growth_curve": Q.vocab_growth_curve,
         "user_gap_median_histogram": Q.user_gap_median_histogram,
+        "discount_by_qty_band": Q.discount_by_qty_band,
+        "stuttered_events": Q.stuttered_events,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1756,6 +1758,43 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # mean discount per quantity band (1-10, 11-20, ...)
+        "discount_by_qty_band": """
+            WITH u AS (SELECT greatest((CAST(round(l_quantity * 100)
+                                             AS BIGINT) // 100 - 1)
+                                       // 10, 0) AS band,
+                              CAST(round(l_discount * 10000)
+                                   AS BIGINT) AS bp
+                       FROM lineitem),
+            g AS (SELECT band, count(*)::BIGINT AS n_lines,
+                         sum(bp)::BIGINT AS sum_disc_bp
+                  FROM u GROUP BY 1)
+            SELECT (band * 10 + 1)::BIGINT AS band_lo,
+                   (band * 10 + 10)::BIGINT AS band_hi,
+                   n_lines, sum_disc_bp,
+                   ((100 * sum_disc_bp) // n_lines)::BIGINT
+                     AS mean_disc_micro
+            FROM g ORDER BY band_lo""",
+        # consecutive identical (type, cents) repeats per user
+        "stuttered_events": """
+            WITH e AS (SELECT user_id, event_type,
+                              epoch_us(ts) AS ts_us, event_id,
+                              COALESCE(CAST(round(value * 100)
+                                            AS BIGINT), -1) AS cents
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            o AS (SELECT event_type,
+                         CASE WHEN event_type = lag(event_type)
+                                OVER w
+                               AND cents = lag(cents) OVER w
+                              THEN 1 ELSE 0 END AS st
+                  FROM e
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts_us, event_id))
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   sum(st)::BIGINT AS n_stutters
+            FROM o GROUP BY 1 ORDER BY 1""",
         # per-user median gap in log2 seconds bands
         "user_gap_median_histogram": """
             WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us,

@@ -277,6 +277,8 @@ def run_bench() -> dict:
         ("repeat_revenue_share", Q.repeat_revenue_share),
         ("vocab_growth_curve", Q.vocab_growth_curve),
         ("user_gap_median_histogram", Q.user_gap_median_histogram),
+        ("discount_by_qty_band", Q.discount_by_qty_band),
+        ("stuttered_events", Q.stuttered_events),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

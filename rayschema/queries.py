@@ -17855,3 +17855,118 @@ def user_gap_median_histogram(sf_dir: str):
                          .astype(np.int64),
                          "n_users": c.astype(np.int64)}) \
         .astype(np.int64)
+
+
+def discount_by_qty_band(sf_dir: str):
+    """Price-elasticity table: mean discount by quantity band (1-10,
+    11-20, ... — does buying more actually earn deeper discounts?).
+    Exact integer mean in micro-units: 1e6 * sum_bp // n over discount
+    basis points. ONE stateless histogram pass, band-bounded fold.
+    Emits (band_lo, band_hi, n_lines, sum_disc_bp, mean_disc_micro)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_quantity", "l_discount"])
+
+    def part(b: pa.Table) -> pa.Table:
+        qty = _cents(b.column("l_quantity").to_numpy(
+            zero_copy_only=False)) // 100
+        bp = np.round(b.column("l_discount").to_numpy(
+            zero_copy_only=False) * 10000).astype(np.int64)
+        band = np.maximum((qty - 1) // 10, 0)
+        df = pd.DataFrame({"band": band, "n": 1, "bp": bp})
+        g = df.groupby("band", as_index=False).sum()
+        return pa.Table.from_pandas(g.astype(np.int64),
+                                    preserve_index=False)
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("band")
+           .aggregate(Sum("n", alias_name="n_lines"),
+                      Sum("bp", alias_name="sum_disc_bp"))
+           .to_pandas())
+    cols = ["band_lo", "band_hi", "n_lines", "sum_disc_bp",
+            "mean_disc_micro"]
+    if agg.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    b = agg["band"].to_numpy(np.int64)
+    agg["band_lo"] = b * 10 + 1
+    agg["band_hi"] = b * 10 + 10
+    # bp are 1e-4 fractions: x100 scales the mean to micro-fractions
+    agg["mean_disc_micro"] = (100
+                              * agg["sum_disc_bp"].astype(np.int64)
+                              ) // agg["n_lines"].astype(np.int64)
+    return (agg.sort_values("band_lo").reset_index(drop=True)
+            [cols].astype(np.int64))
+
+
+def stuttered_events(sf_dir: str):
+    """Producer-bug audit: CONSECUTIVE events of a user repeating the
+    identical (event_type, cents) payload regardless of gap — the
+    double-fire signature a time-window debounce misses when the
+    retry lands late. One user-keyed sorted scan, vectorized neighbor
+    compare per group; per-type counts fold on the bounded frame.
+    Emits (event_type, n_events, n_stutters)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id",
+                        "value"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.is_valid(b.column("user_id")),
+            pc.and_(pc.is_valid(b.column("ts")),
+                    pc.is_valid(b.column("event_type")))))
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        cents = np.where(np.isnan(v), -1, np.round(v * 100)) \
+            .astype(np.int64)
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "ts_us": pa.array(b.column("ts").cast(pa.int64())
+                              .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(b.column("event_id")
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64)),
+            "event_type": et,
+            "cents": pa.array(cents)})
+
+    out_schema = pa.schema([("event_type", pa.string()),
+                            ("n_events", pa.int64()),
+                            ("n_stutters", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        et = g.column("event_type").to_numpy(zero_copy_only=False)
+        c = g.column("cents").to_numpy(zero_copy_only=False)
+        n = len(et)
+        if n == 0:
+            return None
+        codes, uniq = pd.factorize(et, sort=True)
+        stut = np.zeros(n, dtype=bool)
+        if n > 1:
+            stut[1:] = (codes[1:] == codes[:-1]) & (c[1:] == c[:-1])
+        tot = np.bincount(codes, minlength=len(uniq))
+        st = np.bincount(codes[stut], minlength=len(uniq))
+        return pa.table({
+            "event_type": pa.array([str(u) for u in uniq]),
+            "n_events": pa.array(tot.astype(np.int64)),
+            "n_stutters": pa.array(st.astype(np.int64))})
+
+    scan = sorted_group_scan(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        ["user_id"], group_fn, out_schema,
+        order_cols=["ts_us", "event_id"])
+    agg = scan.to_pandas()
+    cols = ["event_type", "n_events", "n_stutters"]
+    if agg.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    g = (agg.groupby("event_type", as_index=False).sum()
+         .sort_values("event_type").reset_index(drop=True))
+    return g[cols].astype({c: np.int64 for c in cols[1:]})

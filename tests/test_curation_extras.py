@@ -5319,3 +5319,40 @@ def test_user_gap_median_histogram_planted(ray_session, tmp_path):
     got = user_gap_median_histogram(str(tmp_path))
     assert got.values.tolist() == [
         [0, 0, 1], [1, 1, 1], [3, 4, 1]]
+
+
+def test_discount_by_qty_band_planted(ray_session, tmp_path):
+    """Quantities 5 and 10 share band 1-10 (discounts 500+1000 bp ->
+    mean fraction 0.075 = 75000 micro); quantity 11 opens band
+    11-20 (0.02 -> 20000 micro)."""
+    from rayschema.queries import discount_by_qty_band
+
+    li = pa.table({
+        "l_quantity": pa.array([5.0, 10.0, 11.0]),
+        "l_discount": pa.array([0.05, 0.10, 0.02])})
+    pq.write_table(li, os.path.join(tmp_path, "lineitem.parquet"))
+    got = discount_by_qty_band(str(tmp_path))
+    assert got.values.tolist() == [
+        [1, 10, 2, 1500, 75_000],
+        [11, 20, 1, 200, 20_000]]
+
+
+def test_stuttered_events_planted(ray_session, tmp_path):
+    """u0: A@1.00, A@1.00 (stutter), A@2.00 (value differs — no),
+    B@2.00 (type differs — no), B@2.00 (stutter). Interleaving user
+    u1 never affects u0's adjacency."""
+    from rayschema.queries import stuttered_events
+
+    tab = pa.table({
+        "event_id": pa.array(np.arange(6, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 0, 0, 0, 1],
+                                     dtype=np.int64)),
+        "ts": pa.array(np.arange(6, dtype=np.int64) * 1_000_000)
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["A", "A", "A", "B", "B", "A"]),
+        "value": pa.array([1.0, 1.0, 2.0, 2.0, 2.0, 1.0])})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = stuttered_events(str(tmp_path))
+    assert got.values.tolist() == [
+        ["A", 4, 1],
+        ["B", 2, 1]]
