@@ -897,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_gap_median_histogram": Q.user_gap_median_histogram,
         "discount_by_qty_band": Q.discount_by_qty_band,
         "stuttered_events": Q.stuttered_events,
+        "hour_of_week_profile": Q.hour_of_week_profile,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1758,6 +1759,48 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # 168-slot hour-of-week extremes per type (slot 0 = Mon 00)
+        "hour_of_week_profile": """
+            WITH e AS (SELECT event_type,
+                              (epoch_us(ts) // 3600000000 + 96) % 168
+                                AS slot
+                       FROM events
+                       WHERE ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            types AS (SELECT DISTINCT event_type FROM e),
+            grid AS (SELECT t.event_type, r.range AS slot
+                     FROM types t, range(0, 168) r),
+            h AS (SELECT g.event_type, g.slot,
+                         COALESCE(c.n, 0)::BIGINT AS n
+                  FROM grid g LEFT JOIN
+                       (SELECT event_type, slot,
+                               count(*)::BIGINT AS n
+                        FROM e GROUP BY 1, 2) c
+                    USING (event_type, slot)),
+            tot AS (SELECT event_type, sum(n) AS tot FROM h
+                    GROUP BY 1),
+            pk AS (SELECT event_type, slot AS peak_slot,
+                          n AS peak_n
+                   FROM (SELECT *, row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY n DESC, slot) AS rn FROM h)
+                   WHERE rn = 1),
+            tr AS (SELECT event_type, slot AS trough_slot,
+                          n AS trough_n
+                   FROM (SELECT *, row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY n, slot) AS rn FROM h)
+                   WHERE rn = 1)
+            SELECT p.event_type,
+                   p.peak_slot::BIGINT AS peak_slot,
+                   p.peak_n::BIGINT AS peak_n,
+                   t2.trough_slot::BIGINT AS trough_slot,
+                   t2.trough_n::BIGINT AS trough_n,
+                   ((1000000 * 168 * p.peak_n)
+                    // tot.tot)::BIGINT AS peak_over_mean_ppm
+            FROM pk p JOIN tr t2 USING (event_type)
+                      JOIN tot USING (event_type)
+            ORDER BY 1""",
         # mean discount per quantity band (1-10, 11-20, ...)
         "discount_by_qty_band": """
             WITH u AS (SELECT greatest((CAST(round(l_quantity * 100)

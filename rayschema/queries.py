@@ -17970,3 +17970,54 @@ def stuttered_events(sf_dir: str):
     g = (agg.groupby("event_type", as_index=False).sum()
          .sort_values("event_type").reset_index(drop=True))
     return g[cols].astype({c: np.int64 for c in cols[1:]})
+
+
+def hour_of_week_profile(sf_dir: str):
+    """Weekly seasonality fingerprint per event type: the 168-slot
+    hour-of-week histogram reduced to its extremes — peak slot, trough
+    slot (lowest NONZERO-aware: min over all 168 slots including
+    zeros), and peak/mean ratio in ppm (how spiky is the week). Epoch
+    us anchors to Thursday, so slot = (epoch_hours + 96) % 168 makes
+    slot 0 = Monday 00:00 (pinned by test). ONE bincount pass over the
+    bounded grid; extremes are driver arithmetic. Ties take the
+    earliest slot. Emits (event_type, peak_slot, peak_n, trough_slot,
+    trough_n, peak_over_mean_ppm)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("ts")),
+                             pc.is_valid(b.column("event_type"))))
+        h = (b.column("ts").cast(pa.int64())
+             .to_numpy(zero_copy_only=False) // 3_600_000_000)
+        slot = (h + 96) % 168
+        et = b.column("event_type").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": et, "slot": slot})
+        g = df.groupby(["event_type", "slot"], as_index=False).size()
+        return pa.table({
+            "event_type": pa.array(g["event_type"]),
+            "slot": pa.array(g["slot"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    hist = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(["event_type", "slot"])
+            .aggregate(Sum("n", alias_name="n")).to_pandas())
+    cols = ["event_type", "peak_slot", "peak_n", "trough_slot",
+            "trough_n", "peak_over_mean_ppm"]
+    if hist.empty:
+        return pd.DataFrame({"event_type": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    rows = []
+    for et, g in hist.groupby("event_type", sort=True):
+        full = np.zeros(168, dtype=np.int64)
+        full[g["slot"].to_numpy(np.int64)] = g["n"].to_numpy(np.int64)
+        tot = int(full.sum())
+        peak = int(full.argmax())
+        trough = int(full.argmin())
+        rows.append((et, peak, int(full[peak]), trough,
+                     int(full[trough]),
+                     (1_000_000 * 168 * int(full[peak])) // tot))
+    return pd.DataFrame(rows, columns=cols) \
+        .astype({c: np.int64 for c in cols[1:]})

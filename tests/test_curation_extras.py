@@ -5356,3 +5356,23 @@ def test_stuttered_events_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         ["A", 4, 1],
         ["B", 2, 1]]
+
+
+def test_hour_of_week_profile_planted(ray_session, tmp_path):
+    """Epoch 0 is Thursday 00:00 -> slot 96 (the anchor pin). Three
+    events at epoch-hour 0 and one at hour 1: peak slot 96 n=3,
+    trough slot 0 n=0, peak/mean = 1e6*168*3//4 = 126000000."""
+    from rayschema.queries import hour_of_week_profile
+
+    hr = 3_600_000_000
+    ts = np.array([0, 10, 20, hr], dtype=np.int64)
+    tab = pa.table({
+        "event_id": pa.array(np.arange(4, dtype=np.int64)),
+        "user_id": pa.array(np.zeros(4, dtype=np.int64)),
+        "ts": pa.array(ts).cast(pa.timestamp("us")),
+        "event_type": pa.array(["e"] * 4),
+        "value": pa.array(np.ones(4))})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = hour_of_week_profile(str(tmp_path))
+    assert got.values.tolist() == [
+        ["e", 96, 3, 0, 0, 1_000_000 * 168 * 3 // 4]]
