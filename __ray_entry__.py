@@ -898,6 +898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_by_qty_band": Q.discount_by_qty_band,
         "stuttered_events": Q.stuttered_events,
         "hour_of_week_profile": Q.hour_of_week_profile,
+        "lang_trigram_cosine": Q.lang_trigram_cosine,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1759,6 +1760,42 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # char-trigram cosine distance between declared languages
+        "lang_trigram_cosine": """
+            WITH d AS (SELECT lang, text FROM documents
+                       WHERE text IS NOT NULL AND lang IS NOT NULL),
+            t AS (SELECT lang,
+                         substr(text, CAST(i AS INTEGER), 3) AS tri
+                  FROM (SELECT lang, text,
+                               unnest(generate_series(1,
+                                      length(text) - 2)) AS i
+                        FROM d)),
+            v AS (SELECT lang, tri, count(*)::BIGINT AS n
+                  FROM t GROUP BY 1, 2),
+            l AS (SELECT DISTINCT lang FROM v),
+            pr AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+                   FROM l a JOIN l b ON a.lang < b.lang),
+            dt AS (SELECT p.lang_a, p.lang_b,
+                          COALESCE(sum(va.n::HUGEINT * vb.n), 0)
+                            AS dot
+                   FROM pr p
+                   LEFT JOIN v va ON va.lang = p.lang_a
+                   LEFT JOIN v vb ON vb.lang = p.lang_b
+                                 AND vb.tri = va.tri
+                   GROUP BY 1, 2),
+            nrm AS (SELECT lang, sum(n::HUGEINT * n) AS n2
+                    FROM v GROUP BY 1)
+            SELECT d2.lang_a, d2.lang_b, d2.dot::BIGINT AS dot,
+                   na.n2::BIGINT AS norm_a2,
+                   nb.n2::BIGINT AS norm_b2,
+                   (CASE WHEN na.n2 > 0 AND nb.n2 > 0
+                         THEN floor((1000000.0 * d2.dot)
+                                    / sqrt(na.n2::DOUBLE
+                                           * nb.n2::DOUBLE))
+                         ELSE 0 END)::BIGINT AS cos_ppm
+            FROM dt d2 JOIN nrm na ON na.lang = d2.lang_a
+                       JOIN nrm nb ON nb.lang = d2.lang_b
+            ORDER BY 1, 2""",
         # 168-slot hour-of-week extremes per type (slot 0 = Mon 00)
         "hour_of_week_profile": """
             WITH e AS (SELECT event_type,

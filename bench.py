@@ -280,6 +280,7 @@ def run_bench() -> dict:
         ("discount_by_qty_band", Q.discount_by_qty_band),
         ("stuttered_events", Q.stuttered_events),
         ("hour_of_week_profile", Q.hour_of_week_profile),
+        ("lang_trigram_cosine", Q.lang_trigram_cosine),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

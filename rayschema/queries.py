@@ -18021,3 +18021,77 @@ def hour_of_week_profile(sf_dir: str):
                      (1_000_000 * 168 * int(full[peak])) // tot))
     return pd.DataFrame(rows, columns=cols) \
         .astype({c: np.int64 for c in cols[1:]})
+
+
+def lang_trigram_cosine(sf_dir: str):
+    """Language distance matrix: cosine similarity between the
+    character-TRIGRAM count vectors of each declared-language pair —
+    the classic q-gram profile distance (Cavnar-Trenkle family).
+    Exact integer dot products and squared norms fold from ONE
+    (lang, packed-trigram) groupby (trigrams pack into one int64 —
+    3 x 21-bit codepoints — and the space is charset-bounded); the
+    cos_ppm is the shared fixed-order float64 floor expression, so
+    even the float step hash-matches. Emits per pair (lang_a, lang_b,
+    dot, norm_a2, norm_b2, cos_ppm) with lang_a < lang_b."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("text")),
+                             pc.is_valid(b.column("lang"))))
+        empty = pa.table({"lang": pa.array([], type=pa.string()),
+                          "tri": pa.array([], type=pa.int64()),
+                          "n": pa.array([], type=pa.int64())})
+        if len(b) == 0:
+            return empty
+        texts = b.column("text").to_pylist()
+        langs = b.column("lang").to_numpy(zero_copy_only=False)
+        joined = "".join(texts)
+        if len(joined) < 3:
+            return empty
+        cps = np.frombuffer(joined.encode("utf-32-le",
+                                          "surrogatepass"),
+                            dtype=np.uint32).astype(np.int64)
+        lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                           count=len(texts))
+        di = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        # trigram packs into one int64 (3 x 21-bit codepoints — the
+        # frequent_triples key trick); valid iff it stays in one doc
+        code = ((cps[:-2] << 42) | (cps[1:-1] << 21) | cps[2:])
+        ok = di[:-2] == di[2:]
+        df = pd.DataFrame({"lang": langs[di[:-2][ok]],
+                           "tri": code[ok]})
+        g = df.groupby(["lang", "tri"], as_index=False).size()
+        return pa.table({
+            "lang": pa.array(g["lang"], type=pa.string()),
+            "tri": pa.array(g["tri"].to_numpy(np.int64)),
+            "n": pa.array(g["size"].to_numpy(np.int64))})
+
+    hist = (ds.map_batches(part, batch_format="pyarrow")
+            .groupby(["lang", "tri"])
+            .aggregate(Sum("n", alias_name="n")).to_pandas())
+    cols = ["lang_a", "lang_b", "dot", "norm_a2", "norm_b2",
+            "cos_ppm"]
+    if hist.empty:
+        return pd.DataFrame({"lang_a": pd.Series([], dtype=object),
+                             "lang_b": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[2:]}})
+    vecs = {lg: dict(zip(g["tri"], g["n"].astype(int)))
+            for lg, g in hist.groupby("lang")}
+    langs = sorted(vecs)
+    rows = []
+    for i, a in enumerate(langs):
+        for bl in langs[i + 1:]:
+            va, vb = vecs[a], vecs[bl]
+            dot = sum(int(va[t]) * int(vb[t])
+                      for t in va.keys() & vb.keys())
+            na = sum(int(x) * int(x) for x in va.values())
+            nb = sum(int(x) * int(x) for x in vb.values())
+            den = np.sqrt(np.float64(na) * np.float64(nb))
+            cp = int(np.floor(1_000_000.0 * dot / den)) \
+                if den > 0 else 0
+            rows.append((a, bl, dot, na, nb, cp))
+    return pd.DataFrame(rows, columns=cols) \
+        .astype({c: np.int64 for c in cols[2:]})

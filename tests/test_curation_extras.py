@@ -5376,3 +5376,21 @@ def test_hour_of_week_profile_planted(ray_session, tmp_path):
     got = hour_of_week_profile(str(tmp_path))
     assert got.values.tolist() == [
         ["e", 96, 3, 0, 0, 1_000_000 * 168 * 3 // 4]]
+
+
+def test_lang_trigram_cosine_planted(ray_session, tmp_path):
+    """en docs 'abcd' x2 (trigrams abc, bcd each x2) vs de doc 'abcz'
+    (abc, bcz): dot = 2*1 = 2, norms 8 and 2, cos = 1e6*2/sqrt(16)
+    = 500000. Doc boundaries never create cross-doc trigrams (two
+    2-char docs contribute nothing)."""
+    from rayschema.queries import lang_trigram_cosine
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": ["abcd", "abcd", "abcz", "xy", "zw"],
+        "lang": ["en", "en", "de", "fr", "fr"],
+        "source": ["s"] * 5,
+        "n_chars": np.array([4, 4, 4, 2, 2], dtype=np.int64)})
+    got = lang_trigram_cosine(_write_docs(tmp_path, df))
+    assert got.values.tolist() == [
+        ["de", "en", 2, 2, 8, 500_000]]
