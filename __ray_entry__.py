@@ -899,6 +899,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stuttered_events": Q.stuttered_events,
         "hour_of_week_profile": Q.hour_of_week_profile,
         "lang_trigram_cosine": Q.lang_trigram_cosine,
+        "label_centroid_cosine": Q.label_centroid_cosine,
+        "common_prefix_boilerplate": Q.common_prefix_boilerplate,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1760,6 +1762,51 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # cosine between label SUM vectors (1e-6 quantization)
+        "label_centroid_cosine": """
+            WITH v AS (SELECT label::BIGINT AS label, i.range AS d,
+                              round(e.embedding[i.range]::DOUBLE
+                                    * 1000000)::BIGINT AS q
+                       FROM embeddings e, range(1, 65) i),
+            n AS (SELECT label::BIGINT AS label,
+                         count(*)::BIGINT AS n
+                  FROM embeddings GROUP BY 1),
+            sv AS (SELECT label, d, sum(q)::BIGINT AS s
+                   FROM v GROUP BY 1, 2),
+            pr AS (SELECT a.label AS la, b.label AS lb
+                   FROM n a JOIN n b ON a.label < b.label),
+            dt AS (SELECT p.la, p.lb,
+                          sum(sa.s::HUGEINT * sb.s) AS dot
+                   FROM pr p
+                   JOIN sv sa ON sa.label = p.la
+                   JOIN sv sb ON sb.label = p.lb AND sb.d = sa.d
+                   GROUP BY 1, 2),
+            nr AS (SELECT label, sum(s::HUGEINT * s) AS q2
+                   FROM sv GROUP BY 1)
+            SELECT d2.la AS label_a, d2.lb AS label_b,
+                   na.n AS n_a, nb.n AS n_b,
+                   d2.dot::BIGINT AS dot,
+                   (CASE WHEN qa.q2 > 0 AND qb.q2 > 0
+                         THEN floor((1000000.0 * d2.dot)
+                                    / sqrt(qa.q2::DOUBLE
+                                           * qb.q2::DOUBLE))
+                         ELSE 0 END)::BIGINT AS cos_ppm
+            FROM dt d2
+            JOIN n na ON na.label = d2.la
+            JOIN n nb ON nb.label = d2.lb
+            JOIN nr qa ON qa.label = d2.la
+            JOIN nr qb ON qb.label = d2.lb
+            ORDER BY 1, 2""",
+        # repeated 32-char document prefixes (boilerplate headers)
+        "common_prefix_boilerplate": """
+            WITH p AS (SELECT substr(text, 1, 32) AS prefix
+                       FROM documents WHERE text IS NOT NULL),
+            g AS (SELECT prefix, count(*)::BIGINT AS n_docs
+                  FROM p GROUP BY 1 HAVING count(*) >= 2)
+            SELECT prefix, n_docs,
+                   row_number() OVER (ORDER BY n_docs DESC, prefix)
+                     ::BIGINT AS rk
+            FROM g ORDER BY rk LIMIT 20""",
         # char-trigram cosine distance between declared languages
         "lang_trigram_cosine": """
             WITH d AS (SELECT lang, text FROM documents

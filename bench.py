@@ -281,6 +281,8 @@ def run_bench() -> dict:
         ("stuttered_events", Q.stuttered_events),
         ("hour_of_week_profile", Q.hour_of_week_profile),
         ("lang_trigram_cosine", Q.lang_trigram_cosine),
+        ("label_centroid_cosine", Q.label_centroid_cosine),
+        ("common_prefix_boilerplate", Q.common_prefix_boilerplate),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

@@ -18095,3 +18095,100 @@ def lang_trigram_cosine(sf_dir: str):
             rows.append((a, bl, dot, na, nb, cp))
     return pd.DataFrame(rows, columns=cols) \
         .astype({c: np.int64 for c in cols[2:]})
+
+
+def label_centroid_cosine(sf_dir: str):
+    """Embedding-space class geometry: cosine similarity between the
+    SUM vectors of every label pair (same direction as mean centroids
+    — the n factors cancel in cosine, so no division enters until the
+    final shared float floor). ONE pass folds per-label
+    (n, sum-vector) on the 1e-6 quantization; pair arithmetic is
+    exact Python ints over the label-bounded matrix. Emits
+    (label_a, label_b, n_a, n_b, dot, cos_ppm)."""
+    ds = _read(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def part(b: pa.Table) -> pa.Table:
+        lab = b.column("label").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(lab) == 0:
+            return pa.table({"label": pa.array([], type=pa.int64()),
+                             "n": pa.array([], type=pa.int64()),
+                             "svec": pa.array([], type=pa.list_(
+                                 pa.int64()))})
+        qm = _emb_qmat(b)
+        rows = {"label": [], "n": [], "svec": []}
+        for lv in np.unique(lab):
+            m = lab == lv
+            rows["label"].append(int(lv))
+            rows["n"].append(int(m.sum()))
+            rows["svec"].append([int(x) for x in qm[m].sum(0)])
+        return pa.table({"label": pa.array(rows["label"],
+                                           type=pa.int64()),
+                         "n": pa.array(rows["n"], type=pa.int64()),
+                         "svec": pa.array(rows["svec"],
+                                          type=pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    cols = ["label_a", "label_b", "n_a", "n_b", "dot", "cos_ppm"]
+    if parts.empty:
+        return pd.DataFrame({c: pd.Series([], dtype=np.int64)
+                             for c in cols})
+    agg = {}
+    for _, r in parts.iterrows():
+        lv = int(r["label"])
+        n, s = agg.get(lv, (0, None))
+        v = np.asarray(r["svec"], dtype=object)
+        agg[lv] = (n + int(r["n"]),
+                   v if s is None else s + v)
+    labels = sorted(agg)
+    rows = []
+    for i, a in enumerate(labels):
+        for bl in labels[i + 1:]:
+            na, sa = agg[a]
+            nb, sb = agg[bl]
+            dot = int(sum(int(x) * int(y) for x, y in zip(sa, sb)))
+            qa = int(sum(int(x) * int(x) for x in sa))
+            qb = int(sum(int(x) * int(x) for x in sb))
+            den = np.sqrt(np.float64(qa) * np.float64(qb))
+            cp = int(np.floor(1_000_000.0 * dot / den)) \
+                if den > 0 else 0
+            rows.append((a, bl, na, nb, dot, cp))
+    return pd.DataFrame(rows, columns=cols).astype(np.int64)
+
+
+BOILERPLATE_PREFIX_LEN = 32
+BOILERPLATE_TOP = 20
+
+
+def common_prefix_boilerplate(sf_dir: str):
+    """Boilerplate detector: the top-20 most repeated 32-char document
+    PREFIXES (shared headers/templates are the #1 boilerplate source a
+    prefix scan catches for free). One narrow (prefix) groupby of
+    per-block partial counts; only prefixes repeating >= 2 times
+    surface. Docs shorter than 32 chars use their full text. Emits
+    (prefix, n_docs, rk) by (n desc, prefix asc)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def part(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        pref = pc.utf8_slice_codeunits(b.column("text"), 0,
+                                       BOILERPLATE_PREFIX_LEN)
+        t = pa.table({"prefix": pref})
+        g = t.group_by("prefix").aggregate([("prefix", "count")])
+        return g.rename_columns(["prefix", "n"])
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby("prefix")
+           .aggregate(Sum("n", alias_name="n_docs")).to_pandas())
+    cols = ["prefix", "n_docs", "rk"]
+    if agg.empty:
+        return pd.DataFrame({"prefix": pd.Series([], dtype=object),
+                             "n_docs": pd.Series([], dtype=np.int64),
+                             "rk": pd.Series([], dtype=np.int64)})
+    agg = agg[agg["n_docs"] >= 2].sort_values(
+        ["n_docs", "prefix"], ascending=[False, True]) \
+        .head(BOILERPLATE_TOP).reset_index(drop=True)
+    agg["rk"] = np.arange(1, len(agg) + 1, dtype=np.int64)
+    return agg[cols].astype({"n_docs": np.int64, "rk": np.int64})

@@ -5394,3 +5394,43 @@ def test_lang_trigram_cosine_planted(ray_session, tmp_path):
     got = lang_trigram_cosine(_write_docs(tmp_path, df))
     assert got.values.tolist() == [
         ["de", "en", 2, 2, 8, 500_000]]
+
+
+def test_label_centroid_cosine_planted(ray_session, tmp_path):
+    """Label 0 sums to the x axis (two vectors), label 1 to y
+    (orthogonal -> 0 ppm), label 2 to x again (parallel to label 0 ->
+    1e6 with floor)."""
+    from rayschema.queries import label_centroid_cosine
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    emb = [vec(1, 0), vec(3, 0), vec(0, 2), vec(5, 0)]
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(4, dtype=np.int64)),
+        "embedding": pa.array(emb, type=pa.list_(pa.float32())),
+        "label": pa.array(np.array([0, 0, 1, 2], dtype=np.int32))})
+    pq.write_table(tab, os.path.join(tmp_path, "embeddings.parquet"))
+    got = label_centroid_cosine(str(tmp_path))
+    M = 10**6
+    assert got.values.tolist() == [
+        [0, 1, 2, 1, 0, 0],
+        [0, 2, 2, 1, 4 * M * 5 * M, 1_000_000],
+        [1, 2, 1, 1, 0, 0]]
+
+
+def test_common_prefix_boilerplate_planted(ray_session, tmp_path):
+    """Two docs share a 40-char header (same 32-prefix); two short
+    docs saying exactly 'hi' also pair; a unique doc never
+    surfaces."""
+    from rayschema.queries import common_prefix_boilerplate
+
+    hdr = "COPYRIGHT 2024 ACME CORPORATION " + "extra tail "
+    df = pd.DataFrame({
+        "doc_id": np.arange(5, dtype=np.int64),
+        "text": [hdr + "one", hdr + "two", "hi", "hi", "unique doc"],
+        "lang": ["en"] * 5, "source": ["s"] * 5,
+        "n_chars": np.zeros(5, dtype=np.int64)})
+    got = common_prefix_boilerplate(_write_docs(tmp_path, df))
+    assert got.values.tolist() == [
+        [hdr[:32], 2, 1], ["hi", 2, 2]]
