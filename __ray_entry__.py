@@ -901,6 +901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_trigram_cosine": Q.lang_trigram_cosine,
         "label_centroid_cosine": Q.label_centroid_cosine,
         "common_prefix_boilerplate": Q.common_prefix_boilerplate,
+        "purchase_value_trend_users": Q.purchase_value_trend_users,
         # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
@@ -1762,6 +1763,38 @@ def oracle_sql() -> dict[str, str]:
         "corr_matrix_lineitem": _corr_matrix_sql(),
         # per-point silhouette off the integer k-means assignment
         "silhouette_kmeans": _silhouette_sql(),
+        # first-vs-last purchase value direction per user
+        "purchase_value_trend_users": """
+            WITH p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                              event_id,
+                              CAST(round(value * 100) AS BIGINT)
+                                AS cents
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type = 'purchase'
+                         AND value IS NOT NULL),
+            o AS (SELECT user_id, cents,
+                         row_number() OVER w AS rn,
+                         count(*) OVER (PARTITION BY user_id) AS n
+                  FROM p
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts_us, event_id)),
+            fl AS (SELECT f.user_id, f.cents AS first_c,
+                          l.cents AS last_c
+                   FROM (SELECT user_id, cents FROM o
+                         WHERE rn = 1 AND n >= 2) f
+                   JOIN (SELECT user_id, cents FROM o
+                         WHERE rn = n AND n >= 2) l
+                     USING (user_id)),
+            t AS (SELECT CASE WHEN last_c > first_c THEN 'up'
+                              WHEN last_c < first_c THEN 'down'
+                              ELSE 'flat' END AS trend,
+                         first_c, last_c
+                  FROM fl)
+            SELECT trend, count(*)::BIGINT AS n_users,
+                   sum(first_c)::BIGINT AS sum_first_cents,
+                   sum(last_c)::BIGINT AS sum_last_cents
+            FROM t GROUP BY 1 ORDER BY 1""",
         # cosine between label SUM vectors (1e-6 quantization)
         "label_centroid_cosine": """
             WITH v AS (SELECT label::BIGINT AS label, i.range AS d,

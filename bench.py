@@ -283,6 +283,7 @@ def run_bench() -> dict:
         ("lang_trigram_cosine", Q.lang_trigram_cosine),
         ("label_centroid_cosine", Q.label_centroid_cosine),
         ("common_prefix_boilerplate", Q.common_prefix_boilerplate),
+        ("purchase_value_trend_users", Q.purchase_value_trend_users),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

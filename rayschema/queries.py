@@ -18192,3 +18192,67 @@ def common_prefix_boilerplate(sf_dir: str):
         .head(BOILERPLATE_TOP).reset_index(drop=True)
     agg["rk"] = np.arange(1, len(agg) + 1, dtype=np.int64)
     return agg[cols].astype({"n_docs": np.int64, "rk": np.int64})
+
+
+def purchase_value_trend_users(sf_dir: str):
+    """Within-user spend trajectory: per user with >= 2 purchase
+    events, compare the FIRST and LAST purchase value ((ts, event_id)
+    order) and bucket users into up / down / flat — the simplest
+    honest LTV-direction signal. One user-keyed sorted scan emits a
+    single trend row per qualifying user; a 3-bin fold finishes.
+    Emits (trend, n_users, sum_first_cents, sum_last_cents)."""
+    from rayschema.dedup import sorted_group_scan
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "event_id",
+                        "value"])
+
+    def narrow(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(
+            pc.and_(pc.is_valid(b.column("user_id")),
+                    pc.is_valid(b.column("ts"))),
+            pc.and_(pc.equal(b.column("event_type"), "purchase"),
+                    pc.is_valid(b.column("value")))))
+        return pa.table({
+            "user_id": pa.array(b.column("user_id")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)),
+            "ts_us": pa.array(b.column("ts").cast(pa.int64())
+                              .to_numpy(zero_copy_only=False)),
+            "event_id": pa.array(b.column("event_id")
+                                 .to_numpy(zero_copy_only=False)
+                                 .astype(np.int64)),
+            "cents": pa.array(_cents(b.column("value")
+                                     .to_numpy(zero_copy_only=False)))
+        })
+
+    out_schema = pa.schema([("trend", pa.string()),
+                            ("first_c", pa.int64()),
+                            ("last_c", pa.int64())])
+
+    def group_fn(g: pa.Table) -> pa.Table:
+        c = g.column("cents").to_numpy(zero_copy_only=False)
+        if len(c) < 2:
+            return None
+        f, l = int(c[0]), int(c[-1])
+        trend = "up" if l > f else ("down" if l < f else "flat")
+        return pa.table({"trend": pa.array([trend]),
+                         "first_c": pa.array([f], type=pa.int64()),
+                         "last_c": pa.array([l], type=pa.int64())})
+
+    scan = sorted_group_scan(
+        ds.map_batches(narrow, batch_format="pyarrow"),
+        ["user_id"], group_fn, out_schema,
+        order_cols=["ts_us", "event_id"])
+    agg = scan.to_pandas()
+    cols = ["trend", "n_users", "sum_first_cents", "sum_last_cents"]
+    if agg.empty:
+        return pd.DataFrame({"trend": pd.Series([], dtype=object),
+                             **{c: pd.Series([], dtype=np.int64)
+                                for c in cols[1:]}})
+    g = agg.groupby("trend").agg(
+        n_users=("first_c", "size"),
+        sum_first_cents=("first_c", "sum"),
+        sum_last_cents=("last_c", "sum")).reset_index()
+    return (g.sort_values("trend").reset_index(drop=True)
+            [cols].astype({c: np.int64 for c in cols[1:]}))

@@ -5434,3 +5434,25 @@ def test_common_prefix_boilerplate_planted(ray_session, tmp_path):
     got = common_prefix_boilerplate(_write_docs(tmp_path, df))
     assert got.values.tolist() == [
         [hdr[:32], 2, 1], ["hi", 2, 2]]
+
+
+def test_purchase_value_trend_planted(ray_session, tmp_path):
+    """u0 purchases 1.00 then 3.00 -> up; u1 2.00 then 2.00 -> flat;
+    u2 has one purchase (drops); a 'view' event never counts."""
+    from rayschema.queries import purchase_value_trend_users
+
+    tab = pa.table({
+        "event_id": pa.array(np.arange(7, dtype=np.int64)),
+        "user_id": pa.array(np.array([0, 0, 1, 1, 2, 0, 0],
+                                     dtype=np.int64)),
+        "ts": pa.array(np.arange(7, dtype=np.int64) * 1_000_000)
+        .cast(pa.timestamp("us")),
+        "event_type": pa.array(["purchase", "purchase", "purchase",
+                                "purchase", "purchase", "view",
+                                "view"]),
+        "value": pa.array([1.0, 3.0, 2.0, 2.0, 9.0, 100.0, 0.5])})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = purchase_value_trend_users(str(tmp_path))
+    assert got.values.tolist() == [
+        ["flat", 1, 200, 200],
+        ["up", 1, 100, 300]]
