@@ -886,6 +886,28 @@ def test_ppjoin_equals_exact_jaccard_pairs(ray_session):
     pd.testing.assert_frame_equal(got, want)
 
 
+def test_ppjoin_driver_path_equals_distributed(ray_session):
+    """The small-scope fused driver path (default under
+    PPJOIN_DRIVER_CAP) and the distributed prefix-filter pipeline
+    (forced with driver_cap=0) must emit identical verified pairs."""
+    import ray.data as rd
+
+    from rayschema.dedup import ppjoin_pairs
+
+    sf = "/root/testdata/sf0.001"
+    ds = rd.read_parquet(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"])
+    fast = (ppjoin_pairs(ds, threshold=0.5, shingle_k=5, id_limit=300)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+    dist = (ppjoin_pairs(ds, threshold=0.5, shingle_k=5, id_limit=300,
+                         driver_cap=0)
+            .to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast, dist)
+    assert len(fast) > 0
+
+
 def test_ppjoin_prefix_filter_never_drops_pairs(ray_session, tmp_path):
     """Randomized no-loss property: on a corpus engineered for heavy
     shingle overlap, prefix filtering + length filter must reproduce the
@@ -916,10 +938,14 @@ def test_ppjoin_prefix_filter_never_drops_pairs(ray_session, tmp_path):
         want = (exact_jaccard_pairs(ds, id_limit=80, k=5, threshold=thr)
                 .to_pandas().sort_values(["id_a", "id_b"])
                 .reset_index(drop=True))
-        got = (ppjoin_pairs(ds, threshold=thr, shingle_k=5, id_limit=80)
-               .to_pandas().sort_values(["id_a", "id_b"])
-               .reset_index(drop=True))
-        pd.testing.assert_frame_equal(got, want), thr
+        for cap in (None, 0):        # driver fast path AND distributed
+            got = (ppjoin_pairs(ds, threshold=thr, shingle_k=5,
+                                id_limit=80,
+                                **({} if cap is None
+                                   else {"driver_cap": cap}))
+                   .to_pandas().sort_values(["id_a", "id_b"])
+                   .reset_index(drop=True))
+            pd.testing.assert_frame_equal(got, want), (thr, cap)
 
 
 def test_edit_distance_pairs_planted(ray_session, tmp_path):
