@@ -1156,6 +1156,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_word_lang": Q.chi2_word_lang,
         "gini_stump_value_purchase": Q.gini_stump_value_purchase,
         "conversion_latency_quartiles": Q.conversion_latency_quartiles,
+        # -- session-13 additions (queued for the round-5 window) -------
+        "wds_roundtrip": Q.wds_roundtrip,
+        "table_format_upsert": Q.table_format_upsert,
+        "table_format_compact": Q.table_format_compact,
+        "zonemap_pruned_stats": Q.zonemap_pruned_stats,
+        "l_diversity_audit": Q.l_diversity_audit,
+        "mg_heavy_hitters_events": Q.mg_heavy_hitters_events,
+        "elasticity_by_brand": Q.elasticity_by_brand,
     }
 
 
@@ -6516,4 +6524,80 @@ def oracle_sql() -> dict[str, str]:
             JOIN r b ON b.i = least(pos.lo + CASE WHEN pos.r4 > 0
                                     THEN 1 ELSE 0 END, pos.n - 1)
             ORDER BY q""",
+        # WebDataset tar-shard round trip: same aggregate contract as
+        # the ORC/Feather/Avro round trips
+        "wds_roundtrip": """
+            SELECT lang, count(*)::BIGINT AS n_rows,
+                   sum(doc_id)::BIGINT AS id_sum,
+                   coalesce(sum(length(text)), 0)::BIGINT AS text_chars
+            FROM documents GROUP BY lang""",
+        # versioned-table MERGE: v2 = unmatched v1 rows + the changed
+        # batch (doc_id % 7 = 0 -> lang 'xx', n_chars + 1000)
+        "table_format_upsert": """
+            WITH up AS (SELECT doc_id, 'xx' AS lang,
+                               n_chars + 1000 AS n_chars
+                        FROM documents WHERE doc_id % 7 = 0),
+            keep AS (SELECT doc_id, lang, n_chars FROM documents
+                     WHERE doc_id % 7 <> 0),
+            m AS (SELECT * FROM keep UNION ALL SELECT * FROM up)
+            SELECT lang, count(*)::BIGINT AS n_rows,
+                   sum(doc_id)::BIGINT AS id_sum,
+                   sum(n_chars)::BIGINT AS chars_sum
+            FROM m GROUP BY lang""",
+        # compaction conserves rows: both snapshots aggregate the table
+        "table_format_compact": """
+            WITH a AS (SELECT count(*)::BIGINT AS n_rows,
+                              sum(doc_id)::BIGINT AS id_sum,
+                              sum(n_chars)::BIGINT AS chars_sum
+                       FROM documents)
+            SELECT 1::BIGINT AS version, n_rows, id_sum, chars_sum FROM a
+            UNION ALL
+            SELECT 2::BIGINT, n_rows, id_sum, chars_sum FROM a
+            ORDER BY version""",
+        # zone-map pruned scan == plain predicate scan
+        "zonemap_pruned_stats": """
+            SELECT count(*)::BIGINT AS n_rows,
+                   coalesce(sum(doc_id), 0)::BIGINT AS id_sum,
+                   coalesce(sum(n_chars), 0)::BIGINT AS chars_sum
+            FROM documents WHERE n_chars >= 150 AND n_chars < 300""",
+        # l-diversity: QI groups with < 3 distinct sensitive values
+        "l_diversity_audit": """
+            WITH g AS (SELECT lang, n_chars // 50 AS bucket,
+                              count(*)::BIGINT AS n_rows,
+                              count(DISTINCT source)::BIGINT AS l
+                       FROM documents
+                       WHERE lang IS NOT NULL AND source IS NOT NULL
+                         AND n_chars IS NOT NULL
+                       GROUP BY 1, 2)
+            SELECT lang, bucket::BIGINT AS bucket, n_rows, l
+            FROM g WHERE l < 3 ORDER BY lang, bucket""",
+        # Misra-Gries candidates + exact verify == plain HAVING
+        "mg_heavy_hitters_events": """
+            WITH c AS (SELECT user_id, count(*)::BIGINT AS n_events
+                       FROM events WHERE user_id IS NOT NULL
+                       GROUP BY 1),
+            t AS (SELECT count(*)::BIGINT AS n FROM events
+                  WHERE user_id IS NOT NULL)
+            SELECT user_id, n_events FROM c, t
+            WHERE 200 * n_events > n ORDER BY user_id""",
+        # grouped OLS slope of quantity on discount (bps), HUGEINT
+        "elasticity_by_brand": """
+            WITH j AS (SELECT p.p_brand,
+                              CAST(round(l.l_discount * 10000) AS BIGINT)
+                                AS d,
+                              CAST(round(l.l_quantity) AS BIGINT) AS q
+                       FROM lineitem l
+                       JOIN part p ON p.p_partkey = l.l_partkey
+                       WHERE l.l_discount IS NOT NULL
+                         AND l.l_quantity IS NOT NULL),
+            m AS (SELECT p_brand, count(*)::HUGEINT AS n,
+                         sum(d)::HUGEINT AS sd, sum(q)::HUGEINT AS sq,
+                         sum(d * q)::HUGEINT AS sdq,
+                         sum(d * d)::HUGEINT AS sdd
+                  FROM j GROUP BY 1)
+            SELECT p_brand, n::BIGINT AS n,
+                   (CASE WHEN n * sdq - sd * sq >= 0 THEN 1 ELSE -1 END
+                    * ((1000000::HUGEINT * abs(n * sdq - sd * sq))
+                       // (n * sdd - sd * sd)))::BIGINT AS slope_ppm
+            FROM m WHERE n * sdd - sd * sd > 0 ORDER BY p_brand""",
     }

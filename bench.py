@@ -284,6 +284,13 @@ def run_bench() -> dict:
         ("label_centroid_cosine", Q.label_centroid_cosine),
         ("common_prefix_boilerplate", Q.common_prefix_boilerplate),
         ("purchase_value_trend_users", Q.purchase_value_trend_users),
+        ("wds_roundtrip", Q.wds_roundtrip),
+        ("table_format_upsert", Q.table_format_upsert),
+        ("table_format_compact", Q.table_format_compact),
+        ("zonemap_pruned_stats", Q.zonemap_pruned_stats),
+        ("l_diversity_audit", Q.l_diversity_audit),
+        ("mg_heavy_hitters_events", Q.mg_heavy_hitters_events),
+        ("elasticity_by_brand", Q.elasticity_by_brand),
     ]:
         # min of 2: a query right after a heavy predecessor inherits its
         # object-store/actor teardown (measured: minhash reads 13-14 s

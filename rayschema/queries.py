@@ -18256,3 +18256,425 @@ def purchase_value_trend_users(sf_dir: str):
         sum_last_cents=("last_c", "sum")).reset_index()
     return (g.sort_values("trend").reset_index(drop=True)
             [cols].astype({c: np.int64 for c in cols[1:]}))
+
+
+# ------------------------------------------------------------- round-4 session-13 wave
+
+def wds_roundtrip(sf_dir: str):
+    """WebDataset tar-shard sink+source round trip (the training-job
+    loader format: one tar per shard, one member group per sample —
+    Aizman et al.'s public WebDataset convention). The engine writes
+    one shard per block (text as the raw ``.txt`` member, the other
+    columns in the ``.json`` sidecar, schema pinned by a header
+    member) and reads one decode task per shard
+    (rayschema/sources.py: write_wds_shard / read_wds_shard). Same
+    per-lang aggregate contract as the ORC/Feather/Avro round trips,
+    so any codec infidelity (unicode, nulls, member grouping) breaks
+    the value hash."""
+    return _format_roundtrip(sf_dir, "wds")
+
+
+def table_format_upsert(sf_dir: str):
+    """Versioned-table MERGE (upsert): commit the documents table as
+    v1, then upsert a changed batch (every doc_id % 7 == 0 row becomes
+    lang='xx' with n_chars + 1000 — the late-correction ingest shape).
+    The ingest batch is the small side: its keys broadcast once as a
+    sorted array, the v1 snapshot streams through ONE stateless
+    anti-join filter (searchsorted + verify, no shuffle), and the
+    union commits as v2 (rayschema/tableformat.py:upsert_version);
+    v1 stays readable (time travel). Emits per-lang
+    (lang, n_rows, id_sum, chars_sum) of the v2 snapshot — a dropped
+    old row, a lost unmatched row, or a double-applied update all
+    break the hash."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Sum
+
+    from rayschema.tableformat import (commit_version, read_version,
+                                       upsert_version)
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"rayschema_upsert_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    commit_version(root, ds, mode="overwrite")
+
+    def changed(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = pa.array(ids % 7 == 0)
+        b = b.filter(keep)
+        n = b.num_rows
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64) + 1000
+        return pa.table({"doc_id": b.column("doc_id").cast(pa.int64()),
+                         "lang": pa.array(["xx"] * n, type=pa.string()),
+                         "n_chars": pa.array(nc)})
+
+    upsert_version(root, ds.map_batches(changed, batch_format="pyarrow"),
+                   key_col="doc_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b.column("lang")
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        t = pa.table({"lang": lang, "ids": pa.array(ids),
+                      "nc": pa.array(nc),
+                      "one": pa.array(np.ones(len(ids), dtype=np.int64))})
+        g = t.group_by("lang").aggregate(
+            [("ids", "sum"), ("nc", "sum"), ("one", "sum")])
+        return g.rename_columns(["lang", "id_sum", "chars_sum", "n_rows"])
+
+    return (read_version(root)
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("id_sum", alias_name="id_sum"),
+                       Sum("chars_sum", alias_name="chars_sum")))
+
+
+def table_format_compact(sf_dir: str):
+    """Snapshot-preserving small-files compaction: commit the documents
+    table as MANY small files (v1), bin-pack + merge them into few
+    files as v2 (rayschema/tableformat.py:compact_version — plan from
+    manifest metadata only, one Ray task per bin, row conservation
+    verified before the commit), then time-travel read BOTH versions.
+    Emits (version, n_rows, id_sum, chars_sum) twice — identical
+    aggregates by construction, and the oracle recomputes them from
+    the source table, so a compaction that drops, duplicates or
+    corrupts rows in EITHER version breaks the hash. The
+    files-actually-shrank assertion lives in
+    tests/test_sources.py::test_table_format_compact_shrinks_files."""
+    import shutil
+    import tempfile
+
+    from rayschema.tableformat import (commit_version, compact_version,
+                                       read_version)
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"rayschema_compact_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"]) \
+        .repartition(24)
+    commit_version(root, ds, mode="overwrite")
+    compact_version(root, target_rows=10_000_000)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"n_rows": pa.array([len(ids)], type=pa.int64()),
+                         "id_sum": pa.array([int(ids.sum())],
+                                            type=pa.int64()),
+                         "chars_sum": pa.array([int(nc.sum())],
+                                               type=pa.int64())})
+
+    rows = []
+    for v in (1, 2):
+        agg = (read_version(root, v)
+               .map_batches(partial, batch_format="pyarrow")
+               .to_pandas().sum())
+        rows.append((v, int(agg["n_rows"]), int(agg["id_sum"]),
+                     int(agg["chars_sum"])))
+    return pd.DataFrame(rows, columns=["version", "n_rows", "id_sum",
+                                       "chars_sum"]).astype(np.int64)
+
+
+ZONEMAP_LO, ZONEMAP_HI = 150, 300    # n_chars predicate window
+
+
+def zonemap_pruned_stats(sf_dir: str):
+    """Zone-map (min/max) file pruning — the lakehouse data-skipping
+    primitive: write a COPY of documents clustered by n_chars (sorted
+    -> 16 files, so each file covers a narrow value range), build
+    per-file zone maps from PARQUET FOOTER metadata only (row-group
+    min/max — no data read), and answer
+    ``n_chars in [ZONEMAP_LO, ZONEMAP_HI)`` by scanning ONLY the files
+    whose zone overlaps the window (exact row filter inside the
+    survivors). Emits one row (n_rows, id_sum, chars_sum); the oracle
+    computes the same aggregate with a plain WHERE over the original
+    table, so pruning that skips a file it needed — or reads a row it
+    shouldn't — breaks the hash. The files-actually-pruned assertion
+    lives in tests/test_sources.py::test_zonemap_prunes_files."""
+    agg, _, _ = _zonemap_scan(sf_dir)
+    return agg
+
+
+def _zonemap_scan(sf_dir: str):
+    """Shared body of zonemap_pruned_stats (+ its pruning test):
+    returns (one-row DataFrame, n_files_total, n_files_read)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"rayschema_zonemap_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    # cluster by the pruning column, then write one file per block
+    ds.sort("n_chars").repartition(16).write_parquet(root)
+
+    files = sorted(_glob.glob(os.path.join(root, "*.parquet")))
+    keep = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            ci = next(i for i in range(rgm.num_columns)
+                      if rgm.column(i).path_in_schema == "n_chars")
+            st = rgm.column(ci).statistics
+            if st is None or not st.has_min_max:
+                fmin = None                     # no stats: cannot prune
+                break
+            fmin = st.min if fmin is None else min(fmin, st.min)
+            fmax = st.max if fmax is None else max(fmax, st.max)
+        if fmin is None or (fmax >= ZONEMAP_LO and fmin < ZONEMAP_HI):
+            keep.append(f)
+
+    def partial(b: pa.Table) -> pa.Table:
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        m = (nc >= ZONEMAP_LO) & (nc < ZONEMAP_HI)
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[m]
+        return pa.table({"n_rows": pa.array([int(m.sum())],
+                                            type=pa.int64()),
+                         "id_sum": pa.array([int(ids.sum())],
+                                            type=pa.int64()),
+                         "chars_sum": pa.array([int(nc[m].sum())],
+                                               type=pa.int64())})
+
+    if keep:
+        agg = (rd.read_parquet(keep, columns=["doc_id", "n_chars"],
+                               override_num_blocks=len(keep))
+               .map_batches(partial, batch_format="pyarrow")
+               .to_pandas().sum())
+        out = pd.DataFrame([[int(agg["n_rows"]), int(agg["id_sum"]),
+                             int(agg["chars_sum"])]],
+                           columns=["n_rows", "id_sum", "chars_sum"]) \
+            .astype(np.int64)
+    else:
+        out = pd.DataFrame([[0, 0, 0]],
+                           columns=["n_rows", "id_sum", "chars_sum"]) \
+            .astype(np.int64)
+    return out, len(files), len(keep)
+
+
+L_DIV_BUCKET = 50
+L_DIV_THRESHOLD = 3
+
+
+def l_diversity_audit(sf_dir: str):
+    """Privacy l-diversity audit — k-anonymity's companion gate: a
+    quasi-identifier group can be large (k-anonymous) yet still leak
+    its SENSITIVE attribute if every member shares one value. QI =
+    (lang, n_chars // 50), sensitive = source; emits groups with
+    fewer than L=3 distinct sources as (lang, bucket, n_rows, l).
+    One pass folds per-batch DISTINCT (lang, bucket, source) triples
+    with their row counts, one narrow groupby merges them, and a
+    value-space-bounded second fold counts distinct sources per QI
+    cell — the distinct_users_per_type local-dedup discipline, no
+    row-level shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.and_(pc.is_valid(b.column("lang")),
+                             pc.and_(pc.is_valid(b.column("source")),
+                                     pc.is_valid(b.column("n_chars")))))
+        if b.num_rows == 0:
+            return pa.table({"lang": pa.array([], type=pa.string()),
+                             "bucket": pa.array([], type=pa.int64()),
+                             "source": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        bk = (b.column("n_chars").to_numpy(zero_copy_only=False)
+              .astype(np.int64)) // L_DIV_BUCKET
+        t = pa.table({"lang": b.column("lang"),
+                      "bucket": pa.array(bk),
+                      "source": b.column("source")})
+        g = t.group_by(["lang", "bucket", "source"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["lang", "bucket", "source", "n"])
+
+    triples = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby(["lang", "bucket", "source"])
+               .aggregate(Sum("n", alias_name="n"))
+               .to_pandas())       # |langs| x |buckets| x |sources| cells
+    if triples.empty:
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "bucket": pd.Series([], dtype=np.int64),
+                             "n_rows": pd.Series([], dtype=np.int64),
+                             "l": pd.Series([], dtype=np.int64)})
+    g = (triples.groupby(["lang", "bucket"], as_index=False)
+         .agg(n_rows=("n", "sum"), l=("source", "nunique")))
+    g = g[g["l"] < L_DIV_THRESHOLD].copy()
+    for c in ("bucket", "n_rows", "l"):
+        g[c] = g[c].astype(np.int64)
+    return g.sort_values(["lang", "bucket"]).reset_index(drop=True)
+
+
+MG_BUDGET = 256          # Misra-Gries counters per partial sketch
+MG_HH_DENOM = 200        # heavy hitter = user with > n/200 of all events
+
+
+def mg_heavy_hitters_events(sf_dir: str):
+    """Misra-Gries heavy hitters with EXACT verification — the missing
+    member of the certified-sketch family (HLL registers, CMS planes,
+    Bloom membership are already driver-checked). Pass 1: each block
+    folds to a <= MG_BUDGET-counter Misra-Gries summary (Agarwal et
+    al.'s mergeable-summaries rule); partials merge on the driver
+    (<= budget x blocks bounded rows). Every user with true frequency
+    > n/(budget+1) is GUARANTEED present, and budget 256 > denom 200,
+    so the candidate set provably contains every heavy hitter. Pass
+    2: exact counts of the <= 256 candidates only (broadcast sorted id
+    array + per-batch searchsorted bincount), keep those with
+    MG_HH_DENOM * cnt > n_total. Emits (user_id, n_events) — the
+    sketch prunes the key space, the exact pass makes the answer
+    SQL-checkable."""
+    import ray
+
+    from rayschema.sketches import MisraGries
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def part(b: pa.Table) -> pa.Table:
+        u = pc.drop_null(b.column("user_id")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        mg = MisraGries(budget=MG_BUDGET)
+        if len(u):
+            mg.update(u)
+        ks = np.fromiter(mg.counts.keys(), dtype=np.int64,
+                         count=len(mg.counts))
+        vs = np.fromiter(mg.counts.values(), dtype=np.int64,
+                         count=len(mg.counts))
+        # sentinel row (user_id = -1) carries this block's raw count so
+        # the driver can recover n_total without a second pass
+        return pa.table({"user_id": pa.array(np.r_[ks, -1]),
+                         "c": pa.array(np.r_[vs, len(u)]
+                                       .astype(np.int64))})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64)})
+    n_total = int(parts.loc[parts["user_id"] < 0, "c"].sum())
+    cnt = parts[parts["user_id"] >= 0].groupby("user_id")["c"].sum()
+    # flat merge of all block summaries (any merge tree preserves the
+    # n/(budget+1) undercount bound — Agarwal et al. 2012): counter-wise
+    # sum, then ONE batched decrement back to the budget
+    merged = MisraGries(budget=MG_BUDGET)
+    merged.counts = {int(k): int(v) for k, v in cnt.items()}
+    merged.n = n_total
+    merged._shrink()
+    cand = np.sort(np.fromiter(merged.counts.keys(), dtype=np.int64,
+                               count=len(merged.counts)))
+    if len(cand) == 0 or n_total == 0:
+        return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
+                             "n_events": pd.Series([], dtype=np.int64)})
+    cref = ray.put(cand)
+
+    def exact(b: pa.Table, _c=cref) -> pa.Table:
+        ks = ray.get(_c)
+        u = pc.drop_null(b.column("user_id")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        if len(u) == 0:
+            return pa.table({"user_id": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        pos = np.clip(np.searchsorted(ks, u), 0, len(ks) - 1)
+        hit = ks[pos] == u
+        cnt = np.bincount(pos[hit], minlength=len(ks)).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"user_id": pa.array(ks[nz]),
+                         "cnt": pa.array(cnt[nz])})
+
+    ex = ds.map_batches(exact, batch_format="pyarrow").to_pandas()
+    g = ex.groupby("user_id", as_index=False)["cnt"].sum()
+    g = g[MG_HH_DENOM * g["cnt"] > n_total]
+    out = g.rename(columns={"cnt": "n_events"}).astype(np.int64)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def elasticity_by_brand(sf_dir: str):
+    """Grouped price-elasticity proxy: per part BRAND, the exact OLS
+    slope of quantity on discount (does a deeper discount move more
+    units for this brand?). Discounts quantize to basis points and
+    quantities are whole units, so the five moments (n, Sd, Sq, Sdq,
+    Sdd) are exact int64 per-batch partials folded through one
+    25-row groupby; the slope
+    sign * (1e6 * |n*Sdq - Sd*Sq|) // (n*Sdd - Sd*Sd) is arbitrary-
+    precision integer arithmetic on the driver (the ols_value_on_hour
+    convention, HUGEINT-replayed by the oracle). Brand rides via the
+    broadcast part->brand map (part is metadata-sized; misses verified
+    and dropped — inner-join semantics). Emits
+    (p_brand, n, slope_ppm); zero-variance brands drop."""
+    import ray
+
+    part_tab = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
+        .to_pandas()
+    pk = part_tab["p_partkey"].to_numpy(np.int64)
+    order = np.argsort(pk)
+    pk = pk[order]
+    brands = part_tab["p_brand"].to_numpy(dtype=object)[order]
+    ref = ray.put((pk, brands))
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_discount", "l_quantity"])
+
+    def partial(b: pa.Table, _ref=ref) -> pa.Table:
+        keys, br = ray.get(_ref)
+        b = b.filter(pc.and_(pc.is_valid(b.column("l_partkey")),
+                             pc.and_(pc.is_valid(b.column("l_discount")),
+                                     pc.is_valid(b.column("l_quantity")))))
+        if b.num_rows == 0 or len(keys) == 0:
+            return pa.table({"p_brand": pa.array([], type=pa.string()),
+                             **{c: pa.array([], type=pa.int64())
+                                for c in ("n", "sd", "sq", "sdq", "sdd")}})
+        lk = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = np.round(b.column("l_discount")
+                     .to_numpy(zero_copy_only=False) * 10000) \
+            .astype(np.int64)
+        q = np.round(b.column("l_quantity")
+                     .to_numpy(zero_copy_only=False)).astype(np.int64)
+        pos = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
+        hit = keys[pos] == lk
+        d, q, pos = d[hit], q[hit], pos[hit]
+        gb = pd.DataFrame({"p_brand": br[pos], "n": 1, "sd": d, "sq": q,
+                           "sdq": d * q, "sdd": d * d})
+        g = gb.groupby("p_brand", as_index=False).sum()
+        for c in ("n", "sd", "sq", "sdq", "sdd"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    mom = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("p_brand")
+           .aggregate(*[Sum(c, alias_name=c)
+                        for c in ("n", "sd", "sq", "sdq", "sdd")])
+           .to_pandas())
+    rows = []
+    for _, r in mom.iterrows():
+        n, sd, sq, sdq, sdd = (int(r["n"]), int(r["sd"]), int(r["sq"]),
+                               int(r["sdq"]), int(r["sdd"]))
+        den = n * sdd - sd * sd
+        if den <= 0:
+            continue
+        num = n * sdq - sd * sq
+        sign = 1 if num >= 0 else -1
+        rows.append((r["p_brand"], n,
+                     sign * ((10 ** 6 * abs(num)) // den)))
+    return (pd.DataFrame(rows, columns=["p_brand", "n", "slope_ppm"])
+            .astype({"n": np.int64, "slope_ppm": np.int64})
+            .sort_values("p_brand").reset_index(drop=True))

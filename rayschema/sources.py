@@ -14,7 +14,7 @@ import os
 from typing import List, Optional
 
 FORMATS = ("parquet", "json", "csv", "orc", "feather", "avro",
-           "tfrecord")
+           "tfrecord", "wds")
 
 
 def detect_format(path: str) -> str:
@@ -46,6 +46,8 @@ def detect_format(path: str) -> str:
             return "avro"
         if ext == "tfrecord":
             return "tfrecord"
+        if ext == "tar":
+            return "wds"
     raise ValueError(f"cannot detect corpus format under {path!r}")
 
 
@@ -83,7 +85,7 @@ def read_corpus(path: str, fmt: Optional[str] = None,
     elif fmt in ("csv.gz", "csv.zst"):
         ds = rd.read_csv(path, **_cargs(
             "gzip" if fmt.endswith(".gz") else "zstd"))
-    elif fmt in ("orc", "feather", "avro", "tfrecord"):
+    elif fmt in ("orc", "feather", "avro", "tfrecord", "wds"):
         ds = _read_table_files(path, fmt)
     else:
         raise ValueError(f"unsupported corpus format {fmt!r} (one of {FORMATS})")
@@ -111,9 +113,9 @@ def write_corpus(ds, path: str, fmt: str = "parquet",
         ds.write_json(path)
     elif fmt == "csv":
         ds.write_csv(path)
-    elif fmt in ("orc", "feather", "avro", "tfrecord"):
+    elif fmt in ("orc", "feather", "avro", "tfrecord", "wds"):
         os.makedirs(path, exist_ok=True)
-        ext = fmt
+        ext = "tar" if fmt == "wds" else fmt
 
         def _write_block(b, _dir=path, _ext=ext, _fmt=fmt):
             import hashlib
@@ -134,6 +136,8 @@ def write_corpus(ds, path: str, fmt: str = "parquet",
             elif _fmt == "tfrecord":
                 from rayschema.tfrecord import write_tfrecord
                 write_tfrecord(b, fp)
+            elif _fmt == "wds":
+                write_wds_shard(b, fp)
             else:
                 import pyarrow.feather as pf
                 pf.write_feather(b, fp)
@@ -158,7 +162,7 @@ def _read_table_files(path: str, fmt: str):
     import ray.data as rd
 
     exts = {"orc": ("*.orc",), "avro": ("*.avro",),
-            "tfrecord": ("*.tfrecord",),
+            "tfrecord": ("*.tfrecord",), "wds": ("*.tar",),
             "feather": ("*.feather", "*.arrow", "*.ipc")}[fmt]
     files = []
     if os.path.isdir(path):
@@ -181,6 +185,8 @@ def _read_table_files(path: str, fmt: str):
             elif _fmt == "tfrecord":
                 from rayschema.tfrecord import read_tfrecord_file
                 tables.append(read_tfrecord_file(blob))
+            elif _fmt == "wds":
+                tables.append(read_wds_shard(blob))
             else:
                 import pyarrow.feather as pf
                 tables.append(pf.read_table(buf))
@@ -258,3 +264,147 @@ def compact_parquet_dir(in_dir: str, out_dir: str,
             f"compaction lost rows: {rows_in} in, {rows_out} out")
     return {"files_in": len(files), "files_out": len(bins),
             "rows": rows_out}
+
+
+# --------------------------------------------------------------- WebDataset
+# Tar-shard sample format (Aizman et al., "High Performance I/O For
+# Large Scale Deep Learning" — the public WebDataset convention): each
+# shard is one POSIX tar; each SAMPLE is a group of members sharing a
+# key prefix ("000000042.txt" + "000000042.json"). Sequential tar reads
+# make it the high-throughput loader format for training jobs; the
+# engine treats one shard = one Ray block on both sides (parallel,
+# resumable, no driver bytes). The codec below is pure stdlib
+# (tarfile + json): the payload column (default "text") rides as the
+# raw utf-8 ".txt" member, every other column rides in the ".json"
+# sidecar, and a "__shard__.json" header member pins column order and
+# arrow types so the round trip is schema-exact.
+
+WDS_TEXT_COL = "text"
+_WDS_TYPES = {"int64", "int32", "double", "float", "string", "bool",
+              "timestamp[us]"}
+
+
+def _wds_type_name(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t):
+        return "timestamp[us]"
+    name = str(t)
+    if name not in _WDS_TYPES:
+        raise ValueError(f"wds codec: unsupported column type {name!r}")
+    return name
+
+
+def _wds_arrow_type(name: str):
+    import pyarrow as pa
+
+    return {"int64": pa.int64(), "int32": pa.int32(),
+            "double": pa.float64(), "float": pa.float32(),
+            "string": pa.string(), "bool": pa.bool_(),
+            "timestamp[us]": pa.timestamp("us")}[name]
+
+
+def write_wds_shard(table, path: str, text_col: str = WDS_TEXT_COL) -> None:
+    """Encode one Arrow table as one WebDataset tar shard (written via a
+    temp file + atomic rename so a crashed task never leaves a readable
+    half-shard)."""
+    import io
+    import json as _json
+    import tarfile
+
+    import pyarrow as pa
+
+    cols = list(table.column_names)
+    has_text = text_col in cols
+    side_cols = [c for c in cols if c != text_col]
+    header = {
+        "columns": cols,
+        "types": [_wds_type_name(table.schema.field(c).type) for c in cols],
+        "n": table.num_rows,
+        "text_col": text_col if has_text else None,
+    }
+
+    def _member(tf: tarfile.TarFile, name: str, data: bytes) -> None:
+        info = tarfile.TarInfo(name=name)
+        info.size = len(data)
+        info.mtime = 0          # deterministic bytes for identical input
+        tf.addfile(info, io.BytesIO(data))
+
+    side = {}
+    for c in side_cols:
+        col = table.column(c)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.int64())
+        side[c] = col.to_pylist()
+    texts = None
+    if has_text:
+        tcol = table.column(text_col)
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        texts = tcol.to_pylist()
+
+    tmp = path + ".tmp"
+    with tarfile.open(tmp, "w") as tf:
+        _member(tf, "__shard__.json",
+                _json.dumps(header, sort_keys=True).encode())
+        for i in range(table.num_rows):
+            key = f"{i:09d}"
+            row = {c: side[c][i] for c in side_cols}
+            _member(tf, key + ".json",
+                    _json.dumps(row, sort_keys=True).encode())
+            if texts is not None and texts[i] is not None:
+                _member(tf, key + ".txt", texts[i].encode("utf-8"))
+    os.replace(tmp, path)
+
+
+def read_wds_shard(blob: bytes, text_col: str = WDS_TEXT_COL):
+    """Decode one tar shard's bytes back to an Arrow table with the
+    header's exact schema (member order inside a sample is free — the
+    reader groups members by key prefix, the WebDataset contract)."""
+    import io
+    import json as _json
+    import tarfile
+
+    import pyarrow as pa
+
+    samples: dict = {}
+    header = None
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        for m in tf:
+            if not m.isfile():
+                continue
+            data = tf.extractfile(m).read()
+            if m.name == "__shard__.json":
+                header = _json.loads(data)
+                continue
+            key, ext = m.name.rsplit(".", 1)
+            samples.setdefault(key, {})[ext] = data
+    if header is None:
+        raise ValueError("wds shard missing __shard__.json header")
+    cols, types = header["columns"], header["types"]
+    tc = header.get("text_col")
+    keys = sorted(samples)
+    if len(keys) != header["n"]:
+        raise ValueError(
+            f"wds shard: header says {header['n']} samples, found {len(keys)}")
+    out = {c: [] for c in cols}
+    for k in keys:
+        s = samples[k]
+        row = _json.loads(s["json"]) if "json" in s else {}
+        for c in cols:
+            if c == tc:
+                txt = s.get("txt")
+                out[c].append(txt.decode("utf-8") if txt is not None else None)
+            else:
+                out[c].append(row.get(c))
+    arrays = []
+    for c, tn in zip(cols, types):
+        at = _wds_arrow_type(tn)
+        vals = out[c]
+        if tn == "timestamp[us]":
+            arrays.append(pa.array(vals, type=pa.int64()).cast(at))
+        else:
+            arrays.append(pa.array(vals, type=at))
+    return pa.table(dict(zip(cols, arrays)))

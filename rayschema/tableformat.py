@@ -103,3 +103,108 @@ def read_version(root: str, version: int | None = None,
     paths = [f["path"] for f in man["files"]]
     return rd.read_parquet(paths, columns=columns,
                            override_num_blocks=len(paths))
+
+
+def upsert_version(root: str, new_ds, key_col: str) -> dict:
+    """MERGE (upsert) into the latest snapshot: rows of ``new_ds``
+    REPLACE current rows sharing ``key_col``; everything else carries
+    over. The ingest batch is the SMALL side (the dedup_incremental
+    assumption): its distinct keys broadcast once as a sorted int64
+    array, the current snapshot streams through one stateless
+    anti-join filter (searchsorted + verify — no shuffle), and the
+    union commits as a new overwrite version. Old versions stay
+    readable (time travel); a crash before the manifest rename leaves
+    the parent version intact. Driver state is O(ingest keys), never
+    corpus-sized."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    old = read_version(root)
+    cols = [f for f in old.schema().names]
+    kdf = new_ds.select_columns([key_col]).to_pandas()
+    keys = np.unique(kdf[key_col].to_numpy(np.int64))
+    kref = ray.put(keys)
+
+    def drop_matched(b: pa.Table, _k=kref) -> pa.Table:
+        ks = ray.get(_k)
+        kv = b.column(key_col).to_numpy(zero_copy_only=False)
+        valid = ~pc.is_null(b.column(key_col)).to_numpy(
+            zero_copy_only=False)
+        kv = np.where(valid, kv, 0).astype(np.int64)
+        if len(ks) == 0:
+            return b
+        pos = np.clip(np.searchsorted(ks, kv), 0, len(ks) - 1)
+        hit = (ks[pos] == kv) & valid
+        return b.filter(pa.array(~hit))
+
+    merged = old.map_batches(drop_matched, batch_format="pyarrow") \
+        .union(new_ds.select_columns(cols))
+    return commit_version(root, merged, mode="overwrite")
+
+
+def compact_version(root: str, target_rows: int = 1_000_000) -> dict:
+    """Small-files compaction as a SNAPSHOT operation: bin-pack the
+    latest manifest's files to ~``target_rows`` outputs (plan built
+    from manifest metadata only — O(files) driver state, no data
+    bytes), merge each bin in its own Ray task, and commit the merged
+    file list as a new version. History is untouched: the parent
+    version still reads the original small files. Row conservation is
+    verified before the commit."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    parent = latest_version(root)
+    man = read_manifest(root, parent)
+    if not man["files"]:
+        raise ValueError(f"nothing to compact under {root!r}")
+    bins, cur, acc = [], [], 0
+    for f in man["files"]:
+        if cur and acc + f["rows"] > target_rows:
+            bins.append(cur)
+            cur, acc = [], 0
+        cur.append(f["path"])
+        acc += f["rows"]
+    if cur:
+        bins.append(cur)
+    data_dir = os.path.join(root, "data")
+    ver = parent + 1
+
+    def merge_bin(b: "pa.Table", _dir=data_dir, _v=ver) -> "pa.Table":
+        import pyarrow.parquet as pq
+
+        outs, rows = [], []
+        for i, fl in zip(b.column("bin").to_pylist(),
+                         b.column("files").to_pylist()):
+            t = pa.concat_tables([pq.read_table(f) for f in fl])
+            fp = os.path.join(_dir, f"compact-v{_v}-{int(i):05d}.parquet")
+            pq.write_table(t, fp)
+            outs.append(fp)
+            rows.append(t.num_rows)
+        return pa.table({"file": pa.array(outs),
+                         "rows": pa.array(rows, type=pa.int64())})
+
+    plan = rd.from_arrow(pa.table({
+        "bin": pa.array(range(len(bins)), type=pa.int64()),
+        "files": pa.array(bins, type=pa.list_(pa.string()))})) \
+        .repartition(min(len(bins), 32))
+    marker = plan.map_batches(merge_bin, batch_format="pyarrow").to_pandas()
+    new_files = sorted(
+        ({"path": r["file"], "rows": int(r["rows"])}
+         for _, r in marker.iterrows()), key=lambda f: f["path"])
+    rows_out = sum(f["rows"] for f in new_files)
+    if rows_out != man["rows"]:
+        raise RuntimeError(
+            f"compaction lost rows: {man['rows']} in, {rows_out} out")
+    new_man = {"version": ver, "files": new_files, "rows": rows_out,
+               "parent": parent}
+    tmp = _manifest_path(root, ver) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(new_man, f)
+    os.replace(tmp, _manifest_path(root, ver))
+    ltmp = os.path.join(root, LATEST + ".tmp")
+    with open(ltmp, "w") as f:
+        f.write(str(ver))
+    os.replace(ltmp, os.path.join(root, LATEST))
+    return new_man

@@ -5456,3 +5456,67 @@ def test_purchase_value_trend_planted(ray_session, tmp_path):
     assert got.values.tolist() == [
         ["flat", 1, 200, 200],
         ["up", 1, 100, 300]]
+
+
+def test_mg_heavy_hitters_planted(ray_session, tmp_path):
+    """u7 owns 60% of events, u3 owns 30%; 100 singleton users ride
+    along as sketch noise, and both true heavy hitters (> n/200)
+    must survive the Misra-Gries prefilter and verify exactly."""
+    from rayschema.queries import mg_heavy_hitters_events
+
+    users = np.concatenate([
+        np.full(600, 7), np.full(300, 3),
+        np.arange(1000, 1100).repeat(1)]).astype(np.int64)
+    n = len(users)
+    tab = pa.table({"event_id": pa.array(np.arange(n, dtype=np.int64)),
+                    "user_id": pa.array(users),
+                    "ts": pa.array(np.arange(n, dtype=np.int64))
+                    .cast(pa.timestamp("us")),
+                    "event_type": pa.array(["view"] * n),
+                    "value": pa.array(np.ones(n)),
+                    "props": pa.array(["{}"] * n)})
+    pq.write_table(tab, os.path.join(tmp_path, "events.parquet"))
+    got = mg_heavy_hitters_events(str(tmp_path))
+    # n = 1000 -> threshold 200*cnt > 1000 i.e. cnt > 5
+    assert got.values.tolist() == [[3, 300], [7, 600]]
+
+
+def test_elasticity_by_brand_planted(ray_session, tmp_path):
+    """Brand A: (d,q) = (0,1),(100,2) -> slope 1/100 = 10000 ppm;
+    brand B: perfectly inverse (0,5),(200,1) -> -20000 ppm; brand C
+    has constant discount (zero variance) and must drop."""
+    from rayschema.queries import elasticity_by_brand
+
+    part = pa.table({
+        "p_partkey": pa.array([1, 2, 3], type=pa.int64()),
+        "p_brand": pa.array(["A", "B", "C"]),
+        "p_name": pa.array(["x", "y", "z"]),
+        "p_type": pa.array(["t", "t", "t"]),
+        "p_size": pa.array([1, 1, 1], type=pa.int32()),
+        "p_retailprice": pa.array([1.0, 1.0, 1.0])})
+    li = pa.table({
+        "l_orderkey": pa.array(np.arange(6, dtype=np.int64)),
+        "l_partkey": pa.array([1, 1, 2, 2, 3, 3], type=pa.int64()),
+        "l_discount": pa.array([0.0, 0.01, 0.0, 0.02, 0.05, 0.05]),
+        "l_quantity": pa.array([1.0, 2.0, 5.0, 1.0, 4.0, 9.0])})
+    pq.write_table(part, os.path.join(tmp_path, "part.parquet"))
+    pq.write_table(li, os.path.join(tmp_path, "lineitem.parquet"))
+    got = elasticity_by_brand(str(tmp_path))
+    assert got.values.tolist() == [["A", 2, 10000], ["B", 2, -20000]]
+
+
+def test_l_diversity_audit_planted(ray_session, tmp_path):
+    """(en, bucket 0) has one source (l=1, flagged); (en, bucket 2)
+    has three sources (l=3, passes the gate and must NOT appear)."""
+    from rayschema.queries import l_diversity_audit
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array(["t"] * 6),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["s1", "s1", "s1", "s2", "s3", "s1"]),
+        "n_chars": pa.array([10, 20, 30, 120, 130, 140],
+                            type=pa.int64())})
+    pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
+    got = l_diversity_audit(str(tmp_path))
+    assert got.values.tolist() == [["en", 0, 3, 1]]
