@@ -113,13 +113,26 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
             "dp": pa.array(np.concatenate(
                 [cs.astype(np.int64), np.zeros(len(ud), np.int64)]))})
 
-    deg_ds = (edges.map_batches(_deg_partial, batch_format="pyarrow")
-              .groupby("node").aggregate(Sum("dp", alias_name="deg"))
-              ).materialize()
-    n_nodes = deg_ds.count()
+    deg_ds = None
+    if m_edges <= fold_cap:
+        # degree fold on the driver (partials are <= 2 x edges rows and
+        # the contrib folds below already pull the same bound) — saves
+        # the per-call node groupby shuffle
+        dp = edges.map_batches(_deg_partial, batch_format="pyarrow") \
+            .to_pandas()
+        dd = dp.groupby("node", as_index=False)["dp"].sum() \
+            .rename(columns={"dp": "deg"})
+        n_nodes = len(dd)
+    else:
+        deg_ds = (edges.map_batches(_deg_partial, batch_format="pyarrow")
+                  .groupby("node").aggregate(Sum("dp", alias_name="deg"))
+                  ).materialize()
+        n_nodes = deg_ds.count()
 
     if n_nodes <= node_cap:
-        dd = deg_ds.to_pandas().sort_values("node")
+        if deg_ds is not None:
+            dd = deg_ds.to_pandas()
+        dd = dd.sort_values("node")
         nodes = dd["node"].to_numpy(np.int64)
         deg = dd["deg"].to_numpy(np.int64)
         pr = np.full(len(nodes), init, dtype=np.int64) if seed is None \
@@ -166,6 +179,13 @@ def pagerank(edges, iters: int = 5, node_cap: int = NODE_BROADCAST_CAP,
         return pd.DataFrame({"node": nodes, "pr": pr})
 
     # ---- join scale path: node state never concentrates on the driver
+    if deg_ds is None:
+        # corner: edges under fold_cap but node universe over node_cap —
+        # the folded degree table (edge-bounded) seeds the join path
+        deg_ds = rd.from_arrow(pa.table({
+            "node": pa.array(dd["node"].to_numpy(np.int64)),
+            "deg": pa.array(dd["deg"].to_numpy(np.int64))})) \
+            .repartition(num_partitions)
     nodes_ds = deg_ds.select_columns(["node"]).materialize()
     edeg = edges.join(deg_ds, join_type="inner",
                       num_partitions=num_partitions,
@@ -499,16 +519,26 @@ def hits(edges, iters: int = 2, node_cap: int = NODE_BROADCAST_CAP,
                 [np.zeros(len(us), np.int64),
                  np.ones(len(ud), np.int64)]))})
 
-    sides = (edges.map_batches(_side_partial, batch_format="pyarrow")
-             .groupby(["node", "side"]).aggregate(Count(alias_name="_n"))
-             ).materialize()
-    n_nodes = sides.count()
+    sides = None
+    if m_edges <= fold_cap:
+        # side-universe fold on the driver (edge-bounded partials) —
+        # saves the per-call (node, side) groupby shuffle
+        sp = edges.map_batches(_side_partial, batch_format="pyarrow") \
+            .to_pandas()
+        sd = sp.drop_duplicates(["node", "side"])
+        n_nodes = len(sd)
+    else:
+        sides = (edges.map_batches(_side_partial, batch_format="pyarrow")
+                 .groupby(["node", "side"])
+                 .aggregate(Count(alias_name="_n"))).materialize()
+        n_nodes = sides.count()
 
     def _den(mx: int) -> int:
         return max((int(mx) + PR_INIT - 1) // PR_INIT, 1)
 
     if n_nodes <= node_cap:
-        sd = sides.to_pandas()
+        if sides is not None:
+            sd = sides.to_pandas()
         hubs = np.sort(sd.loc[sd["side"] == 0, "node"]
                        .to_numpy(np.int64))
         auths = np.sort(sd.loc[sd["side"] == 1, "node"]
@@ -559,6 +589,12 @@ def hits(edges, iters: int = 2, node_cap: int = NODE_BROADCAST_CAP,
             "score": np.concatenate([h, a])})
 
     # ---- join scale path: score vectors never touch the driver
+    if sides is None:
+        # corner: edges under fold_cap but node universe over node_cap
+        sides = rd.from_arrow(pa.table({
+            "node": pa.array(sd["node"].to_numpy(np.int64)),
+            "side": pa.array(sd["side"].to_numpy(np.int64))})) \
+            .repartition(num_partitions)
     hub_ds = (sides.filter(expr="side == 0").select_columns(["node"])
               ).materialize()
     auth_ds = (sides.filter(expr="side == 1").select_columns(["node"])
@@ -667,10 +703,20 @@ def label_propagation(edges, iters: int = 3,
                                       _np64(b.column("dst"))]))
         return pa.table({"node": pa.array(u)})
 
-    nodes_ds = (edges.map_batches(_node_partial, batch_format="pyarrow")
-                .groupby("node").aggregate(Count(alias_name="_n"))
-                .select_columns(["node"])).materialize()
-    n_nodes = nodes_ds.count()
+    nodes_ds = None
+    if m_edges <= vote_cap:
+        # node-universe fold on the driver (edge-bounded partials,
+        # the same O(m) pull the vote fold below already makes)
+        nodes_arr = np.unique(
+            edges.map_batches(_node_partial, batch_format="pyarrow")
+            .to_pandas()["node"].to_numpy(np.int64))
+        n_nodes = len(nodes_arr)
+    else:
+        nodes_ds = (edges.map_batches(_node_partial,
+                                      batch_format="pyarrow")
+                    .groupby("node").aggregate(Count(alias_name="_n"))
+                    .select_columns(["node"])).materialize()
+        n_nodes = nodes_ds.count()
 
     def _unpack_votes(b: pa.Table) -> pa.Table:
         pk = _np64(b.column("pk"))
@@ -681,8 +727,10 @@ def label_propagation(edges, iters: int = 3,
             "key": pa.array((n << np.int64(32)) | (M32 - lab))})
 
     if n_nodes <= node_cap:
-        nodes = nodes_ds.to_pandas()["node"].to_numpy(np.int64)
-        nodes.sort()
+        if nodes_ds is not None:
+            nodes_arr = np.sort(nodes_ds.to_pandas()["node"]
+                                .to_numpy(np.int64))
+        nodes = nodes_arr
         lab = nodes.copy()
         for _ in range(iters):
             ref = ray.put((nodes, lab))
@@ -759,6 +807,10 @@ def label_propagation(edges, iters: int = 3,
         return pd.DataFrame({"node": nodes, "label": lab})
 
     # ---- join scale path: the label vector never touches the driver
+    if nodes_ds is None:
+        # corner: edges under vote_cap but node universe over node_cap
+        nodes_ds = rd.from_arrow(pa.table({
+            "node": pa.array(nodes_arr)})).repartition(num_partitions)
     lab_ds = nodes_ds.map_batches(
         lambda b: b.append_column("label", b.column("node")),
         batch_format="pyarrow").materialize()
@@ -842,15 +894,30 @@ def kcore(edges, k: int, rounds: int = 3,
     empty = pd.DataFrame({"node": pd.Series([], dtype=np.int64),
                           "core_deg": pd.Series([], dtype=np.int64)})
     edges = edges.materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return empty
 
-    nodes_ds = (edges.groupby("src").aggregate(Count(alias_name="_n"))
-                .select_columns(["src"])).materialize()
-    n_nodes = nodes_ds.count()
+    if n_edges <= node_cap:
+        # node universe <= edge count <= cap: distinct srcs fold on the
+        # driver (per-batch unique partials, one np.unique) — no shuffle
+        def _src_part(b: pa.Table) -> pa.Table:
+            return pa.table({"src": pa.array(
+                np.unique(_np64(b.column("src"))))})
+
+        alive = np.unique(edges.map_batches(_src_part,
+                                            batch_format="pyarrow")
+                          .to_pandas()["src"].to_numpy(np.int64))
+        n_nodes = len(alive)
+    else:
+        nodes_ds = (edges.groupby("src").aggregate(Count(alias_name="_n"))
+                    .select_columns(["src"])).materialize()
+        n_nodes = nodes_ds.count()
 
     if n_nodes <= node_cap:
-        alive = np.sort(nodes_ds.to_pandas()["src"].to_numpy(np.int64))
+        if n_edges > node_cap:   # distinct ran distributed; pull once
+            alive = np.sort(nodes_ds.to_pandas()["src"]
+                            .to_numpy(np.int64))
 
         def _deg(alive_arr: np.ndarray) -> pd.DataFrame:
             ref = ray.put(alive_arr)
@@ -873,9 +940,17 @@ def kcore(edges, k: int, rounds: int = 3,
                 return pa.table({"node": pa.array(ud),
                                  "dp": pa.array(cnt.astype(np.int64))})
 
-            return (edges.map_batches(part, batch_format="pyarrow")
-                    .groupby("node").aggregate(Sum("dp", alias_name="deg"))
-                    .to_pandas())
+            # under node_cap the alive set already fits the driver, so
+            # the per-block (node, dp) partials (<= nodes x blocks rows)
+            # fold in a driver bincount instead of a per-round groupby
+            # shuffle — 4 shuffles saved per kcore call
+            part_df = edges.map_batches(part, batch_format="pyarrow") \
+                .to_pandas()
+            g = part_df.groupby("node", as_index=False)["dp"].sum() \
+                .rename(columns={"dp": "deg"})
+            g["node"] = g["node"].astype(np.int64)
+            g["deg"] = g["deg"].astype(np.int64)
+            return g
 
         for _ in range(rounds):
             dd = _deg(alive)

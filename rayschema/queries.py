@@ -10661,20 +10661,34 @@ def record_linkage_clusters(sf_dir: str):
     return cc.sort_values("doc_id").reset_index(drop=True)
 
 
+TRADE_PAIR_FOLD_CAP = 10_000_000   # lineitem rows (>= distinct pairs):
+#                                    under it the distinct folds on the
+#                                    driver (8 B/pair; the frequent_triples
+#                                    fold_cap discipline), past it the
+#                                    8-byte-key groupby shuffle runs
+
+
 def _trade_pair_keys(sf_dir: str):
     """Distinct customer–supplier trade pairs as packed node keys
     (c_node<<32 | s_node with c_node = 2*custkey, s_node = 2*suppkey + 1
     — the documented 2^31-key packing q20 uses), from orders ⋈ lineitem.
     The orderkey→custkey side is adaptive: broadcast arrays under
     Q3_BROADCAST_CAP (gated on parquet metadata row counts — no extra
-    execution), Dataset.join hash exchange past it. Shared by the
-    PageRank and HITS trade-graph queries."""
+    execution), Dataset.join hash exchange past it. The cross-block
+    DISTINCT is adaptive too: per-batch uniques fold through one driver
+    np.unique under TRADE_PAIR_FOLD_CAP candidate rows (gated on the
+    lineitem footer count — pairs can't exceed source rows; the
+    ~590k-pair sf0.1 graph paid a 3-4 s 8-byte groupby shuffle for a
+    4.7 MB driver fold), the groupby shuffle past the cap
+    (equality-tested). Shared by the PageRank and HITS trade-graph
+    queries."""
     import ray
     from ray.data.aggregate import Count
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
 
+    n_li = _table_rows(sf_dir, "lineitem")
     n_ord = _table_rows(sf_dir, "orders")
     if n_ord is not None and n_ord <= Q3_BROADCAST_CAP:
         odf = orders.to_pandas().sort_values("o_orderkey")
@@ -10695,8 +10709,13 @@ def _trade_pair_keys(sf_dir: str):
             ekey = np.unique((ck * 2) << np.int64(32) | (sk * 2 + 1))
             return pa.table({"ekey": pa.array(ekey)})
 
-        return (li.map_batches(pack, batch_format="pyarrow")
-                .groupby("ekey").aggregate(Count(alias_name="_n"))
+        packed = li.map_batches(pack, batch_format="pyarrow")
+        if n_li is not None and n_li <= TRADE_PAIR_FOLD_CAP:
+            import ray.data as rd
+
+            uk = np.unique(packed.to_pandas()["ekey"].to_numpy(np.int64))
+            return rd.from_arrow(pa.table({"ekey": pa.array(uk)}))
+        return (packed.groupby("ekey").aggregate(Count(alias_name="_n"))
                 .select_columns(["ekey"]))
 
     est = (li.size_bytes() or 0) + (orders.size_bytes() or 0)
