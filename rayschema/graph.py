@@ -264,6 +264,99 @@ def _pair_index(sizes: np.ndarray):
     return i_idx, i_idx + 1 + off
 
 
+def _csr_oriented(ea: np.ndarray, eb: np.ndarray):
+    """Driver-side prep shared by every triangle path that has the DISTINCT
+    edge list (a < b) in hand: node universe + degrees, the sorted packed
+    edge-key membership array, and the degree-oriented CSR adjacency
+    (orient each edge from its (deg, id)-smaller endpoint, bounding
+    out-degree by O(sqrt(2m)) and total wedge volume by O(m^1.5)).
+    Returns (nodes, degrees, indptr, adj, edge_keys)."""
+    nd, dg = np.unique(np.concatenate([ea, eb]), return_counts=True)
+    epk = np.sort((ea << np.int64(32)) | eb)
+    da = dg[np.searchsorted(nd, ea)]
+    db = dg[np.searchsorted(nd, eb)]
+    a_first = da <= db            # a < b: (deg, id) order = degree compare
+    s = np.where(a_first, ea, eb)
+    d = np.where(a_first, eb, ea)
+    order = np.lexsort((d, s))               # src-major, dst ascending
+    s, d = s[order], d[order]
+    si = np.searchsorted(nd, s)
+    indptr = np.concatenate([
+        np.searchsorted(si, np.arange(len(nd), dtype=np.int64)),
+        [len(si)]]).astype(np.int64)
+    return nd, dg, indptr, d, epk
+
+
+def _close_wedges(nodes: np.ndarray, ptr: np.ndarray, adj: np.ndarray,
+                  ek: np.ndarray, ords: np.ndarray):
+    """Wedge generation + sorted-membership closure for a RANGE of source
+    ordinals over the _csr_oriented structure — the per-block kernel of
+    both the distributed broadcast path and the driver fold. Returns
+    (node, tri) partial count arrays (every triangle credits its three
+    corners exactly once: the orientation is acyclic, so each triangle
+    has exactly one wedge apex)."""
+    st, en = ptr[ords], ptr[ords + 1]
+    sizes = en - st
+    tot = int(sizes.sum())
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if not tot:
+        return empty
+    take = (np.repeat(st, sizes)
+            + (np.arange(tot, dtype=np.int64)
+               - np.repeat(np.cumsum(sizes) - sizes, sizes)))
+    cd = adj[take]
+    apex_per_row = np.repeat(nodes[ords], sizes)
+    i_idx, j_idx = _pair_index(sizes)
+    v, w = cd[i_idx], cd[j_idx]              # dst ascending: v < w
+    pk = (v << np.int64(32)) | w
+    pos = np.clip(np.searchsorted(ek, pk), 0, len(ek) - 1)
+    hit = ek[pos] == pk
+    allnodes = np.concatenate([apex_per_row[i_idx][hit], v[hit], w[hit]])
+    if not len(allnodes):
+        return empty
+    u, inv = np.unique(allnodes, return_inverse=True)
+    return u, np.bincount(inv).astype(np.int64)
+
+
+def triangle_fold_arrays(ea: np.ndarray, eb: np.ndarray, blocks: int = 64):
+    """Per-node triangle counts for DRIVER-RESIDENT distinct edges
+    (a < b): the CSR structure broadcasts once and the wedge closure —
+    the only data-sized work — runs as ONE rd.range map_batches whose
+    node-bounded (node, tri) partials fold on the driver (the pagerank
+    fold rationale: partials are <= blocks x nodes rows, the same O(nodes)
+    pull the caller's degree/cc math already implies). Callers hold the
+    edges already (the under-cap pair-distinct fold), so this adds ONE Ray
+    execution total. Returns (nodes, degrees, n_triangles) aligned numpy
+    arrays covering the full node universe (zero for triangle-free
+    nodes)."""
+    import ray
+    import ray.data as rd
+
+    if len(ea) == 0:
+        z = np.empty(0, np.int64)
+        return z, z, z
+    nd, dg, indptr, adj, epk = _csr_oriented(ea, eb)
+    ref = ray.put((nd, indptr, adj, epk))
+
+    def count_range(b: pa.Table, _r=ref) -> pa.Table:
+        nodes, ptr, adj_, ek = ray.get(_r)
+        ords = b.column("id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, c = _close_wedges(nodes, ptr, adj_, ek, ords)
+        return pa.table({"node": pa.array(u), "tri": pa.array(c)})
+
+    pp = rd.range(len(nd), override_num_blocks=blocks).map_batches(
+        count_range, batch_format="pyarrow").to_pandas()
+    tri = np.zeros(len(nd), dtype=np.int64)
+    if len(pp):
+        u, inv = np.unique(pp["node"].to_numpy(np.int64),
+                           return_inverse=True)
+        cnt = np.bincount(inv, weights=pp["tri"].to_numpy(np.int64)) \
+            .astype(np.int64)
+        tri[np.searchsorted(nd, u)] = cnt
+    return nd, dg, tri
+
+
 def triangle_counts(pairs, node_cap: int = NODE_BROADCAST_CAP,
                     edge_broadcast_cap: int = 10_000_000):
     """Per-node triangle counts over an undirected graph given as a Dataset
@@ -316,50 +409,15 @@ def triangle_counts(pairs, node_cap: int = NODE_BROADCAST_CAP,
         edf = pairs.to_pandas()
         ea = edf["a"].to_numpy(np.int64)
         eb = edf["b"].to_numpy(np.int64)
-        nd, dg = np.unique(np.concatenate([ea, eb]), return_counts=True)
-        epk = np.sort((ea << np.int64(32)) | eb)
-        da = dg[np.searchsorted(nd, ea)]
-        db = dg[np.searchsorted(nd, eb)]
-        a_first = da <= db        # a < b: (deg, id) order = degree compare
-        s = np.where(a_first, ea, eb)
-        d = np.where(a_first, eb, ea)
-        order = np.lexsort((d, s))           # src-major, dst ascending
-        s, d = s[order], d[order]
-        si = np.searchsorted(nd, s)
-        indptr = np.concatenate([
-            np.searchsorted(si, np.arange(len(nd), dtype=np.int64)),
-            [len(si)]]).astype(np.int64)
-        ref = ray.put((nd, indptr, d, epk))
+        nd, dg, indptr, adj, epk = _csr_oriented(ea, eb)
+        ref = ray.put((nd, indptr, adj, epk))
 
         def count_range(b: pa.Table, _r=ref) -> pa.Table:
-            nodes, ptr, adj, ek = ray.get(_r)
+            nodes, ptr, adj_, ek = ray.get(_r)
             ords = b.column("id").to_numpy(zero_copy_only=False) \
                 .astype(np.int64)
-            st, en = ptr[ords], ptr[ords + 1]
-            sizes = en - st
-            tot = int(sizes.sum())
-            if not tot:
-                return pa.table({"node": pa.array([], type=pa.int64()),
-                                 "tri": pa.array([], type=pa.int64())})
-            take = (np.repeat(st, sizes)
-                    + (np.arange(tot, dtype=np.int64)
-                       - np.repeat(np.cumsum(sizes) - sizes, sizes)))
-            cd = adj[take]
-            apex_per_row = np.repeat(nodes[ords], sizes)
-            i_idx, j_idx = _pair_index(sizes)
-            v, w = cd[i_idx], cd[j_idx]      # dst ascending: v < w
-            pk = (v << np.int64(32)) | w
-            pos = np.clip(np.searchsorted(ek, pk), 0, len(ek) - 1)
-            hit = ek[pos] == pk
-            allnodes = np.concatenate(
-                [apex_per_row[i_idx][hit], v[hit], w[hit]])
-            if not len(allnodes):
-                return pa.table({"node": pa.array([], type=pa.int64()),
-                                 "tri": pa.array([], type=pa.int64())})
-            u, inv = np.unique(allnodes, return_inverse=True)
-            return pa.table({"node": pa.array(u),
-                             "tri": pa.array(np.bincount(inv)
-                                             .astype(np.int64))})
+            u, c = _close_wedges(nodes, ptr, adj_, ek, ords)
+            return pa.table({"node": pa.array(u), "tri": pa.array(c)})
 
         counted = rd.range(len(nd), override_num_blocks=64).map_batches(
             count_range, batch_format="pyarrow")
