@@ -829,80 +829,27 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Ordering: the driver's correctness window covers the FIRST 50 entries.
-    # Round-4 window: the flagship, the two early-round-4 rewrites whose
-    # round-3 green rows no longer describe the shipped code (simhash now
-    # DuckDB-oracled, keep_best winner selection distributed), and 47
-    # round-4 additions never checked by driver OR judge — including the
-    # 12 most complex session-6-9 operators (graph analytics pagerank/
-    # triangles/HITS, record linkage, ppjoin, edit distance, naive Bayes,
-    # TPC-H Q2/Q9/Q20/Q21, dup-mass histogram) promoted over 12 simple
-    # single-scan audits (jsonl_roundtrip, benford, MAD outliers, LOCF,
-    # throttle/out-of-order/snapshot audits, winsorize, attribution,
-    # k-anonymity, FD audit, props-extract) that rotate into round 5's
-    # window. Everything below has a driver- or judge-green row from an
-    # earlier round describing this code, or is a round-4 addition queued
-    # for the round-5 window; the full oracle contract is swept green at
-    # sf0.01 every session with the driver-identical mirror
-    # (scripts/check_correctness.py; BASELINE.md session records).
+    # Ordering: the driver's correctness window covers the FIRST 50
+    # entries. Round-5 policy (r4 verdict #1): contract growth is
+    # FROZEN at 308 queries; each round's window takes the flagship
+    # plus the 49 oldest queries never yet checked by any driver
+    # round (r01-r04 cumulatively covered 114 of 308) — this window
+    # is the lang_trigram_cosine..record_linkage_clusters block, led
+    # by the graph/linkage/TPC-H session-4/5 operators the verdict
+    # called out. Below the window: first the remaining 145 never-
+    # checked queries in rotation order (rounds 6-8 inherit them
+    # window by window), then everything already driver-green. The
+    # full 308-query contract is swept green at sf0.01 every session
+    # with the driver-identical mirror (scripts/check_correctness.py;
+    # BASELINE.md session records).
     return {
-        # -- flagship (keep first) + round-4 rewrites needing a hard re-check
+        # -- flagship (keep first) ------------------------------------
         "validate_documents_verdicts": Q.validate_documents_verdicts,
-        "simhash_near_dup_documents": Q.simhash_near_dup_documents,
-        "keep_best_per_cluster": Q.keep_best_per_cluster,
-        # -- session-12 additions (newest first: never checked anywhere) ---
-        "feature_hash_buckets": Q.feature_hash_buckets,
-        "scd2_user_state": Q.scd2_user_state,
-        "orders_in_flight_monthly": Q.orders_in_flight_monthly,
-        "dbscan_embeddings": Q.dbscan_embeddings,
-        "bootstrap_ci_value": Q.bootstrap_ci_value,
-        "hll_registers_cert": Q.hll_registers_cert,
-        "twap_user_value": Q.twap_user_value,
-        "kcenter_select_embeddings": Q.kcenter_select_embeddings,
-        "corr_matrix_lineitem": Q.corr_matrix_lineitem,
-        "revenue_recognition_monthly": Q.revenue_recognition_monthly,
-        "rfm_user_scores": Q.rfm_user_scores,
-        "cohort_retention_matrix": Q.cohort_retention_matrix,
-        "session_length_histogram": Q.session_length_histogram,
-        "silhouette_kmeans": Q.silhouette_kmeans,
-        "debounced_events": Q.debounced_events,
-        "wau_stickiness": Q.wau_stickiness,
-        "embedding_norm_audit": Q.embedding_norm_audit,
-        "optimal_segmentation_hourly": Q.optimal_segmentation_hourly,
-        "theil_sen_hourly": Q.theil_sen_hourly,
-        "user_activity_gini": Q.user_activity_gini,
-        "padding_waste_audit": Q.padding_waste_audit,
-        "user_type_venn": Q.user_type_venn,
-        "orders_aging_buckets": Q.orders_aging_buckets,
-        "customer_order_cadence": Q.customer_order_cadence,
-        "tfrecord_roundtrip": Q.tfrecord_roundtrip,
-        "hhi_customer_concentration": Q.hhi_customer_concentration,
-        "journey_archetypes": Q.journey_archetypes,
-        "table_format_time_travel": Q.table_format_time_travel,
-        "token_budget_sample": Q.token_budget_sample,
-        "cms_join_size_estimate": Q.cms_join_size_estimate,
-        "dedup_rate_curve": Q.dedup_rate_curve,
-        "jaccard_threshold_sweep": Q.jaccard_threshold_sweep,
-        "schema_migration_impact": Q.schema_migration_impact,
-        "dedup_waterfall": Q.dedup_waterfall,
-        "part_price_dispersion": Q.part_price_dispersion,
-        "retention_by_first_type": Q.retention_by_first_type,
-        "blocking_quality_audit": Q.blocking_quality_audit,
-        "source_scorecard": Q.source_scorecard,
-        "sample_fidelity_audit": Q.sample_fidelity_audit,
-        "validation_drift_by_day": Q.validation_drift_by_day,
-        "region_quarter_lift": Q.region_quarter_lift,
-        "repeat_revenue_share": Q.repeat_revenue_share,
-        "vocab_growth_curve": Q.vocab_growth_curve,
-        "user_gap_median_histogram": Q.user_gap_median_histogram,
-        "discount_by_qty_band": Q.discount_by_qty_band,
-        "stuttered_events": Q.stuttered_events,
-        "hour_of_week_profile": Q.hour_of_week_profile,
+        # -- round-5 window: 49 oldest never-driver-checked queries ---
         "lang_trigram_cosine": Q.lang_trigram_cosine,
         "label_centroid_cosine": Q.label_centroid_cosine,
         "common_prefix_boilerplate": Q.common_prefix_boilerplate,
-        "purchase_value_trend_users": Q.purchase_value_trend_users,
-        # -- round-4 additions: never driver-checked by any round ----------
+        "purchase_value_trend_users": Q.purchase_value_trend_users,  # -- round-4 additions: never driver-checked by any round ----------
         "bfs_hops_trade": Q.bfs_hops_trade,
         "dup_span_removal": Q.dup_span_removal,
         "quality_rank_in_source": Q.quality_rank_in_source,
@@ -925,10 +872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_word_pairs": Q.fuzzy_word_pairs,
         "q2_best_supplier_per_part": Q.q2_best_supplier_per_part,
         "q9_profit_by_nation_year": Q.q9_profit_by_nation_year,
-        "q20_heavy_shippers": Q.q20_heavy_shippers,
-        # -- never checked by driver OR judge: session-4/5 rewrites first
-        # (covariance/PCA/diversity/reconciliation were re-planned this
-        # session, so no earlier green row describes the shipped code)
+        "q20_heavy_shippers": Q.q20_heavy_shippers,  # -- never checked by driver OR judge: session-4/5 rewrites first
         "embedding_covariance_by_label": Q.embedding_covariance_by_label,
         "pca_project_embeddings": Q.pca_project_embeddings,
         "parts_supplier_diversity": Q.parts_supplier_diversity,
@@ -951,11 +895,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_bucket_filter": Q.perplexity_bucket_filter,
         "edit_distance_pairs_documents": Q.edit_distance_pairs_documents,
         "record_linkage_clusters": Q.record_linkage_clusters,
+        # -- never driver-checked yet: rounds 6+ rotate these up ------
         "pagerank_customer_supplier": Q.pagerank_customer_supplier,
         "triangle_parts_copurchase": Q.triangle_parts_copurchase,
-        "hits_trade_graph": Q.hits_trade_graph,
-        # -- below the 50-slot window: driver-green or judge-green rows
-        # from earlier rounds describe this exact code
+        "hits_trade_graph": Q.hits_trade_graph,  # -- below the 50-slot window: driver-green or judge-green rows
         "tfidf_top_term": Q.tfidf_top_term,
         "inverted_index_words": Q.inverted_index_words,
         "embedding_mean_by_lang": Q.embedding_mean_by_lang,
@@ -981,75 +924,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_bounds": Q.range_partition_bounds,
         "global_sort_rank": Q.global_sort_rank,
         "drift_lang_by_source": Q.drift_lang_by_source,
-        "trainer_export_pipeline": Q.trainer_export_pipeline,
         "partitioned_write_roundtrip": Q.partitioned_write_roundtrip,
         "zorder_documents": Q.zorder_documents,
         "dup_span_stats": Q.dup_span_stats,
         "chunk_documents": Q.chunk_documents,
-        "pricing_summary": Q.pricing_summary,
-        "top_revenue_customers": Q.top_revenue_customers,
-        "events_hourly_window": Q.events_hourly_window,
-        "events_sliding_window": Q.events_sliding_window,
-        "part_brand_stats": Q.part_brand_stats,
-        "nation_region_join": Q.nation_region_join,
-        "lineitem_topk": Q.lineitem_topk,
-        "distinct_mktsegment": Q.distinct_mktsegment,
-        "orders_priority_count": Q.orders_priority_count,
-        "order_revenue_join": Q.order_revenue_join,
-        "events_sessionization": Q.events_sessionization,
-        "customer_running_totals": Q.customer_running_totals,
-        "salted_lang_chars": Q.salted_lang_chars,
-        "validate_events_props": Q.validate_events_props,
-        "schema_docs_analysis": Q.schema_docs_analysis,  # rows-only
-        "multimodal_features": Q.multimodal_features,  # rows-only
-        "multimodal_pipeline": Q.multimodal_pipeline,  # rows-only
-        "validate_documents_violations": Q.validate_documents_violations,
-        "referential_docs_lang": Q.referential_docs_lang,
-        "column_stats_lang": Q.column_stats_lang,
-        "column_stats_quantity": Q.column_stats_quantity,
-        "stats_documents_sketch": Q.stats_documents_sketch,  # rows-only
-        "duplicate_events": Q.duplicate_events,
-        "exact_dedup_documents": Q.exact_dedup_documents,
-        "minhash_near_dup_documents": Q.minhash_near_dup_documents,  # rows-only
-        "minhash_near_dup_exact": Q.minhash_near_dup_exact,
-        "near_dup_clusters_documents": Q.near_dup_clusters_documents,  # rows-only
-        "near_dup_clusters_exact": Q.near_dup_clusters_exact,
-        "near_dup_degree": Q.near_dup_degree,
-        "near_dup_clusters_distributed": Q.near_dup_clusters_distributed,
-        "dedup_corpus_exact": Q.dedup_corpus_exact,
-        "dedup_incremental": Q.dedup_incremental,
-        "curation_pipeline_documents": Q.curation_pipeline_documents,
-        "split_by_cluster": Q.split_by_cluster,
-        "split_leakage_audit": Q.split_leakage_audit,
-        "stratified_sample_documents": Q.stratified_sample_documents,
-        "embedding_near_dup": Q.embedding_near_dup,
-        "embedding_near_dup_lsh": Q.embedding_near_dup_lsh,  # rows-only
-        "knn_bruteforce": Q.knn_bruteforce,
-        "knn_ivf": Q.knn_ivf,  # rows-only
-        "lsh_recall_report": Q.lsh_recall_report,
-        "ann_recall_report": Q.ann_recall_report,  # rows-only
-        "token_counts_documents": Q.token_counts_documents,
-        "token_log2_histogram": Q.token_log2_histogram,
-        "bpeish_token_counts": Q.bpeish_token_counts,
-        "char_class_counts": Q.char_class_counts,
-        "langid_documents": Q.langid_documents,
-        "quality_documents": Q.quality_documents,
-        "fingerprint_documents": Q.fingerprint_documents,  # rows-only
-        "repetition_stats_documents": Q.repetition_stats_documents,
-        "decontaminate_documents": Q.decontaminate_documents,
-        "ngram_decontaminate_documents": Q.ngram_decontaminate_documents,
-        "gopher_quality_flags": Q.gopher_quality_flags,
-        "shuffle_shard_documents": Q.shuffle_shard_documents,
-        "source_mixture_weights": Q.source_mixture_weights,
-        "pq_encode_embeddings": Q.pq_encode_embeddings,
-        "events_hourly_anomaly": Q.events_hourly_anomaly,
-        "bigram_next_word": Q.bigram_next_word,
-        "bigram_coverage_score": Q.bigram_coverage_score,
-        "bpe_top_pairs": Q.bpe_top_pairs,
-        "regex_redact_documents": Q.regex_redact_documents,
-        "vocabulary_top_words": Q.vocabulary_top_words,
-        "pack_sequences_documents": Q.pack_sequences_documents,
-        # -- round-4 continuation additions ---------------------------------
         "part_skyline": Q.part_skyline,
         "lang_source_cube": Q.lang_source_cube,
         "char_entropy_documents": Q.char_entropy_documents,
@@ -1155,8 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_quantity_price": Q.spearman_quantity_price,
         "chi2_word_lang": Q.chi2_word_lang,
         "gini_stump_value_purchase": Q.gini_stump_value_purchase,
-        "conversion_latency_quartiles": Q.conversion_latency_quartiles,
-        # -- session-13 additions (queued for the round-5 window) -------
+        "conversion_latency_quartiles": Q.conversion_latency_quartiles,  # -- session-13 additions (queued for the round-5 window) -------
         "wds_roundtrip": Q.wds_roundtrip,
         "table_format_upsert": Q.table_format_upsert,
         "table_format_compact": Q.table_format_compact,
@@ -1164,6 +1041,120 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity_audit": Q.l_diversity_audit,
         "mg_heavy_hitters_events": Q.mg_heavy_hitters_events,
         "elasticity_by_brand": Q.elasticity_by_brand,
+        # -- driver-green in r01-r04 ----------------------------------
+        "simhash_near_dup_documents": Q.simhash_near_dup_documents,
+        "keep_best_per_cluster": Q.keep_best_per_cluster,  # -- session-12 additions (newest first: never checked anywhere) ---
+        "feature_hash_buckets": Q.feature_hash_buckets,
+        "scd2_user_state": Q.scd2_user_state,
+        "orders_in_flight_monthly": Q.orders_in_flight_monthly,
+        "dbscan_embeddings": Q.dbscan_embeddings,
+        "bootstrap_ci_value": Q.bootstrap_ci_value,
+        "hll_registers_cert": Q.hll_registers_cert,
+        "twap_user_value": Q.twap_user_value,
+        "kcenter_select_embeddings": Q.kcenter_select_embeddings,
+        "corr_matrix_lineitem": Q.corr_matrix_lineitem,
+        "revenue_recognition_monthly": Q.revenue_recognition_monthly,
+        "rfm_user_scores": Q.rfm_user_scores,
+        "cohort_retention_matrix": Q.cohort_retention_matrix,
+        "session_length_histogram": Q.session_length_histogram,
+        "silhouette_kmeans": Q.silhouette_kmeans,
+        "debounced_events": Q.debounced_events,
+        "wau_stickiness": Q.wau_stickiness,
+        "embedding_norm_audit": Q.embedding_norm_audit,
+        "optimal_segmentation_hourly": Q.optimal_segmentation_hourly,
+        "theil_sen_hourly": Q.theil_sen_hourly,
+        "user_activity_gini": Q.user_activity_gini,
+        "padding_waste_audit": Q.padding_waste_audit,
+        "user_type_venn": Q.user_type_venn,
+        "orders_aging_buckets": Q.orders_aging_buckets,
+        "customer_order_cadence": Q.customer_order_cadence,
+        "tfrecord_roundtrip": Q.tfrecord_roundtrip,
+        "hhi_customer_concentration": Q.hhi_customer_concentration,
+        "journey_archetypes": Q.journey_archetypes,
+        "table_format_time_travel": Q.table_format_time_travel,
+        "token_budget_sample": Q.token_budget_sample,
+        "cms_join_size_estimate": Q.cms_join_size_estimate,
+        "dedup_rate_curve": Q.dedup_rate_curve,
+        "jaccard_threshold_sweep": Q.jaccard_threshold_sweep,
+        "schema_migration_impact": Q.schema_migration_impact,
+        "dedup_waterfall": Q.dedup_waterfall,
+        "part_price_dispersion": Q.part_price_dispersion,
+        "retention_by_first_type": Q.retention_by_first_type,
+        "blocking_quality_audit": Q.blocking_quality_audit,
+        "source_scorecard": Q.source_scorecard,
+        "sample_fidelity_audit": Q.sample_fidelity_audit,
+        "validation_drift_by_day": Q.validation_drift_by_day,
+        "region_quarter_lift": Q.region_quarter_lift,
+        "repeat_revenue_share": Q.repeat_revenue_share,
+        "vocab_growth_curve": Q.vocab_growth_curve,
+        "user_gap_median_histogram": Q.user_gap_median_histogram,
+        "discount_by_qty_band": Q.discount_by_qty_band,
+        "stuttered_events": Q.stuttered_events,
+        "hour_of_week_profile": Q.hour_of_week_profile,
+        "trainer_export_pipeline": Q.trainer_export_pipeline,
+        "pricing_summary": Q.pricing_summary,
+        "top_revenue_customers": Q.top_revenue_customers,
+        "events_hourly_window": Q.events_hourly_window,
+        "events_sliding_window": Q.events_sliding_window,
+        "part_brand_stats": Q.part_brand_stats,
+        "nation_region_join": Q.nation_region_join,
+        "lineitem_topk": Q.lineitem_topk,
+        "distinct_mktsegment": Q.distinct_mktsegment,
+        "orders_priority_count": Q.orders_priority_count,
+        "order_revenue_join": Q.order_revenue_join,
+        "events_sessionization": Q.events_sessionization,
+        "customer_running_totals": Q.customer_running_totals,
+        "salted_lang_chars": Q.salted_lang_chars,
+        "validate_events_props": Q.validate_events_props,
+        "schema_docs_analysis": Q.schema_docs_analysis,  # rows-only
+        "multimodal_features": Q.multimodal_features,  # rows-only
+        "multimodal_pipeline": Q.multimodal_pipeline,  # rows-only
+        "validate_documents_violations": Q.validate_documents_violations,
+        "referential_docs_lang": Q.referential_docs_lang,
+        "column_stats_lang": Q.column_stats_lang,
+        "column_stats_quantity": Q.column_stats_quantity,
+        "stats_documents_sketch": Q.stats_documents_sketch,  # rows-only
+        "duplicate_events": Q.duplicate_events,
+        "exact_dedup_documents": Q.exact_dedup_documents,
+        "minhash_near_dup_documents": Q.minhash_near_dup_documents,  # rows-only
+        "minhash_near_dup_exact": Q.minhash_near_dup_exact,
+        "near_dup_clusters_documents": Q.near_dup_clusters_documents,  # rows-only
+        "near_dup_clusters_exact": Q.near_dup_clusters_exact,
+        "near_dup_degree": Q.near_dup_degree,
+        "near_dup_clusters_distributed": Q.near_dup_clusters_distributed,
+        "dedup_corpus_exact": Q.dedup_corpus_exact,
+        "dedup_incremental": Q.dedup_incremental,
+        "curation_pipeline_documents": Q.curation_pipeline_documents,
+        "split_by_cluster": Q.split_by_cluster,
+        "split_leakage_audit": Q.split_leakage_audit,
+        "stratified_sample_documents": Q.stratified_sample_documents,
+        "embedding_near_dup": Q.embedding_near_dup,
+        "embedding_near_dup_lsh": Q.embedding_near_dup_lsh,  # rows-only
+        "knn_bruteforce": Q.knn_bruteforce,
+        "knn_ivf": Q.knn_ivf,  # rows-only
+        "lsh_recall_report": Q.lsh_recall_report,
+        "ann_recall_report": Q.ann_recall_report,  # rows-only
+        "token_counts_documents": Q.token_counts_documents,
+        "token_log2_histogram": Q.token_log2_histogram,
+        "bpeish_token_counts": Q.bpeish_token_counts,
+        "char_class_counts": Q.char_class_counts,
+        "langid_documents": Q.langid_documents,
+        "quality_documents": Q.quality_documents,
+        "fingerprint_documents": Q.fingerprint_documents,  # rows-only
+        "repetition_stats_documents": Q.repetition_stats_documents,
+        "decontaminate_documents": Q.decontaminate_documents,
+        "ngram_decontaminate_documents": Q.ngram_decontaminate_documents,
+        "gopher_quality_flags": Q.gopher_quality_flags,
+        "shuffle_shard_documents": Q.shuffle_shard_documents,
+        "source_mixture_weights": Q.source_mixture_weights,
+        "pq_encode_embeddings": Q.pq_encode_embeddings,
+        "events_hourly_anomaly": Q.events_hourly_anomaly,
+        "bigram_next_word": Q.bigram_next_word,
+        "bigram_coverage_score": Q.bigram_coverage_score,
+        "bpe_top_pairs": Q.bpe_top_pairs,
+        "regex_redact_documents": Q.regex_redact_documents,
+        "vocabulary_top_words": Q.vocabulary_top_words,
+        "pack_sequences_documents": Q.pack_sequences_documents,  # -- round-4 continuation additions ---------------------------------
     }
 
 

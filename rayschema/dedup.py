@@ -1642,6 +1642,9 @@ def near_dup_clusters(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 PPJOIN_PREFIX_GROUP_CAP = 4096   # warn threshold for one prefix-token bucket
+# driver-path pair-generation memory budget: at most this many candidate
+# pairs are materialized at once per bucket (anchor rows sliced to fit)
+PPJOIN_DRIVER_PAIR_BUDGET = 1 << 22
 PPJOIN_DRIVER_CAP = 20_000       # scoped-doc count under which the fused
 #                                  in-process path runs (text bytes bounded
 #                                  by cap x doc size — the near_dup_clusters
@@ -1704,20 +1707,36 @@ def _ppjoin_driver(sub, id_col: str, text_col: str, threshold: float,
         m = e - s
         if m < 2:
             continue
-        ia, ib = np.triu_indices(m, k=1)
+        if m > PPJOIN_PREFIX_GROUP_CAP:
+            # same warning the distributed group_fn emits: a hot shared
+            # shingle makes this bucket O(m^2) pairs; still exact
+            _log.warning(
+                "ppjoin driver prefix bucket has %d entries (> cap %d); "
+                "O(m^2) candidate generation, chunked to bound memory",
+                m, PPJOIN_PREFIX_GROUP_CAP)
         gi, gn, gp = ids[s:e], ns[s:e], pos[s:e]
-        lo = np.minimum(gn[ia], gn[ib]).astype(np.float64)
-        hi = np.maximum(gn[ia], gn[ib]).astype(np.float64)
-        keep = lo + 1e-9 >= threshold * hi
-        need = np.ceil(threshold / (1.0 + threshold)
-                       * (gn[ia] + gn[ib]).astype(np.float64) - 1e-9)
-        remain = np.minimum(gn[ia] - gp[ia], gn[ib] - gp[ib]) \
-            .astype(np.float64)
-        keep &= remain >= need
-        keep &= gi[ia] != gi[ib]
-        if keep.any():
-            pa_l.append(gi[ia[keep]])
-            pb_l.append(gi[ib[keep]])
+        # iterate the anchor row in slices so driver memory stays
+        # O(chunk * m), not O(m^2), on adversarial hot buckets
+        chunk = max(1, PPJOIN_DRIVER_PAIR_BUDGET // max(m, 1))
+        for a0 in range(0, m - 1, chunk):
+            a1 = min(a0 + chunk, m - 1)
+            ia = np.repeat(np.arange(a0, a1), m - 1 - np.arange(a0, a1))
+            ib = np.concatenate(
+                [np.arange(i + 1, m) for i in range(a0, a1)]) \
+                if a1 > a0 else np.array([], dtype=np.int64)
+            lo = np.minimum(gn[ia], gn[ib]).astype(np.float64)
+            hi = np.maximum(gn[ia], gn[ib]).astype(np.float64)
+            keep = lo + 1e-9 >= threshold * hi
+            need = np.ceil(threshold / (1.0 + threshold)
+                           * (gn[ia] + gn[ib]).astype(np.float64)
+                           - 1e-9)
+            remain = np.minimum(gn[ia] - gp[ia], gn[ib] - gp[ib]) \
+                .astype(np.float64)
+            keep &= remain >= need
+            keep &= gi[ia] != gi[ib]
+            if keep.any():
+                pa_l.append(gi[ia[keep]])
+                pb_l.append(gi[ib[keep]])
     if not pa_l:
         return empty
     a = np.concatenate(pa_l)

@@ -588,7 +588,25 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
     payloads, mimes, durations, widths, heights = [], [], [], [], []
     for k in kinds:
         if k == "image":
-            variant = int(rng.integers(0, 5))
+            variant = int(rng.integers(0, 6))
+            if variant == 5:
+                # progressive (SOF2) JPEG — the dominant real-web JPEG
+                # flavor; multi-scan Annex-G decode (rayschema/jpeg.py)
+                from rayschema.jpeg import encode_jpeg_progressive
+                yy, xx = np.mgrid[0:16, 0:16]
+                ph = rng.uniform(0, 6.28, 2)
+                img = np.stack([
+                    xx * 255 // 15, yy * 255 // 15,
+                    127 + 100 * np.sin(xx / 3.0 + ph[0])
+                    * np.cos(yy / 2.0 + ph[1])], axis=2) \
+                    .clip(0, 255).astype(np.uint8)
+                payloads.append(encode_jpeg_progressive(
+                    img, quality=85, subsample=True))
+                mimes.append("image/jpeg;progressive")
+                widths.append(16)
+                heights.append(16)
+                durations.append(-1)
+                continue
             if variant == 4:
                 from rayschema.codecs import encode_tiff
                 payloads.append(encode_tiff(

@@ -1424,7 +1424,7 @@ def _shuffle_shard_rank(ds, n_shards: int = SHUF_N_SHARDS,
 
     def hpartial(b: pa.Table) -> pa.Table:
         g = b.group_by(["shard", "bucket"]).aggregate([([], "count_all")])
-        return g.rename_columns(["shard", "bucket", "cnt"])
+        return g.select(['shard', 'bucket', 'count_all']).rename_columns(["shard", "bucket", "cnt"])
 
     hist = (tagged.map_batches(hpartial, batch_format="pyarrow")
             .to_pandas().groupby(["shard", "bucket"], as_index=False)
@@ -1574,7 +1574,7 @@ def lang_source_residuals(sf_dir: str):
         b = b.filter(pc.and_(pc.is_valid(b.column("lang")),
                              pc.is_valid(b.column("source"))))
         g = b.group_by(["lang", "source"]).aggregate([([], "count_all")])
-        return g.rename_columns(["lang", "source", "n"])
+        return g.select(['lang', 'source', 'count_all']).rename_columns(["lang", "source", "n"])
 
     agg = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["lang", "source"])
@@ -2846,17 +2846,23 @@ def top_revenue_customers(sf_dir: str):
                 .groupby("o_custkey")
                 .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
     top = per_cust.sort(["revenue_cents", "o_custkey"], descending=[True, False]).limit(10)
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    # name lookup AFTER the limit: only the 10 winner keys are read
+    # back, and the customer read is row-filtered to exactly those
+    # keys — never a whole-table dict broadcast for a 10-row result
+    top_tab = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    winners = top_tab.column("o_custkey").to_pylist()
+    import pyarrow.dataset as pads
+    import ray.data as rd
 
-    def attach(b: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = b.column("o_custkey").to_pylist()
-        names = [lookup.get(k) for k in keys]
-        return (b.rename_columns(["c_custkey", "revenue_cents"])
-                 .append_column("c_name", pa.array(names, type=pa.string())))
-
-    return top.map_batches(attach, batch_format="pyarrow")
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"],
+        filter=pads.field("c_custkey").isin(winners)).to_pandas()
+    lookup = dict(zip(cust["c_custkey"], cust["c_name"]))
+    names = [lookup.get(k) for k in winners]
+    out = (top_tab.rename_columns(["c_custkey", "revenue_cents"])
+           .append_column("c_name", pa.array(names, type=pa.string())))
+    return rd.from_arrow(out)
 
 
 def events_hourly_window(sf_dir: str):
@@ -3288,7 +3294,7 @@ def value_quartile_by_type(sf_dir: str):
 
     def hpartial(b: pa.Table) -> pa.Table:
         g = b.group_by(["tc", "bucket"]).aggregate([([], "count_all")])
-        return g.rename_columns(["tc", "bucket", "cnt"])
+        return g.select(['tc', 'bucket', 'count_all']).rename_columns(["tc", "bucket", "cnt"])
 
     hist = (tagged.map_batches(hpartial, batch_format="pyarrow")
             .to_pandas().groupby(["tc", "bucket"], as_index=False)
@@ -4051,7 +4057,7 @@ def chars_quartiles_by_lang(sf_dir: str):
                              "n_chars": pa.array([], type=pa.int64()),
                              "cnt": pa.array([], type=pa.int64())})
         g = b.group_by(["lang", "n_chars"]).aggregate([([], "count_all")])
-        return g.rename_columns(["lang", "n_chars", "cnt"])
+        return g.select(['lang', 'n_chars', 'count_all']).rename_columns(["lang", "n_chars", "cnt"])
 
     part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if len(part) == 0:
@@ -4288,7 +4294,7 @@ def lang_source_pivot(sf_dir: str):
             "source": pc.coalesce(src, pa.scalar("__null__")),
             "lang": pc.coalesce(lang, pa.scalar("__null__"))})
         g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
-        return g.rename_columns(["source", "lang", "cnt"])
+        return g.select(['source', 'lang', 'count_all']).rename_columns(["source", "lang", "cnt"])
 
     part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     agg = part.groupby(["source", "lang"], as_index=False)["cnt"].sum()
@@ -4326,7 +4332,7 @@ def range_partition_bounds(sf_dir: str):
             return pa.table({"n_chars": pa.array([], type=pa.int64()),
                              "cnt": pa.array([], type=pa.int64())})
         g = b.group_by(["n_chars"]).aggregate([([], "count_all")])
-        return g.rename_columns(["n_chars", "cnt"])
+        return g.select(['n_chars', 'count_all']).rename_columns(["n_chars", "cnt"])
 
     part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     agg = (part.groupby("n_chars", as_index=False)["cnt"].sum()
@@ -4371,7 +4377,7 @@ def global_sort_rank(sf_dir: str):
             return pa.table({"n_chars": pa.array([], type=pa.int64()),
                              "cnt": pa.array([], type=pa.int64())})
         g = b.group_by(["n_chars"]).aggregate([([], "count_all")])
-        return g.rename_columns(["n_chars", "cnt"])
+        return g.select(['n_chars', 'count_all']).rename_columns(["n_chars", "cnt"])
 
     part = ds.map_batches(hpartial, batch_format="pyarrow").to_pandas()
     agg = (part.groupby("n_chars", as_index=False)["cnt"].sum()
@@ -4500,7 +4506,7 @@ def lang_source_rollup(sf_dir: str):
                                   pa.scalar("__null__")),
             "lang": pc.coalesce(b.column("lang"), pa.scalar("__null__"))})
         g = t.group_by(["source", "lang"]).aggregate([([], "count_all")])
-        return g.rename_columns(["source", "lang", "cnt"])
+        return g.select(['source', 'lang', 'count_all']).rename_columns(["source", "lang", "cnt"])
 
     part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     fine = part.groupby(["source", "lang"], as_index=False)["cnt"].sum()
@@ -5030,7 +5036,7 @@ def jsonl_roundtrip(sf_dir: str):
                       "one": pa.array(np.ones(len(ids), dtype=np.int64))})
         g = t.group_by("lang").aggregate(
             [("ids", "sum"), ("tlen", "sum"), ("one", "sum")])
-        return g.rename_columns(["lang", "id_sum", "text_chars", "n_rows"])
+        return g.select(['lang', 'ids_sum', 'tlen_sum', 'one_sum']).rename_columns(["lang", "id_sum", "text_chars", "n_rows"])
 
     return (back.map_batches(partial, batch_format="pyarrow")
             .groupby("lang")
@@ -5074,7 +5080,7 @@ def partitioned_write_roundtrip(sf_dir: str):
                       "n_chars": b.column("n_chars").cast(pa.int64())})
         g = t.group_by(["lang"]).aggregate([("n_chars", "sum"),
                                             ([], "count_all")])
-        return g.rename_columns(["lang", "sum_chars", "n_docs"])
+        return g.select(['lang', 'n_chars_sum', 'count_all']).rename_columns(["lang", "sum_chars", "n_docs"])
 
     part = back.map_batches(partial, batch_format="pyarrow").to_pandas()
     out = (part.groupby("lang", as_index=False)
@@ -5192,7 +5198,7 @@ def trending_event_types(sf_dir: str):
                       "event_type": b.column("event_type")})
         g = t.group_by(["hour_bucket", "event_type"]) \
             .aggregate([([], "count_all")])
-        return g.rename_columns(["hour_bucket", "event_type", "cnt"])
+        return g.select(['hour_bucket', 'event_type', 'count_all']).rename_columns(["hour_bucket", "event_type", "cnt"])
 
     part = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     agg = (part.groupby(["hour_bucket", "event_type"], as_index=False)
@@ -5620,7 +5626,7 @@ def value_mad_outliers(sf_dir: str):
         g = (pa.table({"event_type": b.column("event_type"),
                        "cents": pa.array(cents)})
              .group_by(["event_type", "cents"]).aggregate([([], "count_all")]))
-        return g.rename_columns(["event_type", "cents", "cnt"])
+        return g.select(['event_type', 'cents', 'count_all']).rename_columns(["event_type", "cents", "cnt"])
 
     def lower_median(vals: np.ndarray, cnts: np.ndarray) -> int:
         o = np.argsort(vals)
@@ -5657,7 +5663,7 @@ def value_mad_outliers(sf_dir: str):
                        .filter(pa.array(hit)),
                        "dev": pa.array(dev)})
              .group_by(["event_type", "dev"]).aggregate([([], "count_all")]))
-        return g.rename_columns(["event_type", "dev", "cnt"])
+        return g.select(['event_type', 'dev', 'count_all']).rename_columns(["event_type", "dev", "cnt"])
 
     h2 = (ds.map_batches(dev_partial, batch_format="pyarrow").to_pandas()
           .groupby(["event_type", "dev"], as_index=False)["cnt"].sum())
@@ -5760,7 +5766,7 @@ def lang_source_cube(sf_dir: str):
         t = b.filter(m)
         g = t.group_by(["lang", "source"]).aggregate(
             [([], "count_all"), ("n_chars", "sum")])
-        return g.rename_columns(["lang", "source", "n", "sc"])
+        return g.select(['lang', 'source', 'count_all', 'n_chars_sum']).rename_columns(["lang", "source", "n", "sc"])
 
     fine = (ds.map_batches(partial, batch_format="pyarrow").to_pandas()
             .groupby(["lang", "source"], as_index=False)
@@ -7711,7 +7717,7 @@ def _format_roundtrip(sf_dir: str, fmt: str):
                       "one": pa.array(np.ones(len(ids), dtype=np.int64))})
         g = t.group_by("lang").aggregate(
             [("ids", "sum"), ("tlen", "sum"), ("one", "sum")])
-        return g.rename_columns(["lang", "id_sum", "text_chars", "n_rows"])
+        return g.select(['lang', 'ids_sum', 'tlen_sum', 'one_sum']).rename_columns(["lang", "id_sum", "text_chars", "n_rows"])
 
     return (back.map_batches(partial, batch_format="pyarrow")
             .groupby("lang")
@@ -7900,7 +7906,7 @@ def corr_quantity_price(sf_dir: str):
         g = t.group_by("l_returnflag").aggregate(
             [("n", "sum"), ("sum_x", "sum"), ("sum_y", "sum"),
              ("sum_xy", "sum"), ("sum_x2", "sum"), ("sum_y2", "sum")])
-        return g.rename_columns(["l_returnflag", "n", "sum_x", "sum_y",
+        return g.select(['l_returnflag', 'n_sum', 'sum_x_sum', 'sum_y_sum', 'sum_xy_sum', 'sum_x2_sum', 'sum_y2_sum']).rename_columns(["l_returnflag", "n", "sum_x", "sum_y",
                                  "sum_xy", "sum_x2", "sum_y2"])
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
@@ -7947,7 +7953,7 @@ def _cov_sum_by_key(b: pa.Table) -> pa.Table:
     j grids in one batch cuts shuffle volume by j before the final
     single-key groupby."""
     g = b.group_by("k").aggregate([("s_q12", "sum"), ("n_vecs", "sum")])
-    return g.rename_columns(["k", "s_q12", "n_vecs"])
+    return g.select(['k', 's_q12_sum', 'n_vecs_sum']).rename_columns(["k", "s_q12", "n_vecs"])
 
 
 def embedding_covariance_by_label(sf_dir: str):
@@ -8058,7 +8064,7 @@ def pca_project_embeddings(sf_dir: str):
 
     def sum_by_key(b: pa.Table) -> pa.Table:
         g = b.group_by("k").aggregate([("s_q12", "sum")])
-        return g.rename_columns(["k", "s_q12"])
+        return g.select(['k', 's_q12_sum']).rename_columns(["k", "s_q12"])
 
     # batch_size=None on the single post-repartition block keeps the
     # final fold exact at any combined-grid size (see covariance note)
@@ -8301,7 +8307,7 @@ def perplexity_bucket_filter(sf_dir: str):
                       "one": pa.array(np.ones(b.num_rows,
                                               dtype=np.int64))})
         g = t.group_by(["lang", "mean_mbits"]).aggregate([("one", "sum")])
-        return g.rename_columns(["lang", "mean_mbits", "cnt"])
+        return g.select(['lang', 'mean_mbits', 'one_sum']).rename_columns(["lang", "mean_mbits", "cnt"])
 
     hist = (scores.map_batches(hpartial, batch_format="pyarrow")
             .groupby(["lang", "mean_mbits"])
@@ -8578,7 +8584,7 @@ def value_median_interp_by_type(sf_dir: str):
                           .to_numpy(zero_copy_only=False)))})
         g = t.group_by(["event_type", "cents"]).aggregate(
             [([], "count_all")])
-        return g.rename_columns(["event_type", "cents", "cnt"])
+        return g.select(['event_type', 'cents', 'count_all']).rename_columns(["event_type", "cents", "cnt"])
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .to_pandas()
@@ -8627,7 +8633,7 @@ def psi_value_drift(sf_dir: str):
                       "bucket": pa.array(cents >> PSI_BSHIFT)})
         g = t.group_by(["event_type", "bucket"]).aggregate(
             [([], "count_all")])
-        return g.rename_columns(["event_type", "bucket", "cnt"])
+        return g.select(['event_type', 'bucket', 'count_all']).rename_columns(["event_type", "bucket", "cnt"])
 
     grid = (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(["event_type", "bucket"])
@@ -8760,7 +8766,7 @@ def winsorize_events(sf_dir: str):
                           .to_numpy(zero_copy_only=False)))})
         g = t.group_by(["event_type", "cents"]).aggregate(
             [([], "count_all")])
-        return g.rename_columns(["event_type", "cents", "cnt"])
+        return g.select(['event_type', 'cents', 'count_all']).rename_columns(["event_type", "cents", "cnt"])
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .to_pandas()
@@ -8812,7 +8818,7 @@ def token_fertility_by_lang(sf_dir: str):
                                               dtype=np.int64))})
         g = t.group_by("lang").aggregate(
             [("one", "sum"), ("w", "sum"), ("bpe", "sum")])
-        return g.rename_columns(["lang", "n_docs", "sum_words",
+        return g.select(['lang', 'one_sum', 'w_sum', 'bpe_sum']).rename_columns(["lang", "n_docs", "sum_words",
                                  "sum_bpe"])
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
@@ -8860,7 +8866,7 @@ def curriculum_bins(sf_dir: str):
                          pc.add(spaces, pa.scalar(1, type=pa.int64())))
         t = pa.table({"source": b.column("source"), "tok": tok})
         g = t.group_by(["source", "tok"]).aggregate([([], "count_all")])
-        return g.rename_columns(["source", "tok", "cnt"])
+        return g.select(['source', 'tok', 'count_all']).rename_columns(["source", "tok", "cnt"])
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .to_pandas()
@@ -8934,7 +8940,7 @@ def ols_value_on_hour(sf_dir: str):
         g = t.group_by("event_type").aggregate(
             [("n", "sum"), ("sum_h", "sum"), ("sum_y", "sum"),
              ("sum_hh", "sum"), ("sum_hy", "sum")])
-        return g.rename_columns(["event_type", "n", "sum_h", "sum_y",
+        return g.select(['event_type', 'n_sum', 'sum_h_sum', 'sum_y_sum', 'sum_hh_sum', 'sum_hy_sum']).rename_columns(["event_type", "n", "sum_h", "sum_y",
                                  "sum_hh", "sum_hy"])
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
@@ -9109,7 +9115,7 @@ def ab_test_value_audit(sf_dir: str):
         g = t.group_by("event_type").aggregate(
             [("n_a", "sum"), ("sum_a", "sum"), ("ss_a", "sum"),
              ("n_b", "sum"), ("sum_b", "sum"), ("ss_b", "sum")])
-        return g.rename_columns(["event_type", "n_a", "sum_a", "ss_a",
+        return g.select(['event_type', 'n_a_sum', 'sum_a_sum', 'ss_a_sum', 'n_b_sum', 'sum_b_sum', 'ss_b_sum']).rename_columns(["event_type", "n_a", "sum_a", "ss_a",
                                  "n_b", "sum_b", "ss_b"])
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
@@ -9343,7 +9349,7 @@ def k_anonymity_audit(sf_dir: str):
                       "bucket": pa.array(bk)})
         g = t.group_by(["lang", "source", "bucket"]).aggregate(
             [([], "count_all")])
-        return g.rename_columns(["lang", "source", "bucket", "n"])
+        return g.select(['lang', 'source', 'bucket', 'count_all']).rename_columns(["lang", "source", "bucket", "n"])
 
     out = (ds.map_batches(partial, batch_format="pyarrow")
            .groupby(["lang", "source", "bucket"])
@@ -9467,7 +9473,7 @@ def value_mode_by_type(sf_dir: str):
                           .to_numpy(zero_copy_only=False)))})
         g = t.group_by(["event_type", "cents"]).aggregate(
             [([], "count_all")])
-        return g.rename_columns(["event_type", "cents", "cnt"])
+        return g.select(['event_type', 'cents', 'count_all']).rename_columns(["event_type", "cents", "cnt"])
 
     hist = (ds.map_batches(partial, batch_format="pyarrow")
             .to_pandas()
@@ -9626,13 +9632,14 @@ def order_fulfillment_latency(sf_dir: str):
             hit = ok[pos] == lk
             d = sd[hit] - od[pos][hit]
             pr = opr[pos][hit]
-            df = pd.DataFrame({"p": pr, "d": d})
-            g = (df.groupby(["p", "d"], as_index=False)
-                 .size().rename(columns={"size": "cnt"}))
+            # packed-key np.unique fold (the covariance-fold numpy
+            # discipline): p << 24 | (d + 2^20) — |d| < 2^20 days
+            key = (pr << 24) + (d + (1 << 20))
+            uk, cnt = np.unique(key, return_counts=True)
             return pa.table({
-                "p": pa.array(g["p"].to_numpy(np.int64)),
-                "d": pa.array(g["d"].to_numpy(np.int64)),
-                "cnt": pa.array(g["cnt"].to_numpy(np.int64))})
+                "p": pa.array(uk >> 24),
+                "d": pa.array((uk & ((1 << 24) - 1)) - (1 << 20)),
+                "cnt": pa.array(cnt.astype(np.int64))})
 
         hist = (li.map_batches(fold, batch_format="pyarrow")
                 .groupby(["p", "d"])
@@ -9768,7 +9775,7 @@ def revenue_pareto_share(sf_dir: str):
                           b.column("o_totalprice")
                           .to_numpy(zero_copy_only=False)))})
         g = t.group_by("o_custkey").aggregate([("cents", "sum")])
-        return g.rename_columns(["o_custkey", "cents"])
+        return g.select(['o_custkey', 'cents_sum']).rename_columns(["o_custkey", "cents"])
 
     per_cust = (orders.map_batches(partial, batch_format="pyarrow")
                 .groupby("o_custkey")
@@ -9816,7 +9823,7 @@ def langid_confusion_matrix(sf_dir: str):
                       "lang_pred": b.column("lang_pred")})
         g = t.group_by(["lang", "lang_pred"]).aggregate(
             [([], "count_all")])
-        return g.rename_columns(["lang", "lang_pred", "n"])
+        return g.select(['lang', 'lang_pred', 'count_all']).rename_columns(["lang", "lang_pred", "n"])
 
     out = (pred.map_batches(partial, batch_format="pyarrow")
            .groupby(["lang", "lang_pred"])
@@ -11827,7 +11834,7 @@ def quantile_normalize_chars(sf_dir: str):
 
     def hpartial(b: pa.Table) -> pa.Table:
         g = b.group_by(["sc", "n_chars"]).aggregate([([], "count_all")])
-        return g.rename_columns(["sc", "n_chars", "cnt"])
+        return g.select(['sc', 'n_chars', 'count_all']).rename_columns(["sc", "n_chars", "cnt"])
 
     hist = (tagged.map_batches(hpartial, batch_format="pyarrow")
             .to_pandas().groupby(["sc", "n_chars"], as_index=False)
@@ -13751,7 +13758,7 @@ def max_event_type_run(sf_dir: str):
 REORDER_TOP = 20
 
 
-def part_reorder_gap(sf_dir: str):
+def part_reorder_gap(sf_dir: str, broadcast_cap: int = None):
     """Inventory-velocity audit: per part, the mean gap in days between
     consecutive DISTINCT order dates of its lineitems — the
     fastest-moving top-20 by (floor-milli mean gap asc, partkey asc).
@@ -13760,7 +13767,12 @@ def part_reorder_gap(sf_dir: str):
     Min/Max/Count aggregate replaces any sort: n_gaps = n_distinct - 1,
     sum_gap_days = max - min, mean_milli = 1000*sum // n — no
     all-to-all sort anywhere, O(parts) driver state (dimension-
-    bounded). Parts with < 2 distinct dates drop. Emits (l_partkey,
+    bounded). The orderkey -> orderdate side is ADAPTIVE (the
+    q10_returned_items discipline): sorted broadcast arrays under
+    Q3_BROADCAST_CAP gated on the parquet footer row count, a
+    Dataset.join hash exchange past it — orders is fact-scale, so an
+    unconditional driver pull would be a multi-billion-row broadcast
+    at 100 TB. Parts with < 2 distinct dates drop. Emits (l_partkey,
     n_gaps, sum_gap_days, mean_gap_milli, rk)."""
     import ray
     from ray.data.aggregate import Count, Max, Min
@@ -13769,32 +13781,64 @@ def part_reorder_gap(sf_dir: str):
     orders = _read(sf_dir, "orders",
                    columns=["o_orderkey", "o_orderdate"])
 
-    od = orders.to_pandas()
-    ok = od["o_orderkey"].to_numpy(np.int64)
-    order_sort = np.argsort(ok)
-    ok = ok[order_sort]
-    # datetime64[D] = whole days since epoch, unit-independent of how
-    # pandas materialized the timestamp (matches epoch_us // 86400e6)
-    odays = od["o_orderdate"].to_numpy(dtype="datetime64[D]") \
-        .astype(np.int64)[order_sort]
-    ref = ray.put((ok, odays))
+    def _odays(col) -> np.ndarray:
+        # datetime64[D] = whole days since epoch, unit-independent of
+        # how the timestamp materialized (matches epoch_us // 86400e6);
+        # np.asarray handles pandas Series and pyarrow columns alike
+        return (np.asarray(col).astype("datetime64[D]")
+                .astype(np.int64))
 
-    def proj(b: pa.Table, _ref=ref) -> pa.Table:
-        keys, days = ray.get(_ref)
-        lk = b.column("l_orderkey").cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        lp = b.column("l_partkey").cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        if len(keys) == 0:
-            return pa.table({"l_partkey": pa.array([], type=pa.int64()),
-                             "day": pa.array([], type=pa.int64())})
-        pos = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
-        hit = keys[pos] == lk
-        df = pd.DataFrame({"l_partkey": lp[hit],
-                           "day": days[pos][hit]}).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+    cap = Q3_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    n_ord = _table_rows(sf_dir, "orders")
+    if n_ord is not None and n_ord <= cap:
+        od = orders.to_pandas()
+        ok = od["o_orderkey"].to_numpy(np.int64)
+        order_sort = np.argsort(ok)
+        ok = ok[order_sort]
+        odays = _odays(od["o_orderdate"])[order_sort]
+        ref = ray.put((ok, odays))
 
-    agg = (li.map_batches(proj, batch_format="pyarrow")
+        def proj(b: pa.Table, _ref=ref) -> pa.Table:
+            keys, days = ray.get(_ref)
+            lk = b.column("l_orderkey").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            lp = b.column("l_partkey").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            if len(keys) == 0:
+                return pa.table(
+                    {"l_partkey": pa.array([], type=pa.int64()),
+                     "day": pa.array([], type=pa.int64())})
+            pos = np.clip(np.searchsorted(keys, lk), 0, len(keys) - 1)
+            hit = keys[pos] == lk
+            df = pd.DataFrame({"l_partkey": lp[hit],
+                               "day": days[pos][hit]}).drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        pd_days = li.map_batches(proj, batch_format="pyarrow")
+    else:
+        def oday_prep(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "day": pa.array(_odays(b.column("o_orderdate")))})
+
+        odays_ds = orders.map_batches(oday_prep, batch_format="pyarrow")
+        est = (li.size_bytes() or 0) + (odays_ds.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+
+        def narrow(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "l_partkey": b.column("l_partkey").cast(pa.int64())
+                .to_numpy(zero_copy_only=False),
+                "day": b.column("day").to_numpy(zero_copy_only=False)
+            }).drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        pd_days = (li.join(odays_ds, join_type="inner",
+                           num_partitions=n_parts,
+                           on=("l_orderkey",), right_on=("o_orderkey",))
+                   .map_batches(narrow, batch_format="pyarrow"))
+
+    agg = (pd_days
            .groupby(["l_partkey", "day"])
            .aggregate(Count("day", alias_name="nn"))
            .groupby("l_partkey")
@@ -14916,7 +14960,7 @@ def chi2_word_lang(sf_dir: str):
         g = t.group_by(["word", "doc", "lang"]).aggregate([([], "count_all")])
         g2 = pa.table({"word": g.column("word"), "lang": g.column("lang")}) \
             .group_by(["word", "lang"]).aggregate([([], "count_all")])
-        return g2.rename_columns(["word", "lang", "a"])
+        return g2.select(['word', 'lang', 'count_all']).rename_columns(["word", "lang", "a"])
 
     wl = (ds.map_batches(present, batch_format="pyarrow")
           .groupby(["word", "lang"]).aggregate(Sum("a", alias_name="a"))
@@ -14927,7 +14971,7 @@ def chi2_word_lang(sf_dir: str):
                              pc.is_valid(b.column("lang"))))
         g = pa.table({"lang": b.column("lang")}).group_by(["lang"]) \
             .aggregate([([], "count_all")])
-        return g.rename_columns(["lang", "nl"])
+        return g.select(['lang', 'count_all']).rename_columns(["lang", "nl"])
 
     lt = (ds.map_batches(lang_part, batch_format="pyarrow")
           .groupby("lang").aggregate(Sum("nl", alias_name="nl"))
@@ -16641,16 +16685,18 @@ def tfrecord_roundtrip(sf_dir: str):
     return _format_roundtrip(sf_dir, "tfrecord")
 
 
-def hhi_customer_concentration(sf_dir: str):
+def hhi_customer_concentration(sf_dir: str, broadcast_cap: int = None):
     """Herfindahl-Hirschman concentration of order revenue across
     customers WITHIN each nation (is a nation's demand one whale or
     many small buyers?): hhi_ppm = 1e6 * sum(c_i^2) // (sum c_i)^2
     over per-customer revenue cents — exact, computed with Python ints
     on the customer-bounded fold (c_i^2 sums exceed int64 at scale;
     the oracle widens to HUGEINT). Revenue folds per customer through
-    one distributed groupby; the customer -> nation map broadcasts
-    sorted (dimension-bounded, searchsorted with miss-verification —
-    the supplier_nation_balance discipline). Customers with no orders
+    one distributed groupby; the customer -> nation map resolves
+    ADAPTIVELY (the q10_returned_items discipline): broadcast sorted
+    arrays with miss-verification under Q3_BROADCAST_CAP gated on the
+    customer parquet footer count — customer scales with the corpus —
+    a Dataset.join hash exchange past it. Customers with no orders
     contribute nothing (inner join). Emits
     (n_nationkey, n_cust, total_cents, hhi_ppm)."""
     import ray
@@ -16658,33 +16704,65 @@ def hhi_customer_concentration(sf_dir: str):
 
     orders = _read(sf_dir, "orders", columns=["o_custkey",
                                               "o_totalprice"])
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_nationkey"]).to_pandas()
-    ck = cust["c_custkey"].to_numpy(np.int64)
-    order_ = np.argsort(ck)
-    ck = ck[order_]
-    nk = cust["c_nationkey"].to_numpy(np.int64)[order_]
-    ref = ray.put((ck, nk))
 
-    def part(b: pa.Table, _ref=ref) -> pa.Table:
-        keys, nats = ray.get(_ref)
-        c = b.column("o_custkey").cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        cents = _cents(b.column("o_totalprice").to_numpy(
-            zero_copy_only=False))
-        if len(keys) == 0 or len(c) == 0:
-            return pa.table({"ck": pa.array([], type=pa.int64()),
-                             "nk": pa.array([], type=pa.int64()),
-                             "cents": pa.array([], type=pa.int64())})
-        pos = np.clip(np.searchsorted(keys, c), 0, len(keys) - 1)
-        ok = keys[pos] == c          # drop orders with unknown customer
-        df = pd.DataFrame({"ck": c[ok], "nk": nats[pos[ok]],
-                           "cents": cents[ok]})
-        g = df.groupby(["ck", "nk"], as_index=False).sum()
-        return pa.Table.from_pandas(g.astype(np.int64),
-                                    preserve_index=False)
+    cap = Q3_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    n_cust_rows = _table_rows(sf_dir, "customer")
+    if n_cust_rows is not None and n_cust_rows <= cap:
+        cust = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"]).to_pandas()
+        ck = cust["c_custkey"].to_numpy(np.int64)
+        order_ = np.argsort(ck)
+        ck = ck[order_]
+        nk = cust["c_nationkey"].to_numpy(np.int64)[order_]
+        ref = ray.put((ck, nk))
 
-    per_cust = (orders.map_batches(part, batch_format="pyarrow")
+        def part(b: pa.Table, _ref=ref) -> pa.Table:
+            keys, nats = ray.get(_ref)
+            c = b.column("o_custkey").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            cents = _cents(b.column("o_totalprice").to_numpy(
+                zero_copy_only=False))
+            if len(keys) == 0 or len(c) == 0:
+                return pa.table(
+                    {"ck": pa.array([], type=pa.int64()),
+                     "nk": pa.array([], type=pa.int64()),
+                     "cents": pa.array([], type=pa.int64())})
+            pos = np.clip(np.searchsorted(keys, c), 0, len(keys) - 1)
+            ok = keys[pos] == c      # drop orders w/ unknown customer
+            df = pd.DataFrame({"ck": c[ok], "nk": nats[pos[ok]],
+                               "cents": cents[ok]})
+            g = df.groupby(["ck", "nk"], as_index=False).sum()
+            return pa.Table.from_pandas(g.astype(np.int64),
+                                        preserve_index=False)
+
+        joined = orders.map_batches(part, batch_format="pyarrow")
+    else:
+        cust_ds = _read(sf_dir, "customer",
+                        columns=["c_custkey", "c_nationkey"])
+
+        def oprep(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_custkey": b.column("o_custkey").cast(pa.int64()),
+                "cents": pa.array(_cents(
+                    b.column("o_totalprice").to_numpy(
+                        zero_copy_only=False)))})
+
+        oc = orders.map_batches(oprep, batch_format="pyarrow")
+        est = (oc.size_bytes() or 0) + (cust_ds.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "ck": b.column("o_custkey").cast(pa.int64()),
+                "nk": b.column("c_nationkey").cast(pa.int64()),
+                "cents": b.column("cents")})
+
+        joined = (oc.join(cust_ds, join_type="inner",
+                          num_partitions=n_parts,
+                          on=("o_custkey",), right_on=("c_custkey",))
+                  .map_batches(rename, batch_format="pyarrow"))
+
+    per_cust = (joined
                 .groupby(["ck", "nk"])
                 .aggregate(Sum("cents", alias_name="cents"))
                 .to_pandas())
@@ -17128,7 +17206,7 @@ class _MigrationValidator:
         g = t.group_by("lang").aggregate(
             [("n", "sum"), ("valid_v1", "sum"), ("valid_v2", "sum"),
              ("newly_invalid", "sum")])
-        return g.rename_columns(["lang", "n", "valid_v1", "valid_v2",
+        return g.select(['lang', 'n_sum', 'valid_v1_sum', 'valid_v2_sum', 'newly_invalid_sum']).rename_columns(["lang", "n", "valid_v1", "valid_v2",
                                  "newly_invalid"])
 
 
@@ -17229,9 +17307,12 @@ def part_price_dispersion(sf_dir: str):
     1000 * price_cents // qty_units; rows with zero quantity drop) —
     top-20 by (dispersion_ppm desc, partkey asc), where
     dispersion_ppm = 1e6 * (max - min) // max. Per-block partial
-    min/max/count per part, one part-keyed groupby, part-bounded
-    driver ranking. Emits (l_partkey, n_lines, min_unit_milli,
-    max_unit_milli, dispersion_ppm)."""
+    min/max/count per part via argsort + ufunc.reduceat (the
+    embedding_covariance_by_label numpy-fold discipline — the pandas
+    df.groupby partial this replaces was the whole 5.2 s cost at
+    sf0.1), one part-keyed groupby, part-bounded driver ranking.
+    Emits (l_partkey, n_lines, min_unit_milli, max_unit_milli,
+    dispersion_ppm)."""
     from ray.data.aggregate import Max, Min, Sum
 
     ds = _read(sf_dir, "lineitem",
@@ -17246,11 +17327,19 @@ def part_price_dispersion(sf_dir: str):
             zero_copy_only=False))
         m = qty > 0
         unit = (1000 * cents[m]) // qty[m]
-        df = pd.DataFrame({"pk": pk[m], "u": unit})
-        g = df.groupby("pk").agg(n=("u", "size"), lo=("u", "min"),
-                                 hi=("u", "max")).reset_index()
-        return pa.Table.from_pandas(g.astype(np.int64),
-                                    preserve_index=False)
+        pk = pk[m]
+        if len(pk) == 0:
+            return pa.table({c: pa.array([], type=pa.int64())
+                             for c in ("pk", "n", "lo", "hi")})
+        order = np.argsort(pk, kind="stable")
+        pk_s, u_s = pk[order], unit[order]
+        starts = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]])
+        return pa.table({
+            "pk": pa.array(pk_s[starts]),
+            "n": pa.array(np.diff(np.r_[starts, len(pk_s)])
+                          .astype(np.int64)),
+            "lo": pa.array(np.minimum.reduceat(u_s, starts)),
+            "hi": pa.array(np.maximum.reduceat(u_s, starts))})
 
     agg = (ds.map_batches(part, batch_format="pyarrow")
            .groupby("pk")
@@ -17598,62 +17687,114 @@ def validation_drift_by_day(sf_dir: str):
             [cols].astype(np.int64))
 
 
-def region_quarter_lift(sf_dir: str):
+def region_quarter_lift(sf_dir: str, broadcast_cap: int = None):
     """Contingency lift on a MEASURE (not counts): revenue share of
     each (region, quarter) cell vs what independence predicts —
     lift_ppm = 1e6 * obs * total // (row_total * col_total), exact in
     Python big ints over the bounded region x quarter grid (the
     lang_source_residuals idea applied to cents mass). Customer ->
-    nation -> region resolves via two broadcast sorted maps (the
-    supplier_nation_balance discipline, misses dropped like the inner
-    join); per-block (region, quarter, cents) partials fold through
-    one tiny groupby. Emits (r_regionkey, yr, q, cents, lift_ppm)."""
+    nation resolves ADAPTIVELY (the q10_returned_items discipline:
+    broadcast sorted map under Q3_BROADCAST_CAP gated on the customer
+    parquet footer count — customer scales with the corpus — a
+    Dataset.join hash exchange past it); nation -> region is a 25-row
+    always-broadcast map. Misses drop like the inner join; per-block
+    (region, quarter, cents) partials fold through one tiny groupby.
+    Emits (r_regionkey, yr, q, cents, lift_ppm)."""
     import ray
     from ray.data.aggregate import Sum
 
     orders = _read(sf_dir, "orders",
                    columns=["o_custkey", "o_orderdate",
                             "o_totalprice"])
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_nationkey"]).to_pandas()
     nat = _read(sf_dir, "nation",
                 columns=["n_nationkey", "n_regionkey"]).to_pandas()
-    ck = cust["c_custkey"].to_numpy(np.int64)
-    o_ = np.argsort(ck)
-    ck = ck[o_]
-    cnk = cust["c_nationkey"].to_numpy(np.int64)[o_]
     nk = nat["n_nationkey"].to_numpy(np.int64)
     o2 = np.argsort(nk)
     nk = nk[o2]
     nrk = nat["n_regionkey"].to_numpy(np.int64)[o2]
-    ref = ray.put((ck, cnk, nk, nrk))
 
-    def part(b: pa.Table, _ref=ref) -> pa.Table:
-        ck, cnk, nk, nrk = ray.get(_ref)
-        empty = pa.table({c: pa.array([], type=pa.int64())
-                          for c in ("rk", "yr", "q", "cents")})
-        c = b.column("o_custkey").cast(pa.int64()) \
-            .to_numpy(zero_copy_only=False)
-        if len(ck) == 0 or len(c) == 0 or len(nk) == 0:
-            return empty
+    def _oq(b: pa.Table):
         cents = _cents(b.column("o_totalprice").to_numpy(
             zero_copy_only=False))
         d = b.column("o_orderdate").to_numpy(zero_copy_only=False) \
             .astype("datetime64[M]").astype(np.int64)
-        yr = d // 12 + 1970
-        q = (d % 12) // 3 + 1
-        pos = np.clip(np.searchsorted(ck, c), 0, len(ck) - 1)
-        ok = ck[pos] == c
-        nkey = cnk[pos]
-        pos2 = np.clip(np.searchsorted(nk, nkey), 0, len(nk) - 1)
-        ok &= nk[pos2] == nkey
-        df = pd.DataFrame({"rk": nrk[pos2][ok], "yr": yr[ok],
-                           "q": q[ok], "cents": cents[ok]})
-        g = df.groupby(["rk", "yr", "q"], as_index=False).sum()
-        return pa.Table.from_pandas(g.astype(np.int64),
-                                    preserve_index=False)
+        return d // 12 + 1970, (d % 12) // 3 + 1, cents
 
-    agg = (orders.map_batches(part, batch_format="pyarrow")
+    def _nat_to_region(nkey, _nk=nk, _nrk=nrk):
+        pos2 = np.clip(np.searchsorted(_nk, nkey), 0, len(_nk) - 1)
+        return _nrk[pos2], _nk[pos2] == nkey
+
+    cap = Q3_BROADCAST_CAP if broadcast_cap is None else broadcast_cap
+    n_cust = _table_rows(sf_dir, "customer")
+    if n_cust is not None and n_cust <= cap:
+        cust = _read(sf_dir, "customer",
+                     columns=["c_custkey", "c_nationkey"]).to_pandas()
+        ck = cust["c_custkey"].to_numpy(np.int64)
+        o_ = np.argsort(ck)
+        ck = ck[o_]
+        cnk = cust["c_nationkey"].to_numpy(np.int64)[o_]
+        ref = ray.put((ck, cnk))
+
+        def part(b: pa.Table, _ref=ref) -> pa.Table:
+            ck, cnk = ray.get(_ref)
+            empty = pa.table({c: pa.array([], type=pa.int64())
+                              for c in ("rk", "yr", "q", "cents")})
+            c = b.column("o_custkey").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            if len(ck) == 0 or len(c) == 0 or len(nk) == 0:
+                return empty
+            yr, q, cents = _oq(b)
+            pos = np.clip(np.searchsorted(ck, c), 0, len(ck) - 1)
+            ok = ck[pos] == c
+            rk, hit = _nat_to_region(cnk[pos])
+            ok &= hit
+            df = pd.DataFrame({"rk": rk[ok], "yr": yr[ok],
+                               "q": q[ok], "cents": cents[ok]})
+            g = df.groupby(["rk", "yr", "q"], as_index=False).sum()
+            return pa.Table.from_pandas(g.astype(np.int64),
+                                        preserve_index=False)
+
+        cells = orders.map_batches(part, batch_format="pyarrow")
+    else:
+        cust_ds = _read(sf_dir, "customer",
+                        columns=["c_custkey", "c_nationkey"])
+
+        def oprep(b: pa.Table) -> pa.Table:
+            yr, q, cents = _oq(b)
+            return pa.table({
+                "o_custkey": b.column("o_custkey").cast(pa.int64()),
+                "yr": pa.array(yr), "q": pa.array(q),
+                "cents": pa.array(cents)})
+
+        oq = orders.map_batches(oprep, batch_format="pyarrow")
+        est = (oq.size_bytes() or 0) + (cust_ds.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+
+        def region_part(b: pa.Table) -> pa.Table:
+            empty = pa.table({c: pa.array([], type=pa.int64())
+                              for c in ("rk", "yr", "q", "cents")})
+            if b.num_rows == 0 or len(nk) == 0:
+                return empty
+            nkey = b.column("c_nationkey").cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            rk, hit = _nat_to_region(nkey)
+            df = pd.DataFrame({
+                "rk": rk[hit],
+                "yr": b.column("yr").to_numpy(
+                    zero_copy_only=False)[hit],
+                "q": b.column("q").to_numpy(zero_copy_only=False)[hit],
+                "cents": b.column("cents").to_numpy(
+                    zero_copy_only=False)[hit]})
+            g = df.groupby(["rk", "yr", "q"], as_index=False).sum()
+            return pa.Table.from_pandas(g.astype(np.int64),
+                                        preserve_index=False)
+
+        cells = (oq.join(cust_ds, join_type="inner",
+                         num_partitions=n_parts,
+                         on=("o_custkey",), right_on=("c_custkey",))
+                 .map_batches(region_part, batch_format="pyarrow"))
+
+    agg = (cells
            .groupby(["rk", "yr", "q"])
            .aggregate(Sum("cents", alias_name="cents")).to_pandas())
     cols = ["r_regionkey", "yr", "q", "cents", "lift_ppm"]
@@ -18196,7 +18337,7 @@ def common_prefix_boilerplate(sf_dir: str):
                                        BOILERPLATE_PREFIX_LEN)
         t = pa.table({"prefix": pref})
         g = t.group_by("prefix").aggregate([("prefix", "count")])
-        return g.rename_columns(["prefix", "n"])
+        return g.select(['prefix', 'prefix_count']).rename_columns(["prefix", "n"])
 
     agg = (ds.map_batches(part, batch_format="pyarrow")
            .groupby("prefix")
@@ -18347,7 +18488,7 @@ def table_format_upsert(sf_dir: str):
                       "one": pa.array(np.ones(len(ids), dtype=np.int64))})
         g = t.group_by("lang").aggregate(
             [("ids", "sum"), ("nc", "sum"), ("one", "sum")])
-        return g.rename_columns(["lang", "id_sum", "chars_sum", "n_rows"])
+        return g.select(['lang', 'ids_sum', 'nc_sum', 'one_sum']).rename_columns(["lang", "id_sum", "chars_sum", "n_rows"])
 
     return (read_version(root)
             .map_batches(partial, batch_format="pyarrow")
@@ -18524,7 +18665,7 @@ def l_diversity_audit(sf_dir: str):
                       "source": b.column("source")})
         g = t.group_by(["lang", "bucket", "source"]).aggregate(
             [([], "count_all")])
-        return g.rename_columns(["lang", "bucket", "source", "n"])
+        return g.select(['lang', 'bucket', 'source', 'count_all']).rename_columns(["lang", "bucket", "source", "n"])
 
     triples = (ds.map_batches(partial, batch_format="pyarrow")
                .groupby(["lang", "bucket", "source"])
@@ -18577,18 +18718,21 @@ def mg_heavy_hitters_events(sf_dir: str):
                          count=len(mg.counts))
         vs = np.fromiter(mg.counts.values(), dtype=np.int64,
                          count=len(mg.counts))
-        # sentinel row (user_id = -1) carries this block's raw count so
-        # the driver can recover n_total without a second pass
-        return pa.table({"user_id": pa.array(np.r_[ks, -1]),
+        # a dedicated marker column carries this block's raw count so
+        # the driver can recover n_total without a second pass (NOT a
+        # magic user_id sentinel — negative user ids stay first-class)
+        return pa.table({"user_id": pa.array(np.r_[ks, 0]),
                          "c": pa.array(np.r_[vs, len(u)]
-                                       .astype(np.int64))})
+                                       .astype(np.int64)),
+                         "is_total": pa.array(np.r_[
+                             np.zeros(len(ks), dtype=np.int64), 1])})
 
     parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
     if parts.empty:
         return pd.DataFrame({"user_id": pd.Series([], dtype=np.int64),
                              "n_events": pd.Series([], dtype=np.int64)})
-    n_total = int(parts.loc[parts["user_id"] < 0, "c"].sum())
-    cnt = parts[parts["user_id"] >= 0].groupby("user_id")["c"].sum()
+    n_total = int(parts.loc[parts["is_total"] == 1, "c"].sum())
+    cnt = parts[parts["is_total"] == 0].groupby("user_id")["c"].sum()
     # flat merge of all block summaries (any merge tree preserves the
     # n/(budget+1) undercount bound — Agarwal et al. 2012): counter-wise
     # sum, then ONE batched decrement back to the budget

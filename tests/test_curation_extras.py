@@ -5520,3 +5520,43 @@ def test_l_diversity_audit_planted(ray_session, tmp_path):
     pq.write_table(docs, os.path.join(tmp_path, "documents.parquet"))
     got = l_diversity_audit(str(tmp_path))
     assert got.values.tolist() == [["en", 0, 3, 1]]
+
+
+def test_part_reorder_gap_broadcast_vs_join_paths_equal(ray_session):
+    """broadcast_cap=0 forces the Dataset.join hash-exchange path for
+    the orderkey -> orderdate side (orders is fact-scale; r4 verdict
+    flagged the unconditional driver pull); both paths must agree."""
+    from rayschema.queries import part_reorder_gap
+
+    sf = "/root/testdata/sf0.001"
+    fast = part_reorder_gap(sf)
+    slow = part_reorder_gap(sf, broadcast_cap=0)
+    assert fast.values.tolist() == slow.values.tolist()
+    assert list(fast.columns) == list(slow.columns)
+    assert len(fast) > 0
+
+
+def test_region_quarter_lift_broadcast_vs_join_paths_equal(ray_session):
+    """broadcast_cap=0 forces the orders x customer hash join (customer
+    scales with the corpus); the 25-row nation map stays broadcast."""
+    from rayschema.queries import region_quarter_lift
+
+    sf = "/root/testdata/sf0.001"
+    fast = region_quarter_lift(sf)
+    slow = region_quarter_lift(sf, broadcast_cap=0)
+    assert fast.values.tolist() == slow.values.tolist()
+    assert list(fast.columns) == list(slow.columns)
+    assert len(fast) > 0
+
+
+def test_hhi_broadcast_vs_join_paths_equal(ray_session):
+    """broadcast_cap=0 forces the orders x customer hash join for the
+    customer -> nation resolution; per-nation HHI must be identical."""
+    from rayschema.queries import hhi_customer_concentration
+
+    sf = "/root/testdata/sf0.001"
+    fast = hhi_customer_concentration(sf)
+    slow = hhi_customer_concentration(sf, broadcast_cap=0)
+    assert fast.values.tolist() == slow.values.tolist()
+    assert list(fast.columns) == list(slow.columns)
+    assert len(fast) > 0

@@ -1134,3 +1134,27 @@ def test_jl_signs_and_projection_exact(ray_session, tmp_path):
     assert (p0 == 1_000_000 * s[0]).all()
     p1 = got.iloc[1][[f"p{k}" for k in range(1, 9)]].to_numpy(np.int64)
     assert (p1 == 500_000 * s.sum(axis=0)).all()
+
+
+def test_ppjoin_driver_chunked_pairs_equal(ray_session, monkeypatch):
+    """A tiny PPJOIN_DRIVER_PAIR_BUDGET forces the sliced per-bucket
+    pair generation (bounded driver memory on hot shared shingles);
+    verified pairs must be identical to the unchunked run."""
+    import ray.data as rd
+
+    from rayschema import dedup as dd
+
+    rng = np.random.default_rng(7)
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base + (" extra" * int(rng.integers(0, 4))) + str(i % 3)
+             for i in range(40)]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(40, dtype=np.int64)),
+        "text": pa.array(texts)}))
+    fast = dd.ppjoin_pairs(ds, threshold=0.6, driver_cap=10_000) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    monkeypatch.setattr(dd, "PPJOIN_DRIVER_PAIR_BUDGET", 8)
+    slow = dd.ppjoin_pairs(ds, threshold=0.6, driver_cap=10_000) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(fast) > 0
+    assert fast.values.tolist() == slow.values.tolist()

@@ -349,10 +349,16 @@ def test_jpeg_decoder_guards():
 
     with _pytest.raises(ValueError):
         decode_jpeg(b"nope")
-    # progressive (SOF2) must be rejected, not mis-decoded
+    # lossless (SOF3) must be rejected, not mis-decoded
     from rayschema.jpeg import encode_jpeg
     data = bytearray(encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
     i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC3
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(data))
+    # a baseline stream mislabeled SOF2 is malformed progressive (its
+    # interleaved Ss=0..Se=63 scan violates T.81 G.1) — rejected, not
+    # silently DC-only decoded
     data[i + 1] = 0xC2
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(data))
@@ -388,3 +394,74 @@ def test_jpeg_geometry_fuzz():
     assert decode_jpeg(encode_jpeg(noisy, quality=50,
                                    subsample=True))["rgb"].shape \
         == (19, 13, 3)
+
+
+def test_progressive_jpeg_matches_baseline_exactly():
+    """Cross-codec oracle: SOF2 progressive decode must equal baseline
+    decode of the SAME quantized coefficients pixel for pixel — a
+    symmetric encoder/decoder bug in the Annex-G scan logic cannot
+    cancel out across the two codecs."""
+    from rayschema.jpeg import (decode_jpeg, encode_jpeg,
+                                encode_jpeg_progressive)
+
+    rng = np.random.default_rng(3)
+    for (h, w) in ((40, 56), (33, 49), (8, 24)):
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        img = np.stack([
+            (x * 255 // w).astype(np.uint8),
+            (y * 255 // h).astype(np.uint8),
+            ((x + y) % 256).astype(np.uint8)], axis=2)
+        img[h // 4:h // 2, w // 4:w // 2] = rng.integers(
+            0, 256, (h // 2 - h // 4, w // 2 - w // 4, 3), dtype=np.uint8)
+        for subsample in (False, True):
+            for q in (85, 50):
+                base = decode_jpeg(encode_jpeg(
+                    img, quality=q, subsample=subsample))
+                prog = decode_jpeg(encode_jpeg_progressive(
+                    img, quality=q, subsample=subsample))
+                assert np.array_equal(base["rgb"], prog["rgb"]), \
+                    (h, w, subsample, q)
+
+
+def test_progressive_jpeg_golden_pixels():
+    """Golden-pixel pin: a fixed 4:4:4 progressive stream decodes to
+    exact known values (4:4:4 q=95 is near-lossless on smooth data)."""
+    from rayschema.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, :, 0] = np.arange(16, dtype=np.uint8)[None, :] * 16
+    img[:, :, 1] = 128
+    img[:, :, 2] = np.arange(16, dtype=np.uint8)[:, None] * 16
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=95))
+    assert out["rgb"].shape == (16, 16, 3)
+    assert int(out["n_frames"]) == 1
+    # near-lossless: mean abs error tiny, structure preserved exactly
+    err = np.abs(out["rgb"].astype(int) - img.astype(int))
+    assert err.mean() < 3.0 and err.max() <= 12
+    assert np.all(np.diff(out["rgb"][8, :, 0].astype(int)) >= 0)
+
+
+def test_progressive_jpeg_grayscale_roundtrip():
+    from rayschema.jpeg import (decode_jpeg, encode_jpeg,
+                                encode_jpeg_progressive)
+
+    x, y = np.meshgrid(np.arange(24), np.arange(16))
+    g = ((x * 5 + y * 3) % 256).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(g, quality=85))
+    prog = decode_jpeg(encode_jpeg_progressive(g, quality=85))
+    assert np.array_equal(base["rgb"], prog["rgb"])
+
+
+def test_synth_media_rotates_progressive_jpeg():
+    """The media table carries real SOF2 payloads and the decode stage
+    handles them end to end (magic-sniffed, no mime dispatch needed)."""
+    t = synth_media_table(96)
+    mimes = t.column("mime").to_pylist()
+    assert "image/jpeg;progressive" in mimes
+    i = mimes.index("image/jpeg;progressive")
+    payload = t.column("payload")[i].as_py()
+    assert payload[:2] == b"\xff\xd8"
+    assert b"\xff\xc2" in payload            # SOF2 marker present
+    from rayschema.multimodal import default_decode
+    out = default_decode(payload, "image")
+    assert out["rgb"].shape == (16, 16, 3)
