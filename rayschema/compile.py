@@ -112,7 +112,15 @@ class CompileContext:
         if ref.startswith(self.definitions_prefix) and isinstance(self.root, Schema) \
                 and self.root.definitions:
             name = _unescape_ref(ref[len(self.definitions_prefix):])
-            return self.root.definitions.get(name)
+            hit = self.root.definitions.get(name)
+            if hit is not None:
+                return hit
+        if ref.startswith("#/"):
+            # generic JSON-pointer walk (RFC 6901) over the schema tree:
+            # "#/properties/foo", "#/items/0", "#/allOf/1/..." etc. —
+            # draft-07 $ref may target ANY schema location, not just
+            # definitions (official-suite "relative pointer ref" cases)
+            return _pointer_walk(self.root, ref[2:].split("/"))
         return None
 
     def resolve_compiled(self, ref: str) -> NodeFn:
@@ -149,6 +157,47 @@ class CompileContext:
 def _unescape_ref(name: str) -> str:
     """Inverse of infer._escape_ref (JSON-pointer ~0/~1 + %25, RFC 6901)."""
     return name.replace("%25", "%").replace("~1", "/").replace("~0", "~")
+
+
+# JSON keyword -> IR Schema attribute, for generic $ref pointer walks
+_POINTER_ATTRS = {
+    "definitions": "definitions", "properties": "properties",
+    "patternProperties": "pattern_properties",
+    "dependencies": "dependencies", "propertyNames": "property_names",
+    "items": "items", "additionalItems": "additional_items",
+    "additionalProperties": "additional_properties",
+    "contains": "contains", "if": "if_", "then": "then", "else": "else_",
+    "allOf": "all_of", "anyOf": "any_of", "oneOf": "one_of", "not": "not_",
+}
+
+
+def _pointer_walk(node, tokens) -> Optional[SchemaOrBool]:
+    """Resolve a JSON-pointer token list against the IR schema tree.
+    Alternates keyword hops (on Schema nodes) with dict-key / list-index
+    hops; returns None when the pointer goes nowhere schema-shaped."""
+    from rayschema.ir import Schema as _S
+
+    for tok in tokens:
+        tok = _unescape_ref(tok)
+        if isinstance(node, _S):
+            attr = _POINTER_ATTRS.get(tok)
+            if attr is None:
+                node = node.extra_properties.get(tok) \
+                    if node.extra_properties else None
+            else:
+                node = getattr(node, attr)
+        elif isinstance(node, dict):
+            node = node.get(tok)
+        elif isinstance(node, (list, tuple)):
+            try:
+                node = node[int(tok)]
+            except (ValueError, IndexError):
+                return None
+        else:
+            return None
+        if node is None:
+            return None
+    return node if isinstance(node, (_S, bool)) else None
 
 
 def _n(subject: Subject) -> int:
