@@ -1564,7 +1564,15 @@ def connected_components_ds(pairs_ds, id_a: str = "id_a", id_b: str = "id_b",
     # an EMPTY hash partition reaches the Acero join as a schemaless
     # block and ArrowInvalid's on the key lookup — cap partitions so each
     # expects >= 16 keys (tiny graphs run 1 partition; at billions of
-    # labels the requested count is untouched)
+    # labels the requested count is untouched). A fully EMPTY graph
+    # (zero verified pairs — e.g. the sf0.1 oracle scope) loses its
+    # schema entirely, so short-circuit before any join.
+    if labels.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {"doc_id": pa.array([], type=pa.int64()),
+             "cluster_id": pa.array([], type=pa.int64())}))
     n_parts = int(max(1, min(num_partitions, labels.count() // 16)))
     prev = labels.aggregate(Sum("label", alias_name="s")).get("s")
     for it in range(max_iter):

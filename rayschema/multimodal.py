@@ -302,10 +302,10 @@ def default_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
     """The engine's default codec table — every kind now has REAL
     pure-numpy decoders: images PPM/PGM/BMP/baseline-JPEG/GIF(LZW), audio
     RIFF/WAVE PCM + float + G.711 mu-law/A-law + IMA ADPCM, video YUV4MPEG2
-    + MJPEG-in-AVI. Payloads whose magic none of the real codecs recognize
-    fall back to the deterministic fake (the documented boundary for the
-    entropy-coded formats that genuinely need external codec libraries —
-    MP3/AAC, H.264/HEVC)."""
+    + MJPEG-in-AVI, plus MPEG-1 Layer II (mp2.py). Payloads whose magic
+    none of the real codecs recognize fall back to the deterministic fake
+    (the documented boundary for the formats that genuinely need external
+    codec libraries — MP3 Layer III/AAC, H.264/HEVC)."""
     if kind == "image" and (payload[:2] in (b"P6", b"P5", b"BM")
                             or payload[:2] == b"\xff\xd8"
                             or payload[:6] in (b"GIF87a", b"GIF89a")
@@ -317,6 +317,10 @@ def default_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
     if kind == "audio" and payload[:4] == b"fLaC":
         from rayschema.flac import decode_flac
         return decode_flac(payload)
+    if kind == "audio" and len(payload) >= 2 and payload[0] == 0xFF \
+            and (payload[1] & 0xFE) == 0xFC:
+        from rayschema.mp2 import decode_mp2
+        return decode_mp2(payload)
     if kind == "audio" and payload[:4] == b".snd":
         from rayschema.codecs import decode_au
         return decode_au(payload)
@@ -656,7 +660,7 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
         elif k == "audio":
             n_samp = int(rng.integers(64, 512))
             wave = rng.uniform(-1.0, 1.0, n_samp)
-            variant = int(rng.integers(0, 6))
+            variant = int(rng.integers(0, 7))
             if variant == 4:
                 from rayschema.codecs import encode_au
                 payloads.append(encode_au(wave, 8000, encoding=1))
@@ -683,6 +687,21 @@ def synth_media_table(n: int, seed: int = 42) -> pa.Table:
                 widths.append(-1)
                 heights.append(-1)
                 durations.append(n_samp * 1000 // 8000)
+                continue
+            if variant == 6:
+                # MPEG-1 Layer II (rayschema/mp2.py): real subband
+                # codec — frame sync/alloc tables/scale factors exact
+                # ISO bitstream, PR window pair (see _mp2_window.py)
+                from rayschema.mp2 import encode_mp2
+                n48 = 1152          # one Layer II frame at 48 kHz
+                w48 = np.interp(np.linspace(0, 1, n48),
+                                np.linspace(0, 1, n_samp), wave)
+                payloads.append(encode_mp2(w48 * 0.8, sample_rate=48000,
+                                           kbps=192))
+                mimes.append("audio/mpeg;layer=2")
+                widths.append(-1)
+                heights.append(-1)
+                durations.append(n48 * 1000 // 48000)
                 continue
             if variant == 0:
                 payloads.append(encode_wav(wave, sample_rate=8000))

@@ -67,6 +67,19 @@ def _table_rows(sf_dir: str, table: str):
 def _cents(x) -> np.ndarray:
     return np.round(np.asarray(x, dtype=np.float64) * 100).astype(np.int64)
 
+def _pandas_typed(ds, cols):
+    """Dataset -> pandas with a GUARANTEED schema: an empty Ray Dataset
+    materializes with no columns at all (aggregates/map_batches that
+    emitted zero blocks), which breaks the driver's column compare on
+    legitimately-empty results (e.g. the doc_id<300 near-dup scopes have
+    zero pairs at sf0.1). cols = {name: dtype}."""
+    df = ds.to_pandas()
+    if len(df) == 0 and list(df.columns) != list(cols):
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in cols.items()})
+    return df
+
+
 
 # --------------------------------------------------------------------------- validation
 class _DocsValidator:
@@ -401,7 +414,9 @@ def minhash_near_dup_exact(sf_dir: str):
     from rayschema.dedup import exact_jaccard_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return exact_jaccard_pairs(ds, id_limit=300, k=5, threshold=0.5)
+    return _pandas_typed(
+        exact_jaccard_pairs(ds, id_limit=300, k=5, threshold=0.5),
+        {"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
 
 
 def near_dup_clusters_documents(sf_dir: str):
@@ -454,8 +469,12 @@ def dedup_corpus_exact(sf_dir: str):
         tl = pc.fill_null(pc.utf8_length(txt), 0).to_numpy(zero_copy_only=False)
         ok = (ids < 300) & (tl >= 5)
         rem = ray.get(rref)
-        pos = np.searchsorted(rem, ids)
-        hit = (pos < len(rem)) & (rem[np.minimum(pos, len(rem) - 1)] == ids)
+        if len(rem):
+            pos = np.searchsorted(rem, ids)
+            hit = (pos < len(rem)) \
+                & (rem[np.minimum(pos, len(rem) - 1)] == ids)
+        else:          # no duplicates found (e.g. sf0.1 scope): keep all
+            hit = np.zeros(len(ids), dtype=bool)
         return pa.table({"doc_id": pa.array(ids[ok & ~hit])})
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -4843,9 +4862,11 @@ def near_dup_degree(sf_dir: str):
 
     from ray.data.aggregate import Count
 
-    return (pairs.map_batches(explode, batch_format="pyarrow")
-            .groupby("doc_id")
-            .aggregate(Count("doc_id", alias_name="degree")))
+    return _pandas_typed(
+        pairs.map_batches(explode, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Count("doc_id", alias_name="degree")),
+        {"doc_id": "int64", "degree": "int64"})
 
 
 def near_dup_triangles(sf_dir: str):
@@ -10475,7 +10496,9 @@ def ppjoin_near_dup_exact(sf_dir: str):
     from rayschema.dedup import ppjoin_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ppjoin_pairs(ds, threshold=0.5, shingle_k=5, id_limit=300)
+    return _pandas_typed(
+        ppjoin_pairs(ds, threshold=0.5, shingle_k=5, id_limit=300),
+        {"id_a": "int64", "id_b": "int64", "jaccard": "float64"})
 
 
 def naive_bayes_langid(sf_dir: str):
@@ -10642,7 +10665,9 @@ def edit_distance_pairs_documents(sf_dir: str):
     from rayschema.dedup import edit_distance_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return edit_distance_pairs(ds, id_limit=200, k=10, q=4)
+    return _pandas_typed(
+        edit_distance_pairs(ds, id_limit=200, k=10, q=4),
+        {"id_a": "int64", "id_b": "int64", "edit_distance": "int64"})
 
 
 def record_linkage_clusters(sf_dir: str):

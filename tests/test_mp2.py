@@ -1,0 +1,143 @@
+"""MPEG-1 Audio Layer II codec tests (rayschema/mp2.py).
+
+The cross-layer oracle: the requantization closed form s'' = (2c+1-n)/n
+is proven per quantizer class against the ISO Table B.4 C/D formulation
+(C = 2^nb/n, D = 2^(1-nb): C*(c/2^(nb-1) - 1 + D) must equal it for
+every code) — so a symmetric encode/decode bug in the sample layer
+cannot cancel out. Filterbank: the embedded window pair is asserted
+PERFECT-reconstruction (machine-precision cascade) inside the exact ISO
+polyphase structure.
+"""
+import math
+
+import numpy as np
+import pytest
+
+from rayschema.mp2 import (BITRATES, QUANT_BITS, RATES, TABLE_A, TABLE_B,
+                           TABLE_C, TABLE_D, _alloc_table, _Analyze,
+                           _requant, _Synth, decode_mp2, encode_mp2)
+
+DELAY = 481
+
+
+def _snr(a, b):
+    return 10 * np.log10(np.sum(a * a) / max(np.sum((a - b) ** 2), 1e-30))
+
+
+def test_requant_matches_iso_cd_formulation():
+    for n in sorted(QUANT_BITS):
+        nb = {3: 2, 5: 3, 9: 4}.get(n) or int(math.ceil(math.log2(n + 1)))
+        C = (1 << nb) / n
+        D = 1.0 - (n - 1) / (1 << nb)    # = 2^(1-nb) for n = 2^nb - 1,
+        #                                  = 1/2 for the grouped 3/5/9
+        for c in range(min(n, 600)):
+            iso = C * (c / 2.0 ** (nb - 1) - 1 + D)
+            assert abs(_requant(c, n) - iso) < 1e-12, (n, c)
+
+
+def test_alloc_tables_fit_their_nbal():
+    """Every allocation table row must index at most 2^nbal - 1
+    quantizers — the bug class behind the 384 kbps desync (a 3-bit row
+    cannot reference an 8th quantizer)."""
+    for table in (TABLE_A, TABLE_B, TABLE_C, TABLE_D):
+        for nbal, levels in table:
+            assert len(levels) <= (1 << nbal) - 1
+            assert all(lv in QUANT_BITS for lv in levels)
+    assert (len(TABLE_A), len(TABLE_B), len(TABLE_C), len(TABLE_D)) == \
+        (27, 30, 8, 12)
+
+
+def test_alloc_table_selection_rule():
+    assert _alloc_table(48000, 192) is TABLE_A
+    assert _alloc_table(44100, 64) is TABLE_A
+    assert _alloc_table(44100, 96) is TABLE_B
+    assert _alloc_table(32000, 96) is TABLE_B
+    assert _alloc_table(44100, 48) is TABLE_C
+    assert _alloc_table(32000, 48) is TABLE_D
+
+
+def test_filterbank_perfect_reconstruction():
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(1152 * 4)
+    sub = _Analyze().run(x)
+    y = _Synth().run(sub)
+    a = x[200:3000]
+    b = y[200 + DELAY:3000 + DELAY]
+    assert _snr(a, b) > 200      # machine-precision PR
+
+
+def test_roundtrip_tonal_high_fidelity():
+    fs = 48000
+    t = np.arange(fs) / fs
+    x = 0.5 * np.sin(2 * np.pi * 440 * t) \
+        + 0.2 * np.sin(2 * np.pi * 3000 * t + 0.3)
+    y = decode_mp2(encode_mp2(x, sample_rate=fs, kbps=192))
+    assert int(y["sample_rate"]) == fs
+    z = y["tensor"].astype(np.float64)
+    assert _snr(x[1000:40000], z[1000 + DELAY:40000 + DELAY]) > 55
+
+
+def test_roundtrip_all_table_configs():
+    rng = np.random.default_rng(1)
+    x = np.convolve(rng.standard_normal(1152 * 6) * 0.3,
+                    np.ones(8) / 8, mode="same")
+    for fs, kb, min_snr in ((48000, 192, 15), (44100, 160, 15),
+                            (32000, 96, 14), (44100, 48, 7)):
+        y = decode_mp2(encode_mp2(x, sample_rate=fs, kbps=kb))["tensor"]
+        z = y.astype(np.float64)
+        got = _snr(x[1000:6000], z[1000 + DELAY:6000 + DELAY])
+        assert got > min_snr, (fs, kb, got)
+
+
+def test_bitrate_improves_fidelity():
+    rng = np.random.default_rng(2)
+    x = np.convolve(rng.standard_normal(1152 * 6) * 0.3,
+                    np.ones(6) / 6, mode="same")
+    snrs = []
+    for kb in (64, 128, 256):
+        z = decode_mp2(encode_mp2(x, sample_rate=48000, kbps=kb))[
+            "tensor"].astype(np.float64)
+        snrs.append(_snr(x[1000:6000], z[1000 + DELAY:6000 + DELAY]))
+    assert snrs[0] < snrs[1] < snrs[2]
+
+
+def test_frame_geometry_and_resync():
+    fs, kb = 48000, 192
+    x = np.zeros(1152 * 3)
+    blob = encode_mp2(x, sample_rate=fs, kbps=kb)
+    assert len(blob) == 3 * (144 * kb * 1000 // fs)
+    assert blob[0] == 0xFF and blob[1] == 0xFD
+    # decoder resyncs over garbage prefixes (ID3-style junk)
+    out = decode_mp2(b"JUNKJUNK" + blob)
+    assert int(out["n_frames"]) == 1152 * 3
+
+
+def test_rejects_invalid_params():
+    with pytest.raises(ValueError):
+        encode_mp2(np.zeros(1152), sample_rate=8000)
+    with pytest.raises(ValueError):
+        encode_mp2(np.zeros(1152), sample_rate=48000, kbps=42)
+    with pytest.raises(ValueError):
+        decode_mp2(b"not audio at all")
+
+
+def test_media_table_rotates_mp2_and_decodes():
+    from rayschema.multimodal import default_decode, synth_media_table
+
+    t = synth_media_table(128)
+    mimes = t.column("mime").to_pylist()
+    assert "audio/mpeg;layer=2" in mimes
+    i = mimes.index("audio/mpeg;layer=2")
+    payload = t.column("payload")[i].as_py()
+    assert payload[0] == 0xFF and (payload[1] & 0xFE) == 0xFC
+    out = default_decode(payload, "audio")
+    assert int(out["sample_rate"]) == 48000
+    assert int(out["n_frames"]) == 1152
+
+
+def test_bitrate_header_fields_roundtrip():
+    for kb in (64, 128, 384):
+        for fs in RATES:
+            blob = encode_mp2(np.zeros(1152), sample_rate=fs, kbps=kb)
+            assert BITRATES[blob[2] >> 4] == kb
+            assert RATES[(blob[2] >> 2) & 3] == fs
