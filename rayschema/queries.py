@@ -17,7 +17,7 @@ joins with a small side broadcast it; sorts are limited to top-k results.
 from __future__ import annotations
 
 import os
-from typing import List
+from typing import Dict, List
 
 import numpy as np
 import pandas as pd
@@ -7603,7 +7603,8 @@ def out_of_order_events(sf_dir: str):
     return res
 
 
-def sliding_distinct_users(sf_dir: str, window_hours: int = 24):
+def sliding_distinct_users(sf_dir: str, window_hours: int = 24,
+                           fold_cap: int = None):
     """Sliding-window COUNT DISTINCT: distinct active users over the
     trailing 24 h ending at each observed hour — the rolling-reach metric
     a plain rolling SUM of hourly distinct counts gets WRONG (users span
@@ -7632,6 +7633,87 @@ def sliding_distinct_users(sf_dir: str, window_hours: int = 24):
             "h": pa.array((uk >> np.uint64(40)).astype(np.int64)),
             "u": pa.array((uk & np.uint64((1 << 40) - 1))
                           .astype(np.int64))})
+
+    # ADAPTIVE merge (the part_price_dispersion fold discipline): under
+    # a 20M-event footer gate the per-batch-distinct pairs fold in ONE
+    # single task — user-MAJOR key packing makes users slice-disjoint
+    # after the sort, so the window expansion runs in bounded-memory
+    # user slices and per-window counts simply add across slices; the
+    # two ~|hours x users|-group Ray groupbys (the real 16 s cost at
+    # sf0.1) stay as the >cap scale path.
+    n_ev_rows = _table_rows(sf_dir, "events")
+    cap = 20_000_000 if fold_cap is None else fold_cap
+    if n_ev_rows is not None and n_ev_rows <= cap:
+        W = int(window_hours)
+
+        def upack(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.and_(pc.is_valid(b.column("ts")),
+                                 pc.is_valid(b.column("user_id"))))
+            hrs = pd.DatetimeIndex(t.column("ts").to_pandas()).values \
+                .astype("datetime64[h]").astype(np.int64)
+            users = t.column("user_id").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            key = (users.astype(np.uint64) << np.uint64(24)) \
+                | hrs.astype(np.uint64)   # hours-since-epoch < 2^24
+            return pa.table({"k": pa.array(
+                np.unique(key).astype(np.int64))})
+
+        def fold(b: pa.Table, _w=W) -> pa.Table:
+            empty = pa.table({"w": pa.array([], type=pa.int64()),
+                              "n_users": pa.array([], type=pa.int64())})
+            if b.num_rows == 0:
+                return empty
+            k = np.unique(b.column("k").to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+            h_all = (k & np.uint64((1 << 24) - 1)).astype(np.int64)
+            obs = np.unique(h_all)
+            hi = int(obs.max())
+            counts: Dict[int, int] = {}
+            step = max(1, 4_000_000 // _w)
+            # slice boundaries MUST fall on user changes — a user split
+            # across slices would double-count its (window, user) pairs
+            u_all = (k >> np.uint64(24)).astype(np.int64)
+            cuts = [0]
+            while cuts[-1] < len(k):
+                nxt = min(cuts[-1] + step, len(k))
+                while nxt < len(k) and u_all[nxt] == u_all[nxt - 1]:
+                    nxt += 1
+                cuts.append(nxt)
+            for s0, s1 in zip(cuts[:-1], cuts[1:]):
+                ks = k[s0:s1]
+                u = (ks >> np.uint64(24)).astype(np.int64)
+                h = (ks & np.uint64((1 << 24) - 1)).astype(np.int64)
+                span = np.minimum(h + _w - 1, hi) - h + 1
+                wend = np.repeat(h, span) + _concat_ranges(span)
+                uu = np.repeat(u, span)
+                pos = np.clip(np.searchsorted(obs, wend), 0, len(obs) - 1)
+                keep = obs[pos] == wend
+                wk = np.unique((uu[keep].astype(np.uint64)
+                                << np.uint64(24))
+                               | wend[keep].astype(np.uint64))
+                ww = (wk & np.uint64((1 << 24) - 1)).astype(np.int64)
+                uw, cnt = np.unique(ww, return_counts=True)
+                for wv, cv in zip(uw, cnt):
+                    counts[int(wv)] = counts.get(int(wv), 0) + int(cv)
+            items = sorted(counts.items())
+            return pa.table({
+                "w": pa.array([i[0] for i in items], type=pa.int64()),
+                "n_users": pa.array([i[1] for i in items],
+                                    type=pa.int64())})
+
+        out = (ds.map_batches(upack, batch_format="pyarrow")
+               .repartition(1)
+               .map_batches(fold, batch_format="pyarrow",
+                            batch_size=None).to_pandas())
+        if not len(out):
+            return pd.DataFrame({
+                "hour_ts": pd.Series([], dtype="datetime64[us]"),
+                "n_users": pd.Series([], dtype=np.int64)})
+        out["hour_ts"] = pd.to_datetime(out["w"].astype(np.int64),
+                                        unit="h")
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out[["hour_ts", "n_users"]].sort_values("hour_ts") \
+            .reset_index(drop=True)
 
     dpairs = (ds.map_batches(pairs, batch_format="pyarrow")
               .groupby(["h", "u"]).count())
@@ -13863,14 +13945,48 @@ def part_reorder_gap(sf_dir: str, broadcast_cap: int = None):
                            on=("l_orderkey",), right_on=("o_orderkey",))
                    .map_batches(narrow, batch_format="pyarrow"))
 
-    agg = (pd_days
-           .groupby(["l_partkey", "day"])
-           .aggregate(Count("day", alias_name="nn"))
-           .groupby("l_partkey")
-           .aggregate(Min("day", alias_name="mn"),
-                      Max("day", alias_name="mx"),
-                      Count("day", alias_name="nd"))
-           .to_pandas())
+    # adaptive merge (the part_price_dispersion discipline): the block
+    # partials are already per-block-distinct (part, day) pairs, so
+    # under a 50M-lineitem footer gate ONE single-task packed-key
+    # np.unique + reduceat replaces the two Ray groupbys whose
+    # ~|parts| group fan-out dominated wall time; the distributed
+    # groupby chain stays the >cap scale path
+    n_li_rows = _table_rows(sf_dir, "lineitem")
+    if n_li_rows is not None and n_li_rows <= 50_000_000:
+        def fold(b: pa.Table) -> pa.Table:
+            empty = pa.table({c: pa.array([], type=pa.int64())
+                              for c in ("l_partkey", "mn", "mx", "nd")})
+            if b.num_rows == 0:
+                return empty
+            pk = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            day = b.column("day").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            # pack (pk, day): day = whole days since epoch, < 2^20 for
+            # any timestamp this side of year 4800
+            pack = np.unique((pk << 21) | (day + (1 << 20)))
+            pks = pack >> 21
+            days = (pack & ((1 << 21) - 1)) - (1 << 20)
+            starts = np.flatnonzero(np.r_[True, pks[1:] != pks[:-1]])
+            return pa.table({
+                "l_partkey": pa.array(pks[starts]),
+                "mn": pa.array(np.minimum.reduceat(days, starts)),
+                "mx": pa.array(np.maximum.reduceat(days, starts)),
+                "nd": pa.array(np.diff(np.r_[starts, len(pks)])
+                               .astype(np.int64))})
+
+        agg = (pd_days.repartition(1)
+               .map_batches(fold, batch_format="pyarrow",
+                            batch_size=None).to_pandas())
+    else:                                  # pragma: no cover - scale path
+        agg = (pd_days
+               .groupby(["l_partkey", "day"])
+               .aggregate(Count("day", alias_name="nn"))
+               .groupby("l_partkey")
+               .aggregate(Min("day", alias_name="mn"),
+                          Max("day", alias_name="mx"),
+                          Count("day", alias_name="nd"))
+               .to_pandas())
     empty = pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in [
         "l_partkey", "n_gaps", "sum_gap_days", "mean_gap_milli", "rk"]})
     agg = agg[agg["nd"] >= 2]
@@ -17332,12 +17448,14 @@ def part_price_dispersion(sf_dir: str):
     1000 * price_cents // qty_units; rows with zero quantity drop) —
     top-20 by (dispersion_ppm desc, partkey asc), where
     dispersion_ppm = 1e6 * (max - min) // max. Per-block partial
-    min/max/count per part via argsort + ufunc.reduceat (the
-    embedding_covariance_by_label numpy-fold discipline — the pandas
-    df.groupby partial this replaces was the whole 5.2 s cost at
-    sf0.1), one part-keyed groupby, part-bounded driver ranking.
-    Emits (l_partkey, n_lines, min_unit_milli, max_unit_milli,
-    dispersion_ppm)."""
+    min/max/count per part via argsort + ufunc.reduceat; the merge is
+    ADAPTIVE: under a 10M-part footer gate the block partials (each
+    <= |parts| rows) fold in ONE single-task numpy reduceat pass — the
+    embedding_covariance_by_label discipline; Ray's per-group aggregate
+    at ~200k part groups was the real 5 s cost at sf0.1, not the
+    partial — with the part-keyed Ray groupby kept as the >cap scale
+    path (path parity asserted by the oracle). Emits (l_partkey,
+    n_lines, min_unit_milli, max_unit_milli, dispersion_ppm)."""
     from ray.data.aggregate import Max, Min, Sum
 
     ds = _read(sf_dir, "lineitem",
@@ -17366,12 +17484,40 @@ def part_price_dispersion(sf_dir: str):
             "lo": pa.array(np.minimum.reduceat(u_s, starts)),
             "hi": pa.array(np.maximum.reduceat(u_s, starts))})
 
-    agg = (ds.map_batches(part, batch_format="pyarrow")
-           .groupby("pk")
-           .aggregate(Sum("n", alias_name="n_lines"),
-                      Min("lo", alias_name="min_unit_milli"),
-                      Max("hi", alias_name="max_unit_milli"))
-           .to_pandas())
+    partials = ds.map_batches(part, batch_format="pyarrow")
+    n_parts_rows = _table_rows(sf_dir, "part")
+    if n_parts_rows is not None and n_parts_rows <= 10_000_000:
+        def fold(b: pa.Table) -> pa.Table:
+            pk = b.column("pk").to_numpy(zero_copy_only=False)
+            if len(pk) == 0:
+                return pa.table({c: pa.array([], type=pa.int64())
+                                 for c in ("pk", "n_lines",
+                                           "min_unit_milli",
+                                           "max_unit_milli")})
+            n = b.column("n").to_numpy(zero_copy_only=False)
+            lo = b.column("lo").to_numpy(zero_copy_only=False)
+            hi = b.column("hi").to_numpy(zero_copy_only=False)
+            order = np.argsort(pk, kind="stable")
+            pk_s = pk[order]
+            starts = np.flatnonzero(np.r_[True, pk_s[1:] != pk_s[:-1]])
+            return pa.table({
+                "pk": pa.array(pk_s[starts]),
+                "n_lines": pa.array(
+                    np.add.reduceat(n[order], starts).astype(np.int64)),
+                "min_unit_milli": pa.array(
+                    np.minimum.reduceat(lo[order], starts)),
+                "max_unit_milli": pa.array(
+                    np.maximum.reduceat(hi[order], starts))})
+
+        agg = (partials.repartition(1)
+               .map_batches(fold, batch_format="pyarrow",
+                            batch_size=None).to_pandas())
+    else:                                  # pragma: no cover - scale path
+        agg = (partials.groupby("pk")
+               .aggregate(Sum("n", alias_name="n_lines"),
+                          Min("lo", alias_name="min_unit_milli"),
+                          Max("hi", alias_name="max_unit_milli"))
+               .to_pandas())
     cols = ["l_partkey", "n_lines", "min_unit_milli",
             "max_unit_milli", "dispersion_ppm"]
     if agg.empty:

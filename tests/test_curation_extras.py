@@ -5560,3 +5560,43 @@ def test_hhi_broadcast_vs_join_paths_equal(ray_session):
     assert fast.values.tolist() == slow.values.tolist()
     assert list(fast.columns) == list(slow.columns)
     assert len(fast) > 0
+
+
+def test_sliding_distinct_users_fold_vs_groupby_paths_equal(ray_session):
+    """fold_cap=0 forces the two-Ray-groupby scale path; the single-task
+    user-major fold (default under the 20M-event gate) must agree row
+    for row — including the user-boundary slice alignment (a user split
+    across expansion slices would double-count its windows)."""
+    from rayschema.queries import sliding_distinct_users
+
+    sf = "/root/testdata/sf0.001"
+    fast = sliding_distinct_users(sf)
+    slow = sliding_distinct_users(sf, fold_cap=0)
+    assert len(fast) > 0
+    assert fast.values.tolist() == slow.values.tolist()
+
+
+def test_sliding_distinct_users_slice_boundary_planted(ray_session,
+                                                       monkeypatch):
+    """Tiny expansion budget forces many slices; planted events where one
+    user spans hours on both sides of a slice boundary must still count
+    once per window."""
+    import rayschema.queries as q
+
+    ev = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "ts": pd.to_datetime([
+            "2024-01-01 00:10", "2024-01-01 01:10", "2024-01-01 02:10",
+            "2024-01-01 03:10", "2024-01-01 00:20", "2024-01-01 01:20",
+            "2024-01-01 02:20", "2024-01-01 03:20"]),
+        "user_id": np.array([7, 7, 7, 7, 9, 9, 9, 9], dtype=np.int64),
+        "event_type": ["view"] * 8, "value": np.ones(8),
+        "props": ["{}"] * 8})
+    import os
+    import tempfile
+    d = tempfile.mkdtemp()
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                   os.path.join(d, "events.parquet"))
+    out = q.sliding_distinct_users(d, window_hours=2)
+    # every observed hour window sees both users except none partial
+    assert out["n_users"].tolist() == [2, 2, 2, 2]
