@@ -404,3 +404,156 @@ def _encode_frame(sub: np.ndarray, table, sblimit: int, frame_len: int,
     body = bw.flush()
     assert len(body) + 4 <= frame_len, "bit allocation exceeded frame"
     return header + body + b"\x00" * (frame_len - 4 - len(body))
+
+
+# --------------------------------------------------------------------------- Layer I
+# Layer I (ISO 11172-3 2.4.1.5): 384 samples/frame, all 32 subbands, one
+# 4-bit allocation (nb = a + 1 bits, a in 1..14) and one 6-bit scale
+# factor per allocated subband, 12 granules x 1 sample. Requantization is
+# the SAME closed form with n = 2^nb - 1 levels.
+BITRATES_L1 = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288,
+               320, 352, 384, 416, 448)
+
+
+def decode_mp1(payload: bytes) -> Dict[str, np.ndarray]:
+    """MPEG-1 Layer I stream -> mono float32 tensor (channel mean)."""
+    pos, n = 0, len(payload)
+    fs = None
+    synths: List[_Synth] = []
+    chunks: List[np.ndarray] = []
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF or (payload[pos + 1] & 0xFE) != 0xFE:
+            pos += 1
+            continue
+        protection = payload[pos + 1] & 1
+        b2 = payload[pos + 2]
+        br_idx, fs_idx = b2 >> 4, (b2 >> 2) & 3
+        padding = (b2 >> 1) & 1
+        if br_idx in (0, 15) or fs_idx == 3:
+            pos += 1
+            continue
+        b3 = payload[pos + 3]
+        mode, mode_ext = (b3 >> 6) & 3, (b3 >> 4) & 3
+        kbps = BITRATES_L1[br_idx]
+        fs = RATES[fs_idx]
+        frame_len = (12 * kbps * 1000 // fs + padding) * 4
+        body = payload[pos + 4 + (2 if protection == 0 else 0):
+                       pos + frame_len]
+        nch = 1 if mode == 3 else 2
+        while len(synths) < nch:
+            synths.append(_Synth())
+        br = _BitReader(body)
+        bound = min((mode_ext + 1) * 4, 32) if mode == 1 else 32
+        alloc = np.zeros((nch, 32), dtype=np.int64)
+        for sb in range(32):
+            if sb < bound:
+                for ch in range(nch):
+                    alloc[ch, sb] = br.read(4)
+            else:
+                alloc[:, sb] = br.read(4)
+        sf = np.zeros((nch, 32))
+        for sb in range(32):
+            for ch in range(nch):
+                if alloc[ch, sb]:
+                    sf[ch, sb] = SCALE[min(br.read(6), 62)]
+        sub = np.zeros((nch, 12, 32))
+        for gr in range(12):
+            for sb in range(32):
+                shared = sb >= bound
+                for ch in range(1 if shared else nch):
+                    a = alloc[ch, sb]
+                    if not a:
+                        continue
+                    nb = int(a) + 1
+                    val = _requant(br.read(nb), (1 << nb) - 1)
+                    if shared:
+                        for c2 in range(nch):
+                            sub[c2, gr, sb] = val * sf[c2, sb]
+                    else:
+                        sub[ch, gr, sb] = val * sf[ch, sb]
+        pcm = [synths[ch].run(sub[ch]) for ch in range(nch)]
+        chunks.append(np.mean(pcm, axis=0))
+        pos += frame_len
+    if fs is None:
+        raise ValueError("no MPEG-1 Layer I frame found")
+    mono = np.concatenate(chunks) if chunks else np.zeros(0)
+    return {"tensor": np.clip(mono, -1.0, 1.0).astype(np.float32),
+            "sample_rate": np.int32(fs),
+            "n_frames": np.int32(len(mono))}
+
+
+def encode_mp1(samples: np.ndarray, sample_rate: int = 48000,
+               kbps: int = 384) -> bytes:
+    """Mono float samples -> MPEG-1 Layer I stream (greedy allocation,
+    same error-proxy rule as Layer II; no padding, no CRC)."""
+    if sample_rate not in RATES:
+        raise ValueError(f"MPEG-1 sample rate {sample_rate}")
+    if kbps not in BITRATES_L1 or kbps == 0:
+        raise ValueError(f"Layer I bitrate {kbps}")
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim != 1:
+        raise ValueError("mono only")
+    pad = (-len(x)) % 384
+    if pad:
+        x = np.concatenate([x, np.zeros(pad)])
+    frame_len = 12 * kbps * 1000 // sample_rate * 4
+    hdr2 = (BITRATES_L1.index(kbps) << 4) | (RATES.index(sample_rate) << 2)
+    header = bytes([0xFF, 0xFF, hdr2, 0xC0])      # layer I, mono, no CRC
+    ana = _Analyze()
+    out = bytearray()
+    for f0 in range(0, len(x), 384):
+        sub = ana.run(x[f0:f0 + 384])             # (12, 32)
+        sfi = np.zeros(32, dtype=np.int64)
+        sfv = np.zeros(32)
+        for sb in range(32):
+            peak = np.abs(sub[:, sb]).max()
+            idx = np.searchsorted(-SCALE, -peak * 1.0000001)
+            idx = min(max(int(idx), 0), 62)
+            if SCALE[idx] < peak:
+                idx = max(idx - 1, 0)
+            sfi[sb], sfv[sb] = idx, SCALE[idx]
+        budget = frame_len * 8 - 32 - 32 * 4
+        alloc = np.zeros(32, dtype=np.int64)
+        err = sfv.copy()
+        live = err.copy()
+        while True:
+            order = np.argsort(-live)
+            granted = False
+            for sb in order:
+                if live[sb] <= 0:
+                    break
+                a = alloc[sb] + 1
+                if a > 14:
+                    live[sb] = 0
+                    continue
+                cost = 12 if a > 1 else (12 * 2 + 6)   # +1 bit/sample;
+                #                       first grant: 2-bit codes + sf
+                if cost <= budget:
+                    budget -= cost
+                    alloc[sb] = a
+                    live[sb] = err[sb] / ((1 << (a + 1)) - 1)
+                    granted = True
+                    break
+                live[sb] = 0
+            if not granted:
+                break
+        bw = _BitWriter()
+        for sb in range(32):
+            bw.write(int(alloc[sb]), 4)
+        for sb in range(32):
+            if alloc[sb]:
+                bw.write(int(sfi[sb]), 6)
+        for gr in range(12):
+            for sb in range(32):
+                a = alloc[sb]
+                if not a:
+                    continue
+                nb = int(a) + 1
+                nlev = (1 << nb) - 1
+                s = sub[gr, sb] / max(sfv[sb], 1e-12)
+                c = int(round((s * nlev - 1 + nlev) / 2.0))
+                bw.write(min(max(c, 0), nlev - 1), nb)
+        body = bw.flush()
+        assert len(body) + 4 <= frame_len, "Layer I allocation overflow"
+        out.extend(header + body + b"\x00" * (frame_len - 4 - len(body)))
+    return bytes(out)

@@ -321,6 +321,10 @@ def default_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
             and (payload[1] & 0xFE) == 0xFC:
         from rayschema.mp2 import decode_mp2
         return decode_mp2(payload)
+    if kind == "audio" and len(payload) >= 2 and payload[0] == 0xFF \
+            and (payload[1] & 0xFE) == 0xFE:
+        from rayschema.mp2 import decode_mp1
+        return decode_mp1(payload)
     if kind == "audio" and payload[:4] == b".snd":
         from rayschema.codecs import decode_au
         return decode_au(payload)

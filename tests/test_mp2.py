@@ -141,3 +141,33 @@ def test_bitrate_header_fields_roundtrip():
             blob = encode_mp2(np.zeros(1152), sample_rate=fs, kbps=kb)
             assert BITRATES[blob[2] >> 4] == kb
             assert RATES[(blob[2] >> 2) & 3] == fs
+
+
+def test_layer1_roundtrip_and_header():
+    from rayschema.mp2 import BITRATES_L1, decode_mp1, encode_mp1
+
+    fs = 48000
+    t = np.arange(fs) / fs
+    x = 0.5 * np.sin(2 * np.pi * 440 * t) \
+        + 0.2 * np.sin(2 * np.pi * 3000 * t + 0.3)
+    blob = encode_mp1(x, sample_rate=fs, kbps=384)
+    assert blob[0] == 0xFF and blob[1] == 0xFF      # layer I sync
+    assert BITRATES_L1[blob[2] >> 4] == 384
+    out = decode_mp1(blob)
+    assert int(out["sample_rate"]) == fs
+    z = out["tensor"].astype(np.float64)
+    assert _snr(x[1000:40000], z[1000 + DELAY:40000 + DELAY]) > 60
+    # lower rate still intelligible
+    z2 = decode_mp1(encode_mp1(x[:384 * 20], sample_rate=44100,
+                               kbps=192))["tensor"].astype(np.float64)
+    assert _snr(x[1000:7000], z2[1000 + DELAY:7000 + DELAY]) > 25
+
+
+def test_layer1_dispatch_via_default_decode():
+    from rayschema.mp2 import encode_mp1
+    from rayschema.multimodal import default_decode
+
+    blob = encode_mp1(np.zeros(384 * 2), sample_rate=32000, kbps=192)
+    out = default_decode(blob, "audio")
+    assert int(out["sample_rate"]) == 32000
+    assert int(out["n_frames"]) == 384 * 2
