@@ -171,3 +171,84 @@ def test_layer1_dispatch_via_default_decode():
     out = default_decode(blob, "audio")
     assert int(out["sample_rate"]) == 32000
     assert int(out["n_frames"]) == 384 * 2
+
+
+def _mk_frame_body(bits):
+    """Pack (value, nbits) tuples MSB-first into bytes."""
+    from rayschema.mp2 import _BitWriter
+    bw = _BitWriter()
+    for v, nb in bits:
+        bw.write(v, nb)
+    return bw.flush()
+
+
+def test_stereo_frame_decode_semantics():
+    """Hand-crafted STEREO (mode 0) frame: channel-interleaved
+    allocations / scfsi / scale factors / grouped codes, pinned against
+    the spec's read order — sb0 gets 3-level grouped codes on both
+    channels with different scale factors."""
+    from rayschema.mp2 import (SCALE, TABLE_A, _BitReader, _decode_frame,
+                               _requant)
+
+    table = TABLE_A
+    bits = []
+    # allocations: sb0 ch0=1, ch1=1; all other subbands 0 on both
+    bits += [(1, 4), (1, 4)]
+    for sb in range(1, 27):
+        nbal = table[sb][0]
+        bits += [(0, nbal), (0, nbal)]
+    # scfsi: both allocated -> pattern 2 (one sf for all parts)
+    bits += [(2, 2), (2, 2)]
+    # scale factors: ch0 idx 0 (sf=2.0), ch1 idx 3 (sf=1.0)
+    bits += [(0, 6), (3, 6)]
+    # samples: 12 granules, sb0 both channels, grouped 3-level code
+    # v = c0 + 3*c1 + 9*c2 with codes (2,1,0) -> middle code = 0 value
+    v = 2 + 3 * 1 + 9 * 0
+    for gr in range(12):
+        bits += [(v, 5), (v, 5)]
+    body = _mk_frame_body(bits)
+    sub = _decode_frame(_BitReader(body), 48000, 192, 0, 0)
+    assert sub.shape == (2, 36, 32)
+    r0, r1, r2 = (_requant(2, 3), _requant(1, 3), _requant(0, 3))
+    for gr in range(12):
+        assert sub[0, 3 * gr + 0, 0] == r0 * SCALE[0]
+        assert sub[0, 3 * gr + 1, 0] == r1 * SCALE[0]
+        assert sub[0, 3 * gr + 2, 0] == r2 * SCALE[0]
+        assert sub[1, 3 * gr + 0, 0] == r0 * SCALE[3]
+    assert not sub[:, :, 1:].any()
+
+
+def test_joint_stereo_bound_sharing():
+    """Joint stereo (mode 1, mode_ext 0 -> bound 4): subbands >= bound
+    carry ONE allocation and ONE set of codes but PER-CHANNEL scale
+    factors — the decoder must write both channels from the shared
+    codes, each scaled by its own factor."""
+    from rayschema.mp2 import (SCALE, TABLE_A, _BitReader, _decode_frame,
+                               _requant)
+
+    table = TABLE_A
+    bits = []
+    # allocations: below bound (sb 0..3) zero on both channels;
+    # sb4 (>= bound): ONE shared allocation = 1 (3-level grouped);
+    # sb5..26 shared zero
+    for sb in range(4):
+        nbal = table[sb][0]
+        bits += [(0, nbal), (0, nbal)]
+    bits += [(1, table[4][0])]
+    for sb in range(5, 27):
+        bits += [(0, table[sb][0])]
+    # scfsi for each channel of the allocated sb4 (both read)
+    bits += [(2, 2), (2, 2)]
+    # per-channel scale factors for sb4: ch0 idx 0 (2.0), ch1 idx 6 (0.5)
+    bits += [(0, 6), (6, 6)]
+    # shared grouped codes
+    v = 2 + 3 * 2 + 9 * 2           # all codes = 2 -> +2/3
+    for gr in range(12):
+        bits += [(v, 5)]
+    body = _mk_frame_body(bits)
+    sub = _decode_frame(_BitReader(body), 48000, 192, 1, 0)
+    r = _requant(2, 3)
+    for gr in range(36):
+        assert sub[0, gr, 4] == r * SCALE[0]
+        assert sub[1, gr, 4] == r * SCALE[6]
+    assert not sub[:, :, :4].any() and not sub[:, :, 5:].any()
