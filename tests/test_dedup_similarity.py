@@ -1158,3 +1158,22 @@ def test_ppjoin_driver_chunked_pairs_equal(ray_session, monkeypatch):
         .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert len(fast) > 0
     assert fast.values.tolist() == slow.values.tolist()
+
+
+def test_connected_components_ds_empty_graph(ray_session):
+    """A zero-pair graph must short-circuit to a TYPED empty result —
+    the raw min-label join would reach Acero schemaless and raise
+    (the sf0.1 sweep failure mode)."""
+    import ray.data as rd
+
+    from rayschema.dedup import connected_components_ds
+
+    pairs = rd.from_arrow(pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64())}))
+    out = connected_components_ds(pairs)
+    # Ray's to_pandas drops columns on ANY empty dataset (hence the
+    # typed-empty handling at the query layer); assert the Dataset
+    # schema and the row count here
+    assert out.schema().names == ["doc_id", "cluster_id"]
+    assert out.count() == 0
