@@ -252,3 +252,24 @@ def test_joint_stereo_bound_sharing():
         assert sub[0, gr, 4] == r * SCALE[0]
         assert sub[1, gr, 4] == r * SCALE[6]
     assert not sub[:, :, :4].any() and not sub[:, :, 5:].any()
+
+
+def test_decoder_robust_to_truncation_and_garbage():
+    """Truncated or bit-corrupted streams must FAIL CLEAN (ValueError)
+    or decode the intact prefix — never hang or crash the actor."""
+    from rayschema.mp2 import decode_mp1, decode_mp2, encode_mp1, \
+        encode_mp2
+
+    x = np.sin(2 * np.pi * 440 * np.arange(1152 * 3) / 48000)
+    blob = encode_mp2(x, sample_rate=48000, kbps=192)
+    # truncated mid-frame: whole frames before the cut still decode
+    out = decode_mp2(blob[:len(blob) // 2])
+    assert int(out["n_frames"]) >= 1152
+    # header-only / garbage
+    with pytest.raises(ValueError):
+        decode_mp2(bytes(64))
+    with pytest.raises(ValueError):
+        decode_mp1(bytes(64))
+    b1 = encode_mp1(x[:384 * 2], sample_rate=48000, kbps=384)
+    out1 = decode_mp1(b1[:len(b1) - 7])
+    assert int(out1["n_frames"]) >= 384

@@ -465,3 +465,18 @@ def test_synth_media_rotates_progressive_jpeg():
     from rayschema.multimodal import default_decode
     out = default_decode(payload, "image")
     assert out["rgb"].shape == (16, 16, 3)
+
+
+def test_progressive_jpeg_truncation_fails_clean():
+    """A progressive stream cut inside a scan raises (EOFError from the
+    bit reader or ValueError from the parser) — never hangs or returns
+    silently-wrong pixels."""
+    import pytest as _pytest
+
+    from rayschema.jpeg import decode_jpeg, encode_jpeg_progressive
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    blob = encode_jpeg_progressive(img, quality=85)
+    for cut in (len(blob) // 3, len(blob) // 2, len(blob) - 10):
+        with _pytest.raises((ValueError, EOFError, IndexError)):
+            decode_jpeg(blob[:cut])
