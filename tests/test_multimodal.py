@@ -480,3 +480,31 @@ def test_progressive_jpeg_truncation_fails_clean():
     for cut in (len(blob) // 3, len(blob) // 2, len(blob) - 10):
         with _pytest.raises((ValueError, EOFError, IndexError)):
             decode_jpeg(blob[:cut])
+
+
+def test_media_mix_real_decode_rate_is_total():
+    """Measured stub-rate on the synthetic media mix (the r4 verdict's
+    codec-boundary metric): every payload the rotation produces decodes
+    through a REAL codec — the deterministic fake is reached by NONE of
+    them. The boundary (MP3 Layer III / AAC, H.264/HEVC) exists only
+    for real-world corpora, and this pins that it cannot silently grow."""
+    from rayschema import multimodal as mm
+
+    t = synth_media_table(256)
+    hits = {"real": 0, "fake": 0}
+    orig = mm.fake_decode
+
+    def counting_fake(payload, kind):
+        hits["fake"] += 1
+        return orig(payload, kind)
+
+    mm.fake_decode = counting_fake
+    try:
+        for payload, kind in zip(t.column("payload").to_pylist(),
+                                 t.column("kind").to_pylist()):
+            out = mm.default_decode(payload, kind)
+            assert "tensor" in out
+            hits["real"] += 1
+    finally:
+        mm.fake_decode = orig
+    assert hits["fake"] == 0 and hits["real"] == 256
