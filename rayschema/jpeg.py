@@ -183,7 +183,9 @@ class _BitWriter:
                     self.out.append(0x00)   # byte stuffing
                 self.acc, self.nbits = 0, 0
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad the current byte with 1s (the T.81 fill convention) —
+        also used before RSTn restart markers mid-scan."""
         if self.nbits:
             self.acc <<= (8 - self.nbits)
             self.acc |= (1 << (8 - self.nbits)) - 1   # pad with 1s
@@ -191,6 +193,14 @@ class _BitWriter:
             if self.acc == 0xFF:
                 self.out.append(0x00)
             self.acc, self.nbits = 0, 0
+
+    def write_marker(self, marker: int) -> None:
+        """Byte-align and emit a bare FF xx marker (RSTn)."""
+        self.align()
+        self.out.extend(bytes([0xFF, marker]))
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -724,7 +734,8 @@ def _emit_eobrun(bw: "_BitWriter", eobrun: int) -> int:
 
 
 def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 85,
-                            subsample: bool = False) -> bytes:
+                            subsample: bool = False,
+                            restart_interval: int = 0) -> bytes:
     """(H, W, 3) uint8 RGB (or (H, W) grayscale) -> progressive (SOF2)
     JPEG bytes with the standard scan script: interleaved DC first
     (Al=1), DC refinement, then per-component AC 1..63 first (Al=1) and
@@ -782,6 +793,8 @@ def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 85,
     dht = bytes([0x00]) + bytes(_DC_COUNTS) + bytes(_DC_SYMBOLS) \
         + bytes([0x10]) + bytes(_AC_COUNTS) + bytes(_AC_SYMBOLS)
     seg(0xC4, dht)
+    if restart_interval:
+        seg(0xDD, restart_interval.to_bytes(2, "big"))   # DRI
 
     def sos_header(comps, ss, se_, ah, al, tables):
         body = bytes([len(comps)])
@@ -798,35 +811,44 @@ def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 85,
     # ---- scan 1: DC first, interleaved, Al=1 (arithmetic shift) ----
     bw = _BitWriter()
     preds = [0] * ncomp
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci in range(ncomp):
-                hs, vs = samp[ci]
-                for by in range(vs):
-                    for bx in range(hs):
-                        bi = (my * vs + by) * wblocks[ci] + (mx * hs + bx)
-                        v = int(zz[ci][bi][0]) >> 1       # Al=1, arith
-                        diff = v - preds[ci]
-                        preds[ci] = v
-                        t = _cat(diff)
-                        length, code = _DC_CODES[t]
-                        bw.write(code, length)
-                        if t:
-                            bw.write(diff if diff >= 0
-                                     else diff + (1 << t) - 1, t)
+    rstn = 0
+    for mcu_i in range(mcuy * mcux):
+        my, mx = divmod(mcu_i, mcux)
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            bw.write_marker(0xD0 + (rstn & 7))
+            rstn += 1
+            preds = [0] * ncomp
+        for ci in range(ncomp):
+            hs, vs = samp[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    bi = (my * vs + by) * wblocks[ci] + (mx * hs + bx)
+                    v = int(zz[ci][bi][0]) >> 1           # Al=1, arith
+                    diff = v - preds[ci]
+                    preds[ci] = v
+                    t = _cat(diff)
+                    length, code = _DC_CODES[t]
+                    bw.write(code, length)
+                    if t:
+                        bw.write(diff if diff >= 0
+                                 else diff + (1 << t) - 1, t)
     sos_header(list(range(ncomp)), 0, 0, 0, 1, [0x00] * ncomp)
     out.extend(bw.flush())
 
     # ---- scan 2: DC refinement, interleaved, Ah=1 Al=0 (raw bits) ----
     bw = _BitWriter()
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci in range(ncomp):
-                hs, vs = samp[ci]
-                for by in range(vs):
-                    for bx in range(hs):
-                        bi = (my * vs + by) * wblocks[ci] + (mx * hs + bx)
-                        bw.write(int(zz[ci][bi][0]) & 1, 1)
+    rstn = 0
+    for mcu_i in range(mcuy * mcux):
+        my, mx = divmod(mcu_i, mcux)
+        if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+            bw.write_marker(0xD0 + (rstn & 7))
+            rstn += 1
+        for ci in range(ncomp):
+            hs, vs = samp[ci]
+            for by in range(vs):
+                for bx in range(hs):
+                    bi = (my * vs + by) * wblocks[ci] + (mx * hs + bx)
+                    bw.write(int(zz[ci][bi][0]) & 1, 1)
     sos_header(list(range(ncomp)), 0, 0, 1, 0, [0x00] * ncomp)
     out.extend(bw.flush())
 
@@ -844,7 +866,13 @@ def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 85,
     for ci in range(ncomp):
         bw = _BitWriter()
         eobrun = 0
-        for bi in _true_blocks(ci):
+        rstn = 0
+        for unit_i, bi in enumerate(_true_blocks(ci)):
+            if restart_interval and unit_i \
+                    and unit_i % restart_interval == 0:
+                eobrun = _emit_eobrun(bw, eobrun)
+                bw.write_marker(0xD0 + (rstn & 7))
+                rstn += 1
             blk = zz[ci][bi]
             run = 0
             wrote = False
@@ -891,7 +919,15 @@ def encode_jpeg_progressive(rgb: np.ndarray, quality: int = 85,
                 bw.write(bit, 1)
             bits.clear()
 
-        for bi in _true_blocks(ci):
+        rstn = 0
+        for unit_i, bi in enumerate(_true_blocks(ci)):
+            if restart_interval and unit_i \
+                    and unit_i % restart_interval == 0:
+                if eobrun > 0:
+                    eobrun = _emit_eobrun(bw, eobrun)
+                    _flush(bits_eob)
+                bw.write_marker(0xD0 + (rstn & 7))
+                rstn += 1
             blk = zz[ci][bi]
             absv = [abs(int(blk[k])) for k in range(64)]
             eob_pos = 0               # last newly-significant index

@@ -508,3 +508,28 @@ def test_media_mix_real_decode_rate_is_total():
     finally:
         mm.fake_decode = orig
     assert hits["fake"] == 0 and hits["real"] == 256
+
+
+def test_progressive_jpeg_with_restart_intervals():
+    """Progressive streams with DRI/RSTn restart markers (common in real
+    web JPEGs) decode bit-identically to baseline: DC predictor and
+    EOBRUN reset at each marker, in every scan kind."""
+    from rayschema.jpeg import (decode_jpeg, encode_jpeg,
+                                encode_jpeg_progressive)
+
+    rng = np.random.default_rng(11)
+    x, y = np.meshgrid(np.arange(49), np.arange(33))
+    img = np.stack([(x * 5 % 256).astype(np.uint8),
+                    (y * 7 % 256).astype(np.uint8),
+                    ((x + y) % 256).astype(np.uint8)], axis=2)
+    img[8:20, 8:20] = rng.integers(0, 256, (12, 12, 3), dtype=np.uint8)
+    for sub in (False, True):
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        for ri in (1, 2, 3, 7):
+            blob = encode_jpeg_progressive(img, quality=85,
+                                           subsample=sub,
+                                           restart_interval=ri)
+            assert b"\xff\xdd" in blob          # DRI present
+            assert any(bytes([0xFF, 0xD0 + k]) in blob for k in range(8))
+            prog = decode_jpeg(blob)
+            assert np.array_equal(base["rgb"], prog["rgb"]), (sub, ri)
