@@ -858,10 +858,105 @@ def minhash_near_dups_joined(ds, id_col: str = "doc_id", text_col: str = "text",
             .aggregate(Min("jaccard", alias_name="jaccard")))
 
 
+MINHASH_INPROC_CAP = 20_000   # corpus rows under which the fused in-process
+#                               path runs (the _ppjoin_driver discipline):
+#                               at this size the distributed plan's three
+#                               sort executions are pure scheduling overhead
+#                               (sf0.1's 5k-doc table: ~5.8s of orchestration
+#                               for ~0.2s of signature compute). Text bytes
+#                               on the driver are bounded by cap x doc size,
+#                               the same bound _ppjoin_driver documents.
+
+
+def _minhash_inproc(df, id_col: str, text_col: str, num_perm: int, bands: int,
+                    shingle_k: int, threshold: float, max_group: int = 256):
+    """Fused in-process MinHash-LSH + exact-Jaccard verify for a SMALL
+    corpus (<= MINHASH_INPROC_CAP rows, footer-gated by the caller):
+    IDENTICAL candidate semantics to the distributed path — the same
+    oph signatures, the same band-key mix (so the bucket-key salt that
+    drives oversized-bucket splitting matches bit-for-bit), the same
+    _emit_group_pairs — and the same round_half_away exact-Jaccard
+    verify. Equality-tested against the distributed path in
+    tests/test_dedup_similarity.py; the distributed plan stays the
+    design above the cap."""
+    import ray.data as rd
+
+    empty = pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        "jaccard": pa.array([], type=pa.float64())})
+    n = len(df)
+    if n < 2:
+        return rd.from_arrow(empty)
+    ids = df[id_col].to_numpy().astype(np.int64)
+    texts = df[text_col].tolist()
+    mh = MinHasher(id_col=id_col, text_col=text_col, num_perm=num_perm,
+                   bands=bands, shingle_k=shingle_k)
+    sigs = oph_signatures(pa.Array.from_pandas(df[text_col]), shingle_k,
+                          num_perm)
+    bh = mh.band_hashes(sigs)                       # doc-major, band inner
+    band_ids = np.tile(np.arange(bands, dtype=np.uint64), n)
+    doc_ids = np.repeat(ids, bands)
+    with np.errstate(over="ignore"):
+        key = _mix64(bh + (band_ids + np.uint64(1))
+                     * np.uint64(0x9E3779B97F4A7C15))
+    order = np.argsort(key, kind="stable")
+    key, doc_ids = key[order], doc_ids[order]
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    ends = np.r_[starts[1:], len(key)]
+    pa_l, pb_l = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        got = _emit_group_pairs(np.unique(doc_ids[s:e]), max_group,
+                                salt=int(key[s]))
+        if got is not None:
+            pa_l.append(got[0])
+            pb_l.append(got[1])
+    if not pa_l:
+        return rd.from_arrow(empty)
+    ia = np.concatenate(pa_l)
+    ib = np.concatenate(pb_l)
+    order = np.lexsort((ib, ia))                    # candidate pair dedup
+    ia, ib = ia[order], ib[order]
+    keep = np.ones(len(ia), dtype=bool)
+    keep[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+    ia, ib = ia[keep], ib[keep]
+    sorter = np.argsort(ids, kind="stable")
+    ids_sorted = ids[sorter]
+    cache: Dict[int, np.ndarray] = {}
+
+    def sh(i: int) -> np.ndarray:
+        got = cache.get(i)
+        if got is None:
+            row = int(sorter[np.searchsorted(ids_sorted, i)])
+            got = cache[i] = char_shingles(texts[row] or "", shingle_k)
+        return got
+
+    out_a, out_b, out_j = [], [], []
+    for a, b in zip(ia, ib):
+        ha, hb = sh(int(a)), sh(int(b))
+        inter = _sorted_intersect_count(ha, hb)
+        union = ha.size + hb.size - inter
+        jac = inter / union if union else 1.0
+        if jac >= threshold:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(jac)
+    if not out_a:
+        return rd.from_arrow(empty)
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(np.asarray(out_a, dtype=np.int64)),
+        "id_b": pa.array(np.asarray(out_b, dtype=np.int64)),
+        "jaccard": pa.array(round_half_away(
+            np.asarray(out_j, dtype=np.float64), 6)),
+    }))
+
+
 def minhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
                       num_perm: int = 64, bands: int = 16, shingle_k: int = 5,
                       threshold: float = 0.8, concurrency=(1, 8),
-                      num_partitions: int = 8):
+                      num_partitions: int = 8, n_rows: Optional[int] = None):
     """End-to-end distributed MinHash-LSH near-dup pairs in THREE shuffle
     executions (the fused path; equality-tested against the join path and
     the driver path):
@@ -884,6 +979,10 @@ def minhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
     import time as _time
 
     import ray.data as rd
+
+    if n_rows is not None and n_rows <= MINHASH_INPROC_CAP:
+        return _minhash_inproc(ds.to_pandas(), id_col, text_col, num_perm,
+                               bands, shingle_k, threshold)
 
     _dbg = os.environ.get("RAYSCHEMA_TIMING")
     _t0 = _time.time()
@@ -1202,12 +1301,23 @@ class SimHasher:
         doc = np.searchsorted(starts, np.asarray(pos, dtype=np.int64),
                               side="right") - 1
         hs = poly_token_hash(toks)
-        # (tokens, 64) ±1 contributions in int8 (memory-lean), scatter-added
-        # into the per-doc accumulator in one ufunc.at call
-        bits = ((hs[:, None] >> self._shifts[None, :]) & np.uint64(1)).astype(np.int8)
-        contrib = (2 * bits - 1).astype(np.int8)
+        # tokens arrive in DOC ORDER (finditer scans the joined text left to
+        # right), so per-doc ±1 sums are a segment reduceat — ~10x faster
+        # than the np.add.at scatter it replaces, bit-identical (integer
+        # addition is associative). Chunked so the (tokens, 64) int32
+        # expansion stays bounded; a doc split across chunks merges exactly
+        # via the (tiny) per-segment scatter-add.
         acc = np.zeros((n, 64), dtype=np.int64)
-        np.add.at(acc, doc, contrib)
+        CH = 1 << 18
+        for s in range(0, len(hs), CH):
+            e = min(s + CH, len(hs))
+            d = doc[s:e]
+            bits = ((hs[s:e, None] >> self._shifts[None, :])
+                    & np.uint64(1)).astype(np.int32)
+            contrib = 2 * bits - 1
+            b = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            sums = np.add.reduceat(contrib, b, axis=0)
+            np.add.at(acc, d[b], sums)
         return ((acc > 0).astype(np.uint64) << self._shifts[None, :]).sum(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1229,17 +1339,119 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return cnt
 
 
+def _simhash_bucket_pairs(ids: np.ndarray, hs: np.ndarray, salt: int,
+                          max_bucket: int, max_hamming: int):
+    """One SimHash band bucket -> (id_a, id_b, hamming) arrays, salt-split
+    beyond max_bucket (shared by the distributed scan's group_fn and the
+    in-process path, so the two can never drift)."""
+    order = np.argsort(ids)
+    ids, hs = ids[order], hs[order]
+    keep = np.ones(len(ids), dtype=bool)
+    keep[1:] = ids[1:] != ids[:-1]
+    ids, hs = ids[keep], hs[keep]
+    if len(ids) < 2:
+        return None
+    n_chunks = int(np.ceil(len(ids) / max_bucket))
+    if n_chunks > 1:
+        _log.warning("SimHash bucket of %d docs salt-split into %d chunks",
+                     len(ids), n_chunks)
+        # band-salted permutation: each band chunks a giant bucket
+        # differently, recovering cross-chunk pairs the others miss
+        with np.errstate(over="ignore"):
+            order = np.argsort(_mix64(ids.astype(np.uint64) + np.uint64(salt)),
+                               kind="stable")
+        ids, hs = ids[order], hs[order]
+    fa, fb, fh = [], [], []
+    for c in range(n_chunks):
+        sl = slice(c * max_bucket, (c + 1) * max_bucket)
+        cid, chs = ids[sl], hs[sl]
+        co = np.argsort(cid)
+        cid, chs = cid[co], chs[co]
+        ia, ib = np.triu_indices(len(cid), k=1)
+        hd = hamming64(chs[ia].view(np.uint64), chs[ib].view(np.uint64))
+        k = hd <= max_hamming
+        fa.append(cid[ia][k])
+        fb.append(cid[ib][k])
+        fh.append(hd[k])
+    return np.concatenate(fa), np.concatenate(fb), np.concatenate(fh)
+
+
+def _simhash_inproc(df, id_col: str, text_col: str, max_hamming: int,
+                    max_bucket: int):
+    """Fused in-process SimHash near-dup pairs for a SMALL corpus
+    (<= MINHASH_INPROC_CAP rows, footer-gated by the caller): the same
+    batch_sim64 signatures, the same band-key mix and salt, the same
+    _simhash_bucket_pairs — one process instead of a sort execution whose
+    scheduling overhead dominates at this size. Equality-tested against
+    the distributed path."""
+    import ray.data as rd
+
+    empty = pa.table({
+        "id_a": pa.array([], type=pa.int64()),
+        "id_b": pa.array([], type=pa.int64()),
+        "hamming": pa.array([], type=pa.int64())})
+    n = len(df)
+    if n < 2:
+        return rd.from_arrow(empty)
+    hasher = SimHasher(id_col=id_col, text_col=text_col)
+    sh = hasher.batch_sim64(df[text_col].tolist())
+    ids = df[id_col].to_numpy().astype(np.int64)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    keys, oid, osh = [], [], []
+    with np.errstate(over="ignore"):
+        for i in range(4):
+            bucket = (sh >> np.uint64(16 * i)) & np.uint64(0xFFFF)
+            keys.append(_mix64(bucket + np.uint64(i + 1) * gold))
+            oid.append(ids)
+            osh.append(sh.view(np.int64))
+    key = np.concatenate(keys)
+    dids = np.concatenate(oid)
+    shs = np.concatenate(osh)
+    order = np.argsort(key, kind="stable")
+    key, dids, shs = key[order], dids[order], shs[order]
+    starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+    ends = np.r_[starts[1:], len(key)]
+    fa, fb, fh = [], [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        got = _simhash_bucket_pairs(dids[s:e], shs[s:e], int(key[s]),
+                                    max_bucket, max_hamming)
+        if got is not None:
+            fa.append(got[0])
+            fb.append(got[1])
+            fh.append(got[2])
+    if not fa:
+        return rd.from_arrow(empty)
+    ia = np.concatenate(fa)
+    ib = np.concatenate(fb)
+    hd = np.concatenate(fh)
+    order = np.lexsort((hd, ib, ia))       # distinct pair, Min(hamming)
+    ia, ib, hd = ia[order], ib[order], hd[order]
+    keep = np.ones(len(ia), dtype=bool)
+    keep[1:] = (ia[1:] != ia[:-1]) | (ib[1:] != ib[:-1])
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array(ia[keep]), "id_b": pa.array(ib[keep]),
+        "hamming": pa.array(hd[keep])}))
+
+
 def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
                       max_hamming: int = 3, concurrency=(1, 8),
-                      max_bucket: int = 1024):
+                      max_bucket: int = 1024, n_rows: Optional[int] = None):
     """SimHash near-dup pairs: the 4 x 16-bit band buckets are folded into
     ONE 8-byte bucket-key sort (band id mixed into the key) scanned by the
     shared sorted_group_scan — one narrow all-to-all replaces four
     groupby+per-group-Python passes; block-edge buckets are stitched exactly
     on the driver (ids+sigs only). Oversized buckets are salt-split with a
     band-keyed permutation (other bands recover different cross-chunk
-    pairs), not dropped."""
+    pairs), not dropped. Below MINHASH_INPROC_CAP rows (footer-gated via
+    ``n_rows``) the fused in-process path runs instead (_simhash_inproc,
+    equality-tested)."""
     from ray.data.aggregate import Min
+
+    if n_rows is not None and n_rows <= MINHASH_INPROC_CAP:
+        return _simhash_inproc(ds.to_pandas(), id_col, text_col,
+                               max_hamming, max_bucket)
 
     sigs = ds.map_batches(SimHasher,
                           fn_constructor_kwargs=dict(id_col=id_col, text_col=text_col),
@@ -1263,43 +1475,11 @@ def simhash_near_dups(ds, id_col: str = "doc_id", text_col: str = "text",
             "sh": pa.array(np.concatenate(osh).view(np.int64)),
         })
 
-    def bucket_pairs(ids: np.ndarray, hs: np.ndarray, salt: int = 0):
-        order = np.argsort(ids)
-        ids, hs = ids[order], hs[order]
-        keep = np.ones(len(ids), dtype=bool)
-        keep[1:] = ids[1:] != ids[:-1]
-        ids, hs = ids[keep], hs[keep]
-        if len(ids) < 2:
-            return None
-        n_chunks = int(np.ceil(len(ids) / max_bucket))
-        if n_chunks > 1:
-            _log.warning("SimHash bucket of %d docs salt-split into %d chunks",
-                         len(ids), n_chunks)
-            # band-salted permutation: each band chunks a giant bucket
-            # differently, recovering cross-chunk pairs the others miss
-            with np.errstate(over="ignore"):
-                order = np.argsort(_mix64(ids.astype(np.uint64) + np.uint64(salt)),
-                                   kind="stable")
-            ids, hs = ids[order], hs[order]
-        fa, fb, fh = [], [], []
-        for c in range(n_chunks):
-            sl = slice(c * max_bucket, (c + 1) * max_bucket)
-            cid, chs = ids[sl], hs[sl]
-            co = np.argsort(cid)
-            cid, chs = cid[co], chs[co]
-            ia, ib = np.triu_indices(len(cid), k=1)
-            hd = hamming64(chs[ia].view(np.uint64), chs[ib].view(np.uint64))
-            k = hd <= max_hamming
-            fa.append(cid[ia][k])
-            fb.append(cid[ib][k])
-            fh.append(hd[k])
-        return np.concatenate(fa), np.concatenate(fb), np.concatenate(fh)
-
     def group_fn(t: pa.Table) -> Optional[pa.Table]:
         ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         shs = t.column("sh").to_numpy(zero_copy_only=False)
         salt = int(t.column("bkey")[0].as_py()) & 0xFFFFFFFFFFFFFFFF
-        got = bucket_pairs(ids, shs, salt=salt)
+        got = _simhash_bucket_pairs(ids, shs, salt, max_bucket, max_hamming)
         if got is None:
             return None
         return pa.table({"id_a": pa.array(got[0]), "id_b": pa.array(got[1]),
@@ -1624,7 +1804,8 @@ def connected_components(pairs: pd.DataFrame, id_a: str = "id_a",
 def near_dup_clusters(ds, id_col: str = "doc_id", text_col: str = "text",
                       jaccard_threshold: float = 0.8, num_perm: int = 64,
                       bands: int = 16, concurrency=(1, 8),
-                      driver_pair_cap: int = 2_000_000) -> pd.DataFrame:
+                      driver_pair_cap: int = 2_000_000,
+                      n_rows: Optional[int] = None) -> pd.DataFrame:
     """End-to-end near-dup clustering: MinHash-LSH candidates -> DISTRIBUTED
     exact-Jaccard verify -> connected components over the verified pairs.
     Up to ``driver_pair_cap`` verified pairs the components run as driver
@@ -1636,7 +1817,8 @@ def near_dup_clusters(ds, id_col: str = "doc_id", text_col: str = "text",
     verified = minhash_near_dups(ds, id_col=id_col, text_col=text_col,
                                  num_perm=num_perm, bands=bands,
                                  threshold=jaccard_threshold,
-                                 concurrency=concurrency).materialize()
+                                 concurrency=concurrency,
+                                 n_rows=n_rows).materialize()
     n_pairs = verified.count()
     if n_pairs == 0:
         return pd.DataFrame({"doc_id": [], "cluster_id": []})

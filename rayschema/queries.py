@@ -404,7 +404,8 @@ def minhash_near_dup_documents(sf_dir: str):
     from rayschema.dedup import minhash_near_dups
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return minhash_near_dups(ds, num_perm=64, bands=16, threshold=0.5)
+    return minhash_near_dups(ds, num_perm=64, bands=16, threshold=0.5,
+                             n_rows=_table_rows(sf_dir, "documents"))
 
 
 def minhash_near_dup_exact(sf_dir: str):
@@ -425,7 +426,8 @@ def near_dup_clusters_documents(sf_dir: str):
     from rayschema.dedup import near_dup_clusters
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return near_dup_clusters(ds, jaccard_threshold=0.5)
+    return near_dup_clusters(ds, jaccard_threshold=0.5,
+                             n_rows=_table_rows(sf_dir, "documents"))
 
 
 def near_dup_clusters_exact(sf_dir: str):
@@ -805,7 +807,8 @@ def simhash_near_dup_documents(sf_dir: str):
     from rayschema.dedup import simhash_near_dups
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return simhash_near_dups(ds, max_hamming=3)
+    return simhash_near_dups(ds, max_hamming=3,
+                             n_rows=_table_rows(sf_dir, "documents"))
 
 
 def embedding_near_dup(sf_dir: str):
@@ -959,7 +962,8 @@ def ann_recall_report(sf_dir: str):
     def jaccard_recall():
         return _pair_recall(
             exact_jaccard_pairs(docs_sub, id_limit=300, k=5, threshold=0.5),
-            minhash_near_dups(docs_sub, threshold=0.5))
+            minhash_near_dups(docs_sub, threshold=0.5,
+                              n_rows=docs_sub.count()))
 
     def cosine_recall():
         return _pair_recall(

@@ -1177,3 +1177,48 @@ def test_connected_components_ds_empty_graph(ray_session):
     # schema and the row count here
     assert out.schema().names == ["doc_id", "cluster_id"]
     assert out.count() == 0
+
+
+def test_minhash_inproc_matches_distributed(near_dup_docs):
+    """The footer-gated fused in-process path (_minhash_inproc, the
+    _ppjoin_driver discipline) must return IDENTICAL rows to the
+    distributed three-shuffle plan — same signatures, same band-key
+    salt, same _emit_group_pairs, same rounding."""
+    from rayschema.dedup import _minhash_inproc, minhash_near_dups
+
+    for thr in (0.5, 0.7, 0.8):
+        dist = minhash_near_dups(near_dup_docs, threshold=thr,
+                                 concurrency=(1, 2)).to_pandas()
+        inp = _minhash_inproc(near_dup_docs.to_pandas(), "doc_id", "text",
+                              64, 16, 5, thr).to_pandas()
+        key = lambda d: sorted(map(tuple, d[["id_a", "id_b", "jaccard"]]
+                                   .values.tolist()))
+        assert key(dist) == key(inp), thr
+
+
+def test_minhash_n_rows_gate_takes_inproc_path(near_dup_docs):
+    """Passing n_rows <= MINHASH_INPROC_CAP routes through the in-process
+    path and still yields the verified near-dup pair."""
+    from rayschema.dedup import MINHASH_INPROC_CAP, minhash_near_dups
+
+    out = minhash_near_dups(near_dup_docs, threshold=0.8,
+                            n_rows=82).to_pandas()
+    assert MINHASH_INPROC_CAP >= 82
+    assert (100, 101) in set(zip(out["id_a"], out["id_b"]))
+
+
+def test_simhash_inproc_matches_distributed(near_dup_docs):
+    """_simhash_inproc must return IDENTICAL (id_a, id_b, hamming) rows to
+    the distributed bucket-scan path (shared _simhash_bucket_pairs)."""
+    from rayschema.dedup import _simhash_inproc, simhash_near_dups
+
+    dist = simhash_near_dups(near_dup_docs, max_hamming=3).to_pandas()
+    inp = _simhash_inproc(near_dup_docs.to_pandas(), "doc_id", "text",
+                          3, 1024).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b", "hamming"]]
+                               .values.tolist()))
+    assert key(dist) == key(inp)
+    # the gate itself
+    gated = simhash_near_dups(near_dup_docs, max_hamming=3,
+                              n_rows=82).to_pandas()
+    assert key(gated) == key(dist)
