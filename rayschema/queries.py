@@ -11369,11 +11369,14 @@ def copurchase_lift_pairs(sf_dir: str, minsup: int = 2, top_n: int = 20):
     integer (1e6 * n_ab * N) // (n_a * n_b) — no floats anywhere.
     n_ab comes from the SAME one-orderkey-keyed pair-emission scan the
     triangle count uses (within-order dedup built in) folded by packed
-    pair key; n_a from one distinct-(order, part) groupby; N (distinct
-    orders) from one narrow orderkey groupby. Part frequencies
-    broadcast once (O(parts), the usual node-vector bound), each block
-    ranks its own candidates and only blocks x top_n rows reach the
-    driver merge. int64 exactness bound: 1e6 * n_ab * N < 2^63
+    pair key; n_a (distinct orders per part) and N (distinct orders)
+    ride the SAME scan — interior groups ship per-block part-frequency
+    partials through the extra_emit side channel, boundary groups emit
+    typed marker rows (kind=1 per distinct (order, part), kind=2 per
+    order) that the driver folds — so ONE sort is the query's only
+    all-to-all. Part frequencies broadcast once (O(parts), the usual
+    node-vector bound), each block ranks its own candidates and only
+    blocks x top_n rows reach the driver merge. int64 exactness bound: 1e6 * n_ab * N < 2^63
     (wider corpora: widen to the HUGEINT mirror). Emits the top-20:
     (part_a, part_b, n_both, n_a, n_b, lift_ppm, rk), deterministic
     (lift desc, part_a, part_b) ties."""
@@ -11385,8 +11388,17 @@ def copurchase_lift_pairs(sf_dir: str, minsup: int = 2, top_n: int = 20):
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
 
-    # ---- n_ab: per-order deduped pair instances -> packed-key counts
-    pk_schema = pa.schema([("pk", pa.int64())])
+    # ---- ONE sorted scan yields pairs AND the n_a / N side data:
+    # interior groups ship per-block part-frequency partials + the interior
+    # order count through the extra_emit side channel; boundary (residual)
+    # groups — stitched exactly once on the driver — emit typed MARKER rows
+    # (kind=1: one distinct (order, part), kind=2: one distinct order)
+    # alongside their kind=0 pairs. This folds what used to be a second
+    # (l_orderkey, l_partkey) groupby shuffle plus a third lineitem pass
+    # into the scan the pair emission already pays for.
+    import struct
+
+    pk_schema = pa.schema([("pk", pa.int64()), ("kind", pa.int8())])
 
     def pair_block(b: pa.Table, starts, ends, want) -> pa.Table:
         pkeys = b.column("l_partkey").to_numpy(zero_copy_only=False) \
@@ -11408,27 +11420,87 @@ def copurchase_lift_pairs(sf_dir: str, minsup: int = 2, top_n: int = 20):
         cp = cp[keep]
         i_idx, j_idx = _pair_index(dedup_sizes)
         v, w = cp[i_idx], cp[j_idx]
-        return pa.table({"pk": pa.array((v << np.int64(32)) | w)})
+        return pa.table({"pk": pa.array((v << np.int64(32)) | w),
+                         "kind": pa.array(np.zeros(len(v), dtype=np.int8))})
 
     def pair_group(g: pa.Table) -> pa.Table:
+        # residual (boundary) groups, driver-stitched: pairs + one kind=1
+        # marker per distinct part + one kind=2 marker for the order itself
         u = np.unique(g.column("l_partkey").to_numpy(zero_copy_only=False)
                       .astype(np.int64))
+        ok = int(g.column("l_orderkey")[0].as_py())
         i_idx, j_idx = _pair_index(np.array([len(u)]))
         v, w = u[i_idx], u[j_idx]
-        return pa.table({"pk": pa.array((v << np.int64(32)) | w)})
+        pk = np.concatenate([(v << np.int64(32)) | w, u,
+                             np.array([ok], dtype=np.int64)])
+        kind = np.concatenate([np.zeros(len(v), dtype=np.int8),
+                               np.ones(len(u), dtype=np.int8),
+                               np.full(1, 2, dtype=np.int8)])
+        return pa.table({"pk": pa.array(pk), "kind": pa.array(kind)})
 
-    pair_inst = sorted_group_scan(
+    def freq_emit(b: pa.Table, starts, ends):
+        # interior-group part frequencies (rows are part-sorted within each
+        # group, so dedup is the same first|diff pass pair_block uses) and
+        # the interior order count, packed as one side-channel payload
+        pkeys = b.column("l_partkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nrow = b.num_rows
+        boundary = (starts == 0) | (ends == nrow)
+        s, e = starts[~boundary], ends[~boundary]
+        n_int = len(s)
+        if n_int == 0:
+            return None
+        sizes = (e - s).astype(np.int64)
+        tot = int(sizes.sum())
+        take = (np.repeat(s, sizes)
+                + (np.arange(tot, dtype=np.int64)
+                   - np.repeat(np.cumsum(sizes) - sizes, sizes)))
+        cp = pkeys[take]
+        gstart = np.cumsum(sizes) - sizes
+        first = np.zeros(tot, dtype=bool)
+        first[gstart] = True
+        cp = cp[first | (cp != np.roll(cp, 1))]
+        u, c = np.unique(cp, return_counts=True)
+        return (struct.pack("<q", n_int)
+                + u.tobytes() + c.astype(np.int64).tobytes())
+
+    pair_inst, payloads = sorted_group_scan(
         li, ["l_orderkey"], pair_group, pk_schema,
         group_filter=lambda b, s, e: (e - s) >= 2,
         block_fn=pair_block, sort_blocks=32,
-        order_cols=["l_partkey"]).materialize()
-    if pair_inst.count() <= 10_000_000:
+        order_cols=["l_partkey"], extra_emit=freq_emit)
+    pair_inst = pair_inst.materialize()
+
+    # ---- fold n_a and N from the side channel + boundary markers
+    n_orders = 0
+    us, cs = [], []
+    for p in payloads:
+        n_orders += struct.unpack("<q", p[:8])[0]
+        rest = np.frombuffer(p[8:], dtype=np.int64)
+        half = len(rest) // 2
+        us.append(rest[:half])
+        cs.append(rest[half:])
+    mk = pair_inst.filter(expr="kind > 0").to_pandas()   # O(blocks) rows
+    if len(mk):
+        u1, c1 = np.unique(mk.loc[mk["kind"] == 1, "pk"].to_numpy(np.int64),
+                           return_counts=True)
+        us.append(u1)
+        cs.append(c1.astype(np.int64))
+        n_orders += int((mk["kind"] == 2).sum())
+    uall = np.concatenate(us) if us else np.array([], dtype=np.int64)
+    call = np.concatenate(cs) if cs else np.array([], dtype=np.int64)
+    pf_parts, inv = np.unique(uall, return_inverse=True)
+    pf_counts = (np.bincount(inv, weights=call).astype(np.int64)
+                 if len(uall) else np.array([], dtype=np.int64))
+
+    if pair_inst.count() - len(mk) <= 10_000_000:
         # pair instances fit the triangle-count distinct bound: one
         # driver np fold replaces the ~1M-key hash groupby (measured
         # ~10x there); per-batch partial pre-counts keep the pull <= m
         def pk_partial(b: pa.Table) -> pa.Table:
+            m = b.column("kind").to_numpy(zero_copy_only=False) == 0
             u, c = np.unique(b.column("pk").to_numpy(
-                zero_copy_only=False).astype(np.int64),
+                zero_copy_only=False).astype(np.int64)[m],
                 return_counts=True)
             return pa.table({"pk": pa.array(u),
                              "n_both": pa.array(c.astype(np.int64))})
@@ -11444,38 +11516,11 @@ def copurchase_lift_pairs(sf_dir: str, minsup: int = 2, top_n: int = 20):
         pair_counts = rd.from_arrow(pa.table({
             "pk": pa.array(uk[keep]), "n_both": pa.array(nb[keep])}))
     else:
-        pair_counts = (pair_inst.groupby("pk")
+        pair_counts = (pair_inst.filter(expr="kind == 0").groupby("pk")
                        .aggregate(Count(alias_name="n_both"))
                        .filter(expr=f"n_both >= {int(minsup)}"))
 
-    # ---- n_a: distinct (order, part) -> per-part frequency (O(parts))
-    op = (li.groupby(["l_orderkey", "l_partkey"])
-          .aggregate(Count(alias_name="_n")))
-
-    def part_partial(b: pa.Table) -> pa.Table:
-        u, c = np.unique(b.column("l_partkey").to_numpy(
-            zero_copy_only=False).astype(np.int64), return_counts=True)
-        return pa.table({"part": pa.array(u),
-                         "np_": pa.array(c.astype(np.int64))})
-
-    from ray.data.aggregate import Sum
-    pf = (op.map_batches(part_partial, batch_format="pyarrow")
-          .groupby("part").aggregate(Sum("np_", alias_name="np_"))
-          .to_pandas().sort_values("part"))
-
-    # distinct orders: per-batch unique partials + one driver np.unique
-    # (orderkey-clustered batches keep the pull near the distinct count;
-    # no all-to-all just to count keys)
-    def ok_partial(b: pa.Table) -> pa.Table:
-        return pa.table({"ok": pa.array(np.unique(
-            b.column("l_orderkey").to_numpy(zero_copy_only=False)
-            .astype(np.int64)))})
-
-    n_orders = len(np.unique(
-        li.map_batches(ok_partial, batch_format="pyarrow")
-        .to_pandas()["ok"].to_numpy(np.int64)))
-    ref = ray.put((pf["part"].to_numpy(np.int64),
-                   pf["np_"].to_numpy(np.int64), int(n_orders)))
+    ref = ray.put((pf_parts, pf_counts, int(n_orders)))
 
     def block_top(b: pa.Table, _r=ref) -> pa.Table:
         parts, np_, nord = ray.get(_r)
