@@ -421,8 +421,17 @@ def triangle_counts(pairs, node_cap: int = NODE_BROADCAST_CAP,
 
         counted = rd.range(len(nd), override_num_blocks=64).map_batches(
             count_range, batch_format="pyarrow")
-        return counted.groupby("node").aggregate(
-            Sum("tri", alias_name="n_triangles"))
+        # per-block partials are unique-per-node, so the driver fold is
+        # <= blocks x nodes rows — the same O(nodes) pull this path's CSR
+        # broadcast already makes; ~10x cheaper than the node-keyed hash
+        # groupby it replaces (the graph-family fold discipline)
+        parts = counted.to_pandas()
+        u, inv = np.unique(parts["node"].to_numpy(np.int64),
+                           return_inverse=True)
+        t = np.bincount(inv, weights=parts["tri"].to_numpy(np.int64)) \
+            .astype(np.int64)
+        return rd.from_arrow(pa.table({
+            "node": pa.array(u), "n_triangles": pa.array(t)}))
 
     def deg_partial(b: pa.Table) -> pa.Table:
         both = np.concatenate([_np64(b.column("a")),

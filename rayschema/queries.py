@@ -11018,9 +11018,21 @@ def clustering_coeff_parts(sf_dir: str, top_n: int = 15):
         return pa.table({"node": pa.array(u),
                          "dp": pa.array(c.astype(np.int64))})
 
-    deg = (edges.map_batches(deg_partial, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("dp", alias_name="deg"))
-           .to_pandas())
+    dp = edges.map_batches(deg_partial, batch_format="pyarrow")
+    if edges.count() <= 10_000_000:
+        # edges are under triangle_counts' own broadcast bound, so the
+        # node-unique per-block partials fold on the driver (<= blocks x
+        # nodes rows) instead of paying a node-keyed hash groupby
+        pp = dp.to_pandas()
+        u, inv = np.unique(pp["node"].to_numpy(np.int64),
+                           return_inverse=True)
+        deg = pd.DataFrame({
+            "node": u,
+            "deg": np.bincount(inv, weights=pp["dp"].to_numpy(np.int64))
+            .astype(np.int64)})
+    else:
+        deg = (dp.groupby("node").aggregate(Sum("dp", alias_name="deg"))
+               .to_pandas())
     df = deg.merge(tri, on="node", how="left")
     df["n_triangles"] = df["n_triangles"].fillna(0).astype(np.int64)
     df = df[df["deg"] >= 2]
