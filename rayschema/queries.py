@@ -1838,10 +1838,11 @@ def _decontaminate(sf_dir: str, mod: int, residue: int):
     bench = ds.map_batches(pick_bench, batch_format="pyarrow").to_pandas()
     ref = ray.put((bench["bench_id"].to_numpy(np.int64),
                    list(bench["snippet"])))
-    return (ds.map_batches(Decontaminator, batch_format="pyarrow",
-                           fn_constructor_kwargs=dict(snippets_ref=ref),
-                           concurrency=(1, 8))
-            .sort("doc_id"))
+    # no trailing sort: the verdict rows are set-compared downstream (the
+    # driver compare sorts), so a doc_id sort would be a pure all-to-all tax
+    return ds.map_batches(Decontaminator, batch_format="pyarrow",
+                          fn_constructor_kwargs=dict(snippets_ref=ref),
+                          concurrency=(1, 8))
 
 
 def decontaminate_documents(sf_dir: str):
