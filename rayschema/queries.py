@@ -288,10 +288,18 @@ def exact_dedup_documents(sf_dir: str):
     """Exact dedup on text: keep min doc_id per distinct text; returns kept
     ids (see _exact_dedup_core for the distributed design)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return _exact_dedup_core(ds, emit="kept")
+    return _exact_dedup_core(ds, emit="kept",
+                             n_rows=_table_rows(sf_dir, "documents"))
 
 
-def _exact_dedup_core(ds, emit: str = "kept"):
+EXACT_DEDUP_INPROC_CAP = 20_000   # rows (or a footer UPPER BOUND on rows)
+#                                   under which the dedup is one driver
+#                                   GROUP BY text — the MINHASH_INPROC_CAP
+#                                   discipline; the 24-byte-shuffle plan
+#                                   below stays the path at scale
+
+
+def _exact_dedup_core(ds, emit: str = "kept", n_rows=None):
     """Exact dedup on text over a (doc_id, text) Dataset.
 
     emit="kept"  -> the doc_ids that survive (min doc_id per distinct text);
@@ -299,6 +307,11 @@ def _exact_dedup_core(ds, emit: str = "kept"):
     duplicate-text group) — the removal set a downstream broadcast
     anti-join consumes (removal-sized, i.e. proportional to the duplicate
     mass, never the corpus).
+
+    ``n_rows`` (an upper bound is fine — callers pass the parquet footer
+    count of the source table) gates the small-corpus in-process path:
+    one pull, one pandas GROUP BY text, identical result by construction
+    (equality-tested against the distributed plan).
 
     Scale path: the groupby shuffle moves ONLY (text_hash, min_id, n) —
     24 bytes/row, never the text. Hash groups with more than one row (same
@@ -315,6 +328,18 @@ def _exact_dedup_core(ds, emit: str = "kept"):
 
     from rayschema.dedup import _bitmap_member, sorted_group_scan
     from rayschema.sketches import hash64
+
+    if n_rows is not None and n_rows <= EXACT_DEDUP_INPROC_CAP:
+        df = ds.to_pandas()
+        if emit == "kept":
+            ids = (df.groupby("text", dropna=False, as_index=False)
+                   ["doc_id"].min()["doc_id"].to_numpy())
+        else:
+            mins = df.groupby("text", dropna=False)["doc_id"] \
+                .transform("min")
+            ids = df.loc[df["doc_id"] != mins, "doc_id"].to_numpy()
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids.astype(np.int64))}))
 
     BM_BITS = 24
     agg = (ds.map_batches(_dedup_partial, batch_format="pyarrow")
@@ -529,7 +554,9 @@ def curation_pipeline_documents(sf_dir: str):
         })
 
     passing = ds.map_batches(gate, batch_format="pyarrow").materialize()
-    losers_ds = _exact_dedup_core(passing, emit="losers").materialize()
+    losers_ds = _exact_dedup_core(
+        passing, emit="losers",
+        n_rows=_table_rows(sf_dir, "documents")).materialize()
 
     def _split_col(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
@@ -5173,7 +5200,9 @@ def dedup_incremental(sf_dir: str):
     uref = ray.put(acc)
 
     # within-new exact dedup (min id per distinct text), fully distributed
-    kept_ids = set(_exact_dedup_core(new, emit="kept").to_pandas()
+    kept_ids = set(_exact_dedup_core(
+        new, emit="kept",
+        n_rows=_table_rows(sf_dir, "documents")).to_pandas()
                    ["doc_id"].to_numpy(np.int64))
 
     def cand(b: pa.Table, _uref=uref) -> pa.Table:
@@ -5418,7 +5447,8 @@ def trainer_export_pipeline(sf_dir: str):
                          "text": b.column("text").filter(m)})
 
     survivors = ds.map_batches(gate, batch_format="pyarrow")
-    kept = _exact_dedup_core(survivors, emit="kept")
+    kept = _exact_dedup_core(survivors, emit="kept",
+                             n_rows=_table_rows(sf_dir, "documents"))
     # narrow to ids and materialize ONCE (8 B/row in the object store,
     # distributed/spillable) so the rank's adaptive row-count gate and its
     # shuffle don't re-execute the gate+dedup chain
@@ -8840,7 +8870,8 @@ def normalized_exact_dedup(sf_dir: str):
                          "text": pc.utf8_trim(collapsed, characters=" ")})
 
     return _exact_dedup_core(ds.map_batches(norm, batch_format="pyarrow"),
-                             emit="kept")
+                             emit="kept",
+                             n_rows=_table_rows(sf_dir, "documents"))
 
 
 WINSOR_LO_PCT = 5     # p5 / p95, percentile_disc rule
@@ -17766,17 +17797,20 @@ def source_scorecard(sf_dir: str):
     gopher_pass_ppm)."""
     import hashlib
 
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "text", "lang", "source"])
 
+    # per-block partials are O(sources) rows each, so the source-keyed
+    # fold is a driver pandas groupby over blocks x sources rows — no
+    # all-to-all (sources are a bounded dimension, the nation/region
+    # fold rationale)
     agg = (ds.map_batches(_ScorecardStage, batch_format="pyarrow",
                           concurrency=(1, 8))
-           .groupby("source")
-           .aggregate(*[Sum(c, alias_name=c)
-                        for c in ("n", "chars", "mism", "gpass")])
            .to_pandas())
+    agg = agg.groupby("source", as_index=False)[
+        ["n", "chars", "mism", "gpass"]].sum()
     cols = ["source", "n_docs", "chars_sum", "dup_ppm",
             "langid_mismatch_ppm", "gopher_pass_ppm"]
     if agg.empty:
@@ -17794,14 +17828,26 @@ def source_scorecard(sf_dir: str):
         return pa.table({"source": src,
                          "h": pa.array(hs, type=pa.string())})
 
-    dist = (ds.map_batches(hkeys, batch_format="pyarrow")
-            .groupby(["source", "h"])
-            .aggregate(Count(alias_name="c"))
-            .map_batches(lambda b: pa.table({
-                "source": b.column("source"),
-                "one": pa.array(np.ones(len(b), dtype=np.int64))}),
-                batch_format="pyarrow")
-            .to_pandas().groupby("source")["one"].sum())
+    n_docs_total = _table_rows(sf_dir, "documents")
+    if n_docs_total is not None and n_docs_total <= 1_000_000:
+        # doc-bounded distinct fold: per-batch distinct (source, md5)
+        # partials -> one driver drop_duplicates (16 B + source per row,
+        # footer-gated); the hash groupby remains the path past the cap
+        hp = (ds.map_batches(hkeys, batch_format="pyarrow")
+              .map_batches(lambda b: pa.Table.from_pandas(
+                  b.to_pandas().drop_duplicates(["source", "h"]),
+                  preserve_index=False), batch_format="pyarrow")
+              .to_pandas().drop_duplicates(["source", "h"]))
+        dist = hp.groupby("source")["h"].count()
+    else:
+        dist = (ds.map_batches(hkeys, batch_format="pyarrow")
+                .groupby(["source", "h"])
+                .aggregate(Count(alias_name="c"))
+                .map_batches(lambda b: pa.table({
+                    "source": b.column("source"),
+                    "one": pa.array(np.ones(len(b), dtype=np.int64))}),
+                    batch_format="pyarrow")
+                .to_pandas().groupby("source")["one"].sum())
     agg = agg.sort_values("source").reset_index(drop=True)
     nd = agg["source"].map(dist).fillna(0).astype(np.int64)
     n = agg["n"].astype(np.int64)

@@ -1222,3 +1222,25 @@ def test_simhash_inproc_matches_distributed(near_dup_docs):
     gated = simhash_near_dups(near_dup_docs, max_hamming=3,
                               n_rows=82).to_pandas()
     assert key(gated) == key(dist)
+
+
+def test_exact_dedup_inproc_matches_distributed(ray_session):
+    """_exact_dedup_core's footer-gated in-process GROUP BY must equal the
+    24-byte-shuffle distributed plan for both emit modes, nulls included."""
+    import ray.data as rd
+
+    from rayschema.queries import _exact_dedup_core
+
+    rows = ([{"doc_id": i, "text": f"unique {i}"} for i in range(20)]
+            + [{"doc_id": 100 + i, "text": "dup body"} for i in range(5)]
+            + [{"doc_id": 200 + i, "text": None} for i in range(3)])
+    ds = rd.from_items(rows)
+    for emit in ("kept", "losers"):
+        dist = sorted(_exact_dedup_core(ds, emit=emit)
+                      .to_pandas()["doc_id"].tolist())
+        inp = sorted(_exact_dedup_core(ds, emit=emit, n_rows=len(rows))
+                     .to_pandas()["doc_id"].tolist())
+        assert dist == inp, emit
+    kept = sorted(_exact_dedup_core(ds, emit="kept", n_rows=len(rows))
+                  .to_pandas()["doc_id"].tolist())
+    assert 100 in kept and 101 not in kept and 200 in kept and 201 not in kept
