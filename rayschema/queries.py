@@ -9961,10 +9961,11 @@ def langid_confusion_matrix(sf_dir: str):
             [([], "count_all")])
         return g.select(['lang', 'lang_pred', 'count_all']).rename_columns(["lang", "lang_pred", "n"])
 
-    out = (pred.map_batches(partial, batch_format="pyarrow")
-           .groupby(["lang", "lang_pred"])
-           .aggregate(Sum("n", alias_name="n"))
-           .to_pandas())
+    # (lang, pred) cells are a bounded |langs|^2 grid: per-block partials
+    # fold on the driver (the verdicts/scorecard fold rationale)
+    parts = pred.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = parts.groupby(["lang", "lang_pred"], as_index=False,
+                        dropna=False)["n"].sum()
     out["n"] = out["n"].astype(np.int64)
     return (out.sort_values(["lang", "lang_pred"])
             .reset_index(drop=True))
@@ -17451,18 +17452,14 @@ def schema_migration_impact(sf_dir: str):
     never a second validation job. Emits per lang (NULL langs bucket
     as 'NULL'): (lang, n, valid_v1, valid_v2, newly_invalid)."""
     ds = _read(sf_dir, "documents")
-    from ray.data.aggregate import Sum
-
-    out = (ds.map_batches(_MigrationValidator,
-                          batch_format="pyarrow",
-                          concurrency=(1, 8))
-           .groupby("lang")
-           .aggregate(Sum("n", alias_name="n"),
-                      Sum("valid_v1", alias_name="valid_v1"),
-                      Sum("valid_v2", alias_name="valid_v2"),
-                      Sum("newly_invalid", alias_name="newly_invalid"))
-           .to_pandas())
+    # langs are a bounded dimension: per-block partials fold on the driver
+    # (<= blocks x langs rows — the verdicts/scorecard fold rationale)
+    parts = (ds.map_batches(_MigrationValidator,
+                            batch_format="pyarrow",
+                            concurrency=(1, 8))
+             .to_pandas())
     ints = ["n", "valid_v1", "valid_v2", "newly_invalid"]
+    out = parts.groupby("lang", as_index=False)[ints].sum()
     return (out.sort_values("lang").reset_index(drop=True)
             .astype({c: np.int64 for c in ints}))
 
