@@ -13082,20 +13082,34 @@ def join_fanout_histogram(sf_dir: str):
         return pa.table({"k": pa.array(u), "n": pa.array(
             c.astype(np.int64))})
 
-    per_key = (li.map_batches(part, batch_format="pyarrow")
-               .groupby("k").aggregate(Sum("n", alias_name="n")))
-
-    def hist_part(b: pa.Table) -> pa.Table:
-        u, c = np.unique(b.column("n").to_numpy(zero_copy_only=False),
-                         return_counts=True)
-        return pa.table({"fanout": pa.array(u.astype(np.int64)),
-                         "n_orders": pa.array(c.astype(np.int64))})
-
-    hist = (per_key.map_batches(hist_part, batch_format="pyarrow")
-            .groupby("fanout")
-            .aggregate(Sum("n_orders", alias_name="n_orders"))
-            .to_pandas())
     n_orders_total = _table_rows(sf_dir, "orders")
+    if n_orders_total is not None and n_orders_total <= 10_000_000:
+        # orderkey-clustered batches make the per-batch partials roughly
+        # orders-sized, and orders are under the shared 10M driver-fold
+        # cap: one np.unique/bincount fold replaces BOTH groupby shuffles
+        parts = li.map_batches(part, batch_format="pyarrow").to_pandas()
+        u, inv = np.unique(parts["k"].to_numpy(np.int64),
+                           return_inverse=True)
+        per = np.bincount(inv, weights=parts["n"].to_numpy(np.int64)) \
+            .astype(np.int64)
+        fu, fc = np.unique(per, return_counts=True)
+        hist = pd.DataFrame({"fanout": fu.astype(np.int64),
+                             "n_orders": fc.astype(np.int64)})
+    else:
+        per_key = (li.map_batches(part, batch_format="pyarrow")
+                   .groupby("k").aggregate(Sum("n", alias_name="n")))
+
+        def hist_part(b: pa.Table) -> pa.Table:
+            u, c = np.unique(b.column("n").to_numpy(zero_copy_only=False),
+                             return_counts=True)
+            return pa.table({"fanout": pa.array(u.astype(np.int64)),
+                             "n_orders": pa.array(c.astype(np.int64))})
+
+        # the fanout histogram is a bounded dimension — fold the per-block
+        # partials on the driver instead of a second groupby
+        hp = (per_key.map_batches(hist_part, batch_format="pyarrow")
+              .to_pandas())
+        hist = hp.groupby("fanout", as_index=False)["n_orders"].sum()
     if n_orders_total is None:
         n_orders_total = _read(sf_dir, "orders",
                                columns=["o_orderkey"]).count()
