@@ -991,8 +991,7 @@ def ann_recall_report(sf_dir: str):
             embedding_near_dups(emb, cos_threshold=0.4, bits=4))
 
     def ivf_recall():
-        q = (emb.filter(expr="vec_id in [0, 1, 2]").to_pandas()
-             .sort_values("vec_id"))
+        q = _query_vecs(sf_dir, ["vec_id", "embedding"])
         queries = np.stack(q["embedding"].to_numpy())
         bf = brute_force_topk(emb, queries, k=10)
         ivf = ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=3)
@@ -1022,13 +1021,24 @@ def ann_recall_report(sf_dir: str):
 
 
 # --------------------------------------------------------------------------- similarity
+def _query_vecs(sf_dir: str, columns, ids=(0, 1, 2)):
+    """Driver-side row-filtered parquet read of the fixed ANN query vectors
+    (the top_revenue_customers row-filtered-read pattern): fetching three
+    rows must not pay a full Ray filter execution."""
+    import pyarrow.dataset as pads
+
+    return (pads.dataset(os.path.join(sf_dir, "embeddings.parquet"))
+            .to_table(columns=list(columns),
+                      filter=pads.field("vec_id").isin(list(ids)))
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+
+
 def knn_bruteforce(sf_dir: str):
     """Exact cosine top-10 for 3 fixed query vectors (vec_id 0,1,2)."""
     from rayschema.similarity import brute_force_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = (ds.filter(expr="vec_id in [0, 1, 2]").to_pandas()
-         .sort_values("vec_id"))
+    q = _query_vecs(sf_dir, ["vec_id", "embedding"])
     queries = np.stack(q["embedding"].to_numpy())
     return brute_force_topk(ds, queries, k=10)
 
@@ -1039,7 +1049,7 @@ def knn_ivf(sf_dir: str):
     from rayschema.similarity import ivf_topk
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = (ds.filter(expr="vec_id in [0, 1, 2]").to_pandas().sort_values("vec_id"))
+    q = _query_vecs(sf_dir, ["vec_id", "embedding"])
     queries = np.stack(q["embedding"].to_numpy())
     return ivf_topk(ds, queries, k=10, n_clusters=8, nprobe=3)
 
@@ -1060,8 +1070,7 @@ def hard_negative_mining(sf_dir: str, k: int = 5):
 
     ds = _read(sf_dir, "embeddings",
                columns=["vec_id", "embedding", "label"])
-    q = (ds.filter(expr="vec_id in [0, 1, 2]").to_pandas()
-         .sort_values("vec_id"))
+    q = _query_vecs(sf_dir, ["vec_id", "embedding", "label"])
     qmat = _normalize(np.stack(q["embedding"].to_numpy())
                       .astype(np.float64))
     ref = ray.put((q["vec_id"].to_numpy(np.int64),
@@ -2258,8 +2267,7 @@ def knn_ivf_kmeans(sf_dir: str):
     cent = (km.sort_values(["cluster", "d"])["c"]
             .to_numpy(np.int64).reshape(K, -1))
 
-    qdf = (ds.filter(expr="vec_id in [0, 1, 2]").to_pandas()
-           .sort_values("vec_id"))
+    qdf = _query_vecs(sf_dir, ["vec_id", "embedding"])
     qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     qq = round_half_away(qmat * 1e6, 0).astype(np.int64)
     qdist = ((qq[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
@@ -14444,8 +14452,7 @@ def mrr_knn_labels(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings",
                columns=["vec_id", "embedding", "label"])
-    q = (ds.filter(expr="vec_id in [0, 1, 2]").to_pandas()
-         .sort_values("vec_id"))
+    q = _query_vecs(sf_dir, ["vec_id", "embedding", "label"])
     if q.empty:
         return pd.DataFrame({c: pd.Series([], dtype=np.int64) for c in
                              ["query_id", "best_vec_id", "rank",
