@@ -24,7 +24,8 @@ Layout (SURVEY.md §7.0):
   dedup.py     MinHash-LSH / SimHash / n-gram Jaccard / embedding near-dup
   similarity.py brute-force + LSH-bucketed ANN over embedding columns
   text.py      language-ID, quality scoring, token counting, fingerprinting
-  multimodal.py kind-routed binary-column stages (decode kernels stubbed)
+  multimodal.py kind-routed binary-column stages (real codec table + stubs)
+  mediaprobe.py metadata probes for the stubbed-decode formats (MP3/ADTS/H.264)
   jsoncol.py   dynamic JSON-string-column validation (shape-grouped fallback)
   sources.py   multi-format corpus sources + sinks (parquet/jsonl/csv)
   schemadocs.py schema documents as data (distributed parse/analyze)

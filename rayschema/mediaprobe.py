@@ -1,0 +1,680 @@
+"""Container/bitstream metadata probing for the entropy-coded codec boundary.
+
+The engine decodes PPM/BMP/GIF/PNG/TIFF/JPEG images, PCM/G.711/ADPCM/FLAC/
+MPEG-1 Layer I+II audio and Y4M/MJPEG video with real pure-numpy codecs
+(multimodal.py, codecs.py, jpeg.py, flac.py, mp2.py).  The formats that
+genuinely need external entropy decoders — MP3 (MPEG Layer III), AAC and
+H.264/HEVC — stay behind the documented ``NotImplementedError`` stub for
+*decode*.  This module closes the half of that boundary a 100-TB curation
+pipeline actually needs first: **metadata probing**.  Filtering by duration,
+resolution, bitrate or keyframe density, sizing decode batches, and sampling
+frame offsets all require walking container headers — not decoding payloads —
+and every header walked here is fixed-layout public bitstream syntax:
+
+- MPEG audio (MP3/MP2/MP1, MPEG-1/2/2.5): 4-byte frame headers chained by
+  computed frame sizes; Xing/Info VBR tag detection in the first frame.
+- AAC ADTS: 7/9-byte frame headers chained by the 13-bit frame_length field.
+- H.264 Annex-B: start-code split, NAL headers, RBSP un-escaping and a full
+  SPS parse (Exp-Golomb) for width/height/profile/level — enough to count
+  keyframes and access units without touching slice data.
+
+Probing is exact and total (bad sync / truncated tails are reported, not
+guessed), verified by writer<->parser round-trips in tests/test_mediaprobe.py.
+Decode of these formats remains stubbed; see multimodal.py:301 for the real
+codec table.  Reference scope note: swaggest/jsonschema-go has no media
+surface at all — this is §2.F engine territory (SURVEY.md).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "probe_mpeg_audio", "probe_adts", "probe_h264_annexb", "probe_media",
+    "synth_mpeg_audio_stream", "synth_adts_stream", "synth_h264_stream",
+    "MediaProbeStage",
+]
+
+
+# ---------------------------------------------------------------------------
+# strict MSB-first bit reader + Exp-Golomb (H.264 RBSP syntax)
+
+class _Bits:
+    """MSB-first reader that RAISES on overrun (header parsing must not
+    silently zero-extend the way the audio-payload readers do)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("bitstream truncated")
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        """Unsigned Exp-Golomb: countLeadingZeros zeros, 1, then that many
+        info bits; value = 2^zeros - 1 + info."""
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("invalid Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+class _BitsW:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def u(self, value: int, length: int) -> "_BitsW":
+        for b in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> b) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                self.acc, self.n = 0, 0
+        return self
+
+    def ue(self, v: int) -> "_BitsW":
+        code = v + 1
+        nbits = code.bit_length()
+        return self.u(0, nbits - 1).u(code, nbits)
+
+    def se(self, v: int) -> "_BitsW":
+        return self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def rbsp_trailing(self) -> "_BitsW":
+        self.u(1, 1)
+        while self.n:
+            self.u(0, 1)
+        return self
+
+    def bytes(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc << (8 - self.n))
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio (MP3 / MP2 / MP1) frame walk
+
+# bitrate kbps by [table][bitrate_index 1..14]; table selected by
+# (version, layer) per ISO 11172-3 / 13818-3
+_BR_V1_L1 = [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448]
+_BR_V1_L2 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384]
+_BR_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_BR_V2_L1 = [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256]
+_BR_V2_L23 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+
+_SR_V1 = [44100, 48000, 32000]
+_SR_V2 = [22050, 24000, 16000]
+_SR_V25 = [11025, 12000, 8000]
+
+
+def _mpeg_header(b0: int, b1: int, b2: int, b3: int) -> Optional[dict]:
+    """Parse one 4-byte MPEG audio frame header; None if not a valid sync."""
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version_id = (b1 >> 3) & 0x3        # 0=2.5, 1=reserved, 2=2, 3=1
+    layer_id = (b1 >> 1) & 0x3          # 0=reserved, 1=III, 2=II, 3=I
+    if version_id == 1 or layer_id == 0:
+        return None
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None                     # free-format/bad not walked
+    layer = {1: 3, 2: 2, 3: 1}[layer_id]
+    version = {0: 2.5, 2: 2.0, 3: 1.0}[version_id]
+    if version == 1.0:
+        sr = _SR_V1[sr_idx]
+        kbps = (_BR_V1_L1, _BR_V1_L2, _BR_V1_L3)[layer - 1][br_idx]
+    else:
+        sr = (_SR_V2 if version == 2.0 else _SR_V25)[sr_idx]
+        kbps = (_BR_V2_L1, _BR_V2_L23, _BR_V2_L23)[layer - 1][br_idx]
+    padding = (b2 >> 1) & 1
+    mode = (b3 >> 6) & 0x3              # 3 = mono
+    channels = 1 if mode == 3 else 2
+    if layer == 1:
+        frame_bytes = (12 * kbps * 1000 // sr + padding) * 4
+        samples = 384
+    else:
+        if layer == 3 and version != 1.0:
+            frame_bytes = 72 * kbps * 1000 // sr + padding
+            samples = 576
+        else:
+            frame_bytes = 144 * kbps * 1000 // sr + padding
+            samples = 1152
+    return {"version": version, "layer": layer, "kbps": kbps,
+            "sample_rate": sr, "channels": channels, "padding": padding,
+            "frame_bytes": frame_bytes, "samples": samples, "mode": mode}
+
+
+def _xing_offset(version: float, channels: int) -> int:
+    """Xing/Info tag sits after the Layer-III side info: MPEG-1 17/32 bytes
+    (mono/stereo), MPEG-2/2.5 9/17 — plus the 4-byte header."""
+    if version == 1.0:
+        return 4 + (17 if channels == 1 else 32)
+    return 4 + (9 if channels == 1 else 17)
+
+
+def probe_mpeg_audio(payload: bytes, max_frames: int = 1 << 20) -> dict:
+    """Walk MPEG audio frames (any layer/version). Returns frame count,
+    duration, average bitrate, CBR/VBR flag, Xing tag info, and the byte
+    offset/size of every frame head (frame_offsets capped at 4096 entries —
+    enough to seek-sample; the walk itself is full).  Trailing garbage or a
+    truncated final frame is reported via ``clean_eof``/``trailing_bytes``,
+    never guessed at."""
+    n = len(payload)
+    pos = 0
+    # tolerate a leading ID3v2 tag: 'ID3' + ver(2) + flags + syncsafe size
+    if payload[:3] == b"ID3" and n >= 10:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        pos = 10 + size
+    frames = 0
+    total_samples = 0
+    kbps_sum = 0
+    kbps_set = set()
+    first = None
+    offsets: List[int] = []
+    xing = None
+    while pos + 4 <= n and frames < max_frames:
+        h = _mpeg_header(payload[pos], payload[pos + 1],
+                         payload[pos + 2], payload[pos + 3])
+        if h is None:
+            break
+        if pos + h["frame_bytes"] > n:
+            # truncated final frame: stop, report dirty EOF
+            break
+        if first is None:
+            first = h
+            if h["layer"] == 3:
+                xo = pos + _xing_offset(h["version"], h["channels"])
+                tag = payload[xo:xo + 4]
+                if tag in (b"Xing", b"Info"):
+                    flags = int.from_bytes(payload[xo + 4:xo + 8], "big")
+                    xp = xo + 8
+                    xing = {"tag": tag.decode(), "frames": None, "bytes": None}
+                    if flags & 1:
+                        xing["frames"] = int.from_bytes(
+                            payload[xp:xp + 4], "big")
+                        xp += 4
+                    if flags & 2:
+                        xing["bytes"] = int.from_bytes(
+                            payload[xp:xp + 4], "big")
+        if len(offsets) < 4096:
+            offsets.append(pos)
+        frames += 1
+        total_samples += h["samples"]
+        kbps_sum += h["kbps"]
+        kbps_set.add(h["kbps"])
+        pos += h["frame_bytes"]
+    if first is None:
+        raise ValueError("no MPEG audio sync found")
+    dur = total_samples / first["sample_rate"]
+    return {
+        "container": "mpeg-audio",
+        "codec": {1: "mp1", 2: "mp2", 3: "mp3"}[first["layer"]],
+        "mpeg_version": first["version"],
+        "layer": first["layer"],
+        "sample_rate": first["sample_rate"],
+        "channels": first["channels"],
+        "n_frames": frames,
+        "duration_s": dur,
+        "avg_kbps": kbps_sum / frames,
+        "vbr": len(kbps_set) > 1,
+        "xing": xing,
+        "frame_offsets": offsets,
+        "clean_eof": pos == n,
+        "trailing_bytes": n - pos,
+    }
+
+
+def synth_mpeg_audio_stream(n_frames: int, layer: int = 3,
+                            sample_rate: int = 44100, kbps=128,
+                            channels: int = 2, xing: bool = False,
+                            seed: int = 7) -> bytes:
+    """Header-valid MPEG-1 audio stream with pseudorandom payload bytes (the
+    probe never reads payload).  ``kbps`` may be a list cycled per frame for
+    a VBR stream; ``xing=True`` plants a Xing tag in frame 0 (Layer III)."""
+    sr_idx = _SR_V1.index(sample_rate)
+    br_table = (_BR_V1_L1, _BR_V1_L2, _BR_V1_L3)[layer - 1]
+    layer_id = {1: 3, 2: 2, 3: 1}[layer]
+    rng = np.random.default_rng(seed)
+    kbps_seq = kbps if isinstance(kbps, (list, tuple)) else [kbps]
+    out = bytearray()
+    for i in range(n_frames):
+        k = kbps_seq[i % len(kbps_seq)]
+        br_idx = br_table.index(k)
+        pad = 0
+        b1 = 0xE0 | (3 << 3) | (layer_id << 1) | 1    # MPEG-1, no CRC
+        b2 = (br_idx << 4) | (sr_idx << 2) | (pad << 1)
+        b3 = ((3 if channels == 1 else 0) << 6)
+        if layer == 1:
+            size = (12 * k * 1000 // sample_rate + pad) * 4
+        else:
+            size = 144 * k * 1000 // sample_rate + pad
+        body = bytearray(rng.integers(0, 256, size - 4, dtype=np.uint8)
+                         .tobytes())
+        # keep payload free of byte pairs that could fake a sync word
+        for j in range(len(body) - 1):
+            if body[j] == 0xFF:
+                body[j] = 0xFE
+        if i == 0 and xing and layer == 3:
+            off = _xing_offset(1.0, channels) - 4
+            body[off:off + 4] = b"Xing"
+            body[off + 4:off + 8] = (3).to_bytes(4, "big")      # frames+bytes
+            body[off + 8:off + 12] = n_frames.to_bytes(4, "big")
+            body[off + 12:off + 16] = (0).to_bytes(4, "big")    # patched below
+        out += bytes([0xFF, b1, b2, b3]) + body
+    if xing and layer == 3:
+        off = _xing_offset(1.0, channels) + 8 + 4
+        out[off:off + 4] = len(out).to_bytes(4, "big")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# AAC ADTS frame walk
+
+_ADTS_SR = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+            16000, 12000, 11025, 8000, 7350]
+
+
+def probe_adts(payload: bytes, max_frames: int = 1 << 20) -> dict:
+    """Walk AAC ADTS frames: 0xFFF sync, fixed+variable headers, chained by
+    the 13-bit aac_frame_length.  1024 output samples per raw data block."""
+    n = len(payload)
+    pos = 0
+    frames = 0
+    raw_blocks = 0
+    first = None
+    offsets: List[int] = []
+    byte_sum = 0
+    while pos + 7 <= n and frames < max_frames:
+        b = payload
+        if b[pos] != 0xFF or (b[pos + 1] & 0xF0) != 0xF0:
+            break
+        mpeg4 = (b[pos + 1] >> 3) & 1 == 0
+        protection_absent = b[pos + 1] & 1
+        profile = (b[pos + 2] >> 6) & 0x3
+        sf_idx = (b[pos + 2] >> 2) & 0xF
+        if sf_idx >= len(_ADTS_SR):
+            break
+        chan_cfg = ((b[pos + 2] & 1) << 2) | ((b[pos + 3] >> 6) & 0x3)
+        frame_len = ((b[pos + 3] & 0x3) << 11) | (b[pos + 4] << 3) \
+            | ((b[pos + 5] >> 5) & 0x7)
+        n_blocks = (b[pos + 6] & 0x3) + 1
+        if frame_len < (7 if protection_absent else 9) \
+                or pos + frame_len > n:
+            break
+        if first is None:
+            first = {"sample_rate": _ADTS_SR[sf_idx], "profile": profile,
+                     "channels": chan_cfg, "mpeg4": mpeg4}
+        if len(offsets) < 4096:
+            offsets.append(pos)
+        frames += 1
+        raw_blocks += n_blocks
+        byte_sum += frame_len
+        pos += frame_len
+    if first is None:
+        raise ValueError("no ADTS sync found")
+    dur = raw_blocks * 1024 / first["sample_rate"]
+    return {
+        "container": "adts",
+        "codec": "aac",
+        "profile": ("Main", "LC", "SSR", "LTP")[first["profile"]],
+        "sample_rate": first["sample_rate"],
+        "channels": first["channels"],
+        "n_frames": frames,
+        "duration_s": dur,
+        "avg_kbps": (byte_sum * 8 / dur / 1000) if dur else 0.0,
+        "frame_offsets": offsets,
+        "clean_eof": pos == n,
+        "trailing_bytes": n - pos,
+    }
+
+
+def synth_adts_stream(n_frames: int, sample_rate: int = 44100,
+                      channels: int = 2, body_bytes: int = 200,
+                      seed: int = 11) -> bytes:
+    sf_idx = _ADTS_SR.index(sample_rate)
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    for _ in range(n_frames):
+        frame_len = 7 + body_bytes
+        hdr = _BitsW()
+        hdr.u(0xFFF, 12)        # sync
+        hdr.u(0, 1)             # MPEG-4
+        hdr.u(0, 2)             # layer
+        hdr.u(1, 1)             # protection absent
+        hdr.u(1, 2)             # profile: LC
+        hdr.u(sf_idx, 4)
+        hdr.u(0, 1)             # private
+        hdr.u(channels, 3)
+        hdr.u(0, 1).u(0, 1).u(0, 1).u(0, 1)   # orig/home/cib/cis
+        hdr.u(frame_len, 13)
+        hdr.u(0x7FF, 11)        # buffer fullness: VBR marker
+        hdr.u(0, 2)             # 1 raw data block
+        body = bytearray(rng.integers(0, 256, body_bytes, dtype=np.uint8)
+                         .tobytes())
+        for j in range(len(body)):
+            if body[j] == 0xFF:
+                body[j] = 0xFE
+        out += hdr.bytes() + body
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# H.264 Annex-B NAL walk + SPS parse
+
+def _split_annexb(payload: bytes) -> List[bytes]:
+    """Split an Annex-B byte stream into NAL units (start codes stripped)."""
+    nals = []
+    i = 0
+    n = len(payload)
+    start = -1
+    # a valid NAL never ends in 0x00 (rbsp_stop_one_bit), so zeros before a
+    # start code are trailing_zero_8bits and are stripped with the code
+    while i + 3 <= n:
+        if payload[i] == 0 and payload[i + 1] == 0:
+            if payload[i + 2] == 1:
+                if start >= 0:
+                    nals.append(payload[start:i].rstrip(b"\x00"))
+                start = i + 3
+                i += 3
+                continue
+            if i + 4 <= n and payload[i + 2] == 0 and payload[i + 3] == 1:
+                if start >= 0:
+                    nals.append(payload[start:i].rstrip(b"\x00"))
+                start = i + 4
+                i += 4
+                continue
+        i += 1
+    if start >= 0 and start < n:
+        nals.append(payload[start:])
+    return [x for x in nals if x]
+
+
+def _unescape_rbsp(nal: bytes) -> bytes:
+    """Remove emulation-prevention bytes (00 00 03 -> 00 00)."""
+    out = bytearray()
+    i = 0
+    n = len(nal)
+    while i < n:
+        if i + 2 < n and nal[i] == 0 and nal[i + 1] == 0 and nal[i + 2] == 3:
+            out += nal[i:i + 2]
+            i += 3
+        else:
+            out.append(nal[i])
+            i += 1
+    return bytes(out)
+
+
+_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134}
+
+
+def parse_sps(rbsp: bytes) -> dict:
+    """Parse a seq_parameter_set RBSP (H.264 7.3.2.1.1) far enough for
+    profile/level/resolution; stops before VUI."""
+    r = _Bits(rbsp)
+    profile_idc = r.u(8)
+    r.u(8)                                  # constraint flags + reserved
+    level_idc = r.u(8)
+    r.ue()                                  # seq_parameter_set_id
+    chroma_format_idc = 1
+    if profile_idc in _HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            r.u(1)                          # separate_colour_plane_flag
+        r.ue()                              # bit_depth_luma_minus8
+        r.ue()                              # bit_depth_chroma_minus8
+        r.u(1)                              # qpprime_y_zero_transform_bypass
+        if r.u(1):                          # seq_scaling_matrix_present
+            raise ValueError("scaling matrices not supported in probe")
+    r.ue()                                  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()                              # log2_max_pic_order_cnt_lsb
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()                                  # max_num_ref_frames
+    r.u(1)                                  # gaps_in_frame_num_allowed
+    pic_width_in_mbs = r.ue() + 1
+    pic_height_in_map_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)                              # mb_adaptive_frame_field
+    r.u(1)                                  # direct_8x8_inference
+    crop = [0, 0, 0, 0]
+    if r.u(1):                              # frame_cropping_flag
+        crop = [r.ue(), r.ue(), r.ue(), r.ue()]
+    # crop units (4:2:0 frame coding): x2 horizontally, x2 vertically
+    sub_w = 2 if chroma_format_idc in (1, 2) else 1
+    sub_h = 2 if chroma_format_idc == 1 else 1
+    height_mult = 2 - frame_mbs_only
+    width = pic_width_in_mbs * 16 - sub_w * (crop[0] + crop[1])
+    height = height_mult * pic_height_in_map_units * 16 \
+        - sub_h * height_mult * (crop[2] + crop[3])
+    return {"profile_idc": profile_idc, "level_idc": level_idc,
+            "width": width, "height": height,
+            "frame_mbs_only": bool(frame_mbs_only)}
+
+
+_NAL_NAMES = {1: "slice", 5: "idr", 6: "sei", 7: "sps", 8: "pps",
+              9: "aud", 12: "filler"}
+
+
+def probe_h264_annexb(payload: bytes) -> dict:
+    """Walk an H.264 Annex-B stream: NAL inventory, SPS-derived resolution,
+    keyframe (IDR) count and access-unit estimate.  Slice payloads are never
+    entropy-decoded — only NAL + SPS headers are parsed."""
+    nals = _split_annexb(payload)
+    if not nals:
+        raise ValueError("no Annex-B start codes found")
+    counts: Dict[str, int] = {}
+    sps_info = None
+    first_mb_zero = 0
+    for nal in nals:
+        hdr = nal[0]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        ntype = hdr & 0x1F
+        name = _NAL_NAMES.get(ntype, f"nal{ntype}")
+        counts[name] = counts.get(name, 0) + 1
+        if ntype == 7 and sps_info is None:
+            sps_info = parse_sps(_unescape_rbsp(nal[1:]))
+        elif ntype in (1, 5):
+            # first_mb_in_slice == 0 marks the start of a new picture
+            try:
+                r = _Bits(_unescape_rbsp(nal[1:9]))
+                if r.ue() == 0:
+                    first_mb_zero += 1
+            except ValueError:
+                pass                        # truncated slice header: not a
+                                            # picture start we can credit
+    return {
+        "container": "h264-annexb",
+        "codec": "h264",
+        "n_nals": len(nals),
+        "nal_counts": counts,
+        "n_keyframes": counts.get("idr", 0),
+        "n_pictures": first_mb_zero,
+        **({"width": sps_info["width"], "height": sps_info["height"],
+            "profile_idc": sps_info["profile_idc"],
+            "level_idc": sps_info["level_idc"]} if sps_info else
+           {"width": None, "height": None,
+            "profile_idc": None, "level_idc": None}),
+    }
+
+
+def _escape_rbsp(rbsp: bytes) -> bytes:
+    """Insert emulation-prevention bytes (00 00 {00,01,02,03} -> 00 00 03 x)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def synth_h264_stream(n_gops: int = 2, gop: int = 4, width: int = 320,
+                      height: int = 240, seed: int = 13) -> bytes:
+    """Syntactically-valid Annex-B stream: SPS + PPS, then per GOP one IDR
+    and ``gop-1`` non-IDR slices.  Slice bodies are filler after the
+    first_mb_in_slice/header bits (the probe reads only those)."""
+    assert width % 16 == 0 and height % 16 == 0
+    sps = _BitsW()
+    sps.u(66, 8)            # profile_idc: baseline
+    sps.u(0, 8)             # constraint flags
+    sps.u(30, 8)            # level 3.0
+    sps.ue(0)               # sps id
+    sps.ue(0)               # log2_max_frame_num_minus4
+    sps.ue(2)               # pic_order_cnt_type = 2
+    sps.ue(1)               # max_num_ref_frames
+    sps.u(0, 1)             # gaps allowed
+    sps.ue(width // 16 - 1)
+    sps.ue(height // 16 - 1)
+    sps.u(1, 1)             # frame_mbs_only
+    sps.u(1, 1)             # direct_8x8_inference
+    sps.u(0, 1)             # no cropping
+    sps.u(0, 1)             # no VUI
+    sps_nal = bytes([0x67]) + _escape_rbsp(sps.rbsp_trailing().bytes())
+    pps = _BitsW()
+    pps.ue(0).ue(0)         # pps id, sps id
+    pps.u(0, 1)             # entropy_coding_mode: CAVLC
+    pps.u(0, 1)             # bottom_field_pic_order
+    pps.ue(0)               # num_slice_groups_minus1
+    pps.ue(0).ue(0)         # num_ref_idx defaults
+    pps.u(0, 1).u(0, 2)     # weighted pred/bipred
+    pps.se(0).se(0).se(0)   # qp deltas
+    pps.u(0, 1).u(0, 1).u(0, 1)
+    pps_nal = bytes([0x68]) + _escape_rbsp(pps.rbsp_trailing().bytes())
+    rng = np.random.default_rng(seed)
+    out = bytearray()
+    sc4, sc3 = b"\x00\x00\x00\x01", b"\x00\x00\x01"
+    out += sc4 + sps_nal + sc3 + pps_nal
+    for g in range(n_gops):
+        for s in range(gop):
+            idr = s == 0
+            sl = _BitsW()
+            sl.ue(0)                    # first_mb_in_slice
+            sl.ue(7 if idr else 5)      # slice_type: I / P (all-picture)
+            sl.ue(0)                    # pps id
+            sl.u(g % 16, 4)             # frame_num (log2=4)
+            body = rng.integers(0, 255, 24, dtype=np.uint8).tobytes()
+            nal = bytes([0x65 if idr else 0x41]) \
+                + _escape_rbsp(sl.bytes() + body)
+            out += (sc4 if idr else sc3) + nal
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# unified probe + Ray stage
+
+def probe_media(payload: bytes, kind: str = "") -> dict:
+    """Magic-sniffed metadata probe.  For the stubbed-decode formats
+    (MP3/AAC/H.264) this is a full header walk; for formats the engine
+    decodes for real it defers to the decoders' own parsing elsewhere and
+    just labels the container here."""
+    # 0xFFF sync with layer bits 00 is ADTS (MPEG audio reserves layer 00);
+    # any other 0xFFE sync is an MPEG audio frame
+    if len(payload) >= 2 and payload[0] == 0xFF \
+            and (payload[1] & 0xF0) == 0xF0 and (payload[1] & 0x06) == 0:
+        return probe_adts(payload)
+    if payload[:3] == b"ID3" or (len(payload) >= 2 and payload[0] == 0xFF
+                                 and (payload[1] & 0xE0) == 0xE0):
+        return probe_mpeg_audio(payload)
+    if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
+        return probe_h264_annexb(payload)
+    magic = {b"RIFF": "riff", b"fLaC": "flac", b"\x89PNG": "png",
+             b"GIF8": "gif", b".snd": "au", b"FORM": "aiff",
+             b"II*\x00": "tiff", b"MM\x00*": "tiff", b"YUV4": "y4m"}
+    for m, name in magic.items():
+        if payload[:4] == m:
+            return {"container": name, "codec": name, "decodable": True}
+    if payload[:2] == b"\xff\xd8":
+        return {"container": "jpeg", "codec": "jpeg", "decodable": True}
+    if payload[:2] in (b"P5", b"P6", b"BM"):
+        return {"container": "image", "codec": payload[:2].decode("latin1"),
+                "decodable": True}
+    raise ValueError("unrecognized media payload")
+
+
+_PROBE_COLS = [
+    ("container", pa.string()), ("codec", pa.string()),
+    ("duration_s", pa.float64()), ("n_frames", pa.int64()),
+    ("sample_rate", pa.int64()), ("channels", pa.int64()),
+    ("avg_kbps", pa.float64()), ("width", pa.int64()),
+    ("height", pa.int64()), ("n_keyframes", pa.int64()),
+    ("probe_err", pa.string()),
+]
+
+
+class MediaProbeStage:
+    """Actor-pool ``map_batches`` stage: per-payload metadata probe.
+
+    Mirrors MediaFeatureStage's shape (multimodal.py:353): construct once
+    per actor, loop only over the inherently-per-payload probe calls, emit
+    typed columns.  Unprobeable payloads get ``probe_err`` set instead of
+    failing the batch — at corpus scale a bad file must not kill a block.
+    """
+
+    def __init__(self, payload_col: str = "payload", kind_col: str = "kind"):
+        self.payload_col = payload_col
+        self.kind_col = kind_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pcol = batch.column(self.payload_col)
+        if isinstance(pcol, pa.ChunkedArray):
+            pcol = pcol.combine_chunks()
+        payloads = pcol.to_pylist()
+        kinds = batch.column(self.kind_col).to_pylist() \
+            if self.kind_col in batch.column_names else [""] * len(payloads)
+        rows = {name: [] for name, _ in _PROBE_COLS}
+        for p, k in zip(payloads, kinds):
+            try:
+                if p is None:
+                    raise ValueError("null payload")
+                info = probe_media(p, k or "")
+                err = None
+            except ValueError as e:
+                info, err = {}, str(e)
+            rows["container"].append(info.get("container"))
+            rows["codec"].append(info.get("codec"))
+            rows["duration_s"].append(info.get("duration_s"))
+            rows["n_frames"].append(info.get("n_frames",
+                                             info.get("n_pictures")))
+            rows["sample_rate"].append(info.get("sample_rate"))
+            rows["channels"].append(info.get("channels"))
+            rows["avg_kbps"].append(info.get("avg_kbps"))
+            rows["width"].append(info.get("width"))
+            rows["height"].append(info.get("height"))
+            rows["n_keyframes"].append(info.get("n_keyframes"))
+            rows["probe_err"].append(err)
+        out = batch.drop_columns([self.payload_col])
+        for name, typ in _PROBE_COLS:
+            out = out.append_column(name, pa.array(rows[name], type=typ))
+        return out

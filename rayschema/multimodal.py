@@ -305,7 +305,11 @@ def default_decode(payload: bytes, kind: str) -> Dict[str, np.ndarray]:
     + MJPEG-in-AVI, plus MPEG-1 Layer II (mp2.py). Payloads whose magic
     none of the real codecs recognize fall back to the deterministic fake
     (the documented boundary for the formats that genuinely need external
-    codec libraries — MP3 Layer III/AAC, H.264/HEVC)."""
+    codec libraries — MP3 Layer III/AAC, H.264/HEVC).  For those boundary
+    formats the engine still does real METADATA probing — duration,
+    bitrate, resolution, keyframe counts via full header walks — in
+    rayschema/mediaprobe.py (MediaProbeStage); only entropy decode of the
+    payload itself is stubbed."""
     if kind == "image" and (payload[:2] in (b"P6", b"P5", b"BM")
                             or payload[:2] == b"\xff\xd8"
                             or payload[:6] in (b"GIF87a", b"GIF89a")

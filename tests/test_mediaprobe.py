@@ -1,0 +1,179 @@
+"""Writer<->parser round-trips for the entropy-coded-boundary metadata
+probes (rayschema/mediaprobe.py): MPEG audio frame walk, AAC ADTS walk,
+H.264 Annex-B NAL/SPS parse, and the MediaProbeStage Ray plumbing."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayschema import mediaprobe as mp
+
+
+# ---------------------------------------------------------------- MPEG audio
+
+def test_mp3_cbr_walk():
+    b = mp.synth_mpeg_audio_stream(25, layer=3, sample_rate=44100, kbps=128)
+    info = mp.probe_mpeg_audio(b)
+    assert info["codec"] == "mp3"
+    assert info["n_frames"] == 25
+    assert info["sample_rate"] == 44100
+    assert info["channels"] == 2
+    assert not info["vbr"]
+    assert info["avg_kbps"] == 128
+    assert info["clean_eof"] and info["trailing_bytes"] == 0
+    assert info["duration_s"] == pytest.approx(25 * 1152 / 44100)
+    assert info["frame_offsets"][0] == 0
+    assert len(info["frame_offsets"]) == 25
+
+
+def test_mp3_vbr_and_xing():
+    rates = [64, 128, 192, 96]
+    b = mp.synth_mpeg_audio_stream(16, layer=3, kbps=rates, xing=True)
+    info = mp.probe_mpeg_audio(b)
+    assert info["vbr"]
+    assert info["xing"]["tag"] == "Xing"
+    assert info["xing"]["frames"] == 16
+    assert info["xing"]["bytes"] == len(b)
+    assert info["avg_kbps"] == pytest.approx(np.mean(rates))
+
+
+def test_mp3_id3_and_mono_and_layers():
+    body = mp.synth_mpeg_audio_stream(8, layer=3, kbps=64, channels=1)
+    tag = b"TAGDATA!"
+    id3 = b"ID3\x03\x00\x00" + bytes([0, 0, len(tag) >> 7, len(tag) & 0x7F]) \
+        + tag
+    info = mp.probe_mpeg_audio(id3 + body)
+    assert info["channels"] == 1 and info["n_frames"] == 8
+    for layer, spf in ((1, 384), (2, 1152)):
+        b = mp.synth_mpeg_audio_stream(6, layer=layer, kbps=192)
+        inf = mp.probe_mpeg_audio(b)
+        assert inf["layer"] == layer
+        assert inf["duration_s"] == pytest.approx(6 * spf / 44100)
+
+
+def test_mp3_truncation_reported_not_guessed():
+    b = mp.synth_mpeg_audio_stream(10, layer=3, kbps=128)
+    cut = b[: len(b) - 100]
+    info = mp.probe_mpeg_audio(cut)
+    assert info["n_frames"] == 9
+    assert not info["clean_eof"]
+    assert info["trailing_bytes"] > 0
+    with pytest.raises(ValueError):
+        mp.probe_mpeg_audio(b"\x00\x01garbage")
+
+
+# ---------------------------------------------------------------------- ADTS
+
+def test_adts_walk():
+    b = mp.synth_adts_stream(40, sample_rate=48000, channels=2,
+                             body_bytes=300)
+    info = mp.probe_adts(b)
+    assert info["codec"] == "aac" and info["profile"] == "LC"
+    assert info["n_frames"] == 40
+    assert info["sample_rate"] == 48000 and info["channels"] == 2
+    assert info["duration_s"] == pytest.approx(40 * 1024 / 48000)
+    assert info["clean_eof"]
+    expected_kbps = 307 * 8 * 40 / info["duration_s"] / 1000
+    assert info["avg_kbps"] == pytest.approx(expected_kbps)
+
+
+def test_adts_truncation():
+    b = mp.synth_adts_stream(5, body_bytes=100)
+    info = mp.probe_adts(b[:-50])
+    assert info["n_frames"] == 4 and not info["clean_eof"]
+    with pytest.raises(ValueError):
+        mp.probe_adts(b"\x12\x34\x56\x78" * 4)
+
+
+# ---------------------------------------------------------------------- H264
+
+def test_h264_nal_inventory_and_sps():
+    b = mp.synth_h264_stream(n_gops=3, gop=5, width=640, height=480)
+    info = mp.probe_h264_annexb(b)
+    assert info["codec"] == "h264"
+    assert info["width"] == 640 and info["height"] == 480
+    assert info["profile_idc"] == 66 and info["level_idc"] == 30
+    assert info["n_keyframes"] == 3
+    assert info["n_pictures"] == 15
+    assert info["nal_counts"]["sps"] == 1
+    assert info["nal_counts"]["pps"] == 1
+    assert info["nal_counts"]["idr"] == 3
+    assert info["nal_counts"]["slice"] == 12
+
+
+def test_h264_sps_cropping_and_high_profile():
+    # hand-build a High-profile SPS with cropping: 1920x1080 from 1920x1088
+    w = mp._BitsW()
+    w.u(100, 8).u(0, 8).u(40, 8)          # High, level 4.0
+    w.ue(0)                               # sps id
+    w.ue(1)                               # chroma_format_idc 4:2:0
+    w.ue(0).ue(0)                         # bit depths
+    w.u(0, 1)                             # transform bypass
+    w.u(0, 1)                             # no scaling matrix
+    w.ue(0)                               # log2_max_frame_num_minus4
+    w.ue(2)                               # poc type
+    w.ue(4)                               # max_num_ref_frames
+    w.u(0, 1)
+    w.ue(1920 // 16 - 1)
+    w.ue(1088 // 16 - 1)
+    w.u(1, 1)                             # frame_mbs_only
+    w.u(1, 1)                             # direct_8x8
+    w.u(1, 1)                             # cropping
+    w.ue(0).ue(0).ue(0).ue(4)             # bottom crop 4 -> -8 luma rows
+    w.u(0, 1)                             # no VUI
+    sps = mp.parse_sps(w.rbsp_trailing().bytes())
+    assert sps["width"] == 1920 and sps["height"] == 1080
+    assert sps["profile_idc"] == 100
+
+
+def test_h264_emulation_prevention_roundtrip():
+    raw = b"\x00\x00\x00\x00\x01\x00\x00\x02\x7f\x00\x00\x03ab"
+    esc = mp._escape_rbsp(raw)
+    assert b"\x00\x00\x00" not in esc[:-1] or True
+    assert mp._unescape_rbsp(esc) == raw
+    # no bare start codes survive escaping
+    assert b"\x00\x00\x01" not in esc and b"\x00\x00\x00" not in esc
+
+
+def test_h264_garbage_raises():
+    with pytest.raises(ValueError):
+        mp.probe_h264_annexb(b"\xff\xfe\xfd no start codes here")
+
+
+# ------------------------------------------------------------------ dispatch
+
+def test_probe_media_dispatch():
+    assert mp.probe_media(
+        mp.synth_mpeg_audio_stream(3, layer=3, kbps=128))["codec"] == "mp3"
+    assert mp.probe_media(mp.synth_adts_stream(3))["codec"] == "aac"
+    assert mp.probe_media(mp.synth_h264_stream(1, 2))["codec"] == "h264"
+    assert mp.probe_media(b"\x89PNG\r\n\x1a\nxxxx")["codec"] == "png"
+    assert mp.probe_media(b"\xff\xd8\xff\xe0rest")["codec"] == "jpeg"
+    with pytest.raises(ValueError):
+        mp.probe_media(b"\x01\x02\x03\x04")
+
+
+# ------------------------------------------------------------------ Ray stage
+
+def test_media_probe_stage_batch(ray_session):
+    import ray
+    payloads = [
+        mp.synth_mpeg_audio_stream(10, layer=3, kbps=128),
+        mp.synth_adts_stream(8, sample_rate=44100),
+        mp.synth_h264_stream(2, 3, width=320, height=240),
+        b"not-a-media-file",
+        None,
+    ]
+    kinds = ["audio", "audio", "video", "audio", "audio"]
+    t = pa.table({"media_id": list(range(5)), "kind": kinds,
+                  "payload": pa.array(payloads, type=pa.binary())})
+    ds = ray.data.from_arrow(t).map_batches(
+        mp.MediaProbeStage, concurrency=1, batch_size=5,
+        batch_format="pyarrow")
+    out = ds.to_pandas().sort_values("media_id").reset_index(drop=True)
+    assert list(out["codec"][:3]) == ["mp3", "aac", "h264"]
+    assert out["n_frames"][0] == 10
+    assert out["duration_s"][1] == pytest.approx(8 * 1024 / 44100)
+    assert out["width"][2] == 320 and out["n_keyframes"][2] == 2
+    assert out["probe_err"][3] is not None
+    assert out["probe_err"][4] is not None
+    assert "payload" not in out.columns
