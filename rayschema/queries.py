@@ -9785,10 +9785,11 @@ def order_fulfillment_latency(sf_dir: str):
                 "d": pa.array((uk & ((1 << 24) - 1)) - (1 << 20)),
                 "cnt": pa.array(cnt.astype(np.int64))})
 
-        hist = (li.map_batches(fold, batch_format="pyarrow")
-                .groupby(["p", "d"])
-                .aggregate(Sum("cnt", alias_name="cnt"))
-                .to_pandas())
+        # (p, d) is a bounded dimension grid (|priorities| x delay-day
+        # values), so the per-block partials fold on the driver — the
+        # verdicts/scorecard fold rationale; no groupby shuffle
+        parts = li.map_batches(fold, batch_format="pyarrow").to_pandas()
+        hist = parts.groupby(["p", "d"], as_index=False)["cnt"].sum()
         hist["o_orderpriority"] = hist["p"].map(dict(enumerate(prios)))
     else:                                   # pragma: no cover - scale path
         est = (li.size_bytes() or 0) + (orders.size_bytes() or 0)
@@ -13643,8 +13644,10 @@ def user_hourly_lerp(sf_dir: str):
         g = df.groupby(["user_id", "hb"], as_index=False)["cents"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    obs = (ds.map_batches(part, batch_format="pyarrow")
-           .groupby(["user_id", "hb"]).sum("cents"))
+    # no (user, hb) pre-groupby shuffle: the user-keyed scan below sorts
+    # anyway, so per-batch partials go straight in and duplicate hb rows
+    # merge inside group_fn — ONE all-to-all instead of two
+    obs = ds.map_batches(part, batch_format="pyarrow")
 
     out_schema = pa.schema([("user_id", pa.int64()),
                             ("hour_bucket", pa.int64()),
@@ -13654,8 +13657,10 @@ def user_hourly_lerp(sf_dir: str):
         df = pd.DataFrame({
             "hb": g.column("hb").to_numpy(zero_copy_only=False)
             .astype(np.int64),
-            "cents": g.column("sum(cents)").to_numpy(
-                zero_copy_only=False).astype(np.int64)}).sort_values("hb")
+            "cents": g.column("cents").to_numpy(
+                zero_copy_only=False).astype(np.int64)}) \
+            .groupby("hb", as_index=False)["cents"].sum() \
+            .sort_values("hb")
         uid = int(g.column("user_id")[0].as_py())
         hbs = df["hb"].to_numpy()
         vs = df["cents"].to_numpy()
@@ -13840,9 +13845,14 @@ def self_overlap_documents(sf_dir: str, n: int = SELF_OVERLAP_N):
     instead). Pass 2 is stateless: per-doc window counts + searchsorted
     membership, overlap as floor-ppm int64 per row. 64-bit collisions
     are the ngram_decontaminate accepted risk (the oracle compares
-    window TEXT). Emits (doc_id, n_windows, n_shared, overlap_ppm) for
-    docs with >= 1 full window."""
+    window TEXT). Below EXACT_DEDUP_INPROC_CAP corpus rows
+    (parquet-footer gated) both passes run fused in-process over ONE
+    table pull through the SAME p1/p2 kernels — the minhash-inproc
+    discipline; the two-execution plan stays the path at scale. Emits
+    (doc_id, n_windows, n_shared, overlap_ppm) for docs with >= 1 full
+    window."""
     import ray
+    import ray.data as rd
     from ray.data.aggregate import Count
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -13857,16 +13867,7 @@ def self_overlap_documents(sf_dir: str, n: int = SELF_OVERLAP_N):
         return pa.table({"h": pa.array(df["h"].to_numpy(np.int64)),
                          "d": pa.array(df["d"].to_numpy(np.int64))})
 
-    shared_ds = (ds.map_batches(p1, batch_format="pyarrow")
-                 .groupby("h").aggregate(Count("h", alias_name="nd"))
-                 .filter(expr="nd >= 2").select_columns(["h"])
-                 .to_pandas())
-    shared = np.sort(shared_ds["h"].to_numpy(np.int64)) \
-        if len(shared_ds) else np.empty(0, np.int64)
-    ref = ray.put(shared)
-
-    def p2(b: pa.Table, _ref=ref) -> pa.Table:
-        sh = ray.get(_ref)
+    def p2(b: pa.Table, sh: np.ndarray) -> pa.Table:
         b = b.filter(pc.is_valid(b.column("text")))
         wh, di = _doc_window_hashes(b, n)
         ids = b.column("doc_id").cast(pa.int64()) \
@@ -13887,7 +13888,25 @@ def self_overlap_documents(sf_dir: str, n: int = SELF_OVERLAP_N):
             "n_shared": pa.array(ns),
             "overlap_ppm": pa.array((1_000_000 * ns) // nw)})
 
-    return ds.map_batches(p2, batch_format="pyarrow")
+    n_docs = _table_rows(sf_dir, "documents")
+    if n_docs is not None and n_docs <= EXACT_DEDUP_INPROC_CAP:
+        t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        hv = p1(t).column("h").to_numpy(zero_copy_only=False)
+        uh, cnt = np.unique(hv, return_counts=True)
+        return rd.from_arrow(p2(t, uh[cnt >= 2]))
+
+    shared_ds = (ds.map_batches(p1, batch_format="pyarrow")
+                 .groupby("h").aggregate(Count("h", alias_name="nd"))
+                 .filter(expr="nd >= 2").select_columns(["h"])
+                 .to_pandas())
+    shared = np.sort(shared_ds["h"].to_numpy(np.int64)) \
+        if len(shared_ds) else np.empty(0, np.int64)
+    ref = ray.put(shared)
+
+    def p2_dist(b: pa.Table, _ref=ref) -> pa.Table:
+        return p2(b, ray.get(_ref))
+
+    return ds.map_batches(p2_dist, batch_format="pyarrow")
 
 
 def ngram_doc_frequency_histogram(sf_dir: str, n: int = SELF_OVERLAP_N):
@@ -13897,7 +13916,11 @@ def ngram_doc_frequency_histogram(sf_dir: str, n: int = SELF_OVERLAP_N):
     self_overlap_documents, one Count groupby, then a SECOND bounded
     groupby histograms the doc counts (driver state = max doc
     frequency). 64-bit collisions are the accepted ngram_decontaminate
-    risk vs the text-equality oracle. Emits (n_docs, n_grams)."""
+    risk vs the text-equality oracle. Below EXACT_DEDUP_INPROC_CAP
+    corpus rows (parquet-footer gated) the distinct-pair pass and both
+    groupbys fold in-process over ONE table pull through the same p1
+    kernel; the distributed plan stays the path at scale. Emits
+    (n_docs, n_grams)."""
     from ray.data.aggregate import Count, Sum
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -13911,6 +13934,16 @@ def ngram_doc_frequency_histogram(sf_dir: str, n: int = SELF_OVERLAP_N):
                            "d": ids[di]}).drop_duplicates()
         return pa.table({"h": pa.array(df["h"].to_numpy(np.int64)),
                          "d": pa.array(df["d"].to_numpy(np.int64))})
+
+    n_docs_cap = _table_rows(sf_dir, "documents")
+    if n_docs_cap is not None and n_docs_cap <= EXACT_DEDUP_INPROC_CAP:
+        t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        hv = p1(t).column("h").to_numpy(zero_copy_only=False)
+        _, nd = np.unique(hv, return_counts=True)
+        u, c = np.unique(nd, return_counts=True)
+        return (pd.DataFrame({"n_docs": u.astype(np.int64),
+                              "n_grams": c.astype(np.int64)})
+                .sort_values("n_docs").reset_index(drop=True))
 
     per_hash = (ds.map_batches(p1, batch_format="pyarrow")
                 .groupby("h").aggregate(Count("h", alias_name="nd")))

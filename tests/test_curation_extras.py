@@ -5600,3 +5600,23 @@ def test_sliding_distinct_users_slice_boundary_planted(ray_session,
     out = q.sliding_distinct_users(d, window_hours=2)
     # every observed hour window sees both users except none partial
     assert out["n_users"].tolist() == [2, 2, 2, 2]
+
+
+def test_self_overlap_inproc_equals_distributed(ray_session, monkeypatch):
+    """The footer-gated in-process path of self_overlap_documents and
+    ngram_doc_frequency_histogram must equal the two-execution
+    distributed plan row for row (the minhash-inproc parity discipline)."""
+    import rayschema.queries as Q
+    sf = "/root/testdata/sf0.001"
+
+    def _norm(r, keys):
+        df = r.to_pandas() if hasattr(r, "to_pandas") else r
+        return df.sort_values(keys).reset_index(drop=True)
+
+    a1 = _norm(Q.self_overlap_documents(sf), ["doc_id"])
+    h1 = _norm(Q.ngram_doc_frequency_histogram(sf), ["n_docs"])
+    monkeypatch.setattr(Q, "EXACT_DEDUP_INPROC_CAP", -1)  # force distributed
+    a2 = _norm(Q.self_overlap_documents(sf), ["doc_id"])
+    h2 = _norm(Q.ngram_doc_frequency_histogram(sf), ["n_docs"])
+    pd.testing.assert_frame_equal(a1, a2, check_dtype=False)
+    pd.testing.assert_frame_equal(h1, h2, check_dtype=False)
