@@ -12680,13 +12680,54 @@ def coverage_select_documents(sf_dir: str):
     top-1 (gain desc, doc_id asc) WITH that doc's uncovered words, so
     the driver merges #batches candidate rows, crowns the global winner
     and extends the covered set without re-reading any text. Ties at
-    gain 0 still pick min doc_id, mirroring the unrolled SQL. Emits
-    (round, doc_id, gain)."""
+    gain 0 still pick min doc_id, mirroring the unrolled SQL. Below
+    EXACT_DEDUP_INPROC_CAP corpus rows (parquet-footer gated) all
+    rounds run in-process off ONE table pull and one word
+    factorization — 1 execution instead of 5; the per-round stateless
+    corpus pass stays the design at scale. Emits (round, doc_id,
+    gain)."""
     import ray
 
     from rayschema.text import _flatten_words_arrow
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    n_docs_cap = _table_rows(sf_dir, "documents")
+    if n_docs_cap is not None and n_docs_cap <= EXACT_DEDUP_INPROC_CAP:
+        t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        t = t.filter(pc.is_valid(t.column("text")))
+        ids = t.column("doc_id").cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        col = t.column("text")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, _, doc_idx = _flatten_words_arrow(col)
+        wdf = pd.DataFrame({
+            "i": doc_idx,
+            "w": flat.to_numpy(zero_copy_only=False)}).drop_duplicates()
+        codes, uniq = pd.factorize(wdf["w"], sort=False)
+        di = wdf["i"].to_numpy()
+        covered_m = np.zeros(len(uniq), dtype=bool)
+        picked_m = np.zeros(t.num_rows, dtype=bool)
+        out = []
+        for rnd in range(1, COVERAGE_ROUNDS + 1):
+            if t.num_rows == 0 or picked_m.all():
+                break
+            new = ~covered_m[codes] if len(codes) else \
+                np.zeros(0, dtype=bool)
+            gain = np.bincount(di[new], minlength=t.num_rows) \
+                .astype(np.int64)
+            # picked docs leave the candidate pool entirely (the
+            # distributed scan's ~isin filter)
+            gain_adj = np.where(picked_m, np.int64(-1), gain)
+            best = int(np.lexsort((ids, -gain_adj))[0])
+            out.append((rnd, int(ids[best]), int(gain[best])))
+            picked_m[best] = True
+            if len(codes):
+                covered_m[codes[di == best]] = True
+        return pd.DataFrame(out, columns=["round", "doc_id", "gain"]) \
+            .astype({"round": np.int64, "doc_id": np.int64,
+                     "gain": np.int64})
 
     def make_scan(cov_ref, picked_ref):
         def scan(b: pa.Table) -> pa.Table:
@@ -12750,7 +12791,10 @@ def coverage_select_documents(sf_dir: str):
 def dup_cross_source_matrix(sf_dir: str):
     """Duplicate-provenance audit: for every unordered source pair, how
     many DISTINCT texts occur verbatim in both — where the dup mass
-    actually flows between feeds. Scale path mirrors _exact_dedup_core:
+    actually flows between feeds. Below EXACT_DEDUP_INPROC_CAP corpus
+    rows (parquet-footer gated) the whole audit is one in-process
+    GROUP BY text over a single table pull — the exact-dedup inproc
+    discipline. Scale path mirrors _exact_dedup_core:
     stage 1 shuffles only (text_hash, source) distinct pairs (narrow
     rows) and marks hashes seen under >= 2 sources in a fixed 2 MB
     hashed bitmap; stage 2 sort-groups ONLY the candidate rows (dup-
@@ -12768,6 +12812,29 @@ def dup_cross_source_matrix(sf_dir: str):
 
     BM_BITS = 24
     ds = _read(sf_dir, "documents", columns=["text", "source"])
+
+    n_docs_cap = _table_rows(sf_dir, "documents")
+    if n_docs_cap is not None and n_docs_cap <= EXACT_DEDUP_INPROC_CAP:
+        df = ds.to_pandas().dropna(subset=["text", "source"])
+        pairs = df.drop_duplicates()          # distinct (text, source)
+        nsrc = pairs.groupby("text", sort=False)["source"].transform("size")
+        multi_df = pairs[nsrc >= 2]
+        rows = []
+        for _, tg in multi_df.groupby("text", sort=False):
+            srcs = sorted(tg["source"].unique())
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    rows.append((srcs[i], srcs[j]))
+        if not rows:
+            return pd.DataFrame({
+                "src_a": pd.Series([], dtype=object),
+                "src_b": pd.Series([], dtype=object),
+                "n_texts": pd.Series([], dtype=np.int64)})
+        out = (pd.DataFrame(rows, columns=["src_a", "src_b"])
+               .groupby(["src_a", "src_b"], as_index=False).size()
+               .rename(columns={"size": "n_texts"}))
+        out["n_texts"] = out["n_texts"].astype(np.int64)
+        return out.sort_values(["src_a", "src_b"]).reset_index(drop=True)
 
     def pair_partial(b: pa.Table) -> pa.Table:
         m = pc.and_(pc.is_valid(b.column("text")),
