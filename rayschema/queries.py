@@ -4230,22 +4230,73 @@ def q3_shipping_priority(sf_dir: str):
         co = orders.join(cust, join_type="inner", num_partitions=n_parts,
                          on=("o_custkey",), right_on=("c_custkey",)) \
             .select_columns(["o_orderkey", "o_orderdate"])
-    j = li.map_batches(li_prep, batch_format="pyarrow").join(
-        co, join_type="inner", num_partitions=n_parts,
-        on=("l_orderkey",), right_on=("o_orderkey",))
+    liq = li.map_batches(li_prep, batch_format="pyarrow")
+    co = co.materialize()
+    n_co = co.count()
+    n_li_total = _table_rows(sf_dir, "lineitem")
+    if n_co <= Q3_BROADCAST_CAP:
+        # the filtered orders side fits the broadcast cap: the second
+        # join becomes a stateless lookup with per-batch pre-aggregated
+        # (orderkey, date) partials — the q10 adaptive discipline
+        import ray
 
-    def partial(b: pa.Table) -> pa.Table:
-        df = pd.DataFrame({
-            "l_orderkey": b.column("l_orderkey").to_pandas(),
-            "o_orderdate": b.column("o_orderdate").to_pandas(),
-            "revenue_e4": b.column("rev_e4").to_pandas()})
-        g = (df.groupby(["l_orderkey", "o_orderdate"], as_index=False)
-             ["revenue_e4"].sum())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        codf = co.to_pandas().sort_values("o_orderkey")
+        oref2 = ray.put((codf["o_orderkey"].to_numpy(np.int64),
+                         codf["o_orderdate"].to_numpy()))
 
-    agg = (j.map_batches(partial, batch_format="pyarrow")
-           .groupby(["l_orderkey", "o_orderdate"])
-           .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+        def lookup(b: pa.Table, _o=oref2) -> pa.Table:
+            ok, od = ray.get(_o)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            rev = b.column("rev_e4").to_numpy(zero_copy_only=False)
+            if len(ok):
+                p = np.clip(np.searchsorted(ok, lk), 0, len(ok) - 1)
+                hit = ok[p] == lk
+            else:
+                hit = np.zeros(len(lk), dtype=bool)
+                p = np.zeros(len(lk), dtype=np.int64)
+            lk2, rev2, pos2 = lk[hit], rev[hit], p[hit]
+            uk, inv = np.unique(lk2, return_inverse=True)
+            upos = np.zeros(len(uk), dtype=np.int64)
+            upos[inv] = pos2              # orderdate is functional on key
+            return pa.table({
+                "l_orderkey": pa.array(uk),
+                "o_orderdate": pa.array(od[upos]),
+                "revenue_e4": pa.array(
+                    np.bincount(inv, weights=rev2).astype(np.int64))})
+
+        parts = liq.map_batches(lookup, batch_format="pyarrow")
+        if n_li_total is not None and n_li_total <= TRADE_PAIR_FOLD_CAP:
+            # partial totals bounded by matched lineitem rows: fold on
+            # the driver (TRADE_PAIR_FOLD_CAP discipline), no shuffle
+            agg = (parts.to_pandas()
+                   .groupby(["l_orderkey", "o_orderdate"],
+                            as_index=False)["revenue_e4"].sum())
+            out = (agg.sort_values(["revenue_e4", "l_orderkey"],
+                                   ascending=[False, True],
+                                   kind="mergesort")
+                   .head(10).reset_index(drop=True))
+            out["revenue_e4"] = out["revenue_e4"].astype(np.int64)
+            return out[["l_orderkey", "o_orderdate", "revenue_e4"]]
+        agg = (parts                      # pragma: no cover - scale path
+               .groupby(["l_orderkey", "o_orderdate"])
+               .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
+    else:                                 # pragma: no cover - scale path
+        j = liq.join(co, join_type="inner", num_partitions=n_parts,
+                     on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def partial(b: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "l_orderkey": b.column("l_orderkey").to_pandas(),
+                "o_orderdate": b.column("o_orderdate").to_pandas(),
+                "revenue_e4": b.column("rev_e4").to_pandas()})
+            g = (df.groupby(["l_orderkey", "o_orderdate"],
+                            as_index=False)["revenue_e4"].sum())
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        agg = (j.map_batches(partial, batch_format="pyarrow")
+               .groupby(["l_orderkey", "o_orderdate"])
+               .aggregate(Sum("revenue_e4", alias_name="revenue_e4")))
 
     def local_top(b: pa.Table) -> pa.Table:
         df = b.to_pandas().sort_values(
@@ -13384,12 +13435,24 @@ def q16_supplier_cnt(sf_dir: str):
             .drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    agg = (li.map_batches(part, batch_format="pyarrow")
-           .groupby(["p_brand", "p_type", "p_size", "s"])
-           .aggregate(Count("s", alias_name="nn"))
-           .groupby(["p_brand", "p_type", "p_size"])
-           .aggregate(Count("s", alias_name="supplier_cnt"))
-           .to_pandas())
+    parts = li.map_batches(part, batch_format="pyarrow")
+    n_li = _table_rows(sf_dir, "lineitem")
+    if n_li is not None and n_li <= TRADE_PAIR_FOLD_CAP:
+        # per-batch-distinct partials are <= lineitem rows of narrow
+        # dims; under the shared fold cap they dedup + count on the
+        # driver (the TRADE_PAIR_FOLD_CAP discipline), dropping both
+        # groupby shuffles
+        pdf = parts.to_pandas().drop_duplicates()
+        agg = (pdf.groupby(["p_brand", "p_type", "p_size"],
+                           as_index=False)["s"].nunique()
+               .rename(columns={"s": "supplier_cnt"}))
+    else:                                   # pragma: no cover - scale path
+        agg = (parts
+               .groupby(["p_brand", "p_type", "p_size", "s"])
+               .aggregate(Count("s", alias_name="nn"))
+               .groupby(["p_brand", "p_type", "p_size"])
+               .aggregate(Count("s", alias_name="supplier_cnt"))
+               .to_pandas())
     agg["p_size"] = agg["p_size"].astype(np.int64)
     agg["supplier_cnt"] = agg["supplier_cnt"].astype(np.int64)
     return (agg.sort_values(
