@@ -4836,11 +4836,41 @@ def q5_local_supplier_volume(sf_dir: str, region: str = "ASIA"):
                          "l_suppkey": b.column("l_suppkey"),
                          "rev_e4": pa.array(price * disc)})
 
-    est = (li.size_bytes() or 0)
-    n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
-    joined = li.map_batches(li_prep, batch_format="pyarrow").join(
-        ord_nat, join_type="inner", num_partitions=n_parts,
-        on=("l_orderkey",), right_on=("o_orderkey",))
+    liq = li.map_batches(li_prep, batch_format="pyarrow")
+    ord_nat = ord_nat.materialize()
+    n_on = ord_nat.count()
+    if n_on <= Q3_BROADCAST_CAP:
+        # the date+region-filtered (orderkey -> nationkey) side fits
+        # the broadcast cap: the big join becomes a stateless lookup
+        # (the q3/q10 adaptive discipline); hash exchange kept past it
+        odf = ord_nat.to_pandas().sort_values("o_orderkey")
+        onref = ray.put((odf["o_orderkey"].to_numpy(np.int64),
+                         odf["c_nationkey"].to_numpy(np.int64)))
+
+        def join_lookup(b: pa.Table, _on=onref) -> pa.Table:
+            ok_, onat = ray.get(_on)
+            lk = b.column("l_orderkey").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            if len(ok_):
+                p = np.clip(np.searchsorted(ok_, lk), 0, len(ok_) - 1)
+                hit = ok_[p] == lk
+                nk2 = onat[p]
+            else:
+                hit = np.zeros(len(lk), dtype=bool)
+                nk2 = lk
+            m = pa.array(hit)
+            return pa.table({
+                "l_suppkey": b.column("l_suppkey").filter(m),
+                "c_nationkey": pa.array(nk2[hit]),
+                "rev_e4": b.column("rev_e4").filter(m)})
+
+        joined = liq.map_batches(join_lookup, batch_format="pyarrow")
+    else:                                 # pragma: no cover - scale path
+        est = (li.size_bytes() or 0)
+        n_parts = int(min(256, max(8, est // (128 << 20) + 8)))
+        joined = liq.join(
+            ord_nat, join_type="inner", num_partitions=n_parts,
+            on=("l_orderkey",), right_on=("o_orderkey",))
 
     def partial(b: pa.Table, _sref=sref, _nref=nref) -> pa.Table:
         sk, sn = ray.get(_sref)
