@@ -32,9 +32,10 @@ import numpy as np
 import pyarrow as pa
 
 __all__ = [
-    "probe_mpeg_audio", "probe_adts", "probe_h264_annexb", "probe_media",
+    "probe_mpeg_audio", "probe_adts", "probe_h264_annexb",
+    "probe_hevc_annexb", "probe_mp4", "probe_media",
     "synth_mpeg_audio_stream", "synth_adts_stream", "synth_h264_stream",
-    "MediaProbeStage",
+    "synth_hevc_stream", "synth_mp4", "MediaProbeStage",
 ]
 
 
@@ -592,7 +593,193 @@ def synth_h264_stream(n_gops: int = 2, gop: int = 4, width: int = 320,
 
 
 # ---------------------------------------------------------------------------
-# unified probe + Ray stage
+# H.265/HEVC Annex-B NAL inventory (2-byte NAL header; SPS needs the full
+# profile-tier-level parse, so resolution stays out of scope — the keyframe /
+# access-unit inventory is what sampling pipelines key on)
+
+_HEVC_IRAP = {16, 17, 18, 19, 20, 21}     # BLA/IDR/CRA picture types
+_HEVC_NAMES = {19: "idr_w_radl", 20: "idr_n_lp", 21: "cra",
+               32: "vps", 33: "sps", 34: "pps", 35: "aud", 39: "sei"}
+
+
+def probe_hevc_annexb(payload: bytes) -> dict:
+    """Walk an H.265 Annex-B stream: NAL inventory by type, IRAP
+    (keyframe) count, VCL access-unit estimate via
+    first_slice_segment_in_pic_flag (the first bit after the 2-byte NAL
+    header).  Slice payloads are never entropy-decoded."""
+    nals = _split_annexb(payload)
+    if not nals:
+        raise ValueError("no Annex-B start codes found")
+    counts: Dict[str, int] = {}
+    keyframes = 0
+    pictures = 0
+    for nal in nals:
+        if len(nal) < 2:
+            raise ValueError("truncated HEVC NAL header")
+        hdr = nal[0]
+        if hdr & 0x80:
+            raise ValueError("forbidden_zero_bit set")
+        ntype = (hdr >> 1) & 0x3F
+        name = _HEVC_NAMES.get(ntype,
+                               "vcl%d" % ntype if ntype < 32
+                               else "nal%d" % ntype)
+        counts[name] = counts.get(name, 0) + 1
+        if ntype < 32:                     # VCL NAL
+            if ntype in _HEVC_IRAP:
+                keyframes += 1
+            if len(nal) >= 3 and (nal[2] & 0x80):
+                pictures += 1              # first_slice_segment_in_pic
+    return {"container": "hevc-annexb", "codec": "hevc",
+            "n_nals": len(nals), "nal_counts": counts,
+            "n_keyframes": keyframes, "n_pictures": pictures}
+
+
+def synth_hevc_stream(n_gops: int = 2, gop: int = 4, seed: int = 17) -> bytes:
+    """Syntactically-valid HEVC Annex-B stream: VPS+SPS+PPS headers (probe
+    reads only NAL types), one IDR_W_RADL + ``gop-1`` TRAIL_R slices per
+    GOP, each with first_slice_segment_in_pic_flag = 1."""
+    rng = np.random.default_rng(seed)
+    sc4, sc3 = b"\x00\x00\x00\x01", b"\x00\x00\x01"
+
+    def nal(ntype: int, body: bytes) -> bytes:
+        # nal_unit_header: f(1)=0, type(6), layer_id(6)=0, tid+1(3)=1
+        return bytes([(ntype << 1) & 0x7E, 0x01]) + _escape_rbsp(body)
+
+    out = bytearray()
+    out += sc4 + nal(32, b"\x81\x02\x03")          # VPS
+    out += sc3 + nal(33, b"\x82\x05\x06")          # SPS
+    out += sc3 + nal(34, b"\x83\x07")              # PPS
+    for _ in range(n_gops):
+        for s in range(gop):
+            body = bytes([0x80]) \
+                + rng.integers(1, 255, 16, dtype=np.uint8).tobytes()
+            out += (sc4 if s == 0 else sc3) + nal(19 if s == 0 else 1, body)
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF box walk (the container most real media ships in)
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the box sequence in
+    [start, end); raises on malformed sizes rather than guessing."""
+    pos = start
+    while pos + 8 <= end:
+        size = int.from_bytes(buf[pos:pos + 4], "big")
+        four = buf[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:                       # 64-bit largesize
+            if body + 8 > end:
+                raise ValueError("truncated largesize box")
+            size = int.from_bytes(buf[body:body + 8], "big")
+            body += 8
+            if size < 16:
+                raise ValueError("bad largesize")
+        elif size == 0:                     # to end of enclosing box
+            size = end - pos
+        elif size < 8:
+            raise ValueError("bad box size")
+        if pos + size > end:
+            raise ValueError("box overruns container")
+        yield four.decode("latin1"), body, pos + size
+        pos += size
+
+
+_MP4_CONTAINERS = {"moov", "trak", "mdia", "minf", "stbl"}
+
+
+def probe_mp4(payload: bytes) -> dict:
+    """ISO-BMFF metadata walk: ftyp brand, mvhd timescale/duration,
+    per-track tkhd dimensions + stsd sample-entry fourcc (the codec id),
+    and stsz sample count.  mdat payloads are never decoded."""
+    brand = None
+    duration_s = None
+    tracks: List[dict] = []
+
+    def walk(start: int, end: int, track: Optional[dict]):
+        nonlocal brand, duration_s
+        for four, b0, b1 in _walk_boxes(payload, start, end):
+            if four == "ftyp" and brand is None:
+                brand = payload[b0:b0 + 4].decode("latin1")
+            elif four == "mvhd":
+                ver = payload[b0]
+                if ver == 1:
+                    tscale = int.from_bytes(payload[b0 + 20:b0 + 24], "big")
+                    dur = int.from_bytes(payload[b0 + 24:b0 + 32], "big")
+                else:
+                    tscale = int.from_bytes(payload[b0 + 12:b0 + 16], "big")
+                    dur = int.from_bytes(payload[b0 + 16:b0 + 20], "big")
+                if tscale:
+                    duration_s = dur / tscale
+            elif four == "tkhd" and track is not None:
+                ver = payload[b0]
+                off = b1 - 8                # width/height: last 8 bytes
+                track["width"] = int.from_bytes(
+                    payload[off:off + 4], "big") >> 16      # 16.16 fixed
+                track["height"] = int.from_bytes(
+                    payload[off + 4:off + 8], "big") >> 16
+                _ = ver
+            elif four == "stsd" and track is not None:
+                n = int.from_bytes(payload[b0 + 4:b0 + 8], "big")
+                if n >= 1 and b0 + 16 <= b1:
+                    track["codec"] = payload[b0 + 12:b0 + 16] \
+                        .decode("latin1")
+            elif four == "stsz" and track is not None:
+                track["n_samples"] = int.from_bytes(
+                    payload[b0 + 8:b0 + 12], "big")
+            elif four == "hdlr" and track is not None:
+                track["handler"] = payload[b0 + 8:b0 + 12].decode("latin1")
+            elif four == "trak":
+                t: dict = {}
+                tracks.append(t)
+                walk(b0, b1, t)
+            elif four in _MP4_CONTAINERS:
+                walk(b0, b1, track)
+
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF stream (no leading ftyp)")
+    walk(0, len(payload), None)
+    vid = next((t for t in tracks if t.get("handler") == "vide"
+                or "width" in t and t.get("width")), None)
+    return {
+        "container": "mp4", "codec": (vid or {}).get("codec") or
+        (tracks[0].get("codec") if tracks else None),
+        "brand": brand, "duration_s": duration_s,
+        "n_tracks": len(tracks),
+        "width": (vid or {}).get("width"),
+        "height": (vid or {}).get("height"),
+        "n_frames": (vid or {}).get("n_samples"),
+        "tracks": tracks,
+    }
+
+
+def _box(four: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + four + body
+
+
+def synth_mp4(width: int = 640, height: int = 360, n_samples: int = 48,
+              timescale: int = 600, duration: int = 1200,
+              codec: bytes = b"avc1") -> bytes:
+    """Minimal valid ISO-BMFF: ftyp + moov(mvhd, trak(tkhd, mdia(hdlr,
+    minf(stbl(stsd, stsz))))) + empty mdat."""
+    mvhd = bytes(4) + bytes(8) + timescale.to_bytes(4, "big") \
+        + duration.to_bytes(4, "big") + bytes(80)
+    tkhd = bytes(4) + bytes(72) \
+        + (width << 16).to_bytes(4, "big") \
+        + (height << 16).to_bytes(4, "big")
+    hdlr = bytes(8) + b"vide" + bytes(12) + b"vh\x00"
+    stsd = bytes(4) + (1).to_bytes(4, "big") \
+        + _box(codec, bytes(70))
+    stsz = bytes(4) + (0).to_bytes(4, "big") \
+        + n_samples.to_bytes(4, "big")
+    stbl = _box(b"stbl", _box(b"stsd", stsd) + _box(b"stsz", stsz))
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", _box(b"hdlr", hdlr) + minf)
+    trak = _box(b"trak", _box(b"tkhd", tkhd) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", mvhd) + trak)
+    return _box(b"ftyp", b"isom\x00\x00\x02\x00isomavc1") + moov \
+        + _box(b"mdat", b"")
+
 
 def probe_media(payload: bytes, kind: str = "") -> dict:
     """Magic-sniffed metadata probe.  For the stubbed-decode formats
@@ -608,7 +795,15 @@ def probe_media(payload: bytes, kind: str = "") -> dict:
                                  and (payload[1] & 0xE0) == 0xE0):
         return probe_mpeg_audio(payload)
     if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
+        # HEVC vs AVC: HEVC's 2-byte NAL header has bit 0 of byte 0 clear
+        # and layer/tid bytes 0x01; its leading NAL is a VPS/SPS (>= 32)
+        first = payload[4:] if payload[2] == 0 else payload[3:]
+        if len(first) >= 2 and first[1] == 0x01 \
+                and ((first[0] >> 1) & 0x3F) >= 32 and not (first[0] & 0x81):
+            return probe_hevc_annexb(payload)
         return probe_h264_annexb(payload)
+    if len(payload) >= 8 and payload[4:8] == b"ftyp":
+        return probe_mp4(payload)
     magic = {b"RIFF": "riff", b"fLaC": "flac", b"\x89PNG": "png",
              b"GIF8": "gif", b".snd": "au", b"FORM": "aiff",
              b"II*\x00": "tiff", b"MM\x00*": "tiff", b"YUV4": "y4m"}

@@ -177,3 +177,48 @@ def test_media_probe_stage_batch(ray_session):
     assert out["probe_err"][3] is not None
     assert out["probe_err"][4] is not None
     assert "payload" not in out.columns
+
+
+# ------------------------------------------------------------------ HEVC
+
+def test_hevc_nal_inventory():
+    b = mp.synth_hevc_stream(n_gops=3, gop=5)
+    info = mp.probe_hevc_annexb(b)
+    assert info["codec"] == "hevc"
+    assert info["nal_counts"]["vps"] == 1
+    assert info["nal_counts"]["sps"] == 1
+    assert info["nal_counts"]["pps"] == 1
+    assert info["nal_counts"]["idr_w_radl"] == 3
+    assert info["nal_counts"]["vcl1"] == 12
+    assert info["n_keyframes"] == 3
+    assert info["n_pictures"] == 15
+
+
+def test_hevc_vs_h264_dispatch():
+    assert mp.probe_media(mp.synth_hevc_stream(1, 2))["codec"] == "hevc"
+    assert mp.probe_media(mp.synth_h264_stream(1, 2))["codec"] == "h264"
+
+
+# ------------------------------------------------------------------ MP4
+
+def test_mp4_walk():
+    b = mp.synth_mp4(width=1280, height=720, n_samples=120,
+                     timescale=600, duration=3000, codec=b"avc1")
+    info = mp.probe_mp4(b)
+    assert info["container"] == "mp4" and info["brand"] == "isom"
+    assert info["codec"] == "avc1"
+    assert info["width"] == 1280 and info["height"] == 720
+    assert info["n_frames"] == 120
+    assert info["duration_s"] == pytest.approx(5.0)
+    assert info["n_tracks"] == 1
+    assert mp.probe_media(b)["codec"] == "avc1"
+
+
+def test_mp4_malformed_raises():
+    good = mp.synth_mp4()
+    with pytest.raises(ValueError):
+        mp.probe_mp4(b"\x00\x00\x00\x08mdat")          # no ftyp
+    bad = bytearray(good)
+    bad[0:4] = (len(good) + 99).to_bytes(4, "big")     # box overruns
+    with pytest.raises(ValueError):
+        mp.probe_mp4(bytes(bad))
