@@ -602,17 +602,54 @@ _HEVC_NAMES = {19: "idr_w_radl", 20: "idr_n_lp", 21: "cra",
                32: "vps", 33: "sps", 34: "pps", 35: "aud", 39: "sei"}
 
 
+def parse_hevc_sps(rbsp: bytes) -> dict:
+    """Parse a seq_parameter_set RBSP (H.265 7.3.2.2.1) far enough for
+    profile/level/resolution.  The profile_tier_level block is the fixed
+    96-bit general-layer form (2+1+5 profile space/tier/idc, 32 compat
+    flags, 4 source flags, 44 reserved, 8 level) — sub-layer PTL entries
+    (sps_max_sub_layers_minus1 > 0) are not walked."""
+    r = _Bits(rbsp)
+    r.u(4)                                  # sps_video_parameter_set_id
+    max_sub_layers_minus1 = r.u(3)
+    r.u(1)                                  # temporal_id_nesting
+    r.u(2)                                  # general_profile_space
+    tier = r.u(1)
+    profile_idc = r.u(5)
+    r.u(32)                                 # profile compatibility flags
+    r.u(4)                                  # progressive/interlaced/...
+    r.u(44)                                 # reserved zero bits
+    level_idc = r.u(8)
+    if max_sub_layers_minus1 != 0:
+        raise ValueError("sub-layer PTL not supported in probe")
+    r.ue()                                  # sps_seq_parameter_set_id
+    chroma_format_idc = r.ue()
+    if chroma_format_idc == 3:
+        r.u(1)                              # separate_colour_plane_flag
+    width = r.ue()                          # pic_width_in_luma_samples
+    height = r.ue()                         # pic_height_in_luma_samples
+    if r.u(1):                              # conformance_window_flag
+        sub_w = 2 if chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        left, right, top, bottom = r.ue(), r.ue(), r.ue(), r.ue()
+        width -= sub_w * (left + right)
+        height -= sub_h * (top + bottom)
+    return {"profile_idc": profile_idc, "tier": tier,
+            "level_idc": level_idc, "width": width, "height": height}
+
+
 def probe_hevc_annexb(payload: bytes) -> dict:
-    """Walk an H.265 Annex-B stream: NAL inventory by type, IRAP
-    (keyframe) count, VCL access-unit estimate via
-    first_slice_segment_in_pic_flag (the first bit after the 2-byte NAL
-    header).  Slice payloads are never entropy-decoded."""
+    """Walk an H.265 Annex-B stream: NAL inventory by type, SPS-derived
+    resolution (single-layer streams), IRAP (keyframe) count, VCL
+    access-unit estimate via first_slice_segment_in_pic_flag (the first
+    bit after the 2-byte NAL header).  Slice payloads are never
+    entropy-decoded."""
     nals = _split_annexb(payload)
     if not nals:
         raise ValueError("no Annex-B start codes found")
     counts: Dict[str, int] = {}
     keyframes = 0
     pictures = 0
+    sps_info = None
     for nal in nals:
         if len(nal) < 2:
             raise ValueError("truncated HEVC NAL header")
@@ -624,6 +661,12 @@ def probe_hevc_annexb(payload: bytes) -> dict:
                                "vcl%d" % ntype if ntype < 32
                                else "nal%d" % ntype)
         counts[name] = counts.get(name, 0) + 1
+        if ntype == 33 and sps_info is None:
+            try:
+                sps_info = parse_hevc_sps(_unescape_rbsp(nal[2:]))
+            except ValueError:
+                pass                       # synthetic/partial SPS: probe
+                                           # still reports the inventory
         if ntype < 32:                     # VCL NAL
             if ntype in _HEVC_IRAP:
                 keyframes += 1
@@ -631,13 +674,21 @@ def probe_hevc_annexb(payload: bytes) -> dict:
                 pictures += 1              # first_slice_segment_in_pic
     return {"container": "hevc-annexb", "codec": "hevc",
             "n_nals": len(nals), "nal_counts": counts,
-            "n_keyframes": keyframes, "n_pictures": pictures}
+            "n_keyframes": keyframes, "n_pictures": pictures,
+            **({"width": sps_info["width"], "height": sps_info["height"],
+                "profile_idc": sps_info["profile_idc"],
+                "level_idc": sps_info["level_idc"]} if sps_info else
+               {"width": None, "height": None,
+                "profile_idc": None, "level_idc": None})}
 
 
-def synth_hevc_stream(n_gops: int = 2, gop: int = 4, seed: int = 17) -> bytes:
-    """Syntactically-valid HEVC Annex-B stream: VPS+SPS+PPS headers (probe
-    reads only NAL types), one IDR_W_RADL + ``gop-1`` TRAIL_R slices per
-    GOP, each with first_slice_segment_in_pic_flag = 1."""
+def synth_hevc_stream(n_gops: int = 2, gop: int = 4, width: int = 640,
+                      height: int = 360, crop_bottom: int = 0,
+                      seed: int = 17) -> bytes:
+    """Syntactically-valid HEVC Annex-B stream: VPS + a real SPS (fixed
+    96-bit PTL, Main profile, 4:2:0, optional bottom conformance crop in
+    chroma units) + PPS, then one IDR_W_RADL + ``gop-1`` TRAIL_R slices
+    per GOP, each with first_slice_segment_in_pic_flag = 1."""
     rng = np.random.default_rng(seed)
     sc4, sc3 = b"\x00\x00\x00\x01", b"\x00\x00\x01"
 
@@ -645,9 +696,25 @@ def synth_hevc_stream(n_gops: int = 2, gop: int = 4, seed: int = 17) -> bytes:
         # nal_unit_header: f(1)=0, type(6), layer_id(6)=0, tid+1(3)=1
         return bytes([(ntype << 1) & 0x7E, 0x01]) + _escape_rbsp(body)
 
+    sps = _BitsW()
+    sps.u(0, 4)             # sps_video_parameter_set_id
+    sps.u(0, 3)             # sps_max_sub_layers_minus1
+    sps.u(1, 1)             # temporal_id_nesting
+    sps.u(0, 2).u(0, 1).u(1, 5)     # profile space / tier / Main
+    sps.u(0, 32).u(0, 4).u(0, 44)   # compat + source flags + reserved
+    sps.u(120, 8)           # general_level_idc: 4.0
+    sps.ue(0)               # sps_seq_parameter_set_id
+    sps.ue(1)               # chroma_format_idc 4:2:0
+    sps.ue(width)
+    sps.ue(height + 2 * crop_bottom)
+    if crop_bottom:
+        sps.u(1, 1)
+        sps.ue(0).ue(0).ue(0).ue(crop_bottom)
+    else:
+        sps.u(0, 1)         # no conformance window
     out = bytearray()
     out += sc4 + nal(32, b"\x81\x02\x03")          # VPS
-    out += sc3 + nal(33, b"\x82\x05\x06")          # SPS
+    out += sc3 + nal(33, sps.rbsp_trailing().bytes())
     out += sc3 + nal(34, b"\x83\x07")              # PPS
     for _ in range(n_gops):
         for s in range(gop):

@@ -182,9 +182,11 @@ def test_media_probe_stage_batch(ray_session):
 # ------------------------------------------------------------------ HEVC
 
 def test_hevc_nal_inventory():
-    b = mp.synth_hevc_stream(n_gops=3, gop=5)
+    b = mp.synth_hevc_stream(n_gops=3, gop=5, width=1280, height=720)
     info = mp.probe_hevc_annexb(b)
     assert info["codec"] == "hevc"
+    assert info["width"] == 1280 and info["height"] == 720
+    assert info["profile_idc"] == 1 and info["level_idc"] == 120
     assert info["nal_counts"]["vps"] == 1
     assert info["nal_counts"]["sps"] == 1
     assert info["nal_counts"]["pps"] == 1
@@ -222,3 +224,10 @@ def test_mp4_malformed_raises():
     bad[0:4] = (len(good) + 99).to_bytes(4, "big")     # box overruns
     with pytest.raises(ValueError):
         mp.probe_mp4(bytes(bad))
+
+
+def test_hevc_sps_conformance_crop():
+    # 1920x1088 coded, bottom crop 4 chroma units -> 1920x1080 display
+    b = mp.synth_hevc_stream(1, 2, width=1920, height=1080, crop_bottom=4)
+    info = mp.probe_hevc_annexb(b)
+    assert info["width"] == 1920 and info["height"] == 1080
