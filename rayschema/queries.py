@@ -8589,8 +8589,9 @@ def orders_reconciliation_audit(sf_dir: str):
     items are header-only groups (surface as unreconcilable); lineitem
     orphans have no header and emit nothing. Replaced the previous
     groupby + hash-join plan (TWO all-to-all exchanges) with ONE sort —
-    wall parity at sf0.1 (~5.5 s, read-dominated) but half the shuffle
-    volume at scale. Emits (o_orderstatus, n_orders,
+    half the shuffle volume at scale; below the shared footer-gated
+    fold cap the whole audit is one driver argsort+reduceat fold
+    (parity-tested), the sort plan staying the path past it. Emits (o_orderstatus, n_orders,
     n_no_lineitems, n_mismatched, sum_absdiff_e6)."""
     from rayschema.dedup import sorted_group_scan
 
@@ -8659,6 +8660,50 @@ def orders_reconciliation_audit(sf_dir: str):
                 agg["n_mismatched"].to_numpy(np.int64)),
             "sum_absdiff_e6": pa.array(
                 agg["sum_absdiff_e6"].to_numpy(np.int64))})
+
+    n_li_rows = _table_rows(sf_dir, "lineitem")
+    n_or_rows = _table_rows(sf_dir, "orders")
+    if n_li_rows is not None and n_or_rows is not None \
+            and n_li_rows + n_or_rows <= TRADE_PAIR_FOLD_CAP:
+        # footer-gated in-process fold (TRADE_PAIR_FOLD_CAP discipline):
+        # one argsort+reduceat replaces the union sort; the ONE-sort
+        # distributed plan stays the path past the cap
+        ldf = li.to_pandas()
+        odf = orders.to_pandas()
+        price = _cents(ldf["l_extendedprice"].to_numpy())
+        disc = np.round((1.0 - ldf["l_discount"].to_numpy()
+                         .astype(np.float64)) * 100).astype(np.int64)
+        tax = np.round((1.0 + ldf["l_tax"].to_numpy()
+                        .astype(np.float64)) * 100).astype(np.int64)
+        e6 = price * disc * tax
+        lk = ldf["l_orderkey"].to_numpy().astype(np.int64)
+        order = np.argsort(lk, kind="stable")
+        lk_s, e6_s = lk[order], e6[order]
+        if len(lk_s):
+            uk, start = np.unique(lk_s, return_index=True)
+            sums = np.add.reduceat(e6_s, start)
+            cnts = np.diff(np.append(start, len(lk_s)))
+        else:
+            uk = np.empty(0, np.int64)
+            sums = cnts = np.empty(0, np.int64)
+        ok_arr = odf["o_orderkey"].to_numpy().astype(np.int64)
+        tot_arr = _cents(odf["o_totalprice"].to_numpy()) * 10000
+        st_arr = odf["o_orderstatus"].to_numpy(object)
+        if len(uk):
+            pos = np.clip(np.searchsorted(uk, ok_arr), 0, len(uk) - 1)
+            hit = uk[pos] == ok_arr
+            li_sum = np.where(hit, sums[pos], 0)
+            nli = np.where(hit, cnts[pos], 0)
+        else:
+            li_sum = np.zeros(len(ok_arr), np.int64)
+            nli = np.zeros(len(ok_arr), np.int64)
+        scan = _rows(st_arr, nli + 1,
+                     np.abs(li_sum - tot_arr)).to_pandas()
+        agg = scan.groupby("o_orderstatus", as_index=False).sum()
+        for cn in ["n_orders", "n_no_lineitems", "n_mismatched",
+                   "sum_absdiff_e6"]:
+            agg[cn] = agg[cn].astype(np.int64)
+        return agg.sort_values("o_orderstatus").reset_index(drop=True)
 
     def block_fn(block, starts, ends, want):
         if not want.any():

@@ -5626,3 +5626,17 @@ def test_self_overlap_inproc_equals_distributed(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(h1, h2, check_dtype=False)
     pd.testing.assert_frame_equal(c1, c2, check_dtype=False)
     pd.testing.assert_frame_equal(m1, m2, check_dtype=False)
+
+
+def test_orders_reconciliation_fold_equals_sort_plan(ray_session,
+                                                     monkeypatch):
+    """The footer-gated in-process fold of orders_reconciliation_audit
+    must equal the one-sort distributed plan row for row."""
+    import rayschema.queries as Q
+    sf = "/root/testdata/sf0.001"
+    a = Q.orders_reconciliation_audit(sf)
+    monkeypatch.setattr(Q, "TRADE_PAIR_FOLD_CAP", -1)
+    b = Q.orders_reconciliation_audit(sf)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True),
+                                  check_dtype=False)
