@@ -18034,6 +18034,41 @@ class _ScorecardStage:
                                       "gpass")}})
 
 
+class _ScorecardFusedStage(_ScorecardStage):
+    """One-pass variant for the footer-gated small-corpus path: the
+    per-source quality partials (kind=0) AND the per-batch-distinct
+    (source, md5) rows for dup mass (kind=1) ride the SAME scan — a
+    typed kind marker, the copurchase side-channel discipline — so the
+    scorecard costs ONE execution instead of two."""
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        import hashlib
+
+        part = _ScorecardStage.__call__(self, b)
+        bf = b.filter(pc.is_valid(b.column("text")))
+        src = bf.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in bf.column("text").to_pylist()]
+        hd = pd.DataFrame({"source": src.to_numpy(zero_copy_only=False),
+                           "h": hs}).drop_duplicates()
+        n0, n1 = part.num_rows, len(hd)
+        zeros1 = np.zeros(n1, dtype=np.int64)
+        return pa.table({
+            "kind": pa.array(np.concatenate([
+                np.zeros(n0, dtype=np.int64),
+                np.ones(n1, dtype=np.int64)])),
+            "source": pa.array(
+                part.column("source").to_pylist() +
+                hd["source"].tolist(), type=pa.string()),
+            **{c: pa.array(np.concatenate([
+                part.column(c).to_numpy(zero_copy_only=False), zeros1]))
+               for c in ("n", "chars", "mism", "gpass")},
+            "h": pa.array([None] * n0 + hd["h"].tolist(),
+                          type=pa.string())})
+
+
 def source_scorecard(sf_dir: str):
     """Per-source quality scorecard — the one-row-per-source reporting
     join a curation team reads daily: volume, char mass, exact-dup
@@ -18055,40 +18090,47 @@ def source_scorecard(sf_dir: str):
     # fold is a driver pandas groupby over blocks x sources rows — no
     # all-to-all (sources are a bounded dimension, the nation/region
     # fold rationale)
-    agg = (ds.map_batches(_ScorecardStage, batch_format="pyarrow",
-                          concurrency=(1, 8))
-           .to_pandas())
-    agg = agg.groupby("source", as_index=False)[
-        ["n", "chars", "mism", "gpass"]].sum()
     cols = ["source", "n_docs", "chars_sum", "dup_ppm",
             "langid_mismatch_ppm", "gopher_pass_ppm"]
-    if agg.empty:
-        return pd.DataFrame({"source": pd.Series([], dtype=object),
-                             **{c: pd.Series([], dtype=np.int64)
-                                for c in cols[1:]}})
-
-    def hkeys(b: pa.Table) -> pa.Table:
-        b = b.filter(pc.is_valid(b.column("text")))
-        hs = [hashlib.md5(t.encode("utf-8")).hexdigest()
-              for t in b.column("text").to_pylist()]
-        src = b.column("source")
-        if isinstance(src, pa.ChunkedArray):
-            src = src.combine_chunks()
-        return pa.table({"source": src,
-                         "h": pa.array(hs, type=pa.string())})
-
     n_docs_total = _table_rows(sf_dir, "documents")
     if n_docs_total is not None and n_docs_total <= 1_000_000:
-        # doc-bounded distinct fold: per-batch distinct (source, md5)
-        # partials -> one driver drop_duplicates (16 B + source per row,
-        # footer-gated); the hash groupby remains the path past the cap
-        hp = (ds.map_batches(hkeys, batch_format="pyarrow")
-              .map_batches(lambda b: pa.Table.from_pandas(
-                  b.to_pandas().drop_duplicates(["source", "h"]),
-                  preserve_index=False), batch_format="pyarrow")
-              .to_pandas().drop_duplicates(["source", "h"]))
+        # footer-gated ONE-pass path: quality partials and the
+        # per-batch-distinct (source, md5) rows ride the same scan
+        # (kind-marked, _ScorecardFusedStage); driver splits + folds
+        rows = (ds.map_batches(_ScorecardFusedStage,
+                               batch_format="pyarrow",
+                               concurrency=(1, 8)).to_pandas())
+        agg = (rows[rows["kind"] == 0]
+               .groupby("source", as_index=False)[
+                   ["n", "chars", "mism", "gpass"]].sum())
+        if agg.empty:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 **{c: pd.Series([], dtype=np.int64)
+                                    for c in cols[1:]}})
+        hp = rows.loc[rows["kind"] == 1, ["source", "h"]] \
+            .drop_duplicates()
         dist = hp.groupby("source")["h"].count()
     else:
+        agg = (ds.map_batches(_ScorecardStage, batch_format="pyarrow",
+                              concurrency=(1, 8))
+               .to_pandas())
+        agg = agg.groupby("source", as_index=False)[
+            ["n", "chars", "mism", "gpass"]].sum()
+        if agg.empty:
+            return pd.DataFrame({"source": pd.Series([], dtype=object),
+                                 **{c: pd.Series([], dtype=np.int64)
+                                    for c in cols[1:]}})
+
+        def hkeys(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_valid(b.column("text")))
+            hs = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                  for t in b.column("text").to_pylist()]
+            src = b.column("source")
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            return pa.table({"source": src,
+                             "h": pa.array(hs, type=pa.string())})
+
         dist = (ds.map_batches(hkeys, batch_format="pyarrow")
                 .groupby(["source", "h"])
                 .aggregate(Count(alias_name="c"))

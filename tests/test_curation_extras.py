@@ -5640,3 +5640,17 @@ def test_orders_reconciliation_fold_equals_sort_plan(ray_session,
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_source_scorecard_fused_equals_two_pass(ray_session, monkeypatch):
+    """The fused one-pass kind-marked scorecard path must equal the
+    two-pass + hash-groupby plan (forced by faking a huge footer count,
+    which flips every footer gate to its at-scale path)."""
+    import rayschema.queries as Q
+    sf = "/root/testdata/sf0.001"
+    a = Q.source_scorecard(sf)
+    monkeypatch.setattr(Q, "_table_rows", lambda sf_dir, table: 10**9)
+    b = Q.source_scorecard(sf)
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True),
+                                  check_dtype=False)
