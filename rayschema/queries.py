@@ -2464,6 +2464,48 @@ def dup_span_stats(sf_dir: str, k: int = DUP_SPAN_K):
                          "doc_id": pa.array(i_s[new]),
                          "npos": pa.array(npos)})
 
+    n_docs_cap = _table_rows(sf_dir, "documents")
+    if n_docs_cap is not None and n_docs_cap <= EXACT_DEDUP_INPROC_CAP:
+        # fused in-process path (the minhash-inproc discipline): the
+        # SAME windows kernel over one table pull; a doc's text lives in
+        # one batch either way, so ">= 2 rows per hash" means ">= 2
+        # distinct docs" in both plans. Distributed scan stays past cap.
+        import ray.data as rd
+
+        t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        w = windows(t)
+        h = w.column("h").to_numpy(zero_copy_only=False)
+        doc = w.column("doc_id").to_numpy(zero_copy_only=False)
+        npos = w.column("npos").to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        grp = np.ones(len(hs), dtype=bool)
+        grp[1:] = hs[1:] != hs[:-1]
+        starts = np.nonzero(grp)[0]
+        sizes = np.diff(np.append(starts, len(hs)))
+        sel = order[np.repeat(sizes >= 2, sizes)]
+        dd, dn = doc[sel], npos[sel]
+        if len(dd):
+            ud, inv = np.unique(dd, return_inverse=True)
+            sums = np.bincount(inv, weights=dn).astype(np.int64)
+        else:
+            ud = np.empty(0, np.int64)
+            sums = np.empty(0, np.int64)
+        tf = t.filter(pc.is_valid(t.column("text")))
+        n_cp = pc.utf8_length(tf.column("text")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = tf.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ndup = np.zeros(len(ids), dtype=np.int64)
+        if len(ud):
+            p = np.clip(np.searchsorted(ud, ids), 0, len(ud) - 1)
+            hit = ud[p] == ids
+            ndup[hit] = sums[p[hit]]
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids),
+            "n_windows": pa.array(np.maximum(n_cp - (k - 1), 0)),
+            "n_dup_windows": pa.array(ndup)}))
+
     out_schema = pa.schema([("doc_id", pa.int64()), ("npos", pa.int64())])
 
     def block_fn(b: pa.Table, starts, ends, want) -> pa.Table:

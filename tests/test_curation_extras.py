@@ -5617,15 +5617,18 @@ def test_self_overlap_inproc_equals_distributed(ray_session, monkeypatch):
     h1 = _norm(Q.ngram_doc_frequency_histogram(sf), ["n_docs"])
     c1 = _norm(Q.coverage_select_documents(sf), ["round"])
     m1 = _norm(Q.dup_cross_source_matrix(sf), ["src_a", "src_b"])
+    d1 = _norm(Q.dup_span_stats(sf), ["doc_id"])
     monkeypatch.setattr(Q, "EXACT_DEDUP_INPROC_CAP", -1)  # force distributed
     a2 = _norm(Q.self_overlap_documents(sf), ["doc_id"])
     h2 = _norm(Q.ngram_doc_frequency_histogram(sf), ["n_docs"])
     c2 = _norm(Q.coverage_select_documents(sf), ["round"])
     m2 = _norm(Q.dup_cross_source_matrix(sf), ["src_a", "src_b"])
+    d2 = _norm(Q.dup_span_stats(sf), ["doc_id"])
     pd.testing.assert_frame_equal(a1, a2, check_dtype=False)
     pd.testing.assert_frame_equal(h1, h2, check_dtype=False)
     pd.testing.assert_frame_equal(c1, c2, check_dtype=False)
     pd.testing.assert_frame_equal(m1, m2, check_dtype=False)
+    pd.testing.assert_frame_equal(d1, d2, check_dtype=False)
 
 
 def test_orders_reconciliation_fold_equals_sort_plan(ray_session,
