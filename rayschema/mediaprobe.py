@@ -805,7 +805,12 @@ def probe_mp4(payload: bytes) -> dict:
 
     if payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF stream (no leading ftyp)")
-    walk(0, len(payload), None)
+    try:
+        walk(0, len(payload), None)
+    except IndexError:
+        # a structurally-valid box tree whose leaf body is shorter than
+        # its fixed fields (e.g. an empty mvhd) — malformed, not fatal
+        raise ValueError("truncated ISO-BMFF leaf box") from None
     vid = next((t for t in tracks if t.get("handler") == "vide"
                 or "width" in t and t.get("width")), None)
     return {

@@ -224,6 +224,11 @@ def test_mp4_malformed_raises():
     bad[0:4] = (len(good) + 99).to_bytes(4, "big")     # box overruns
     with pytest.raises(ValueError):
         mp.probe_mp4(bytes(bad))
+    # an EMPTY mvhd leaf at end-of-stream must raise ValueError, not
+    # IndexError (MediaProbeStage only catches ValueError)
+    empty_mvhd = mp._box(b"ftyp", b"isomxxxx")         + mp._box(b"moov", mp._box(b"mvhd", b""))
+    with pytest.raises(ValueError):
+        mp.probe_mp4(empty_mvhd)
 
 
 def test_hevc_sps_conformance_crop():
@@ -231,3 +236,46 @@ def test_hevc_sps_conformance_crop():
     b = mp.synth_hevc_stream(1, 2, width=1920, height=1080, crop_bottom=4)
     info = mp.probe_hevc_annexb(b)
     assert info["width"] == 1920 and info["height"] == 1080
+
+
+# ------------------------------------------------------------------ fuzzing
+
+def test_probe_never_escapes_valueerror():
+    """probe_media on arbitrary garbage and on truncations of every
+    valid synth stream must either return a dict or raise ValueError —
+    anything else (IndexError, KeyError) would kill a MediaProbeStage
+    block instead of landing in probe_err."""
+    import itertools
+    rng = np.random.default_rng(99)
+    streams = [
+        mp.synth_mpeg_audio_stream(6, layer=3, kbps=128, xing=True),
+        mp.synth_mpeg_audio_stream(4, layer=1, kbps=192),
+        mp.synth_adts_stream(5),
+        mp.synth_h264_stream(2, 3),
+        mp.synth_hevc_stream(2, 3),
+        mp.synth_mp4(),
+    ]
+    cases = []
+    for s in streams:
+        cuts = sorted(set(int(x) for x in
+                          rng.integers(0, len(s), 40)) | {0, 1, len(s)})
+        cases.extend(s[:c] for c in cuts)
+        # bit-flip corruption
+        for _ in range(20):
+            b = bytearray(s)
+            for pos in rng.integers(0, len(s), 3):
+                b[pos] ^= 1 << int(rng.integers(0, 8))
+            cases.append(bytes(b))
+    for _ in range(200):
+        cases.append(rng.integers(0, 256,
+                                  int(rng.integers(0, 64)),
+                                  dtype=np.uint8).tobytes())
+    n_ok = n_err = 0
+    for payload in cases:
+        try:
+            info = mp.probe_media(payload)
+            assert isinstance(info, dict)
+            n_ok += 1
+        except ValueError:
+            n_err += 1
+    assert n_ok + n_err == len(cases) and n_ok > 0 and n_err > 0
