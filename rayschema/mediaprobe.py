@@ -36,6 +36,7 @@ __all__ = [
     "probe_hevc_annexb", "probe_mp4", "probe_media",
     "synth_mpeg_audio_stream", "synth_adts_stream", "synth_h264_stream",
     "synth_hevc_stream", "synth_mp4", "MediaProbeStage",
+    "media_probe_pipeline", "write_media_probes",
 ]
 
 
@@ -945,3 +946,29 @@ class MediaProbeStage:
         for name, typ in _PROBE_COLS:
             out = out.append_column(name, pa.array(rows[name], type=typ))
         return out
+
+
+def media_probe_pipeline(ds, batch_size: int = 256, concurrency=(1, 4)):
+    """Probe-before-decode pipeline: one actor-pool pass attaches the
+    metadata columns (container/codec/duration/dimensions/bitrate/
+    keyframes + probe_err) so downstream decode stages can filter,
+    route per-codec and size their batches WITHOUT touching payload
+    bytes — the step a 100-TB media corpus runs first.  Mirrors
+    multimodal.media_feature_pipeline's actor-pool shape."""
+    return ds.map_batches(MediaProbeStage, batch_format="pyarrow",
+                          batch_size=batch_size, concurrency=concurrency)
+
+
+def write_media_probes(ds, out_dir: str):
+    """Partitioned, idempotent probe sink — one directory per container
+    (failed runs skip finished partitions by re-running per container)."""
+    import pyarrow.compute as _pc
+
+    def fill(b: pa.Table) -> pa.Table:
+        col = _pc.fill_null(b.column("container"), "unknown")
+        i = b.column_names.index("container")
+        return b.set_column(i, "container", col)
+
+    ds.map_batches(fill, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["container"], mode="overwrite")
+    return out_dir

@@ -279,3 +279,25 @@ def test_probe_never_escapes_valueerror():
         except ValueError:
             n_err += 1
     assert n_ok + n_err == len(cases) and n_ok > 0 and n_err > 0
+
+
+def test_media_probe_pipeline_and_sink(ray_session, tmp_path):
+    import ray
+    payloads = [mp.synth_mp4(), mp.synth_adts_stream(4),
+                mp.synth_mpeg_audio_stream(4, layer=2, kbps=96),
+                b"garbage-bytes"]
+    t = pa.table({"media_id": list(range(4)),
+                  "kind": ["video", "audio", "audio", "audio"],
+                  "payload": pa.array(payloads, type=pa.binary())})
+    out = mp.media_probe_pipeline(ray.data.from_arrow(t), batch_size=2)
+    d = tmp_path / "probes"
+    mp.write_media_probes(out, str(d))
+    back = ray.data.read_parquet(str(d)).to_pandas() \
+        .sort_values("media_id").reset_index(drop=True)
+    assert set(back["container"]) == {"mp4", "adts", "mpeg-audio",
+                                      "unknown"}
+    assert back.loc[back["media_id"] == 3, "probe_err"].notna().all()
+    # partitioned layout: one directory per container
+    assert sorted(p.name.split("=")[1] for p in d.iterdir()
+                  if p.is_dir()) == ["adts", "mp4", "mpeg-audio",
+                                     "unknown"]
