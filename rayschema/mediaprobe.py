@@ -326,8 +326,11 @@ def probe_adts(payload: bytes, max_frames: int = 1 << 20) -> dict:
                 or pos + frame_len > n:
             break
         if first is None:
+            # channel_configuration: 1-6 map 1:1, 7 means 7.1 (8
+            # channels), 0 defers to an in-band PCE (unknown here)
+            chans = 8 if chan_cfg == 7 else (chan_cfg or None)
             first = {"sample_rate": _ADTS_SR[sf_idx], "profile": profile,
-                     "channels": chan_cfg, "mpeg4": mpeg4}
+                     "channels": chans, "mpeg4": mpeg4}
         if len(offsets) < 4096:
             offsets.append(pos)
         frames += 1
@@ -764,14 +767,27 @@ def probe_mp4(payload: bytes) -> dict:
     duration_s = None
     tracks: List[dict] = []
 
-    def walk(start: int, end: int, track: Optional[dict]):
+    def need(b0: int, b1: int, nbytes: int, four: str) -> None:
+        # a leaf shorter than its fixed fields must error, never read
+        # into sibling-box bytes or return int.from_bytes(empty) == 0
+        if b1 - b0 < nbytes:
+            raise ValueError(f"truncated {four} box")
+
+    def walk(start: int, end: int, track: Optional[dict],
+             depth: int = 0):
         nonlocal brand, duration_s
+        if depth > 16:      # moov/trak/mdia/minf/stbl nests 5 deep; a
+            raise ValueError("box nesting too deep")  # bomb would blow
+            # the recursion limit as RecursionError past the stage catch
         for four, b0, b1 in _walk_boxes(payload, start, end):
             if four == "ftyp" and brand is None:
+                need(b0, b1, 4, four)
                 brand = payload[b0:b0 + 4].decode("latin1")
             elif four == "mvhd":
+                need(b0, b1, 20, four)
                 ver = payload[b0]
                 if ver == 1:
+                    need(b0, b1, 32, four)
                     tscale = int.from_bytes(payload[b0 + 20:b0 + 24], "big")
                     dur = int.from_bytes(payload[b0 + 24:b0 + 32], "big")
                 else:
@@ -780,29 +796,31 @@ def probe_mp4(payload: bytes) -> dict:
                 if tscale:
                     duration_s = dur / tscale
             elif four == "tkhd" and track is not None:
-                ver = payload[b0]
+                need(b0, b1, 8, four)
                 off = b1 - 8                # width/height: last 8 bytes
                 track["width"] = int.from_bytes(
                     payload[off:off + 4], "big") >> 16      # 16.16 fixed
                 track["height"] = int.from_bytes(
                     payload[off + 4:off + 8], "big") >> 16
-                _ = ver
             elif four == "stsd" and track is not None:
+                need(b0, b1, 8, four)
                 n = int.from_bytes(payload[b0 + 4:b0 + 8], "big")
                 if n >= 1 and b0 + 16 <= b1:
                     track["codec"] = payload[b0 + 12:b0 + 16] \
                         .decode("latin1")
             elif four == "stsz" and track is not None:
+                need(b0, b1, 12, four)
                 track["n_samples"] = int.from_bytes(
                     payload[b0 + 8:b0 + 12], "big")
             elif four == "hdlr" and track is not None:
+                need(b0, b1, 12, four)
                 track["handler"] = payload[b0 + 8:b0 + 12].decode("latin1")
             elif four == "trak":
                 t: dict = {}
                 tracks.append(t)
-                walk(b0, b1, t)
+                walk(b0, b1, t, depth + 1)
             elif four in _MP4_CONTAINERS:
-                walk(b0, b1, track)
+                walk(b0, b1, track, depth + 1)
 
     if payload[4:8] != b"ftyp":
         raise ValueError("not an ISO-BMFF stream (no leading ftyp)")
@@ -854,11 +872,12 @@ def synth_mp4(width: int = 640, height: int = 360, n_samples: int = 48,
         + _box(b"mdat", b"")
 
 
-def probe_media(payload: bytes, kind: str = "") -> dict:
+def probe_media(payload: bytes) -> dict:
     """Magic-sniffed metadata probe.  For the stubbed-decode formats
-    (MP3/AAC/H.264) this is a full header walk; for formats the engine
-    decodes for real it defers to the decoders' own parsing elsewhere and
-    just labels the container here."""
+    (MP3/AAC/H.264/HEVC/MP4) this is a full header walk; for formats the
+    engine decodes for real it defers to the decoders' own parsing
+    elsewhere and just labels the container here.  Dispatch is purely
+    magic-based — a kind hint would add nothing the sync bytes don't."""
     # 0xFFF sync with layer bits 00 is ADTS (MPEG audio reserves layer 00);
     # any other 0xFFE sync is an MPEG audio frame
     if len(payload) >= 2 and payload[0] == 0xFF \
@@ -910,23 +929,20 @@ class MediaProbeStage:
     failing the batch — at corpus scale a bad file must not kill a block.
     """
 
-    def __init__(self, payload_col: str = "payload", kind_col: str = "kind"):
+    def __init__(self, payload_col: str = "payload"):
         self.payload_col = payload_col
-        self.kind_col = kind_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pcol = batch.column(self.payload_col)
         if isinstance(pcol, pa.ChunkedArray):
             pcol = pcol.combine_chunks()
         payloads = pcol.to_pylist()
-        kinds = batch.column(self.kind_col).to_pylist() \
-            if self.kind_col in batch.column_names else [""] * len(payloads)
         rows = {name: [] for name, _ in _PROBE_COLS}
-        for p, k in zip(payloads, kinds):
+        for p in payloads:
             try:
                 if p is None:
                     raise ValueError("null payload")
-                info = probe_media(p, k or "")
+                info = probe_media(p)
                 err = None
             except ValueError as e:
                 info, err = {}, str(e)

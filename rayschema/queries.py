@@ -12981,18 +12981,23 @@ def dup_cross_source_matrix(sf_dir: str):
     BM_BITS = 24
     ds = _read(sf_dir, "documents", columns=["text", "source"])
 
+    def _text_source_pairs(tdf):
+        # per-DISTINCT-TEXT unordered source pairs — the ONE pair
+        # kernel both the in-process and distributed plans go through
+        rows = []
+        for _, tg in tdf.groupby("text", sort=False):
+            srcs = sorted(tg["source"].unique())
+            for i in range(len(srcs)):
+                for j in range(i + 1, len(srcs)):
+                    rows.append((srcs[i], srcs[j]))
+        return rows
+
     n_docs_cap = _table_rows(sf_dir, "documents")
     if n_docs_cap is not None and n_docs_cap <= EXACT_DEDUP_INPROC_CAP:
         df = ds.to_pandas().dropna(subset=["text", "source"])
         pairs = df.drop_duplicates()          # distinct (text, source)
         nsrc = pairs.groupby("text", sort=False)["source"].transform("size")
-        multi_df = pairs[nsrc >= 2]
-        rows = []
-        for _, tg in multi_df.groupby("text", sort=False):
-            srcs = sorted(tg["source"].unique())
-            for i in range(len(srcs)):
-                for j in range(i + 1, len(srcs)):
-                    rows.append((srcs[i], srcs[j]))
+        rows = _text_source_pairs(pairs[nsrc >= 2])
         if not rows:
             return pd.DataFrame({
                 "src_a": pd.Series([], dtype=object),
@@ -13059,12 +13064,7 @@ def dup_cross_source_matrix(sf_dir: str):
         df = pd.DataFrame({"text": g.column("text").to_pandas(),
                            "source": g.column("source").to_pandas()}) \
             .drop_duplicates()
-        rows = []
-        for _, tg in df.groupby("text", sort=False):
-            srcs = sorted(tg["source"].unique())
-            for i in range(len(srcs)):
-                for j in range(i + 1, len(srcs)):
-                    rows.append((srcs[i], srcs[j]))
+        rows = _text_source_pairs(df)
         if not rows:
             return None
         p = pd.DataFrame(rows, columns=["src_a", "src_b"]) \
@@ -13867,8 +13867,9 @@ def user_hourly_lerp(sf_dir: str):
     observed hourly cent-sums, in milli-cents with DuckDB-truncating
     division — lerp = pv*1000 + trunc((nv - pv)*1000*(h - ph)/(nh - ph))
     (slopes go negative, so the fold emulates toward-zero). The
-    (user, hour) cent-sums fold through one narrow groupby, then ONE
-    user-keyed sorted_group_scan emits only the gap rows — per-group
+    per-batch (user, hour) cent-sum partials feed ONE user-keyed
+    sorted_group_scan directly (duplicate hour rows merge inside the
+    group kernel — no pre-groupby shuffle) which emits only the gap rows — per-group
     work bounded by the user's span, nothing user-level ever
     concentrates on the driver. Emits (user_id, hour_bucket,
     lerp_milli) for gap hours only."""

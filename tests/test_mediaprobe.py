@@ -128,7 +128,6 @@ def test_h264_sps_cropping_and_high_profile():
 def test_h264_emulation_prevention_roundtrip():
     raw = b"\x00\x00\x00\x00\x01\x00\x00\x02\x7f\x00\x00\x03ab"
     esc = mp._escape_rbsp(raw)
-    assert b"\x00\x00\x00" not in esc[:-1] or True
     assert mp._unescape_rbsp(esc) == raw
     # no bare start codes survive escaping
     assert b"\x00\x00\x01" not in esc and b"\x00\x00\x00" not in esc
@@ -301,3 +300,26 @@ def test_media_probe_pipeline_and_sink(ray_session, tmp_path):
     assert sorted(p.name.split("=")[1] for p in d.iterdir()
                   if p.is_dir()) == ["adts", "mp4", "mpeg-audio",
                                      "unknown"]
+
+
+def test_mp4_nesting_bomb_and_midstream_short_leaf():
+    # ~1100 nested moov boxes must raise ValueError, not RecursionError
+    bomb = b""
+    for _ in range(1100):
+        bomb = mp._box(b"moov", bomb)
+    bomb = mp._box(b"ftyp", b"isomxxxx") + bomb
+    with pytest.raises(ValueError):
+        mp.probe_mp4(bomb)
+    # an empty mvhd FOLLOWED by a trak must raise, not read the trak's
+    # bytes as duration fields
+    mid = mp._box(b"ftyp", b"isomxxxx") + mp._box(
+        b"moov", mp._box(b"mvhd", b"") + mp._box(b"trak", b""))
+    with pytest.raises(ValueError):
+        mp.probe_mp4(mid)
+
+
+def test_adts_channel_mapping():
+    assert mp.probe_adts(mp.synth_adts_stream(3, channels=7))["channels"] \
+        == 8                       # cfg 7 means 7.1
+    assert mp.probe_adts(mp.synth_adts_stream(3, channels=0))["channels"] \
+        is None                    # cfg 0: PCE-defined, unknown here
