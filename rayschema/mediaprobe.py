@@ -33,7 +33,8 @@ import pyarrow as pa
 
 __all__ = [
     "probe_mpeg_audio", "probe_adts", "probe_h264_annexb",
-    "probe_hevc_annexb", "probe_mp4", "probe_media",
+    "probe_hevc_annexb", "probe_mp4", "probe_matroska", "probe_media",
+    "synth_matroska",
     "synth_mpeg_audio_stream", "synth_adts_stream", "synth_h264_stream",
     "synth_hevc_stream", "synth_mp4", "MediaProbeStage",
     "media_probe_pipeline", "write_media_probes",
@@ -872,6 +873,155 @@ def synth_mp4(width: int = 640, height: int = 360, n_samples: int = 48,
         + _box(b"mdat", b"")
 
 
+# ---------------------------------------------------------------------------
+# Matroska / WebM EBML walk
+
+def _ebml_vint(buf: bytes, pos: int, keep_marker: bool):
+    """Read one EBML variable-length integer at ``pos``; returns
+    (value, next_pos).  IDs keep the length-marker bit (``keep_marker``),
+    sizes strip it.  An all-ones size payload means 'unknown size'
+    (returned as None for sizes)."""
+    if pos >= len(buf):
+        raise ValueError("EBML vint truncated")
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("invalid EBML vint")
+    length = 9 - first.bit_length()       # leading-zero count + 1
+    if pos + length > len(buf):
+        raise ValueError("EBML vint truncated")
+    if keep_marker:
+        v = int.from_bytes(buf[pos:pos + length], "big")
+    else:
+        v = first & (0xFF >> length)
+        for b in buf[pos + 1:pos + length]:
+            v = (v << 8) | b
+        if v == (1 << (7 * length)) - 1:
+            return None, pos + length     # unknown size
+    return v, pos + length
+
+
+_EBML_MASTERS = {0x1A45DFA3,              # EBML header (DocType inside)
+                 0x18538067,              # Segment
+                 0x1549A966,              # Info
+                 0x1654AE6B,              # Tracks
+                 0xAE,                    # TrackEntry
+                 0xE0, 0xE1}              # Video / Audio
+
+
+def probe_matroska(payload: bytes) -> dict:
+    """Matroska/WebM metadata walk: EBML DocType, Segment>Info
+    TimestampScale + Duration, per-track type/CodecID and Video
+    PixelWidth/PixelHeight or Audio SamplingFrequency/Channels.
+    Cluster payloads are never parsed."""
+    if payload[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("not an EBML stream")
+    doctype = None
+    tscale = 1_000_000                    # ns per tick, Matroska default
+    duration_ticks = None
+    tracks: List[dict] = []
+
+    def walk(pos: int, end: int, track: Optional[dict],
+             depth: int = 0):
+        nonlocal doctype, tscale, duration_ticks
+        if depth > 16:
+            raise ValueError("EBML nesting too deep")
+        while pos < end:
+            eid, pos = _ebml_vint(payload, pos, keep_marker=True)
+            size, pos = _ebml_vint(payload, pos, keep_marker=False)
+            body_end = end if size is None else pos + size
+            if body_end > end:
+                raise ValueError("EBML element overruns parent")
+            body = payload[pos:body_end]
+            if eid == 0x4282:                             # DocType
+                doctype = body.decode("latin1").rstrip("\x00")
+            elif eid == 0x2AD7B1 and body:                # TimestampScale
+                tscale = int.from_bytes(body, "big")
+            elif eid == 0x4489 and len(body) in (4, 8):   # Duration
+                duration_ticks = float(np.frombuffer(
+                    body, dtype=(">f4" if len(body) == 4 else ">f8"))[0])
+            elif eid == 0xAE:                             # TrackEntry
+                t: dict = {}
+                tracks.append(t)
+                walk(pos, body_end, t, depth + 1)
+            elif eid == 0x83 and track is not None and body:
+                track["type"] = {1: "video", 2: "audio", 17: "subtitle"} \
+                    .get(body[0], "type%d" % body[0])
+            elif eid == 0x86 and track is not None:       # CodecID
+                track["codec"] = body.decode("latin1").rstrip("\x00")
+            elif eid == 0xB0 and track is not None:       # PixelWidth
+                track["width"] = int.from_bytes(body, "big")
+            elif eid == 0xBA and track is not None:       # PixelHeight
+                track["height"] = int.from_bytes(body, "big")
+            elif eid == 0xB5 and track is not None and len(body) in (4, 8):
+                track["sample_rate"] = float(np.frombuffer(
+                    body, dtype=(">f4" if len(body) == 4 else ">f8"))[0])
+            elif eid == 0x9F and track is not None and body:  # Channels
+                track["channels"] = int.from_bytes(body, "big")
+            elif eid in _EBML_MASTERS:
+                walk(pos, body_end, track, depth + 1)
+            if size is None:              # unknown-size master: children
+                return                    # were consumed by the walk above
+            pos = body_end
+
+    try:
+        walk(0, len(payload), None)
+    except IndexError:
+        raise ValueError("truncated EBML stream") from None
+    vid = next((t for t in tracks if t.get("type") == "video"), None)
+    aud = next((t for t in tracks if t.get("type") == "audio"), None)
+    dur = duration_ticks * tscale / 1e9 \
+        if duration_ticks is not None else None
+    return {
+        "container": doctype or "matroska",
+        "codec": (vid or aud or {}).get("codec"),
+        "duration_s": dur,
+        "n_tracks": len(tracks),
+        "width": (vid or {}).get("width"),
+        "height": (vid or {}).get("height"),
+        "sample_rate": (aud or {}).get("sample_rate"),
+        "channels": (aud or {}).get("channels"),
+        "tracks": tracks,
+    }
+
+
+def _ebml_id(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _ebml_size(n: int) -> bytes:
+    # smallest vint length whose payload can hold n below the all-ones
+    # (unknown-size) pattern
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError("size too large")
+
+
+def _ebml_el(eid: int, body: bytes) -> bytes:
+    return _ebml_id(eid) + _ebml_size(len(body)) + body
+
+
+def synth_matroska(width: int = 1280, height: int = 720,
+                   duration_s: float = 12.5, codec: str = "V_VP9",
+                   webm: bool = True) -> bytes:
+    """Minimal valid Matroska/WebM: EBML header (DocType) + Segment
+    (Info: TimestampScale in ns + Duration in ticks; Tracks: one video
+    TrackEntry with codec + dimensions)."""
+    header = _ebml_el(0x1A45DFA3,
+                      _ebml_el(0x4282,
+                               b"webm" if webm else b"matroska"))
+    dur = np.array([duration_s * 1000], dtype=">f8").tobytes()
+    info = _ebml_el(0x1549A966,
+                    _ebml_el(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+                    + _ebml_el(0x4489, dur))
+    video = _ebml_el(0xE0, _ebml_el(0xB0, width.to_bytes(2, "big"))
+                     + _ebml_el(0xBA, height.to_bytes(2, "big")))
+    entry = _ebml_el(0xAE, _ebml_el(0x83, b"\x01")
+                     + _ebml_el(0x86, codec.encode()) + video)
+    tracks = _ebml_el(0x1654AE6B, entry)
+    return header + _ebml_el(0x18538067, info + tracks)
+
+
 def probe_media(payload: bytes) -> dict:
     """Magic-sniffed metadata probe.  For the stubbed-decode formats
     (MP3/AAC/H.264/HEVC/MP4) this is a full header walk; for formats the
@@ -896,6 +1046,8 @@ def probe_media(payload: bytes) -> dict:
         return probe_h264_annexb(payload)
     if len(payload) >= 8 and payload[4:8] == b"ftyp":
         return probe_mp4(payload)
+    if payload[:4] == b"\x1a\x45\xdf\xa3":
+        return probe_matroska(payload)
     magic = {b"RIFF": "riff", b"fLaC": "flac", b"\x89PNG": "png",
              b"GIF8": "gif", b".snd": "au", b"FORM": "aiff",
              b"II*\x00": "tiff", b"MM\x00*": "tiff", b"YUV4": "y4m"}

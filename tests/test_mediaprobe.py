@@ -253,6 +253,7 @@ def test_probe_never_escapes_valueerror():
         mp.synth_h264_stream(2, 3),
         mp.synth_hevc_stream(2, 3),
         mp.synth_mp4(),
+        mp.synth_matroska(),
     ]
     cases = []
     for s in streams:
@@ -323,3 +324,34 @@ def test_adts_channel_mapping():
         == 8                       # cfg 7 means 7.1
     assert mp.probe_adts(mp.synth_adts_stream(3, channels=0))["channels"] \
         is None                    # cfg 0: PCE-defined, unknown here
+
+
+# ------------------------------------------------------------------ Matroska
+
+def test_matroska_walk():
+    b = mp.synth_matroska(width=1920, height=1080, duration_s=42.0,
+                          codec="V_VP9", webm=True)
+    info = mp.probe_matroska(b)
+    assert info["container"] == "webm"
+    assert info["codec"] == "V_VP9"
+    assert info["width"] == 1920 and info["height"] == 1080
+    assert info["duration_s"] == pytest.approx(42.0)
+    assert info["n_tracks"] == 1
+    assert mp.probe_media(b)["container"] == "webm"
+    mkv = mp.synth_matroska(codec="V_MPEG4/ISO/AVC", webm=False)
+    assert mp.probe_matroska(mkv)["container"] == "matroska"
+
+
+def test_matroska_malformed():
+    with pytest.raises(ValueError):
+        mp.probe_matroska(b"\x00\x00\x00\x00")
+    good = mp.synth_matroska()
+    with pytest.raises(ValueError):
+        mp.probe_matroska(good[:len(good) // 2])  # truncated mid-element
+    # nesting bomb: deeply nested unknown Segment masters
+    bomb = b"\x1a\x45\xdf\xa3" + b""
+    inner = b""
+    for _ in range(64):
+        inner = mp._ebml_el(0x18538067, inner)
+    with pytest.raises(ValueError):
+        mp.probe_matroska(b"\x1a\x45\xdf\xa3\x80" + inner)
