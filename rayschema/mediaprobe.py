@@ -17,6 +17,12 @@ and every header walked here is fixed-layout public bitstream syntax:
 - H.264 Annex-B: start-code split, NAL headers, RBSP un-escaping and a full
   SPS parse (Exp-Golomb) for width/height/profile/level — enough to count
   keyframes and access units without touching slice data.
+- H.265/HEVC Annex-B: 2-byte NAL headers, IRAP keyframes, SPS resolution
+  (single-layer fixed-PTL form).
+- MP4/ISO-BMFF: box walk for ftyp brand, mvhd duration, tkhd dimensions,
+  stsd codec fourcc, stsz sample count.
+- Matroska/WebM: EBML walk for DocType, TimestampScale x Duration,
+  per-track CodecID, video dimensions, audio rate/channels.
 
 Probing is exact and total (bad sync / truncated tails are reported, not
 guessed), verified by writer<->parser round-trips in tests/test_mediaprobe.py.
