@@ -1864,7 +1864,20 @@ def _decontaminate(sf_dir: str, mod: int, residue: int):
             "snippet": pc.utf8_slice_codeunits(text, 0, DECONTAM_SNIPPET_LEN),
         })
 
-    bench = ds.map_batches(pick_bench, batch_format="pyarrow").to_pandas()
+    n_docs_cap = _table_rows(sf_dir, "documents")
+    if n_docs_cap is not None and n_docs_cap <= EXACT_DEDUP_INPROC_CAP:
+        # bench-set derivation off a driver parquet read under the
+        # inproc cap (the _query_vecs row-filtered-read pattern, SAME
+        # pick_bench kernel) — saves a whole Ray execution; the corpus
+        # pass below stays distributed either way
+        import pyarrow.dataset as pads
+
+        bench = pick_bench(
+            pads.dataset(os.path.join(sf_dir, "documents.parquet"))
+            .to_table(columns=["doc_id", "text"])).to_pandas()
+    else:
+        bench = ds.map_batches(pick_bench,
+                               batch_format="pyarrow").to_pandas()
     ref = ray.put((bench["bench_id"].to_numpy(np.int64),
                    list(bench["snippet"])))
     # no trailing sort: the verdict rows are set-compared downstream (the
