@@ -1519,7 +1519,8 @@ class HyperplaneLSH:
         col = batch.column(self.vec_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        mat = np.stack(col.to_numpy(zero_copy_only=False))
+        from rayschema.similarity import list_column_matrix
+        mat = list_column_matrix(col)
         planes = self._get_planes(mat.shape[1])
         signs = (mat @ planes.T) > 0
         bucket = np.zeros(len(mat), dtype=np.uint64)
@@ -1607,7 +1608,8 @@ class _CosinePairScan:
         col = batch.column(self.vec_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        rows = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+        from rayschema.similarity import list_column_matrix
+        rows = list_column_matrix(col)
         rows = rows / np.maximum(np.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
         rid = batch.column(self.id_col).to_numpy(zero_copy_only=False).astype(np.int64)
         sims = rows @ self.mat.T                         # (b, N)

@@ -24,6 +24,29 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def list_column_matrix(col) -> np.ndarray:
+    """Arrow list<float> column -> (n, d) float64 matrix WITHOUT the
+    per-row Python loop ``np.stack(col.to_numpy())`` pays: equal-width
+    lists reshape the flat values buffer directly (one memcpy at most).
+    Ragged or null-bearing columns fall back to np.stack."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count == 0:
+        if pa.types.is_fixed_size_list(col.type):
+            d = col.type.list_size
+            vals = col.values.to_numpy(zero_copy_only=False)
+            return vals.reshape(len(col), d).astype(np.float64, copy=False)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            offs = col.offsets.to_numpy()
+            widths = np.diff(offs)
+            if len(widths) and (widths == widths[0]).all() and widths[0] > 0:
+                vals = col.values.to_numpy(zero_copy_only=False)
+                return vals[offs[0]:offs[-1]] \
+                    .reshape(len(col), int(widths[0])) \
+                    .astype(np.float64, copy=False)
+    return np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+
+
 class BatchTopK:
     """Actor stage: per-batch cosine top-k against the broadcast query matrix."""
 
@@ -41,8 +64,7 @@ class BatchTopK:
         col = batch.column(self.vec_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        mat = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
-        mat = _normalize(mat)
+        mat = _normalize(list_column_matrix(col))
         ids = np.asarray(batch.column(self.id_col).to_pylist())
         sims = mat @ self.q.T                      # (n, nq)
         n, nq = sims.shape
@@ -149,8 +171,7 @@ def kmeans_quantized(ds, k: int = 4, iters: int = 2, id_col: str = "vec_id",
                     "cnt": pa.array([], type=pa.int64()),
                     "s": pa.array([], type=pa.list_(pa.int64()))})
             q = round_half_away(
-                np.stack(col.to_numpy(zero_copy_only=False))
-                .astype(np.float64) * 1e6, 0).astype(np.int64)
+                list_column_matrix(col) * 1e6, 0).astype(np.int64)
             qq = (q * q).sum(axis=1)
             cc = (c * c).sum(axis=1)
             dist = qq[:, None] - 2 * (q @ c.T) + cc[None, :]   # int64 exact
@@ -217,7 +238,7 @@ class IvfAssign:
         col = batch.column(self.vec_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        mat = _normalize(np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64))
+        mat = _normalize(list_column_matrix(col))
         assign = (mat @ self.cent.T).argmax(axis=1).astype(np.int32)
         return batch.append_column(self.out, pa.array(assign))
 
@@ -315,7 +336,7 @@ class SrpBander:
         col = batch.column(self.vec_col)
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        mat = np.stack(col.to_numpy(zero_copy_only=False)).astype(np.float64)
+        mat = list_column_matrix(col)
         q = round_half_away(mat * 1e6, 0).astype(np.int64)
         signs = self._get_signs(mat.shape[1])
         dots = q @ signs.T                                   # (n, bits) exact
@@ -407,8 +428,7 @@ def pq_train_codebooks(ds, m: int, sub_dims: int, k: int = 4,
                     "cnt": pa.array([], type=pa.int64()),
                     "s": pa.array([], type=pa.list_(pa.int64()))})
             q = round_half_away(
-                np.stack(col.to_numpy(zero_copy_only=False))
-                .astype(np.float64) * 1e6, 0).astype(np.int64)
+                list_column_matrix(col) * 1e6, 0).astype(np.int64)
             subs, clus, cnts, sums_l = [], [], [], []
             for mi in range(len(c)):
                 qs = q[:, mi * sub_dims:(mi + 1) * sub_dims]
@@ -473,8 +493,7 @@ def pq_encode(ds, cents: np.ndarray, id_col: str = "vec_id",
         if n == 0:
             return pa.table(cols)
         q = round_half_away(
-            np.stack(col.to_numpy(zero_copy_only=False))
-            .astype(np.float64) * 1e6, 0).astype(np.int64)
+            list_column_matrix(col) * 1e6, 0).astype(np.int64)
         out = {id_col: b.column(id_col).cast(pa.int64())}
         err = np.zeros(n, dtype=np.int64)
         rows = np.arange(n)
@@ -555,8 +574,7 @@ def semdedup(ds, k: int = 4, iters: int = 2, threshold: float = 0.4,
                     id_col: pa.array([], type=pa.int64()),
                     "cluster": pa.array([], type=pa.int64()),
                     vec_col: b.column(vec_col)})
-            mat = np.stack(col.to_numpy(zero_copy_only=False)) \
-                .astype(np.float64)
+            mat = list_column_matrix(col)
             q = round_half_away(mat * 1e6, 0).astype(np.int64)
             dist = ((q * q).sum(axis=1)[:, None] - 2 * (q @ c.T)
                     + (c * c).sum(axis=1)[None, :])
@@ -576,8 +594,7 @@ def semdedup(ds, k: int = 4, iters: int = 2, threshold: float = 0.4,
             col = t.column(vec_col)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            m = _normalize(np.stack(col.to_numpy(zero_copy_only=False))
-                           .astype(np.float64))
+            m = _normalize(list_column_matrix(col))
             keep = np.ones(len(ids), dtype=bool)
             for s in range(0, len(ids), 4096):
                 e = min(s + 4096, len(ids))
@@ -612,8 +629,7 @@ def semdedup(ds, k: int = 4, iters: int = 2, threshold: float = 0.4,
                              "cluster": pa.array([], type=pa.int64())})
         rid = b.column(id_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
-        rows = _normalize(np.stack(col.to_numpy(zero_copy_only=False))
-                          .astype(np.float64))
+        rows = _normalize(list_column_matrix(col))
         # assignment looked up from the broadcast (batch and corpus rows
         # agree by construction — no recompute drift)
         bcl = ccl[np.searchsorted(cids, rid)]
