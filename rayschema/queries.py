@@ -1040,7 +1040,8 @@ def knn_bruteforce(sf_dir: str):
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_vecs(sf_dir, ["vec_id", "embedding"])
     queries = np.stack(q["embedding"].to_numpy())
-    return brute_force_topk(ds, queries, k=10)
+    return brute_force_topk(ds, queries, k=10,
+                            n_rows=_table_rows(sf_dir, "embeddings"))
 
 
 def knn_ivf(sf_dir: str):

@@ -83,19 +83,35 @@ class BatchTopK:
         })
 
 
+BRUTE_TOPK_INPROC_CAP = 20_000   # corpus vectors under which the scan runs
+#                                  in-process through the SAME BatchTopK
+#                                  kernel (the minhash-inproc discipline);
+#                                  the actor-pool stream stays the path at
+#                                  scale
+
+
 def brute_force_topk(ds, queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     concurrency=(1, 8)) -> pd.DataFrame:
+                     concurrency=(1, 8), n_rows: int = None) -> pd.DataFrame:
     """Exact cosine top-k for each query row; returns a DataFrame
-    (query_id, vec_id, cosine, rank) with deterministic tie-break on id."""
+    (query_id, vec_id, cosine, rank) with deterministic tie-break on id.
+    ``n_rows`` (a parquet-footer count from the caller) gates a fused
+    in-process path for small corpora."""
     import ray
 
-    qref = ray.put(np.asarray(queries, dtype=np.float64))
-    cand = ds.map_batches(BatchTopK,
-                          fn_constructor_kwargs=dict(queries_ref=qref, k=k,
-                                                     id_col=id_col, vec_col=vec_col),
-                          batch_format="pyarrow", concurrency=concurrency)
-    df = cand.to_pandas()                        # O(batches * k * nq) — small
+    if n_rows is not None and n_rows <= BRUTE_TOPK_INPROC_CAP:
+        t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+        stage = BatchTopK(np.asarray(queries, dtype=np.float64), k=k,
+                          id_col=id_col, vec_col=vec_col)
+        df = stage(t).to_pandas()
+    else:
+        qref = ray.put(np.asarray(queries, dtype=np.float64))
+        cand = ds.map_batches(
+            BatchTopK,
+            fn_constructor_kwargs=dict(queries_ref=qref, k=k,
+                                       id_col=id_col, vec_col=vec_col),
+            batch_format="pyarrow", concurrency=concurrency)
+        df = cand.to_pandas()                    # O(batches * k * nq) — small
     df = df.sort_values(["query_id", "cosine", id_col],
                         ascending=[True, False, True], kind="mergesort")
     df = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)

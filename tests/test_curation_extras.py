@@ -5657,3 +5657,18 @@ def test_source_scorecard_fused_equals_two_pass(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_brute_force_topk_inproc_equals_actor_path(ray_session):
+    """brute_force_topk's footer-gated in-process path must equal the
+    actor-pool streaming path row for row (same BatchTopK kernel)."""
+    import rayschema.queries as Q
+    from rayschema.similarity import brute_force_topk
+    sf = "/root/testdata/sf0.001"
+    ds = Q._read(sf, "embeddings", columns=["vec_id", "embedding"])
+    q = Q._query_vecs(sf, ["vec_id", "embedding"])
+    queries = np.stack(q["embedding"].to_numpy())
+    a = brute_force_topk(ds, queries, k=10, n_rows=100)       # in-proc
+    b = brute_force_topk(ds, queries, k=10, n_rows=None)      # actors
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
