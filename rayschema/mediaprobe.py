@@ -23,6 +23,8 @@ and every header walked here is fixed-layout public bitstream syntax:
   stsd codec fourcc, stsz sample count.
 - Matroska/WebM: EBML walk for DocType, TimestampScale x Duration,
   per-track CodecID, video dimensions, audio rate/channels.
+- Ogg (Opus/Vorbis): page walk chained by segment tables, codec id from
+  the BOS packet, duration from the final granule position.
 
 Probing is exact and total (bad sync / truncated tails are reported, not
 guessed), verified by writer<->parser round-trips in tests/test_mediaprobe.py.
@@ -39,8 +41,8 @@ import pyarrow as pa
 
 __all__ = [
     "probe_mpeg_audio", "probe_adts", "probe_h264_annexb",
-    "probe_hevc_annexb", "probe_mp4", "probe_matroska", "probe_media",
-    "synth_matroska",
+    "probe_hevc_annexb", "probe_mp4", "probe_matroska", "probe_ogg",
+    "probe_media", "synth_matroska", "synth_ogg",
     "synth_mpeg_audio_stream", "synth_adts_stream", "synth_h264_stream",
     "synth_hevc_stream", "synth_mp4", "MediaProbeStage",
     "media_probe_pipeline", "write_media_probes",
@@ -1028,6 +1030,112 @@ def synth_matroska(width: int = 1280, height: int = 720,
     return header + _ebml_el(0x18538067, info + tracks)
 
 
+# ---------------------------------------------------------------------------
+# Ogg page walk (Opus / Vorbis)
+
+def probe_ogg(payload: bytes) -> dict:
+    """Ogg container walk: page headers chained by their segment tables,
+    codec identified from the BOS packet (OpusHead / Vorbis id header),
+    duration from the last page's granule position (48 kHz ticks minus
+    pre-skip for Opus, sample-rate ticks for Vorbis).  Page CRCs are not
+    verified — this is a probe, not a demuxer."""
+    n = len(payload)
+    if payload[:4] != b"OggS":
+        raise ValueError("not an Ogg stream")
+    pos = 0
+    pages = 0
+    codec = None
+    sample_rate = None
+    channels = None
+    pre_skip = 0
+    last_granule = None
+    while pos + 27 <= n:
+        if payload[pos:pos + 4] != b"OggS":
+            break
+        if payload[pos + 4] != 0:
+            raise ValueError("unsupported Ogg version")
+        header_type = payload[pos + 5]
+        granule = int.from_bytes(payload[pos + 6:pos + 14], "little",
+                                 signed=True)
+        nsegs = payload[pos + 26]
+        seg_end = pos + 27 + nsegs
+        if seg_end > n:
+            break
+        body_len = sum(payload[pos + 27:seg_end])
+        if seg_end + body_len > n:
+            break
+        body = payload[seg_end:seg_end + body_len]
+        if header_type & 0x02:                    # BOS: codec id packet
+            if body[:8] == b"OpusHead":
+                codec = "opus"
+                if len(body) >= 12:
+                    channels = body[9]
+                    pre_skip = int.from_bytes(body[10:12], "little")
+                sample_rate = 48000               # granule timescale
+            elif body[:7] == b"\x01vorbis":
+                codec = "vorbis"
+                if len(body) >= 16:
+                    channels = body[11]
+                    sample_rate = int.from_bytes(body[12:16], "little")
+        if granule >= 0:
+            last_granule = granule
+        pages += 1
+        pos = seg_end + body_len
+    if pages == 0:
+        raise ValueError("no complete Ogg page")
+    dur = None
+    if last_granule is not None and sample_rate:
+        ticks = last_granule - (pre_skip if codec == "opus" else 0)
+        dur = max(ticks, 0) / sample_rate
+    return {"container": "ogg", "codec": codec, "n_frames": pages,
+            "duration_s": dur, "sample_rate": sample_rate,
+            "channels": channels, "clean_eof": pos == n,
+            "trailing_bytes": n - pos}
+
+
+def synth_ogg(codec: str = "opus", duration_s: float = 2.5,
+              n_pages: int = 4, channels: int = 2, seed: int = 23) -> bytes:
+    """Minimal valid Ogg stream: BOS page with the codec id header, then
+    data pages whose final granule encodes ``duration_s``."""
+    rng = np.random.default_rng(seed)
+
+    def page(header_type: int, granule: int, seq: int,
+             body: bytes) -> bytes:
+        assert len(body) < 255 * 255
+        segs = []
+        rest = len(body)
+        while rest >= 255:
+            segs.append(255)
+            rest -= 255
+        segs.append(rest)
+        return (b"OggS\x00" + bytes([header_type])
+                + granule.to_bytes(8, "little", signed=True)
+                + (7).to_bytes(4, "little")       # serial
+                + seq.to_bytes(4, "little")
+                + b"\x00\x00\x00\x00"             # crc unverified
+                + bytes([len(segs)]) + bytes(segs) + body)
+
+    if codec == "opus":
+        rate, pre_skip = 48000, 312
+        head = (b"OpusHead" + b"\x01" + bytes([channels])
+                + pre_skip.to_bytes(2, "little")
+                + (48000).to_bytes(4, "little") + b"\x00\x00" + b"\x00")
+        total = int(duration_s * rate) + pre_skip
+    else:
+        rate, pre_skip = 44100, 0
+        head = (b"\x01vorbis" + (0).to_bytes(4, "little")
+                + bytes([channels]) + rate.to_bytes(4, "little")
+                + bytes(12))
+        total = int(duration_s * rate)
+    out = bytearray(page(0x02, 0, 0, head))
+    for i in range(1, n_pages + 1):
+        g = total if i == n_pages else (total * i) // n_pages
+        body = rng.integers(0, 256, 60, dtype=np.uint8).tobytes() \
+            .replace(b"OggS", b"Oggs")
+        out += page(0x04 if i == n_pages else 0x00, g, i, body)
+    return bytes(out)
+
+
 def probe_media(payload: bytes) -> dict:
     """Magic-sniffed metadata probe.  For the stubbed-decode formats
     (MP3/AAC/H.264/HEVC/MP4) this is a full header walk; for formats the
@@ -1054,6 +1162,8 @@ def probe_media(payload: bytes) -> dict:
         return probe_mp4(payload)
     if payload[:4] == b"\x1a\x45\xdf\xa3":
         return probe_matroska(payload)
+    if payload[:4] == b"OggS":
+        return probe_ogg(payload)
     magic = {b"RIFF": "riff", b"fLaC": "flac", b"\x89PNG": "png",
              b"GIF8": "gif", b".snd": "au", b"FORM": "aiff",
              b"II*\x00": "tiff", b"MM\x00*": "tiff", b"YUV4": "y4m"}

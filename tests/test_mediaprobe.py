@@ -254,6 +254,7 @@ def test_probe_never_escapes_valueerror():
         mp.synth_hevc_stream(2, 3),
         mp.synth_mp4(),
         mp.synth_matroska(),
+        mp.synth_ogg(),
     ]
     cases = []
     for s in streams:
@@ -355,3 +356,29 @@ def test_matroska_malformed():
         inner = mp._ebml_el(0x18538067, inner)
     with pytest.raises(ValueError):
         mp.probe_matroska(b"\x1a\x45\xdf\xa3\x80" + inner)
+
+
+# ------------------------------------------------------------------ Ogg
+
+def test_ogg_opus_and_vorbis():
+    b = mp.synth_ogg(codec="opus", duration_s=3.25, n_pages=5)
+    info = mp.probe_ogg(b)
+    assert info["codec"] == "opus"
+    assert info["sample_rate"] == 48000 and info["channels"] == 2
+    assert info["n_frames"] == 6            # BOS + 5 data pages
+    assert info["duration_s"] == pytest.approx(3.25)
+    assert info["clean_eof"]
+    v = mp.synth_ogg(codec="vorbis", duration_s=1.5, channels=1)
+    iv = mp.probe_ogg(v)
+    assert iv["codec"] == "vorbis" and iv["sample_rate"] == 44100
+    assert iv["channels"] == 1
+    assert iv["duration_s"] == pytest.approx(1.5, abs=1e-4)
+    assert mp.probe_media(b)["codec"] == "opus"
+
+
+def test_ogg_truncation_and_garbage():
+    b = mp.synth_ogg()
+    info = mp.probe_ogg(b[:-30])
+    assert not info["clean_eof"] and info["trailing_bytes"] > 0
+    with pytest.raises(ValueError):
+        mp.probe_ogg(b"NotOggData")
